@@ -1,13 +1,126 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.RelationalOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the correctness surface: one entry per implemented operator
+  * from SURVEY.md §2, each with a DuckDB-equivalent SQL oracle where the
+  * semantics are SQL-expressible. Column names/aliases match the oracle SQL
+  * exactly (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalOps.q9MultiJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (RelationalOps.q1Agg(_, _)),
+    "q2_filter_project" -> (RelationalOps.q2FilterProject(_, _)),
+    "q3_join_inner"     -> (RelationalOps.q3JoinInner(_, _)),
+    "q4_window_latest"  -> (RelationalOps.q4WindowLatest(_, _)),
+    "q5_distinct"       -> (RelationalOps.q5Distinct(_, _)),
+    "q6_json_extract"   -> (RelationalOps.q6JsonExtract(_, _)),
+    "q7_json_build"     -> (RelationalOps.q7JsonBuild(_, _)),
+    "q8_topk"           -> (RelationalOps.q8TopK(_, _)),
+    "q9_multi_join"     -> (RelationalOps.q9MultiJoin(_, _)),
+    "q10_ranked_cte"    -> (RelationalOps.q10RankedCte(_, _)),
+    "q11_semi_join"     -> (RelationalOps.q11SemiJoin(_, _)),
+    "q12_anti_join"     -> (RelationalOps.q12AntiJoin(_, _)),
+    "q13_argmax"        -> (RelationalOps.q13Argmax(_, _)),
+    "q14_encode"        -> (RelationalOps.q14Encode(_, _)),
+    "q15_time_bucket"   -> (RelationalOps.q15TimeBucket(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
+        |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+        |  l_extendedprice AS price, l_returnflag AS rflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice, o_orderstatus
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q4_window_latest" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value FROM ranked WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q5_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q6_json_extract" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  cast(json_extract_string(props, '$.k') AS bigint) AS k_num,
+        |  epoch_us(ts) AS ts_us
+        |FROM events
+        |WHERE cast(json_extract_string(props, '$.k') AS bigint) >= 50
+        |ORDER BY event_id""".stripMargin,
+    "q7_json_build" ->
+      """SELECT event_id,
+        |  to_json(struct_pack(event_id := event_id, event_type := event_type, user_id := user_id))::varchar AS payload
+        |FROM events WHERE event_type = 'signup'
+        |ORDER BY event_id""".stripMargin,
+    "q8_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q9_multi_join" ->
+      """SELECT r_name,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q10_ranked_cte" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, value, rn FROM ranked WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_argmax" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id) AS max_ts_us
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value, max_ts_us
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q14_encode" ->
+      """SELECT n_nationkey, hex(encode(n_name)) AS name_hex
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q15_time_bucket" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  count(*) AS n, cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+  )
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's relational operator surface (SURVEY.md §2.2, R1–R12),
+  * re-expressed as declarative DataFrame plans over the driver testdata so
+  * Catalyst owns pushdown / pruning / join selection.
+  *
+  * Numeric policy for DuckDB-oracle hash parity: floating-point SUMs are
+  * order-dependent, so every aggregated measure is cast to DECIMAL *before*
+  * summation (exact, associative); averages are exact decimal sums divided
+  * as one deterministic double op. Raw double columns pass through
+  * untouched (identical bits in both engines).
+  *
+  * Ordering policy: every query ends in a total order (explicit tie-break
+  * columns) so the row stream is deterministic under any partitioning.
+  */
+object RelationalOps {
+
+  private def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+
+  /** R-agg: TPC-H Q1-shaped grouped aggregation with map-side partial agg.
+    * Reference has only argmax aggregation (DataStreamService.java:134-140);
+    * this generalizes the shape to sum/avg/count for the query surface.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** R2 filter + R3 projection/alias: predicate conjunctions pushed to the
+    * parquet scan (mirrors channel='messages' AND type='list' filters,
+    * CdcCheckpointDao.java:72).
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"),
+        col("l_returnflag").as("rflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** R1 inner equi join (checkpoint_writes ⋈ checkpoints analog,
+    * CdcCheckpointDao.java:70-71). customer is the small build side —
+    * explicitly broadcast, as `checkpoints` would be against a 100 TB fact.
+    */
+  def q3JoinInner(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** R4 window rank + R5 top-1 (Q1's ROW_NUMBER ... rn=1 shape,
+    * CdcCheckpointDao.java:69-78): latest event per user. Catalyst rewrites
+    * the rn=1 filter into WindowGroupLimit so no full sort per partition.
+    * event_id is the deterministic tie-break within equal timestamps.
+    */
+  def q4WindowLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** R6 distinct projection (SELECT DISTINCT task_path analog,
+    * CdcCheckpointDao.java:155-187).
+    */
+  def q5Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("event_type")).distinct().orderBy(col("event_type"))
+
+  /** R8 JSON field extraction + R9 timestamp handling
+    * (c.checkpoint->>'ts' / timestamptz(...), CdcCheckpointDao.java:67).
+    * events.ts is ns-precision parquet; Spark truncates to micros, so the
+    * timestamp is exposed as unix micros for engine-independent comparison.
+    */
+  def q6JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+        unix_micros(col("ts")).as("ts_us"))
+      .filter(col("k_num") >= 50)
+      .orderBy(col("event_id"))
+  }
+
+  /** R10 JSON construction (the CDC trigger's json_build_object payload,
+    * CdcAgentsPostgresSubscriber.java:33).
+    */
+  def q7JsonBuild(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(
+        col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"), col("user_id"))).as("payload"))
+      .orderBy(col("event_id"))
+  }
+
+  /** R5 sort + limit generalized to top-k with a total tie-break order. */
+  def q8TopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Multi-way join + grouped agg (TPC-H Q5 shape): fact-to-dims star join.
+    * Dims are broadcast; only the fact-fact join (lineitem⋈orders) shuffles.
+    */
+  def q9MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** R7 CTE + R4 window: top-3 purchases per user (ranked-CTE shape of Q1,
+    * CdcCheckpointDao.java:63-78, with k=3 instead of 1).
+    */
+  def q10RankedCte(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))))
+    ranked.filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have at least one order. */
+  def q11SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no activity in the event
+    * stream (non-degenerate on the testdata: user_id covers only a prefix of
+    * the customer keyspace).
+    */
+  def q12AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val e = Tables.events(spark, dir)
+    c.join(e, c("c_custkey") === e("user_id"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** D1 group-by + argmax (DataStreamService.java:134-140: keep the
+    * checkpoint with max checkpointNs per task) via max_by over a struct
+    * ordering — one shuffle, map-side partial, no window sort.
+    */
+  def q13Argmax(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("latest"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .select(
+        col("user_id"),
+        col("latest.event_id").as("event_id"),
+        col("latest.event_type").as("event_type"),
+        col("latest.value").as("value"),
+        col("max_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** R11 string→bytes encode (convert_to(s,'UTF-8'), CheckpointDaoTest.java:109),
+    * surfaced as hex for engine-independent comparison.
+    */
+  def q14Encode(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), hex(encode(col("n_name"), "UTF-8")).as("name_hex"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Grouped time-bucket aggregation over the event stream (batch form of
+    * the tumbling-window shape used by the streaming layer).
+    */
+  def q15TimeBucket(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+}
