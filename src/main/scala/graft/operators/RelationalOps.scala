@@ -58,13 +58,14 @@ object RelationalOps {
   }
 
   /** R1 inner equi join (checkpoint_writes ⋈ checkpoints analog,
-    * CdcCheckpointDao.java:70-71). customer is the small build side —
-    * explicitly broadcast, as `checkpoints` would be against a 100 TB fact.
+    * CdcCheckpointDao.java:70-71). No broadcast hint: customer scales
+    * linearly with the data, so AQE must pick the strategy (broadcast at
+    * small SF, shuffle join with skew handling at 100 TB).
     */
   def q3JoinInner(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("o_orderkey"), col("c_name"), col("o_totalprice"), col("o_orderstatus"))
       .orderBy(col("o_orderkey"))
@@ -128,7 +129,9 @@ object RelationalOps {
   }
 
   /** Multi-way join + grouped agg (TPC-H Q5 shape): fact-to-dims star join.
-    * Dims are broadcast; only the fact-fact join (lineitem⋈orders) shuffles.
+    * Fixed-cardinality dims (nation 25 rows, region 5 rows) are broadcast;
+    * customer grows with the data so its join is left to AQE — at 100 TB it
+    * becomes a shuffle join, never a forced multi-GB broadcast.
     */
   def q9MultiJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -137,7 +140,7 @@ object RelationalOps {
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
