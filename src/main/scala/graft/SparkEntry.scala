@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.RelationalOps
+import graft.operators.{RelationalOps, SessionOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,7 @@ object SparkEntry {
     "q13_argmax"        -> (RelationalOps.q13Argmax(_, _)),
     "q14_encode"        -> (RelationalOps.q14Encode(_, _)),
     "q15_time_bucket"   -> (RelationalOps.q15TimeBucket(_, _)),
+    "q16_session_merge" -> (SessionOps.q16SessionMerge(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -122,5 +123,26 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS day, event_type,
         |  count(*) AS n, cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // Session-merge semantics (D2/D3): replace-latest == window top-1 by
+    // (ts, event_id); __start__ append-dedup-by-ts == first event per
+    // (session, task, ts). Events fold in ascending (ts, event_id) order.
+    "q16_session_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'signup' THEN '__start__' ELSE event_type END AS task_id,
+        |    event_id, epoch_us(ts) AS ts_us, props
+        |  FROM events),
+        |non_start AS (
+        |  SELECT user_id, task_id, event_id, ts_us, props,
+        |    row_number() OVER (PARTITION BY user_id, task_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM ev WHERE task_id <> '__start__'),
+        |start_t AS (
+        |  SELECT user_id, task_id, event_id, ts_us, props,
+        |    row_number() OVER (PARTITION BY user_id, task_id, ts_us ORDER BY event_id) AS rn
+        |  FROM ev WHERE task_id = '__start__')
+        |SELECT user_id, task_id, event_id, ts_us, props AS payload FROM non_start WHERE rn = 1
+        |UNION ALL
+        |SELECT user_id, task_id, event_id, ts_us, props AS payload FROM start_t WHERE rn = 1
+        |ORDER BY user_id, task_id, ts_us, event_id""".stripMargin,
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.Tables
+import graft.diff.DiffModel.CheckpointData
+import graft.state.SessionMerge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session-merge operators: the stateful engine core (SURVEY §2.3 D2/D3/D11)
+  * run as a distributed batch job over the event stream — the backfill (E2)
+  * shape of the reference lifecycle.
+  */
+object SessionOps {
+
+  /** Input row: one checkpoint event derived from the `events` table.
+    * `signup` events model the reference's `__start__` task (append +
+    * dedup-by-timestamp); every other event type is a replace-latest task.
+    */
+  private[graft] final case class EventRow(
+      user_id: Long, task_id: String, event_id: Long, ts_us: Long, props: String)
+
+  private[graft] final case class SessionRow(
+      user_id: Long, task_id: String, event_id: Long, ts_us: Long, payload: String)
+
+  private[graft] def toCheckpoint(e: EventRow): CheckpointData =
+    CheckpointData(
+      checkpoint = e.props.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      checkpointNs = e.ts_us,
+      threadId = e.user_id.toString,
+      // zero-padded so the engine's lexicographic tie-break == numeric order
+      checkpointId = f"${e.event_id}%020d",
+      taskId = e.task_id)
+
+  /** q16: fold every session's events through the real merge engine
+    * (one `SessionMerge.update` per event, in event-time order) and emit the
+    * final per-task state. Distribution: one shuffle on the session key;
+    * per-group work is bounded by session length (a conversation), so
+    * `flatMapGroups` needs no secondary-sort machinery at 100 TB — sessions
+    * are many, not large. Oracle-checkable: replace-latest ≡ window top-1,
+    * `__start__` dedup ≡ first-per-(session,task,ts).
+    */
+  def q16SessionMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+      .select(
+        col("user_id"),
+        when(col("event_type") === "signup", lit("__start__"))
+          .otherwise(col("event_type")).as("task_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("props"))
+      .as[EventRow]
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (userId: Long, it: Iterator[EventRow]) =>
+        val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+        val (finalState, _) = ordered.foldLeft(
+          (SessionMerge.SessionState.empty(userId.toString),
+            Vector.empty[graft.diff.DiffModel.CheckpointDataDiff])) {
+          case ((state, diffs), ev) =>
+            val (next, diff) = SessionMerge.update(state, Seq(toCheckpoint(ev)))
+            (next, diffs ++ diff)
+        }
+        finalState.content.iterator.flatMap { case (task, cds) =>
+          cds.iterator.map { cd =>
+            SessionRow(userId, task, cd.checkpointId.toLong, cd.checkpointNs,
+              new String(cd.checkpoint, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      }
+      .toDF()
+      .select(col("user_id"), col("task_id"), col("event_id"), col("ts_us"),
+        col("payload"))
+      .orderBy(col("user_id"), col("task_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** q17 lives in MessageOps; q-naming continues in SparkEntry. */
+}
