@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** E1 ≡ E2 lifecycle parity (SURVEY §7.5.3): streaming the events through
+  * the stateful pipeline in multiple micro-batches produces exactly the
+  * session state a single batch replay over the same events produces.
+  */
+class StreamingParitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming (3 micro-batches) == batch backfill over sf0.001 events") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_").toString
+    val srcDir = s"$base/source"
+    val ckpt = s"$base/ckpt"
+    val sink = s"$base/sink"
+
+    // time-slice the events into 3 parquet files so arrival order respects
+    // event time (the CDC feed's property) and the stream runs 3 batches
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val n = events.count()
+    val ranked = events.withColumn(
+      "rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    for ((lo, hi, i) <- Seq((1L, n / 3, 0), (n / 3 + 1, 2 * n / 3, 1), (2 * n / 3 + 1, n, 2))) {
+      ranked.filter(col("rnk").between(lo, hi)).drop("rnk")
+        .coalesce(1).write.parquet(s"$srcDir/chunk=$i")
+    }
+    // file source reads the partition dirs' files; point it at the glob
+    val q = CheckpointStream.run(spark, s"$srcDir/chunk=*", ckpt, sink)
+    q.awaitTermination(120000L)
+    assert(!q.isActive, "stream did not drain with AvailableNow")
+
+    val streamed = spark.read.parquet(sink)
+      .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    val batch = CheckpointStream.backfill(spark, events).toDF()
+      .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+
+    val onlyStream = streamed.exceptAll(batch)
+    val onlyBatch = batch.exceptAll(streamed)
+    assert(onlyStream.isEmpty && onlyBatch.isEmpty, {
+      s"parity mismatch:\nstream-only:\n${onlyStream.limit(10).collect().mkString("\n")}" +
+        s"\nbatch-only:\n${onlyBatch.limit(10).collect().mkString("\n")}"
+    })
+    assert(streamed.count() > 0)
+  }
+
+  test("upsert sink is idempotent: re-upserting the same batch is a no-op") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_upsert_").toString + "/sink"
+    val batch = Seq(
+      CheckpointStream.SessionFlat(1L, "t", 1L, 100L, "a", 1),
+      CheckpointStream.SessionFlat(2L, "t", 2L, 200L, "b", 1)).toDF()
+    CheckpointStream.upsert(batch, sink)
+    CheckpointStream.upsert(batch, sink)
+    assert(spark.read.parquet(sink).count() == 2)
+    // upsert replaces a session's rows wholesale
+    val batch2 = Seq(CheckpointStream.SessionFlat(1L, "t", 3L, 300L, "c", 2)).toDF()
+    CheckpointStream.upsert(batch2, sink)
+    val rows = spark.read.parquet(sink).as[CheckpointStream.SessionFlat]
+      .collect().sortBy(_.user_id)
+    assert(rows.map(_.payload).toSeq == Seq("c", "b"))
+  }
+}
