@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{RelationalOps, SessionOps}
+import graft.operators.{MessageOps, RelationalOps, SessionOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,7 @@ object SparkEntry {
     "q14_encode"        -> (RelationalOps.q14Encode(_, _)),
     "q15_time_bucket"   -> (RelationalOps.q15TimeBucket(_, _)),
     "q16_session_merge" -> (SessionOps.q16SessionMerge(_, _)),
+    "q17_message_parse" -> (MessageOps.q17MessageParse(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -144,5 +145,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT user_id, task_id, event_id, ts_us, props AS payload FROM start_t WHERE rn = 1
         |ORDER BY user_id, task_id, ts_us, event_id""".stripMargin,
+    // The Spark side builds tagged message JSON (string content on odd ids,
+    // array content on even ids), runs the polymorphic parser, and extracts
+    // normalized fields; the oracle computes the same final values directly.
+    "q17_message_parse" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'signup' THEN 'human'
+        |       WHEN event_type = 'purchase' THEN 'ai'
+        |       WHEN event_type = 'click' THEN 'tool'
+        |       WHEN event_type = 'view' THEN 'system'
+        |       ELSE 'function' END AS msg_type,
+        |  cast(event_id AS varchar) AS msg_name,
+        |  event_type AS kwargs_et,
+        |  CASE WHEN event_id % 2 = 0 THEN props || '|' || event_type ELSE props END AS content_joined,
+        |  CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS n_content
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }
