@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{MessageOps, RelationalOps, SessionOps}
+import graft.operators.{DedupOps, MessageOps, RelationalOps, SessionOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,9 @@ object SparkEntry {
     "q15_time_bucket"   -> (RelationalOps.q15TimeBucket(_, _)),
     "q16_session_merge" -> (SessionOps.q16SessionMerge(_, _)),
     "q17_message_parse" -> (MessageOps.q17MessageParse(_, _)),
+    "q18_exact_dedup"   -> (DedupOps.q18ExactDedup(_, _)),
+    "q20_minhash_neardup" -> (DedupOps.q20MinhashNearDup(_, _)),
+    "q21_simhash"       -> (DedupOps.q21Simhash(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -160,5 +163,25 @@ object SparkEntry {
         |  CASE WHEN event_id % 2 = 0 THEN props || '|' || event_type ELSE props END AS content_joined,
         |  CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS n_content
         |FROM events ORDER BY event_id""".stripMargin,
+    "q18_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id_kept,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Brute-force n-gram Jaccard: sound oracle for the LSH path because the
+    // banded-LSH miss probability at j>=0.9 is ~1e-9 (16 bands of 3 rows).
+    "q20_minhash_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM w)),
+        |ds AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  inter::double / (x.n + y.n - inter) AS jac
+        |FROM pairs JOIN ds x ON x.doc_id = da JOIN ds y ON y.doc_id = db
+        |WHERE inter::double / (x.n + y.n - inter) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q21_simhash: rows-only (the 64-bit majority-vote fold is not
+    // expressible in the SQL oracle); determinism is covered by ScalaTest.
   )
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * content-hash dedup, MinHash-LSH near-dup (banded — candidate generation
+  * is a bucket equi-join, never an all-pairs product), and SimHash
+  * fingerprinting with pigeonhole-banded Hamming candidate joins.
+  *
+  * Scale design (100 TB): signatures are computed per-row with codegen'd
+  * higher-order functions (no explode, no shuffle); the only shuffles are
+  * the band-bucket equi-join and the doc_id joins to fetch shingle sets for
+  * candidate verification. Tune (minhashK, bandRows) so candidate volume
+  * stays subquadratic at the target similarity threshold.
+  */
+object DedupOps {
+
+  /** Exact dedup (hash-groupBy): one row per distinct content with the
+    * canonical (min) id and the copy count. Grouping on the 256-bit hash
+    * instead of the text keeps shuffle rows narrow at scale.
+    */
+  def q18ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id_kept"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** Distinct word n-gram shingles of a lowercased text column. Single-space
+    * tokenization (matches the corpus format and the DuckDB oracle exactly).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(lower(text), " ")
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*))))
+      .otherwise(array_distinct(array(concat_ws(" ", words))))
+  }
+
+  /** MinHash signature: k independent min-hashes per shingle set, computed
+    * per-row via seeded xxhash64 over the shingle array — pure codegen'd
+    * built-ins, no shuffle, no UDF.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
+
+  /** LSH band keys: the signature cut into `bands` rows of `rowsPerBand`,
+    * each band hashed (band index mixed in so buckets never collide across
+    * bands).
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Exact n-gram Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard verification.
+    *
+    * Plan shape: per-row signatures → explode band keys (×bands) →
+    * self-equi-join on the band bucket (shuffle hash join, NEVER a cartesian)
+    * → distinct candidate pairs → re-join shingle sets by doc_id → exact
+    * Jaccard filter. With rowsPerBand=3, bands=16 a true pair at j=0.9 is
+    * missed with p=(1-0.9³)¹⁶ ≈ 9e-10, so results equal brute force at the
+    * declared threshold.
+    */
+  def minhashNearDup(
+      docs: DataFrame,
+      threshold: Double = 0.9,
+      minhashK: Int = 48,
+      bands: Int = 16,
+      rowsPerBand: Int = 3): DataFrame = {
+    require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal minhashK")
+    val withShingles = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val withBands = withShingles
+      .withColumn("band_key", explode(bandKeys(minhashSignature(col("sh"), minhashK), bands, rowsPerBand)))
+      .select(col("doc_id"), col("band_key"))
+    val candidates = withBands.as("a")
+      .join(withBands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shA = withShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = withShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q20: near-dup pairs over the documents table at jaccard ≥ 0.9 —
+    * value-checked against a brute-force DuckDB oracle (sound because the
+    * LSH miss probability at the threshold is ~1e-9, see minhashNearDup).
+    */
+  def q20MinhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDup(Tables.documents(spark, dir))
+
+  /** Brute-force all-pairs Jaccard (test baseline / recall oracle). O(n²) —
+    * never run at scale; exists to validate the LSH path.
+    */
+  def bruteForceNearDup(docs: DataFrame, threshold: Double): DataFrame = {
+    val withShingles = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    withShingles.as("a")
+      .join(withShingles.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint — per-bit majority vote
+    * over the shingle hashes. The bit-vote fold runs as a Scala UDF over the
+    * (built-in-computed) hash array; a custom codegen Expression is the
+    * upgrade path if this ever becomes the hot loop.
+    */
+  private val simhashFold = udf { (hashes: Seq[Long]) =>
+    if (hashes == null || hashes.isEmpty) 0L
+    else {
+      val votes = new Array[Int](64)
+      hashes.foreach { h =>
+        var i = 0
+        while (i < 64) { votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+  }
+
+  def simhash(shingleArr: Column): Column =
+    simhashFold(transform(shingleArr, s => xxhash64(s))).cast(LongType)
+
+  /** q21: per-document SimHash fingerprint (deterministic; rows-only check —
+    * the bit-vote fold is not expressible in the SQL oracle).
+    */
+  def q21Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash(shingles(col("text"))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Hamming near-dup candidates over SimHash fingerprints, banded into 4
+    * 16-bit chunks: by pigeonhole any pair at Hamming distance ≤ 3 shares at
+    * least one chunk, so the chunk equi-join is exact for distance ≤ 3 (and
+    * a high-recall candidate filter beyond). bit_count(a XOR b) verifies.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash(shingles(col("text"))).as("fp"))
+    val chunked = fp.withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", struct(col("chunk_idx"),
+        expr("shiftright(fp, chunk_idx * 16) & 65535")))
+      .select(col("doc_id"), col("fp"), col("chunk"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operator tests at sf0.001: LSH result parity vs brute force, plan
+  * shape (bucketed join, never a cartesian product), and SimHash locality.
+  */
+class DedupOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("minhash LSH near-dup == brute force at threshold 0.9 (full recall)") {
+    val docs = Tables.documents(spark, sf)
+    val lsh = DedupOps.minhashNearDup(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = DedupOps.bruteForceNearDup(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == brute,
+      s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+  }
+
+  test("LSH candidate generation is a bucket equi-join, not a cartesian") {
+    val plan = planOf(DedupOps.minhashNearDup(Tables.documents(spark, sf), 0.9))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("exact dedup groups all docs and keeps min ids") {
+    val docs = Tables.documents(spark, sf)
+    val out = DedupOps.q18ExactDedup(spark, sf)
+    assert(out.count() > 0)
+    // no exact dups in this corpus: every group has one member
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("simhash: near-dup pairs are closer in Hamming space than random pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val fps = docs.select(col("doc_id"),
+      DedupOps.simhash(DedupOps.shingles(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearPairs = DedupOps.bruteForceNearDup(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val nearHam = nearPairs.map { case (a, b) => ham(fps(a), fps(b)).toDouble }
+    val ids = fps.keys.toVector.sorted
+    val randHam = (for (i <- 0 until 200) yield {
+      val a = ids(i % ids.size); val b = ids((i * 37 + 11) % ids.size)
+      if (a == b) None else Some(ham(fps(a), fps(b)).toDouble)
+    }).flatten
+    assert(nearHam.nonEmpty && randHam.nonEmpty)
+    val nearAvg = nearHam.sum / nearHam.size
+    val randAvg = randHam.sum / randHam.size
+    assert(nearAvg < randAvg / 2,
+      s"simhash not locality-sensitive: near=$nearAvg rand=$randAvg")
+  }
+
+  test("simhash hamming join runs bucketed (no cartesian)") {
+    val df = DedupOps.simhashNearDup(Tables.documents(spark, sf), maxHamming = 3)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    df.collect() // executes without error; may legitimately be empty
+  }
+}
