@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, MessageOps, RelationalOps, SessionOps}
+import graft.operators.{DedupOps, MessageOps, RelationalOps, SessionOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,8 @@ object SparkEntry {
     "q18_exact_dedup"   -> (DedupOps.q18ExactDedup(_, _)),
     "q20_minhash_neardup" -> (DedupOps.q20MinhashNearDup(_, _)),
     "q21_simhash"       -> (DedupOps.q21Simhash(_, _)),
+    "q19_text_stats"    -> (TextOps.q19TextStats(_, _)),
+    "q22_fingerprint"   -> (TextOps.q22Fingerprint(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -183,5 +185,19 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     // q21_simhash: rows-only (the 64-bit majority-vote fold is not
     // expressible in the SQL oracle); determinism is covered by ScalaTest.
+    "q19_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  (length(text) - (len(string_split(text, ' ')) - 1))::double
+        |    / len(string_split(text, ' ')) AS avg_token_len,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is','on')))::double
+        |    / len(string_split(text, ' ')) AS stopword_ratio,
+        |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::double
+        |    / length(text) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q22_fingerprint: rows-only (winnowing construction beyond the oracle).
   )
 }

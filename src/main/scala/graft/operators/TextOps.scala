@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token/char
+  * statistics and quality ratios (q19, oracle-checked), marker-based
+  * language identification, and winnowing document fingerprints over
+  * rolling char-n-gram hashes. Everything is per-row codegen'd built-ins —
+  * no UDFs, no shuffles beyond the final sort.
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** q19: per-document text statistics. Single-space tokenization matches
+    * the corpus format and the DuckDB oracle's string_split exactly; every
+    * ratio is an explicit double division of exact ints.
+    */
+  def q19TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val tokens = split(text, " ")
+    val nTokens = size(tokens)
+    val nChars = length(text)
+    val punct = nChars - length(regexp_replace(text, "[.,!?;:]", ""))
+    val stop = size(filter(tokens, t => t.isin(Stopwords: _*)))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nTokens.as("n_tokens"),
+        size(array_distinct(tokens)).as("n_distinct_tokens"),
+        ((nChars - (nTokens - lit(1))).cast("double") / nTokens.cast("double")).as("avg_token_len"),
+        (stop.cast("double") / nTokens.cast("double")).as("stopword_ratio"),
+        (punct.cast("double") / nChars.cast("double")).as("punct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-word language-ID heuristic: score each candidate language by
+    * distinct marker hits and take the argmax via ordered structs
+    * (deterministic tie-break on the language code); no markers → "und".
+    * At 100 TB this is one codegen'd projection — no shuffle, no lookup
+    * table join.
+    */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "with", "is"),
+    "es" -> Seq("el", "la", "de", "los", "las", "es", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et"))
+
+  def langId(text: Column): Column = {
+    val tokens = array_distinct(split(lower(text), " "))
+    val scored = array(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(array_intersect(tokens, typedlit(markers))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling char-k-gram hashes of a text column (positional). */
+  def rollingHashes(textCol: String, k: Int): Column =
+    expr(s"transform(sequence(0, greatest(length($textCol) - $k, 0)), " +
+      s"i -> xxhash64(substr($textCol, i + 1, $k)))")
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003): the
+    * distinct minima of each length-`w` window over the rolling k-gram
+    * hashes — a compact, position-robust document signature whose overlap
+    * estimates local similarity.
+    */
+  def winnowFingerprint(textCol: String, k: Int = 5, w: Int = 4): Column = {
+    val hashes = rollingHashes(textCol, k)
+    array_sort(array_distinct(
+      transform(sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+        j => array_min(slice(hashes, j + 1, lit(w))))))
+  }
+
+  /** q22: per-document winnowing fingerprint summary (rows-only check: the
+    * fingerprint construction is beyond the SQL oracle; determinism is
+    * covered by ScalaTest).
+    */
+  def q22Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(winnowFingerprint("text")).as("n_fingerprints"),
+        xxhash64(winnowFingerprint("text")).as("fp_checksum"),
+        langId(col("text")).as("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+}
