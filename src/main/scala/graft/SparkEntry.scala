@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, MessageOps, RelationalOps, SessionOps, TextOps}
+import graft.operators.{DedupOps, MessageOps, RelationalOps, SessionOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,8 @@ object SparkEntry {
     "q21_simhash"       -> (DedupOps.q21Simhash(_, _)),
     "q19_text_stats"    -> (TextOps.q19TextStats(_, _)),
     "q22_fingerprint"   -> (TextOps.q22Fingerprint(_, _)),
+    "q23_ann_topk"      -> (SimilarityOps.q23AnnTopK(_, _)),
+    "q24_ann_lsh"       -> (SimilarityOps.q24AnnLsh(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -199,5 +201,18 @@ object SparkEntry {
         |    / length(text) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q22_fingerprint: rows-only (winnowing construction beyond the oracle).
+    // Exact ANN baseline; double math on both sides, rank gaps >> FP noise.
+    "q23_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos
+        |      FROM q JOIN c ON vec_id <> query_id),
+        |rk AS (SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |       FROM s)
+        |SELECT query_id, rank, vec_id FROM rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // q24_ann_lsh: rows-only; recall>=0.9 vs q23 is gated in ScalaTest.
   )
 }
