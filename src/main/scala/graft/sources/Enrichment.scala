@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Enrichment sources (SURVEY §2.1 S5/S6 + §2.3 D12): read-once filesystem
+  * report ingestion with archive semantics, a dependency-free git
+  * repository scan, and the context left-join onto session output (which
+  * the reference computed but never attached — wart W4, fixed here).
+  *
+  * Reference semantics: `subscriber/ctx/TestReportContextProvider.java:29-139`
+  * (recursive per-session read, `<sessionId>:<fileName>` keys, destructive
+  * read), `util/GitRepositoryScanner.java:43-118` (depth-limited `.git`
+  * scan, branch + recent commits). The reference's cross-process advisory
+  * lock is unnecessary here: one ingestion job owns the directory and
+  * downstream keying is single-writer per session by shuffle (C2).
+  */
+object Enrichment {
+
+  /** One ingested report file. */
+  final case class ReportRow(session_id: String, report_key: String, content: String)
+
+  /** S5: read every file under `reportDir/<sessionId>/` (recursive) as text,
+    * keyed `<sessionId>:<fileName>`, then MOVE the session dirs to
+    * `archiveDir` (read-once with an audit trail — safer than the
+    * reference's hard delete, same effect for re-processing). The returned
+    * DataFrame is fully materialized before archiving so laziness can never
+    * re-scan moved files.
+    *
+    * Scale note: enumeration is driver-side NIO (report dirs are small,
+    * session-scoped drops); the content ride-along is a plain DataFrame so
+    * the downstream join distributes. For huge report volumes swap the
+    * enumeration for `spark.read.format("binaryFile")` + `cleanSource`.
+    */
+  def ingestReports(spark: SparkSession, reportDir: String, archiveDir: String): DataFrame = {
+    import spark.implicits._
+    val root = Paths.get(reportDir)
+    val rows: Seq[ReportRow] =
+      if (!Files.isDirectory(root)) Seq.empty
+      else {
+        val sessionDirs = Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toVector
+        sessionDirs.flatMap { sessionDir =>
+          val sessionId = sessionDir.getFileName.toString
+          Files.walk(sessionDir).iterator().asScala
+            .filter(Files.isRegularFile(_))
+            .map { f =>
+              ReportRow(sessionId, s"$sessionId:${f.getFileName}", Files.readString(f))
+            }
+            .toVector
+        }
+      }
+    // archive = move each session dir away; the data is already on-heap
+    if (Files.isDirectory(root)) {
+      val archive = Paths.get(archiveDir)
+      Files.createDirectories(archive)
+      Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).foreach { sessionDir =>
+        val target = archive.resolve(sessionDir.getFileName.toString)
+        deleteRecursive(target)
+        Files.move(sessionDir, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    rows.toDF()
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  /** One scanned git repository. */
+  final case class GitRepoRow(
+      repo_path: String, branch: String, head_commit: String, n_refs: Int)
+
+  /** S6: depth-limited scan for `.git` directories with branch/HEAD read by
+    * parsing `.git/HEAD` and `refs/heads` directly — no git binary, no JGit
+    * (reference `GitRepositoryScanner.java:43-118`; its provider was
+    * stubbed out, wart W5 — this is the working optional batch enrichment).
+    */
+  def scanGitRepos(spark: SparkSession, roots: Seq[String], maxDepth: Int = 3): DataFrame = {
+    import spark.implicits._
+    def findRepos(dir: Path, depth: Int): Vector[Path] =
+      if (depth > maxDepth || !Files.isDirectory(dir)) Vector.empty
+      else if (Files.isDirectory(dir.resolve(".git"))) Vector(dir)
+      else
+        Files.list(dir).iterator().asScala
+          .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
+          .toVector
+          .flatMap(findRepos(_, depth + 1))
+
+    val rows = roots.map(Paths.get(_)).flatMap(findRepos(_, 0)).distinct.map { repo =>
+      val git = repo.resolve(".git")
+      val head = Option(git.resolve("HEAD"))
+        .filter(Files.isRegularFile(_)).map(p => Files.readString(p).trim)
+      val (branch, commit) = head match {
+        case Some(h) if h.startsWith("ref: ") =>
+          val ref = h.stripPrefix("ref: ")
+          val branchName = ref.stripPrefix("refs/heads/")
+          val refFile = git.resolve(ref)
+          val c =
+            if (Files.isRegularFile(refFile)) Files.readString(refFile).trim
+            else { // packed refs fallback
+              val packed = git.resolve("packed-refs")
+              if (Files.isRegularFile(packed))
+                Files.readAllLines(packed).asScala
+                  .find(_.endsWith(" " + ref)).map(_.split(" ")(0)).getOrElse("")
+              else ""
+            }
+          (branchName, c)
+        case Some(h) => ("DETACHED", h) // detached HEAD: the hash itself
+        case None    => ("", "")
+      }
+      val headsDir = git.resolve("refs/heads")
+      val nRefs =
+        if (Files.isDirectory(headsDir))
+          Files.walk(headsDir).iterator().asScala.count(Files.isRegularFile(_))
+        else 0
+      GitRepoRow(repo.toString, branch, commit, nRefs.toInt)
+    }
+    rows.toDF()
+  }
+
+  /** D12 context fan-in + attach (fixing W4): aggregate each session's
+    * report items into an ordered ctx array and LEFT-join it onto the
+    * session output, stamping every ctx entry with the session's next
+    * sequence number (reference `ContextService.java:30-51` computed these
+    * and dropped them; the entity's `ctx` field documents the intent).
+    * Sessions without context keep an empty array.
+    */
+  def attachContext(sessions: DataFrame, reports: DataFrame): DataFrame = {
+    val ctx = reports
+      .groupBy(col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col("report_key"), col("content")))).as("ctx_items"))
+    sessions
+      .join(ctx, sessions("session_id") === ctx("session_id"), "left")
+      .drop(ctx("session_id"))
+      .withColumn("ctx",
+        when(col("ctx_items").isNull, array().cast("array<struct<report_key:string,content:string,seq:int>>"))
+          .otherwise(transform(col("ctx_items"),
+            item => struct(
+              item.getField("report_key").as("report_key"),
+              item.getField("content").as("content"),
+              (col("seq") + 1).cast("int").as("seq")))))
+      .drop("ctx_items")
+  }
+}
