@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, MessageOps, RelationalOps, SessionOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MessageOps, MultimodalOps, RelationalOps, SessionOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,8 @@ object SparkEntry {
     "q22_fingerprint"   -> (TextOps.q22Fingerprint(_, _)),
     "q23_ann_topk"      -> (SimilarityOps.q23AnnTopK(_, _)),
     "q24_ann_lsh"       -> (SimilarityOps.q24AnnLsh(_, _)),
+    "q25_multimodal"    -> (MultimodalOps.q25Multimodal(_, _)),
+    "q26_frames"        -> (MultimodalOps.q26Frames(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -214,5 +216,24 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id FROM rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // q24_ann_lsh: rows-only; recall>=0.9 vs q23 is gated in ScalaTest.
+    "q25_multimodal" ->
+      """SELECT doc_id AS asset_id,
+        |  ['image','audio','video'][(doc_id % 3 + 1)::int] AS media_type,
+        |  length(text) AS n_bytes,
+        |  sha256(text) AS payload_sha,
+        |  (16 + n_chars % 64)::int AS width,
+        |  (16 + (n_chars * 7) % 64)::int AS height,
+        |  ['png','wav','mp4'][(doc_id % 3 + 1)::int] AS format
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q26_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id, length(text) AS len,
+        |    ceil(length(text) / 4.0)::int AS chunk
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT asset_id, i AS frame_idx,
+        |  greatest(0, least(chunk, len - i * chunk)) AS frame_bytes
+        |FROM v, unnest(range(4)) AS t(i)
+        |WHERE greatest(0, least(chunk, len - i * chunk)) > 0
+        |ORDER BY asset_id, frame_idx""".stripMargin,
   )
 }

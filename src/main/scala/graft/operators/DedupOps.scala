@@ -41,13 +41,28 @@ object DedupOps {
       .otherwise(array_distinct(array(concat_ws(" ", words))))
   }
 
-  /** MinHash signature: k independent min-hashes per shingle set, computed
-    * per-row via seeded xxhash64 over the shingle array — pure codegen'd
-    * built-ins, no shuffle, no UDF.
+  /** Deterministic SplitMix64 mix for driver-side constant generation. */
+  private[operators] def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature from per-shingle base hashes: each shingle is
+    * string-hashed ONCE (xxhash64 over the text), then the k min-hashes
+    * re-hash only the 8-byte base value under k seeds — fixed-width long
+    * hashing instead of k full string hashes (and no wrapping-arithmetic
+    * tricks, which ANSI mode rejects). Pure codegen'd built-ins, no
+    * shuffle, no UDF.
     */
+  def minhashSignatureFromHashes(baseHashes: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(baseHashes, h => xxhash64(lit(splitmix(i.toLong)), h)))
+    }: _*)
+
   def minhashSignature(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
+    minhashSignatureFromHashes(transform(shingleArr, s => xxhash64(s)), k)
 
   /** LSH band keys: the signature cut into `bands` rows of `rowsPerBand`,
     * each band hashed (band index mixed in so buckets never collide across
@@ -77,21 +92,30 @@ object DedupOps {
       bands: Int = 16,
       rowsPerBand: Int = 3): DataFrame = {
     require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal minhashK")
-    val withShingles = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val withBands = withShingles
-      .withColumn("band_key", explode(bandKeys(minhashSignature(col("sh"), minhashK), bands, rowsPerBand)))
+    // signature computation is the CPU hot spot: spread it across the
+    // cluster even when the source is a single small file / row group
+    // verification uses the hashed shingle sets (8-byte longs instead of
+    // raw n-gram strings): ~5x narrower shuffle rows, identical Jaccard
+    // (a 64-bit collision across a candidate pair is ~1e-15 probable)
+    val hashed = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
+    val withBands = hashed
+      // materialize the signature before banding: bandKeys slices it inside
+      // a lambda, and an inline expression would be recomputed per band
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), minhashK))
+      .withColumn("band_key", explode(bandKeys(col("sig"), bands, rowsPerBand)))
       .select(col("doc_id"), col("band_key"))
     val candidates = withBands.as("a")
       .join(withBands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val shA = withShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = withShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val shA = hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val shB = hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     candidates
       .join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jac", jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -144,6 +168,7 @@ object DedupOps {
     */
   def q21Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // distribute the per-row hash folds
       .select(col("doc_id"), simhash(shingles(col("text"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
@@ -153,7 +178,8 @@ object DedupOps {
     * a high-recall candidate filter beyond). bit_count(a XOR b) verifies.
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col("doc_id"), simhash(shingles(col("text"))).as("fp"))
+    val fp = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), simhash(shingles(col("text"))).as("fp"))
     val chunked = fp.withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", struct(col("chunk_idx"),
         expr("shiftright(fp, chunk_idx * 16) & 65535")))

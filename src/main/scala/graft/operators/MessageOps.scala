@@ -37,6 +37,7 @@ object MessageOps {
         map(lit("et"), col("event_type")).as("additional_kwargs"),
         col("event_id").cast("string").as("name"))))
     Tables.events(spark, dir)
+      .repartition(col("event_id")) // distribute the JSON build+parse work
       .withColumn("msg_json", msgJson)
       .withColumn("msg", Messages.parseMessage(col("msg_json")))
       .withColumn("content_arr", Messages.contentArray(col("msg_json")))

@@ -31,6 +31,7 @@ object SimilarityOps {
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+      .repartition(col("vec_id")) // spread cosine/SRP compute over all cores
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Every 50th vector doubles as a query — a small designated query set. */
@@ -39,14 +40,17 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   /** Brute-force exact top-k: corpus × broadcast(queries), ranked per query
-    * with vec_id as the deterministic tie-break.
+    * with vec_id as the deterministic tie-break. Norms are precomputed per
+    * row (not per pair): only the dot product runs inside the join.
     */
   def bruteForceTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    c.crossJoin(broadcast(q))
+    val cN = c.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
+    val qN = q.withColumn("qv_norm", sqrt(dot(col("qv"), col("qv"))))
+    cN.crossJoin(broadcast(qN))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qv_norm") * col("v_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"))
@@ -61,27 +65,38 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random unit component of hyperplane `seed` at
-    * dimension j: xxhash64 mapped to [-1, 1].
+  /** Deterministic SplitMix64-generated hyperplane component in [-1, 1] —
+    * computed driver-side so the planes reach the executors as literal
+    * constant arrays (zero runtime hashing).
     */
-  private def unit(seed: Column, j: Column): Column =
-    xxhash64(seed, j).cast("double") / lit(9.223372036854776e18)
+  private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
-  private def planeDot(v: Column, planeSeed: Column): Column =
-    aggregate(sequence(lit(0), size(v) - 1), lit(0.0),
-      (acc, j) => acc + element_at(v, j + 1) * unit(planeSeed, j))
+  private val EmbeddingDim = 64
+
+  private def plane(p: Int): Seq[Double] =
+    (0 until EmbeddingDim).map(j =>
+      splitmix((p.toLong << 32) | j.toLong).toDouble / 9.223372036854776e18)
+
+  private def planeDot(v: Column, p: Int): Column =
+    dot(v, typedlit(plane(p)))
 
   /** SRP-LSH bucket keys: `tables` independent tables, each packing
     * `bitsPerTable` hyperplane signs into one key (table index mixed in so
-    * buckets never collide across tables).
+    * buckets never collide across tables). Hyperplanes are literal
+    * constants; each key is `bitsPerTable` codegen'd dot products.
     */
   def srpBuckets(v: Column, tables: Int, bitsPerTable: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      struct(
-        t.as("t"),
-        aggregate(sequence(lit(0), lit(bitsPerTable - 1)), lit(0L),
-          (acc, b) => acc * 2 + when(planeDot(v, t * bitsPerTable + b) > 0, 1L).otherwise(0L))
-          .as("key")))
+    array((0 until tables).map { t =>
+      val key = (0 until bitsPerTable).foldLeft(lit(0L)) { (acc, b) =>
+        acc * 2 + when(planeDot(v, t * bitsPerTable + b) > 0, 1L).otherwise(0L)
+      }
+      struct(lit(t).as("t"), key.as("key"))
+    }: _*)
 
   /** LSH ANN: bucket corpus and queries, candidate pairs from the bucket
     * equi-join, exact cosine + rank on candidates only.
@@ -105,9 +120,9 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     candidates
-      .join(q, Seq("query_id"))
-      .join(c, Seq("vec_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .join(q.withColumn("qv_norm", sqrt(dot(col("qv"), col("qv")))), Seq("query_id"))
+      .join(c.withColumn("v_norm", sqrt(dot(col("v"), col("v")))), Seq("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qv_norm") * col("v_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"))
