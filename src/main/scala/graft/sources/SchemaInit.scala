@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Sink schema initializer (SURVEY §2.1 S8): the reference runs DDL scripts
+  * against its databases at boot (`config/CdcSubscriberConfig.java:177-203`).
+  * The Spark-native analog materializes an empty, correctly-typed parquet
+  * table at the sink path if none exists — idempotent, so every run (batch
+  * backfill or stream start) can call it unconditionally.
+  */
+object SchemaInit {
+
+  /** The session sink schema (flattened session state, matching
+    * `streaming.CheckpointStream.SessionFlat`).
+    */
+  val sessionSinkSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("task_id", StringType, nullable = false),
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts_us", LongType, nullable = false),
+    StructField("payload", StringType),
+    StructField("seq", IntegerType, nullable = false)))
+
+  /** Ensure `path` holds a parquet table with `schema`; create it empty if
+    * absent. Returns true iff this call created it.
+    */
+  def ensureSinkTable(
+      spark: SparkSession,
+      path: String,
+      schema: StructType = sessionSinkSchema): Boolean = {
+    val dir = new java.io.File(path)
+    val exists = dir.isDirectory &&
+      Option(dir.listFiles).exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!exists) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      true
+    } else false
+  }
+}
