@@ -1,0 +1,95 @@
+package graft
+
+import graft.sources.{Enrichment, SchemaInit}
+import graft.streaming.CheckpointStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed engine lifecycle (SURVEY §3, reference
+  * `config/CdcSubscriberConfig.kickstart` E2→E1): schema init → dual-feed
+  * stateful merge stream (backlog files = backfill) → report enrichment
+  * attach → keyed sink. This is the single entry point a user of the
+  * reference service would run instead.
+  *
+  * Two feeds mirror the reference's agents + IDE subscriptions; each sinks
+  * into its own directory so content stays per-source (fixing reference
+  * wart W1, where IDE content overwrote the CDC column).
+  */
+object Pipeline {
+
+  final case class Config(
+      cdcFeedDir: String,
+      ideFeedDir: Option[String],
+      reportDir: Option[String],
+      workDir: String)
+
+  /** Run the full lifecycle until the available backlog is drained
+    * (Trigger.AvailableNow on both feeds), then attach enrichment context
+    * and return the final enriched session DataFrame (also written to
+    * `<workDir>/sessions_enriched`).
+    */
+  def run(spark: SparkSession, config: Config): DataFrame = {
+    val cdcSink = s"${config.workDir}/sink_cdc"
+    val ideSink = s"${config.workDir}/sink_ide"
+
+    // S8: sinks exist with the right schema before any writer runs
+    SchemaInit.ensureSinkTable(spark, cdcSink)
+    config.ideFeedDir.foreach(_ => SchemaInit.ensureSinkTable(spark, ideSink))
+
+    // E2≡E1: pre-existing feed files are the backfill; the same stateful
+    // stream handles them and any late-arriving files
+    val cdcQuery = CheckpointStream.run(
+      spark, config.cdcFeedDir, s"${config.workDir}/ckpt_cdc", cdcSink)
+    val ideQuery = config.ideFeedDir.map(dir =>
+      CheckpointStream.run(spark, dir, s"${config.workDir}/ckpt_ide", ideSink))
+    cdcQuery.awaitTermination()
+    ideQuery.foreach(_.awaitTermination())
+
+    // sessions from both feeds, tagged per source (W1: never merged)
+    val cdc = spark.read.parquet(cdcSink).withColumn("source", lit("cdc"))
+    val sessions = config.ideFeedDir match {
+      case Some(_) =>
+        cdc.unionByName(spark.read.parquet(ideSink).withColumn("source", lit("ide")))
+      case None => cdc
+    }
+
+    // S5 + D12: read-once report ingest, ctx left-joined onto sessions
+    val enriched = config.reportDir match {
+      case Some(dir) =>
+        val reports = Enrichment.ingestReports(
+          spark, dir, s"${config.workDir}/reports_archive")
+        Enrichment.attachContext(
+          sessions.withColumn("session_id", col("user_id").cast("string")),
+          reports)
+      case None =>
+        sessions.withColumn("session_id", col("user_id").cast("string"))
+          .withColumn("ctx",
+            array().cast("array<struct<report_key:string,content:string,seq:int>>"))
+    }
+
+    enriched.write.mode("overwrite").parquet(s"${config.workDir}/sessions_enriched")
+    spark.read.parquet(s"${config.workDir}/sessions_enriched")
+  }
+
+  /** CLI: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir] */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = run(spark, Config(
+      cdcFeedDir = args(0),
+      ideFeedDir = args.lift(2),
+      reportDir = args.lift(3),
+      workDir = args(1)))
+    println(s"[pipeline] enriched sessions: ${out.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end lifecycle test: dual feeds (cdc + ide) + report enrichment →
+  * enriched per-source session state, on sf0.001 events.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("full pipeline: dual feeds, backfill, enrichment, per-source sinks") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pipeline_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+
+    // cdc feed: even users; ide feed: odd users (disjoint sessions)
+    events.filter(col("user_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$base/feed_cdc/f0")
+    events.filter(col("user_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$base/feed_ide/f0")
+
+    // one report drop for a known cdc session
+    val someUser = events.filter(col("user_id") % 2 === 0)
+      .select(min("user_id")).head.getLong(0)
+    val reportDir = java.nio.file.Paths.get(base, "reports", someUser.toString)
+    Files.createDirectories(reportDir)
+    Files.writeString(reportDir.resolve("junit.xml"), "<testsuite/>")
+
+    val out = Pipeline.run(spark, Pipeline.Config(
+      cdcFeedDir = s"$base/feed_cdc/f*",
+      ideFeedDir = Some(s"$base/feed_ide/f*"),
+      reportDir = Some(s"$base/reports"),
+      workDir = s"$base/work"))
+
+    // every session landed under its own source tag (W1: no cross-writes)
+    val crossed = out.filter(
+      (col("source") === "cdc" && col("user_id") % 2 =!= 0) ||
+        (col("source") === "ide" && col("user_id") % 2 =!= 1))
+    assert(crossed.isEmpty, crossed.limit(5).collect().mkString(", "))
+    val nBySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nBySource.getOrElse("cdc", 0L) > 0 && nBySource.getOrElse("ide", 0L) > 0,
+      nBySource.toString)
+
+    // state parity: the pipeline's session rows == a direct batch backfill
+    val viaPipeline = out.select("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    val viaBatch = graft.streaming.CheckpointStream.backfill(spark, events).toDF()
+      .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    assert(viaPipeline.exceptAll(viaBatch).isEmpty &&
+      viaBatch.exceptAll(viaPipeline).isEmpty)
+
+    // the report landed as ctx on its session, stamped seq+1
+    val ctxRows = out.filter(col("user_id") === someUser)
+      .select(col("seq"), explode(col("ctx")).as("c")).collect()
+    assert(ctxRows.nonEmpty)
+    assert(ctxRows.forall(r =>
+      r.getStruct(1).getString(0) == s"$someUser:junit.xml" &&
+        r.getStruct(1).getInt(2) == r.getInt(0) + 1))
+    // read-once: the report source dir is gone
+    assert(!Files.exists(reportDir))
+  }
+}
