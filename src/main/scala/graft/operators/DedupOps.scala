@@ -141,27 +141,11 @@ object DedupOps {
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint — per-bit majority vote
-    * over the shingle hashes. The bit-vote fold runs as a Scala UDF over the
-    * (built-in-computed) hash array; a custom codegen Expression is the
-    * upgrade path if this ever becomes the hot loop.
+    * over the shingle hashes, folded by the native codegen expression
+    * `graft.functions.SimHash64` (no UDF boxing in the hot loop).
     */
-  private val simhashFold = udf { (hashes: Seq[Long]) =>
-    if (hashes == null || hashes.isEmpty) 0L
-    else {
-      val votes = new Array[Int](64)
-      hashes.foreach { h =>
-        var i = 0
-        while (i < 64) { votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
-  }
-
   def simhash(shingleArr: Column): Column =
-    simhashFold(transform(shingleArr, s => xxhash64(s))).cast(LongType)
+    graft.functions.SimHash64(transform(shingleArr, s => xxhash64(s)))
 
   /** q21: per-document SimHash fingerprint (deterministic; rows-only check —
     * the bit-vote fold is not expressible in the SQL oracle).
