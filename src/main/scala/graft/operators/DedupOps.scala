@@ -31,18 +31,24 @@ object DedupOps {
 
   /** Distinct word n-gram shingles of a lowercased text column. Single-space
     * tokenization (matches the corpus format and the DuckDB oracle exactly).
+    *
+    * The word array is bound once as a lambda variable (outer single-element
+    * transform): referencing the `split` expression directly inside the
+    * shingle lambda would re-split the whole text per shingle — the
+    * lambda-recompute hazard, O(words²) per row.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(lower(text), " ")
-    when(size(words) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*))))
-      .otherwise(array_distinct(array(concat_ws(" ", words))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(split(lower(text), " ")), words =>
+        when(size(words) >= n,
+          array_distinct(transform(
+            sequence(lit(0), size(words) - n),
+            i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*))))
+          .otherwise(array_distinct(array(concat_ws(" ", words))))),
+      1)
 
   /** Deterministic SplitMix64 mix for driver-side constant generation. */
-  private[operators] def splitmix(x0: Long): Long = {
+  private[graft] def splitmix(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -51,12 +57,24 @@ object DedupOps {
 
   /** MinHash signature from per-shingle base hashes: each shingle is
     * string-hashed ONCE (xxhash64 over the text), then the k min-hashes
-    * re-hash only the 8-byte base value under k seeds — fixed-width long
-    * hashing instead of k full string hashes (and no wrapping-arithmetic
-    * tricks, which ANSI mode rejects). Pure codegen'd built-ins, no
-    * shuffle, no UDF.
+    * re-hash only the 8-byte base value under k literal seeds — fixed-width
+    * long hashing instead of k full string hashes (and no
+    * wrapping-arithmetic tricks, which ANSI mode rejects).
+    *
+    * The fold runs in the native `MinHashSignature` expression — one pass
+    * of primitive long arithmetic. (History, kept as a warning: k sibling
+    * `array_min(transform(...))` HOF expressions took ~7 s of boxed
+    * interpreted eval at sf0.1, and a nested transform over a seed sequence
+    * measured 35x worse still, 639 s — nested higher-order lambdas re-bind
+    * per outer element.)
     */
   def minhashSignatureFromHashes(baseHashes: Column, k: Int): Column =
+    graft.functions.MinHashSignature(baseHashes, k)
+
+  /** The pure-builtin reference form of the signature (slow path; kept for
+    * the parity test against the native expression).
+    */
+  private[graft] def minhashSignatureBuiltins(baseHashes: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(baseHashes, h => xxhash64(lit(splitmix(i.toLong)), h)))
     }: _*)
