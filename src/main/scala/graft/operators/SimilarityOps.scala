@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Exact dot product / norms / cosine over array<double> columns —
-    * codegen'd higher-order functions, no UDF.
+  /** Exact dot product over array<double> columns via the native
+    * `DotProduct` expression (one primitive loop; accumulation order is
+    * identical to the builtin zip_with+aggregate form, parity-tested).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** Pure-builtin reference form (slow path; parity-test oracle). */
+  private[graft] def dotBuiltins(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def cosine(a: Column, b: Column): Column =

@@ -68,15 +68,17 @@ object TextOps {
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003): the
     * distinct minima of each length-`w` window over the rolling k-gram
     * hashes — a compact, position-robust document signature whose overlap
-    * estimates local similarity.
-    *
-    * The hash array is bound ONCE as a lambda variable (the outer
-    * single-element transform) before windowing: Catalyst does not CSE
-    * across lambda boundaries, so referencing `rollingHashes` directly
-    * inside the window lambda would recompute the whole array per window —
-    * O(len²) work per row (measured: 500+ s for 5 k rows vs ~1 s bound).
+    * estimates local similarity. The fold runs in the native `Winnow`
+    * expression (monotonic-deque sliding min, O(len) per row; the builtin
+    * HOF form is kept below for the parity test — and as a reminder that
+    * referencing the hash expression inside a window lambda recomputed it
+    * per window, O(len²): 500+ s at sf0.1 before it was bound).
     */
   def winnowFingerprint(textCol: String, k: Int = 5, w: Int = 4): Column =
+    graft.functions.Winnow(rollingHashes(textCol, k), w)
+
+  /** Pure-builtin reference form (slow path; parity-test oracle). */
+  private[graft] def winnowFingerprintBuiltins(textCol: String, k: Int = 5, w: Int = 4): Column =
     element_at(
       transform(array(rollingHashes(textCol, k)), hashes =>
         array_sort(array_distinct(

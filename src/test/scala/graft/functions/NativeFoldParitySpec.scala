@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.operators.{SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity of the native Winnow and DotProduct expressions against their
+  * pure-builtin reference forms, on real corpus data and random arrays.
+  */
+class NativeFoldParitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("Winnow == builtin winnowing on the sf0.001 corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = docs.select(col("doc_id"), TextOps.winnowFingerprint("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val builtin = docs.select(col("doc_id"), TextOps.winnowFingerprintBuiltins("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == builtin)
+  }
+
+  test("Winnow edge cases: short arrays, ties, empty") {
+    import spark.implicits._
+    val data = Seq(
+      Seq(5L),                      // shorter than the window
+      Seq(3L, 3L, 3L, 3L, 3L),      // all ties
+      Seq(9L, 1L, 8L, 1L, 7L, 2L), // duplicate minima across windows
+      Seq.empty[Long])
+    val df = data.toDF("hs")
+    val native = df.select(Winnow(col("hs"), 4).as("o")).collect().map(_.getSeq[Long](0))
+    val builtin = df.select(element_at(
+      transform(array(col("hs")), hashes =>
+        array_sort(array_distinct(
+          transform(sequence(lit(0), greatest(size(hashes) - 4, lit(0))),
+            j => array_min(slice(hashes, j + 1, lit(4))))))), 1).as("o"))
+      .collect().map(_.getSeq[Long](0))
+    // builtin form of the empty array yields Seq(null-min) — native yields
+    // empty; compare only the non-degenerate rows, check empty explicitly
+    assert(native.take(3).toSeq == builtin.take(3).toSeq)
+    assert(native(3).isEmpty)
+  }
+
+  test("DotProduct == builtin zip_with+aggregate, bit-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val data = Seq.fill(300)((Seq.fill(64)(rnd.nextDouble() - 0.5), Seq.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = data.toDF("a", "b")
+    val native = df.select(SimilarityOps.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val builtin = df.select(SimilarityOps.dotBuiltins(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(native.toSeq == builtin.toSeq) // exact equality, same fold order
+  }
+}
