@@ -12,9 +12,11 @@ import graft.operators.{DedupOps, MessageOps, MultimodalOps, RelationalOps, Sess
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The stateful session merge is the engine's identity operator.
+    */
   def entry(spark: SparkSession): DataFrame =
-    RelationalOps.q9MultiJoin(spark, "/root/testdata/sf0.001")
+    SessionOps.q16SessionMerge(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (RelationalOps.q1Agg(_, _)),

@@ -26,7 +26,9 @@ object DiffEngine {
     * as JSON and re-serialize with Jackson's default pretty printer (2-space
     * object indent, inline arrays, `" : "` separators) so semantically-equal
     * JSON always yields the same line split; non-JSON content falls back to
-    * a raw line split.
+    * a raw line split. Note (faithful to the reference's plain
+    * ObjectMapper): trailing tokens are ignored, so a concatenation of
+    * multiple JSON documents canonicalizes to the FIRST document.
     */
   def canonicalLines(content: String): Vector[String] =
     try {
