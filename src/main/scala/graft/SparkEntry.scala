@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, MessageOps, MultimodalOps, RelationalOps, SessionOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MessageOps, MultimodalOps, RelationalOps, SessionOps, SimilarityOps, SkewOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,7 @@ object SparkEntry {
     "q24_ann_lsh"       -> (SimilarityOps.q24AnnLsh(_, _)),
     "q25_multimodal"    -> (MultimodalOps.q25Multimodal(_, _)),
     "q26_frames"        -> (MultimodalOps.q26Frames(_, _)),
+    "q27_salted_distinct" -> (SkewOps.q27SaltedDistinct(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -237,5 +238,10 @@ object SparkEntry {
         |FROM v, unnest(range(4)) AS t(i)
         |WHERE greatest(0, least(chunk, len - i * chunk)) > 0
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // Salted two-phase distinct == plain COUNT(DISTINCT) by construction
+    // (value-hash salting partitions each key's value space disjointly).
+    "q27_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient aggregation patterns and cardinality sketches.
+  *
+  * At 100 TB a handful of hot keys can pin a whole stage on one executor.
+  * Plain sum/count group-bys are already safe (map-side partial
+  * aggregation), but per-key DISTINCT work concentrates the full value set
+  * of a hot key on one task. The salted two-phase shape splits each key's
+  * value space across `salts` sub-keys (value-hash salting, so equal
+  * values land on equal salts and per-salt distinct counts add exactly),
+  * aggregates partially, then merges — bounded per-task state regardless
+  * of key skew. AQE's skew-join handling covers the join side; this covers
+  * aggregation.
+  */
+object SkewOps {
+
+  /** Exact distinct count per key via value-hash salting: phase 1 computes
+    * `count(distinct valueCol)` per (key, salt) — each task sees only
+    * 1/`salts` of a hot key's values — and phase 2 sums the disjoint
+    * partial counts.
+    */
+  def saltedDistinctCount(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      salts: Int = 16): DataFrame =
+    df.groupBy(col(keyCol), pmod(hash(col(valueCol)), lit(salts)).as("salt"))
+      .agg(count_distinct(col(valueCol)).as("partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("partial")).as("n_distinct"))
+
+  /** q27: exact distinct users per event type through the salted two-phase
+    * plan — value-identical to a plain COUNT(DISTINCT), which is the
+    * oracle.
+    */
+  def q27SaltedDistinct(spark: SparkSession, dir: String): DataFrame =
+    saltedDistinctCount(Tables.events(spark, dir), "event_type", "user_id")
+      .orderBy(col("event_type"))
+
+  /** HyperLogLog++ cardinality sketch per key (Spark's built-in
+    * approx_count_distinct) — the constant-memory path when exact distinct
+    * is not required; mergeable across partitions by construction.
+    */
+  def approxDistinct(df: DataFrame, keyCol: String, valueCol: String, rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
+  /** Salted key column for join-side hot keys: append a random-ish salt
+    * derived from other columns to spread one key over `salts` partitions
+    * (the dimension side must be exploded over the same salt range).
+    * Provided as a building block; AQE skew-join handles the common case.
+    */
+  def saltKey(key: Column, entropy: Column, salts: Int): Column =
+    concat_ws("#", key, pmod(hash(entropy), lit(salts)).cast("string"))
+}
