@@ -24,9 +24,15 @@ object Messages {
   /** Sparse union schema: common fields plus every variant's extras
     * (AI: tool_calls/invalid_tool_calls; Function: function_call;
     * Tool: tool_call_id/tool_name). Absent fields parse as null.
+    *
+    * `content` is declared StringType on purpose: Spark's Jackson parser
+    * captures a non-string value (the array form) as its raw JSON text, so
+    * one parse yields either the plain string or the array text —
+    * normalization then needs no second full-document scan.
     */
   val messageSchema: StructType = StructType(Seq(
     StructField("type", StringType),
+    StructField("content", StringType),
     StructField("id", StringType),
     StructField("name", StringType),
     StructField("example", BooleanType),
@@ -38,16 +44,16 @@ object Messages {
     StructField("tool_call_id", StringType),
     StructField("tool_name", StringType)))
 
-  /** Content normalization: `$.content` may be a JSON string or a JSON array
-    * of strings; both become `array<string>`. Codegen-friendly — pure
-    * built-ins (`get_json_object` + `from_json` + `when`), no UDF.
+  /** Content normalization from the parsed struct's `content` field (plain
+    * string, or the raw JSON text of the array form — see messageSchema):
+    * both become `array<string>`. Pure built-ins, no UDF, and no second
+    * full-document parse.
     */
-  def contentArray(msgJson: Column): Column = {
-    val raw = get_json_object(msgJson, "$.content")
-    val arr = from_json(raw, ArrayType(StringType))
-    when(msgJson.isNull || raw.isNull, lit(null).cast(ArrayType(StringType)))
+  def contentArray(contentField: Column): Column = {
+    val arr = from_json(contentField, ArrayType(StringType))
+    when(contentField.isNull, lit(null).cast(ArrayType(StringType)))
       .when(arr.isNotNull, arr)
-      .otherwise(array(raw))
+      .otherwise(array(contentField))
   }
 
   /** Parse one message JSON into the sparse union struct. */
@@ -74,5 +80,5 @@ object Messages {
   /** Attach parsed-message columns to a DataFrame holding message JSON. */
   def parseMessages(df: DataFrame, jsonCol: String, out: String = "msg"): DataFrame =
     df.withColumn(out, parseMessage(col(jsonCol)))
-      .withColumn(s"${out}_content", contentArray(col(jsonCol)))
+      .withColumn(s"${out}_content", contentArray(col(s"$out.content")))
 }

@@ -40,7 +40,7 @@ object MessageOps {
       .repartition(col("event_id")) // distribute the JSON build+parse work
       .withColumn("msg_json", msgJson)
       .withColumn("msg", Messages.parseMessage(col("msg_json")))
-      .withColumn("content_arr", Messages.contentArray(col("msg_json")))
+      .withColumn("content_arr", Messages.contentArray(col("msg.content")))
       .select(
         col("event_id"),
         col("msg.type").as("msg_type"),
