@@ -46,6 +46,7 @@ object SparkEntry {
     "q25_multimodal"    -> (MultimodalOps.q25Multimodal(_, _)),
     "q26_frames"        -> (MultimodalOps.q26Frames(_, _)),
     "q27_salted_distinct" -> (SkewOps.q27SaltedDistinct(_, _)),
+    "q28_cosine_neardup" -> (SimilarityOps.q28CosineNearDup(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -243,5 +244,13 @@ object SparkEntry {
     "q27_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Pair membership only: the cosine's last ulp depends on accumulation
+    // order, so the score column is deliberately excluded from comparison.
+    "q28_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

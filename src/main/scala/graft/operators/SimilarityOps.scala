@@ -140,4 +140,30 @@ object SimilarityOps {
     annTopKLsh(c, queriesOf(c), 10)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Embedding-cosine near-dup: all pairs above a cosine threshold. The
+    * exact all-pairs form (one side broadcast) is the oracle-checkable
+    * baseline; at scale swap the candidate generator for `srpBuckets`
+    * exactly as in `annTopKLsh` — the verification stage is identical.
+    */
+  def cosineNearDup(c: DataFrame, threshold: Double): DataFrame = {
+    val cN = c.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
+    val right = cN.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("v_norm").as("vb_norm"))
+    // membership only — the raw score's last-ulp depends on each engine's
+    // accumulation order, so exposing it would make exact value comparison
+    // flaky while adding nothing to the dedup decision
+    cN.join(broadcast(right), col("vec_id") < col("vec_b"))
+      .withColumn("cos", dot(col("v"), col("vb")) / (col("v_norm") * col("vb_norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q28: cosine near-dup pairs at >= 0.4 (the corpus' near-random
+    * embeddings top out near 0.48, so the threshold sits in populated
+    * range while staying far from any rank boundary noise).
+    */
+  def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDup(corpus(spark, dir), 0.4)
 }
