@@ -60,8 +60,14 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** Rolling char-k-gram hashes of a text column (positional). */
+  /** Rolling k-gram hashes of a text column (positional) — native
+    * single-pass expression over the UTF-8 bytes.
+    */
   def rollingHashes(textCol: String, k: Int): Column =
+    graft.functions.RollingHash(col(textCol), k)
+
+  /** Pure-builtin reference form (slow path; parity-test oracle). */
+  private[graft] def rollingHashesBuiltins(textCol: String, k: Int): Column =
     expr(s"transform(sequence(0, greatest(length($textCol) - $k, 0)), " +
       s"i -> xxhash64(substr($textCol, i + 1, $k)))")
 
@@ -80,7 +86,7 @@ object TextOps {
   /** Pure-builtin reference form (slow path; parity-test oracle). */
   private[graft] def winnowFingerprintBuiltins(textCol: String, k: Int = 5, w: Int = 4): Column =
     element_at(
-      transform(array(rollingHashes(textCol, k)), hashes =>
+      transform(array(rollingHashesBuiltins(textCol, k)), hashes =>
         array_sort(array_distinct(
           transform(sequence(lit(0), greatest(size(hashes) - w, lit(0))),
             j => array_min(slice(hashes, j + 1, lit(w))))))),
