@@ -26,11 +26,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/scan initialization must not be billed to
-    // whichever query happens to run first (alphabetically q10)
-    try SparkEntry.queries("q5_distinct")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // untimed NEUTRAL warmup (not one of the timed queries, which would
+    // give that query's own timed run an unfair warm start): initializes
+    // JVM, codegen, shuffle and parquet-scan machinery
+    try {
+      spark.range(1000000).selectExpr("sum(id) as s", "count(distinct id % 7) as d")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

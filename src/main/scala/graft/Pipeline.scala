@@ -37,11 +37,15 @@ object Pipeline {
     config.ideFeedDir.foreach(_ => SchemaInit.ensureSinkTable(spark, ideSink))
 
     // E2≡E1: pre-existing feed files are the backfill; the same stateful
-    // stream handles them and any late-arriving files
+    // stream handles them and any late-arriving files. A generous
+    // maxFilesPerTrigger batches the backlog — one file per micro-batch
+    // would re-read and rewrite the whole sink per file (O(files²) I/O).
     val cdcQuery = CheckpointStream.run(
-      spark, config.cdcFeedDir, s"${config.workDir}/ckpt_cdc", cdcSink)
+      spark, config.cdcFeedDir, s"${config.workDir}/ckpt_cdc", cdcSink,
+      maxFilesPerTrigger = 64)
     val ideQuery = config.ideFeedDir.map(dir =>
-      CheckpointStream.run(spark, dir, s"${config.workDir}/ckpt_ide", ideSink))
+      CheckpointStream.run(spark, dir, s"${config.workDir}/ckpt_ide", ideSink,
+        maxFilesPerTrigger = 64))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
 

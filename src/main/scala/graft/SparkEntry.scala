@@ -220,10 +220,11 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id FROM rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // q24_ann_lsh: rows-only; recall>=0.9 vs q23 is gated in ScalaTest.
+    // strlen (bytes), not length (chars): the payload is UTF-8 bytes
     "q25_multimodal" ->
       """SELECT doc_id AS asset_id,
         |  ['image','audio','video'][(doc_id % 3 + 1)::int] AS media_type,
-        |  length(text) AS n_bytes,
+        |  strlen(text) AS n_bytes,
         |  sha256(text) AS payload_sha,
         |  (16 + n_chars % 64)::int AS width,
         |  (16 + (n_chars * 7) % 64)::int AS height,
@@ -231,8 +232,8 @@ object SparkEntry {
         |FROM documents ORDER BY asset_id""".stripMargin,
     "q26_frames" ->
       """WITH v AS (
-        |  SELECT doc_id AS asset_id, length(text) AS len,
-        |    ceil(length(text) / 4.0)::int AS chunk
+        |  SELECT doc_id AS asset_id, strlen(text) AS len,
+        |    ceil(strlen(text) / 4.0)::int AS chunk
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT asset_id, i AS frame_idx,
         |  greatest(0, least(chunk, len - i * chunk)) AS frame_bytes

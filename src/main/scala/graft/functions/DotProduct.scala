@@ -11,15 +11,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 /** Shared fold (mirror-class static for codegen): sequential left-to-right
   * sum of elementwise products — the exact accumulation order of
   * `aggregate(zip_with(a, b, _*_), 0d, _+_)`, so results are bit-identical
-  * to the builtin form (parity-tested).
+  * to the builtin form (parity-tested). Degenerate inputs also match the
+  * builtin: a length mismatch (zip_with pads with null) or a null element
+  * yields null, signalled here by the NaN-boxed sentinel the expression
+  * converts back to SQL NULL.
   */
 object DotFold {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 }
 
@@ -38,13 +46,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    DotFold.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = DotFold.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev,
-      (a, b) => s"${ev.value} = graft.functions.DotFold.dot($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxedDot")
+      s"""
+         |java.lang.Double $boxed = graft.functions.DotFold.dot($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)

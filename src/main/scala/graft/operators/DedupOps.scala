@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Deduplication operators for large-scale training-data pipelines: exact
   * content-hash dedup, MinHash-LSH near-dup (banded — candidate generation

@@ -69,35 +69,31 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic SplitMix64-generated hyperplane component in [-1, 1] —
-    * computed driver-side so the planes reach the executors as literal
-    * constant arrays (zero runtime hashing).
+  /** Default embedding dimensionality of the corpus tables. */
+  val DefaultDim = 64
+
+  /** Deterministic hyperplane component in [-1, 1] (shared SplitMix64
+    * constants from DedupOps) — computed driver-side so the planes reach
+    * the executors as literal constant arrays (zero runtime hashing).
     */
-  private def splitmix(x0: Long): Long = {
-    var z = x0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def plane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j =>
+      DedupOps.splitmix((p.toLong << 32) | j.toLong).toDouble / 9.223372036854776e18)
 
-  private val EmbeddingDim = 64
-
-  private def plane(p: Int): Seq[Double] =
-    (0 until EmbeddingDim).map(j =>
-      splitmix((p.toLong << 32) | j.toLong).toDouble / 9.223372036854776e18)
-
-  private def planeDot(v: Column, p: Int): Column =
-    dot(v, typedlit(plane(p)))
+  private def planeDot(v: Column, p: Int, dim: Int): Column =
+    dot(v, typedlit(plane(p, dim)))
 
   /** SRP-LSH bucket keys: `tables` independent tables, each packing
     * `bitsPerTable` hyperplane signs into one key (table index mixed in so
     * buckets never collide across tables). Hyperplanes are literal
-    * constants; each key is `bitsPerTable` codegen'd dot products.
+    * constants; each key is `bitsPerTable` codegen'd dot products. `dim`
+    * MUST cover the vectors' dimensionality — components past `dim` would
+    * be silently ignored by the truncating dot product, collapsing recall.
     */
-  def srpBuckets(v: Column, tables: Int, bitsPerTable: Int): Column =
+  def srpBuckets(v: Column, tables: Int, bitsPerTable: Int, dim: Int = DefaultDim): Column =
     array((0 until tables).map { t =>
       val key = (0 until bitsPerTable).foldLeft(lit(0L)) { (acc, b) =>
-        acc * 2 + when(planeDot(v, t * bitsPerTable + b) > 0, 1L).otherwise(0L)
+        acc * 2 + when(planeDot(v, t * bitsPerTable + b, dim) > 0, 1L).otherwise(0L)
       }
       struct(lit(t).as("t"), key.as("key"))
     }: _*)
@@ -110,12 +106,13 @@ object SimilarityOps {
       q: DataFrame,
       k: Int,
       tables: Int = 24,
-      bitsPerTable: Int = 3): DataFrame = {
+      bitsPerTable: Int = 3,
+      dim: Int = DefaultDim): DataFrame = {
     val cB = c.select(col("vec_id"), col("v"),
-      explode(srpBuckets(col("v"), tables, bitsPerTable)).as("bucket"))
+      explode(srpBuckets(col("v"), tables, bitsPerTable, dim)).as("bucket"))
       .select(col("vec_id"), col("bucket"))
     val qB = q.select(col("query_id"),
-      explode(srpBuckets(col("qv"), tables, bitsPerTable)).as("bucket"))
+      explode(srpBuckets(col("qv"), tables, bitsPerTable, dim)).as("bucket"))
       .select(col("query_id"), col("bucket"))
     val candidates = qB.join(cB, qB("bucket") === cB("bucket") &&
         col("query_id") =!= col("vec_id"))
@@ -141,10 +138,11 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-dup: all pairs above a cosine threshold. The
-    * exact all-pairs form (one side broadcast) is the oracle-checkable
-    * baseline; at scale swap the candidate generator for `srpBuckets`
-    * exactly as in `annTopKLsh` — the verification stage is identical.
+  /** Embedding-cosine near-dup: all pairs above a cosine threshold — exact
+    * all-pairs baseline. No broadcast hint: the planner/AQE picks the
+    * strategy (BNLJ while one side fits the broadcast threshold; an exact
+    * all-pairs spec degenerates to a cartesian beyond that by definition).
+    * The scale path is `cosineNearDupLsh` below.
     */
   def cosineNearDup(c: DataFrame, threshold: Double): DataFrame = {
     val cN = c.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
@@ -153,10 +151,37 @@ object SimilarityOps {
     // membership only — the raw score's last-ulp depends on each engine's
     // accumulation order, so exposing it would make exact value comparison
     // flaky while adding nothing to the dedup decision
-    cN.join(broadcast(right), col("vec_id") < col("vec_b"))
+    cN.join(right, col("vec_id") < col("vec_b"))
       .withColumn("cos", dot(col("v"), col("vb")) / (col("v_norm") * col("vb_norm")))
       .filter(col("cos") >= threshold)
       .select(col("vec_id").as("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Scale path for cosine near-dup: SRP-LSH bucket equi-join candidates,
+    * exact cosine verification — subquadratic candidate volume, recall
+    * governed by (tables, bitsPerTable) exactly as in `annTopKLsh`.
+    */
+  def cosineNearDupLsh(
+      c: DataFrame,
+      threshold: Double,
+      tables: Int = 24,
+      bitsPerTable: Int = 3,
+      dim: Int = DefaultDim): DataFrame = {
+    val cB = c.select(col("vec_id"),
+      explode(srpBuckets(col("v"), tables, bitsPerTable, dim)).as("bucket"))
+    val candidates = cB.as("a")
+      .join(cB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val cN = c.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
+    val left = cN.select(col("vec_id").as("vec_a"), col("v").as("va"), col("v_norm").as("va_norm"))
+    val right = cN.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("v_norm").as("vb_norm"))
+    candidates.join(left, Seq("vec_a")).join(right, Seq("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("va_norm") * col("vb_norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

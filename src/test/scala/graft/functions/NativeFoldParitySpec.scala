@@ -42,6 +42,23 @@ class NativeFoldParitySpec extends AnyFunSuite {
     assert(native(3).isEmpty)
   }
 
+  test("DotProduct degenerate inputs match builtin: null on mismatch/null element") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1.0)), Seq(Some(1.0), Some(2.0))),        // ragged → null
+      (Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0))),  // null element → null
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0)))) // normal → 11.0
+      .toDF("a", "b")
+    val native = df.select(SimilarityOps.dot(col("a"), col("b"))).collect()
+    val builtin = df.select(SimilarityOps.dotBuiltins(col("a"), col("b"))).collect()
+    for (i <- 0 until 3) {
+      assert(native(i).isNullAt(0) == builtin(i).isNullAt(0), s"row $i nullability")
+      if (!native(i).isNullAt(0))
+        assert(native(i).getDouble(0) == builtin(i).getDouble(0))
+    }
+    assert(native(0).isNullAt(0) && native(1).isNullAt(0) && native(2).getDouble(0) == 11.0)
+  }
+
   test("DotProduct == builtin zip_with+aggregate, bit-exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
