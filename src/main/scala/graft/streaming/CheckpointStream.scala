@@ -34,13 +34,30 @@ object CheckpointStream {
       user_id: Long, task_id: String, event_id: Long, ts_us: Long,
       payload: String, seq: Int)
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Feed schema; `ts` is TimestampType for micro-precision files or
+    * LongType for raw nanosecond-INT64 files (the driver testdata's
+    * physical type under `nanosAsLong`) — see `feedSchemaFor`.
+    */
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType = TimestampType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+  /** Detect the feed's timestamp physical type from the files already
+    * present (cheap footer-only batch read); a stream's explicit schema
+    * must match the parquet physical type or every read fails. Defaults to
+    * TimestampType when the directory is still empty.
+    */
+  def feedSchemaFor(spark: SparkSession, sourceDir: String): StructType = {
+    val tsType =
+      try spark.read.parquet(sourceDir).schema("ts").dataType
+      catch { case _: Throwable => TimestampType }
+    eventsSchema(tsType)
+  }
 
   private def toCheckpoint(e: EventRow): CheckpointData =
     CheckpointData(
@@ -77,16 +94,21 @@ object CheckpointStream {
     if (ordered.isEmpty) Iterator.empty else flatten(userId, st1)
   }
 
-  /** Normalize a raw events DataFrame (batch or streaming) to EventRow. */
+  /** Normalize a raw events DataFrame (batch or streaming) to EventRow.
+    * Handles both timestamp feeds and raw nanosecond-long feeds.
+    */
   def toEventRows(df: DataFrame): Dataset[EventRow] = {
     val spark = df.sparkSession
     import spark.implicits._
+    val tsUs =
+      if (df.schema("ts").dataType == LongType) expr("ts div 1000")
+      else unix_micros(col("ts"))
     df.select(
       col("user_id"),
       when(col("event_type") === "signup", lit("__start__"))
         .otherwise(col("event_type")).as("task_id"),
       col("event_id"),
-      unix_micros(col("ts")).as("ts_us"),
+      tsUs.as("ts_us"),
       col("props"))
       .as[EventRow]
   }
@@ -139,7 +161,7 @@ object CheckpointStream {
       availableNow: Boolean = true): StreamingQuery = {
     import spark.implicits._
     val raw = spark.readStream
-      .schema(eventsSchema)
+      .schema(feedSchemaFor(spark, sourceDir))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     val states = toEventRows(raw)

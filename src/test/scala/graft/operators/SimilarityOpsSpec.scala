@@ -33,6 +33,23 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("cosine near-dup LSH recalls >= 0.9 of exact pairs, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val c = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = SimilarityOps.cosineNearDup(c, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.cosineNearDupLsh(c, 0.4)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall missing=${(exact -- got).take(5)}")
+    // LSH never returns a pair the exact form rejects (verification is exact)
+    assert((got -- exact).isEmpty)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("every query returns a full, deduplicated top-10") {
     val out = SimilarityOps.q23AnnTopK(spark, sf)
     val byQuery = out.groupBy("query_id")
