@@ -64,7 +64,13 @@ class DiffEngineGoldenSpec extends AnyFunSuite {
     }
   }
 
-  for (c <- Seq("case1_addition", "case2_removal", "case3_modification", "case4_multiple_changes")) {
+  // cases 1–4 are the reference's fixtures; case5 is OURS — it exercises
+  // the JSON canonicalization (D7) through the golden path, which the
+  // reference corpus never does (its contents are all plain text): the
+  // expected output encodes Jackson default-pretty-printer line shapes
+  // (`"k" : v`, inline `[ "a", "b" ]` arrays) hand-derived from the spec.
+  for (c <- Seq("case1_addition", "case2_removal", "case3_modification",
+    "case4_multiple_changes", "case5_json_canonical")) {
     test(s"golden $c matches expected.json") {
       val before = loadState(s"$base/$c/before.json")
       val after = loadState(s"$base/$c/after.json")
