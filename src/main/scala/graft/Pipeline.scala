@@ -26,7 +26,9 @@ object Pipeline {
   /** Run the full lifecycle until the available backlog is drained
     * (Trigger.AvailableNow on both feeds), then attach enrichment context
     * and return the final enriched session DataFrame (also written to
-    * `<workDir>/sessions_enriched`).
+    * `<workDir>/sessions_enriched`). The per-update diff documents (D13 —
+    * the reference's `checkpointDiffs` accumulation) land in
+    * `<workDir>/diffs_cdc` / `<workDir>/diffs_ide` as the streams run.
     */
   def run(spark: SparkSession, config: Config): DataFrame = {
     val cdcSink = s"${config.workDir}/sink_cdc"
@@ -39,21 +41,25 @@ object Pipeline {
     // E2≡E1: pre-existing feed files are the backfill; the same stateful
     // stream handles them and any late-arriving files. A generous
     // maxFilesPerTrigger batches the backlog — one file per micro-batch
-    // would re-read and rewrite the whole sink per file (O(files²) I/O).
+    // would re-read and rewrite the touched buckets per file.
     val cdcQuery = CheckpointStream.run(
       spark, config.cdcFeedDir, s"${config.workDir}/ckpt_cdc", cdcSink,
-      maxFilesPerTrigger = 64)
+      maxFilesPerTrigger = 64, diffDir = Some(s"${config.workDir}/diffs_cdc"))
     val ideQuery = config.ideFeedDir.map(dir =>
       CheckpointStream.run(spark, dir, s"${config.workDir}/ckpt_ide", ideSink,
-        maxFilesPerTrigger = 64))
+        maxFilesPerTrigger = 64, diffDir = Some(s"${config.workDir}/diffs_ide")))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
 
-    // sessions from both feeds, tagged per source (W1: never merged)
-    val cdc = spark.read.parquet(cdcSink).withColumn("source", lit("cdc"))
+    // sessions from both feeds, tagged per source (W1: never merged);
+    // the sink's physical `bucket` partition column is dropped here
+    val sinkCols = Seq("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    val cdc = spark.read.parquet(cdcSink)
+      .select(sinkCols.map(col): _*).withColumn("source", lit("cdc"))
     val sessions = config.ideFeedDir match {
       case Some(_) =>
-        cdc.unionByName(spark.read.parquet(ideSink).withColumn("source", lit("ide")))
+        cdc.unionByName(spark.read.parquet(ideSink)
+          .select(sinkCols.map(col): _*).withColumn("source", lit("ide")))
       case None => cdc
     }
 
@@ -94,6 +100,10 @@ object Pipeline {
       reportDir = args.lift(3),
       workDir = args(1)))
     println(s"[pipeline] enriched sessions: ${out.count()}")
+    val diffCount =
+      try spark.read.parquet(s"${args(1)}/diffs_cdc").count()
+      catch { case _: Throwable => 0L }
+    println(s"[pipeline] diff documents: $diffCount")
     spark.stop()
   }
 }

@@ -72,7 +72,10 @@ object DiffEngine {
     * max event-time across both sides (reference `DiffService.java:179-225`).
     */
   def contentChanges(prev: Seq[CheckpointData], curr: Seq[CheckpointData]): Vector[ContentChange] = {
-    val ts = (prev.iterator ++ curr.iterator).map(_.checkpointNs).max
+    // maxOption: both sides empty is representable through the public
+    // computeDiff API (task key present with no checkpoints); the reference
+    // logs and continues rather than throwing
+    val ts = (prev.iterator ++ curr.iterator).map(_.checkpointNs).maxOption.getOrElse(0L)
     val left = canonicalLines(concatSorted(prev))
     val right = canonicalLines(concatSorted(curr))
     Myers.diff(left, right).iterator.map {

@@ -30,6 +30,9 @@ object DedupOps {
 
   /** Distinct word n-gram shingles of a lowercased text column. Single-space
     * tokenization (matches the corpus format and the DuckDB oracle exactly).
+    * Texts with fewer than `n` words yield ZERO shingles — mirroring the
+    * oracle's `unnest(range(len(w)-2))`, which is empty for short docs (a
+    * whole-text fallback would silently diverge Jaccard denominators).
     *
     * The word array is bound once as a lambda variable (outer single-element
     * transform): referencing the `split` expression directly inside the
@@ -43,7 +46,7 @@ object DedupOps {
           array_distinct(transform(
             sequence(lit(0), size(words) - n),
             i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*))))
-          .otherwise(array_distinct(array(concat_ws(" ", words))))),
+          .otherwise(array().cast("array<string>"))),
       1)
 
   /** Deterministic SplitMix64 mix for driver-side constant generation. */

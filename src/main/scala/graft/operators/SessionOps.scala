@@ -55,12 +55,12 @@ object SessionOps {
       .groupByKey(_.user_id)
       .flatMapGroups { (userId: Long, it: Iterator[EventRow]) =>
         val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
-        val (finalState, _) = ordered.foldLeft(
-          (SessionMerge.SessionState.empty(userId.toString),
-            Vector.empty[graft.diff.DiffModel.CheckpointDataDiff])) {
-          case ((state, diffs), ev) =>
-            val (next, diff) = SessionMerge.update(state, Seq(toCheckpoint(ev)))
-            (next, diffs ++ diff)
+        // mergeOnly, not update: this query emits final content only, so
+        // paying JSON canonicalization + Myers per event would be pure
+        // waste (the diff-emitting path lives in streaming/CheckpointStream)
+        val finalState = ordered.foldLeft(
+          SessionMerge.SessionState.empty(userId.toString)) { (state, ev) =>
+          SessionMerge.mergeOnly(state, Seq(toCheckpoint(ev)))
         }
         finalState.content.iterator.flatMap { case (task, cds) =>
           cds.iterator.map { cd =>

@@ -24,17 +24,24 @@ object SchemaInit {
 
   /** Ensure `path` holds a parquet table with `schema`; create it empty if
     * absent. Returns true iff this call created it.
+    *
+    * The empty file is written under a `bucket=0` partition dir so the
+    * table's layout matches the hash-bucketed upsert sink
+    * (`CheckpointStream.upsert`) from the first write on — a bare root-level
+    * file would make later partition discovery reject the mixed layout.
     */
   def ensureSinkTable(
       spark: SparkSession,
       path: String,
       schema: StructType = sessionSinkSchema): Boolean = {
     val dir = new java.io.File(path)
-    val exists = dir.isDirectory &&
-      Option(dir.listFiles).exists(_.exists(_.getName.endsWith(".parquet")))
+    def hasParquet(f: java.io.File): Boolean =
+      f.getName.endsWith(".parquet") ||
+        (f.isDirectory && Option(f.listFiles).exists(_.exists(hasParquet)))
+    val exists = dir.isDirectory && Option(dir.listFiles).exists(_.exists(hasParquet))
     if (!exists) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/bucket=0")
       true
     } else false
   }

@@ -67,18 +67,27 @@ object SessionMerge {
       task -> cds.maxBy(cd => (cd.checkpointNs, cd.checkpointId))
     }
 
-  /** One engine step: argmax incoming events per task, drop stale ones,
-    * merge the rest, diff the result against the pre-merge state, and
-    * advance the sequence number iff a diff was produced (D11, fixing W2).
+  /** Content evolution of one engine step: argmax incoming events per task,
+    * drop stale ones, merge the rest. Shared by the diff-emitting `update`
+    * and the diff-free `mergeOnly` — the content result is identical by
+    * construction (`update` stores the merged content whether or not the
+    * diff turned out empty).
+    */
+  def mergeContent(
+      content: Map[String, Vector[CheckpointData]],
+      events: Seq[CheckpointData]): Map[String, Vector[CheckpointData]] =
+    latestPerTask(events).values.foldLeft(content) { (acc, cd) =>
+      if (skipStale(acc.getOrElse(cd.taskId, Vector.empty), cd.checkpointNs)) acc
+      else mergeOne(acc, cd)
+    }
+
+  /** One engine step: merge, diff the result against the pre-merge state,
+    * and advance the sequence number iff a diff was produced (D11, fixing W2).
     */
   def update(
       state: SessionState,
       events: Seq[CheckpointData]): (SessionState, Option[CheckpointDataDiff]) = {
-    val incoming = latestPerTask(events)
-    val merged = incoming.values.foldLeft(state.content) { (acc, cd) =>
-      if (skipStale(acc.getOrElse(cd.taskId, Vector.empty), cd.checkpointNs)) acc
-      else mergeOne(acc, cd)
-    }
+    val merged = mergeContent(state.content, events)
     DiffEngine.computeDiff(state.content, merged, state.sequenceNumber + 1) match {
       case some @ Some(_) =>
         (state.copy(sequenceNumber = state.sequenceNumber + 1, content = merged), some)
@@ -86,6 +95,14 @@ object SessionMerge {
         (state.copy(content = merged), None)
     }
   }
+
+  /** Merge-only step for callers that need final content but not diffs or
+    * sequence numbers (the q16 batch replay): skips JSON canonicalization +
+    * Myers entirely — the dominant per-event cost when diffs are discarded.
+    * `sequenceNumber` is NOT maintained (stays as passed in).
+    */
+  def mergeOnly(state: SessionState, events: Seq[CheckpointData]): SessionState =
+    state.copy(content = mergeContent(state.content, events))
 
   /** Fold a whole event history (in event-time order) through the engine —
     * the batch-backfill form (E2). Returns the final state and every diff

@@ -1,8 +1,10 @@
 package graft.streaming
 
+import graft.diff.DiffModel
 import graft.diff.DiffModel.CheckpointData
 import graft.state.SessionMerge
 import graft.state.SessionMerge.SessionState
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -12,8 +14,11 @@ import java.nio.charset.StandardCharsets
 
 /** The streaming lifecycle (SURVEY §2.1 S1/S2/S4/S7, §3 E1/E2): a polling
   * micro-batch CDC feed over the event table, the keyed stateful merge as a
-  * `flatMapGroupsWithState`, and an idempotent keyed upsert sink via
-  * `foreachBatch`.
+  * `flatMapGroupsWithState`, an idempotent keyed upsert sink, and an
+  * append-only DIFF sink (D13 end-to-end — the reference's defining output,
+  * `entity/CdcAgentsDataStream.java:56-60` accumulates a
+  * `CheckpointDataDiff` per session update, appended at
+  * `dao/CdcCheckpointDao.java:31-35`).
   *
   * Backfill-then-stream (reference `CdcSubscriberConfig.java:117-175`) is
   * realized by Structured Streaming's batch/stream unification: files that
@@ -32,6 +37,17 @@ object CheckpointStream {
     */
   final case class SessionFlat(
       user_id: Long, task_id: String, event_id: Long, ts_us: Long,
+      payload: String, seq: Int)
+
+  /** Tagged union the state function emits: `kind` is "session" (a
+    * SessionFlat-shaped row) or "diff" (payload = the diff's wire JSON via
+    * `DiffModel.toJson`, seq = the diff's sequenceNumber, event_id/ts_us =
+    * the event that produced it). One output type because
+    * `flatMapGroupsWithState` has a single output encoder; `foreachBatch`
+    * splits the two streams into their sinks.
+    */
+  final case class StreamOut(
+      kind: String, user_id: Long, task_id: String, event_id: Long, ts_us: Long,
       payload: String, seq: Int)
 
   /** Feed schema; `ts` is TimestampType for micro-precision files or
@@ -67,31 +83,51 @@ object CheckpointStream {
       checkpointId = f"${e.event_id}%020d",
       taskId = e.task_id)
 
-  private def flatten(userId: Long, st: SessionState): Iterator[SessionFlat] =
+  private def flatten(userId: Long, st: SessionState): Iterator[StreamOut] =
     st.content.iterator.flatMap { case (task, cds) =>
       cds.iterator.map { cd =>
-        SessionFlat(userId, task, cd.checkpointId.toLong, cd.checkpointNs,
+        StreamOut("session", userId, task, cd.checkpointId.toLong, cd.checkpointNs,
           new String(cd.checkpoint, StandardCharsets.UTF_8), st.sequenceNumber)
       }
     }
 
+  /** Fold a key's batch of events (already event-time ordered) through the
+    * engine, one `SessionMerge.update` per event — the identical cadence as
+    * the batch backfill — collecting each emitted diff as a wire-JSON
+    * StreamOut row. Shared by the streaming state function and the batch
+    * backfill so E1 ≡ E2 extends to the diff stream.
+    */
+  private def foldEvents(
+      userId: Long,
+      st0: SessionState,
+      ordered: Vector[EventRow]): (SessionState, Vector[StreamOut]) = {
+    var st = st0
+    val diffs = Vector.newBuilder[StreamOut]
+    ordered.foreach { ev =>
+      val (next, diff) = SessionMerge.update(st, Seq(toCheckpoint(ev)))
+      diff.foreach { d =>
+        diffs += StreamOut("diff", userId, "", ev.event_id, ev.ts_us,
+          DiffModel.toJson(d), d.sequenceNumber)
+      }
+      st = next
+    }
+    (st, diffs.result())
+  }
+
   /** The per-key state function (C1 single-writer-per-key is guaranteed by
-    * construction: one invocation per key per micro-batch). Folds the
-    * batch's events in event-time order through `SessionMerge.update` — the
-    * identical per-event cadence as the batch backfill — and emits the
-    * session's full post-merge state.
+    * construction: one invocation per key per micro-batch). Emits every diff
+    * produced by the batch's events followed by the session's full
+    * post-merge state.
     */
   def sessionStateFunc(
       userId: Long,
       events: Iterator[EventRow],
-      state: GroupState[SessionState]): Iterator[SessionFlat] = {
+      state: GroupState[SessionState]): Iterator[StreamOut] = {
     val st0 = state.getOption.getOrElse(SessionState.empty(userId.toString))
     val ordered = events.toVector.sortBy(e => (e.ts_us, e.event_id))
-    val st1 = ordered.foldLeft(st0) { (st, ev) =>
-      SessionMerge.update(st, Seq(toCheckpoint(ev)))._1
-    }
+    val (st1, diffs) = foldEvents(userId, st0, ordered)
     state.update(st1)
-    if (ordered.isEmpty) Iterator.empty else flatten(userId, st1)
+    if (ordered.isEmpty) Iterator.empty else diffs.iterator ++ flatten(userId, st1)
   }
 
   /** Normalize a raw events DataFrame (batch or streaming) to EventRow.
@@ -113,44 +149,104 @@ object CheckpointStream {
       .as[EventRow]
   }
 
-  /** S7 upsert sink: replace the sink's rows for every session present in
-    * the micro-batch with the batch's rows (find-or-create by sessionId,
-    * reference `CdcAgentsDataStreamRepository.java:16-29`). Idempotent —
-    * replaying a micro-batch rewrites the same rows — which with the
-    * streaming checkpoint gives effectively-once. Parquet read-union-swap is
-    * the dependency-free stand-in for a Delta/JDBC MERGE; single-writer per
-    * query is guaranteed by foreachBatch serialization.
+  /** Number of hash partitions the session sink is laid out in. Sized so a
+    * micro-batch's touched buckets (and their rewrite I/O) stay a small
+    * fraction of the sink; at cluster scale this would be thousands.
     */
-  def upsert(batch: DataFrame, sinkDir: String): Unit = {
+  val SinkBuckets = 64
+
+  /** Restore any interrupted upsert: a leftover `.bak` dir holds original
+    * bucket partitions whose replacement may not have completed. For each
+    * backed-up bucket: if the sink is missing it, move it back (the new
+    * version never landed); if the sink has it, the promote completed and
+    * the backup is redundant. Idempotent — safe to re-run after a crash at
+    * any point of this method itself.
+    */
+  private def recoverBackup(fs: FileSystem, sink: Path, bak: Path): Unit =
+    if (fs.exists(bak)) {
+      fs.listStatus(bak).foreach { st =>
+        val dest = new Path(sink, st.getPath.getName)
+        if (!fs.exists(dest)) { fs.mkdirs(sink); fs.rename(st.getPath, dest) }
+        else fs.delete(st.getPath, true)
+      }
+      fs.delete(bak, true)
+      ()
+    }
+
+  /** S7 upsert sink: replace the sink's rows for every session present in
+    * the micro-batch (find-or-create by sessionId, reference
+    * `CdcAgentsDataStreamRepository.java:16-29`). Idempotent — replaying a
+    * micro-batch rewrites the same rows — which with the streaming
+    * checkpoint gives effectively-once.
+    *
+    * Scale shape: the sink is hash-partitioned on `user_id` into
+    * `SinkBuckets` bucket dirs, and a batch rewrites ONLY the buckets its
+    * sessions hash into — I/O is proportional to touched buckets, not sink
+    * size. Crash-safe promote: merged buckets are written to a fresh `.tmp`
+    * dir while the sink stays untouched, originals are renamed into `.bak`,
+    * new partitions renamed in, then `.bak` dropped; `recoverBackup` makes
+    * any interruption recoverable, and the streaming checkpoint replays the
+    * batch on restart. (A transactional table format's MERGE is the
+    * production-grade equivalent; this is the dependency-free stand-in.)
+    */
+  def upsert(batch: DataFrame, sinkDir: String, buckets: Int = SinkBuckets): Unit = {
     val spark = batch.sparkSession
-    val sink = new java.io.File(sinkDir)
-    val existing: Option[DataFrame] =
-      if (sink.exists && sink.listFiles != null && sink.listFiles.exists(_.getName.endsWith(".parquet")))
-        Some(spark.read.parquet(sinkDir))
-      else None
-    val merged = existing match {
-      case Some(ex) =>
-        ex.join(batch.select("user_id").distinct(), Seq("user_id"), "left_anti")
-          .unionByName(batch)
-      case None => batch
+    val sinkPath = new Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bakPath = new Path(sinkDir + ".bak")
+    val tmpPath = new Path(sinkDir + ".tmp")
+    recoverBackup(fs, sinkPath, bakPath)
+    fs.delete(tmpPath, true)
+
+    val withBucket = batch.withColumn(
+      "bucket", pmod(hash(col("user_id")), lit(buckets)))
+    // ≤ `buckets` small ints — a driver-side collect that stays O(buckets)
+    // at any data scale
+    val touched = withBucket.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return
+    val touchedExisting =
+      touched.filter(b => fs.exists(new Path(sinkPath, s"bucket=$b")))
+    val merged =
+      if (touchedExisting.isEmpty) withBucket
+      else {
+        // partition-pruned: only touched bucket dirs are read
+        val existing = spark.read.parquet(sinkDir)
+          .filter(col("bucket").isin(touched.map(Int.box): _*))
+        existing
+          .join(batch.select("user_id").distinct(), Seq("user_id"), "left_anti")
+          .unionByName(withBucket)
+      }
+    // materialize to .tmp while the sink (the read side) is still in place
+    merged.write.partitionBy("bucket").parquet(tmpPath.toString)
+    fs.mkdirs(bakPath)
+    touchedExisting.foreach { b =>
+      fs.rename(new Path(sinkPath, s"bucket=$b"), new Path(bakPath, s"bucket=$b"))
     }
-    val tmp = sinkDir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    // atomic-enough swap for a local sink: remove old, rename tmp
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete(); ()
+    fs.mkdirs(sinkPath)
+    touched.foreach { b =>
+      val t = new Path(tmpPath, s"bucket=$b")
+      if (fs.exists(t)) fs.rename(t, new Path(sinkPath, s"bucket=$b"))
     }
-    rm(sink)
-    if (!new java.io.File(tmp).renameTo(sink))
-      throw new java.io.IOException(s"sink swap failed: $tmp -> $sinkDir")
+    fs.delete(bakPath, true)
+    fs.delete(tmpPath, true)
+    ()
   }
+
+  /** D13 diff sink: append-only, one partition dir per micro-batch so a
+    * replayed batch overwrites exactly its own output (idempotent) and
+    * nothing ever rewrites previous batches — I/O per batch is O(batch's
+    * diffs). Read the whole dir back as parquet; `batch_id` appears as a
+    * partition column.
+    */
+  def appendDiffs(diffs: DataFrame, diffDir: String, batchId: Long): Unit =
+    diffs.write.mode("overwrite").parquet(s"$diffDir/batch_id=$batchId")
 
   /** E1: the live pipeline. File-source micro-batches over `sourceDir`
     * (pre-existing files = startup backfill), keyed stateful merge, upsert
-    * sink. `maxFilesPerTrigger` bounds per-batch work; AvailableNow drains
-    * the backlog then stops (tests / bounded runs), ProcessingTime runs
-    * forever.
+    * sink + append-only diff sink. `maxFilesPerTrigger` bounds per-batch
+    * work; AvailableNow drains the backlog then stops (tests / bounded
+    * runs), ProcessingTime runs forever.
     */
   def run(
       spark: SparkSession,
@@ -158,37 +254,59 @@ object CheckpointStream {
       checkpointDir: String,
       sinkDir: String,
       maxFilesPerTrigger: Int = 1,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      diffDir: Option[String] = None): StreamingQuery = {
     import spark.implicits._
+    val diffSink = diffDir.getOrElse(sinkDir + "_diffs")
     val raw = spark.readStream
       .schema(feedSchemaFor(spark, sourceDir))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
-    val states = toEventRows(raw)
+    val outs = toEventRows(raw)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionStateFunc)
-    val writer = states.writeStream
+    val writer = outs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[SessionFlat], _: Long) =>
-        upsert(batch.toDF(), sinkDir)
+      .foreachBatch { (batch: Dataset[StreamOut], batchId: Long) =>
+        val df = batch.toDF().persist()
+        try {
+          upsert(
+            df.filter(col("kind") === "session")
+              .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq"),
+            sinkDir)
+          val diffs = df.filter(col("kind") === "diff")
+            .select(col("user_id"), col("seq"), col("event_id"), col("ts_us"),
+              col("payload").as("diff_json"))
+          // skip empty batches: a schema-less empty dir would break readers
+          if (!diffs.isEmpty) appendDiffs(diffs, diffSink, batchId)
+        } finally { df.unpersist(); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
   }
 
   /** E2 as a standalone batch job (same engine path as `run`, no streaming
-    * machinery): replay every session's full history and return the
-    * flattened final states.
+    * machinery): replay every session's full history and emit the flattened
+    * final states AND every diff along the way, as tagged StreamOut rows.
     */
-  def backfill(spark: SparkSession, events: DataFrame): Dataset[SessionFlat] = {
+  def backfillAll(spark: SparkSession, events: DataFrame): Dataset[StreamOut] = {
     import spark.implicits._
     toEventRows(events)
       .groupByKey(_.user_id)
       .flatMapGroups { (userId: Long, it: Iterator[EventRow]) =>
-        val (st, _) = SessionMerge.replay(userId.toString, it.map(toCheckpoint).toSeq)
-        flatten(userId, st)
+        val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+        val (st, diffs) = foldEvents(userId, SessionState.empty(userId.toString), ordered)
+        diffs.iterator ++ flatten(userId, st)
       }
+  }
+
+  /** E2 restricted to final session states (the round-2 API, kept). */
+  def backfill(spark: SparkSession, events: DataFrame): Dataset[SessionFlat] = {
+    import spark.implicits._
+    backfillAll(spark, events)
+      .filter(_.kind == "session")
+      .map(o => SessionFlat(o.user_id, o.task_id, o.event_id, o.ts_us, o.payload, o.seq))
   }
 }

@@ -15,6 +15,13 @@ class DiffMultiCheckpointSpec extends AnyFunSuite {
   private def cd(task: String, ns: Long, content: String): CheckpointData =
     CheckpointData(content.getBytes(StandardCharsets.UTF_8), ns, "t", s"c$ns", task)
 
+  test("computeDiff stays total when a task has no checkpoints on either side") {
+    // representable through the public API; the reference logs and continues
+    val diff = DiffEngine.computeDiff(
+      Map("t" -> Seq.empty[CheckpointData]), Map("t" -> Seq.empty[CheckpointData]), 1)
+    assert(diff.isEmpty) // no content, no changes — filtered as an empty diff
+  }
+
   test("a task's content is the ts-sorted concatenation of its checkpoints") {
     // out-of-order arrival: concat must follow ns order, not list order
     val before = Map("t" -> (Seq(cd("t", 2, "beta\n"), cd("t", 1, "alpha\n"))))

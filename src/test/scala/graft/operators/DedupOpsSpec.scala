@@ -61,6 +61,17 @@ class DedupOpsSpec extends AnyFunSuite {
       s"simhash not locality-sensitive: near=$nearAvg rand=$randAvg")
   }
 
+  test("shingles of a short text (< n words) are empty, matching the oracle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Seq("one two", "a", "", "alpha beta gamma delta")
+      .toDF("text")
+      .select(DedupOps.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getSeq[String](0).toVector)
+    assert(out(0).isEmpty && out(1).isEmpty && out(2).isEmpty)
+    assert(out(3) == Vector("alpha beta gamma", "beta gamma delta"))
+  }
+
   test("simhash hamming join runs bucketed (no cartesian)") {
     val df = DedupOps.simhashNearDup(Tables.documents(spark, sf), maxHamming = 3)
     val plan = planOf(df)

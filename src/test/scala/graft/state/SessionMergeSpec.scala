@@ -80,6 +80,24 @@ class SessionMergeSpec extends AnyFunSuite {
     assert(tie("t").checkpointId == "b")
   }
 
+  test("mergeOnly: content evolution identical to the diff-emitting update") {
+    check(Prop.forAll(Gen.listOf(
+      for {
+        task <- Gen.oneOf("t1", "t2", "__start__")
+        ns <- Gen.chooseNum(0L, 20L)
+        content <- Gen.oneOf("a", "b", "c", "") // blank exercises skip-stale's blank guard
+      } yield cd(task, ns, content))) { events: List[CheckpointData] =>
+      val ordered = events.sortBy(e => (e.checkpointNs, e.checkpointId))
+      val viaUpdate = ordered.foldLeft(SessionState.empty("s")) {
+        (st, e) => update(st, Seq(e))._1
+      }
+      val viaMergeOnly = ordered.foldLeft(SessionState.empty("s")) {
+        (st, e) => mergeOnly(st, Seq(e))
+      }
+      viaMergeOnly.content == viaUpdate.content
+    })
+  }
+
   test("replay: full-history fold equals incremental updates") {
     check(Prop.forAll(Gen.listOf(
       for {

@@ -49,6 +49,61 @@ class StreamingParitySpec extends AnyFunSuite {
         s"\nbatch-only:\n${onlyBatch.limit(10).collect().mkString("\n")}"
     })
     assert(streamed.count() > 0)
+
+    // D13 parity: the persisted diff stream equals the batch replay's diffs
+    val streamedDiffs = spark.read.parquet(sink + "_diffs")
+      .select("user_id", "seq", "event_id", "ts_us", "diff_json")
+    val batchDiffs = CheckpointStream.backfillAll(spark, events)
+      .filter(col("kind") === "diff")
+      .select(col("user_id"), col("seq"), col("event_id"), col("ts_us"),
+        col("payload").as("diff_json"))
+    assert(streamedDiffs.count() > 0, "stream persisted no diff documents")
+    assert(streamedDiffs.exceptAll(batchDiffs).isEmpty &&
+      batchDiffs.exceptAll(streamedDiffs).isEmpty,
+      "diff-stream parity mismatch between streaming and batch replay")
+  }
+
+  test("upsert rewrites only the buckets a batch touches") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_buckets_").toString + "/sink"
+    // two users in distinct sink buckets (probe with the sink's own hash)
+    val probe = spark.range(1, 200).select(
+      col("id"), pmod(hash(col("id")), lit(CheckpointStream.SinkBuckets)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val (ua, ba) = probe.head
+    val (ub, _) = probe.find(_._2 != ba).get
+    CheckpointStream.upsert(
+      Seq(CheckpointStream.SessionFlat(ua, "t", 1L, 100L, "a", 1)).toDF(), sink)
+    val bucketDirA = new java.io.File(sink, s"bucket=$ba")
+    val filesBefore = bucketDirA.listFiles.map(_.getName).toSet
+    CheckpointStream.upsert(
+      Seq(CheckpointStream.SessionFlat(ub, "t", 2L, 200L, "b", 1)).toDF(), sink)
+    // untouched bucket keeps its exact files (a rewrite would mint new names)
+    assert(bucketDirA.listFiles.map(_.getName).toSet == filesBefore)
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+
+  test("upsert recovers an interrupted promote from the .bak backup") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_recover_").toString + "/sink"
+    val batch = Seq(
+      CheckpointStream.SessionFlat(1L, "t", 1L, 100L, "a", 1),
+      CheckpointStream.SessionFlat(2L, "t", 2L, 200L, "b", 1)).toDF()
+    CheckpointStream.upsert(batch, sink)
+    // simulate a crash mid-promote: one bucket moved to .bak, never replaced
+    val buckets = new java.io.File(sink).listFiles.filter(_.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    val bak = new java.io.File(sink + ".bak")
+    assert(bak.mkdirs())
+    val victim = buckets.head
+    assert(victim.renameTo(new java.io.File(bak, victim.getName)))
+    // next upsert must first restore the lost bucket, then apply its batch
+    CheckpointStream.upsert(
+      Seq(CheckpointStream.SessionFlat(3L, "t", 3L, 300L, "c", 1)).toDF(), sink)
+    val rows = spark.read.parquet(sink).select("user_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(!bak.exists, "backup dir should be cleared after recovery")
   }
 
   test("upsert sink is idempotent: re-upserting the same batch is a no-op") {
