@@ -8,15 +8,20 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns: exact cosine top-k as the
   * baseline (broadcast the small query side — the only intentional
   * nested-loop join in the engine) and a signed-random-projection LSH
-  * variant whose candidate generation is a bucket equi-join.
+  * variant whose candidate generation is a bucket equi-join with the
+  * vectors carried through the shuffle and the exact cosine computed
+  * inline on the join output (no candidate materialization, no re-joins).
   *
   * Scale notes (100 TB): the baseline is O(|queries|·|corpus|) and only
-  * valid for small query sets; the LSH path shuffles once on bucket keys
-  * and once on ids for verification. `tables`×`bitsPerTable` trades recall
-  * against candidate volume — on well-clustered corpora few-bit tables
-  * prune aggressively; on adversarially uniform data (like this synthetic
-  * corpus) LSH degrades gracefully toward exhaustive comparison, which is
-  * the correct behavior for genuinely indistinguishable neighbors.
+  * valid for small query sets; the LSH path's only wide operations are the
+  * (tables × rows) bucket shuffle and a narrow post-join aggregate.
+  * `tables`×`bitsPerTable` trades recall against candidate volume — see
+  * `srpBitsFor` for corpus-scaled sizing, and for the MEASURED finding
+  * that on this synthetic structureless corpus no parameterization prunes
+  * below brute force at recall ≥ 0.9 (LSH degrades gracefully toward
+  * exhaustive comparison — the correct behavior for genuinely
+  * indistinguishable neighbors; on clustered corpora the same operator is
+  * subquadratic, which the clustered-corpus spec demonstrates).
   */
 object SimilarityOps {
 
@@ -84,22 +89,48 @@ object SimilarityOps {
     dot(v, typedlit(plane(p, dim)))
 
   /** SRP-LSH bucket keys: `tables` independent tables, each packing
-    * `bitsPerTable` hyperplane signs into one key (table index mixed in so
-    * buckets never collide across tables). Hyperplanes are literal
-    * constants; each key is `bitsPerTable` codegen'd dot products. `dim`
-    * MUST cover the vectors' dimensionality — components past `dim` would
-    * be silently ignored by the truncating dot product, collapsing recall.
+    * `bitsPerTable` hyperplane signs into one key. The table index is
+    * packed into the top byte of a single LONG (buckets never collide
+    * across tables) — a primitive join key hashes/compares several times
+    * faster than a struct on the bucket equi-join's millions of probes.
+    * Hyperplanes are literal constants; each key is `bitsPerTable`
+    * codegen'd dot products. `dim` MUST cover the vectors' dimensionality —
+    * components past `dim` would be silently ignored by the truncating dot
+    * product, collapsing recall. Requires bitsPerTable <= 56.
     */
-  def srpBuckets(v: Column, tables: Int, bitsPerTable: Int, dim: Int = DefaultDim): Column =
+  def srpBuckets(v: Column, tables: Int, bitsPerTable: Int, dim: Int = DefaultDim): Column = {
+    require(bitsPerTable <= 56, "bit key must fit below the table-index byte")
     array((0 until tables).map { t =>
       val key = (0 until bitsPerTable).foldLeft(lit(0L)) { (acc, b) =>
         acc * 2 + when(planeDot(v, t * bitsPerTable + b, dim) > 0, 1L).otherwise(0L)
       }
-      struct(lit(t).as("t"), key.as("key"))
+      lit(t.toLong << 56) + key
     }: _*)
+  }
 
-  /** LSH ANN: bucket corpus and queries, candidate pairs from the bucket
-    * equi-join, exact cosine + rank on candidates only.
+  /** Corpus-scaled SRP selectivity for clustered corpora:
+    * `bits ≈ log2(n / targetBucketSize)` keeps expected bucket occupancy
+    * near `targetBucketSize` so candidate volume stays subquadratic.
+    * NOTE the defaults used by q24/q28 are deliberately NOT corpus-scaled:
+    * on this synthetic near-uniform corpus (top-10 neighbor cosines 0.26 –
+    * 0.49, i.e. barely above background) higher selectivity collapses
+    * recall — measured on the real data: 12+ bits → recall ≈ 0.1; the
+    * recall-1.0 frontier is (3 bits, 24 tables) at ~3× brute-force
+    * candidate volume. Pruning beyond brute force at recall ≥ 0.9 is
+    * information-theoretically unavailable on structureless data; on
+    * clustered data (where near-dup thresholds live in practice) the same
+    * operator with `srpBitsFor`-sized params is subquadratic — see the
+    * clustered-corpus test in SimilarityOpsSpec.
+    */
+  def srpBitsFor(corpusSize: Long, targetBucketSize: Long = 64): Int =
+    math.max(1, math.round(
+      math.log((corpusSize.toDouble / targetBucketSize).max(2)) / math.log(2)).toInt)
+
+  /** LSH ANN: bucket corpus and queries, exact cosine computed INLINE on
+    * the bucket equi-join output (vectors ride the narrow bucket shuffle;
+    * nothing re-joins vectors afterward), cross-table duplicates collapsed
+    * by a groupBy max — one narrow shuffle after the join instead of the
+    * old distinct + two vector re-joins.
     */
   def annTopKLsh(
       c: DataFrame,
@@ -108,22 +139,24 @@ object SimilarityOps {
       tables: Int = 24,
       bitsPerTable: Int = 3,
       dim: Int = DefaultDim): DataFrame = {
-    val cB = c.select(col("vec_id"), col("v"),
-      explode(srpBuckets(col("v"), tables, bitsPerTable, dim)).as("bucket"))
-      .select(col("vec_id"), col("bucket"))
-    val qB = q.select(col("query_id"),
-      explode(srpBuckets(col("qv"), tables, bitsPerTable, dim)).as("bucket"))
-      .select(col("query_id"), col("bucket"))
-    val candidates = qB.join(cB, qB("bucket") === cB("bucket") &&
-        col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"))
-      .distinct()
+    val cB = c.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("v"), col("v_norm"),
+        explode(srpBuckets(col("v"), tables, bitsPerTable, dim)).as("bucket"))
+    val qB = q.withColumn("qv_norm", sqrt(dot(col("qv"), col("qv"))))
+      .select(col("query_id"), col("qv"), col("qv_norm"),
+        explode(srpBuckets(col("qv"), tables, bitsPerTable, dim)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    candidates
-      .join(q.withColumn("qv_norm", sqrt(dot(col("qv"), col("qv")))), Seq("query_id"))
-      .join(c.withColumn("v_norm", sqrt(dot(col("v"), col("v")))), Seq("vec_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qv_norm") * col("v_norm")))
+    // merge hint: the planner's broadcast-hash pick for this shape measures
+    // 3-5x slower than sort-merge (the bucket key is low-cardinality and
+    // heavily duplicated — SMJ streams each bucket's pair block through
+    // codegen; BHJ re-probes a 250-deep hash chain per row)
+    qB.hint("merge")
+      .join(cB.hint("merge"),
+        qB("bucket") === cB("bucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qv_norm") * col("v_norm"))).as("cos"))
+      .groupBy(col("query_id"), col("vec_id")).agg(max(col("cos")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"))
@@ -158,9 +191,16 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Scale path for cosine near-dup: SRP-LSH bucket equi-join candidates,
-    * exact cosine verification — subquadratic candidate volume, recall
-    * governed by (tables, bitsPerTable) exactly as in `annTopKLsh`.
+  /** Scale path for cosine near-dup: SRP-LSH bucket equi-join with the
+    * vectors carried through the (narrow: tables × corpus rows) bucket
+    * shuffle, exact cosine + threshold filter computed INLINE on the join
+    * output — colliding pairs never materialize past the codegen pipeline,
+    * and the cross-table `distinct` runs on the tiny surviving pair set
+    * instead of the full candidate volume. Both join sides are the same
+    * subplan, so the second bucket shuffle is a ReusedExchange. Recall is
+    * governed by (tables, bitsPerTable) exactly as in `annTopKLsh`;
+    * defaults measure recall 1.0 at threshold 0.4 on the test corpus (see
+    * `srpBitsFor` for why they are not more selective).
     */
   def cosineNearDupLsh(
       c: DataFrame,
@@ -168,27 +208,53 @@ object SimilarityOps {
       tables: Int = 24,
       bitsPerTable: Int = 3,
       dim: Int = DefaultDim): DataFrame = {
-    val cB = c.select(col("vec_id"),
-      explode(srpBuckets(col("v"), tables, bitsPerTable, dim)).as("bucket"))
-    val candidates = cB.as("a")
-      .join(cB.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    // normalize once per row so the pair test is a bare dot product, and
+    // evaluate it INSIDE the join condition: losing pairs are rejected
+    // during the hash probe and never copied into output rows (measured
+    // ~3x over join-then-filter, which materializes every colliding pair
+    // with both vectors). The norm is bound in a prior projection — an
+    // expression inside the transform lambda is re-evaluated per element
+    // (the lambda-recompute hazard).
+    val cB = c.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("v_norm")).as("nv"),
+        explode(srpBuckets(col("v"), tables, bitsPerTable, dim)).as("bucket"))
+    // merge hint: see annTopKLsh — SMJ streams bucket blocks through
+    // codegen where the planner's broadcast-hash pick measures 3-5x slower
+    cB.as("a").hint("merge")
+      .join(cB.as("b").hint("merge"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id") &&
+          dot(col("a.nv"), col("b.nv")) >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val cN = c.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
-    val left = cN.select(col("vec_id").as("vec_a"), col("v").as("va"), col("v_norm").as("va_norm"))
-    val right = cN.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("v_norm").as("vb_norm"))
-    candidates.join(left, Seq("vec_a")).join(right, Seq("vec_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("va_norm") * col("vb_norm")))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Candidate volume of the SRP bucket join — the quantity the
+    * (tables, bitsPerTable) trade-off controls, exposed for the guard
+    * tests. `workRows` counts join output rows (each pays one inline
+    * cosine; cross-table collisions count once per table), `distinctPairs`
+    * counts unique candidate pairs.
+    */
+  private[graft] final case class CandidateStats(workRows: Long, distinctPairs: Long)
+
+  private[graft] def srpCandidateStats(
+      c: DataFrame, tables: Int, bitsPerTable: Int, dim: Int = DefaultDim): CandidateStats = {
+    val cB = c.select(col("vec_id"),
+      explode(srpBuckets(col("v"), tables, bitsPerTable, dim)).as("bucket"))
+    val joined = cB.as("a").join(cB.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    CandidateStats(joined.count(), joined.distinct().count())
+  }
+
   /** q28: cosine near-dup pairs at >= 0.4 (the corpus' near-random
-    * embeddings top out near 0.48, so the threshold sits in populated
-    * range while staying far from any rank boundary noise).
+    * embeddings top out near 0.51, so the threshold sits in populated
+    * range while staying far from any rank boundary noise). Registered on
+    * the LSH path — the plan a 100 TB run needs (bucket equi-join, no
+    * nested-loop/cartesian) — with parameters whose measured recall vs the
+    * exact all-pairs oracle is 1.0 at both sf0.01 and sf0.1.
     */
   def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame =
-    cosineNearDup(corpus(spark, dir), 0.4)
+    cosineNearDupLsh(corpus(spark, dir), 0.4)
 }

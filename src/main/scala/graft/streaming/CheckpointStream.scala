@@ -63,17 +63,35 @@ object CheckpointStream {
       StructField("value", DoubleType),
       StructField("props", StringType)))
 
-  /** Detect the feed's timestamp physical type from the files already
-    * present (cheap footer-only batch read); a stream's explicit schema
-    * must match the parquet physical type or every read fails. Defaults to
-    * TimestampType when the directory is still empty.
+  /** The IDE checkpoint feed's wire shape (SURVEY §2.1 S2) — a DIFFERENT
+    * schema from the agents feed, mirrored from the reference's
+    * `ide-schema.sql:1-16`: text ids, a TEXT `checkpoint_ts` the reference
+    * casts per query (`timestamptz(c.checkpoint_ts)`,
+    * `dao/IdeCheckpointDao.java:62,90`), a binary blob, and `task_path` as
+    * the task key.
     */
-  def feedSchemaFor(spark: SparkSession, sourceDir: String): StructType = {
-    val tsType =
-      try spark.read.parquet(sourceDir).schema("ts").dataType
-      catch { case _: Throwable => TimestampType }
-    eventsSchema(tsType)
-  }
+  val ideSchema: StructType = StructType(Seq(
+    StructField("thread_id", StringType),
+    StructField("prompt_id", StringType),
+    StructField("session_id", StringType),
+    StructField("checkpoint_ts", StringType),
+    StructField("checkpoint_id", StringType),
+    StructField("blob", BinaryType),
+    StructField("task_path", StringType)))
+
+  /** Detect the feed's wire shape from the files already present (cheap
+    * footer-only batch read): an `ide_checkpoints`-shaped feed is recognized
+    * by its `thread_id` column; otherwise the agents event shape, with the
+    * timestamp physical type sniffed (a stream's explicit schema must match
+    * the parquet physical type or every read fails). Defaults to the agents
+    * shape when the directory is still empty.
+    */
+  def feedSchemaFor(spark: SparkSession, sourceDir: String): StructType =
+    try {
+      val s = spark.read.parquet(sourceDir).schema
+      if (s.fieldNames.contains("thread_id")) ideSchema
+      else eventsSchema(s("ts").dataType)
+    } catch { case _: Throwable => eventsSchema() }
 
   private def toCheckpoint(e: EventRow): CheckpointData =
     CheckpointData(
@@ -148,6 +166,34 @@ object CheckpointStream {
       col("props"))
       .as[EventRow]
   }
+
+  /** Normalize an `ide_checkpoints`-shaped feed (see `ideSchema`) to
+    * EventRow. The TEXT `checkpoint_ts` is cast to a timestamp exactly once
+    * here — the reference repeats `timestamptz(...)` in every query and its
+    * row mappers disagree on the column's name (wart W3,
+    * `IdeCheckpointDao.java:135` reads `checkpoint_timestamp`); naming and
+    * casting in one projection fixes that class of bug by construction.
+    * Non-numeric thread/checkpoint ids are keyed by their 64-bit hash
+    * (documented narrowing: the engine's session key is numeric).
+    */
+  def toEventRowsIde(df: DataFrame): Dataset[EventRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      coalesce(expr("try_cast(thread_id AS long)"), xxhash64(col("thread_id")))
+        .as("user_id"),
+      col("task_path").as("task_id"),
+      coalesce(expr("try_cast(checkpoint_id AS long)"), xxhash64(col("checkpoint_id")))
+        .as("event_id"),
+      unix_micros(col("checkpoint_ts").cast(TimestampType)).as("ts_us"),
+      col("blob").cast(StringType).as("props"))
+      .as[EventRow]
+  }
+
+  /** Shape-dispatch: map a raw feed DataFrame to EventRow by its schema. */
+  def normalizeFeed(df: DataFrame): Dataset[EventRow] =
+    if (df.schema.fieldNames.contains("thread_id")) toEventRowsIde(df)
+    else toEventRows(df)
 
   /** Number of hash partitions the session sink is laid out in. Sized so a
     * micro-batch's touched buckets (and their rewrite I/O) stay a small
@@ -262,7 +308,7 @@ object CheckpointStream {
       .schema(feedSchemaFor(spark, sourceDir))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
-    val outs = toEventRows(raw)
+    val outs = normalizeFeed(raw)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionStateFunc)

@@ -33,7 +33,7 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("cosine near-dup LSH recalls >= 0.9 of exact pairs, no cartesian") {
+  test("cosine near-dup LSH == exact pairs at the oracle threshold, no cartesian") {
     import org.apache.spark.sql.functions.col
     val c = graft.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -42,12 +42,65 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val lsh = SimilarityOps.cosineNearDupLsh(c, 0.4)
     val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
-    val recall = (exact intersect got).size.toDouble / exact.size
-    assert(recall >= 0.9, s"recall=$recall missing=${(exact -- got).take(5)}")
-    // LSH never returns a pair the exact form rejects (verification is exact)
-    assert((got -- exact).isEmpty)
+    // q28 registers the LSH path against an exact all-pairs oracle, so
+    // measured recall must be exactly 1.0 (and verification is exact, so
+    // no false pairs either)
+    assert(got == exact,
+      s"missing=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
     val plan = lsh.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("registered q28 runs the bucket-join plan (no BNLJ/cartesian)") {
+    val plan = graft.SparkEntry.queries("q28_cosine_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("candidate-volume guard: defaults stay within the measured frontier") {
+    import org.apache.spark.sql.functions.col
+    val c = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = c.count()
+    val brute = n * (n - 1) / 2
+    val cand = SimilarityOps.srpCandidateStats(c, tables = 24, bitsPerTable = 3)
+    // on this structureless corpus the recall-1.0 frontier measures ~3x
+    // brute work (see srpBitsFor scaladoc); the guard catches regressions
+    // to parameters that generate even more
+    assert(cand.workRows <= 4 * brute, s"candidates=$cand brute=$brute")
+  }
+
+  test("clustered corpus: corpus-sized bits give subquadratic candidates at full recall") {
+    import spark.implicits._
+    // 20 tight clusters x 50 points: within-cluster cosine ~0.99 (the
+    // regime real near-dup corpora live in), cross-cluster ~uniform
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(20)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = for {
+      cl <- 0 until 20; i <- 0 until 50
+    } yield {
+      val v = centers(cl).map(x => x + rnd.nextGaussian() * 0.05)
+      (cl.toLong * 50 + i, v.toSeq)
+    }
+    val c = rows.toDF("vec_id", "v")
+    val n = rows.size.toLong
+    val brute = n * (n - 1) / 2
+    // target bucket ~ the dup-group scale, not the cluster scale: near-dup
+    // verification only needs dup candidates co-bucketed
+    val bits = SimilarityOps.srpBitsFor(n, targetBucketSize = 2)
+    val cand = SimilarityOps.srpCandidateStats(c, tables = 8, bitsPerTable = bits)
+    assert(cand.distinctPairs < brute / 4,
+      s"candidates=$cand brute=$brute bits=$bits")
+    assert(cand.workRows < brute,
+      s"work exceeded brute force on clustered data: $cand vs $brute")
+    val exact = SimilarityOps.cosineNearDup(c, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SimilarityOps.cosineNearDupLsh(c, 0.9, tables = 8, bitsPerTable = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(got == exact,
+      s"clustered recall broke: missing=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
   }
 
   test("every query returns a full, deduplicated top-10") {

@@ -37,8 +37,9 @@ class LookupSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("graft_sink_").toString + "/sink"
     assert(SchemaInit.ensureSinkTable(spark, path))
     val df = spark.read.parquet(path)
+    // core columns + the sink's physical `bucket` partition column
     assert(df.schema.fieldNames.toSeq ==
-      Seq("user_id", "task_id", "event_id", "ts_us", "payload", "seq"))
+      Seq("user_id", "task_id", "event_id", "ts_us", "payload", "seq", "bucket"))
     assert(df.count() == 0)
     assert(!SchemaInit.ensureSinkTable(spark, path)) // idempotent
   }

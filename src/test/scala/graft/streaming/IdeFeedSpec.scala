@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** S2: the IDE checkpoint feed as a DISTINCT wire shape (reference
+  * `ide-schema.sql:1-16` — text ids, TEXT `checkpoint_ts`, binary blob,
+  * `task_path`), mapped through `toEventRowsIde` and auto-detected by the
+  * streaming source. Parity is asserted against the agents-shaped feed
+  * carrying the same logical events.
+  */
+class IdeFeedSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  /** Re-shape the sf0.001 events into the reference's ide_checkpoints
+    * schema: numeric ids become text, the event time becomes a TEXT
+    * timestamp (the shape wart W3 revolves around), props become a bytea
+    * blob, the task key moves to `task_path`.
+    */
+  private def ideShaped = Tables.events(spark, "/root/testdata/sf0.001").select(
+    col("user_id").cast("string").as("thread_id"),
+    concat(lit("prompt-"), col("event_id")).as("prompt_id"),
+    col("user_id").cast("string").as("session_id"),
+    col("ts").cast("string").as("checkpoint_ts"),
+    col("event_id").cast("string").as("checkpoint_id"),
+    encode(col("props"), "UTF-8").as("blob"),
+    when(col("event_type") === "signup", lit("__start__"))
+      .otherwise(col("event_type")).as("task_path"))
+
+  test("toEventRowsIde == toEventRows on the same logical events (text-ts cast)") {
+    val viaIde = CheckpointStream.toEventRowsIde(ideShaped).toDF()
+    val viaEvents = CheckpointStream.toEventRows(
+      Tables.events(spark, "/root/testdata/sf0.001")).toDF()
+    assert(viaIde.count() > 0)
+    assert(viaIde.exceptAll(viaEvents).isEmpty && viaEvents.exceptAll(viaIde).isEmpty,
+      "IDE-shaped feed did not normalize to the same EventRows")
+  }
+
+  test("non-numeric ids fall back to stable 64-bit hash keys") {
+    import spark.implicits._
+    val df = Seq(("th-abc", "p", "s", "1970-01-01 00:00:00.001", "cp-9", "x".getBytes, "t"))
+      .toDF("thread_id", "prompt_id", "session_id", "checkpoint_ts", "checkpoint_id", "blob", "task_path")
+    val rows = CheckpointStream.toEventRowsIde(df).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.ts_us == 1000L && r.props == "x" && r.task_id == "t")
+    // keys are the xxhash64 of the text ids — deterministic across runs
+    val expected = df.select(xxhash64(col("thread_id")), xxhash64(col("checkpoint_id")))
+      .head
+    assert(r.user_id == expected.getLong(0) && r.event_id == expected.getLong(1))
+  }
+
+  test("streaming auto-detects the IDE wire shape; sink matches the agents-feed backfill") {
+    val base = Files.createTempDirectory("graft_ide_").toString
+    // one file/batch: arrival order must respect event time (the CDC feed's
+    // property); multi-batch cadence is covered by StreamingParitySpec
+    ideShaped.coalesce(1).write.parquet(s"$base/feed")
+    val q = CheckpointStream.run(
+      spark, s"$base/feed", s"$base/ckpt", s"$base/sink", maxFilesPerTrigger = 64)
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    val streamed = spark.read.parquet(s"$base/sink")
+      .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    val batch = CheckpointStream.backfill(
+      spark, Tables.events(spark, "/root/testdata/sf0.001")).toDF()
+      .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "IDE-shaped streaming sink != agents-feed batch backfill")
+  }
+}
