@@ -53,6 +53,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaPipeline.exceptAll(viaBatch).isEmpty &&
       viaBatch.exceptAll(viaPipeline).isEmpty)
 
+    // D13 end-to-end: both feeds persisted their diff documents, and every
+    // diff row carries well-formed wire JSON with its sequence number
+    for (diffDir <- Seq(s"$base/work/diffs_cdc", s"$base/work/diffs_ide")) {
+      val diffs = spark.read.parquet(diffDir)
+      assert(diffs.count() > 0, s"$diffDir is empty")
+      val bad = diffs.filter(
+        get_json_object(col("diff_json"), "$.sequenceNumber") =!= col("seq") ||
+          get_json_object(col("diff_json"), "$.diffData").isNull)
+      assert(bad.isEmpty, bad.limit(3).collect().mkString(", "))
+    }
+
     // the report landed as ctx on its session, stamped seq+1
     val ctxRows = out.filter(col("user_id") === someUser)
       .select(col("seq"), explode(col("ctx")).as("c")).collect()
