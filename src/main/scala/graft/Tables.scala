@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table loaders for the driver-provided parquet testdata
   * (`/root/testdata/sf*`, see TESTDATA.md). Every query function takes the
@@ -17,11 +17,16 @@ object Tables {
     * TimestampType). The ns longs are floor-divided to microseconds here —
     * bit-identical to DuckDB's truncating read of the same file — so every
     * downstream comparison and window ordering agrees across engines.
+    * Files written by other engines (e.g. DuckDB COPY) may carry
+    * TIMESTAMP_NTZ, which `unix_micros` rejects — normalized to TIMESTAMP
+    * under the session's UTC zone.
     */
   private def normalizeNanos(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")

@@ -154,9 +154,11 @@ object CheckpointStream {
   def toEventRows(df: DataFrame): Dataset[EventRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val tsUs =
-      if (df.schema("ts").dataType == LongType) expr("ts div 1000")
-      else unix_micros(col("ts"))
+    val tsUs = df.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _                => unix_micros(col("ts"))
+    }
     df.select(
       col("user_id"),
       when(col("event_type") === "signup", lit("__start__"))
