@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Watermarked tumbling-window aggregation over the event feed — the
+  * Structured-Streaming-native form of the relational time-bucket rollup
+  * (q15): per (window, event_type) counts and value sums, with late data
+  * beyond the watermark dropped and each window appended to the sink
+  * exactly once when it finalizes.
+  *
+  * Scale shape: one shuffle on (window, event_type); state is bounded by
+  * open windows × types (watermark advancement retires state); map-side
+  * partial aggregation applies exactly as in the batch form.
+  *
+  * Append-mode semantics worth knowing: a window only reaches the sink
+  * once the watermark passes its end, so when a bounded run drains
+  * (AvailableNow), trailing windows within `watermark` of the max event
+  * time remain open in state and are NOT emitted — the parity test
+  * asserts exactly that boundary.
+  */
+object EventWindows {
+
+  /** Normalize the agents feed's `ts` to TimestampType (ns-long and NTZ
+    * variants included), keeping the aggregation columns.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    val ts = df.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
+    df.select(ts.as("ts"), col("event_type"), col("value"))
+  }
+
+  /** The batch-equivalent aggregation, for parity checks and reuse. */
+  def windowedStats(events: DataFrame, windowDur: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Run the watermarked stream: parquet agents feed → event-time tumbling
+    * windows → append-only parquet sink of finalized windows.
+    */
+  def run(
+      spark: SparkSession,
+      sourceDir: String,
+      checkpointDir: String,
+      sinkDir: String,
+      windowDur: String = "1 hour",
+      watermark: String = "30 minutes",
+      maxFilesPerTrigger: Int = 1,
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(CheckpointStream.feedSchemaFor(spark, sourceDir))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val events = normalizeTs(raw).withWatermark("ts", watermark)
+    val writer = windowedStats(events, windowDur).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", sinkDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+  }
+}
