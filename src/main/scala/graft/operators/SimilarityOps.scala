@@ -93,12 +93,21 @@ object SimilarityOps {
     * packed into the top byte of a single LONG (buckets never collide
     * across tables) — a primitive join key hashes/compares several times
     * faster than a struct on the bucket equi-join's millions of probes.
-    * Hyperplanes are literal constants; each key is `bitsPerTable`
-    * codegen'd dot products. `dim` MUST cover the vectors' dimensionality —
-    * components past `dim` would be silently ignored by the truncating dot
-    * product, collapsing recall. Requires bitsPerTable <= 56.
+    * Runs as the native `functions.SrpBuckets` expression: one pass over a
+    * flat plane matrix instead of tables×bits literal-array dot products
+    * (parity-tested against the builtin form below). `dim` MUST equal the
+    * vectors' dimensionality — a mismatch nulls every plane dot, which
+    * collapses all keys to zero bits (everything collides; recall survives,
+    * pruning dies). Requires bitsPerTable <= 56.
     */
-  def srpBuckets(v: Column, tables: Int, bitsPerTable: Int, dim: Int = DefaultDim): Column = {
+  def srpBuckets(v: Column, tables: Int, bitsPerTable: Int, dim: Int = DefaultDim): Column =
+    graft.functions.SrpBuckets(v, tables, bitsPerTable, dim)
+
+  /** Pure-builtin reference form of the bucket keys (slow path; kept as
+    * the parity-test oracle for the native expression).
+    */
+  private[graft] def srpBucketsBuiltins(
+      v: Column, tables: Int, bitsPerTable: Int, dim: Int = DefaultDim): Column = {
     require(bitsPerTable <= 56, "bit key must fit below the table-index byte")
     array((0 until tables).map { t =>
       val key = (0 until bitsPerTable).foldLeft(lit(0L)) { (acc, b) =>
