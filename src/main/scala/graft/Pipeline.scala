@@ -63,10 +63,11 @@ object Pipeline {
       case None => cdc
     }
 
-    // S5 + D12: read-once report ingest, ctx left-joined onto sessions
+    // S5 + D12: read-once report ingest (distributed — content never
+    // touches the driver), ctx left-joined onto sessions
     val enriched = config.reportDir match {
       case Some(dir) =>
-        val reports = Enrichment.ingestReports(
+        val reports = Enrichment.ingestReportsDistributed(
           spark, dir, s"${config.workDir}/reports_archive")
         Enrichment.attachContext(
           sessions.withColumn("session_id", col("user_id").cast("string")),

@@ -70,6 +70,44 @@ object Enrichment {
       Files.walk(p).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
     }
 
+  /** S5 at scale: the same read-once contract with the CONTENT never
+    * touching the driver — a distributed `binaryFile` scan keyed by path
+    * (executors read the files), materialized via `localCheckpoint` so the
+    * archive move can't invalidate the lazy read, then the session dirs are
+    * moved aside (driver touches directory entries only, O(sessions)).
+    * Result is row-identical to `ingestReports` (parity-tested).
+    */
+  def ingestReportsDistributed(
+      spark: SparkSession, reportDir: String, archiveDir: String): DataFrame = {
+    import spark.implicits._
+    val root = Paths.get(reportDir)
+    val hasData = Files.isDirectory(root) &&
+      Files.list(root).iterator().asScala.exists(Files.isDirectory(_))
+    if (!hasData) return Seq.empty[ReportRow].toDF()
+    val fsPath = new org.apache.hadoop.fs.Path(reportDir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = fs.makeQualified(fsPath).toString + "/"
+    val rows = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(reportDir)
+      .select(expr(s"substring(path, ${prefix.length + 1})").as("rel"), col("content"))
+      .select(
+        element_at(split(col("rel"), "/"), 1).as("session_id"),
+        concat(element_at(split(col("rel"), "/"), 1), lit(":"),
+          element_at(split(col("rel"), "/"), -1)).as("report_key"),
+        col("content").cast("string").as("content"))
+      .localCheckpoint(true)
+    // archive AFTER materialization: move each session dir away
+    val archive = Paths.get(archiveDir)
+    Files.createDirectories(archive)
+    Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).foreach { sessionDir =>
+      val target = archive.resolve(sessionDir.getFileName.toString)
+      deleteRecursive(target)
+      Files.move(sessionDir, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    rows
+  }
+
   /** One scanned git repository. */
   final case class GitRepoRow(
       repo_path: String, branch: String, head_commit: String, n_refs: Int)

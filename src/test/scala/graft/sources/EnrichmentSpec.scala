@@ -59,6 +59,21 @@ class EnrichmentSpec extends AnyFunSuite {
       Set("test-registration:one.txt", "test-registration:another.txt"))
   }
 
+  test("distributed ingest is row-identical to the driver-side ingest and read-once") {
+    val (reportDirA, archiveDirA) = mkFixture()
+    val (reportDirB, archiveDirB) = mkFixture()
+    val viaDriver = Enrichment.ingestReports(spark, reportDirA, archiveDirA)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val viaSpark = Enrichment.ingestReportsDistributed(spark, reportDirB, archiveDirB)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(viaSpark == viaDriver, s"driver=$viaDriver spark=$viaSpark")
+    // read-once holds for the distributed form too, and the rows survive
+    // the archive move (materialized before the source disappears)
+    assert(!Files.exists(Paths.get(reportDirB, "test-registration")))
+    assert(Enrichment.ingestReportsDistributed(spark, reportDirB, archiveDirB).count() == 0)
+    assert(Files.exists(Paths.get(archiveDirB, "test-registration", "one.txt")))
+  }
+
   test("git scan finds this repository and reads branch + HEAD") {
     val df = Enrichment.scanGitRepos(spark, Seq("/root/repo"), maxDepth = 0)
     val rows = df.collect()
