@@ -47,6 +47,7 @@ object SparkEntry {
     "q26_frames"        -> (MultimodalOps.q26Frames(_, _)),
     "q27_salted_distinct" -> (SkewOps.q27SaltedDistinct(_, _)),
     "q28_cosine_neardup" -> (SimilarityOps.q28CosineNearDup(_, _)),
+    "q29_windowed_agg"  -> (graft.streaming.EventWindows.q29WindowedAgg(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -253,5 +254,14 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Hourly windows align to :00 in both engines (epoch and DuckDB's
+    // time_bucket origin are both on the hour), so the bounds agree.
+    "q29_windowed_agg" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+        |  epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS we_us,
+        |  event_type, count(*) AS n_events,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY ws_us, event_type""".stripMargin,
   )
 }

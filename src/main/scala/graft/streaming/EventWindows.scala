@@ -35,13 +35,29 @@ object EventWindows {
     df.select(ts.as("ts"), col("event_type"), col("value"))
   }
 
-  /** The batch-equivalent aggregation, for parity checks and reuse. */
+  /** The batch-equivalent aggregation, for parity checks and reuse. The
+    * sum accumulates in DECIMAL (exact, order-independent) and casts to
+    * double at the end — double accumulation order varies per run/engine,
+    * which would break cross-engine value comparison.
+    */
   def windowedStats(events: DataFrame, windowDur: String): DataFrame =
     events
       .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** q29: the oracle-checked batch form — hourly event-time windows per
+    * type, window bounds exposed as epoch micros (timestamps hash
+    * differently across engines; micros do not).
+    */
+  def q29WindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    windowedStats(normalizeTs(graft.Tables.events(spark, dir)), "1 hour")
+      .select(unix_micros(col("window_start")).as("ws_us"),
+        unix_micros(col("window_end")).as("we_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("ws_us"), col("event_type"))
 
   /** Run the watermarked stream: parquet agents feed → event-time tumbling
     * windows → append-only parquet sink of finalized windows.
