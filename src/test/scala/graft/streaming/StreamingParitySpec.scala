@@ -106,6 +106,28 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(!bak.exists, "backup dir should be cleared after recovery")
   }
 
+  test("upsert property: random batch sequences resolve to last-write-per-session") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val sink = Files.createTempDirectory("graft_upsert_prop_").toString + "/sink"
+    // model: the sink must always equal the latest batch's rows per user
+    var model = Map.empty[Long, Seq[CheckpointStream.SessionFlat]]
+    for (batchNo <- 1 to 5) {
+      val users = rnd.shuffle((1L to 9L).toVector).take(1 + rnd.nextInt(4))
+      val batch = users.flatMap { u =>
+        (0 to rnd.nextInt(2)).map(i =>
+          CheckpointStream.SessionFlat(u, s"t$i", batchNo * 100L + i, batchNo * 1000L,
+            s"b$batchNo-u$u-$i", batchNo))
+      }
+      model = model ++ batch.groupBy(_.user_id).view.mapValues(_.toSeq).toMap
+      CheckpointStream.upsert(batch.toDF(), sink)
+      val got = spark.read.parquet(sink).as[CheckpointStream.SessionFlat]
+        .collect().toSet
+      assert(got == model.values.flatten.toSet,
+        s"batch $batchNo: sink diverged from last-write model\n got=$got\n exp=${model.values.flatten.toSet}")
+    }
+  }
+
   test("upsert sink is idempotent: re-upserting the same batch is a no-op") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_upsert_").toString + "/sink"
