@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -12,21 +12,27 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Sessions reading the ns-precision `events` table must set
-    * spark.sql.legacy.parquet.nanosAsLong=true (Spark has no nanosecond
-    * TimestampType). The ns longs are floor-divided to microseconds here —
-    * bit-identical to DuckDB's truncating read of the same file — so every
-    * downstream comparison and window ordering agrees across engines.
-    * Files written by other engines (e.g. DuckDB COPY) may carry
-    * TIMESTAMP_NTZ, which `unix_micros` rejects — normalized to TIMESTAMP
-    * under the session's UTC zone.
+  /** THE ts-shape dispatch, shared by every event-feed consumer (batch
+    * loader, streaming normalizer, windowed aggregation) so a new feed
+    * variant is handled in exactly one place. Returns the micros-since-
+    * epoch expression for a `ts` column of any supported physical shape:
+    *  - ns-long (spark.sql.legacy.parquet.nanosAsLong=true; Spark has no
+    *    nanosecond TimestampType): floor-divided to µs — bit-identical to
+    *    DuckDB's truncating read of the same file;
+    *  - TIMESTAMP_NTZ (files written by other engines, e.g. DuckDB COPY),
+    *    which `unix_micros` rejects: cast under the session's UTC zone;
+    *  - TIMESTAMP: read directly.
     */
-  private def normalizeNanos(df: DataFrame): DataFrame =
+  def tsMicros(df: DataFrame): Column =
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _                => unix_micros(col("ts"))
     }
+
+  private def normalizeNanos(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == TimestampType) df
+    else df.withColumn("ts", timestamp_micros(tsMicros(df)))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")

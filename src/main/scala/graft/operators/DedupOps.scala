@@ -180,10 +180,17 @@ object DedupOps {
     * 16-bit chunks: by pigeonhole any pair at Hamming distance ≤ 3 shares at
     * least one chunk, so the chunk equi-join is exact for distance ≤ 3 (and
     * a high-recall candidate filter beyond). bit_count(a XOR b) verifies.
+    *
+    * Documents with fewer than n words have ZERO shingles (oracle-parity
+    * semantics of `shingles`), which would all fold to fingerprint 0 and
+    * read as mutual hamming-0 "duplicates" — no shingle evidence means no
+    * similarity claim, so such docs are excluded from pairing here.
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), simhash(shingles(col("text"))).as("fp"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), simhash(col("sh")).as("fp"))
     val chunked = fp.withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", struct(col("chunk_idx"),
         expr("shiftright(fp, chunk_idx * 16) & 65535")))

@@ -41,7 +41,7 @@ object Enrichment {
     val rows: Seq[ReportRow] =
       if (!Files.isDirectory(root)) Seq.empty
       else {
-        val sessionDirs = Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toVector
+        val sessionDirs = listDir(root).filter(Files.isDirectory(_))
         sessionDirs.flatMap { sessionDir =>
           val sessionId = sessionDir.getFileName.toString
           Files.walk(sessionDir).iterator().asScala
@@ -56,7 +56,7 @@ object Enrichment {
     if (Files.isDirectory(root)) {
       val archive = Paths.get(archiveDir)
       Files.createDirectories(archive)
-      Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).foreach { sessionDir =>
+      listDir(root).filter(Files.isDirectory(_)).foreach { sessionDir =>
         val target = archive.resolve(sessionDir.getFileName.toString)
         deleteRecursive(target)
         Files.move(sessionDir, target, StandardCopyOption.REPLACE_EXISTING)
@@ -70,19 +70,34 @@ object Enrichment {
       Files.walk(p).iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists(_))
     }
 
+  /** List a directory's entries eagerly, closing the underlying
+    * DirectoryStream (a bare `Files.list` leaks the handle until GC).
+    */
+  private def listDir(p: Path): Vector[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   /** S5 at scale: the same read-once contract with the CONTENT never
     * touching the driver — a distributed `binaryFile` scan keyed by path
     * (executors read the files), materialized via `localCheckpoint` so the
     * archive move can't invalidate the lazy read, then the session dirs are
     * moved aside (driver touches directory entries only, O(sessions)).
-    * Result is row-identical to `ingestReports` (parity-tested).
+    * Files sitting directly under `reportDir` (not inside a session dir)
+    * are ignored, exactly as in the driver-side form — result is
+    * row-identical to `ingestReports` (parity-tested).
+    *
+    * Reliability note: `localCheckpoint` blocks live on executors — if one
+    * dies between materialization and downstream consumption the rows are
+    * gone (lineage is truncated and the source was archived). Acceptable
+    * for single-JVM/local runs; a cluster deployment should land the scan
+    * in a scratch table (write+read) before archiving instead.
     */
   def ingestReportsDistributed(
       spark: SparkSession, reportDir: String, archiveDir: String): DataFrame = {
     import spark.implicits._
     val root = Paths.get(reportDir)
-    val hasData = Files.isDirectory(root) &&
-      Files.list(root).iterator().asScala.exists(Files.isDirectory(_))
+    val hasData = Files.isDirectory(root) && listDir(root).exists(Files.isDirectory(_))
     if (!hasData) return Seq.empty[ReportRow].toDF()
     val fsPath = new org.apache.hadoop.fs.Path(reportDir)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,6 +106,9 @@ object Enrichment {
       .option("recursiveFileLookup", "true")
       .load(reportDir)
       .select(expr(s"substring(path, ${prefix.length + 1})").as("rel"), col("content"))
+      // session-scoped files only: a stray root-level file has no "/" and
+      // would otherwise masquerade as its own session (and never archive)
+      .filter(col("rel").contains("/"))
       .select(
         element_at(split(col("rel"), "/"), 1).as("session_id"),
         concat(element_at(split(col("rel"), "/"), 1), lit(":"),
@@ -100,7 +118,7 @@ object Enrichment {
     // archive AFTER materialization: move each session dir away
     val archive = Paths.get(archiveDir)
     Files.createDirectories(archive)
-    Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).foreach { sessionDir =>
+    listDir(root).filter(Files.isDirectory(_)).foreach { sessionDir =>
       val target = archive.resolve(sessionDir.getFileName.toString)
       deleteRecursive(target)
       Files.move(sessionDir, target, StandardCopyOption.REPLACE_EXISTING)

@@ -154,11 +154,7 @@ object CheckpointStream {
   def toEventRows(df: DataFrame): Dataset[EventRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val tsUs = df.schema("ts").dataType match {
-      case LongType         => expr("ts div 1000")
-      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
-      case _                => unix_micros(col("ts"))
-    }
+    val tsUs = graft.Tables.tsMicros(df) // one shared ts-shape dispatch
     df.select(
       col("user_id"),
       when(col("event_type") === "signup", lit("__start__"))
@@ -203,18 +199,28 @@ object CheckpointStream {
     */
   val SinkBuckets = 64
 
+  /** Hadoop rename returns false instead of throwing on many failures
+    * (dest exists, I/O error); in this promote protocol an unnoticed
+    * failed rename means silent data loss, so every rename is checked.
+    */
+  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   /** Restore any interrupted upsert: a leftover `.bak` dir holds original
     * bucket partitions whose replacement may not have completed. For each
     * backed-up bucket: if the sink is missing it, move it back (the new
     * version never landed); if the sink has it, the promote completed and
     * the backup is redundant. Idempotent — safe to re-run after a crash at
-    * any point of this method itself.
+    * any point of this method itself; a failed restore rename throws
+    * BEFORE the backup dir is dropped, so the data survives for the next
+    * attempt.
     */
   private def recoverBackup(fs: FileSystem, sink: Path, bak: Path): Unit =
     if (fs.exists(bak)) {
       fs.listStatus(bak).foreach { st =>
         val dest = new Path(sink, st.getPath.getName)
-        if (!fs.exists(dest)) { fs.mkdirs(sink); fs.rename(st.getPath, dest) }
+        if (!fs.exists(dest)) { fs.mkdirs(sink); renameOrThrow(fs, st.getPath, dest) }
         else fs.delete(st.getPath, true)
       }
       fs.delete(bak, true)
@@ -269,12 +275,12 @@ object CheckpointStream {
     merged.write.partitionBy("bucket").parquet(tmpPath.toString)
     fs.mkdirs(bakPath)
     touchedExisting.foreach { b =>
-      fs.rename(new Path(sinkPath, s"bucket=$b"), new Path(bakPath, s"bucket=$b"))
+      renameOrThrow(fs, new Path(sinkPath, s"bucket=$b"), new Path(bakPath, s"bucket=$b"))
     }
     fs.mkdirs(sinkPath)
     touched.foreach { b =>
       val t = new Path(tmpPath, s"bucket=$b")
-      if (fs.exists(t)) fs.rename(t, new Path(sinkPath, s"bucket=$b"))
+      if (fs.exists(t)) renameOrThrow(fs, t, new Path(sinkPath, s"bucket=$b"))
     }
     fs.delete(bakPath, true)
     fs.delete(tmpPath, true)
@@ -338,10 +344,12 @@ object CheckpointStream {
   /** E2 as a standalone batch job (same engine path as `run`, no streaming
     * machinery): replay every session's full history and emit the flattened
     * final states AND every diff along the way, as tagged StreamOut rows.
+    * Accepts both wire shapes, exactly like the streaming path (E1 ≡ E2
+    * must hold per feed shape).
     */
   def backfillAll(spark: SparkSession, events: DataFrame): Dataset[StreamOut] = {
     import spark.implicits._
-    toEventRows(events)
+    normalizeFeed(events)
       .groupByKey(_.user_id)
       .flatMapGroups { (userId: Long, it: Iterator[EventRow]) =>
         val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Watermarked tumbling-window aggregation over the event feed — the
   * Structured-Streaming-native form of the relational time-bucket rollup
@@ -24,16 +23,12 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 object EventWindows {
 
   /** Normalize the agents feed's `ts` to TimestampType (ns-long and NTZ
-    * variants included), keeping the aggregation columns.
+    * variants included — one shared dispatch in `Tables.tsMicros`),
+    * keeping the aggregation columns.
     */
-  def normalizeTs(df: DataFrame): DataFrame = {
-    val ts = df.schema("ts").dataType match {
-      case LongType         => timestamp_micros(expr("ts div 1000"))
-      case TimestampNTZType => col("ts").cast(TimestampType)
-      case _                => col("ts")
-    }
-    df.select(ts.as("ts"), col("event_type"), col("value"))
-  }
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.select(timestamp_micros(graft.Tables.tsMicros(df)).as("ts"),
+      col("event_type"), col("value"))
 
   /** The batch-equivalent aggregation, for parity checks and reuse. The
     * sum accumulates in DECIMAL (exact, order-independent) and casts to
@@ -71,8 +66,14 @@ object EventWindows {
       watermark: String = "30 minutes",
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true): StreamingQuery = {
+    val schema = CheckpointStream.feedSchemaFor(spark, sourceDir)
+    // the windowed rollup aggregates the agents feed's value column; the
+    // IDE wire shape has none — fail loudly instead of at stream runtime
+    require(schema.fieldNames.contains("ts"),
+      s"EventWindows requires the agents feed shape (ts/event_type/value); " +
+        s"detected columns: ${schema.fieldNames.mkString(", ")}")
     val raw = spark.readStream
-      .schema(CheckpointStream.feedSchemaFor(spark, sourceDir))
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     val events = normalizeTs(raw).withWatermark("ts", watermark)

@@ -72,6 +72,19 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out(3) == Vector("alpha beta gamma", "beta gamma delta"))
   }
 
+  test("simhash near-dup never pairs shingle-less short docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two unrelated sub-n-word docs would both fingerprint to 0 without
+    // the empty-shingle exclusion, reading as a hamming-0 duplicate pair
+    val docs = Seq((1L, "hello"), (2L, "bye now"),
+      (3L, "alpha beta gamma delta epsilon"), (4L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDup(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)), pairs.toString)
+  }
+
   test("simhash hamming join runs bucketed (no cartesian)") {
     val df = DedupOps.simhashNearDup(Tables.documents(spark, sf), maxHamming = 3)
     val plan = planOf(df)

@@ -62,6 +62,10 @@ class EnrichmentSpec extends AnyFunSuite {
   test("distributed ingest is row-identical to the driver-side ingest and read-once") {
     val (reportDirA, archiveDirA) = mkFixture()
     val (reportDirB, archiveDirB) = mkFixture()
+    // a stray root-level file must be ignored by BOTH forms (it belongs to
+    // no session and the archive move wouldn't remove it)
+    Files.writeString(Paths.get(reportDirA, "stray.txt"), "not a report")
+    Files.writeString(Paths.get(reportDirB, "stray.txt"), "not a report")
     val viaDriver = Enrichment.ingestReports(spark, reportDirA, archiveDirA)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     val viaSpark = Enrichment.ingestReportsDistributed(spark, reportDirB, archiveDirB)

@@ -54,6 +54,14 @@ class IdeFeedSpec extends AnyFunSuite {
     assert(r.user_id == expected.getLong(0) && r.event_id == expected.getLong(1))
   }
 
+  test("batch backfill accepts the IDE wire shape (E2 parity per feed shape)") {
+    val viaIde = CheckpointStream.backfill(spark, ideShaped).toDF()
+    val viaEvents = CheckpointStream.backfill(
+      spark, Tables.events(spark, "/root/testdata/sf0.001")).toDF()
+    assert(viaIde.count() > 0)
+    assert(viaIde.exceptAll(viaEvents).isEmpty && viaEvents.exceptAll(viaIde).isEmpty)
+  }
+
   test("streaming auto-detects the IDE wire shape; sink matches the agents-feed backfill") {
     val base = Files.createTempDirectory("graft_ide_").toString
     // one file/batch: arrival order must respect event time (the CDC feed's
