@@ -45,9 +45,12 @@ object Pipeline {
     val cdcQuery = CheckpointStream.run(
       spark, config.cdcFeedDir, s"${config.workDir}/ckpt_cdc", cdcSink,
       maxFilesPerTrigger = 64, diffDir = Some(s"${config.workDir}/diffs_cdc"))
+    // the IDE feed's shape is known by contract — pass it explicitly so an
+    // empty-at-start directory is never misread under the agents schema
     val ideQuery = config.ideFeedDir.map(dir =>
       CheckpointStream.run(spark, dir, s"${config.workDir}/ckpt_ide", ideSink,
-        maxFilesPerTrigger = 64, diffDir = Some(s"${config.workDir}/diffs_ide")))
+        maxFilesPerTrigger = 64, diffDir = Some(s"${config.workDir}/diffs_ide"),
+        schemaHint = Some(CheckpointStream.ideSchema)))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
 

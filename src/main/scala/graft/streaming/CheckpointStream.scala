@@ -84,14 +84,17 @@ object CheckpointStream {
     * by its `thread_id` column; otherwise the agents event shape, with the
     * timestamp physical type sniffed (a stream's explicit schema must match
     * the parquet physical type or every read fails). Defaults to the agents
-    * shape when the directory is still empty.
+    * shape ONLY when the directory is still empty (narrow catch — any other
+    * failure propagates); a caller that knows its feed's shape should pass
+    * it to `run` via `schemaHint` instead of relying on sniffing, which
+    * cannot see files that arrive after the query starts.
     */
   def feedSchemaFor(spark: SparkSession, sourceDir: String): StructType =
     try {
       val s = spark.read.parquet(sourceDir).schema
       if (s.fieldNames.contains("thread_id")) ideSchema
       else eventsSchema(s("ts").dataType)
-    } catch { case _: Throwable => eventsSchema() }
+    } catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema() }
 
   private def toCheckpoint(e: EventRow): CheckpointData =
     CheckpointData(
@@ -172,19 +175,34 @@ object CheckpointStream {
     * `IdeCheckpointDao.java:135` reads `checkpoint_timestamp`); naming and
     * casting in one projection fixes that class of bug by construction.
     * Non-numeric thread/checkpoint ids are keyed by their 64-bit hash
-    * (documented narrowing: the engine's session key is numeric).
+    * (documented narrowing: the engine's session key is numeric). Hashed
+    * ids are masked into non-negative space: `f"%020d"`-formatting a
+    * negative long would yield `-000…n`, whose lexicographic order is
+    * inverted among negatives, breaking the zero-pad ==> lexicographic ==
+    * numeric tie-break invariant `latestPerTask` relies on.
+    *
+    * Malformed rows (unparseable TEXT `checkpoint_ts`, null blob) are
+    * FILTERED here rather than allowed to null a primitive field and kill
+    * the whole streaming query — one bad row must not poison the feed. At
+    * production scale the same predicate would fork a dead-letter sink;
+    * the filter is the load-bearing part.
     */
   def toEventRowsIde(df: DataFrame): Dataset[EventRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
-      coalesce(expr("try_cast(thread_id AS long)"), xxhash64(col("thread_id")))
+      coalesce(expr("try_cast(thread_id AS long)"),
+        xxhash64(col("thread_id")).bitwiseAND(lit(Long.MaxValue)))
         .as("user_id"),
       col("task_path").as("task_id"),
-      coalesce(expr("try_cast(checkpoint_id AS long)"), xxhash64(col("checkpoint_id")))
+      coalesce(expr("try_cast(checkpoint_id AS long)"),
+        xxhash64(col("checkpoint_id")).bitwiseAND(lit(Long.MaxValue)))
         .as("event_id"),
-      unix_micros(col("checkpoint_ts").cast(TimestampType)).as("ts_us"),
+      unix_micros(expr("try_cast(checkpoint_ts AS timestamp)")).as("ts_us"),
       col("blob").cast(StringType).as("props"))
+      .filter(col("ts_us").isNotNull && col("props").isNotNull &&
+        col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("task_id").isNotNull)
       .as[EventRow]
   }
 
@@ -198,6 +216,48 @@ object CheckpointStream {
     * fraction of the sink; at cluster scale this would be thousands.
     */
   val SinkBuckets = 64
+
+  /** Bucket assignment for the sink layout. Deliberately NOT Spark's
+    * builtin `hash()`: the sink's directory layout outlives any one engine
+    * version, and if the builtin's algorithm ever shifted, existing
+    * sessions would silently re-home to different buckets, stranding stale
+    * duplicates in the old ones. `SplitMix64` is the engine's own
+    * constant-specified mix (bit-for-bit pinned in this repo), so the
+    * layout is a pure function of the key forever.
+    */
+  private[graft] def bucketOf(userId: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(graft.functions.SplitMix64(userId), lit(buckets.toLong)).cast("int")
+
+  /** Name of the sink's self-describing layout manifest (underscore prefix
+    * keeps it invisible to parquet directory readers).
+    */
+  private val ManifestName = "_bucketing.json"
+
+  private def manifestJson(buckets: Int): String =
+    s"""{"function":"splitmix64_pmod","buckets":$buckets}"""
+
+  /** Record the bucketing function + count in the sink on first write and
+    * verify it on every later open: a sink written under a different layout
+    * (different bucket count, or a future change of mix function) must fail
+    * loudly instead of silently stranding rows in unread buckets.
+    */
+  private def checkBucketManifest(fs: FileSystem, sink: Path, buckets: Int): Unit = {
+    val mf = new Path(sink, ManifestName)
+    val expected = manifestJson(buckets)
+    if (fs.exists(mf)) {
+      val buf = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
+      val in = fs.open(mf)
+      try in.readFully(buf) finally in.close()
+      val found = new String(buf, StandardCharsets.UTF_8)
+      if (found.trim != expected)
+        throw new IllegalStateException(
+          s"sink $sink bucketing manifest mismatch: found $found, engine expects $expected")
+    } else {
+      fs.mkdirs(sink)
+      val out = fs.create(mf, true)
+      try out.write(expected.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+  }
 
   /** Hadoop rename returns false instead of throwing on many failures
     * (dest exists, I/O error); in this promote protocol an unnoticed
@@ -250,10 +310,10 @@ object CheckpointStream {
     val bakPath = new Path(sinkDir + ".bak")
     val tmpPath = new Path(sinkDir + ".tmp")
     recoverBackup(fs, sinkPath, bakPath)
+    checkBucketManifest(fs, sinkPath, buckets)
     fs.delete(tmpPath, true)
 
-    val withBucket = batch.withColumn(
-      "bucket", pmod(hash(col("user_id")), lit(buckets)))
+    val withBucket = batch.withColumn("bucket", bucketOf(col("user_id"), buckets))
     // ≤ `buckets` small ints — a driver-side collect that stays O(buckets)
     // at any data scale
     val touched = withBucket.select("bucket").distinct()
@@ -301,6 +361,12 @@ object CheckpointStream {
     * sink + append-only diff sink. `maxFilesPerTrigger` bounds per-batch
     * work; AvailableNow drains the backlog then stops (tests / bounded
     * runs), ProcessingTime runs forever.
+    *
+    * `schemaHint`: the feed's wire shape when the caller knows it (Pipeline
+    * does — each feed dir is agents- or IDE-shaped by contract). Without a
+    * hint the shape is sniffed from files present at start, which guesses
+    * the agents shape for a still-empty directory — wrong if an IDE feed's
+    * first files arrive only after the query starts.
     */
   def run(
       spark: SparkSession,
@@ -309,11 +375,12 @@ object CheckpointStream {
       sinkDir: String,
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
-      diffDir: Option[String] = None): StreamingQuery = {
+      diffDir: Option[String] = None,
+      schemaHint: Option[StructType] = None): StreamingQuery = {
     import spark.implicits._
     val diffSink = diffDir.getOrElse(sinkDir + "_diffs")
     val raw = spark.readStream
-      .schema(feedSchemaFor(spark, sourceDir))
+      .schema(schemaHint.getOrElse(feedSchemaFor(spark, sourceDir)))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     val outs = normalizeFeed(raw)

@@ -17,10 +17,21 @@ class PipelineSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("graft_pipeline_").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001")
 
-    // cdc feed: even users; ide feed: odd users (disjoint sessions)
+    // cdc feed: even users (agents wire shape); ide feed: odd users,
+    // re-shaped into the reference's ide_checkpoints schema — the pipeline
+    // must normalize BOTH wire shapes to the same engine rows
     events.filter(col("user_id") % 2 === 0)
       .coalesce(1).write.parquet(s"$base/feed_cdc/f0")
     events.filter(col("user_id") % 2 === 1)
+      .select(
+        col("user_id").cast("string").as("thread_id"),
+        concat(lit("prompt-"), col("event_id")).as("prompt_id"),
+        col("user_id").cast("string").as("session_id"),
+        col("ts").cast("string").as("checkpoint_ts"),
+        col("event_id").cast("string").as("checkpoint_id"),
+        encode(col("props"), "UTF-8").as("blob"),
+        when(col("event_type") === "signup", lit("__start__"))
+          .otherwise(col("event_type")).as("task_path"))
       .coalesce(1).write.parquet(s"$base/feed_ide/f0")
 
     // one report drop for a known cdc session

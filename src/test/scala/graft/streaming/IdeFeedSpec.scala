@@ -48,10 +48,30 @@ class IdeFeedSpec extends AnyFunSuite {
     assert(rows.length == 1)
     val r = rows.head
     assert(r.ts_us == 1000L && r.props == "x" && r.task_id == "t")
-    // keys are the xxhash64 of the text ids — deterministic across runs
-    val expected = df.select(xxhash64(col("thread_id")), xxhash64(col("checkpoint_id")))
+    // keys are the sign-masked xxhash64 of the text ids — deterministic
+    // across runs AND non-negative, so the f"%020d" checkpointId zero-pad
+    // keeps lexicographic order == numeric order (a negative hash would
+    // format as '-000…n', inverting the tie-break among negatives)
+    val expected = df.select(
+      xxhash64(col("thread_id")).bitwiseAND(lit(Long.MaxValue)),
+      xxhash64(col("checkpoint_id")).bitwiseAND(lit(Long.MaxValue)))
       .head
     assert(r.user_id == expected.getLong(0) && r.event_id == expected.getLong(1))
+    assert(r.user_id >= 0 && r.event_id >= 0)
+  }
+
+  test("malformed IDE rows (bad text ts, null blob) are parked, not feed-poisoning") {
+    import spark.implicits._
+    val df = Seq(
+      ("t1", "p", "s", "not-a-timestamp", "1", Option("x".getBytes), "task"),
+      ("t2", "p", "s", "1970-01-01 00:00:00.002", "2", None: Option[Array[Byte]], "task"),
+      ("t3", "p", "s", "1970-01-01 00:00:00.003", "3", Option("ok".getBytes), "task"))
+      .toDF("thread_id", "prompt_id", "session_id", "checkpoint_ts", "checkpoint_id", "blob", "task_path")
+    // without the guard the null ts_us / null props would crash the whole
+    // query at deserialization (null into a primitive Long / NPE on blob)
+    val rows = CheckpointStream.toEventRowsIde(df).collect()
+    assert(rows.length == 1)
+    assert(rows.head.event_id == 3L && rows.head.props == "ok")
   }
 
   test("batch backfill accepts the IDE wire shape (E2 parity per feed shape)") {

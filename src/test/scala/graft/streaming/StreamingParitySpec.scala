@@ -68,7 +68,7 @@ class StreamingParitySpec extends AnyFunSuite {
     val sink = Files.createTempDirectory("graft_buckets_").toString + "/sink"
     // two users in distinct sink buckets (probe with the sink's own hash)
     val probe = spark.range(1, 200).select(
-      col("id"), pmod(hash(col("id")), lit(CheckpointStream.SinkBuckets)).as("b"))
+      col("id"), CheckpointStream.bucketOf(col("id"), CheckpointStream.SinkBuckets).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1))
     val (ua, ba) = probe.head
     val (ub, _) = probe.find(_._2 != ba).get
@@ -126,6 +126,23 @@ class StreamingParitySpec extends AnyFunSuite {
       assert(got == model.values.flatten.toSet,
         s"batch $batchNo: sink diverged from last-write model\n got=$got\n exp=${model.values.flatten.toSet}")
     }
+  }
+
+  test("upsert refuses a sink written under a different bucket layout") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_manifest_").toString + "/sink"
+    val batch = Seq(CheckpointStream.SessionFlat(1L, "t", 1L, 100L, "a", 1)).toDF()
+    CheckpointStream.upsert(batch, sink)
+    // the sink self-describes its layout so a layout change fails loudly
+    // instead of silently stranding rows in buckets no writer rewrites
+    val mf = new java.io.File(sink, "_bucketing.json")
+    assert(mf.exists, "upsert did not write the bucketing manifest")
+    val ex = intercept[IllegalStateException] {
+      CheckpointStream.upsert(batch, sink, buckets = 32)
+    }
+    assert(ex.getMessage.contains("bucketing manifest mismatch"))
+    // the manifest file must stay invisible to parquet directory readers
+    assert(spark.read.parquet(sink).count() == 1)
   }
 
   test("upsert sink is idempotent: re-upserting the same batch is a no-op") {
