@@ -257,13 +257,28 @@ object SimilarityOps {
     CandidateStats(joined.count(), joined.distinct().count())
   }
 
+  /** Table count for the REGISTERED q28: double the general default as a
+    * safety margin, because q28's oracle is exact-match while SRP-LSH is
+    * probabilistic. At the 0.4 threshold a worst-case pair (cosine exactly
+    * 0.4) collides per table with p = (1 - acos(0.4)/pi)^3 ~= 0.251, so the
+    * miss probability over T tables is (1-0.251)^T: ~1e-3 at T=24 — real
+    * risk once a scale factor has hundreds of near-threshold pairs — vs
+    * ~9e-7 at T=48, which keeps the EXPECTED number of missed pairs below
+    * 1e-3 up to ~1000 near-threshold pairs. Planes are deterministic, so a
+    * given sf either passes always or fails always: VERIFY RECALL == 1.0
+    * AT EACH NEW SCALE FACTOR before trusting q28 there (measured 1.0 at
+    * sf0.001, sf0.01 and sf0.1 with these parameters; the per-sf check is
+    * SimilarityOpsSpec's exact-equality test).
+    */
+  val Q28Tables = 48
+
   /** q28: cosine near-dup pairs at >= 0.4 (the corpus' near-random
     * embeddings top out near 0.51, so the threshold sits in populated
     * range while staying far from any rank boundary noise). Registered on
     * the LSH path — the plan a 100 TB run needs (bucket equi-join, no
-    * nested-loop/cartesian) — with parameters whose measured recall vs the
-    * exact all-pairs oracle is 1.0 at both sf0.01 and sf0.1.
+    * nested-loop/cartesian) — with the margin-sized `Q28Tables`
+    * parameterization (see its scaladoc for the per-sf recall contract).
     */
   def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame =
-    cosineNearDupLsh(corpus(spark, dir), 0.4)
+    cosineNearDupLsh(corpus(spark, dir), 0.4, tables = Q28Tables)
 }

@@ -39,7 +39,9 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val exact = SimilarityOps.cosineNearDup(c, 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SimilarityOps.cosineNearDupLsh(c, 0.4)
+    // the REGISTERED parameterization (margin-sized tables): this equality
+    // is the per-scale-factor recall contract from Q28Tables' scaladoc
+    val lsh = SimilarityOps.cosineNearDupLsh(c, 0.4, tables = SimilarityOps.Q28Tables)
     val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     // q28 registers the LSH path against an exact all-pairs oracle, so
@@ -69,6 +71,12 @@ class SimilarityOpsSpec extends AnyFunSuite {
     // brute work (see srpBitsFor scaladoc); the guard catches regressions
     // to parameters that generate even more
     assert(cand.workRows <= 4 * brute, s"candidates=$cand brute=$brute")
+    // the registered q28 doubles the tables as oracle safety margin — its
+    // work must scale linearly in tables (same per-table bucket shape),
+    // not blow past it
+    val cand48 = SimilarityOps.srpCandidateStats(
+      c, tables = SimilarityOps.Q28Tables, bitsPerTable = 3)
+    assert(cand48.workRows <= 8 * brute, s"candidates=$cand48 brute=$brute")
   }
 
   test("clustered corpus: corpus-sized bits give subquadratic candidates at full recall") {
