@@ -175,34 +175,47 @@ object CheckpointStream {
     * `IdeCheckpointDao.java:135` reads `checkpoint_timestamp`); naming and
     * casting in one projection fixes that class of bug by construction.
     * Non-numeric thread/checkpoint ids are keyed by their 64-bit hash
-    * (documented narrowing: the engine's session key is numeric). Hashed
-    * ids are masked into non-negative space: `f"%020d"`-formatting a
-    * negative long would yield `-000…n`, whose lexicographic order is
-    * inverted among negatives, breaking the zero-pad ==> lexicographic ==
-    * numeric tie-break invariant `latestPerTask` relies on.
+    * (documented narrowing: the engine's session key is numeric). Ids must
+    * land in non-negative space: `f"%020d"`-formatting a negative long
+    * would yield `-000…n`, whose lexicographic order is inverted among
+    * negatives, breaking the zero-pad ==> lexicographic == numeric
+    * tie-break invariant `latestPerTask` relies on. So BOTH branches are
+    * guarded — a hashed id is sign-masked, and a numeric wire id that
+    * parses negative (e.g. checkpoint_id "-5") is treated like a
+    * non-numeric id and hashed, rather than let its sign poison the
+    * ordering.
     *
     * Malformed rows (unparseable TEXT `checkpoint_ts`, null blob) are
     * FILTERED here rather than allowed to null a primitive field and kill
-    * the whole streaming query — one bad row must not poison the feed. At
-    * production scale the same predicate would fork a dead-letter sink;
-    * the filter is the load-bearing part.
+    * the whole streaming query — one bad row must not poison the feed, but
+    * silent row loss in a CDC feed is only safe if surfaced: the drop count
+    * is published per micro-batch as the `graft_ide_feed` observed metric
+    * (`rows_seen` / `rows_dropped`, on `StreamingQueryProgress
+    * .observedMetrics`; batch runs surface it via `QueryExecutionListener`).
+    * At production scale the same predicate would also fork a dead-letter
+    * sink; the filter is the load-bearing part.
     */
   def toEventRowsIde(df: DataFrame): Dataset[EventRow] = {
     val spark = df.sparkSession
     import spark.implicits._
+    def nonNegOrHash(textCol: String) = {
+      val parsed = expr(s"try_cast($textCol AS long)")
+      when(parsed.isNotNull && parsed >= 0, parsed)
+        .otherwise(xxhash64(col(textCol)).bitwiseAND(lit(Long.MaxValue)))
+    }
+    val valid = col("ts_us").isNotNull && col("props").isNotNull &&
+      col("user_id").isNotNull && col("event_id").isNotNull &&
+      col("task_id").isNotNull
     df.select(
-      coalesce(expr("try_cast(thread_id AS long)"),
-        xxhash64(col("thread_id")).bitwiseAND(lit(Long.MaxValue)))
-        .as("user_id"),
+      nonNegOrHash("thread_id").as("user_id"),
       col("task_path").as("task_id"),
-      coalesce(expr("try_cast(checkpoint_id AS long)"),
-        xxhash64(col("checkpoint_id")).bitwiseAND(lit(Long.MaxValue)))
-        .as("event_id"),
+      nonNegOrHash("checkpoint_id").as("event_id"),
       unix_micros(expr("try_cast(checkpoint_ts AS timestamp)")).as("ts_us"),
       col("blob").cast(StringType).as("props"))
-      .filter(col("ts_us").isNotNull && col("props").isNotNull &&
-        col("user_id").isNotNull && col("event_id").isNotNull &&
-        col("task_id").isNotNull)
+      .observe("graft_ide_feed",
+        count(lit(1L)).as("rows_seen"),
+        sum(when(valid, lit(0L)).otherwise(lit(1L))).as("rows_dropped"))
+      .filter(valid)
       .as[EventRow]
   }
 
@@ -240,6 +253,16 @@ object CheckpointStream {
     * verify it on every later open: a sink written under a different layout
     * (different bucket count, or a future change of mix function) must fail
     * loudly instead of silently stranding rows in unread buckets.
+    *
+    * A sink that already holds `bucket=*` dirs but carries NO manifest is a
+    * pre-manifest layout of unknown provenance; stamping today's manifest
+    * over it would silently re-home its sessions (the upsert anti-join only
+    * reads touched new-layout buckets, leaving stale duplicates behind) —
+    * exactly the failure the manifest exists to prevent. That case throws
+    * and demands an explicit migration; the manifest is auto-written only
+    * when the sink is empty or absent. The write itself is crash-atomic
+    * (temp file + checked rename): an in-place create could die mid-write
+    * and leave a truncated manifest that fails every later open.
     */
   private def checkBucketManifest(fs: FileSystem, sink: Path, buckets: Int): Unit = {
     val mf = new Path(sink, ManifestName)
@@ -253,9 +276,18 @@ object CheckpointStream {
         throw new IllegalStateException(
           s"sink $sink bucketing manifest mismatch: found $found, engine expects $expected")
     } else {
+      val hasBuckets = fs.exists(sink) &&
+        fs.listStatus(sink).exists(_.getPath.getName.startsWith("bucket="))
+      if (hasBuckets)
+        throw new IllegalStateException(
+          s"sink $sink holds bucket dirs but no $ManifestName manifest: its layout " +
+            "is unknown and rows would silently strand under a new one. Migrate the " +
+            s"sink explicitly (rewrite, or stamp the correct manifest by hand): $expected")
       fs.mkdirs(sink)
-      val out = fs.create(mf, true)
+      val tmp = new Path(sink, s".$ManifestName.tmp")
+      val out = fs.create(tmp, true)
       try out.write(expected.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      renameOrThrow(fs, tmp, mf)
     }
   }
 

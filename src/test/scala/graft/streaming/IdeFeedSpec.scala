@@ -74,6 +74,35 @@ class IdeFeedSpec extends AnyFunSuite {
     assert(rows.head.event_id == 3L && rows.head.props == "ok")
   }
 
+  test("negative numeric wire ids are hashed, preserving the zero-pad order invariant") {
+    import spark.implicits._
+    val df = Seq(("-7", "p", "s", "1970-01-01 00:00:00.001", "-5", "x".getBytes, "t"))
+      .toDF("thread_id", "prompt_id", "session_id", "checkpoint_ts", "checkpoint_id", "blob", "task_path")
+    val r = CheckpointStream.toEventRowsIde(df).collect().head
+    // "-5" parses as a long but a negative event_id would f"%020d"-format
+    // as '-000…5', breaking lexicographic==numeric; it must take the same
+    // hash branch as a non-numeric id, like the sign-mask doc promises
+    val expected = df.select(
+      xxhash64(col("thread_id")).bitwiseAND(lit(Long.MaxValue)),
+      xxhash64(col("checkpoint_id")).bitwiseAND(lit(Long.MaxValue))).head
+    assert(r.user_id == expected.getLong(0) && r.event_id == expected.getLong(1))
+    assert(r.user_id >= 0 && r.event_id >= 0)
+  }
+
+  test("dropped malformed rows are surfaced via the graft_ide_feed observed metric") {
+    import spark.implicits._
+    val df = Seq(
+      ("t1", "p", "s", "not-a-timestamp", "1", Option("x".getBytes), "task"),
+      ("t2", "p", "s", "1970-01-01 00:00:00.002", "2", None: Option[Array[Byte]], "task"),
+      ("t3", "p", "s", "1970-01-01 00:00:00.003", "3", Option("ok".getBytes), "task"))
+      .toDF("thread_id", "prompt_id", "session_id", "checkpoint_ts", "checkpoint_id", "blob", "task_path")
+    val ds = CheckpointStream.toEventRowsIde(df)
+    assert(ds.collect().length == 1)
+    val m = ds.queryExecution.observedMetrics("graft_ide_feed")
+    assert(m.getAs[Long]("rows_seen") == 3L && m.getAs[Long]("rows_dropped") == 2L,
+      s"feed-loss metric wrong: $m")
+  }
+
   test("batch backfill accepts the IDE wire shape (E2 parity per feed shape)") {
     val viaIde = CheckpointStream.backfill(spark, ideShaped).toDF()
     val viaEvents = CheckpointStream.backfill(

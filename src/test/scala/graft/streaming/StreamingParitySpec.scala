@@ -145,6 +145,20 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 1)
   }
 
+  test("upsert refuses a bucketed sink that carries no manifest (unknown layout)") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_nomanifest_").toString + "/sink"
+    val batch = Seq(CheckpointStream.SessionFlat(1L, "t", 1L, 100L, "a", 1)).toDF()
+    CheckpointStream.upsert(batch, sink)
+    // a pre-manifest sink: bucket dirs present, manifest gone. Stamping a
+    // fresh manifest would silently re-home its sessions; it must throw.
+    assert(new java.io.File(sink, "_bucketing.json").delete())
+    val ex = intercept[IllegalStateException] {
+      CheckpointStream.upsert(batch, sink)
+    }
+    assert(ex.getMessage.contains("no _bucketing.json manifest"))
+  }
+
   test("upsert sink is idempotent: re-upserting the same batch is a no-op") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_upsert_").toString + "/sink"
