@@ -48,6 +48,11 @@ object SparkEntry {
     "q27_salted_distinct" -> (SkewOps.q27SaltedDistinct(_, _)),
     "q28_cosine_neardup" -> (SimilarityOps.q28CosineNearDup(_, _)),
     "q29_windowed_agg"  -> (graft.streaming.EventWindows.q29WindowedAgg(_, _)),
+    "q30_ngram_jaccard" -> (DedupOps.q30NgramJaccard(_, _)),
+    "q31_token_count"   -> (TextOps.q31TokenCount(_, _)),
+    // rows-only like q24: the probabilistic index has no SQL oracle; the
+    // recall gate vs the exact baseline lives in SimilarityOpsSpec
+    "q32_ann_ivf"       -> (SimilarityOps.q32AnnIvf(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -254,6 +259,30 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Exact inverted-index Jaccard; the hashed-shingle join is exact modulo
+    // a ~1e-10 cross-doc 64-bit collision (same argument as q20's verify).
+    "q30_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM w)),
+        |ds AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  inter::double / (x.n + y.n - inter) AS jac
+        |FROM pairs JOIN ds x ON x.doc_id = da JOIN ds y ON y.doc_id = db
+        |WHERE inter::double / (x.n + y.n - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Both engines interpret this regex subset identically (Java vs RE2);
+    // the CASE guards the 0-token division the same way the Spark side does.
+    "q31_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+        |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) > 0
+        |       THEN length(text)::double / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+        |       END AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Hourly windows align to :00 in both engines (epoch and DuckDB's
     // time_bucket origin are both on the hour), so the bounds agree.
     "q29_windowed_agg" ->

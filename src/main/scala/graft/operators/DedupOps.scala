@@ -160,6 +160,52 @@ object DedupOps {
       .filter(col("jac") >= threshold)
   }
 
+  /** Exact n-gram Jaccard near-dup via an inverted shingle index: explode
+    * each document's distinct hashed shingles into postings, self-equi-join
+    * the postings (shared-shingle pairs only — never an all-pairs product),
+    * count per-pair intersections with a map-side-partial aggregate, and
+    * close the Jaccard with the per-doc set sizes. This is the EXACT
+    * counterpart of `minhashNearDup`: same pair semantics, no probabilistic
+    * step.
+    *
+    * Scale shape (100 TB): postings shuffle on the shingle hash, so the
+    * candidate volume is Σ_shingle df² — subquadratic while document
+    * frequencies stay bounded, but a stop-shingle with df=10⁶ alone yields
+    * 10¹² pairs. Exactness forbids dropping them, so at corpus scale the
+    * approximate paths (`minhashNearDup` / `simhashNearDup`) are the
+    * default and THIS operator is for bounded slices (per-domain shards,
+    * candidate re-verification). Shingles ride the join as 8-byte xxhash64
+    * values, not n-gram strings — ~5× narrower shuffle rows, identical
+    * Jaccard (a cross-doc 64-bit collision is ~1e-10 probable on a 10⁵
+    * shingle vocabulary).
+    */
+  def ngramJaccardNearDup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val hashed = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
+    val sizes = hashed.select(col("doc_id"), size(col("hs")).as("n"))
+    val posting = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+    posting.as("a")
+      .join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q30: exact n-gram Jaccard pairs at ≥ 0.8 — the exact dedup spectrum
+    * entry between q18 (identical content) and q20 (MinHash approximation,
+    * threshold 0.9). Value-checked against the brute-force DuckDB oracle.
+    */
+  def q30NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardNearDup(Tables.documents(spark, dir))
+
   /** SimHash: 64-bit locality-sensitive fingerprint — per-bit majority vote
     * over the shingle hashes, folded by the native codegen expression
     * `graft.functions.SimHash64` (no UDF boxing in the hot loop).

@@ -239,6 +239,106 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** IVF (inverted-file) ANN index: spherical k-means over the normalized
+    * corpus, then per-vector cluster assignment — the coarse-quantizer
+    * alternative to SRP-LSH (`annTopKLsh`). Query-time probing scans only
+    * the `nprobe` nearest clusters' posting lists.
+    *
+    * Scale shape (100 TB): training touches the corpus `lloydIters + 1`
+    * times; each pass is corpus × broadcast(K centroids) — a deliberate
+    * broadcast nested-loop of O(n·K) dot products (K is small by
+    * construction) reduced by a map-side-partial `max_by`, so no row
+    * explosion ever shuffles: the only wide exchange is the final K-group
+    * centroid average. Assignment output is (vec_id, cid, nv) — the
+    * inverted file — and candidate generation is a cid equi-join, never a
+    * pair product.
+    *
+    * Centroid seeds are the first K vectors by id (deterministic; k-means++
+    * would converge faster but adds driver-sequential passes). Lloyd
+    * iterations run BATCH-side only at index-build time; empty clusters
+    * keep their previous centroid (standard Lloyd degeneracy handling).
+    */
+  def ivfAssign(
+      c: DataFrame, k: Int, lloydIters: Int = 2): (DataFrame, DataFrame) = {
+    val spark = c.sparkSession
+    val nv = c.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("v_norm")).as("nv"))
+    // cache: re-scanned once per Lloyd pass + once for the final assignment
+    nv.persist()
+    val seed = nv.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cid"), col("nv").as("cv"))
+    // assignment = argmax_cid dot(nv, cv); ties break to the highest cid
+    // (max over (dot, cid) structs — deterministic, map-side partial)
+    def assign(centroids: DataFrame): DataFrame =
+      nv.crossJoin(broadcast(centroids))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(dot(col("nv"), col("cv")).as("d"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"))
+    val centroids = (1 to lloydIters).foldLeft(seed) { (cents, _) =>
+      val assigned = assign(cents).join(nv, Seq("vec_id"))
+      // mean per (cluster, dimension), re-assembled position-sorted
+      val updated = assigned
+        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
+      // empty clusters vanish from `updated`; keep their previous centroid
+      cents.select(col("cid"), col("cv").as("cv_prev"))
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv"), col("cv_prev")).as("cv"))
+    }
+    (centroids, assign(centroids).join(nv, Seq("vec_id")))
+  }
+
+  /** IVF ANN top-k: rank centroids per query, probe the `nprobe` nearest
+    * clusters via a cid equi-join against the inverted file, exact-cosine
+    * re-rank inside the candidate set. On clustered corpora recall stays
+    * high while only nprobe/K of the corpus is scanned; on THIS synthetic
+    * structureless corpus the same information-theoretic wall as SRP-LSH
+    * applies (see `srpBitsFor`) — neighbors are barely above background, so
+    * the defaults probe most clusters to hold recall ≥ 0.9, and the
+    * operator's pruning value shows on the clustered-corpus spec instead.
+    */
+  def annTopKIvf(
+      c: DataFrame,
+      q: DataFrame,
+      k: Int,
+      nClusters: Int = 16,
+      nprobe: Int = 12): DataFrame = {
+    val (centroids, inverted) = ivfAssign(c, nClusters)
+    val qN = q.withColumn("qv_norm", sqrt(dot(col("qv"), col("qv"))))
+      .select(col("query_id"),
+        transform(col("qv"), x => x / col("qv_norm")).as("nqv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd").desc, col("cid"))
+    val probed = qN.crossJoin(broadcast(centroids))
+      .withColumn("cd", dot(col("nqv"), col("cv")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("nqv"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probed.join(inverted, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      // normalized both sides: the exact cosine is a bare dot product
+      .select(col("query_id"), col("vec_id"),
+        dot(col("nqv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+  }
+
+  /** q32: the IVF scale path (rows-only check; the recall gate vs the exact
+    * baseline and the clustered-corpus pruning proof live in ScalaTest).
+    */
+  def q32AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    annTopKIvf(c, queriesOf(c), 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Candidate volume of the SRP bucket join — the quantity the
     * (tables, bitsPerTable) trade-off controls, exposed for the guard
     * tests. `workRows` counts join output rows (each pays one inline

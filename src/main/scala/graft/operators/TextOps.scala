@@ -60,6 +60,31 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** BPE-ish pre-tokenizer pattern: letter runs, single digits (BPE vocabs
+    * split numbers digit-wise), and single non-alphanumeric marks — the
+    * GPT-2-style pre-split shape reduced to the regex subset that Java
+    * (Spark) and RE2 (DuckDB) interpret identically, so the count is
+    * oracle-checkable across engines.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** q31: token counting two ways — whitespace tokens (the cheap corpus
+    * statistic) and BPE-ish regex tokens (the LLM-budget estimate) — plus
+    * the chars-per-token compression ratio. One codegen'd projection, no
+    * shuffle (q19's scale shape).
+    */
+  def q31TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val nBpe = size(expr(s"regexp_extract_all(text, '$BpeTokenPattern', 0)"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        nBpe.as("n_bpe_tokens"),
+        when(nBpe > 0, length(col("text")).cast("double") / nBpe.cast("double"))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling k-gram hashes of a text column (positional) — native
     * single-pass expression over the UTF-8 bytes.
     */

@@ -29,6 +29,9 @@ object SchemaInit {
     * table's layout matches the hash-bucketed upsert sink
     * (`CheckpointStream.upsert`) from the first write on — a bare root-level
     * file would make later partition discovery reject the mixed layout.
+    * Creating that bucketed layout obliges declaring it: the layout
+    * manifest is stamped in the same call, since the upsert refuses a
+    * bucketed sink whose manifest is missing (unknown provenance).
     */
   def ensureSinkTable(
       spark: SparkSession,
@@ -42,6 +45,9 @@ object SchemaInit {
     if (!exists) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/bucket=0")
+      val sinkPath = new org.apache.hadoop.fs.Path(path)
+      graft.streaming.CheckpointStream.stampManifest(
+        sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration), sinkPath)
       true
     } else false
   }

@@ -249,6 +249,24 @@ object CheckpointStream {
   private def manifestJson(buckets: Int): String =
     s"""{"function":"splitmix64_pmod","buckets":$buckets}"""
 
+  /** Stamp the layout manifest into a sink this engine is CREATING (also
+    * used by `SchemaInit.ensureSinkTable`, which materializes the empty
+    * bucketed layout and must declare it in the same breath — a bucketed
+    * sink without a manifest is indistinguishable from a foreign layout
+    * and is refused by `checkBucketManifest`). Crash-atomic: temp file +
+    * checked rename, so a torn write can never leave a truncated manifest
+    * that poisons every later open.
+    */
+  private[graft] def stampManifest(
+      fs: FileSystem, sink: Path, buckets: Int = SinkBuckets): Unit = {
+    fs.mkdirs(sink)
+    val mf = new Path(sink, ManifestName)
+    val tmp = new Path(sink, s".$ManifestName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(manifestJson(buckets).getBytes(StandardCharsets.UTF_8)) finally out.close()
+    renameOrThrow(fs, tmp, mf)
+  }
+
   /** Record the bucketing function + count in the sink on first write and
     * verify it on every later open: a sink written under a different layout
     * (different bucket count, or a future change of mix function) must fail
@@ -283,11 +301,7 @@ object CheckpointStream {
           s"sink $sink holds bucket dirs but no $ManifestName manifest: its layout " +
             "is unknown and rows would silently strand under a new one. Migrate the " +
             s"sink explicitly (rewrite, or stamp the correct manifest by hand): $expected")
-      fs.mkdirs(sink)
-      val tmp = new Path(sink, s".$ManifestName.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(expected.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      renameOrThrow(fs, tmp, mf)
+      stampManifest(fs, sink, buckets)
     }
   }
 

@@ -31,6 +31,27 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("exact n-gram Jaccard == brute force pairs AND values at threshold 0.8") {
+    val docs = Tables.documents(spark, sf)
+    val idx = DedupOps.ngramJaccardNearDup(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = DedupOps.bruteForceNearDup(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(brute.nonEmpty, "testdata should contain pairs above 0.8")
+    assert(idx.keySet == brute.keySet,
+      s"missed=${(brute.keySet -- idx.keySet).take(5)} extra=${(idx.keySet -- brute.keySet).take(5)}")
+    // the inverted-index path is EXACT: values must agree, not just pairs
+    idx.foreach { case (pair, j) =>
+      assert(math.abs(j - brute(pair)) < 1e-12, s"$pair: $j vs ${brute(pair)}")
+    }
+  }
+
+  test("n-gram Jaccard posting join is an equi-join, not a cartesian") {
+    val plan = planOf(DedupOps.ngramJaccardNearDup(Tables.documents(spark, sf), 0.8))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("exact dedup groups all docs and keeps min ids") {
     val docs = Tables.documents(spark, sf)
     val out = DedupOps.q18ExactDedup(spark, sf)

@@ -111,6 +111,50 @@ class SimilarityOpsSpec extends AnyFunSuite {
       s"clustered recall broke: missing=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
   }
 
+  test("IVF ANN recall@10 >= 0.9 vs brute force on sf0.001") {
+    val brute = SimilarityOps.q23AnnTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.q32AnnIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall@10 = $recall")
+  }
+
+  test("IVF candidate generation is a cid equi-join (no corpus-pair cartesian)") {
+    val plan = SimilarityOps.q32AnnIvf(spark, sf)
+      .queryExecution.executedPlan.toString
+    // BroadcastNestedLoopJoin over the K broadcast centroids IS the IVF
+    // coarse scan (O(n*K), K small by construction) and is expected; a
+    // CartesianProduct would mean a corpus-against-corpus pair blow-up
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("clustered corpus: IVF probes a corpus fraction at full recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val centers = Array.fill(20)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = for {
+      cl <- 0 until 20; i <- 0 until 50
+    } yield {
+      val v = centers(cl).map(x => x + rnd.nextGaussian() * 0.05)
+      (cl.toLong * 50 + i, v.toSeq)
+    }
+    val c = rows.toDF("vec_id", "v")
+    val q = c.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // nprobe=2 of 20 clusters: only ~10% of the corpus is scanned per
+    // query — the pruning regime IVF exists for — and on tightly
+    // clustered data the true neighbors live in the probed clusters
+    val brute = SimilarityOps.bruteForceTopK(c, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.annTopKIvf(c, q, 10, nClusters = 20, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.95, s"clustered IVF recall@10 = $recall")
+  }
+
   test("every query returns a full, deduplicated top-10") {
     val out = SimilarityOps.q23AnnTopK(spark, sf)
     val byQuery = out.groupBy("query_id")
