@@ -178,20 +178,27 @@ object DedupOps {
     * values, not n-gram strings — ~5× narrower shuffle rows, identical
     * Jaccard (a cross-doc 64-bit collision is ~1e-10 probable on a 10⁵
     * shingle vocabulary).
+    *
+    * The per-doc set SIZE rides each posting row (one extra long) so the
+    * Jaccard closes straight off the pair aggregate — the size-join-free
+    * form keeps the shingle pipeline out of the plan twice more, and the
+    * two join sides are the identical subplan under a merge hint, so the
+    * posting shuffle is computed ONCE and the other side is a
+    * ReusedExchange. (Unhinted, the planner picks a broadcast-hash join
+    * whose broadcast side is an independent second execution of the whole
+    * shingle pipeline — measured ~2× the per-row work of this plan.)
     */
   def ngramJaccardNearDup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val hashed = docs.repartition(col("doc_id"))
+    val posting = docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
-    val sizes = hashed.select(col("doc_id"), size(col("hs")).as("n"))
-    val posting = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
-    posting.as("a")
-      .join(posting.as("b"),
+      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    posting.as("a").hint("merge")
+      .join(posting.as("b").hint("merge"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jac",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jac") >= threshold)

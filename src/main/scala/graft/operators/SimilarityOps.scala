@@ -239,67 +239,69 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** IVF (inverted-file) ANN index: spherical k-means over the normalized
-    * corpus, then per-vector cluster assignment — the coarse-quantizer
-    * alternative to SRP-LSH (`annTopKLsh`). Query-time probing scans only
-    * the `nprobe` nearest clusters' posting lists.
-    *
-    * Scale shape (100 TB): training touches the corpus `lloydIters + 1`
-    * times; each pass is corpus × broadcast(K centroids) — a deliberate
-    * broadcast nested-loop of O(n·K) dot products (K is small by
-    * construction) reduced by a map-side-partial `max_by`, so no row
-    * explosion ever shuffles: the only wide exchange is the final K-group
-    * centroid average. Assignment output is (vec_id, cid, nv) — the
-    * inverted file — and candidate generation is a cid equi-join, never a
-    * pair product.
-    *
-    * Centroid seeds are the first K vectors by id (deterministic; k-means++
-    * would converge faster but adds driver-sequential passes). Lloyd
-    * iterations run BATCH-side only at index-build time; empty clusters
-    * keep their previous centroid (standard Lloyd degeneracy handling).
-    */
-  def ivfAssign(
-      c: DataFrame, k: Int, lloydIters: Int = 2): (DataFrame, DataFrame) = {
-    val spark = c.sparkSession
-    val nv = c.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
-      .select(col("vec_id"),
-        transform(col("v"), x => x / col("v_norm")).as("nv"))
-    // cache: re-scanned once per Lloyd pass + once for the final assignment
-    nv.persist()
-    val seed = nv.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").cast("int").as("cid"), col("nv").as("cv"))
-    // assignment = argmax_cid dot(nv, cv); ties break to the highest cid
-    // (max over (dot, cid) structs — deterministic, map-side partial)
-    def assign(centroids: DataFrame): DataFrame =
-      nv.crossJoin(broadcast(centroids))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(dot(col("nv"), col("cv")).as("d"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cid"))
-    val centroids = (1 to lloydIters).foldLeft(seed) { (cents, _) =>
-      val assigned = assign(cents).join(nv, Seq("vec_id"))
-      // mean per (cluster, dimension), re-assembled position-sorted
-      val updated = assigned
-        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
-      // empty clusters vanish from `updated`; keep their previous centroid
-      cents.select(col("cid"), col("cv").as("cv_prev"))
-        .join(updated, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cv"), col("cv_prev")).as("cv"))
-    }
-    (centroids, assign(centroids).join(nv, Seq("vec_id")))
+  /** Normalized-vector projection shared by the IVF train/assign paths. */
+  private def normalized(c: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val cols = c.columns.filterNot(_ == vecCol).map(col).toSeq
+    c.withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(cols :+ transform(col(vecCol), x => x / col("__norm")).as(outCol): _*)
   }
 
-  /** IVF ANN top-k: rank centroids per query, probe the `nprobe` nearest
-    * clusters via a cid equi-join against the inverted file, exact-cosine
-    * re-rank inside the candidate set. On clustered corpora recall stays
-    * high while only nprobe/K of the corpus is scanned; on THIS synthetic
-    * structureless corpus the same information-theoretic wall as SRP-LSH
-    * applies (see `srpBitsFor`) — neighbors are barely above background, so
-    * the defaults probe most clusters to hold recall ≥ 0.9, and the
-    * operator's pruning value shows on the clustered-corpus spec instead.
+  /** Nearest-centroid id for a normalized vector against LITERAL centroids:
+    * K native dot products + argmax, one codegen projection — no join, no
+    * shuffle, no row explosion. `array_position` takes the FIRST maximal
+    * element, so ties break to the lowest cid deterministically.
+    */
+  private def bestCid(nv: Column, cents: Array[Array[Double]]): Column = {
+    val ds = array(cents.map(cv => dot(nv, typedlit(cv.toSeq))): _*)
+    (array_position(ds, array_max(ds)) - 1).cast("int")
+  }
+
+  /** IVF (inverted-file) ANN coarse quantizer: spherical k-means trained by
+    * Lloyd iterations that run as ordinary distributed aggregates, with the
+    * K×dim centroid matrix — and ONLY that, O(K·dim) bounded by
+    * construction — collected to the driver each pass (the same shape
+    * Spark MLlib's KMeans uses). Keeping centroids driver-side means every
+    * later assignment/probe is a single codegen'd projection over literal
+    * arrays: the query plan carries no crossJoin, no BNLJ, and no
+    * re-execution of the training lineage.
+    *
+    * Seeds are the first K vectors by id (deterministic); empty clusters
+    * keep their previous centroid (standard Lloyd degeneracy handling).
+    */
+  def trainIvfCentroids(
+      c: DataFrame, k: Int, lloydIters: Int = 2): Array[Array[Double]] = {
+    val nv = normalized(c, "v", "nv")
+    var cents: Array[Array[Double]] = nv.orderBy(col("vec_id")).limit(k)
+      .select(col("nv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 1 to lloydIters) {
+      // mean per cluster, one avg aggregate per dimension: map-side
+      // partial combine means the shuffle carries K rows of dim doubles —
+      // not the n·dim skinny rows a posexplode formulation would move
+      val avgs = (1 to dim).map(i => avg(element_at(col("nv"), i)))
+      val updated = nv
+        .select(bestCid(col("nv"), cents).as("cid"), col("nv"))
+        .groupBy(col("cid"))
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> Array.tabulate(dim)(j => r.getDouble(j + 1)))
+        .toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** IVF ANN top-k: rank the literal centroids per query and keep the
+    * `nprobe` nearest (a per-row array sort over K elements — no window,
+    * no shuffle), then scan exactly those clusters' posting lists via a
+    * cid equi-join against the inverted file and exact-cosine re-rank the
+    * candidates. On clustered corpora recall stays high while only
+    * ~nprobe/K of the corpus is scanned; on THIS synthetic structureless
+    * corpus the same information-theoretic wall as SRP-LSH applies (see
+    * `srpBitsFor`) — neighbors are barely above background, so the
+    * defaults probe most clusters to hold recall ≥ 0.9, and the operator's
+    * pruning value shows on the clustered-corpus spec instead.
     */
   def annTopKIvf(
       c: DataFrame,
@@ -307,17 +309,18 @@ object SimilarityOps {
       k: Int,
       nClusters: Int = 16,
       nprobe: Int = 12): DataFrame = {
-    val (centroids, inverted) = ivfAssign(c, nClusters)
-    val qN = q.withColumn("qv_norm", sqrt(dot(col("qv"), col("qv"))))
-      .select(col("query_id"),
-        transform(col("qv"), x => x / col("qv_norm")).as("nqv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cd").desc, col("cid"))
-    val probed = qN.crossJoin(broadcast(centroids))
-      .withColumn("cd", dot(col("nqv"), col("cv")))
-      .withColumn("crank", row_number().over(probeW))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("nqv"), col("cid"))
+    val cents = trainIvfCentroids(c, nClusters)
+    val inverted = normalized(c, "v", "nv")
+      .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
+    // probe list: sort (−dot, cid) ascending and slice — top-nprobe by
+    // descending dot with lowest-cid tie-break, entirely inside one row
+    val probeStructs = array(cents.zipWithIndex.map { case (cv, cid) =>
+      struct((-dot(col("nqv"), typedlit(cv.toSeq))).as("nd"), lit(cid).as("cid"))
+    }: _*)
+    val probed = normalized(q, "qv", "nqv")
+      .select(col("query_id"), col("nqv"),
+        explode(transform(slice(array_sort(probeStructs), 1, nprobe),
+          p => p.getField("cid"))).as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     probed.join(inverted, Seq("cid"))

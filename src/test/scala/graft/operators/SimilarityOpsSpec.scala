@@ -121,13 +121,14 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall@10 = $recall")
   }
 
-  test("IVF candidate generation is a cid equi-join (no corpus-pair cartesian)") {
+  test("IVF candidate generation is a cid equi-join (no cartesian, no BNLJ)") {
     val plan = SimilarityOps.q32AnnIvf(spark, sf)
       .queryExecution.executedPlan.toString
-    // BroadcastNestedLoopJoin over the K broadcast centroids IS the IVF
-    // coarse scan (O(n*K), K small by construction) and is expected; a
-    // CartesianProduct would mean a corpus-against-corpus pair blow-up
+    // centroids are literal arrays after driver-side training, so the
+    // whole assign/probe path is codegen projections: the ONLY join in the
+    // plan is the cid equi-join against the inverted file
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("clustered corpus: IVF probes a corpus fraction at full recall") {
