@@ -128,5 +128,13 @@ class IdeFeedSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "IDE-shaped streaming sink != agents-feed batch backfill")
+    // the feed-loss metric must surface on the STREAMING progress path too
+    // (the per-micro-batch observability contract, not just batch plans)
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("graft_ide_feed")))
+    assert(observed.nonEmpty, "graft_ide_feed observed metric missing from progress")
+    assert(observed.map(_.getAs[Long]("rows_dropped")).sum == 0L)
+    assert(observed.map(_.getAs[Long]("rows_seen")).sum ==
+      Tables.events(spark, "/root/testdata/sf0.001").count())
   }
 }
