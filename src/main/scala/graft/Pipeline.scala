@@ -51,8 +51,14 @@ object Pipeline {
       CheckpointStream.run(spark, dir, s"${config.workDir}/ckpt_ide", ideSink,
         maxFilesPerTrigger = 64, diffDir = Some(s"${config.workDir}/diffs_ide"),
         schemaHint = Some(CheckpointStream.ideSchema)))
+    // malformed IDE wire rows are counted (graft_ide_feed metric) AND
+    // recoverable: the dead-letter query quarantines the dropped originals
+    val dlQuery = config.ideFeedDir.map(dir =>
+      CheckpointStream.runDeadLetter(spark, dir,
+        s"${config.workDir}/ckpt_ide_dl", s"${config.workDir}/quarantine_ide"))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
+    dlQuery.foreach(_.awaitTermination())
 
     // sessions from both feeds, tagged per source (W1: never merged);
     // the sink's physical `bucket` partition column is dropped here

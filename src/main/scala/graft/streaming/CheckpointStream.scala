@@ -224,6 +224,55 @@ object CheckpointStream {
     if (df.schema.fieldNames.contains("thread_id")) toEventRowsIde(df)
     else toEventRows(df)
 
+  /** Wire-level malformedness of an `ide_checkpoints` row — the SAME row
+    * classes `toEventRowsIde` filters (its other validity conjuncts cannot
+    * fire: hashed ids are never null), expressed over the RAW columns so
+    * the dead-letter query can persist the original wire rows untouched.
+    */
+  private[graft] def ideMalformed =
+    expr("try_cast(checkpoint_ts AS timestamp)").isNull ||
+      col("blob").isNull || col("task_path").isNull
+
+  /** Dead-letter sink for the IDE feed: a parallel streaming query over the
+    * same source that quarantines exactly the rows `toEventRowsIde` drops —
+    * original wire columns plus a `reason` tag — to an append-only parquet
+    * sink (exactly-once via the file-sink commit log + its own checkpoint).
+    * Silent row loss in a CDC feed is acceptable only as a *counted* metric
+    * (`graft_ide_feed`) with the rows themselves recoverable from here.
+    *
+    * Scale note: this re-reads the feed (quarantine volume is tiny but the
+    * scan isn't). That is the standard trade of the two-query pattern —
+    * Structured Streaming cannot fork one source into two sinks inside a
+    * single stateful query — and the feed files are read from the page
+    * cache in practice; a transactional-table feed would use one query
+    * with a MERGE fan-out instead.
+    */
+  def runDeadLetter(
+      spark: SparkSession,
+      sourceDir: String,
+      checkpointDir: String,
+      quarantineDir: String,
+      maxFilesPerTrigger: Int = 64,
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(ideSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val reason = concat_ws(",",
+      when(expr("try_cast(checkpoint_ts AS timestamp)").isNull, lit("bad_ts")),
+      when(col("blob").isNull, lit("null_blob")),
+      when(col("task_path").isNull, lit("null_task_path")))
+    val writer = raw.filter(ideMalformed)
+      .withColumn("reason", reason)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", quarantineDir)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+  }
+
   /** Number of hash partitions the session sink is laid out in. Sized so a
     * micro-batch's touched buckets (and their rewrite I/O) stay a small
     * fraction of the sink; at cluster scale this would be thousands.

@@ -103,6 +103,35 @@ class IdeFeedSpec extends AnyFunSuite {
       s"feed-loss metric wrong: $m")
   }
 
+  test("dead-letter query quarantines exactly the rows the feed drops, with reasons") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_dl_").toString
+    Seq(
+      ("t1", "p", "s", "not-a-timestamp", "1", Option("x".getBytes), Option("task")),
+      ("t2", "p", "s", "1970-01-01 00:00:00.002", "2", None: Option[Array[Byte]], Option("task")),
+      ("t3", "p", "s", "1970-01-01 00:00:00.003", "3", Option("ok".getBytes), Option("task")),
+      ("t4", "p", "s", "1970-01-01 00:00:00.004", "4", Option("ok2".getBytes), None: Option[String]))
+      .toDF("thread_id", "prompt_id", "session_id", "checkpoint_ts", "checkpoint_id", "blob", "task_path")
+      .coalesce(1).write.parquet(s"$base/feed")
+    val main = CheckpointStream.run(
+      spark, s"$base/feed", s"$base/ckpt", s"$base/sink", maxFilesPerTrigger = 64,
+      schemaHint = Some(CheckpointStream.ideSchema))
+    val dl = CheckpointStream.runDeadLetter(
+      spark, s"$base/feed", s"$base/ckpt_dl", s"$base/quarantine")
+    main.awaitTermination(120000L)
+    dl.awaitTermination(120000L)
+    // the two queries PARTITION the feed: valid rows reach the sink...
+    val sunk = spark.read.parquet(s"$base/sink").select("payload")
+      .collect().map(_.getString(0)).toSet
+    assert(sunk == Set("ok"))
+    // ...and each dropped row is in quarantine, original wire columns
+    // intact, tagged with why it was dropped
+    val q = spark.read.parquet(s"$base/quarantine")
+      .select("checkpoint_id", "reason")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q == Map("1" -> "bad_ts", "2" -> "null_blob", "4" -> "null_task_path"))
+  }
+
   test("batch backfill accepts the IDE wire shape (E2 parity per feed shape)") {
     val viaIde = CheckpointStream.backfill(spark, ideShaped).toDF()
     val viaEvents = CheckpointStream.backfill(
