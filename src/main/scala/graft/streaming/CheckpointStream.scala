@@ -153,11 +153,19 @@ object CheckpointStream {
 
   /** Normalize a raw events DataFrame (batch or streaming) to EventRow.
     * Handles both timestamp feeds and raw nanosecond-long feeds.
+    *
+    * Same malformed-row discipline as the IDE path: the parquet schema
+    * declares every column nullable, and a null id/ts would NPE the
+    * primitive-field decoder and kill the whole streaming query — one bad
+    * row must not poison the feed. Drops are counted per micro-batch via
+    * the `graft_events_feed` observed metric.
     */
   def toEventRows(df: DataFrame): Dataset[EventRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     val tsUs = graft.Tables.tsMicros(df) // one shared ts-shape dispatch
+    val valid = col("user_id").isNotNull && col("task_id").isNotNull &&
+      col("event_id").isNotNull && col("ts_us").isNotNull && col("props").isNotNull
     df.select(
       col("user_id"),
       when(col("event_type") === "signup", lit("__start__"))
@@ -165,6 +173,10 @@ object CheckpointStream {
       col("event_id"),
       tsUs.as("ts_us"),
       col("props"))
+      .observe("graft_events_feed",
+        count(lit(1L)).as("rows_seen"),
+        sum(when(valid, lit(0L)).otherwise(lit(1L))).as("rows_dropped"))
+      .filter(valid)
       .as[EventRow]
   }
 

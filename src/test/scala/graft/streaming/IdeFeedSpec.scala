@@ -103,6 +103,23 @@ class IdeFeedSpec extends AnyFunSuite {
       s"feed-loss metric wrong: $m")
   }
 
+  test("agents feed drops malformed rows (null id/ts/props) instead of dying, counted") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Option(1000L), Option(10L), Option("click"), Option(1.0), Option("""{"a":1}""")),
+      (None: Option[Long], Option(1001L), Option(11L), Option("click"), Option(1.0), Option("x")),
+      (Option(3L), Option(1002L), Option(12L), Option("click"), Option(1.0), None: Option[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // without the guard, the null event_id NPEs the primitive decoder and
+    // the null props NPEs toCheckpoint — either kills a streaming query
+    val ds = CheckpointStream.toEventRows(df)
+    val rows = ds.collect()
+    assert(rows.map(_.event_id).toSeq == Seq(1L))
+    val m = ds.queryExecution.observedMetrics("graft_events_feed")
+    assert(m.getAs[Long]("rows_seen") == 3L && m.getAs[Long]("rows_dropped") == 2L)
+  }
+
   test("dead-letter query quarantines exactly the rows the feed drops, with reasons") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_dl_").toString
