@@ -267,10 +267,23 @@ object SimilarityOps {
     *
     * Seeds are the first K vectors by id (deterministic); empty clusters
     * keep their previous centroid (standard Lloyd degeneracy handling).
+    *
+    * `trainSampleMod` hash-samples the TRAINING set to ~1/mod of the
+    * corpus (deterministic — `xxhash64(vec_id) % mod == 0` — so the index
+    * is reproducible): a coarse quantizer needs a representative sample,
+    * not the corpus, and at 100 TB "every Lloyd pass scans everything" is
+    * the difference between an index build and a standing job. Assignment
+    * still covers every vector. The registered q32 keeps mod=1 (the local
+    * corpora are thousands of rows); a cluster deployment sizes mod so the
+    * sample is O(100·K) vectors.
     */
   def trainIvfCentroids(
-      c: DataFrame, k: Int, lloydIters: Int = 2): Array[Array[Double]] = {
-    val nv = normalized(c, "v", "nv")
+      c: DataFrame, k: Int, lloydIters: Int = 2,
+      trainSampleMod: Int = 1): Array[Array[Double]] = {
+    val train =
+      if (trainSampleMod <= 1) c
+      else c.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod.toLong)) === 0)
+    val nv = normalized(train, "v", "nv")
     var cents: Array[Array[Double]] = nv.orderBy(col("vec_id")).limit(k)
       .select(col("nv")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -310,8 +323,9 @@ object SimilarityOps {
       q: DataFrame,
       k: Int,
       nClusters: Int = 16,
-      nprobe: Int = 12): DataFrame = {
-    val cents = trainIvfCentroids(c, nClusters)
+      nprobe: Int = 12,
+      trainSampleMod: Int = 1): DataFrame = {
+    val cents = trainIvfCentroids(c, nClusters, trainSampleMod = trainSampleMod)
     val inverted = normalized(c, "v", "nv")
       .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
     // probe list: sort (−dot, cid) ascending and slice — top-nprobe by

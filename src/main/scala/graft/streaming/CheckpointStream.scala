@@ -463,6 +463,74 @@ object CheckpointStream {
   def appendDiffs(diffs: DataFrame, diffDir: String, batchId: Long): Unit =
     diffs.write.mode("overwrite").parquet(s"$diffDir/batch_id=$batchId")
 
+  /** Recover an interrupted `compactDiffs`: a leftover `.compact_bak` dir
+    * means a swap may be half-done. Discriminator: if the consolidated
+    * output still sits in `.compact_tmp`, the final rename never happened —
+    * restore every original batch dir from the backup; if the tmp output is
+    * gone, the rename landed and the backup is redundant. Either way both
+    * work dirs are cleared. Idempotent.
+    */
+  private def recoverCompaction(fs: FileSystem, root: Path, tmp: Path, bak: Path): Unit = {
+    if (fs.exists(bak)) {
+      val tmpHasOutput = fs.exists(tmp) && fs.listStatus(tmp).nonEmpty
+      if (tmpHasOutput) {
+        fs.listStatus(bak).foreach { st =>
+          val dest = new Path(root, st.getPath.getName)
+          if (!fs.exists(dest)) renameOrThrow(fs, st.getPath, dest)
+          else fs.delete(st.getPath, true)
+        }
+      }
+      fs.delete(bak, true)
+      ()
+    }
+    fs.delete(tmp, true)
+    ()
+  }
+
+  /** Compact the diff sink's per-micro-batch partition dirs at or below
+    * `watermark` into a single `batch_id=<watermark>` dir — the maintenance
+    * counterpart of `appendDiffs`, which deliberately never rewrites old
+    * batches and therefore accumulates one small dir per micro-batch
+    * forever (the classic streaming small-files debt; at one batch per
+    * second that is ~86k dirs/day).
+    *
+    * OFFLINE utility: run with no active writer, and `watermark` must not
+    * exceed the last batch the stream's checkpoint has committed — a
+    * replayed batch at or below the watermark would recreate its dir and
+    * duplicate its rows. `batch_id` is the sink's physical replay token,
+    * not event data (diff ordering lives in `seq`/`event_id`), so
+    * re-homing compacted rows under the watermark's id loses nothing.
+    * Crash-safe: consolidated output is written to `.compact_tmp` while
+    * the sink stays readable, originals move to `.compact_bak`, one rename
+    * promotes the consolidated dir, and `recoverCompaction` makes any
+    * interruption restorable.
+    */
+  def compactDiffs(
+      spark: SparkSession, diffDir: String, watermark: Long,
+      targetFiles: Int = 4): Unit = {
+    val root = new Path(diffDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(diffDir + ".compact_tmp")
+    val bak = new Path(diffDir + ".compact_bak")
+    recoverCompaction(fs, root, tmp, bak)
+    if (!fs.exists(root)) return
+    val batchDirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+      .map(p => p.getName.stripPrefix("batch_id=").toLong -> p)
+      .filter(_._1 <= watermark).sortBy(_._1)
+    if (batchDirs.length <= 1) return
+    val target = s"batch_id=$watermark"
+    spark.read.parquet(batchDirs.map(_._2.toString): _*)
+      .coalesce(targetFiles)
+      .write.parquet(new Path(tmp, target).toString)
+    fs.mkdirs(bak)
+    batchDirs.foreach { case (_, p) => renameOrThrow(fs, p, new Path(bak, p.getName)) }
+    renameOrThrow(fs, new Path(tmp, target), new Path(root, target))
+    fs.delete(bak, true)
+    fs.delete(tmp, true)
+    ()
+  }
+
   /** E1: the live pipeline. File-source micro-batches over `sourceDir`
     * (pre-existing files = startup backfill), keyed stateful merge, upsert
     * sink + append-only diff sink. `maxFilesPerTrigger` bounds per-batch

@@ -154,6 +154,13 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.95, s"clustered IVF recall@10 = $recall")
+    // sample-trained quantizer (1/4 of the corpus): the 100 TB index-build
+    // shape. Tight clusters survive sampling, so recall must hold.
+    val sampled = SimilarityOps.annTopKIvf(c, q, 10, nClusters = 20, nprobe = 2,
+      trainSampleMod = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallS = (brute intersect sampled).size.toDouble / brute.size
+    assert(recallS >= 0.95, s"sample-trained IVF recall@10 = $recallS")
   }
 
   test("every query returns a full, deduplicated top-10") {

@@ -159,6 +159,32 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no _bucketing.json manifest"))
   }
 
+  test("diff-sink compaction folds batch dirs below the watermark; appends continue") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/diffs"
+    def diffBatch(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, i.toInt, i * 10, i * 100, s"""{"d":$i}"""))
+        .toDF("user_id", "seq", "event_id", "ts_us", "diff_json")
+    CheckpointStream.appendDiffs(diffBatch(Seq(1L, 2L)), dir, 0)
+    CheckpointStream.appendDiffs(diffBatch(Seq(3L)), dir, 1)
+    CheckpointStream.appendDiffs(diffBatch(Seq(4L)), dir, 2)
+    val cols = Seq("user_id", "seq", "event_id", "ts_us", "diff_json")
+    val before = spark.read.parquet(dir).select(cols.map(col): _*).collect().toSet
+    CheckpointStream.compactDiffs(spark, dir, watermark = 1)
+    // dirs 0 and 1 fold into batch_id=1; dir 2 (beyond watermark) untouched
+    val dirs = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=1", "batch_id=2"), dirs)
+    assert(spark.read.parquet(dir).select(cols.map(col): _*).collect().toSet == before,
+      "compaction changed the diff rows")
+    // the sink remains appendable and readable as one table afterwards
+    CheckpointStream.appendDiffs(diffBatch(Seq(5L)), dir, 3)
+    assert(spark.read.parquet(dir).count() == 5)
+    // a second compaction over a single in-range dir is a no-op
+    CheckpointStream.compactDiffs(spark, dir, watermark = 1)
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
   test("upsert sink is idempotent: re-upserting the same batch is a no-op") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_upsert_").toString + "/sink"
