@@ -50,14 +50,15 @@ object Messages {
     * full-document parse.
     */
   def contentArray(contentField: Column): Column = {
-    // JSON array text must start with '[': the prefix test skips the
+    // JSON array text must start with '[' after JSON whitespace (space,
+    // tab, CR, LF — exactly what Jackson skips): the prefix test skips the
     // Jackson parse attempt for every plain-string content row (half the
-    // corpus in the registered q17) at the cost of one char comparison.
-    // Equivalent by case analysis: starts with '[' and parses → array
-    // (same as before); starts with '[' and fails to parse → null → string
-    // branch (same); doesn't start with '[' → could never parse as an
-    // array → string branch (same).
-    val arr = when(contentField.startsWith("["),
+    // corpus in the registered q17) at the cost of a trim+compare.
+    // Equivalent by case analysis: prefix '[' and parses → array (same as
+    // before); prefix '[' and fails to parse → null → string branch
+    // (same); no '[' prefix → could never parse as an array → string
+    // branch (same).
+    val arr = when(ltrim(contentField, " \t\r\n").startsWith("["),
       from_json(contentField, ArrayType(StringType)))
     when(contentField.isNull, lit(null).cast(ArrayType(StringType)))
       .when(arr.isNotNull, arr)

@@ -105,6 +105,20 @@ object DedupOps {
     * missed with p=(1-0.9³)¹⁶ ≈ 9e-10, so results equal brute force at the
     * declared threshold.
     */
+  /** Per-doc distinct hashed shingle sets — the shared head of every
+    * shingle-based near-dup path (q20 MinHash, q30 exact Jaccard), so the
+    * two can never diverge on what counts as the same shingle set.
+    * Repartitioned on doc_id: shingling+hashing is the CPU hot spot and
+    * must spread across the cluster even off a single small file. Shingles
+    * ride as 8-byte xxhash64 longs instead of n-gram strings: ~5× narrower
+    * shuffle rows, identical Jaccard (a cross-doc 64-bit collision is
+    * ~1e-10 probable on a 10⁵ shingle vocabulary).
+    */
+  private[graft] def hashedShingleSets(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
+
   def minhashNearDup(
       docs: DataFrame,
       threshold: Double = 0.9,
@@ -112,14 +126,7 @@ object DedupOps {
       bands: Int = 16,
       rowsPerBand: Int = 3): DataFrame = {
     require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal minhashK")
-    // signature computation is the CPU hot spot: spread it across the
-    // cluster even when the source is a single small file / row group
-    // verification uses the hashed shingle sets (8-byte longs instead of
-    // raw n-gram strings): ~5x narrower shuffle rows, identical Jaccard
-    // (a 64-bit collision across a candidate pair is ~1e-15 probable)
-    val hashed = docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
+    val hashed = hashedShingleSets(docs)
     val withBands = hashed
       // materialize the signature before banding: bandKeys slices it inside
       // a lambda, and an inline expression would be recomputed per band
@@ -174,10 +181,7 @@ object DedupOps {
     * 10¹² pairs. Exactness forbids dropping them, so at corpus scale the
     * approximate paths (`minhashNearDup` / `simhashNearDup`) are the
     * default and THIS operator is for bounded slices (per-domain shards,
-    * candidate re-verification). Shingles ride the join as 8-byte xxhash64
-    * values, not n-gram strings — ~5× narrower shuffle rows, identical
-    * Jaccard (a cross-doc 64-bit collision is ~1e-10 probable on a 10⁵
-    * shingle vocabulary).
+    * candidate re-verification).
     *
     * The per-doc set SIZE rides each posting row (one extra long) so the
     * Jaccard closes straight off the pair aggregate — the size-join-free
@@ -189,9 +193,7 @@ object DedupOps {
     * shingle pipeline — measured ~2× the per-row work of this plan.)
     */
   def ngramJaccardNearDup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val posting = docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
+    val posting = hashedShingleSets(docs)
       .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
     posting.as("a").hint("merge")
       .join(posting.as("b").hint("merge"),

@@ -287,7 +287,17 @@ object SimilarityOps {
     var cents: Array[Array[Double]] = nv.orderBy(col("vec_id")).limit(k)
       .select(col("nv")).collect()
       .map(_.getSeq[Double](0).toArray)
-    val dim = cents.headOption.map(_.length).getOrElse(0)
+    require(cents.nonEmpty,
+      s"IVF training set is empty (corpus empty, or trainSampleMod=$trainSampleMod " +
+        "sampled zero rows) — no centroids can be seeded")
+    val dim = cents.head.length
+    // spherical k-means renormalizes each centroid: raw means have norm<1
+    // and UNEQUAL norms across clusters, which would bias the argmax-dot
+    // assignment toward tight clusters instead of smallest angle
+    def renorm(cv: Array[Double]): Array[Double] = {
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      if (n > 0) cv.map(_ / n) else cv
+    }
     for (_ <- 1 to lloydIters) {
       // mean per cluster, one avg aggregate per dimension: map-side
       // partial combine means the shuffle carries K rows of dim doubles —
@@ -298,7 +308,7 @@ object SimilarityOps {
         .groupBy(col("cid"))
         .agg(avgs.head, avgs.tail: _*)
         .collect()
-        .map(r => r.getInt(0) -> Array.tabulate(dim)(j => r.getDouble(j + 1)))
+        .map(r => r.getInt(0) -> renorm(Array.tabulate(dim)(j => r.getDouble(j + 1))))
         .toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }

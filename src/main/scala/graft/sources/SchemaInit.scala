@@ -43,11 +43,15 @@ object SchemaInit {
         (f.isDirectory && Option(f.listFiles).exists(_.exists(hasParquet)))
     val exists = dir.isDirectory && Option(dir.listFiles).exists(_.exists(hasParquet))
     if (!exists) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/bucket=0")
+      // manifest FIRST, data second: a crash between the two then leaves a
+      // manifest with no parquet — rediscovered and re-created next run —
+      // whereas data-first would leave bucket dirs with no manifest, which
+      // the upsert (correctly) refuses forever after
       val sinkPath = new org.apache.hadoop.fs.Path(path)
       graft.streaming.CheckpointStream.stampManifest(
         sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration), sinkPath)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/bucket=0")
       true
     } else false
   }

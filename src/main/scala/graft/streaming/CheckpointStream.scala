@@ -195,7 +195,11 @@ object CheckpointStream {
     * guarded — a hashed id is sign-masked, and a numeric wire id that
     * parses negative (e.g. checkpoint_id "-5") is treated like a
     * non-numeric id and hashed, rather than let its sign poison the
-    * ordering.
+    * ordering. COMPATIBILITY: negative numeric ids previously keyed as
+    * their parsed (negative) value; a sink/checkpoint that ever ingested
+    * such out-of-contract ids holds their sessions under the old keys and
+    * needs a backfill replay, or those sessions split across old and new
+    * keys.
     *
     * Malformed rows (unparseable TEXT `checkpoint_ts`, null blob) are
     * FILTERED here rather than allowed to null a primitive field and kill
@@ -215,19 +219,19 @@ object CheckpointStream {
       when(parsed.isNotNull && parsed >= 0, parsed)
         .otherwise(xxhash64(col(textCol)).bitwiseAND(lit(Long.MaxValue)))
     }
-    val valid = col("ts_us").isNotNull && col("props").isNotNull &&
-      col("user_id").isNotNull && col("event_id").isNotNull &&
-      col("task_id").isNotNull
-    df.select(
-      nonNegOrHash("thread_id").as("user_id"),
-      col("task_path").as("task_id"),
-      nonNegOrHash("checkpoint_id").as("event_id"),
-      unix_micros(expr("try_cast(checkpoint_ts AS timestamp)")).as("ts_us"),
-      col("blob").cast(StringType).as("props"))
-      .observe("graft_ide_feed",
+    // filter on the SHARED wire-level rules before projecting: the
+    // surviving rows' ts/props/task are non-null by construction, and the
+    // hashed ids never are (xxhash64 of null yields the seed)
+    df.observe("graft_ide_feed",
         count(lit(1L)).as("rows_seen"),
-        sum(when(valid, lit(0L)).otherwise(lit(1L))).as("rows_dropped"))
-      .filter(valid)
+        sum(when(ideMalformed, lit(1L)).otherwise(lit(0L))).as("rows_dropped"))
+      .filter(!ideMalformed)
+      .select(
+        nonNegOrHash("thread_id").as("user_id"),
+        col("task_path").as("task_id"),
+        nonNegOrHash("checkpoint_id").as("event_id"),
+        unix_micros(expr("try_cast(checkpoint_ts AS timestamp)")).as("ts_us"),
+        col("blob").cast(StringType).as("props"))
       .as[EventRow]
   }
 
@@ -236,14 +240,20 @@ object CheckpointStream {
     if (df.schema.fieldNames.contains("thread_id")) toEventRowsIde(df)
     else toEventRows(df)
 
-  /** Wire-level malformedness of an `ide_checkpoints` row — the SAME row
-    * classes `toEventRowsIde` filters (its other validity conjuncts cannot
-    * fire: hashed ids are never null), expressed over the RAW columns so
-    * the dead-letter query can persist the original wire rows untouched.
+  /** IDE wire-row validity rules over the RAW columns — the SINGLE source
+    * for the normalizer's drop filter, the dead-letter predicate, and the
+    * quarantine reason tags, so the three can never drift apart: a rule
+    * added here is simultaneously dropped, counted, and quarantined with
+    * its label.
     */
+  private[graft] val IdeValidityRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "bad_ts" -> expr("try_cast(checkpoint_ts AS timestamp)").isNull,
+    "null_blob" -> col("blob").isNull,
+    "null_task_path" -> col("task_path").isNull)
+
+  /** Wire-level malformedness of an `ide_checkpoints` row. */
   private[graft] def ideMalformed =
-    expr("try_cast(checkpoint_ts AS timestamp)").isNull ||
-      col("blob").isNull || col("task_path").isNull
+    IdeValidityRules.map(_._2).reduce(_ || _)
 
   /** Dead-letter sink for the IDE feed: a parallel streaming query over the
     * same source that quarantines exactly the rows `toEventRowsIde` drops —
@@ -271,9 +281,7 @@ object CheckpointStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     val reason = concat_ws(",",
-      when(expr("try_cast(checkpoint_ts AS timestamp)").isNull, lit("bad_ts")),
-      when(col("blob").isNull, lit("null_blob")),
-      when(col("task_path").isNull, lit("null_task_path")))
+      IdeValidityRules.map { case (label, bad) => when(bad, lit(label)) }: _*)
     val writer = raw.filter(ideMalformed)
       .withColumn("reason", reason)
       .writeStream
