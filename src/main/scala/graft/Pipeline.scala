@@ -102,6 +102,11 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // session state lives off-heap in RocksDB: the default in-memory
+      // HDFS-backed store holds every session's full state on the JVM
+      // heap, which is exactly what a 100 TB keyed-state stream cannot do
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = run(spark, Config(

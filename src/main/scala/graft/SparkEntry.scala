@@ -53,6 +53,7 @@ object SparkEntry {
     // rows-only like q24: the probabilistic index has no SQL oracle; the
     // recall gate vs the exact baseline lives in SimilarityOpsSpec
     "q32_ann_ivf"       -> (SimilarityOps.q32AnnIvf(_, _)),
+    "q33_sessionize"    -> (SessionOps.q33Sessionize(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -283,6 +284,24 @@ object SparkEntry {
         |       THEN length(text)::double / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
         |       END AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Gap-based sessionization: both engines break sessions on the same
+    // integer-microsecond gap and number them with a running sum over the
+    // same (ts, event_id) total order; the ::bigint cast matches Spark's
+    // sum-of-int type.
+    "q33_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, event_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |                  OR ts_us - lag(ts_us) OVER w > 86400000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)::bigint AS session_no
+        |      FROM g)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Hourly windows align to :00 in both engines (epoch and DuckDB's
     // time_bucket origin are both on the hour), so the bounds agree.
     "q29_windowed_agg" ->

@@ -76,4 +76,41 @@ object SessionOps {
   }
 
   /** q17 lives in MessageOps; q-naming continues in SparkEntry. */
+
+  /** Gap of event-time inactivity that closes a session (24 h — sized so
+    * the synthetic corpus groups ~8 events/session; a real deployment
+    * tunes this per product).
+    */
+  val SessionGapUs: Long = 24L * 3600 * 1000000
+
+  /** q33: gap-based sessionization — the classic event-analytics operator
+    * over a CDC stream: a user's events split into sessions wherever the
+    * event-time gap exceeds `SessionGapUs`, then per-session rollups.
+    *
+    * Plan shape: `lag` and the running `sum` share ONE window spec, so
+    * both run off a single shuffle+sort on (user_id; ts, event_id); the
+    * rollup is a second (narrower) shuffle on (user_id, session_no). Per
+    * user windows are session-history-bounded — no global sort, no state
+    * beyond a partition, so the shape holds at 100 TB. (The STREAMING
+    * counterpart of this operator is `EventWindows`' watermarked windows /
+    * Spark's native session_window; this is the batch/backfill form.)
+    */
+  def q33Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
 }

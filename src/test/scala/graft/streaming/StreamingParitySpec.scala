@@ -63,6 +63,35 @@ class StreamingParitySpec extends AnyFunSuite {
       "diff-stream parity mismatch between streaming and batch replay")
   }
 
+  test("stateful stream is state-store-provider-agnostic: RocksDB == batch backfill") {
+    // the Pipeline CLI runs RocksDB (off-heap keyed state — the 100 TB
+    // requirement); this proves the session-state encoders survive the
+    // provider swap, not just the default in-memory store the other
+    // streaming tests run under
+    val base = Files.createTempDirectory("graft_rocks_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.coalesce(1).write.parquet(s"$base/feed")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = CheckpointStream.run(
+        spark, s"$base/feed", s"$base/ckpt", s"$base/sink", maxFilesPerTrigger = 64)
+      q.awaitTermination(120000L)
+      assert(!q.isActive)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+    val streamed = spark.read.parquet(s"$base/sink")
+      .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    val batch = CheckpointStream.backfill(spark, events).toDF()
+      .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "RocksDB-backed stream diverged from the batch backfill")
+  }
+
   test("upsert rewrites only the buckets a batch touches") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_buckets_").toString + "/sink"
