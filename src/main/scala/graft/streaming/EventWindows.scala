@@ -54,6 +54,59 @@ object EventWindows {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("ws_us"), col("event_type"))
 
+  /** Per-user session aggregation via Spark's native `session_window`
+    * (the STREAMING counterpart of the batch gap-sessionization q33;
+    * note the boundary convention differs at exactly-gap spacing:
+    * `session_window` merges while the next event is STRICTLY inside
+    * last+gap, q33's lag-split keeps gaps ≤ threshold — identical on any
+    * corpus without exact-gap ties). Shared by the stream and the
+    * batch-parity side: sessions are keyed per user, state per key is one
+    * open session, retired as the watermark passes its end.
+    */
+  def sessionStats(events: DataFrame, gapDur: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gapDur).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** `ts` + `user_id` normalization for the session stream. */
+  def normalizeSess(df: DataFrame): DataFrame =
+    df.select(timestamp_micros(graft.Tables.tsMicros(df)).as("ts"), col("user_id"))
+
+  /** Run the watermarked per-user session stream: agents feed →
+    * `session_window` sessions → append-only parquet sink of finalized
+    * sessions (append mode emits a session exactly once, when the
+    * watermark passes its end — merged-but-still-open sessions stay in
+    * state, exactly like the tumbling form's trailing windows).
+    */
+  def runSessions(
+      spark: SparkSession,
+      sourceDir: String,
+      checkpointDir: String,
+      sinkDir: String,
+      gapDur: String = "24 hours",
+      watermark: String = "30 minutes",
+      maxFilesPerTrigger: Int = 1,
+      availableNow: Boolean = true): StreamingQuery = {
+    val schema = CheckpointStream.feedSchemaFor(spark, sourceDir)
+    require(schema.fieldNames.contains("ts"),
+      s"EventWindows requires the agents feed shape (ts/user_id); " +
+        s"detected columns: ${schema.fieldNames.mkString(", ")}")
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val events = normalizeSess(raw).withWatermark("ts", watermark)
+    val writer = sessionStats(events, gapDur).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", sinkDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+  }
+
   /** Run the watermarked stream: parquet agents feed → event-time tumbling
     * windows → append-only parquet sink of finalized windows.
     */

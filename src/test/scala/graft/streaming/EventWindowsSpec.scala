@@ -44,4 +44,46 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       s"windowed parity mismatch: streamed=${streamed.count()} batch=${batch.count()}")
   }
+
+  test("streamed finalized sessions == batch session_window closed by the watermark") {
+    val base = Files.createTempDirectory("graft_sessions_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val ranked = events.withColumn("rnk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    val n = events.count()
+    ranked.filter(col("rnk") <= n / 2).drop("rnk")
+      .coalesce(1).write.parquet(s"$base/feed/f0")
+    ranked.filter(col("rnk") > n / 2).drop("rnk")
+      .coalesce(1).write.parquet(s"$base/feed/f1")
+
+    // a short gap so plenty of sessions CLOSE inside the corpus timespan
+    val q = EventWindows.runSessions(spark, s"$base/feed/f*", s"$base/ckpt", s"$base/sink",
+      gapDur = "1 hour", watermark = "30 minutes")
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+
+    val streamed = spark.read.parquet(s"$base/sink")
+      .select("user_id", "session_start", "session_end", "n_events")
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+    val batch = EventWindows.sessionStats(EventWindows.normalizeSess(events), "1 hour")
+      .filter(col("session_end") <= lit(cutoff))
+    assert(streamed.count() > 0, "no sessions finalized — watermark never advanced")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"session parity mismatch: streamed=${streamed.count()} batch=${batch.count()}")
+  }
+
+  test("q33 sessionize shares one shuffle+sort between lag and the running sum") {
+    val plan = graft.operators.SessionOps
+      .q33Sessionize(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // lag (default frame) and the running sum (rows-unbounded frame) have
+    // different frames, so Catalyst plans two Window operators — but they
+    // must ride ONE (user_id; ts_us, event_id) partition-sort (the other
+    // Sort in the plan is the final output orderBy): a second window sort
+    // would mean the two window specs diverged
+    val windowSorts = "Sort \\[user_id[^\\]]*event_id".r.findAllIn(plan).length
+    assert(windowSorts == 1,
+      s"expected one (user_id; ts_us, event_id) window sort, found $windowSorts:\n$plan")
+  }
 }
