@@ -54,6 +54,7 @@ object SparkEntry {
     // recall gate vs the exact baseline lives in SimilarityOpsSpec
     "q32_ann_ivf"       -> (SimilarityOps.q32AnnIvf(_, _)),
     "q33_sessionize"    -> (SessionOps.q33Sessionize(_, _)),
+    "q34_value_stats"   -> (RelationalOps.q34ValueStats(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -302,6 +303,14 @@ object SparkEntry {
         |SELECT user_id, session_no, count(*) AS n_events,
         |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Exact interpolated quantiles: Spark median/percentile and DuckDB
+    // median/quantile_cont share the h=(n-1)p formula, so the doubles
+    // match exactly (approx sketches would not).
+    "q34_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  median(value) AS med_v, quantile_cont(value, 0.9) AS p90_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Hourly windows align to :00 in both engines (epoch and DuckDB's
     // time_bucket origin are both on the hour), so the bounds agree.
     "q29_windowed_agg" ->

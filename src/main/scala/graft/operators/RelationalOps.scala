@@ -222,4 +222,25 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("day"), col("event_type"))
   }
+
+  /** q34: grouped value-distribution stats — count/min/max plus EXACT
+    * interpolated quantiles (`median`, `percentile`): both engines use the
+    * same `h = (n-1)p` linear interpolation over the sorted group, so the
+    * doubles agree bit-for-bit (unlike approx_percentile, whose sketch
+    * would diverge). Exact quantiles sort each group's values — fine for
+    * bounded per-group cardinality; a 100 TB run with huge groups switches
+    * to approx_percentile and a tolerance-checked gate instead of a
+    * hash-equality oracle.
+    */
+  def q34ValueStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        median(col("value")).as("med_v"),
+        percentile(col("value"), lit(0.9)).as("p90_v"))
+      .orderBy(col("event_type"))
+  }
 }
