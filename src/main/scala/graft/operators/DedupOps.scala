@@ -96,15 +96,6 @@ object DedupOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
-  /** MinHash-LSH near-dup pairs with exact Jaccard verification.
-    *
-    * Plan shape: per-row signatures → explode band keys (×bands) →
-    * self-equi-join on the band bucket (shuffle hash join, NEVER a cartesian)
-    * → distinct candidate pairs → re-join shingle sets by doc_id → exact
-    * Jaccard filter. With rowsPerBand=3, bands=16 a true pair at j=0.9 is
-    * missed with p=(1-0.9³)¹⁶ ≈ 9e-10, so results equal brute force at the
-    * declared threshold.
-    */
   /** Per-doc distinct hashed shingle sets — the shared head of every
     * shingle-based near-dup path (q20 MinHash, q30 exact Jaccard), so the
     * two can never diverge on what counts as the same shingle set.
@@ -119,6 +110,15 @@ object DedupOps {
       .select(col("doc_id"),
         array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
 
+  /** MinHash-LSH near-dup pairs with exact Jaccard verification.
+    *
+    * Plan shape: per-row signatures → explode band keys (×bands) →
+    * self-equi-join on the band bucket (shuffle hash join, NEVER a cartesian)
+    * → distinct candidate pairs → re-join shingle sets by doc_id → exact
+    * Jaccard filter. With rowsPerBand=3, bands=16 a true pair at j=0.9 is
+    * missed with p=(1-0.9³)¹⁶ ≈ 9e-10, so results equal brute force at the
+    * declared threshold.
+    */
   def minhashNearDup(
       docs: DataFrame,
       threshold: Double = 0.9,

@@ -247,6 +247,12 @@ object CheckpointStream {
     * its label.
     */
   private[graft] val IdeValidityRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    // null ids are identity-less rows: without these rules they would all
+    // hash onto the single constant key xxhash64(null) and silently merge
+    // into one synthetic session (checkpoints overwriting each other)
+    // instead of being dropped, counted, and quarantined
+    "null_thread_id" -> col("thread_id").isNull,
+    "null_checkpoint_id" -> col("checkpoint_id").isNull,
     "bad_ts" -> expr("try_cast(checkpoint_ts AS timestamp)").isNull,
     "null_blob" -> col("blob").isNull,
     "null_task_path" -> col("task_path").isNull)

@@ -73,17 +73,4 @@ class EventWindowsSpec extends AnyFunSuite {
       s"session parity mismatch: streamed=${streamed.count()} batch=${batch.count()}")
   }
 
-  test("q33 sessionize shares one shuffle+sort between lag and the running sum") {
-    val plan = graft.operators.SessionOps
-      .q33Sessionize(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
-    // lag (default frame) and the running sum (rows-unbounded frame) have
-    // different frames, so Catalyst plans two Window operators — but they
-    // must ride ONE (user_id; ts_us, event_id) partition-sort (the other
-    // Sort in the plan is the final output orderBy): a second window sort
-    // would mean the two window specs diverged
-    val windowSorts = "Sort \\[user_id[^\\]]*event_id".r.findAllIn(plan).length
-    assert(windowSorts == 1,
-      s"expected one (user_id; ts_us, event_id) window sort, found $windowSorts:\n$plan")
-  }
 }

@@ -74,6 +74,22 @@ class IdeFeedSpec extends AnyFunSuite {
     assert(rows.head.event_id == 3L && rows.head.props == "ok")
   }
 
+  test("identity-less rows (null thread/checkpoint id) are dropped, not merged onto a constant key") {
+    import spark.implicits._
+    // two UNRELATED null-thread_id rows would both hash to xxhash64(null)
+    // and silently merge into one synthetic session; they must be dropped
+    val df = Seq(
+      (Option("t1"), "1970-01-01 00:00:00.001", Option("1")),
+      (None: Option[String], "1970-01-01 00:00:00.002", Option("2")),
+      (Option("t3"), "1970-01-01 00:00:00.003", None: Option[String]))
+      .map { case (th, ts, cp) => (th, "p", "s", ts, cp, "x".getBytes, "task") }
+      .toDF("thread_id", "prompt_id", "session_id", "checkpoint_ts", "checkpoint_id", "blob", "task_path")
+    val ds = CheckpointStream.toEventRowsIde(df)
+    assert(ds.collect().map(_.props).toSeq == Seq("x"))
+    val m = ds.queryExecution.observedMetrics("graft_ide_feed")
+    assert(m.getAs[Long]("rows_dropped") == 2L)
+  }
+
   test("negative numeric wire ids are hashed, preserving the zero-pad order invariant") {
     import spark.implicits._
     val df = Seq(("-7", "p", "s", "1970-01-01 00:00:00.001", "-5", "x".getBytes, "t"))
