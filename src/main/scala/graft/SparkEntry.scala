@@ -55,6 +55,7 @@ object SparkEntry {
     "q32_ann_ivf"       -> (SimilarityOps.q32AnnIvf(_, _)),
     "q33_sessionize"    -> (SessionOps.q33Sessionize(_, _)),
     "q34_value_stats"   -> (RelationalOps.q34ValueStats(_, _)),
+    "q35_asof_join"     -> (SessionOps.q35AsofJoin(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -303,6 +304,20 @@ object SparkEntry {
         |SELECT user_id, session_no, count(*) AS n_events,
         |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // As-of join oracle in plain SQL: inequality join + per-purchase
+    // argmax with the same (ts DESC, event_id DESC) tie-break the Spark
+    // union+window composition applies at equal timestamps.
+    "q35_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS p_event_id, p.user_id, p.ts_us AS p_ts_us,
+        |  c.event_id AS c_event_id, c.ts_us AS c_ts_us
+        |FROM p JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id
+        |                           ORDER BY c.ts_us DESC, c.event_id DESC) = 1
+        |ORDER BY p_event_id""".stripMargin,
     // Exact interpolated quantiles: Spark median/percentile and DuckDB
     // median/quantile_cont share the h=(n-1)p formula, so the doubles
     // match exactly (approx sketches would not).

@@ -77,6 +77,41 @@ object SessionOps {
 
   /** q17 lives in MessageOps; q-naming continues in SparkEntry. */
 
+  /** q35: event-time AS-OF join — every `purchase` event matched to the
+    * most recent `click` event of the same user at or before its
+    * timestamp. Spark has no asof-join operator, and the naive encoding
+    * (`a.user_id = b.user_id && b.ts <= a.ts` + per-row argmax) is an
+    * inequality join whose candidate set is O(|purchases|·|clicks/user|)
+    * BEFORE the argmax prunes it. This composition avoids that entirely:
+    * tag both sides, UNION them, and take a per-user running
+    * `last(click, ignoreNulls)` over event-time order — one shuffle+sort
+    * on the session key, zero join. Tie discipline at equal timestamps:
+    * clicks sort before purchases (tag 0 < 1) so a same-instant click is
+    * visible (`<=` semantics), and among same-instant clicks the highest
+    * event_id wins — both mirrored in the oracle's DESC/DESC pick.
+    */
+  def q35AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("tag", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("click_ref",
+        when(col("tag") === 0, struct(col("ts_us").as("c_ts_us"), col("event_id").as("c_event_id"))))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click", last(col("click_ref"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("last_click").isNotNull)
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts_us").as("p_ts_us"),
+        col("last_click.c_event_id").as("c_event_id"),
+        col("last_click.c_ts_us").as("c_ts_us"))
+      .orderBy(col("p_event_id"))
+  }
+
   /** Gap of event-time inactivity that closes a session (24 h — sized so
     * the synthetic corpus groups ~8 events/session; a real deployment
     * tunes this per product).

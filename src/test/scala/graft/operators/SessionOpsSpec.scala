@@ -22,4 +22,14 @@ class SessionOpsSpec extends AnyFunSuite {
     assert(windowSorts == 1,
       s"expected one (user_id; ts_us, event_id) window sort, found $windowSorts:\n$plan")
   }
+
+  test("q35 as-of join plans with ZERO join operators (union + window, one shuffle)") {
+    val plan = SessionOps.q35AsofJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the operator's reason to exist: the naive inequality-join encoding
+    // explodes to O(|purchases|*|clicks/user|) candidates; the union+
+    // running-last composition must contain no join of any kind
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
 }
