@@ -58,11 +58,19 @@ object Messages {
     // before); prefix '[' and fails to parse → null → string branch
     // (same); no '[' prefix → could never parse as an array → string
     // branch (same).
-    val arr = when(ltrim(contentField, " \t\r\n").startsWith("["),
+    val parsed = when(ltrim(contentField, " \t\r\n").startsWith("["),
       from_json(contentField, ArrayType(StringType)))
-    when(contentField.isNull, lit(null).cast(ArrayType(StringType)))
-      .when(arr.isNotNull, arr)
-      .otherwise(array(contentField))
+    // bind the parse result as a lambda variable: the branch below
+    // references it twice (null test + value), and from_json is a
+    // CodegenFallback expression outside codegen CSE — inlined, array
+    // rows would pay the Jackson parse twice (the same recompute hazard
+    // the shingle/winnow pipelines hit with HOF lambdas)
+    element_at(
+      transform(array(parsed), arr =>
+        when(contentField.isNull, lit(null).cast(ArrayType(StringType)))
+          .when(arr.isNotNull, arr)
+          .otherwise(array(contentField))),
+      1)
   }
 
   /** Parse one message JSON into the sparse union struct. */
