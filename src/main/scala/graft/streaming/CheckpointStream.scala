@@ -220,8 +220,9 @@ object CheckpointStream {
         .otherwise(xxhash64(col(textCol)).bitwiseAND(lit(Long.MaxValue)))
     }
     // filter on the SHARED wire-level rules before projecting: the
-    // surviving rows' ts/props/task are non-null by construction, and the
-    // hashed ids never are (xxhash64 of null yields the seed)
+    // surviving rows' ts/props/task are non-null by construction, and
+    // null ids never reach the hash branch (IdeValidityRules drops
+    // identity-less rows to the dead-letter path)
     df.observe("graft_ide_feed",
         count(lit(1L)).as("rows_seen"),
         sum(when(ideMalformed, lit(1L)).otherwise(lit(0L))).as("rows_dropped"))
