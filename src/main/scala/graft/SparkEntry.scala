@@ -56,6 +56,7 @@ object SparkEntry {
     "q33_sessionize"    -> (SessionOps.q33Sessionize(_, _)),
     "q34_value_stats"   -> (RelationalOps.q34ValueStats(_, _)),
     "q35_asof_join"     -> (SessionOps.q35AsofJoin(_, _)),
+    "q36_dedup_groups"  -> (DedupOps.q36DedupGroups(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -304,6 +305,26 @@ object SparkEntry {
         |SELECT user_id, session_no, count(*) AS n_events,
         |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Dedup groups: the pairs CTE is q20's brute-force near-dup oracle
+    // (sound stand-in for the LSH pairs at ~1e-9 miss probability); the
+    // recursive closure then yields min-id connected components.
+    "q36_dedup_groups" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM w)),
+        |ds AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM p0 JOIN ds x ON x.doc_id = da JOIN ds y ON y.doc_id = db
+        |          WHERE inter::double / (x.n + y.n - inter) >= 0.9),
+        |nodes AS (SELECT DISTINCT da AS n FROM pairs UNION SELECT DISTINCT db FROM pairs),
+        |edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+        |SELECT s AS doc_id, min(t) AS group_id FROM reach GROUP BY s
+        |ORDER BY doc_id""".stripMargin,
     // As-of join oracle in plain SQL: inequality join + per-purchase
     // argmax with the same (ts DESC, event_id DESC) tie-break the Spark
     // union+window composition applies at equal timestamps.

@@ -215,6 +215,60 @@ object DedupOps {
   def q30NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardNearDup(Tables.documents(spark, dir))
 
+  /** Resolve near-dup PAIRS into dedup GROUPS (connected components) —
+    * the step that turns pairwise similarity into canonical keep/drop
+    * decisions: every document in a component gets the component's
+    * minimum doc_id as its `group_id`, and the keeper is the one whose
+    * id equals it.
+    *
+    * Algorithm: iterative min-label propagation. Each pass joins labels
+    * across the (symmetrized) edge list and takes the per-node minimum —
+    * every step is a distributed equi-join + aggregate; only the LOOP
+    * (bounded by the widest component's diameter) runs on the driver, and
+    * convergence is detected by an aggregate, never by collecting data.
+    * Near-dup components are dup-groups — a handful of documents each —
+    * so the loop terminates in a few passes; for adversarial
+    * long-chain graphs the large-star/small-star variant halves diameters
+    * per round, at the cost of two joins per pass (documented trade, not
+    * needed for dedup workloads). Labels are persisted per pass and the
+    * previous generation unpersisted — the lineage is cut by the cache,
+    * not by growing a 2^iters plan.
+    */
+  def dedupGroups(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("neighbor_min"))
+      val next = labels.join(prop, labels("node") === prop("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("label"))
+        .persist()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    val out = labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+      .orderBy(col("doc_id"))
+    out
+  }
+
+  /** q36: dedup groups over the MinHash near-dup pairs (threshold 0.9 —
+    * the same pair set as q20, which equals brute force there). The
+    * oracle computes the identical components via a recursive-CTE
+    * transitive closure.
+    */
+  def q36DedupGroups(spark: SparkSession, dir: String): DataFrame =
+    dedupGroups(minhashNearDup(Tables.documents(spark, dir)))
+
   /** SimHash: 64-bit locality-sensitive fingerprint — per-bit majority vote
     * over the shingle hashes, folded by the native codegen expression
     * `graft.functions.SimHash64` (no UDF boxing in the hot loop).

@@ -52,6 +52,28 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("dedupGroups == driver union-find over the same pairs (components, min label)") {
+    import spark.implicits._
+    // hand graph: a 4-chain (0-1-2-3), a triangle (10,11,12), an isolated
+    // pair (20,21) — exercises multi-hop propagation, not just 1 round
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dedupGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: textbook union-find on the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .foreach { case (a, b) => parent(find(a)) = find(b) }
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    val minOf = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    val expected = roots.map { case (k, r) => k -> minOf(r) }
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("exact dedup groups all docs and keeps min ids") {
     val docs = Tables.documents(spark, sf)
     val out = DedupOps.q18ExactDedup(spark, sf)
