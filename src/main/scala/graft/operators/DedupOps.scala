@@ -240,21 +240,25 @@ object DedupOps {
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
+    var cached = labels // the persisted generation backing `labels`
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("neighbor_min"))
+      // carry the previous label through so convergence is a FILTER over
+      // the cached result — not a join back against the old generation
       val next = labels.join(prop, labels("node") === prop("src"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("label"))
         .persist()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("label"))
     }
+    // the final generation stays cached: the caller's action reads it
+    // without replaying the iteration lineage (cache slots are plan-keyed,
+    // so repeated runs reuse rather than accumulate)
     edges.unpersist()
     val out = labels.select(col("node").as("doc_id"), col("label").as("group_id"))
       .orderBy(col("doc_id"))
