@@ -23,6 +23,33 @@ class SessionOpsSpec extends AnyFunSuite {
       s"expected one (user_id; ts_us, event_id) window sort, found $windowSorts:\n$plan")
   }
 
+  test("q35 union+window as-of == naive inequality-join argmax on real data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    val ev = graft.Tables.events(spark2, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_event_id"), col("ts_us").as("c_ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts_us").as("p_ts_us"))
+    // the O(|p|*|c-per-user|) encoding the operator exists to avoid —
+    // kept here as the semantic reference only
+    val w = Window.partitionBy(col("p_event_id"))
+      .orderBy(col("c_ts_us").desc, col("c_event_id").desc)
+    val naive = purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts_us") <= col("p_ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_event_id"), col("user_id"), col("p_ts_us"),
+        col("c_event_id"), col("c_ts_us"))
+    val composed = SessionOps.q35AsofJoin(spark2, "/root/testdata/sf0.001")
+    assert(composed.count() > 0)
+    assert(composed.exceptAll(naive).isEmpty && naive.exceptAll(composed).isEmpty,
+      "union+window as-of diverged from the inequality-join reference")
+  }
+
   test("q35 as-of join plans with ZERO join operators (union + window, one shuffle)") {
     val plan = SessionOps.q35AsofJoin(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
