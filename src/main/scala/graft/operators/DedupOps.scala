@@ -245,13 +245,19 @@ object DedupOps {
     while (!converged) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("neighbor_min"))
-      // carry the previous label through so convergence is a FILTER over
-      // the cached result — not a join back against the old generation
-      val next = labels.join(prop, labels("node") === prop("src"), "left")
+      // inner join: every node is an edge src by construction (the edge
+      // list is symmetrized), so prop covers every node. The previous
+      // label rides along so convergence is a FILTER over the cached
+      // result — not a join back against the old generation.
+      val next = labels.join(prop, labels("node") === prop("src"))
         .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("neighbor_min"), col("label"))).as("label"))
+          least(col("label"), col("neighbor_min")).as("label"))
         .persist()
-      converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      // count(), not isEmpty: isEmpty is a take(1) that stops at the
+      // first changed partition, leaving the rest of `next` UNCACHED when
+      // the previous generation is dropped below — count materializes
+      // every partition so the cache actually cuts the lineage
+      converged = next.filter(col("label") =!= col("old_label")).count() == 0L
       cached.unpersist()
       cached = next
       labels = next.select(col("node"), col("label"))
