@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Watermarked tumbling-window aggregation over the event feed — the
   * Structured-Streaming-native form of the relational time-bucket rollup
@@ -88,23 +88,13 @@ object EventWindows {
       gapDur: String = "24 hours",
       watermark: String = "30 minutes",
       maxFilesPerTrigger: Int = 1,
-      availableNow: Boolean = true): StreamingQuery = {
-    val schema = CheckpointStream.feedSchemaFor(spark, sourceDir)
-    require(schema.fieldNames.contains("ts"),
-      s"EventWindows requires the agents feed shape (ts/user_id); " +
-        s"detected columns: ${schema.fieldNames.mkString(", ")}")
-    val raw = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(sourceDir)
+      availableNow: Boolean = true,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val raw = FeedStream.readAgentsFeed(spark, sourceDir, maxFilesPerTrigger,
+      schemaHint, Seq("ts", "user_id"), "EventWindows.runSessions")
     val events = normalizeSess(raw).withWatermark("ts", watermark)
-    val writer = sessionStats(events, gapDur).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .format("parquet")
-      .option("path", sinkDir)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    FeedStream.startParquetSink(
+      sessionStats(events, gapDur), checkpointDir, sinkDir, availableNow)
   }
 
   /** Run the watermarked stream: parquet agents feed → event-time tumbling
@@ -118,24 +108,14 @@ object EventWindows {
       windowDur: String = "1 hour",
       watermark: String = "30 minutes",
       maxFilesPerTrigger: Int = 1,
-      availableNow: Boolean = true): StreamingQuery = {
-    val schema = CheckpointStream.feedSchemaFor(spark, sourceDir)
+      availableNow: Boolean = true,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
     // the windowed rollup aggregates the agents feed's value column; the
     // IDE wire shape has none — fail loudly instead of at stream runtime
-    require(schema.fieldNames.contains("ts"),
-      s"EventWindows requires the agents feed shape (ts/event_type/value); " +
-        s"detected columns: ${schema.fieldNames.mkString(", ")}")
-    val raw = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(sourceDir)
+    val raw = FeedStream.readAgentsFeed(spark, sourceDir, maxFilesPerTrigger,
+      schemaHint, Seq("ts", "event_type", "value"), "EventWindows.run")
     val events = normalizeTs(raw).withWatermark("ts", watermark)
-    val writer = windowedStats(events, windowDur).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .format("parquet")
-      .option("path", sinkDir)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    FeedStream.startParquetSink(
+      windowedStats(events, windowDur), checkpointDir, sinkDir, availableNow)
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming exact deduplication over the event feed — the ingest-time
   * counterpart of the batch content-hash dedup (q18): the first event
@@ -13,12 +13,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * streaming `dropDuplicates` accumulates every key ever seen for the
   * lifetime of the query.
   *
-  * The trade is explicit and documented: a duplicate arriving LATER than
-  * the watermark window after its original is treated as new. For CDC
-  * replay storms and at-least-once upstream delivery (the duplicate
-  * classes a checkpoint feed actually produces — retries land within
-  * seconds, not days) the window is easily sized; global forever-dedup
-  * belongs to the batch path (q18 / q36) over the accumulated table.
+  * Two trades, both explicit: (1) a duplicate arriving LATER than the
+  * watermark window after its original is treated as new. For CDC replay
+  * storms and at-least-once upstream delivery (the duplicate classes a
+  * checkpoint feed actually produces — retries land within seconds, not
+  * days) the window is easily sized; global forever-dedup belongs to the
+  * batch path (q18 / q36) over the accumulated table. (2) The canonical
+  * survivor is the first row to ARRIVE, which equals the earliest-event-
+  * time row (the `batchDedup` reference) only under the CDC feed's
+  * arrival-order contract (files land in event-time order — the same
+  * contract the session stream relies on); under out-of-order delivery
+  * within the window the kept CONTENT is identical but the surviving
+  * row's (event_id, ts) may be a later duplicate's.
   */
 object StreamDedup {
 
@@ -30,13 +36,18 @@ object StreamDedup {
     sha2(payload, 256)
 
   /** The batch reference semantics for the parity test: first event (by
-    * event time, id tie-break) per payload hash.
+    * event time, id tie-break) per payload hash. Equals the streaming
+    * survivor under the feed's arrival-order contract (scaladoc trade #2).
+    * `ts` goes through the shared `Tables.tsMicros` dispatch exactly like
+    * the streaming side, so the reference holds for every feed variant
+    * (µs timestamp, ns-long, NTZ).
     */
   def batchDedup(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("content_hash"))
       .orderBy(col("ts"), col("event_id"))
     events
+      .withColumn("ts", timestamp_micros(graft.Tables.tsMicros(events)))
       .withColumn("content_hash", contentKey(col("props")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -53,15 +64,10 @@ object StreamDedup {
       sinkDir: String,
       watermark: String = "1 hour",
       maxFilesPerTrigger: Int = 1,
-      availableNow: Boolean = true): StreamingQuery = {
-    val schema = CheckpointStream.feedSchemaFor(spark, sourceDir)
-    require(schema.fieldNames.contains("props"),
-      s"StreamDedup requires the agents feed shape (ts/event_id/props); " +
-        s"detected columns: ${schema.fieldNames.mkString(", ")}")
-    val raw = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(sourceDir)
+      availableNow: Boolean = true,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    val raw = FeedStream.readAgentsFeed(spark, sourceDir, maxFilesPerTrigger,
+      schemaHint, Seq("ts", "event_id", "props"), "StreamDedup")
     val events = raw
       .select(timestamp_micros(graft.Tables.tsMicros(raw)).as("ts"),
         col("event_id"), col("props"))
@@ -69,12 +75,6 @@ object StreamDedup {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("content_hash"), col("event_id"), col("ts"), col("props"))
-    val writer = events.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .format("parquet")
-      .option("path", sinkDir)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    FeedStream.startParquetSink(events, checkpointDir, sinkDir, availableNow)
   }
 }
