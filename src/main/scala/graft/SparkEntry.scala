@@ -57,6 +57,7 @@ object SparkEntry {
     "q34_value_stats"   -> (RelationalOps.q34ValueStats(_, _)),
     "q35_asof_join"     -> (SessionOps.q35AsofJoin(_, _)),
     "q36_dedup_groups"  -> (DedupOps.q36DedupGroups(_, _)),
+    "q37_repetition"    -> (TextOps.q37Repetition(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -325,6 +326,17 @@ object SparkEntry {
         |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
         |SELECT s AS doc_id, min(t) AS group_id FROM reach GROUP BY s
         |ORDER BY doc_id""".stripMargin,
+    // Repetition signal: non-distinct bigram counts; HUGEINT sums cast to
+    // bigint to match Spark's sum-of-long.
+    "q37_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS b
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM w)),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::bigint AS n_bigrams,
+        |  max(c)::bigint AS top_bigram_count,
+        |  max(c)::double / sum(c) AS top_bigram_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // As-of join oracle in plain SQL: inequality join + per-purchase
     // argmax with the same (ts DESC, event_id DESC) tie-break the Spark
     // union+window composition applies at equal timestamps.

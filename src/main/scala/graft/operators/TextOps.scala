@@ -85,6 +85,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q37: within-document repetition — the top-bigram fraction quality
+    * signal (a dominant repeated phrase is the classic low-quality /
+    * boilerplate marker in training-data filtering). Bigrams here are NOT
+    * distinct (repetition is the point — `shingles` dedups and cannot be
+    * reused); the word array is bound as a lambda variable before the
+    * bigram lambda reads it, per the measured HOF-recompute hazard.
+    * Shape: explode → two map-side-partial aggregates keyed by doc — the
+    * standard shuffle pattern, volume = total bigram count. Docs with
+    * fewer than 2 words have no bigrams and drop out (mirrors the
+    * oracle's empty unnest).
+    */
+  def q37Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = element_at(
+      transform(array(split(lower(col("text")), " ")), words =>
+        when(size(words) >= 2,
+          transform(sequence(lit(0), size(words) - 2),
+            i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+          .otherwise(array().cast("array<string>"))),
+      1)
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_count"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_count").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling k-gram hashes of a text column (positional) — native
     * single-pass expression over the UTF-8 bytes.
     */
