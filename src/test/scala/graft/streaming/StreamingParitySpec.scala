@@ -214,6 +214,60 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 5)
   }
 
+  test("compaction recovery handles both crash windows (swap-incomplete, bak-residue)") {
+    import spark.implicits._
+    def diffBatch(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, i.toInt, i * 10, i * 100, s"""{"d":$i}"""))
+        .toDF("user_id", "seq", "event_id", "ts_us", "diff_json")
+    val cols = Seq("user_id", "seq", "event_id", "ts_us", "diff_json")
+    def rowsOf(dir: String) =
+      spark.read.parquet(dir).select(cols.map(col): _*).collect().toSet
+    def mv(from: String, to: String): Unit = {
+      val dest = new java.io.File(to)
+      dest.getParentFile.mkdirs()
+      assert(new java.io.File(from).renameTo(dest), s"fixture move failed: $from -> $to")
+    }
+
+    // crash window A: consolidated output written to .compact_tmp and the
+    // originals already moved to .compact_bak, but the promote rename
+    // never ran — recovery must RESTORE the originals, then compaction
+    // completes from scratch
+    val dirA = Files.createTempDirectory("graft_crashA_").toString + "/diffs"
+    CheckpointStream.appendDiffs(diffBatch(Seq(1L, 2L)), dirA, 0)
+    CheckpointStream.appendDiffs(diffBatch(Seq(3L)), dirA, 1)
+    CheckpointStream.appendDiffs(diffBatch(Seq(4L)), dirA, 2)
+    val before = rowsOf(dirA)
+    spark.read.parquet(s"$dirA/batch_id=0", s"$dirA/batch_id=1")
+      .write.parquet(s"$dirA.compact_tmp/batch_id=1")
+    mv(s"$dirA/batch_id=0", s"$dirA.compact_bak/batch_id=0")
+    mv(s"$dirA/batch_id=1", s"$dirA.compact_bak/batch_id=1")
+    CheckpointStream.compactDiffs(spark, dirA, watermark = 1)
+    assert(rowsOf(dirA) == before, "crash window A lost or duplicated rows")
+    val dirsA = new java.io.File(dirA).listFiles.map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirsA == Seq("batch_id=1", "batch_id=2"), dirsA)
+
+    // crash window B: the promote rename LANDED (root holds the
+    // consolidated dir) but bak/tmp were never cleaned — recovery must
+    // finalize (drop the residue) without resurrecting old dirs
+    val dirB = Files.createTempDirectory("graft_crashB_").toString + "/diffs"
+    CheckpointStream.appendDiffs(diffBatch(Seq(1L, 2L)), dirB, 0)
+    CheckpointStream.appendDiffs(diffBatch(Seq(3L)), dirB, 1)
+    CheckpointStream.appendDiffs(diffBatch(Seq(4L)), dirB, 2)
+    val beforeB = rowsOf(dirB)
+    mv(s"$dirB/batch_id=0", s"$dirB.compact_bak/batch_id=0")
+    mv(s"$dirB/batch_id=1", s"$dirB.compact_bak/batch_id=1")
+    spark.read.parquet(s"$dirB.compact_bak/batch_id=0", s"$dirB.compact_bak/batch_id=1")
+      .write.parquet(s"$dirB/batch_id=1")
+    assert(new java.io.File(s"$dirB.compact_tmp").mkdirs()) // tmp drained by the rename
+    CheckpointStream.compactDiffs(spark, dirB, watermark = 1)
+    assert(rowsOf(dirB) == beforeB, "crash window B lost or duplicated rows")
+    assert(!new java.io.File(s"$dirB.compact_bak").exists, "bak residue not finalized")
+    val dirsB = new java.io.File(dirB).listFiles.map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirsB == Seq("batch_id=1", "batch_id=2"), dirsB)
+  }
+
   test("upsert sink is idempotent: re-upserting the same batch is a no-op") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_upsert_").toString + "/sink"
