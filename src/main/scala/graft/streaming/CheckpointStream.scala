@@ -173,9 +173,11 @@ object CheckpointStream {
       col("event_id"),
       tsUs.as("ts_us"),
       col("props"))
+      // coalesce: sum() is NULL on an empty micro-batch, and a null Long
+      // in an advertised metric NPEs getLong-style consumers
       .observe("graft_events_feed",
         count(lit(1L)).as("rows_seen"),
-        sum(when(valid, lit(0L)).otherwise(lit(1L))).as("rows_dropped"))
+        coalesce(sum(when(valid, lit(0L)).otherwise(lit(1L))), lit(0L)).as("rows_dropped"))
       .filter(valid)
       .as[EventRow]
   }
@@ -223,9 +225,10 @@ object CheckpointStream {
     // surviving rows' ts/props/task are non-null by construction, and
     // null ids never reach the hash branch (IdeValidityRules drops
     // identity-less rows to the dead-letter path)
+    // coalesce: sum() is NULL on an empty micro-batch (see graft_events_feed)
     df.observe("graft_ide_feed",
         count(lit(1L)).as("rows_seen"),
-        sum(when(ideMalformed, lit(1L)).otherwise(lit(0L))).as("rows_dropped"))
+        coalesce(sum(when(ideMalformed, lit(1L)).otherwise(lit(0L))), lit(0L)).as("rows_dropped"))
       .filter(!ideMalformed)
       .select(
         nonNegOrHash("thread_id").as("user_id"),
@@ -289,15 +292,9 @@ object CheckpointStream {
       .parquet(sourceDir)
     val reason = concat_ws(",",
       IdeValidityRules.map { case (label, bad) => when(bad, lit(label)) }: _*)
-    val writer = raw.filter(ideMalformed)
-      .withColumn("reason", reason)
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", quarantineDir)
-      .option("checkpointLocation", checkpointDir)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    FeedStream.startParquetSink(
+      raw.filter(ideMalformed).withColumn("reason", reason),
+      checkpointDir, quarantineDir, availableNow)
   }
 
   /** Number of hash partitions the session sink is laid out in. Sized so a
@@ -512,13 +509,18 @@ object CheckpointStream {
     * OFFLINE utility: run with no active writer, and `watermark` must not
     * exceed the last batch the stream's checkpoint has committed — a
     * replayed batch at or below the watermark would recreate its dir and
-    * duplicate its rows. `batch_id` is the sink's physical replay token,
-    * not event data (diff ordering lives in `seq`/`event_id`), so
-    * re-homing compacted rows under the watermark's id loses nothing.
-    * Crash-safe: consolidated output is written to `.compact_tmp` while
-    * the sink stays readable, originals move to `.compact_bak`, one rename
-    * promotes the consolidated dir, and `recoverCompaction` makes any
-    * interruption restorable.
+    * duplicate its rows. The consolidated dir is named
+    * `batch_id=-(watermark+1)`: NEGATIVE, an id `appendDiffs` (driven by
+    * Spark's non-negative batch ids) can never write, so even a
+    * precondition violation can only ever DUPLICATE rows (the replayed
+    * batch's own dir reappears) — never overwrite compacted history.
+    * Negative dirs are ≤ any watermark, so later compactions fold earlier
+    * consolidated dirs forward. `batch_id` is the sink's physical replay
+    * token, not event data (diff ordering lives in `seq`/`event_id`), so
+    * the re-homing loses nothing. Crash-safe: consolidated output is
+    * written to `.compact_tmp` while the sink stays readable, originals
+    * move to `.compact_bak`, one rename promotes the consolidated dir,
+    * and `recoverCompaction` makes any interruption restorable.
     */
   def compactDiffs(
       spark: SparkSession, diffDir: String, watermark: Long,
@@ -534,7 +536,7 @@ object CheckpointStream {
       .map(p => p.getName.stripPrefix("batch_id=").toLong -> p)
       .filter(_._1 <= watermark).sortBy(_._1)
     if (batchDirs.length <= 1) return
-    val target = s"batch_id=$watermark"
+    val target = s"batch_id=${-(watermark + 1)}"
     spark.read.parquet(batchDirs.map(_._2.toString): _*)
       .coalesce(targetFiles)
       .write.parquet(new Path(tmp, target).toString)

@@ -200,10 +200,11 @@ class StreamingParitySpec extends AnyFunSuite {
     val cols = Seq("user_id", "seq", "event_id", "ts_us", "diff_json")
     val before = spark.read.parquet(dir).select(cols.map(col): _*).collect().toSet
     CheckpointStream.compactDiffs(spark, dir, watermark = 1)
-    // dirs 0 and 1 fold into batch_id=1; dir 2 (beyond watermark) untouched
+    // dirs 0 and 1 fold into batch_id=-2 (negative: an id appendDiffs can
+    // never overwrite on replay); dir 2 (beyond watermark) untouched
     val dirs = new java.io.File(dir).listFiles.map(_.getName)
       .filter(_.startsWith("batch_id=")).sorted.toSeq
-    assert(dirs == Seq("batch_id=1", "batch_id=2"), dirs)
+    assert(dirs == Seq("batch_id=-2", "batch_id=2"), dirs)
     assert(spark.read.parquet(dir).select(cols.map(col): _*).collect().toSet == before,
       "compaction changed the diff rows")
     // the sink remains appendable and readable as one table afterwards
@@ -238,14 +239,14 @@ class StreamingParitySpec extends AnyFunSuite {
     CheckpointStream.appendDiffs(diffBatch(Seq(4L)), dirA, 2)
     val before = rowsOf(dirA)
     spark.read.parquet(s"$dirA/batch_id=0", s"$dirA/batch_id=1")
-      .write.parquet(s"$dirA.compact_tmp/batch_id=1")
+      .write.parquet(s"$dirA.compact_tmp/batch_id=-2")
     mv(s"$dirA/batch_id=0", s"$dirA.compact_bak/batch_id=0")
     mv(s"$dirA/batch_id=1", s"$dirA.compact_bak/batch_id=1")
     CheckpointStream.compactDiffs(spark, dirA, watermark = 1)
     assert(rowsOf(dirA) == before, "crash window A lost or duplicated rows")
     val dirsA = new java.io.File(dirA).listFiles.map(_.getName)
       .filter(_.startsWith("batch_id=")).sorted.toSeq
-    assert(dirsA == Seq("batch_id=1", "batch_id=2"), dirsA)
+    assert(dirsA == Seq("batch_id=-2", "batch_id=2"), dirsA)
 
     // crash window B: the promote rename LANDED (root holds the
     // consolidated dir) but bak/tmp were never cleaned — recovery must
@@ -258,14 +259,14 @@ class StreamingParitySpec extends AnyFunSuite {
     mv(s"$dirB/batch_id=0", s"$dirB.compact_bak/batch_id=0")
     mv(s"$dirB/batch_id=1", s"$dirB.compact_bak/batch_id=1")
     spark.read.parquet(s"$dirB.compact_bak/batch_id=0", s"$dirB.compact_bak/batch_id=1")
-      .write.parquet(s"$dirB/batch_id=1")
+      .write.parquet(s"$dirB/batch_id=-2")
     assert(new java.io.File(s"$dirB.compact_tmp").mkdirs()) // tmp drained by the rename
     CheckpointStream.compactDiffs(spark, dirB, watermark = 1)
     assert(rowsOf(dirB) == beforeB, "crash window B lost or duplicated rows")
     assert(!new java.io.File(s"$dirB.compact_bak").exists, "bak residue not finalized")
     val dirsB = new java.io.File(dirB).listFiles.map(_.getName)
       .filter(_.startsWith("batch_id=")).sorted.toSeq
-    assert(dirsB == Seq("batch_id=1", "batch_id=2"), dirsB)
+    assert(dirsB == Seq("batch_id=-2", "batch_id=2"), dirsB)
   }
 
   test("upsert sink is idempotent: re-upserting the same batch is a no-op") {
