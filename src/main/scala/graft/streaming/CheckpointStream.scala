@@ -11,6 +11,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
+import java.time.Duration
 
 /** The streaming lifecycle (SURVEY §2.1 S1/S2/S4/S7, §3 E1/E2): a polling
   * micro-batch CDC feed over the event table, the keyed stateful merge as a
@@ -139,16 +140,141 @@ object CheckpointStream {
     * construction: one invocation per key per micro-batch). Emits every diff
     * produced by the batch's events followed by the session's full
     * post-merge state.
+    *
+    * Bounded-state variant (`idleTtlMs > 0`, run under
+    * `GroupStateTimeout.EventTimeTimeout`): a session idle past the TTL in
+    * EVENT time (watermark-driven, so a stalled feed evicts nothing) is
+    * dropped from the state store — its truth is not lost, because every
+    * state change was flattened and upserted to the sink in the batch that
+    * made it. On a later event for an absent key, `reload` reconstructs the
+    * state from the sink (see `reloadSessionFromSink`): same content map,
+    * same sequence number, so folding — and the diff stream — continue
+    * exactly as if the state had never been evicted. This is the reference's
+    * accumulate-forever semantic (`entity/CdcAgentsDataStream.java:28-60`
+    * parks it in Postgres) done scale-correctly: state-store size is
+    * O(sessions active within the TTL window), not O(sessions ever seen).
     */
-  def sessionStateFunc(
+  def statefulSessionFunc(reload: Long => Option[SessionState], idleTtlMs: Long)(
       userId: Long,
       events: Iterator[EventRow],
       state: GroupState[SessionState]): Iterator[StreamOut] = {
-    val st0 = state.getOption.getOrElse(SessionState.empty(userId.toString))
-    val ordered = events.toVector.sortBy(e => (e.ts_us, e.event_id))
-    val (st1, diffs) = foldEvents(userId, st0, ordered)
-    state.update(st1)
-    if (ordered.isEmpty) Iterator.empty else diffs.iterator ++ flatten(userId, st1)
+    if (state.hasTimedOut) {
+      // idle eviction: the sink holds the session's full latest content
+      state.remove()
+      Iterator.empty
+    } else {
+      val st0 = state.getOption
+        .orElse(if (idleTtlMs > 0L) reload(userId) else None)
+        .getOrElse(SessionState.empty(userId.toString))
+      val ordered = events.toVector.sortBy(e => (e.ts_us, e.event_id))
+      val (st1, diffs) = foldEvents(userId, st0, ordered)
+      state.update(st1)
+      if (idleTtlMs > 0L) {
+        // timeout fires when the WATERMARK passes last-event + TTL; clamp to
+        // watermark+1 because Spark rejects a timeout at or below the
+        // current watermark (a key fed only late data would otherwise throw)
+        val lastEventMs =
+          if (ordered.nonEmpty) ordered.iterator.map(_.ts_us).max / 1000L
+          else state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+          math.max(lastEventMs + idleTtlMs, state.getCurrentWatermarkMs() + 1L))
+      }
+      if (ordered.isEmpty) Iterator.empty else diffs.iterator ++ flatten(userId, st1)
+    }
+  }
+
+  /** Unbounded-state form (NoTimeout escape hatch and the historical API). */
+  def sessionStateFunc(
+      userId: Long,
+      events: Iterator[EventRow],
+      state: GroupState[SessionState]): Iterator[StreamOut] =
+    statefulSessionFunc(_ => None, 0L)(userId, events, state)
+
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this is the
+    * standard write/readFields envelope so the reload closure can carry the
+    * driver's filesystem configuration to executors.
+    */
+  private[graft] final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Reconstruct an evicted session's `SessionState` from the upsert sink —
+    * the revival half of idle eviction. Runs INSIDE the state function on an
+    * executor, so it cannot issue a Spark job; instead it reads the one
+    * bucket directory the session hashes to (`bucketOf` is a pure function
+    * of the key) with a plain parquet reader, pushing a `user_id = key`
+    * predicate down so non-matching row groups are skipped via statistics.
+    * Cost per first-seen-or-revived key: one statistics-pruned bucket read —
+    * the same I/O class as the upsert's own touched-bucket rewrite, and at
+    * cluster scale a bucket is sink_size/buckets with thousands of buckets.
+    *
+    * Crash-window rule: a `.bak` bucket, when present, is the PRE-batch
+    * truth (the upsert moves originals there before promoting its rewrite),
+    * and a replayed batch's state function must fold from pre-batch state —
+    * so `.bak` wins over the sink's possibly-half-promoted bucket.
+    *
+    * Faithfulness (parity-tested in StreamingEvictionSpec): `flatten`
+    * emits the full content map on every change and the upsert replaces the
+    * session's rows wholesale, so the sink rows ARE the state —
+    * `checkpointId` round-trips through the zero-padded `event_id` format,
+    * `seq` carries the session-level sequence number, and a `__start__`
+    * vector's append order equals its (ns, id) sort order because
+    * `skipStale` admits only monotone appends.
+    */
+  private[graft] def reloadSessionFromSink(
+      sinkDir: String, buckets: Int, conf: SerializableHadoopConf)(
+      userId: Long): Option[SessionState] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val b = java.lang.Math.floorMod(
+      graft.operators.DedupOps.splitmix(userId), buckets.toLong).toInt
+    def files(dir: Path): Seq[Path] = {
+      val fs = dir.getFileSystem(conf.value)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).iterator.map(_.getPath)
+        .filter { p => val n = p.getName; !n.startsWith("_") && !n.startsWith(".") }
+        .toSeq
+    }
+    val bak = files(new Path(s"$sinkDir.bak/bucket=$b"))
+    val toRead = if (bak.nonEmpty) bak else files(new Path(s"$sinkDir/bucket=$b"))
+    if (toRead.isEmpty) return None
+    val pred = FilterCompat.get(
+      FilterApi.eq(FilterApi.longColumn("user_id"), java.lang.Long.valueOf(userId)))
+    val rows = Vector.newBuilder[(String, Long, Long, String, Int)]
+    toRead.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+        .withConf(conf.value).withFilter(pred).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (g.getLong("user_id", 0) == userId)
+            rows += ((g.getString("task_id", 0), g.getLong("event_id", 0),
+              g.getLong("ts_us", 0), g.getString("payload", 0), g.getInteger("seq", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    val all = rows.result()
+    if (all.isEmpty) None
+    else {
+      val content = all.groupBy(_._1).map { case (task, rs) =>
+        task -> rs.sortBy(r => (r._3, f"${r._2}%020d")).map { r =>
+          CheckpointData(r._4.getBytes(StandardCharsets.UTF_8), r._3,
+            userId.toString, f"${r._2}%020d", task)
+        }
+      }
+      Some(SessionState(userId.toString, all.iterator.map(_._5).max, content))
+    }
   }
 
   /** Normalize a raw events DataFrame (batch or streaming) to EventRow.
@@ -467,13 +593,28 @@ object CheckpointStream {
   }
 
   /** D13 diff sink: append-only, one partition dir per micro-batch so a
-    * replayed batch overwrites exactly its own output (idempotent) and
-    * nothing ever rewrites previous batches — I/O per batch is O(batch's
-    * diffs). Read the whole dir back as parquet; `batch_id` appears as a
-    * partition column.
+    * replayed batch touches exactly its own output (idempotent) and nothing
+    * ever rewrites previous batches — I/O per batch is O(batch's diffs).
+    * Read the whole dir back as parquet; `batch_id` appears as a partition
+    * column.
+    *
+    * First-write-wins: if the batch dir already carries a `_SUCCESS` marker,
+    * an earlier attempt of this (replayed) batch committed it and the write
+    * is skipped. This matters under idle eviction: a crash AFTER the upsert
+    * promoted but BEFORE the streaming checkpoint committed makes the replay
+    * reload revived sessions from the post-batch sink, so the replay
+    * recomputes an EMPTY diff for them — overwriting would lose the diffs
+    * the first attempt already committed. A torn first attempt (no
+    * `_SUCCESS`) is overwritten as before; its inputs are still pre-batch
+    * (diffs are written before the upsert mutates the sink — see `run`), so
+    * the rewrite is bit-identical.
     */
-  def appendDiffs(diffs: DataFrame, diffDir: String, batchId: Long): Unit =
-    diffs.write.mode("overwrite").parquet(s"$diffDir/batch_id=$batchId")
+  def appendDiffs(diffs: DataFrame, diffDir: String, batchId: Long): Unit = {
+    val dir = new Path(s"$diffDir/batch_id=$batchId")
+    val fs = dir.getFileSystem(diffs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dir, "_SUCCESS"))) return
+    diffs.write.mode("overwrite").parquet(dir.toString)
+  }
 
   /** Recover an interrupted `compactDiffs`: a leftover `.compact_bak` dir
     * means a swap may be half-done. Discriminator: if the consolidated
@@ -559,6 +700,19 @@ object CheckpointStream {
     * hint the shape is sniffed from files present at start, which guesses
     * the agents shape for a still-empty directory — wrong if an IDE feed's
     * first files arrive only after the query starts.
+    *
+    * `idleTtl` bounds the state store: a session idle past the TTL in event
+    * time is evicted and transparently reloaded from the sink on its next
+    * event (`statefulSessionFunc` / `reloadSessionFromSink`). `None` is the
+    * unbounded NoTimeout escape hatch. `watermarkDelay` is the lateness
+    * allowance feeding the eviction watermark; it does NOT drop late rows —
+    * `flatMapGroupsWithState` receives them regardless, and the engine's
+    * skip-if-stale (D3) remains the late-data semantic.
+    *
+    * foreachBatch ordering is load-bearing: diffs are committed BEFORE the
+    * upsert mutates the sink, so any replay attempt that recomputes diffs
+    * did so from pre-batch state, and `appendDiffs`'s first-write-wins can
+    * trust an existing `_SUCCESS`-marked dir (see `appendDiffs`).
     */
   def run(
       spark: SparkSession,
@@ -568,32 +722,48 @@ object CheckpointStream {
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
       diffDir: Option[String] = None,
-      schemaHint: Option[StructType] = None): StreamingQuery = {
+      schemaHint: Option[StructType] = None,
+      idleTtl: Option[Duration] = Some(Duration.ofDays(30)),
+      watermarkDelay: String = "0 seconds"): StreamingQuery = {
     import spark.implicits._
     val diffSink = diffDir.getOrElse(sinkDir + "_diffs")
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(feedSchemaFor(spark, sourceDir)))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
-    val outs = normalizeFeed(raw)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionStateFunc)
+    val outs = idleTtl match {
+      case Some(ttl) =>
+        val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+        normalizeFeed(raw)
+          .withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", watermarkDelay)
+          .as[EventRow]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+            statefulSessionFunc(
+              reloadSessionFromSink(sinkDir, SinkBuckets, sconf), ttl.toMillis))
+      case None =>
+        normalizeFeed(raw)
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionStateFunc)
+    }
     val writer = outs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[StreamOut], batchId: Long) =>
         val df = batch.toDF().persist()
         try {
-          upsert(
-            df.filter(col("kind") === "session")
-              .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq"),
-            sinkDir)
           val diffs = df.filter(col("kind") === "diff")
             .select(col("user_id"), col("seq"), col("event_id"), col("ts_us"),
               col("payload").as("diff_json"))
           // skip empty batches: a schema-less empty dir would break readers
           if (!diffs.isEmpty) appendDiffs(diffs, diffSink, batchId)
+          upsert(
+            df.filter(col("kind") === "session")
+              .select("user_id", "task_id", "event_id", "ts_us", "payload", "seq"),
+            sinkDir)
         } finally { df.unpersist(); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
