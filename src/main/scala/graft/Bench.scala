@@ -12,6 +12,12 @@ import java.nio.file.{Files, Paths}
   *     (default 3); the reported per-query value and the composite total
   *     are per-query minima (the noise-floor-robust statistic), with every
   *     sample preserved in the JSON under "samples";
+  *   - reps run ROUND-ROBIN across queries (q1..qN, q1..qN, ...), not
+  *     back-to-back per query: a multi-second host-contention burst lands
+  *     on DIFFERENT queries in different rounds, so min-of-reps actually
+  *     filters it. Back-to-back reps let one bad minute poison all samples
+  *     of whichever query it hits (observed in round 6: 3 consecutive
+  *     samples of q2 inflated 4.6x while neighbors ran clean);
   *   - failures are recorded per-query and fail the whole run (exit 1) —
   *     a broken query must never bench as fast-and-fine;
   *   - the metric JSON is printed on stdout AND written to a file
@@ -42,22 +48,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var rep = 0
-      while (rep < reps && !failed) {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed = true
-          failures ::= s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}"
-        }
-        samples += (System.nanoTime() - t0) / 1e9
-        rep += 1
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val dead = scala.collection.mutable.Set.empty[String]
+    for (_ <- 0 until reps; (name, fn) <- queries if !dead(name)) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        dead += name
+        failures ::= s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}"
       }
-      (name, samples.min, samples.toSeq)
+      samples(name) += (System.nanoTime() - t0) / 1e9
     }
+    val results = samples.toSeq.map { case (name, ss) => (name, ss.min, ss.toSeq) }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ss = results.map { case (k, _, s) => "\"" + k + "\":" + s.mkString("[", ",", "]") }
