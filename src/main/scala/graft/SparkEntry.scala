@@ -58,6 +58,11 @@ object SparkEntry {
     "q35_asof_join"     -> (SessionOps.q35AsofJoin(_, _)),
     "q36_dedup_groups"  -> (DedupOps.q36DedupGroups(_, _)),
     "q37_repetition"    -> (TextOps.q37Repetition(_, _)),
+    // rows-only like q32 (same waiver class — no SQL oracle for
+    // Spark-trained centroids); the compensating gate is IvfIndexSpec's
+    // exact equality with q32's in-query path plus the no-retrain and
+    // partition-pruning assertions
+    "q38_ann_ivf_indexed" -> (SimilarityOps.q38AnnIvfIndexed(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -338,15 +338,32 @@ object SimilarityOps {
     val cents = trainIvfCentroids(c, nClusters, trainSampleMod = trainSampleMod)
     val inverted = normalized(c, "v", "nv")
       .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
-    // probe list: sort (−dot, cid) ascending and slice — top-nprobe by
-    // descending dot with lowest-cid tie-break, entirely inside one row
+    probeIvf(inverted, cents, q, k, nprobe)
+  }
+
+  /** Per-query probe list: the `nprobe` nearest centroids, selected by
+    * sorting (−dot, cid) ascending and slicing — top-nprobe by descending
+    * dot with lowest-cid tie-break, entirely inside one row (no window, no
+    * shuffle). Emits one (query_id, nqv, cid) row per probe.
+    */
+  private def ivfProbeList(
+      cents: Array[Array[Double]], q: DataFrame, nprobe: Int): DataFrame = {
     val probeStructs = array(cents.zipWithIndex.map { case (cv, cid) =>
       struct((-dot(col("nqv"), typedlit(cv.toSeq))).as("nd"), lit(cid).as("cid"))
     }: _*)
-    val probed = normalized(q, "qv", "nqv")
+    normalized(q, "qv", "nqv")
       .select(col("query_id"), col("nqv"),
         explode(transform(slice(array_sort(probeStructs), 1, nprobe),
           p => p.getField("cid"))).as("cid"))
+  }
+
+  /** Probe an inverted file (in-memory or persisted): cid equi-join of the
+    * probe lists against the posting rows, exact-cosine re-rank, top-k.
+    */
+  private def probeIvf(
+      inverted: DataFrame, cents: Array[Array[Double]],
+      q: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probed = ivfProbeList(cents, q, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     probed.join(inverted, Seq("cid"))
@@ -359,12 +376,115 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("vec_id"))
   }
 
+  /** Build a PERSISTED IVF index: train the coarse quantizer once, then
+    * write (a) the K×dim centroid matrix and its parameters and (b) the
+    * inverted file — every corpus vector's normalized form under its
+    * nearest-centroid id — as parquet PARTITIONED BY cid, so a probe reads
+    * only the `nprobe` cluster directories it needs. This is the missing
+    * build-once/probe-many shape: `annTopKIvf` retrains and re-inverts the
+    * corpus inside every query run, which is the right local-scale default
+    * but wrong for a standing 100 TB index that serves many query batches.
+    *
+    * Publish is crash-atomic at directory granularity: the whole index is
+    * materialized under `<indexDir>.tmp` and renamed into place, so readers
+    * either see a complete index or none (`loadIvfIndex` refuses a missing
+    * dir; a torn `.tmp` from a crashed build is invisible and overwritten
+    * by the next build). An existing index is replaced only after the new
+    * one is fully built.
+    *
+    * Layout: `centroids/` one row per centroid (cid, c, k, dim, nprobeDefault
+    * params row-duplicated for self-description), `postings/cid=N/` the
+    * posting lists. At 100 TB the postings write is one shuffle-free pass
+    * (assignment is a literal-centroid codegen projection) and each cluster
+    * directory is corpus/K — the unit a probe scans.
+    */
+  def buildIvfIndex(
+      c: DataFrame,
+      indexDir: String,
+      nClusters: Int = 16,
+      lloydIters: Int = 2,
+      trainSampleMod: Int = 1): Unit = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val cents = trainIvfCentroids(c, nClusters, lloydIters, trainSampleMod)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".tmp")
+    val fin = new org.apache.hadoop.fs.Path(indexDir)
+    fs.delete(tmp, true)
+    cents.zipWithIndex.toSeq
+      .map { case (cv, cid) => (cid, cv.toSeq, cents.length, cv.length) }
+      .toDF("cid", "c", "k", "dim")
+      .coalesce(1).write.parquet(s"${tmp.toString}/centroids")
+    normalized(c, "v", "nv")
+      .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
+      .write.partitionBy("cid").parquet(s"${tmp.toString}/postings")
+    fs.delete(fin, true)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"index publish failed: $tmp -> $fin")
+  }
+
+  /** Load a persisted index's centroid matrix — O(K·dim), the same bounded
+    * driver-side footprint the in-query path holds.
+    */
+  def loadIvfCentroids(spark: SparkSession, indexDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cid")).select(col("c")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** ANN top-k against a PERSISTED index (see `buildIvfIndex`) — no
+    * training, no corpus scan. The probed cluster ids are collected first
+    * (bounded: at most K distinct cids regardless of query count) and
+    * pushed into the postings scan as an `isin` partition filter, so the
+    * parquet source lists and reads ONLY the probed `cid=N/` directories —
+    * static partition pruning, visible as `PartitionFilters: [cid IN ...]`
+    * in the plan (asserted in IvfIndexSpec). I/O per probe batch is
+    * O(probed clusters × cluster size), independent of corpus size.
+    */
+  def annTopKIvfIndexed(
+      spark: SparkSession,
+      indexDir: String,
+      q: DataFrame,
+      k: Int,
+      nprobe: Int = 12): DataFrame = {
+    val cents = loadIvfCentroids(spark, indexDir)
+    val probedCids = ivfProbeList(cents, q, nprobe)
+      .select(col("cid")).distinct().collect().map(_.getInt(0))
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+    probeIvf(postings, cents, q, k, nprobe)
+  }
+
   /** q32: the IVF scale path (rows-only check; the recall gate vs the exact
     * baseline and the clustered-corpus pruning proof live in ScalaTest).
     */
   def q32AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     annTopKIvf(c, queriesOf(c), 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q38: the persisted-index IVF path — build once (first run per corpus,
+    * or when the corpus file is newer than the index), probe from disk on
+    * every later run. Training is deterministic (seeded by vec_id order,
+    * deterministic sampling), so the output is bit-identical to q32's
+    * in-query path with the same parameters — that equality is the
+    * compensating ScalaTest gate for the rows-only driver check (same
+    * waiver class as q32: DuckDB cannot replay Spark-trained centroids).
+    */
+  def q38AnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val indexDir = sys.props("java.io.tmpdir") +
+      "/graft_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val idx = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idx.getFileSystem(hconf)
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val stale = !fs.exists(idx) ||
+      fs.getFileStatus(corpusPath).getModificationTime >
+        fs.getFileStatus(idx).getModificationTime
+    if (stale) buildIvfIndex(c, indexDir)
+    annTopKIvfIndexed(spark, indexDir, queriesOf(c), 10)
       .orderBy(col("query_id"), col("rank"))
   }
 
