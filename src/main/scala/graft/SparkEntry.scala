@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, MessageOps, MultimodalOps, RelationalOps, SessionOps, SimilarityOps, SkewOps, TextOps}
+import graft.operators.{DedupOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SessionOps, SimilarityOps, SkewOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,8 @@ object SparkEntry {
     // exact equality with q32's in-query path plus the no-retrain and
     // partition-pruning assertions
     "q38_ann_ivf_indexed" -> (SimilarityOps.q38AnnIvfIndexed(_, _)),
+    "q39_pack_chunks"   -> (PackOps.q39PackChunks(_, _)),
+    "q40_decontaminate" -> (DedupOps.q40Decontaminate(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -373,5 +375,37 @@ object SparkEntry {
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY ws_us, event_type""".stripMargin,
+    // Concat-and-chunk packing: the oracle spells the SAME exclusive
+    // prefix sum as one global window (fine at oracle scale); `//` is
+    // DuckDB's integer division, matching Spark's `div` on longs.
+    "q39_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::bigint AS tok FROM documents),
+        |o AS (SELECT doc_id, tok,
+        |        coalesce(sum(tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS off
+        |      FROM t)
+        |SELECT doc_id, chunk_id,
+        |  greatest(chunk_id * 256 - off, 0)::bigint AS begin_tok,
+        |  least((chunk_id + 1) * 256 - off, tok)::bigint AS end_tok
+        |FROM (SELECT doc_id, tok, off,
+        |        unnest(range(off // 256, (off + tok - 1) // 256 + 1)) AS chunk_id
+        |      FROM o WHERE tok > 0)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    // Decontamination: 5-gram shingles (q30's shingle idiom widened to 5),
+    // eval slice = every 20th doc; counts are DISTINCT shingles because
+    // the shingle CTE dedups per doc on both sides.
+    "q40_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS s
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i FROM w)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (SELECT sh.doc_id, count(*) AS ns FROM sh JOIN ev USING (s)
+        |         WHERE doc_id % 20 <> 0 GROUP BY sh.doc_id)
+        |SELECT d.doc_id, coalesce(h.ns, 0)::bigint AS n_shared,
+        |  coalesce(h.ns, 0) = 0 AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

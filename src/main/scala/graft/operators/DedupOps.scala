@@ -323,4 +323,47 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Benchmark decontamination: flag every training document that shares at
+    * least one word n-gram with the evaluation set — the standard guard
+    * against test-set leakage into training data. Emits one row per
+    * training document with the shared-shingle count and a `keep` verdict,
+    * so the caller can either filter (`keep`) or audit (`n_shared`).
+    *
+    * Scale shape (100 TB): the eval side is a benchmark suite — megabytes,
+    * not terabytes — so its distinct shingle set is BROADCAST and the train
+    * side never shuffles its shingles: contamination detection is a
+    * map-side semi-join over the corpus scan plus one narrow count
+    * aggregate keyed by doc_id. `n = 5` by default: long enough that
+    * random text cannot collide (vocabulary^5 dwarfs any eval set), short
+    * enough to catch copied passages; real pipelines use 8–13-gram for the
+    * same reasons. Shingles join on their raw strings for oracle parity —
+    * a production run would join on xxhash64(shingle) to shrink the
+    * broadcast (collision risk ~n_eval²/2⁶⁴, negligible).
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 5): DataFrame = {
+    val evalSh = evalSet.select(explode(shingles(col("text"), n)).as("s")).distinct()
+    // shingles() is per-doc distinct, so count(*) counts DISTINCT shared
+    // shingles without a second dedup
+    val hits = train
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) === 0).as("keep"))
+  }
+
+  /** q40: decontaminate the corpus against a designated eval slice (every
+    * 20th document stands in for the benchmark set).
+    */
+  def q40Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: lay every document's
+  * tokens end-to-end in a deterministic global order and cut the tape into
+  * fixed-capacity context windows (the GPT-style concat-and-chunk shape).
+  * The output maps each document to the chunk(s) it lands in, with its
+  * token span inside each chunk — exactly what a tokenize-and-pack writer
+  * needs to emit training sequences.
+  *
+  * The load-bearing scale piece is the EXCLUSIVE PREFIX SUM of token
+  * counts in document order. The naive Spark spelling —
+  * `sum(tok).over(Window.orderBy("doc_id"))` — has an EMPTY partition
+  * spec, so Spark moves the entire table into ONE task: correct at 60k
+  * rows, dead at 100 TB. `exclusivePrefixSum` is the distributed form:
+  * range-partition by the order column, sort within partitions, run the
+  * running sum as a single iterator pass per partition, then shift each
+  * partition by the total of everything before it. The running sum is
+  * deliberately `mapPartitions`, not a window keyed by partition id — a
+  * `Window.partitionBy(spark_partition_id())` demands hashpartitioning on
+  * the pid and RE-SHUFFLES the whole table right after the range exchange
+  * (measured: the plan grows a second full-data Exchange); the iterator
+  * pass consumes the range shuffle's own layout with zero extra movement.
+  * This is the textbook per-partition-imperative case where dropping below
+  * the declarative API is the right call. The per-partition totals table
+  * has exactly `partitions` rows, so its cumulative shift is a bounded
+  * single-partition window — the same O(partitions) bounded-small-side
+  * trick as the IVF centroid collect — and it joins back by BROADCAST, so
+  * the stream side keeps its partitioning. Net wide work: ONE range
+  * shuffle of the data plus an O(partitions)-row aggregate.
+  */
+object PackOps {
+
+  /** Exclusive prefix sum of `valueCol` (long) in `orderCol` order:
+    * out[i] = sum of values strictly before row i in the global order.
+    * One range shuffle; no global single-partition window (see object doc).
+    * Ties in `orderCol` would make the result order-dependent, so callers
+    * must pass a unique order column (documents have unique doc_id).
+    */
+  def exclusivePrefixSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String,
+      partitions: Int = 0): DataFrame = {
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // explicit partition count: AQE never coalesces a user-specified
+    // repartition, so spark_partition_id is stable across the two reads
+    // of this exchange
+    val ranged = df.repartitionByRange(p, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    val outSchema = ranged.schema
+      .add(org.apache.spark.sql.types.StructField(
+        "__loc", org.apache.spark.sql.types.LongType, nullable = false))
+    val local = ranged.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        acc += (if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // offsets: cumulative total of all partitions BEFORE mine. Empty range
+    // partitions are simply absent from the totals — they contribute 0 and
+    // no row reads their offset. O(partitions) rows, so the
+    // single-partition window is bounded.
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__loc"))
+      .drop("__pid", "__loc", "__off")
+  }
+
+  /** Concat-and-chunk packing: documents (doc_id, text) → one row per
+    * (document, context chunk) overlap, with the document's token span
+    * inside that chunk. Tokens are whitespace tokens (the oracle-parity
+    * tokenizer from q31); a document straddling a chunk boundary appears
+    * once per chunk it touches. Integer division is `div` (exact on
+    * longs — a float `floor(x/c)` would lose exactness past 2^53, which a
+    * 100 TB corpus' total token count can reach).
+    */
+  def packChunks(docs: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"chunk capacity must be positive: $capacity")
+    val withTok = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    exclusivePrefixSum(withTok, "doc_id", "tok", "off")
+      .filter(col("tok") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"off div ${capacity}L"),
+          expr(s"(off + tok - 1) div ${capacity}L"))))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        greatest(col("chunk_id") * capacity - col("off"), lit(0L)).as("begin_tok"),
+        least((col("chunk_id") + lit(1L)) * capacity - col("off"), col("tok")).as("end_tok"))
+  }
+
+  /** q39: pack the documents table into 256-token context windows. */
+  def q39PackChunks(spark: SparkSession, dir: String): DataFrame =
+    packChunks(Tables.documents(spark, dir), 256L)
+      .orderBy(col("doc_id"), col("chunk_id"))
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontaminateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a copied passage is flagged; clean and short docs are kept") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares the 5-gram "beta gamma delta epsilon zeta" (case-insensitive)
+      (1L, "intro Beta Gamma Delta Epsilon Zeta outro words here"),
+      // same words, different order: no shared 5-gram
+      (2L, "zeta epsilon delta gamma beta alpha theta eta more words"),
+      // shorter than 5 words: zero shingles, trivially kept
+      (3L, "tiny doc"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta exact copy plus")).toDF("doc_id", "text")
+    val out = DedupOps.decontaminate(train, evalSet).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out(0) == ((1L, 1L, false)))
+    assert(out(1) == ((2L, 0L, true)))
+    assert(out(2) == ((3L, 0L, true)))
+    assert(out(3)._1 == 4L && out(3)._2 == 4L && !out(3)._3) // 4 shared 5-grams
+  }
+
+  test("the eval shingle set is broadcast: no shuffle of train shingles for the semi-join") {
+    val plan = DedupOps.q40Decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"contamination probe is not a broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q40 on the corpus: every flagged doc really shares a 5-gram (spot exactness)") {
+    val out = DedupOps.q40Decontaminate(spark, sf)
+    val flagged = out.filter(!col("keep")).collect().map(_.getLong(0))
+    assert(flagged.nonEmpty, "corpus contains near-dups of eval docs; none flagged")
+    // brute-force recheck of one flagged doc against the whole eval slice
+    val docs = graft.Tables.documents(spark, sf)
+    val g = (t: org.apache.spark.sql.Column) => DedupOps.shingles(t, 5)
+    val one = flagged.head
+    val trainSh = docs.filter(col("doc_id") === one)
+      .select(explode(g(col("text"))).as("s"))
+    val evalSh = docs.filter(col("doc_id") % 20 === 0)
+      .select(explode(g(col("text"))).as("s")).distinct()
+    assert(trainSh.join(evalSh, Seq("s")).count() > 0)
+    // and a keep=true doc shares none
+    val kept = out.filter(col("keep")).orderBy(col("doc_id")).limit(1)
+      .collect().head.getLong(0)
+    val keptSh = docs.filter(col("doc_id") === kept)
+      .select(explode(g(col("text"))).as("s"))
+    assert(keptSh.join(evalSh, Seq("s")).count() == 0)
+  }
+}
