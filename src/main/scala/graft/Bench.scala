@@ -54,14 +54,22 @@ object Bench {
     val dead = scala.collection.mutable.Set.empty[String]
     for (_ <- 0 until reps; (name, fn) <- queries if !dead(name)) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      // record the sample ONLY on success: a fast failure (analysis error in
+      // milliseconds) must never become the reported per-query min — a
+      // broken query would bench as fast-and-fine in the composite even
+      // though rc=1 marks the run failed
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         dead += name
         failures ::= s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}"
       }
-      samples(name) += (System.nanoTime() - t0) / 1e9
     }
-    val results = samples.toSeq.map { case (name, ss) => (name, ss.min, ss.toSeq) }
+    // a query whose every rep failed has no samples: it appears in "errors"
+    // only (and fails the run), never in the minima
+    val results = samples.toSeq.collect {
+      case (name, ss) if ss.nonEmpty => (name, ss.min, ss.toSeq) }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ss = results.map { case (k, _, s) => "\"" + k + "\":" + s.mkString("[", ",", "]") }

@@ -60,6 +60,16 @@ object PackOps {
     val outSchema = ranged.schema
       .add(org.apache.spark.sql.types.StructField(
         "__loc", org.apache.spark.sql.types.LongType, nullable = false))
+    // PERSISTED: `local` is consumed twice (the stream side of the final
+    // join and the offsets aggregate). Without a shared materialization the
+    // two subplans each re-execute repartitionByRange, and correctness then
+    // hangs on exchange reuse kicking in: if it is disabled (or
+    // canonicalization fails), the two executions can sample different
+    // range boundaries, so `__pid` diverges between `local` and `offsets`
+    // and the prefix sums are silently wrong. The cache pins ONE pid
+    // assignment for both readers (MEMORY_AND_DISK: eviction spills, never
+    // recomputes). The slot is plan-keyed, so repeated calls over the same
+    // input reuse it rather than accumulate.
     val local = ranged.mapPartitions { it =>
       var acc = 0L
       it.map { r =>
@@ -67,7 +77,7 @@ object PackOps {
         acc += (if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
         out
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    }(org.apache.spark.sql.Encoders.row(outSchema)).persist()
     // offsets: cumulative total of all partitions BEFORE mine. Empty range
     // partitions are simply absent from the totals — they contribute 0 and
     // no row reads their offset. O(partitions) rows, so the

@@ -46,6 +46,11 @@ class PackOpsSpec extends AnyFunSuite {
       s"unexpected data-sized window:\n$plan")
     // offsets come back via broadcast: the stream side keeps its layout
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // both consumers (stream side + offsets aggregate) read the persisted
+    // materialization of the pid-stamped stream — the guarantee that one
+    // range-boundary sample backs both __pid reads (a re-executed exchange
+    // could sample different boundaries if reuse were disabled)
+    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) >= 2, plan)
   }
 
   test("packChunks invariants: spans tile each doc, chunks respect capacity") {
