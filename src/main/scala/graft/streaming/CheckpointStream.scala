@@ -704,10 +704,30 @@ object CheckpointStream {
     * `idleTtl` bounds the state store: a session idle past the TTL in event
     * time is evicted and transparently reloaded from the sink on its next
     * event (`statefulSessionFunc` / `reloadSessionFromSink`). `None` is the
-    * unbounded NoTimeout escape hatch. `watermarkDelay` is the lateness
-    * allowance feeding the eviction watermark; it does NOT drop late rows —
-    * `flatMapGroupsWithState` receives them regardless, and the engine's
-    * skip-if-stale (D3) remains the late-data semantic.
+    * unbounded NoTimeout escape hatch — no watermark exists on that path,
+    * so no input row is ever dropped for lateness.
+    *
+    * LATE-ROW CONTRACT under eviction: `FlatMapGroupsWithStateExec` under
+    * EventTimeTimeout carries a late-row filter that would drop input rows
+    * at or below the watermark BEFORE the state function sees them — but
+    * the filter only engages when a watermark-tagged column reaches the
+    * exec's child output, and in this pipeline Catalyst prunes
+    * `event_time` away below the exec (the state function consumes only
+    * EventRow fields). Verified empirically on Spark 4.1.2: a micro-batch
+    * whose watermark stood at +30min admitted and folded a +20min event
+    * (StreamingEvictionSpec's out-of-order tests). So TODAY no input row
+    * is ever dropped for lateness on either path, and the engine's
+    * skip-if-stale (D3) remains the sole late-data semantic — but that is
+    * an optimizer artifact, not a Spark contract. Defense-in-depth for the
+    * day the column survives pruning: the allowance DEFAULTS TO THE IDLE
+    * TTL, so even an engaged filter would discard only events more than a
+    * full TTL behind the global frontier — the horizon at which an idle
+    * session is already eviction-eligible. StreamingEvictionSpec pins the
+    * admission behavior under an explicit "0 seconds" allowance; if that
+    * sentinel ever fails, Spark started filtering and this contract needs
+    * re-deriving. The watermark's live job is EVICTION ONLY (the timeout
+    * clock); eviction under the TTL-wide allowance fires at
+    * frontier > lastEvent + 2·TTL — still O(active window) state.
     *
     * foreachBatch ordering is load-bearing: diffs are committed BEFORE the
     * upsert mutates the sink, so any replay attempt that recomputes diffs
@@ -724,7 +744,7 @@ object CheckpointStream {
       diffDir: Option[String] = None,
       schemaHint: Option[StructType] = None,
       idleTtl: Option[Duration] = Some(Duration.ofDays(30)),
-      watermarkDelay: String = "0 seconds"): StreamingQuery = {
+      watermarkDelay: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     val diffSink = diffDir.getOrElse(sinkDir + "_diffs")
     val raw = spark.readStream
@@ -734,9 +754,11 @@ object CheckpointStream {
     val outs = idleTtl match {
       case Some(ttl) =>
         val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+        // allowance defaults to the TTL: see the late-row contract above
+        val delay = watermarkDelay.getOrElse(s"${ttl.toMillis} milliseconds")
         normalizeFeed(raw)
           .withColumn("event_time", timestamp_micros(col("ts_us")))
-          .withWatermark("event_time", watermarkDelay)
+          .withWatermark("event_time", delay)
           .as[EventRow]
           .groupByKey(_.user_id)
           .flatMapGroupsWithState(

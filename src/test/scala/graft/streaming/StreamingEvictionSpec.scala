@@ -97,6 +97,65 @@ class StreamingEvictionSpec extends AnyFunSuite {
     assert(streamedDiffs.filter(col("user_id") === 1L && col("seq") === 3).count() == 1)
   }
 
+  test("cross-batch out-of-order event is folded, not dropped by the eviction watermark") {
+    // the audited hazard: FlatMapGroupsWithStateExec under EventTimeTimeout
+    // carries a late-row filter that would discard sub-watermark input
+    // BEFORE the state function runs. In this pipeline the filter cannot
+    // engage (Catalyst prunes the watermark-tagged event_time column below
+    // the exec — see CheckpointStream.run's late-row contract), and the
+    // allowance additionally defaults to the idle TTL as defense-in-depth.
+    // This test pins the end-to-end guarantee: an event late GLOBALLY but
+    // fresh for its session folds identically to the batch replay.
+    val base = Files.createTempDirectory("graft_ooo_").toString
+    val src = s"$base/feed"
+    val sink = s"$base/sink"
+    val min = 60L * 1000L
+    val batches = Seq(
+      Seq((1L, 10 * min, 1L, "taskx", "x1")),
+      Seq((2L, 30 * min, 2L, "taskx", "u2")), // frontier moves to +30min
+      // late GLOBALLY (20min < the 30min frontier) but fresh for user 1's
+      // task — must be folded, and is well inside the 1h TTL allowance
+      Seq((3L, 20 * min, 1L, "taskx", "x2")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      feedDf(rows).coalesce(1).write.parquet(s"$src/b$i")
+      val dir = new java.io.File(s"$src/b$i")
+      (dir +: dir.listFiles.toSeq).foreach(f => f.setLastModified(T0 + i * 60000L))
+    }
+    val q = CheckpointStream.run(spark, s"$src/b*", s"$base/ckpt", sink,
+      idleTtl = Some(java.time.Duration.ofHours(1)))
+    q.awaitTermination(120000L)
+    assert(!q.isActive, "stream did not drain with AvailableNow")
+
+    // the straggler itself made it into the sink
+    assert(spark.read.parquet(sink)
+      .filter(col("user_id") === 1L && col("event_id") === 3L).count() == 1,
+      "out-of-order event was dropped by the watermark gate")
+    // full E1 == E2 parity including the straggler's fold
+    val allEvents = feedDf(batches.flatten)
+    val cols = Seq("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    val streamed = spark.read.parquet(sink).select(cols.map(col): _*)
+    val batch = CheckpointStream.backfill(spark, allEvents).toDF().select(cols.map(col): _*)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"out-of-order parity broke:\nstream=${streamed.collect().mkString("\n")}" +
+        s"\nbatch=${batch.collect().mkString("\n")}")
+
+    // SENTINEL: even a "0 seconds" allowance admits the straggler today,
+    // because the pruned plan gives the exec no watermark-tagged column to
+    // filter on (verified: batch 2 ran with watermark=+30min and folded the
+    // +20min event). If this assertion ever fails, Spark started engaging
+    // the late-row filter for this plan shape — the TTL-wide default above
+    // becomes the load-bearing guard and the late-row contract in
+    // CheckpointStream.run must be re-derived.
+    val q2 = CheckpointStream.run(spark, s"$src/b*", s"$base/ckpt2", s"$base/sink2",
+      idleTtl = Some(java.time.Duration.ofHours(1)), watermarkDelay = Some("0 seconds"))
+    q2.awaitTermination(120000L)
+    assert(!q2.isActive)
+    assert(spark.read.parquet(s"$base/sink2")
+      .filter(col("user_id") === 1L && col("event_id") === 3L).count() == 1,
+      "Spark began dropping sub-watermark rows before the state function: " +
+        "the late-row contract in CheckpointStream.run no longer holds — re-derive it")
+  }
+
   test("reloadSessionFromSink reconstructs the exact SessionState the stream held") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_reload_").toString + "/sink"
