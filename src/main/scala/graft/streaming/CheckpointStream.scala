@@ -289,22 +289,23 @@ object CheckpointStream {
   def toEventRows(df: DataFrame): Dataset[EventRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val tsUs = graft.Tables.tsMicros(df) // one shared ts-shape dispatch
-    val valid = col("user_id").isNotNull && col("task_id").isNotNull &&
-      col("event_id").isNotNull && col("ts_us").isNotNull && col("props").isNotNull
-    df.select(
-      col("user_id"),
-      when(col("event_type") === "signup", lit("__start__"))
-        .otherwise(col("event_type")).as("task_id"),
-      col("event_id"),
-      tsUs.as("ts_us"),
-      col("props"))
-      // coalesce: sum() is NULL on an empty micro-batch, and a null Long
-      // in an advertised metric NPEs getLong-style consumers
-      .observe("graft_events_feed",
+    // filter on the SHARED wire-level rules (agentsValidityRules) so the
+    // drop filter, the counter, and the dead-letter quarantine can never
+    // drift apart — same contract as the IDE path.
+    // coalesce: sum() is NULL on an empty micro-batch, and a null Long
+    // in an advertised metric NPEs getLong-style consumers
+    val bad = agentsMalformed(df)
+    df.observe("graft_events_feed",
         count(lit(1L)).as("rows_seen"),
-        coalesce(sum(when(valid, lit(0L)).otherwise(lit(1L))), lit(0L)).as("rows_dropped"))
-      .filter(valid)
+        coalesce(sum(when(bad, lit(1L)).otherwise(lit(0L))), lit(0L)).as("rows_dropped"))
+      .filter(!bad)
+      .select(
+        col("user_id"),
+        when(col("event_type") === "signup", lit("__start__"))
+          .otherwise(col("event_type")).as("task_id"),
+        col("event_id"),
+        graft.Tables.tsMicros(df).as("ts_us"), // one shared ts-shape dispatch
+        col("props"))
       .as[EventRow]
   }
 
@@ -391,12 +392,44 @@ object CheckpointStream {
   private[graft] def ideMalformed =
     IdeValidityRules.map(_._2).reduce(_ || _)
 
-  /** Dead-letter sink for the IDE feed: a parallel streaming query over the
-    * same source that quarantines exactly the rows `toEventRowsIde` drops —
-    * original wire columns plus a `reason` tag — to an append-only parquet
-    * sink (exactly-once via the file-sink commit log + its own checkpoint).
-    * Silent row loss in a CDC feed is acceptable only as a *counted* metric
-    * (`graft_ide_feed`) with the rows themselves recoverable from here.
+  /** Agents wire-row validity rules over the RAW feed columns — the same
+    * never-drift contract as `IdeValidityRules`: one rule list feeds the
+    * normalizer's drop filter, the `graft_events_feed` drop counter, AND
+    * the dead-letter quarantine's reason tags. Parameterized by the
+    * DataFrame because the feed's physical ts type varies (TimestampType
+    * vs raw nanosecond longs — see `eventsSchema`), so the `bad_ts` rule
+    * must dispatch on the actual schema.
+    */
+  private[graft] def agentsValidityRules(
+      df: DataFrame): Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    // null ids are identity-less rows: a null user_id would NPE the
+    // primitive-field decoder of EventRow and kill the streaming query;
+    // a null event_type has no task key to merge under
+    "null_user_id" -> col("user_id").isNull,
+    "null_event_id" -> col("event_id").isNull,
+    "bad_ts" -> graft.Tables.tsMicros(df).isNull,
+    "null_event_type" -> col("event_type").isNull,
+    "null_props" -> col("props").isNull)
+
+  /** Wire-level malformedness of an agents-feed row. */
+  private[graft] def agentsMalformed(df: DataFrame) =
+    agentsValidityRules(df).map(_._2).reduce(_ || _)
+
+  /** Dead-letter sink: a parallel streaming query over the same source that
+    * quarantines exactly the rows the feed normalizer drops — original wire
+    * columns plus a `reason` tag — to an append-only parquet sink
+    * (exactly-once via the file-sink commit log + its own checkpoint).
+    * Shape-dispatched exactly like `run`: the IDE and agents wire shapes
+    * each quarantine under their own validity rules — the SAME rule
+    * objects their normalizers filter and count by, so for either feed
+    * drop/count/quarantine cannot drift apart, and the per-batch
+    * `graft_events_feed` / `graft_ide_feed` drop counts equal the
+    * quarantined row counts (parity-tested in IdeFeedSpec for both
+    * shapes). Silent row loss in a CDC feed is acceptable only as a
+    * counted metric with the rows themselves recoverable from here.
+    *
+    * `schemaHint` as in `run`: sniffing cannot see files that arrive after
+    * the query starts, so a caller that knows its feed's shape passes it.
     *
     * Scale note: this re-reads the feed (quarantine volume is tiny but the
     * scan isn't). That is the standard trade of the two-query pattern —
@@ -411,15 +444,21 @@ object CheckpointStream {
       checkpointDir: String,
       quarantineDir: String,
       maxFilesPerTrigger: Int = 64,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      schemaHint: Option[StructType] = None): StreamingQuery = {
+    val schema = schemaHint.getOrElse(feedSchemaFor(spark, sourceDir))
     val raw = spark.readStream
-      .schema(ideSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
+    val rules =
+      if (schema.fieldNames.contains("thread_id")) IdeValidityRules
+      else agentsValidityRules(raw)
+    val bad = rules.map(_._2).reduce(_ || _)
     val reason = concat_ws(",",
-      IdeValidityRules.map { case (label, bad) => when(bad, lit(label)) }: _*)
+      rules.map { case (label, b) => when(b, lit(label)) }: _*)
     FeedStream.startParquetSink(
-      raw.filter(ideMalformed).withColumn("reason", reason),
+      raw.filter(bad).withColumn("reason", reason),
       checkpointDir, quarantineDir, availableNow)
   }
 
@@ -662,10 +701,30 @@ object CheckpointStream {
     * written to `.compact_tmp` while the sink stays readable, originals
     * move to `.compact_bak`, one rename promotes the consolidated dir,
     * and `recoverCompaction` makes any interruption restorable.
+    *
+    * RETENTION GC (`retainRowsNewerThanUs`): prune diff rows whose event
+    * time `ts_us` is strictly below the cutoff while folding — the
+    * storage-side twin of the state store's idle eviction, and the last
+    * unbounded-growth path in the engine without it (the reference
+    * accumulates every diff forever in one jsonb document,
+    * `entity/CdcAgentsDataStream.java:56-60` — the same semantic, the same
+    * scale-wrongness; a year-long stream needs its diff history bounded by
+    * a retention window the caller picks). The pruning runs under the
+    * identical crash protocol: if every in-range row has expired, no
+    * consolidated generation is written at all and the folded dirs are
+    * simply removed (`recoverCompaction`'s discriminator — no tmp output —
+    * then finalizes the removal on crash). Replay idempotence is
+    * unchanged: only dirs at or below the watermark are folded/pruned, and
+    * the precondition already demands those batches are committed, i.e.
+    * never replayed; dirs above the watermark keep their `_SUCCESS`
+    * first-write-wins protection. (A precondition violation could
+    * resurrect pruned rows exactly as it could duplicate unpruned ones —
+    * the same documented bound.)
     */
   def compactDiffs(
       spark: SparkSession, diffDir: String, watermark: Long,
-      targetFiles: Int = 4): Unit = {
+      targetFiles: Int = 4,
+      retainRowsNewerThanUs: Option[Long] = None): Unit = {
     val root = new Path(diffDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(diffDir + ".compact_tmp")
@@ -676,14 +735,23 @@ object CheckpointStream {
       .filter(_.getName.startsWith("batch_id="))
       .map(p => p.getName.stripPrefix("batch_id=").toLong -> p)
       .filter(_._1 <= watermark).sortBy(_._1)
-    if (batchDirs.length <= 1) return
+    // with retention even a lone in-range dir is rewritten (its rows may
+    // have aged out); without it a lone dir is already compact
+    if (batchDirs.isEmpty ||
+      (batchDirs.length <= 1 && retainRowsNewerThanUs.isEmpty)) return
     val target = s"batch_id=${-(watermark + 1)}"
-    spark.read.parquet(batchDirs.map(_._2.toString): _*)
-      .coalesce(targetFiles)
-      .write.parquet(new Path(tmp, target).toString)
+    val folded = retainRowsNewerThanUs.foldLeft(
+      spark.read.parquet(batchDirs.map(_._2.toString): _*)) {
+      (df, cut) => df.filter(col("ts_us") >= cut)
+    }
+    // an all-expired fold writes nothing: an empty parquet dir would break
+    // directory readers, and absence is the correct representation
+    val keepAny = retainRowsNewerThanUs.isEmpty || !folded.isEmpty
+    if (keepAny)
+      folded.coalesce(targetFiles).write.parquet(new Path(tmp, target).toString)
     fs.mkdirs(bak)
     batchDirs.foreach { case (_, p) => renameOrThrow(fs, p, new Path(bak, p.getName)) }
-    renameOrThrow(fs, new Path(tmp, target), new Path(root, target))
+    if (keepAny) renameOrThrow(fs, new Path(tmp, target), new Path(root, target))
     fs.delete(bak, true)
     fs.delete(tmp, true)
     ()

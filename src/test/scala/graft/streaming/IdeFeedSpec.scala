@@ -165,6 +165,45 @@ class IdeFeedSpec extends AnyFunSuite {
     assert(q == Map("1" -> "bad_ts", "2" -> "null_blob", "4" -> "null_task_path"))
   }
 
+  test("agents dead-letter query quarantines exactly the rows the feed drops, with reasons") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_dl_agents_").toString
+    // one malformed row per agents validity rule + one valid row
+    Seq(
+      (Option(1L), Option(1000L), Option(10L), Option("click"), Option(1.0), Option("""{"a":1}""")),
+      (None: Option[Long], Option(1001L), Option(11L), Option("click"), Option(1.0), Option("x")),
+      (Option(3L), None: Option[Long], Option(12L), Option("click"), Option(1.0), Option("y")),
+      (Option(4L), Option(1003L), None: Option[Long], Option("click"), Option(1.0), Option("z")),
+      (Option(5L), Option(1004L), Option(14L), None: Option[String], Option(1.0), Option("w")),
+      (Option(6L), Option(1005L), Option(15L), Option("click"), Option(1.0), None: Option[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+      .coalesce(1).write.parquet(s"$base/feed")
+    val main = CheckpointStream.run(
+      spark, s"$base/feed", s"$base/ckpt", s"$base/sink", maxFilesPerTrigger = 64)
+    val dl = CheckpointStream.runDeadLetter(
+      spark, s"$base/feed", s"$base/ckpt_dl", s"$base/quarantine")
+    main.awaitTermination(120000L)
+    dl.awaitTermination(120000L)
+    // the two queries PARTITION the feed: the valid row reaches the sink...
+    val sunk = spark.read.parquet(s"$base/sink").select("payload")
+      .collect().map(_.getString(0)).toSet
+    assert(sunk == Set("""{"a":1}"""))
+    // ...and every dropped row is quarantined under ITS rule's reason tag,
+    // original wire columns intact
+    val q = spark.read.parquet(s"$base/quarantine").select("event_id", "reason")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(q == Map(-1L -> "null_event_id", 3L -> "bad_ts", 4L -> "null_user_id",
+      5L -> "null_event_type", 6L -> "null_props"), q)
+    // the counted loss equals the recoverable quarantine volume — the
+    // drop is no longer silent-but-counted-only on the primary CDC feed
+    val dropped = main.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_events_feed")))
+      .map(_.getAs[Long]("rows_dropped")).sum
+    assert(dropped == 5L, s"metric counted $dropped drops")
+    assert(spark.read.parquet(s"$base/quarantine").count() == 5L)
+  }
+
   test("batch backfill accepts the IDE wire shape (E2 parity per feed shape)") {
     val viaIde = CheckpointStream.backfill(spark, ideShaped).toDF()
     val viaEvents = CheckpointStream.backfill(
