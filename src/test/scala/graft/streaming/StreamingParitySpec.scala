@@ -215,6 +215,74 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 5)
   }
 
+  test("compaction retention GC prunes aged diff rows and removes folded dirs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gc_").toString + "/diffs"
+    def diffBatch(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, i.toInt, i * 10, i * 100, s"""{"d":$i}"""))
+        .toDF("user_id", "seq", "event_id", "ts_us", "diff_json")
+    // ts_us per row: id 1 -> 100, 2 -> 200, 3 -> 300, 4 -> 400
+    CheckpointStream.appendDiffs(diffBatch(Seq(1L, 2L)), dir, 0)
+    CheckpointStream.appendDiffs(diffBatch(Seq(3L)), dir, 1)
+    CheckpointStream.appendDiffs(diffBatch(Seq(4L)), dir, 2)
+    // fold dirs 0/1 with a cutoff that expires ids 1 and 2; dir 2 is
+    // beyond the watermark and must keep its rows regardless of age
+    CheckpointStream.compactDiffs(spark, dir, watermark = 1,
+      retainRowsNewerThanUs = Some(250L))
+    assert(spark.read.parquet(dir).select("user_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    val dirs1 = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs1 == Seq("batch_id=-2", "batch_id=2"), dirs1)
+    // a later GC that expires EVERYTHING in range: the lone consolidated
+    // generation is rewritten (single-dir + retention still processes) and,
+    // having no survivors, is removed outright — absence, not an empty dir
+    CheckpointStream.compactDiffs(spark, dir, watermark = 1,
+      retainRowsNewerThanUs = Some(10000L))
+    val dirs2 = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs2 == Seq("batch_id=2"), dirs2)
+    assert(spark.read.parquet(dir).select("user_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // the sink remains appendable afterwards
+    CheckpointStream.appendDiffs(diffBatch(Seq(5L)), dir, 3)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("retention GC crash-replay folds from correct truth (window A with pruning)") {
+    import spark.implicits._
+    def diffBatch(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, i.toInt, i * 10, i * 100, s"""{"d":$i}"""))
+        .toDF("user_id", "seq", "event_id", "ts_us", "diff_json")
+    def mv(from: String, to: String): Unit = {
+      val dest = new java.io.File(to)
+      dest.getParentFile.mkdirs()
+      assert(new java.io.File(from).renameTo(dest), s"fixture move failed: $from -> $to")
+    }
+    // a GC attempt crashed after writing pruned tmp output and moving the
+    // originals to bak, before the promote — recovery must RESTORE the
+    // originals, then the re-run prunes from the restored (correct) truth
+    val dir = Files.createTempDirectory("graft_gc_crash_").toString + "/diffs"
+    CheckpointStream.appendDiffs(diffBatch(Seq(1L, 2L)), dir, 0)
+    CheckpointStream.appendDiffs(diffBatch(Seq(3L)), dir, 1)
+    CheckpointStream.appendDiffs(diffBatch(Seq(4L)), dir, 2)
+    spark.read.parquet(s"$dir/batch_id=0", s"$dir/batch_id=1")
+      .filter(col("ts_us") >= 250L)
+      .write.parquet(s"$dir.compact_tmp/batch_id=-2")
+    mv(s"$dir/batch_id=0", s"$dir.compact_bak/batch_id=0")
+    mv(s"$dir/batch_id=1", s"$dir.compact_bak/batch_id=1")
+    CheckpointStream.compactDiffs(spark, dir, watermark = 1,
+      retainRowsNewerThanUs = Some(250L))
+    assert(spark.read.parquet(dir).select("user_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L),
+      "post-crash GC lost or resurrected rows")
+    val dirs = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=-2", "batch_id=2"), dirs)
+    assert(!new java.io.File(s"$dir.compact_bak").exists)
+    assert(!new java.io.File(s"$dir.compact_tmp").exists)
+  }
+
   test("compaction recovery handles both crash windows (swap-incomplete, bak-residue)") {
     import spark.implicits._
     def diffBatch(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
