@@ -82,19 +82,99 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(q32.nonEmpty && q38a == q32 && q38b == q32)
   }
 
-  test("publish is atomic: a torn .tmp build is invisible and a rebuild replaces it") {
+  test("publish is atomic: a torn tmp build is invisible and a rebuild sweeps it") {
     val dir = Files.createTempDirectory("graft_ivf_torn_").toString + "/index"
     val c = corpus()
-    // fabricate a crashed build: only the .tmp dir exists
-    val torn = new java.io.File(dir + ".tmp/centroids")
+    // fabricate a crashed build: only a unique-suffixed tmp dir exists
+    val torn = new java.io.File(dir + ".tmp-dead/centroids")
     assert(torn.mkdirs())
     Files.writeString(torn.toPath.resolve("garbage"), "not parquet")
     intercept[Exception] { // torn build is not loadable as an index
       SimilarityOps.loadIvfCentroids(spark, dir)
     }
     SimilarityOps.buildIvfIndex(c, dir)
-    assert(!new java.io.File(dir + ".tmp").exists(), ".tmp survived the publish")
+    val leftovers = new java.io.File(dir).getParentFile.listFiles
+      .map(_.getName).filter(_.startsWith("index.tmp-")).toSeq
+    assert(leftovers.isEmpty, s"tmp residue survived the publish: $leftovers")
     val k = SimilarityOps.loadIvfCentroids(spark, dir).length
     assert(k == 16, s"rebuilt index has $k centroids")
+  }
+
+  test("index cache keys by corpus content, not mtime: a backdated rewrite still re-keys") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ivf_fp_").toString
+    val dataDir = s"$base/data"
+    def writeCorpus(ids: Range): Unit =
+      ids.map(i => (i.toLong,
+        // i+7 offset: i=0 would otherwise make a zero vector (norm 0)
+        Array.tabulate(64)(j => math.sin((i + 7) * (j + 1) * 0.1).toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    writeCorpus(0 until 200)
+    val r1 = SimilarityOps.q38AnnIvfIndexed(spark, dataDir).collect()
+    assert(r1.nonEmpty && r1.map(_.getLong(0)).forall(_ < 200L))
+    // rewrite with DIFFERENT content, then force every corpus mtime BEHIND
+    // the published index: the old mtime staleness check would serve the
+    // stale index; the content fingerprint re-keys on part names/lengths
+    writeCorpus(1000 until 1200)
+    val old = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    def backdate(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(backdate)
+      f.setLastModified(old); ()
+    }
+    backdate(new java.io.File(s"$dataDir/embeddings.parquet"))
+    val r2 = SimilarityOps.q38AnnIvfIndexed(spark, dataDir).collect()
+    val qids = r2.map(_.getLong(0)).toSet
+    assert(qids.nonEmpty && qids.forall(_ >= 1000L),
+      s"stale index served after backdated rewrite: query ids $qids")
+    // and the same corpus state twice yields one generation (no rebuild):
+    // superseded generations were swept, the live one remains
+    val gens = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_" + dataDir.replaceAll("[^A-Za-z0-9]", "_")).listFiles
+      .map(_.getName).filter(_.startsWith("ivf-")).toSeq
+    assert(gens.size == 1, s"generation GC left: $gens")
+  }
+
+  test("appended vectors are findable without rebuild; growth triggers retrain") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ivf_append_").toString + "/index"
+    val rnd = new scala.util.Random(44)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    def cluster(cl: Int, n: Int, idBase: Long) =
+      (0 until n).map(i => (idBase + i,
+        centers(cl).map(x => x + rnd.nextGaussian() * 0.05).toSeq))
+    val baseRows = (0 until 14).flatMap(cl => cluster(cl, 50, cl * 50L))
+    SimilarityOps.buildIvfIndex(baseRows.toDF("vec_id", "v"), dir, nClusters = 14)
+    // vectors from two clusters the quantizer never saw
+    val newRows = cluster(14, 15, 5000L) ++ cluster(15, 15, 6000L)
+    def centroidSnapshot() = new java.io.File(s"$dir/centroids").listFiles
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = centroidSnapshot()
+    SimilarityOps.appendToIvfIndex(newRows.toDF("vec_id", "v"), dir)
+    assert(centroidSnapshot() == before, "append retrained/rewrote the centroids")
+    // queries sitting on the appended clusters must find the appended
+    // vectors through the standing index — no rebuild happened
+    val q = (cluster(14, 2, 9000L) ++ cluster(15, 2, 9100L)).toDF("query_id", "qv")
+    val got = SimilarityOps.annTopKIvfIndexed(spark, dir, q, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = SimilarityOps.bruteForceTopK(
+      (baseRows ++ newRows).toDF("vec_id", "v"), q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"appended vectors not findable: recall=$recall")
+    assert(got.exists(_._2 >= 5000L), "no appended vector surfaced in top-k")
+    // modest growth: no flag. Bulk growth (3.4x the build size): flag fires,
+    // a rebuild over the grown corpus resets it.
+    assert(!SimilarityOps.needsRetrain(spark, dir),
+      "retrain flagged after a modest append")
+    val bulk = (0 until 16).flatMap(cl => cluster(cl, 150, 10000L + cl * 1000L))
+    SimilarityOps.appendToIvfIndex(bulk.toDF("vec_id", "v"), dir)
+    assert(SimilarityOps.needsRetrain(spark, dir),
+      "3x growth did not trigger the retrain flag")
+    val grown = (baseRows ++ newRows ++ bulk).toDF("vec_id", "v")
+    SimilarityOps.buildIvfIndex(grown, dir, nClusters = 16)
+    assert(!SimilarityOps.needsRetrain(spark, dir),
+      "rebuild did not reset the growth baseline")
   }
 }
