@@ -619,6 +619,25 @@ object SimilarityOps {
     CandidateStats(joined.count(), joined.distinct().count())
   }
 
+  /** Candidate volume of the TOP-K form's query×corpus bucket join (the
+    * `annTopKLsh` plan): `workRows` is the join output each query pays an
+    * inline cosine for, `distinctPairs` the unique (query, candidate)
+    * pairs — against a brute-force cost of |queries|·|corpus|. Exposed for
+    * the clustered-corpus pruning proof.
+    */
+  private[graft] def srpTopKCandidateStats(
+      c: DataFrame, q: DataFrame, tables: Int, bitsPerTable: Int,
+      dim: Int = DefaultDim): CandidateStats = {
+    val cB = c.select(col("vec_id"),
+      explode(srpBuckets(col("v"), tables, bitsPerTable, dim)).as("bucket"))
+    val qB = q.select(col("query_id"),
+      explode(srpBuckets(col("qv"), tables, bitsPerTable, dim)).as("bucket"))
+    val joined = qB.join(cB, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    CandidateStats(joined.count(), joined.distinct().count())
+  }
+
   /** Table count for the REGISTERED q28: double the general default as a
     * safety margin, because q28's oracle is exact-match while SRP-LSH is
     * probabilistic. At the 0.4 threshold a worst-case pair (cosine exactly

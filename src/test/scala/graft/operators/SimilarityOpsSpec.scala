@@ -111,6 +111,47 @@ class SimilarityOpsSpec extends AnyFunSuite {
       s"clustered recall broke: missing=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
   }
 
+  test("clustered corpus: SRP top-k prunes subquadratically at recall@10 >= 0.9") {
+    import spark.implicits._
+    // the q24 operator's pruning proof, mirroring the IVF probe-fraction
+    // test: on clustered data (where ANN pruning is information-
+    // theoretically possible) corpus-scaled bits must give BOTH
+    // subquadratic candidate volume AND high top-k recall — the near-dup
+    // pair form already has this proof; this is the top-k form's
+    val rnd = new scala.util.Random(45)
+    val centers = Array.fill(20)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = for {
+      cl <- 0 until 20; i <- 0 until 50
+    } yield {
+      val v = centers(cl).map(x => x + rnd.nextGaussian() * 0.05)
+      (cl.toLong * 50 + i, v.toSeq)
+    }
+    val c = rows.toDF("vec_id", "v")
+    val q = c.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val n = rows.size.toLong
+    val nQ = q.count()
+    val brute = nQ * n // one cosine per (query, corpus) pair
+    // target bucket ~ the dup-group scale (same sizing rule as the
+    // clustered near-dup proof): tight clusters stay bucket-coherent under
+    // many planes, so selectivity prunes strangers without splitting the
+    // true neighbors
+    val bits = SimilarityOps.srpBitsFor(n, targetBucketSize = 8)
+    val cand = SimilarityOps.srpTopKCandidateStats(c, q, tables = 8, bitsPerTable = bits)
+    assert(cand.workRows < brute,
+      s"top-k candidate work exceeded brute force: $cand vs brute=$brute (bits=$bits)")
+    assert(cand.distinctPairs < brute / 4,
+      s"top-k distinct candidates not pruned: $cand vs brute=$brute")
+    val exact = SimilarityOps.bruteForceTopK(c, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SimilarityOps.annTopKLsh(c, q, 10, tables = 8, bitsPerTable = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.size == exact.size, "LSH returned a short top-k list")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered SRP top-k recall@10 = $recall (bits=$bits)")
+  }
+
   test("IVF ANN recall@10 >= 0.9 vs brute force on sf0.001") {
     val brute = SimilarityOps.q23AnnTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
