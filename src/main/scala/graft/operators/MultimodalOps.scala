@@ -4,16 +4,22 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.nio.charset.StandardCharsets
+
 /** Multimodal asset handling: media as opaque binary columns with typed
   * metadata structs, plus the decode / feature-extract / resize /
   * frame-sample pipeline a training-data platform runs over them.
   *
-  * The container has no media codecs, so the DECODE STEP IS A DETERMINISTIC
-  * STUB (byte-level pseudo-decoder) — everything around it is real Spark
-  * plumbing: binary schema, per-partition batched iteration, typed feature
-  * output that composes with SimilarityOps, and partition-preserving frame
-  * explosion. A production build swaps `decodeBytes` for the actual codec
-  * call; nothing else changes.
+  * The decode step carries REAL dependency-free codecs for two container
+  * formats — uncompressed 24-bpp Windows BMP (`decodeBmp`) and PCM WAV
+  * (`decodeWav`), both parsed from their public header layouts — with a
+  * deterministic byte-histogram FALLBACK for every other payload (the
+  * documents-derived test assets are text bytes and land there). Around
+  * the codec everything is the Spark plumbing a production pipeline
+  * needs: binary schema, per-partition batched iteration, typed feature
+  * output that composes with SimilarityOps, and partition-preserving
+  * frame explosion. Swapping in a heavier codec library (JPEG/FLAC/mp4)
+  * changes only the dispatch inside `decodeBytes`.
   */
 object MultimodalOps {
 
@@ -43,11 +49,98 @@ object MultimodalOps {
         element_at(typedlit(Seq("png", "wav", "mp4")), (col("doc_id") % 3 + 1).cast("int"))
           .as("format"))
 
-  /** STUB CODEC: deterministic byte-level pseudo-decode → 16-bin normalized
-    * byte histogram as the "content features". Replace with a real decoder
-    * (image pixels / audio samples / video frames) in production.
+  /** Decoded uncompressed image: `pixels` is BGR row-major, TOP-DOWN
+    * (BMP's default bottom-up row storage is unflipped during decode).
     */
-  private[operators] def decodeBytes(payload: Array[Byte]): Array[Float] = {
+  final case class BmpImage(width: Int, height: Int, bpp: Int, pixels: Array[Byte])
+
+  /** Decoded PCM audio: samples channel-interleaved, normalized to [-1, 1]. */
+  final case class WavAudio(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, samples: Array[Float])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  /** REAL BMP codec (public format layout, no dependencies): 14-byte file
+    * header ('BM', file size, reserved, pixel offset @10) + info header
+    * (size @14, signed width @18 / height @22, planes @26, bpp @28,
+    * compression @30); pixel rows padded to 4 bytes, bottom-up unless
+    * height < 0. Supports the uncompressed 24-bpp form; anything else is
+    * `None` — error-as-value, a malformed asset must not kill a partition
+    * (the D15 discipline applied to media bytes).
+    */
+  def decodeBmp(b: Array[Byte]): Option[BmpImage] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    if (hdrSize < 40 || comp != 0 || bpp != 24 || w <= 0 || h == 0 || off < 54) return None
+    val topDown = h < 0
+    val ah = math.abs(h)
+    val rowSize = ((24 * w + 31) / 32) * 4
+    if (off.toLong + rowSize.toLong * ah > b.length || w.toLong * ah * 3 > Int.MaxValue)
+      return None
+    val out = new Array[Byte](w * ah * 3)
+    var r = 0
+    while (r < ah) {
+      val srcRow = if (topDown) r else ah - 1 - r
+      System.arraycopy(b, off + srcRow * rowSize, out, r * w * 3, w * 3)
+      r += 1
+    }
+    Some(BmpImage(w, ah, bpp, out))
+  }
+
+  /** REAL WAV codec (public RIFF layout, no dependencies): 'RIFF' size
+    * 'WAVE', then word-aligned chunks; `fmt ` (PCM format tag, channels,
+    * sample rate, bits) and `data` (the sample bytes). Supports 8- and
+    * 16-bit integer PCM; anything else — or a truncated/garbled chunk
+    * walk — is `None`.
+    */
+  def decodeWav(b: Array[Byte]): Option[WavAudio] = {
+    if (b == null || b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var o = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, o, 4, StandardCharsets.US_ASCII)
+      val sz = le32(b, o + 4)
+      if (sz < 0 || o + 8 + sz.toLong > b.length) return None
+      if (id == "fmt " && sz >= 16) {
+        if (le16(b, o + 8) != 1) return None // integer PCM only
+        fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
+      } else if (id == "data") data = Some((o + 8, sz))
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    for {
+      (ch, rate, bits) <- fmt
+      (doff, dlen) <- data
+      if ch > 0 && rate > 0 && (bits == 8 || bits == 16)
+    } yield {
+      val n = if (bits == 16) dlen / 2 else dlen
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (bits == 16) le16(b, doff + 2 * i).toShort / 32768f
+          else ((b(doff + i) & 0xFF) - 128) / 128f
+        i += 1
+      }
+      WavAudio(rate, ch, bits, out)
+    }
+  }
+
+  /** Fallback features for non-media payloads: 16-bin normalized byte
+    * histogram (the original deterministic pseudo-decode).
+    */
+  private def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     if (payload == null || payload.isEmpty) bins
     else {
@@ -56,6 +149,71 @@ object MultimodalOps {
       bins.map(_ / n)
     }
   }
+
+  private def imageFeatures(img: BmpImage): Array[Float] = {
+    val out = new Array[Float](16)
+    out(0) = img.width.toFloat
+    out(1) = img.height.toFloat
+    val n = img.width * img.height
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var i = 0
+    while (i < n * 3) {
+      sb += img.pixels(i) & 0xFF
+      sg += img.pixels(i + 1) & 0xFF
+      sr += img.pixels(i + 2) & 0xFF
+      i += 3
+    }
+    out(2) = sb.toFloat / n / 255f
+    out(3) = sg.toFloat / n / 255f
+    out(4) = sr.toFloat / n / 255f
+    i = 0
+    while (i < n * 3) {
+      val gray = ((img.pixels(i) & 0xFF) + (img.pixels(i + 1) & 0xFF) +
+        (img.pixels(i + 2) & 0xFF)) / 3
+      out(5 + math.min(10, gray * 11 / 256)) += 1f
+      i += 3
+    }
+    var j = 5
+    while (j < 16) { out(j) /= n; j += 1 }
+    out
+  }
+
+  private def audioFeatures(a: WavAudio): Array[Float] = {
+    val out = new Array[Float](16)
+    out(0) = a.sampleRate.toFloat
+    out(1) = a.channels.toFloat
+    out(2) = a.samples.length.toFloat
+    val n = math.max(1, a.samples.length)
+    var sq = 0.0
+    var zc = 0
+    var i = 0
+    while (i < a.samples.length) {
+      val s = a.samples(i)
+      sq += s.toDouble * s
+      if (i > 0 && (s >= 0f) != (a.samples(i - 1) >= 0f)) zc += 1
+      out(5 + math.min(10, ((s + 1f) / 2f * 11).toInt)) += 1f
+      i += 1
+    }
+    out(3) = math.sqrt(sq / n).toFloat
+    out(4) = zc.toFloat
+    var j = 5
+    while (j < 16) { out(j) /= n; j += 1 }
+    out
+  }
+
+  /** Content features, 16 floats for every modality (uniform schema so the
+    * feature column composes with SimilarityOps regardless of media type):
+    *  - BMP:  [width, height, meanB, meanG, meanR] ++ 11-bin gray histogram
+    *  - WAV:  [rate, channels, nSamples, rms, zeroCrossings] ++ 11-bin
+    *    amplitude histogram
+    *  - else: the 16-bin byte histogram fallback.
+    * Dispatch is by magic bytes; parse failures fall through — one garbled
+    * asset degrades to fallback features instead of failing the batch.
+    */
+  private[operators] def decodeBytes(payload: Array[Byte]): Array[Float] =
+    decodeBmp(payload).map(imageFeatures)
+      .orElse(decodeWav(payload).map(audioFeatures))
+      .getOrElse(byteHistogram(payload))
 
   /** Feature extraction over the binary column: per-partition batched
     * iteration (the Scala analog of a batched pandas-UDF pipeline — one

@@ -44,6 +44,112 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(top.count() == 6)
   }
 
+  /** Byte-exact 24-bpp BMP: `pxTopDown` is (B,G,R) per pixel in top-down
+    * row-major order; the fixture stores rows bottom-up with 4-byte row
+    * padding, exactly as the format demands.
+    */
+  private def bmpFixture(w: Int, h: Int, pxTopDown: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val rowSize = ((24 * w + 31) / 32) * 4
+    val size = 54 + rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+      .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (r <- (h - 1) to 0 by -1) {
+      for (c <- 0 until w) {
+        val (bb, gg, rr) = pxTopDown(r * w + c)
+        buf.put(bb.toByte).put(gg.toByte).put(rr.toByte)
+      }
+      for (_ <- 0 until rowSize - w * 3) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  /** Byte-exact mono PCM16 WAV. */
+  private def wavFixture(rate: Int, samples: Seq[Short]): Array[Byte] = {
+    val dlen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dlen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dlen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1).putInt(rate)
+      .putInt(rate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dlen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  test("BMP codec decodes a real 24-bpp fixture byte-exactly (incl. row padding and flip)") {
+    // 2x2: TL=blue TR=green BL=red BR=white, distinct per corner so any
+    // row-order or channel-order mistake shows
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
+    val bytes = bmpFixture(2, 2, px)
+    val img = MultimodalOps.decodeBmp(bytes).get
+    assert(img.width == 2 && img.height == 2 && img.bpp == 24)
+    val expect = px.flatMap { case (b, g, r) => Seq(b.toByte, g.toByte, r.toByte) }
+    assert(img.pixels.toSeq == expect, "pixels not top-down BGR after unflip")
+    // top-down variant (negative height) must decode to the same image
+    val td = bmpFixture(2, 2, px)
+    val buf = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -2) // height = -2: rows stored top-down
+    // rewrite rows in top-down order
+    val rowSize = 8
+    val tdPx = px.flatMap { case (b, g, r) => Seq(b.toByte, g.toByte, r.toByte) }
+    for (r <- 0 until 2; i <- 0 until 6) td(54 + r * rowSize + i) = tdPx(r * 6 + i)
+    assert(MultimodalOps.decodeBmp(td).get.pixels.toSeq == expect)
+    // features carry real image facts
+    val feats = MultimodalOps.decodeBytes(bytes)
+    assert(feats(0) == 2f && feats(1) == 2f)
+    assert(math.abs(feats.drop(5).sum - 1.0f) < 1e-3, "gray histogram not normalized")
+  }
+
+  test("WAV codec decodes a real PCM16 fixture sample-exactly") {
+    val samples = Seq[Short](0, 16384, -16384, 32767)
+    val bytes = wavFixture(8000, samples)
+    val a = MultimodalOps.decodeWav(bytes).get
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.bitsPerSample == 16)
+    val expect = Seq(0f, 0.5f, -0.5f, 32767 / 32768f)
+    assert(a.samples.toSeq == expect, s"samples ${a.samples.toSeq}")
+    val feats = MultimodalOps.decodeBytes(bytes)
+    assert(feats(0) == 8000f && feats(1) == 1f && feats(2) == 4f)
+  }
+
+  test("codec is error-as-value: garbage, truncation and foreign RIFFs fall back, never throw") {
+    val bmp = bmpFixture(2, 2, Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)))
+    val wav = wavFixture(8000, Seq[Short](1, 2, 3))
+    val cases = Seq[Array[Byte]](
+      null,
+      Array.empty[Byte],
+      "just some text".getBytes,
+      bmp.take(20), // truncated header
+      bmp.take(60), // header promises more pixels than present
+      wav.take(30), // truncated chunk walk
+      ("RIFF1234AVI LIST".getBytes ++ Array.fill[Byte](40)(0)), // RIFF, not WAVE
+      { val b = bmp.clone(); b(30) = 1; b } // compressed BMP: unsupported
+    )
+    cases.foreach { c =>
+      assert(MultimodalOps.decodeBmp(c).isEmpty)
+      assert(MultimodalOps.decodeWav(c).isEmpty)
+      val f = MultimodalOps.decodeBytes(c)
+      assert(f.length == 16, "fallback features must keep the uniform shape")
+    }
+  }
+
+  test("feature extraction dispatches per row: media payloads decode, text falls back") {
+    import spark.implicits._
+    val bmp = bmpFixture(3, 1, Seq((0, 0, 255), (0, 255, 0), (255, 0, 0)))
+    val wav = wavFixture(16000, Seq[Short](100, -100, 200, -200, 300, -300))
+    val df = Seq(
+      (1L, "image", bmp),
+      (2L, "audio", wav),
+      (3L, "text", "plain old text".getBytes))
+      .toDF("asset_id", "media_type", "payload")
+    val feats = MultimodalOps.extractFeatures(spark, df)
+      .collect().map(f => f.asset_id -> f.features).toMap
+    assert(feats(1L)(0) == 3f && feats(1L)(1) == 1f, "BMP row did not decode")
+    assert(feats(2L)(0) == 16000f && feats(2L)(2) == 6f, "WAV row did not decode")
+    assert(math.abs(feats(3L).sum - 1.0f) < 1e-3, "text row did not fall back to histogram")
+  }
+
   test("resize shrinks payload proportionally and rewrites metadata") {
     val a = MultimodalOps.assets(spark, sf)
     val r = MultimodalOps.resize(a, 16, 16)
