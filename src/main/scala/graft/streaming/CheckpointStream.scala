@@ -230,6 +230,26 @@ object CheckpointStream {
     * vector's append order equals its (ns, id) sort order because
     * `skipStale` admits only monotone appends.
     */
+  /** The exact parquet projection the reload needs, REQUESTED BY NAME from
+    * the file: extra sink columns (schema evolution) are skipped without
+    * being decoded, and a needed column that is missing, renamed, or
+    * type-drifted fails the read LOUDLY at schema-compatibility check —
+    * the silent-misread class a positional or full-schema read risks.
+    * Types and repetitions mirror `SessionFlat`'s Spark parquet encoding
+    * exactly (primitive Long/Int → required int64/int32, nullable String →
+    * optional binary/UTF8): parquet's projection check demands an exact
+    * repetition match per field, which doubles as the loud-failure gate.
+    */
+  private val ReloadProjection: String =
+    """message graft_reload {
+      |  required int64 user_id;
+      |  optional binary task_id (UTF8);
+      |  required int64 event_id;
+      |  required int64 ts_us;
+      |  optional binary payload (UTF8);
+      |  required int32 seq;
+      |}""".stripMargin
+
   private[graft] def reloadSessionFromSink(
       sinkDir: String, buckets: Int, conf: SerializableHadoopConf)(
       userId: Long): Option[SessionState] = {
@@ -249,11 +269,15 @@ object CheckpointStream {
     if (toRead.isEmpty) return None
     val pred = FilterCompat.get(
       FilterApi.eq(FilterApi.longColumn("user_id"), java.lang.Long.valueOf(userId)))
+    // a copy: the shared conf must not leak the projection to other readers
+    val readConf = new org.apache.hadoop.conf.Configuration(conf.value)
+    readConf.set(
+      org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, ReloadProjection)
     val rows = Vector.newBuilder[(String, Long, Long, String, Int)]
     toRead.foreach { f =>
       val reader = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
-        .withConf(conf.value).withFilter(pred).build()
+        .withConf(readConf).withFilter(pred).build()
       try {
         var g = reader.read()
         while (g != null) {

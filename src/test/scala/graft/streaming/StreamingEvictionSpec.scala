@@ -196,6 +196,46 @@ class StreamingEvictionSpec extends AnyFunSuite {
       sink, CheckpointStream.SinkBuckets, sconf)(uid + 1).isEmpty)
   }
 
+  test("revival survives sink schema evolution: extra columns are skipped by projection") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_reload_evo_").toString + "/sink"
+    val uid = 11L
+    // a future engine version added a column to the sink schema — the
+    // reload requests its six fields BY NAME as a parquet projection, so
+    // the new column is never even decoded
+    val rows = Seq(
+      (uid, "t", 1L, 100L, "p1", 2, "future-metadata"),
+      (uid, "u", 2L, 200L, "p2", 2, "future-metadata"))
+      .toDF("user_id", "task_id", "event_id", "ts_us", "payload", "seq", "extra")
+    CheckpointStream.upsert(rows, sink)
+    val sconf = new CheckpointStream.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val st = CheckpointStream.reloadSessionFromSink(
+      sink, CheckpointStream.SinkBuckets, sconf)(uid)
+    assert(st.isDefined, "reload lost the session under an evolved sink schema")
+    assert(st.get.sequenceNumber == 2 && st.get.content.keySet == Set("t", "u"))
+    assert(new String(st.get.content("t").head.checkpoint,
+      StandardCharsets.UTF_8) == "p1")
+  }
+
+  test("revival fails loudly, never misreads, on a type-drifted sink column") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_reload_drift_").toString + "/sink"
+    val uid = 13L
+    // seq written as int64 against the engine's int32 contract: the
+    // projection's schema-compatibility check must refuse the file instead
+    // of silently reconstructing a wrong SessionState
+    val rows = Seq((uid, "t", 1L, 100L, "p1", 2L))
+      .toDF("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    CheckpointStream.upsert(rows, sink)
+    val sconf = new CheckpointStream.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    intercept[Exception] {
+      CheckpointStream.reloadSessionFromSink(
+        sink, CheckpointStream.SinkBuckets, sconf)(uid)
+    }
+  }
+
   test("reload prefers the .bak bucket: a replayed batch must fold from PRE-batch truth") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_reload_bak_").toString + "/sink"
