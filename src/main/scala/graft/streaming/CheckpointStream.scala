@@ -230,25 +230,47 @@ object CheckpointStream {
     * vector's append order equals its (ns, id) sort order because
     * `skipStale` admits only monotone appends.
     */
-  /** The exact parquet projection the reload needs, REQUESTED BY NAME from
-    * the file: extra sink columns (schema evolution) are skipped without
-    * being decoded, and a needed column that is missing, renamed, or
-    * type-drifted fails the read LOUDLY at schema-compatibility check —
-    * the silent-misread class a positional or full-schema read risks.
-    * Types and repetitions mirror `SessionFlat`'s Spark parquet encoding
-    * exactly (primitive Long/Int → required int64/int32, nullable String →
-    * optional binary/UTF8): parquet's projection check demands an exact
-    * repetition match per field, which doubles as the loud-failure gate.
+  /** The six columns the reload needs with their REQUIRED primitive
+    * encodings (`SessionFlat`'s Spark parquet mapping). The projection
+    * requested from each sink file is built from the file's OWN footer
+    * restricted to these names: extra columns (schema evolution) are
+    * skipped without being decoded; a needed column that is missing,
+    * renamed, or primitive-type-drifted fails the read LOUDLY here — the
+    * silent-misread class a positional or full-schema read risks. Taking
+    * each field's repetition from the footer (rather than pinning it)
+    * matters because parquet demands an exact repetition match and
+    * different legitimate writers disagree: a Dataset-encoded batch writes
+    * `required` primitives with `optional` strings, while a sink
+    * initialized from an explicit non-nullable schema writes `required`
+    * strings too.
     */
-  private val ReloadProjection: String =
-    """message graft_reload {
-      |  required int64 user_id;
-      |  optional binary task_id (UTF8);
-      |  required int64 event_id;
-      |  required int64 ts_us;
-      |  optional binary payload (UTF8);
-      |  required int32 seq;
-      |}""".stripMargin
+  private val ReloadFields: Seq[(String,
+      org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    Seq("user_id" -> INT64, "task_id" -> BINARY, "event_id" -> INT64,
+      "ts_us" -> INT64, "payload" -> BINARY, "seq" -> INT32)
+  }
+
+  /** Build the per-file reload projection from its footer schema; throws
+    * with a precise message on any missing/renamed/type-drifted column.
+    */
+  private[graft] def reloadProjectionFor(
+      fileSchema: org.apache.parquet.schema.MessageType): org.apache.parquet.schema.MessageType = {
+    val fields = ReloadFields.map { case (name, expected) =>
+      if (!fileSchema.containsField(name))
+        throw new IllegalStateException(
+          s"session sink file lacks column '$name' — the sink schema has " +
+            s"drifted from the engine's contract; revival would misread. " +
+            s"File schema: $fileSchema")
+      val t = fileSchema.getType(fileSchema.getFieldIndex(name))
+      if (!t.isPrimitive || t.asPrimitiveType.getPrimitiveTypeName != expected)
+        throw new IllegalStateException(
+          s"session sink column '$name' has type $t, engine expects " +
+            s"primitive $expected — revival would misread; migrate the sink")
+      t
+    }
+    new org.apache.parquet.schema.MessageType("graft_reload", fields: _*)
+  }
 
   private[graft] def reloadSessionFromSink(
       sinkDir: String, buckets: Int, conf: SerializableHadoopConf)(
@@ -269,12 +291,19 @@ object CheckpointStream {
     if (toRead.isEmpty) return None
     val pred = FilterCompat.get(
       FilterApi.eq(FilterApi.longColumn("user_id"), java.lang.Long.valueOf(userId)))
-    // a copy: the shared conf must not leak the projection to other readers
-    val readConf = new org.apache.hadoop.conf.Configuration(conf.value)
-    readConf.set(
-      org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, ReloadProjection)
     val rows = Vector.newBuilder[(String, Long, Long, String, Int)]
     toRead.foreach { f =>
+      val fileSchema = {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf.value))
+        try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      }
+      // a copy per file: the shared conf must not leak the projection to
+      // other readers, and each file's projection carries its own footer's
+      // repetitions (see ReloadFields)
+      val readConf = new org.apache.hadoop.conf.Configuration(conf.value)
+      readConf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        reloadProjectionFor(fileSchema).toString)
       val reader = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
         .withConf(readConf).withFilter(pred).build()
