@@ -36,6 +36,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce post-shuffle partitions INSIDE cached plans too:
+      // the iterative operators (dedupGroups' label propagation) persist
+      // tiny per-generation frames whose 32-partition shuffles are pure
+      // scheduling overhead otherwise
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed NEUTRAL warmup (not one of the timed queries, which would

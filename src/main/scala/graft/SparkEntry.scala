@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SessionOps, SimilarityOps, SkewOps, TextOps}
+import graft.operators.{DedupOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SessionOps, SimilarityOps, SkewOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -65,6 +65,8 @@ object SparkEntry {
     "q38_ann_ivf_indexed" -> (SimilarityOps.q38AnnIvfIndexed(_, _)),
     "q39_pack_chunks"   -> (PackOps.q39PackChunks(_, _)),
     "q40_decontaminate" -> (DedupOps.q40Decontaminate(_, _)),
+    "q41_stratified_sample" -> (SampleOps.q41StratifiedSample(_, _)),
+    "q42_weighted_mix"  -> (SampleOps.q42WeightedMix(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -407,5 +409,26 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN hits h ON h.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // deterministic multiply-mod sampling: the arithmetic is replicated
+    // 1:1 (integer basis-point thresholds, id folded through % 1000000007
+    // so the multiply cannot overflow int64 in either engine)
+    "q41_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 10000 <
+        |  (CASE WHEN lang = 'en' THEN 8000 WHEN lang = 'zh' THEN 2500 ELSE 5000 END)
+        |ORDER BY doc_id""".stripMargin,
+    "q42_weighted_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN lang = 'en' THEN 1 WHEN lang = 'zh' THEN 0 ELSE 1 END)
+        |    + (CASE WHEN ((doc_id + 1) % 1000000007) * 2654435761 % 10000 <
+        |         (CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'zh' THEN 5000 ELSE 0 END)
+        |       THEN 1 ELSE 0 END) AS copies
+        |  FROM documents),
+        |e AS (SELECT doc_id, lang, unnest(range(copies)) AS rep FROM m)
+        |SELECT doc_id, lang, rep,
+        |  ((doc_id + rep * 7919 + 2) % 1000000007) * 2654435761 % 1099511627776 AS mix_key
+        |FROM e
+        |ORDER BY mix_key, doc_id, rep""".stripMargin,
   )
 }

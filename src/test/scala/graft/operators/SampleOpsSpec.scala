@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SampleOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Driver-side replica of the engine's keying — the determinism oracle. */
+  private def key(id: Long, salt: Long, mod: Long): Long = {
+    val folded = java.lang.Math.floorMod(id + salt, 1000000007L)
+    java.lang.Math.floorMod(folded * 2654435761L, mod)
+  }
+
+  test("stratified sample equals the driver-side arithmetic exactly (deterministic)") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1))
+    val rates = Map("en" -> 8000L, "zh" -> 2500L)
+    val expected = docs.collect {
+      case (id, lang) if key(id, 0L, 10000L) < rates.getOrElse(lang, 5000L) => id
+    }.toSet
+    val got = SampleOps.q41StratifiedSample(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // a rerun is bit-identical (no RNG anywhere)
+    val again = SampleOps.q41StratifiedSample(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
+  test("sampling rates are honored per stratum (keying uniformity)") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SampleOps.q41StratifiedSample(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = Map("en" -> 0.8, "zh" -> 0.25).withDefaultValue(0.5)
+    total.foreach { case (lang, n) =>
+      val f = kept.getOrElse(lang, 0L).toDouble / n
+      // strata are ~100-200 docs at sf0.001: generous binomial tolerance
+      assert(math.abs(f - rate(lang)) < 0.15,
+        s"lang=$lang sampled $f of $n, wanted ~${rate(lang)}")
+    }
+  }
+
+  test("weighted mix: per-row copy counts match the weight formula exactly") {
+    val out = SampleOps.q42WeightedMix(spark, sf)
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, lang) =>
+      val (base, fracBp) = lang match {
+        case "en" => (1L, 5000L)
+        case "zh" => (0L, 5000L)
+        case _    => (1L, 0L)
+      }
+      (id, lang, base + (if (key(id, 1L, 10000L) < fracBp) 1L else 0L))
+    }.filter(_._3 > 0).toSet
+    assert(out.toSet == expected,
+      s"copies diverged, e.g. ${(expected -- out.toSet).take(3)}")
+    // weight semantics spot checks: en rows appear 1-2x, zh 0-1x, rest exactly 1x
+    val byLang = out.groupBy(_._2)
+    assert(byLang("en").forall(r => r._3 == 1 || r._3 == 2))
+    byLang.get("zh").foreach(rs => assert(rs.forall(_._3 == 1))) // zh rows present appear once
+    (byLang.keySet -- Set("en", "zh")).foreach(l => assert(byLang(l).forall(_._3 == 1)))
+    // and the fractional part really up-samples ~half of en
+    val enTwice = byLang("en").count(_._3 == 2).toDouble / byLang("en").size
+    assert(math.abs(enTwice - 0.5) < 0.2, s"en 2-copy fraction $enTwice")
+  }
+
+  test("mix order is keyed, not clustered: strata interleave through the epoch") {
+    val langs = SampleOps.q42WeightedMix(spark, sf)
+      .select("lang").collect().map(_.getString(0))
+    // if the epoch were emitted stratum-by-stratum the number of adjacent
+    // lang changes would be ~#strata; keyed ordering mixes rows so changes
+    // are a large fraction of all positions
+    val changes = langs.sliding(2).count { case Array(a, b) => a != b; case _ => false }
+    assert(changes > langs.length / 4,
+      s"epoch looks stratum-clustered: $changes changes over ${langs.length} rows")
+  }
+
+  test("plans: sampling is a pure scan+filter, mixing adds only the epoch range sort") {
+    val p41 = SampleOps.q41StratifiedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p41.contains("hashpartitioning") && !p41.contains("Join"), p41)
+    assert(p41.contains("rangepartitioning"), p41) // only the ORDER BY
+    val p42 = SampleOps.q42WeightedMix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p42.contains("hashpartitioning") && !p42.contains("Join"), p42)
+    assert(p42.contains("rangepartitioning") && p42.contains("Generate"), p42)
+  }
+}
