@@ -21,7 +21,40 @@ object Pipeline {
       cdcFeedDir: String,
       ideFeedDir: Option[String],
       reportDir: Option[String],
-      workDir: String)
+      workDir: String,
+      /** Event-time retention window for the diff sinks: diffs whose event
+        * is older than (newest diff − window) are pruned during the
+        * post-drain compaction. None keeps full history (compaction only).
+        */
+      diffRetention: Option[java.time.Duration] = None)
+
+  /** Offline diff-sink maintenance, run once the stream is drained: fold
+    * the per-micro-batch dirs at or below the LAST COMMITTED batch id
+    * (read from the streaming checkpoint's commit log — exactly the
+    * precondition `compactDiffs` demands, since a restarted query never
+    * replays a committed batch) and apply the retention window relative
+    * to the newest event time in the sink.
+    */
+  private[graft] def maintainDiffSink(
+      spark: SparkSession, checkpointDir: String, diffDir: String,
+      retention: Option[java.time.Duration]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val commits = new org.apache.hadoop.fs.Path(s"$checkpointDir/commits")
+    val cfs = commits.getFileSystem(hconf)
+    if (!cfs.exists(commits)) return
+    val last = cfs.listStatus(commits).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .reduceOption(_ max _)
+    val sink = new org.apache.hadoop.fs.Path(diffDir)
+    if (last.isEmpty || !sink.getFileSystem(hconf).exists(sink)) return
+    val cutoff = retention.map { d =>
+      val maxTs = spark.read.parquet(diffDir)
+        .agg(max(col("ts_us"))).head.getLong(0)
+      maxTs - d.toMillis * 1000L
+    }
+    CheckpointStream.compactDiffs(spark, diffDir, last.get,
+      retainRowsNewerThanUs = cutoff)
+  }
 
   /** Run the full lifecycle until the available backlog is drained
     * (Trigger.AvailableNow on both feeds), then attach enrichment context
@@ -59,6 +92,14 @@ object Pipeline {
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
     dlQuery.foreach(_.awaitTermination())
+
+    // diff-sink maintenance: fold the per-batch dirs and apply retention
+    // (the storage-side twin of the state store's idle eviction)
+    maintainDiffSink(spark, s"${config.workDir}/ckpt_cdc",
+      s"${config.workDir}/diffs_cdc", config.diffRetention)
+    config.ideFeedDir.foreach(_ => maintainDiffSink(spark,
+      s"${config.workDir}/ckpt_ide", s"${config.workDir}/diffs_ide",
+      config.diffRetention))
 
     // sessions from both feeds, tagged per source (W1: never merged);
     // the sink's physical `bucket` partition column is dropped here

@@ -85,4 +85,35 @@ class PipelineSpec extends AnyFunSuite {
     // read-once: the report source dir is gone
     assert(!Files.exists(reportDir))
   }
+
+  test("diff maintenance folds only committed batches and applies the retention window") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pipeline_gc_").toString
+    val ckpt = s"$base/ckpt"
+    val diffs = s"$base/diffs"
+    def diffBatch(ids: Seq[Long]) =
+      ids.map(i => (i, i.toInt, i * 10, i * 100000, s"""{"d":$i}"""))
+        .toDF("user_id", "seq", "event_id", "ts_us", "diff_json")
+    // three batch dirs (ts_us 0.1/0.2s, 0.3s, 0.4s); the commit log says
+    // only batches 0 and 1 are committed — batch 2 must not be folded even
+    // though its dir exists (a restarted query may replay it)
+    graft.streaming.CheckpointStream.appendDiffs(diffBatch(Seq(1L, 2L)), diffs, 0)
+    graft.streaming.CheckpointStream.appendDiffs(diffBatch(Seq(3L)), diffs, 1)
+    graft.streaming.CheckpointStream.appendDiffs(diffBatch(Seq(4L)), diffs, 2)
+    Files.createDirectories(java.nio.file.Paths.get(ckpt, "commits"))
+    Files.writeString(java.nio.file.Paths.get(ckpt, "commits", "0"), "v1")
+    Files.writeString(java.nio.file.Paths.get(ckpt, "commits", "1"), "v1")
+    // newest event in the sink is ts_us=400000; a 150 ms window keeps
+    // rows at or after 250000µs — id 3 survives the fold, ids 1/2 expire
+    Pipeline.maintainDiffSink(spark, ckpt, diffs,
+      Some(java.time.Duration.ofMillis(150)))
+    val dirs = new java.io.File(diffs).listFiles.map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=-2", "batch_id=2"), dirs)
+    assert(spark.read.parquet(diffs).select("user_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // no commit log → maintenance is a safe no-op
+    Pipeline.maintainDiffSink(spark, s"$base/nockpt", diffs, None)
+    assert(spark.read.parquet(diffs).count() == 2)
+  }
 }
