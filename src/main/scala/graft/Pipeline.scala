@@ -47,10 +47,14 @@ object Pipeline {
       .reduceOption(_ max _)
     val sink = new org.apache.hadoop.fs.Path(diffDir)
     if (last.isEmpty || !sink.getFileSystem(hconf).exists(sink)) return
-    val cutoff = retention.map { d =>
-      val maxTs = spark.read.parquet(diffDir)
-        .agg(max(col("ts_us"))).head.getLong(0)
-      maxTs - d.toMillis * 1000L
+    // an existing-but-empty sink (every diff aged out on a previous run)
+    // must be a no-op, not an UNABLE_TO_INFER_SCHEMA crash
+    val hasData = sink.getFileSystem(hconf).listStatus(sink)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasData) return
+    val cutoff = retention.flatMap { d =>
+      val row = spark.read.parquet(diffDir).agg(max(col("ts_us"))).head
+      if (row.isNullAt(0)) None else Some(row.getLong(0) - d.toMillis * 1000L)
     }
     CheckpointStream.compactDiffs(spark, diffDir, last.get,
       retainRowsNewerThanUs = cutoff)
@@ -86,9 +90,12 @@ object Pipeline {
         schemaHint = Some(CheckpointStream.ideSchema)))
     // malformed IDE wire rows are counted (graft_ide_feed metric) AND
     // recoverable: the dead-letter query quarantines the dropped originals
+    // same shape-hint rule as the main IDE query: an empty-at-start dir
+    // must never be sniffed as the agents shape
     val dlQuery = config.ideFeedDir.map(dir =>
       CheckpointStream.runDeadLetter(spark, dir,
-        s"${config.workDir}/ckpt_ide_dl", s"${config.workDir}/quarantine_ide"))
+        s"${config.workDir}/ckpt_ide_dl", s"${config.workDir}/quarantine_ide",
+        schemaHint = Some(CheckpointStream.ideSchema)))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
     dlQuery.foreach(_.awaitTermination())

@@ -82,18 +82,22 @@ object MultimodalOps {
     val comp = le32(b, 30)
     if (hdrSize < 40 || comp != 0 || bpp != 24 || w <= 0 || h == 0 || off < 54) return None
     val topDown = h < 0
-    val ah = math.abs(h)
-    val rowSize = ((24 * w + 31) / 32) * 4
-    if (off.toLong + rowSize.toLong * ah > b.length || w.toLong * ah * 3 > Int.MaxValue)
+    // ALL header-derived sizes go through Long arithmetic: a hostile width
+    // near 2^31/24 overflows `24*w` to a negative Int and defeats every
+    // later bounds check (and abs(Int.MinValue) is still negative) — a
+    // malformed asset must return None, never throw
+    val ah = math.abs(h.toLong)
+    val rowSize = ((24L * w + 31L) / 32L) * 4L
+    if (off.toLong + rowSize * ah > b.length || w.toLong * ah * 3L > Int.MaxValue)
       return None
-    val out = new Array[Byte](w * ah * 3)
+    val out = new Array[Byte]((w * ah * 3L).toInt)
     var r = 0
     while (r < ah) {
       val srcRow = if (topDown) r else ah - 1 - r
-      System.arraycopy(b, off + srcRow * rowSize, out, r * w * 3, w * 3)
+      System.arraycopy(b, (off + srcRow * rowSize).toInt, out, (r.toLong * w * 3L).toInt, w * 3)
       r += 1
     }
-    Some(BmpImage(w, ah, bpp, out))
+    Some(BmpImage(w, ah.toInt, bpp, out))
   }
 
   /** REAL WAV codec (public RIFF layout, no dependencies): 'RIFF' size
@@ -211,9 +215,14 @@ object MultimodalOps {
     * asset degrades to fallback features instead of failing the batch.
     */
   private[operators] def decodeBytes(payload: Array[Byte]): Array[Float] =
-    decodeBmp(payload).map(imageFeatures)
+    // belt-and-suspenders: the parsers return None on everything the
+    // bounds checks anticipate, and the catch guarantees the never-throw
+    // contract even for a shape they did not — one garbled asset must
+    // never kill a partition
+    try decodeBmp(payload).map(imageFeatures)
       .orElse(decodeWav(payload).map(audioFeatures))
       .getOrElse(byteHistogram(payload))
+    catch { case scala.util.control.NonFatal(_) => byteHistogram(payload) }
 
   /** Feature extraction over the binary column: per-partition batched
     * iteration (the Scala analog of a batched pandas-UDF pipeline — one

@@ -587,16 +587,25 @@ object SimilarityOps {
     val root = sys.props("java.io.tmpdir") +
       "/graft_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val hconf = spark.sparkContext.hadoopConfiguration
+    // two filesystems on purpose: the corpus may be remote (hdfs/s3)
+    // while the index cache root is local-tmp — resolving both paths
+    // through the corpus FS would probe/sweep the wrong filesystem
     val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = corpusPath.getFileSystem(hconf)
-    val fp = corpusFingerprint(fs, corpusPath)
-    val indexDir = s"$root/ivf-$fp"
-    if (!fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
-      buildIvfIndex(c, indexDir, ifAbsentOnly = true)
+    val corpusFs = corpusPath.getFileSystem(hconf)
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    fs.listStatus(rootPath).map(_.getPath)
-      .filter(p => p.getName.startsWith("ivf-") && p.getName != s"ivf-$fp")
-      .foreach(p => fs.delete(p, true))
+    val idxFs = rootPath.getFileSystem(hconf)
+    val fp = corpusFingerprint(corpusFs, corpusPath)
+    val indexDir = s"$root/ivf-$fp"
+    if (!idxFs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+      buildIvfIndex(c, indexDir, ifAbsentOnly = true)
+    // sweep SUPERSEDED GENERATIONS only — the exact `ivf-<16 hex>` shape.
+    // A looser prefix match would also catch a concurrent same-fingerprint
+    // builder's in-flight `ivf-<fp>.tmp-<uuid>` dir and kill its write
+    // mid-flight, breaking the benign-race contract
+    if (idxFs.exists(rootPath))
+      idxFs.listStatus(rootPath).map(_.getPath)
+        .filter(p => p.getName.matches("ivf-[0-9a-f]{16}") && p.getName != s"ivf-$fp")
+        .foreach(p => idxFs.delete(p, true))
     annTopKIvfIndexed(spark, indexDir, queriesOf(c), 10)
       .orderBy(col("query_id"), col("rank"))
   }

@@ -792,6 +792,15 @@ object CheckpointStream {
     // have aged out); without it a lone dir is already compact
     if (batchDirs.isEmpty ||
       (batchDirs.length <= 1 && retainRowsNewerThanUs.isEmpty)) return
+    // ...but an already-consolidated sink where NOTHING has aged out must
+    // not be rewritten on every maintenance run — min(ts_us) is a cheap
+    // footer-statistics aggregate, and min >= cutoff means the retention
+    // filter keeps every row
+    for (cut <- retainRowsNewerThanUs if batchDirs.length <= 1) {
+      val row = spark.read.parquet(batchDirs.head._2.toString)
+        .agg(min(col("ts_us"))).head
+      if (!row.isNullAt(0) && row.getLong(0) >= cut) return
+    }
     val target = s"batch_id=${-(watermark + 1)}"
     val folded = retainRowsNewerThanUs.foldLeft(
       spark.read.parquet(batchDirs.map(_._2.toString): _*)) {

@@ -55,9 +55,14 @@ object StreamDecontaminate {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val flagged = DedupOps.decontaminate(batch, evalCached, n)
-        if (!flagged.isEmpty)
-          CheckpointStream.appendDiffs(flagged, sinkDir, batchId)
+        // persist: the isEmpty probe and the parquet write would otherwise
+        // each run the full shingle-explode + broadcast join (same
+        // discipline as CheckpointStream.run's foreachBatch)
+        val flagged = DedupOps.decontaminate(batch, evalCached, n).persist()
+        try {
+          if (!flagged.isEmpty)
+            CheckpointStream.appendDiffs(flagged, sinkDir, batchId)
+        } finally { flagged.unpersist(); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("1 second"))).start()

@@ -115,5 +115,26 @@ class PipelineSpec extends AnyFunSuite {
     // no commit log → maintenance is a safe no-op
     Pipeline.maintainDiffSink(spark, s"$base/nockpt", diffs, None)
     assert(spark.read.parquet(diffs).count() == 2)
+    // re-running maintenance when nothing has aged out must NOT rewrite
+    // the consolidated generation (cost would otherwise grow with total
+    // sink size on every run)
+    def filesOf(name: String) =
+      new java.io.File(diffs, name).listFiles.map(_.getName).toSet
+    val before = filesOf("batch_id=-2")
+    Pipeline.maintainDiffSink(spark, ckpt, diffs,
+      Some(java.time.Duration.ofMillis(150)))
+    assert(filesOf("batch_id=-2") == before,
+      "no-expiry maintenance rewrote the consolidated generation")
+    // and after every in-range row ages out, the sink empties without
+    // crashing later maintenance runs (existing-but-empty dir path)
+    Pipeline.maintainDiffSink(spark, ckpt, diffs,
+      Some(java.time.Duration.ZERO.plusNanos(1000)))
+    val left = new java.io.File(diffs).listFiles.map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSeq
+    assert(left == Seq("batch_id=2"), left)
+    Pipeline.maintainDiffSink(spark, ckpt, diffs,
+      Some(java.time.Duration.ofMillis(1)))
+    assert(new java.io.File(diffs).listFiles.map(_.getName)
+      .count(_.startsWith("batch_id=")) <= 1)
   }
 }

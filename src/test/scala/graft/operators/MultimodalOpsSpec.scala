@@ -132,6 +132,23 @@ class MultimodalOpsSpec extends AnyFunSuite {
       val f = MultimodalOps.decodeBytes(c)
       assert(f.length == 16, "fallback features must keep the uniform shape")
     }
+    // hostile headers that defeat Int bounds checks via overflow: width
+    // near 2^31/24 makes `24*w` negative in Int arithmetic, and
+    // height = Int.MinValue survives math.abs — both must be None, not an
+    // ArrayIndexOutOfBounds inside a partition iterator
+    val hostile = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hostile.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+    hostile.putInt(40).putInt(100000000).putInt(1).putShort(1).putShort(24)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    val wide = hostile.array()
+    assert(MultimodalOps.decodeBmp(wide).isEmpty, "overflowing width not rejected")
+    val deep = wide.clone()
+    java.nio.ByteBuffer.wrap(deep).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 2).putInt(22, Int.MinValue)
+    assert(MultimodalOps.decodeBmp(deep).isEmpty, "Int.MinValue height not rejected")
+    assert(MultimodalOps.decodeBytes(wide).length == 16)
+    assert(MultimodalOps.decodeBytes(deep).length == 16)
   }
 
   test("feature extraction dispatches per row: media payloads decode, text falls back") {
