@@ -479,6 +479,25 @@ object SimilarityOps {
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+  /** Standing-index maintenance policy in one call: append `newVectors`
+    * under the existing quantizer, then — if the postings have outgrown it
+    * (`needsRetrain`) — rebuild over the FULL corpus `c`. Returns true when
+    * a rebuild happened. This is the loop a 100 TB ingest pipeline runs per
+    * arrival batch: O(new vectors) on the common path, a full retrain only
+    * when growth/skew demands it.
+    */
+  def refreshIvfIndex(
+      c: DataFrame,
+      newVectors: DataFrame,
+      indexDir: String,
+      nClusters: Int = 16,
+      growthFactor: Double = 2.0): Boolean = {
+    appendToIvfIndex(newVectors, indexDir)
+    val retrain = needsRetrain(c.sparkSession, indexDir, growthFactor)
+    if (retrain) buildIvfIndex(c, indexDir, nClusters)
+    retrain
+  }
+
   /** Retrain trigger for an appended-to index: true when the postings have
     * outgrown the trained quantizer — total growth past `growthFactor`, or
     * any single cluster past `growthFactor`× its build-time size (floored

@@ -177,4 +177,33 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!SimilarityOps.needsRetrain(spark, dir),
       "rebuild did not reset the growth baseline")
   }
+
+  test("refreshIvfIndex appends on the common path and rebuilds on growth") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ivf_refresh_").toString + "/index"
+    val rnd = new scala.util.Random(45)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    def cluster(cl: Int, n: Int, idBase: Long) =
+      (0 until n).map(i => (idBase + i,
+        centers(cl).map(x => x + rnd.nextGaussian() * 0.05).toSeq))
+    var corpus = (0 until 8).flatMap(cl => cluster(cl, 40, cl * 100L))
+    SimilarityOps.buildIvfIndex(corpus.toDF("vec_id", "v"), dir, nClusters = 8)
+    // small arrival: append only (no rebuild), new vectors probe-visible
+    val small = cluster(3, 10, 9000L)
+    corpus = corpus ++ small
+    assert(!SimilarityOps.refreshIvfIndex(
+      corpus.toDF("vec_id", "v"), small.toDF("vec_id", "v"), dir, nClusters = 8))
+    val q = cluster(3, 1, 9900L).toDF("query_id", "qv")
+    val got = SimilarityOps.annTopKIvfIndexed(spark, dir, q, 10, nprobe = 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(got.exists(_ >= 9000L), "appended vector not probe-visible after refresh")
+    // bulk arrival: growth trips the policy and the rebuild resets it
+    val bulk = (0 until 8).flatMap(cl => cluster(cl, 120, 20000L + cl * 1000L))
+    corpus = corpus ++ bulk
+    assert(SimilarityOps.refreshIvfIndex(
+      corpus.toDF("vec_id", "v"), bulk.toDF("vec_id", "v"), dir, nClusters = 8))
+    assert(!SimilarityOps.needsRetrain(spark, dir))
+    // the rebuilt index covers the full corpus, not just the appended tail
+    assert(SimilarityOps.clusterSizes(spark, dir).values.sum == corpus.size)
+  }
 }
