@@ -119,20 +119,30 @@ object DedupOps {
     * missed with p=(1-0.9³)¹⁶ ≈ 9e-10, so results equal brute force at the
     * declared threshold.
     */
+  /** (doc_id, band_key) LSH entries for pre-hashed shingle sets — the
+    * banding head SHARED by the batch near-dup pipeline and the streaming
+    * ingest guard (`streaming/StreamNearDup`), so the two can never drift
+    * on signature or band derivation. The signature is materialized as a
+    * column before banding: `bandKeys` slices it inside a lambda, and an
+    * inline expression would be recomputed per band.
+    */
+  private[graft] def bandedDocIds(
+      hashed: DataFrame, minhashK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal minhashK")
+    hashed
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), minhashK))
+      .withColumn("band_key", explode(bandKeys(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("band_key"))
+  }
+
   def minhashNearDup(
       docs: DataFrame,
       threshold: Double = 0.9,
       minhashK: Int = 48,
       bands: Int = 16,
       rowsPerBand: Int = 3): DataFrame = {
-    require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal minhashK")
     val hashed = hashedShingleSets(docs)
-    val withBands = hashed
-      // materialize the signature before banding: bandKeys slices it inside
-      // a lambda, and an inline expression would be recomputed per band
-      .withColumn("sig", minhashSignatureFromHashes(col("hs"), minhashK))
-      .withColumn("band_key", explode(bandKeys(col("sig"), bands, rowsPerBand)))
-      .select(col("doc_id"), col("band_key"))
+    val withBands = bandedDocIds(hashed, minhashK, bands, rowsPerBand)
     val candidates = withBands.as("a")
       .join(withBands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))

@@ -484,17 +484,26 @@ object SimilarityOps {
     * (`needsRetrain`) — rebuild over the FULL corpus `c`. Returns true when
     * a rebuild happened. This is the loop a 100 TB ingest pipeline runs per
     * arrival batch: O(new vectors) on the common path, a full retrain only
-    * when growth/skew demands it.
+    * when growth/skew demands it. The rebuild KEEPS the index's own
+    * cluster count (self-described in the centroids table) — a
+    * maintenance call must never silently change the quantizer's shape;
+    * resizing K is an explicit `buildIvfIndex`.
     */
   def refreshIvfIndex(
       c: DataFrame,
       newVectors: DataFrame,
       indexDir: String,
-      nClusters: Int = 16,
-      growthFactor: Double = 2.0): Boolean = {
+      growthFactor: Double = 2.0,
+      lloydIters: Int = 2,
+      trainSampleMod: Int = 1): Boolean = {
     appendToIvfIndex(newVectors, indexDir)
-    val retrain = needsRetrain(c.sparkSession, indexDir, growthFactor)
-    if (retrain) buildIvfIndex(c, indexDir, nClusters)
+    val spark = c.sparkSession
+    val retrain = needsRetrain(spark, indexDir, growthFactor)
+    if (retrain) {
+      val k = spark.read.parquet(s"$indexDir/centroids")
+        .select(col("k")).head.getInt(0)
+      buildIvfIndex(c, indexDir, k, lloydIters, trainSampleMod)
+    }
     retrain
   }
 

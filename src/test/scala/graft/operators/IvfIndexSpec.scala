@@ -192,7 +192,7 @@ class IvfIndexSpec extends AnyFunSuite {
     val small = cluster(3, 10, 9000L)
     corpus = corpus ++ small
     assert(!SimilarityOps.refreshIvfIndex(
-      corpus.toDF("vec_id", "v"), small.toDF("vec_id", "v"), dir, nClusters = 8))
+      corpus.toDF("vec_id", "v"), small.toDF("vec_id", "v"), dir))
     val q = cluster(3, 1, 9900L).toDF("query_id", "qv")
     val got = SimilarityOps.annTopKIvfIndexed(spark, dir, q, 10, nprobe = 3)
       .collect().map(_.getLong(2)).toSet
@@ -201,9 +201,12 @@ class IvfIndexSpec extends AnyFunSuite {
     val bulk = (0 until 8).flatMap(cl => cluster(cl, 120, 20000L + cl * 1000L))
     corpus = corpus ++ bulk
     assert(SimilarityOps.refreshIvfIndex(
-      corpus.toDF("vec_id", "v"), bulk.toDF("vec_id", "v"), dir, nClusters = 8))
+      corpus.toDF("vec_id", "v"), bulk.toDF("vec_id", "v"), dir))
     assert(!SimilarityOps.needsRetrain(spark, dir))
-    // the rebuilt index covers the full corpus, not just the appended tail
+    // the rebuilt index covers the full corpus, not just the appended
+    // tail, and KEEPS the original quantizer shape (k=8, not the default)
     assert(SimilarityOps.clusterSizes(spark, dir).values.sum == corpus.size)
+    assert(SimilarityOps.loadIvfCentroids(spark, dir).length == 8,
+      "maintenance rebuild changed the cluster count")
   }
 }

@@ -49,12 +49,12 @@ class StreamNearDupSpec extends AnyFunSuite {
       assert(math.abs(jac - batch(k)) < 1e-12, s"jaccard diverged for $k")
     }
     // cross-batch detection really happened: at least one flagged pair
-    // spans two different micro-batches (its docs sit in different thirds)
+    // spans two different micro-batches (its docs sit in different thirds).
+    // One collected rank map — not a Spark job per pair.
     val bounds = Seq(n / 3, 2 * n / 3)
-    def chunkOf(id: Long): Int = {
-      val rnk = ranked.filter(col("doc_id") === id).select("rnk").head.getInt(0).toLong
-      bounds.count(rnk > _)
-    }
+    val rankOf = ranked.select("doc_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    def chunkOf(id: Long): Int = bounds.count(rankOf(id) > _)
     assert(streamed.keySet.exists { case (a, b) => chunkOf(a) != chunkOf(b) },
       "no cross-batch pair was flagged — the standing index saw no use")
 
@@ -64,5 +64,31 @@ class StreamNearDupSpec extends AnyFunSuite {
         .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
       assert(dirs == Seq("batch_id=0", "batch_id=1", "batch_id=2"), s"$part: $dirs")
     }
+  }
+
+  test("empty-flag batches still commit their replay marker; LSH params are pinned") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sneardup_empty_").toString
+    Seq((1L, "alpha beta gamma delta"), (2L, "totally different words here"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/feed/c0")
+    val q = StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    // without the marker a crash-replay after the index append would
+    // re-derive flags against an index already holding the batch's own
+    // entries and write every doc as a jaccard-1.0 self-duplicate
+    val d = new java.io.File(s"$base/flags/batch_id=0")
+    assert(d.isDirectory && new java.io.File(d, "_SUCCESS").exists,
+      "no-flag batch left no first-write-wins marker")
+    assert(!d.listFiles.exists(_.getName.endsWith(".parquet")))
+    // a restart with different banding must refuse the standing index:
+    // band keys across parameters are incomparable and would silently
+    // miss every cross-batch pair instead
+    val ex = intercept[IllegalStateException] {
+      StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt2", s"$base/flags2",
+        s"$base/index", bands = 24, rowsPerBand = 2)
+    }
+    assert(ex.getMessage.contains("LSH parameters"))
   }
 }
