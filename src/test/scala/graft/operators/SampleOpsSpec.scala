@@ -83,6 +83,40 @@ class SampleOpsSpec extends AnyFunSuite {
       s"epoch looks stratum-clustered: $changes changes over ${langs.length} rows")
   }
 
+  test("property: arbitrary rates and weights match the driver replica") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val langs = docs.map(_._2).distinct.toSeq
+    val rnd = new scala.util.Random(8)
+    for (i <- 1 to 5) {
+      val rates = langs.filter(_ => rnd.nextBoolean()).map(_ -> rnd.nextDouble()).toMap
+      val dflt = rnd.nextDouble()
+      val got = SampleOps.stratifiedSample(
+        Tables.documents(spark, sf), "lang", "doc_id", rates, dflt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expected = docs.collect {
+        case (id, lang)
+          if key(id, 0L, 10000L) < math.round(rates.getOrElse(lang, dflt) * 10000) => id
+      }.toSet
+      assert(got == expected, s"rates config $i diverged: rates=$rates default=$dflt")
+    }
+    for (i <- 1 to 5) {
+      val ws = langs.filter(_ => rnd.nextBoolean()).map(_ -> rnd.nextDouble() * 3).toMap
+      val dflt = rnd.nextDouble() * 2
+      val out = SampleOps.weightedMix(
+        Tables.documents(spark, sf), "lang", "doc_id", ws, dflt)
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = docs.map { case (id, lang) =>
+        val w = ws.getOrElse(lang, dflt)
+        val extra =
+          if (key(id, 1L, 10000L) < math.round((w - math.floor(w)) * 10000)) 1L else 0L
+        id -> (math.floor(w).toLong + extra)
+      }.filter(_._2 > 0).toMap
+      assert(out == expected, s"weights config $i diverged: ws=$ws default=$dflt")
+    }
+  }
+
   test("plans: sampling is a pure scan+filter, mixing adds only the epoch range sort") {
     val p41 = SampleOps.q41StratifiedSample(spark, sf)
       .queryExecution.executedPlan.toString
