@@ -86,6 +86,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Files.exists(reportDir))
   }
 
+  test("empty-at-start IDE feed: both IDE queries run under the hinted schema, no misread") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pipeline_empty_ide_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.filter(col("user_id") % 7 === 0)
+      .coalesce(1).write.parquet(s"$base/feed_cdc/f0")
+    // the IDE feed dir EXISTS but holds no files when the run starts — the
+    // sniffing fallback would guess the agents shape here; both the main
+    // IDE query and its dead-letter twin must use the explicit hint
+    Files.createDirectories(java.nio.file.Paths.get(base, "feed_ide"))
+    val out = Pipeline.run(spark, Pipeline.Config(
+      cdcFeedDir = s"$base/feed_cdc/f*",
+      ideFeedDir = Some(s"$base/feed_ide"),
+      reportDir = None,
+      workDir = s"$base/work"))
+    assert(out.filter(col("source") === "cdc").count() > 0)
+    assert(out.filter(col("source") === "ide").count() == 0)
+    // nothing was quarantined from an empty feed
+    val q = new java.io.File(s"$base/work/quarantine_ide")
+    assert(!q.exists || q.listFiles.forall(f => f.getName.startsWith("_")))
+  }
+
   test("diff maintenance folds only committed batches and applies the retention window") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_pipeline_gc_").toString
