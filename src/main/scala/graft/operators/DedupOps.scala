@@ -110,15 +110,6 @@ object DedupOps {
       .select(col("doc_id"),
         array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("hs"))
 
-  /** MinHash-LSH near-dup pairs with exact Jaccard verification.
-    *
-    * Plan shape: per-row signatures → explode band keys (×bands) →
-    * self-equi-join on the band bucket (shuffle hash join, NEVER a cartesian)
-    * → distinct candidate pairs → re-join shingle sets by doc_id → exact
-    * Jaccard filter. With rowsPerBand=3, bands=16 a true pair at j=0.9 is
-    * missed with p=(1-0.9³)¹⁶ ≈ 9e-10, so results equal brute force at the
-    * declared threshold.
-    */
   /** (doc_id, band_key) LSH entries for pre-hashed shingle sets — the
     * banding head SHARED by the batch near-dup pipeline and the streaming
     * ingest guard (`streaming/StreamNearDup`), so the two can never drift
@@ -135,6 +126,15 @@ object DedupOps {
       .select(col("doc_id"), col("band_key"))
   }
 
+  /** MinHash-LSH near-dup pairs with exact Jaccard verification.
+    *
+    * Plan shape: per-row signatures → explode band keys (×bands) →
+    * self-equi-join on the band bucket (shuffle hash join, NEVER a cartesian)
+    * → distinct candidate pairs → re-join shingle sets by doc_id → exact
+    * Jaccard filter. With rowsPerBand=3, bands=16 a true pair at j=0.9 is
+    * missed with p=(1-0.9³)¹⁶ ≈ 9e-10, so results equal brute force at the
+    * declared threshold.
+    */
   def minhashNearDup(
       docs: DataFrame,
       threshold: Double = 0.9,

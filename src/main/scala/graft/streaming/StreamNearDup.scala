@@ -25,11 +25,14 @@ import java.nio.charset.StandardCharsets
   * verification. Both grow by one `batch_id=N` append per micro-batch.
   *
   * Replay discipline (all via `_SUCCESS` first-write-wins):
-  *  - reads consider only COMMITTED batch dirs (a torn append's
+  *  - index reads consider only COMMITTED batch dirs (a torn append's
   *    `_temporary` residue is invisible, not a schema-inference crash);
-  *  - flags commit FIRST, computed against strictly pre-batch truth, and
-  *    an empty flag set still commits a marker-only dir — without it, a
-  *    crash after the index append would make the replay re-derive flags
+  *  - the flags step commits FIRST, computed against strictly pre-batch
+  *    truth, and is witnessed by a per-batch file under the sink's
+  *    `_markers/` dir (underscore-prefixed: invisible to parquet
+  *    directory readers, so flag-free batches leave the sink readable).
+  *    The marker gates the whole step on replay — without it, a crash
+  *    after the index append would make the replay re-derive flags
   *    against an index that already contains the batch's own entries
   *    (every doc a Jaccard-1.0 "duplicate" of itself);
   *  - sets commit before bands: a band entry whose set is missing would
@@ -54,14 +57,20 @@ object StreamNearDup {
     s"""{"minhashK":$minhashK,"bands":$bands,"rowsPerBand":$rowsPerBand}"""
 
   /** Stamp-or-verify the index's LSH parameter manifest (crash-atomic
-    * temp+rename, same pattern as the sink bucketing manifest).
+    * temp+rename; the same guard discipline as the sink's
+    * `_bucketing.json` in CheckpointStream — any semantic change there
+    * should be mirrored here). Refusals are loud in BOTH directions: a
+    * manifest that disagrees with this run's parameters, and a
+    * POPULATED manifest-less index (its entries were banded under unknown
+    * parameters; stamping today's values over them would make the drift
+    * permanently undetectable instead of failing the run).
     */
   private def checkLshManifest(
       fs: FileSystem, indexDir: Path,
       minhashK: Int, bands: Int, rowsPerBand: Int): Unit = {
     val mf = new Path(indexDir, "_lsh.json")
     val expected = lshManifestJson(minhashK, bands, rowsPerBand)
-    if (fs.exists(mf)) {
+    def verify(): Unit = {
       val buf = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
       val in = fs.open(mf)
       try in.readFully(buf) finally in.close()
@@ -72,24 +81,47 @@ object StreamNearDup {
             s"run uses $expected — band keys are incomparable across parameters and " +
             "cross-batch detection would silently miss everything. Rebuild the index " +
             "or match the parameters.")
-    } else {
+    }
+    if (fs.exists(mf)) verify()
+    else {
+      val populated = Seq("bands", "sets").exists { part =>
+        val p = new Path(indexDir, part)
+        fs.exists(p) && fs.listStatus(p).nonEmpty
+      }
+      if (populated)
+        throw new IllegalStateException(
+          s"near-dup index $indexDir holds band/set entries but no _lsh.json " +
+            "manifest: their LSH parameters are unknown and cross-batch detection " +
+            s"against them cannot be trusted. Rebuild the index (expected $expected).")
       fs.mkdirs(indexDir)
       val tmp = new Path(indexDir, "._lsh.json.tmp")
       val out = fs.create(tmp, true)
       try out.write(expected.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      if (!fs.rename(tmp, mf) && !fs.exists(mf))
-        throw new java.io.IOException(s"manifest publish failed: $mf")
+      if (!fs.rename(tmp, mf)) {
+        // rename-race loser: clean our tmp and VERIFY the winner's content
+        // — two concurrent starts with different parameters must not share
+        // one index just because the loser assumed the winner agreed
+        fs.delete(tmp, true)
+        if (!fs.exists(mf))
+          throw new java.io.IOException(s"manifest publish failed: $mf")
+        verify()
+      }
     }
   }
 
-  /** Commit a marker-only batch dir: the first-write-wins witness for a
-    * batch that produced no rows (see the replay discipline above).
+  /** The flags sink's per-batch replay witness lives under `_markers/`
+    * (underscore-prefixed: invisible to parquet directory readers, so a
+    * run of flag-free batches cannot leave the sink unreadable the way
+    * empty `batch_id=` dirs would). The marker commits AFTER the batch's
+    * flag rows (if any) land, and gates the whole flags step on replay.
     */
-  private def commitEmpty(fs: FileSystem, dir: String, batchId: Long): Unit = {
-    val d = new Path(s"$dir/batch_id=$batchId")
-    fs.mkdirs(d)
-    val ok = new Path(d, "_SUCCESS")
-    if (!fs.exists(ok)) { val o = fs.create(ok, true); o.close() }
+  private def flagsMarker(dir: String, batchId: Long): Path =
+    new Path(s"$dir/_markers/$batchId")
+
+  private def commitFlagsMarker(fs: FileSystem, dir: String, batchId: Long): Unit = {
+    val m = flagsMarker(dir, batchId)
+    fs.mkdirs(m.getParent)
+    if (!fs.exists(m)) { val o = fs.create(m, true); o.close() }
   }
 
   def run(
@@ -120,16 +152,18 @@ object StreamNearDup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._
-        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val hconf = sp.sparkContext.hadoopConfiguration
+        val fs = idxPath.getFileSystem(hconf)
+        // sink and index may live on different filesystems
+        val sinkFs = new Path(sinkDir).getFileSystem(hconf)
         // COMMITTED batch dirs only: existence of the parent (or a torn
-        // `_temporary` residue from a crashed append) must not be read
+        // `_temporary` residue from a crashed append) must not be read.
+        // ONE glob listing per part — a per-dir _SUCCESS probe would cost
+        // O(batches) metadata RPCs per micro-batch, O(batches²) lifetime
         def committed(part: String): Seq[String] = {
-          val p = new Path(s"$indexDir/$part")
-          if (!fs.exists(p)) Seq.empty
-          else fs.listStatus(p).map(_.getPath)
-            .filter(d => d.getName.startsWith("batch_id=") &&
-              fs.exists(new Path(d, "_SUCCESS")))
-            .map(_.toString).toSeq
+          val g = new Path(s"$indexDir/$part/batch_id=*/_SUCCESS")
+          Option(fs.globStatus(g)).toSeq.flatten
+            .map(_.getPath.getParent.toString).toSeq
         }
         def idx(part: String, empty: => DataFrame): DataFrame =
           committed(part) match {
@@ -154,26 +188,32 @@ object StreamNearDup {
                 col("a.band_key") === col("b.band_key") &&
                   col("a.doc_id") < col("b.doc_id"))
               .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
-            val cand = seenCand.unionByName(withinCand).distinct()
-            val setsAll = idxSets.select(col("doc_id"), col("hs"))
-              .unionByName(hashed.select(col("doc_id"), col("hs")))
-            val flagged = cand
-              .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
-              .join(setsAll.select(col("doc_id").as("dup_of"), col("hs").as("hs_a")),
-                Seq("dup_of"))
-              .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
-              .filter(col("jac") >= threshold)
-              .select(col("doc_id"), col("dup_of"), col("jac"))
-              .persist()
-            try {
-              // commit order is load-bearing — see the replay discipline
-              if (!flagged.isEmpty)
-                CheckpointStream.appendDiffs(flagged, sinkDir, batchId)
-              else commitEmpty(fs, sinkDir, batchId)
-              CheckpointStream.appendDiffs(
-                hashed.select(col("doc_id"), col("hs")), s"$indexDir/sets", batchId)
-              CheckpointStream.appendDiffs(bandsDf, s"$indexDir/bands", batchId)
-            } finally { flagged.unpersist(); () }
+            // the marker gates the WHOLE flags step: a replayed batch must
+            // neither recompute flags against an index that already holds
+            // its own entries (jaccard-1.0 self-duplicates) nor pay the
+            // candidate join again
+            if (!sinkFs.exists(flagsMarker(sinkDir, batchId))) {
+              val cand = seenCand.unionByName(withinCand).distinct()
+              val setsAll = idxSets.select(col("doc_id"), col("hs"))
+                .unionByName(hashed.select(col("doc_id"), col("hs")))
+              val flagged = cand
+                .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
+                .join(setsAll.select(col("doc_id").as("dup_of"), col("hs").as("hs_a")),
+                  Seq("dup_of"))
+                .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
+                .filter(col("jac") >= threshold)
+                .select(col("doc_id"), col("dup_of"), col("jac"))
+                .persist()
+              try {
+                // commit order is load-bearing — see the replay discipline
+                if (!flagged.isEmpty)
+                  CheckpointStream.appendDiffs(flagged, sinkDir, batchId)
+                commitFlagsMarker(sinkFs, sinkDir, batchId)
+              } finally { flagged.unpersist(); () }
+            }
+            CheckpointStream.appendDiffs(
+              hashed.select(col("doc_id"), col("hs")), s"$indexDir/sets", batchId)
+            CheckpointStream.appendDiffs(bandsDf, s"$indexDir/bands", batchId)
           } finally { bandsDf.unpersist(); () }
         } finally { hashed.unpersist(); () }
       }

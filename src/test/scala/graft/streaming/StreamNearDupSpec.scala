@@ -77,11 +77,13 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(!q.isActive)
     // without the marker a crash-replay after the index append would
     // re-derive flags against an index already holding the batch's own
-    // entries and write every doc as a jaccard-1.0 self-duplicate
-    val d = new java.io.File(s"$base/flags/batch_id=0")
-    assert(d.isDirectory && new java.io.File(d, "_SUCCESS").exists,
-      "no-flag batch left no first-write-wins marker")
-    assert(!d.listFiles.exists(_.getName.endsWith(".parquet")))
+    // entries and write every doc as a jaccard-1.0 self-duplicate; the
+    // marker lives under _markers/ so the sink never holds an unreadable
+    // parquet-less batch dir
+    assert(new java.io.File(s"$base/flags/_markers/0").exists,
+      "no-flag batch left no replay marker")
+    assert(!new java.io.File(s"$base/flags/batch_id=0").exists,
+      "empty batch created a marker-only batch dir (breaks directory readers)")
     // a restart with different banding must refuse the standing index:
     // band keys across parameters are incomparable and would silently
     // miss every cross-batch pair instead
@@ -90,5 +92,14 @@ class StreamNearDupSpec extends AnyFunSuite {
         s"$base/index", bands = 24, rowsPerBand = 2)
     }
     assert(ex.getMessage.contains("LSH parameters"))
+    // ...and a POPULATED index with no manifest at all is refused too —
+    // stamping today's parameters over unknown-parameter entries would
+    // make the drift permanently undetectable
+    assert(new java.io.File(s"$base/index/_lsh.json").delete())
+    val ex2 = intercept[IllegalStateException] {
+      StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt3", s"$base/flags3",
+        s"$base/index")
+    }
+    assert(ex2.getMessage.contains("no _lsh.json"))
   }
 }
