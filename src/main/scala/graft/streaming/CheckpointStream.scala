@@ -831,6 +831,15 @@ object CheckpointStream {
     * the agents shape for a still-empty directory — wrong if an IDE feed's
     * first files arrive only after the query starts.
     *
+    * `sourceFormat`: "parquet" (default) or "json" — CDC feeds commonly
+    * arrive as JSON lines. A JSON feed REQUIRES `schemaHint`: JSON type
+    * inference cannot reconstruct the wire schema faithfully (timestamps
+    * arrive as strings, longs widen to doubles on sampling), and the
+    * parquet-based sniffing obviously does not apply. Timestamps parse
+    * from their ISO text under the hinted TimestampType; binary columns
+    * (the IDE blob) ride base64, both per Spark's JSON datasource
+    * contract. Everything downstream of the source is format-agnostic.
+    *
     * `idleTtl` bounds the state store: a session idle past the TTL in event
     * time is evicted and transparently reloaded from the sink on its next
     * event (`statefulSessionFunc` / `reloadSessionFromSink`). `None` is the
@@ -874,13 +883,18 @@ object CheckpointStream {
       diffDir: Option[String] = None,
       schemaHint: Option[StructType] = None,
       idleTtl: Option[Duration] = Some(Duration.ofDays(30)),
-      watermarkDelay: Option[String] = None): StreamingQuery = {
+      watermarkDelay: Option[String] = None,
+      sourceFormat: String = "parquet"): StreamingQuery = {
     import spark.implicits._
     val diffSink = diffDir.getOrElse(sinkDir + "_diffs")
+    require(sourceFormat == "parquet" || schemaHint.isDefined,
+      s"a $sourceFormat feed requires an explicit schemaHint — " +
+        "JSON type inference cannot reconstruct the wire schema faithfully")
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(feedSchemaFor(spark, sourceDir)))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(sourceDir)
+      .format(sourceFormat)
+      .load(sourceDir)
     val outs = idleTtl match {
       case Some(ttl) =>
         val sconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)

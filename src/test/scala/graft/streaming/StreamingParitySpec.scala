@@ -63,6 +63,36 @@ class StreamingParitySpec extends AnyFunSuite {
       "diff-stream parity mismatch between streaming and batch replay")
   }
 
+  test("JSON-lines feed == parquet feed (another CDC wire format, same engine)") {
+    val base = Files.createTempDirectory("graft_jsonfeed_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    // micro-precision fractions: the JSON writer's default timestamp
+    // format drops sub-millisecond digits, which would silently shear
+    // ts_us parity
+    events.coalesce(1).write
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(s"$base/feed")
+    val q = CheckpointStream.run(
+      spark, s"$base/feed", s"$base/ckpt", s"$base/sink",
+      maxFilesPerTrigger = 64,
+      schemaHint = Some(CheckpointStream.eventsSchema()),
+      sourceFormat = "json")
+    q.awaitTermination(120000L)
+    assert(!q.isActive, "stream did not drain with AvailableNow")
+    val cols = Seq("user_id", "task_id", "event_id", "ts_us", "payload", "seq")
+    val streamed = spark.read.parquet(s"$base/sink").select(cols.map(col): _*)
+    val batch = CheckpointStream.backfill(spark, events).toDF().select(cols.map(col): _*)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "JSON-fed stream diverged from the parquet-fed batch backfill")
+    // a JSON feed without a schema hint must refuse loudly, not misparse
+    val ex = intercept[IllegalArgumentException] {
+      CheckpointStream.run(spark, s"$base/feed", s"$base/ckpt2", s"$base/sink2",
+        sourceFormat = "json")
+    }
+    assert(ex.getMessage.contains("schemaHint"))
+  }
+
   test("stateful stream is state-store-provider-agnostic: RocksDB == batch backfill") {
     // the Pipeline CLI runs RocksDB (off-heap keyed state — the 100 TB
     // requirement); this proves the session-state encoders survive the
