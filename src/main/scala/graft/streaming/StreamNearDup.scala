@@ -45,11 +45,18 @@ import java.nio.charset.StandardCharsets
   * and a parameter drift would otherwise silently flag NOTHING against
   * all pre-restart documents instead of failing loudly.
   *
+  * OWNERSHIP: the index's `batch_id` namespace belongs to ONE streaming
+  * query lineage (one checkpoint). Restarting against the same index with
+  * a FRESH checkpoint restarts batch ids at 0, and surviving same-id dirs
+  * would make the first-write-wins appends silently skip — resume from
+  * the original checkpoint, or start a fresh index.
+  *
   * Scale note: at this layout the per-batch candidate join shuffles the
   * standing `bands/` side too; a cluster deployment lays `bands/` out
   * bucketed by `band_key` (the BucketOps pattern) so only the arriving
-  * batch shuffles, and ages entries out with the same retention policy as
-  * the diff sink.
+  * batch shuffles. `gcIndex` bounds the index by dropping the oldest
+  * generations (the windowed trade); `probeIndex` answers the ad-hoc
+  * "already ingested?" question without mutating anything.
   */
 object StreamNearDup {
 
@@ -67,7 +74,8 @@ object StreamNearDup {
     */
   private def checkLshManifest(
       fs: FileSystem, indexDir: Path,
-      minhashK: Int, bands: Int, rowsPerBand: Int): Unit = {
+      minhashK: Int, bands: Int, rowsPerBand: Int,
+      stampIfAbsent: Boolean = true): Unit = {
     val mf = new Path(indexDir, "_lsh.json")
     val expected = lshManifestJson(minhashK, bands, rowsPerBand)
     def verify(): Unit = {
@@ -93,19 +101,90 @@ object StreamNearDup {
           s"near-dup index $indexDir holds band/set entries but no _lsh.json " +
             "manifest: their LSH parameters are unknown and cross-batch detection " +
             s"against them cannot be trusted. Rebuild the index (expected $expected).")
-      fs.mkdirs(indexDir)
-      val tmp = new Path(indexDir, "._lsh.json.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(expected.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      if (!fs.rename(tmp, mf)) {
-        // rename-race loser: clean our tmp and VERIFY the winner's content
-        // — two concurrent starts with different parameters must not share
-        // one index just because the loser assumed the winner agreed
-        fs.delete(tmp, true)
-        if (!fs.exists(mf))
-          throw new java.io.IOException(s"manifest publish failed: $mf")
-        verify()
+      if (stampIfAbsent) {
+        fs.mkdirs(indexDir)
+        val tmp = new Path(indexDir, "._lsh.json.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(expected.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        if (!fs.rename(tmp, mf)) {
+          // rename-race loser: clean our tmp and VERIFY the winner's content
+          // — two concurrent starts with different parameters must not share
+          // one index just because the loser assumed the winner agreed
+          fs.delete(tmp, true)
+          if (!fs.exists(mf))
+            throw new java.io.IOException(s"manifest publish failed: $mf")
+          verify()
+        }
       }
+    }
+  }
+
+  /** Committed `batch_id=` generation dirs of one index part — ONE glob
+    * listing (a per-dir `_SUCCESS` probe would cost O(batches) RPCs per
+    * call). Shared by the per-batch guard, `probeIndex`, and `gcIndex`.
+    */
+  private[streaming] def committedDirs(
+      fs: FileSystem, indexDir: String, part: String): Seq[String] =
+    Option(fs.globStatus(new Path(s"$indexDir/$part/batch_id=*/_SUCCESS")))
+      .toSeq.flatten.map(_.getPath.getParent.toString)
+
+  /** Probe the standing index WITHOUT ingesting: near-dup flags for `docs`
+    * against the committed index state only (no within-docs pairs, no
+    * appends, nothing mutated — an absent or empty index probes empty, and
+    * a populated manifest-less index is refused exactly as `run` would).
+    * The ad-hoc "is this a near-copy of anything already ingested?" query.
+    */
+  def probeIndex(
+      spark: SparkSession,
+      indexDir: String,
+      docs: DataFrame,
+      threshold: Double = 0.9,
+      minhashK: Int = 48,
+      bands: Int = 16,
+      rowsPerBand: Int = 3): DataFrame = {
+    import spark.implicits._
+    val idxPath = new Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkLshManifest(fs, idxPath, minhashK, bands, rowsPerBand, stampIfAbsent = false)
+    val bandDirs = committedDirs(fs, indexDir, "bands")
+    val setDirs = committedDirs(fs, indexDir, "sets")
+    val hashed = DedupOps.hashedShingleSets(docs)
+    if (bandDirs.isEmpty || setDirs.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("doc_id", "dup_of", "jac")
+    val bandsDf = DedupOps.bandedDocIds(hashed, minhashK, bands, rowsPerBand)
+    bandsDf.as("b")
+      .join(spark.read.parquet(bandDirs: _*).as("a"),
+        col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
+      .distinct()
+      .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
+      .join(spark.read.parquet(setDirs: _*)
+        .select(col("doc_id").as("dup_of"), col("hs").as("hs_a")), Seq("dup_of"))
+      .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_id"), col("dup_of"), col("jac"))
+  }
+
+  /** Retention GC for the standing index: drop the OLDEST committed
+    * generations beyond the newest `keepBatches`, bands and sets in
+    * lockstep. Near-dups against dropped documents go undetected
+    * afterwards — the same windowed trade as `StreamDedup`'s watermark
+    * (global forever-dedup belongs to the batch path over the accumulated
+    * corpus). OFFLINE utility: run with no active writer. Crash order per
+    * generation is bands first — a surviving set without its band entries
+    * is unreachable and harmless, while the reverse would silently drop
+    * verified candidates.
+    */
+  def gcIndex(spark: SparkSession, indexDir: String, keepBatches: Int): Unit = {
+    require(keepBatches >= 0, s"keepBatches must be non-negative: $keepBatches")
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids(part: String): Set[Long] =
+      committedDirs(fs, indexDir, part)
+        .map(p => new Path(p).getName.stripPrefix("batch_id=").toLong).toSet
+    val common = (ids("bands") intersect ids("sets")).toSeq.sorted
+    common.dropRight(keepBatches).foreach { id =>
+      fs.delete(new Path(s"$indexDir/bands/batch_id=$id"), true)
+      fs.delete(new Path(s"$indexDir/sets/batch_id=$id"), true)
     }
   }
 
@@ -157,16 +236,9 @@ object StreamNearDup {
         // sink and index may live on different filesystems
         val sinkFs = new Path(sinkDir).getFileSystem(hconf)
         // COMMITTED batch dirs only: existence of the parent (or a torn
-        // `_temporary` residue from a crashed append) must not be read.
-        // ONE glob listing per part — a per-dir _SUCCESS probe would cost
-        // O(batches) metadata RPCs per micro-batch, O(batches²) lifetime
-        def committed(part: String): Seq[String] = {
-          val g = new Path(s"$indexDir/$part/batch_id=*/_SUCCESS")
-          Option(fs.globStatus(g)).toSeq.flatten
-            .map(_.getPath.getParent.toString).toSeq
-        }
+        // `_temporary` residue from a crashed append) must not be read
         def idx(part: String, empty: => DataFrame): DataFrame =
-          committed(part) match {
+          committedDirs(fs, indexDir, part) match {
             case Seq() => empty
             case dirs  => sp.read.parquet(dirs: _*)
           }

@@ -102,4 +102,43 @@ class StreamNearDupSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("no _lsh.json"))
   }
+
+  test("index retention GC drops oldest generations in lockstep; probe respects the window") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sneardup_gc_").toString
+    // three single-doc micro-batches with mutually distinct texts
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five",
+      3L -> "red green blue yellow purple")
+    texts.zipWithIndex.foreach { case ((id, t), i) =>
+      Seq((id, t)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/feed/c$i")
+      val d = new java.io.File(s"$base/feed/c$i")
+      (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val q = StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+
+    StreamNearDup.gcIndex(spark, s"$base/index", keepBatches = 2)
+    for (part <- Seq("bands", "sets")) {
+      val dirs = new java.io.File(s"$base/index/$part").listFiles
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(dirs == Seq("batch_id=1", "batch_id=2"),
+        s"$part not retained in lockstep: $dirs")
+    }
+    // probe: a copy of the DROPPED doc goes undetected (the windowed
+    // trade), a copy of a KEPT doc is flagged against it
+    val probeDocs = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // == doc 1, aged out
+      (11L, "red green blue yellow purple")) // == doc 3, retained
+      .toDF("doc_id", "text")
+    val flags = StreamNearDup.probeIndex(spark, s"$base/index", probeDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set((11L, 3L)), s"probe saw $flags")
+    // probing an absent index is an empty result, not a crash
+    assert(StreamNearDup.probeIndex(spark, s"$base/no_such_index", probeDocs)
+      .collect().isEmpty)
+  }
 }
