@@ -24,9 +24,29 @@ import java.nio.charset.StandardCharsets
   * drift — and `sets/` the hashed shingle sets for exact-Jaccard
   * verification. Both grow by one `batch_id=N` append per micro-batch.
   *
+  * SCALE LAYOUT: `bands/` is a catalog-registered parquet table BUCKETED
+  * by `band_key` into `bandBuckets` buckets (and partitioned by
+  * `batch_id`, so the per-batch dirs stay GC-able generations). The
+  * per-batch candidate join therefore never shuffles the standing side:
+  * the bucketed scan already satisfies the join's distribution
+  * (`HashPartitioning(band_key)`), and only the ARRIVING batch's bands
+  * exchange into the bucket layout. Without this, the join re-shuffled the
+  * entire O(corpus × bands) index on every micro-batch — a per-batch cost
+  * growing with corpus age, the classic stream-static join mistake. The
+  * catalog entry is metadata only (the in-memory catalog is re-populated
+  * from the filesystem via RECOVER PARTITIONS on restart); the on-disk
+  * truth stays `indexDir/bands/batch_id=N`. The `sets/` verification side
+  * stays a plain per-batch parquet layout: it is joined against the tiny
+  * candidate set, which AQE broadcasts, so the heavy shingle rows are
+  * scanned but never shuffled.
+  *
   * Replay discipline (all via `_SUCCESS` first-write-wins):
-  *  - index reads consider only COMMITTED batch dirs (a torn append's
-  *    `_temporary` residue is invisible, not a schema-inference crash);
+  *  - index reads consider only COMMITTED batch dirs for `sets/`; the
+  *    `bands/` table may additionally surface a torn append's complete
+  *    task files, which is safe: band entries only ever GENERATE
+  *    candidates (deduplicated by `distinct`), and the marker protocol
+  *    below guarantees a batch's own entries are never visible to its own
+  *    flags step;
   *  - the flags step commits FIRST, computed against strictly pre-batch
   *    truth, and is witnessed by a per-batch file under the sink's
   *    `_markers/` dir (underscore-prefixed: invisible to parquet
@@ -39,45 +59,58 @@ import java.nio.charset.StandardCharsets
   *    silently drop a verified candidate, while a set without band
   *    entries is unreachable and harmless.
   *
-  * The index self-describes its LSH parameters (`_lsh.json`, stamped
-  * crash-atomically on first use and verified on every later run): band
-  * keys from different (minhashK, bands, rowsPerBand) are incomparable,
-  * and a parameter drift would otherwise silently flag NOTHING against
-  * all pre-restart documents instead of failing loudly.
+  * The index self-describes its LSH parameters AND its bucket layout
+  * (`_lsh.json`, stamped crash-atomically on first use and verified on
+  * every later run): band keys from different (minhashK, bands,
+  * rowsPerBand) are incomparable, and a bucket-count drift would make the
+  * bucketed scan assign rows to the wrong buckets — either would corrupt
+  * silently instead of failing loudly. A pre-bucketing index (manifest
+  * without `bandBuckets`) is refused for the same reason: its files carry
+  * no bucket suffixes and cannot be read under a bucketed table spec.
   *
   * OWNERSHIP: the index's `batch_id` namespace belongs to ONE streaming
-  * query lineage (one checkpoint). Restarting against the same index with
-  * a FRESH checkpoint restarts batch ids at 0, and surviving same-id dirs
-  * would make the first-write-wins appends silently skip — resume from
-  * the original checkpoint, or start a fresh index.
+  * query lineage (one checkpoint). That contract is ENFORCED at start:
+  * the index's newest committed batch id may exceed the checkpoint's last
+  * commit by at most one (the crash-replay window). A fresh checkpoint
+  * against a populated index restarts batch ids at 0, where
+  * first-write-wins appends would silently skip and flags would be
+  * computed against stale truth — that run now throws instead of
+  * corrupting. (`batch_id=0`-only indexes are indistinguishable from a
+  * crash before the first checkpoint commit and are allowed.)
   *
-  * Scale note: at this layout the per-batch candidate join shuffles the
-  * standing `bands/` side too; a cluster deployment lays `bands/` out
-  * bucketed by `band_key` (the BucketOps pattern) so only the arriving
-  * batch shuffles. `gcIndex` bounds the index by dropping the oldest
-  * generations (the windowed trade); `probeIndex` answers the ad-hoc
-  * "already ingested?" question without mutating anything.
+  * `gcIndex` bounds the index by dropping the oldest generations (the
+  * windowed trade); `probeIndex` answers the ad-hoc "already ingested?"
+  * question without mutating anything on disk.
   */
 object StreamNearDup {
 
-  private def lshManifestJson(minhashK: Int, bands: Int, rowsPerBand: Int): String =
-    s"""{"minhashK":$minhashK,"bands":$bands,"rowsPerBand":$rowsPerBand}"""
+  /** Default bucket count for the standing band index. Sized so one
+    * bucket's band entries stay executor-core sized at the target corpus
+    * scale; a cluster deployment raises it at index creation (the manifest
+    * pins it for the index's lifetime).
+    */
+  val DefaultBandBuckets = 32
+
+  private def lshManifestJson(
+      minhashK: Int, bands: Int, rowsPerBand: Int, bandBuckets: Int): String =
+    s"""{"minhashK":$minhashK,"bands":$bands,"rowsPerBand":$rowsPerBand,"bandBuckets":$bandBuckets}"""
 
   /** Stamp-or-verify the index's LSH parameter manifest (crash-atomic
     * temp+rename; the same guard discipline as the sink's
     * `_bucketing.json` in CheckpointStream — any semantic change there
     * should be mirrored here). Refusals are loud in BOTH directions: a
-    * manifest that disagrees with this run's parameters, and a
+    * manifest that disagrees with this run's parameters (including the
+    * band-bucket count — the physical file layout depends on it), and a
     * POPULATED manifest-less index (its entries were banded under unknown
     * parameters; stamping today's values over them would make the drift
     * permanently undetectable instead of failing the run).
     */
   private def checkLshManifest(
       fs: FileSystem, indexDir: Path,
-      minhashK: Int, bands: Int, rowsPerBand: Int,
+      minhashK: Int, bands: Int, rowsPerBand: Int, bandBuckets: Int,
       stampIfAbsent: Boolean = true): Unit = {
     val mf = new Path(indexDir, "_lsh.json")
-    val expected = lshManifestJson(minhashK, bands, rowsPerBand)
+    val expected = lshManifestJson(minhashK, bands, rowsPerBand, bandBuckets)
     def verify(): Unit = {
       val buf = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
       val in = fs.open(mf)
@@ -86,9 +119,9 @@ object StreamNearDup {
       if (found.trim != expected)
         throw new IllegalStateException(
           s"near-dup index $indexDir was built with LSH parameters $found but this " +
-            s"run uses $expected — band keys are incomparable across parameters and " +
-            "cross-batch detection would silently miss everything. Rebuild the index " +
-            "or match the parameters.")
+            s"run uses $expected — band keys (and the bucketed band layout) are " +
+            "incomparable across parameters and cross-batch detection would " +
+            "silently miss everything. Rebuild the index or match the parameters.")
     }
     if (fs.exists(mf)) verify()
     else {
@@ -128,11 +161,105 @@ object StreamNearDup {
     Option(fs.globStatus(new Path(s"$indexDir/$part/batch_id=*/_SUCCESS")))
       .toSeq.flatten.map(_.getPath.getParent.toString)
 
+  private def committedIds(
+      fs: FileSystem, indexDir: String, part: String): Seq[Long] =
+    committedDirs(fs, indexDir, part)
+      .map(p => new Path(p).getName.stripPrefix("batch_id=").toLong)
+
+  /** Catalog name of the index's bucketed band table — a pure function of
+    * the index location, so every engine restart re-derives the same
+    * entry. The catalog row is disposable metadata: `ensureBandsTable`
+    * re-creates it from the filesystem in any fresh session.
+    */
+  private[streaming] def bandsTableName(indexDir: String): String = {
+    val norm = new Path(indexDir).toString
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(norm.getBytes(StandardCharsets.UTF_8))
+    "graft_nd_bands_" + digest.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Register (or re-register, after an engine restart lost the in-memory
+    * catalog) the bucketed band table over `indexDir/bands`, recovering
+    * the on-disk `batch_id=` partitions into the catalog. Idempotent; the
+    * DDL writes nothing but the (possibly empty) location dir. A
+    * registered table whose location does NOT resolve to this index is a
+    * name collision and is refused — silently reusing it would join
+    * against a different corpus's bands.
+    */
+  private def ensureBandsTable(
+      spark: SparkSession, indexDir: String, bandBuckets: Int): Unit = {
+    val name = bandsTableName(indexDir)
+    val loc = new Path(s"$indexDir/bands")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(loc).toUri
+    if (spark.catalog.tableExists(name)) {
+      val actual = spark.sql(s"DESCRIBE TABLE EXTENDED $name")
+        .filter(col("col_name") === "Location")
+        .select("data_type").collect().headOption.map(_.getString(0))
+      if (!actual.map(new Path(_)).contains(new Path(qualified)))
+        throw new IllegalStateException(
+          s"band-index table $name is registered at $actual, not $qualified — " +
+            "refusing to join this index against another index's table")
+    } else {
+      // RECOVER PARTITIONS lists the location and fails on an absent dir
+      fs.mkdirs(loc)
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name
+           |  (doc_id BIGINT, band_key BIGINT, batch_id BIGINT)
+           |USING PARQUET
+           |PARTITIONED BY (batch_id)
+           |CLUSTERED BY (band_key) SORTED BY (band_key) INTO $bandBuckets BUCKETS
+           |LOCATION '$qualified'""".stripMargin)
+      spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
+    }
+  }
+
+  /** Append one micro-batch's band entries to the standing table as a new
+    * `batch_id` generation. First-write-wins via the per-partition-dir
+    * `_SUCCESS` marker (created by THIS method after the append — table
+    * appends only stamp the table root): a replayed committed batch skips
+    * entirely; a torn append is re-run, and any duplicate rows it leaves
+    * are harmless because band entries only generate candidates, which are
+    * deduplicated before verification.
+    */
+  private def appendBands(
+      spark: SparkSession, bandsDf: DataFrame, indexDir: String,
+      batchId: Long, bandBuckets: Int): Unit = {
+    val dir = new Path(s"$indexDir/bands/batch_id=$batchId")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dir, "_SUCCESS"))) return
+    bandsDf.withColumn("batch_id", lit(batchId))
+      .write.mode("append").format("parquet")
+      .partitionBy("batch_id")
+      .bucketBy(bandBuckets, "band_key").sortBy("band_key")
+      .saveAsTable(bandsTableName(indexDir))
+    val out = fs.create(new Path(dir, "_SUCCESS"), true)
+    out.close()
+  }
+
+  /** Candidate pairs of `bandsDf` (the arriving docs' band entries)
+    * against the standing index: (dup_of = already-indexed doc, doc_id =
+    * arriving doc), deduplicated. THE scale-critical join of the guard —
+    * the standing side is a bucketed scan that already satisfies the
+    * join's hash distribution, so the plan carries NO Exchange on the
+    * index side; only `bandsDf` shuffles into the bucket layout
+    * (plan-asserted in StreamNearDupSpec). Callers ensure the table is
+    * registered and the manifest verified.
+    */
+  private[streaming] def indexCandidates(
+      spark: SparkSession, indexDir: String, bandsDf: DataFrame): DataFrame =
+    bandsDf.as("b")
+      .join(spark.table(bandsTableName(indexDir)).select("doc_id", "band_key").as("a"),
+        col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
+      .distinct()
+
   /** Probe the standing index WITHOUT ingesting: near-dup flags for `docs`
     * against the committed index state only (no within-docs pairs, no
-    * appends, nothing mutated — an absent or empty index probes empty, and
-    * a populated manifest-less index is refused exactly as `run` would).
-    * The ad-hoc "is this a near-copy of anything already ingested?" query.
+    * appends, nothing written on disk — an absent or empty index probes
+    * empty, and a populated manifest-less index is refused exactly as
+    * `run` would). The ad-hoc "is this a near-copy of anything already
+    * ingested?" query. Shares the shuffle-free candidate join with `run`.
     */
   def probeIndex(
       spark: SparkSession,
@@ -141,22 +268,21 @@ object StreamNearDup {
       threshold: Double = 0.9,
       minhashK: Int = 48,
       bands: Int = 16,
-      rowsPerBand: Int = 3): DataFrame = {
+      rowsPerBand: Int = 3,
+      bandBuckets: Int = DefaultBandBuckets): DataFrame = {
     import spark.implicits._
     val idxPath = new Path(indexDir)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    checkLshManifest(fs, idxPath, minhashK, bands, rowsPerBand, stampIfAbsent = false)
+    checkLshManifest(fs, idxPath, minhashK, bands, rowsPerBand, bandBuckets,
+      stampIfAbsent = false)
     val bandDirs = committedDirs(fs, indexDir, "bands")
     val setDirs = committedDirs(fs, indexDir, "sets")
     val hashed = DedupOps.hashedShingleSets(docs)
     if (bandDirs.isEmpty || setDirs.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("doc_id", "dup_of", "jac")
+    ensureBandsTable(spark, indexDir, bandBuckets)
     val bandsDf = DedupOps.bandedDocIds(hashed, minhashK, bands, rowsPerBand)
-    bandsDf.as("b")
-      .join(spark.read.parquet(bandDirs: _*).as("a"),
-        col("a.band_key") === col("b.band_key"))
-      .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
-      .distinct()
+    indexCandidates(spark, indexDir, bandsDf)
       .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
       .join(spark.read.parquet(setDirs: _*)
         .select(col("doc_id").as("dup_of"), col("hs").as("hs_a")), Seq("dup_of"))
@@ -170,20 +296,26 @@ object StreamNearDup {
     * lockstep. Near-dups against dropped documents go undetected
     * afterwards — the same windowed trade as `StreamDedup`'s watermark
     * (global forever-dedup belongs to the batch path over the accumulated
-    * corpus). OFFLINE utility: run with no active writer. Crash order per
-    * generation is bands first — a surviving set without its band entries
-    * is unreachable and harmless, while the reverse would silently drop
-    * verified candidates.
+    * corpus). Run with no active writer — `graft.Pipeline` wires it into
+    * its post-drain maintenance block behind a retention config. Crash
+    * order per generation is bands first — a surviving set without its
+    * band entries is unreachable and harmless, while the reverse would
+    * silently drop verified candidates. If the band table is registered
+    * in this session's catalog, the dropped generations' partitions are
+    * deregistered too (a fresh session simply never discovers them).
     */
   def gcIndex(spark: SparkSession, indexDir: String, keepBatches: Int): Unit = {
     require(keepBatches >= 0, s"keepBatches must be non-negative: $keepBatches")
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def ids(part: String): Set[Long] =
-      committedDirs(fs, indexDir, part)
-        .map(p => new Path(p).getName.stripPrefix("batch_id=").toLong).toSet
-    val common = (ids("bands") intersect ids("sets")).toSeq.sorted
+    val common =
+      (committedIds(fs, indexDir, "bands").toSet intersect
+        committedIds(fs, indexDir, "sets").toSet).toSeq.sorted
+    val table = bandsTableName(indexDir)
+    val tableRegistered = spark.catalog.tableExists(table)
     common.dropRight(keepBatches).foreach { id =>
       fs.delete(new Path(s"$indexDir/bands/batch_id=$id"), true)
+      if (tableRegistered)
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (batch_id=$id)")
       fs.delete(new Path(s"$indexDir/sets/batch_id=$id"), true)
     }
   }
@@ -203,6 +335,40 @@ object StreamNearDup {
     if (!fs.exists(m)) { val o = fs.create(m, true); o.close() }
   }
 
+  /** Enforce the index/checkpoint ownership contract before any batch
+    * runs: the index's newest committed generation may lead the
+    * checkpoint's last commit by at most one batch (the crash-replay
+    * window — batch N's appends land before commit N is written). A
+    * populated index paired with a checkpoint that has never committed
+    * near it means a FRESH (or foreign) checkpoint: its batch ids restart
+    * at 0, first-write-wins appends would silently skip, and flags would
+    * be computed against stale truth — silent corruption, refused loudly
+    * here. An index whose only generation is batch 0 is indistinguishable
+    * from a crash before the very first commit and is allowed through.
+    */
+  private def checkIndexOwnership(
+      spark: SparkSession, fs: FileSystem, indexDir: String,
+      checkpointDir: String): Unit = {
+    val newest = committedIds(fs, indexDir, "bands")
+      .foldLeft(-1L)(_ max _)
+    if (newest < 1) return
+    val commits = new Path(s"$checkpointDir/commits")
+    val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastCommit =
+      if (!cfs.exists(commits)) -1L
+      else cfs.listStatus(commits).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .foldLeft(-1L)(_ max _)
+    if (newest > lastCommit + 1)
+      throw new IllegalStateException(
+        s"near-dup index $indexDir holds committed generations through " +
+          s"batch_id=$newest but checkpoint $checkpointDir has only committed " +
+          s"through $lastCommit — this checkpoint does not own the index's " +
+          "batch_id namespace (a fresh checkpoint would restart ids at 0 and " +
+          "first-write-wins appends would silently skip). Resume from the " +
+          "index's original checkpoint, or start a fresh index.")
+  }
+
   def run(
       spark: SparkSession,
       sourceDir: String,
@@ -215,12 +381,14 @@ object StreamNearDup {
       rowsPerBand: Int = 3,
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
-      schemaHint: Option[StructType] = None): StreamingQuery = {
+      schemaHint: Option[StructType] = None,
+      bandBuckets: Int = DefaultBandBuckets): StreamingQuery = {
     require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal minhashK")
     val idxPath = new Path(indexDir)
-    checkLshManifest(
-      idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      idxPath, minhashK, bands, rowsPerBand)
+    val idxFs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkLshManifest(idxFs, idxPath, minhashK, bands, rowsPerBand, bandBuckets)
+    checkIndexOwnership(spark, idxFs, indexDir, checkpointDir)
+    ensureBandsTable(spark, indexDir, bandBuckets)
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(spark.read.parquet(sourceDir).schema))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -235,10 +403,11 @@ object StreamNearDup {
         val fs = idxPath.getFileSystem(hconf)
         // sink and index may live on different filesystems
         val sinkFs = new Path(sinkDir).getFileSystem(hconf)
-        // COMMITTED batch dirs only: existence of the parent (or a torn
-        // `_temporary` residue from a crashed append) must not be read
-        def idx(part: String, empty: => DataFrame): DataFrame =
-          committedDirs(fs, indexDir, part) match {
+        // the sets side reads COMMITTED batch dirs only: existence of the
+        // parent (or a torn `_temporary` residue from a crashed append)
+        // must not be read
+        def idxSets(empty: => DataFrame): DataFrame =
+          committedDirs(fs, indexDir, "sets") match {
             case Seq() => empty
             case dirs  => sp.read.parquet(dirs: _*)
           }
@@ -249,24 +418,25 @@ object StreamNearDup {
           val bandsDf = DedupOps.bandedDocIds(hashed, minhashK, bands, rowsPerBand)
             .persist()
           try {
-            val idxBands = idx("bands", Seq.empty[(Long, Long)].toDF("doc_id", "band_key"))
-            val idxSets = idx("sets", Seq.empty[(Long, Array[Long])].toDF("doc_id", "hs"))
-            // earlier-seen candidates (index) + earlier-in-batch candidates
-            val seenCand = bandsDf.as("b")
-              .join(idxBands.as("a"), col("a.band_key") === col("b.band_key"))
-              .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
-            val withinCand = bandsDf.as("a")
-              .join(bandsDf.as("b"),
-                col("a.band_key") === col("b.band_key") &&
-                  col("a.doc_id") < col("b.doc_id"))
-              .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
             // the marker gates the WHOLE flags step: a replayed batch must
             // neither recompute flags against an index that already holds
             // its own entries (jaccard-1.0 self-duplicates) nor pay the
             // candidate join again
             if (!sinkFs.exists(flagsMarker(sinkDir, batchId))) {
+              // earlier-seen candidates (bucketed index scan — no shuffle
+              // on the standing side) + earlier-in-batch candidates
+              val seenCand = indexCandidates(sp, indexDir, bandsDf)
+              val withinCand = bandsDf.as("a")
+                .join(bandsDf.as("b"),
+                  col("a.band_key") === col("b.band_key") &&
+                    col("a.doc_id") < col("b.doc_id"))
+                .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
               val cand = seenCand.unionByName(withinCand).distinct()
-              val setsAll = idxSets.select(col("doc_id"), col("hs"))
+              // verification: the candidate set is tiny (AQE broadcasts
+              // it), so the heavy shingle-set rows are scanned, never
+              // shuffled
+              val setsAll = idxSets(Seq.empty[(Long, Array[Long])].toDF("doc_id", "hs"))
+                .select(col("doc_id"), col("hs"))
                 .unionByName(hashed.select(col("doc_id"), col("hs")))
               val flagged = cand
                 .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
@@ -285,7 +455,7 @@ object StreamNearDup {
             }
             CheckpointStream.appendDiffs(
               hashed.select(col("doc_id"), col("hs")), s"$indexDir/sets", batchId)
-            CheckpointStream.appendDiffs(bandsDf, s"$indexDir/bands", batchId)
+            appendBands(sp, bandsDf, indexDir, batchId, bandBuckets)
           } finally { bandsDf.unpersist(); () }
         } finally { hashed.unpersist(); () }
       }

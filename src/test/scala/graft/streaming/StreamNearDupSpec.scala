@@ -103,6 +103,67 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("no _lsh.json"))
   }
 
+  test("standing band index joins as a bucketed scan — no Exchange on the index side") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sneardup_plan_").toString
+    Seq((1L, "alpha beta gamma delta"), (2L, "totally different words here"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/feed/c0")
+    val q = StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    // pin the sort-merge path: with broadcast allowed the tiny test index
+    // would be broadcast and the assertion would not exercise the layout
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probeBands = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "band_key")
+      val cands = StreamNearDup.indexCandidates(spark, s"$base/index", probeBands)
+      val plan = cands.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"standing side is not a bucketed scan:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // exactly two exchanges: the arriving batch shuffling INTO the
+      // bucket layout, and the distinct over the (tiny) candidate pairs.
+      // A third would mean the standing index is being re-shuffled —
+      // the grows-with-corpus-age per-batch cost this layout removes.
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 2,
+        s"expected only the arriving batch's shuffle + the candidate distinct, " +
+          s"found $exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("a fresh checkpoint against a populated index is refused (ownership)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sneardup_own_").toString
+    for (i <- 0 to 1)
+      Seq((i.toLong + 1, s"some words for document number $i"))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/feed/c$i")
+    val q = StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    // the index now holds committed generations 0 and 1; a checkpoint that
+    // never committed near them would restart batch ids at 0, and the
+    // first-write-wins appends would silently skip against stale truth
+    val ex = intercept[IllegalStateException] {
+      StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt_fresh",
+        s"$base/flags_fresh", s"$base/index")
+    }
+    assert(ex.getMessage.contains("does not own"), ex.getMessage)
+    // resuming from the ORIGINAL checkpoint remains legitimate (no-op: the
+    // backlog is already committed)
+    val q2 = StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q2.awaitTermination(120000L)
+    assert(!q2.isActive)
+  }
+
   test("index retention GC drops oldest generations in lockstep; probe respects the window") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sneardup_gc_").toString
