@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.{Enrichment, SchemaInit}
-import graft.streaming.CheckpointStream
+import graft.streaming.{CheckpointStream, StreamNearDup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Two feeds mirror the reference's agents + IDE subscriptions; each sinks
   * into its own directory so content stays per-source (fixing reference
-  * wart W1, where IDE content overwrote the CDC column).
+  * wart W1, where IDE content overwrote the CDC column). BOTH feeds run a
+  * dead-letter twin: every wire row the normalizer drops is quarantined
+  * with its reason tag, so feed loss is counted AND recoverable. An
+  * optional documents feed runs the ingest near-dup guard
+  * (`StreamNearDup`), whose standing index is retention-GC'd in the same
+  * post-drain maintenance block as the diff sinks.
   */
 object Pipeline {
 
@@ -26,7 +31,19 @@ object Pipeline {
         * is older than (newest diff − window) are pruned during the
         * post-drain compaction. None keeps full history (compaction only).
         */
-      diffRetention: Option[java.time.Duration] = None)
+      diffRetention: Option[java.time.Duration] = None,
+      /** Optional documents feed (doc_id, text) for the ingest near-dup
+        * guard: every arriving document is LSH-checked against everything
+        * ingested before it, flags land in `<workDir>/neardup_flags`, and
+        * the standing index lives in `<workDir>/neardup_index`.
+        */
+      docFeedDir: Option[String] = None,
+      /** Retention for the near-dup guard's standing index, in committed
+        * micro-batch generations: post-drain maintenance drops older
+        * generations (near-dups against their documents go undetected — the
+        * windowed trade). None keeps the full index.
+        */
+      nearDupKeepBatches: Option[Int] = None)
 
   /** Offline diff-sink maintenance, run once the stream is drained: fold
     * the per-micro-batch dirs at or below the LAST COMMITTED batch id
@@ -88,17 +105,28 @@ object Pipeline {
       CheckpointStream.run(spark, dir, s"${config.workDir}/ckpt_ide", ideSink,
         maxFilesPerTrigger = 64, diffDir = Some(s"${config.workDir}/diffs_ide"),
         schemaHint = Some(CheckpointStream.ideSchema)))
-    // malformed IDE wire rows are counted (graft_ide_feed metric) AND
-    // recoverable: the dead-letter query quarantines the dropped originals
+    // malformed wire rows on EITHER feed are counted (graft_events_feed /
+    // graft_ide_feed metrics) AND recoverable: each feed gets a dead-letter
+    // query quarantining the dropped originals with reason tags — silent
+    // row loss on the primary CDC feed is as unacceptable as on the IDE one
+    val dlCdcQuery = CheckpointStream.runDeadLetter(spark, config.cdcFeedDir,
+      s"${config.workDir}/ckpt_cdc_dl", s"${config.workDir}/quarantine_cdc")
     // same shape-hint rule as the main IDE query: an empty-at-start dir
     // must never be sniffed as the agents shape
     val dlQuery = config.ideFeedDir.map(dir =>
       CheckpointStream.runDeadLetter(spark, dir,
         s"${config.workDir}/ckpt_ide_dl", s"${config.workDir}/quarantine_ide",
         schemaHint = Some(CheckpointStream.ideSchema)))
+    // ingest near-dup guard over the optional documents feed: flags every
+    // arriving near-copy against the standing index as it lands
+    val ndQuery = config.docFeedDir.map(dir =>
+      StreamNearDup.run(spark, dir, s"${config.workDir}/ckpt_neardup",
+        s"${config.workDir}/neardup_flags", s"${config.workDir}/neardup_index"))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
+    dlCdcQuery.awaitTermination()
     dlQuery.foreach(_.awaitTermination())
+    ndQuery.foreach(_.awaitTermination())
 
     // diff-sink maintenance: fold the per-batch dirs and apply retention
     // (the storage-side twin of the state store's idle eviction)
@@ -107,6 +135,10 @@ object Pipeline {
     config.ideFeedDir.foreach(_ => maintainDiffSink(spark,
       s"${config.workDir}/ckpt_ide", s"${config.workDir}/diffs_ide",
       config.diffRetention))
+    // near-dup index retention: runs strictly post-drain (the guard query
+    // above has terminated — gcIndex's no-active-writer discipline)
+    for (_ <- config.docFeedDir; keep <- config.nearDupKeepBatches)
+      StreamNearDup.gcIndex(spark, s"${config.workDir}/neardup_index", keep)
 
     // sessions from both feeds, tagged per source (W1: never merged);
     // the sink's physical `bucket` partition column is dropped here

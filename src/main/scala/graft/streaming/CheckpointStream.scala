@@ -483,6 +483,11 @@ object CheckpointStream {
     *
     * `schemaHint` as in `run`: sniffing cannot see files that arrive after
     * the query starts, so a caller that knows its feed's shape passes it.
+    * `sourceFormat` as in `run` too ("parquet" or "json"), under the same
+    * require-hint rule — JSON is precisely the format where wire-level
+    * malformation is likeliest, so the quarantine path must read the feed
+    * exactly as the main query does or malformed JSON rows would be
+    * unrecoverable.
     *
     * Scale note: this re-reads the feed (quarantine volume is tiny but the
     * scan isn't). That is the standard trade of the two-query pattern —
@@ -498,12 +503,17 @@ object CheckpointStream {
       quarantineDir: String,
       maxFilesPerTrigger: Int = 64,
       availableNow: Boolean = true,
-      schemaHint: Option[StructType] = None): StreamingQuery = {
+      schemaHint: Option[StructType] = None,
+      sourceFormat: String = "parquet"): StreamingQuery = {
+    require(sourceFormat == "parquet" || schemaHint.isDefined,
+      s"a $sourceFormat feed requires an explicit schemaHint — " +
+        "JSON type inference cannot reconstruct the wire schema faithfully")
     val schema = schemaHint.getOrElse(feedSchemaFor(spark, sourceDir))
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(sourceDir)
+      .format(sourceFormat)
+      .load(sourceDir)
     val rules =
       if (schema.fieldNames.contains("thread_id")) IdeValidityRules
       else agentsValidityRules(raw)

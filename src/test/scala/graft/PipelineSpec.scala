@@ -108,6 +108,74 @@ class PipelineSpec extends AnyFunSuite {
     assert(!q.exists || q.listFiles.forall(f => f.getName.startsWith("_")))
   }
 
+  test("malformed agents rows on the primary CDC feed land in quarantine_cdc with reasons") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pipeline_dl_cdc_").toString
+    // one valid row + one malformed per two of the agents validity rules —
+    // the composed lifecycle (not just runDeadLetter in isolation) must
+    // quarantine them
+    Seq(
+      (Option(1L), Option(1000L), Option(10L), Option("click"), Option(1.0), Option("""{"a":1}""")),
+      (Option(2L), Option(1001L), Option(11L), Option("click"), Option(1.0), None: Option[String]),
+      (Option(3L), None: Option[Long], Option(12L), Option("click"), Option(1.0), Option("y")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+      .coalesce(1).write.parquet(s"$base/feed_cdc/f0")
+    val out = Pipeline.run(spark, Pipeline.Config(
+      cdcFeedDir = s"$base/feed_cdc/f*",
+      ideFeedDir = None,
+      reportDir = None,
+      workDir = s"$base/work"))
+    // the valid row sessionized; the dropped rows are recoverable, original
+    // wire columns intact, each under its own rule's reason tag
+    assert(out.filter(col("user_id") === 10L).count() > 0)
+    val q = spark.read.parquet(s"$base/work/quarantine_cdc")
+      .select("event_id", "reason")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(q == Map(2L -> "null_props", 3L -> "bad_ts"), q)
+  }
+
+  test("near-dup guard runs in the lifecycle; maintenance GCs its index by retention") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pipeline_nd_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.filter(col("user_id") % 11 === 0)
+      .coalesce(1).write.parquet(s"$base/feed_cdc/f0")
+    // three single-doc micro-batches (mtime-ordered), mutually distinct
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five",
+      3L -> "red green blue yellow purple")
+    texts.zipWithIndex.foreach { case ((id, t), i) =>
+      Seq((id, t)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/docs/c$i")
+      val d = new java.io.File(s"$base/docs/c$i")
+      (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    Pipeline.run(spark, Pipeline.Config(
+      cdcFeedDir = s"$base/feed_cdc/f*",
+      ideFeedDir = None,
+      reportDir = None,
+      workDir = s"$base/work",
+      docFeedDir = Some(s"$base/docs/c*"),
+      nearDupKeepBatches = Some(2)))
+    // post-drain maintenance dropped the oldest generation, in lockstep
+    for (part <- Seq("bands", "sets")) {
+      val dirs = new java.io.File(s"$base/work/neardup_index/$part").listFiles
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(dirs == Seq("batch_id=1", "batch_id=2"), s"$part: $dirs")
+    }
+    // the retained window still guards: a copy of the KEPT doc is flagged,
+    // a copy of the GC'd doc goes undetected (the windowed trade)
+    val probeDocs = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // == doc 1, aged out
+      (11L, "red green blue yellow purple")) // == doc 3, retained
+      .toDF("doc_id", "text")
+    val flags = graft.streaming.StreamNearDup
+      .probeIndex(spark, s"$base/work/neardup_index", probeDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set((11L, 3L)), s"probe saw $flags")
+  }
+
   test("diff maintenance folds only committed batches and applies the retention window") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_pipeline_gc_").toString

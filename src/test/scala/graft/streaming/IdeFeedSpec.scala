@@ -204,6 +204,52 @@ class IdeFeedSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/quarantine").count() == 5L)
   }
 
+  test("JSON-lines feed dead-letter: drop/quarantine parity, including a wire-broken line") {
+    val base = Files.createTempDirectory("graft_dl_json_").toString
+    // JSON is where wire-level malformation actually comes from: a valid
+    // row, a field-level-null row, a bad-timestamp row, and a line that is
+    // not JSON at all (permissive parse → all-null row)
+    val lines = Seq(
+      """{"event_id":1,"ts":"1970-01-01T00:00:00.001+00:00","user_id":10,"event_type":"click","value":1.0,"props":"ok"}""",
+      """{"event_id":2,"ts":"1970-01-01T00:00:00.002+00:00","user_id":11,"event_type":"click","value":1.0}""",
+      """{"event_id":3,"ts":"not-a-timestamp","user_id":12,"event_type":"click","value":1.0,"props":"y"}""",
+      """this line is not json""")
+    Files.createDirectories(java.nio.file.Paths.get(base, "feed"))
+    Files.write(java.nio.file.Paths.get(base, "feed", "part-0.json"),
+      String.join("\n", lines: _*).getBytes)
+    val hint = Some(CheckpointStream.eventsSchema())
+    val main = CheckpointStream.run(
+      spark, s"$base/feed", s"$base/ckpt", s"$base/sink", maxFilesPerTrigger = 64,
+      schemaHint = hint, sourceFormat = "json")
+    val dl = CheckpointStream.runDeadLetter(
+      spark, s"$base/feed", s"$base/ckpt_dl", s"$base/quarantine",
+      schemaHint = hint, sourceFormat = "json")
+    main.awaitTermination(120000L)
+    dl.awaitTermination(120000L)
+    // the two queries PARTITION the feed: the valid row reaches the sink...
+    val sunk = spark.read.parquet(s"$base/sink").select("payload")
+      .collect().map(_.getString(0)).toSet
+    assert(sunk == Set("ok"))
+    // ...and every dropped row is quarantined under its reason tags; the
+    // non-JSON line surfaces as the all-null row (every null rule fires)
+    val q = spark.read.parquet(s"$base/quarantine").select("event_id", "reason")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(q(2L) == "null_props" && q(3L) == "bad_ts", q)
+    assert(q(-1L).contains("null_user_id") && q(-1L).contains("null_props"), q)
+    // counted loss == recoverable quarantine volume, on a JSON feed too
+    val dropped = main.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_events_feed")))
+      .map(_.getAs[Long]("rows_dropped")).sum
+    assert(dropped == 3L, s"metric counted $dropped drops")
+    assert(spark.read.parquet(s"$base/quarantine").count() == 3L)
+    // a JSON dead-letter without a schema hint must refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      CheckpointStream.runDeadLetter(spark, s"$base/feed", s"$base/ckpt_dl2",
+        s"$base/quarantine2", sourceFormat = "json")
+    }
+    assert(ex.getMessage.contains("schemaHint"))
+  }
+
   test("batch backfill accepts the IDE wire shape (E2 parity per feed shape)") {
     val viaIde = CheckpointStream.backfill(spark, ideShaped).toDF()
     val viaEvents = CheckpointStream.backfill(
