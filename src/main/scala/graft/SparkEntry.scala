@@ -67,6 +67,7 @@ object SparkEntry {
     "q40_decontaminate" -> (DedupOps.q40Decontaminate(_, _)),
     "q41_stratified_sample" -> (SampleOps.q41StratifiedSample(_, _)),
     "q42_weighted_mix"  -> (SampleOps.q42WeightedMix(_, _)),
+    "q43_decode_features" -> (MultimodalOps.q43DecodeFeatures(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -430,5 +431,22 @@ object SparkEntry {
         |  ((doc_id + rep * 7919 + 2) % 1000000007) * 2654435761 % 1099511627776 AS mix_key
         |FROM e
         |ORDER BY mix_key, doc_id, rep""".stripMargin,
+    // real-decode round trip: the Spark side ENCODES deterministic BMP/WAV
+    // container bytes and DECODES them through the real codecs; the oracle
+    // recomputes every header/content-derived value as pure arithmetic on
+    // doc_id (constant-color fill makes the channel means exact)
+    "q43_decode_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |  CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16 END AS img_width,
+        |  CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 3) % 16 END AS img_height,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 256 END AS mean_b,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7) % 256 END AS mean_g,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id * 13) % 256 END AS mean_r,
+        |  CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS wav_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS wav_channels,
+        |  CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 128 END AS wav_samples
+        |FROM documents WHERE doc_id % 3 < 2
+        |ORDER BY asset_id""".stripMargin,
   )
 }

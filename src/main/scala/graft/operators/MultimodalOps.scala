@@ -49,6 +49,42 @@ object MultimodalOps {
         element_at(typedlit(Seq("png", "wav", "mp4")), (col("doc_id") % 3 + 1).cast("int"))
           .as("format"))
 
+  /** A genuinely decodable asset: payload is REAL container bytes
+    * (`encodeBmp`/`encodeWav` output) that round-trip through the codecs.
+    */
+  final case class DecodableAsset(asset_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Derive an asset table whose image/audio payloads are REAL container
+    * bytes — deterministic 24-bpp BMPs and 16-bit PCM WAVs whose header
+    * and content parameters are pure arithmetic on `doc_id`, so an
+    * independent oracle can recompute every decoded value without owning
+    * the codecs. This is the table q43 runs over: unlike `assets()` (text
+    * bytes standing in for media, kept stable for q25/q26's hashes), every
+    * row here exercises the real-decode branch of `decodeBytes`. Video
+    * rows are excluded — the engine ships no video codec, and a fallback
+    * row would test nothing.
+    */
+  def decodableAssets(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 < 2)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 3 == 0)
+            DecodableAsset(id, "image", encodeBmpConst(
+              (8 + id % 16).toInt, (8 + (id * 3) % 16).toInt,
+              (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+          else
+            DecodableAsset(id, "audio", encodeWavSilence(
+              (8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt,
+              (64 + id % 128).toInt))
+        }
+      }
+  }
+
   /** Decoded uncompressed image: `pixels` is BGR row-major, TOP-DOWN
     * (BMP's default bottom-up row storage is unflipped during decode).
     */
@@ -63,6 +99,79 @@ object MultimodalOps {
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
       ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
+  }
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
+    b(o + 2) = (v >>> 16).toByte; b(o + 3) = (v >>> 24).toByte
+  }
+
+  /** BMP writer — the exact inverse of `decodeBmp` (uncompressed 24-bpp,
+    * bottom-up rows padded to 4 bytes): `pixels` is BGR row-major TOP-DOWN,
+    * `decodeBmp(encodeBmp(w, h, px)).pixels == px` by round-trip test.
+    */
+  def encodeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height * 3,
+      s"pixels must be $width*$height*3 BGR bytes")
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val out = new Array[Byte](54 + rowSize * height)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, out.length)
+    putLe32(out, 10, 54) // pixel offset
+    putLe32(out, 14, 40) // BITMAPINFOHEADER
+    putLe32(out, 18, width)
+    putLe32(out, 22, height) // positive: bottom-up storage
+    putLe16(out, 26, 1) // planes
+    putLe16(out, 28, 24) // bpp
+    putLe32(out, 30, 0) // BI_RGB
+    putLe32(out, 34, rowSize * height)
+    var r = 0
+    while (r < height) {
+      // file row r holds the (height-1-r)-th top-down pixel row
+      System.arraycopy(pixels, (height - 1 - r) * width * 3, out, 54 + r * rowSize, width * 3)
+      r += 1
+    }
+    out
+  }
+
+  /** Constant-color BMP: every pixel (b, g, r) — the mean-channel values
+    * decode back EXACTLY, which is what makes q43 oracle-checkable.
+    */
+  def encodeBmpConst(width: Int, height: Int, b: Int, g: Int, r: Int): Array[Byte] = {
+    val px = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < px.length) {
+      px(i) = b.toByte; px(i + 1) = g.toByte; px(i + 2) = r.toByte
+      i += 3
+    }
+    encodeBmp(width, height, px)
+  }
+
+  /** WAV writer — the inverse of `decodeWav` for 16-bit integer PCM:
+    * canonical 44-byte RIFF/fmt/data layout, `nSamples` TOTAL
+    * channel-interleaved silent samples (sample content is irrelevant to
+    * the header-derived q43 columns; silence keeps the bytes deterministic).
+    */
+  def encodeWavSilence(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0)
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLe32(out, 4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putLe32(out, 16, 16) // fmt chunk size
+    putLe16(out, 20, 1) // integer PCM
+    putLe16(out, 22, channels)
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * channels * 2) // byte rate
+    putLe16(out, 32, channels * 2) // block align
+    putLe16(out, 34, 16) // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putLe32(out, 40, dataLen)
+    out // sample bytes stay zero = silence
+  }
 
   /** REAL BMP codec (public format layout, no dependencies): 14-byte file
     * header ('BM', file size, reserved, pixel offset @10) + info header
@@ -239,18 +348,61 @@ object MultimodalOps {
       }
   }
 
-  /** Resize stub: metadata transform + proportional payload truncation —
-    * the plan shape (narrow projection, no shuffle) is what a real resize
-    * kernel runs in.
+  /** Nearest-neighbor resample of a decoded BMP — the standard index map
+    * `src = floor(dst * srcDim / dstDim)`, 3 bytes per pixel copied.
+    */
+  private[operators] def resampleNearest(
+      img: BmpImage, newWidth: Int, newHeight: Int): Array[Byte] = {
+    val out = new Array[Byte](newWidth * newHeight * 3)
+    var y = 0
+    while (y < newHeight) {
+      val sy = (y.toLong * img.height / newHeight).toInt
+      var x = 0
+      while (x < newWidth) {
+        val sx = (x.toLong * img.width / newWidth).toInt
+        System.arraycopy(img.pixels, (sy * img.width + sx) * 3, out, (y * newWidth + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize over the asset table: decodable BMP payloads get a REAL
+    * nearest-neighbor resample and are re-encoded as BMP; everything else
+    * (audio, video, text stand-ins) keeps the metadata-plus-proportional-
+    * truncation behavior — a non-image payload has no pixel grid to
+    * resample, but the byte budget should still track the metadata shrink.
+    * Plan shape: one narrow mapPartitions over the asset columns, no
+    * shuffle — the same shape the stub ran in, now with a real kernel.
     */
   def resize(assetDf: DataFrame, newWidth: Int, newHeight: Int): DataFrame = {
-    val ratio = lit(newWidth * newHeight) / (col("width") * col("height")).cast("double")
-    val newLen = greatest(lit(1),
-      ceil(octet_length(col("payload")).cast("double") * ratio).cast("int"))
+    require(newWidth > 0 && newHeight > 0, "resize target must be positive")
+    val spark = assetDf.sparkSession
+    import spark.implicits._
     assetDf
-      .withColumn("payload", col("payload").substr(lit(1), newLen))
-      .withColumn("width", lit(newWidth).cast("int"))
-      .withColumn("height", lit(newHeight).cast("int"))
+      .select(col("asset_id"), col("media_type"), col("payload"),
+        col("width"), col("height"), col("format"))
+      .as[AssetRow]
+      .mapPartitions { it =>
+        it.map { a =>
+          decodeBmp(a.payload) match {
+            case Some(img) =>
+              a.copy(
+                payload = encodeBmp(newWidth, newHeight,
+                  resampleNearest(img, newWidth, newHeight)),
+                width = newWidth, height = newHeight)
+            case None =>
+              val ratio = (newWidth.toLong * newHeight).toDouble /
+                (a.width.toLong * a.height)
+              val n = math.max(1, math.min(a.payload.length,
+                math.ceil(a.payload.length * ratio).toLong).toInt)
+              a.copy(payload = java.util.Arrays.copyOf(a.payload, n),
+                width = newWidth, height = newHeight)
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Frame sampling for video assets: the payload split into `n` contiguous
@@ -282,6 +434,34 @@ object MultimodalOps {
         sha2(col("payload"), 256).as("payload_sha"),
         col("width"), col("height"), col("format"))
       .orderBy(col("asset_id"))
+
+  /** q43: the REAL-decode surface — every row's payload is genuine
+    * container bytes (`decodableAssets`), the features come out of
+    * `decodeBmp`/`decodeWav` (never the histogram fallback), and every
+    * exposed column is a header- or content-derived value the oracle
+    * recomputes as pure arithmetic on `doc_id`: BMP width/height and exact
+    * per-channel means (constant-color fill), WAV rate/channels/total
+    * samples. Mean channels ride as `round(mean*255)` longs — the decoded
+    * float is `c/255f` exactly, so the round-trip is lossless and the
+    * compare dodges float-vs-double hashing.
+    */
+  def q43DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(spark, decodableAssets(spark, dir).toDF()).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    val img = col("media_type") === "image"
+    feats.select(
+      col("asset_id"),
+      col("media_type"),
+      when(img, round(f(1)).cast("long")).as("img_width"),
+      when(img, round(f(2)).cast("long")).as("img_height"),
+      when(img, round(f(3) * 255).cast("long")).as("mean_b"),
+      when(img, round(f(4) * 255).cast("long")).as("mean_g"),
+      when(img, round(f(5) * 255).cast("long")).as("mean_r"),
+      when(!img, round(f(1)).cast("long")).as("wav_rate"),
+      when(!img, round(f(2)).cast("long")).as("wav_channels"),
+      when(!img, round(f(3)).cast("long")).as("wav_samples"))
+      .orderBy(col("asset_id"))
+  }
 
   /** q26: per-frame byte accounting for the video subset — frame boundaries
     * are pure arithmetic, so the oracle can verify every frame length.

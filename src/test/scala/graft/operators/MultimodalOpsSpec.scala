@@ -167,6 +167,65 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(math.abs(feats(3L).sum - 1.0f) < 1e-3, "text row did not fall back to histogram")
   }
 
+  test("BMP and WAV writers round-trip through the real codecs") {
+    // encode → decode is the identity on every parameter the codecs expose
+    val px = Array.tabulate(2 * 3 * 3)(i => (i * 17).toByte) // 3x2, distinct pixels
+    val img = MultimodalOps.decodeBmp(MultimodalOps.encodeBmp(3, 2, px))
+    assert(img.isDefined, "encoder output did not decode")
+    assert(img.get.width == 3 && img.get.height == 2)
+    assert(img.get.pixels.sameElements(px), "pixel round-trip mismatch")
+    val const = MultimodalOps.decodeBmp(MultimodalOps.encodeBmpConst(5, 4, 10, 20, 30)).get
+    assert(const.pixels.grouped(3).forall(p =>
+      (p(0) & 0xFF) == 10 && (p(1) & 0xFF) == 20 && (p(2) & 0xFF) == 30))
+    val wav = MultimodalOps.decodeWav(MultimodalOps.encodeWavSilence(11000, 2, 96))
+    assert(wav.isDefined, "WAV encoder output did not decode")
+    assert(wav.get.sampleRate == 11000 && wav.get.channels == 2 &&
+      wav.get.samples.length == 96 && wav.get.samples.forall(_ == 0f))
+  }
+
+  test("q43 rows all take the real-decode branch, never the histogram fallback") {
+    import spark.implicits._
+    val assets = MultimodalOps.decodableAssets(spark, sf)
+    val undecodable = assets.filter(a => (a.media_type == "image") !=
+      MultimodalOps.decodeBmp(a.payload).isDefined ||
+      (a.media_type == "audio") != MultimodalOps.decodeWav(a.payload).isDefined)
+    assert(undecodable.isEmpty,
+      s"fallback rows: ${undecodable.take(3).map(_.asset_id).mkString(",")}")
+    assert(assets.count() > 0)
+    // and the exposed columns are the DECODED values (spot-check one image)
+    val row = MultimodalOps.q43DecodeFeatures(spark, sf)
+      .filter(col("media_type") === "image").orderBy("asset_id").head
+    val id = row.getLong(0)
+    assert(row.getLong(2) == 8 + id % 16 && row.getLong(3) == 8 + (id * 3) % 16)
+    assert(row.getLong(4) == id % 256 && row.getLong(5) == id * 7 % 256 &&
+      row.getLong(6) == id * 13 % 256)
+  }
+
+  test("resize resamples decodable BMPs with the nearest-neighbor kernel") {
+    import spark.implicits._
+    // 2x2 image with four distinct colors; upsampling to 4x4 must replicate
+    // each source pixel into its 2x2 block (exact NN index map)
+    val quads = Seq((0, 0, 0), (50, 60, 70), (100, 110, 120), (200, 210, 220))
+    val px = quads.flatMap { case (b, g, r) => Seq(b.toByte, g.toByte, r.toByte) }.toArray
+    val bmp = MultimodalOps.encodeBmp(2, 2, px)
+    val df = Seq((1L, "image", bmp, 2, 2, "bmp"))
+      .toDF("asset_id", "media_type", "payload", "width", "height", "format")
+    val out = MultimodalOps.resize(df, 4, 4).head
+    assert(out.getAs[Int]("width") == 4 && out.getAs[Int]("height") == 4)
+    val decoded = MultimodalOps.decodeBmp(out.getAs[Array[Byte]]("payload"))
+    assert(decoded.isDefined, "resized payload is no longer a valid BMP")
+    val got = decoded.get.pixels.grouped(3)
+      .map(p => (p(0) & 0xFF, p(1) & 0xFF, p(2) & 0xFF)).toSeq
+    val expected = Seq(0, 0, 1, 1).flatMap(row =>
+      Seq(0, 0, 1, 1).map(colIdx => quads(row * 2 + colIdx)))
+    assert(got == expected, s"NN resample mismatch: $got")
+    // a non-decodable payload keeps the proportional-truncation fallback
+    val txt = Seq((2L, "text", "0123456789abcdef".getBytes, 4, 4, "txt"))
+      .toDF("asset_id", "media_type", "payload", "width", "height", "format")
+    val t = MultimodalOps.resize(txt, 2, 2).head
+    assert(t.getAs[Array[Byte]]("payload").length == 4) // 16 * (2*2)/(4*4)
+  }
+
   test("resize shrinks payload proportionally and rewrites metadata") {
     val a = MultimodalOps.assets(spark, sf)
     val r = MultimodalOps.resize(a, 16, 16)
