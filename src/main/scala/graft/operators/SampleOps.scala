@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * stable row id — no RNG, no `rand()` — so a rerun, a replay, or a
   * different cluster produces the IDENTICAL sample/mix (the property that
   * makes ablations comparable and incident reproductions possible). The
-  * keying is multiply-mod, expressible 1:1 in the DuckDB oracle; the id is
-  * folded through `% 1000000007` first so the multiply can never overflow
-  * int64 under ANSI mode for ANY long id, and rates/weights are converted
+  * keying is multiply-mod, expressible 1:1 in the DuckDB oracle for the
+  * non-negative ids every engine id column carries; the id is folded
+  * through `% 1000000007` before salting so the arithmetic can never
+  * overflow int64 under ANSI mode for ANY long id, and rates/weights are converted
   * to INTEGER basis-point thresholds driver-side so the Spark and oracle
   * comparisons are exact (a float `rate * mod` would diverge between
   * Spark's double and DuckDB's decimal exactly at bucket boundaries). A
@@ -43,11 +44,19 @@ object SampleOps {
   /** Knuth's multiplicative constant (2^32 / golden ratio). */
   private val MixA = 2654435761L
 
-  /** Deterministic per-row key in [0, mod): fold, multiply, mod. Distinct
-    * `salt`s decorrelate the sample / repeat / order decisions.
+  /** Deterministic per-row key in [0, mod): fold, salt, multiply, mod.
+    * Distinct `salt`s decorrelate the sample / repeat / order decisions.
+    * The id is pmod-folded BEFORE the salt lands, so the sum stays below
+    * `FoldMod + salt` and the arithmetic cannot overflow int64 under ANSI
+    * for ANY long id (adding the salt first would overflow at
+    * Long.MaxValue). For non-negative ids the result is identical to
+    * folding after the add — which is what the DuckDB oracles replicate
+    * with sign-preserving `%`; negative ids (none of the engine's id
+    * columns produce them) key deterministically here but diverge from a
+    * plain-`%` oracle, which would need floorMod semantics to match.
     */
   def sampleKey(id: Column, salt: Long, mod: Long): Column =
-    pmod(pmod(id + lit(salt), lit(FoldMod)) * lit(MixA), lit(mod))
+    pmod(pmod(pmod(id, lit(FoldMod)) + lit(salt), lit(FoldMod)) * lit(MixA), lit(mod))
 
   /** Per-stratum integer CASE built driver-side. Strata conditions are
     * disjoint equality tests, so fold order is irrelevant.

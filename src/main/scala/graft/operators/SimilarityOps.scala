@@ -400,6 +400,13 @@ object SimilarityOps {
     * (assignment is a literal-centroid codegen projection) and each cluster
     * directory is corpus/K — the unit a probe scans.
     */
+  /** Age past which a crashed build's `.tmp-` dir is considered cold and
+    * swept by the next build. Generous: a tmp younger than this may be a
+    * CONCURRENT builder's in-flight write, which must not be deleted from
+    * under it.
+    */
+  private[operators] val TmpSweepAgeMs = 60L * 60 * 1000
+
   def buildIvfIndex(
       c: DataFrame,
       indexDir: String,
@@ -417,14 +424,19 @@ object SimilarityOps {
     // on this path, closing the old delete+rename window where a concurrent
     // prober saw no index at all.
     if (ifAbsentOnly && fs.exists(fin)) return
-    // clean stale tmp dirs from crashed builds (unique-suffixed, so a
-    // concurrent build's tmp may also be swept — that build then finds the
-    // published dir and discards, which ifAbsentOnly makes benign)
+    // clean tmp dirs from crashed builds — but only STALE ones (mtime older
+    // than the sweep age): a concurrent builder's in-flight tmp is hot, and
+    // sweeping it would kill that build's parquet write mid-flight with an
+    // IOException rather than letting it survive to the rename step where
+    // losing the race is benign. A crashed build's tmp goes cold and is
+    // collected by whichever build runs after the threshold.
+    val sweepBefore = System.currentTimeMillis() - TmpSweepAgeMs
     val parent = fin.getParent
     if (parent != null && fs.exists(parent))
-      fs.listStatus(parent).map(_.getPath)
-        .filter(_.getName.startsWith(fin.getName + ".tmp-"))
-        .foreach(p => fs.delete(p, true))
+      fs.listStatus(parent).map(s => (s.getPath, s.getModificationTime))
+        .filter { case (p, m) =>
+          p.getName.startsWith(fin.getName + ".tmp-") && m < sweepBefore }
+        .foreach { case (p, _) => fs.delete(p, true) }
     val cents = trainIvfCentroids(c, nClusters, lloydIters, trainSampleMod)
     val tmp = new org.apache.hadoop.fs.Path(
       indexDir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -442,7 +454,20 @@ object SimilarityOps {
         (cid, cv.toSeq, cents.length, cv.length, sizes.getOrElse(cid, 0L)) }
       .toDF("cid", "c", "k", "dim", "n0")
       .coalesce(1).write.parquet(s"${tmp.toString}/centroids")
-    if (!ifAbsentOnly) fs.delete(fin, true)
+    // rebuild publish: retire the live index ASIDE (one metadata rename),
+    // promote the new one, THEN delete the retired copy. The old
+    // delete-then-rename order left probers indexless for the full
+    // recursive delete of a potentially huge dir — exactly on the
+    // refreshIvfIndex retrain path that advertises itself as safe to run
+    // beside a standing index's probes. The rename-swap window is two
+    // metadata ops; a crash between them leaves the data in `.old-` for
+    // manual recovery (never silently dropped), and a crash after the
+    // promote leaves only a redundant `.old-` dir that the post-publish
+    // sweep below (or the next build's) collects.
+    val retired = new org.apache.hadoop.fs.Path(
+      indexDir + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    if (!ifAbsentOnly && fs.exists(fin) && !fs.rename(fin, retired))
+      throw new java.io.IOException(s"index retire failed: $fin -> $retired")
     if (!fs.rename(tmp, fin)) {
       // with ifAbsentOnly a failed rename whose destination exists means a
       // concurrent builder of the same deterministic content won the
@@ -450,6 +475,12 @@ object SimilarityOps {
       if (ifAbsentOnly && fs.exists(fin)) { fs.delete(tmp, true); () }
       else throw new java.io.IOException(s"index publish failed: $tmp -> $fin")
     }
+    // the new index is live: retired generations (ours and any a crashed
+    // predecessor left) are redundant now
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(fin.getName + ".old-"))
+        .foreach(p => fs.delete(p, true))
   }
 
   /** Append new corpus vectors to a PERSISTED index WITHOUT retraining:
@@ -471,8 +502,15 @@ object SimilarityOps {
       .write.mode("append").partitionBy("cid").parquet(s"$indexDir/postings")
   }
 
-  /** Current per-cluster posting counts — metadata-cheap (parquet row
-    * counts come from footers, no data scan).
+  /** Current per-cluster posting counts. Cost model, stated precisely: a
+    * zero-column count scan — Spark's parquet reader decodes NO column
+    * data for `count(1)` (row counts come per batch from the row-group
+    * metadata) but still runs a job that lists and opens every posting
+    * file, so the cost grows with file count, not data volume. A pure
+    * footer-statistics answer would need the V2 aggregate pushdown path
+    * (`spark.sql.parquet.aggregatePushdown`, off by default and V1-exempt)
+    * — worth revisiting if maintenance-loop frequency ever makes this the
+    * bottleneck.
     */
   def clusterSizes(spark: SparkSession, indexDir: String): Map[Int, Long] =
     spark.read.parquet(s"$indexDir/postings")

@@ -803,9 +803,15 @@ object CheckpointStream {
     if (batchDirs.isEmpty ||
       (batchDirs.length <= 1 && retainRowsNewerThanUs.isEmpty)) return
     // ...but an already-consolidated sink where NOTHING has aged out must
-    // not be rewritten on every maintenance run — min(ts_us) is a cheap
-    // footer-statistics aggregate, and min >= cutoff means the retention
-    // filter keeps every row
+    // not be rewritten on every maintenance run — min >= cutoff means the
+    // retention filter keeps every row. Cost model, stated precisely: this
+    // min(ts_us) is a single-column scan of the consolidated generation
+    // (only ts_us decoded, every other column pruned), NOT a pure
+    // parquet-footer read — Spark only answers aggregates from footer
+    // statistics under the V2 aggregate-pushdown path
+    // (spark.sql.parquet.aggregatePushdown, off by default). So the skip
+    // check costs O(generation's ts_us column) per maintenance run; cheap
+    // relative to the rewrite it avoids, but it does grow with sink size.
     for (cut <- retainRowsNewerThanUs if batchDirs.length <= 1) {
       val row = spark.read.parquet(batchDirs.head._2.toString)
         .agg(min(col("ts_us"))).head

@@ -82,22 +82,48 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(q32.nonEmpty && q38a == q32 && q38b == q32)
   }
 
-  test("publish is atomic: a torn tmp build is invisible and a rebuild sweeps it") {
+  test("publish is atomic: a COLD torn tmp is swept, a HOT concurrent tmp survives") {
     val dir = Files.createTempDirectory("graft_ivf_torn_").toString + "/index"
     val c = corpus()
-    // fabricate a crashed build: only a unique-suffixed tmp dir exists
+    // fabricate a crashed build gone cold: a stale unique-suffixed tmp dir
     val torn = new java.io.File(dir + ".tmp-dead/centroids")
     assert(torn.mkdirs())
     Files.writeString(torn.toPath.resolve("garbage"), "not parquet")
+    val cold = System.currentTimeMillis() - SimilarityOps.TmpSweepAgeMs - 60000L
+    assert(new java.io.File(dir + ".tmp-dead").setLastModified(cold))
+    // ...and a HOT tmp — a concurrent builder mid-write; sweeping it would
+    // kill that build's parquet job mid-flight instead of letting it lose
+    // the publish race benignly
+    val hot = new java.io.File(dir + ".tmp-hot")
+    assert(hot.mkdirs())
     intercept[Exception] { // torn build is not loadable as an index
       SimilarityOps.loadIvfCentroids(spark, dir)
     }
     SimilarityOps.buildIvfIndex(c, dir)
     val leftovers = new java.io.File(dir).getParentFile.listFiles
       .map(_.getName).filter(_.startsWith("index.tmp-")).toSeq
-    assert(leftovers.isEmpty, s"tmp residue survived the publish: $leftovers")
+    assert(leftovers == Seq("index.tmp-hot"),
+      s"expected only the hot tmp to survive the publish: $leftovers")
     val k = SimilarityOps.loadIvfCentroids(spark, dir).length
     assert(k == 16, s"rebuilt index has $k centroids")
+    // no retired `.old-` residue after a successful publish either
+    assert(!new java.io.File(dir).getParentFile.listFiles
+      .exists(_.getName.startsWith("index.old-")))
+  }
+
+  test("a rebuild over a live index retires it aside — probers never see an empty path") {
+    val dir = Files.createTempDirectory("graft_ivf_retire_").toString + "/index"
+    val c = corpus()
+    SimilarityOps.buildIvfIndex(c, dir)
+    val before = SimilarityOps.loadIvfCentroids(spark, dir)
+    // in-place rebuild (the refreshIvfIndex retrain path): must promote via
+    // retire-then-rename, never delete-then-rename
+    SimilarityOps.buildIvfIndex(c, dir, lloydIters = 1)
+    val after = SimilarityOps.loadIvfCentroids(spark, dir)
+    assert(before.length == after.length)
+    // the retired generation was cleaned up after the promote
+    assert(!new java.io.File(dir).getParentFile.listFiles
+      .exists(_.getName.startsWith("index.old-")), "retired dir leaked")
   }
 
   test("index cache keys by corpus content, not mtime: a backdated rewrite still re-keys") {
