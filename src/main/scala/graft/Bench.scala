@@ -20,6 +20,16 @@ import java.nio.file.{Files, Paths}
   *     samples of q2 inflated 4.6x while neighbors ran clean);
   *   - failures are recorded per-query and fail the whole run (exit 1) —
   *     a broken query must never bench as fast-and-fine;
+  *   - CACHE HONESTY: queries deliberately share plan-keyed caches (q20
+  *     and q36 share the persisted near-dup pair set), so a query's min
+  *     can be a sibling-populated cache hit rather than its standalone
+  *     cost. The JSON therefore reports, per query, BOTH the min and
+  *     `cold` = the first (chronologically earliest) successful sample —
+  *     within round-robin rep 1 each query runs before any later rep
+  *     warms it, so a large cold/min ratio is exactly the cache-coupling
+  *     signal (q20 cold ~= its standalone cost; its min is the shared
+  *     hit). Read throughput from "queries" (min), cache-free cost from
+  *     "cold";
   *   - the metric JSON is printed on stdout AND written to a file
   *     (SPARK_GRAFT_BENCH_OUT, default ./BENCH.json) so the driver's parser
   *     doesn't depend on scraping sbt's `[info]`-prefixed log lines.
@@ -77,15 +87,19 @@ object Bench {
       case (name, ss) if ss.nonEmpty => (name, ss.min, ss.toSeq) }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // samples append in execution order, so head == the cold (rep-1) run
+    val colds = results.map { case (k, _, s) => "\"" + k + "\":" + s.head }
+      .mkString("{", ",", "}")
     val ss = results.map { case (k, _, s) => "\"" + k + "\":" + s.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val coldTotal = results.map(_._3.head).sum
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val errs = failures.reverse.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"samples":$ss,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
     println(line)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), line + "\n")
