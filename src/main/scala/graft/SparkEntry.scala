@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SessionOps, SimilarityOps, SkewOps, TextOps}
+import graft.operators.{CurateOps, DedupOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SessionOps, SimilarityOps, SkewOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,8 @@ object SparkEntry {
     "q41_stratified_sample" -> (SampleOps.q41StratifiedSample(_, _)),
     "q42_weighted_mix"  -> (SampleOps.q42WeightedMix(_, _)),
     "q43_decode_features" -> (MultimodalOps.q43DecodeFeatures(_, _)),
+    "q44_pii_redact"    -> (TextOps.q44PiiRedact(_, _)),
+    "q45_curate"        -> (CurateOps.q45Curate(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -448,5 +450,70 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 128 END AS wav_samples
         |FROM documents WHERE doc_id % 3 < 2
         |ORDER BY asset_id""".stripMargin,
+    // PII injection is pure string arithmetic both engines build
+    // identically; redaction order (emails, then IPs) is mirrored, and the
+    // sha256 over the redacted text makes any single-byte divergence fail
+    "q44_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, t,
+        |        regexp_replace(regexp_replace(t,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS red
+        |      FROM t)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  sha256(red) AS redacted_sha,
+        |  length(red) AS n_chars_redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // the composed curation: quality (q19 stats, integer cross-product
+    // thresholds) → near-dup canonical representatives (q20/q36 fragments
+    // over the QUALITY SURVIVORS) → decontamination (q40 fragment) →
+    // deterministic stratified sample (q41 arithmetic)
+    "q45_curate" ->
+      """WITH RECURSIVE
+        |base AS (
+        |  SELECT doc_id, text, lang, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |q AS (SELECT * FROM base WHERE n_tokens >= 10 AND n_distinct * 100 >= n_tokens * 30),
+        |w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |      WHERE doc_id IN (SELECT doc_id FROM q)),
+        |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM w)),
+        |ds AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM p0 JOIN ds x ON x.doc_id = da JOIN ds y ON y.doc_id = db
+        |          WHERE inter::double / (x.n + y.n - inter) >= 0.9),
+        |nodes AS (SELECT DISTINCT da AS n FROM pairs UNION SELECT DISTINCT db FROM pairs),
+        |edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+        |labels AS (SELECT s AS doc_id, min(t) AS group_id FROM reach GROUP BY s),
+        |dd AS (SELECT * FROM q WHERE doc_id NOT IN
+        |        (SELECT doc_id FROM labels WHERE group_id < doc_id)),
+        |w5 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh5 AS (SELECT DISTINCT doc_id,
+        |          w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS s
+        |        FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i FROM w5)),
+        |ev AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 20 = 0),
+        |contaminated AS (SELECT DISTINCT sh5.doc_id FROM sh5 JOIN ev USING (s)
+        |                 WHERE doc_id % 20 <> 0),
+        |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT doc_id, lang, source, n_tokens FROM clean
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 10000 <
+        |  (CASE WHEN lang = 'en' THEN 8000 WHEN lang = 'zh' THEN 2500 ELSE 5000 END)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed pipeline a training-data team
+  * actually runs before a corpus goes near a tokenizer, assembled from the
+  * engine's individually-verified stages:
+  *
+  *   1. QUALITY filter (q19's statistics): minimum token count and a
+  *      minimum distinct-token ratio (the repetition/boilerplate cut).
+  *      Thresholds compare as integer cross-products (`distinct * 10 >=
+  *      tokens * 3`), never as floats, so the oracle matches exactly.
+  *   2. NEAR-DUP resolution (q20/q36's pair set + connected components):
+  *      only each duplicate group's canonical representative (minimum
+  *      doc_id) survives; singletons pass untouched.
+  *   3. DECONTAMINATION (q40): any document sharing a 5-gram shingle with
+  *      the held-out eval set is dropped — train/test leakage is the one
+  *      defect a later stage cannot repair.
+  *   4. STRATIFIED SAMPLE (q41): deterministic per-language keep rates via
+  *      integer multiply-mod keying — replayable, RNG-free.
+  *
+  * Scale shape (100 TB): stage 1 is a codegen filter at scan speed; stage
+  * 2 is the banded LSH candidate join (never all-pairs) plus label
+  * propagation over the tiny above-threshold pair set; stage 3 is a
+  * broadcast semi-join (eval shingles are small by construction — the held
+  * -out set is benchmarks, not corpora); stage 4 is a pure filter. The
+  * composition adds NO shuffle beyond what its stages already pay, and the
+  * stage order is deliberate: each stage shrinks the corpus the next one
+  * scans, with the cheapest cuts first.
+  *
+  * Composition is oracle-checked end-to-end as q45 (the four stages'
+  * verified DuckDB fragments chained as CTEs), not just stage-by-stage:
+  * a composition bug (wrong column threaded, wrong anti-join side) would
+  * pass four stage oracles and still corrupt the corpus.
+  */
+object CurateOps {
+
+  /** Curate `docs` against the held-out `evalSet`. Returns the surviving
+    * rows as (doc_id, lang, source, n_tokens).
+    */
+  def curate(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      minTokens: Int = 10,
+      minDistinctPct: Int = 30,
+      rates: Map[String, Double] = Map("en" -> 0.8, "zh" -> 0.25),
+      defaultRate: Double = 0.5,
+      threshold: Double = 0.9): DataFrame = {
+    require(minDistinctPct >= 0 && minDistinctPct <= 100)
+    val tokens = split(col("text"), " ")
+    // 1. quality: integer cross-product comparison, float-free
+    val quality = docs
+      .withColumn("n_tokens", size(tokens))
+      .withColumn("n_distinct", size(array_distinct(tokens)))
+      .filter(col("n_tokens") >= minTokens &&
+        col("n_distinct") * 100 >= col("n_tokens") * minDistinctPct)
+    // 2. near-dup groups over the quality survivors; non-canonical members
+    // (label < own id) are dropped via a broadcast-friendly anti-join —
+    // the non-canonical set is bounded by the pair count, not the corpus
+    val pairs = DedupOps.minhashNearDup(quality, threshold).persist()
+    val nonCanonical = DedupOps.dedupGroups(pairs)
+      .filter(col("group_id") < col("doc_id"))
+      .select(col("doc_id"))
+    val deduped = quality.join(nonCanonical, Seq("doc_id"), "left_anti")
+    // 3. decontamination: keep only zero-overlap documents
+    val kept = DedupOps.decontaminate(deduped, evalSet)
+      .filter(col("keep")).select(col("doc_id"))
+    val clean = deduped.join(kept, Seq("doc_id"))
+    // 4. deterministic stratified sample
+    SampleOps.stratifiedSample(clean, "lang", "doc_id", rates, defaultRate)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+  }
+
+  /** q45: the composed curation over the documents corpus, with the
+    * `doc_id % 20 == 0` rows as the held-out eval set (q40's convention)
+    * and q41's sampling rates. Every stage is ACTIVE on this corpus: the
+    * distinct-ratio cut drops low-vocabulary documents, the corpus holds
+    * real near-dup groups (q20), eval 5-gram collisions exist (q40), and
+    * the sample removes its complement.
+    */
+  def q45Curate(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    curate(
+      all.filter(col("doc_id") % 20 =!= 0),
+      all.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"))
+  }
+}

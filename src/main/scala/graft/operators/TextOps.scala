@@ -115,6 +115,61 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII patterns, restricted to the regex subset Java (Spark) and RE2
+    * (DuckDB) interpret identically — same cross-engine discipline as
+    * `BpeTokenPattern` — so redaction is oracle-checkable end-to-end.
+    * Deliberately high-recall/simple: production pipelines layer stricter
+    * validators behind the cheap regex pass; the expensive part at 100 TB
+    * is the scan, and this stays one codegen'd projection.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails and IPv4 literals to placeholder tokens. Emails first:
+    * an address's local part can contain digit runs an IP-ish pattern
+    * could clip if it ran ahead.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Per-document PII counts (the audit signal that decides whether a
+    * source needs redaction at all).
+    */
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(EmailPattern)).cast("long"),
+      regexp_count(text, lit(Ipv4Pattern)).cast("long"))
+
+  /** q44: PII redaction, oracle-checked end-to-end. The corpus itself is
+    * synthetic prose with no PII, so the operator's effect would be
+    * vacuous over raw `text`; instead deterministic PII is INJECTED as
+    * pure string arithmetic on doc_id (both engines build the identical
+    * string), then counted and redacted — the oracle verifies counts, the
+    * redacted sha256, and the redacted length, so a divergent replacement
+    * of even one byte fails the hash.
+    */
+  def q44PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+    val (emails, ips) = piiCounts(col("t"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("t"))
+      .select(
+        col("doc_id"),
+        emails.as("n_emails"),
+        ips.as("n_ips"),
+        sha2(redactPii(col("t")), 256).as("redacted_sha"),
+        length(redactPii(col("t"))).cast("long").as("n_chars_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling k-gram hashes of a text column (positional) — native
     * single-pass expression over the UTF-8 bytes.
     */

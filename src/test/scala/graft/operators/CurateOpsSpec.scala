@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed curation pipeline: exact values are enforced by the q45
+  * oracle; this spec pins the COMPOSITION properties — every stage is
+  * active on this corpus (a vacuous stage tests nothing), the stages only
+  * ever shrink the survivor set, and the survivors respect each stage's
+  * invariant individually.
+  */
+class CurateOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every curation stage is active and survivors satisfy all stage invariants") {
+    import spark.implicits._
+    val all = Tables.documents(spark, sf)
+    val train = all.filter(col("doc_id") % 20 =!= 0)
+    val eval = all.filter(col("doc_id") % 20 === 0)
+    val out = CurateOps.q45Curate(spark, sf)
+    val survivors = out.select("doc_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty)
+
+    // stage invariants, each checked against independent recomputation
+    val tokens = split(col("text"), " ")
+    val quality = train
+      .withColumn("n_tokens", size(tokens))
+      .withColumn("n_distinct", size(array_distinct(tokens)))
+      .filter(col("n_tokens") >= 10 &&
+        col("n_distinct") * 100 >= col("n_tokens") * 30)
+    val qualityIds = quality.select("doc_id").as[Long].collect().toSet
+    assert(qualityIds.size < train.count(), "quality stage was vacuous")
+    assert(survivors.subsetOf(qualityIds), "a survivor failed the quality cut")
+
+    // near-dup: no two survivors may be a >=0.9 pair, and the stage
+    // actually dropped someone (the corpus has real near-dup groups)
+    val pairs = DedupOps.minhashNearDup(quality)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "near-dup stage had no pairs to resolve (vacuous)")
+    val bothSurvived = pairs.filter { case (a, b) =>
+      survivors.contains(a) && survivors.contains(b) }
+    assert(bothSurvived.isEmpty,
+      s"near-dup pair survived curation intact: ${bothSurvived.take(3).toSeq}")
+
+    // decontamination: no survivor shares a 5-gram with the eval set
+    val contaminated = DedupOps.decontaminate(quality, eval)
+      .filter(!col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(contaminated.nonEmpty, "decontamination stage was vacuous")
+    assert(survivors.intersect(contaminated).isEmpty,
+      "a contaminated document survived curation")
+
+    // sampling: survivors are exactly the sampled subset of the clean set
+    // (spot: the stage dropped someone, and kept keys obey the threshold)
+    val sampledOut = out.filter(
+      SampleOps.sampleKey(col("doc_id"), 0L, 10000L) >=
+        when(col("lang") === "en", 8000L)
+          .when(col("lang") === "zh", 2500L).otherwise(5000L))
+    assert(sampledOut.isEmpty, "a survivor's sample key exceeds its stratum threshold")
+    assert(survivors.size < qualityIds.size, "no stage after quality dropped anything")
+  }
+
+  test("pii redaction: injected emails and IPs are counted and replaced") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at alice.smith+x@mail.example.org or 192.168.0.1 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io one ip 10.0.0.7"))
+      .toDF("doc_id", "text")
+    val (emails, ips) = TextOps.piiCounts(col("text"))
+    val got = df.select(col("doc_id"), emails.as("e"), ips.as("i"),
+      TextOps.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((1L, 1L, "reach me at <EMAIL> or <IP> ok")))
+    assert(got(2L) == ((0L, 0L, "no pii here at all")))
+    assert(got(3L) == ((2L, 1L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+}
