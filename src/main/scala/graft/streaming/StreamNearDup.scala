@@ -36,12 +36,15 @@ import java.nio.charset.StandardCharsets
   * catalog entry is metadata only (the in-memory catalog is re-populated
   * from the filesystem via RECOVER PARTITIONS on restart); the on-disk
   * truth stays `indexDir/bands/batch_id=N`. The `sets/` verification side
-  * stays a plain per-batch parquet layout: it is joined against the tiny
-  * candidate set, which AQE broadcasts, so the heavy shingle rows are
-  * scanned but never shuffled.
+  * is hash-PARTITIONED into `doc_bucket=` dirs (`setsBuckets`,
+  * version-stable `CheckpointStream.bucketOf` mix): the flags step
+  * collects the candidates' touched buckets (≤ setsBuckets small ints)
+  * and partition-prunes the sets read to exactly those dirs, so per-batch
+  * verification I/O is O(touched buckets × bucket size) — neither side of
+  * the guard reads or shuffles O(corpus) per micro-batch.
   *
   * Replay discipline (all via `_SUCCESS` first-write-wins):
-  *  - index reads consider only COMMITTED batch dirs for `sets/`; the
+  *  - `sets/` reads consider only COMMITTED batch dirs; the
   *    `bands/` table may additionally surface a torn append's complete
   *    task files, which is safe: band entries only ever GENERATE
   *    candidates (deduplicated by `distinct`), and the marker protocol
@@ -91,9 +94,19 @@ object StreamNearDup {
     */
   val DefaultBandBuckets = 32
 
+  /** Default hash-partition count for the `sets/` verification store (the
+    * `doc_bucket=` directory layout). Sized like the session sink's
+    * buckets: a flags step reads only the buckets its candidates' `dup_of`
+    * ids hash into, so per-batch verification I/O is
+    * O(touched buckets × bucket size), not O(corpus).
+    */
+  val DefaultSetsBuckets = 64
+
   private def lshManifestJson(
-      minhashK: Int, bands: Int, rowsPerBand: Int, bandBuckets: Int): String =
-    s"""{"minhashK":$minhashK,"bands":$bands,"rowsPerBand":$rowsPerBand,"bandBuckets":$bandBuckets}"""
+      minhashK: Int, bands: Int, rowsPerBand: Int,
+      bandBuckets: Int, setsBuckets: Int): String =
+    s"""{"minhashK":$minhashK,"bands":$bands,"rowsPerBand":$rowsPerBand,""" +
+      s""""bandBuckets":$bandBuckets,"setsBuckets":$setsBuckets}"""
 
   /** Stamp-or-verify the index's LSH parameter manifest (crash-atomic
     * temp+rename; the same guard discipline as the sink's
@@ -108,9 +121,9 @@ object StreamNearDup {
   private def checkLshManifest(
       fs: FileSystem, indexDir: Path,
       minhashK: Int, bands: Int, rowsPerBand: Int, bandBuckets: Int,
-      stampIfAbsent: Boolean = true): Unit = {
+      setsBuckets: Int, stampIfAbsent: Boolean = true): Unit = {
     val mf = new Path(indexDir, "_lsh.json")
-    val expected = lshManifestJson(minhashK, bands, rowsPerBand, bandBuckets)
+    val expected = lshManifestJson(minhashK, bands, rowsPerBand, bandBuckets, setsBuckets)
     def verify(): Unit = {
       val buf = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
       val in = fs.open(mf)
@@ -254,6 +267,56 @@ object StreamNearDup {
       .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
       .distinct()
 
+  /** Append one micro-batch's shingle sets as a new `batch_id` generation,
+    * hash-partitioned into `doc_bucket=` dirs (`CheckpointStream.bucketOf`
+    * — the engine's version-stable mix, so the layout is a pure function
+    * of doc_id forever). Same first-write-wins overwrite semantics as
+    * `appendDiffs`: a replayed committed batch skips, a torn one is
+    * rewritten whole.
+    */
+  private def appendSets(
+      hashed: DataFrame, indexDir: String, batchId: Long, setsBuckets: Int): Unit = {
+    val dir = new Path(s"$indexDir/sets/batch_id=$batchId")
+    val fs = dir.getFileSystem(hashed.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dir, "_SUCCESS"))) return
+    hashed.select(col("doc_id"), col("hs"))
+      .withColumn("doc_bucket", CheckpointStream.bucketOf(col("doc_id"), setsBuckets))
+      .write.mode("overwrite").partitionBy("doc_bucket").parquet(dir.toString)
+  }
+
+  /** The committed `sets/` rows for EXACTLY the candidates' `dup_of`
+    * buckets — the verification side of the flags step. `cand` must be
+    * small and is consulted twice (bucket list + join), so callers pass it
+    * persisted. The touched-bucket list is ≤ `setsBuckets` small ints (the
+    * upsert sink's O(buckets) collect discipline), pushed into the scan as
+    * a `doc_bucket` partition filter: per-batch verification I/O is
+    * O(touched buckets × bucket size), never O(corpus) — without this the
+    * sets side was the guard's remaining grows-with-corpus-age per-batch
+    * read (plan-asserted in StreamNearDupSpec).
+    */
+  private[streaming] def prunedSets(
+      spark: SparkSession, fs: FileSystem, indexDir: String,
+      cand: DataFrame, setsBuckets: Int): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Long])].toDF("doc_id", "hs")
+    committedDirs(fs, indexDir, "sets") match {
+      case Seq() => empty
+      case dirs =>
+        val touched = cand
+          .select(CheckpointStream.bucketOf(col("dup_of"), setsBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        if (touched.isEmpty) empty
+        else spark.read
+          // one basePath: the committed batch dirs are multiple read
+          // roots, and per-root partition inference of their doc_bucket=
+          // children would otherwise see conflicting structures
+          .option("basePath", s"$indexDir/sets")
+          .parquet(dirs: _*)
+          .filter(col("doc_bucket").isin(touched.map(Int.box): _*))
+          .select(col("doc_id"), col("hs"))
+    }
+  }
+
   /** Probe the standing index WITHOUT ingesting: near-dup flags for `docs`
     * against the committed index state only (no within-docs pairs, no
     * appends, nothing written on disk — an absent or empty index probes
@@ -269,12 +332,13 @@ object StreamNearDup {
       minhashK: Int = 48,
       bands: Int = 16,
       rowsPerBand: Int = 3,
-      bandBuckets: Int = DefaultBandBuckets): DataFrame = {
+      bandBuckets: Int = DefaultBandBuckets,
+      setsBuckets: Int = DefaultSetsBuckets): DataFrame = {
     import spark.implicits._
     val idxPath = new Path(indexDir)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     checkLshManifest(fs, idxPath, minhashK, bands, rowsPerBand, bandBuckets,
-      stampIfAbsent = false)
+      setsBuckets, stampIfAbsent = false)
     val bandDirs = committedDirs(fs, indexDir, "bands")
     val setDirs = committedDirs(fs, indexDir, "sets")
     val hashed = DedupOps.hashedShingleSets(docs)
@@ -282,9 +346,13 @@ object StreamNearDup {
       return Seq.empty[(Long, Long, Double)].toDF("doc_id", "dup_of", "jac")
     ensureBandsTable(spark, indexDir, bandBuckets)
     val bandsDf = DedupOps.bandedDocIds(hashed, minhashK, bands, rowsPerBand)
-    indexCandidates(spark, indexDir, bandsDf)
+    // persisted: the candidate set is consulted twice (touched-bucket list
+    // + verification join) and is tiny (pairs, not corpus); the cache slot
+    // is plan-keyed, so repeated probes reuse it (q36's documented pattern)
+    val cand = indexCandidates(spark, indexDir, bandsDf).persist()
+    cand
       .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
-      .join(spark.read.parquet(setDirs: _*)
+      .join(prunedSets(spark, fs, indexDir, cand, setsBuckets)
         .select(col("doc_id").as("dup_of"), col("hs").as("hs_a")), Seq("dup_of"))
       .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= threshold)
@@ -382,11 +450,13 @@ object StreamNearDup {
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
       schemaHint: Option[StructType] = None,
-      bandBuckets: Int = DefaultBandBuckets): StreamingQuery = {
+      bandBuckets: Int = DefaultBandBuckets,
+      setsBuckets: Int = DefaultSetsBuckets): StreamingQuery = {
     require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal minhashK")
     val idxPath = new Path(indexDir)
     val idxFs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    checkLshManifest(idxFs, idxPath, minhashK, bands, rowsPerBand, bandBuckets)
+    checkLshManifest(idxFs, idxPath, minhashK, bands, rowsPerBand, bandBuckets,
+      setsBuckets)
     checkIndexOwnership(spark, idxFs, indexDir, checkpointDir)
     ensureBandsTable(spark, indexDir, bandBuckets)
     val raw = spark.readStream
@@ -403,14 +473,6 @@ object StreamNearDup {
         val fs = idxPath.getFileSystem(hconf)
         // sink and index may live on different filesystems
         val sinkFs = new Path(sinkDir).getFileSystem(hconf)
-        // the sets side reads COMMITTED batch dirs only: existence of the
-        // parent (or a torn `_temporary` residue from a crashed append)
-        // must not be read
-        def idxSets(empty: => DataFrame): DataFrame =
-          committedDirs(fs, indexDir, "sets") match {
-            case Seq() => empty
-            case dirs  => sp.read.parquet(dirs: _*)
-          }
         // shared head with the batch operator: same shingles, same hashes,
         // same signature/band derivation
         val hashed = DedupOps.hashedShingleSets(batch).persist()
@@ -431,30 +493,34 @@ object StreamNearDup {
                   col("a.band_key") === col("b.band_key") &&
                     col("a.doc_id") < col("b.doc_id"))
                 .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
-              val cand = seenCand.unionByName(withinCand).distinct()
-              // verification: the candidate set is tiny (AQE broadcasts
-              // it), so the heavy shingle-set rows are scanned, never
-              // shuffled
-              val setsAll = idxSets(Seq.empty[(Long, Array[Long])].toDF("doc_id", "hs"))
-                .select(col("doc_id"), col("hs"))
-                .unionByName(hashed.select(col("doc_id"), col("hs")))
-              val flagged = cand
-                .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
-                .join(setsAll.select(col("doc_id").as("dup_of"), col("hs").as("hs_a")),
-                  Seq("dup_of"))
-                .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
-                .filter(col("jac") >= threshold)
-                .select(col("doc_id"), col("dup_of"), col("jac"))
-                .persist()
+              // persisted: consulted twice (touched-bucket list + join);
+              // bounded by the candidate count, not the corpus
+              val cand = seenCand.unionByName(withinCand).distinct().persist()
               try {
-                // commit order is load-bearing — see the replay discipline
-                if (!flagged.isEmpty)
-                  CheckpointStream.appendDiffs(flagged, sinkDir, batchId)
-                commitFlagsMarker(sinkFs, sinkDir, batchId)
-              } finally { flagged.unpersist(); () }
+                // verification reads ONLY the candidates' doc_buckets of
+                // the committed sets store (prunedSets), plus the arriving
+                // batch's own in-memory sets; the candidate side is tiny
+                // (AQE broadcasts it), so the heavy shingle-set rows are
+                // neither fully scanned nor shuffled
+                val setsAll = prunedSets(sp, fs, indexDir, cand, setsBuckets)
+                  .unionByName(hashed.select(col("doc_id"), col("hs")))
+                val flagged = cand
+                  .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
+                  .join(setsAll.select(col("doc_id").as("dup_of"), col("hs").as("hs_a")),
+                    Seq("dup_of"))
+                  .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
+                  .filter(col("jac") >= threshold)
+                  .select(col("doc_id"), col("dup_of"), col("jac"))
+                  .persist()
+                try {
+                  // commit order is load-bearing — see the replay discipline
+                  if (!flagged.isEmpty)
+                    CheckpointStream.appendDiffs(flagged, sinkDir, batchId)
+                  commitFlagsMarker(sinkFs, sinkDir, batchId)
+                } finally { flagged.unpersist(); () }
+              } finally { cand.unpersist(); () }
             }
-            CheckpointStream.appendDiffs(
-              hashed.select(col("doc_id"), col("hs")), s"$indexDir/sets", batchId)
+            appendSets(hashed, indexDir, batchId, setsBuckets)
             appendBands(sp, bandsDf, indexDir, batchId, bandBuckets)
           } finally { bandsDf.unpersist(); () }
         } finally { hashed.unpersist(); () }

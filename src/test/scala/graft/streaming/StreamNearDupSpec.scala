@@ -132,6 +132,29 @@ class StreamNearDupSpec extends AnyFunSuite {
       assert(exchanges == 2,
         s"expected only the arriving batch's shuffle + the candidate distinct, " +
           s"found $exchanges:\n$plan")
+
+      // ...and the sets verification read is partition-pruned to the
+      // candidates' doc_buckets: without the pushed filter every batch
+      // re-reads the whole O(corpus) shingle-set store
+      import spark.implicits._
+      val fs = new org.apache.hadoop.fs.Path(s"$base/index")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cand = Seq((1L, 99L)).toDF("dup_of", "doc_id")
+      val pruned = StreamNearDup.prunedSets(spark, fs, s"$base/index", cand,
+        StreamNearDup.DefaultSetsBuckets)
+      val setsPlan = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*doc_bucket".r.findFirstIn(setsPlan).isDefined,
+        s"sets read is not partition-pruned:\n$setsPlan")
+      // the pruned read returns doc 1's set (plus at most its bucket
+      // neighbors — pruning is per bucket, not per id)
+      val got = pruned.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.contains(1L), s"pruned sets lost the candidate's set: $got")
+      val bucketOfDoc = spark.range(3).toDF("doc_id")
+        .select(col("doc_id"),
+          CheckpointStream.bucketOf(col("doc_id"), StreamNearDup.DefaultSetsBuckets))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got.forall(id => bucketOfDoc.getOrElse(id, -1) == bucketOfDoc(1L)),
+        s"pruned read surfaced a foreign bucket: $got")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
