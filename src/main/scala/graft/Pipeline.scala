@@ -171,7 +171,11 @@ object Pipeline {
     spark.read.parquet(s"${config.workDir}/sessions_enriched")
   }
 
-  /** CLI: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir] */
+  /** CLI: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir]
+    * Optional env: SPARK_GRAFT_DOC_FEED (documents feed for the near-dup
+    * guard), SPARK_GRAFT_NEARDUP_KEEP (index retention in generations),
+    * SPARK_GRAFT_DIFF_RETENTION_MS (diff-sink event-time retention).
+    */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -193,7 +197,11 @@ object Pipeline {
       cdcFeedDir = args(0),
       ideFeedDir = args.lift(2),
       reportDir = args.lift(3),
-      workDir = args(1)))
+      workDir = args(1),
+      diffRetention = sys.env.get("SPARK_GRAFT_DIFF_RETENTION_MS")
+        .map(ms => java.time.Duration.ofMillis(ms.toLong)),
+      docFeedDir = sys.env.get("SPARK_GRAFT_DOC_FEED"),
+      nearDupKeepBatches = sys.env.get("SPARK_GRAFT_NEARDUP_KEEP").map(_.toInt)))
     println(s"[pipeline] enriched sessions: ${out.count()}")
     val diffCount =
       try spark.read.parquet(s"${args(1)}/diffs_cdc").count()

@@ -70,6 +70,7 @@ object SparkEntry {
     "q43_decode_features" -> (MultimodalOps.q43DecodeFeatures(_, _)),
     "q44_pii_redact"    -> (TextOps.q44PiiRedact(_, _)),
     "q45_curate"        -> (CurateOps.q45Curate(_, _)),
+    "q46_resize"        -> (MultimodalOps.q46Resize(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -515,5 +516,18 @@ object SparkEntry {
         |WHERE ((doc_id % 1000000007) * 2654435761) % 10000 <
         |  (CASE WHEN lang = 'en' THEN 8000 WHEN lang = 'zh' THEN 2500 ELSE 5000 END)
         |ORDER BY doc_id""".stripMargin,
+    // nearest-neighbor resample of a constant-color BMP preserves channel
+    // means exactly; target dims are constants and the re-encoded payload
+    // length is 54 + padded-row*height = 54 + 48*12 for 16x12 at 24 bpp
+    "q46_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  630::BIGINT AS n_bytes,
+        |  16::BIGINT AS width,
+        |  12::BIGINT AS height,
+        |  doc_id % 256 AS mean_b,
+        |  (doc_id * 7) % 256 AS mean_g,
+        |  (doc_id * 13) % 256 AS mean_r
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY asset_id""".stripMargin,
   )
 }

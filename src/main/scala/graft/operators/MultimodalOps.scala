@@ -463,6 +463,40 @@ object MultimodalOps {
       .orderBy(col("asset_id"))
   }
 
+  /** q46: the resize kernel, oracle-checked end-to-end over the decodable
+    * image assets: resample each constant-color BMP to a fixed target,
+    * decode the RESIZED payload, and expose its header/content values.
+    * Nearest-neighbor resampling of a constant-color image preserves the
+    * channel means exactly, the target dims are constants, and the
+    * re-encoded payload length is pure arithmetic (54 + padded-row × h) —
+    * so the oracle sees the whole decode → resample → re-encode → decode
+    * loop without owning a codec.
+    */
+  def q46Resize(spark: SparkSession, dir: String): DataFrame = {
+    val targetW = 16
+    val targetH = 12
+    val imgs = decodableAssets(spark, dir).toDF()
+      .filter(col("media_type") === "image")
+      .select(col("asset_id"), col("media_type"), col("payload"),
+        (lit(8) + col("asset_id") % 16).cast("int").as("width"),
+        (lit(8) + (col("asset_id") * 3) % 16).cast("int").as("height"),
+        lit("bmp").as("format"))
+    val resized = resize(imgs, targetW, targetH)
+    val feats = extractFeatures(spark, resized).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    resized.select(col("asset_id"), octet_length(col("payload")).as("n_bytes"))
+      .join(feats, Seq("asset_id"))
+      .select(
+        col("asset_id"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        round(f(1)).cast("long").as("width"),
+        round(f(2)).cast("long").as("height"),
+        round(f(3) * 255).cast("long").as("mean_b"),
+        round(f(4) * 255).cast("long").as("mean_g"),
+        round(f(5) * 255).cast("long").as("mean_r"))
+      .orderBy(col("asset_id"))
+  }
+
   /** q26: per-frame byte accounting for the video subset — frame boundaries
     * are pure arithmetic, so the oracle can verify every frame length.
     */
