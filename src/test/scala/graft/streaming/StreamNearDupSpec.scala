@@ -187,6 +187,39 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(!q2.isActive)
   }
 
+  test("engine restart: catalog loss is re-derived from the filesystem, stream resumes") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sneardup_restart_").toString
+    Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/feed/c0")
+    val q = StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    // simulate an engine restart: the in-memory catalog entry is gone but
+    // the on-disk index survives — ensureBandsTable must re-register it
+    // (CREATE + RECOVER PARTITIONS) instead of reading an empty table
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamNearDup.bandsTableName(s"$base/index")}")
+    // a new near-copy arrives after the restart; resuming from the SAME
+    // checkpoint must flag it against the pre-restart document
+    Seq((2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/feed/c1")
+    val q2 = StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q2.awaitTermination(120000L)
+    assert(!q2.isActive)
+    val flags = spark.read.parquet(s"$base/flags")
+      .select("doc_id", "dup_of").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set((2L, 1L)),
+      s"post-restart batch did not flag against the pre-restart index: $flags")
+    // and the probe path re-derives the catalog entry the same way
+    spark.sql(s"DROP TABLE IF EXISTS ${StreamNearDup.bandsTableName(s"$base/index")}")
+    val probed = StreamNearDup.probeIndex(spark, s"$base/index",
+      Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"))
+      .select("dup_of").collect().map(_.getLong(0)).toSet
+    assert(probed == Set(1L, 2L), s"probe after catalog loss saw $probed")
+  }
+
   test("index retention GC drops oldest generations in lockstep; probe respects the window") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sneardup_gc_").toString
