@@ -39,6 +39,14 @@ object CurateOps {
 
   /** Curate `docs` against the held-out `evalSet`. Returns the surviving
     * rows as (doc_id, lang, source, n_tokens).
+    *
+    * `pairCorpus`: the corpus the near-dup pair set is computed over
+    * (defaults to `docs`). Jaccard is pairwise, so restricting a LARGER
+    * corpus's pair set to quality-survivor endpoints yields exactly the
+    * induced subgraph — identical components, identical canonicals.
+    * Passing the FULL table here lets the persisted pair set share its
+    * plan-keyed cache slot with q20/q36 (one LSH materialization serves
+    * the audit, the resolution, AND the curation).
     */
   def curate(
       docs: DataFrame,
@@ -47,7 +55,8 @@ object CurateOps {
       minDistinctPct: Int = 30,
       rates: Map[String, Double] = Map("en" -> 0.8, "zh" -> 0.25),
       defaultRate: Double = 0.5,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9,
+      pairCorpus: Option[DataFrame] = None): DataFrame = {
     require(minDistinctPct >= 0 && minDistinctPct <= 100)
     val tokens = split(col("text"), " ")
     // 1. quality: integer cross-product comparison, float-free
@@ -56,10 +65,16 @@ object CurateOps {
       .withColumn("n_distinct", size(array_distinct(tokens)))
       .filter(col("n_tokens") >= minTokens &&
         col("n_distinct") * 100 >= col("n_tokens") * minDistinctPct)
-    // 2. near-dup groups over the quality survivors; non-canonical members
-    // (label < own id) are dropped via a broadcast-friendly anti-join —
-    // the non-canonical set is bounded by the pair count, not the corpus
-    val pairs = DedupOps.minhashNearDup(quality, threshold).persist()
+    // 2. near-dup groups over the quality survivors (induced subgraph of
+    // the pair-corpus graph); non-canonical members (label < own id) are
+    // dropped via a broadcast-friendly anti-join — the non-canonical set
+    // is bounded by the pair count, not the corpus
+    val allPairs = DedupOps
+      .minhashNearDup(pairCorpus.getOrElse(quality), threshold).persist()
+    val ids = quality.select(col("doc_id"))
+    val pairs = allPairs
+      .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     val nonCanonical = DedupOps.dedupGroups(pairs)
       .filter(col("group_id") < col("doc_id"))
       .select(col("doc_id"))
@@ -84,7 +99,10 @@ object CurateOps {
     val all = Tables.documents(spark, dir)
     curate(
       all.filter(col("doc_id") % 20 =!= 0),
-      all.filter(col("doc_id") % 20 === 0))
+      all.filter(col("doc_id") % 20 === 0),
+      // full-corpus pair set == q20/q36's analyzed plan → one shared
+      // LSH materialization across audit, resolution and curation
+      pairCorpus = Some(all))
       .orderBy(col("doc_id"))
   }
 }

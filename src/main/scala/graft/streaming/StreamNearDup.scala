@@ -452,13 +452,8 @@ object StreamNearDup {
       schemaHint: Option[StructType] = None,
       bandBuckets: Int = DefaultBandBuckets,
       setsBuckets: Int = DefaultSetsBuckets): StreamingQuery = {
-    require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal minhashK")
-    val idxPath = new Path(indexDir)
-    val idxFs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    checkLshManifest(idxFs, idxPath, minhashK, bands, rowsPerBand, bandBuckets,
-      setsBuckets)
-    checkIndexOwnership(spark, idxFs, indexDir, checkpointDir)
-    ensureBandsTable(spark, indexDir, bandBuckets)
+    prepareIndex(spark, indexDir, checkpointDir,
+      minhashK, bands, rowsPerBand, bandBuckets, setsBuckets)
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(spark.read.parquet(sourceDir).schema))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -467,65 +462,99 @@ object StreamNearDup {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        import sp.implicits._
-        val hconf = sp.sparkContext.hadoopConfiguration
-        val fs = idxPath.getFileSystem(hconf)
-        // sink and index may live on different filesystems
-        val sinkFs = new Path(sinkDir).getFileSystem(hconf)
-        // shared head with the batch operator: same shingles, same hashes,
-        // same signature/band derivation
-        val hashed = DedupOps.hashedShingleSets(batch).persist()
-        try {
-          val bandsDf = DedupOps.bandedDocIds(hashed, minhashK, bands, rowsPerBand)
-            .persist()
-          try {
-            // the marker gates the WHOLE flags step: a replayed batch must
-            // neither recompute flags against an index that already holds
-            // its own entries (jaccard-1.0 self-duplicates) nor pay the
-            // candidate join again
-            if (!sinkFs.exists(flagsMarker(sinkDir, batchId))) {
-              // earlier-seen candidates (bucketed index scan — no shuffle
-              // on the standing side) + earlier-in-batch candidates
-              val seenCand = indexCandidates(sp, indexDir, bandsDf)
-              val withinCand = bandsDf.as("a")
-                .join(bandsDf.as("b"),
-                  col("a.band_key") === col("b.band_key") &&
-                    col("a.doc_id") < col("b.doc_id"))
-                .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
-              // persisted: consulted twice (touched-bucket list + join);
-              // bounded by the candidate count, not the corpus
-              val cand = seenCand.unionByName(withinCand).distinct().persist()
-              try {
-                // verification reads ONLY the candidates' doc_buckets of
-                // the committed sets store (prunedSets), plus the arriving
-                // batch's own in-memory sets; the candidate side is tiny
-                // (AQE broadcasts it), so the heavy shingle-set rows are
-                // neither fully scanned nor shuffled
-                val setsAll = prunedSets(sp, fs, indexDir, cand, setsBuckets)
-                  .unionByName(hashed.select(col("doc_id"), col("hs")))
-                val flagged = cand
-                  .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
-                  .join(setsAll.select(col("doc_id").as("dup_of"), col("hs").as("hs_a")),
-                    Seq("dup_of"))
-                  .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
-                  .filter(col("jac") >= threshold)
-                  .select(col("doc_id"), col("dup_of"), col("jac"))
-                  .persist()
-                try {
-                  // commit order is load-bearing — see the replay discipline
-                  if (!flagged.isEmpty)
-                    CheckpointStream.appendDiffs(flagged, sinkDir, batchId)
-                  commitFlagsMarker(sinkFs, sinkDir, batchId)
-                } finally { flagged.unpersist(); () }
-              } finally { cand.unpersist(); () }
-            }
-            appendSets(hashed, indexDir, batchId, setsBuckets)
-            appendBands(sp, bandsDf, indexDir, batchId, bandBuckets)
-          } finally { bandsDf.unpersist(); () }
-        } finally { hashed.unpersist(); () }
+        processBatch(batch, batchId, sinkDir, indexDir, threshold,
+          minhashK, bands, rowsPerBand, bandBuckets, setsBuckets)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+  }
+
+  /** One micro-batch of the guard: flag the batch's near-dups against the
+    * standing index (and its own earlier rows), then ingest the batch's
+    * entries as a new index generation. The unit `run` executes per
+    * trigger, factored out so composed ingest pipelines (`StreamCurate`)
+    * can run the guard inline on an already-filtered batch inside their
+    * own `foreachBatch`. Callers hold the same preconditions `run`
+    * establishes once per query: manifest checked, table registered,
+    * ownership verified.
+    */
+  private[streaming] def processBatch(
+      batch: DataFrame, batchId: Long, sinkDir: String, indexDir: String,
+      threshold: Double, minhashK: Int, bands: Int, rowsPerBand: Int,
+      bandBuckets: Int, setsBuckets: Int): Unit = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val hconf = sp.sparkContext.hadoopConfiguration
+    val fs = new Path(indexDir).getFileSystem(hconf)
+    // sink and index may live on different filesystems
+    val sinkFs = new Path(sinkDir).getFileSystem(hconf)
+    // shared head with the batch operator: same shingles, same hashes,
+    // same signature/band derivation
+    val hashed = DedupOps.hashedShingleSets(batch).persist()
+    try {
+      val bandsDf = DedupOps.bandedDocIds(hashed, minhashK, bands, rowsPerBand)
+        .persist()
+      try {
+        // the marker gates the WHOLE flags step: a replayed batch must
+        // neither recompute flags against an index that already holds
+        // its own entries (jaccard-1.0 self-duplicates) nor pay the
+        // candidate join again
+        if (!sinkFs.exists(flagsMarker(sinkDir, batchId))) {
+          // earlier-seen candidates (bucketed index scan — no shuffle
+          // on the standing side) + earlier-in-batch candidates
+          val seenCand = indexCandidates(sp, indexDir, bandsDf)
+          val withinCand = bandsDf.as("a")
+            .join(bandsDf.as("b"),
+              col("a.band_key") === col("b.band_key") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("dup_of"), col("b.doc_id").as("doc_id"))
+          // persisted: consulted twice (touched-bucket list + join);
+          // bounded by the candidate count, not the corpus
+          val cand = seenCand.unionByName(withinCand).distinct().persist()
+          try {
+            // verification reads ONLY the candidates' doc_buckets of
+            // the committed sets store (prunedSets), plus the arriving
+            // batch's own in-memory sets; the candidate side is tiny
+            // (AQE broadcasts it), so the heavy shingle-set rows are
+            // neither fully scanned nor shuffled
+            val setsAll = prunedSets(sp, fs, indexDir, cand, setsBuckets)
+              .unionByName(hashed.select(col("doc_id"), col("hs")))
+            val flagged = cand
+              .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
+              .join(setsAll.select(col("doc_id").as("dup_of"), col("hs").as("hs_a")),
+                Seq("dup_of"))
+              .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
+              .filter(col("jac") >= threshold)
+              .select(col("doc_id"), col("dup_of"), col("jac"))
+              .persist()
+            try {
+              // commit order is load-bearing — see the replay discipline
+              if (!flagged.isEmpty)
+                CheckpointStream.appendDiffs(flagged, sinkDir, batchId)
+              commitFlagsMarker(sinkFs, sinkDir, batchId)
+            } finally { flagged.unpersist(); () }
+          } finally { cand.unpersist(); () }
+        }
+        appendSets(hashed, indexDir, batchId, setsBuckets)
+        appendBands(sp, bandsDf, indexDir, batchId, bandBuckets)
+      } finally { bandsDf.unpersist(); () }
+    } finally { hashed.unpersist(); () }
+  }
+
+  /** Run-start preconditions shared by `run` and composed callers: verify
+    * (or stamp) the parameter manifest, enforce checkpoint ownership, and
+    * register the bucketed band table.
+    */
+  private[streaming] def prepareIndex(
+      spark: SparkSession, indexDir: String, checkpointDir: String,
+      minhashK: Int, bands: Int, rowsPerBand: Int,
+      bandBuckets: Int, setsBuckets: Int): Unit = {
+    require(bands * rowsPerBand == minhashK, "bands*rowsPerBand must equal minhashK")
+    val idxPath = new Path(indexDir)
+    val idxFs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkLshManifest(idxFs, idxPath, minhashK, bands, rowsPerBand, bandBuckets,
+      setsBuckets)
+    checkIndexOwnership(spark, idxFs, indexDir, checkpointDir)
+    ensureBandsTable(spark, indexDir, bandBuckets)
   }
 }

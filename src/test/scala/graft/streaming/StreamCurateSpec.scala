@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import graft.operators.DedupOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The composed streaming ingest: curated output of a 3-micro-batch run
+  * equals the greedy-online batch replica — quality survivors, minus
+  * decontamination hits, minus every document with an EARLIER-ARRIVED
+  * near-dup (arrival order == id order here, so "earlier" == lower id ==
+  * `minhashNearDup`'s doc_b side). Every filtered row is auditable in its
+  * stage's sink.
+  */
+class StreamCurateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming curation (3 micro-batches) == greedy batch replica; drops auditable") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scurate_").toString
+    val all = Tables.documents(spark, sf)
+    val train = all.filter(col("doc_id") % 20 =!= 0)
+    val eval = all.filter(col("doc_id") % 20 === 0)
+    val n = train.count()
+    val ranked = train.withColumn("rnk", row_number().over(Window.orderBy(col("doc_id"))))
+    for ((lo, hi, i) <- Seq(
+        (1L, n / 3, 0), (n / 3 + 1, 2 * n / 3, 1), (2 * n / 3 + 1, n, 2)))
+      ranked.filter(col("rnk").between(lo, hi)).drop("rnk")
+        .coalesce(1).write.parquet(s"$base/feed/chunk=$i")
+
+    val q = StreamCurate.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/curated", s"$base/flags", s"$base/decontam", s"$base/index", eval)
+    q.awaitTermination(180000L)
+    assert(!q.isActive, "stream did not drain with AvailableNow")
+
+    // batch replica of the online semantics
+    val tokens = split(col("text"), " ")
+    val quality = train
+      .withColumn("n_tokens", size(tokens))
+      .withColumn("n_distinct", size(array_distinct(tokens)))
+      .filter(col("n_tokens") >= 10 &&
+        col("n_distinct") * 100 >= col("n_tokens") * 30)
+    val clean = quality.join(
+      DedupOps.decontaminate(quality, eval).filter(col("keep")).select("doc_id"),
+      Seq("doc_id"))
+    val pairs = DedupOps.minhashNearDup(clean)
+    assert(pairs.count() > 0, "no near-dup pairs among clean docs; parity vacuous")
+    val droppedByDup = pairs.select("doc_b").as[Long].collect().toSet
+    val expect = clean.select("doc_id").as[Long].collect().toSet -- droppedByDup
+
+    val curated = spark.read.parquet(s"$base/curated")
+    val got = curated.select("doc_id").as[Long].collect().toSet
+    assert(got == expect,
+      s"curated set diverged: stream-only=${(got -- expect).take(5)} " +
+        s"batch-only=${(expect -- got).take(5)}")
+    // wire columns + the n_tokens stat survive into the curated store
+    for (c <- Seq("doc_id", "text", "lang", "source", "n_tokens"))
+      assert(curated.columns.contains(c), s"curated store lost column $c")
+
+    // nothing silently dropped: every quality survivor has a decontam
+    // verdict, and every dup-dropped doc has a flag row
+    val verdicts = spark.read.parquet(s"$base/decontam")
+    assert(verdicts.count() == quality.count())
+    val flaggedIds = spark.read.parquet(s"$base/flags")
+      .select("doc_id").as[Long].collect().toSet
+    assert(droppedByDup.subsetOf(flaggedIds))
+    // and the standing index ingested exactly the clean docs
+    assert(spark.read.parquet(s"$base/index/sets").select("doc_id").distinct().count()
+      == clean.count())
+  }
+}
