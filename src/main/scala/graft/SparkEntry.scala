@@ -71,6 +71,7 @@ object SparkEntry {
     "q44_pii_redact"    -> (TextOps.q44PiiRedact(_, _)),
     "q45_curate"        -> (CurateOps.q45Curate(_, _)),
     "q46_resize"        -> (MultimodalOps.q46Resize(_, _)),
+    "q47_epoch"         -> (PackOps.q47Epoch(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -529,5 +530,33 @@ object SparkEntry {
         |  (doc_id * 13) % 256 AS mean_r
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY asset_id""".stripMargin,
+    // q42's mix fragment chained into q39's prefix-sum/pack fragment over
+    // the composite epoch order (mix_key, doc_id, rep)
+    "q47_epoch" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN lang = 'en' THEN 1 WHEN lang = 'zh' THEN 0 ELSE 1 END)
+        |    + (CASE WHEN ((doc_id + 1) % 1000000007) * 2654435761 % 10000 <
+        |         (CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'zh' THEN 5000 ELSE 0 END)
+        |       THEN 1 ELSE 0 END) AS copies
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(range(copies)) AS rep FROM m),
+        |k AS (SELECT doc_id, rep,
+        |        ((doc_id + rep * 7919 + 2) % 1000000007) * 2654435761 % 1099511627776 AS mix_key
+        |      FROM e),
+        |t AS (SELECT k.doc_id, rep, mix_key,
+        |        len(string_split(text, ' '))::bigint AS tok
+        |      FROM k JOIN documents USING (doc_id)),
+        |o AS (SELECT doc_id, rep, mix_key, tok,
+        |        coalesce(sum(tok) OVER (ORDER BY mix_key, doc_id, rep
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS off
+        |      FROM t)
+        |SELECT doc_id, rep, mix_key, chunk_id,
+        |  greatest(chunk_id * 256 - off, 0)::bigint AS begin_tok,
+        |  least((chunk_id + 1) * 256 - off, tok)::bigint AS end_tok
+        |FROM (SELECT doc_id, rep, mix_key, tok, off,
+        |        unnest(range(off // 256, (off + tok - 1) // 256 + 1)) AS chunk_id
+        |      FROM o WHERE tok > 0)
+        |ORDER BY mix_key, doc_id, rep, chunk_id""".stripMargin,
   )
 }

@@ -46,15 +46,29 @@ object PackOps {
       orderCol: String,
       valueCol: String,
       outCol: String,
+      partitions: Int = 0): DataFrame =
+    exclusivePrefixSumBy(df, Seq(orderCol), valueCol, outCol, partitions)
+
+  /** Composite-key form: the global order is the lexicographic order of
+    * `orderCols`, which must be unique TOGETHER (the epoch order
+    * (mix_key, doc_id, rep) is the motivating case — mix keys alone can
+    * collide by design).
+    */
+  def exclusivePrefixSumBy(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      outCol: String,
       partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "at least one order column required")
     val p =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     // explicit partition count: AQE never coalesces a user-specified
     // repartition, so spark_partition_id is stable across the two reads
     // of this exchange
-    val ranged = df.repartitionByRange(p, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+    val ranged = df.repartitionByRange(p, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
     val vIdx = ranged.schema.fieldIndex(valueCol)
     val outSchema = ranged.schema
@@ -122,4 +136,47 @@ object PackOps {
   def q39PackChunks(spark: SparkSession, dir: String): DataFrame =
     packChunks(Tables.documents(spark, dir), 256L)
       .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Build a packed training EPOCH in one call: weighted-repetition mix
+    * (q42 — up-weighting by repetition, down-weighting by deterministic
+    * thinning) laid out in mix-key order, then concat-and-chunk packed
+    * into `capacity`-token context windows (q39) along that order. Every
+    * document COPY contributes its tokens at its own epoch position, so a
+    * ×2.3-weighted domain really occupies ~2.3× the context windows.
+    * Deterministic end to end — no RNG — which is what makes the epoch
+    * reproducible across reruns and clusters, and oracle-checkable (q47
+    * chains q42's and q39's verified fragments over the composite order
+    * (mix_key, doc_id, rep)). Scale shape: the mix's explode + ONE range
+    * shuffle for the epoch order + the O(partitions) offsets broadcast —
+    * the same single-wide-shuffle budget as q39 itself.
+    */
+  def epochPack(
+      docs: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, s"chunk capacity must be positive: $capacity")
+    val mixed = SampleOps.weightedMix(docs, strataCol, idCol, weights, defaultWeight)
+      .select(col(idCol).as("doc_id"), col("rep"), col("mix_key"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    exclusivePrefixSumBy(mixed, Seq("mix_key", "doc_id", "rep"), "tok", "off")
+      .filter(col("tok") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"off div ${capacity}L"),
+          expr(s"(off + tok - 1) div ${capacity}L"))))
+      .select(
+        col("doc_id"), col("rep"), col("mix_key"), col("chunk_id"),
+        greatest(col("chunk_id") * capacity - col("off"), lit(0L)).as("begin_tok"),
+        least((col("chunk_id") + lit(1L)) * capacity - col("off"), col("tok")).as("end_tok"))
+  }
+
+  /** q47: the documents corpus mixed at q42's weights and packed into
+    * 256-token epoch windows, in deterministic epoch order.
+    */
+  def q47Epoch(spark: SparkSession, dir: String): DataFrame =
+    epochPack(Tables.documents(spark, dir), "lang", "doc_id",
+      Map("en" -> 1.5, "zh" -> 0.5), 1.0, 256L)
+      .orderBy(col("mix_key"), col("doc_id"), col("rep"), col("chunk_id"))
 }

@@ -82,4 +82,32 @@ class PackOpsSpec extends AnyFunSuite {
       .select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
     assert(perChunk.values.sum == totTok)
   }
+
+  test("epochPack: every mixed COPY contributes its full token span at its epoch slot") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(5 + (i % 7).toInt)("w").mkString(" "),
+        if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "lang")
+    // lang a ×2 (every doc twice), lang b ×0.5 (deterministic half)
+    val out = PackOps.epochPack(docs, "lang", "doc_id",
+      Map("a" -> 2.0, "b" -> 0.5), 1.0, 16L).collect()
+    assert(out.nonEmpty)
+    // per (doc, rep): spans tile the copy's token count exactly
+    val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    out.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case ((id, _), rows) =>
+      assert(rows.map(r => r.getLong(5) - r.getLong(4)).sum == toks(id),
+        s"copy of doc $id lost tokens")
+    }
+    // weights respected: every 'a' doc appears exactly twice, 'b' docs
+    // appear 0 or 1 times, and the mix is deterministic across reruns
+    val copies = out.map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(copies.filter(_._1 % 2 == 0).values.forall(_ == 2))
+    assert(copies.filter(_._1 % 2 == 1).values.forall(_ == 1))
+    val again = PackOps.epochPack(docs, "lang", "doc_id",
+      Map("a" -> 2.0, "b" -> 0.5), 1.0, 16L).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
