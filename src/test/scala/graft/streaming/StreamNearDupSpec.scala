@@ -187,6 +187,40 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(!q2.isActive)
   }
 
+  test("non-default bucket counts: layout params flow through manifest, flags unchanged") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sneardup_buckets_").toString
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta", // dup of 1, later batch
+      3L -> "one two three four five six")
+    texts.zipWithIndex.foreach { case ((id, t), i) =>
+      Seq((id, t)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/feed/c$i")
+      val d = new java.io.File(s"$base/feed/c$i")
+      (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val q = StreamNearDup.run(spark, s"$base/feed/c*", s"$base/ckpt",
+      s"$base/flags", s"$base/index", bandBuckets = 8, setsBuckets = 4)
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    val flags = spark.read.parquet(s"$base/flags")
+      .select("doc_id", "dup_of").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set((2L, 1L)), s"flags under non-default buckets: $flags")
+    // the manifest pins BOTH layout params: a probe under different counts
+    // is refused (the physical layouts are incompatible)
+    val ex = intercept[IllegalStateException] {
+      StreamNearDup.probeIndex(spark, s"$base/index",
+        Seq((9L, "x")).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("LSH parameters"))
+    // ...and under the matching counts the probe works
+    val probed = StreamNearDup.probeIndex(spark, s"$base/index",
+      Seq((9L, "one two three four five six")).toDF("doc_id", "text"),
+      bandBuckets = 8, setsBuckets = 4)
+      .select("dup_of").collect().map(_.getLong(0)).toSet
+    assert(probed == Set(3L), s"probe saw $probed")
+  }
+
   test("engine restart: catalog loss is re-derived from the filesystem, stream resumes") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sneardup_restart_").toString
