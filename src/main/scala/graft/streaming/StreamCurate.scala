@@ -30,10 +30,12 @@ import org.apache.spark.sql.types.StructType
   * `threshold` — which is the greedy online form of q45's batch
   * resolution (batch keeps each component's minimum id; the two agree
   * whenever arrival order matches id order and components are cliques,
-  * and the spec pins the exact online contract). Filtered-but-flagged
-  * rows are all recoverable: decontamination verdicts land in
-  * `decontamDir`, near-dup flags in `flagsDir` — nothing is silently
-  * dropped.
+  * and the spec pins the exact online contract). EVERY drop is recorded
+  * with its stage's evidence (the engine's dead-letter discipline applied
+  * to curation): quality rejects land in `rejectsDir` with per-rule
+  * reason tags, decontamination verdicts in `decontamDir`, near-dup
+  * flags in `flagsDir` — the four sinks partition the feed, nothing is
+  * silently dropped.
   *
   * Replay discipline is inherited wholesale: the guard's marker protocol
   * gates its flags step, and the curated append re-READS the committed
@@ -55,6 +57,7 @@ object StreamCurate {
       curatedDir: String,
       flagsDir: String,
       decontamDir: String,
+      rejectsDir: String,
       indexDir: String,
       evalSet: DataFrame,
       minTokens: Int = 10,
@@ -82,14 +85,23 @@ object StreamCurate {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val tokens = split(col("text"), " ")
-        // 1. quality — identical expressions to CurateOps.curate
-        val quality = batch
+        // 1. quality — identical expressions to CurateOps.curate; the
+        // rule list tags rejects the way the feed dead-letters do
+        val rules = Seq(
+          "too_few_tokens" -> (col("n_tokens") < minTokens),
+          "low_distinct_ratio" ->
+            (col("n_distinct") * 100 < col("n_tokens") * minDistinctPct))
+        val stats = batch
           .withColumn("n_tokens", size(tokens))
           .withColumn("n_distinct", size(array_distinct(tokens)))
-          .filter(col("n_tokens") >= minTokens &&
-            col("n_distinct") * 100 >= col("n_tokens") * minDistinctPct)
           .persist()
+        val quality = stats.filter(!rules.map(_._2).reduce(_ || _))
         try {
+          val rejects = stats.filter(rules.map(_._2).reduce(_ || _))
+            .withColumn("reason", concat_ws(",",
+              rules.map { case (label, b) => when(b, lit(label)) }: _*))
+          if (!rejects.isEmpty)
+            CheckpointStream.appendDiffs(rejects, rejectsDir, batchId)
           // 2. decontamination verdicts (all of them — the audit trail),
           // survivors carried forward
           val verdicts = DedupOps.decontaminate(quality, evalCached, shingleN)
@@ -124,7 +136,7 @@ object StreamCurate {
                 CheckpointStream.appendDiffs(curated, curatedDir, batchId)
             } finally { clean.unpersist(); () }
           } finally { verdicts.unpersist(); () }
-        } finally { quality.unpersist(); () }
+        } finally { stats.unpersist(); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("1 second"))).start()

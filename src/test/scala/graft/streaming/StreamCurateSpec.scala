@@ -34,7 +34,8 @@ class StreamCurateSpec extends AnyFunSuite {
         .coalesce(1).write.parquet(s"$base/feed/chunk=$i")
 
     val q = StreamCurate.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
-      s"$base/curated", s"$base/flags", s"$base/decontam", s"$base/index", eval)
+      s"$base/curated", s"$base/flags", s"$base/decontam", s"$base/rejects",
+      s"$base/index", eval)
     q.awaitTermination(180000L)
     assert(!q.isActive, "stream did not drain with AvailableNow")
 
@@ -62,8 +63,17 @@ class StreamCurateSpec extends AnyFunSuite {
     for (c <- Seq("doc_id", "text", "lang", "source", "n_tokens"))
       assert(curated.columns.contains(c), s"curated store lost column $c")
 
-    // nothing silently dropped: every quality survivor has a decontam
-    // verdict, and every dup-dropped doc has a flag row
+    // nothing silently dropped: quality rejects carry reason tags, every
+    // quality survivor has a decontam verdict, and every dup-dropped doc
+    // has a flag row — the audit sinks partition the feed
+    val rejects = spark.read.parquet(s"$base/rejects")
+    assert(rejects.count() > 0, "quality stage rejected nothing (vacuous)")
+    assert(rejects.filter(col("reason").isNull || col("reason") === "").isEmpty)
+    val rejectIds = rejects.select("doc_id").as[Long].collect().toSet
+    val qualityIds = quality.select("doc_id").as[Long].collect().toSet
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    assert(rejectIds == trainIds -- qualityIds,
+      "rejects sink does not hold exactly the quality-dropped docs")
     val verdicts = spark.read.parquet(s"$base/decontam")
     assert(verdicts.count() == quality.count())
     val flaggedIds = spark.read.parquet(s"$base/flags")
