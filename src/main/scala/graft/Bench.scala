@@ -20,10 +20,10 @@ import java.nio.file.{Files, Paths}
   *     samples of q2 inflated 4.6x while neighbors ran clean);
   *   - failures are recorded per-query and fail the whole run (exit 1) —
   *     a broken query must never bench as fast-and-fine;
-  *   - CACHE HONESTY: queries deliberately share plan-keyed caches (q20
-  *     and q36 share the persisted near-dup pair set), so a query's min
-  *     can be a sibling-populated cache hit rather than its standalone
-  *     cost. The JSON therefore reports, per query, BOTH the min and
+  *   - CACHE HONESTY: queries deliberately share plan-keyed caches (q20,
+  *     q36 and q45 share the persisted near-dup pair set), so a query's
+  *     min can be a sibling-populated cache hit rather than its
+  *     standalone cost. The JSON therefore reports, per query, BOTH the min and
   *     `cold` = the first (chronologically earliest) successful sample —
   *     within round-robin rep 1 each query runs before any later rep
   *     warms it, so a large cold/min ratio is exactly the cache-coupling
