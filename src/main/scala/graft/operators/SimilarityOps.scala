@@ -413,7 +413,8 @@ object SimilarityOps {
       nClusters: Int = 16,
       lloydIters: Int = 2,
       trainSampleMod: Int = 1,
-      ifAbsentOnly: Boolean = false): Unit = {
+      ifAbsentOnly: Boolean = false,
+      foldedThrough: Option[Long] = None): Unit = {
     val spark = c.sparkSession
     import spark.implicits._
     val fin = new org.apache.hadoop.fs.Path(indexDir)
@@ -454,6 +455,13 @@ object SimilarityOps {
         (cid, cv.toSeq, cents.length, cv.length, sizes.getOrElse(cid, 0L)) }
       .toDF("cid", "c", "k", "dim", "n0")
       .coalesce(1).write.parquet(s"${tmp.toString}/centroids")
+    // the fold watermark rides INSIDE the published dir, so "which deltas
+    // this base already contains" travels atomically with the publish —
+    // a crash can never leave a base and its exclusion list disagreeing
+    for (m <- foldedThrough) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_folded.json"), true)
+      try out.write(s"""{"foldedThrough":$m}""".getBytes("UTF-8")) finally out.close()
+    }
     // rebuild publish: retire the live index ASIDE (one metadata rename),
     // promote the new one, THEN delete the retired copy. The old
     // delete-then-rename order left probers indexless for the full
@@ -575,6 +583,97 @@ object SimilarityOps {
       .orderBy(col("cid")).select(col("c")).collect()
       .map(_.getSeq[Double](0).toArray)
 
+  /** The base's fold watermark: delta generations with `batch_id` at or
+    * below it are already folded INTO this base and must be ignored by
+    * probes and folds (and are GC-able). −1 when the base predates any
+    * fold (no `_folded.json`).
+    */
+  private def foldedThroughOf(
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_folded.json")
+    if (!fs.exists(p)) return -1L
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    "-?\\d+".r.findFirstIn(new String(buf, "UTF-8")).map(_.toLong).getOrElse(-1L)
+  }
+
+  /** Committed, not-yet-folded delta generations: (batch_id, dir). ONE
+    * glob listing, filtered by the base's fold watermark.
+    */
+  private def unfoldedDeltaDirs(
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Seq[(Long, String)] = {
+    val folded = foldedThroughOf(fs, indexDir)
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$indexDir/deltas/batch_id=*/_SUCCESS")))
+      .toSeq.flatten.map(_.getPath.getParent)
+      .map(p => p.getName.stripPrefix("batch_id=").toLong -> p.toString)
+      .filter(_._1 > folded)
+  }
+
+  /** Append one arrival batch to a standing index as a DELTA generation
+    * (`deltas/batch_id=N/cid=K/`): assignment against the stored centroids
+    * is the same stateless literal-matrix projection the base uses, and
+    * the whole-dir overwrite + `_SUCCESS` gives first-write-wins replay
+    * idempotence (the discipline `appendToIvfIndex`'s in-place file
+    * append cannot offer a replayed micro-batch). A batch at or below the
+    * base's fold watermark is already IN the base (the first-batch build
+    * records itself as folded) and is skipped. Probes read base +
+    * unfolded deltas; `foldIvfDeltas` compacts.
+    */
+  def appendIvfDelta(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batchId <= foldedThroughOf(fs, indexDir)) return
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/deltas/batch_id=$batchId")
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    val cents = loadIvfCentroids(spark, indexDir)
+    normalized(batch, "v", "nv")
+      .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(dir.toString)
+  }
+
+  /** Fold the unfolded delta generations into a fresh base — the LSM
+    * compaction of the standing index, which doubles as the RETRAIN: the
+    * quantizer is re-fit (Lloyd) over base + deltas, so distribution
+    * drift absorbed via deltas is corrected here (`needsRetrain` tells a
+    * maintenance loop when this is due). Crash-safe end to end: the new
+    * base publishes retire-aside with its fold watermark riding inside
+    * the published dir, so a crash before the delta deletion below leaves
+    * probes IGNORING the folded deltas (watermark) rather than
+    * double-counting them; the stale dirs are GC'd by the next fold.
+    * OFFLINE utility: run with no active delta writer. Returns true when
+    * a fold happened.
+    */
+  def foldIvfDeltas(
+      spark: SparkSession, indexDir: String,
+      lloydIters: Int = 2, trainSampleMod: Int = 1): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = foldedThroughOf(fs, indexDir)
+    // GC delta dirs a previous crashed fold left behind (≤ watermark)
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$indexDir/deltas/batch_id=*/_SUCCESS")))
+      .toSeq.flatten.map(_.getPath.getParent)
+      .filter(p => p.getName.stripPrefix("batch_id=").toLong <= folded)
+      .foreach(p => fs.delete(p, true))
+    val fresh = unfoldedDeltaDirs(fs, indexDir)
+    if (fresh.isEmpty) return false
+    val k = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("k")).head.getInt(0)
+    val baseVecs = spark.read.parquet(s"$indexDir/postings")
+      .select(col("vec_id"), col("nv").as("v"))
+    val deltaVecs = spark.read.option("basePath", s"$indexDir/deltas")
+      .parquet(fresh.map(_._2): _*)
+      .select(col("vec_id"), col("nv").as("v"))
+    buildIvfIndex(baseVecs.unionByName(deltaVecs), indexDir, k,
+      lloydIters, trainSampleMod, foldedThrough = Some(fresh.map(_._1).max))
+    fresh.foreach { case (_, d) =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+    true
+  }
+
   /** ANN top-k against a PERSISTED index (see `buildIvfIndex`) — no
     * training, no corpus scan. The probed cluster ids are collected first
     * (bounded: at most K distinct cids regardless of query count) and
@@ -593,8 +692,22 @@ object SimilarityOps {
     val cents = loadIvfCentroids(spark, indexDir)
     val probedCids = ivfProbeList(cents, q, nprobe)
       .select(col("cid")).distinct().collect().map(_.getInt(0))
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val base = spark.read.parquet(s"$indexDir/postings")
       .filter(col("cid").isin(probedCids.map(Int.box): _*))
+    // a streaming-fed index additionally holds unfolded DELTA generations
+    // (see appendIvfDelta); they are cid-pruned exactly like the base.
+    // A delta-less index (every batch-built q38 cache) skips this read
+    // entirely — its plan is unchanged.
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = unfoldedDeltaDirs(fs, indexDir)
+    val postings =
+      if (deltas.isEmpty) base
+      else base.unionByName(
+        spark.read.option("basePath", s"$indexDir/deltas")
+          .parquet(deltas.map(_._2): _*)
+          .filter(col("cid").isin(probedCids.map(Int.box): _*))
+          .select(col("vec_id"), col("nv"), col("cid")))
     probeIvf(postings, cents, q, k, nprobe)
   }
 

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.operators.SimilarityOps
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming feeder for the standing IVF ANN index — the embeddings
+  * counterpart of `StreamNearDup`: vectors become searchable AS THEY
+  * ARRIVE instead of waiting for the next batch index build.
+  *
+  * LSM shape: the FIRST non-empty micro-batch trains and publishes the
+  * base index (recording itself as folded, so its replay is a no-op by
+  * watermark, not by luck); every later batch lands as a crash-idempotent
+  * DELTA generation (`SimilarityOps.appendIvfDelta` — whole-dir overwrite
+  * + `_SUCCESS`, assignment is the stateless literal-centroid projection).
+  * Probes (`annTopKIvfIndexed`) read base + unfolded deltas, both
+  * cid-pruned. `SimilarityOps.foldIvfDeltas` is the compaction AND the
+  * retrain: run it from post-drain maintenance when `needsRetrain` (or a
+  * delta-count policy) says so — the quantizer re-fits over everything,
+  * correcting the drift the append path absorbs. Cold-start caveat,
+  * stated honestly: the quantizer is trained on the first batch's
+  * distribution; recall on later drifted arrivals degrades until the
+  * first fold retrains (exactly the trade `needsRetrain` watches).
+  *
+  * OWNERSHIP mirrors `StreamNearDup`: the delta `batch_id` namespace
+  * belongs to one checkpoint lineage. The newest committed generation
+  * (fold watermark or delta) may lead the checkpoint's last commit by at
+  * most one batch; a fresh checkpoint against a populated index would
+  * restart ids at 0 and silently skip appends — refused at start.
+  */
+object StreamEmbedIndex {
+
+  private def newestGeneration(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Long = {
+    val deltas = Option(fs.globStatus(
+      new Path(s"$indexDir/deltas/batch_id=*/_SUCCESS")))
+      .toSeq.flatten
+      .map(_.getPath.getParent.getName.stripPrefix("batch_id=").toLong)
+    val foldedJson = new Path(s"$indexDir/_folded.json")
+    val folded =
+      if (!fs.exists(foldedJson)) -1L
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(foldedJson).getLen.toInt)
+        val in = fs.open(foldedJson)
+        try in.readFully(buf) finally in.close()
+        "-?\\d+".r.findFirstIn(new String(buf, "UTF-8")).map(_.toLong).getOrElse(-1L)
+      }
+    (folded +: deltas).max
+  }
+
+  private def checkOwnership(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String, checkpointDir: String): Unit = {
+    if (!fs.exists(new Path(s"$indexDir/centroids"))) return
+    val newest = newestGeneration(spark, fs, indexDir)
+    if (newest < 1) return
+    val commits = new Path(s"$checkpointDir/commits")
+    val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastCommit =
+      if (!cfs.exists(commits)) -1L
+      else cfs.listStatus(commits).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .foldLeft(-1L)(_ max _)
+    if (newest > lastCommit + 1)
+      throw new IllegalStateException(
+        s"embedding index $indexDir holds generations through batch_id=$newest " +
+          s"but checkpoint $checkpointDir has only committed through $lastCommit — " +
+          "this checkpoint does not own the index's batch_id namespace. Resume " +
+          "from the original checkpoint, or start a fresh index.")
+  }
+
+  def run(
+      spark: SparkSession,
+      sourceDir: String,
+      checkpointDir: String,
+      indexDir: String,
+      nClusters: Int = 16,
+      lloydIters: Int = 2,
+      trainSampleMod: Int = 1,
+      maxFilesPerTrigger: Int = 1,
+      availableNow: Boolean = true,
+      schemaHint: Option[StructType] = None): StreamingQuery = {
+    val idxFs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    checkOwnership(spark, idxFs, indexDir, checkpointDir)
+    val raw = spark.readStream
+      .schema(schemaHint.getOrElse(spark.read.parquet(sourceDir).schema))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val writer = raw.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val fs = new Path(indexDir)
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val c = batch.repartition(col("vec_id"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        if (!fs.exists(new Path(s"$indexDir/centroids"))) {
+          // first non-empty batch trains and publishes the base, recorded
+          // as folded-through-itself: a crash-replay of this batch finds
+          // the base and its appendIvfDelta call no-ops by watermark
+          if (!c.isEmpty)
+            SimilarityOps.buildIvfIndex(c, indexDir, nClusters, lloydIters,
+              trainSampleMod, foldedThrough = Some(batchId))
+        } else SimilarityOps.appendIvfDelta(c, indexDir, batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+  }
+}
