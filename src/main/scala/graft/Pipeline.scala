@@ -1,7 +1,8 @@
 package graft
 
+import graft.operators.SimilarityOps
 import graft.sources.{Enrichment, SchemaInit}
-import graft.streaming.{CheckpointStream, StreamNearDup}
+import graft.streaming.{CheckpointStream, StreamEmbedIndex, StreamNearDup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,8 +18,10 @@ import org.apache.spark.sql.functions._
   * dead-letter twin: every wire row the normalizer drops is quarantined
   * with its reason tag, so feed loss is counted AND recoverable. An
   * optional documents feed runs the ingest near-dup guard
-  * (`StreamNearDup`), whose standing index is retention-GC'd in the same
-  * post-drain maintenance block as the diff sinks.
+  * (`StreamNearDup`), and an optional embeddings feed runs the streaming
+  * ANN index feeder (`StreamEmbedIndex`); both standing indexes are
+  * maintained (retention GC / delta fold-retrain) in the same post-drain
+  * maintenance block as the diff sinks.
   */
 object Pipeline {
 
@@ -43,7 +46,17 @@ object Pipeline {
         * generations (near-dups against their documents go undetected — the
         * windowed trade). None keeps the full index.
         */
-      nearDupKeepBatches: Option[Int] = None)
+      nearDupKeepBatches: Option[Int] = None,
+      /** Optional embeddings feed (vec_id, embedding) for the streaming
+        * ANN index feeder: vectors become searchable as they arrive; the
+        * standing index lives in `<workDir>/embed_index`.
+        */
+      embFeedDir: Option[String] = None,
+      /** Fold (compact + retrain) the embedding index post-drain once at
+        * least this many unfolded delta generations have accumulated.
+        * None never folds from the lifecycle.
+        */
+      embedFoldMinDeltas: Option[Int] = None)
 
   /** Offline diff-sink maintenance, run once the stream is drained: fold
     * the per-micro-batch dirs at or below the LAST COMMITTED batch id
@@ -122,11 +135,17 @@ object Pipeline {
     val ndQuery = config.docFeedDir.map(dir =>
       StreamNearDup.run(spark, dir, s"${config.workDir}/ckpt_neardup",
         s"${config.workDir}/neardup_flags", s"${config.workDir}/neardup_index"))
+    // streaming ANN index feeder over the optional embeddings feed:
+    // vectors searchable as they arrive (LSM base + delta generations)
+    val embQuery = config.embFeedDir.map(dir =>
+      StreamEmbedIndex.run(spark, dir, s"${config.workDir}/ckpt_embed",
+        s"${config.workDir}/embed_index"))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
     dlCdcQuery.awaitTermination()
     dlQuery.foreach(_.awaitTermination())
     ndQuery.foreach(_.awaitTermination())
+    embQuery.foreach(_.awaitTermination())
 
     // diff-sink maintenance: fold the per-batch dirs and apply retention
     // (the storage-side twin of the state store's idle eviction)
@@ -139,6 +158,13 @@ object Pipeline {
     // above has terminated — gcIndex's no-active-writer discipline)
     for (_ <- config.docFeedDir; keep <- config.nearDupKeepBatches)
       StreamNearDup.gcIndex(spark, s"${config.workDir}/neardup_index", keep)
+    // embedding-index fold (compaction + retrain), same no-active-writer
+    // discipline: only once enough delta generations accumulated
+    for (_ <- config.embFeedDir; minDeltas <- config.embedFoldMinDeltas) {
+      val idx = s"${config.workDir}/embed_index"
+      if (SimilarityOps.unfoldedDeltaCount(spark, idx) >= minDeltas)
+        SimilarityOps.foldIvfDeltas(spark, idx)
+    }
 
     // sessions from both feeds, tagged per source (W1: never merged);
     // the sink's physical `bucket` partition column is dropped here
@@ -174,7 +200,9 @@ object Pipeline {
   /** CLI: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir]
     * Optional env: SPARK_GRAFT_DOC_FEED (documents feed for the near-dup
     * guard), SPARK_GRAFT_NEARDUP_KEEP (index retention in generations),
-    * SPARK_GRAFT_DIFF_RETENTION_MS (diff-sink event-time retention).
+    * SPARK_GRAFT_DIFF_RETENTION_MS (diff-sink event-time retention),
+    * SPARK_GRAFT_EMB_FEED (embeddings feed for the streaming ANN index),
+    * SPARK_GRAFT_EMB_FOLD_MIN (fold once this many deltas accumulated).
     */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir]")
@@ -201,7 +229,9 @@ object Pipeline {
       diffRetention = sys.env.get("SPARK_GRAFT_DIFF_RETENTION_MS")
         .map(ms => java.time.Duration.ofMillis(ms.toLong)),
       docFeedDir = sys.env.get("SPARK_GRAFT_DOC_FEED"),
-      nearDupKeepBatches = sys.env.get("SPARK_GRAFT_NEARDUP_KEEP").map(_.toInt)))
+      nearDupKeepBatches = sys.env.get("SPARK_GRAFT_NEARDUP_KEEP").map(_.toInt),
+      embFeedDir = sys.env.get("SPARK_GRAFT_EMB_FEED"),
+      embedFoldMinDeltas = sys.env.get("SPARK_GRAFT_EMB_FOLD_MIN").map(_.toInt)))
     println(s"[pipeline] enriched sessions: ${out.count()}")
     val diffCount =
       try spark.read.parquet(s"${args(1)}/diffs_cdc").count()

@@ -611,6 +611,15 @@ object SimilarityOps {
       .filter(_._1 > folded)
   }
 
+  /** Number of committed, not-yet-folded delta generations — the signal a
+    * maintenance loop folds on (`Pipeline.embedFoldMinDeltas`).
+    */
+  def unfoldedDeltaCount(spark: SparkSession, indexDir: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    unfoldedDeltaDirs(fs, indexDir).size
+  }
+
   /** Append one arrival batch to a standing index as a DELTA generation
     * (`deltas/batch_id=N/cid=K/`): assignment against the stored centroids
     * is the same stateless literal-matrix projection the base uses, and

@@ -176,6 +176,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(flags == Set((11L, 3L)), s"probe saw $flags")
   }
 
+  test("embedding feeder runs in the lifecycle; maintenance folds its deltas") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pipeline_emb_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.filter(col("user_id") % 13 === 0)
+      .coalesce(1).write.parquet(s"$base/feed_cdc/f0")
+    // two embedding micro-batches (mtime-ordered)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mid = emb.count() / 2
+    for ((pred, i) <- Seq((col("vec_id") <= mid, 0), (col("vec_id") > mid, 1))) {
+      emb.filter(pred).coalesce(1).write.parquet(s"$base/emb/c$i")
+      val d = new java.io.File(s"$base/emb/c$i")
+      (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    Pipeline.run(spark, Pipeline.Config(
+      cdcFeedDir = s"$base/feed_cdc/f*",
+      ideFeedDir = None,
+      reportDir = None,
+      workDir = s"$base/work",
+      embFeedDir = Some(s"$base/emb/c*"),
+      embedFoldMinDeltas = Some(1)))
+    // maintenance folded the delta generation into a retrained base
+    val idx = s"$base/work/embed_index"
+    assert(graft.operators.SimilarityOps.unfoldedDeltaCount(spark, idx) == 0)
+    assert(new java.io.File(s"$idx/_folded.json").exists, "fold watermark missing")
+    // the folded index answers probes over the FULL accumulated corpus
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val hits = graft.operators.SimilarityOps
+      .annTopKIvfIndexed(spark, idx, queries, 5, nprobe = 16)
+    assert(hits.count() > 0)
+    // vectors from BOTH batches are reachable (second batch arrived as a
+    // delta before the fold)
+    assert(hits.filter(col("vec_id") > mid).count() > 0,
+      "post-fold probe never surfaces second-batch vectors")
+  }
+
   test("diff maintenance folds only committed batches and applies the retention window") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_pipeline_gc_").toString
