@@ -24,12 +24,14 @@ import java.nio.file.{Files, Paths}
   *     q36 and q45 share the persisted near-dup pair set), so a query's
   *     min can be a sibling-populated cache hit rather than its
   *     standalone cost. The JSON therefore reports, per query, BOTH the min and
-  *     `cold` = the first (chronologically earliest) successful sample —
-  *     within round-robin rep 1 each query runs before any later rep
-  *     warms it, so a large cold/min ratio is exactly the cache-coupling
-  *     signal (q20 cold ~= its standalone cost; its min is the shared
-  *     hit). Read throughput from "queries" (min), cache-free cost from
-  *     "cold";
+  *     `cold` = the first (chronologically earliest) successful sample.
+  *     Within rep 1 the cache manager is CLEARED before every query, so
+  *     `cold` is genuinely cache-free for EVERY query — not just the
+  *     first of each cache-coupled group (rep-1 ran in sorted order, so
+  *     q36/q45 used to report a q20-warmed sample as their "cold").
+  *     Later reps share caches freely, so min keeps measuring the warm
+  *     steady state and the composite is unchanged. Read throughput from
+  *     "queries" (min), cache-free cost from "cold";
   *   - the metric JSON is printed on stdout AND written to a file
   *     (SPARK_GRAFT_BENCH_OUT, default ./BENCH.json) so the driver's parser
   *     doesn't depend on scraping sbt's `[info]`-prefixed log lines.
@@ -67,7 +69,11 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       queries.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     val dead = scala.collection.mutable.Set.empty[String]
-    for (_ <- 0 until reps; (name, fn) <- queries if !dead(name)) {
+    for (rep <- 0 until reps; (name, fn) <- queries if !dead(name)) {
+      // rep-1 cold honesty: drop every persisted frame a SIBLING query
+      // left behind, so each query's first sample is its standalone cost
+      // (operators re-persist what they need inside the timed run)
+      if (rep == 0) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // record the sample ONLY on success: a fast failure (analysis error in
       // milliseconds) must never become the reported per-query min — a

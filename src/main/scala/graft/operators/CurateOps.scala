@@ -78,6 +78,13 @@ object CurateOps {
     val nonCanonical = DedupOps.dedupGroups(pairs)
       .filter(col("group_id") < col("doc_id"))
       .select(col("doc_id"))
+    // dedupGroups ran its propagation EAGERLY above and left its final
+    // label generation cached and fully materialized, so the pair set's
+    // pin has served its purpose. With an explicit pairCorpus the pin is
+    // the POINT (the shared standing pair set q20/q36/q45 read from one
+    // slot) and stays; a private quality-survivor pair set would only
+    // accumulate a dead session-lifetime cache entry per curate() call.
+    if (pairCorpus.isEmpty) { allPairs.unpersist(); () }
     val deduped = quality.join(nonCanonical, Seq("doc_id"), "left_anti")
     // 3. decontamination: keep only zero-overlap documents
     val kept = DedupOps.decontaminate(deduped, evalSet)

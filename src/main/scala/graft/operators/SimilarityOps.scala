@@ -471,7 +471,7 @@ object SimilarityOps {
     // metadata ops; a crash between them leaves the data in `.old-` for
     // manual recovery (never silently dropped), and a crash after the
     // promote leaves only a redundant `.old-` dir that the post-publish
-    // sweep below (or the next build's) collects.
+    // sweep below collects once it goes cold.
     val retired = new org.apache.hadoop.fs.Path(
       indexDir + ".old-" + java.util.UUID.randomUUID().toString.take(8))
     if (!ifAbsentOnly && fs.exists(fin) && !fs.rename(fin, retired))
@@ -483,12 +483,19 @@ object SimilarityOps {
       if (ifAbsentOnly && fs.exists(fin)) { fs.delete(tmp, true); () }
       else throw new java.io.IOException(s"index publish failed: $tmp -> $fin")
     }
-    // the new index is live: retired generations (ours and any a crashed
-    // predecessor left) are redundant now
+    // the new index is live: OUR retired copy is redundant now. The sweep
+    // deletes only the `.old-` dir THIS build created — a blanket sweep
+    // could race a concurrent in-place rebuild sitting between its two
+    // renames and destroy the one `.old-` escape hatch its crash recovery
+    // depends on. Crashed predecessors' `.old-` dirs are collected once
+    // COLD (mtime past the sweep age), mirroring the tmp-sweep discipline.
+    if (!ifAbsentOnly && fs.exists(retired)) fs.delete(retired, true)
     if (parent != null && fs.exists(parent))
-      fs.listStatus(parent).map(_.getPath)
-        .filter(_.getName.startsWith(fin.getName + ".old-"))
-        .foreach(p => fs.delete(p, true))
+      fs.listStatus(parent).map(s => (s.getPath, s.getModificationTime))
+        .filter { case (p, m) =>
+          p.getName.startsWith(fin.getName + ".old-") &&
+            p != retired && m < sweepBefore }
+        .foreach { case (p, _) => fs.delete(p, true) }
   }
 
   /** Append new corpus vectors to a PERSISTED index WITHOUT retraining:

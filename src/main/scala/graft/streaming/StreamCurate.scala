@@ -32,8 +32,11 @@ import org.apache.spark.sql.types.StructType
   * whenever arrival order matches id order and components are cliques,
   * and the spec pins the exact online contract). EVERY drop is recorded
   * with its stage's evidence (the engine's dead-letter discipline applied
-  * to curation): quality rejects land in `rejectsDir` with per-rule
-  * reason tags, decontamination verdicts in `decontamDir`, near-dup
+  * to curation): quality rejects — including MALFORMED null-text rows,
+  * which every token predicate would otherwise evaluate to SQL NULL on
+  * and drop from survivor and reject filters alike — land in
+  * `rejectsDir` with per-rule reason tags, decontamination verdicts in
+  * `decontamDir`, near-dup
   * flags in `flagsDir` — the four sinks partition the feed, nothing is
   * silently dropped.
   *
@@ -86,8 +89,14 @@ object StreamCurate {
         val sp = batch.sparkSession
         val tokens = split(col("text"), " ")
         // 1. quality — identical expressions to CurateOps.curate; the
-        // rule list tags rejects the way the feed dead-letters do
+        // rule list tags rejects the way the feed dead-letters do. The
+        // null_text rule is load-bearing for the partition contract: on a
+        // null `text` BOTH token predicates evaluate to SQL NULL, so
+        // without it the row would fail the survivor filter AND the
+        // rejects filter and vanish from all four sinks — exactly the
+        // silent-row-loss class the feed dead-letters eliminate.
         val rules = Seq(
+          "null_text" -> col("text").isNull,
           "too_few_tokens" -> (col("n_tokens") < minTokens),
           "low_distinct_ratio" ->
             (col("n_distinct") * 100 < col("n_tokens") * minDistinctPct))

@@ -45,8 +45,10 @@ import java.nio.charset.StandardCharsets
   *
   * Replay discipline (all via `_SUCCESS` first-write-wins):
   *  - `sets/` reads consider only COMMITTED batch dirs; the
-  *    `bands/` table may additionally surface a torn append's complete
-  *    task files, which is safe: band entries only ever GENERATE
+  *    `bands/` table may surface a torn append's complete task files
+  *    UNTIL the replay (which deletes the partial generation and rewrites
+  *    it whole — overwrite semantics, so no duplicate band rows outlive a
+  *    replay), which is safe meanwhile: band entries only ever GENERATE
   *    candidates (deduplicated by `distinct`), and the marker protocol
   *    below guarantees a batch's own entries are never visible to its own
   *    flags step;
@@ -72,14 +74,17 @@ import java.nio.charset.StandardCharsets
   * no bucket suffixes and cannot be read under a bucketed table spec.
   *
   * OWNERSHIP: the index's `batch_id` namespace belongs to ONE streaming
-  * query lineage (one checkpoint). That contract is ENFORCED at start:
-  * the index's newest committed batch id may exceed the checkpoint's last
-  * commit by at most one (the crash-replay window). A fresh checkpoint
-  * against a populated index restarts batch ids at 0, where
-  * first-write-wins appends would silently skip and flags would be
-  * computed against stale truth — that run now throws instead of
-  * corrupting. (`batch_id=0`-only indexes are indistinguishable from a
-  * crash before the first checkpoint commit and are allowed.)
+  * query lineage (one checkpoint). That contract is ENFORCED at start,
+  * twice over: an `_owner.json` stamp (written when a checkpoint adopts a
+  * fresh index, BEFORE any data lands) pins the owning checkpoint's URI
+  * and refuses every other checkpoint — including the batch-0 window
+  * where a fresh checkpoint was previously indistinguishable from a
+  * crash-before-first-commit replay — and, for legacy stamp-less
+  * indexes, the index's newest committed batch id may exceed the
+  * checkpoint's last commit by at most one (the crash-replay window). A
+  * fresh checkpoint against a populated index restarts batch ids at 0,
+  * where first-write-wins appends would silently skip and flags would be
+  * computed against stale truth — that run throws instead of corrupting.
   *
   * `gcIndex` bounds the index by dropping the oldest generations (the
   * windowed trade); `probeIndex` answers the ad-hoc "already ingested?"
@@ -231,9 +236,14 @@ object StreamNearDup {
     * `batch_id` generation. First-write-wins via the per-partition-dir
     * `_SUCCESS` marker (created by THIS method after the append — table
     * appends only stamp the table root): a replayed committed batch skips
-    * entirely; a torn append is re-run, and any duplicate rows it leaves
-    * are harmless because band entries only generate candidates, which are
-    * deduplicated before verification.
+    * entirely; a torn append has its partial partition dir DELETED (and
+    * deregistered) before the re-run, so the generation is rewritten
+    * whole — the same overwrite semantics as `appendSets`. Without the
+    * delete, a torn append's surviving task files would duplicate the
+    * replay's rows permanently: candidate `distinct` keeps that
+    * correctness-neutral, but unlike the sets side nothing ever compacts
+    * the bands table, so the duplicates would inflate the standing index
+    * and every future candidate scan of that generation.
     */
   private def appendBands(
       spark: SparkSession, bandsDf: DataFrame, indexDir: String,
@@ -241,6 +251,11 @@ object StreamNearDup {
     val dir = new Path(s"$indexDir/bands/batch_id=$batchId")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(dir, "_SUCCESS"))) return
+    if (fs.exists(dir)) {
+      fs.delete(dir, true)
+      spark.sql(s"ALTER TABLE ${bandsTableName(indexDir)} " +
+        s"DROP IF EXISTS PARTITION (batch_id=$batchId)")
+    }
     bandsDf.withColumn("batch_id", lit(batchId))
       .write.mode("append").format("parquet")
       .partitionBy("batch_id")
@@ -347,16 +362,24 @@ object StreamNearDup {
     ensureBandsTable(spark, indexDir, bandBuckets)
     val bandsDf = DedupOps.bandedDocIds(hashed, minhashK, bands, rowsPerBand)
     // persisted: the candidate set is consulted twice (touched-bucket list
-    // + verification join) and is tiny (pairs, not corpus); the cache slot
-    // is plan-keyed, so repeated probes reuse it (q36's documented pattern)
+    // + verification join) and is tiny (pairs, not corpus). Unlike q36's
+    // standing pair set, the pin is RELEASED before returning: distinct
+    // probe inputs would otherwise accumulate distinct plan-keyed cache
+    // entries for the session. The flags result (smaller still — the
+    // above-threshold subset) is materialized via an eager local
+    // checkpoint first, which cuts its lineage off `cand`; its blocks are
+    // executor-stored and GC-collected once the caller drops the frame.
     val cand = indexCandidates(spark, indexDir, bandsDf).persist()
-    cand
-      .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
-      .join(prunedSets(spark, fs, indexDir, cand, setsBuckets)
-        .select(col("doc_id").as("dup_of"), col("hs").as("hs_a")), Seq("dup_of"))
-      .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_id"), col("dup_of"), col("jac"))
+    try {
+      cand
+        .join(hashed.select(col("doc_id"), col("hs").as("hs_b")), Seq("doc_id"))
+        .join(prunedSets(spark, fs, indexDir, cand, setsBuckets)
+          .select(col("doc_id").as("dup_of"), col("hs").as("hs_a")), Seq("dup_of"))
+        .withColumn("jac", DedupOps.jaccard(col("hs_a"), col("hs_b")))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_id"), col("dup_of"), col("jac"))
+        .localCheckpoint(true)
+    } finally { cand.unpersist(); () }
   }
 
   /** Retention GC for the standing index: drop the OLDEST committed
@@ -404,22 +427,89 @@ object StreamNearDup {
   }
 
   /** Enforce the index/checkpoint ownership contract before any batch
-    * runs: the index's newest committed generation may lead the
-    * checkpoint's last commit by at most one batch (the crash-replay
-    * window — batch N's appends land before commit N is written). A
-    * populated index paired with a checkpoint that has never committed
-    * near it means a FRESH (or foreign) checkpoint: its batch ids restart
-    * at 0, first-write-wins appends would silently skip, and flags would
-    * be computed against stale truth — silent corruption, refused loudly
-    * here. An index whose only generation is batch 0 is indistinguishable
-    * from a crash before the very first commit and is allowed through.
+    * runs, via two complementary guards:
+    *
+    *  1. OWNER STAMP: `_owner.json` records the owning checkpoint's
+    *     qualified URI, written crash-atomically when a checkpoint first
+    *     adopts an index — on the common path a FRESH one (no committed
+    *     generations, so the stamp lands before any data does); a legacy
+    *     stamp-less index is adopted by the first run the lead check
+    *     below admits, so every index is protected from its next run on.
+    *     Any later run whose checkpoint disagrees is refused outright.
+    *     This closes the
+    *     batch-0 window the lead check below cannot see: a one-generation
+    *     index paired with a genuinely fresh checkpoint used to be
+    *     indistinguishable from a crash-before-first-commit replay — the
+    *     replay's batch-0 append would silently skip, and with a fresh
+    *     flags sink (no marker) the flags step would run against an index
+    *     already holding the batch's own entries, emitting jaccard-1.0
+    *     self-duplicates for the whole first batch. A legitimately
+    *     RELOCATED checkpoint re-adopts by deleting `_owner.json` (the
+    *     refusal message says so).
+    *  2. COMMIT LEAD (legacy indexes without a stamp): the index's newest
+    *     committed generation may lead the checkpoint's last commit by at
+    *     most one batch (the crash-replay window — batch N's appends land
+    *     before commit N is written). A populated index paired with a
+    *     checkpoint that has never committed near it means a fresh or
+    *     foreign checkpoint — refused. A stamp-less index whose only
+    *     generation is batch 0 remains admitted (pre-stamp behavior, kept
+    *     so legacy indexes' true owners aren't locked out).
     */
   private def checkIndexOwnership(
       spark: SparkSession, fs: FileSystem, indexDir: String,
       checkpointDir: String): Unit = {
     val newest = committedIds(fs, indexDir, "bands")
       .foldLeft(-1L)(_ max _)
-    if (newest < 1) return
+    val ckptPath = new Path(checkpointDir)
+    val ckptQualified = ckptPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(ckptPath).toString
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val expected = s"""{"checkpoint":"${esc(ckptQualified)}"}"""
+    val stamp = new Path(new Path(indexDir), "_owner.json")
+    def verifyStamp(): Unit = {
+      val buf = new Array[Byte](fs.getFileStatus(stamp).getLen.toInt)
+      val in = fs.open(stamp)
+      try in.readFully(buf) finally in.close()
+      val found = new String(buf, StandardCharsets.UTF_8)
+      if (found.trim != expected)
+        throw new IllegalStateException(
+          s"near-dup index $indexDir is owned by checkpoint $found but this run " +
+            s"uses $expected — this checkpoint does not own the index's batch_id " +
+            "namespace. Resume from the index's original checkpoint, start a " +
+            "fresh index, or (if the checkpoint was legitimately relocated) " +
+            s"delete $stamp to let the new location adopt the index.")
+    }
+    if (fs.exists(stamp)) verifyStamp()
+    // the commit-lead check runs even under a matching stamp: a checkpoint
+    // dir emptied in place keeps its identity but restarts batch ids —
+    // only the lead vs the commit log can see that
+    if (newest >= 1) checkCommitLead(spark, fs, indexDir, checkpointDir, newest)
+    if (!fs.exists(stamp)) {
+      // admitted without a stamp (fresh index, or legacy stamp-less): adopt
+      // it now, so the index is protected from here on (temp+rename; the
+      // rename-race loser verifies the winner — two checkpoints racing to
+      // adopt must not both win)
+      fs.mkdirs(new Path(indexDir))
+      val tmp = new Path(new Path(indexDir), "._owner.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(expected.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (!fs.rename(tmp, stamp)) {
+        fs.delete(tmp, true)
+        if (!fs.exists(stamp))
+          throw new java.io.IOException(s"owner stamp publish failed: $stamp")
+        verifyStamp()
+      }
+    }
+  }
+
+  /** Legacy lead check (see `checkIndexOwnership`): refuse when the index's
+    * newest committed generation leads the checkpoint's last commit by
+    * more than the one-batch crash-replay window.
+    */
+  private def checkCommitLead(
+      spark: SparkSession, fs: FileSystem, indexDir: String,
+      checkpointDir: String, newest: Long): Unit = {
     val commits = new Path(s"$checkpointDir/commits")
     val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lastCommit =

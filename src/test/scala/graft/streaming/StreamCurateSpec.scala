@@ -24,7 +24,13 @@ class StreamCurateSpec extends AnyFunSuite {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_scurate_").toString
     val all = Tables.documents(spark, sf)
-    val train = all.filter(col("doc_id") % 20 =!= 0)
+    // one malformed null-text row rides along: the quality predicates
+    // evaluate to SQL NULL on it, and the partition contract demands it
+    // surface in the rejects sink (reason-tagged), not vanish
+    val nullId = all.agg(max(col("doc_id"))).as[Long].head() + 1
+    val nullRow = Seq((nullId, Option.empty[String], "en", "synthetic", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val train = all.filter(col("doc_id") % 20 =!= 0).unionByName(nullRow)
     val eval = all.filter(col("doc_id") % 20 === 0)
     val n = train.count()
     val ranked = train.withColumn("rnk", row_number().over(Window.orderBy(col("doc_id"))))
@@ -69,6 +75,10 @@ class StreamCurateSpec extends AnyFunSuite {
     val rejects = spark.read.parquet(s"$base/rejects")
     assert(rejects.count() > 0, "quality stage rejected nothing (vacuous)")
     assert(rejects.filter(col("reason").isNull || col("reason") === "").isEmpty)
+    // the malformed row surfaced, with the null_text tag
+    assert(rejects.filter(col("doc_id") === nullId)
+      .select("reason").as[String].collect().toSeq == Seq("null_text"),
+      "null-text row did not land in the rejects sink with its reason tag")
     val rejectIds = rejects.select("doc_id").as[Long].collect().toSet
     val qualityIds = quality.select("doc_id").as[Long].collect().toSet
     val trainIds = train.select("doc_id").as[Long].collect().toSet

@@ -187,6 +187,44 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(!q2.isActive)
   }
 
+  test("owner stamp closes the batch-0 window: one-generation index refuses a fresh checkpoint") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sneardup_own0_").toString
+    Seq((1L, "some words for the very first document"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/feed/c0")
+    val q = StreamNearDup.run(spark, s"$base/feed/c0", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    // index holds ONLY batch_id=0 — the window the commit-lead check
+    // cannot see. The owner stamp (written at adoption, before any data)
+    // must refuse a fresh checkpoint, whose replayed batch 0 would
+    // otherwise skip its append and flag every doc against itself
+    val ex = intercept[IllegalStateException] {
+      StreamNearDup.run(spark, s"$base/feed/c0", s"$base/ckpt_fresh",
+        s"$base/flags_fresh", s"$base/index")
+    }
+    assert(ex.getMessage.contains("does not own"), ex.getMessage)
+    // crash-replay from the true owner stays admitted
+    val q2 = StreamNearDup.run(spark, s"$base/feed/c0", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q2.awaitTermination(120000L)
+    assert(!q2.isActive)
+    // a legitimately relocated checkpoint re-adopts by deleting the stamp
+    val fs = new org.apache.hadoop.fs.Path(s"$base/index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/index/_owner.json"), false)
+    // stamp-less + populated falls to the legacy commit-lead check, which
+    // admits the true owner — and the admitted run RE-ADOPTS (re-stamps),
+    // so the index is protected again from here on
+    val q3 = StreamNearDup.run(spark, s"$base/feed/c0", s"$base/ckpt",
+      s"$base/flags", s"$base/index")
+    q3.awaitTermination(120000L)
+    assert(!q3.isActive)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/_owner.json")),
+      "re-adoption did not re-stamp the owner")
+  }
+
   test("non-default bucket counts: layout params flow through manifest, flags unchanged") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sneardup_buckets_").toString
