@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.SimilarityOps
 import graft.sources.{Enrichment, SchemaInit}
-import graft.streaming.{CheckpointStream, StreamEmbedIndex, StreamNearDup}
+import graft.streaming.{CheckpointStream, StreamCurate, StreamEmbedIndex, StreamNearDup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,12 +18,46 @@ import org.apache.spark.sql.functions._
   * dead-letter twin: every wire row the normalizer drops is quarantined
   * with its reason tag, so feed loss is counted AND recoverable. An
   * optional documents feed runs the ingest near-dup guard
-  * (`StreamNearDup`), and an optional embeddings feed runs the streaming
-  * ANN index feeder (`StreamEmbedIndex`); both standing indexes are
-  * maintained (retention GC / delta fold-retrain) in the same post-drain
-  * maintenance block as the diff sinks.
+  * (`StreamNearDup`) — or, with a `CurationConfig`, the full quality →
+  * decontamination → guard front door (`StreamCurate`) — under a
+  * configurable LSH geometry, and an optional embeddings feed runs the
+  * streaming ANN index feeder (`StreamEmbedIndex`); both standing indexes
+  * are maintained (retention GC / delta fold-retrain) in the same
+  * post-drain maintenance block as the diff sinks.
   */
 object Pipeline {
+
+  /** LSH geometry + physical layout of the documents feed's standing
+    * near-dup index. The `_lsh.json` manifest pins whatever values the
+    * index is CREATED under for its lifetime (band keys from different
+    * geometries are incomparable; the bucketed file layout depends on the
+    * bucket counts), so a deployment that needs a non-default threshold or
+    * band geometry must be able to say so through the composed lifecycle —
+    * these knobs flow into `StreamNearDup.run` / `StreamCurate.run`
+    * verbatim. Changing them against an existing index fails loudly at
+    * manifest verification, exactly as calling the components directly
+    * would.
+    */
+  final case class GuardConfig(
+      threshold: Double = 0.9,
+      minhashK: Int = 48,
+      bands: Int = 16,
+      rowsPerBand: Int = 3,
+      bandBuckets: Int = StreamNearDup.DefaultBandBuckets,
+      setsBuckets: Int = StreamNearDup.DefaultSetsBuckets)
+
+  /** Opt-in for the FULL curation front door on the documents feed:
+    * quality filter → benchmark decontamination (against the eval-set
+    * parquet at `evalDir`) → standing near-dup guard, with survivors in
+    * `<workDir>/curated` and every drop auditable (quality rejects /
+    * decontam verdicts / near-dup flags). Without this, the documents
+    * feed runs the bare guard only.
+    */
+  final case class CurationConfig(
+      evalDir: String,
+      minTokens: Int = 10,
+      minDistinctPct: Int = 30,
+      shingleN: Int = 5)
 
   final case class Config(
       cdcFeedDir: String,
@@ -47,6 +81,16 @@ object Pipeline {
         * windowed trade). None keeps the full index.
         */
       nearDupKeepBatches: Option[Int] = None,
+      /** LSH geometry/layout for the documents feed's standing index —
+        * pinned by the index manifest at creation, so set it HERE (not by
+        * bypassing the lifecycle) when the defaults don't fit the corpus.
+        */
+      guard: GuardConfig = GuardConfig(),
+      /** Run the full curation composition (quality → decontam → guard)
+        * on the documents feed instead of the bare guard. Requires
+        * `docFeedDir`.
+        */
+      curation: Option[CurationConfig] = None,
       /** Optional embeddings feed (vec_id, embedding) for the streaming
         * ANN index feeder: vectors become searchable as they arrive; the
         * standing index lives in `<workDir>/embed_index`.
@@ -82,8 +126,14 @@ object Pipeline {
     val hasData = sink.getFileSystem(hconf).listStatus(sink)
       .exists(_.getPath.getName.startsWith("batch_id="))
     if (!hasData) return
+    // newest event time via footer statistics: MAX(ts_us) answers from
+    // row-group metadata under the V2 aggregate pushdown — the retention
+    // anchor costs O(row-groups), not a sink scan (plan pinned in
+    // PipelineSpec)
     val cutoff = retention.flatMap { d =>
-      val row = spark.read.parquet(diffDir).agg(max(col("ts_us"))).head
+      val row = graft.sources.FooterStats.withAggregatePushdown(spark) {
+        spark.read.parquet(diffDir).agg(max(col("ts_us"))).head
+      }
       if (row.isNullAt(0)) None else Some(row.getLong(0) - d.toMillis * 1000L)
     }
     CheckpointStream.compactDiffs(spark, diffDir, last.get,
@@ -130,11 +180,36 @@ object Pipeline {
       CheckpointStream.runDeadLetter(spark, dir,
         s"${config.workDir}/ckpt_ide_dl", s"${config.workDir}/quarantine_ide",
         schemaHint = Some(CheckpointStream.ideSchema)))
-    // ingest near-dup guard over the optional documents feed: flags every
-    // arriving near-copy against the standing index as it lands
-    val ndQuery = config.docFeedDir.map(dir =>
-      StreamNearDup.run(spark, dir, s"${config.workDir}/ckpt_neardup",
-        s"${config.workDir}/neardup_flags", s"${config.workDir}/neardup_index"))
+    // documents feed: either the FULL curation front door (quality →
+    // decontam → guard, survivors in curated/, every drop auditable) or
+    // the bare near-dup guard — in both cases under the configured LSH
+    // geometry, which the index manifest pins from here on
+    val g = config.guard
+    require(config.curation.isEmpty || config.docFeedDir.isDefined,
+      "curation requires a documents feed (docFeedDir)")
+    val ndQuery = config.docFeedDir.map { dir =>
+      config.curation match {
+        case Some(cur) =>
+          StreamCurate.run(spark, dir, s"${config.workDir}/ckpt_neardup",
+            s"${config.workDir}/curated", s"${config.workDir}/neardup_flags",
+            s"${config.workDir}/curation_decontam",
+            s"${config.workDir}/curation_rejects",
+            s"${config.workDir}/neardup_index",
+            evalSet = spark.read.parquet(cur.evalDir),
+            minTokens = cur.minTokens, minDistinctPct = cur.minDistinctPct,
+            shingleN = cur.shingleN, threshold = g.threshold,
+            minhashK = g.minhashK, bands = g.bands,
+            rowsPerBand = g.rowsPerBand,
+            bandBuckets = g.bandBuckets, setsBuckets = g.setsBuckets)
+        case None =>
+          StreamNearDup.run(spark, dir, s"${config.workDir}/ckpt_neardup",
+            s"${config.workDir}/neardup_flags",
+            s"${config.workDir}/neardup_index",
+            threshold = g.threshold, minhashK = g.minhashK, bands = g.bands,
+            rowsPerBand = g.rowsPerBand,
+            bandBuckets = g.bandBuckets, setsBuckets = g.setsBuckets)
+      }
+    }
     // streaming ANN index feeder over the optional embeddings feed:
     // vectors searchable as they arrive (LSM base + delta generations)
     val embQuery = config.embFeedDir.map(dir =>
@@ -203,6 +278,13 @@ object Pipeline {
     * SPARK_GRAFT_DIFF_RETENTION_MS (diff-sink event-time retention),
     * SPARK_GRAFT_EMB_FEED (embeddings feed for the streaming ANN index),
     * SPARK_GRAFT_EMB_FOLD_MIN (fold once this many deltas accumulated).
+    * Guard LSH geometry/layout (pinned by the index manifest at creation):
+    * SPARK_GRAFT_LSH_THRESHOLD, SPARK_GRAFT_LSH_K, SPARK_GRAFT_LSH_BANDS,
+    * SPARK_GRAFT_LSH_ROWS, SPARK_GRAFT_BAND_BUCKETS,
+    * SPARK_GRAFT_SETS_BUCKETS. Full curation front door (quality →
+    * decontam → guard) on the documents feed: SPARK_GRAFT_EVAL_DIR (the
+    * held-out eval-set parquet; enables it), SPARK_GRAFT_CUR_MIN_TOKENS,
+    * SPARK_GRAFT_CUR_MIN_DISTINCT_PCT, SPARK_GRAFT_CUR_SHINGLE_N.
     */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir]")
@@ -230,6 +312,24 @@ object Pipeline {
         .map(ms => java.time.Duration.ofMillis(ms.toLong)),
       docFeedDir = sys.env.get("SPARK_GRAFT_DOC_FEED"),
       nearDupKeepBatches = sys.env.get("SPARK_GRAFT_NEARDUP_KEEP").map(_.toInt),
+      guard = GuardConfig(
+        threshold = sys.env.get("SPARK_GRAFT_LSH_THRESHOLD")
+          .map(_.toDouble).getOrElse(0.9),
+        minhashK = sys.env.get("SPARK_GRAFT_LSH_K").map(_.toInt).getOrElse(48),
+        bands = sys.env.get("SPARK_GRAFT_LSH_BANDS").map(_.toInt).getOrElse(16),
+        rowsPerBand = sys.env.get("SPARK_GRAFT_LSH_ROWS").map(_.toInt).getOrElse(3),
+        bandBuckets = sys.env.get("SPARK_GRAFT_BAND_BUCKETS")
+          .map(_.toInt).getOrElse(StreamNearDup.DefaultBandBuckets),
+        setsBuckets = sys.env.get("SPARK_GRAFT_SETS_BUCKETS")
+          .map(_.toInt).getOrElse(StreamNearDup.DefaultSetsBuckets)),
+      curation = sys.env.get("SPARK_GRAFT_EVAL_DIR").map(ev => CurationConfig(
+        evalDir = ev,
+        minTokens = sys.env.get("SPARK_GRAFT_CUR_MIN_TOKENS")
+          .map(_.toInt).getOrElse(10),
+        minDistinctPct = sys.env.get("SPARK_GRAFT_CUR_MIN_DISTINCT_PCT")
+          .map(_.toInt).getOrElse(30),
+        shingleN = sys.env.get("SPARK_GRAFT_CUR_SHINGLE_N")
+          .map(_.toInt).getOrElse(5))),
       embFeedDir = sys.env.get("SPARK_GRAFT_EMB_FEED"),
       embedFoldMinDeltas = sys.env.get("SPARK_GRAFT_EMB_FOLD_MIN").map(_.toInt)))
     println(s"[pipeline] enriched sessions: ${out.count()}")

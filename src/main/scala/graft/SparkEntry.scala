@@ -72,6 +72,8 @@ object SparkEntry {
     "q45_curate"        -> (CurateOps.q45Curate(_, _)),
     "q46_resize"        -> (MultimodalOps.q46Resize(_, _)),
     "q47_epoch"         -> (PackOps.q47Epoch(_, _)),
+    "q48_video_frames"  -> (MultimodalOps.q48VideoFrames(_, _)),
+    "q49_ivf_stream_parity" -> (SimilarityOps.q49StreamIndexParity(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -558,5 +560,30 @@ object SparkEntry {
         |        unnest(range(off // 256, (off + tok - 1) // 256 + 1)) AS chunk_id
         |      FROM o WHERE tok > 0)
         |ORDER BY mix_key, doc_id, rep, chunk_id""".stripMargin,
+    // the q43 real-decode argument extended to the third modality: every
+    // exposed value is pure arithmetic on (doc_id, frame index) — stream
+    // shape from the strf header, frame count from the movi chunk walk,
+    // per-frame channel means exact under constant fills
+    "q48_video_frames" ->
+      """SELECT doc_id AS asset_id, f AS frame_idx,
+        |  8 + doc_id % 8 AS width,
+        |  6 + (doc_id * 3) % 8 AS height,
+        |  2 + doc_id % 4 AS n_frames,
+        |  (doc_id + 11 * f) % 256 AS mean_b,
+        |  (doc_id * 7 + 17 * f) % 256 AS mean_g,
+        |  (doc_id * 13 + 23 * f) % 256 AS mean_r
+        |FROM (SELECT doc_id, unnest(range(2 + doc_id % 4)) AS f
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+    // the streaming-fed (LSM) index lifecycle vs a same-quantizer
+    // monolithic probe must agree EXACTLY per query (shared centroids;
+    // normalized doubles round-trip parquet losslessly), so the oracle
+    // pins every count to k=10 — a lost/duplicated/mis-pruned delta row
+    // anywhere in the standing-index path breaks a count
+    "q49_ivf_stream_parity" ->
+      """SELECT vec_id AS query_id, 10::BIGINT AS n_lsm, 10::BIGINT AS n_ref,
+        |  10::BIGINT AS n_agree
+        |FROM embeddings WHERE vec_id % 50 = 0
+        |ORDER BY query_id""".stripMargin,
   )
 }

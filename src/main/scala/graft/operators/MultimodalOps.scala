@@ -10,9 +10,11 @@ import java.nio.charset.StandardCharsets
   * metadata structs, plus the decode / feature-extract / resize /
   * frame-sample pipeline a training-data platform runs over them.
   *
-  * The decode step carries REAL dependency-free codecs for two container
-  * formats — uncompressed 24-bpp Windows BMP (`decodeBmp`) and PCM WAV
-  * (`decodeWav`), both parsed from their public header layouts — with a
+  * The decode step carries REAL dependency-free codecs for all three
+  * modalities — uncompressed 24-bpp Windows BMP (`decodeBmp`), PCM WAV
+  * (`decodeWav`), and uncompressed-DIB AVI video (`decodeAvi`, the same
+  * RIFF chunk walk as WAV wrapped around per-frame BMP-style pixel
+  * grids), each parsed from its public header layout — with a
   * deterministic byte-histogram FALLBACK for every other payload (the
   * documents-derived test assets are text bytes and land there). Around
   * the codec everything is the Spark plumbing a production pipeline
@@ -61,8 +63,8 @@ object MultimodalOps {
     * the codecs. This is the table q43 runs over: unlike `assets()` (text
     * bytes standing in for media, kept stable for q25/q26's hashes), every
     * row here exercises the real-decode branch of `decodeBytes`. Video
-    * rows are excluded — the engine ships no video codec, and a fallback
-    * row would test nothing.
+    * rows live in `decodableVideos` (real AVI containers, q48) — kept
+    * separate so q43's pinned oracle surface stays image+audio.
     */
   def decodableAssets(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
     import spark.implicits._
@@ -250,6 +252,140 @@ object MultimodalOps {
     }
   }
 
+  /** Decoded uncompressed video: `frames` are BGR row-major TOP-DOWN pixel
+    * grids (the same layout as `BmpImage.pixels`), one per stored frame.
+    */
+  final case class AviVideo(width: Int, height: Int, frames: Array[Array[Byte]])
+
+  /** AVI writer — the inverse of `decodeAvi` for uncompressed 24-bpp DIB
+    * video: `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' 00db…))`, each frame stored like BMP pixel data
+    * (bottom-up rows padded to 4 bytes). `frames` are BGR row-major
+    * TOP-DOWN, `width*height*3` bytes each.
+    */
+  def encodeAvi(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty &&
+      frames.forall(_.length == width * height * 3),
+      s"frames must each be $width*$height*3 BGR bytes")
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val frameLen = rowSize * height // multiple of 4: no odd-chunk padding
+    val strlSize = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize) // 'hdrl' + avih + LIST strl
+    val moviSize = 4 + frames.length * (8 + frameLen)
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val out = new Array[Byte](total)
+    var p = 0
+    def fourcc(s: String): Unit = { var i = 0; while (i < 4) { out(p + i) = s(i).toByte; i += 1 }; p += 4 }
+    def u32(v: Int): Unit = { putLe32(out, p, v); p += 4 }
+    def u16(v: Int): Unit = { putLe16(out, p, v); p += 2 }
+    fourcc("RIFF"); u32(total - 8); fourcc("AVI ")
+    fourcc("LIST"); u32(hdrlSize); fourcc("hdrl")
+    // avih: 25 fps nominal; frame count, dims — the decoder's cross-check
+    fourcc("avih"); u32(56)
+    u32(40000); u32(frameLen * 25); u32(0); u32(0)
+    u32(frames.length); u32(0); u32(1); u32(frameLen)
+    u32(width); u32(height); u32(0); u32(0); u32(0); u32(0)
+    fourcc("LIST"); u32(strlSize); fourcc("strl")
+    fourcc("strh"); u32(56)
+    fourcc("vids"); fourcc("DIB "); u32(0); u16(0); u16(0)
+    u32(0); u32(1); u32(25); u32(0); u32(frames.length)
+    u32(frameLen); u32(0); u32(0)
+    u16(0); u16(0); u16(width); u16(height) // rcFrame
+    // strf: a verbatim BITMAPINFOHEADER — the stream's authoritative shape
+    fourcc("strf"); u32(40)
+    u32(40); u32(width); u32(height); u16(1); u16(24)
+    u32(0); u32(frameLen); u32(0); u32(0); u32(0); u32(0)
+    fourcc("LIST"); u32(moviSize); fourcc("movi")
+    for (f <- frames) {
+      fourcc("00db"); u32(frameLen)
+      var r = 0
+      while (r < height) {
+        System.arraycopy(f, (height - 1 - r) * width * 3, out, p + r * rowSize, width * 3)
+        r += 1
+      }
+      p += frameLen
+    }
+    assert(p == total, s"AVI writer layout drift: wrote $p of $total")
+    out
+  }
+
+  /** Constant-color-per-frame AVI: frame `f` is a solid `colors(f)` (b, g,
+    * r) fill — per-frame channel means decode back EXACTLY, which is what
+    * makes q48 oracle-checkable (q43's constant-fill argument per frame).
+    */
+  def encodeAviConst(width: Int, height: Int, colors: Seq[(Int, Int, Int)]): Array[Byte] =
+    encodeAvi(width, height, colors.map { case (b, g, r) =>
+      val px = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < px.length) {
+        px(i) = b.toByte; px(i + 1) = g.toByte; px(i + 2) = r.toByte
+        i += 3
+      }
+      px
+    })
+
+  /** REAL AVI codec (public RIFF layout, no dependencies): the same
+    * word-aligned chunk walk as `decodeWav`, one level deeper — `LIST`
+    * chunks (`hdrl`/`strl`/`movi`) are descended into, the stream's
+    * `strf` BITMAPINFOHEADER fixes the pixel shape (same field layout as
+    * BMP's info header), and each `00db`/`00dc` chunk is one bottom-up
+    * padded DIB frame, unflipped to top-down BGR exactly as `decodeBmp`
+    * does. Supports the uncompressed 24-bpp form; anything else — or a
+    * truncated/garbled walk, or a frame whose size disagrees with the
+    * declared shape — is `None` (the D15 error-as-value discipline).
+    * Header-derived sizes go through Long arithmetic for the same
+    * hostile-header reasons spelled out in `decodeBmp`.
+    */
+  def decodeAvi(b: Array[Byte]): Option[AviVideo] = {
+    if (b == null || b.length < 24) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+    var w = 0; var h = 0; var bpp = -1; var comp = -1
+    val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = new String(b, o, 4, StandardCharsets.US_ASCII)
+        val sz = le32(b, o + 4)
+        if (sz < 0 || o + 8 + sz.toLong > end) return false
+        if (id == "LIST") {
+          if (sz < 4 || depth >= 4) return false
+          val lt = new String(b, o + 8, 4, StandardCharsets.US_ASCII)
+          if (lt == "hdrl" || lt == "strl" || lt == "movi")
+            if (!walk(o + 12, o + 8 + sz, depth + 1)) return false
+        } else if (id == "strf" && sz >= 40) {
+          w = le32(b, o + 8 + 4)
+          h = le32(b, o + 8 + 8)
+          bpp = le16(b, o + 8 + 14)
+          comp = le32(b, o + 8 + 16)
+        } else if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc"))) {
+          frameChunks += ((o + 8, sz))
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      true
+    }
+    if (!walk(12, b.length, 0)) return None
+    if (bpp != 24 || comp != 0 || w <= 0 || h == 0 || frameChunks.isEmpty) return None
+    val topDown = h < 0
+    val ah = math.abs(h.toLong)
+    val rowSize = ((24L * w + 31L) / 32L) * 4L
+    if (rowSize * ah > Int.MaxValue || w.toLong * ah * 3L > Int.MaxValue) return None
+    val frameLen = (rowSize * ah).toInt
+    if (!frameChunks.forall(_._2 == frameLen)) return None
+    val frames = frameChunks.map { case (off, _) =>
+      val px = new Array[Byte]((w * ah * 3L).toInt)
+      var r = 0
+      while (r < ah) {
+        val srcRow = if (topDown) r else ah - 1 - r
+        System.arraycopy(b, off + (srcRow * rowSize).toInt, px, (r.toLong * w * 3L).toInt, w * 3)
+        r += 1
+      }
+      px
+    }
+    Some(AviVideo(w, ah.toInt, frames.toArray))
+  }
+
   /** Fallback features for non-media payloads: 16-bin normalized byte
     * histogram (the original deterministic pseudo-decode).
     */
@@ -314,14 +450,44 @@ object MultimodalOps {
     out
   }
 
+  private def videoFeatures(v: AviVideo): Array[Float] = {
+    val out = new Array[Float](16)
+    out(0) = v.width.toFloat
+    out(1) = v.height.toFloat
+    out(2) = v.frames.length.toFloat
+    val nPx = v.width.toLong * v.height * v.frames.length
+    var sb = 0L; var sg = 0L; var sr = 0L
+    for (f <- v.frames) {
+      var i = 0
+      while (i < f.length) {
+        sb += f(i) & 0xFF
+        sg += f(i + 1) & 0xFF
+        sr += f(i + 2) & 0xFF
+        val gray = ((f(i) & 0xFF) + (f(i + 1) & 0xFF) + (f(i + 2) & 0xFF)) / 3
+        out(6 + math.min(9, gray * 10 / 256)) += 1f
+        i += 3
+      }
+    }
+    out(3) = sb.toFloat / nPx / 255f
+    out(4) = sg.toFloat / nPx / 255f
+    out(5) = sr.toFloat / nPx / 255f
+    var j = 6
+    while (j < 16) { out(j) /= nPx; j += 1 }
+    out
+  }
+
   /** Content features, 16 floats for every modality (uniform schema so the
     * feature column composes with SimilarityOps regardless of media type):
     *  - BMP:  [width, height, meanB, meanG, meanR] ++ 11-bin gray histogram
     *  - WAV:  [rate, channels, nSamples, rms, zeroCrossings] ++ 11-bin
     *    amplitude histogram
+    *  - AVI:  [width, height, nFrames, meanB, meanG, meanR] ++ 10-bin gray
+    *    histogram over all frames
     *  - else: the 16-bin byte histogram fallback.
-    * Dispatch is by magic bytes; parse failures fall through — one garbled
-    * asset degrades to fallback features instead of failing the batch.
+    * Dispatch is by magic bytes (BMP 'BM', WAV 'RIFF…WAVE', AVI
+    * 'RIFF…AVI ' — mutually exclusive); parse failures fall through — one
+    * garbled asset degrades to fallback features instead of failing the
+    * batch.
     */
   private[operators] def decodeBytes(payload: Array[Byte]): Array[Float] =
     // belt-and-suspenders: the parsers return None on everything the
@@ -330,6 +496,7 @@ object MultimodalOps {
     // never kill a partition
     try decodeBmp(payload).map(imageFeatures)
       .orElse(decodeWav(payload).map(audioFeatures))
+      .orElse(decodeAvi(payload).map(videoFeatures))
       .getOrElse(byteHistogram(payload))
     catch { case scala.util.control.NonFatal(_) => byteHistogram(payload) }
 
@@ -403,6 +570,98 @@ object MultimodalOps {
         }
       }
       .toDF()
+  }
+
+  /** Derive a video asset table whose payloads are REAL uncompressed-AVI
+    * container bytes: the `doc_id % 3 == 2` third of the corpus that
+    * `decodableAssets` leaves out, each a small constant-color-per-frame
+    * video whose every header and content parameter is pure arithmetic on
+    * `doc_id` (and frame index), so an independent oracle recomputes every
+    * decoded value without owning the codec — the q43 argument extended to
+    * the third modality.
+    */
+  def decodableVideos(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 2)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nFrames = (2 + id % 4).toInt
+          DecodableAsset(id, "video", encodeAviConst(
+            (8 + id % 8).toInt, (6 + (id * 3) % 8).toInt,
+            (0 until nFrames).map(f => (
+              ((id + 11 * f) % 256).toInt,
+              ((id * 7 + 17 * f) % 256).toInt,
+              ((id * 13 + 23 * f) % 256).toInt))))
+        }
+      }
+  }
+
+  final case class FrameFeatureRow(
+      asset_id: Long, frame_idx: Long, width: Long, height: Long,
+      n_frames: Long, mean_b: Long, mean_g: Long, mean_r: Long)
+
+  /** Per-FRAME decode features over a video asset table: each decodable
+    * AVI payload explodes into one row per frame with the frame's exact
+    * integer channel means (sums divide exactly for constant fills; for
+    * arbitrary content this is the floor of the mean). Non-decodable
+    * payloads contribute no rows — a byte blob has no frames, and a fake
+    * row would poison per-frame statistics. Plan shape: one narrow
+    * mapPartitions, partition-preserving, no shuffle — the decode stays
+    * where the bytes are, only the small per-frame stats flow on.
+    */
+  def videoFrameFeatures(assetDf: DataFrame): Dataset[FrameFeatureRow] = {
+    val spark = assetDf.sparkSession
+    import spark.implicits._
+    assetDf.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeAvi(payload).toSeq.flatMap { v =>
+            val nPx = v.width.toLong * v.height
+            v.frames.iterator.zipWithIndex.map { case (f, idx) =>
+              var sb = 0L; var sg = 0L; var sr = 0L
+              var i = 0
+              while (i < f.length) {
+                sb += f(i) & 0xFF; sg += f(i + 1) & 0xFF; sr += f(i + 2) & 0xFF
+                i += 3
+              }
+              FrameFeatureRow(id, idx.toLong, v.width.toLong, v.height.toLong,
+                v.frames.length.toLong, sb / nPx, sg / nPx, sr / nPx)
+            }
+          }
+        }
+      }
+  }
+
+  /** REAL frame sampling: decodable AVI payloads are decoded and every
+    * `stride`-th frame re-encoded as a standalone BMP (the unit the image
+    * ops — `resize`, `extractFeatures` — consume downstream), keyed by its
+    * ORIGINAL frame index. Non-decodable payloads are skipped — no fake
+    * frames. The byte-chunk `sampleFrames` remains the fallback shape for
+    * opaque payloads (q26's accounting). Partition-preserving flatMap, no
+    * shuffle.
+    */
+  def sampleFramesDecoded(assetDf: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val spark = assetDf.sparkSession
+    import spark.implicits._
+    assetDf.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeAvi(payload).toSeq.flatMap { v =>
+            v.frames.iterator.zipWithIndex
+              .filter(_._2 % stride == 0)
+              .map { case (f, idx) =>
+                (id, idx.toLong, encodeBmp(v.width, v.height, f)) }
+          }
+        }
+      }
+      .toDF("asset_id", "frame_idx", "frame_bmp")
   }
 
   /** Frame sampling for video assets: the payload split into `n` contiguous
@@ -496,6 +755,21 @@ object MultimodalOps {
         round(f(5) * 255).cast("long").as("mean_r"))
       .orderBy(col("asset_id"))
   }
+
+  /** q48: the REAL-decode surface for the third modality — every row's
+    * payload is a genuine uncompressed-AVI container (`decodableVideos`),
+    * exploded into per-frame rows by `videoFrameFeatures` (through
+    * `decodeAvi`, never a fallback), and every exposed column is a header-
+    * or content-derived value the oracle recomputes as pure arithmetic on
+    * (`doc_id`, frame index): stream shape from the strf header, frame
+    * count from the movi walk, exact per-frame channel means from the
+    * constant fills. A codec bug anywhere — chunk walk, row unflip, frame
+    * split — shifts some mean or count and fails the hash.
+    */
+  def q48VideoFrames(spark: SparkSession, dir: String): DataFrame =
+    videoFrameFeatures(decodableVideos(spark, dir).toDF())
+      .toDF()
+      .orderBy(col("asset_id"), col("frame_idx"))
 
   /** q26: per-frame byte accounting for the video subset — frame boundaries
     * are pure arithmetic, so the oracle can verify every frame length.

@@ -517,20 +517,21 @@ object SimilarityOps {
       .write.mode("append").partitionBy("cid").parquet(s"$indexDir/postings")
   }
 
-  /** Current per-cluster posting counts. Cost model, stated precisely: a
-    * zero-column count scan — Spark's parquet reader decodes NO column
-    * data for `count(1)` (row counts come per batch from the row-group
-    * metadata) but still runs a job that lists and opens every posting
-    * file, so the cost grows with file count, not data volume. A pure
-    * footer-statistics answer would need the V2 aggregate pushdown path
-    * (`spark.sql.parquet.aggregatePushdown`, off by default and V1-exempt)
-    * — worth revisiting if maintenance-loop frequency ever makes this the
-    * bottleneck.
+  /** Current per-cluster posting counts — a FOOTER-STATISTICS read:
+    * COUNT(*) grouped by the `cid` partition column runs under the V2
+    * parquet aggregate pushdown (`FooterStats.withAggregatePushdown`), so
+    * the answer comes from row-group metadata — O(row-groups) I/O, no
+    * column data decoded. This is the per-arrival-batch cost the
+    * `refreshIvfIndex`/`needsRetrain` maintenance loop pays, realized as
+    * originally claimed (the plan shape is pinned by IvfIndexSpec — the
+    * pushdown degrades silently if the read shape stops qualifying).
     */
   def clusterSizes(spark: SparkSession, indexDir: String): Map[Int, Long] =
-    spark.read.parquet(s"$indexDir/postings")
-      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    graft.sources.FooterStats.withAggregatePushdown(spark) {
+      spark.read.parquet(s"$indexDir/postings")
+        .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
 
   /** Standing-index maintenance policy in one call: append `newVectors`
     * under the existing quantizer, then — if the postings have outgrown it
@@ -803,6 +804,85 @@ object SimilarityOps {
         .foreach(p => idxFs.delete(p, true))
     annTopKIvfIndexed(spark, indexDir, queriesOf(c), 10)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Probe `c` in-query under a FIXED, already-trained quantizer: the
+    * monolithic counterpart of an indexed probe. Isolation primitive for
+    * q49 — with the SAME centroids on both sides, any divergence between
+    * this and `annTopKIvfIndexed` over the same vectors is a defect of the
+    * index STORAGE path (delta layout, cid pruning, basePath union), never
+    * of training.
+    */
+  def annTopKIvfFixed(
+      c: DataFrame, cents: Array[Array[Double]], q: DataFrame, k: Int,
+      nprobe: Int = 12): DataFrame = {
+    val inverted = normalized(c, "v", "nv")
+      .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
+    probeIvf(inverted, cents, q, k, nprobe)
+  }
+
+  /** q49: the streaming-fed index lifecycle made CORRECTNESS-visible — the
+    * same way q43 did for the codecs. The corpus is replayed through the
+    * exact `StreamEmbedIndex` arrival shape (batch 0 trains and publishes
+    * the base recorded folded-through-itself; batches 1–2 land as
+    * crash-idempotent cid-partitioned delta generations), then probed TWICE
+    * with one shared quantizer: through the standing index (base + unfolded
+    * deltas, cid-pruned, `basePath` union) and through an in-memory
+    * inverted file over the full corpus (`annTopKIvfFixed`). Output is
+    * per-query row and (rank-sensitive) agreement counts; the oracle pins
+    * all of them to k — a delta row lost, duplicated, mis-assigned or
+    * mis-pruned anywhere in the LSM path shifts a count and fails the
+    * hash. Normalized doubles round-trip parquet exactly, so full
+    * agreement is deterministic, not a recall statement.
+    *
+    * The built index is fingerprint-cache-keyed like q38's; the multi-step
+    * build (base + two deltas) lands under a tmp dir and renames into
+    * place, so the cache can never hold a base without its deltas.
+    */
+  def q49StreamIndexParity(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val corpusFs = corpusPath.getFileSystem(hconf)
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_ivf_lsm_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val idxFs = rootPath.getFileSystem(hconf)
+    val fp = corpusFingerprint(corpusFs, corpusPath)
+    val indexDir = s"$root/ivf-$fp"
+    val finPath = new org.apache.hadoop.fs.Path(indexDir)
+    if (!idxFs.exists(finPath)) {
+      val tmp = indexDir + ".lsm-" + java.util.UUID.randomUUID().toString.take(8)
+      buildIvfIndex(c.filter(col("vec_id") % 3 === 0), tmp,
+        foldedThrough = Some(0L))
+      for (b <- 1L to 2L)
+        appendIvfDelta(c.filter(col("vec_id") % 3 === b), tmp, b)
+      if (!idxFs.rename(new org.apache.hadoop.fs.Path(tmp), finPath)) {
+        // a concurrent identical build (same fingerprint, same determinism
+        // argument as q38's ifAbsentOnly) won the publish — use theirs
+        if (idxFs.exists(finPath)) { idxFs.delete(new org.apache.hadoop.fs.Path(tmp), true); () }
+        else throw new java.io.IOException(s"LSM index publish failed: $tmp -> $indexDir")
+      }
+    }
+    // superseded-generation sweep: q38's exact-shape discipline (never a
+    // prefix match that could catch a concurrent in-flight `.lsm-` dir)
+    if (idxFs.exists(rootPath))
+      idxFs.listStatus(rootPath).map(_.getPath)
+        .filter(p => p.getName.matches("ivf-[0-9a-f]{16}") && p.getName != s"ivf-$fp")
+        .foreach(p => idxFs.delete(p, true))
+    val q = queriesOf(c)
+    val lsm = annTopKIvfIndexed(spark, indexDir, q, 10)
+    val ref = annTopKIvfFixed(c, loadIvfCentroids(spark, indexDir), q, 10)
+    val lsmN = lsm.groupBy(col("query_id")).agg(count(lit(1)).as("n_lsm"))
+    val refN = ref.groupBy(col("query_id")).agg(count(lit(1)).as("n_ref"))
+    // rank-sensitive agreement: a row must match on (rank, vec_id), so an
+    // order inversion counts as disagreement, not just a missing vector
+    val agreeN = lsm
+      .join(ref, Seq("query_id", "rank", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_agree"))
+    lsmN.join(refN, Seq("query_id")).join(agreeN, Seq("query_id"))
+      .select(col("query_id"), col("n_lsm"), col("n_ref"), col("n_agree"))
+      .orderBy(col("query_id"))
   }
 
   /** Candidate volume of the SRP bucket join — the quantity the

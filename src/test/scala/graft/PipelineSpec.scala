@@ -176,6 +176,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(flags == Set((11L, 3L)), s"probe saw $flags")
   }
 
+  test("curation front door runs in the lifecycle under a non-default LSH geometry") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pipeline_cur_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.filter(col("user_id") % 17 === 0)
+      .coalesce(1).write.parquet(s"$base/feed_cdc/f0")
+    // docs: a low-quality reject, a near-dup pair (later one must drop),
+    // an eval-contaminated doc, and a clean survivor
+    val eval = Seq((100L, "held out benchmark question about graph theory"))
+      .toDF("doc_id", "text")
+    eval.coalesce(1).write.parquet(s"$base/eval")
+    val docs = Seq(
+      1L -> "tiny", // quality reject (too few tokens)
+      2L -> "the quick brown fox jumps over the lazy dog every single day",
+      3L -> "the quick brown fox jumps over the lazy dog every single day", // near-dup of 2
+      4L -> "contains the held out benchmark question about graph theory verbatim", // decontam hit
+      5L -> "a perfectly ordinary clean document with plenty of distinct words here")
+    docs.zipWithIndex.foreach { case ((id, t), i) =>
+      Seq((id, t)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/docs/c$i")
+      val d = new java.io.File(s"$base/docs/c$i")
+      (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val guard = Pipeline.GuardConfig(
+      minhashK = 32, bands = 8, rowsPerBand = 4, bandBuckets = 8, setsBuckets = 16)
+    val cfg = Pipeline.Config(
+      cdcFeedDir = s"$base/feed_cdc/f*",
+      ideFeedDir = None,
+      reportDir = None,
+      workDir = s"$base/work",
+      docFeedDir = Some(s"$base/docs/c*"),
+      guard = guard,
+      curation = Some(Pipeline.CurationConfig(evalDir = s"$base/eval", minTokens = 5)))
+    Pipeline.run(spark, cfg)
+    // survivors: 2 (earliest of the dup pair) and 5; each drop in its sink
+    val curated = spark.read.parquet(s"$base/work/curated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated == Set(2L, 5L), s"curated: $curated")
+    assert(spark.read.parquet(s"$base/work/curation_rejects")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(spark.read.parquet(s"$base/work/curation_decontam")
+      .filter(!col("keep")).select("doc_id").as[Long].collect().toSet == Set(4L))
+    assert(spark.read.parquet(s"$base/work/neardup_flags")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet == Set((3L, 2L)))
+    // the manifest pinned the CONFIGURED geometry, not the defaults
+    val mf = Files.readString(
+      java.nio.file.Paths.get(s"$base/work/neardup_index/_lsh.json"))
+    assert(mf.contains("\"minhashK\":32") && mf.contains("\"bands\":8") &&
+      mf.contains("\"bandBuckets\":8") && mf.contains("\"setsBuckets\":16"), mf)
+    // a second lifecycle run under the same config resumes cleanly (the
+    // knobs flow back to the manifest check); a drifted geometry refuses
+    Pipeline.run(spark, cfg)
+    val ex = intercept[IllegalStateException] {
+      Pipeline.run(spark, cfg.copy(guard = guard.copy(bandBuckets = 4)))
+    }
+    assert(ex.getMessage.contains("LSH parameters"), ex.getMessage)
+  }
+
   test("embedding feeder runs in the lifecycle; maintenance folds its deltas") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_pipeline_emb_").toString
@@ -231,6 +288,14 @@ class PipelineSpec extends AnyFunSuite {
     Files.createDirectories(java.nio.file.Paths.get(ckpt, "commits"))
     Files.writeString(java.nio.file.Paths.get(ckpt, "commits", "0"), "v1")
     Files.writeString(java.nio.file.Paths.get(ckpt, "commits", "1"), "v1")
+    // the retention anchor (newest ts_us) is a footer-statistics read:
+    // MAX must be pushed into the scan under the maintenance helper
+    graft.sources.FooterStats.withAggregatePushdown(spark) {
+      val df = spark.read.parquet(diffs).agg(max(col("ts_us")))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation") && plan.contains("MAX"),
+        s"MAX(ts_us) not pushed to the diff-sink scan:\n$plan")
+    }
     // newest event in the sink is ts_us=400000; a 150 ms window keeps
     // rows at or after 250000µs — id 3 survives the fold, ids 1/2 expire
     Pipeline.maintainDiffSink(spark, ckpt, diffs,

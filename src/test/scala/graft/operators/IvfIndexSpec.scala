@@ -82,6 +82,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(q32.nonEmpty && q38a == q32 && q38b == q32)
   }
 
+  test("q49: the LSM (base + unfolded deltas) probe agrees exactly with the monolithic probe") {
+    val rows = graft.SparkEntry.queries("q49_ivf_stream_parity")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // every query: 10 rows each path, all 10 agreeing on (rank, vec_id) —
+    // the delta storage path is invisible to probe results
+    for (r <- rows)
+      assert(r.getLong(1) == 10 && r.getLong(2) == 10 && r.getLong(3) == 10,
+        s"LSM/monolithic divergence at query ${r.getLong(0)}: $r")
+    // and the run actually probed a delta-holding index (2 unfolded deltas)
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_ivf_lsm_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val idx = new java.io.File(root).listFiles
+      .filter(_.getName.matches("ivf-[0-9a-f]{16}")).head
+    assert(SimilarityOps.unfoldedDeltaCount(spark, idx.toString) == 2,
+      "q49 index holds no unfolded deltas — the parity would be vacuous")
+  }
+
+  test("clusterSizes answers from footer statistics: COUNT pushed into the parquet scan") {
+    val dir = Files.createTempDirectory("graft_ivf_footer_").toString + "/index"
+    val c = corpus()
+    SimilarityOps.buildIvfIndex(c, dir)
+    // correctness first: the pushdown path agrees with a plain scan
+    val sizes = SimilarityOps.clusterSizes(spark, dir)
+    val plain = spark.read.parquet(s"$dir/postings").groupBy(col("cid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == plain && sizes.values.sum == c.count())
+    // plan shape: the grouped COUNT is PUSHED (row-group metadata, no
+    // column data decoded) — pinned because the pushdown degrades
+    // silently if the read shape stops qualifying
+    graft.sources.FooterStats.withAggregatePushdown(spark) {
+      val df = spark.read.parquet(s"$dir/postings")
+        .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation") && plan.contains("COUNT"),
+        s"grouped COUNT not pushed to the scan:\n$plan")
+      assert(plan.contains("PushedGroupBy") && plan.contains("cid"),
+        s"partition-column group-by not pushed:\n$plan")
+    }
+    // and the session confs were restored (the data path must stay V1)
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"))
+    assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false")
+  }
+
   test("publish is atomic: a COLD torn tmp is swept, a HOT concurrent tmp survives") {
     val dir = Files.createTempDirectory("graft_ivf_torn_").toString + "/index"
     val c = corpus()

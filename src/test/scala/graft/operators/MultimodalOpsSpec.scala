@@ -236,6 +236,97 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(shrunk < orig)
   }
 
+  test("AVI writer round-trips through the real codec, frames pixel-exact") {
+    // distinct pixels per frame: any row-flip / frame-split / padding bug
+    // lands somewhere in the comparison
+    val frames = Seq(
+      Array.tabulate(3 * 2 * 3)(i => (i * 17).toByte),
+      Array.tabulate(3 * 2 * 3)(i => (i * 29 + 5).toByte))
+    val v = MultimodalOps.decodeAvi(MultimodalOps.encodeAvi(3, 2, frames))
+    assert(v.isDefined, "AVI encoder output did not decode")
+    assert(v.get.width == 3 && v.get.height == 2 && v.get.frames.length == 2)
+    assert(v.get.frames(0).sameElements(frames(0)) &&
+      v.get.frames(1).sameElements(frames(1)), "frame pixel round-trip mismatch")
+    // constant fills decode to exact per-frame colors
+    val c = MultimodalOps.decodeAvi(MultimodalOps.encodeAviConst(
+      5, 4, Seq((10, 20, 30), (40, 50, 60), (70, 80, 90)))).get
+    assert(c.frames.length == 3)
+    for ((f, i) <- c.frames.zipWithIndex)
+      assert(f.grouped(3).forall(p =>
+        (p(0) & 0xFF) == 10 + 30 * i && (p(1) & 0xFF) == 20 + 30 * i &&
+          (p(2) & 0xFF) == 30 + 30 * i), s"frame $i fill drifted")
+    // and decodeBytes dispatches it: [w, h, nFrames, means...]
+    val feats = MultimodalOps.decodeBytes(MultimodalOps.encodeAviConst(
+      5, 4, Seq((100, 100, 100))))
+    assert(feats(0) == 5f && feats(1) == 4f && feats(2) == 1f)
+    assert(math.abs(feats(3) - 100f / 255f) < 1e-6)
+  }
+
+  test("AVI codec is error-as-value: garbled walks and hostile headers are None") {
+    val avi = MultimodalOps.encodeAviConst(4, 3, Seq((1, 2, 3), (4, 5, 6)))
+    val cases = Seq[Array[Byte]](
+      null,
+      avi.take(20), // truncated header
+      avi.take(avi.length - 10), // truncated last frame chunk
+      { val b = avi.clone(); b(9) = 'X'; b }, // not an AVI fourcc
+      // frame-size disagreement: shrink the strf width so the declared
+      // shape no longer matches the 00db chunk sizes. strf data offset:
+      // RIFF hdr 12 + hdrl LIST hdr 12 + avih (8+56) + strl LIST hdr 12 +
+      // strh (8+56) + strf hdr 8 = 172; biWidth is 4 bytes in
+      { val b = avi.clone()
+        java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(176, 2)
+        b })
+    cases.foreach { c =>
+      assert(MultimodalOps.decodeAvi(c).isEmpty)
+      assert(MultimodalOps.decodeBytes(c).length == 16, "fallback shape lost")
+    }
+    // WAV/BMP magic stays disjoint: an AVI is not decodable as either
+    assert(MultimodalOps.decodeWav(avi).isEmpty && MultimodalOps.decodeBmp(avi).isEmpty)
+  }
+
+  test("q48 rows all take the real AVI decode branch; per-frame means exact") {
+    val vids = MultimodalOps.decodableVideos(spark, sf)
+    val undecodable = vids.filter(a => MultimodalOps.decodeAvi(a.payload).isEmpty)
+    assert(undecodable.isEmpty,
+      s"fallback rows: ${undecodable.take(3).map(_.asset_id).mkString(",")}")
+    assert(vids.count() > 0)
+    val rows = MultimodalOps.q48VideoFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows.take(40)) {
+      val id = r.getLong(0); val f = r.getLong(1)
+      assert(r.getLong(2) == 8 + id % 8 && r.getLong(3) == 6 + (id * 3) % 8)
+      assert(r.getLong(4) == 2 + id % 4)
+      assert(r.getLong(5) == (id + 11 * f) % 256 &&
+        r.getLong(6) == (id * 7 + 17 * f) % 256 &&
+        r.getLong(7) == (id * 13 + 23 * f) % 256, s"means drifted for ($id, $f)")
+    }
+    // every asset contributes exactly its declared frame count
+    val counts = MultimodalOps.q48VideoFrames(spark, sf)
+      .groupBy("asset_id").count().collect()
+    assert(counts.forall(r => r.getLong(1) == 2 + r.getLong(0) % 4))
+  }
+
+  test("real frame sampling emits every stride-th frame as a decodable BMP") {
+    import spark.implicits._
+    val avi = MultimodalOps.encodeAviConst(4, 3,
+      Seq((10, 0, 0), (0, 10, 0), (0, 0, 10), (20, 0, 0), (0, 20, 0)))
+    val df = Seq((7L, "video", avi), (8L, "video", "not an avi".getBytes))
+      .toDF("asset_id", "media_type", "payload")
+    val out = MultimodalOps.sampleFramesDecoded(df, 2)
+      .orderBy("asset_id", "frame_idx")
+      .as[(Long, Long, Array[Byte])].collect()
+    // frames 0, 2, 4 of the decodable asset; the garbled one contributes
+    // no fake frames
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((7L, 0L), (7L, 2L), (7L, 4L)))
+    val colors = out.map { case (_, _, bmp) =>
+      val img = MultimodalOps.decodeBmp(bmp).get
+      assert(img.width == 4 && img.height == 3)
+      (img.pixels(0) & 0xFF, img.pixels(1) & 0xFF, img.pixels(2) & 0xFF)
+    }
+    assert(colors.toSeq == Seq((10, 0, 0), (0, 0, 10), (0, 20, 0)))
+  }
+
   test("frame sampling reassembles to the original payload") {
     import spark.implicits._
     val a = MultimodalOps.assets(spark, sf)
