@@ -59,6 +59,17 @@ object Pipeline {
       minDistinctPct: Int = 30,
       shingleN: Int = 5)
 
+  /** Quantizer shape for the embeddings feed's standing IVF index. The
+    * base is trained under these on the FIRST batch (and every fold
+    * retrain keeps the index's own K), so they flow through the composed
+    * lifecycle rather than being reachable only by calling
+    * `StreamEmbedIndex` directly.
+    */
+  final case class EmbedConfig(
+      nClusters: Int = 16,
+      lloydIters: Int = 2,
+      trainSampleMod: Int = 1)
+
   final case class Config(
       cdcFeedDir: String,
       ideFeedDir: Option[String],
@@ -96,6 +107,12 @@ object Pipeline {
         * standing index lives in `<workDir>/embed_index`.
         */
       embFeedDir: Option[String] = None,
+      /** Quantizer shape for the embeddings feed's standing index (cluster
+        * count / Lloyd iterations / training sample modulus) — the embed
+        * counterpart of `guard`: fixed when the first batch trains the
+        * base, so the composed lifecycle must be able to say it up front.
+        */
+      embed: EmbedConfig = EmbedConfig(),
       /** Fold (compact + retrain) the embedding index post-drain once at
         * least this many unfolded delta generations have accumulated.
         * None never folds from the lifecycle.
@@ -214,7 +231,10 @@ object Pipeline {
     // vectors searchable as they arrive (LSM base + delta generations)
     val embQuery = config.embFeedDir.map(dir =>
       StreamEmbedIndex.run(spark, dir, s"${config.workDir}/ckpt_embed",
-        s"${config.workDir}/embed_index"))
+        s"${config.workDir}/embed_index",
+        nClusters = config.embed.nClusters,
+        lloydIters = config.embed.lloydIters,
+        trainSampleMod = config.embed.trainSampleMod))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
     dlCdcQuery.awaitTermination()
@@ -285,6 +305,9 @@ object Pipeline {
     * decontam → guard) on the documents feed: SPARK_GRAFT_EVAL_DIR (the
     * held-out eval-set parquet; enables it), SPARK_GRAFT_CUR_MIN_TOKENS,
     * SPARK_GRAFT_CUR_MIN_DISTINCT_PCT, SPARK_GRAFT_CUR_SHINGLE_N.
+    * Embedding-index quantizer shape (fixed when the first batch trains):
+    * SPARK_GRAFT_EMB_CLUSTERS, SPARK_GRAFT_EMB_LLOYD_ITERS,
+    * SPARK_GRAFT_EMB_TRAIN_MOD.
     */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir]")
@@ -331,6 +354,13 @@ object Pipeline {
         shingleN = sys.env.get("SPARK_GRAFT_CUR_SHINGLE_N")
           .map(_.toInt).getOrElse(5))),
       embFeedDir = sys.env.get("SPARK_GRAFT_EMB_FEED"),
+      embed = EmbedConfig(
+        nClusters = sys.env.get("SPARK_GRAFT_EMB_CLUSTERS")
+          .map(_.toInt).getOrElse(16),
+        lloydIters = sys.env.get("SPARK_GRAFT_EMB_LLOYD_ITERS")
+          .map(_.toInt).getOrElse(2),
+        trainSampleMod = sys.env.get("SPARK_GRAFT_EMB_TRAIN_MOD")
+          .map(_.toInt).getOrElse(1)),
       embedFoldMinDeltas = sys.env.get("SPARK_GRAFT_EMB_FOLD_MIN").map(_.toInt)))
     println(s"[pipeline] enriched sessions: ${out.count()}")
     val diffCount =

@@ -25,11 +25,18 @@ import org.apache.spark.sql.types.StructType
   * distribution; recall on later drifted arrivals degrades until the
   * first fold retrains (exactly the trade `needsRetrain` watches).
   *
-  * OWNERSHIP mirrors `StreamNearDup`: the delta `batch_id` namespace
-  * belongs to one checkpoint lineage. The newest committed generation
-  * (fold watermark or delta) may lead the checkpoint's last commit by at
-  * most one batch; a fresh checkpoint against a populated index would
-  * restart ids at 0 and silently skip appends — refused at start.
+  * OWNERSHIP mirrors `StreamNearDup`, twice over: the shared
+  * `OwnerStamp` (`_owner.json`, written at adoption before any data)
+  * refuses every foreign checkpoint outright — closing the batch-0
+  * window, which for THIS stream is silent DATA LOSS, not just wrong
+  * flags: a fresh checkpoint's first batch carries batchId 0, which sits
+  * at the base's fold watermark (`batchId <= foldedThrough`) and is
+  * dropped without a trace. For legacy stamp-less indexes the commit-lead
+  * check remains: the newest committed generation (fold watermark or
+  * delta) may lead the checkpoint's last commit by at most one batch; a
+  * fresh checkpoint against a multi-generation index restarts ids at 0
+  * and would silently skip appends — refused at start, and the admitted
+  * run adopts the index so it is protected from then on.
   */
 object StreamEmbedIndex {
 
@@ -55,22 +62,32 @@ object StreamEmbedIndex {
   private def checkOwnership(
       spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       indexDir: String, checkpointDir: String): Unit = {
-    if (!fs.exists(new Path(s"$indexDir/centroids"))) return
-    val newest = newestGeneration(spark, fs, indexDir)
-    if (newest < 1) return
-    val commits = new Path(s"$checkpointDir/commits")
-    val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lastCommit =
-      if (!cfs.exists(commits)) -1L
-      else cfs.listStatus(commits).map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-        .foldLeft(-1L)(_ max _)
-    if (newest > lastCommit + 1)
-      throw new IllegalStateException(
-        s"embedding index $indexDir holds generations through batch_id=$newest " +
-          s"but checkpoint $checkpointDir has only committed through $lastCommit — " +
-          "this checkpoint does not own the index's batch_id namespace. Resume " +
-          "from the original checkpoint, or start a fresh index.")
+    // stamp BESIDE the index dir: the base publish/fold rename-swaps the
+    // dir wholesale, which would retire an inside stamp with the old base
+    val stamp = OwnerStamp.beside(indexDir)
+    OwnerStamp.verify(spark, fs, stamp, indexDir, checkpointDir)
+    if (fs.exists(new Path(s"$indexDir/centroids"))) {
+      val newest = newestGeneration(spark, fs, indexDir)
+      if (newest >= 1) {
+        val commits = new Path(s"$checkpointDir/commits")
+        val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val lastCommit =
+          if (!cfs.exists(commits)) -1L
+          else cfs.listStatus(commits).map(_.getPath.getName)
+            .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+            .foldLeft(-1L)(_ max _)
+        if (newest > lastCommit + 1)
+          throw new IllegalStateException(
+            s"embedding index $indexDir holds generations through batch_id=$newest " +
+              s"but checkpoint $checkpointDir has only committed through $lastCommit — " +
+              "this checkpoint does not own the index's batch_id namespace. Resume " +
+              "from the original checkpoint, or start a fresh index.")
+      }
+    }
+    // admitted: adopt if stamp-less, so the index is protected from here
+    // on — for this stream the batch-0 window is silent data loss (the
+    // fresh stream's batch 0 sits at the fold watermark and is dropped)
+    OwnerStamp.adoptIfAbsent(spark, fs, stamp, indexDir, checkpointDir)
   }
 
   def run(

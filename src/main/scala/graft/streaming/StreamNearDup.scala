@@ -460,47 +460,15 @@ object StreamNearDup {
       checkpointDir: String): Unit = {
     val newest = committedIds(fs, indexDir, "bands")
       .foldLeft(-1L)(_ max _)
-    val ckptPath = new Path(checkpointDir)
-    val ckptQualified = ckptPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(ckptPath).toString
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val expected = s"""{"checkpoint":"${esc(ckptQualified)}"}"""
-    val stamp = new Path(new Path(indexDir), "_owner.json")
-    def verifyStamp(): Unit = {
-      val buf = new Array[Byte](fs.getFileStatus(stamp).getLen.toInt)
-      val in = fs.open(stamp)
-      try in.readFully(buf) finally in.close()
-      val found = new String(buf, StandardCharsets.UTF_8)
-      if (found.trim != expected)
-        throw new IllegalStateException(
-          s"near-dup index $indexDir is owned by checkpoint $found but this run " +
-            s"uses $expected — this checkpoint does not own the index's batch_id " +
-            "namespace. Resume from the index's original checkpoint, start a " +
-            "fresh index, or (if the checkpoint was legitimately relocated) " +
-            s"delete $stamp to let the new location adopt the index.")
-    }
-    if (fs.exists(stamp)) verifyStamp()
+    val stamp = OwnerStamp.inside(indexDir)
+    OwnerStamp.verify(spark, fs, stamp, indexDir, checkpointDir)
     // the commit-lead check runs even under a matching stamp: a checkpoint
     // dir emptied in place keeps its identity but restarts batch ids —
     // only the lead vs the commit log can see that
     if (newest >= 1) checkCommitLead(spark, fs, indexDir, checkpointDir, newest)
-    if (!fs.exists(stamp)) {
-      // admitted without a stamp (fresh index, or legacy stamp-less): adopt
-      // it now, so the index is protected from here on (temp+rename; the
-      // rename-race loser verifies the winner — two checkpoints racing to
-      // adopt must not both win)
-      fs.mkdirs(new Path(indexDir))
-      val tmp = new Path(new Path(indexDir), "._owner.json.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(expected.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      if (!fs.rename(tmp, stamp)) {
-        fs.delete(tmp, true)
-        if (!fs.exists(stamp))
-          throw new java.io.IOException(s"owner stamp publish failed: $stamp")
-        verifyStamp()
-      }
-    }
+    // admitted: adopt if stamp-less (fresh index, or legacy), so the index
+    // is protected from here on
+    OwnerStamp.adoptIfAbsent(spark, fs, stamp, indexDir, checkpointDir)
   }
 
   /** Legacy lead check (see `checkIndexOwnership`): refuse when the index's

@@ -91,4 +91,36 @@ class StreamEmbedIndexSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("does not own"), ex.getMessage)
   }
+
+  test("owner stamp closes the batch-0 data-loss window: one-batch index refuses a fresh checkpoint") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sembed_own0_").toString
+    Tables.embeddings(spark, sf).limit(64)
+      .coalesce(1).write.parquet(s"$base/feed/chunk=0")
+    val q = StreamEmbedIndex.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/index", nClusters = K)
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    // the index holds only the base, folded-through-0 — the window the
+    // commit-lead check cannot see. Without the stamp, a fresh
+    // checkpoint's batch 0 would sit AT the fold watermark and be
+    // silently DROPPED (appendIvfDelta's `batchId <= foldedThrough`
+    // no-op): data loss, not just wrong flags. The stamp refuses it.
+    val ex = intercept[IllegalStateException] {
+      StreamEmbedIndex.run(spark, s"$base/feed/chunk=*", s"$base/ckpt_fresh",
+        s"$base/index", nClusters = K)
+    }
+    assert(ex.getMessage.contains("does not own"), ex.getMessage)
+    // crash-replay from the true owner stays admitted, and the stamp
+    // survives the base's rename-swap publish because it lives BESIDE
+    // the index dir, not inside it
+    val q2 = StreamEmbedIndex.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/index", nClusters = K)
+    q2.awaitTermination(120000L)
+    assert(!q2.isActive)
+    assert(new java.io.File(s"$base/index._owner.json").exists,
+      "owner stamp missing from the beside location")
+    assert(!new java.io.File(s"$base/index/_owner.json").exists,
+      "stamp leaked inside the rename-swapped index dir")
+  }
 }
