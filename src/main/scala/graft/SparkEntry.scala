@@ -74,6 +74,7 @@ object SparkEntry {
     "q47_epoch"         -> (PackOps.q47Epoch(_, _)),
     "q48_video_frames"  -> (MultimodalOps.q48VideoFrames(_, _)),
     "q49_ivf_stream_parity" -> (SimilarityOps.q49StreamIndexParity(_, _)),
+    "q50_audio_resample" -> (MultimodalOps.q50AudioResample(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -585,5 +586,22 @@ object SparkEntry {
         |  10::BIGINT AS n_agree
         |FROM embeddings WHERE vec_id % 50 = 0
         |ORDER BY query_id""".stripMargin,
+    // the q46 resize argument applied to audio: tone samples, the NN
+    // resample index map and the output length are all integer arithmetic
+    // on (doc_id, index); 16-bit PCM round-trips floats exactly, so the
+    // checksum over the decoded resampled samples is oracle-exact
+    "q50_audio_resample" ->
+      """WITH p AS (
+        |  SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS rate, 64 + doc_id % 128 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |o AS (SELECT doc_id, rate, n, n * 4000 // rate AS n_out FROM p),
+        |s AS (SELECT doc_id, rate, n_out, unnest(range(n_out)) AS j FROM o),
+        |v AS (SELECT doc_id, n_out,
+        |        (doc_id * 31 + (j * rate // 4000) * 7) % 65536 - 32768 AS samp
+        |      FROM s)
+        |SELECT doc_id AS asset_id, 4000::BIGINT AS out_rate,
+        |  n_out::BIGINT AS n_out, sum(samp)::BIGINT AS checksum
+        |FROM v GROUP BY doc_id, n_out
+        |ORDER BY asset_id""".stripMargin,
   )
 }

@@ -211,6 +211,22 @@ object MultimodalOps {
     Some(BmpImage(w, ah.toInt, bpp, out))
   }
 
+  /** General 16-bit PCM WAV writer — `encodeWavSilence`'s layout with
+    * caller-provided channel-interleaved samples (the inverse of
+    * `decodeWav` restricted to 16-bit: `decodeWav(encodeWavPcm16(r, ch,
+    * s)).samples(i) == s(i)/32768f` exactly, since 16-bit integers are
+    * exact in a float mantissa).
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val out = encodeWavSilence(sampleRate, channels, samples.length)
+    var i = 0
+    while (i < samples.length) {
+      putLe16(out, 44 + 2 * i, samples(i) & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
   /** REAL WAV codec (public RIFF layout, no dependencies): 'RIFF' size
     * 'WAVE', then word-aligned chunks; `fmt ` (PCM format tag, channels,
     * sample rate, bits) and `data` (the sample bytes). Supports 8- and
@@ -535,6 +551,34 @@ object MultimodalOps {
     out
   }
 
+  /** Nearest-neighbor resample of decoded PCM audio to `outRate` — the
+    * audio analog of `resampleNearest`: output frame `j` copies all
+    * channels of input frame `floor(j * inRate / outRate)`, and the
+    * output length is `floor(inFrames * outRate / inRate)` frames
+    * (duration-preserving under integer arithmetic — both maps are pure
+    * Long expressions an oracle can replay). NN is the honest
+    * dependency-free kernel here for the same reason it is for images;
+    * a band-limited (windowed-sinc) kernel is the quality upgrade and
+    * slots into this exact shape.
+    */
+  private[operators] def resampleWav(a: WavAudio, outRate: Int): WavAudio = {
+    require(outRate > 0, "target rate must be positive")
+    val inFrames = a.samples.length / a.channels
+    val outFrames = (inFrames.toLong * outRate / a.sampleRate).toInt
+    val out = new Array[Float](outFrames * a.channels)
+    var j = 0
+    while (j < outFrames) {
+      val src = (j.toLong * a.sampleRate / outRate).toInt
+      var ch = 0
+      while (ch < a.channels) {
+        out(j * a.channels + ch) = a.samples(src * a.channels + ch)
+        ch += 1
+      }
+      j += 1
+    }
+    WavAudio(outRate, a.channels, a.bitsPerSample, out)
+  }
+
   /** Resize over the asset table: decodable BMP payloads get a REAL
     * nearest-neighbor resample and are re-encoded as BMP; everything else
     * (audio, video, text stand-ins) keeps the metadata-plus-proportional-
@@ -770,6 +814,63 @@ object MultimodalOps {
     videoFrameFeatures(decodableVideos(spark, dir).toDF())
       .toDF()
       .orderBy(col("asset_id"), col("frame_idx"))
+
+  /** Derive an audio asset table with NON-silent deterministic content:
+    * the `doc_id % 3 == 1` third of the corpus as mono 16-bit PCM WAVs
+    * whose every sample is pure arithmetic on (`doc_id`, sample index) —
+    * `(id*31 + i*7) % 65536 - 32768` — so a transform over the CONTENT
+    * (not just the header) is oracle-checkable. q43's audio rows stay the
+    * silence-payload table (its oracle surface is header-derived and
+    * pinned); this one exists for q50's resample loop.
+    */
+  def decodableAudioTones(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 1)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val n = (64 + id % 128).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 7) % 65536) - 32768).toShort)
+          DecodableAsset(id, "audio", encodeWavPcm16(rate, 1, samples))
+        }
+      }
+  }
+
+  /** q50: the resample loop for AUDIO, oracle-checked end-to-end over the
+    * tone assets (q46's argument applied to the second modality): decode →
+    * NN resample to a fixed 4 kHz → re-encode as PCM16 → decode the
+    * RESAMPLED payload, exposing its rate, sample count and an exact
+    * integer checksum over the decoded samples. Every value is pure
+    * (doc_id, index) arithmetic for the oracle: the NN index map and the
+    * output length are integer expressions, and 16-bit samples round-trip
+    * floats exactly. A bug anywhere in the loop — chunk walk, sample
+    * normalization, resample map, writer layout — shifts the checksum.
+    * Non-decodable rows contribute no output row (error-as-value), which
+    * the oracle's row count would expose.
+    */
+  def q50AudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val outRate = 4000
+    decodableAudioTones(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          decodeWav(a.payload).map { full =>
+            val res = resampleWav(full, outRate)
+            val re = decodeWav(encodeWavPcm16(res.sampleRate, res.channels,
+              res.samples.map(f => math.round(f * 32768f).toShort))).get
+            val checksum = re.samples.foldLeft(0L)((s, f) => s + math.round(f * 32768f))
+            (a.asset_id, re.sampleRate.toLong, re.samples.length.toLong, checksum)
+          }
+        }
+      }
+      .toDF("asset_id", "out_rate", "n_out", "checksum")
+      .orderBy(col("asset_id"))
+  }
 
   /** q26: per-frame byte accounting for the video subset — frame boundaries
     * are pure arithmetic, so the oracle can verify every frame length.

@@ -236,6 +236,38 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(shrunk < orig)
   }
 
+  test("PCM16 writer round-trips samples exactly; NN audio resample maps frames correctly") {
+    val samples = Array.tabulate[Short](10)(i => (i * 1000 - 5000).toShort)
+    val wav = MultimodalOps.decodeWav(MultimodalOps.encodeWavPcm16(8000, 1, samples))
+    assert(wav.isDefined && wav.get.sampleRate == 8000)
+    assert(wav.get.samples.map(f => math.round(f * 32768f)).toSeq ==
+      samples.map(_.toInt).toSeq, "PCM16 sample round-trip drifted")
+    // downsample 10 frames 8000→4000 Hz: out j takes in floor(j*2) → 5
+    // frames 0,2,4,6,8
+    val res = MultimodalOps.resampleWav(wav.get, 4000)
+    assert(res.sampleRate == 4000 && res.samples.length == 5)
+    assert(res.samples.toSeq == Seq(0, 2, 4, 6, 8).map(i => wav.get.samples(i)))
+    // stereo keeps channel interleaving intact
+    val st = MultimodalOps.decodeWav(MultimodalOps.encodeWavPcm16(
+      8000, 2, Array.tabulate[Short](8)(i => (i * 100).toShort))).get
+    val res2 = MultimodalOps.resampleWav(st, 4000)
+    assert(res2.channels == 2 && res2.samples.length == 4)
+    assert(res2.samples.toSeq == Seq(0, 1, 4, 5).map(i => st.samples(i)),
+      "stereo NN resample broke channel interleaving")
+    // q50 rows all decode (no silent drops) and sample counts match the map
+    val rows = MultimodalOps.q50AudioResample(spark, sf).collect()
+    val nAssets = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1).count()
+    assert(rows.length == nAssets, "q50 silently dropped a non-decodable row")
+    for (r <- rows.take(20)) {
+      val id = r.getLong(0)
+      val rate = 8000 + (id % 8) * 1000
+      val n = 64 + id % 128
+      assert(r.getLong(1) == 4000 && r.getLong(2) == n * 4000 / rate,
+        s"resampled length drifted for asset $id: $r")
+    }
+  }
+
   test("AVI writer round-trips through the real codec, frames pixel-exact") {
     // distinct pixels per frame: any row-flip / frame-split / padding bug
     // lands somewhere in the comparison
