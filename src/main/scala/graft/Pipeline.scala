@@ -102,6 +102,21 @@ object Pipeline {
         * `docFeedDir`.
         */
       curation: Option[CurationConfig] = None,
+      /** Files per micro-batch on the documents feed. Each micro-batch
+        * pays the guard's fixed costs (candidate join, marker protocol,
+        * one index generation), so a large backfill should batch like the
+        * CDC feeds do (64) rather than paying that per file; the default
+        * stays 1 — one generation per arrival file, the finest replay and
+        * GC granularity — because the right value is a deployment choice
+        * between generation granularity and backlog throughput.
+        */
+      docMaxFilesPerTrigger: Int = 1,
+      /** Files per micro-batch on the embeddings feed — same trade as
+        * `docMaxFilesPerTrigger` (each batch is one delta generation; the
+        * FIRST batch additionally trains the base, so backfills batching
+        * more files into it also train on a broader sample).
+        */
+      embMaxFilesPerTrigger: Int = 1,
       /** Optional embeddings feed (vec_id, embedding) for the streaming
         * ANN index feeder: vectors become searchable as they arrive; the
         * standing index lives in `<workDir>/embed_index`.
@@ -217,6 +232,7 @@ object Pipeline {
             shingleN = cur.shingleN, threshold = g.threshold,
             minhashK = g.minhashK, bands = g.bands,
             rowsPerBand = g.rowsPerBand,
+            maxFilesPerTrigger = config.docMaxFilesPerTrigger,
             bandBuckets = g.bandBuckets, setsBuckets = g.setsBuckets)
         case None =>
           StreamNearDup.run(spark, dir, s"${config.workDir}/ckpt_neardup",
@@ -224,6 +240,7 @@ object Pipeline {
             s"${config.workDir}/neardup_index",
             threshold = g.threshold, minhashK = g.minhashK, bands = g.bands,
             rowsPerBand = g.rowsPerBand,
+            maxFilesPerTrigger = config.docMaxFilesPerTrigger,
             bandBuckets = g.bandBuckets, setsBuckets = g.setsBuckets)
       }
     }
@@ -234,7 +251,8 @@ object Pipeline {
         s"${config.workDir}/embed_index",
         nClusters = config.embed.nClusters,
         lloydIters = config.embed.lloydIters,
-        trainSampleMod = config.embed.trainSampleMod))
+        trainSampleMod = config.embed.trainSampleMod,
+        maxFilesPerTrigger = config.embMaxFilesPerTrigger))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
     dlCdcQuery.awaitTermination()
@@ -307,7 +325,9 @@ object Pipeline {
     * SPARK_GRAFT_CUR_MIN_DISTINCT_PCT, SPARK_GRAFT_CUR_SHINGLE_N.
     * Embedding-index quantizer shape (fixed when the first batch trains):
     * SPARK_GRAFT_EMB_CLUSTERS, SPARK_GRAFT_EMB_LLOYD_ITERS,
-    * SPARK_GRAFT_EMB_TRAIN_MOD.
+    * SPARK_GRAFT_EMB_TRAIN_MOD. Backlog batching (files per micro-batch,
+    * default 1 = one index generation per file):
+    * SPARK_GRAFT_DOC_MAX_FILES, SPARK_GRAFT_EMB_MAX_FILES.
     */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Pipeline <cdcFeedDir> <workDir> [ideFeedDir] [reportDir]")
@@ -353,6 +373,10 @@ object Pipeline {
           .map(_.toInt).getOrElse(30),
         shingleN = sys.env.get("SPARK_GRAFT_CUR_SHINGLE_N")
           .map(_.toInt).getOrElse(5))),
+      docMaxFilesPerTrigger = sys.env.get("SPARK_GRAFT_DOC_MAX_FILES")
+        .map(_.toInt).getOrElse(1),
+      embMaxFilesPerTrigger = sys.env.get("SPARK_GRAFT_EMB_MAX_FILES")
+        .map(_.toInt).getOrElse(1),
       embFeedDir = sys.env.get("SPARK_GRAFT_EMB_FEED"),
       embed = EmbedConfig(
         nClusters = sys.env.get("SPARK_GRAFT_EMB_CLUSTERS")

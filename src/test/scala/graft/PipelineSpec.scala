@@ -207,7 +207,11 @@ class PipelineSpec extends AnyFunSuite {
       workDir = s"$base/work",
       docFeedDir = Some(s"$base/docs/c*"),
       guard = guard,
-      curation = Some(Pipeline.CurationConfig(evalDir = s"$base/eval", minTokens = 5)))
+      curation = Some(Pipeline.CurationConfig(evalDir = s"$base/eval", minTokens = 5)),
+      // batch 2 files per trigger: the dup pair (docs 2, 3) then crosses a
+      // batch boundary — the knob flows through AND cross-batch guard
+      // semantics hold under backlog batching
+      docMaxFilesPerTrigger = 2)
     Pipeline.run(spark, cfg)
     // survivors: 2 (earliest of the dup pair) and 5; each drop in its sink
     val curated = spark.read.parquet(s"$base/work/curated")
