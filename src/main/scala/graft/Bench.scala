@@ -65,7 +65,19 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     var failures = List.empty[String]
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — a focused
+    // subset run for studying one query's repeat behavior or a
+    // cache-coupled group's interplay without the full suite around it.
+    // The composite "total" of a subset run is NOT comparable to a full
+    // run's (the JSON carries the query list, so a reader can tell).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: $unknown")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.LinkedHashMap(
       queries.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     val dead = scala.collection.mutable.Set.empty[String]
