@@ -359,6 +359,84 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(colors.toSeq == Seq((10, 0, 0), (0, 0, 10), (0, 20, 0)))
   }
 
+  /** Run a ScalaCheck property under ScalaTest without the scalatestplus
+    * bridge (not in the offline artifact cache) — DiffApplySpec's pattern.
+    */
+  private def check(prop: org.scalacheck.Prop, minSuccessful: Int = 100): Unit = {
+    import org.scalacheck.{Test => SCTest}
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("codec round-trip properties: arbitrary dims/frames/samples survive encode→decode") {
+    import org.scalacheck.{Gen, Prop}
+    // BMP: any dims, arbitrary pixel bytes — decode(encode(px)) == px
+    val bmpProp = Prop.forAll(
+      Gen.chooseNum(1, 9), Gen.chooseNum(1, 9), Gen.long) { (w, h, seed) =>
+      val px = Array.tabulate(w * h * 3)(i => ((seed + i * 31) & 0xFF).toByte)
+      val img = MultimodalOps.decodeBmp(MultimodalOps.encodeBmp(w, h, px))
+      img.exists(d => d.width == w && d.height == h && d.pixels.sameElements(px))
+    }
+    check(bmpProp)
+    // AVI: any dims and 1..5 frames of arbitrary pixels — frame-exact
+    val aviProp = Prop.forAll(
+      Gen.chooseNum(1, 7), Gen.chooseNum(1, 7), Gen.chooseNum(1, 5), Gen.long) {
+      (w, h, n, seed) =>
+        val frames = (0 until n).map(f =>
+          Array.tabulate(w * h * 3)(i => ((seed + f * 131 + i * 17) & 0xFF).toByte))
+        val v = MultimodalOps.decodeAvi(MultimodalOps.encodeAvi(w, h, frames))
+        v.exists(d => d.width == w && d.height == h && d.frames.length == n &&
+          d.frames.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    }
+    check(aviProp)
+    // WAV PCM16: arbitrary rates/channels/samples — sample-exact, and the
+    // resample length/index maps hold for any target rate
+    val wavProp = Prop.forAll(
+      Gen.chooseNum(1000, 48000), Gen.chooseNum(1, 3), Gen.chooseNum(0, 40),
+      Gen.chooseNum(500, 48000), Gen.long) { (rate, ch, nFrames, outRate, seed) =>
+      val samples = Array.tabulate(nFrames * ch)(i =>
+        (((seed + i * 7919) % 65536) - 32768).toShort)
+      val a = MultimodalOps.decodeWav(
+        MultimodalOps.encodeWavPcm16(rate, ch, samples)).get
+      val sampleExact =
+        a.samples.map(f => math.round(f * 32768f)).toSeq == samples.map(_.toInt).toSeq
+      val r = MultimodalOps.resampleWav(a, outRate)
+      val outFrames = nFrames.toLong * outRate / rate
+      val lenRight = r.samples.length == outFrames * ch
+      val mapRight = (0 until outFrames.toInt).forall { j =>
+        val src = (j.toLong * rate / outRate).toInt
+        (0 until ch).forall(c => r.samples(j * ch + c) == a.samples(src * ch + c))
+      }
+      sampleExact && lenRight && mapRight
+    }
+    check(wavProp)
+    // decoders never throw on arbitrary garbage (the per-partition
+    // never-kill contract, fuzzed rather than enumerated)
+    val fuzzProp = Prop.forAll(Gen.chooseNum(0, 200), Gen.long) { (len, seed) =>
+      val b = Array.tabulate(len)(i => ((seed >> (i % 48)) + i * 2654435761L).toByte)
+      MultimodalOps.decodeBmp(b)
+      MultimodalOps.decodeWav(b)
+      MultimodalOps.decodeAvi(b)
+      MultimodalOps.decodeBytes(b).length == 16
+    }
+    check(fuzzProp)
+    // and truncations of VALID containers never throw either (garbage
+    // rarely has plausible headers; truncation always does)
+    val truncProp = Prop.forAll(Gen.chooseNum(0, 100), Gen.long) { (cut, seed) =>
+      val avi = MultimodalOps.encodeAviConst(4, 3,
+        Seq((seed & 0xFF).toInt -> 2).map { case (c, _) => (c, c, c) })
+      val wav = MultimodalOps.encodeWavPcm16(8000, 1,
+        Array.tabulate[Short](16)(i => (i * 99).toShort))
+      val bmp = MultimodalOps.encodeBmpConst(5, 4, 1, 2, 3)
+      Seq(avi, wav, bmp).forall { full =>
+        val t = full.take(math.min(cut, full.length))
+        MultimodalOps.decodeBytes(t).length == 16
+      }
+    }
+    check(truncProp)
+  }
+
   test("frame sampling reassembles to the original payload") {
     import spark.implicits._
     val a = MultimodalOps.assets(spark, sf)
