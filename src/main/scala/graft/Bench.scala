@@ -73,6 +73,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // an empty/typo'd filter must fail loudly, never produce a
+      // zero-query run whose total=0 reads as a perfect score
+      require(names.nonEmpty,
+        "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: $unknown")
     }

@@ -163,8 +163,8 @@ object Pipeline {
     // anchor costs O(row-groups), not a sink scan (plan pinned in
     // PipelineSpec)
     val cutoff = retention.flatMap { d =>
-      val row = graft.sources.FooterStats.withAggregatePushdown(spark) {
-        spark.read.parquet(diffDir).agg(max(col("ts_us"))).head
+      val row = graft.sources.FooterStats.withAggregatePushdown(spark) { s =>
+        s.read.parquet(diffDir).agg(max(col("ts_us"))).head
       }
       if (row.isNullAt(0)) None else Some(row.getLong(0) - d.toMillis * 1000L)
     }
@@ -355,36 +355,51 @@ object Pipeline {
         .map(ms => java.time.Duration.ofMillis(ms.toLong)),
       docFeedDir = sys.env.get("SPARK_GRAFT_DOC_FEED"),
       nearDupKeepBatches = sys.env.get("SPARK_GRAFT_NEARDUP_KEEP").map(_.toInt),
-      guard = GuardConfig(
-        threshold = sys.env.get("SPARK_GRAFT_LSH_THRESHOLD")
-          .map(_.toDouble).getOrElse(0.9),
-        minhashK = sys.env.get("SPARK_GRAFT_LSH_K").map(_.toInt).getOrElse(48),
-        bands = sys.env.get("SPARK_GRAFT_LSH_BANDS").map(_.toInt).getOrElse(16),
-        rowsPerBand = sys.env.get("SPARK_GRAFT_LSH_ROWS").map(_.toInt).getOrElse(3),
-        bandBuckets = sys.env.get("SPARK_GRAFT_BAND_BUCKETS")
-          .map(_.toInt).getOrElse(StreamNearDup.DefaultBandBuckets),
-        setsBuckets = sys.env.get("SPARK_GRAFT_SETS_BUCKETS")
-          .map(_.toInt).getOrElse(StreamNearDup.DefaultSetsBuckets)),
-      curation = sys.env.get("SPARK_GRAFT_EVAL_DIR").map(ev => CurationConfig(
-        evalDir = ev,
-        minTokens = sys.env.get("SPARK_GRAFT_CUR_MIN_TOKENS")
-          .map(_.toInt).getOrElse(10),
-        minDistinctPct = sys.env.get("SPARK_GRAFT_CUR_MIN_DISTINCT_PCT")
-          .map(_.toInt).getOrElse(30),
-        shingleN = sys.env.get("SPARK_GRAFT_CUR_SHINGLE_N")
-          .map(_.toInt).getOrElse(5))),
+      // env overrides fold onto the case-class defaults (copy() from a
+      // default instance) — one source of truth, so a changed default can
+      // never silently diverge between the API and CLI paths (the LSH
+      // geometry is manifest-pinned: a divergence would refuse resumes)
+      guard = {
+        val g0 = GuardConfig()
+        g0.copy(
+          threshold = sys.env.get("SPARK_GRAFT_LSH_THRESHOLD")
+            .map(_.toDouble).getOrElse(g0.threshold),
+          minhashK = sys.env.get("SPARK_GRAFT_LSH_K")
+            .map(_.toInt).getOrElse(g0.minhashK),
+          bands = sys.env.get("SPARK_GRAFT_LSH_BANDS")
+            .map(_.toInt).getOrElse(g0.bands),
+          rowsPerBand = sys.env.get("SPARK_GRAFT_LSH_ROWS")
+            .map(_.toInt).getOrElse(g0.rowsPerBand),
+          bandBuckets = sys.env.get("SPARK_GRAFT_BAND_BUCKETS")
+            .map(_.toInt).getOrElse(g0.bandBuckets),
+          setsBuckets = sys.env.get("SPARK_GRAFT_SETS_BUCKETS")
+            .map(_.toInt).getOrElse(g0.setsBuckets))
+      },
+      curation = sys.env.get("SPARK_GRAFT_EVAL_DIR").map { ev =>
+        val c0 = CurationConfig(evalDir = ev)
+        c0.copy(
+          minTokens = sys.env.get("SPARK_GRAFT_CUR_MIN_TOKENS")
+            .map(_.toInt).getOrElse(c0.minTokens),
+          minDistinctPct = sys.env.get("SPARK_GRAFT_CUR_MIN_DISTINCT_PCT")
+            .map(_.toInt).getOrElse(c0.minDistinctPct),
+          shingleN = sys.env.get("SPARK_GRAFT_CUR_SHINGLE_N")
+            .map(_.toInt).getOrElse(c0.shingleN))
+      },
       docMaxFilesPerTrigger = sys.env.get("SPARK_GRAFT_DOC_MAX_FILES")
         .map(_.toInt).getOrElse(1),
       embMaxFilesPerTrigger = sys.env.get("SPARK_GRAFT_EMB_MAX_FILES")
         .map(_.toInt).getOrElse(1),
       embFeedDir = sys.env.get("SPARK_GRAFT_EMB_FEED"),
-      embed = EmbedConfig(
-        nClusters = sys.env.get("SPARK_GRAFT_EMB_CLUSTERS")
-          .map(_.toInt).getOrElse(16),
-        lloydIters = sys.env.get("SPARK_GRAFT_EMB_LLOYD_ITERS")
-          .map(_.toInt).getOrElse(2),
-        trainSampleMod = sys.env.get("SPARK_GRAFT_EMB_TRAIN_MOD")
-          .map(_.toInt).getOrElse(1)),
+      embed = {
+        val e0 = EmbedConfig()
+        e0.copy(
+          nClusters = sys.env.get("SPARK_GRAFT_EMB_CLUSTERS")
+            .map(_.toInt).getOrElse(e0.nClusters),
+          lloydIters = sys.env.get("SPARK_GRAFT_EMB_LLOYD_ITERS")
+            .map(_.toInt).getOrElse(e0.lloydIters),
+          trainSampleMod = sys.env.get("SPARK_GRAFT_EMB_TRAIN_MOD")
+            .map(_.toInt).getOrElse(e0.trainSampleMod))
+      },
       embedFoldMinDeltas = sys.env.get("SPARK_GRAFT_EMB_FOLD_MIN").map(_.toInt)))
     println(s"[pipeline] enriched sessions: ${out.count()}")
     val diffCount =

@@ -527,8 +527,8 @@ object SimilarityOps {
     * pushdown degrades silently if the read shape stops qualifying).
     */
   def clusterSizes(spark: SparkSession, indexDir: String): Map[Int, Long] =
-    graft.sources.FooterStats.withAggregatePushdown(spark) {
-      spark.read.parquet(s"$indexDir/postings")
+    graft.sources.FooterStats.withAggregatePushdown(spark) { s =>
+      s.read.parquet(s"$indexDir/postings")
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     }
@@ -865,11 +865,19 @@ object SimilarityOps {
       }
     }
     // superseded-generation sweep: q38's exact-shape discipline (never a
-    // prefix match that could catch a concurrent in-flight `.lsm-` dir)
-    if (idxFs.exists(rootPath))
-      idxFs.listStatus(rootPath).map(_.getPath)
-        .filter(p => p.getName.matches("ivf-[0-9a-f]{16}") && p.getName != s"ivf-$fp")
-        .foreach(p => idxFs.delete(p, true))
+    // prefix match that could catch a concurrent in-flight `.lsm-` dir).
+    // Crashed builds' `.lsm-` tmp dirs are additionally collected once
+    // COLD (mtime past the sweep age) — without this, every crash or
+    // fingerprint change would orphan a full index copy in tmp forever
+    if (idxFs.exists(rootPath)) {
+      val sweepBefore = System.currentTimeMillis() - TmpSweepAgeMs
+      idxFs.listStatus(rootPath)
+        .map(s => (s.getPath, s.getModificationTime))
+        .filter { case (p, m) =>
+          (p.getName.matches("ivf-[0-9a-f]{16}") && p.getName != s"ivf-$fp") ||
+            (p.getName.matches("ivf-[0-9a-f]{16}\\.lsm-.*") && m < sweepBefore) }
+        .foreach { case (p, _) => idxFs.delete(p, true) }
+    }
     val q = queriesOf(c)
     val lsm = annTopKIvfIndexed(spark, indexDir, q, 10)
     val ref = annTopKIvfFixed(c, loadIvfCentroids(spark, indexDir), q, 10)

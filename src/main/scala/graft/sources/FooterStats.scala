@@ -13,11 +13,13 @@ import org.apache.spark.sql.SparkSession
   * afford at 100 TB.
   *
   * The pushdown only exists on the V2 parquet reader, and parquet sits in
-  * `spark.sql.sources.useV1SourceList` by default — so this helper scopes
-  * BOTH conf changes to the enclosed block and restores the session
-  * afterwards. Keep the scope tight: the V2 reader is semantically
-  * equivalent for the flat long/int columns these maintenance reads touch,
-  * but the engine's data-path reads stay on the default reader.
+  * `spark.sql.sources.useV1SourceList` by default. Rather than mutating the
+  * caller's session confs (non-reentrant: two concurrent maintenance calls
+  * would save each other's half-swapped values, and every query ANOTHER
+  * thread plans during the window would silently take the V2 reader too),
+  * the block runs on an ISOLATED child session — `newSession()` shares the
+  * SparkContext and cached data but owns its SQLConf — so the caller's
+  * session is never touched and concurrent use is safe by construction.
   *
   * The pushdown degrades SILENTLY (plans fall back to a normal scan) when a
   * shape stops qualifying — which is why the plan shape is pinned by tests
@@ -25,24 +27,23 @@ import org.apache.spark.sql.SparkSession
   */
 object FooterStats {
 
-  /** Run `body` — plan construction AND its actions — with the V2 parquet
-    * reader and aggregate pushdown enabled, restoring both confs after.
-    * The action must run inside the block: pushdown is decided when the
-    * plan optimizes, not when the DataFrame is declared.
+  /** Run `body` against a child session configured with the V2 parquet
+    * reader and aggregate pushdown. Build the read AND run its action on
+    * the session handed to `body`: pushdown is decided when that
+    * session's plan optimizes.
     */
-  def withAggregatePushdown[T](spark: SparkSession)(body: => T): T = {
-    val conf = spark.conf
+  def withAggregatePushdown[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val s = spark.newSession()
     val v1Key = "spark.sql.sources.useV1SourceList"
-    val aggKey = "spark.sql.parquet.aggregatePushdown"
-    val prevV1 = conf.get(v1Key)
-    val prevAgg = conf.get(aggKey)
-    conf.set(v1Key, prevV1.split(",").map(_.trim)
-      .filter(s => s.nonEmpty && s != "parquet").mkString(","))
-    conf.set(aggKey, "true")
-    try body
-    finally {
-      conf.set(v1Key, prevV1)
-      conf.set(aggKey, prevAgg)
-    }
+    s.conf.set(v1Key, s.conf.get(v1Key).split(",").map(_.trim)
+      .filter(x => x.nonEmpty && x != "parquet").mkString(","))
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // carry over the engine's non-default session baseline that matters
+    // for these reads (shuffle sizing; the ns-timestamp legacy flag the
+    // diff sinks' sessions run under)
+    for (k <- Seq("spark.sql.shuffle.partitions",
+        "spark.sql.legacy.parquet.nanosAsLong"))
+      spark.conf.getOption(k).foreach(v => s.conf.set(k, v))
+    body(s)
   }
 }

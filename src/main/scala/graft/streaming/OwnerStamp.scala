@@ -74,6 +74,33 @@ private[streaming] object OwnerStamp {
           s"delete $stamp to let the new location adopt the index.")
   }
 
+  /** Foreign-adoption guard for LEGACY (stamp-less) indexes: a PRISTINE
+    * checkpoint — one that has never even started a batch (no `offsets/`
+    * entries) — cannot be the lineage that wrote a populated index, so
+    * letting it adopt would both corrupt its replayed batch 0 AND lock
+    * the true owner out behind the stolen stamp. The true owner is never
+    * caught by this: even a crash before the very first commit leaves
+    * `offsets/0` behind (the offset log is written before the batch
+    * runs). Callers invoke this before `adoptIfAbsent` whenever the
+    * index already holds data.
+    */
+  def refuseForeignAdoption(
+      spark: SparkSession, fs: FileSystem, stamp: Path, indexDir: String,
+      checkpointDir: String): Unit = {
+    if (fs.exists(stamp)) return
+    val offsets = new Path(s"$checkpointDir/offsets")
+    val cfs = offsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val started = cfs.exists(offsets) && cfs.listStatus(offsets)
+      .exists(s => s.getPath.getName.forall(_.isDigit))
+    if (!started)
+      throw new IllegalStateException(
+        s"standing index $indexDir holds data but checkpoint $checkpointDir has " +
+          "never started a batch — this checkpoint cannot be the lineage that " +
+          "wrote the index, and adopting it would corrupt the replayed batch 0 " +
+          "and lock out the true owner. Resume from the index's original " +
+          "checkpoint, or start a fresh index.")
+  }
+
   /** Adopt the index for `checkpointDir` if it carries no stamp yet.
     * Callers invoke this only AFTER their admission checks passed.
     */

@@ -66,6 +66,10 @@ object StreamEmbedIndex {
     // dir wholesale, which would retire an inside stamp with the old base
     val stamp = OwnerStamp.beside(indexDir)
     OwnerStamp.verify(spark, fs, stamp, indexDir, checkpointDir)
+    // a populated stamp-less (legacy) index may only be adopted by a
+    // checkpoint that has at least started a batch (see OwnerStamp)
+    if (fs.exists(new Path(s"$indexDir/centroids")))
+      OwnerStamp.refuseForeignAdoption(spark, fs, stamp, indexDir, checkpointDir)
     if (fs.exists(new Path(s"$indexDir/centroids"))) {
       val newest = newestGeneration(spark, fs, indexDir)
       if (newest >= 1) {
@@ -104,6 +108,23 @@ object StreamEmbedIndex {
     val idxFs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     checkOwnership(spark, idxFs, indexDir, checkpointDir)
+    // quantizer-shape drift is refused LOUDLY, mirroring the guard's LSH
+    // manifest check: with an existing base every batch takes the
+    // append-delta branch and every fold keeps the index's own K, so a
+    // changed `nClusters` would otherwise be silently ignored forever —
+    // accepted config that never takes effect. The centroids table is
+    // self-describing (each row carries k); resizing K is an explicit
+    // `buildIvfIndex` rebuild, never a feeder restart.
+    if (idxFs.exists(new Path(s"$indexDir/centroids"))) {
+      val k = spark.read.parquet(s"$indexDir/centroids")
+        .select("k").head.getInt(0)
+      if (k != nClusters)
+        throw new IllegalStateException(
+          s"embedding index $indexDir was trained with nClusters=$k but this run " +
+            s"asks for $nClusters — the setting would be silently ignored (appends " +
+            "assign against the stored centroids; folds keep the index's own K). " +
+            "Match the index's shape, or rebuild it explicitly with buildIvfIndex.")
+    }
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(spark.read.parquet(sourceDir).schema))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

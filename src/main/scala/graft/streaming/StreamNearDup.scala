@@ -338,6 +338,13 @@ object StreamNearDup {
     * empty, and a populated manifest-less index is refused exactly as
     * `run` would). The ad-hoc "is this a near-copy of anything already
     * ingested?" query. Shares the shuffle-free candidate join with `run`.
+    *
+    * The result is MATERIALIZED at call time (eager local checkpoint —
+    * the price of releasing the candidate cache pin, see the body): on a
+    * cluster its blocks live on executors and are not recomputable after
+    * executor loss, so consume it promptly rather than holding the frame
+    * across long gaps; callers needing a durable handle should write it
+    * out.
     */
   def probeIndex(
       spark: SparkSession,
@@ -462,6 +469,12 @@ object StreamNearDup {
       .foldLeft(-1L)(_ max _)
     val stamp = OwnerStamp.inside(indexDir)
     OwnerStamp.verify(spark, fs, stamp, indexDir, checkpointDir)
+    // a populated stamp-less (legacy) index may only be adopted by a
+    // checkpoint that has at least STARTED a batch — a pristine one
+    // cannot be the lineage that wrote the index, and first-comer
+    // adoption would lock the true owner out behind the stolen stamp
+    if (newest >= 0)
+      OwnerStamp.refuseForeignAdoption(spark, fs, stamp, indexDir, checkpointDir)
     // the commit-lead check runs even under a matching stamp: a checkpoint
     // dir emptied in place keeps its identity but restarts batch ids —
     // only the lead vs the commit log can see that

@@ -294,8 +294,8 @@ class PipelineSpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(ckpt, "commits", "1"), "v1")
     // the retention anchor (newest ts_us) is a footer-statistics read:
     // MAX must be pushed into the scan under the maintenance helper
-    graft.sources.FooterStats.withAggregatePushdown(spark) {
-      val df = spark.read.parquet(diffs).agg(max(col("ts_us")))
+    graft.sources.FooterStats.withAggregatePushdown(spark) { s =>
+      val df = s.read.parquet(diffs).agg(max(col("ts_us")))
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("PushedAggregation") && plan.contains("MAX"),
         s"MAX(ts_us) not pushed to the diff-sink scan:\n$plan")

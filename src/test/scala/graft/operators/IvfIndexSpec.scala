@@ -112,8 +112,8 @@ class IvfIndexSpec extends AnyFunSuite {
     // plan shape: the grouped COUNT is PUSHED (row-group metadata, no
     // column data decoded) — pinned because the pushdown degrades
     // silently if the read shape stops qualifying
-    graft.sources.FooterStats.withAggregatePushdown(spark) {
-      val df = spark.read.parquet(s"$dir/postings")
+    graft.sources.FooterStats.withAggregatePushdown(spark) { s =>
+      val df = s.read.parquet(s"$dir/postings")
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("PushedAggregation") && plan.contains("COUNT"),
@@ -121,7 +121,8 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(plan.contains("PushedGroupBy") && plan.contains("cid"),
         s"partition-column group-by not pushed:\n$plan")
     }
-    // and the session confs were restored (the data path must stay V1)
+    // and the CALLER's session was never touched (isolated child session
+    // — the data path stays V1 even while a maintenance read is in flight)
     assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"))
     assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false")
   }

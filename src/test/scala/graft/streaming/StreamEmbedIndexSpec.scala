@@ -122,5 +122,12 @@ class StreamEmbedIndexSpec extends AnyFunSuite {
       "owner stamp missing from the beside location")
     assert(!new java.io.File(s"$base/index/_owner.json").exists,
       "stamp leaked inside the rename-swapped index dir")
+    // a changed quantizer shape is refused loudly, never silently ignored
+    // (with an existing base the setting would otherwise have no effect)
+    val exK = intercept[IllegalStateException] {
+      StreamEmbedIndex.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+        s"$base/index", nClusters = K + 1)
+    }
+    assert(exK.getMessage.contains(s"trained with nClusters=$K"), exK.getMessage)
   }
 }

@@ -223,6 +223,17 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(!q3.isActive)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/_owner.json")),
       "re-adoption did not re-stamp the owner")
+    // a stamp-less POPULATED index cannot be adopted by a PRISTINE
+    // checkpoint either (first-comer adoption would lock out the true
+    // owner): delete the stamp again and try a brand-new checkpoint
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/index/_owner.json"), false)
+    val ex2 = intercept[IllegalStateException] {
+      StreamNearDup.run(spark, s"$base/feed/c0", s"$base/ckpt_foreign",
+        s"$base/flags_foreign", s"$base/index")
+    }
+    assert(ex2.getMessage.contains("cannot be the lineage"), ex2.getMessage)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/_owner.json")),
+      "a refused foreign checkpoint must not leave a stolen stamp behind")
   }
 
   test("non-default bucket counts: layout params flow through manifest, flags unchanged") {
