@@ -75,6 +75,8 @@ object SparkEntry {
     "q48_video_frames"  -> (MultimodalOps.q48VideoFrames(_, _)),
     "q49_ivf_stream_parity" -> (SimilarityOps.q49StreamIndexParity(_, _)),
     "q50_audio_resample" -> (MultimodalOps.q50AudioResample(_, _)),
+    "q51_resize_bilinear" -> (MultimodalOps.q51ResizeBilinear(_, _)),
+    "q52_audio_linear"  -> (MultimodalOps.q52AudioLinearResample(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -599,6 +601,68 @@ object SparkEntry {
         |v AS (SELECT doc_id, n_out,
         |        (doc_id * 31 + (j * rate // 4000) * 7) % 65536 - 32768 AS samp
         |      FROM s)
+        |SELECT doc_id AS asset_id, 4000::BIGINT AS out_rate,
+        |  n_out::BIGINT AS n_out, sum(samp)::BIGINT AS checksum
+        |FROM v GROUP BY doc_id, n_out
+        |ORDER BY asset_id""".stripMargin,
+    // the bilinear kernel replayed per output coordinate: fixed-point
+    // source position in units of 1/(2*dst), exact integer corner weights,
+    // one floor division by (2*16)*(2*12)=768 per channel; gradient pixel
+    // values are affine in (x, y) so each corner is pure arithmetic.
+    // Edge rule mirrors the kernel: fraction 0 at/past the last row/col
+    "q51_resize_bilinear" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 16 AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT doc_id, w, h, unnest(range(16)) AS ox FROM p),
+        |gg AS (SELECT doc_id, w, h, ox, unnest(range(12)) AS oy FROM g),
+        |t AS (SELECT doc_id, w, h,
+        |        greatest((2*ox+1)*w - 16, 0) AS tx,
+        |        greatest((2*oy+1)*h - 12, 0) AS ty FROM gg),
+        |c AS (SELECT doc_id, w, h,
+        |        least(tx // 32, w - 1) AS sx0,
+        |        least(ty // 24, h - 1) AS sy0,
+        |        CASE WHEN tx // 32 >= w - 1 THEN 0 ELSE tx % 32 END AS fx,
+        |        CASE WHEN ty // 24 >= h - 1 THEN 0 ELSE ty % 24 END AS fy
+        |      FROM t),
+        |q AS (SELECT doc_id, sx0, sy0, fx, fy,
+        |        least(sx0 + 1, w - 1) AS sx1,
+        |        least(sy0 + 1, h - 1) AS sy1 FROM c),
+        |v AS (SELECT doc_id,
+        |  (((doc_id      + 5*sx0 + 11*sy0) % 256) * (32-fx) * (24-fy)
+        |   + ((doc_id      + 5*sx1 + 11*sy0) % 256) * fx * (24-fy)
+        |   + ((doc_id      + 5*sx0 + 11*sy1) % 256) * (32-fx) * fy
+        |   + ((doc_id      + 5*sx1 + 11*sy1) % 256) * fx * fy) // 768 AS vb,
+        |  (((doc_id * 7  + 5*sx0 + 11*sy0) % 256) * (32-fx) * (24-fy)
+        |   + ((doc_id * 7  + 5*sx1 + 11*sy0) % 256) * fx * (24-fy)
+        |   + ((doc_id * 7  + 5*sx0 + 11*sy1) % 256) * (32-fx) * fy
+        |   + ((doc_id * 7  + 5*sx1 + 11*sy1) % 256) * fx * fy) // 768 AS vg,
+        |  (((doc_id * 13 + 5*sx0 + 11*sy0) % 256) * (32-fx) * (24-fy)
+        |   + ((doc_id * 13 + 5*sx1 + 11*sy0) % 256) * fx * (24-fy)
+        |   + ((doc_id * 13 + 5*sx0 + 11*sy1) % 256) * (32-fx) * fy
+        |   + ((doc_id * 13 + 5*sx1 + 11*sy1) % 256) * fx * fy) // 768 AS vr
+        | FROM q)
+        |SELECT doc_id AS asset_id, 16::BIGINT AS width, 12::BIGINT AS height,
+        |  sum(vb)::BIGINT AS sum_b, sum(vg)::BIGINT AS sum_g, sum(vr)::BIGINT AS sum_r
+        |FROM v GROUP BY doc_id
+        |ORDER BY asset_id""".stripMargin,
+    // q50's loop with the interpolating kernel: same frame map, exact
+    // rational fraction, lerp on the biased (v+32768) domain so the floor
+    // division's numerator is non-negative (engine-agnostic floor==trunc)
+    "q52_audio_linear" ->
+      """WITH p AS (
+        |  SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS rate, 64 + doc_id % 128 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |o AS (SELECT doc_id, rate, n, n * 4000 // rate AS n_out FROM p),
+        |s AS (SELECT doc_id, rate, n, n_out, unnest(range(n_out)) AS j FROM o),
+        |m AS (SELECT doc_id, n_out,
+        |        (j * rate) // 4000 AS s0,
+        |        least((j * rate) // 4000 + 1, n - 1) AS s1,
+        |        (j * rate) % 4000 AS f
+        |      FROM s),
+        |v AS (SELECT doc_id, n_out,
+        |        (((doc_id * 31 + s0 * 7) % 65536) * (4000 - f)
+        |         + ((doc_id * 31 + s1 * 7) % 65536) * f) // 4000 - 32768 AS samp
+        |      FROM m)
         |SELECT doc_id AS asset_id, 4000::BIGINT AS out_rate,
         |  n_out::BIGINT AS n_out, sum(samp)::BIGINT AS checksum
         |FROM v GROUP BY doc_id, n_out

@@ -551,6 +551,56 @@ object MultimodalOps {
     out
   }
 
+  /** Bilinear resample of a decoded BMP — half-pixel-center source mapping
+    * (`src = (dst + 0.5) * srcDim/dstDim - 0.5`, the convention every real
+    * image library uses) computed in EXACT fixed-point integer arithmetic:
+    * the source position lives in units of `1/(2*dstDim)` (`t = (2*dst+1)*
+    * srcDim - dstDim`, clamped at 0), so the four corner weights are exact
+    * integers and the output byte is a single floor division by
+    * `(2*dstW)*(2*dstH)`. Fixed-point is how production codecs do this
+    * (float weights differ across platforms); here it additionally makes
+    * the kernel ORACLE-REPLAYABLE — every output byte is pure integer
+    * arithmetic on (source pixels, coordinates), which is what lets q51
+    * hash-check the whole loop in DuckDB. Edge rule: a source index at or
+    * past the last row/column clamps with fraction 0 (border replication).
+    */
+  private[operators] def resampleBilinear(
+      img: BmpImage, newWidth: Int, newHeight: Int): Array[Byte] = {
+    val dx = 2L * newWidth
+    val dy = 2L * newHeight
+    val out = new Array[Byte](newWidth * newHeight * 3)
+    var y = 0
+    while (y < newHeight) {
+      val ty = math.max((2L * y + 1) * img.height - newHeight, 0L)
+      val sy0raw = (ty / dy).toInt
+      val sy0 = math.min(sy0raw, img.height - 1)
+      val fy = if (sy0raw >= img.height - 1) 0L else ty - sy0raw * dy
+      val sy1 = math.min(sy0 + 1, img.height - 1)
+      var x = 0
+      while (x < newWidth) {
+        val tx = math.max((2L * x + 1) * img.width - newWidth, 0L)
+        val sx0raw = (tx / dx).toInt
+        val sx0 = math.min(sx0raw, img.width - 1)
+        val fx = if (sx0raw >= img.width - 1) 0L else tx - sx0raw * dx
+        val sx1 = math.min(sx0 + 1, img.width - 1)
+        var c = 0
+        while (c < 3) {
+          val p00 = img.pixels((sy0 * img.width + sx0) * 3 + c) & 0xFF
+          val p10 = img.pixels((sy0 * img.width + sx1) * 3 + c) & 0xFF
+          val p01 = img.pixels((sy1 * img.width + sx0) * 3 + c) & 0xFF
+          val p11 = img.pixels((sy1 * img.width + sx1) * 3 + c) & 0xFF
+          val v = (p00 * (dx - fx) * (dy - fy) + p10 * fx * (dy - fy) +
+            p01 * (dx - fx) * fy + p11 * fx * fy) / (dx * dy)
+          out((y * newWidth + x) * 3 + c) = v.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor resample of decoded PCM audio to `outRate` — the
     * audio analog of `resampleNearest`: output frame `j` copies all
     * channels of input frame `floor(j * inRate / outRate)`, and the
@@ -579,6 +629,104 @@ object MultimodalOps {
     WavAudio(outRate, a.channels, a.bitsPerSample, out)
   }
 
+  /** Linear-interpolation resample of decoded PCM audio to `outRate` —
+    * the audio analog of `resampleBilinear`, and like it computed in EXACT
+    * integer arithmetic so q52 can replay every output sample: output
+    * frame `j` sits at source position `j*inRate/outRate` (same map as the
+    * NN kernel, so the two kernels' output lengths agree), interpolated
+    * between the two neighboring frames with the exact rational fraction
+    * `(j*inRate) % outRate / outRate`. The lerp runs on the UNSIGNED
+    * 16-bit domain (`v + 32768`) so the single floor division is over a
+    * non-negative numerator — Scala's `/` truncates toward zero while
+    * SQL's `//` floors, and biasing makes the two agree (the lerp is
+    * affine, so the bias cancels exactly). Floats round-trip 16-bit
+    * integers losslessly, so decoding, resampling in int space and
+    * re-normalizing loses nothing.
+    */
+  private[operators] def resampleWavLinear(a: WavAudio, outRate: Int): WavAudio = {
+    require(outRate > 0, "target rate must be positive")
+    val inFrames = a.samples.length / a.channels
+    val outFrames = (inFrames.toLong * outRate / a.sampleRate).toInt
+    val out = new Array[Float](outFrames * a.channels)
+    var j = 0
+    while (j < outFrames) {
+      val pos = j.toLong * a.sampleRate // in units of 1/outRate
+      val s0 = (pos / outRate).toInt
+      val f = pos % outRate
+      val s1 = math.min(s0 + 1, inFrames - 1)
+      var ch = 0
+      while (ch < a.channels) {
+        val u0 = math.round(a.samples(s0 * a.channels + ch) * 32768f).toLong + 32768L
+        val u1 = math.round(a.samples(s1 * a.channels + ch) * 32768f).toLong + 32768L
+        val u = (u0 * (outRate - f) + u1 * f) / outRate
+        out(j * a.channels + ch) = (u - 32768L) / 32768f
+        ch += 1
+      }
+      j += 1
+    }
+    WavAudio(outRate, a.channels, a.bitsPerSample, out)
+  }
+
+  /** Windowed-sinc (Hann) resample — the band-limited QUALITY kernel the
+    * NN/linear scaladocs promise. Per output frame it evaluates a
+    * `2*HalfTaps`-tap Hann-windowed sinc centered on the exact rational
+    * source position, with the sinc scaled by `min(1, outRate/inRate)` on
+    * downsampling so the kernel doubles as the anti-alias low-pass (the
+    * standard polyphase construction). Float math — transcendentals are
+    * NOT oracle-replayable cross-engine, so this kernel's correctness gate
+    * is a ScalaTest property (a pure tone below the output Nyquist must
+    * reconstruct with far lower error than the linear kernel leaves),
+    * while q52 pins the integer-exact linear kernel. Weights are
+    * normalized to sum 1 per output frame, so DC is preserved exactly and
+    * truncated edge windows don't dim the signal.
+    */
+  private[operators] def resampleWavSinc(
+      a: WavAudio, outRate: Int, halfTaps: Int = 16): WavAudio = {
+    require(outRate > 0, "target rate must be positive")
+    val inFrames = a.samples.length / a.channels
+    val outFrames = (inFrames.toLong * outRate / a.sampleRate).toInt
+    val out = new Array[Float](outFrames * a.channels)
+    // cutoff scale: <1 when downsampling (anti-alias), 1 when upsampling
+    val scale = math.min(1.0, outRate.toDouble / a.sampleRate)
+    val radius = math.ceil(halfTaps / scale).toInt
+    var j = 0
+    while (j < outFrames) {
+      val center = j.toDouble * a.sampleRate / outRate
+      val lo = math.max(0, math.ceil(center - radius).toInt)
+      val hi = math.min(inFrames - 1, math.floor(center + radius).toInt)
+      var wSum = 0.0
+      val acc = new Array[Double](a.channels)
+      var i = lo
+      while (i <= hi) {
+        val t = (i - center) * scale
+        val w =
+          if (math.abs(t) < 1e-12) 1.0
+          else if (math.abs(t) >= halfTaps) 0.0
+          else {
+            val pt = math.Pi * t
+            (math.sin(pt) / pt) * (0.5 + 0.5 * math.cos(pt / halfTaps))
+          }
+        if (w != 0.0) {
+          wSum += w
+          var ch = 0
+          while (ch < a.channels) {
+            acc(ch) += w * a.samples(i * a.channels + ch)
+            ch += 1
+          }
+        }
+        i += 1
+      }
+      var ch = 0
+      while (ch < a.channels) {
+        out(j * a.channels + ch) =
+          if (wSum == 0.0) 0f else (acc(ch) / wSum).toFloat
+        ch += 1
+      }
+      j += 1
+    }
+    WavAudio(outRate, a.channels, a.bitsPerSample, out)
+  }
+
   /** Resize over the asset table: decodable BMP payloads get a REAL
     * nearest-neighbor resample and are re-encoded as BMP; everything else
     * (audio, video, text stand-ins) keeps the metadata-plus-proportional-
@@ -586,9 +734,16 @@ object MultimodalOps {
     * resample, but the byte budget should still track the metadata shrink.
     * Plan shape: one narrow mapPartitions over the asset columns, no
     * shuffle — the same shape the stub ran in, now with a real kernel.
+    * `kernel` picks the pixel map: "nearest" (the q46 default) or
+    * "bilinear" (fixed-point, q51) — validated on the driver so a typo
+    * fails at plan time, not per-row on an executor.
     */
-  def resize(assetDf: DataFrame, newWidth: Int, newHeight: Int): DataFrame = {
+  def resize(assetDf: DataFrame, newWidth: Int, newHeight: Int,
+      kernel: String = "nearest"): DataFrame = {
     require(newWidth > 0 && newHeight > 0, "resize target must be positive")
+    require(kernel == "nearest" || kernel == "bilinear",
+      s"unknown resize kernel '$kernel' (nearest|bilinear)")
+    val bilinear = kernel == "bilinear"
     val spark = assetDf.sparkSession
     import spark.implicits._
     assetDf
@@ -601,7 +756,8 @@ object MultimodalOps {
             case Some(img) =>
               a.copy(
                 payload = encodeBmp(newWidth, newHeight,
-                  resampleNearest(img, newWidth, newHeight)),
+                  if (bilinear) resampleBilinear(img, newWidth, newHeight)
+                  else resampleNearest(img, newWidth, newHeight)),
                 width = newWidth, height = newHeight)
             case None =>
               val ratio = (newWidth.toLong * newHeight).toDouble /
@@ -861,6 +1017,116 @@ object MultimodalOps {
         it.flatMap { a =>
           decodeWav(a.payload).map { full =>
             val res = resampleWav(full, outRate)
+            val re = decodeWav(encodeWavPcm16(res.sampleRate, res.channels,
+              res.samples.map(f => math.round(f * 32768f).toShort))).get
+            val checksum = re.samples.foldLeft(0L)((s, f) => s + math.round(f * 32768f))
+            (a.asset_id, re.sampleRate.toLong, re.samples.length.toLong, checksum)
+          }
+        }
+      }
+      .toDF("asset_id", "out_rate", "n_out", "checksum")
+      .orderBy(col("asset_id"))
+  }
+
+  /** Gradient BMP: pixel (x, y) channel values are affine in the
+    * coordinates — `b = (seed + 5x + 11y) % 256`, `g = (seed*7 + …)`,
+    * `r = (seed*13 + …)` — the image-side analog of the audio tones:
+    * CONTENT that varies per pixel (a constant fill cannot distinguish
+    * bilinear from nearest) yet stays pure integer arithmetic an oracle
+    * can recompute per coordinate. Channel bases match `encodeBmpConst`'s
+    * so the two tables stay visually comparable in oracles.
+    */
+  def encodeBmpGradient(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val px = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        val grad = 5L * x + 11L * y
+        px(o) = ((seed + grad) % 256).toByte
+        px(o + 1) = ((seed * 7 + grad) % 256).toByte
+        px(o + 2) = ((seed * 13 + grad) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp(width, height, px)
+  }
+
+  /** Derive an image asset table with NON-constant deterministic content:
+    * the `doc_id % 3 == 0` third of the corpus as gradient BMPs (same dims
+    * as `decodableAssets`' images). q43/q46's pinned surfaces stay on the
+    * constant fills; this table exists for q51, where the kernel under
+    * test must see pixel VARIATION to be distinguishable from NN.
+    */
+  def decodableImageGradients(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 0)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          DecodableAsset(id, "image", encodeBmpGradient(
+            (8 + id % 16).toInt, (8 + (id * 3) % 16).toInt, id))
+        }
+      }
+  }
+
+  /** q51: the BILINEAR resize kernel oracle-checked end-to-end — q46's
+    * decode → resample → re-encode → decode loop, but over gradient images
+    * (constant fills cannot tell bilinear from nearest) and with exact
+    * per-channel pixel SUMS instead of means (sums are integers; means
+    * would reintroduce float division). The fixed-point kernel makes every
+    * output byte `floor(Σ corner·weight / (2w·2h))` — pure integer
+    * arithmetic the oracle replays per output coordinate, so a wrong
+    * weight, a mis-clamped edge, an unflipped row or a truncation-vs-floor
+    * slip anywhere in the loop shifts a sum and fails the hash.
+    */
+  def q51ResizeBilinear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tw = 16
+    val th = 12
+    decodableImageGradients(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          decodeBmp(a.payload).map { img =>
+            val re = decodeBmp(encodeBmp(tw, th,
+              resampleBilinear(img, tw, th))).get
+            var sb = 0L; var sg = 0L; var sr = 0L
+            var i = 0
+            while (i < re.pixels.length) {
+              sb += re.pixels(i) & 0xFF
+              sg += re.pixels(i + 1) & 0xFF
+              sr += re.pixels(i + 2) & 0xFF
+              i += 3
+            }
+            (a.asset_id, re.width.toLong, re.height.toLong, sb, sg, sr)
+          }
+        }
+      }
+      .toDF("asset_id", "width", "height", "sum_b", "sum_g", "sum_r")
+      .orderBy(col("asset_id"))
+  }
+
+  /** q52: the LINEAR audio resample kernel oracle-checked end-to-end —
+    * q50's decode → resample → re-encode → decode loop with the
+    * interpolating kernel. The biased-integer lerp keeps every output
+    * sample exact (see `resampleWavLinear`), so the checksum is an
+    * integer the oracle recomputes from the tone formula; the kernel is
+    * distinguishable from NN because the tones step by 7 per sample and
+    * the 4 kHz target rarely divides the source rate evenly.
+    */
+  def q52AudioLinearResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val outRate = 4000
+    decodableAudioTones(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          decodeWav(a.payload).map { full =>
+            val res = resampleWavLinear(full, outRate)
             val re = decodeWav(encodeWavPcm16(res.sampleRate, res.channels,
               res.samples.map(f => math.round(f * 32768f).toShort))).get
             val checksum = re.samples.foldLeft(0L)((s, f) => s + math.round(f * 32768f))

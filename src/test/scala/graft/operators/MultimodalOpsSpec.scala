@@ -236,6 +236,163 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(shrunk < orig)
   }
 
+  test("bilinear kernel: identity, constant fill, hand-computed 2x2→3x3, float agreement") {
+    // identity: same dims put every source position exactly on a pixel
+    // center (fraction 0), so the bytes come back unchanged
+    val rng = new scala.util.Random(7)
+    val px = Array.fill[Byte](5 * 4 * 3)(rng.nextInt(256).toByte)
+    val img = MultimodalOps.BmpImage(5, 4, 24, px)
+    assert(MultimodalOps.resampleBilinear(img, 5, 4).toSeq == px.toSeq,
+      "identity resample must be byte-exact")
+    // a constant fill is a fixed point of any interpolating kernel
+    val const = MultimodalOps.BmpImage(3, 3, 24, Array.fill[Byte](27)(42))
+    assert(MultimodalOps.resampleBilinear(const, 7, 5).forall(_ == 42))
+    // 2x2 → 3x3 by hand: corners replicate sources, edges average 2,
+    // center averages all 4 (weights 9/36 each, floor division)
+    val quad = MultimodalOps.BmpImage(2, 2, 24,
+      Seq(10, 0, 0, 20, 0, 0, 40, 0, 0, 90, 0, 0).map(_.toByte).toArray)
+    val out = MultimodalOps.resampleBilinear(quad, 3, 3)
+    val b = out.grouped(3).map(_(0) & 0xFF).toSeq
+    assert(b == Seq(10, 15, 20, 25, 40, 55, 40, 65, 90),
+      s"hand-computed bilinear mismatch: $b")
+    // fixed-point floor vs a float reference: every byte within 1
+    for (_ <- 1 to 20) {
+      val (w, h) = (1 + rng.nextInt(24), 1 + rng.nextInt(24))
+      val (tw, th) = (1 + rng.nextInt(24), 1 + rng.nextInt(24))
+      val p = Array.fill[Byte](w * h * 3)(rng.nextInt(256).toByte)
+      val got = MultimodalOps.resampleBilinear(
+        MultimodalOps.BmpImage(w, h, 24, p), tw, th)
+      for (y <- 0 until th; x <- 0 until tw; c <- 0 until 3) {
+        val sx = math.min(math.max((x + 0.5) * w / tw - 0.5, 0.0), w - 1.0)
+        val sy = math.min(math.max((y + 0.5) * h / th - 0.5, 0.0), h - 1.0)
+        val (x0, y0) = (sx.toInt, sy.toInt)
+        val (x1, y1) = (math.min(x0 + 1, w - 1), math.min(y0 + 1, h - 1))
+        val (fx, fy) = (sx - x0, sy - y0)
+        def at(xx: Int, yy: Int) = p((yy * w + xx) * 3 + c) & 0xFF
+        val ref = at(x0, y0) * (1 - fx) * (1 - fy) + at(x1, y0) * fx * (1 - fy) +
+          at(x0, y1) * (1 - fx) * fy + at(x1, y1) * fx * fy
+        val v = got((y * tw + x) * 3 + c) & 0xFF
+        assert(math.abs(v - ref) <= 1.0 + 1e-9,
+          s"fixed-point drifted from float bilinear at ($x,$y,$c): $v vs $ref " +
+            s"(src ${w}x$h dst ${tw}x$th)")
+      }
+    }
+  }
+
+  test("q51 rows all decode; resize dispatches the bilinear kernel") {
+    import spark.implicits._
+    // the DataFrame surface routes kernel="bilinear" to the same kernel
+    val grad = MultimodalOps.encodeBmpGradient(4, 4, 3L)
+    val df = Seq((1L, "image", grad, 4, 4, "bmp"))
+      .toDF("asset_id", "media_type", "payload", "width", "height", "format")
+    val viaResize = MultimodalOps.decodeBmp(
+      MultimodalOps.resize(df, 3, 3, kernel = "bilinear")
+        .head.getAs[Array[Byte]]("payload")).get.pixels
+    val direct = MultimodalOps.resampleBilinear(
+      MultimodalOps.decodeBmp(grad).get, 3, 3)
+    assert(viaResize.toSeq == direct.toSeq)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.resize(df, 3, 3, kernel = "bicubic")
+    }
+    // gradient content actually distinguishes the kernels (a constant
+    // fill would let a NN regression pass q51 silently)
+    val nn = MultimodalOps.resampleNearest(
+      MultimodalOps.decodeBmp(grad).get, 3, 3)
+    assert(nn.toSeq != direct.toSeq,
+      "gradient fixture failed to distinguish bilinear from NN")
+    // every q51 row decodes (error-as-value would DROP rows, and the
+    // oracle's row count would catch it — pin it here too)
+    val rows = MultimodalOps.q51ResizeBilinear(spark, sf).collect()
+    val nAssets = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(rows.length == nAssets, "q51 silently dropped a row")
+    assert(rows.forall(r => r.getLong(1) == 16 && r.getLong(2) == 12))
+  }
+
+  test("linear audio kernel: identity, exact lerp on a non-divisible ratio, q52 shape") {
+    // identity at the same rate: every fraction is 0
+    val samples = Array.tabulate[Short](12)(i => (i * 999 - 6000).toShort)
+    val wav = MultimodalOps.decodeWav(
+      MultimodalOps.encodeWavPcm16(8000, 1, samples)).get
+    assert(MultimodalOps.resampleWavLinear(wav, 8000).samples.toSeq ==
+      wav.samples.toSeq)
+    // integer ratio (8000→4000): fraction is always 0, lerp == NN
+    assert(MultimodalOps.resampleWavLinear(wav, 4000).samples.toSeq ==
+      MultimodalOps.resampleWav(wav, 4000).samples.toSeq)
+    // non-divisible ratio (6000→4000): j=1 sits exactly between frames 1
+    // and 2 (pos=6000/4000 → s0=1, f=2000/4000) — the lerp must land on
+    // the biased-floor midpoint, computed here by hand on the int samples
+    val w6 = MultimodalOps.decodeWav(
+      MultimodalOps.encodeWavPcm16(6000, 1,
+        Array[Short](100, 201, 400, -301, 1000, -2000))).get
+    val lin = MultimodalOps.resampleWavLinear(w6, 4000)
+    assert(lin.samples.length == 4)
+    def toInt(f: Float) = math.round(f * 32768f)
+    // frame map: out j sits at j*6000/4000 = 1.5j source frames, so
+    // j=0 → frame 0; j=1 → midpoint of frames 1,2; j=2 → frame 3;
+    // j=3 → midpoint of frames 4,5 — midpoints biased-floor on the
+    // unsigned domain
+    assert(toInt(lin.samples(0)) == 100)
+    assert(toInt(lin.samples(1)) ==
+      ((201 + 32768) + (400 + 32768)) / 2 - 32768) // = 300 (floor of 300.5)
+    assert(toInt(lin.samples(2)) == -301)
+    assert(toInt(lin.samples(3)) ==
+      ((1000 + 32768) + (-2000 + 32768)) / 2 - 32768) // = -500
+    // stereo interleaving
+    val st = MultimodalOps.decodeWav(MultimodalOps.encodeWavPcm16(
+      6000, 2, Array.tabulate[Short](12)(i => (i * 100).toShort))).get
+    val res2 = MultimodalOps.resampleWavLinear(st, 4000)
+    assert(res2.channels == 2 && res2.samples.length == 8)
+    // q52 rows all decode and keep the NN length map
+    val rows = MultimodalOps.q52AudioLinearResample(spark, sf).collect()
+    val nAssets = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1).count()
+    assert(rows.length == nAssets, "q52 silently dropped a row")
+    for (r <- rows.take(20)) {
+      val id = r.getLong(0)
+      assert(r.getLong(2) == (64 + id % 128) * 4000 / (8000 + (id % 8) * 1000))
+    }
+  }
+
+  test("windowed-sinc kernel: reconstructs a pure tone far better than linear") {
+    // a 2 kHz tone at 8 kHz, resampled to 6 kHz (non-integer ratio, tone
+    // well under the 3 kHz output Nyquist). Linear interpolation's error
+    // at this frequency is ~(pi*f/fs)^2/2 ≈ 0.3 peak; the band-limited
+    // kernel must be orders of magnitude closer to the ideal tone.
+    val inRate = 8000
+    val outRate = 6000
+    val n = 2048
+    val freq = 2000.0
+    val tone = Array.tabulate(n)(i =>
+      (0.8 * math.sin(2 * math.Pi * freq * i / inRate)).toFloat)
+    val a = MultimodalOps.WavAudio(inRate, 1, 16, tone)
+    val sinc = MultimodalOps.resampleWavSinc(a, outRate)
+    val lin = MultimodalOps.resampleWavLinear(a, outRate)
+    assert(sinc.samples.length == lin.samples.length)
+    val m = sinc.samples.length
+    // skip the kernel radius at both ends (edge windows are truncated)
+    val guard = 64
+    def rms(s: Array[Float]): Double = {
+      var acc = 0.0
+      var cnt = 0
+      var j = guard
+      while (j < m - guard) {
+        val ideal = 0.8 * math.sin(2 * math.Pi * freq * j / outRate)
+        acc += (s(j) - ideal) * (s(j) - ideal)
+        cnt += 1
+        j += 1
+      }
+      math.sqrt(acc / cnt)
+    }
+    val (se, le) = (rms(sinc.samples), rms(lin.samples))
+    assert(se < 0.01, s"sinc reconstruction error too high: $se")
+    assert(se < le / 10, s"sinc ($se) must beat linear ($le) by >10x")
+    // identity at the same rate: centers land on integer taps, sinc(0)=1
+    val id = MultimodalOps.resampleWavSinc(a, inRate)
+    val idErr = id.samples.zip(tone).map { case (x, y) => math.abs(x - y) }.max
+    assert(idErr < 1e-5, s"same-rate sinc resample drifted: $idErr")
+  }
+
   test("PCM16 writer round-trips samples exactly; NN audio resample maps frames correctly") {
     val samples = Array.tabulate[Short](10)(i => (i * 1000 - 5000).toShort)
     val wav = MultimodalOps.decodeWav(MultimodalOps.encodeWavPcm16(8000, 1, samples))
