@@ -582,10 +582,14 @@ object SparkEntry {
     // monolithic probe must agree EXACTLY per query (shared centroids;
     // normalized doubles round-trip parquet losslessly), so the oracle
     // pins every count to k=10 — a lost/duplicated/mis-pruned delta row
-    // anywhere in the standing-index path breaks a count
+    // anywhere in the standing-index path breaks a count. The _fold
+    // columns probe the SAME index after foldIvfDeltas (compaction +
+    // quantizer retrain) against a monolithic probe under the retrained
+    // centroids — a vector dropped or duplicated by the fold breaks those
     "q49_ivf_stream_parity" ->
       """SELECT vec_id AS query_id, 10::BIGINT AS n_lsm, 10::BIGINT AS n_ref,
-        |  10::BIGINT AS n_agree
+        |  10::BIGINT AS n_agree, 10::BIGINT AS n_lsm_fold,
+        |  10::BIGINT AS n_ref_fold, 10::BIGINT AS n_agree_fold
         |FROM embeddings WHERE vec_id % 50 = 0
         |ORDER BY query_id""".stripMargin,
     // the q46 resize argument applied to audio: tone samples, the NN

@@ -825,19 +825,26 @@ object SimilarityOps {
     * same way q43 did for the codecs. The corpus is replayed through the
     * exact `StreamEmbedIndex` arrival shape (batch 0 trains and publishes
     * the base recorded folded-through-itself; batches 1–2 land as
-    * crash-idempotent cid-partitioned delta generations), then probed TWICE
-    * with one shared quantizer: through the standing index (base + unfolded
-    * deltas, cid-pruned, `basePath` union) and through an in-memory
-    * inverted file over the full corpus (`annTopKIvfFixed`). Output is
-    * per-query row and (rank-sensitive) agreement counts; the oracle pins
-    * all of them to k — a delta row lost, duplicated, mis-assigned or
-    * mis-pruned anywhere in the LSM path shifts a count and fails the
-    * hash. Normalized doubles round-trip parquet exactly, so full
-    * agreement is deterministic, not a recall statement.
+    * crash-idempotent cid-partitioned delta generations), materialized in
+    * BOTH lifecycle states — `unfolded/` (base + two live deltas) and
+    * `folded/` (the same index after `foldIvfDeltas`, i.e. compaction +
+    * quantizer retrain) — then each state is probed TWICE with its own
+    * quantizer: through the standing index (cid-pruned, `basePath` union)
+    * and through an in-memory inverted file over the full corpus
+    * (`annTopKIvfFixed`). Output is per-query row and (rank-sensitive)
+    * agreement counts for both states; the oracle pins all of them to k —
+    * a delta row lost, duplicated, mis-assigned or mis-pruned in the live
+    * path, or a vector dropped/duplicated by the FOLD (the compaction
+    * rewrites every posting under retrained centroids), shifts a count
+    * and fails the hash. Normalized doubles round-trip parquet exactly,
+    * so full agreement is deterministic, not a recall statement.
     *
-    * The built index is fingerprint-cache-keyed like q38's; the multi-step
-    * build (base + two deltas) lands under a tmp dir and renames into
-    * place, so the cache can never hold a base without its deltas.
+    * The built index pair is fingerprint-cache-keyed like q38's; the
+    * multi-step build (base + two deltas + the fold of a copy) lands
+    * under a tmp dir and renames into place, so the cache can never hold
+    * a base without its deltas or an unfolded state without its folded
+    * twin. A cached dir lacking `folded/` is a PRE-fold-leg layout —
+    * deleted and rebuilt, never probed halfway.
     */
   def q49StreamIndexParity(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
@@ -851,12 +858,27 @@ object SimilarityOps {
     val fp = corpusFingerprint(corpusFs, corpusPath)
     val indexDir = s"$root/ivf-$fp"
     val finPath = new org.apache.hadoop.fs.Path(indexDir)
+    // stale-layout self-heal: an older cache generation stored the index
+    // flat (no folded/ twin) — rebuild rather than probe half a lifecycle
+    if (idxFs.exists(finPath) &&
+        !idxFs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/folded")))
+      idxFs.delete(finPath, true)
     if (!idxFs.exists(finPath)) {
       val tmp = indexDir + ".lsm-" + java.util.UUID.randomUUID().toString.take(8)
-      buildIvfIndex(c.filter(col("vec_id") % 3 === 0), tmp,
+      buildIvfIndex(c.filter(col("vec_id") % 3 === 0), s"$tmp/unfolded",
         foldedThrough = Some(0L))
       for (b <- 1L to 2L)
-        appendIvfDelta(c.filter(col("vec_id") % 3 === b), tmp, b)
+        appendIvfDelta(c.filter(col("vec_id") % 3 === b), s"$tmp/unfolded", b)
+      // the folded twin: byte-copy the live state, then fold the copy —
+      // foldIvfDeltas is the exact maintenance call Pipeline runs, so the
+      // probe exercises the real compaction+retrain path, not a replica
+      org.apache.hadoop.fs.FileUtil.copy(
+        idxFs, new org.apache.hadoop.fs.Path(s"$tmp/unfolded"),
+        idxFs, new org.apache.hadoop.fs.Path(s"$tmp/folded"),
+        false, hconf)
+      if (!foldIvfDeltas(spark, s"$tmp/folded"))
+        throw new IllegalStateException(
+          s"q49 fold leg found nothing to fold under $tmp/folded")
       if (!idxFs.rename(new org.apache.hadoop.fs.Path(tmp), finPath)) {
         // a concurrent identical build (same fingerprint, same determinism
         // argument as q38's ifAbsentOnly) won the publish — use theirs
@@ -879,17 +901,26 @@ object SimilarityOps {
         .foreach { case (p, _) => idxFs.delete(p, true) }
     }
     val q = queriesOf(c)
-    val lsm = annTopKIvfIndexed(spark, indexDir, q, 10)
-    val ref = annTopKIvfFixed(c, loadIvfCentroids(spark, indexDir), q, 10)
-    val lsmN = lsm.groupBy(col("query_id")).agg(count(lit(1)).as("n_lsm"))
-    val refN = ref.groupBy(col("query_id")).agg(count(lit(1)).as("n_ref"))
-    // rank-sensitive agreement: a row must match on (rank, vec_id), so an
-    // order inversion counts as disagreement, not just a missing vector
-    val agreeN = lsm
-      .join(ref, Seq("query_id", "rank", "vec_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_agree"))
-    lsmN.join(refN, Seq("query_id")).join(agreeN, Seq("query_id"))
-      .select(col("query_id"), col("n_lsm"), col("n_ref"), col("n_agree"))
+    // each lifecycle state is probed under ITS OWN quantizer (the fold
+    // retrains, so the two states legitimately disagree with each other —
+    // what each must match exactly is the monolithic probe sharing its
+    // centroids)
+    def legs(stateDir: String, suffix: String): DataFrame = {
+      val lsm = annTopKIvfIndexed(spark, stateDir, q, 10)
+      val ref = annTopKIvfFixed(c, loadIvfCentroids(spark, stateDir), q, 10)
+      val lsmN = lsm.groupBy(col("query_id")).agg(count(lit(1)).as(s"n_lsm$suffix"))
+      val refN = ref.groupBy(col("query_id")).agg(count(lit(1)).as(s"n_ref$suffix"))
+      // rank-sensitive agreement: a row must match on (rank, vec_id), so an
+      // order inversion counts as disagreement, not just a missing vector
+      val agreeN = lsm
+        .join(ref, Seq("query_id", "rank", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as(s"n_agree$suffix"))
+      lsmN.join(refN, Seq("query_id")).join(agreeN, Seq("query_id"))
+    }
+    legs(s"$indexDir/unfolded", "")
+      .join(legs(s"$indexDir/folded", "_fold"), Seq("query_id"))
+      .select(col("query_id"), col("n_lsm"), col("n_ref"), col("n_agree"),
+        col("n_lsm_fold"), col("n_ref_fold"), col("n_agree_fold"))
       .orderBy(col("query_id"))
   }
 

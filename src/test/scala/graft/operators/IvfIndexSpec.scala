@@ -87,17 +87,21 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect()
     assert(rows.nonEmpty)
     // every query: 10 rows each path, all 10 agreeing on (rank, vec_id) —
-    // the delta storage path is invisible to probe results
-    for (r <- rows)
-      assert(r.getLong(1) == 10 && r.getLong(2) == 10 && r.getLong(3) == 10,
+    // the delta storage path is invisible to probe results, before AND
+    // after the fold (columns 4-6 probe the folded twin)
+    for (r <- rows; i <- 1 to 6)
+      assert(r.getLong(i) == 10,
         s"LSM/monolithic divergence at query ${r.getLong(0)}: $r")
-    // and the run actually probed a delta-holding index (2 unfolded deltas)
     val root = sys.props("java.io.tmpdir") +
       "/graft_ivf_lsm_" + sf.replaceAll("[^A-Za-z0-9]", "_")
     val idx = new java.io.File(root).listFiles
       .filter(_.getName.matches("ivf-[0-9a-f]{16}")).head
-    assert(SimilarityOps.unfoldedDeltaCount(spark, idx.toString) == 2,
-      "q49 index holds no unfolded deltas — the parity would be vacuous")
+    // the unfolded leg actually probed a delta-holding index (2 live
+    // deltas) and the folded twin actually folded them away
+    assert(SimilarityOps.unfoldedDeltaCount(spark, s"$idx/unfolded") == 2,
+      "q49 unfolded state holds no deltas — the parity would be vacuous")
+    assert(SimilarityOps.unfoldedDeltaCount(spark, s"$idx/folded") == 0,
+      "q49 folded state still holds deltas — the fold leg is vacuous")
   }
 
   test("clusterSizes answers from footer statistics: COUNT pushed into the parquet scan") {
