@@ -77,6 +77,7 @@ object SparkEntry {
     "q50_audio_resample" -> (MultimodalOps.q50AudioResample(_, _)),
     "q51_resize_bilinear" -> (MultimodalOps.q51ResizeBilinear(_, _)),
     "q52_audio_linear"  -> (MultimodalOps.q52AudioLinearResample(_, _)),
+    "q53_rle_video"     -> (MultimodalOps.q53RleVideoFrames(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -671,5 +672,20 @@ object SparkEntry {
         |  n_out::BIGINT AS n_out, sum(samp)::BIGINT AS checksum
         |FROM v GROUP BY doc_id, n_out
         |ORDER BY asset_id""".stripMargin,
+    // q48's frame oracle through the COMPRESSED path: each frame is a
+    // solid fill of palette index (doc_id + 11f) % 256 and the palette
+    // entry i is (i, 7i%256, 13i%256), so the decoded means are the
+    // palette formula applied to the frame's index
+    "q53_rle_video" ->
+      """SELECT doc_id AS asset_id, f AS frame_idx,
+        |  8 + doc_id % 8 AS width,
+        |  6 + (doc_id * 3) % 8 AS height,
+        |  2 + doc_id % 4 AS n_frames,
+        |  (doc_id + 11 * f) % 256 AS mean_b,
+        |  (((doc_id + 11 * f) % 256) * 7) % 256 AS mean_g,
+        |  (((doc_id + 11 * f) % 256) * 13) % 256 AS mean_r
+        |FROM (SELECT doc_id, unnest(range(2 + doc_id % 4)) AS f
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
   )
 }

@@ -346,9 +346,13 @@ object MultimodalOps {
     * `strf` BITMAPINFOHEADER fixes the pixel shape (same field layout as
     * BMP's info header), and each `00db`/`00dc` chunk is one bottom-up
     * padded DIB frame, unflipped to top-down BGR exactly as `decodeBmp`
-    * does. Supports the uncompressed 24-bpp form; anything else — or a
-    * truncated/garbled walk, or a frame whose size disagrees with the
-    * declared shape — is `None` (the D15 error-as-value discipline).
+    * does. Supports the uncompressed 24-bpp form AND the 8-bit MS-RLE8
+    * compressed form (`biCompression=1`, palette-indexed — the classic
+    * compressed AVI variant, decoded run-by-run then palette-mapped to
+    * the same top-down BGR); anything else — or a truncated/garbled walk,
+    * a frame whose size disagrees with the declared shape, an RLE stream
+    * that runs off a row or the buffer, or a pixel index past the
+    * palette — is `None` (the D15 error-as-value discipline).
     * Header-derived sizes go through Long arithmetic for the same
     * hostile-header reasons spelled out in `decodeBmp`.
     */
@@ -357,6 +361,7 @@ object MultimodalOps {
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
     var w = 0; var h = 0; var bpp = -1; var comp = -1
+    var palette: Array[Byte] = null // RGBQUAD entries (b, g, r, _) * nColors
     val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def walk(start: Int, end: Int, depth: Int): Boolean = {
       var o = start
@@ -374,6 +379,14 @@ object MultimodalOps {
           h = le32(b, o + 8 + 8)
           bpp = le16(b, o + 8 + 14)
           comp = le32(b, o + 8 + 16)
+          // 8-bpp streams carry their palette right after the info header;
+          // biClrUsed=0 means the full 256 (the BMP convention)
+          if (bpp == 8) {
+            val clrUsed = le32(b, o + 8 + 32)
+            val n = if (clrUsed == 0) 256 else clrUsed
+            if (n < 0 || n > 256 || sz < 40 + 4L * n) return false
+            palette = java.util.Arrays.copyOfRange(b, o + 8 + 40, o + 8 + 40 + 4 * n)
+          }
         } else if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc"))) {
           frameChunks += ((o + 8, sz))
         }
@@ -382,25 +395,192 @@ object MultimodalOps {
       true
     }
     if (!walk(12, b.length, 0)) return None
-    if (bpp != 24 || comp != 0 || w <= 0 || h == 0 || frameChunks.isEmpty) return None
+    if (w <= 0 || h == 0 || frameChunks.isEmpty) return None
     val topDown = h < 0
     val ah = math.abs(h.toLong)
-    val rowSize = ((24L * w + 31L) / 32L) * 4L
-    if (rowSize * ah > Int.MaxValue || w.toLong * ah * 3L > Int.MaxValue) return None
-    val frameLen = (rowSize * ah).toInt
-    if (!frameChunks.forall(_._2 == frameLen)) return None
-    val frames = frameChunks.map { case (off, _) =>
-      val px = new Array[Byte]((w * ah * 3L).toInt)
-      var r = 0
-      while (r < ah) {
-        val srcRow = if (topDown) r else ah - 1 - r
-        System.arraycopy(b, off + (srcRow * rowSize).toInt, px, (r.toLong * w * 3L).toInt, w * 3)
-        r += 1
+    if (w.toLong * ah * 3L > Int.MaxValue) return None
+    if (bpp == 24 && comp == 0) {
+      val rowSize = ((24L * w + 31L) / 32L) * 4L
+      if (rowSize * ah > Int.MaxValue) return None
+      val frameLen = (rowSize * ah).toInt
+      if (!frameChunks.forall(_._2 == frameLen)) return None
+      val frames = frameChunks.map { case (off, _) =>
+        val px = new Array[Byte]((w * ah * 3L).toInt)
+        var r = 0
+        while (r < ah) {
+          val srcRow = if (topDown) r else ah - 1 - r
+          System.arraycopy(b, off + (srcRow * rowSize).toInt, px, (r.toLong * w * 3L).toInt, w * 3)
+          r += 1
+        }
+        px
       }
-      px
-    }
-    Some(AviVideo(w, ah.toInt, frames.toArray))
+      Some(AviVideo(w, ah.toInt, frames.toArray))
+    } else if (bpp == 8 && comp == 1 && palette != null && !topDown) {
+      // MS-RLE8 is defined bottom-up only (a negative height is invalid)
+      val nColors = palette.length / 4
+      val frames = new Array[Array[Byte]](frameChunks.length)
+      var fi = 0
+      while (fi < frameChunks.length) {
+        val (off, sz) = frameChunks(fi)
+        val idx = decodeRle8Frame(b, off, sz, w, ah.toInt).getOrElse(return None)
+        val px = new Array[Byte]((w * ah * 3L).toInt)
+        var i = 0
+        while (i < idx.length) {
+          val v = idx(i) & 0xFF
+          if (v >= nColors) return None
+          px(i * 3) = palette(v * 4)
+          px(i * 3 + 1) = palette(v * 4 + 1)
+          px(i * 3 + 2) = palette(v * 4 + 2)
+          i += 1
+        }
+        frames(fi) = px
+        fi += 1
+      }
+      Some(AviVideo(w, ah.toInt, frames))
+    } else None
   }
+
+  /** One MS-RLE8 frame → top-down row-major palette indices, or `None` on
+    * any malformed stream (truncated pair, run past the row end, absolute
+    * block past the buffer, delta past the grid, missing end-of-bitmap).
+    * The four escapes are the documented public format: `(0,0)` end of
+    * line, `(0,1)` end of bitmap, `(0,2)` + (dx, dy) position delta
+    * (skipped cells keep index 0), `(0,n≥3)` absolute run of n literal
+    * indices padded to a word boundary; `(c>0, v)` is a run of c copies
+    * of v. Rows are stored bottom-up; the unflip happens on write.
+    */
+  private[operators] def decodeRle8Frame(
+      b: Array[Byte], off: Int, sz: Int, w: Int, h: Int): Option[Array[Byte]] = {
+    val idx = new Array[Byte](w * h)
+    val end = off.toLong + sz
+    var p = off
+    var x = 0
+    var y = 0 // bottom-up row cursor
+    while (true) {
+      if (p + 2 > end) return None
+      val c = b(p) & 0xFF
+      val v = b(p + 1) & 0xFF
+      p += 2
+      if (c > 0) {
+        if (y >= h || x + c > w) return None
+        val row = h - 1 - y
+        java.util.Arrays.fill(idx, row * w + x, row * w + x + c, v.toByte)
+        x += c
+      } else v match {
+        case 0 =>
+          y += 1; x = 0
+          if (y > h) return None
+        case 1 =>
+          return Some(idx)
+        case 2 =>
+          if (p + 2 > end) return None
+          x += b(p) & 0xFF
+          y += b(p + 1) & 0xFF
+          p += 2
+          if (x > w || y > h) return None
+        case n =>
+          if (y >= h || x + n > w) return None
+          if (p + n > end) return None
+          val row = h - 1 - y
+          var i = 0
+          while (i < n) { idx(row * w + x + i) = b(p + i); i += 1 }
+          x += n
+          p += n + (n & 1)
+      }
+    }
+    None // unreachable: the loop exits via EOB or an error return
+  }
+
+  /** MS-RLE8 AVI writer — the inverse of `decodeAvi`'s compressed branch:
+    * same container skeleton as `encodeAvi` but an 8-bpp palette-indexed
+    * stream (`biCompression=1`, 256 RGBQUAD entries riding in strf) whose
+    * `00dc` chunks hold run-length-encoded bottom-up rows (maximal runs
+    * capped at 255, end-of-line after every row, end-of-bitmap closing
+    * the frame). `frames` are palette INDICES, row-major TOP-DOWN,
+    * `width*height` bytes each; `palette` is 256 (b, g, r) entries.
+    * Round-trips through `decodeAvi` pixel-exactly (spec-pinned).
+    */
+  def encodeAviRle8(width: Int, height: Int, palette: Array[(Int, Int, Int)],
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty &&
+      frames.forall(_.length == width * height),
+      s"frames must each be $width*$height palette indices")
+    require(palette.length == 256, "palette must have 256 entries")
+    val enc = frames.map { f =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var y = 0
+      while (y < height) {
+        val row = (height - 1 - y) * width // bottom-up storage order
+        var x = 0
+        while (x < width) {
+          val v = f(row + x)
+          var run = 1
+          while (x + run < width && f(row + x + run) == v && run < 255) run += 1
+          out += run.toByte += v
+          x += run
+        }
+        out += 0 += 0 // end of line
+        y += 1
+      }
+      out += 0 += 1 // end of bitmap
+      out.toArray
+    }
+    val strfSize = 40 + 256 * 4
+    val strlSize = 4 + (8 + 56) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + enc.map(e => 8 + e.length + (e.length & 1)).sum
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val maxFrame = enc.map(_.length).max
+    val out = new Array[Byte](total)
+    var p = 0
+    def fourcc(s: String): Unit = { var i = 0; while (i < 4) { out(p + i) = s(i).toByte; i += 1 }; p += 4 }
+    def u32(v: Int): Unit = { putLe32(out, p, v); p += 4 }
+    def u16(v: Int): Unit = { putLe16(out, p, v); p += 2 }
+    fourcc("RIFF"); u32(total - 8); fourcc("AVI ")
+    fourcc("LIST"); u32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); u32(56)
+    u32(40000); u32(maxFrame * 25); u32(0); u32(0)
+    u32(frames.length); u32(0); u32(1); u32(maxFrame)
+    u32(width); u32(height); u32(0); u32(0); u32(0); u32(0)
+    fourcc("LIST"); u32(strlSize); fourcc("strl")
+    fourcc("strh"); u32(56)
+    fourcc("vids"); fourcc("MRLE"); u32(0); u16(0); u16(0)
+    u32(0); u32(1); u32(25); u32(0); u32(frames.length)
+    u32(maxFrame); u32(0); u32(0)
+    u16(0); u16(0); u16(width); u16(height)
+    fourcc("strf"); u32(strfSize)
+    u32(40); u32(width); u32(height); u16(1); u16(8)
+    u32(1) // biCompression = BI_RLE8
+    u32(maxFrame); u32(0); u32(0); u32(256); u32(0)
+    for ((b, g, r) <- palette) {
+      out(p) = b.toByte; out(p + 1) = g.toByte; out(p + 2) = r.toByte
+      p += 4 // reserved byte stays 0
+    }
+    fourcc("LIST"); u32(moviSize); fourcc("movi")
+    for (e <- enc) {
+      fourcc("00dc"); u32(e.length)
+      System.arraycopy(e, 0, out, p, e.length)
+      p += e.length + (e.length & 1) // RIFF word alignment
+    }
+    assert(p == total, s"RLE8 AVI writer layout drift: wrote $p of $total")
+    out
+  }
+
+  /** The engine's ARITHMETIC palette — entry `i` is `(i, (i*7)%256,
+    * (i*13)%256)`, the same channel conventions as the constant-fill
+    * fixtures, so a palette-mapped mean is pure arithmetic on the index.
+    */
+  def rle8ArithmeticPalette: Array[(Int, Int, Int)] =
+    Array.tabulate(256)(i => (i, (i * 7) % 256, (i * 13) % 256))
+
+  /** Constant-index-per-frame RLE8 AVI over the arithmetic palette: frame
+    * `f` is a solid fill of palette index `indices(f)` — per-frame channel
+    * means decode back EXACTLY as palette arithmetic, which is what makes
+    * q53 oracle-checkable (q48's argument through the compressed path).
+    */
+  def encodeAviRle8Const(width: Int, height: Int, indices: Seq[Int]): Array[Byte] =
+    encodeAviRle8(width, height, rle8ArithmeticPalette,
+      indices.map(v => Array.fill[Byte](width * height)(v.toByte)))
 
   /** Fallback features for non-media payloads: 16-bin normalized byte
     * histogram (the original deterministic pseudo-decode).
@@ -772,6 +952,46 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Audio resample over an asset table — the audio counterpart of
+    * `resize`, same plan shape (one narrow mapPartitions, no shuffle) and
+    * same error-as-value posture: decodable WAV payloads are resampled to
+    * `outRate` and re-encoded as 16-bit PCM; everything else passes
+    * through UNCHANGED (a non-audio payload has no time axis — unlike
+    * resize's byte-budget contract there is no meaningful "proportional"
+    * fallback for audio, and silently truncating would corrupt media of
+    * other types). `kernel` picks "nearest" (q50's integer map),
+    * "linear" (q52's exact lerp) or "sinc" (the band-limited quality
+    * kernel); validated on the driver.
+    */
+  def resampleAudio(assetDf: DataFrame, outRate: Int,
+      kernel: String = "linear"): DataFrame = {
+    require(outRate > 0, "target rate must be positive")
+    require(kernel == "nearest" || kernel == "linear" || kernel == "sinc",
+      s"unknown audio resample kernel '$kernel' (nearest|linear|sinc)")
+    val spark = assetDf.sparkSession
+    import spark.implicits._
+    assetDf.select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, payload) =>
+          val out = decodeWav(payload) match {
+            case Some(a) =>
+              val res = kernel match {
+                case "nearest" => resampleWav(a, outRate)
+                case "linear"  => resampleWavLinear(a, outRate)
+                case _         => resampleWavSinc(a, outRate)
+              }
+              encodeWavPcm16(res.sampleRate, res.channels,
+                res.samples.map(f => math.max(-32768, math.min(32767,
+                  math.round(f * 32768f))).toShort))
+            case None => payload
+          }
+          (id, mt, out)
+        }
+      }
+      .toDF("asset_id", "media_type", "payload")
+  }
+
   /** Derive a video asset table whose payloads are REAL uncompressed-AVI
     * container bytes: the `doc_id % 3 == 2` third of the corpus that
     * `decodableAssets` leaves out, each a small constant-color-per-frame
@@ -813,6 +1033,43 @@ object MultimodalOps {
     * mapPartitions, partition-preserving, no shuffle — the decode stays
     * where the bytes are, only the small per-frame stats flow on.
     */
+  /** Derive a COMPRESSED video asset table: the same corpus third as
+    * `decodableVideos` but as MS-RLE8 AVIs — each frame a solid fill of
+    * palette index `(doc_id + 11*f) % 256` over the arithmetic palette,
+    * so every decoded channel mean is pure (doc_id, frame) arithmetic
+    * THROUGH the palette map. Exists for q53: the compressed decode path
+    * (RLE expansion + palette lookup) gets the same oracle treatment the
+    * uncompressed walk got from q48.
+    */
+  def decodableVideosRle(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 2)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nFrames = (2 + id % 4).toInt
+          DecodableAsset(id, "video", encodeAviRle8Const(
+            (8 + id % 8).toInt, (6 + (id * 3) % 8).toInt,
+            (0 until nFrames).map(f => ((id + 11L * f) % 256).toInt)))
+        }
+      }
+  }
+
+  /** q53: q48's per-frame oracle through the COMPRESSED codec path —
+    * every payload is a genuine MS-RLE8 AVI, decoded via the RLE
+    * expansion and palette map (never a fallback), and every exposed
+    * value is arithmetic on (doc_id, frame index, palette formula). A
+    * bug in the run decoder, the escape handling, the bottom-up unflip
+    * or the palette lookup shifts a mean and fails the hash.
+    */
+  def q53RleVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    videoFrameFeatures(decodableVideosRle(spark, dir).toDF())
+      .toDF()
+      .orderBy(col("asset_id"), col("frame_idx"))
+
   def videoFrameFeatures(assetDf: DataFrame): Dataset[FrameFeatureRow] = {
     val spark = assetDf.sparkSession
     import spark.implicits._

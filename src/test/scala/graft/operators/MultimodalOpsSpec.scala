@@ -354,6 +354,35 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleAudio operator: kernel dispatch, pass-through, driver-side validation") {
+    import spark.implicits._
+    val wav = MultimodalOps.encodeWavPcm16(8000, 1,
+      Array.tabulate[Short](100)(i => (i * 321 - 16000).toShort))
+    val df = Seq((1L, "audio", wav), (2L, "text", "not audio".getBytes))
+      .toDF("asset_id", "media_type", "payload")
+    val out = MultimodalOps.resampleAudio(df, 6000, kernel = "linear")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    // the audio row went through the real kernel (compare against the
+    // direct call, re-encoded the same way)
+    val direct = {
+      val a = MultimodalOps.decodeWav(wav).get
+      val res = MultimodalOps.resampleWavLinear(a, 6000)
+      MultimodalOps.encodeWavPcm16(res.sampleRate, res.channels,
+        res.samples.map(f => math.round(f * 32768f).toShort))
+    }
+    assert(out(1L).toSeq == direct.toSeq, "operator drifted from the kernel")
+    // non-audio passes through untouched (no truncation, no corruption)
+    assert(out(2L).toSeq == "not audio".getBytes.toSeq)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.resampleAudio(df, 6000, kernel = "cubic")
+    }
+    // the sinc path produces a decodable result at the right rate/length
+    val sincRow = MultimodalOps.resampleAudio(df, 6000, kernel = "sinc")
+      .filter(col("asset_id") === 1L).head.getAs[Array[Byte]]("payload")
+    val sincDec = MultimodalOps.decodeWav(sincRow).get
+    assert(sincDec.sampleRate == 6000 && sincDec.samples.length == 75)
+  }
+
   test("windowed-sinc kernel: reconstructs a pure tone far better than linear") {
     // a 2 kHz tone at 8 kHz, resampled to 6 kHz (non-integer ratio, tone
     // well under the 3 kHz output Nyquist). Linear interpolation's error
@@ -423,6 +452,76 @@ class MultimodalOpsSpec extends AnyFunSuite {
       assert(r.getLong(1) == 4000 && r.getLong(2) == n * 4000 / rate,
         s"resampled length drifted for asset $id: $r")
     }
+  }
+
+  test("RLE8 AVI: round-trip, escape handling, hostile streams, q53 all-decode") {
+    val rng = new scala.util.Random(11)
+    val pal = MultimodalOps.rle8ArithmeticPalette
+    // random index frames round-trip pixel-exactly through encode→decode
+    // (the decoder expands runs and maps the palette; compare against a
+    // driver-side palette expansion)
+    for (_ <- 1 to 10) {
+      val w = 1 + rng.nextInt(20)
+      val h = 1 + rng.nextInt(20)
+      val frames = Seq.fill(1 + rng.nextInt(4))(
+        Array.fill[Byte](w * h)(rng.nextInt(256).toByte))
+      val avi = MultimodalOps.encodeAviRle8(w, h, pal, frames)
+      val dec = MultimodalOps.decodeAvi(avi)
+      assert(dec.isDefined, s"RLE8 round-trip failed to decode (${w}x$h)")
+      assert(dec.get.width == w && dec.get.height == h &&
+        dec.get.frames.length == frames.length)
+      for ((f, d) <- frames.zip(dec.get.frames)) {
+        val expect = f.flatMap { b =>
+          val (pb, pg, pr) = pal(b & 0xFF)
+          Seq(pb.toByte, pg.toByte, pr.toByte)
+        }
+        assert(d.toSeq == expect.toSeq, "RLE8 frame pixels drifted")
+      }
+    }
+    // long uniform rows exercise the 255-run cap
+    val wide = Array.fill[Byte](600)(7)
+    val capDec = MultimodalOps.decodeAvi(
+      MultimodalOps.encodeAviRle8(600, 1, pal, Seq(wide))).get
+    assert(capDec.frames.head.grouped(3).forall(p => (p(0) & 0xFF) == 7))
+    // hand-built stream with ABSOLUTE and DELTA escapes: 4x2 bottom-up.
+    // bottom row: abs(3 literals 1,2,3) + run(1 of 9); top row: run(1 of
+    // 5), delta skips (2,0) leaving zeros, run(1 of 6)
+    val handRle = Array[Byte](
+      0, 3, 1, 2, 3, 0, /* abs pads to word */ 1, 9, 0, 0, // bottom row + EOL
+      1, 5, 0, 2, 2, 0, 1, 6, 0, 0, // top row with delta + EOL
+      0, 1) // EOB
+    val hand = MultimodalOps.decodeRle8Frame(handRle, 0, handRle.length, 4, 2)
+    assert(hand.isDefined, "hand-built RLE8 stream must decode")
+    assert(hand.get.toSeq == Seq[Byte](5, 0, 0, 6, 1, 2, 3, 9),
+      s"escape semantics drifted: ${hand.get.toSeq}")
+    // hostile streams are None, never a throw or a silent wrap: run past
+    // the row, absolute past the buffer, truncated pair, missing EOB
+    assert(MultimodalOps.decodeRle8Frame(Array[Byte](5, 1, 0, 1), 0, 4, 4, 1).isEmpty,
+      "run past row end must be rejected")
+    assert(MultimodalOps.decodeRle8Frame(Array[Byte](0, 3, 1, 1), 0, 4, 4, 1).isEmpty,
+      "absolute block past buffer must be rejected")
+    assert(MultimodalOps.decodeRle8Frame(Array[Byte](2), 0, 1, 4, 1).isEmpty,
+      "truncated pair must be rejected")
+    assert(MultimodalOps.decodeRle8Frame(Array[Byte](2, 2, 0, 0), 0, 4, 4, 1).isEmpty,
+      "stream ending without EOB must be rejected")
+    // a pixel index past biClrUsed is rejected at the palette map:
+    // shrink biClrUsed (fixed offset 204 in the writer's layout —
+    // 12 RIFF + 12 LIST/hdrl + 64 avih + 12 LIST/strl + 64 strh +
+    // 8 strf header + 32 into BITMAPINFOHEADER) to 16, under a frame
+    // holding index 40
+    val smallPal = MultimodalOps.encodeAviRle8(2, 1, pal, Seq(Array[Byte](0, 40)))
+    assert(MultimodalOps.decodeAvi(smallPal).isDefined)
+    val patched = smallPal.clone()
+    patched(204) = 16; patched(205) = 0; patched(206) = 0; patched(207) = 0
+    assert(MultimodalOps.decodeAvi(patched).isEmpty,
+      "index past the declared palette must be rejected")
+    // q53 rows all take the compressed decode path (row count == frame
+    // count of the subset — a fallback would produce no frame rows)
+    val rows = MultimodalOps.q53RleVideoFrames(spark, sf).collect()
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 2)
+      .select(sum(lit(2) + col("doc_id") % 4)).head.getLong(0)
+    assert(rows.length == expected, "q53 silently dropped a frame row")
   }
 
   test("AVI writer round-trips through the real codec, frames pixel-exact") {
@@ -592,6 +691,27 @@ class MultimodalOpsSpec extends AnyFunSuite {
       }
     }
     check(truncProp)
+    // RLE8: arbitrary index frames round-trip through the compressed
+    // container; single-byte corruption anywhere (header, palette, or
+    // the RLE stream itself) never throws — it decodes, degrades to
+    // None, or falls back, but the partition survives
+    val rleProp = Prop.forAll(
+      Gen.chooseNum(1, 9), Gen.chooseNum(1, 9), Gen.chooseNum(1, 3),
+      Gen.long, Gen.chooseNum(0, 4096), Gen.chooseNum(0, 255)) {
+      (w, h, n, seed, corruptAt, corruptTo) =>
+        val frames = (0 until n).map(f =>
+          Array.tabulate(w * h)(i => ((seed + f * 131 + i * 17) & 0xFF).toByte))
+        val avi = MultimodalOps.encodeAviRle8(
+          w, h, MultimodalOps.rle8ArithmeticPalette, frames)
+        val v = MultimodalOps.decodeAvi(avi)
+        val roundTrip = v.exists(d =>
+          d.width == w && d.height == h && d.frames.length == n)
+        val mut = avi.clone()
+        mut(corruptAt % mut.length) = corruptTo.toByte
+        MultimodalOps.decodeBytes(mut) // must not throw
+        roundTrip
+    }
+    check(rleProp)
   }
 
   test("frame sampling reassembles to the original payload") {
