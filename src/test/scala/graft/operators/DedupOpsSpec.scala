@@ -74,6 +74,30 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("dedupGroups memoizes repeat calls on the live cache, recomputes after eviction") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val first = DedupOps.dedupGroups(pairs)
+    val firstRows = first.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // an identical-plan repeat returns the memoized frame itself — the
+    // propagation loop (and its per-generation cache churn) never reruns
+    val second = DedupOps.dedupGroups(
+      Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b"))
+    assert(second eq first, "repeat call did not hit the resolution memo")
+    // a DIFFERENT pair set must not alias (sameResult, not a weak hash)
+    val other = DedupOps.dedupGroups(Seq((7L, 8L)).toDF("doc_a", "doc_b"))
+    assert(!(other eq first))
+    assert(other.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((7L, 7L), (8L, 7L)))
+    // cache eviction invalidates the memo: the next call recomputes and
+    // still answers correctly (the memo is never a second source of truth)
+    spark.catalog.clearCache()
+    val third = DedupOps.dedupGroups(
+      Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b"))
+    assert(!(third eq first), "memo served a frame whose cache was evicted")
+    assert(third.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == firstRows)
+  }
+
   test("exact dedup groups all docs and keeps min ids") {
     val docs = Tables.documents(spark, sf)
     val out = DedupOps.q18ExactDedup(spark, sf)
