@@ -68,7 +68,17 @@ object Pipeline {
   final case class EmbedConfig(
       nClusters: Int = 16,
       lloydIters: Int = 2,
-      trainSampleMod: Int = 1)
+      trainSampleMod: Int = 1,
+      /** Enable the embedding near-dup GUARD on the feed: arriving vectors
+        * whose cosine against an EARLIER vector (standing index or
+        * lower-id same-batch) reaches `dupThreshold` are flagged into
+        * `<workDir>/embed_dup_flags` (greedy earliest-arrival — the
+        * embedding-space mirror of the documents guard). `dupNprobe`
+        * bounds the probe like every IVF read; set it to `nClusters`
+        * for an exhaustive guard.
+        */
+      dupThreshold: Option[Double] = None,
+      dupNprobe: Int = 12)
 
   final case class Config(
       cdcFeedDir: String,
@@ -252,7 +262,11 @@ object Pipeline {
         nClusters = config.embed.nClusters,
         lloydIters = config.embed.lloydIters,
         trainSampleMod = config.embed.trainSampleMod,
-        maxFilesPerTrigger = config.embMaxFilesPerTrigger))
+        maxFilesPerTrigger = config.embMaxFilesPerTrigger,
+        dupFlagsDir = config.embed.dupThreshold
+          .map(_ => s"${config.workDir}/embed_dup_flags"),
+        dupThreshold = config.embed.dupThreshold.getOrElse(0.9),
+        dupNprobe = config.embed.dupNprobe))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
     dlCdcQuery.awaitTermination()
@@ -398,7 +412,11 @@ object Pipeline {
           lloydIters = sys.env.get("SPARK_GRAFT_EMB_LLOYD_ITERS")
             .map(_.toInt).getOrElse(e0.lloydIters),
           trainSampleMod = sys.env.get("SPARK_GRAFT_EMB_TRAIN_MOD")
-            .map(_.toInt).getOrElse(e0.trainSampleMod))
+            .map(_.toInt).getOrElse(e0.trainSampleMod),
+          dupThreshold = sys.env.get("SPARK_GRAFT_EMB_DUP_THRESHOLD")
+            .map(_.toDouble).orElse(e0.dupThreshold),
+          dupNprobe = sys.env.get("SPARK_GRAFT_EMB_DUP_NPROBE")
+            .map(_.toInt).getOrElse(e0.dupNprobe))
       },
       embedFoldMinDeltas = sys.env.get("SPARK_GRAFT_EMB_FOLD_MIN").map(_.toInt)))
     println(s"[pipeline] enriched sessions: ${out.count()}")

@@ -728,6 +728,69 @@ object SimilarityOps {
     probeIvf(postings, cents, q, k, nprobe)
   }
 
+  /** All `(query_id, vec_id, cos)` pairs with cosine ≥ `threshold` between
+    * `q` and an inverted file, restricted to each query's `nprobe` probed
+    * clusters — the threshold-flag counterpart of `probeIvf` (no top-k
+    * window, just the filter; each pair appears at most once because a
+    * posting has exactly one cid). Shared by the streaming embedding
+    * guard's standing and same-batch legs.
+    */
+  private def thresholdMatches(
+      inverted: DataFrame, cents: Array[Array[Double]],
+      q: DataFrame, threshold: Double, nprobe: Int): DataFrame =
+    ivfProbeList(cents, q, nprobe).join(inverted, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("nqv"), col("nv")).as("cos"))
+      .filter(col("cos") >= threshold)
+
+  /** Threshold matches of `q` against an IN-MEMORY corpus `c` (assignment
+    * is the stateless literal-centroid projection). Same approximate
+    * contract as every IVF probe: only pairs landing in a shared probed
+    * cluster are seen — `nprobe = K` makes it exhaustive.
+    */
+  private[graft] def cosineThresholdMatches(
+      c: DataFrame, cents: Array[Array[Double]], q: DataFrame,
+      threshold: Double, nprobe: Int): DataFrame = {
+    val inverted = normalized(c, "v", "nv")
+      .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
+    thresholdMatches(inverted, cents, q, threshold, nprobe)
+  }
+
+  /** Threshold matches of `q` against a PERSISTED index's generations
+    * STRICTLY BEFORE `beforeBatch` (the base counts as its fold watermark,
+    * so a base built BY batch N is excluded when `beforeBatch = N` — the
+    * property that makes a crash-replayed guard batch see exactly the
+    * standing corpus its first attempt saw). `None` when no generation
+    * qualifies. Scan shape matches `annTopKIvfIndexed`: both base and
+    * delta reads are cid-pruned to the probed clusters.
+    */
+  private[graft] def ivfThresholdMatches(
+      spark: SparkSession, indexDir: String, q: DataFrame, threshold: Double,
+      nprobe: Int, beforeBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseIn = foldedThroughOf(fs, indexDir) < beforeBatch
+    val deltas = unfoldedDeltaDirs(fs, indexDir).filter(_._1 < beforeBatch)
+    if (!baseIn && deltas.isEmpty) return None
+    val cents = loadIvfCentroids(spark, indexDir)
+    val probedCids = ivfProbeList(cents, q, nprobe)
+      .select(col("cid")).distinct().collect().map(_.getInt(0))
+    val base =
+      if (!baseIn) None
+      else Some(spark.read.parquet(s"$indexDir/postings")
+        .filter(col("cid").isin(probedCids.map(Int.box): _*))
+        .select(col("vec_id"), col("nv"), col("cid")))
+    val del =
+      if (deltas.isEmpty) None
+      else Some(spark.read.option("basePath", s"$indexDir/deltas")
+        .parquet(deltas.map(_._2): _*)
+        .filter(col("cid").isin(probedCids.map(Int.box): _*))
+        .select(col("vec_id"), col("nv"), col("cid")))
+    Some(thresholdMatches(
+      (base.toSeq ++ del.toSeq).reduce(_ unionByName _), cents, q, threshold, nprobe))
+  }
+
   /** q32: the IVF scale path (rows-only check; the recall gate vs the exact
     * baseline and the clustered-corpus pruning proof live in ScalaTest).
     */

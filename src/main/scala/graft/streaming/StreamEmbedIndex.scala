@@ -94,6 +94,51 @@ object StreamEmbedIndex {
     OwnerStamp.adoptIfAbsent(spark, fs, stamp, indexDir, checkpointDir)
   }
 
+  /** Per-batch near-dup GUARD leg (enabled by `dupFlagsDir`): flag each
+    * arriving vector whose cosine against an EARLIER vector reaches
+    * `dupThreshold` — earlier means any previous batch (the standing
+    * index, generations strictly before this batchId) or a smaller
+    * `vec_id` within the same batch (greedy earliest-arrival, the
+    * embedding-space mirror of `StreamNearDup`'s contract). One flag row
+    * per duplicate: `(vec_id, dup_of, cos, batch_id)` with `dup_of` the
+    * best match (highest cosine, ties to the lowest id). Crash ordering
+    * is flags-then-append with first-write-wins per-batch dirs, and the
+    * standing leg's `beforeBatch` filter keeps a crash-replayed batch
+    * from matching its own appended delta. Approximate by the same
+    * contract as every IVF probe: only pairs sharing a probed cluster
+    * are seen (`dupNprobe = nClusters` makes the guard exhaustive).
+    */
+  private[streaming] def processGuard(
+      spark: SparkSession,
+      c: org.apache.spark.sql.DataFrame,
+      batchId: Long,
+      indexDir: String,
+      flagsDir: String,
+      threshold: Double,
+      nprobe: Int): Unit = {
+    val out = new Path(s"$flagsDir/batch_id=$batchId")
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(out, "_SUCCESS"))) return // first write wins
+    val q = c.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cents = SimilarityOps.loadIvfCentroids(spark, indexDir)
+    val standing = SimilarityOps
+      .ivfThresholdMatches(spark, indexDir, q, threshold, nprobe, batchId)
+    val sameBatch = SimilarityOps
+      .cosineThresholdMatches(c, cents, q, threshold, nprobe)
+      .filter(col("vec_id") < col("query_id"))
+    val matches = standing.map(_.unionByName(sameBatch)).getOrElse(sameBatch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    matches
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // batch_id rides as the partition DIR name only — a duplicate data
+      // column would break partition discovery on the root flags read
+      .select(col("query_id").as("vec_id"), col("vec_id").as("dup_of"),
+        col("cos"))
+      .write.mode("overwrite").parquet(out.toString)
+  }
+
   def run(
       spark: SparkSession,
       sourceDir: String,
@@ -104,7 +149,10 @@ object StreamEmbedIndex {
       trainSampleMod: Int = 1,
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
-      schemaHint: Option[StructType] = None): StreamingQuery = {
+      schemaHint: Option[StructType] = None,
+      dupFlagsDir: Option[String] = None,
+      dupThreshold: Double = 0.9,
+      dupNprobe: Int = 12): StreamingQuery = {
     val idxFs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     checkOwnership(spark, idxFs, indexDir, checkpointDir)
@@ -141,11 +189,27 @@ object StreamEmbedIndex {
         if (!fs.exists(new Path(s"$indexDir/centroids"))) {
           // first non-empty batch trains and publishes the base, recorded
           // as folded-through-itself: a crash-replay of this batch finds
-          // the base and its appendIvfDelta call no-ops by watermark
-          if (!c.isEmpty)
+          // the base and its appendIvfDelta call no-ops by watermark.
+          // The guard runs AFTER the build here (it needs the quantizer),
+          // which is safe because the standing leg's beforeBatch filter
+          // excludes a base whose fold watermark equals this batchId —
+          // the training batch only ever self-checks within-batch
+          if (!c.isEmpty) {
             SimilarityOps.buildIvfIndex(c, indexDir, nClusters, lloydIters,
               trainSampleMod, foldedThrough = Some(batchId))
-        } else SimilarityOps.appendIvfDelta(c, indexDir, batchId)
+            dupFlagsDir.foreach(fd =>
+              processGuard(sp, c, batchId, indexDir, fd, dupThreshold, dupNprobe))
+          }
+        } else {
+          // flags BEFORE append: a batch must never match its own vectors
+          // through the standing index. A crash between the two replays
+          // into the committed-flags skip + the append's _SUCCESS no-op;
+          // a crash AFTER the append replays the guard against generations
+          // < batchId only, reproducing the first attempt's view exactly
+          dupFlagsDir.foreach(fd =>
+            processGuard(sp, c, batchId, indexDir, fd, dupThreshold, dupNprobe))
+          SimilarityOps.appendIvfDelta(c, indexDir, batchId)
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("1 second"))).start()

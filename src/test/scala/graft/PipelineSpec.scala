@@ -246,8 +246,15 @@ class PipelineSpec extends AnyFunSuite {
     // two embedding micro-batches (mtime-ordered)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val mid = emb.count() / 2
-    for ((pred, i) <- Seq((col("vec_id") <= mid, 0), (col("vec_id") > mid, 1))) {
-      emb.filter(pred).coalesce(1).write.parquet(s"$base/emb/c$i")
+    // batch 1 additionally carries an exact copy of a batch-0 vector under
+    // a fresh id — the embedding guard must flag it against the standing
+    // index when the lifecycle enables the guard
+    val dupRow = emb.filter(col("vec_id") === 1L)
+      .withColumn("vec_id", lit(999999L))
+    for ((part, i) <- Seq(
+        (emb.filter(col("vec_id") <= mid), 0),
+        (emb.filter(col("vec_id") > mid).unionByName(dupRow), 1))) {
+      part.coalesce(1).write.parquet(s"$base/emb/c$i")
       val d = new java.io.File(s"$base/emb/c$i")
       (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
     }
@@ -257,7 +264,13 @@ class PipelineSpec extends AnyFunSuite {
       reportDir = None,
       workDir = s"$base/work",
       embFeedDir = Some(s"$base/emb/c*"),
+      embed = Pipeline.EmbedConfig(dupThreshold = Some(0.95), dupNprobe = 16),
       embedFoldMinDeltas = Some(1)))
+    // the guard flagged the planted duplicate against the standing index
+    val flags = spark.read.parquet(s"$base/work/embed_dup_flags")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dup_of")).toMap
+    assert(flags.get(999999L).contains(1L),
+      s"planted duplicate not flagged by the lifecycle guard: $flags")
     // maintenance folded the delta generation into a retrained base
     val idx = s"$base/work/embed_index"
     assert(graft.operators.SimilarityOps.unfoldedDeltaCount(spark, idx) == 0)
