@@ -78,6 +78,7 @@ object SparkEntry {
     "q51_resize_bilinear" -> (MultimodalOps.q51ResizeBilinear(_, _)),
     "q52_audio_linear"  -> (MultimodalOps.q52AudioLinearResample(_, _)),
     "q53_rle_video"     -> (MultimodalOps.q53RleVideoFrames(_, _)),
+    "q54_length_profile" -> (TextOps.q54LengthProfile(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -687,5 +688,23 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(range(2 + doc_id % 4)) AS f
         |      FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // exact index-rule percentiles (value at row floor((n-1)*k/100) of the
+    // (n_tokens, doc_id) sort) — integers, unique picked row, hash-exact
+    "q54_length_profile" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |             len(string_split(text, ' '))::BIGINT AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT lang, n_tokens,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n_docs
+        |      FROM t)
+        |SELECT lang, max(n_docs)::BIGINT AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  sum(n_tokens)::BIGINT AS total_tokens,
+        |  max(CASE WHEN rn = (n_docs - 1) * 50 // 100 + 1 THEN n_tokens END) AS p50_tokens,
+        |  max(CASE WHEN rn = (n_docs - 1) * 90 // 100 + 1 THEN n_tokens END) AS p90_tokens,
+        |  max(CASE WHEN rn = (n_docs - 1) * 99 // 100 + 1 THEN n_tokens END) AS p99_tokens
+        |FROM r GROUP BY lang
+        |ORDER BY lang""".stripMargin,
   )
 }

@@ -218,4 +218,42 @@ object TextOps {
         col("lang_guess"))
       .orderBy(col("doc_id"))
   }
+
+  /** q54: per-language token-length PROFILE — the corpus-shape statistics
+    * a curation run reads before choosing its thresholds (how long are
+    * documents per language, where do the tails sit). Percentiles use the
+    * EXACT index rule (`value at row floor((n-1)*k/100)` of the
+    * (n_tokens, doc_id)-sorted order) rather than an interpolating or
+    * approximate aggregate, for two reasons: the answer stays an integer
+    * an oracle can hash-match, and a deterministic tie-break (doc_id)
+    * makes the picked row unique. Plan shape: one aggregation for the
+    * counts + one window rank per language partition — two shuffles on
+    * `lang` (a handful of groups), no sort of the whole corpus beyond the
+    * per-language window order, and `approx_percentile` remains the
+    * scale escape hatch when exactness is not required.
+    */
+  def q54LengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    def atPct(k: Int) =
+      max(when(col("rn") === floor((col("n_docs") - 1) * k / 100) + 1,
+        col("n_tokens")))
+    ranked.groupBy(col("lang"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("total_tokens"),
+        atPct(50).as("p50_tokens"),
+        atPct(90).as("p90_tokens"),
+        atPct(99).as("p99_tokens"))
+      .orderBy(col("lang"))
+  }
 }

@@ -48,4 +48,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.limit(5).collect().mkString("\n"))
     assert(df.count() == 500)
   }
+
+  test("q54 length profile matches a driver-side sort's index-rule percentiles") {
+    val sf = "/root/testdata/sf0.001"
+    val profile = TextOps.q54LengthProfile(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // independent reference: collect (lang, doc_id, n_tokens), sort, index
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((lang, docs) <- rows.groupBy(_._1)) {
+      val sorted = docs.sortBy(d => (d._3, d._2)).map(_._3)
+      val n = sorted.length
+      def pct(k: Int) = sorted(((n - 1).toLong * k / 100).toInt)
+      val got = profile(lang)
+      assert(got.getAs[Long]("n_docs") == n)
+      assert(got.getAs[Long]("min_tokens") == sorted.min)
+      assert(got.getAs[Long]("max_tokens") == sorted.max)
+      assert(got.getAs[Long]("total_tokens") == sorted.sum)
+      for ((k, fld) <- Seq(50 -> "p50_tokens", 90 -> "p90_tokens", 99 -> "p99_tokens"))
+        assert(got.getAs[Long](fld) == pct(k),
+          s"$lang $fld: got ${got.getAs[Long](fld)}, want ${pct(k)}")
+    }
+  }
 }
