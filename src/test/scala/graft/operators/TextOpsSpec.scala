@@ -70,5 +70,19 @@ class TextOpsSpec extends AnyFunSuite {
         assert(got.getAs[Long](fld) == pct(k),
           s"$lang $fld: got ${got.getAs[Long](fld)}, want ${pct(k)}")
     }
+    // plan shape pins the doc's claims: the scan reads only the three
+    // needed columns, and every hash exchange partitions on lang (the
+    // window rank + the aggregate) — no corpus-wide exchange on any
+    // other key ever appears
+    val plan = TextOps.q54LengthProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    for (c <- Seq("lang", "doc_id", "text"))
+      assert(read.contains(c), s"scan schema missing $c: $read")
+    assert(!read.contains("source"), s"scan reads unneeded columns: $read")
+    val hashParts = "hashpartitioning\\(([a-zA-Z_0-9#]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashParts.nonEmpty && hashParts.forall(_.startsWith("lang")),
+      s"unexpected non-lang hash exchange: $hashParts")
   }
 }
