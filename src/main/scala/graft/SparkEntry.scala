@@ -79,6 +79,7 @@ object SparkEntry {
     "q52_audio_linear"  -> (MultimodalOps.q52AudioLinearResample(_, _)),
     "q53_rle_video"     -> (MultimodalOps.q53RleVideoFrames(_, _)),
     "q54_length_profile" -> (TextOps.q54LengthProfile(_, _)),
+    "q55_rollup"        -> (RelationalOps.q55Rollup(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -706,5 +707,19 @@ object SparkEntry {
         |  max(CASE WHEN rn = (n_docs - 1) * 99 // 100 + 1 THEN n_tokens END) AS p99_tokens
         |FROM r GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // ROLLUP in one pass; keys coalesced + per-key grouping flags (no
+    // NULLs, no grouping_id bit-order assumptions), q1's decimal-cast
+    // aggregation discipline
+    "q55_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  grouping(l_returnflag)::BIGINT AS g_rflag,
+        |  grouping(l_linestatus)::BIGINT AS g_lstatus,
+        |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rflag, g_lstatus, rflag, lstatus""".stripMargin,
   )
 }

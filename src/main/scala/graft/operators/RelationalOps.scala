@@ -40,6 +40,34 @@ object RelationalOps {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q55: ROLLUP over the q1 aggregate — subtotals per returnflag and a
+    * grand total in ONE pass (Spark expands the grouping sets inside a
+    * single Expand + aggregate, so the three granularities cost one
+    * shuffle, not three queries). Group keys are coalesced to 'ALL' and
+    * each key's grouping flag exposed as its own 0/1 column — NULL-free
+    * output and no reliance on any engine's `grouping_id` bit order, so
+    * the oracle compare is exact. The reference has no grouping-set
+    * capability at all (SURVEY §2.5); this is part of the OLAP surface a
+    * Spark engine owes its users anyway.
+    */
+  def q55Rollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_rflag"),
+        grouping(col("l_linestatus")).cast("long").as("g_lstatus"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("g_rflag"), col("g_lstatus"),
+        col("sum_qty"), col("sum_base_price"), col("count_order"))
+      .orderBy(col("g_rflag"), col("g_lstatus"), col("rflag"), col("lstatus"))
+  }
+
   /** R2 filter + R3 projection/alias: predicate conjunctions pushed to the
     * parquet scan (mirrors channel='messages' AND type='list' filters,
     * CdcCheckpointDao.java:72).

@@ -43,4 +43,13 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  test("q55 rollup computes all granularities via one Expand + one aggregate exchange") {
+    val plan = SparkEntry.queries("q55_rollup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup did not plan an Expand:\n$plan")
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly one aggregate exchange, saw $hashExchanges:\n$plan")
+  }
 }
