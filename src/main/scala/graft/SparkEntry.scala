@@ -80,6 +80,7 @@ object SparkEntry {
     "q53_rle_video"     -> (MultimodalOps.q53RleVideoFrames(_, _)),
     "q54_length_profile" -> (TextOps.q54LengthProfile(_, _)),
     "q55_rollup"        -> (RelationalOps.q55Rollup(_, _)),
+    "q56_set_ops"       -> (RelationalOps.q56SetOps(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -721,5 +722,15 @@ object SparkEntry {
         |FROM lineitem WHERE l_quantity > 0
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_rflag, g_lstatus, rflag, lstatus""".stripMargin,
+    // set-operator semantics (dedup + membership) tagged into one result
+    "q56_set_ops" ->
+      """WITH cn AS (SELECT n_name FROM customer
+        |            JOIN nation ON c_nationkey = n_nationkey),
+        |sn AS (SELECT n_name FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT 'both' AS tag, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+        |ORDER BY tag, n_name""".stripMargin,
   )
 }

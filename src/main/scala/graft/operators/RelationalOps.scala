@@ -68,6 +68,29 @@ object RelationalOps {
       .orderBy(col("g_rflag"), col("g_lstatus"), col("rflag"), col("lstatus"))
   }
 
+  /** q56: SQL set operators — the nations reachable from the customer
+    * side INTERSECT / EXCEPT the supplier side, each result tagged. Spark
+    * plans both as aggregates over semi/anti joins (set semantics dedup +
+    * the membership test in one exchange per side); the tag column turns
+    * two set queries into one deterministic, hash-comparable result. Set
+    * operators are another §2.5 absence the engine owes its users.
+    */
+  def q56SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    val suppNations = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    custNations.intersect(suppNations).withColumn("tag", lit("both"))
+      .unionByName(custNations.except(suppNations)
+        .withColumn("tag", lit("cust_only")))
+      .select(col("tag"), col("n_name"))
+      .orderBy(col("tag"), col("n_name"))
+  }
+
   /** R2 filter + R3 projection/alias: predicate conjunctions pushed to the
     * parquet scan (mirrors channel='messages' AND type='list' filters,
     * CdcCheckpointDao.java:72).
