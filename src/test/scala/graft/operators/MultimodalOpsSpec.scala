@@ -664,7 +664,13 @@ class MultimodalOpsSpec extends AnyFunSuite {
         val src = (j.toLong * rate / outRate).toInt
         (0 until ch).forall(c => r.samples(j * ch + c) == a.samples(src * ch + c))
       }
-      sampleExact && lenRight && mapRight
+      // the linear kernel shares the length map, and on integer-ratio
+      // rates (every fraction 0) it must reduce to NN exactly
+      val lin = MultimodalOps.resampleWavLinear(a, outRate)
+      val linLen = lin.samples.length == r.samples.length
+      val linNN = rate % outRate != 0 ||
+        lin.samples.toSeq == r.samples.toSeq
+      sampleExact && lenRight && mapRight && linLen && linNN
     }
     check(wavProp)
     // decoders never throw on arbitrary garbage (the per-partition
