@@ -81,6 +81,8 @@ object SparkEntry {
     "q54_length_profile" -> (TextOps.q54LengthProfile(_, _)),
     "q55_rollup"        -> (RelationalOps.q55Rollup(_, _)),
     "q56_set_ops"       -> (RelationalOps.q56SetOps(_, _)),
+    "q57_contamination_score" -> (DedupOps.q57ContaminationScore(_, _)),
+    "q58_topk_per_group" -> (RelationalOps.q58TopKPerGroup(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -732,5 +734,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'cust_only' AS tag, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
         |ORDER BY tag, n_name""".stripMargin,
+    // q40's split and shingle construction; overlap fraction in integer
+    // basis points (// is DuckDB integer division, matching Spark's div)
+    // so band edges cannot float-diverge
+    "q57_contamination_score" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS s
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i FROM w)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |tot AS (SELECT doc_id, count(*) AS nt FROM sh WHERE doc_id % 20 <> 0 GROUP BY doc_id),
+        |hits AS (SELECT sh.doc_id, count(*) AS ns FROM sh JOIN ev USING (s)
+        |         WHERE doc_id % 20 <> 0 GROUP BY sh.doc_id),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    coalesce(h.ns, 0)::BIGINT AS n_shared,
+        |    coalesce(t.nt, 0)::BIGINT AS n_total,
+        |    CASE WHEN coalesce(t.nt, 0) > 0
+        |         THEN coalesce(h.ns, 0) * 10000 // t.nt ELSE 0 END::BIGINT AS overlap_bp
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |  LEFT JOIN tot t USING (doc_id)
+        |  LEFT JOIN hits h USING (doc_id))
+        |SELECT doc_id, n_shared, n_total, overlap_bp,
+        |  CASE WHEN overlap_bp = 0 THEN 'clean'
+        |       WHEN overlap_bp < 100 THEN 'trace'
+        |       WHEN overlap_bp < 1000 THEN 'partial'
+        |       ELSE 'contaminated' END AS band
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    // the deterministic (n_tokens DESC, doc_id DESC) total order makes the
+    // bounded-heap result identical to the window-rank reference
+    "q58_topk_per_group" ->
+      """WITH t AS (SELECT lang, source, doc_id,
+        |             len(string_split(text, ' '))::BIGINT AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT lang, source, doc_id, n_tokens,
+        |        row_number() OVER (PARTITION BY lang, source
+        |                           ORDER BY n_tokens DESC, doc_id DESC) AS rank
+        |      FROM t)
+        |SELECT lang, source, rank::BIGINT AS rank, n_tokens, doc_id
+        |FROM r WHERE rank <= 3
+        |ORDER BY lang, source, rank""".stripMargin,
   )
 }

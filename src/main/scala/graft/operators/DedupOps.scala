@@ -420,4 +420,64 @@ object DedupOps {
       docs.filter(col("doc_id") % 20 === 0))
       .orderBy(col("doc_id"))
   }
+
+  /** Contamination SEVERITY scoring: per training document, the fraction of
+    * its distinct word n-grams that also occur in the evaluation set,
+    * banded into audit tiers. `decontaminate` answers "is any eval text in
+    * here?"; real curation pipelines additionally need "how much?" — a doc
+    * sharing one 5-gram out of 10 000 is a likely coincidence or a common
+    * idiom, while 10%+ overlap is a copied passage. Emitting the fraction
+    * lets the caller pick the drop threshold per benchmark instead of
+    * hard-failing on a single shared shingle.
+    *
+    * The overlap is reported in integer BASIS POINTS
+    * (`shared * 10000 div total`, integer division) so the value is exact
+    * and engine-independent — no float division to diverge at band
+    * boundaries. Bands: `clean` (0 bp), `trace` (<1%), `partial` (<10%),
+    * `contaminated` (≥10%).
+    *
+    * Scale shape (100 TB): identical to `decontaminate` — the eval shingle
+    * set is broadcast, the corpus side never shuffles its shingles, and the
+    * per-doc total is a PROJECTION (`size(shingles(text))` computed inline
+    * on the scan, no second explode/aggregate): one map-side semi-join plus
+    * one narrow count, then a doc_id-keyed join of two slim frames.
+    */
+  def contaminationScore(train: DataFrame, evalSet: DataFrame, n: Int = 5): DataFrame = {
+    val evalSh = evalSet.select(explode(shingles(col("text"), n)).as("s")).distinct()
+    val hits = train
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    train
+      .select(
+        col("doc_id"),
+        // shingles() is per-doc distinct, so size() IS the denominator of
+        // the distinct-shingle overlap fraction; coalesce covers null text
+        // (size(null) = null under ansi-style null propagation)
+        coalesce(size(shingles(col("text"), n)).cast("long"), lit(0L)).as("n_total"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn(
+        "overlap_bp",
+        when(col("n_total") > 0, expr("n_shared * 10000L div n_total"))
+          .otherwise(lit(0L)))
+      .withColumn(
+        "band",
+        when(col("overlap_bp") === 0, "clean")
+          .when(col("overlap_bp") < 100, "trace")
+          .when(col("overlap_bp") < 1000, "partial")
+          .otherwise("contaminated"))
+      .select("doc_id", "n_shared", "n_total", "overlap_bp", "band")
+  }
+
+  /** q57: contamination severity over the q40 split (every 20th document
+    * stands in for the benchmark set).
+    */
+  def q57ContaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationScore(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"))
+  }
 }

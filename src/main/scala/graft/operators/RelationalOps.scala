@@ -91,6 +91,37 @@ object RelationalOps {
       .orderBy(col("tag"), col("n_name"))
   }
 
+  /** q58: grouped top-k via the native bounded-memory aggregate
+    * (`functions.BoundedTopK`) — the 3 longest documents per (lang, source)
+    * by whitespace token count, ties broken by doc_id (the struct key makes
+    * the order total, so the result is deterministic and oracle-exact).
+    *
+    * This is the THIRD top-k shape in the engine, and the one that scales
+    * differently: q4/q8/q10 use `row_number() <= k` (WindowGroupLimit
+    * prunes per-partition, but the window still exchanges every surviving
+    * row and cannot map-side combine) and `collect_list`-style plans hold
+    * whole groups in memory. BoundedTopK is a true partial aggregate — the
+    * exchange carries at most k rows per (group × map task) no matter how
+    * skewed the group sizes are, which is the shape that survives a
+    * heavy-hitter lang at 100 TB. `posexplode` then turns the descending
+    * array back into ranked rows.
+    */
+  def q58TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val key = struct(
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      col("doc_id").as("doc_id"))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(graft.functions.BoundedTopK(key, 3).as("top"))
+      .select(col("lang"), col("source"), posexplode(col("top")))
+      .select(
+        col("lang"), col("source"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.n_tokens").as("n_tokens"),
+        col("col.doc_id").as("doc_id"))
+      .orderBy(col("lang"), col("source"), col("rank"))
+  }
+
   /** R2 filter + R3 projection/alias: predicate conjunctions pushed to the
     * parquet scan (mirrors channel='messages' AND type='list' filters,
     * CdcCheckpointDao.java:72).
