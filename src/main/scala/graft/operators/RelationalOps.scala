@@ -96,15 +96,15 @@ object RelationalOps {
     * by whitespace token count, ties broken by doc_id (the struct key makes
     * the order total, so the result is deterministic and oracle-exact).
     *
-    * This is the THIRD top-k shape in the engine, and the one that scales
-    * differently: q4/q8/q10 use `row_number() <= k` (WindowGroupLimit
-    * prunes per-partition, but the window still exchanges every surviving
-    * row and cannot map-side combine) and `collect_list`-style plans hold
-    * whole groups in memory. BoundedTopK is a true partial aggregate — the
-    * exchange carries at most k rows per (group × map task) no matter how
-    * skewed the group sizes are, which is the shape that survives a
-    * heavy-hitter lang at 100 TB. `posexplode` then turns the descending
-    * array back into ranked rows.
+    * This is the THIRD top-k shape in the engine: q4/q8/q10 use
+    * `row_number() <= k` (WindowGroupLimit-pruned — map-side-bounded on
+    * batch, see the honest comparison in [[graft.functions.BoundedTopK]])
+    * and `collect_list`-style plans hold whole groups in memory.
+    * BoundedTopK matches the window's exchange bound on batch while also
+    * working where the window can't: streaming standing top-k (one O(k)
+    * state row per group), multi-aggregate `agg(...)` passes, and direct
+    * array output. `posexplode` turns the descending array back into
+    * ranked rows here only so the oracle can compare row-by-row.
     */
   def q58TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val key = struct(
