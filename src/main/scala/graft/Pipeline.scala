@@ -57,7 +57,12 @@ object Pipeline {
       evalDir: String,
       minTokens: Int = 10,
       minDistinctPct: Int = 30,
-      shingleN: Int = 5)
+      shingleN: Int = 5,
+      /** Contamination tolerance in basis points of a doc's distinct
+        * shingles (q57's metric): docs with `overlap_bp` at or below this
+        * survive. 0 = q40's strict any-shared-shingle rule.
+        */
+      maxOverlapBp: Int = 0)
 
   /** Quantizer shape for the embeddings feed's standing IVF index. The
     * base is trained under these on the FIRST batch (and every fold
@@ -239,7 +244,8 @@ object Pipeline {
             s"${config.workDir}/neardup_index",
             evalSet = spark.read.parquet(cur.evalDir),
             minTokens = cur.minTokens, minDistinctPct = cur.minDistinctPct,
-            shingleN = cur.shingleN, threshold = g.threshold,
+            shingleN = cur.shingleN, maxOverlapBp = cur.maxOverlapBp,
+            threshold = g.threshold,
             minhashK = g.minhashK, bands = g.bands,
             rowsPerBand = g.rowsPerBand,
             maxFilesPerTrigger = config.docMaxFilesPerTrigger,
@@ -336,7 +342,9 @@ object Pipeline {
     * SPARK_GRAFT_SETS_BUCKETS. Full curation front door (quality →
     * decontam → guard) on the documents feed: SPARK_GRAFT_EVAL_DIR (the
     * held-out eval-set parquet; enables it), SPARK_GRAFT_CUR_MIN_TOKENS,
-    * SPARK_GRAFT_CUR_MIN_DISTINCT_PCT, SPARK_GRAFT_CUR_SHINGLE_N.
+    * SPARK_GRAFT_CUR_MIN_DISTINCT_PCT, SPARK_GRAFT_CUR_SHINGLE_N,
+    * SPARK_GRAFT_CUR_MAX_OVERLAP_BP (contamination tolerance in basis
+    * points, q57's metric; 0 = strict).
     * Embedding-index quantizer shape (fixed when the first batch trains):
     * SPARK_GRAFT_EMB_CLUSTERS, SPARK_GRAFT_EMB_LLOYD_ITERS,
     * SPARK_GRAFT_EMB_TRAIN_MOD. Backlog batching (files per micro-batch,
@@ -397,7 +405,9 @@ object Pipeline {
           minDistinctPct = sys.env.get("SPARK_GRAFT_CUR_MIN_DISTINCT_PCT")
             .map(_.toInt).getOrElse(c0.minDistinctPct),
           shingleN = sys.env.get("SPARK_GRAFT_CUR_SHINGLE_N")
-            .map(_.toInt).getOrElse(c0.shingleN))
+            .map(_.toInt).getOrElse(c0.shingleN),
+          maxOverlapBp = sys.env.get("SPARK_GRAFT_CUR_MAX_OVERLAP_BP")
+            .map(_.toInt).getOrElse(c0.maxOverlapBp))
       },
       docMaxFilesPerTrigger = sys.env.get("SPARK_GRAFT_DOC_MAX_FILES")
         .map(_.toInt).getOrElse(1),

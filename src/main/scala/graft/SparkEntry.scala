@@ -83,6 +83,7 @@ object SparkEntry {
     "q56_set_ops"       -> (RelationalOps.q56SetOps(_, _)),
     "q57_contamination_score" -> (DedupOps.q57ContaminationScore(_, _)),
     "q58_topk_per_group" -> (RelationalOps.q58TopKPerGroup(_, _)),
+    "q59_frequent_ngrams" -> (TextOps.q59FrequentNgrams(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -774,5 +775,19 @@ object SparkEntry {
         |SELECT lang, source, rank::BIGINT AS rank, n_tokens, doc_id
         |FROM r WHERE rank <= 3
         |ORDER BY lang, source, rank""".stripMargin,
+    // document frequency of 3-grams (per-doc distinct), top-3 per language
+    // under the (n DESC, s DESC) total order — ASCII corpus keeps the two
+    // engines' string orders identical
+    "q59_frequent_ngrams" ->
+      """WITH w AS (SELECT lang, doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT lang, doc_id,
+        |         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM (SELECT lang, doc_id, w, unnest(range(len(w) - 2)) AS i FROM w)),
+        |counts AS (SELECT lang, s, count(*) AS n FROM sh GROUP BY lang, s),
+        |r AS (SELECT lang, s, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, s DESC) AS rank
+        |      FROM counts)
+        |SELECT lang, rank::BIGINT AS rank, n, s FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
   )
 }

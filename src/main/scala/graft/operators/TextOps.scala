@@ -256,4 +256,45 @@ object TextOps {
         atPct(99).as("p99_tokens"))
       .orderBy(col("lang"))
   }
+
+  /** q59: per-language most-DOCUMENT-frequent word 3-grams — the
+    * boilerplate detector (navigation chrome, license headers, template
+    * phrases recur across documents; their document frequency dwarfs
+    * organic n-grams, and curation pipelines strip or downweight them).
+    * Frequency is per-document-DISTINCT (a phrase repeated inside one doc
+    * counts once), which is what makes it document frequency.
+    *
+    * Deliberately expressed in PURE SQL through the `bounded_top_k`
+    * native aggregate that `GraftExtensions` registers — the SQL surface
+    * is driver-correctness-visible here, not just spec-covered. Ties at
+    * the rank boundary are broken by the shingle string inside the
+    * struct key (ASCII corpus: Spark's binary UTF8 order == DuckDB's).
+    *
+    * Scale shape (100 TB): explode → partial-aggregated count per
+    * (lang, shingle) — the one wide shuffle, keyed fine enough not to
+    * skew — then `bounded_top_k` reduces each language to 3 rows BEFORE
+    * the final O(langs) exchange. No window over the full count table, no
+    * sort of the n-gram space.
+    */
+  def q59FrequentNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.install(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_q59")
+    spark.sql(
+      """WITH docs AS (
+        |  SELECT lang, split(lower(text), ' ') AS w FROM documents_q59),
+        |sh AS (
+        |  SELECT lang, explode(CASE WHEN size(w) >= 3 THEN
+        |    array_distinct(transform(sequence(0, size(w) - 3),
+        |      i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2),
+        |                     element_at(w, i + 3))))
+        |    ELSE CAST(array() AS array<string>) END) AS s
+        |  FROM docs),
+        |counts AS (SELECT lang, s, count(*) AS n FROM sh GROUP BY lang, s),
+        |top AS (
+        |  SELECT lang, bounded_top_k(struct(n, s), 3) AS top
+        |  FROM counts GROUP BY lang)
+        |SELECT lang, CAST(pos + 1 AS BIGINT) AS rank, key.n AS n, key.s AS s
+        |FROM top LATERAL VIEW posexplode(top) t AS pos, key
+        |ORDER BY lang, rank""".stripMargin)
+  }
 }

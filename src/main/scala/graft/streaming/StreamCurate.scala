@@ -16,9 +16,14 @@ import org.apache.spark.sql.types.StructType
   * Per micro-batch:
   *   1. QUALITY (stateless): the same integer cross-product thresholds as
   *      `CurateOps.curate` — failing docs never touch state or storage.
-  *   2. DECONTAMINATION (stateless vs the static eval set): q40's
-  *      broadcast-shingle semi-join per batch (`StreamDecontaminate`'s
-  *      per-document-judgment argument makes batch-local == global).
+  *   2. DECONTAMINATION (stateless vs the static eval set): q57's
+  *      severity scoring per batch — the same broadcast-shingle semi-join
+  *      as q40 (`StreamDecontaminate`'s per-document-judgment argument
+  *      makes batch-local == global), but the audit sink records the
+  *      overlap FRACTION (basis points + band), and the drop rule is a
+  *      TUNABLE tolerance: `overlap_bp <= maxOverlapBp` survives. The
+  *      default 0 is exactly q40's any-shared-shingle rule; a pipeline
+  *      that accepts trace idiom overlap raises it per benchmark.
   *   3. NEAR-DUP guard (stateful): `StreamNearDup.processBatch` flags the
   *      survivors against everything PREVIOUSLY INGESTED (+ earlier rows
   *      of their own batch) and ingests them as a new index generation.
@@ -66,6 +71,7 @@ object StreamCurate {
       minTokens: Int = 10,
       minDistinctPct: Int = 30,
       shingleN: Int = 5,
+      maxOverlapBp: Int = 0,
       threshold: Double = 0.9,
       minhashK: Int = 48,
       bands: Int = 16,
@@ -111,15 +117,17 @@ object StreamCurate {
               rules.map { case (label, b) => when(b, lit(label)) }: _*))
           if (!rejects.isEmpty)
             CheckpointStream.appendDiffs(rejects, rejectsDir, batchId)
-          // 2. decontamination verdicts (all of them — the audit trail),
-          // survivors carried forward
-          val verdicts = DedupOps.decontaminate(quality, evalCached, shingleN)
+          // 2. decontamination severity verdicts (all of them — the audit
+          // trail carries the overlap fraction and band, q57's scoring),
+          // survivors = within the configured tolerance
+          val verdicts = DedupOps.contaminationScore(quality, evalCached, shingleN)
             .persist()
           try {
             if (!verdicts.isEmpty)
               CheckpointStream.appendDiffs(verdicts, decontamDir, batchId)
             val clean = quality
-              .join(verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+              .join(verdicts.filter(col("overlap_bp") <= maxOverlapBp)
+                .select("doc_id"), Seq("doc_id"))
               .persist()
             try {
               // 3. near-dup guard: flags committed + batch ingested

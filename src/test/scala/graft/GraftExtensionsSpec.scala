@@ -62,6 +62,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(messages.contains("integer literal"), messages)
   }
 
+  test("q59 (pure-SQL bounded_top_k) equals the Column-API computation; no Window in plan") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val q59 = graft.operators.TextOps.q59FrequentNgrams(spark, sf)
+    val sh = graft.Tables.documents(spark, sf)
+      .select(col("lang"),
+        explode(graft.operators.DedupOps.shingles(col("text"), 3)).as("s"))
+      .groupBy("lang", "s").agg(count(lit(1)).as("n"))
+    val api = sh.groupBy("lang")
+      .agg(BoundedTopK(struct(col("n"), col("s")), 3).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.n").as("n"), col("col.s").as("s"))
+      .orderBy("lang", "rank")
+    assert(q59.as[(String, Long, Long, String)].collect().toSeq ==
+      api.as[(String, Long, Long, String)].collect().toSeq)
+    val plan = q59.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("the spark.sql.extensions path registers the full surface via Spark's own hook") {
     // `spark.sql.extensions` is a STATIC conf — it cannot take effect on a
     // live SparkContext, so drive the exact hook BaseSessionStateBuilder

@@ -220,7 +220,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/work/curation_rejects")
       .select("doc_id").as[Long].collect().toSet == Set(1L))
     assert(spark.read.parquet(s"$base/work/curation_decontam")
-      .filter(!col("keep")).select("doc_id").as[Long].collect().toSet == Set(4L))
+      .filter(col("overlap_bp") > 0).select("doc_id").as[Long].collect().toSet == Set(4L))
     assert(spark.read.parquet(s"$base/work/neardup_flags")
       .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet == Set((3L, 2L)))
     // the manifest pinned the CONFIGURED geometry, not the defaults

@@ -86,11 +86,46 @@ class StreamCurateSpec extends AnyFunSuite {
       "rejects sink does not hold exactly the quality-dropped docs")
     val verdicts = spark.read.parquet(s"$base/decontam")
     assert(verdicts.count() == quality.count())
+    // the audit trail carries q57's severity, not just a bit
+    for (c <- Seq("n_shared", "n_total", "overlap_bp", "band"))
+      assert(verdicts.columns.contains(c), s"decontam audit sink lost severity column $c")
     val flaggedIds = spark.read.parquet(s"$base/flags")
       .select("doc_id").as[Long].collect().toSet
     assert(droppedByDup.subsetOf(flaggedIds))
     // and the standing index ingested exactly the clean docs
     assert(spark.read.parquet(s"$base/index/sets").select("doc_id").distinct().count()
       == clean.count())
+  }
+
+  test("a nonzero maxOverlapBp admits trace overlap and drops copied passages, auditable") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scurate_tol_").toString
+    val evalWords = "e1 e2 e3 e4 e5"
+    // doc 1: exactly one shared 5-gram out of 100 distinct shingles →
+    // 100 bp ('partial'); dropped under the strict default, admitted at
+    // tolerance 100. doc 2: 1 shared of 6 shingles → 1666 bp
+    // ('contaminated') — dropped at either setting
+    val trace = s"$evalWords " + (1 to 99).map(i => s"w$i").mkString(" ")
+    val copied = s"$evalWords x1 x2 x3 x4 x5"
+    Seq((1L, trace, "en", "s", 0L), (2L, copied, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$base/feed/chunk=0")
+    val eval = Seq((100L, evalWords)).toDF("doc_id", "text")
+
+    val q = StreamCurate.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/curated", s"$base/flags", s"$base/decontam", s"$base/rejects",
+      s"$base/index", eval, maxOverlapBp = 100)
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+
+    val curated = spark.read.parquet(s"$base/curated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated == Set(1L),
+      s"tolerance 100 bp should admit the trace doc and drop the copy: $curated")
+    val verdicts = spark.read.parquet(s"$base/decontam")
+      .select("doc_id", "overlap_bp", "band").as[(Long, Long, String)]
+      .collect().map { case (id, bp, b) => id -> ((bp, b)) }.toMap
+    assert(verdicts(1L) == ((100L, "partial")) && verdicts(2L) == ((1666L, "contaminated")),
+      s"severity audit diverged: $verdicts")
   }
 }
