@@ -84,6 +84,7 @@ object SparkEntry {
     "q57_contamination_score" -> (DedupOps.q57ContaminationScore(_, _)),
     "q58_topk_per_group" -> (RelationalOps.q58TopKPerGroup(_, _)),
     "q59_frequent_ngrams" -> (TextOps.q59FrequentNgrams(_, _)),
+    "q60_uniform_group_sample" -> (SampleOps.q60UniformGroupSample(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -789,5 +790,18 @@ object SparkEntry {
         |      FROM counts)
         |SELECT lang, rank::BIGINT AS rank, n, s FROM r WHERE rank <= 3
         |ORDER BY lang, rank""".stripMargin,
+    // q41's overflow-safe multiply-mod key (salt 7), largest-20-keys per
+    // group; ties impossible to matter (key collisions break by doc_id in
+    // both engines)
+    "q60_uniform_group_sample" ->
+      """WITH keyed AS (SELECT lang, source, doc_id,
+        |    ((doc_id % 1000000007 + 7) % 1000000007) * 2654435761 % 999999937 AS skey
+        |  FROM documents),
+        |r AS (SELECT lang, source, doc_id,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY skey DESC, doc_id DESC) AS rn
+        |  FROM keyed)
+        |SELECT lang, source, doc_id FROM r WHERE rn <= 20
+        |ORDER BY lang, source, doc_id""".stripMargin,
   )
 }

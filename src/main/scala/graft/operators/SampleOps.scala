@@ -58,6 +58,45 @@ object SampleOps {
   def sampleKey(id: Column, salt: Long, mod: Long): Column =
     pmod(pmod(pmod(id, lit(FoldMod)) + lit(salt), lit(FoldMod)) * lit(MixA), lit(mod))
 
+  /** Key granularity for exact-k sampling: a large prime so key collisions
+    * (broken by id inside the struct, a negligible bias at ~1e9 buckets)
+    * are rare even in billion-row strata.
+    */
+  private val SampleKeyMod = 999999937L
+
+  /** Exact-k-per-group deterministic uniform subsample — "give me k
+    * documents per (lang, source)", the eval-slice / inspection-sample
+    * builder. Rate-based `stratifiedSample` (q41) keeps a FRACTION and its
+    * output size floats with the stratum; this keeps an exact count per
+    * group with bounded memory: rows are keyed by the same overflow-safe
+    * multiply-mod hash (so the pick is deterministic, replayable, and
+    * independent of row order/partitioning) and `BoundedTopK` retains the
+    * k largest keys per group — a partial aggregate, so each map task
+    * forwards at most k candidates per group and no full-group state or
+    * window sort ever exists. That is the classic distributed reservoir
+    * ("bottom-k by hash") made exchange-bounded; `salt` decorrelates
+    * repeated draws.
+    */
+  def uniformGroupSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: Long = 7L): DataFrame = {
+    val key = struct(
+      sampleKey(col(idCol), salt, SampleKeyMod).as("skey"),
+      col(idCol).as("id"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.BoundedTopK(key, k).as("picks"))
+      .select(groupCols.map(col) :+ explode(col("picks")).as("pick"): _*)
+      .select(groupCols.map(col) :+ col("pick.id").as(idCol): _*)
+  }
+
+  /** q60: 20 documents per (lang, source), exact and deterministic. */
+  def q60UniformGroupSample(spark: SparkSession, dir: String): DataFrame =
+    uniformGroupSample(Tables.documents(spark, dir), Seq("lang", "source"), "doc_id", 20)
+      .orderBy(col("lang"), col("source"), col("doc_id"))
+
   /** Per-stratum integer CASE built driver-side. Strata conditions are
     * disjoint equality tests, so fold order is irrelevant.
     */

@@ -127,4 +127,40 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(!p42.contains("hashpartitioning") && !p42.contains("Join"), p42)
     assert(p42.contains("rangepartitioning") && p42.contains("Generate"), p42)
   }
+
+  test("uniform group sample: exact k, deterministic, salt-decorrelated, scrambled") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val groupSizes = docs.groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> n }.toMap
+    val picked = SampleOps.uniformGroupSample(docs, Seq("lang", "source"), "doc_id", 5)
+      .as[(String, String, Long)].collect().toSeq
+    // exact k per group, all of a smaller group
+    val perGroup = picked.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).toSet).toMap
+    assert(perGroup.keySet == groupSizes.keySet)
+    for ((g, ids) <- perGroup)
+      assert(ids.size == math.min(5L, groupSizes(g)), s"group $g picked ${ids.size}")
+    // deterministic: a second run picks the identical set
+    val again = SampleOps.uniformGroupSample(docs, Seq("lang", "source"), "doc_id", 5)
+      .as[(String, String, Long)].collect().toSeq
+    assert(picked.toSet == again.toSet)
+    // a different salt draws a different sample
+    val other = SampleOps.uniformGroupSample(docs, Seq("lang", "source"), "doc_id", 5, salt = 99L)
+      .as[(String, String, Long)].collect().toSeq
+    assert(picked.toSet != other.toSet)
+    // the key scrambles: picks are neither the k lowest nor the k highest ids
+    val someGroup = groupSizes.maxBy(_._2)._1
+    assert(groupSizes(someGroup) > 10, s"largest group too small for the scramble check: $groupSizes")
+    val groupIds = docs.filter(col("lang") === someGroup._1 && col("source") === someGroup._2)
+      .select("doc_id").as[Long].collect().sorted
+    val got = perGroup(someGroup)
+    assert(got != groupIds.take(5).toSet && got != groupIds.takeRight(5).toSet,
+      s"sample of $someGroup degenerated to an id-extreme: $got")
+    // bounded-aggregate plan: no window sort of the corpus
+    val plan = SampleOps.q60UniformGroupSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
 }
