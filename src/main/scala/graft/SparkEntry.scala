@@ -85,6 +85,8 @@ object SparkEntry {
     "q58_topk_per_group" -> (RelationalOps.q58TopKPerGroup(_, _)),
     "q59_frequent_ngrams" -> (TextOps.q59FrequentNgrams(_, _)),
     "q60_uniform_group_sample" -> (SampleOps.q60UniformGroupSample(_, _)),
+    "q61_boilerplate_coverage" -> (TextOps.q61BoilerplateCoverage(_, _)),
+    "q62_quantized_topk" -> (SimilarityOps.q62QuantizedTopK(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -803,5 +805,48 @@ object SparkEntry {
         |  FROM keyed)
         |SELECT lang, source, doc_id FROM r WHERE rn <= 20
         |ORDER BY lang, source, doc_id""".stripMargin,
+    // coverage = distinct token positions under any corpus-frequent 3-gram
+    // (df >= 1% of docs, integer-threshold form); coverage_bp by integer
+    // division — every column an exact integer
+    "q61_boilerplate_coverage" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, len(w)::BIGINT AS n_tokens, w FROM docs),
+        |sh AS (SELECT doc_id, i AS pos, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM tok, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+        |freq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+        |         WHERE df * 10000 >= (SELECT count(*) FROM documents) * 100),
+        |cov AS (SELECT DISTINCT sh.doc_id, sh.pos + d AS cp
+        |        FROM sh JOIN freq USING (s), unnest(range(3)) AS u(d)),
+        |cc AS (SELECT doc_id, count(*)::BIGINT AS covered_tokens FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tokens,
+        |  coalesce(cc.covered_tokens, 0)::BIGINT AS covered_tokens,
+        |  (coalesce(cc.covered_tokens, 0) * 10000 // t.n_tokens)::BIGINT AS coverage_bp,
+        |  (CASE WHEN coalesce(cc.covered_tokens, 0) * 10000 // t.n_tokens >= 3000
+        |        THEN 1 ELSE 0 END)::INT AS flag_boilerplate
+        |FROM tok t LEFT JOIN cc USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // int8 symmetric quantization (q = round(v*127/max|v|)) replayed
+    // exactly; scores stay integer (qdot, qs2 < 2^53) so the double
+    // ranking key qdot/sqrt(qs2*qs2q) is bit-deterministic in both engines
+    "q62_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS qs FROM e),
+        |qz AS (SELECT vec_id,
+        |         list_transform(v, x -> CASE WHEN qs = 0 THEN 0
+        |                                     ELSE round(x * 127.0 / qs)::INT END) AS qv
+        |       FROM sc),
+        |ss AS (SELECT vec_id, qv,
+        |         list_dot_product(qv::DOUBLE[], qv::DOUBLE[])::BIGINT AS s2 FROM qz),
+        |q AS (SELECT vec_id AS query_id, qv AS qqv, s2 AS s2q FROM ss WHERE vec_id % 50 = 0),
+        |p AS (SELECT query_id, ss.vec_id AS vec_id,
+        |        list_dot_product(ss.qv::DOUBLE[], qqv::DOUBLE[])::BIGINT AS qdot,
+        |        s2, s2q
+        |      FROM ss JOIN q ON ss.vec_id <> query_id),
+        |rk AS (SELECT query_id, vec_id, qdot,
+        |         row_number() OVER (PARTITION BY query_id
+        |            ORDER BY qdot / sqrt((s2 * s2q)::DOUBLE) DESC, vec_id) AS rank
+        |       FROM p)
+        |SELECT query_id, rank::BIGINT AS rank, vec_id, qdot FROM rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -1048,4 +1048,82 @@ object SimilarityOps {
     */
   def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupLsh(corpus(spark, dir), 0.4, tables = Q28Tables)
+
+  /** Int8 scalar quantization of an embedding column — the standard
+    * index-compression step for billion-vector ANN (FAISS `SQ8`,
+    * ScaNN int8): per-vector symmetric scale `s = max|v_i|`, codes
+    * `q_i = round(v_i * 127 / s)` ∈ [-127, 127]. A 64-dim float32 vector
+    * (256 B + array overhead) becomes 64 bytes of codes + one float —
+    * ~4× smaller index pages, ~4× more vectors per executor page-cache
+    * byte, and integer dot products instead of FMA chains. The
+    * quantization arithmetic is EXACT-REPLAYABLE: codes are integers,
+    * and every downstream score keeps integer form (`qdot`, `qs2` =
+    * Σq², all < 2^53) so an oracle can replay the whole probe
+    * bit-for-bit — the engine's float-free-score discipline applied to
+    * compressed vectors.
+    *
+    * Adds `qscale` (double), `qv` (array<int> codes), `qs2` (long Σq²)
+    * to `df`. All-zero vectors quantize to all-zero codes (scale 0 guard).
+    */
+  def quantizeInt8(df: DataFrame, vCol: String): DataFrame = {
+    val scale = array_max(transform(col(vCol), x => abs(x)))
+    df.withColumn("qscale", scale)
+      .withColumn("qv",
+        when(col("qscale") === lit(0.0),
+          transform(col(vCol), _ => lit(0)))
+          .otherwise(transform(col(vCol),
+            x => round(x * lit(127.0) / col("qscale")).cast("int"))))
+      .withColumn("qs2",
+        aggregate(col("qv"), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long")))
+  }
+
+  /** Integer dot product of two int8-code arrays, accumulated in long —
+    * exact (|q| ≤ 127 ⇒ per-term ≤ 16129, 64 dims ⇒ |qdot| ≤ ~1.04e6).
+    */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Top-k by QUANTIZED cosine: rank candidates per query by
+    * `qdot / sqrt(qs2_c * qs2_q)` — numerator and radicand both exact
+    * longs, so the double division/sqrt is bit-deterministic and an
+    * oracle reproduces the exact ranking (ties broken by vec_id). The
+    * per-query top-k uses `BoundedTopK` (each map task forwards ≤ k
+    * candidates per query — no window sort of the scored pairs), with
+    * the integer `qdot` carried as payload for hash-strength.
+    *
+    * Scale shape (100 TB): same broadcast-the-queries discipline as the
+    * exact baseline (q23) but over 4×-smaller code arrays and integer
+    * multiplies; compose with the IVF index (`probeIvf`) to quantize
+    * within clusters for the full compressed-index shape.
+    */
+  def quantizedTopK(c: DataFrame, k: Int): DataFrame = {
+    val qc = quantizeInt8(c, "v").select(col("vec_id"), col("qv"), col("qs2"))
+    val q = qc.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qs2").as("qs2q"))
+    val scored = qc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qdot", quantizedDot(col("qv"), col("qqv")))
+      .select(col("query_id"),
+        struct(
+          (col("qdot").cast("double") /
+            sqrt((col("qs2") * col("qs2q")).cast("double"))).as("qcos"),
+          (-col("vec_id")).as("nv"),
+          col("vec_id"),
+          col("qdot")).as("key"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK(col("key"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "key")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("key.vec_id").as("vec_id"), col("key.qdot").as("qdot"))
+  }
+
+  /** q62: int8-quantized cosine top-10 over `embeddings`, every 50th
+    * vector as a query — the compressed-index probe, oracle-replayed
+    * end to end (quantization → integer scores → ranking).
+    */
+  def q62QuantizedTopK(spark: SparkSession, dir: String): DataFrame =
+    quantizedTopK(corpus(spark, dir), 10)
+      .orderBy(col("query_id"), col("rank"))
 }

@@ -297,4 +297,72 @@ object TextOps {
         |FROM top LATERAL VIEW posexplode(top) t AS pos, key
         |ORDER BY lang, rank""".stripMargin)
   }
+
+  /** Boilerplate COVERAGE — q59's detector turned into the per-document
+    * remediation metric (C4/CCNet-style): the fraction of each document's
+    * token positions covered by an occurrence of a corpus-frequent word
+    * 3-gram. Curation pipelines drop or downweight documents whose text is
+    * mostly template chrome; this computes that density exactly.
+    *
+    * "Frequent" is RELATIVE — a shingle qualifies when its document
+    * frequency reaches `minDfBp` basis points of the corpus
+    * (`df * 10000 >= n_docs * minDfBp`, pure integer arithmetic, no
+    * float threshold, no ceil) — so the operator's meaning is invariant
+    * under corpus growth, unlike an absolute `minDf` that saturates
+    * (at sf0.1 nearly every 3-gram of this small-vocabulary corpus has
+    * df >= 4; 1% of the corpus is still selective).
+    *
+    * Coverage counts distinct covered POSITIONS: overlapping frequent
+    * shingles at starts i and i+1 cover [i, i+3], 4 tokens, not 6. All
+    * outputs are integers (`coverage_bp` via integer DIV) — every column
+    * hash-matchable.
+    *
+    * Scale shape (100 TB): two explode scans (positioned shingles for df,
+    * again for cover marking — cheaper than persisting the exploded
+    * corpus), one (shingle, doc) distinct + count shuffle for df, and a
+    * BROADCAST of the frequent set back onto the positioned shingles —
+    * by construction the frequent set is the tiny df-tail (boilerplate
+    * phrases), bounded by 10000/minDfBp × the per-doc shingle count in
+    * the worst case and in practice a few thousand strings. The distinct
+    * covered-position count shuffles O(matched positions), keyed by
+    * (doc_id, position) — no skew, no window, no full-corpus sort.
+    */
+  def boilerplateCoverage(
+      docs: DataFrame,
+      minDfBp: Long = 100L,
+      flagBp: Long = 3000L): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    val toks = docs.select(col("doc_id"), w.as("w"))
+    val shingleStructs = when(size(col("w")) >= 3,
+      transform(sequence(lit(0), size(col("w")) - 3), i =>
+        struct(i.cast("int").as("pos"),
+          concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3)).as("s"))))
+      .otherwise(array().cast("array<struct<pos:int,s:string>>"))
+    val sh = toks.select(col("doc_id"), explode(shingleStructs).as("sh"))
+      .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.s").as("s"))
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    val freq = sh.select("s", "doc_id").distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(10000L) >= col("n_docs") * lit(minDfBp))
+      .select("s")
+    val covered = sh.join(broadcast(freq), "s")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 2)).as("cp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered_tokens"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+      .withColumn("coverage_bp", expr("covered_tokens * 10000 DIV n_tokens"))
+      .withColumn("flag_boilerplate",
+        (col("coverage_bp") >= lit(flagBp)).cast("int"))
+  }
+
+  /** q61: boilerplate coverage over `documents` — frequent = df ≥ 1% of
+    * the corpus, flag at ≥ 30% coverage.
+    */
+  def q61BoilerplateCoverage(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCoverage(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
 }

@@ -213,4 +213,55 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val nQueries = Tables.embeddings(spark, sf).filter(col("vec_id") % 50 === 0).count()
     assert(out.count() == nQueries * 10)
   }
+
+  private def vecs = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("int8 quantization: codes bounded, full-range scale hit, half-step reconstruction") {
+    val qc = SimilarityOps.quantizeInt8(vecs, "v")
+    val codeMax = qc.select(array_max(transform(col("qv"), x => abs(x))).as("m"))
+    // every code within the int8 symmetric range
+    assert(codeMax.agg(max(col("m"))).head.getInt(0) <= 127)
+    // the scale-defining element always quantizes to exactly +-127 —
+    // the full range is used on every vector (that's what per-vector
+    // symmetric scaling buys over a global scale)
+    assert(codeMax.agg(min(col("m"))).head.getInt(0) == 127)
+    // dequantized codes sit within half a quantization step of the input
+    val relErr = qc.select(
+      (aggregate(
+        zip_with(col("qv"), col("v"),
+          (q, x) => abs(q.cast("double") * col("qscale") / lit(127.0) - x)),
+        lit(0.0), (a, e) => greatest(a, e)) / col("qscale")).as("e"))
+      .agg(max(col("e"))).head.getDouble(0)
+    assert(relErr <= 0.5 / 127 + 1e-12, s"max relative reconstruction error $relErr")
+    // qs2 is the exact integer sum of squared codes
+    val qs2Bad = qc.select(
+      (col("qs2") - aggregate(col("qv"), lit(0L),
+        (a, x) => a + x.cast("long") * x.cast("long"))).as("d"))
+      .filter(col("d") =!= 0L).count()
+    assert(qs2Bad == 0L)
+  }
+
+  test("quantized top-k tracks the exact ranking (recall) and is deterministic") {
+    val exact = SimilarityOps.q23AnnTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = SimilarityOps.q62QuantizedTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    // int8 keeps ~2 decimal digits of each coordinate; on this corpus the
+    // top-10 under quantized cosine stays close to the float ranking —
+    // the compression/recall trade a real SQ8 index makes
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.85, s"quantized recall@10 = $recall")
+    val again = SimilarityOps.q62QuantizedTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(quant == again)
+  }
+
+  test("q62 plan: bounded top-k aggregate, no window sort of scored pairs") {
+    val plan = SimilarityOps.q62QuantizedTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
 }

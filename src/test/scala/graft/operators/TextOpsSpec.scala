@@ -85,4 +85,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hashParts.nonEmpty && hashParts.forall(_.startsWith("lang")),
       s"unexpected non-lang hash exchange: $hashParts")
   }
+
+  test("boilerplate coverage: overlap positions, per-doc-distinct df, relative threshold") {
+    import spark.implicits._
+    // 10 template copies (their 3 shingles reach df 10-11 of 13 docs),
+    // one partially-templated doc, one doc whose own shingle repeats
+    // 3x INSIDE it (df must still be 1 — document frequency), one
+    // too-short doc. minDfBp 5000 => frequent iff df >= ceil(13*0.5) = 7.
+    val docs = ((0 until 10).map(i => (i.toLong, "a b c d e")) ++ Seq(
+      (100L, "p q r a b c s t u"),
+      (200L, "m n o m n o m n o"),
+      (300L, "xy"))).toDF("doc_id", "text")
+    val got = TextOps.boilerplateCoverage(docs, minDfBp = 5000L, flagBp = 3000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // template docs: starts 0,1,2 cover positions 0..4 DISTINCT => 5 of 5,
+    // not 9 (overlaps collapse)
+    for (i <- 0 until 10)
+      assert(got(i.toLong) == ((5L, 5L, 10000L, 1)), s"doc $i: ${got(i.toLong)}")
+    // partial: only "a b c" (df 11) is frequent; at start 3 it covers
+    // positions 3,4,5 => 3 of 9 => 3333 bp, flagged at the 3000 bp bar
+    assert(got(100L) == ((9L, 3L, 3333L, 1)), got(100L).toString)
+    // in-doc repetition does not manufacture document frequency
+    assert(got(200L) == ((9L, 0L, 0L, 0)), got(200L).toString)
+    // < 3 tokens: no shingles, zero coverage, no division blowup
+    assert(got(300L) == ((1L, 0L, 0L, 0)), got(300L).toString)
+  }
+
+  test("q61 plan: frequent-set join broadcasts, no window, pruned scan") {
+    val plan = TextOps.q61BoilerplateCoverage(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"scan reads unneeded columns: $read")
+  }
 }
