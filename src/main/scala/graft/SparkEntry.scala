@@ -87,6 +87,7 @@ object SparkEntry {
     "q60_uniform_group_sample" -> (SampleOps.q60UniformGroupSample(_, _)),
     "q61_boilerplate_coverage" -> (TextOps.q61BoilerplateCoverage(_, _)),
     "q62_quantized_topk" -> (SimilarityOps.q62QuantizedTopK(_, _)),
+    "q63_decontaminate_bloom" -> (DedupOps.q63DecontaminateBloom(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -848,5 +849,21 @@ object SparkEntry {
         |       FROM p)
         |SELECT query_id, rank::BIGINT AS rank, vec_id, qdot FROM rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // the Bloom two-phase path answers EXACTLY q40's question — the prune
+    // is a pure accelerator, the confirm restores exactness — so the
+    // oracle is q40's SQL verbatim
+    "q63_decontaminate_bloom" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS s
+        |       FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i FROM w)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (SELECT sh.doc_id, count(*) AS ns FROM sh JOIN ev USING (s)
+        |         WHERE doc_id % 20 <> 0 GROUP BY sh.doc_id)
+        |SELECT d.doc_id, coalesce(h.ns, 0)::bigint AS n_shared,
+        |  coalesce(h.ns, 0) = 0 AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

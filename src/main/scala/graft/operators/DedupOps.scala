@@ -410,6 +410,84 @@ object DedupOps {
         (coalesce(col("n_shared"), lit(0L)) === 0).as("keep"))
   }
 
+  /** Two-phase Bloom decontamination — `decontaminate` for eval sets TOO
+    * BIG TO BROADCAST. q40's broadcast semi-join holds the full eval
+    * shingle set as a hash relation on every executor; at a few hundred
+    * bytes per shingle entry that caps out around tens of millions of
+    * shingles. This variant ships a Bloom filter instead (~`bitsPerItem`
+    * BITS per shingle — a 1e9-shingle eval suite is ~1.2 GB at 10
+    * bits/item, where the hash relation would be 50+ GB) and keeps the
+    * answer EXACT by construction:
+    *
+    *   phase 1 (prune): corpus shingles pass `might_contain(bloom,
+    *     xxhash64(s))` — a codegen'd scalar filter on the scan, no join,
+    *     no shuffle; false positives ≈ 2^(-bitsPerItem·ln2) survive.
+    *   phase 2 (confirm): ONLY the surviving candidates join the eval
+    *     set on the raw shingle string (SHUFFLE_HASH, deliberately not
+    *     broadcast — that is the point), eliminating Bloom false
+    *     positives AND xxhash64 collisions. The shuffle carries
+    *     O(candidates + eval), not O(corpus shingles + eval).
+    *
+    * Result rows are bit-identical to `decontaminate` (parity-tested and
+    * oracle-checked by q63 against q40's own SQL). Driver holds exactly
+    * one bloom blob (bounded: `est·bitsPerItem/8` bytes) — the same
+    * bounded-collect discipline as the IVF centroids.
+    *
+    * Built on Spark's own `BloomFilterAggregate`/`BloomFilterMightContain`
+    * (the runtime-filter machinery, reused as a first-class operator).
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 5,
+      bitsPerItem: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val evalSh = evalSet.select(explode(shingles(col("text"), n)).as("s")).distinct()
+    val est = math.max(evalSh.count(), 1L)
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("s"))), est * bitsPerItem)
+        .toAggregateExpression())
+    // one bounded driver blob; null when the eval set is empty
+    val blob = Option(evalSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf"))
+    val hits = blob match {
+      case None =>
+        // empty eval set: nothing can be contaminated
+        train.select(col("doc_id"), lit(0L).as("n_shared")).limit(0)
+      case Some(bytes) =>
+        val mightHit = ColumnBridge.column(
+          BloomFilterMightContain(
+            Literal.create(bytes, BinaryType),
+            ColumnBridge.expression(xxhash64(col("s")))))
+        train
+          .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+          .filter(mightHit)
+          .join(evalSh.hint("SHUFFLE_HASH"), Seq("s"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    }
+    train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) === 0).as("keep"))
+  }
+
+  /** q63: q40's decontamination through the Bloom two-phase path — same
+    * split, same exact answer (the oracle IS q40's SQL), different scale
+    * regime (non-broadcastable eval set).
+    */
+  def q63DecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateBloom(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** q40: decontaminate the corpus against a designated eval slice (every
     * 20th document stands in for the benchmark set).
     */

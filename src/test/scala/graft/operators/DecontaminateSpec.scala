@@ -58,4 +58,54 @@ class DecontaminateSpec extends AnyFunSuite {
       .select(explode(g(col("text"))).as("s"))
     assert(keptSh.join(evalSh, Seq("s")).count() == 0)
   }
+
+  test("bloom two-phase path is bit-identical to the broadcast path") {
+    val broadcastRows = DedupOps.q40Decontaminate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val bloomRows = DedupOps.q63DecontaminateBloom(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(broadcastRows == bloomRows)
+  }
+
+  test("bloom path plan: might_contain prune on the scan, shuffled (not broadcast) confirm join") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = DedupOps.decontaminateBloom(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    // the confirm join must be the shuffle shape (the eval set is
+    // by-assumption too big to broadcast); the only broadcast allowed is
+    // the final slim doc_id left-join
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(joinLines.contains("ShuffledHashJoin"), joinLines)
+    assert(!joinLines.contains("BroadcastHashJoin [s"), joinLines)
+  }
+
+  test("bloom prune is selective: candidates are a fraction of corpus shingles") {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val docs = graft.Tables.documents(spark, sf)
+    // an eval set DISJOINT from the corpus: every surviving shingle is a
+    // bloom false positive, so the survivor rate measures the FPR directly
+    val fake = spark.range(2000).selectExpr(
+      "concat('zz', id, ' yy', id, ' xx', id, ' ww', id, ' vv', id) AS s")
+    val blob = fake.agg(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("s"))), 2000L * 10L)
+        .toAggregateExpression()).as("bf")).head.getAs[Array[Byte]]("bf")
+    val corpusSh = docs
+      .select(explode(DedupOps.shingles(col("text"), 5)).as("s"))
+    val total = corpusSh.count()
+    val survivors = corpusSh.filter(ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal.create(blob, BinaryType),
+        ColumnBridge.expression(xxhash64(col("s")))))).count()
+    assert(total > 1000L)
+    // 10 bits/item ≈ 1% FPR; allow generous slack
+    assert(survivors.toDouble / total < 0.05,
+      s"bloom passed $survivors of $total disjoint shingles")
+  }
 }
