@@ -88,6 +88,7 @@ object SparkEntry {
     "q61_boilerplate_coverage" -> (TextOps.q61BoilerplateCoverage(_, _)),
     "q62_quantized_topk" -> (SimilarityOps.q62QuantizedTopK(_, _)),
     "q63_decontaminate_bloom" -> (DedupOps.q63DecontaminateBloom(_, _)),
+    "q64_vocab_coverage" -> (TextOps.q64VocabCoverage(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -864,6 +865,23 @@ object SparkEntry {
         |  coalesce(h.ns, 0) = 0 AS keep
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // vocab = top-16 tokens by corpus occurrence count, ties by token
+    // string (both engines); OOV rate in integer basis points
+    "q64_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |             FROM documents),
+        |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |voc AS (SELECT tok FROM (
+        |          SELECT tok, row_number() OVER (ORDER BY n DESC, tok DESC) AS r
+        |          FROM cnt) WHERE r <= 16),
+        |oov AS (SELECT doc_id, count(*) AS n_oov
+        |        FROM tok ANTI JOIN voc USING (tok) GROUP BY doc_id),
+        |d AS (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+        |      FROM documents)
+        |SELECT d.doc_id, d.n_tokens, coalesce(o.n_oov, 0)::BIGINT AS n_oov,
+        |  (coalesce(o.n_oov, 0) * 10000 // d.n_tokens)::BIGINT AS oov_bp
+        |FROM d LEFT JOIN oov o USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -365,4 +365,40 @@ object TextOps {
   def q61BoilerplateCoverage(spark: SparkSession, dir: String): DataFrame =
     boilerplateCoverage(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
+
+  /** Tokenizer vocabulary coverage — the "how much of this corpus does a
+    * V-entry vocab explain" metric that drives tokenizer sizing and
+    * corpus/tokenizer mismatch detection (a doc mostly out-of-vocabulary
+    * is foreign language, code, or garbage relative to the tokenizer).
+    * Learns the top-`vocabSize` tokens by corpus frequency (ties broken
+    * by the token string inside the `bounded_top_k` struct key — ASCII
+    * corpus, Spark UTF8 order == DuckDB's), then scores every document's
+    * OOV OCCURRENCE rate in integer basis points.
+    *
+    * Scale shape (100 TB): one (token) count shuffle — the classic
+    * word-count, partial-aggregated; the global top-V reduces through
+    * `bounded_top_k` (each map task forwards ≤ V rows — no sort of the
+    * token space); the learned vocab (V rows) broadcasts back for a
+    * LEFT-ANTI match per token occurrence; per-doc counts partial-
+    * aggregate on doc_id. No window anywhere.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    val tokens = docs.select(col("doc_id"), explode(w).as("tok"))
+    val vocab = tokens.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .agg(graft.functions.BoundedTopK(struct(col("n"), col("tok")), vocabSize).as("top"))
+      .select(explode(col("top")).as("k"))
+      .select(col("k.tok").as("tok"))
+    val oov = tokens.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    docs.select(col("doc_id"), size(w).cast("long").as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_bp", expr("n_oov * 10000 DIV n_tokens"))
+  }
+
+  /** q64: OOV rate against a learned 16-token vocabulary. */
+  def q64VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), 16)
+      .orderBy(col("doc_id"))
 }

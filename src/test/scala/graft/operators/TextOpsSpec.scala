@@ -113,6 +113,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(300L) == ((1L, 0L, 0L, 0)), got(300L).toString)
   }
 
+  test("vocab coverage: learned top-V, occurrence-counted OOV, no window in the plan") {
+    import spark.implicits._
+    // occurrence counts: a=7, b=6, c=3 => V=2 learns {a, b}
+    val docs = Seq(
+      (1L, "a a a b"),   // 0 OOV of 4
+      (2L, "a b c c"),   // 2 OOV of 4 => 5000 bp
+      (3L, "c b b a"),   // 1 OOV of 4 => 2500 bp
+      (4L, "b a b a")).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(docs, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((4L, 0L, 0L)))
+    assert(got(2L) == ((4L, 2L, 5000L)))
+    assert(got(3L) == ((4L, 1L, 2500L)))
+    assert(got(4L) == ((4L, 0L, 0L)))
+    val plan = TextOps.q64VocabCoverage(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q61 plan: frequent-set join broadcasts, no window, pruned scan") {
     val plan = TextOps.q61BoilerplateCoverage(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
