@@ -441,19 +441,45 @@ object DedupOps {
       evalSet: DataFrame,
       n: Int = 5,
       bitsPerItem: Long = 10L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val evalSh = evalShingles(evalSet, n)
+    decontaminateBloomPrimed(train, evalSh, buildShingleBloom(evalSh, bitsPerItem), n)
+  }
+
+  /** The distinct eval-shingle set — shared by the broadcast and Bloom
+    * decontamination paths and by streaming callers that persist it once
+    * for the life of a query.
+    */
+  def evalShingles(evalSet: DataFrame, n: Int = 5): DataFrame =
+    evalSet.select(explode(shingles(col("text"), n)).as("s")).distinct()
+
+  /** Build the eval-shingle Bloom blob ONCE (one bounded driver collect —
+    * `est·bitsPerItem/8` bytes; None on an empty eval set). Streaming
+    * callers build it at query start and prime every micro-batch with the
+    * same blob instead of re-aggregating the eval set per batch.
+    */
+  def buildShingleBloom(
+      evalSh: DataFrame,
+      bitsPerItem: Long = 10L): Option[Array[Byte]] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
-
-    val evalSh = evalSet.select(explode(shingles(col("text"), n)).as("s")).distinct()
     val est = math.max(evalSh.count(), 1L)
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col("s"))), est * bitsPerItem)
         .toAggregateExpression())
-    // one bounded driver blob; null when the eval set is empty
-    val blob = Option(evalSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf"))
+    Option(evalSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf"))
+  }
+
+  /** Phases 1+2 of `decontaminateBloom` against a pre-built blob. */
+  def decontaminateBloomPrimed(
+      train: DataFrame,
+      evalSh: DataFrame,
+      blob: Option[Array[Byte]],
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
     val hits = blob match {
       case None =>
         // empty eval set: nothing can be contaminated

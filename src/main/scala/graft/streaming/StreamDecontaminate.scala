@@ -45,8 +45,20 @@ object StreamDecontaminate {
       n: Int = 5,
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
-      schemaHint: Option[StructType] = None): StreamingQuery = {
+      schemaHint: Option[StructType] = None,
+      bloom: Boolean = false,
+      bloomBitsPerItem: Long = 10L): StreamingQuery = {
     val evalCached = evalSet.persist()
+    // Bloom mode (non-broadcastable eval sets): the blob is built ONCE at
+    // query start — one bounded driver collect for the life of the query —
+    // and every micro-batch primes the two-phase operator with it. The
+    // per-document verdicts are bit-identical to the broadcast mode
+    // (parity-tested); only the join strategy changes.
+    val primed: Option[(DataFrame, Option[Array[Byte]])] =
+      if (bloom) {
+        val evalSh = DedupOps.evalShingles(evalCached, n).persist()
+        Some((evalSh, DedupOps.buildShingleBloom(evalSh, bloomBitsPerItem)))
+      } else None
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(docsSchemaFor(spark, sourceDir)))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -58,7 +70,11 @@ object StreamDecontaminate {
         // persist: the isEmpty probe and the parquet write would otherwise
         // each run the full shingle-explode + broadcast join (same
         // discipline as CheckpointStream.run's foreachBatch)
-        val flagged = DedupOps.decontaminate(batch, evalCached, n).persist()
+        val flagged = (primed match {
+          case Some((evalSh, blob)) =>
+            DedupOps.decontaminateBloomPrimed(batch, evalSh, blob, n)
+          case None => DedupOps.decontaminate(batch, evalCached, n)
+        }).persist()
         try {
           if (!flagged.isEmpty)
             CheckpointStream.appendDiffs(flagged, sinkDir, batchId)

@@ -47,5 +47,17 @@ class StreamDecontaminateSpec extends AnyFunSuite {
     val dirs = new java.io.File(s"$base/sink").listFiles
       .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
     assert(dirs.size == 3, s"expected 3 batch dirs, got $dirs")
+
+    // Bloom mode over the same feed: the blob is built once at query
+    // start, every batch primes the two-phase operator — and the verdicts
+    // are bit-identical to the broadcast-mode run above
+    val qb = StreamDecontaminate.run(
+      spark, s"$base/feed/chunk=*", s"$base/ckpt_bloom", s"$base/sink_bloom",
+      evalSet, bloom = true)
+    qb.awaitTermination(120000L)
+    assert(!qb.isActive, "bloom stream did not drain with AvailableNow")
+    val bloomed = spark.read.parquet(s"$base/sink_bloom").select(cols.map(col): _*)
+    assert(bloomed.exceptAll(streamed).isEmpty && streamed.exceptAll(bloomed).isEmpty,
+      "bloom-mode streaming flags diverged from broadcast mode")
   }
 }
