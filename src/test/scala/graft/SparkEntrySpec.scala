@@ -18,6 +18,19 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The physical plan with exchanges/sorts inserted (post-preparation),
+    * unwrapped from the AQE shell so `collect` traverses real operator
+    * nodes. Plan-shape pins must count nodes here, not substrings of the
+    * serialized tree — an InMemoryTableScan left cached by another suite
+    * prints its own cached plan's text and poisons substring counts
+    * (round-10 order-dependent flake).
+    */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
 }
 
 /** Smoke-level checks of the driver contract: every declared query runs on
@@ -45,11 +58,19 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("q55 rollup computes all granularities via one Expand + one aggregate exchange") {
-    val plan = SparkEntry.queries("q55_rollup")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("Expand"), s"rollup did not plan an Expand:\n$plan")
-    val hashExchanges = "hashpartitioning".r.findAllIn(plan).size
+    val qe = SparkEntry.queries("q55_rollup")(spark, sf).queryExecution
+    assert(qe.executedPlan.toString.contains("Expand"),
+      s"rollup did not plan an Expand:\n${qe.executedPlan}")
+    // count real hash-shuffle nodes — a substring count over the
+    // serialized tree can pick up partitioning strings from cross-suite
+    // cached subtrees (InMemoryTableScan)
+    val hashExchanges = SparkTestSession.finalPlan(
+      SparkEntry.queries("q55_rollup")(spark, sf)).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.size
     assert(hashExchanges == 1,
-      s"expected exactly one aggregate exchange, saw $hashExchanges:\n$plan")
+      s"expected exactly one aggregate exchange, saw $hashExchanges:\n${qe.executedPlan}")
   }
 }

@@ -11,16 +11,22 @@ class SessionOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   test("q33 sessionize shares one shuffle+sort between lag and the running sum") {
-    val plan = SessionOps.q33Sessionize(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
+    val qe = SessionOps.q33Sessionize(spark, "/root/testdata/sf0.001").queryExecution
     // lag (default frame) and the running sum (rows-unbounded frame) have
     // different frames, so Catalyst plans two Window operators — but they
     // must ride ONE (user_id; ts_us, event_id) partition-sort (the other
     // Sort in the plan is the final output orderBy): a second window sort
-    // would mean the two window specs diverged
-    val windowSorts = "Sort \\[user_id[^\\]]*event_id".r.findAllIn(plan).length
+    // would mean the two window specs diverged. Count real SortExec nodes
+    // (not plan-string substrings, which cross-suite cached subtrees can
+    // pollute).
+    val windowSorts = graft.SparkTestSession.finalPlan(
+        SessionOps.q33Sessionize(spark, "/root/testdata/sf0.001")).collect {
+      case s: org.apache.spark.sql.execution.SortExec
+        if s.sortOrder.map(_.child.toString).exists(_.contains("user_id")) &&
+           s.sortOrder.map(_.child.toString).exists(_.contains("event_id")) => s
+    }.length
     assert(windowSorts == 1,
-      s"expected one (user_id; ts_us, event_id) window sort, found $windowSorts:\n$plan")
+      s"expected one (user_id; ts_us, event_id) window sort, found $windowSorts:\n${qe.executedPlan}")
   }
 
   test("q35 union+window as-of == naive inequality-join argmax on real data") {
@@ -51,12 +57,14 @@ class SessionOpsSpec extends AnyFunSuite {
   }
 
   test("q35 as-of join plans with ZERO join operators (union + window, one shuffle)") {
-    val plan = SessionOps.q35AsofJoin(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
+    val qe = SessionOps.q35AsofJoin(spark, "/root/testdata/sf0.001").queryExecution
     // the operator's reason to exist: the naive inequality-join encoding
     // explodes to O(|purchases|*|clicks/user|) candidates; the union+
-    // running-last composition must contain no join of any kind
-    assert(!plan.contains("Join"), plan)
-    assert(plan.contains("Window"), plan)
+    // running-last composition must contain no join of any kind. Collect
+    // real join nodes — a substring check can trip on cached subtrees.
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, qe.sparkPlan.toString)
+    assert(qe.executedPlan.toString.contains("Window"), qe.executedPlan.toString)
   }
 }
