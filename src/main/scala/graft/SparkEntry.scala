@@ -89,6 +89,9 @@ object SparkEntry {
     "q62_quantized_topk" -> (SimilarityOps.q62QuantizedTopK(_, _)),
     "q63_decontaminate_bloom" -> (DedupOps.q63DecontaminateBloom(_, _)),
     "q64_vocab_coverage" -> (TextOps.q64VocabCoverage(_, _)),
+    "q65_minhash_replay" -> (DedupOps.q65MinhashReplay(_, _)),
+    "q66_simhash_replay" -> (DedupOps.q66SimhashReplay(_, _)),
+    "q67_winnow_replay" -> (TextOps.q67WinnowReplay(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -883,5 +886,55 @@ object SparkEntry {
         |  (coalesce(o.n_oov, 0) * 10000 // d.n_tokens)::BIGINT AS oov_bp
         |FROM d LEFT JOIN oov o USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // Portable-hash signature twins (q65–q67): md5 is a byte-exact
+    // published standard both engines implement over UTF-8, so the
+    // signature VALUES themselves are recomputed by the oracle — the
+    // replayable counterparts of the xxhash64-gated q20/q21/q22 surfaces.
+    "q65_minhash_replay" -> {
+      val mins = (0 until 12)
+        .map(i => s"min(md5('$i:' || s)) AS m$i").mkString(", ")
+      val digest = (0 until 12).map(i => s"m$i").mkString(" || ")
+      val bands = (0 until 4)
+        .map(j => s"md5('$j|' || m${3 * j} || m${3 * j + 1} || m${3 * j + 2}) AS band_$j")
+        .mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+         |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM w)),
+         |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+         |SELECT doc_id, md5($digest) AS sig_digest, $bands
+         |FROM sigs ORDER BY doc_id""".stripMargin
+    },
+    "q66_simhash_replay" -> {
+      val votes = (0 until 32).map { b =>
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)" +
+          s" >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(",\n         |  ")
+      val assemble = (0 until 32)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+         |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM w)),
+         |h AS (SELECT doc_id, md5(s) AS h FROM sh),
+         |agg AS (SELECT doc_id, count(*) AS n_features,
+         |  $votes
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+         |  CAST($assemble AS BIGINT) AS simhash32
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "q67_winnow_replay" ->
+      """WITH d AS (SELECT doc_id, text, greatest(length(text) - 5, 0) + 1 AS np
+        |           FROM documents),
+        |pos AS (SELECT doc_id, text, np, unnest(range(1, np + 1)) AS p FROM d),
+        |keys AS (SELECT doc_id, np, p, md5(substr(text, p, 5)) AS h FROM pos),
+        |wins AS (SELECT doc_id, np, p,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM keys),
+        |fp AS (SELECT DISTINCT doc_id, sel FROM wins
+        |       WHERE p <= greatest(np - 4, 0) + 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |  md5(string_agg(sel, '' ORDER BY sel)) AS fp_digest
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

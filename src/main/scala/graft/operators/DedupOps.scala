@@ -584,4 +584,83 @@ object DedupOps {
       docs.filter(col("doc_id") % 20 === 0))
       .orderBy(col("doc_id"))
   }
+
+  /** Number of portable-minhash permutations / LSH geometry for the
+    * replayable twin (q65): 4 bands × 3 rows, the same banding algebra as
+    * the production path at a size the oracle can afford.
+    */
+  private val ReplayMinhashK = 12
+  private val ReplayBands = 4
+  private val ReplayRowsPerBand = 3
+
+  /** q65: ENGINE-PORTABLE MinHash signatures + LSH band keys, value-checked
+    * by the SQL oracle — the replayable twin of the xxhash64 production
+    * path (q20/`bandedDocIds`), closing the "signatures are not
+    * oracle-visible" waiver for the MinHash surface.
+    *
+    * MinHash only needs a uniform total order on shingles per permutation,
+    * not any particular integer hash: permutation `i` orders shingles by
+    * `md5(i || ':' || shingle)` and the signature entry is the
+    * lexicographic MIN digest. md5 is a published, byte-exact standard both
+    * engines implement over the UTF-8 bytes, so every signature entry, the
+    * signature digest, and each banded bucket key (`md5(band || '|' ||
+    * rows)`) is recomputed bit-identically by DuckDB. Same algebra as the
+    * production path — k permutations, bands of contiguous rows, bucket
+    * key per band — different (slower, but portable) base hash.
+    *
+    * Scale shape (100 TB): explode distinct shingles, ONE hash-partial
+    * `min` aggregation per permutation keyed by doc_id (map-side combine
+    * bounds the shuffle to k digests per doc), then a per-row band
+    * projection. No window, no all-pairs anything.
+    */
+  def q65MinhashReplay(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // spread the md5 CPU off a single file
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val mins = (0 until ReplayMinhashK).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")).cast("binary"))).as(s"m$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until ReplayBands).map { j =>
+      val rows = (0 until ReplayRowsPerBand).map(r => col(s"m${j * ReplayRowsPerBand + r}"))
+      md5(concat(lit(s"$j|") +: rows: _*).cast("binary")).as(s"band_$j")
+    }
+    val digest =
+      md5(concat((0 until ReplayMinhashK).map(i => col(s"m$i")): _*).cast("binary"))
+        .as("sig_digest")
+    sigs.select(col("doc_id") +: digest +: bandCols: _*).orderBy(col("doc_id"))
+  }
+
+  /** q66: ENGINE-PORTABLE 32-bit SimHash, value-checked by the SQL oracle —
+    * the replayable twin of the xxhash64 `SimHash64` path (q21). Same
+    * algorithm (per-bit majority vote over feature hashes, tie → 0);
+    * portable base hash: each shingle's feature hash is its md5 digest,
+    * and bit `b` lives in hex digit `b/4` (1-based substr position), bit
+    * `b%4` within the digit's value — extracted with `instr`/`substr`/
+    * `shiftright` arithmetic both engines evaluate identically. The vote
+    * and the final bit assembly are exact int64 sums (< 2^32 + features),
+    * so DuckDB hash-matches the fingerprint itself, not a proxy.
+    *
+    * Scale shape: explode distinct shingles → ONE aggregation keyed by
+    * doc_id with 32 codegen'd conditional sums (map-side combine; shuffle
+    * rows are 33 longs per doc). No window, no driver state.
+    */
+  def q66SimhashReplay(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val votes = (0 until 32).map { b =>
+      val digitPos = b / 4 + 1
+      val bitInDigit = b % 4
+      sum(when(expr(
+        s"(shiftright(instr('0123456789abcdef', substr(h, $digitPos, 1)) - 1, $bitInDigit) & 1) = 1"),
+        lit(1L)).otherwise(lit(-1L))).as(s"v$b")
+    }
+    val aggs = count(lit(1)).cast("long").as("n_features") +: votes
+    val agg = h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val fingerprint = (0 until 32)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _).cast("long").as("simhash32")
+    agg.select(col("doc_id"), col("n_features"), fingerprint).orderBy(col("doc_id"))
+  }
 }

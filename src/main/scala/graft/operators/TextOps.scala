@@ -401,4 +401,48 @@ object TextOps {
   def q64VocabCoverage(spark: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables.documents(spark, dir), 16)
       .orderBy(col("doc_id"))
+
+  /** ENGINE-PORTABLE winnowing fingerprint (Schleimer/Wilkerson/Aiken):
+    * the distinct minima of each length-`w` window over per-position
+    * k-gram hashes — same selection algebra as `winnowFingerprint`, but
+    * the k-gram hash is the md5 hex digest (a published byte-exact
+    * standard) and the window minimum is the lexicographic min digest, so
+    * every selected fingerprint is a VALUE the SQL oracle recomputes
+    * bit-identically. Position/window edges mirror `rollingHashes`'
+    * clamps: `max(len-k,0)+1` positions (a short text hashes its whole
+    * tail), `max(positions-w,0)+1` windows.
+    *
+    * Entirely per-row (codegen'd HOFs, no shuffle, no state): the hash
+    * array is bound ONCE as a lambda variable before the window pass —
+    * referencing the hash expression inside the window lambda would
+    * recompute all md5s per window (the O(len²) lambda-recompute hazard
+    * `winnowFingerprintBuiltins` documents).
+    */
+  def md5WinnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val hashes = transform(
+      sequence(lit(1), greatest(length(text) - k, lit(0)) + 1),
+      p => md5(text.substr(p, lit(k)).cast("binary")))
+    element_at(
+      transform(array(hashes), hs =>
+        array_sort(array_distinct(transform(
+          sequence(lit(1), greatest(size(hs) - w, lit(0)) + 1),
+          s => array_min(slice(hs, s, lit(w))))))),
+      1)
+  }
+
+  /** q67: per-document portable winnowing fingerprint summary — the
+    * replayable twin of q22, closing the "fingerprints are not
+    * oracle-visible" waiver for the winnowing surface: the fingerprint
+    * COUNT and a digest over the sorted fingerprint values are both
+    * hash-matched by DuckDB (window min over md5 k-gram digests).
+    */
+  def q67WinnowReplay(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // distribute the per-row hash windows
+      .select(col("doc_id"), md5WinnowFingerprint(col("text")).as("fp"))
+      .select(
+        col("doc_id"),
+        size(col("fp")).cast("long").as("n_fp"),
+        md5(concat_ws("", col("fp")).cast("binary")).as("fp_digest"))
+      .orderBy(col("doc_id"))
 }
