@@ -306,23 +306,51 @@ object RelationalOps {
   }
 
   /** q34: grouped value-distribution stats — count/min/max plus EXACT
-    * interpolated quantiles (`median`, `percentile`): both engines use the
-    * same `h = (n-1)p` linear interpolation over the sorted group, so the
-    * doubles agree bit-for-bit (unlike approx_percentile, whose sketch
-    * would diverge). Exact quantiles sort each group's values — fine for
-    * bounded per-group cardinality; a 100 TB run with huge groups switches
-    * to approx_percentile and a tolerance-checked gate instead of a
-    * hash-equality oracle.
+    * interpolated quantiles computed from a `(event_type, value) → count`
+    * HISTOGRAM instead of Spark's `median`/`percentile` aggregates. The
+    * builtin Percentile is a TypedImperativeAggregate that buffers every
+    * group value in executor memory and sorts it — the same
+    * whole-group-in-one-task shape q54 had, an OOM/straggler at 100 TB.
+    * Here the corpus reduces to a partial-combined histogram first
+    * (bounded by the value DOMAIN, not the row count), a window cumulates
+    * counts over histogram rows only, and the two bracketing values per
+    * quantile are read off the cumulative counts.
+    *
+    * The interpolation replays `Percentile.getPercentile` VERBATIM —
+    * `pos = p·(n-1)`, `(higher-pos)·v[lower] + (pos-lower)·v[higher]`,
+    * lower==higher → v[lower] — the exact double arithmetic that already
+    * hash-matches DuckDB's `median`/`quantile_cont`, so the oracle row
+    * stays green bit-for-bit.
     */
   def q34ValueStats(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        min(col("value")).as("min_v"),
-        max(col("value")).as("max_v"),
-        median(col("value")).as("med_v"),
-        percentile(col("value"), lit(0.9)).as("p90_v"))
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    // value at 0-based sorted index i = smallest value with cum >= i+1
+    def vAt(index0: Column) = min(when(col("cum") >= index0 + 1, col("value")))
+    def bracket(tag: String, p: Double) = {
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      Seq(vAt(floor(pos)).as(s"lv_$tag"), vAt(ceil(pos)).as(s"hv_$tag"))
+    }
+    val agg = cum.groupBy(col("event_type")).agg(
+      max(col("n")).as("n"),
+      Seq(min(col("value")).as("min_v"), max(col("value")).as("max_v")) ++
+        bracket("med", 0.5) ++ bracket("p90", 0.9): _*)
+    def interp(tag: String, p: Double) = {
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      when(higher === lower, col(s"lv_$tag"))
+        .otherwise((higher.cast("double") - pos) * col(s"lv_$tag") +
+          (pos - lower.cast("double")) * col(s"hv_$tag"))
+    }
+    agg.select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+        interp("med", 0.5).as("med_v"), interp("p90", 0.9).as("p90_v"))
       .orderBy(col("event_type"))
   }
 }

@@ -222,35 +222,43 @@ object TextOps {
   /** q54: per-language token-length PROFILE — the corpus-shape statistics
     * a curation run reads before choosing its thresholds (how long are
     * documents per language, where do the tails sit). Percentiles use the
-    * EXACT index rule (`value at row floor((n-1)*k/100)` of the
-    * (n_tokens, doc_id)-sorted order) rather than an interpolating or
-    * approximate aggregate, for two reasons: the answer stays an integer
-    * an oracle can hash-match, and a deterministic tie-break (doc_id)
-    * makes the picked row unique. Plan shape: one aggregation for the
-    * counts + one window rank per language partition — two shuffles on
-    * `lang` (a handful of groups), no sort of the whole corpus beyond the
-    * per-language window order, and `approx_percentile` remains the
-    * scale escape hatch when exactness is not required.
+    * EXACT index rule (`value at 1-based rank (n-1)*k div 100 + 1` of the
+    * n_tokens-sorted order) so the answer stays an integer an oracle can
+    * hash-match.
+    *
+    * Scale shape (100 TB): the corpus is FIRST reduced to a `(lang,
+    * n_tokens) → count` HISTOGRAM (one partial-combined hash aggregation;
+    * histogram size is bounded by the token-count DOMAIN, not the corpus),
+    * and exact percentiles are read off the histogram's cumulative sum:
+    * the percentile value is the smallest n_tokens whose cumulative count
+    * reaches the target rank. The per-language window sort runs over
+    * HISTOGRAM rows only — the round-10 shape (`row_number` over every
+    * document of a language) sorted 90%+ of a skewed real corpus in one
+    * task; this never sorts the row stream at all (plan-asserted).
     */
   def q54LengthProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"),
+    val hist = Tables.documents(spark, dir)
+      .select(col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n_tokens"), col("doc_id"))
-    val ranked = toks
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("n_tokens"))))
+      .withColumn("n_docs", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    // smallest histogram bucket whose cumulative count reaches the exact
+    // target rank — identical value to "row at rank r of the sorted order"
+    // (ties share a bucket, and the tie-break can only move WHICH row, not
+    // which n_tokens value, sits at the rank)
     def atPct(k: Int) =
-      max(when(col("rn") === floor((col("n_docs") - 1) * k / 100) + 1,
-        col("n_tokens")))
-    ranked.groupBy(col("lang"))
+      min(when(col("cum") >= expr(s"(n_docs - 1) * $k div 100 + 1"), col("n_tokens")))
+    cum.groupBy(col("lang"))
       .agg(
         max(col("n_docs")).as("n_docs"),
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"),
-        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("cnt") * col("n_tokens")).as("total_tokens"),
         atPct(50).as("p50_tokens"),
         atPct(90).as("p90_tokens"),
         atPct(99).as("p99_tokens"))

@@ -70,20 +70,31 @@ class TextOpsSpec extends AnyFunSuite {
         assert(got.getAs[Long](fld) == pct(k),
           s"$lang $fld: got ${got.getAs[Long](fld)}, want ${pct(k)}")
     }
-    // plan shape pins the doc's claims: the scan reads only the three
-    // needed columns, and every hash exchange partitions on lang (the
-    // window rank + the aggregate) — no corpus-wide exchange on any
-    // other key ever appears
+    // plan shape pins the doc's claims: the scan reads only the two
+    // needed columns (the histogram form dropped doc_id), and the window
+    // cumulation runs over HISTOGRAM rows — every Sort/Window node must
+    // sit above the histogram aggregate, never on the raw document stream
+    // (the round-10 per-language full sort was the one declared
+    // scale-killer)
     val plan = TextOps.q54LengthProfile(spark, sf)
       .queryExecution.executedPlan.toString
     val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
-    for (c <- Seq("lang", "doc_id", "text"))
+    for (c <- Seq("lang", "text"))
       assert(read.contains(c), s"scan schema missing $c: $read")
-    assert(!read.contains("source"), s"scan reads unneeded columns: $read")
-    val hashParts = "hashpartitioning\\(([a-zA-Z_0-9#]+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(hashParts.nonEmpty && hashParts.forall(_.startsWith("lang")),
-      s"unexpected non-lang hash exchange: $hashParts")
+    for (c <- Seq("source", "doc_id"))
+      assert(!read.contains(c), s"scan reads unneeded column $c: $read")
+    val sortsAndWindows = graft.SparkTestSession
+      .finalPlan(TextOps.q54LengthProfile(spark, sf)).collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(sortsAndWindows.nonEmpty)
+    for (node <- sortsAndWindows) {
+      val aggsBelow = node.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      assert(aggsBelow.nonEmpty,
+        s"${node.nodeName} runs over the raw row stream (no aggregate below it):\n$node")
+    }
   }
 
   test("boilerplate coverage: overlap positions, per-doc-distinct df, relative threshold") {
