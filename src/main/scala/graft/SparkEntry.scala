@@ -92,6 +92,7 @@ object SparkEntry {
     "q65_minhash_replay" -> (DedupOps.q65MinhashReplay(_, _)),
     "q66_simhash_replay" -> (DedupOps.q66SimhashReplay(_, _)),
     "q67_winnow_replay" -> (TextOps.q67WinnowReplay(_, _)),
+    "q68_ivf_sq8" -> (SimilarityOps.q68IvfSq8(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -936,5 +937,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
         |  md5(string_agg(sel, '' ORDER BY sel)) AS fp_digest
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the IVF-SQ8 index probed exhaustively (nprobe = K) must equal the
+    // brute-force quantized ranking — the cid layout is pure storage at
+    // nprobe = K — so the oracle is q62's SQL verbatim (q63/q40 pattern)
+    "q68_ivf_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS qs FROM e),
+        |qz AS (SELECT vec_id,
+        |         list_transform(v, x -> CASE WHEN qs = 0 THEN 0
+        |                                     ELSE round(x * 127.0 / qs)::INT END) AS qv
+        |       FROM sc),
+        |ss AS (SELECT vec_id, qv,
+        |         list_dot_product(qv::DOUBLE[], qv::DOUBLE[])::BIGINT AS s2 FROM qz),
+        |q AS (SELECT vec_id AS query_id, qv AS qqv, s2 AS s2q FROM ss WHERE vec_id % 50 = 0),
+        |p AS (SELECT query_id, ss.vec_id AS vec_id,
+        |        list_dot_product(ss.qv::DOUBLE[], qqv::DOUBLE[])::BIGINT AS qdot,
+        |        s2, s2q
+        |      FROM ss JOIN q ON ss.vec_id <> query_id),
+        |rk AS (SELECT query_id, vec_id, qdot,
+        |         row_number() OVER (PARTITION BY query_id
+        |            ORDER BY qdot / sqrt((s2 * s2q)::DOUBLE) DESC, vec_id) AS rank
+        |       FROM p)
+        |SELECT query_id, rank::BIGINT AS rank, vec_id, qdot FROM rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -414,7 +414,8 @@ object SimilarityOps {
       lloydIters: Int = 2,
       trainSampleMod: Int = 1,
       ifAbsentOnly: Boolean = false,
-      foldedThrough: Option[Long] = None): Unit = {
+      foldedThrough: Option[Long] = None,
+      quantize: Boolean = false): Unit = {
     val spark = c.sparkSession
     import spark.implicits._
     val fin = new org.apache.hadoop.fs.Path(indexDir)
@@ -443,10 +444,22 @@ object SimilarityOps {
       indexDir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     // postings first: the centroid rows then carry n0, each cluster's size
     // at build time, read back from the written inverted file — the
-    // baseline `needsRetrain` measures growth against
-    normalized(c, "v", "nv")
-      .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
-      .write.partitionBy("cid").parquet(s"${tmp.toString}/postings")
+    // baseline `needsRetrain` measures growth against.
+    // `quantize` stores IVF-SQ8 postings (the FAISS IVF+scalar-quantizer
+    // shape): int8 codes + Σq² instead of the float vector — 4× smaller
+    // lists, integer-exact probe scores. Codes quantize the RAW vector
+    // (identical codes to quantizing the normalized one — the per-vector
+    // scale divides out), so they match `quantizeInt8` bit-for-bit; the
+    // coarse assignment still uses the normalized form.
+    val postingRows =
+      if (!quantize)
+        normalized(c, "v", "nv")
+          .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
+      else
+        normalized(quantizeInt8(c, "v"), "v", "nv")
+          .select(col("vec_id"), col("qv"), col("qscale"), col("qs2"),
+            bestCid(col("nv"), cents).as("cid"))
+    postingRows.write.partitionBy("cid").parquet(s"${tmp.toString}/postings")
     val sizes = spark.read.parquet(s"${tmp.toString}/postings")
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -646,10 +659,24 @@ object SimilarityOps {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/deltas/batch_id=$batchId")
     if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
     val cents = loadIvfCentroids(spark, indexDir)
-    normalized(batch, "v", "nv")
-      .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(dir.toString)
+    // deltas inherit the base's posting layout: a quantized (IVF-SQ8) base
+    // gets quantized delta rows, so probe-side unions never mix schemas
+    val rows =
+      if (isQuantizedIndex(spark, indexDir))
+        normalized(quantizeInt8(batch, "v"), "v", "nv")
+          .select(col("vec_id"), col("qv"), col("qscale"), col("qs2"),
+            bestCid(col("nv"), cents).as("cid"))
+      else
+        normalized(batch, "v", "nv")
+          .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
+    rows.write.mode("overwrite").partitionBy("cid").parquet(dir.toString)
   }
+
+  /** Whether a persisted index stores IVF-SQ8 quantized postings (detected
+    * from the posting schema — the layout is self-describing).
+    */
+  def isQuantizedIndex(spark: SparkSession, indexDir: String): Boolean =
+    spark.read.parquet(s"$indexDir/postings").schema.fieldNames.contains("qv")
 
   /** Fold the unfolded delta generations into a fresh base — the LSM
     * compaction of the standing index, which doubles as the RETRAIN: the
@@ -677,6 +704,14 @@ object SimilarityOps {
       .foreach(p => fs.delete(p, true))
     val fresh = unfoldedDeltaDirs(fs, indexDir)
     if (fresh.isEmpty) return false
+    // SQ8 codes are lossy: a fold (= retrain + re-invert) needs the float
+    // vectors, which a quantized index deliberately does not store. Its
+    // compaction path is a rebuild from the source corpus
+    // (buildIvfIndex(quantize = true)), exactly like the fingerprint-keyed
+    // cache does — failing loudly here beats folding garbage.
+    require(!isQuantizedIndex(spark, indexDir),
+      s"cannot fold a quantized (IVF-SQ8) index: $indexDir stores int8 codes, " +
+        "not vectors — rebuild from the source corpus instead")
     val k = spark.read.parquet(s"$indexDir/centroids")
       .select(col("k")).head.getInt(0)
     val baseVecs = spark.read.parquet(s"$indexDir/postings")
@@ -1102,7 +1137,18 @@ object SimilarityOps {
     val qc = quantizeInt8(c, "v").select(col("vec_id"), col("qv"), col("qs2"))
     val q = qc.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qs2").as("qs2q"))
-    val scored = qc.crossJoin(broadcast(q))
+    quantizedTopFrom(qc.crossJoin(broadcast(q)), k)
+  }
+
+  /** Shared scoring+ranking tail of every quantized probe: pairs carrying
+    * (query_id, vec_id, qv, qs2, qqv, qs2q) → integer `qdot`, exact-long
+    * radicand, `BoundedTopK` per query with the q62 tie-break struct.
+    * Factored so the brute-force path (q62) and the IVF-SQ8 indexed probe
+    * (q68) rank with BIT-IDENTICAL arithmetic — their parity is the
+    * oracle's lever.
+    */
+  private def quantizedTopFrom(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("qdot", quantizedDot(col("qv"), col("qqv")))
       .select(col("query_id"),
@@ -1117,6 +1163,87 @@ object SimilarityOps {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "key")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("key.vec_id").as("vec_id"), col("key.qdot").as("qdot"))
+  }
+
+  /** Top-k against a PERSISTED IVF-SQ8 index (`buildIvfIndex(quantize =
+    * true)`): the q62 integer-exact scoring run over cid-pruned quantized
+    * posting lists — the composed compressed-index shape (FAISS IVF+SQ8)
+    * q62's scaladoc names as the goal. The probe list ranks the FLOAT
+    * centroids per query (coarse quantization is unaffected by posting
+    * compression); the postings scan reads only the probed `cid=N/`
+    * directories (same static partition pruning as `annTopKIvfIndexed`,
+    * plan-asserted) and carries int8 codes — 4× less I/O than float
+    * postings; every score is an exact integer ratio, so with `nprobe = K`
+    * the result is BIT-IDENTICAL to the brute-force `quantizedTopK`
+    * (that equality is q68's oracle). Queries are quantized with the
+    * exact `quantizeInt8` arithmetic the index build used.
+    */
+  def annTopKIvfIndexedQuantized(
+      spark: SparkSession,
+      indexDir: String,
+      q: DataFrame,
+      k: Int,
+      nprobe: Int = 12): DataFrame = {
+    require(isQuantizedIndex(spark, indexDir),
+      s"$indexDir stores float postings — probe with annTopKIvfIndexed, " +
+        "or build with quantize = true")
+    val cents = loadIvfCentroids(spark, indexDir)
+    val probedCids = ivfProbeList(cents, q, nprobe)
+      .select(col("cid")).distinct().collect().map(_.getInt(0))
+    val base = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+      .select(col("vec_id"), col("qv"), col("qs2"), col("cid"))
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = unfoldedDeltaDirs(fs, indexDir)
+    val postings =
+      if (deltas.isEmpty) base
+      else base.unionByName(
+        spark.read.option("basePath", s"$indexDir/deltas")
+          .parquet(deltas.map(_._2): _*)
+          .filter(col("cid").isin(probedCids.map(Int.box): _*))
+          .select(col("vec_id"), col("qv"), col("qs2"), col("cid")))
+    // per-query probe rows (query_id, cid) joined to the query's own int8
+    // codes — both frames are O(queries·nprobe), broadcast like q62's
+    val probes = ivfProbeList(cents, q, nprobe).select(col("query_id"), col("cid"))
+    val codes = quantizeInt8(q.withColumnRenamed("qv", "v"), "v")
+      .select(col("query_id"), col("qv").as("qqv"), col("qs2").as("qs2q"))
+    val pairs = postings.join(
+      broadcast(probes.join(codes, Seq("query_id"))), Seq("cid"))
+    quantizedTopFrom(pairs, k)
+  }
+
+  /** q68: the IVF-SQ8 composed index made oracle-visible — build (or reuse
+    * by corpus fingerprint, q38's cache discipline) a QUANTIZED persisted
+    * index, probe it exhaustively (`nprobe = K`), and emit exactly q62's
+    * schema. Exhaustive probing makes the cid partition a pure data-layout
+    * choice: every posting participates, so the answer must equal the
+    * brute-force quantized ranking and the oracle is q62's SQL VERBATIM —
+    * a posting row lost/duplicated by the partitioned write, a code array
+    * mangled by the parquet round-trip, or a mis-assigned cid all shift a
+    * rank and fail the hash. The pruning value of nprobe < K is gated in
+    * ScalaTest (recall vs the exact float baseline), where approximation
+    * belongs.
+    */
+  def q68IvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_ivfq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val corpusFs = corpusPath.getFileSystem(hconf)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val idxFs = rootPath.getFileSystem(hconf)
+    val fp = corpusFingerprint(corpusFs, corpusPath)
+    val indexDir = s"$root/ivfq-$fp"
+    if (!idxFs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+      buildIvfIndex(c, indexDir, ifAbsentOnly = true, quantize = true)
+    if (idxFs.exists(rootPath))
+      idxFs.listStatus(rootPath).map(_.getPath)
+        .filter(p => p.getName.matches("ivfq-[0-9a-f]{16}") && p.getName != s"ivfq-$fp")
+        .foreach(p => idxFs.delete(p, true))
+    annTopKIvfIndexedQuantized(spark, indexDir, queriesOf(c), 10, nprobe = 16)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** q62: int8-quantized cosine top-10 over `embeddings`, every 50th
