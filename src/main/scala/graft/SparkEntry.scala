@@ -93,6 +93,7 @@ object SparkEntry {
     "q66_simhash_replay" -> (DedupOps.q66SimhashReplay(_, _)),
     "q67_winnow_replay" -> (TextOps.q67WinnowReplay(_, _)),
     "q68_ivf_sq8" -> (SimilarityOps.q68IvfSq8(_, _)),
+    "q69_png_decode" -> (MultimodalOps.q69PngDecode(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -960,5 +961,20 @@ object SparkEntry {
         |       FROM p)
         |SELECT query_id, rank::BIGINT AS rank, vec_id, qdot FROM rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // real PNG decode (deflate + unfilter): dims and exact per-channel
+    // pixel sums of the column-gradient fill, pure integer arithmetic
+    "q69_png_decode" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (8 + doc_id % 16)::BIGINT AS width,
+        |    (8 + (doc_id * 3) % 16)::BIGINT AS height
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT asset_id, width, height,
+        |  (height * list_sum(list_transform(range(width),
+        |     x -> (asset_id * 11 + 3 * x) % 256)))::BIGINT AS sum_b,
+        |  (height * list_sum(list_transform(range(width),
+        |     x -> (asset_id * 5 + 2 * x) % 256)))::BIGINT AS sum_g,
+        |  (height * list_sum(list_transform(range(width),
+        |     x -> (asset_id + x) % 256)))::BIGINT AS sum_r
+        |FROM d ORDER BY asset_id""".stripMargin,
   )
 }

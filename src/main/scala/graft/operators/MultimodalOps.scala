@@ -211,6 +211,210 @@ object MultimodalOps {
     Some(BmpImage(w, ah.toInt, bpp, out))
   }
 
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+  private def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+    b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+  }
+
+  /** PNG Paeth predictor (RFC 2083 §6.6) — shared by encoder and decoder. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG signature bytes (public spec). */
+  private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** PNG writer (public spec layout, zlib via JDK `Deflater` — zero new
+    * dependencies): 8-bit truecolor (color type 2), non-interlaced, one
+    * IHDR + one IDAT + IEND, CRC32 over chunk type+data. `rgb` is RGB
+    * row-major TOP-DOWN. Each scanline's filter is `row % 5`, so a single
+    * round-trip exercises ALL FIVE standard filters (None/Sub/Up/Average/
+    * Paeth) against the decoder — a filter-0-only writer would leave the
+    * decoder's filter arms untested.
+    */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"rgb must be $width*$height*3 bytes")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = rgb(y * stride + i) & 0xFF
+        val left = if (i >= 3) rgb(y * stride + i - 3) & 0xFF else 0
+        val up = if (y > 0) rgb((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xFF else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) / 2)
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    val idat = zOut.toByteArray
+    val out = new Array[Byte](8 + 25 + (12 + idat.length) + 12)
+    var p = 0
+    PngSig.foreach { s => out(p) = s.toByte; p += 1 }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      putBe32(out, p, data.length)
+      var i = 0
+      while (i < 4) { out(p + 4 + i) = typ(i).toByte; i += 1 }
+      System.arraycopy(data, 0, out, p + 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, p + 4, 4 + data.length)
+      putBe32(out, p + 8 + data.length, crc.getValue.toInt)
+      p += 12 + data.length
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // truecolor
+    // compression 0, filter 0, interlace 0 stay zero
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out
+  }
+
+  /** Constant-color PNG (RGB order — note `encodeBmpConst` takes BGR). */
+  def encodePngConst(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val px = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < px.length) {
+      px(i) = r.toByte; px(i + 1) = g.toByte; px(i + 2) = b.toByte
+      i += 3
+    }
+    encodePng(width, height, px)
+  }
+
+  /** Decompressed-size cap for PNG streams — rejects zip-bomb headers
+    * before allocating (64 MiB of filtered scanlines ≈ a 4k×4k truecolor
+    * frame, far above any test asset and bounded per executor thread).
+    */
+  private val PngMaxRaw = 64L << 20
+
+  /** REAL PNG codec (public spec, no dependencies beyond JDK zlib):
+    * signature + chunk walk (length/type/data/crc frames, bounds-checked),
+    * IHDR first; supports the 8-bit truecolor non-interlaced form —
+    * anything else (palette, alpha, 16-bit, Adam7) is `None`, the same
+    * error-as-value discipline as `decodeBmp`. IDAT chunks concatenate
+    * into one zlib stream (`Inflater`); scanlines unfilter through the
+    * five standard predictors; output converts RGB→BGR into the shared
+    * `BmpImage` shape so every downstream image operator (features,
+    * resize) works unchanged. CRCs are not verified — a bit-flipped
+    * chunk body must degrade, never throw (corruption fuzz pins this).
+    */
+  def decodePng(b: Array[Byte]): Option[BmpImage] = {
+    if (b == null || b.length < 8 + 25 + 12) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xFF) != PngSig(i)) return None; i += 1 }
+    // chunk walk: collect IHDR + IDAT, stop at IEND or truncation
+    var p = 8
+    var w = 0; var h = 0; var ok = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var first = true
+    while (p + 8 <= b.length) {
+      val len = be32(b, p)
+      if (len < 0 || p + 12L + len > b.length) return if (ok && idat.size > 0) inflatePng(w, h, idat.toByteArray) else None
+      val typ = new String(b, p + 4, 4, StandardCharsets.US_ASCII)
+      if (first) {
+        if (typ != "IHDR" || len != 13) return None
+        w = be32(b, p + 8); h = be32(b, p + 12)
+        val bitDepth = b(p + 16) & 0xFF
+        val colorType = b(p + 17) & 0xFF
+        val interlace = b(p + 20) & 0xFF
+        if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 || interlace != 0)
+          return None
+        // hostile dims: the filtered-scanline buffer must stay bounded
+        if ((3L * w + 1L) * h > PngMaxRaw || 3L * w * h > Int.MaxValue) return None
+        ok = true
+        first = false
+      } else typ match {
+        case "IDAT" => idat.write(b, p + 8, len)
+        case "IEND" => p = b.length // stop
+        case _ => () // ancillary chunk — skipped
+      }
+      p += 12 + len
+    }
+    if (!ok || idat.size == 0) return None
+    inflatePng(w, h, idat.toByteArray)
+  }
+
+  /** Inflate + unfilter the IDAT stream of an 8-bit truecolor PNG. */
+  private def inflatePng(w: Int, h: Int, z: Array[Byte]): Option[BmpImage] = {
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(z)
+      var off = 0
+      var stalled = false
+      while (off < raw.length && !inf.finished() && !stalled) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+        off += n
+      }
+      if (off < raw.length) return None // truncated/corrupt stream
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val bgr = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xFF
+      if (ft > 4) return None
+      var i = 0
+      while (i < stride) {
+        val x = raw(y * (stride + 1) + 1 + i) & 0xFF
+        val left = if (i >= 3) bgrRawAt(bgr, y, i - 3, stride) else 0
+        val up = if (y > 0) bgrRawAt(bgr, y - 1, i, stride) else 0
+        val ul = if (y > 0 && i >= 3) bgrRawAt(bgr, y - 1, i - 3, stride) else 0
+        val recon = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + ((left + up) / 2)
+          case _ => x + paeth(left, up, ul)
+        }
+        // store RGB recon at its BGR position: channel c of pixel px goes
+        // to index px*3 + (2 - c)
+        val px = i / 3; val c = i % 3
+        bgr(y * stride + px * 3 + (2 - c)) = recon.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(BmpImage(w, h, 24, bgr))
+  }
+
+  /** Reconstructed RGB byte at filtered-index `i` of row `y`, read back
+    * from the BGR output buffer (the decoder's only copy of prior rows).
+    */
+  private def bgrRawAt(bgr: Array[Byte], y: Int, i: Int, stride: Int): Int = {
+    val px = i / 3; val c = i % 3
+    bgr(y * stride + px * 3 + (2 - c)) & 0xFF
+  }
+
   /** General 16-bit PCM WAV writer — `encodeWavSilence`'s layout with
     * caller-provided channel-interleaved samples (the inverse of
     * `decodeWav` restricted to 16-bit: `decodeWav(encodeWavPcm16(r, ch,
@@ -689,8 +893,11 @@ object MultimodalOps {
     // belt-and-suspenders: the parsers return None on everything the
     // bounds checks anticipate, and the catch guarantees the never-throw
     // contract even for a shape they did not — one garbled asset must
-    // never kill a partition
+    // never kill a partition. PNG decodes into the same BmpImage shape,
+    // so it shares the image feature path (magic bytes are disjoint:
+    // 0x89'PNG' vs 'BM' vs 'RIFF').
     try decodeBmp(payload).map(imageFeatures)
+      .orElse(decodePng(payload).map(imageFeatures))
       .orElse(decodeWav(payload).map(audioFeatures))
       .orElse(decodeAvi(payload).map(videoFeatures))
       .getOrElse(byteHistogram(payload))
@@ -1176,6 +1383,66 @@ object MultimodalOps {
       when(!img, round(f(1)).cast("long")).as("wav_rate"),
       when(!img, round(f(2)).cast("long")).as("wav_channels"),
       when(!img, round(f(3)).cast("long")).as("wav_samples"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** The PNG slice of the decodable corpus: the `doc_id % 3 == 2` rows the
+    * BMP/WAV fixture (`decodableAssets`) leaves out, each a REAL truecolor
+    * PNG whose pixel content is a COLUMN GRADIENT in every channel —
+    * `(r,g,b)(x) = ((id + x), (id*5 + 2x), (id*11 + 3x)) mod 256` — so
+    * consecutive scanline bytes differ and the Sub/Average/Paeth filters
+    * (`encodePng` rotates all five by row) carry non-trivial deltas: a
+    * constant fill would let a broken predictor hide behind zero diffs.
+    * Channel SUMS stay pure integer arithmetic on `doc_id` for the oracle.
+    */
+  def decodablePngAssets(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 2)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              px(o) = ((id + x) % 256).toByte
+              px(o + 1) = ((id * 5 + 2L * x) % 256).toByte
+              px(o + 2) = ((id * 11 + 3L * x) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          DecodableAsset(id, "image", encodePng(w, h, px))
+        }
+      }
+  }
+
+  /** q69: the PNG decode surface made oracle-visible — every payload is a
+    * genuine deflate-compressed PNG (`decodablePngAssets`), features come
+    * out of `decodePng` through the zlib inflate + unfilter path (never
+    * the fallback — the gradient content makes a silent fallback shift
+    * every sum), and the exposed columns are dims plus exact per-channel
+    * pixel SUMS the oracle recomputes as integer arithmetic on `doc_id`
+    * (`round(meanFeature·255·w·h)` recovers the integer sum exactly:
+    * relative float error ~1e-7 on sums < 2^18).
+    */
+  def q69PngDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(spark, decodablePngAssets(spark, dir).toDF()).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    feats.select(
+      col("asset_id"),
+      round(f(1)).cast("long").as("width"),
+      round(f(2)).cast("long").as("height"),
+      round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_b"),
+      round(f(4) * 255 * f(1) * f(2)).cast("long").as("sum_g"),
+      round(f(5) * 255 * f(1) * f(2)).cast("long").as("sum_r"))
       .orderBy(col("asset_id"))
   }
 
