@@ -94,6 +94,7 @@ object SparkEntry {
     "q67_winnow_replay" -> (TextOps.q67WinnowReplay(_, _)),
     "q68_ivf_sq8" -> (SimilarityOps.q68IvfSq8(_, _)),
     "q69_png_decode" -> (MultimodalOps.q69PngDecode(_, _)),
+    "q70_strip_boilerplate" -> (TextOps.q70StripBoilerplate(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -976,5 +977,27 @@ object SparkEntry {
         |  (height * list_sum(list_transform(range(width),
         |     x -> (asset_id + x) % 256)))::BIGINT AS sum_r
         |FROM d ORDER BY asset_id""".stripMargin,
+    // q61's frequent-shingle algebra turned into removal: covered token
+    // positions drop, the remainder reassembles in order, and the redacted
+    // text is pinned by its sha256
+    "q70_strip_boilerplate" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, len(w)::BIGINT AS n_tokens, w FROM docs),
+        |sh AS (SELECT doc_id, i AS pos, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM tok, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+        |freq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+        |         WHERE df * 10000 >= (SELECT count(*) FROM documents) * 100),
+        |cov AS (SELECT DISTINCT sh.doc_id, sh.pos + d AS cp
+        |        FROM sh JOIN freq USING (s), unnest(range(3)) AS u(d)),
+        |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tokens,
+        |  coalesce(len(cl.cps), 0)::BIGINT AS removed_tokens,
+        |  sha256(array_to_string(
+        |    list_transform(
+        |      list_filter(range(len(t.w)),
+        |                  i -> cl.cps IS NULL OR NOT list_contains(cl.cps, i)),
+        |      i -> t.w[i + 1]), ' ')) AS kept_sha
+        |FROM tok t LEFT JOIN cl USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -374,6 +374,63 @@ object TextOps {
     boilerplateCoverage(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
 
+  /** Cross-document repeated-span REMOVAL — q61's metric turned into
+    * remediation (the known big win for training corpora: strip the
+    * navigation chrome / license headers / template phrases that recur
+    * across documents instead of merely scoring them). A token position is
+    * removed when any occurrence of a corpus-frequent word 3-gram
+    * (`df · 10000 ≥ n_docs · minDfBp`, q61's relative-threshold algebra)
+    * covers it; the document's remaining tokens are reassembled in order.
+    * Emits the redacted text's sha256 plus exact removal counts, so the
+    * whole strip — frequency learning, span matching, position set,
+    * reassembly — is one hash-matchable row per document.
+    *
+    * Scale shape (100 TB): identical joins to `boilerplateCoverage` — the
+    * frequent set (the tiny df-tail) BROADCASTS onto the positioned
+    * shingles (no shuffle of the corpus for matching), covered positions
+    * partial-aggregate into a per-doc sorted set (bounded by document
+    * length — a document fits in memory by definition), and the only
+    * row-stream shuffles are keyed by doc_id. Reassembly is a per-row
+    * projection (`array_except` over the position sequence). No window,
+    * no all-pairs anything (plan-pinned).
+    */
+  def stripBoilerplate(docs: DataFrame, minDfBp: Long = 100L): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    val toks = docs.select(col("doc_id"), w.as("w"))
+    val shingleStructs = when(size(col("w")) >= 3,
+      transform(sequence(lit(0), size(col("w")) - 3), i =>
+        struct(i.cast("int").as("pos"),
+          concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3)).as("s"))))
+      .otherwise(array().cast("array<struct<pos:int,s:string>>"))
+    val sh = toks.select(col("doc_id"), explode(shingleStructs).as("sh"))
+      .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.s").as("s"))
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    val freq = sh.select("s", "doc_id").distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(10000L) >= col("n_docs") * lit(minDfBp))
+      .select("s")
+    val cov = sh.join(broadcast(freq), "s")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 2)).as("cp"))
+      .groupBy("doc_id").agg(array_sort(collect_set(col("cp"))).as("cov"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("removed_tokens"),
+        sha2(concat_ws(" ",
+          transform(
+            array_except(sequence(lit(0), size(col("w")) - 1), col("cov")),
+            i => element_at(col("w"), i + 1))), 256).as("kept_sha"))
+  }
+
+  /** q70: repeated-span removal over `documents` at the q61 threshold. */
+  def q70StripBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    stripBoilerplate(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** Tokenizer vocabulary coverage — the "how much of this corpus does a
     * V-entry vocab explain" metric that drives tokenizer sizing and
     * corpus/tokenizer mismatch detection (a doc mostly out-of-vocabulary
