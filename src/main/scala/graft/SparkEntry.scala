@@ -95,6 +95,7 @@ object SparkEntry {
     "q68_ivf_sq8" -> (SimilarityOps.q68IvfSq8(_, _)),
     "q69_png_decode" -> (MultimodalOps.q69PngDecode(_, _)),
     "q70_strip_boilerplate" -> (TextOps.q70StripBoilerplate(_, _)),
+    "q71_embed_guard_parity" -> (graft.streaming.StreamEmbedIndex.q71GuardParity(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -999,5 +1000,24 @@ object SparkEntry {
         |      i -> t.w[i + 1]), ' ')) AS kept_sha
         |FROM tok t LEFT JOIN cl USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // the exhaustive (nprobe = K) guard is training-independent: flags are
+    // a pure function of arrival order, recomputed here pair-by-pair with
+    // the same normalize-then-dot sequential IEEE arithmetic
+    "q71_embed_guard_parity" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id % 5 = 0),
+        |n AS (SELECT vec_id, vec_id % 3 AS b,
+        |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |      FROM e),
+        |p AS (SELECT a.vec_id AS vec_id, c.vec_id AS dup_of,
+        |        list_dot_product(a.nv, c.nv) AS cos
+        |      FROM n a JOIN n c
+        |        ON (c.b < a.b OR (c.b = a.b AND c.vec_id < a.vec_id))),
+        |f AS (SELECT vec_id, dup_of, cos,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cos DESC, dup_of) AS rn
+        |      FROM p WHERE cos >= 0.25)
+        |SELECT vec_id, dup_of, cos FROM f WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
   )
 }

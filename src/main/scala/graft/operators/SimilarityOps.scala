@@ -842,7 +842,7 @@ object SimilarityOps {
     * mint new part-file names and lengths), and unlike content hashing it
     * costs one directory listing, not a corpus scan.
     */
-  private[operators] def corpusFingerprint(
+  private[graft] def corpusFingerprint(
       fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path): String = {
     var h = 0x9E3779B97F4A7C15L
     def mix(s: String): Unit = s.foreach(ch => h = DedupOps.splitmix(h ^ ch.toLong))

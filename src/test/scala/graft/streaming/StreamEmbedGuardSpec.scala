@@ -110,4 +110,40 @@ class StreamEmbedGuardSpec extends AnyFunSuite {
       .select(col("vec_id")).head.getLong(0) == 424242L,
       "a committed flags dir was recomputed")
   }
+
+  test("registered q71 == driver-side brute force over the replayed arrival order") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q71_embed_guard_parity")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent reference: every (vec_id % 5) vector against all earlier
+    // arrivals (batch = vec_id % 3; within batch by id), threshold 0.25
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def nrm(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val normed = vecs.map { case (id, v) => id -> nrm(v) }
+    var expected = Map.empty[Long, (Long, Double)]
+    for (a <- normed.keys) {
+      val earlier = normed.keys.filter(b =>
+        (b % 3 < a % 3) || (b % 3 == a % 3 && b < a))
+      val scored = earlier.map { b =>
+        (b, normed(a).zip(normed(b)).map { case (x, y) => x * y }.sum)
+      }.filter(_._2 >= 0.25)
+      if (scored.nonEmpty) {
+        val best = scored.minBy { case (b, c) => (-c, b) }
+        expected += a -> best
+      }
+    }
+    assert(rows.keySet == expected.keySet,
+      s"flag set diverged: extra=${(rows.keySet -- expected.keySet).take(3)} " +
+        s"missing=${(expected.keySet -- rows.keySet).take(3)}")
+    for ((id, (dupOf, cos)) <- expected) {
+      assert(rows(id)._1 == dupOf, s"dup_of mismatch for $id")
+      assert(math.abs(rows(id)._2 - cos) < 1e-12, s"cosine drifted for $id")
+    }
+    assert(rows.nonEmpty, "parity slice produced no flags")
+  }
 }
