@@ -85,11 +85,17 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       queries.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     val dead = scala.collection.mutable.Set.empty[String]
+    // one-time phase costs (the fingerprint-cached index builds) recorded
+    // by the operators via BenchPhases, attributed to the query whose
+    // sample paid them — so a reader can split q49's cold into build vs
+    // probe instead of guessing (round-10 watch item)
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
     for (rep <- 0 until reps; (name, fn) <- queries if !dead(name)) {
       // rep-1 cold honesty: drop every persisted frame a SIBLING query
       // left behind, so each query's first sample is its standalone cost
       // (operators re-persist what they need inside the timed run)
       if (rep == 0) spark.catalog.clearCache()
+      BenchPhases.drain() // leakage guard: start each sample clean
       val t0 = System.nanoTime()
       // record the sample ONLY on success: a fast failure (analysis error in
       // milliseconds) must never become the reported per-query min — a
@@ -98,6 +104,11 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         samples(name) += (System.nanoTime() - t0) / 1e9
+        val ph = BenchPhases.drain()
+        if (ph.nonEmpty) {
+          val prev = phases.getOrElse(name, Map.empty)
+          phases(name) = prev ++ ph.map { case (k, v) => k -> (prev.getOrElse(k, 0.0) + v) }
+        }
       } catch { case e: Throwable =>
         dead += name
         failures ::= s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}"
@@ -120,8 +131,12 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val errs = failures.reverse.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+    val phJson = phases.map { case (q, m) =>
+      "\"" + q + "\":" + m.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"samples":$ss,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"samples":$ss,"phases":$phJson,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
     println(line)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), line + "\n")

@@ -891,7 +891,9 @@ object SimilarityOps {
     val fp = corpusFingerprint(corpusFs, corpusPath)
     val indexDir = s"$root/ivf-$fp"
     if (!idxFs.exists(new org.apache.hadoop.fs.Path(indexDir)))
-      buildIvfIndex(c, indexDir, ifAbsentOnly = true)
+      graft.BenchPhases.timed("index_build") {
+        buildIvfIndex(c, indexDir, ifAbsentOnly = true)
+      }
     // sweep SUPERSEDED GENERATIONS only — the exact `ivf-<16 hex>` shape.
     // A looser prefix match would also catch a concurrent same-fingerprint
     // builder's in-flight `ivf-<fp>.tmp-<uuid>` dir and kill its write
@@ -961,7 +963,7 @@ object SimilarityOps {
     if (idxFs.exists(finPath) &&
         !idxFs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/folded")))
       idxFs.delete(finPath, true)
-    if (!idxFs.exists(finPath)) {
+    if (!idxFs.exists(finPath)) graft.BenchPhases.timed("index_build") {
       val tmp = indexDir + ".lsm-" + java.util.UUID.randomUUID().toString.take(8)
       buildIvfIndex(c.filter(col("vec_id") % 3 === 0), s"$tmp/unfolded",
         foldedThrough = Some(0L))
@@ -1237,7 +1239,9 @@ object SimilarityOps {
     val fp = corpusFingerprint(corpusFs, corpusPath)
     val indexDir = s"$root/ivfq-$fp"
     if (!idxFs.exists(new org.apache.hadoop.fs.Path(indexDir)))
-      buildIvfIndex(c, indexDir, ifAbsentOnly = true, quantize = true)
+      graft.BenchPhases.timed("index_build") {
+        buildIvfIndex(c, indexDir, ifAbsentOnly = true, quantize = true)
+      }
     if (idxFs.exists(rootPath))
       idxFs.listStatus(rootPath).map(_.getPath)
         .filter(p => p.getName.matches("ivfq-[0-9a-f]{16}") && p.getName != s"ivfq-$fp")
