@@ -96,6 +96,7 @@ object SparkEntry {
     "q69_png_decode" -> (MultimodalOps.q69PngDecode(_, _)),
     "q70_strip_boilerplate" -> (TextOps.q70StripBoilerplate(_, _)),
     "q71_embed_guard_parity" -> (graft.streaming.StreamEmbedIndex.q71GuardParity(_, _)),
+    "q72_srp_replay" -> (SimilarityOps.q72SrpReplay(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1019,5 +1020,28 @@ object SparkEntry {
         |      FROM p WHERE cos >= 0.25)
         |SELECT vec_id, dup_of, cos FROM f WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+    // portable SRP: int8 codes (sign-invariant quantization) against
+    // multiply-mod integer hyperplanes — every dot ≤ 127·5003·64, exact in
+    // DOUBLE arithmetic, so the packed sign-bit bucket keys hash-match
+    "q72_srp_replay" -> {
+      def bucket(t: Int): String = (0 until 8).map { b =>
+        val p = t * 8 + b
+        val plane = s"list_transform(range(64), d -> ((($p * 1000003 + d) % 1000000007)" +
+          s" * 2654435761) % 10007 - 5003)"
+        s"(CASE WHEN list_dot_product(qv::DOUBLE[], $plane::DOUBLE[]) > 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS qs FROM e),
+         |qz AS (SELECT vec_id,
+         |         list_transform(v, x -> CASE WHEN qs = 0 THEN 0
+         |                                     ELSE round(x * 127.0 / qs)::INT END) AS qv
+         |       FROM sc)
+         |SELECT vec_id,
+         |  CAST(${bucket(0)} AS BIGINT) AS bucket_0,
+         |  CAST(${bucket(1)} AS BIGINT) AS bucket_1,
+         |  CAST(${bucket(2)} AS BIGINT) AS bucket_2,
+         |  CAST(${bucket(3)} AS BIGINT) AS bucket_3
+         |FROM qz ORDER BY vec_id""".stripMargin
+    },
   )
 }

@@ -1257,4 +1257,46 @@ object SimilarityOps {
   def q62QuantizedTopK(spark: SparkSession, dir: String): DataFrame =
     quantizedTopK(corpus(spark, dir), 10)
       .orderBy(col("query_id"), col("rank"))
+
+  /** Deterministic integer hyperplane component for the PORTABLE SRP twin
+    * (q72): multiply-mod arithmetic in [-5003, 5003] — the q41/q60 fold,
+    * int64-safe in both engines (`(p·1000003 + d) < 2^30`, ×MixA < 2^62).
+    */
+  private def srpReplayPlane(p: Int): Seq[Long] =
+    (0 until DefaultDim).map { d =>
+      (((p.toLong * 1000003L + d) % 1000000007L) * 2654435761L) % 10007L - 5003L
+    }
+
+  /** q72: ENGINE-PORTABLE SRP bucket signatures, value-checked by the SQL
+    * oracle — the replayable twin of the `SrpBuckets` path (q24), closing
+    * the last signature-family waiver (q65/q66/q67 cover MinHash / SimHash
+    * / winnowing). Same algebra as `srpBuckets` — per table, the bucket
+    * key packs the SIGN BITS of the vector's dot products against that
+    * table's hyperplanes — but every quantity is exact-integer: vectors
+    * ride as int8 codes (`quantizeInt8`, the q62 trick; sign of the dot is
+    * scale-invariant, so quantized signs are the real SRP decision on the
+    * quantized vector), planes are multiply-mod integers, and each dot is
+    * |q|·|plane|·dim ≤ 127·5003·64 ≈ 4·10⁷ — exact in both engines'
+    * arithmetic (DuckDB replays it through DOUBLE dot products, exact to
+    * 2^53). 4 tables × 8 bits; ties (dot = 0) take bit 0 in both engines.
+    *
+    * Scale shape: one codegen projection per row — 32 integer dot
+    * products against literal plane arrays. No join, no shuffle, no
+    * driver state (the same per-row shape as the production `SrpBuckets`
+    * expression).
+    */
+  def q72SrpReplay(spark: SparkSession, dir: String): DataFrame = {
+    val qc = quantizeInt8(corpus(spark, dir), "v").select(col("vec_id"), col("qv"))
+    val buckets = (0 until 4).map { t =>
+      val bits = (0 until 8).map { b =>
+        val dot = aggregate(
+          zip_with(col("qv"), typedlit(srpReplayPlane(t * 8 + b)),
+            (x, y) => x.cast("long") * y),
+          lit(0L), (acc, v) => acc + v)
+        when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _).cast("long").as(s"bucket_$t")
+    }
+    qc.select(col("vec_id") +: buckets: _*).orderBy(col("vec_id"))
+  }
 }

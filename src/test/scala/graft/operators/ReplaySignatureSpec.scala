@@ -106,6 +106,41 @@ class ReplaySignatureSpec extends AnyFunSuite {
     assert(out(1).getSeq[String](1) == Seq(md5hex("hi")))
   }
 
+  test("q72 SRP buckets match a scalar recompute; scaled vectors share all buckets") {
+    val rows = SimilarityOps.q72SrpReplay(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def quant(v: Array[Double]): Array[Int] = {
+      val qs = v.map(math.abs).max
+      if (qs == 0) v.map(_ => 0)
+      else v.map(x => math.round(x * 127.0 / qs).toInt)
+    }
+    def plane(p: Int): Array[Long] = Array.tabulate(64) { d =>
+      (((p.toLong * 1000003L + d) % 1000000007L) * 2654435761L) % 10007L - 5003L
+    }
+    def buckets(v: Array[Double]): Seq[Long] = {
+      val q = quant(v)
+      (0 until 4).map { t =>
+        (0 until 8).map { b =>
+          val pl = plane(t * 8 + b)
+          val dot = q.zip(pl).map { case (x, y) => x.toLong * y }.sum
+          if (dot > 0) 1L << b else 0L
+        }.sum
+      }
+    }
+    for (r <- rows.take(50)) {
+      val want = buckets(vecs(r.getLong(0)))
+      val got = (1 to 4).map(r.getLong(_))
+      assert(got == want, s"vec ${r.getLong(0)}: $got vs $want")
+    }
+    // SRP locality: quantization-scale invariance means a scaled copy of a
+    // vector lands in the SAME bucket in every table
+    val v0 = vecs(rows.head.getLong(0))
+    assert(buckets(v0) == buckets(v0.map(_ * 3.7)))
+  }
+
   test("q67 digest equals md5 of the sorted concatenated fingerprints") {
     val r = TextOps.q67WinnowReplay(spark, sf).limit(3).collect()
     val fps = graft.Tables.documents(spark, sf)
