@@ -483,7 +483,15 @@ object TextOps {
     * recompute all md5s per window (the O(len²) lambda-recompute hazard
     * `winnowFingerprintBuiltins` documents).
     */
-  def md5WinnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+  def md5WinnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.Md5Winnow(text, k, w)
+
+  /** Pure-builtin reference form (slow path; parity-test oracle for the
+    * native `Md5Winnow` — the HOF machinery re-evaluates the substring→
+    * md5 subtree interpreted per element, ~5× the native fold's cost).
+    */
+  private[graft] def md5WinnowFingerprintBuiltins(
+      text: Column, k: Int = 5, w: Int = 4): Column = {
     val hashes = transform(
       sequence(lit(1), greatest(length(text) - k, lit(0)) + 1),
       p => md5(text.substr(p, lit(k)).cast("binary")))

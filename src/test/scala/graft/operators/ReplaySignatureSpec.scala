@@ -141,6 +141,22 @@ class ReplaySignatureSpec extends AnyFunSuite {
     assert(buckets(v0) == buckets(v0.map(_ * 3.7)))
   }
 
+  test("native Md5Winnow == builtin HOF composition on real data (incl. edge lengths)") {
+    import spark.implicits._
+    val real = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val edge = Seq((900001L, ""), (900002L, "ab"), (900003L, "exact"),
+      (900004L, "sixchr"), (900005L, "overlap overlap overlap"))
+      .toDF("doc_id", "text")
+    val docs = real.unionByName(edge)
+    val both = docs.select(
+      col("doc_id"),
+      TextOps.md5WinnowFingerprint(col("text")).as("native"),
+      TextOps.md5WinnowFingerprintBuiltins(col("text")).as("builtin"))
+    val diff = both.filter(col("native") =!= col("builtin"))
+    assert(diff.count() == 0,
+      s"native/builtin diverged: ${diff.limit(3).collect().mkString(", ")}")
+  }
+
   test("q67 digest equals md5 of the sorted concatenated fingerprints") {
     val r = TextOps.q67WinnowReplay(spark, sf).limit(3).collect()
     val fps = graft.Tables.documents(spark, sf)
