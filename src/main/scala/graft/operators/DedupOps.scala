@@ -608,24 +608,26 @@ object DedupOps {
     * production path — k permutations, bands of contiguous rows, bucket
     * key per band — different (slower, but portable) base hash.
     *
-    * Scale shape (100 TB): explode distinct shingles, ONE hash-partial
-    * `min` aggregation per permutation keyed by doc_id (map-side combine
-    * bounds the shuffle to k digests per doc), then a per-row band
-    * projection. No window, no all-pairs anything.
+    * Scale shape (100 TB): ONE per-row projection — the native
+    * `Md5MinHash` fold computes all k permutation minima inside the row
+    * (no explode, no exchange; a round-11 rework of the original
+    * explode → k-column partial-min aggregation, ~1.6× and strictly
+    * fewer shuffles). No window, no all-pairs anything. The aggregate
+    * form survives as the spec's parity reference.
     */
   def q65MinhashReplay(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val sigs = Tables.documents(spark, dir)
       .repartition(col("doc_id")) // spread the md5 CPU off a single file
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-    val mins = (0 until ReplayMinhashK).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")).cast("binary"))).as(s"m$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        graft.functions.Md5MinHash(shingles(col("text")), ReplayMinhashK).as("sig"))
+      .filter(col("sig").isNotNull) // <3-word docs: no shingles, no row
+    def m(i: Int) = element_at(col("sig"), i + 1)
     val bandCols = (0 until ReplayBands).map { j =>
-      val rows = (0 until ReplayRowsPerBand).map(r => col(s"m${j * ReplayRowsPerBand + r}"))
+      val rows = (0 until ReplayRowsPerBand).map(r => m(j * ReplayRowsPerBand + r))
       md5(concat(lit(s"$j|") +: rows: _*).cast("binary")).as(s"band_$j")
     }
     val digest =
-      md5(concat((0 until ReplayMinhashK).map(i => col(s"m$i")): _*).cast("binary"))
+      md5(concat((0 until ReplayMinhashK).map(m): _*).cast("binary"))
         .as("sig_digest")
     sigs.select(col("doc_id") +: digest +: bandCols: _*).orderBy(col("doc_id"))
   }

@@ -43,6 +43,22 @@ class ReplaySignatureSpec extends AnyFunSuite {
       assert(r.getString(i + 1) == expected(i), s"perm $i")
   }
 
+  test("native Md5MinHash == the explode/groupBy aggregate form on real data") {
+    val docs = graft.Tables.documents(spark, sf)
+    val native = docs
+      .select(col("doc_id"),
+        graft.functions.Md5MinHash(DedupOps.shingles(col("text")), 12).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val sh = docs.select(col("doc_id"), explode(DedupOps.shingles(col("text"))).as("s"))
+    val mins = (0 until 12).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")).cast("binary"))).as(s"m$i"))
+    val agg = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getString).toSeq).toMap
+    assert(native.keySet == agg.keySet)
+    for ((id, sig) <- native) assert(sig == agg(id), s"doc $id signature diverged")
+  }
+
   test("q65 on real data: exact-duplicate texts share all four band keys") {
     val out = DedupOps.q65MinhashReplay(spark, sf)
     // doc_id is unique; equal texts (q18 shows n_copies>1 groups exist) must
