@@ -642,27 +642,21 @@ object DedupOps {
     * and the final bit assembly are exact int64 sums (< 2^32 + features),
     * so DuckDB hash-matches the fingerprint itself, not a proxy.
     *
-    * Scale shape: explode distinct shingles → ONE aggregation keyed by
-    * doc_id with 32 codegen'd conditional sums (map-side combine; shuffle
-    * rows are 33 longs per doc). No window, no driver state.
+    * Scale shape: ONE per-row projection — the native `Md5SimHash` fold
+    * votes all 32 bits inside the row (round-11 rework of the original
+    * explode → 32-conditional-sum aggregation; no exchange at all). No
+    * window, no driver state. The aggregate form survives as the spec's
+    * parity reference.
     */
-  def q66SimhashReplay(spark: SparkSession, dir: String): DataFrame = {
-    val h = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
-    val votes = (0 until 32).map { b =>
-      val digitPos = b / 4 + 1
-      val bitInDigit = b % 4
-      sum(when(expr(
-        s"(shiftright(instr('0123456789abcdef', substr(h, $digitPos, 1)) - 1, $bitInDigit) & 1) = 1"),
-        lit(1L)).otherwise(lit(-1L))).as(s"v$b")
-    }
-    val aggs = count(lit(1)).cast("long").as("n_features") +: votes
-    val agg = h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val fingerprint = (0 until 32)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _).cast("long").as("simhash32")
-    agg.select(col("doc_id"), col("n_features"), fingerprint).orderBy(col("doc_id"))
-  }
+  def q66SimhashReplay(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // spread the md5 CPU off a single file
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0) // zero shingles: no features, no row
+      .select(
+        col("doc_id"),
+        // shingles() is per-doc distinct, so size() IS the feature count
+        size(col("sh")).cast("long").as("n_features"),
+        graft.functions.Md5SimHash(col("sh")).as("simhash32"))
+      .orderBy(col("doc_id"))
 }

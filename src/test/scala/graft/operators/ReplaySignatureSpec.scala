@@ -104,6 +104,28 @@ class ReplaySignatureSpec extends AnyFunSuite {
     })
   }
 
+  test("native Md5SimHash == the hex-arithmetic aggregate form on real data") {
+    val docs = graft.Tables.documents(spark, sf)
+    val native = DedupOps.q66SimhashReplay(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val h = docs
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"))).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val votes = (0 until 32).map { b =>
+      sum(when(expr(
+        s"(shiftright(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1, ${b % 4}) & 1) = 1"),
+        lit(1L)).otherwise(lit(-1L))).as(s"v$b")
+    }
+    val aggs = count(lit(1)).cast("long").as("n_features") +: votes
+    val agg = h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val ref = agg.select(col("doc_id"), col("n_features"),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash32"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native.keySet == ref.keySet)
+    for ((id, v) <- native) assert(v == ref(id), s"doc $id diverged")
+  }
+
   test("q67 winnowing: fingerprint set matches a scalar sliding-min recompute") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog"
