@@ -93,6 +93,11 @@ object GraftExtensions {
       arity("bounded_top_k", 2, args)
       BoundedTopK(args.head, intLit("bounded_top_k", "k", args(1)))
     }),
+    fn("count_histogram",
+      "count_histogram(v) - value-sorted exact (v, c) histogram of a bigint", { args =>
+      arity("count_histogram", 1, args)
+      CountHistogram(args.head)
+    }),
   )
 
   /** Register every native function on a LIVE session. Idempotent

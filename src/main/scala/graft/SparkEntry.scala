@@ -97,6 +97,7 @@ object SparkEntry {
     "q70_strip_boilerplate" -> (TextOps.q70StripBoilerplate(_, _)),
     "q71_embed_guard_parity" -> (graft.streaming.StreamEmbedIndex.q71GuardParity(_, _)),
     "q72_srp_replay" -> (SimilarityOps.q72SrpReplay(_, _)),
+    "q73_length_profile_agg" -> (TextOps.q73LengthProfileAgg(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1020,6 +1021,25 @@ object SparkEntry {
         |      FROM p WHERE cos >= 0.25)
         |SELECT vec_id, dup_of, cos FROM f WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+    // the CountHistogram native aggregate answers EXACTLY q54's question
+    // (histogram + cumulative exact index-rule percentiles), so its
+    // oracle is q54's SQL verbatim (q63/q40, q68/q62 pattern)
+    "q73_length_profile_agg" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |             len(string_split(text, ' '))::BIGINT AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT lang, n_tokens,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n_docs
+        |      FROM t)
+        |SELECT lang, max(n_docs)::BIGINT AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  sum(n_tokens)::BIGINT AS total_tokens,
+        |  max(CASE WHEN rn = (n_docs - 1) * 50 // 100 + 1 THEN n_tokens END) AS p50_tokens,
+        |  max(CASE WHEN rn = (n_docs - 1) * 90 // 100 + 1 THEN n_tokens END) AS p90_tokens,
+        |  max(CASE WHEN rn = (n_docs - 1) * 99 // 100 + 1 THEN n_tokens END) AS p99_tokens
+        |FROM r GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // portable SRP: int8 codes (sign-invariant quantization) against
     // multiply-mod integer hyperplanes — every dot ≤ 127·5003·64, exact in
     // DOUBLE arithmetic, so the packed sign-bit bucket keys hash-match

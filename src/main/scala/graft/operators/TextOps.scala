@@ -265,6 +265,60 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** q54's profile columns computed FROM a value-sorted `(v, c)` histogram
+    * column (`CountHistogram`'s output): exact index-rule percentiles by a
+    * single fold over the histogram's cumulative counts — shared by the
+    * batch q73 form and the STREAMING profile (`StreamStats`), so the two
+    * can never disagree on the selection rule.
+    */
+  def profileFromHistogram(hist: DataFrame): DataFrame = {
+    val withN = hist.withColumn("n_docs",
+      aggregate(col("hist"), lit(0L), (a, e) => a + e.getField("c")))
+    def atPct(k: Int): Column = {
+      val rank = expr(s"(n_docs - 1) * $k div 100 + 1")
+      aggregate(col("hist"),
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("res")),
+        (acc, e) => struct(
+          (acc.getField("cum") + e.getField("c")).as("cum"),
+          coalesce(acc.getField("res"),
+            when(acc.getField("cum") + e.getField("c") >= rank, e.getField("v")))
+            .as("res")),
+        acc => acc.getField("res"))
+    }
+    withN.select(
+      col("lang"),
+      col("n_docs"),
+      element_at(col("hist"), 1).getField("v").as("min_tokens"),
+      element_at(col("hist"), -1).getField("v").as("max_tokens"),
+      aggregate(col("hist"), lit(0L),
+        (a, e) => a + e.getField("c") * e.getField("v")).as("total_tokens"),
+      atPct(50).as("p50_tokens"),
+      atPct(90).as("p90_tokens"),
+      atPct(99).as("p99_tokens"))
+  }
+
+  /** The `(lang, n_tokens)` histogram head shared by q73 and the
+    * streaming profile.
+    */
+  private[graft] def tokenHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.CountHistogram(col("n_tokens")).as("hist"))
+
+  /** q73: q54's exact profile through the `CountHistogram` NATIVE
+    * aggregate — the aggregate is driver-correctness-visible here (q59's
+    * discipline for `bounded_top_k`): its oracle is q54's SQL verbatim,
+    * so a count lost in update/merge/serialize or a mis-sorted histogram
+    * shifts a percentile and fails the hash. This is also the form whose
+    * STREAMING twin (`StreamStats.lengthProfile`) keeps ONE state row per
+    * language — exact streaming percentiles with domain-bounded state,
+    * which the window/sort formulation cannot express on a stream.
+    */
+  def q73LengthProfileAgg(spark: SparkSession, dir: String): DataFrame =
+    profileFromHistogram(tokenHistogram(Tables.documents(spark, dir)))
+      .orderBy(col("lang"))
+
   /** q59: per-language most-DOCUMENT-frequent word 3-grams — the
     * boilerplate detector (navigation chrome, license headers, template
     * phrases recur across documents; their document frequency dwarfs
