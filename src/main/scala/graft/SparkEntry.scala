@@ -98,6 +98,7 @@ object SparkEntry {
     "q71_embed_guard_parity" -> (graft.streaming.StreamEmbedIndex.q71GuardParity(_, _)),
     "q72_srp_replay" -> (SimilarityOps.q72SrpReplay(_, _)),
     "q73_length_profile_agg" -> (TextOps.q73LengthProfileAgg(_, _)),
+    "q74_span_candidates" -> (TextOps.q74SpanCandidates(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1040,6 +1041,30 @@ object SparkEntry {
         |  max(CASE WHEN rn = (n_docs - 1) * 99 // 100 + 1 THEN n_tokens END) AS p99_tokens
         |FROM r GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // winnow-bucketed span-duplication candidates: the portable md5
+    // winnow (q67's algebra at k=20, w=8) + df cap + pair counts, all
+    // exact integer/string arithmetic
+    "q74_span_candidates" ->
+      """WITH d AS (SELECT doc_id, text, greatest(length(text) - 20, 0) + 1 AS np
+        |           FROM documents),
+        |pos AS (SELECT doc_id, text, np, unnest(range(1, np + 1)) AS p FROM d),
+        |keys AS (SELECT doc_id, np, p, md5(substr(text, p, 20)) AS h FROM pos),
+        |wins AS (SELECT doc_id, np, p,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+        |  FROM keys),
+        |fp AS (SELECT DISTINCT doc_id, sel FROM wins
+        |       WHERE p <= greatest(np - 8, 0) + 1),
+        |dfc AS (SELECT sel, count(*) AS df FROM fp GROUP BY sel),
+        |rare AS (SELECT fp.doc_id, fp.sel FROM fp JOIN dfc USING (sel)
+        |         WHERE df <= 32),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS n_shared
+        |          FROM rare a JOIN rare b
+        |            ON a.sel = b.sel AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // portable SRP: int8 codes (sign-invariant quantization) against
     // multiply-mod integer hyperplanes — every dot ≤ 127·5003·64, exact in
     // DOUBLE arithmetic, so the packed sign-bit bucket keys hash-match

@@ -319,6 +319,56 @@ object TextOps {
     profileFromHistogram(tokenHistogram(Tables.documents(spark, dir)))
       .orderBy(col("lang"))
 
+  /** Cross-document repeated-SPAN candidate pairs — the winnowing
+    * fingerprints used as the BUCKETING primitive for substring-level
+    * dedup (the Lee-et-al. "dedup training data" family): two documents
+    * sharing a winnow fingerprint of k-char grams share an exact ≥k-char
+    * substring with high probability, so pairs sharing `minShared`
+    * fingerprints are span-duplication candidates — matching is a
+    * fingerprint EQUI-JOIN, never all-pairs. Complements q70 (which
+    * strips corpus-FREQUENT token spans): this surfaces rare long spans
+    * copied between FEW documents, which a frequency threshold cannot see.
+    *
+    * Fingerprints with document frequency above `dfCap` are excluded
+    * before pairing — they are boilerplate (q70's territory), and the cap
+    * bounds the join blowup at Σ_{df ≤ cap} df² ≤ cap · |fingerprints|
+    * (the q30 discipline). Built on the PORTABLE md5 winnow, so the whole
+    * operator — fingerprint selection, df learning, cap, pair counts — is
+    * replayed exactly by the SQL oracle.
+    *
+    * Scale shape (100 TB): per-row native fingerprint fold, one (fp)
+    * count shuffle for df, one fp equi-join for pairing (bounded buckets),
+    * one (doc_a, doc_b) count aggregation. No window, no cartesian
+    * (plan-pinned).
+    */
+  def spanCandidates(
+      docs: DataFrame,
+      k: Int = 20,
+      w: Int = 8,
+      dfCap: Long = 32L,
+      minShared: Long = 2L): DataFrame = {
+    val fp = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(md5WinnowFingerprint(col("text"), k, w)).as("fp"))
+    val dfc = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val rare = fp.join(dfc.filter(col("df") <= dfCap), Seq("fp"))
+      .select(col("doc_id"), col("fp"))
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** q74: span-duplication candidates over `documents` (20-char grams,
+    * window 8, df ≤ 32, ≥ 2 shared fingerprints).
+    */
+  def q74SpanCandidates(spark: SparkSession, dir: String): DataFrame =
+    spanCandidates(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** q59: per-language most-DOCUMENT-frequent word 3-grams — the
     * boilerplate detector (navigation chrome, license headers, template
     * phrases recur across documents; their document frequency dwarfs

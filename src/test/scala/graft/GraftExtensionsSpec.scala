@@ -51,6 +51,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("count_histogram aggregates in SQL, sorted by value with exact counts") {
+    import spark.implicits._
+    (1L to 100L).map(i => (i % 2, i % 7)).toDF("g", "v")
+      .createOrReplaceTempView("ext_hist")
+    val got = spark.sql(
+      """SELECT g, transform(count_histogram(v), e -> e.v) AS vs,
+        |  transform(count_histogram(v), e -> e.c) AS cs
+        |FROM ext_hist GROUP BY g ORDER BY g""".stripMargin)
+      .as[(Long, Seq[Long], Seq[Long])].collect().toSeq
+    val expected = (1L to 100L).map(i => (i % 2, i % 7)).groupBy(_._1).view
+      .mapValues { rows =>
+        val h = rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        (h.map(_._1), h.map(_._2))
+      }.toSeq.map { case (g, (vs, cs)) => (g, vs, cs) }.sortBy(_._1)
+    assert(got == expected)
+  }
+
   test("a non-literal static argument fails at planning time, not silently") {
     import spark.implicits._
     Seq((1L, Seq(1L, 2L))).toDF("id", "hashes").createOrReplaceTempView("ext_bad")
@@ -91,6 +108,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     val added = org.apache.spark.sql.graft.RegistryBridge.registeredNames(ext)
     assert(added == Set("splitmix64", "simhash64", "dot_product", "minhash_signature",
-      "rolling_hash", "winnow", "srp_buckets", "bounded_top_k"))
+      "rolling_hash", "winnow", "srp_buckets", "bounded_top_k", "count_histogram"))
   }
 }

@@ -57,6 +57,64 @@ class StripBoilerplateSpec extends AnyFunSuite {
       "corpus has planted boilerplate; some removal expected")
   }
 
+  test("span candidates: shared long spans pair, df-capped boilerplate doesn't, organic doesn't") {
+    import spark.implicits._
+    val span = "this exact forty-character span is copied verbatim here"
+    val boiler = "every single document carries this common navigation header text"
+    // md5-unique tails: different digests share no 20-char substring, so
+    // docs 4..40 share ONLY the header (whose fingerprints exceed the df
+    // cap); docs 1 and 2 additionally share `span`; doc 3 is organic.
+    // (A first fixture used "tail $i xxx…" tails — and the operator
+    // correctly found the REAL shared spans hiding in the digit prefixes
+    // and x-runs, e.g. "r text unique tail 1" across docs 10–19.)
+    def tail(i: Long) = sha(s"tail-$i").take(30) + " " + sha(s"more-$i").take(30)
+    val corpus = ((4L to 40L).map(i => (i, s"$boiler ${tail(i)}")) ++ Seq(
+      (1L, s"$boiler alpha $span omega"),
+      (2L, s"$boiler beta prelude $span coda"),
+      (3L, s"$boiler totally unrelated body with its own words")))
+    val docs = corpus.toDF("doc_id", "text")
+    val pairs = TextOps.spanCandidates(docs, dfCap = 8L, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"copied span not detected: $pairs")
+    // SOUNDNESS: every reported pair really shares a >= 20-char substring
+    // (an earlier fixture assumed tail docs could not pair — and the
+    // operator correctly found the genuine spans hiding in digit prefixes
+    // and digest-prefix collisions; verify the claim, don't assume it)
+    val byId = corpus.toMap
+    def grams(t: String) = (0 to t.length - 20).map(p => t.substring(p, p + 20)).toSet
+    for ((a, b) <- pairs)
+      assert((grams(byId(a)) & grams(byId(b))).nonEmpty,
+        s"pair ($a,$b) shares no 20-char substring")
+    // SUPPRESSION: the df-40 header may not pair the tail docs as a
+    // clique (37 docs would otherwise give 666 pairs); only incidental
+    // digest-prefix collisions may surface
+    val tailPairs = pairs.count { case (a, b) => a > 3L && b > 3L }
+    assert(tailPairs < 30, s"header clique leaked through the df cap: $tailPairs pairs")
+  }
+
+  test("q74 n_shared is bounded by each side's fingerprint count") {
+    val fp = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(TextOps.md5WinnowFingerprint(col("text"), 20, 8)).as("n_fp"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = TextOps.q74SpanCandidates(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bound = math.min(fp(r.getLong(0)), fp(r.getLong(1)))
+      assert(r.getLong(2) <= bound, s"${r.getLong(0)},${r.getLong(1)}")
+    }
+  }
+
+  test("q74 plan: fingerprint equi-join, no cartesian/BNLJ, no window") {
+    val plan = SparkTestSession.finalPlan(TextOps.q74SpanCandidates(spark, sf))
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(bad.isEmpty, s"unexpected nodes: ${bad.map(_.nodeName)}")
+  }
+
   test("plan shape: frequent set broadcasts, no cartesian/BNLJ, no window") {
     val plan = SparkTestSession.finalPlan(TextOps.q70StripBoilerplate(spark, sf))
     val bad = plan.collect {
