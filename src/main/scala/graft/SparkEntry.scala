@@ -99,6 +99,8 @@ object SparkEntry {
     "q72_srp_replay" -> (SimilarityOps.q72SrpReplay(_, _)),
     "q73_length_profile_agg" -> (TextOps.q73LengthProfileAgg(_, _)),
     "q74_span_candidates" -> (TextOps.q74SpanCandidates(_, _)),
+    "q75_gopher_quality" -> (TextOps.q75GopherQuality(_, _)),
+    "q76_dup_ngrams" -> (TextOps.q76DupNgrams(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1041,6 +1043,41 @@ object SparkEntry {
         |  max(CASE WHEN rn = (n_docs - 1) * 99 // 100 + 1 THEN n_tokens END) AS p99_tokens
         |FROM r GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // Gopher-style quality rules: every column an exact integer (x100 /
+    // bp / counts via integer DIV), the keep verdict composed from them
+    "q75_gopher_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(w)::BIGINT AS n_words,
+        |  (list_sum(list_transform(w, x -> length(x))) * 100 // len(w))::BIGINT
+        |    AS mean_word_len_x100,
+        |  (len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 10000 // len(w))::BIGINT
+        |    AS alpha_word_bp,
+        |  len(list_intersect(list_distinct(w),
+        |      ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop_kinds
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len_x100, alpha_word_bp, n_stop_kinds,
+        |  (CASE WHEN n_words BETWEEN 40 AND 100000
+        |         AND mean_word_len_x100 BETWEEN 300 AND 1000
+        |         AND alpha_word_bp >= 8000
+        |         AND n_stop_kinds >= 2 THEN 1 ELSE 0 END)::INT AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // within-document duplicate-3-gram occurrence fraction in basis points
+    "q76_dup_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM (SELECT doc_id, w, unnest(range(greatest(len(w) - 2, 0))) AS i
+        |             FROM t)),
+        |c AS (SELECT doc_id, s, count(*) AS n FROM sh GROUP BY doc_id, s),
+        |a AS (SELECT doc_id, sum(n)::BIGINT AS n_grams,
+        |        coalesce(sum(n) FILTER (n > 1), 0)::BIGINT AS dup_occurrences
+        |      FROM c GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(a.dup_occurrences, 0)::BIGINT AS dup_occurrences,
+        |  (CASE WHEN coalesce(a.n_grams, 0) > 0
+        |        THEN coalesce(a.dup_occurrences, 0) * 10000 // a.n_grams
+        |        ELSE 0 END)::BIGINT AS dup_bp
+        |FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // winnow-bucketed span-duplication candidates: the portable md5
     // winnow (q67's algebra at k=20, w=8) + df cap + pair counts, all
     // exact integer/string arithmetic

@@ -369,6 +369,87 @@ object TextOps {
     spanCandidates(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Gopher/MassiveText-style QUALITY RULES (Rae et al. 2021, §A1.1 —
+    * the standard pre-training quality filter family): per-document word
+    * count bounds, mean word length bounds, alphabetic-word fraction, and
+    * stopword-kind presence, each exposed as an exact integer (x100 /
+    * basis points / counts — integer DIV, no float thresholds) plus the
+    * composed `keep` verdict. Bounds default to this corpus' populated
+    * ranges so the verdict is discriminative; production runs pass the
+    * paper's bounds. One codegen projection per row — no shuffle, no
+    * UDF, every column hash-matchable.
+    */
+  def gopherQuality(
+      docs: DataFrame,
+      minWords: Long = 40L,
+      maxWords: Long = 100000L,
+      minMeanLenX100: Long = 300L,
+      maxMeanLenX100: Long = 1000L,
+      minAlphaBp: Long = 8000L,
+      minStopKinds: Long = 2L): DataFrame = {
+    val stoplist = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr("aggregate(w, 0L, (a, x) -> a + length(x)) * 100 div size(w)")
+          .as("mean_word_len_x100"),
+        expr("size(filter(w, x -> x rlike '[a-z]')) * 10000L div size(w)")
+          .as("alpha_word_bp"),
+        size(array_intersect(array_distinct(col("w")), typedlit(stoplist)))
+          .cast("long").as("n_stop_kinds"))
+      .withColumn("keep",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len_x100").between(minMeanLenX100, maxMeanLenX100) &&
+          col("alpha_word_bp") >= minAlphaBp &&
+          col("n_stop_kinds") >= minStopKinds).cast("int"))
+  }
+
+  /** q75: the Gopher rule set over `documents` at the corpus-populated
+    * default bounds.
+    */
+  def q75GopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherQuality(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Gopher-style duplicate-n-gram REPETITION fraction: of a document's
+    * word-3-gram OCCURRENCES, the share belonging to 3-grams that occur
+    * more than once in the document — the within-document repetition
+    * signal (template loops, decoding pathologies) that complements the
+    * cross-document dedup family. Integer basis points.
+    *
+    * Scale shape: positioned (non-distinct) shingles explode to a
+    * `(doc_id, s)` count — partial-aggregated, keyed fine — then one
+    * doc_id aggregation; the left join restores zero-gram (short) docs.
+    * No window.
+    */
+  def dupNgramFraction(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    val shingleArr = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val counts = docs
+      .select(col("doc_id"), explode(shingleArr).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("cnt"))
+    val agg = counts.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_grams"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occurrences"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_occurrences"), lit(0L)).as("dup_occurrences"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          expr("dup_occurrences * 10000 div n_grams"))
+          .otherwise(lit(0L)).as("dup_bp"))
+  }
+
+  /** q76: within-document duplicate-3-gram fraction over `documents`. */
+  def q76DupNgrams(spark: SparkSession, dir: String): DataFrame =
+    dupNgramFraction(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   /** q59: per-language most-DOCUMENT-frequent word 3-grams — the
     * boilerplate detector (navigation chrome, license headers, template
     * phrases recur across documents; their document frequency dwarfs
