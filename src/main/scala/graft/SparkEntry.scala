@@ -101,6 +101,7 @@ object SparkEntry {
     "q74_span_candidates" -> (TextOps.q74SpanCandidates(_, _)),
     "q75_gopher_quality" -> (TextOps.q75GopherQuality(_, _)),
     "q76_dup_ngrams" -> (TextOps.q76DupNgrams(_, _)),
+    "q77_clean_profile" -> (CurateOps.q77CleanProfile(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1078,6 +1079,42 @@ object SparkEntry {
         |        THEN coalesce(a.dup_occurrences, 0) * 10000 // a.n_grams
         |        ELSE 0 END)::BIGINT AS dup_bp
         |FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // round-11 composition: gopher gate -> span strip (frequent set
+    // learned on the kept corpus) -> exact profile of cleaned lengths;
+    // the oracle chains the verified fragments (q45's discipline)
+    "q77_clean_profile" ->
+      """WITH t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(w)::BIGINT AS n_words,
+        |  (list_sum(list_transform(w, x -> length(x))) * 100 // len(w))::BIGINT AS mwl,
+        |  (len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 10000 // len(w))::BIGINT AS awb,
+        |  len(list_intersect(list_distinct(w),
+        |      ['the','a','of','and','to','in','is','on']))::BIGINT AS nsk
+        |  FROM t0),
+        |keep AS (SELECT doc_id FROM m
+        |         WHERE n_words BETWEEN 40 AND 100000 AND mwl BETWEEN 300 AND 1000
+        |           AND awb >= 8000 AND nsk >= 2),
+        |tok AS (SELECT t0.doc_id, len(w)::BIGINT AS n_tokens, w
+        |        FROM t0 JOIN keep USING (doc_id)),
+        |sh AS (SELECT doc_id, i AS pos, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM tok, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+        |freq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s)
+        |         WHERE df * 10000 >= (SELECT count(*) FROM keep) * 100),
+        |cov AS (SELECT DISTINCT sh.doc_id, sh.pos + d AS cp
+        |        FROM sh JOIN freq USING (s), unnest(range(3)) AS u(d)),
+        |cc AS (SELECT doc_id, count(*)::BIGINT AS removed FROM cov GROUP BY doc_id),
+        |k AS (SELECT t.doc_id, d.lang, t.n_tokens - coalesce(cc.removed, 0) AS kt
+        |      FROM tok t JOIN documents d USING (doc_id) LEFT JOIN cc USING (doc_id)),
+        |r AS (SELECT lang, doc_id, kt,
+        |        row_number() OVER (PARTITION BY lang ORDER BY kt, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n_docs
+        |      FROM k)
+        |SELECT lang, max(n_docs)::BIGINT AS n_docs,
+        |  min(kt) AS min_tokens, max(kt) AS max_tokens, sum(kt)::BIGINT AS total_tokens,
+        |  max(CASE WHEN rn = (n_docs - 1) * 50 // 100 + 1 THEN kt END) AS p50_tokens,
+        |  max(CASE WHEN rn = (n_docs - 1) * 90 // 100 + 1 THEN kt END) AS p90_tokens,
+        |  max(CASE WHEN rn = (n_docs - 1) * 99 // 100 + 1 THEN kt END) AS p99_tokens
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     // winnow-bucketed span-duplication candidates: the portable md5
     // winnow (q67's algebra at k=20, w=8) + df cap + pair counts, all
     // exact integer/string arithmetic

@@ -112,4 +112,34 @@ object CurateOps {
       pairCorpus = Some(all))
       .orderBy(col("doc_id"))
   }
+
+  /** q77: the ROUND-11 operators composed into a corpus-build report —
+    * Gopher quality gate (q75) → repeated-span removal over the kept
+    * corpus (q70's algebra; the frequent set and its relative threshold
+    * are learned on the POST-GATE corpus, which is the composition's
+    * point) → per-language exact length profile of the CLEANED token
+    * counts through the `CountHistogram` aggregate (q73's machinery).
+    * "What does the corpus look like after cleaning" is the report a
+    * data team reads before tokenizer sizing; every stage is an
+    * individually-verified fragment and the oracle chains their SQL
+    * (q45's discipline).
+    *
+    * Scale shape: the gate is a codegen filter; strip is the q70
+    * broadcast shape over the smaller kept corpus; the profile is one
+    * histogram aggregation — no window over any row stream.
+    */
+  def q77CleanProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = docs.join(
+      TextOps.gopherQuality(docs).filter(col("keep") === 1).select("doc_id"),
+      Seq("doc_id"))
+    val stripped = TextOps.stripBoilerplate(kept)
+      .select(col("doc_id"),
+        (col("n_tokens") - col("removed_tokens")).as("kept_tokens"))
+    val hist = stripped
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.CountHistogram(col("kept_tokens")).as("hist"))
+    TextOps.profileFromHistogram(hist).orderBy(col("lang"))
+  }
 }

@@ -77,4 +77,27 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, "no pii here at all")))
     assert(got(3L) == ((2L, 1L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
   }
+
+  test("q77 composition: doc counts match the gopher gate; percentiles are ordered") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CurateOps.q77CleanProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keptDocs = TextOps.q75GopherQuality(spark, sf)
+      .filter(col("keep") === 1).count()
+    assert(rows.map(_.getLong(1)).sum == keptDocs,
+      "profile doc counts diverge from the quality gate's keep set")
+    for (r <- rows) {
+      val (mn, mx) = (r.getLong(2), r.getLong(3))
+      val (p50, p90, p99) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx, r.toString)
+    }
+    // stripping must have removed something somewhere: cleaned totals sit
+    // strictly below the kept corpus' raw token totals
+    val rawKept = graft.Tables.documents(spark, sf)
+      .join(TextOps.q75GopherQuality(spark, sf)
+        .filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+      .select(size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(_.getLong(4)).sum < rawKept)
+  }
 }
