@@ -330,12 +330,12 @@ object MultimodalOps {
     while (i < 8) { if ((b(i) & 0xFF) != PngSig(i)) return None; i += 1 }
     // chunk walk: collect IHDR + IDAT, stop at IEND or truncation
     var p = 8
-    var w = 0; var h = 0; var ok = false
+    var w = 0; var h = 0; var ok = false; var gray = false
     val idat = new java.io.ByteArrayOutputStream()
     var first = true
     while (p + 8 <= b.length) {
       val len = be32(b, p)
-      if (len < 0 || p + 12L + len > b.length) return if (ok && idat.size > 0) inflatePng(w, h, idat.toByteArray) else None
+      if (len < 0 || p + 12L + len > b.length) return if (ok && idat.size > 0) inflatePng(w, h, idat.toByteArray, gray) else None
       val typ = new String(b, p + 4, 4, StandardCharsets.US_ASCII)
       if (first) {
         if (typ != "IHDR" || len != 13) return None
@@ -343,8 +343,11 @@ object MultimodalOps {
         val bitDepth = b(p + 16) & 0xFF
         val colorType = b(p + 17) & 0xFF
         val interlace = b(p + 20) & 0xFF
-        if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 || interlace != 0)
+        // 8-bit truecolor (2) or 8-bit grayscale (0), non-interlaced
+        if (w <= 0 || h <= 0 || bitDepth != 8 ||
+          (colorType != 2 && colorType != 0) || interlace != 0)
           return None
+        gray = colorType == 0
         // hostile dims: the filtered-scanline buffer must stay bounded
         if ((3L * w + 1L) * h > PngMaxRaw || 3L * w * h > Int.MaxValue) return None
         ok = true
@@ -357,12 +360,19 @@ object MultimodalOps {
       p += 12 + len
     }
     if (!ok || idat.size == 0) return None
-    inflatePng(w, h, idat.toByteArray)
+    inflatePng(w, h, idat.toByteArray, gray)
   }
 
-  /** Inflate + unfilter the IDAT stream of an 8-bit truecolor PNG. */
-  private def inflatePng(w: Int, h: Int, z: Array[Byte]): Option[BmpImage] = {
-    val stride = w * 3
+  /** Inflate + unfilter the IDAT stream of an 8-bit truecolor or (when
+    * `gray`) 8-bit grayscale PNG. Filter reconstruction is bytes-per-pixel
+    * aware (`left`/`upper-left` look back `bpp` bytes per the spec);
+    * grayscale replicates the reconstructed sample into all three BGR
+    * channels of the shared `BmpImage` shape.
+    */
+  private def inflatePng(
+      w: Int, h: Int, z: Array[Byte], gray: Boolean = false): Option[BmpImage] = {
+    val bpp = if (gray) 1 else 3
+    val stride = w * bpp
     val raw = new Array[Byte]((stride + 1) * h)
     val inf = new java.util.zip.Inflater()
     try {
@@ -378,7 +388,10 @@ object MultimodalOps {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    val bgr = new Array[Byte](stride * h)
+    // reconstruct into a raw-sample buffer first (stride bytes per row),
+    // then map samples into the BGR output — keeping the filter math
+    // byte-order-agnostic for both color types
+    val recon = new Array[Byte](stride * h)
     var y = 0
     while (y < h) {
       val ft = raw(y * (stride + 1)) & 0xFF
@@ -386,33 +399,36 @@ object MultimodalOps {
       var i = 0
       while (i < stride) {
         val x = raw(y * (stride + 1) + 1 + i) & 0xFF
-        val left = if (i >= 3) bgrRawAt(bgr, y, i - 3, stride) else 0
-        val up = if (y > 0) bgrRawAt(bgr, y - 1, i, stride) else 0
-        val ul = if (y > 0 && i >= 3) bgrRawAt(bgr, y - 1, i - 3, stride) else 0
-        val recon = ft match {
+        val left = if (i >= bpp) recon(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) recon((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) recon((y - 1) * stride + i - bpp) & 0xFF else 0
+        val v = ft match {
           case 0 => x
           case 1 => x + left
           case 2 => x + up
           case 3 => x + ((left + up) / 2)
           case _ => x + paeth(left, up, ul)
         }
-        // store RGB recon at its BGR position: channel c of pixel px goes
-        // to index px*3 + (2 - c)
-        val px = i / 3; val c = i % 3
-        bgr(y * stride + px * 3 + (2 - c)) = recon.toByte
+        recon(y * stride + i) = v.toByte
         i += 1
       }
       y += 1
     }
+    val bgr = new Array[Byte](w * h * 3)
+    var j = 0
+    while (j < w * h) {
+      if (gray) {
+        val g = recon(j)
+        bgr(j * 3) = g; bgr(j * 3 + 1) = g; bgr(j * 3 + 2) = g
+      } else {
+        // RGB sample order -> BGR output order
+        bgr(j * 3) = recon(j * 3 + 2)
+        bgr(j * 3 + 1) = recon(j * 3 + 1)
+        bgr(j * 3 + 2) = recon(j * 3)
+      }
+      j += 1
+    }
     Some(BmpImage(w, h, 24, bgr))
-  }
-
-  /** Reconstructed RGB byte at filtered-index `i` of row `y`, read back
-    * from the BGR output buffer (the decoder's only copy of prior rows).
-    */
-  private def bgrRawAt(bgr: Array[Byte], y: Int, i: Int, stride: Int): Int = {
-    val px = i / 3; val c = i % 3
-    bgr(y * stride + px * 3 + (2 - c)) & 0xFF
   }
 
   /** General 16-bit PCM WAV writer — `encodeWavSilence`'s layout with

@@ -87,6 +87,64 @@ class PngCodecSpec extends AnyFunSuite {
       MultimodalOps.encodeBmpConst(4, 4, 1, 2, 3)).isEmpty)
   }
 
+  test("grayscale (color type 0) decodes: hand-built PNG, all five filters, gray→BGR") {
+    // build a real grayscale PNG by hand (the engine's encoder is
+    // truecolor-only): per-row filter = row % 5, samples g(x,y) = a known
+    // gradient, zlib via JDK Deflater, CRC32 chunks
+    val w = 9; val h = 7
+    def g(x: Int, y: Int): Int = (7 * x + 13 * y + 5) % 256
+    def pth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte]((w + 1) * h)
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (w + 1)) = ft.toByte
+      for (x <- 0 until w) {
+        val cur = g(x, y)
+        val left = if (x > 0) g(x - 1, y) else 0
+        val up = if (y > 0) g(x, y - 1) else 0
+        val ul = if (x > 0 && y > 0) g(x - 1, y - 1) else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) / 2)
+          case _ => cur - pth(left, up, ul)
+        }
+        raw(y * (w + 1) + 1 + x) = v.toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    val idat = zOut.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(td)
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0))
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    val img = MultimodalOps.decodePng(out.toByteArray)
+    assert(img.isDefined, "grayscale PNG did not decode")
+    val d = img.get
+    assert(d.width == w && d.height == h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((d.pixels((y * w + x) * 3 + c) & 0xFF) == g(x, y),
+        s"pixel ($x,$y) channel $c")
+  }
+
   test("q69 rows all take the real PNG decode branch, never the fallback") {
     val rows = MultimodalOps.q69PngDecode(spark, sf).collect()
     assert(rows.nonEmpty)
