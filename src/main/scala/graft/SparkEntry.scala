@@ -102,6 +102,7 @@ object SparkEntry {
     "q75_gopher_quality" -> (TextOps.q75GopherQuality(_, _)),
     "q76_dup_ngrams" -> (TextOps.q76DupNgrams(_, _)),
     "q77_clean_profile" -> (CurateOps.q77CleanProfile(_, _)),
+    "q78_gray_png_decode" -> (MultimodalOps.q78GrayPngDecode(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1079,6 +1080,18 @@ object SparkEntry {
         |        THEN coalesce(a.dup_occurrences, 0) * 10000 // a.n_grams
         |        ELSE 0 END)::BIGINT AS dup_bp
         |FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // grayscale PNG decode: 2-D gray gradient, exact pixel sum as
+    // doc_id arithmetic (q69's discipline for color type 0)
+    "q78_gray_png_decode" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (8 + doc_id % 16)::BIGINT AS width,
+        |    (8 + (doc_id * 3) % 16)::BIGINT AS height
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT asset_id, width, height,
+        |  (list_sum(flatten(list_transform(range(height), y ->
+        |     list_transform(range(width), x ->
+        |       (asset_id * 7 + 3 * x + 5 * y) % 256)))))::BIGINT AS sum_gray
+        |FROM d ORDER BY asset_id""".stripMargin,
     // round-11 composition: gopher gate -> span strip (frequent set
     // learned on the kept corpus) -> exact profile of cleaned lengths;
     // the oracle chains the verified fragments (q45's discipline)

@@ -240,7 +240,23 @@ object MultimodalOps {
   def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0 && rgb.length == width * height * 3,
       s"rgb must be $width*$height*3 bytes")
-    val stride = width * 3
+    encodePngCore(width, height, 3, 2, rgb)
+  }
+
+  /** Grayscale (color type 0) PNG writer — same filter rotation and chunk
+    * layout over 1-byte samples; `decodePng(encodePngGray(w, h, g))`
+    * replicates each sample into all three BGR channels (spec-pinned).
+    */
+  def encodePngGray(width: Int, height: Int, samples: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && samples.length == width * height,
+      s"samples must be $width*$height bytes")
+    encodePngCore(width, height, 1, 0, samples)
+  }
+
+  private def encodePngCore(
+      width: Int, height: Int, bpp: Int, colorType: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val stride = width * bpp
     val raw = new Array[Byte]((stride + 1) * height)
     var y = 0
     while (y < height) {
@@ -248,10 +264,10 @@ object MultimodalOps {
       raw(y * (stride + 1)) = ft.toByte
       var i = 0
       while (i < stride) {
-        val cur = rgb(y * stride + i) & 0xFF
-        val left = if (i >= 3) rgb(y * stride + i - 3) & 0xFF else 0
-        val up = if (y > 0) rgb((y - 1) * stride + i) & 0xFF else 0
-        val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xFF else 0
+        val cur = data(y * stride + i) & 0xFF
+        val left = if (i >= bpp) data(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) data((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) data((y - 1) * stride + i - bpp) & 0xFF else 0
         val v = ft match {
           case 0 => cur
           case 1 => cur - left
@@ -288,7 +304,7 @@ object MultimodalOps {
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
     ihdr(8) = 8 // bit depth
-    ihdr(9) = 2 // truecolor
+    ihdr(9) = colorType.toByte // 2 = truecolor, 0 = grayscale
     // compression 0, filter 0, interlace 0 stay zero
     chunk("IHDR", ihdr)
     chunk("IDAT", idat)
@@ -1438,6 +1454,53 @@ object MultimodalOps {
           DecodableAsset(id, "image", encodePng(w, h, px))
         }
       }
+  }
+
+  /** The GRAYSCALE slice: `doc_id % 3 == 0` rows re-derived as real
+    * color-type-0 PNGs with a 2-D gray gradient `g(x,y) = (id·7 + 3x +
+    * 5y) mod 256` — row AND column variation, so the bpp=1 filter
+    * lookback (Sub reads 1 byte back, not 3) carries non-trivial deltas.
+    */
+  def decodableGrayPngAssets(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 0)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = ((id * 7 + 3L * x + 5L * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          DecodableAsset(id, "image", encodePngGray(w, h, px))
+        }
+      }
+  }
+
+  /** q78: grayscale PNG decode oracle-visible — the q69 discipline for
+    * color type 0: dims plus the exact gray pixel SUM (all three decoded
+    * channels replicate the sample, so any one channel's sum is the gray
+    * sum) recomputed by the oracle as 2-D integer arithmetic on doc_id.
+    */
+  def q78GrayPngDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(spark, decodableGrayPngAssets(spark, dir).toDF()).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    feats.select(
+      col("asset_id"),
+      round(f(1)).cast("long").as("width"),
+      round(f(2)).cast("long").as("height"),
+      round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_gray"))
+      .orderBy(col("asset_id"))
   }
 
   /** q69: the PNG decode surface made oracle-visible — every payload is a

@@ -44,6 +44,23 @@ class PngCodecSpec extends AnyFunSuite {
     check(prop)
   }
 
+  test("grayscale round-trip: arbitrary dims/samples through encodePngGray (all filters)") {
+    import org.scalacheck.{Gen, Prop}
+    val prop = Prop.forAll(
+      Gen.chooseNum(1, 12), Gen.chooseNum(5, 12), Gen.long) { (w, h, seed) =>
+      val px = Array.tabulate(w * h)(i => ((seed + i * 53) & 0xFF).toByte)
+      val img = MultimodalOps.decodePng(MultimodalOps.encodePngGray(w, h, px))
+      img.exists { d =>
+        d.width == w && d.height == h &&
+          (0 until w * h).forall { p =>
+            d.pixels(p * 3) == px(p) && d.pixels(p * 3 + 1) == px(p) &&
+              d.pixels(p * 3 + 2) == px(p)
+          }
+      }
+    }
+    check(prop)
+  }
+
   test("cross-codec: the same image through PNG and BMP decodes to identical pixels") {
     val w = 7; val h = 6
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) & 0xFF).toByte)
