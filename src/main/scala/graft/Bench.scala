@@ -55,6 +55,24 @@ object Bench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // INDEX-CACHE HONESTY (round-11 verdict fix): the standing-index
+    // queries (q38/q49/q68/q71) key their on-disk builds by corpus
+    // fingerprint, so a bench run after any earlier run of the same
+    // corpus finds every index warm, records no `index_build` phase, and
+    // ships `phases: {}` — making the promised build-vs-probe split
+    // unreproducible from the artifact. Clear the fingerprint-cache roots
+    // for THIS corpus before the first sample (the exact analogue of the
+    // rep-0 `clearCache()` for persisted frames): rep-0 cold samples then
+    // pay and RECORD the build, later reps measure the warm probe.
+    locally {
+      val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = sys.props("java.io.tmpdir")
+      for (root <- Seq("graft_ivf_", "graft_ivf_lsm_", "graft_ivfq_", "graft_embguard_")) {
+        val p = new org.apache.hadoop.fs.Path(s"$tmp/$root$sfx")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
+    }
     // untimed NEUTRAL warmup (not one of the timed queries, which would
     // give that query's own timed run an unfair warm start): initializes
     // JVM, codegen, shuffle and parquet-scan machinery

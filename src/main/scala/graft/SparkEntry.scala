@@ -50,18 +50,12 @@ object SparkEntry {
     "q29_windowed_agg"  -> (graft.streaming.EventWindows.q29WindowedAgg(_, _)),
     "q30_ngram_jaccard" -> (DedupOps.q30NgramJaccard(_, _)),
     "q31_token_count"   -> (TextOps.q31TokenCount(_, _)),
-    // rows-only like q24: the probabilistic index has no SQL oracle; the
-    // recall gate vs the exact baseline lives in SimilarityOpsSpec
     "q32_ann_ivf"       -> (SimilarityOps.q32AnnIvf(_, _)),
     "q33_sessionize"    -> (SessionOps.q33Sessionize(_, _)),
     "q34_value_stats"   -> (RelationalOps.q34ValueStats(_, _)),
     "q35_asof_join"     -> (SessionOps.q35AsofJoin(_, _)),
     "q36_dedup_groups"  -> (DedupOps.q36DedupGroups(_, _)),
     "q37_repetition"    -> (TextOps.q37Repetition(_, _)),
-    // rows-only like q32 (same waiver class — no SQL oracle for
-    // Spark-trained centroids); the compensating gate is IvfIndexSpec's
-    // exact equality with q32's in-query path plus the no-retrain and
-    // partition-pruning assertions
     "q38_ann_ivf_indexed" -> (SimilarityOps.q38AnnIvfIndexed(_, _)),
     "q39_pack_chunks"   -> (PackOps.q39PackChunks(_, _)),
     "q40_decontaminate" -> (DedupOps.q40Decontaminate(_, _)),
@@ -103,6 +97,7 @@ object SparkEntry {
     "q76_dup_ngrams" -> (TextOps.q76DupNgrams(_, _)),
     "q77_clean_profile" -> (CurateOps.q77CleanProfile(_, _)),
     "q78_gray_png_decode" -> (MultimodalOps.q78GrayPngDecode(_, _)),
+    "q79_span_extract" -> (TextOps.q79SpanExtract(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -247,8 +242,34 @@ object SparkEntry {
         |FROM pairs JOIN ds x ON x.doc_id = da JOIN ds y ON y.doc_id = db
         |WHERE inter::double / (x.n + y.n - inter) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // q21_simhash: rows-only (the 64-bit majority-vote fold is not
-    // expressible in the SQL oracle); determinism is covered by ScalaTest.
+    // q66's portable 32-bit vote fold, extended with the pigeonhole chunk
+    // join: 4 x 8-bit chunks, distinct neighbors at hamming <= 3 per doc
+    "q21_simhash" -> {
+      val votes = (0 until 32).map { b =>
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)" +
+          s" >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(",\n         |  ")
+      val assemble = (0 until 32)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+         |       FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM w)),
+         |h AS (SELECT doc_id, md5(s) AS h FROM sh),
+         |agg AS (SELECT doc_id, count(*) AS n_features,
+         |  $votes
+         |  FROM h GROUP BY doc_id),
+         |f AS (SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+         |        CAST($assemble AS BIGINT) AS simhash32 FROM agg),
+         |ch AS (SELECT doc_id, simhash32, ci, (simhash32 >> (ci::INT * 8)) & 255 AS cv
+         |       FROM f, unnest(range(4)) AS t(ci)),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nbr
+         |       FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id <> b.doc_id
+         |       WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3),
+         |nn AS (SELECT doc_id, count(*) AS n_near FROM pr GROUP BY doc_id)
+         |SELECT f.doc_id, f.n_features, f.simhash32,
+         |  coalesce(nn.n_near, 0)::BIGINT AS n_near
+         |FROM f LEFT JOIN nn USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     "q19_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
@@ -262,7 +283,39 @@ object SparkEntry {
         |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::double
         |    / length(text) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // q22_fingerprint: rows-only (winnowing construction beyond the oracle).
+    // q67's portable winnowing replay + the langId marker-intersection
+    // argmax (ties take the lexicographically greatest lang, matching
+    // Spark's struct array_max; score 0 -> 'und')
+    "q22_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, greatest(length(text) - 5, 0) + 1 AS np
+        |           FROM documents),
+        |pos AS (SELECT doc_id, text, np, unnest(range(1, np + 1)) AS p FROM d),
+        |keys AS (SELECT doc_id, np, p, md5(substr(text, p, 5)) AS h FROM pos),
+        |wins AS (SELECT doc_id, np, p,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM keys),
+        |fp AS (SELECT DISTINCT doc_id, sel FROM wins
+        |       WHERE p <= greatest(np - 4, 0) + 1),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+        |        md5(string_agg(sel, '' ORDER BY sel)) AS fp_checksum
+        |      FROM fp GROUP BY doc_id),
+        |tok AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        |        FROM documents),
+        |ms AS (SELECT 'de' AS lang, ['der','die','das','und','ist','mit'] AS markers
+        |       UNION ALL SELECT 'en', ['the','and','of','to','with','is']
+        |       UNION ALL SELECT 'es', ['el','la','de','los','las','es','y']
+        |       UNION ALL SELECT 'fr', ['le','la','les','des','est','et']),
+        |ls AS (SELECT doc_id, lang, len(list_intersect(toks, markers)) AS score
+        |       FROM tok CROSS JOIN ms),
+        |best AS (SELECT doc_id, lang, score,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY score DESC, lang DESC) AS rn
+        |         FROM ls),
+        |lg AS (SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess
+        |       FROM best WHERE rn = 1)
+        |SELECT s.doc_id, s.n_fingerprints, s.fp_checksum, lg.lang_guess
+        |FROM s JOIN lg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Exact ANN baseline; double math on both sides, rank gaps >> FP noise.
     "q23_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -275,7 +328,60 @@ object SparkEntry {
         |       FROM s)
         |SELECT query_id, rank, vec_id FROM rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
-    // q24_ann_lsh: rows-only; recall>=0.9 vs q23 is gated in ScalaTest.
+    // the portable LSH path replayed end-to-end: int8 codes (q62's
+    // quantization), integer multiply-mod planes (q72's family, 32 tables
+    // x 3 bits, MSB-first key under the table index byte), bucket
+    // equi-join candidates, exact cosine rank (q23's proven arithmetic).
+    // recall>=0.9 vs q23 stays gated in ScalaTest.
+    "q24_ann_lsh" -> {
+      def bit(b: Int): String =
+        "(CASE WHEN list_dot_product(codes, " +
+          s"list_transform(range(64), d -> (((((t*3+$b) * 1000003) + d) % 1000000007)" +
+          s" * 2654435761) % 10007 - 5003)::DOUBLE[]) > 0 THEN ${1 << (2 - b)} ELSE 0 END)"
+      val key = (0 until 3).map(bit).mkString("\n         |    + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS qs FROM e),
+         |qz AS (SELECT vec_id,
+         |         CASE WHEN qs = 0 THEN list_transform(v, x -> 0.0)
+         |              ELSE list_transform(v, x -> round(x * 127.0 / qs)::INT::DOUBLE) END
+         |           AS codes
+         |       FROM sc),
+         |tb AS (SELECT vec_id, t * 72057594037927936 + $key AS bucket
+         |       FROM qz, unnest(range(32)) AS tt(t)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |         FROM tb q JOIN tb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |         WHERE q.vec_id % 50 = 0),
+         |s AS (SELECT query_id, cand.vec_id,
+         |        list_cosine_similarity(qe.v, ce.v) AS cos
+         |      FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                JOIN e ce ON ce.vec_id = cand.vec_id),
+         |rk AS (SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |       FROM s)
+         |SELECT query_id, rank, vec_id FROM rk WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    // q32's parity legs (q49's pattern): the pruned probe, the exhaustive
+    // probe, and cross-quantizer exhaustive agreement are each pinned to
+    // k=10 — exhaustive inverted-file probes are training-independent, so
+    // a vector lost/duplicated/mis-assigned under either quantizer breaks
+    // a count. DuckDB never needs the trained centroids.
+    "q32_ann_ivf" ->
+      """SELECT vec_id AS query_id, 10::BIGINT AS n_ivf, 10::BIGINT AS n_exh,
+        |  10::BIGINT AS n_agree
+        |FROM embeddings WHERE vec_id % 50 = 0
+        |ORDER BY query_id""".stripMargin,
+    // q38's parity legs: the standing-index pruned probe, the standing
+    // index probed exhaustively (reads every posting dir — the exact
+    // top-k over whatever the index STORES), and that storage probe's
+    // agreement with an exhaustive in-query probe under an independent
+    // quantizer — a posting row lost or duplicated anywhere in the
+    // build/publish/cache lifecycle breaks a count
+    "q38_ann_ivf_indexed" ->
+      """SELECT vec_id AS query_id, 10::BIGINT AS n_idx, 10::BIGINT AS n_exh,
+        |  10::BIGINT AS n_agree
+        |FROM embeddings WHERE vec_id % 50 = 0
+        |ORDER BY query_id""".stripMargin,
     // strlen (bytes), not length (chars): the payload is UTF-8 bytes
     "q25_multimodal" ->
       """SELECT doc_id AS asset_id,
@@ -899,8 +1005,10 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // Portable-hash signature twins (q65–q67): md5 is a byte-exact
     // published standard both engines implement over UTF-8, so the
-    // signature VALUES themselves are recomputed by the oracle — the
-    // replayable counterparts of the xxhash64-gated q20/q21/q22 surfaces.
+    // signature VALUES themselves are recomputed by the oracle. Since
+    // round 12 the registered q21/q22/q24 surfaces run on the same
+    // portable base hash (oracle-green); these remain as the focused
+    // signature-only replays the specs cross-check against.
     "q65_minhash_replay" -> {
       val mins = (0 until 12)
         .map(i => s"min(md5('$i:' || s)) AS m$i").mkString(", ")
@@ -1152,6 +1260,47 @@ object SparkEntry {
         |          GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q74's pair CTEs + the seed-and-extend replay: every cross-document
+    // k-gram match projected onto its alignment diagonal, consecutive
+    // positions merged into maximal runs (gaps-and-islands), extents and
+    // the sha256 of each extracted span recomputed verbatim
+    "q79_span_extract" ->
+      """WITH d AS (SELECT doc_id, text, greatest(length(text) - 20, 0) + 1 AS np
+        |           FROM documents),
+        |pos AS (SELECT doc_id, text, np, unnest(range(1, np + 1)) AS p FROM d),
+        |keys AS (SELECT doc_id, np, p, md5(substr(text, p, 20)) AS h FROM pos),
+        |wins AS (SELECT doc_id, np, p,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+        |  FROM keys),
+        |fp AS (SELECT DISTINCT doc_id, sel FROM wins
+        |       WHERE p <= greatest(np - 8, 0) + 1),
+        |dfc AS (SELECT sel, count(*) AS df FROM fp GROUP BY sel),
+        |rare AS (SELECT fp.doc_id, fp.sel FROM fp JOIN dfc USING (sel)
+        |         WHERE df <= 32),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM rare a JOIN rare b
+        |            ON a.sel = b.sel AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |m AS (SELECT pr.doc_a, pr.doc_b, ka.p AS ia, kb.p - ka.p AS diag
+        |      FROM pairs pr
+        |      JOIN keys ka ON ka.doc_id = pr.doc_a
+        |      JOIN keys kb ON kb.doc_id = pr.doc_b AND kb.h = ka.h),
+        |isl AS (SELECT doc_a, doc_b, diag, ia,
+        |          ia - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |                                  ORDER BY ia) AS island
+        |        FROM m),
+        |sp AS (SELECT doc_a, doc_b, diag, island, min(ia) AS start_a,
+        |         max(ia) - min(ia) + 20 AS len
+        |       FROM isl GROUP BY 1, 2, 3, 4)
+        |SELECT sp.doc_a, sp.doc_b,
+        |  CAST(start_a AS BIGINT) AS start_a,
+        |  CAST(start_a + diag AS BIGINT) AS start_b,
+        |  CAST(len AS BIGINT) AS len,
+        |  sha256(substr(d.text, start_a, len)) AS span_sha
+        |FROM sp JOIN d ON d.doc_id = sp.doc_a
+        |WHERE len >= 20
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     // portable SRP: int8 codes (sign-invariant quantization) against
     // multiply-mod integer hyperplanes — every dot ≤ 127·5003·64, exact in
     // DOUBLE arithmetic, so the packed sign-bit bucket keys hash-match

@@ -16,9 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * subtree (substring → cast → md5 → hex) interpreted PER ELEMENT; this
   * reuses one `MessageDigest` per thread and a monotonic deque for the
   * window minima (O(positions), not O(positions·w) slices). Measured ~5×
-  * on the q67 bench path. Gram extraction uses `UTF8String.substringSQL`,
-  * so char semantics match SQL `substr` exactly (code points, not UTF-16
-  * units — the builtin-parity test would catch a divergence).
+  * on the q67 bench path. Gram extraction walks a precomputed table of
+  * UTF-8 code-point byte offsets and hashes the byte slice directly —
+  * replicating SQL `substr` semantics (code points, not UTF-16 units)
+  * without calling `UTF8String.substringSQL` per position (the
+  * builtin-parity test would catch a divergence).
   */
 object Md5WinnowFold {
   private val tl = new ThreadLocal[java.security.MessageDigest] {

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   */
 object SrpFold {
   private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Boolean), Array[Double]]()
 
   private def splitmix(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L
@@ -32,16 +32,33 @@ object SrpFold {
     z ^ (z >>> 31)
   }
 
-  /** Flat (tables*bits) x dim plane matrix, row-major by plane index. */
-  def planes(nPlanes: Int, dim: Int): Array[Double] =
-    planeCache.computeIfAbsent((nPlanes, dim), { _ =>
+  /** Flat (tables*bits) x dim plane matrix, row-major by plane index.
+    *
+    * Two plane families share the fold:
+    *  - `portable = false`: SplitMix64 doubles in [-1, 1] — the fast
+    *    production stream (plane p, component j = `splitmix((p << 32) | j)
+    *    / 2^63`).
+    *  - `portable = true`: small INTEGERS in [-5003, 5003] from a
+    *    multiply-mod stream any SQL engine evaluates with plain bigint
+    *    arithmetic (`((p·1000003 + j) mod 1000000007) · 2654435761 mod
+    *    10007 − 5003`, q72's formula). Over int8-code inputs every dot
+    *    term and partial sum is an integer below 2^53, so the double
+    *    accumulation is EXACT and the sign decision replays bit-for-bit
+    *    in an oracle (the q62 float-free-score discipline).
+    */
+  def planes(nPlanes: Int, dim: Int, portable: Boolean = false): Array[Double] =
+    planeCache.computeIfAbsent((nPlanes, dim, portable), { _ =>
       val out = new Array[Double](nPlanes * dim)
       var p = 0
       while (p < nPlanes) {
         var j = 0
         while (j < dim) {
           out(p * dim + j) =
-            splitmix((p.toLong << 32) | j.toLong).toDouble / 9.223372036854776e18
+            if (portable)
+              ((((p.toLong * 1000003L + j) % 1000000007L) * 2654435761L)
+                % 10007L - 5003L).toDouble
+            else
+              splitmix((p.toLong << 32) | j.toLong).toDouble / 9.223372036854776e18
           j += 1
         }
         p += 1
@@ -49,8 +66,10 @@ object SrpFold {
       out
     })
 
-  def buckets(v: ArrayData, tables: Int, bitsPerTable: Int, dim: Int): ArrayData = {
-    val pm = planes(tables * bitsPerTable, dim)
+  def buckets(
+      v: ArrayData, tables: Int, bitsPerTable: Int, dim: Int,
+      portable: Boolean = false): ArrayData = {
+    val pm = planes(tables * bitsPerTable, dim, portable)
     val n = v.numElements()
     val dimOk = n == dim
     val out = new Array[Long](tables)
@@ -88,7 +107,9 @@ object SrpFold {
   * generated code, better locality, and the hyperplane constants never
   * ride the plan.
   */
-case class SrpBuckets(child: Expression, tables: Int, bitsPerTable: Int, dim: Int)
+case class SrpBuckets(
+    child: Expression, tables: Int, bitsPerTable: Int, dim: Int,
+    portable: Boolean = false)
     extends UnaryExpression {
 
   require(bitsPerTable <= 56, "bit key must fit below the table-index byte")
@@ -102,19 +123,26 @@ case class SrpBuckets(child: Expression, tables: Int, bitsPerTable: Int, dim: In
   override def prettyName: String = "srp_buckets"
 
   override def nullSafeEval(input: Any): Any =
-    SrpFold.buckets(input.asInstanceOf[ArrayData], tables, bitsPerTable, dim)
+    SrpFold.buckets(input.asInstanceOf[ArrayData], tables, bitsPerTable, dim, portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SrpFold.buckets($c, $tables, $bitsPerTable, $dim);")
+      s"${ev.value} = graft.functions.SrpFold.buckets($c, $tables, $bitsPerTable, $dim, $portable);")
 
   override protected def withNewChildInternal(newChild: Expression): SrpBuckets =
     copy(child = newChild)
 }
 
 object SrpBuckets {
-  /** Column API entry point. */
+  /** Column API entry point (production SplitMix64 planes). */
   def apply(v: Column, tables: Int, bitsPerTable: Int, dim: Int): Column =
     ColumnBridge.column(
       SrpBuckets(ColumnBridge.expression(v), tables, bitsPerTable, dim))
+
+  /** Portable-plane entry point: integer multiply-mod planes over
+    * int8-code inputs — exact-replayable bucket keys (see `SrpFold.planes`).
+    */
+  def portable(v: Column, tables: Int, bitsPerTable: Int, dim: Int): Column =
+    ColumnBridge.column(
+      SrpBuckets(ColumnBridge.expression(v), tables, bitsPerTable, dim, portable = true))
 }

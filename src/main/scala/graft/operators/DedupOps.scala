@@ -340,14 +340,50 @@ object DedupOps {
   def simhash(shingleArr: Column): Column =
     graft.functions.SimHash64(transform(shingleArr, s => xxhash64(s)))
 
-  /** q21: per-document SimHash fingerprint (deterministic; rows-only check —
-    * the bit-vote fold is not expressible in the SQL oracle).
+  /** q21: the REGISTERED SimHash surface, on the PORTABLE md5 base hash —
+    * per-document 32-bit fingerprint (`Md5SimHash`, q66's fold) PLUS its
+    * Hamming near-neighbor count via the pigeonhole chunk join, every
+    * column value-checked by the SQL oracle. The xxhash64 `simhash`/
+    * `simhashNearDup` path stays as the documented perf variant with
+    * identical algebra (same vote fold, same chunk-join shape — the specs
+    * pin both).
+    *
+    * Chunking: 4 chunks of 8 bits — any pair at Hamming distance ≤ 3
+    * shares at least one chunk, so the chunk equi-join is exact for the
+    * ≤ 3 threshold. `n_near` counts each document's distinct neighbors.
+    *
+    * Scale shape (100 TB): one native per-row vote fold, one df-bounded
+    * chunk equi-join (256 buckets × 4 chunk slots), one pair distinct,
+    * one count — never all-pairs. The fingerprint frame is persisted: it
+    * feeds the output AND both join sides.
     */
-  def q21Simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // distribute the per-row hash folds
-      .select(col("doc_id"), simhash(shingles(col("text"))).as("fingerprint"))
+  def q21Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // spread the md5 CPU off a single file
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0) // zero shingles: no features, no claim
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_features"),
+        graft.functions.Md5SimHash(col("sh")).as("simhash32"))
+      .persist()
+    val chunked = fp
+      .select(col("doc_id"), col("simhash32"),
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      .select(col("doc_id"), col("simhash32"),
+        struct(col("ci"), expr("shiftright(simhash32, ci * 8) & 255")).as("chunk"))
+    val near = chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr"),
+        bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_id"), col("nbr")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    fp.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_features"), col("simhash32"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
       .orderBy(col("doc_id"))
+  }
 
   /** Hamming near-dup candidates over SimHash fingerprints, banded into 4
     * 16-bit chunks: by pigeonhole any pair at Hamming distance ≤ 3 shares at

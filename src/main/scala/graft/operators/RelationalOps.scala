@@ -325,6 +325,11 @@ object RelationalOps {
   def q34ValueStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = Tables.events(spark, dir)
+      // percentile semantics ignore NULLs (as the replaced median/
+      // percentile aggregates and the DuckDB quantile_cont oracle do);
+      // without this a nullable value column would form a NULL histogram
+      // bucket and silently shift n/cum
+      .where(col("value").isNotNull)
       .groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("cnt"))
     val cum = hist

@@ -202,19 +202,27 @@ object TextOps {
             j => array_min(slice(hashes, j + 1, lit(w))))))),
       1)
 
-  /** q22: per-document winnowing fingerprint summary (rows-only check: the
-    * fingerprint construction is beyond the SQL oracle; determinism is
-    * covered by ScalaTest).
+  /** q22: the REGISTERED winnowing-fingerprint surface, on the PORTABLE
+    * md5 base hash (`Md5Winnow`, q67's fold) — fingerprint count, a digest
+    * over the sorted fingerprint values, and the `langId` guess, every
+    * column value-checked by the SQL oracle (window min over md5 k-gram
+    * digests + the marker-intersection argmax). The xxhash64
+    * `winnowFingerprint` path stays as the documented perf variant with
+    * identical algebra (same rolling-gram + sliding-min construction —
+    * the parity specs pin both).
+    *
+    * Scale shape (100 TB): one native per-row fold, no shuffle beyond the
+    * deliberate CPU-spreading repartition.
     */
   def q22Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .repartition(col("doc_id")) // distribute the per-row hash windows
-      .select(col("doc_id"), winnowFingerprint("text").as("fp"),
+      .select(col("doc_id"), md5WinnowFingerprint(col("text")).as("fp"),
         langId(col("text")).as("lang_guess"))
       .select(
         col("doc_id"),
-        size(col("fp")).as("n_fingerprints"),
-        xxhash64(col("fp")).as("fp_checksum"),
+        size(col("fp")).cast("long").as("n_fingerprints"),
+        md5(concat_ws("", col("fp")).cast("binary")).as("fp_checksum"),
         col("lang_guess"))
       .orderBy(col("doc_id"))
   }
@@ -347,8 +355,13 @@ object TextOps {
       w: Int = 8,
       dfCap: Long = 32L,
       minShared: Long = 2L): DataFrame = {
+    // PERSIST the exploded fingerprints: the frame feeds the df count AND
+    // both self-join sides — without the cache the expensive half (the
+    // per-row md5 winnow fold + explode) executes up to three times
+    // (exchange reuse covers only the two join sides)
     val fp = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(md5WinnowFingerprint(col("text"), k, w)).as("fp"))
+      .persist()
     val dfc = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val rare = fp.join(dfc.filter(col("df") <= dfCap), Seq("fp"))
       .select(col("doc_id"), col("fp"))
@@ -368,6 +381,82 @@ object TextOps {
   def q74SpanCandidates(spark: SparkSession, dir: String): DataFrame =
     spanCandidates(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SHARED-SPAN EXTRACTION — the last mile of substring dedup: turn
+    * `spanCandidates`' pairs into the actual maximal shared-span extents
+    * `(doc_a, doc_b, start_a, start_b, len, span_sha)`. q70 strips spans
+    * frequent across the CORPUS; this recovers a rare passage copied
+    * between just 2–5 documents, which a frequency threshold cannot see.
+    *
+    * Seed-and-extend, set-oriented: for each candidate pair, match every
+    * k-gram digest of `doc_a` against `doc_b`'s (the equi-join seeds),
+    * project each match onto its alignment diagonal `diag = pos_b −
+    * pos_a`, and merge CONSECUTIVE positions on a diagonal
+    * (gaps-and-islands: `pos − row_number` per (pair, diag)) into maximal
+    * runs — a run of `r` consecutive matching k-grams is exactly a
+    * maximal shared span of length `r + k − 1`. This is the classic
+    * per-pair extend loop re-expressed as one join + one bounded window,
+    * so it distributes and the oracle replays it row-for-row (k-gram
+    * digests, islands, extents, and the sha256 of each extracted span).
+    *
+    * Scale shape (100 TB): the gram explosion runs ONLY over documents
+    * that appear in some candidate pair (left-semi pruning) — the corpus
+    * never explodes; match volume is bounded by the candidate pairs
+    * (already df-capped upstream) times document length; the island
+    * window partitions by (pair, diagonal) — thousands of tiny
+    * partitions, never a corpus-wide sort.
+    */
+  def spanExtents(
+      docs: DataFrame,
+      k: Int = 20,
+      w: Int = 8,
+      dfCap: Long = 32L,
+      minShared: Long = 2L,
+      minLen: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = spanCandidates(docs, k, w, dfCap, minShared)
+      .select(col("doc_a"), col("doc_b")).persist()
+    // per-position k-gram digests of one pair side, pruned to documents
+    // the pair list actually names (md5 is top-level per exploded row —
+    // codegen, no interpreted HOF lambda)
+    def grams(side: Column, as: String): DataFrame =
+      docs.join(pairs.select(side.as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - k, lit(0)) + 1)).as("p"))
+        .select(col("doc_id").as(s"${as}_doc"), col("p").as(s"${as}_p"),
+          md5(expr(s"substr(text, p, $k)").cast("binary")).as(s"${as}_h"))
+    val m = pairs
+      .join(grams(col("doc_a"), "a"), col("doc_a") === col("a_doc"))
+      .join(grams(col("doc_b"), "b"),
+        col("doc_b") === col("b_doc") && col("a_h") === col("b_h"))
+      .select(col("doc_a"), col("doc_b"), col("a_p").as("ia"),
+        (col("b_p") - col("a_p")).as("diag"))
+    val wnd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("ia"))
+    val spans = m
+      .withColumn("island", col("ia") - row_number().over(wnd))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("ia")).as("start_a"), max(col("ia")).as("end_a"))
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        (col("start_a") + col("diag")).cast("long").as("start_b"),
+        (col("end_a") - col("start_a") + k).cast("long").as("len"))
+      .filter(col("len") >= minLen)
+    spans
+      .join(docs.select(col("doc_id").as("doc_a"), col("text")), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"), col("len"),
+        sha2(expr("substr(text, cast(start_a AS int), cast(len AS int))"), 256)
+          .as("span_sha"))
+  }
+
+  /** q79: maximal shared-span extents behind q74's candidates (the grams,
+    * alignment diagonals, island merge, and span hashes are all replayed
+    * by the SQL oracle; the extracted-spans-are-equal proof lives in
+    * ScalaTest).
+    */
+  def q79SpanExtract(spark: SparkSession, dir: String): DataFrame =
+    spanExtents(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
 
   /** Gopher/MassiveText-style QUALITY RULES (Rae et al. 2021, §A1.1 —
     * the standard pre-training quality filter family): per-document word

@@ -232,8 +232,10 @@ object StreamEmbedIndex {
     * both engines; normalized doubles round-trip parquet exactly). A flag
     * lost to the standing leg's beforeBatch filter, a delta row dropped,
     * or a batch matching its own appended vectors all change rows and
-    * fail the hash. Threshold 0.4 = q28's populated range (the corpus
-    * tops out near 0.51, so flags exist at every sf).
+    * fail the hash. Threshold 0.25 sits inside the corpus's populated
+    * cosine range (top neighbor cosines reach ~0.51, so flags exist at
+    * every sf) — it is also baked into the guard-state cache dir name
+    * (`guard-t25-`) and the DuckDB oracle, so all three move together.
     *
     * The replayed state is fingerprint-cache-keyed (q49's pattern): the
     * multi-step build lands under a tmp dir and renames into place — a

@@ -153,21 +153,31 @@ class SimilarityOpsSpec extends AnyFunSuite {
   }
 
   test("IVF ANN recall@10 >= 0.9 vs brute force on sf0.001") {
+    val c = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val brute = SimilarityOps.q23AnnTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = SimilarityOps.q32AnnIvf(spark, sf)
+    val ivf = SimilarityOps.annTopKIvf(c, q, 10)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(brute.nonEmpty)
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.9, s"IVF recall@10 = $recall")
   }
 
-  test("IVF candidate generation is a cid equi-join (no cartesian, no BNLJ)") {
-    val plan = SimilarityOps.q32AnnIvf(spark, sf)
-      .queryExecution.executedPlan.toString
+  test("registered q32 parity legs all pin to 10 and the plan has no cartesian/BNLJ") {
+    val df = SimilarityOps.q32AnnIvf(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; i <- 1 to 3)
+      assert(r.getLong(i) == 10,
+        s"IVF parity divergence at query ${r.getLong(0)}: $r")
     // centroids are literal arrays after driver-side training, so the
-    // whole assign/probe path is codegen projections: the ONLY join in the
-    // plan is the cid equi-join against the inverted file
+    // whole assign/probe path is codegen projections: the ONLY joins in
+    // the plan are the cid equi-join against the inverted file and the
+    // count/agreement equi-joins
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }

@@ -131,4 +131,48 @@ class StripBoilerplateSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty, s"frequent-set match is not a broadcast hash join:\n$plan")
   }
+
+  test("q79 span extents: extracted spans are EQUAL, maximal, and recover the planted span") {
+    import spark.implicits._
+    val span = "this exact copied span runs well past twenty characters"
+    def tail(i: Long) = sha(s"t-$i").take(40)
+    val corpus = Seq(
+      (1L, s"alpha ${tail(1)} $span ${tail(11)} omega"),
+      (2L, s"beta prelude ${tail(2)} $span ${tail(12)} coda"),
+      (3L, s"unrelated ${tail(3)} organic content ${tail(13)}"))
+    val docs = corpus.toDF("doc_id", "text")
+    val rows = TextOps.spanExtents(docs, dfCap = 8L, minShared = 1L).collect()
+    val byId = corpus.toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb, ln) =
+        (r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4).toInt)
+      val ta = byId(a); val tb = byId(b)
+      val spanA = ta.substring(sa - 1, math.min(sa - 1 + ln, ta.length))
+      val spanB = tb.substring(sb - 1, math.min(sb - 1 + ln, tb.length))
+      // SOUNDNESS: the reported extents really hold the same text
+      assert(spanA == spanB, s"span mismatch ($a,$b,$sa,$sb,$ln)")
+      // MAXIMALITY: the span cannot be extended by one char either way
+      // (island merging on the alignment diagonal guarantees this — a
+      // matching neighbor char would imply a matching k-gram one position
+      // over, which would have joined the island)
+      assert(sa == 1 || sb == 1 || ta(sa - 2) != tb(sb - 2),
+        s"span extends left ($a,$b,$sa,$sb,$ln)")
+      assert(sa - 1 + ln >= ta.length || sb - 1 + ln >= tb.length ||
+        ta(sa - 1 + ln) != tb(sb - 1 + ln),
+        s"span extends right ($a,$b,$sa,$sb,$ln)")
+      // the span hash matches the extracted text
+      assert(r.getString(5) == sha(spanA), s"span_sha mismatch ($a,$b)")
+    }
+    // the planted copied passage is recovered whole inside some extent
+    assert(rows.exists { r =>
+      r.getLong(0) == 1L && r.getLong(1) == 2L && {
+        val s0 = r.getLong(2).toInt - 1
+        val l = r.getLong(4).toInt
+        val t = byId(1L)
+        t.substring(s0, math.min(s0 + l, t.length)).contains(span)
+      }
+    }, s"planted span not recovered: ${rows.mkString("; ")}")
+  }
 }

@@ -120,18 +120,30 @@ class StreamNearDupSpec extends AnyFunSuite {
     try {
       val probeBands = Seq((10L, 1L), (11L, 2L)).toDF("doc_id", "band_key")
       val cands = StreamNearDup.indexCandidates(spark, s"$base/index", probeBands)
-      val plan = cands.queryExecution.executedPlan.toString
+      val qe = cands.queryExecution
+      val plan = qe.executedPlan.toString
       assert(plan.contains("Bucketed: true"),
         s"standing side is not a bucketed scan:\n$plan")
       assert(plan.contains("SortMergeJoin"), plan)
-      // exactly two exchanges: the arriving batch shuffling INTO the
+      // exactly two shuffles: the arriving batch shuffling INTO the
       // bucket layout, and the distinct over the (tiny) candidate pairs.
       // A third would mean the standing index is being re-shuffled —
       // the grows-with-corpus-age per-batch cost this layout removes.
-      val exchanges = "Exchange".r.findAllIn(plan).size
+      // Count REAL shuffle nodes (post-EnsureRequirements, unwrapping the
+      // AQE node) — the substring form also matched ReusedExchange/
+      // BroadcastExchange text (the round-10 fragility class), and the
+      // pre-preparation sparkPlan has no exchanges at all.
+      val exec = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val exchanges = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
       assert(exchanges == 2,
         s"expected only the arriving batch's shuffle + the candidate distinct, " +
-          s"found $exchanges:\n$plan")
+          s"found $exchanges:\n$exec")
 
       // ...and the sets verification read is partition-pruned to the
       // candidates' doc_buckets: without the pushed filter every batch
