@@ -98,7 +98,55 @@ object SparkEntry {
     "q77_clean_profile" -> (CurateOps.q77CleanProfile(_, _)),
     "q78_gray_png_decode" -> (MultimodalOps.q78GrayPngDecode(_, _)),
     "q79_span_extract" -> (TextOps.q79SpanExtract(_, _)),
+    "q80_bpe_tokens" -> (TextOps.q80BpeTokens(_, _)),
+    "q81_bpe_length_profile" -> (TextOps.q81BpeLengthProfile(_, _)),
+    "q82_bpe_pack_chunks" -> (PackOps.q82BpePackChunks(_, _)),
   )
+
+  /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
+    * fixed merges table replayed one-pair-at-a-time by a recursive CTE —
+    * per step, each word-state applies the leftmost occurrence of its
+    * lowest-rank applicable merge; for a WELL-FORMED table this is
+    * provably the GPT-2 merge-all loop's result (see `BpeFold`). Word
+    * states ride as space-separated token strings wrapped in spaces, so
+    * a merge is one `strpos` + string surgery. Ends in
+    * `bpe(doc_id, n_bpe, tok_digest)`; callers must open WITH RECURSIVE.
+    */
+  private def bpeCtes: String = {
+    val merges = graft.functions.BpeFold.Merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, ' $l $r ', ' $l$r ')" }
+      .grouped(4).map(_.mkString(", ")).mkString(",\n        |    ")
+    s"""pre AS (SELECT doc_id,
+       |          regexp_extract_all(lower(text), '${operators.TextOps.BpeTokenPattern}', 0) AS ws
+       |        FROM documents),
+       |words AS (SELECT doc_id, widx, ws[widx] AS w
+       |          FROM pre, unnest(range(1, len(ws) + 1)) AS t(widx)),
+       |init AS (SELECT doc_id, widx,
+       |           ' ' || array_to_string(list_transform(range(length(w)),
+       |                   i -> substr(w, i + 1, 1)), ' ') || ' ' AS s
+       |         FROM words),
+       |merges AS (SELECT * FROM (VALUES
+       |    $merges) m(rank, pat, rep)),
+       |rec AS (
+       |  SELECT doc_id, widx, s FROM init
+       |  UNION ALL
+       |  SELECT b.doc_id, b.widx,
+       |    substr(b.s, 1, strpos(b.s, m.pat) - 1) || m.rep ||
+       |      substr(b.s, strpos(b.s, m.pat) + length(m.pat)) AS s
+       |  FROM (SELECT doc_id, widx, s,
+       |          (SELECT min(m2.rank) FROM merges m2 WHERE strpos(s, m2.pat) > 0) AS br
+       |        FROM rec) b
+       |  JOIN merges m ON m.rank = b.br),
+       |fin AS (SELECT doc_id, widx, s,
+       |          row_number() OVER (PARTITION BY doc_id, widx ORDER BY length(s)) AS rn
+       |        FROM rec),
+       |wtok AS (SELECT doc_id, widx, trim(s) AS ts FROM fin WHERE rn = 1),
+       |bpe AS (SELECT p.doc_id,
+       |          coalesce(sum(len(string_split(ts, ' '))), 0)::BIGINT AS n_bpe,
+       |          coalesce(md5(string_agg(ts, ' ' ORDER BY widx)), md5('')) AS tok_digest
+       |        FROM pre p LEFT JOIN wtok USING (doc_id)
+       |        GROUP BY p.doc_id)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1301,6 +1349,46 @@ object SparkEntry {
         |FROM sp JOIN d ON d.doc_id = sp.doc_a
         |WHERE len >= 20
         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    // BPE apply replayed merge-for-merge (the recursive-CTE fragment);
+    // count + token-stream digest per document
+    "q80_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         |$bpeCtes
+         |SELECT doc_id, n_bpe, tok_digest FROM bpe ORDER BY doc_id""".stripMargin,
+    // q54's profile rule over REAL BPE counts
+    "q81_bpe_length_profile" ->
+      s"""WITH RECURSIVE
+         |$bpeCtes,
+         |t AS (SELECT d.lang, b.doc_id, b.n_bpe AS n_tokens
+         |      FROM bpe b JOIN documents d USING (doc_id)),
+         |r AS (SELECT lang, n_tokens,
+         |        row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n_docs
+         |      FROM t)
+         |SELECT lang, max(n_docs)::BIGINT AS n_docs,
+         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+         |  sum(n_tokens)::BIGINT AS total_tokens,
+         |  max(CASE WHEN rn = (n_docs - 1) * 50 // 100 + 1 THEN n_tokens END) AS p50_tokens,
+         |  max(CASE WHEN rn = (n_docs - 1) * 90 // 100 + 1 THEN n_tokens END) AS p90_tokens,
+         |  max(CASE WHEN rn = (n_docs - 1) * 99 // 100 + 1 THEN n_tokens END) AS p99_tokens
+         |FROM r GROUP BY lang
+         |ORDER BY lang""".stripMargin,
+    // q39's chunk math budgeted by the BPE counts
+    "q82_bpe_pack_chunks" ->
+      s"""WITH RECURSIVE
+         |$bpeCtes,
+         |t AS (SELECT doc_id, n_bpe AS tok FROM bpe),
+         |o AS (SELECT doc_id, tok,
+         |        coalesce(sum(tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS off
+         |      FROM t)
+         |SELECT doc_id, chunk_id,
+         |  greatest(chunk_id * 256 - off, 0)::bigint AS begin_tok,
+         |  least((chunk_id + 1) * 256 - off, tok)::bigint AS end_tok
+         |FROM (SELECT doc_id, tok, off,
+         |        unnest(range(off // 256, (off + tok - 1) // 256 + 1)) AS chunk_id
+         |      FROM o WHERE tok > 0)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     // portable SRP: int8 codes (sign-invariant quantization) against
     // multiply-mod integer hyperplanes — every dot ≤ 127·5003·64, exact in
     // DOUBLE arithmetic, so the packed sign-bit bucket keys hash-match

@@ -115,11 +115,19 @@ object PackOps {
     * longs — a float `floor(x/c)` would lose exactness past 2^53, which a
     * 100 TB corpus' total token count can reach).
     */
-  def packChunks(docs: DataFrame, capacity: Long): DataFrame = {
+  def packChunks(docs: DataFrame, capacity: Long): DataFrame =
+    packChunksBy(
+      docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok")),
+      capacity)
+
+  /** `packChunks` over a caller-supplied `(doc_id, tok)` token-count frame
+    * — the hook that lets packing budget REAL subword counts (q82 feeds
+    * BPE counts) instead of the whitespace approximation.
+    */
+  def packChunksBy(withTok: DataFrame, capacity: Long): DataFrame = {
     require(capacity > 0, s"chunk capacity must be positive: $capacity")
-    val withTok = docs.select(
-      col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("tok"))
     exclusivePrefixSum(withTok, "doc_id", "tok", "off")
       .filter(col("tok") > 0)
       .withColumn("chunk_id",
@@ -135,6 +143,21 @@ object PackOps {
   /** q39: pack the documents table into 256-token context windows. */
   def q39PackChunks(spark: SparkSession, dir: String): DataFrame =
     packChunks(Tables.documents(spark, dir), 256L)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** q82: q39's concat-and-chunk packing budgeted by REAL BPE subword
+    * counts (`TextOps.bpeTokens`) — what a tokenize-and-pack writer
+    * actually spends per document. Same single-wide-shuffle shape; the
+    * oracle replays the BPE counts via the recursive-CTE merge loop and
+    * the chunk math verbatim.
+    */
+  def q82BpePackChunks(spark: SparkSession, dir: String): DataFrame =
+    packChunksBy(
+      Tables.documents(spark, dir)
+        .repartition(col("doc_id")) // spread the merge-loop CPU
+        .select(col("doc_id"),
+          size(TextOps.bpeTokens(col("text"))).cast("long").as("tok")),
+      256L)
       .orderBy(col("doc_id"), col("chunk_id"))
 
   /** Build a packed training EPOCH in one call: weighted-repetition mix

@@ -85,6 +85,41 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE token stream of a text column: the engine's fixed merges table
+    * (`BpeFold.Merges`) applied to the regex pre-tokens of the lowercased
+    * text — REAL subword counts for length profiles (q81), packing
+    * budgets (q82), and vocab work, where q31's whitespace/pre-token
+    * counts only approximate. One native per-row fold (`BpeTokens`).
+    */
+  def bpeTokens(text: Column): Column =
+    graft.functions.BpeTokens(
+      regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0)))
+
+  /** q80: per-document BPE tokenization — subword count and an md5 digest
+    * over the space-joined token stream, both replayed merge-for-merge by
+    * the SQL oracle's recursive CTE (one-pair-at-a-time application,
+    * equivalent for a well-formed table — see `BpeFold`).
+    */
+  def q80BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // spread the merge-loop CPU
+      .select(col("doc_id"), bpeTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe"),
+        md5(concat_ws(" ", col("toks")).cast("binary")).as("tok_digest"))
+      .orderBy(col("doc_id"))
+
+  /** q81: q54's per-language length profile over REAL BPE subword counts
+    * (the statistic a training pipeline actually budgets with) — same
+    * histogram-percentile machinery, same oracle rule, token counts from
+    * the shared merges table.
+    */
+  def q81BpeLengthProfile(spark: SparkSession, dir: String): DataFrame =
+    tokenLengthProfile(Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // spread the merge-loop CPU
+      .select(col("lang"),
+        size(bpeTokens(col("text"))).cast("long").as("n_tokens")))
+
   /** q37: within-document repetition — the top-bigram fraction quality
     * signal (a dominant repeated phrase is the classic low-quality /
     * boilerplate marker in training-data filtering). Bigrams here are NOT
@@ -244,11 +279,18 @@ object TextOps {
     * document of a language) sorted 90%+ of a skewed real corpus in one
     * task; this never sorts the row stream at all (plan-asserted).
     */
-  def q54LengthProfile(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = Tables.documents(spark, dir)
+  def q54LengthProfile(spark: SparkSession, dir: String): DataFrame =
+    tokenLengthProfile(Tables.documents(spark, dir)
       .select(col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  /** q54's histogram-percentile profile over any `(lang, n_tokens)` frame
+    * — factored so the whitespace-token profile (q54) and the BPE-token
+    * profile (q81) share one selection rule.
+    */
+  private def tokenLengthProfile(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = base
       .groupBy(col("lang"), col("n_tokens"))
       .agg(count(lit(1)).as("cnt"))
     val cum = hist
