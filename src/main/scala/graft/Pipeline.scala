@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.SimilarityOps
 import graft.sources.{Enrichment, SchemaInit}
-import graft.streaming.{CheckpointStream, StreamCurate, StreamEmbedIndex, StreamNearDup}
+import graft.streaming.{CheckpointStream, StreamCurate, StreamEmbedIndex, StreamNearDup, StreamStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   * configurable LSH geometry, and an optional embeddings feed runs the
   * streaming ANN index feeder (`StreamEmbedIndex`); both standing indexes
   * are maintained (retention GC / delta fold-retrain) in the same
-  * post-drain maintenance block as the diff sinks.
+  * post-drain maintenance block as the diff sinks. The documents feed also
+  * maintains the streaming exact length profile (`StreamStats`): a
+  * rename-published snapshot per micro-batch under `<workDir>/doc_profile`.
   */
 object Pipeline {
 
@@ -260,6 +262,16 @@ object Pipeline {
             bandBuckets = g.bandBuckets, setsBuckets = g.setsBuckets)
       }
     }
+    // streaming corpus profile (q73's exact-histogram twin) over the SAME
+    // documents feed the guard consumes: one complete-mode snapshot per
+    // micro-batch, rename-published under <workDir>/doc_profile — the
+    // standing "what does the ingested corpus look like right now"
+    // artifact next to the guard's flags (state is one histogram row per
+    // language, bounded by the token-count domain, never stream length)
+    val profQuery = config.docFeedDir.map(dir =>
+      StreamStats.run(spark, dir, s"${config.workDir}/ckpt_profile",
+        s"${config.workDir}/doc_profile",
+        maxFilesPerTrigger = config.docMaxFilesPerTrigger))
     // streaming ANN index feeder over the optional embeddings feed:
     // vectors searchable as they arrive (LSM base + delta generations)
     val embQuery = config.embFeedDir.map(dir =>
@@ -278,6 +290,7 @@ object Pipeline {
     dlCdcQuery.awaitTermination()
     dlQuery.foreach(_.awaitTermination())
     ndQuery.foreach(_.awaitTermination())
+    profQuery.foreach(_.awaitTermination())
     embQuery.foreach(_.awaitTermination())
 
     // diff-sink maintenance: fold the per-batch dirs and apply retention

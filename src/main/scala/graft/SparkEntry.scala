@@ -101,6 +101,8 @@ object SparkEntry {
     "q80_bpe_tokens" -> (TextOps.q80BpeTokens(_, _)),
     "q81_bpe_length_profile" -> (TextOps.q81BpeLengthProfile(_, _)),
     "q82_bpe_pack_chunks" -> (PackOps.q82BpePackChunks(_, _)),
+    "q83_jpeg_decode" -> (MultimodalOps.q83JpegDecode(_, _)),
+    "q84_jpeg_color_decode" -> (MultimodalOps.q84JpegColorDecode(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1412,5 +1414,46 @@ object SparkEntry {
          |  CAST(${bucket(3)} AS BIGINT) AS bucket_3
          |FROM qz ORDER BY vec_id""".stripMargin
     },
+    // baseline JPEG, grayscale: each 8x8 block decodes EXACTLY to its
+    // per-block formula value (DC quant 8 is lossless for flat blocks), so
+    // the decoded pixel sum is 64x the block-value sum — pure integer
+    // arithmetic on doc_id, same discipline as the q69/q78 PNG oracles
+    "q83_jpeg_decode" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (2 + doc_id % 4)::BIGINT AS wb,
+        |    (2 + (doc_id * 3) % 4)::BIGINT AS hb
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT asset_id, (8 * wb)::BIGINT AS width, (8 * hb)::BIGINT AS height,
+        |  (64 * list_sum(flatten(list_transform(range(hb), by ->
+        |     list_transform(range(wb),
+        |       bx -> (asset_id * 7 + 13 * bx + 31 * by) % 256)))))::BIGINT AS sum_gray
+        |FROM d ORDER BY asset_id""".stripMargin,
+    // baseline JPEG, 4:2:0 color: per-macroblock (Y,Cb,Cr) formulas pushed
+    // through the decoder's integer BT.601 conversion, replayed here with
+    // floor division by 2^16 (the Java `>> 16`) and the 0..255 clamps;
+    // each 16x16 macroblock contributes 256 identical RGB pixels
+    "q84_jpeg_color_decode" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (1 + doc_id % 3)::BIGINT AS wm,
+        |    (1 + (doc_id * 5) % 3)::BIGINT AS hm
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |m AS (SELECT asset_id, wm, hm,
+        |    (asset_id * 3 + 17 * mx + 29 * my) % 256 AS y,
+        |    (asset_id * 5 + 23 * mx + 7 * my) % 256 AS cb,
+        |    (asset_id * 11 + 19 * mx + 37 * my) % 256 AS cr
+        |  FROM d, unnest(range(wm)) AS t1(mx), unnest(range(hm)) AS t2(my)),
+        |px AS (SELECT asset_id, wm, hm,
+        |    least(255, greatest(0,
+        |      y + floor((91881 * (cr - 128) + 32768) / 65536.0)))::BIGINT AS r,
+        |    least(255, greatest(0,
+        |      y + floor((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768) / 65536.0)))::BIGINT AS g,
+        |    least(255, greatest(0,
+        |      y + floor((116130 * (cb - 128) + 32768) / 65536.0)))::BIGINT AS b
+        |  FROM m)
+        |SELECT asset_id, (16 * wm)::BIGINT AS width, (16 * hm)::BIGINT AS height,
+        |  (256 * sum(b))::BIGINT AS sum_b,
+        |  (256 * sum(g))::BIGINT AS sum_g,
+        |  (256 * sum(r))::BIGINT AS sum_r
+        |FROM px GROUP BY asset_id, wm, hm ORDER BY asset_id""".stripMargin,
   )
 }

@@ -925,11 +925,12 @@ object MultimodalOps {
     // belt-and-suspenders: the parsers return None on everything the
     // bounds checks anticipate, and the catch guarantees the never-throw
     // contract even for a shape they did not — one garbled asset must
-    // never kill a partition. PNG decodes into the same BmpImage shape,
-    // so it shares the image feature path (magic bytes are disjoint:
-    // 0x89'PNG' vs 'BM' vs 'RIFF').
+    // never kill a partition. PNG and baseline JPEG decode into the same
+    // BmpImage shape, so they share the image feature path (magic bytes
+    // are disjoint: 0x89'PNG' vs 'BM' vs 0xFFD8 vs 'RIFF').
     try decodeBmp(payload).map(imageFeatures)
       .orElse(decodePng(payload).map(imageFeatures))
+      .orElse(Jpeg.decodeJpeg(payload).map(imageFeatures))
       .orElse(decodeWav(payload).map(audioFeatures))
       .orElse(decodeAvi(payload).map(videoFeatures))
       .getOrElse(byteHistogram(payload))
@@ -1500,6 +1501,103 @@ object MultimodalOps {
       round(f(1)).cast("long").as("width"),
       round(f(2)).cast("long").as("height"),
       round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_gray"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** The JPEG slice of the decodable corpus (grayscale): `doc_id % 3 == 1`
+    * rows as REAL baseline-sequential JPEGs whose 8×8 blocks are each
+    * CONSTANT at `v(bx,by) = (id·7 + 13·bx + 31·by) mod 256` — a gradient
+    * at block granularity, so consecutive DC differences are non-trivial
+    * and every Huffman magnitude category gets exercised. With DC quant
+    * step 8 the encode→decode loop is EXACT (see `Jpeg.encodeJpegGrayBlocks`),
+    * which is what lets the q83 oracle recompute the decoded pixel sum as
+    * pure integer arithmetic on `doc_id`. Every other row (`id % 2 == 0`)
+    * carries a DRI restart interval of 2 MCUs, so RSTn handling sits on
+    * the oracle path, not just in specs.
+    */
+  def decodableJpegAssets(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 1)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val wB = (2 + id % 4).toInt
+          val hB = (2 + (id * 3) % 4).toInt
+          DecodableAsset(id, "image", Jpeg.encodeJpegGrayBlocks(
+            wB, hB,
+            (bx, by) => ((id * 7 + 13L * bx + 31L * by) % 256).toInt,
+            restartInterval = if (id % 2 == 0) 2 else 0))
+        }
+      }
+  }
+
+  /** The COLOR JPEG slice: `doc_id % 3 == 2` rows as 4:2:0 baseline JPEGs
+    * whose 16×16 macroblocks are each constant in (Y,Cb,Cr) — per-MCU
+    * formulas on `doc_id`, DC-only and exact, so the decoded RGB is the
+    * decoder's integer `yccToRgb` of known inputs and the chroma-replicate
+    * upsample is exact on flat macroblocks. The q84 oracle replays the
+    * BT.601 fixed-point conversion (`>> 16` = floor division) and the
+    * clamps in SQL — the full color path (interleaved MCU walk, two quant
+    * tables, subsampled planes) sits under the hash.
+    */
+  def decodableJpegColorAssets(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 2)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val wM = (1 + id % 3).toInt
+          val hM = (1 + (id * 5) % 3).toInt
+          DecodableAsset(id, "image", Jpeg.encodeJpeg420Mcus(
+            wM, hM,
+            (mx, my) => (
+              ((id * 3 + 17L * mx + 29L * my) % 256).toInt,
+              ((id * 5 + 23L * mx + 7L * my) % 256).toInt,
+              ((id * 11 + 19L * mx + 37L * my) % 256).toInt)))
+        }
+      }
+  }
+
+  /** q83: grayscale JPEG decode oracle-visible — dims plus the exact gray
+    * pixel SUM (q78's discipline for the JPEG container): each 8×8 block
+    * contributes 64·v(bx,by), which the oracle recomputes as 2-D integer
+    * arithmetic on `doc_id`. A defect anywhere on the baseline path —
+    * marker walk, canonical Huffman build, DC prediction, restart resets,
+    * dequant, the DC IDCT — shifts some sum and fails the hash.
+    */
+  def q83JpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(spark, decodableJpegAssets(spark, dir).toDF()).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    feats.select(
+      col("asset_id"),
+      round(f(1)).cast("long").as("width"),
+      round(f(2)).cast("long").as("height"),
+      round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_gray"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** q84: color 4:2:0 JPEG decode oracle-visible — dims plus exact
+    * per-channel RGB sums; the oracle replays the decoder's fixed-point
+    * BT.601 conversion (floor division by 2^16, then clamp) over the
+    * per-macroblock (Y,Cb,Cr) formulas, each macroblock contributing 256
+    * identical pixels.
+    */
+  def q84JpegColorDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(spark, decodableJpegColorAssets(spark, dir).toDF()).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    feats.select(
+      col("asset_id"),
+      round(f(1)).cast("long").as("width"),
+      round(f(2)).cast("long").as("height"),
+      round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_b"),
+      round(f(4) * 255 * f(1) * f(2)).cast("long").as("sum_g"),
+      round(f(5) * 255 * f(1) * f(2)).cast("long").as("sum_r"))
       .orderBy(col("asset_id"))
   }
 

@@ -174,6 +174,22 @@ class PipelineSpec extends AnyFunSuite {
       .probeIndex(spark, s"$base/work/neardup_index", probeDocs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(flags == Set((11L, 3L)), s"probe saw $flags")
+    // the streaming length profile ran in the same lifecycle: three
+    // single-file micro-batches published generations 0..2 (snapshot per
+    // batch), retention kept the newest two, and the current snapshot
+    // equals the batch profile of everything fed (lang-less feed → one
+    // corpus-wide "all" group)
+    val profDirs = new java.io.File(s"$base/work/doc_profile").listFiles
+      .map(_.getName).filter(_.matches("gen_\\d+")).sorted.toSeq
+    assert(profDirs == Seq("gen_1", "gen_2"), s"profile generations: $profDirs")
+    val gotProfile = graft.streaming.StreamStats
+      .readProfile(spark, s"$base/work/doc_profile")
+      .collect().map(_.toString).toSeq
+    val wantProfile = graft.streaming.StreamStats.lengthProfile(
+      texts.toDF("doc_id", "text").select(lit("all").as("lang"), col("text")))
+      .collect().map(_.toString).toSeq
+    assert(gotProfile.nonEmpty && gotProfile == wantProfile,
+      s"profile snapshot diverged:\ngot  $gotProfile\nwant $wantProfile")
   }
 
   test("curation front door runs in the lifecycle under a non-default LSH geometry") {
