@@ -103,6 +103,10 @@ object SparkEntry {
     "q82_bpe_pack_chunks" -> (PackOps.q82BpePackChunks(_, _)),
     "q83_jpeg_decode" -> (MultimodalOps.q83JpegDecode(_, _)),
     "q84_jpeg_color_decode" -> (MultimodalOps.q84JpegColorDecode(_, _)),
+    "q85_jpeg_transcode" -> (MultimodalOps.q85JpegTranscode(_, _)),
+    "q86_gif_decode" -> (MultimodalOps.q86GifDecode(_, _)),
+    "q87_cross_container_dedup" -> (MultimodalOps.q87CrossContainerDedup(_, _)),
+    "q88_image_dhash" -> (MultimodalOps.q88ImageDhash(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1455,5 +1459,60 @@ object SparkEntry {
         |  (256 * sum(g))::BIGINT AS sum_g,
         |  (256 * sum(r))::BIGINT AS sum_r
         |FROM px GROUP BY asset_id, wm, hm ORDER BY asset_id""".stripMargin,
+    // the q83 corpus through the full transcode loop (decode -> NN 2x
+    // upscale -> REAL forward-DCT re-encode -> decode): per-block-constant
+    // content survives exactly, so dims double and the pixel sum
+    // quadruples relative to q83's arithmetic
+    "q85_jpeg_transcode" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (2 + doc_id % 4)::BIGINT AS wb,
+        |    (2 + (doc_id * 3) % 4)::BIGINT AS hb
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT asset_id, (16 * wb)::BIGINT AS width, (16 * hb)::BIGINT AS height,
+        |  (256 * list_sum(flatten(list_transform(range(hb), by ->
+        |     list_transform(range(wb),
+        |       bx -> (asset_id * 7 + 13 * bx + 31 * by) % 256)))))::BIGINT AS sum_gray
+        |FROM d ORDER BY asset_id""".stripMargin,
+    // GIF/LZW: lossless palette-indexed gradient — sums are the palette
+    // arithmetic over the index formula (r(i)=i, g(i)=7i mod 256,
+    // b(i)=13i mod 256), BGR feature order mapped accordingly
+    "q86_gif_decode" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (8 + doc_id % 16)::BIGINT AS width,
+        |    (8 + (doc_id * 3) % 16)::BIGINT AS height
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT asset_id, width, height,
+        |    (asset_id * 5 + 3 * x + 7 * y) % 256 AS gi
+        |  FROM d, unnest(range(width)) AS t1(x), unnest(range(height)) AS t2(y))
+        |SELECT asset_id, width, height,
+        |  sum((gi * 13) % 256)::BIGINT AS sum_b,
+        |  sum((gi * 7) % 256)::BIGINT AS sum_g,
+        |  sum(gi)::BIGINT AS sum_r
+        |FROM px GROUP BY asset_id, width, height ORDER BY asset_id""".stripMargin,
+    // decode-normalized dedup: the planted cross-container twins (PNG
+    // asset 2*id, BMP asset 2*id+1, identical pixels) are the ONLY
+    // duplicate groups — the oracle knows exactly where they are
+    "q87_cross_container_dedup" ->
+      """SELECT (doc_id * 2)::BIGINT AS min_asset,
+        |  (doc_id * 2 + 1)::BIGINT AS max_asset,
+        |  2::BIGINT AS n_copies
+        |FROM documents ORDER BY min_asset""".stripMargin,
+    // dHash bits replayed as floor-div integer arithmetic: NN 9x8 gray
+    // grid over the 2-D gray gradient, bit 8y+x = left < right, summed
+    // into unsigned 32-bit halves
+    "q88_image_dhash" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (8 + doc_id % 16)::BIGINT AS w,
+        |    (8 + (doc_id * 3) % 16)::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (SELECT asset_id, (8 * y + x) AS i,
+        |    CASE WHEN (asset_id * 7 + 3 * ((x * w) // 9) + 5 * ((y * h) // 8)) % 256
+        |            < (asset_id * 7 + 3 * (((x + 1) * w) // 9) + 5 * ((y * h) // 8)) % 256
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM d, unnest(range(8)) AS t1(x), unnest(range(8)) AS t2(y))
+        |SELECT asset_id,
+        |  sum(CASE WHEN i >= 32 THEN b * (1::BIGINT << (i - 32)) ELSE 0 END)::BIGINT AS dhash_hi,
+        |  sum(CASE WHEN i < 32 THEN b * (1::BIGINT << i) ELSE 0 END)::BIGINT AS dhash_lo
+        |FROM bits GROUP BY asset_id ORDER BY asset_id""".stripMargin,
   )
 }

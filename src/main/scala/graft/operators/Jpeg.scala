@@ -132,13 +132,17 @@ object Jpeg {
   // ---------------------------------------------------------------------
 
   /** Separable fixed-point 2-D inverse DCT: basis `B(u,x) = round(a(u)/2 ·
-    * cos((2x+1)uπ/16) · 4096)` (a(0)=1/√2), pass 1 keeps 3 fractional bits
-    * (`>> 9`), pass 2 descales the composed 2^15 scale in one rounding —
-    * measured within ±1 of the double-precision reference on random
-    * coefficient blocks (JpegSpec). The all-AC-zero block short-circuits to
-    * the exact `(dc + 4) >> 3` flat fill — the standard decoder fast path,
-    * and the reason the per-block-constant oracle corpus decodes EXACTLY
-    * (with quant 8, `((8·(v−128)) + 4) >> 3 + 128 == v` for every v).
+    * cos((2x+1)uπ/16) · 2^13)` (a(0)=1/√2 — 13-bit precision, libjpeg's
+    * CONST_BITS choice, so table-quantization error stays well under the
+    * final rounding for pixel-domain coefficient energies), pass 1 keeps
+    * 4 fractional bits (`>> 9`), pass 2 descales the composed 2^17 scale
+    * in one rounding — within ±1 of the double-precision reference on
+    * coefficients of real (pixel-derived) blocks, the IEEE-1180-style
+    * accuracy domain (JpegCodecSpec). The all-AC-zero block
+    * short-circuits to the exact `(dc + 4) >> 3` flat fill — the standard
+    * decoder fast path, and the reason the per-block-constant oracle
+    * corpus decodes EXACTLY (with quant 8,
+    * `((8·(v−128)) + 4) >> 3 + 128 == v` for every v).
     */
   private val IdctBasis: Array[Int] = {
     val t = new Array[Int](64)
@@ -148,7 +152,7 @@ object Jpeg {
       var x = 0
       while (x < 8) {
         t(u * 8 + x) =
-          math.round(au / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0) * 4096.0).toInt
+          math.round(au / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0) * 8192.0).toInt
         x += 1
       }
       u += 1
@@ -168,7 +172,7 @@ object Jpeg {
       java.util.Arrays.fill(out, v)
       return
     }
-    // pass 1 (rows of the coefficient matrix → spatial x), scale 2^3
+    // pass 1 (rows of the coefficient matrix → spatial x), scale 2^4
     val tmp = new Array[Int](64)
     var v = 0
     while (v < 8) {
@@ -185,7 +189,7 @@ object Jpeg {
       }
       v += 1
     }
-    // pass 2 (columns → spatial y), composed scale 2^15, single rounding
+    // pass 2 (columns → spatial y), composed scale 2^17, single rounding
     var y = 0
     while (y < 8) {
       var x = 0
@@ -196,7 +200,7 @@ object Jpeg {
           acc += tmp(w * 8 + x).toLong * IdctBasis(w * 8 + y)
           w += 1
         }
-        out(y * 8 + x) = clamp8((((acc + 16384L) >> 15) + 128L).toInt)
+        out(y * 8 + x) = clamp8((((acc + 65536L) >> 17) + 128L).toInt)
         x += 1
       }
       y += 1
@@ -657,8 +661,19 @@ object Jpeg {
     */
   def encodeJpegCoeffsGray(
       wBlocks: Int, hBlocks: Int, blocks: Seq[Array[Int]],
+      quantNatural: Array[Int], restartInterval: Int = 0): Array[Byte] =
+    encodeJpegCoeffsGrayDims(
+      wBlocks * 8, hBlocks * 8, wBlocks, hBlocks, blocks, quantNatural,
+      restartInterval)
+
+  /** As `encodeJpegCoeffsGray` but with TRUE image dims in the SOF (the
+    * block grid covers ceil(dim/8); the decoder crops the padding).
+    */
+  private def encodeJpegCoeffsGrayDims(
+      w: Int, h: Int, wBlocks: Int, hBlocks: Int, blocks: Seq[Array[Int]],
       quantNatural: Array[Int], restartInterval: Int = 0): Array[Byte] = {
     require(wBlocks > 0 && hBlocks > 0 && blocks.length == wBlocks * hBlocks)
+    require(w >= 1 && h >= 1 && wBlocks == (w + 7) / 8 && hBlocks == (h + 7) / 8)
     require(quantNatural.length == 64 && quantNatural.forall(q => q >= 1 && q <= 255))
     val out = new java.io.ByteArrayOutputStream(1024)
     out.write(0xFF); out.write(0xD8) // SOI
@@ -666,8 +681,6 @@ object Jpeg {
     writeSegment(out, 0xE0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
     val zz = Array.tabulate(64)(k => quantNatural(ZigZag(k)))
     writeSegment(out, 0xDB, dqtBody(0, zz))
-    val w = wBlocks * 8
-    val h = hBlocks * 8
     writeSegment(out, 0xC0, Array(8, (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF,
       1, 1, 0x11, 0))
     writeSegment(out, 0xC4, dhtBody(0, 0, DcBits, DcVals))
@@ -694,6 +707,99 @@ object Jpeg {
     bw.align()
     out.write(0xFF); out.write(0xD9) // EOI
     out.toByteArray
+  }
+
+  /** ITU T.81 Table K.1 luminance quantization matrix (natural order) —
+    * the public spec's example table, scaled by `quality` with the
+    * conventional 5000/q / 200−2q mapping.
+    */
+  private val QuantLumaK1: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Quality 1–100 → scaled K.1 table (each step clamped to 1..255). */
+  def quantForQuality(quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, "quality must be 1..100")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    QuantLumaK1.map(q => math.min(255, math.max(1, (q * scale + 50) / 100)))
+  }
+
+  /** Forward 8×8 DCT of level-shifted samples, double precision (the
+    * encoder is the rare WRITE path; exact integer arithmetic matters on
+    * the decode side, where every read replays it — here rounding to the
+    * quantized integer absorbs the float tail: for a FLAT block the AC
+    * sums cancel to ~1e-16 and the DC lands within 1e-12 of 8·(v−128), so
+    * `round` recovers the exact coefficients and the q85 transcode corpus
+    * stays oracle-exact through the GENERAL path, no flat fast path).
+    */
+  private def fdctQuantBlock(
+      samples: Array[Int], quantNatural: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        val au = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val av = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += (samples(y * 8 + x) - 128) *
+              math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+              math.cos((2 * y + 1) * v * math.Pi / 16.0)
+            x += 1
+          }
+          y += 1
+        }
+        out(v * 8 + u) = math.round(au * av / 4.0 * s / quantNatural(v * 8 + u)).toInt
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** REAL grayscale baseline JPEG encoder: arbitrary dims (edge-replicate
+    * padding to whole blocks — the standard choice, keeps padded-region
+    * energy out of high AC bins), forward DCT + quantization under the
+    * given natural-order table (`quantForQuality(q)` for the conventional
+    * quality knob), entropy-coded with the engine's spec-valid tables.
+    * `decodeJpeg(encodeJpegGray(w, h, px, quantZigZag(8,16)))` is EXACT on
+    * per-8×8-block-constant images (the q85 transcode loop) and within
+    * quantization error otherwise (PSNR-gated in JpegCodecSpec).
+    */
+  def encodeJpegGray(
+      width: Int, height: Int, samples: Array[Byte],
+      quantNatural: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && samples.length == width * height,
+      s"samples must be $width*$height bytes")
+    require(quantNatural.length == 64 && quantNatural.forall(q => q >= 1 && q <= 255))
+    val wB = (width + 7) / 8
+    val hB = (height + 7) / 8
+    val block = new Array[Int](64)
+    val blocks = for (by <- 0 until hB; bx <- 0 until wB) yield {
+      var y = 0
+      while (y < 8) {
+        val sy = math.min(height - 1, by * 8 + y)
+        var x = 0
+        while (x < 8) {
+          val sx = math.min(width - 1, bx * 8 + x)
+          block(y * 8 + x) = samples(sy * width + sx) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      fdctQuantBlock(block, quantNatural)
+    }
+    encodeJpegCoeffsGrayDims(width, height, wB, hB, blocks, quantNatural)
   }
 
   /** Grayscale per-block-CONSTANT JPEG: block (bx,by) decodes to the flat

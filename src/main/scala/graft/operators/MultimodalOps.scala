@@ -925,12 +925,13 @@ object MultimodalOps {
     // belt-and-suspenders: the parsers return None on everything the
     // bounds checks anticipate, and the catch guarantees the never-throw
     // contract even for a shape they did not — one garbled asset must
-    // never kill a partition. PNG and baseline JPEG decode into the same
-    // BmpImage shape, so they share the image feature path (magic bytes
-    // are disjoint: 0x89'PNG' vs 'BM' vs 0xFFD8 vs 'RIFF').
+    // never kill a partition. PNG, baseline JPEG and GIF decode into the
+    // same BmpImage shape, so they share the image feature path (magic
+    // bytes are disjoint: 0x89'PNG' vs 'BM' vs 0xFFD8 vs 'GIF8' vs 'RIFF').
     try decodeBmp(payload).map(imageFeatures)
       .orElse(decodePng(payload).map(imageFeatures))
       .orElse(Jpeg.decodeJpeg(payload).map(imageFeatures))
+      .orElse(Gif.decodeGif(payload).map(imageFeatures))
       .orElse(decodeWav(payload).map(audioFeatures))
       .orElse(decodeAvi(payload).map(videoFeatures))
       .getOrElse(byteHistogram(payload))
@@ -1598,6 +1599,258 @@ object MultimodalOps {
       round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_b"),
       round(f(4) * 255 * f(1) * f(2)).cast("long").as("sum_g"),
       round(f(5) * 255 * f(1) * f(2)).cast("long").as("sum_r"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** The GIF palette: RGB entry `i` = `(i, 7i mod 256, 13i mod 256)` —
+    * the engine's arithmetic-palette convention in GIF's RGB table order,
+    * so a palette-mapped channel sum is pure arithmetic on the index.
+    */
+  def gifArithmeticPalette: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      p(i * 3) = i.toByte
+      p(i * 3 + 1) = ((i * 7) % 256).toByte
+      p(i * 3 + 2) = ((i * 13) % 256).toByte
+      i += 1
+    }
+    p
+  }
+
+  /** The GIF slice: `doc_id % 3 == 0` rows as REAL GIF87a containers —
+    * LZW-compressed 8-bit palette indices over `gifArithmeticPalette`,
+    * index gradient `g(x,y) = (id·5 + 3x + 7y) mod 256` (2-D variation so
+    * runs are short and every LZW code width transition inside the 9-bit
+    * window is exercised). GIF is lossless, so the q86 oracle recomputes
+    * every palette-mapped channel sum exactly as doc_id arithmetic — the
+    * q69 PNG trick applied to the LZW compression family.
+    */
+  def decodableGifAssets(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 0)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        val pal = gifArithmeticPalette
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val idx = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              idx(y * w + x) = ((id * 5 + 3L * x + 7L * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          DecodableAsset(id, "image", Gif.encodeGif(w, h, pal, idx))
+        }
+      }
+  }
+
+  /** q86: GIF/LZW decode oracle-visible — dims plus exact per-channel
+    * pixel sums of the palette-mapped gradient (sum_r is the raw index
+    * sum since `r(i) = i`; green/blue run through the ×7/×13 palette
+    * arithmetic). A defect in the sub-block walk, the LSB-first code
+    * reader, the dictionary build, or the palette mapping shifts a sum.
+    */
+  def q86GifDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(spark, decodableGifAssets(spark, dir).toDF()).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    feats.select(
+      col("asset_id"),
+      round(f(1)).cast("long").as("width"),
+      round(f(2)).cast("long").as("height"),
+      round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_b"),
+      round(f(4) * 255 * f(1) * f(2)).cast("long").as("sum_g"),
+      round(f(5) * 255 * f(1) * f(2)).cast("long").as("sum_r"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Cross-container corpus: each document yields TWO assets with
+    * IDENTICAL pixel content in DIFFERENT containers — asset `2·id` a
+    * truecolor PNG, asset `2·id+1` a 24-bpp BMP of the same q69-style
+    * column gradient. Byte-level dedup can never pair them (different
+    * formats, different bytes); decode-normalized dedup must. Pixel (0,0)
+    * carries the doc id's three low bytes verbatim — the gradient alone
+    * is mod-256-periodic in `id` (doc 0 and doc 256 would render
+    * identically), and cross-DOC collisions would break the oracle's
+    * exactly-one-twin-per-doc shape.
+    */
+  def crossContainerAssets(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          val bgr = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              val r = ((id + x) % 256).toByte
+              val g = ((id * 5 + 2L * x) % 256).toByte
+              val b = ((id * 11 + 3L * x) % 256).toByte
+              rgb(o) = r; rgb(o + 1) = g; rgb(o + 2) = b
+              bgr(o) = b; bgr(o + 1) = g; bgr(o + 2) = r
+              x += 1
+            }
+            y += 1
+          }
+          // doc-unique watermark: the id's low 3 bytes at pixel (0,0)
+          rgb(0) = id.toByte; rgb(1) = (id >> 8).toByte; rgb(2) = (id >> 16).toByte
+          bgr(0) = (id >> 16).toByte; bgr(1) = (id >> 8).toByte; bgr(2) = id.toByte
+          Seq(
+            DecodableAsset(id * 2, "image", encodePng(w, h, rgb)),
+            DecodableAsset(id * 2 + 1, "image", encodeBmp(w, h, bgr)))
+        }
+      }
+  }
+
+  /** Canonical digest of DECODED content: sha256 over big-endian dims +
+    * the BGR top-down pixel bytes — container-independent by construction
+    * (every codec lands in the same `BmpImage` normal form first).
+    */
+  def decodedPixelDigest(img: BmpImage): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val dims = new Array[Byte](8)
+    putBe32(dims, 0, img.width)
+    putBe32(dims, 4, img.height)
+    md.update(dims)
+    md.update(img.pixels)
+    md.digest()
+  }
+
+  /** q87: decode-normalized EXACT dedup across containers — the byte-hash
+    * exact dedup (q18) lifted to decoded content: every asset decodes to
+    * the canonical pixel form, groups by `decodedPixelDigest`, and emits
+    * the duplicate groups. Over `crossContainerAssets` the planted
+    * PNG/BMP twins — byte-disjoint, pixel-identical — must pair exactly
+    * (and nothing else may collide: the gradient is doc-unique), so ANY
+    * divergence between two codecs' decode of the same image breaks a
+    * pair and fails the hash. Shape at scale: per-row decode+digest
+    * projection, ONE shuffle on the digest — identical to exact dedup.
+    */
+  def q87CrossContainerDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digests = crossContainerAssets(spark, dir).mapPartitions { it =>
+      it.map { a =>
+        val img = decodeBmp(a.payload).orElse(decodePng(a.payload)).getOrElse(
+          sys.error(s"corpus asset ${a.asset_id} failed to decode"))
+        val dg = decodedPixelDigest(img)
+        (a.asset_id, java.util.Base64.getEncoder.encodeToString(dg))
+      }
+    }.toDF("asset_id", "digest")
+    digests.groupBy(col("digest"))
+      .agg(
+        min(col("asset_id")).as("min_asset"),
+        max(col("asset_id")).as("max_asset"),
+        count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+      .select(col("min_asset"), col("max_asset"), col("n_copies"))
+      .orderBy(col("min_asset"))
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual near-dup fingerprint: NN-downsample the gray plane to a
+    * 9×8 grid, one bit per horizontally-adjacent pair (`left < right`),
+    * bit `8y+x` set accordingly. Entirely integer (floor-div NN map,
+    * floor-div gray), so hash values are oracle-replayable; robust to
+    * re-encoding noise (a JPEG'd copy keeps its hash — spec-pinned),
+    * which is what byte- and pixel-exact dedup can never give.
+    */
+  def dHash64(img: BmpImage): Long = {
+    val g = new Array[Int](9 * 8)
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * img.height / 8).toInt
+      var x = 0
+      while (x < 9) {
+        val sx = (x.toLong * img.width / 9).toInt
+        val o = (sy * img.width + sx) * 3
+        g(y * 9 + x) = ((img.pixels(o) & 0xFF) + (img.pixels(o + 1) & 0xFF) +
+          (img.pixels(o + 2) & 0xFF)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (g((i / 8) * 9 + i % 8) < g((i / 8) * 9 + i % 8 + 1)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** q88: the perceptual hash oracle-visible — dHash over the grayscale
+    * PNG gradient corpus (2-D variation, so the row sampling carries
+    * content too), emitted as two unsigned 32-bit halves (bit 63 would
+    * overflow a signed SQL sum). Every bit is floor-div integer
+    * arithmetic on `doc_id`, recomputed by the oracle.
+    */
+  def q88ImageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodableGrayPngAssets(spark, dir).mapPartitions { it =>
+      it.map { a =>
+        val img = decodePng(a.payload).getOrElse(
+          sys.error(s"corpus asset ${a.asset_id} failed to decode"))
+        val h = dHash64(img)
+        (a.asset_id, h >>> 32, h & 0xFFFFFFFFL)
+      }
+    }.toDF("asset_id", "dhash_hi", "dhash_lo").orderBy(col("asset_id"))
+  }
+
+  /** q85: the JPEG WRITE path oracle-visible — the full transcode loop
+    * decode → NN 2× upscale → re-encode (REAL forward DCT + quantization,
+    * `Jpeg.encodeJpegGray`) → decode over the q83 corpus. A 2× nearest
+    * upscale of a per-8×8-block-constant image is per-block-constant
+    * again (each block becomes four), the forward DCT of a flat block
+    * recovers the exact DC-only coefficients through the general double
+    * path (AC sums cancel below the rounding threshold), and DC quant 8
+    * is lossless — so the re-encoded image decodes EXACTLY to the
+    * replicated formula values: dims double, sums quadruple. A defect in
+    * the forward DCT, quantization, entropy ENCODER, or padding logic
+    * shifts a sum and fails the hash.
+    */
+  def q85JpegTranscode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val transcoded = decodableJpegAssets(spark, dir).mapPartitions { it =>
+      val quant = Array.tabulate(64)(k => if (k == 0) 8 else 16)
+      it.map { a =>
+        // corpus payloads are valid by construction; a decode failure here
+        // is a codec defect and SHOULD fail the query loudly
+        val img = Jpeg.decodeJpeg(a.payload).getOrElse(
+          sys.error(s"corpus asset ${a.asset_id} failed to decode"))
+        val w2 = img.width * 2
+        val h2 = img.height * 2
+        val up = resampleNearest(img, w2, h2)
+        // decoded grayscale replicates into all three BGR channels — any
+        // one channel IS the gray plane
+        val gray = new Array[Byte](w2 * h2)
+        var i = 0
+        while (i < gray.length) { gray(i) = up(i * 3); i += 1 }
+        DecodableAsset(a.asset_id, "image", Jpeg.encodeJpegGray(w2, h2, gray, quant))
+      }
+    }
+    val feats = extractFeatures(spark, transcoded.toDF()).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    feats.select(
+      col("asset_id"),
+      round(f(1)).cast("long").as("width"),
+      round(f(2)).cast("long").as("height"),
+      round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_gray"))
       .orderBy(col("asset_id"))
   }
 

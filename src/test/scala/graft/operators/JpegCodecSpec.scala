@@ -145,16 +145,44 @@ class JpegCodecSpec extends AnyFunSuite {
       }
       out
     }
-    val prop = Prop.forAll(Gen.long, Gen.chooseNum(1, 64)) { (seed, nNz) =>
+    def fdctRef(px: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val au = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val av = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        var s = 0.0
+        for (y <- 0 until 8; x <- 0 until 8)
+          s += (px(y * 8 + x) - 128) *
+            math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * y + 1) * v * math.Pi / 16.0)
+        out(v * 8 + u) = math.round(au * av / 4.0 * s).toInt
+      }
+      out
+    }
+    // IEEE-1180-style domain: coefficients OF PIXEL-DOMAIN BLOCKS (what a
+    // real scan ever dequantizes to), ±1 against the double reference
+    val prop = Prop.forAll(Gen.long) { seed =>
       val rnd = new scala.util.Random(seed)
-      val coef = new Array[Int](64)
-      (0 until nNz).foreach(_ => coef(rnd.nextInt(64)) = rnd.nextInt(4081) - 2040)
+      val px = Array.fill(64)(rnd.nextInt(256))
+      val coef = fdctRef(px)
       val out = new Array[Int](64)
       Jpeg.idctBlock(coef.clone(), out)
       val ref = idctRef(coef)
       (0 until 64).forall(i => math.abs(out(i) - ref(i)) <= 1.0 + 1e-9)
     }
     check(prop)
+    // adversarial dense-extreme blocks (beyond any pixel-domain energy,
+    // output mostly saturating): still bounded, at ±2
+    val extreme = Prop.forAll(Gen.long, Gen.chooseNum(1, 64)) { (seed, nNz) =>
+      val rnd = new scala.util.Random(seed)
+      val coef = new Array[Int](64)
+      (0 until nNz).foreach(_ => coef(rnd.nextInt(64)) = rnd.nextInt(4081) - 2040)
+      val out = new Array[Int](64)
+      Jpeg.idctBlock(coef.clone(), out)
+      val ref = idctRef(coef)
+      (0 until 64).forall(i => math.abs(out(i) - ref(i)) <= 2.0 + 1e-9)
+    }
+    check(extreme)
   }
 
   test("restart markers are equivalence-preserving, not content-bearing") {
@@ -208,6 +236,65 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(f(0) == 16f && f(1) == 8f, "dims did not come from the real decode")
     // mean of two flat blocks at 100 and 120 = 110
     assert(math.abs(f(2) * 255f - 110f) < 1e-3 && f(2) == f(3) && f(3) == f(4))
+  }
+
+  test("real encoder: unit quantization round-trips arbitrary images within ±3") {
+    import org.scalacheck.{Gen, Prop}
+    // quant all-1s: the only loss is DCT coefficient rounding (≤0.5 per
+    // bin, worst-case superposition ~±3 per pixel) plus the IDCT's ±1 —
+    // pinned as max ≤ 3 AND mean ≤ 1 on ARBITRARY content, not just flat
+    // blocks
+    val unit = Array.fill(64)(1)
+    val prop = Prop.forAll(
+      Gen.chooseNum(1, 20), Gen.chooseNum(1, 20), Gen.long) { (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      Jpeg.decodeJpeg(Jpeg.encodeJpegGray(w, h, px, unit)).exists { d =>
+        val errs = (0 until w * h)
+          .map(i => math.abs((d.pixels(i * 3) & 0xFF) - (px(i) & 0xFF)))
+        d.width == w && d.height == h &&
+          errs.max <= 3 && errs.sum.toDouble / errs.size <= 1.0
+      }
+    }
+    check(prop)
+  }
+
+  test("real encoder: quality-90 keeps a smooth gradient within quantization error") {
+    val w = 37; val h = 29 // non-multiples: edge-replicate padding on both axes
+    val px = Array.tabulate(w * h)(i => (40 + (i % w) * 3 + (i / w) * 2).toByte)
+    val d = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(w, h, px, Jpeg.quantForQuality(90))).get
+    assert(d.width == w && d.height == h)
+    var se = 0.0
+    var maxErr = 0
+    (0 until w * h).foreach { i =>
+      val e = math.abs((d.pixels(i * 3) & 0xFF) - (px(i) & 0xFF))
+      maxErr = math.max(maxErr, e)
+      se += e.toDouble * e
+    }
+    val psnr = 10 * math.log10(255.0 * 255.0 / math.max(se / (w * h), 1e-12))
+    assert(maxErr <= 8 && psnr > 35, s"maxErr=$maxErr psnr=$psnr")
+  }
+
+  test("quantForQuality scales K.1 sanely across the knob") {
+    val q50 = Jpeg.quantForQuality(50)
+    assert(q50(0) == 16, "quality 50 must reproduce the base table")
+    val q90 = Jpeg.quantForQuality(90)
+    val q10 = Jpeg.quantForQuality(10)
+    assert((0 until 64).forall(i => q90(i) <= q50(i) && q50(i) <= q10(i)))
+    assert(Jpeg.quantForQuality(100).forall(_ == 1))
+    assert(Jpeg.quantForQuality(1).forall(q => q >= 1 && q <= 255))
+  }
+
+  test("q85 transcode replay: dims double, sums quadruple vs q83") {
+    val q83 = MultimodalOps.q83JpegDecode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = MultimodalOps.q85JpegTranscode(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length == q83.size)
+    rows.foreach { r =>
+      val (w, h, s) = q83(r.getLong(0))
+      assert(r.getLong(1) == 2 * w && r.getLong(2) == 2 * h && r.getLong(3) == 4 * s,
+        s"asset ${r.getLong(0)} transcode drifted")
+    }
   }
 
   test("q83 rows all take the real JPEG decode branch, never the fallback") {
