@@ -107,6 +107,7 @@ object SparkEntry {
     "q86_gif_decode" -> (MultimodalOps.q86GifDecode(_, _)),
     "q87_cross_container_dedup" -> (MultimodalOps.q87CrossContainerDedup(_, _)),
     "q88_image_dhash" -> (MultimodalOps.q88ImageDhash(_, _)),
+    "q89_g711_decode" -> (MultimodalOps.q89G711Decode(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1514,5 +1515,31 @@ object SparkEntry {
         |  sum(CASE WHEN i >= 32 THEN b * (1::BIGINT << (i - 32)) ELSE 0 END)::BIGINT AS dhash_hi,
         |  sum(CASE WHEN i < 32 THEN b * (1::BIGINT << i) ELSE 0 END)::BIGINT AS dhash_lo
         |FROM bits GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+    // G.711 expansion replayed: mu-law (even ids) complement + bias-0x84
+    // segments, A-law (odd ids) xor-0x55 piecewise with inverted sign —
+    // position-weighted checksum over the exact linear values
+    "q89_g711_decode" ->
+      """WITH d AS (SELECT doc_id AS asset_id, (64 + doc_id % 128)::BIGINT AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT asset_id, n, i,
+        |    (asset_id * 29 + i * 11) % 256 AS byte
+        |  FROM d, unnest(range(n)) AS t(i)),
+        |lin AS (SELECT asset_id, n, i,
+        |    CASE WHEN asset_id % 2 = 0 THEN
+        |      -- mu-law: u = ~b; mag = ((mant*8+132) << exp) - 132
+        |      (CASE WHEN (255 - byte) >= 128 THEN -1 ELSE 1 END) *
+        |        ((((255 - byte) % 16) * 8 + 132) * (1::BIGINT << (((255 - byte) // 16) % 8)) - 132)
+        |    ELSE
+        |      -- A-law: a = b xor 85; sign bit SET means positive
+        |      (CASE WHEN xor(byte, 85) >= 128 THEN 1 ELSE -1 END) *
+        |        (CASE WHEN (xor(byte, 85) // 16) % 8 = 0
+        |              THEN (xor(byte, 85) % 16) * 16 + 8
+        |              ELSE ((xor(byte, 85) % 16) * 16 + 264) *
+        |                   (1::BIGINT << ((xor(byte, 85) // 16) % 8 - 1)) END)
+        |    END AS v
+        |  FROM s)
+        |SELECT asset_id, max(n)::BIGINT AS n_samples,
+        |  sum((i + 1) * v)::BIGINT AS checksum
+        |FROM lin GROUP BY asset_id ORDER BY asset_id""".stripMargin,
   )
 }

@@ -474,34 +474,92 @@ object MultimodalOps {
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var o = 12
-    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var fmt: Option[(Int, Int, Int, Int)] = None // (channels, rate, bits, tag)
     var data: Option[(Int, Int)] = None // (offset, length)
     while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(b, o, 4, StandardCharsets.US_ASCII)
       val sz = le32(b, o + 4)
       if (sz < 0 || o + 8 + sz.toLong > b.length) return None
       if (id == "fmt " && sz >= 16) {
-        if (le16(b, o + 8) != 1) return None // integer PCM only
-        fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
+        // integer PCM (1), A-law (6), mu-law (7) — G.711 is 8-bit only
+        val tag = le16(b, o + 8)
+        if (tag != 1 && tag != 6 && tag != 7) return None
+        fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22), tag))
       } else if (id == "data") data = Some((o + 8, sz))
       o += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     for {
-      (ch, rate, bits) <- fmt
+      (ch, rate, bits, tag) <- fmt
       (doff, dlen) <- data
-      if ch > 0 && rate > 0 && (bits == 8 || bits == 16)
+      if ch > 0 && rate > 0 &&
+        (if (tag == 1) bits == 8 || bits == 16 else bits == 8)
     } yield {
-      val n = if (bits == 16) dlen / 2 else dlen
+      val n = if (tag == 1 && bits == 16) dlen / 2 else dlen
       val out = new Array[Float](n)
       var i = 0
       while (i < n) {
-        out(i) =
-          if (bits == 16) le16(b, doff + 2 * i).toShort / 32768f
-          else ((b(doff + i) & 0xFF) - 128) / 128f
+        out(i) = tag match {
+          case 1 if bits == 16 => le16(b, doff + 2 * i).toShort / 32768f
+          case 1 => ((b(doff + i) & 0xFF) - 128) / 128f
+          // G.711 expansion lands on the 16-bit grid: exact dyadic floats
+          case 6 => alawExpand(b(doff + i) & 0xFF) / 32768f
+          case _ => mulawExpand(b(doff + i) & 0xFF) / 32768f
+        }
         i += 1
       }
       WavAudio(rate, ch, bits, out)
     }
+  }
+
+  /** ITU-T G.711 μ-law expansion, byte → linear 14-bit-on-16-bit-grid
+    * (the public piecewise formula: complement, 3-bit exponent, 4-bit
+    * mantissa, bias 0x84): `((mant·8 + 0x84) << exp) − 0x84`, negated
+    * when the complemented sign bit is set. 0xFF is +0 (μ-law has a true
+    * zero); magnitudes reach ±32124.
+    */
+  def mulawExpand(u8: Int): Int = {
+    val u = ~u8 & 0xFF
+    val mag = ((((u & 0x0F) << 3) | 0x84) << ((u >> 4) & 0x07)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** ITU-T G.711 A-law expansion (xor 0x55, segment 0 linear, segments
+    * 1–7 exponential): no true zero (quietest codes are ±8); magnitudes
+    * reach ±32256. Sign bit SET means positive — A-law's inverted-sign
+    * convention.
+    */
+  def alawExpand(u8: Int): Int = {
+    val a = u8 ^ 0x55
+    val m = a & 0x0F
+    val seg = (a >> 4) & 0x07
+    val t = if (seg == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** G.711 WAV writer: the canonical 44-byte layout with format tag 7
+    * (μ-law) or 6 (A-law), 8 bits per sample, caller-provided companded
+    * bytes — the inverse of `decodeWav`'s G.711 arm.
+    */
+  def encodeWavG711(
+      sampleRate: Int, channels: Int, companded: Array[Byte],
+      aLaw: Boolean): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0)
+    val out = new Array[Byte](44 + companded.length)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLe32(out, 4, 36 + companded.length)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putLe32(out, 16, 16)
+    putLe16(out, 20, if (aLaw) 6 else 7)
+    putLe16(out, 22, channels)
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * channels) // byte rate: 1 byte/sample
+    putLe16(out, 32, channels) // block align
+    putLe16(out, 34, 8)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putLe32(out, 40, companded.length)
+    System.arraycopy(companded, 0, out, 44, companded.length)
+    out
   }
 
   /** Decoded uncompressed video: `frames` are BGR row-major TOP-DOWN pixel
@@ -1669,6 +1727,53 @@ object MultimodalOps {
       round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_b"),
       round(f(4) * 255 * f(1) * f(2)).cast("long").as("sum_g"),
       round(f(5) * 255 * f(1) * f(2)).cast("long").as("sum_r"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** G.711 telephony corpus: `doc_id % 3 == 1` rows as REAL mu-law
+    * (even ids) / A-law (odd ids) WAV containers — companded bytes are
+    * pure arithmetic on (doc_id, sample index), so the q89 oracle replays
+    * the full expansion formulas.
+    */
+  def decodableG711Tones(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 1)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (64 + id % 128).toInt
+          val bytes = Array.tabulate(n)(i => ((id * 29 + i.toLong * 11) % 256).toByte)
+          DecodableAsset(id, "audio",
+            encodeWavG711(8000, 1, bytes, aLaw = id % 2 == 1))
+        }
+      }
+  }
+
+  /** q89: G.711 expansion oracle-visible — decode each telephony WAV and
+    * expose the exact linear reconstruction: sample count plus a
+    * POSITION-WEIGHTED integer checksum `Σ (i+1)·linear_i` (weighting
+    * catches reordering a plain sum would forgive). The 16-bit-grid
+    * expansion values are exact dyadic floats, so `round(f·32768)`
+    * recovers every integer; the oracle replays both piecewise formulas
+    * (complement/xor, segment shifts, bias) in SQL.
+    */
+  def q89G711Decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodableG711Tones(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          decodeWav(a.payload).map { w =>
+            val checksum = w.samples.zipWithIndex.foldLeft(0L) {
+              case (s, (f, i)) => s + (i + 1).toLong * math.round(f * 32768f)
+            }
+            (a.asset_id, w.samples.length.toLong, checksum)
+          }
+        }
+      }
+      .toDF("asset_id", "n_samples", "checksum")
       .orderBy(col("asset_id"))
   }
 
