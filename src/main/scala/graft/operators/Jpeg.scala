@@ -738,27 +738,52 @@ object Jpeg {
     * `round` recovers the exact coefficients and the q85 transcode corpus
     * stays oracle-exact through the GENERAL path, no flat fast path).
     */
+  /** cos((2x+1)uπ/16) by (u, x) — hoisted out of the FDCT inner loop
+    * (computing it inline cost ~8k transcendental calls PER BLOCK and
+    * made q85 the bench's #2 query; the table makes the encoder a pure
+    * multiply-add kernel).
+    */
+  private val FdctCos: Array[Double] = {
+    val t = new Array[Double](64)
+    for (u <- 0 until 8; x <- 0 until 8)
+      t(u * 8 + x) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    t
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
   private def fdctQuantBlock(
       samples: Array[Int], quantNatural: Array[Int]): Array[Int] = {
+    // separable: rows first (y fixed → sum over x), then columns — 2·8³
+    // multiply-adds per block instead of the direct form's 8⁴
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) {
+          s += (samples(y * 8 + x) - 128) * FdctCos(u * 8 + x)
+          x += 1
+        }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
     val out = new Array[Int](64)
     var v = 0
     while (v < 8) {
       var u = 0
       while (u < 8) {
-        val au = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-        val av = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
         var s = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            s += (samples(y * 8 + x) - 128) *
-              math.cos((2 * x + 1) * u * math.Pi / 16.0) *
-              math.cos((2 * y + 1) * v * math.Pi / 16.0)
-            x += 1
-          }
-          y += 1
+        var w = 0
+        while (w < 8) {
+          s += tmp(w * 8 + u) * FdctCos(v * 8 + w)
+          w += 1
         }
+        val au = if (u == 0) InvSqrt2 else 1.0
+        val av = if (v == 0) InvSqrt2 else 1.0
         out(v * 8 + u) = math.round(au * av / 4.0 * s / quantNatural(v * 8 + u)).toInt
         u += 1
       }

@@ -458,21 +458,38 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val pairs = spanCandidates(docs, k, w, dfCap, minShared)
       .select(col("doc_a"), col("doc_b")).persist()
-    // per-position k-gram digests of one pair side, pruned to documents
-    // the pair list actually names (md5 is top-level per exploded row —
-    // codegen, no interpreted HOF lambda)
-    def grams(side: Column, as: String): DataFrame =
-      docs.join(pairs.select(side.as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), greatest(length(col("text")) - k, lit(0)) + 1)).as("p"))
-        .select(col("doc_id").as(s"${as}_doc"), col("p").as(s"${as}_p"),
-          md5(expr(s"substr(text, p, $k)").cast("binary")).as(s"${as}_h"))
-    val m = pairs
-      .join(grams(col("doc_a"), "a"), col("doc_a") === col("a_doc"))
-      .join(grams(col("doc_b"), "b"),
-        col("doc_b") === col("b_doc") && col("a_h") === col("b_h"))
-      .select(col("doc_a"), col("doc_b"), col("a_p").as("ia"),
-        (col("b_p") - col("a_p")).as("diag"))
+    // per-position k-gram digests computed ONCE over the union of pair
+    // sides (cluster members appear on both sides — a per-side table
+    // would md5 them twice), persisted so the self-join reads one
+    // materialization (md5 is top-level per exploded row — codegen, no
+    // interpreted HOF lambda)
+    val sideDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val g = docs.join(sideDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - k, lit(0)) + 1)).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(expr(s"substr(text, p, $k)").cast("binary")).as("h"))
+      .persist()
+    def side(as: String): DataFrame =
+      g.select(col("doc_id").as(s"${as}_doc"), col("p").as(s"${as}_p"),
+        col("h").as(s"${as}_h"))
+    // hash-FIRST match: self-join the gram table on digest equality
+    // (cross-doc only — every position trivially matches itself), then
+    // keep only the combinations the candidate list names (left-semi).
+    // The former pair-first order materialized every a-side position of
+    // every pair BEFORE the hash condition could filter — |pairs| ×
+    // positions rows (measured 9× at sf0.01→sf0.1 on the planted pair
+    // tail); matching on the digest first bounds the probe volume by the
+    // ACTUAL shared positions, which is also the output's own size.
+    val matched = side("a")
+      .join(side("b"), col("a_h") === col("b_h") && col("a_doc") =!= col("b_doc"))
+    val m = matched
+      .join(pairs,
+        matched("a_doc") === pairs("doc_a") && matched("b_doc") === pairs("doc_b"),
+        "left_semi")
+      .select(col("a_doc").as("doc_a"), col("b_doc").as("doc_b"),
+        col("a_p").as("ia"), (col("b_p") - col("a_p")).as("diag"))
     val wnd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("ia"))
     val spans = m
