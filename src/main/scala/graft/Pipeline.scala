@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.SimilarityOps
 import graft.sources.{Enrichment, SchemaInit}
-import graft.streaming.{CheckpointStream, StreamCurate, StreamEmbedIndex, StreamNearDup, StreamStats}
+import graft.streaming.{CheckpointStream, StreamCurate, StreamEmbedIndex, StreamImageDedup, StreamNearDup, StreamStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,23 @@ object Pipeline {
         * standing index lives in `<workDir>/embed_index`.
         */
       embFeedDir: Option[String] = None,
+      /** Optional IMAGE feed (asset_id, payload) for the streaming image
+        * dedup guard: arriving images are checked against everything
+        * ingested before them — exact (decoded-pixel digest, container-
+        * blind) and near (perceptual dHash, survives lossy re-encoding) —
+        * with flags in `<workDir>/image_dup_flags` and the signature
+        * index in `<workDir>/image_index`.
+        */
+      imageFeedDir: Option[String] = None,
+      /** Retention for the image guard's signature index, in committed
+        * batch generations (the documents guard's windowed trade). None
+        * keeps the full index.
+        */
+      imageDupKeepBatches: Option[Int] = None,
+      /** Files per micro-batch on the image feed — one generation per
+        * arrival file by default, like the documents feed.
+        */
+      imgMaxFilesPerTrigger: Int = 1,
       /** Quantizer shape for the embeddings feed's standing index (cluster
         * count / Lloyd iterations / training sample modulus) — the embed
         * counterpart of `guard`: fixed when the first batch trains the
@@ -272,6 +289,13 @@ object Pipeline {
       StreamStats.run(spark, dir, s"${config.workDir}/ckpt_profile",
         s"${config.workDir}/doc_profile",
         maxFilesPerTrigger = config.docMaxFilesPerTrigger))
+    // streaming image dedup guard over the optional image feed: exact
+    // (decoded digest) + near (dHash) flags against the standing
+    // signature index — the multimodal mirror of the documents guard
+    val imgQuery = config.imageFeedDir.map(dir =>
+      StreamImageDedup.run(spark, dir, s"${config.workDir}/ckpt_imgdup",
+        s"${config.workDir}/image_dup_flags", s"${config.workDir}/image_index",
+        maxFilesPerTrigger = config.imgMaxFilesPerTrigger))
     // streaming ANN index feeder over the optional embeddings feed:
     // vectors searchable as they arrive (LSM base + delta generations)
     val embQuery = config.embFeedDir.map(dir =>
@@ -291,6 +315,7 @@ object Pipeline {
     dlQuery.foreach(_.awaitTermination())
     ndQuery.foreach(_.awaitTermination())
     profQuery.foreach(_.awaitTermination())
+    imgQuery.foreach(_.awaitTermination())
     embQuery.foreach(_.awaitTermination())
 
     // diff-sink maintenance: fold the per-batch dirs and apply retention
@@ -304,6 +329,9 @@ object Pipeline {
     // above has terminated — gcIndex's no-active-writer discipline)
     for (_ <- config.docFeedDir; keep <- config.nearDupKeepBatches)
       StreamNearDup.gcIndex(spark, s"${config.workDir}/neardup_index", keep)
+    // image-guard index retention, same post-drain no-active-writer rule
+    for (_ <- config.imageFeedDir; keep <- config.imageDupKeepBatches)
+      StreamImageDedup.gcIndex(spark, s"${config.workDir}/image_index", keep)
     // embedding-index fold (compaction + retrain), same no-active-writer
     // discipline: only once enough delta generations accumulated
     for (_ <- config.embFeedDir; minDeltas <- config.embedFoldMinDeltas) {
@@ -348,7 +376,10 @@ object Pipeline {
     * guard), SPARK_GRAFT_NEARDUP_KEEP (index retention in generations),
     * SPARK_GRAFT_DIFF_RETENTION_MS (diff-sink event-time retention),
     * SPARK_GRAFT_EMB_FEED (embeddings feed for the streaming ANN index),
-    * SPARK_GRAFT_EMB_FOLD_MIN (fold once this many deltas accumulated).
+    * SPARK_GRAFT_EMB_FOLD_MIN (fold once this many deltas accumulated),
+    * SPARK_GRAFT_IMG_FEED (image feed for the streaming image dedup
+    * guard), SPARK_GRAFT_IMG_KEEP (image-index retention in generations),
+    * SPARK_GRAFT_IMG_MAX_FILES (image-feed files per micro-batch).
     * Guard LSH geometry/layout (pinned by the index manifest at creation):
     * SPARK_GRAFT_LSH_THRESHOLD, SPARK_GRAFT_LSH_K, SPARK_GRAFT_LSH_BANDS,
     * SPARK_GRAFT_LSH_ROWS, SPARK_GRAFT_BAND_BUCKETS,
@@ -427,6 +458,10 @@ object Pipeline {
       embMaxFilesPerTrigger = sys.env.get("SPARK_GRAFT_EMB_MAX_FILES")
         .map(_.toInt).getOrElse(1),
       embFeedDir = sys.env.get("SPARK_GRAFT_EMB_FEED"),
+      imageFeedDir = sys.env.get("SPARK_GRAFT_IMG_FEED"),
+      imageDupKeepBatches = sys.env.get("SPARK_GRAFT_IMG_KEEP").map(_.toInt),
+      imgMaxFilesPerTrigger = sys.env.get("SPARK_GRAFT_IMG_MAX_FILES")
+        .map(_.toInt).getOrElse(1),
       embed = {
         val e0 = EmbedConfig()
         e0.copy(

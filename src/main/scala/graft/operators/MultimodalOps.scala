@@ -1823,6 +1823,17 @@ object MultimodalOps {
       }
   }
 
+  /** Decode any supported still-image container into the canonical
+    * `BmpImage` form (BMP, PNG, baseline JPEG, GIF — the same chain
+    * `decodeBytes` dispatches for features); `None` for everything else.
+    */
+  def decodeImage(payload: Array[Byte]): Option[BmpImage] =
+    try decodeBmp(payload)
+      .orElse(decodePng(payload))
+      .orElse(Jpeg.decodeJpeg(payload))
+      .orElse(Gif.decodeGif(payload))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** Canonical digest of DECODED content: sha256 over big-endian dims +
     * the BGR top-down pixel bytes — container-independent by construction
     * (every codec lands in the same `BmpImage` normal form first).

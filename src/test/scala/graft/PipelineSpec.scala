@@ -151,13 +151,39 @@ class PipelineSpec extends AnyFunSuite {
       val d = new java.io.File(s"$base/docs/c$i")
       (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
     }
+    // image feed beside the documents feed: a PNG, then a byte-disjoint
+    // BMP twin of it (exact flag), then an unrelated image
+    val iw = 12; val ih = 10
+    val rgbPx = Array.tabulate(iw * ih * 3)(i => ((i * 7 + 3) % 256).toByte)
+    val bgrPx = rgbPx.grouped(3).flatMap(t => Seq(t(2), t(1), t(0))).toArray
+    val imgChunks = Seq(
+      Seq(1L -> graft.operators.MultimodalOps.encodePng(iw, ih, rgbPx)),
+      Seq(2L -> graft.operators.MultimodalOps.encodeBmp(iw, ih, bgrPx)),
+      Seq(3L -> graft.operators.MultimodalOps.encodePngConst(5, 5, 9, 8, 7)))
+    imgChunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("asset_id", "payload").coalesce(1).write.parquet(s"$base/imgs/c$i")
+      val d = new java.io.File(s"$base/imgs/c$i")
+      (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
     Pipeline.run(spark, Pipeline.Config(
       cdcFeedDir = s"$base/feed_cdc/f*",
       ideFeedDir = None,
       reportDir = None,
       workDir = s"$base/work",
       docFeedDir = Some(s"$base/docs/c*"),
-      nearDupKeepBatches = Some(2)))
+      nearDupKeepBatches = Some(2),
+      imageFeedDir = Some(s"$base/imgs/c*"),
+      imageDupKeepBatches = Some(2)))
+    // the image guard ran in the lifecycle: the cross-container twin is
+    // flagged exact against the standing index, and post-drain retention
+    // kept the newest two signature generations
+    val imgFlags = graft.streaming.StreamImageDedup
+      .readFlags(spark, s"$base/work/image_dup_flags")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(imgFlags == Set((2L, 1L, "exact")), s"image flags: $imgFlags")
+    val imgGens = new java.io.File(s"$base/work/image_index").listFiles
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(imgGens == Seq("batch_id=1", "batch_id=2"), s"image index gens: $imgGens")
     // post-drain maintenance dropped the oldest generation, in lockstep
     for (part <- Seq("bands", "sets")) {
       val dirs = new java.io.File(s"$base/work/neardup_index/$part").listFiles
