@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CurateOps, DedupOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SessionOps, SimilarityOps, SkewOps, TextOps}
+import graft.operators.{CurateOps, DedupOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,6 +108,13 @@ object SparkEntry {
     "q87_cross_container_dedup" -> (MultimodalOps.q87CrossContainerDedup(_, _)),
     "q88_image_dhash" -> (MultimodalOps.q88ImageDhash(_, _)),
     "q89_g711_decode" -> (MultimodalOps.q89G711Decode(_, _)),
+    "q90_interval_join" -> (TimeSeriesOps.q90IntervalJoin(_, _)),
+    "q91_gapfill" -> (TimeSeriesOps.q91GapFill(_, _)),
+    "q92_lm_quality" -> (SearchOps.q92LmQuality(_, _)),
+    "q93_keyword_search" -> (SearchOps.q93KeywordSearch(_, _)),
+    "q94_pivot" -> (RelationalOps.q94Pivot(_, _)),
+    "q95_funnel" -> (TimeSeriesOps.q95Funnel(_, _)),
+    "q96_cohort_retention" -> (TimeSeriesOps.q96CohortRetention(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1541,5 +1548,119 @@ object SparkEntry {
         |SELECT asset_id, max(n)::BIGINT AS n_samples,
         |  sum((i + 1) * v)::BIGINT AS checksum
         |FROM lin GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+    // the bucketized interval join replayed as the plain theta-join the
+    // engine's plan deliberately avoids: purchases (any user) inside the
+    // 5-minute window after each error event
+    "q90_interval_join" ->
+      """SELECT e.event_id, count(p.tp)::BIGINT AS n_purchases
+        |FROM (SELECT event_id, epoch_us(ts) AS t0 FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT epoch_us(ts) AS tp FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON p.tp >= e.t0 AND p.tp < e.t0 + 300000000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    // dense hourly grid per user via range(); LOCF carries max(value) (a
+    // selection, not arithmetic — replays bit-for-bit)
+    "q91_gapfill" ->
+      """WITH agg AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |    count(*)::BIGINT AS n_obs, max(value) AS hr_max
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM agg GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour FROM span),
+        |j AS (SELECT g.user_id, g.hour,
+        |    coalesce(a.n_obs, 0)::BIGINT AS n_events,
+        |    a.n_obs IS NULL AS filled, a.hr_max
+        |  FROM grid g LEFT JOIN agg a
+        |    ON g.user_id = a.user_id AND g.hour = a.hour)
+        |SELECT user_id, hour, n_events, filled,
+        |  last_value(hr_max IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_locf
+        |FROM j ORDER BY user_id, hour""".stripMargin,
+    // bigram LM trained on the en slice, every doc scored: integer
+    // fixed-point conditional probabilities (1e6-scaled floor division)
+    "q92_lm_quality" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(w))) AS t(i)),
+        |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+        |wt AS (SELECT c2.w1, c2.w2, (1000000 * c2.c2) // c1.c1 AS weight
+        |  FROM c2 JOIN c1 USING (w1))
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  count(wt.weight)::BIGINT AS n_hits,
+        |  coalesce(sum(wt.weight), 0)::BIGINT AS lm_score
+        |FROM bg b LEFT JOIN wt ON b.w1 = wt.w1 AND b.w2 = wt.w2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // inverted-index tf-idf search: reciprocal-df integer weights, top-5
+    // per query with the (score DESC, doc_id ASC) tie-break
+    "q93_keyword_search" ->
+      """WITH q(query_id, term) AS (VALUES
+        |    (1, 'hash'), (1, 'join'), (1, 'spark'),
+        |    (2, 'stream'), (2, 'window'), (2, 'batch'),
+        |    (3, 'query'), (3, 'scan'), (3, 'filter'),
+        |    (4, 'sort'), (4, 'merge'), (4, 'table'),
+        |    (5, 'vector'), (5, 'data'), (5, 'column')),
+        |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |wt AS (SELECT term, (1000000 * n_docs) // df AS weight FROM dfreq, n),
+        |scored AS (SELECT q.query_id, p.doc_id,
+        |    sum(p.tf * w.weight)::BIGINT AS score
+        |  FROM q JOIN postings p USING (term) JOIN wt w USING (term)
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, score FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // pivot replayed as FILTER aggregates; n_total as the explicit sum of
+    // the five pivot columns (the engine's own arithmetic), not count(*)
+    "q94_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+        |  count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+        |  count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+        |  count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+        |  (count(*) FILTER (event_type = 'click') +
+        |   count(*) FILTER (event_type = 'view') +
+        |   count(*) FILTER (event_type = 'purchase') +
+        |   count(*) FILTER (event_type = 'signup') +
+        |   count(*) FILTER (event_type = 'error'))::BIGINT AS n_total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // ordered funnel: each step's first completion strictly after the
+    // previous step's — conditional-min aggregates, no sequence sort
+    "q95_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s AS (SELECT user_id, min(t) AS t_signup FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.t) AS t_click FROM e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.t > s.t_signup GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.t) AS t_purchase FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > c.t_click GROUP BY 1)
+        |SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase,
+        |  (1 + (c.t_click IS NOT NULL)::INT + (p.t_purchase IS NOT NULL)::INT)
+        |    AS stage
+        |FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY s.user_id""".stripMargin,
+    // cohort retention triangle: first-event day per user, activity at
+    // day offsets 0..7 — (user, day) is distinct so count(*) counts users
+    "q96_cohort_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1)
+        |SELECT c.cohort_day, (a.day - c.cohort_day) AS day_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |WHERE (a.day - c.cohort_day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

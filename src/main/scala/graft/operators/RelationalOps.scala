@@ -358,4 +358,30 @@ object RelationalOps {
         interp("med", 0.5).as("med_v"), interp("p90", 0.9).as("p90_v"))
       .orderBy(col("event_type"))
   }
+
+  /** q94: pivot — long-to-wide reshaping of the event stream into one row
+    * per user with a count column per event type. The value list is given
+    * EXPLICITLY (`pivot(col, values)`), which matters twice at scale: it
+    * skips the eager driver-side `distinct` job Spark otherwise runs to
+    * discover the columns, and it keeps the output schema static so the
+    * plan is a single hash aggregate with `count(CASE WHEN ...)` columns —
+    * no second shuffle, no dynamic schema surprises. Missing combinations
+    * surface as 0 (the FILTER-aggregate oracle's shape), not null.
+    */
+  def q94Pivot(spark: SparkSession, dir: String): DataFrame =
+    pivotCounts(Tables.events(spark, dir))
+
+  /** Core of q94 over any frame with (user_id, event_type). */
+  private[graft] def pivotCounts(events: DataFrame): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    events
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .withColumn("n_total",
+        types.map(t => col(s"n_$t")).reduce(_ + _))
+      .orderBy(col("user_id"))
+  }
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators for training-data curation: the n-gram
+  * language-model familiarity score (the CCNet/KenLM perplexity-gate shape)
+  * and inverted-index keyword retrieval with tf-idf ranking.
+  *
+  * Both operators keep scoring in EXACT INTEGER fixed-point (scaled
+  * integral division, `div`), so every score replays bit-for-bit in the
+  * DuckDB oracle — the same discipline as the quantized ANN scorer
+  * (SimilarityOps q62): transcendental `ln`-based weights would hash-
+  * diverge across libm implementations, scaled rationals cannot.
+  */
+object SearchOps {
+
+  /** Fixed-point scale for probability/idf weights: 6 decimal digits. */
+  private[graft] val Scale = 1000000L
+
+  private def words(c: Column): Column = split(lower(c), " ")
+
+  /** Consecutive-pair (bigram) structs of the token array column `w`;
+    * empty below 2 tokens. Built as `sequence(1, size)` + filter-out of
+    * the one past-the-end pair (w[size] is null; split() never yields
+    * null tokens) because Spark's `sequence` DESCENDS when start > stop
+    * (sequence(0,-1) = [0,-1], not []) so the naive `sequence(0, n-2)`
+    * corrupts 1-token rows. */
+  private def bigrams: Column =
+    expr("filter(transform(sequence(1, size(w)), i -> struct(w[i-1] AS w1, get(w, i) AS w2)), p -> p.w2 IS NOT NULL)")
+
+  /** q92: bigram language-model familiarity score — the quality gate a
+    * CCNet-style pipeline runs with a KenLM model, re-expressed with an
+    * in-corpus model and integer arithmetic. The model is trained on the
+    * `lang='en'` slice (the "reference corpus"); EVERY document is then
+    * scored against it: each of the document's consecutive word pairs
+    * contributes `floor(Scale * c(w1,w2) / c(w1,*))` — the scaled
+    * conditional probability of that transition under the model — and
+    * pairs the model has never seen contribute 0 and are counted as
+    * misses. High `lm_score`/`n_bigrams` ≈ low perplexity.
+    *
+    * Scale shape: model training is one (w1,w2) groupBy + a w1 groupBy
+    * (both map-side partially aggregated); scoring is an equi-join of the
+    * corpus bigram stream against the weight table — vocabulary-sized, so
+    * it broadcasts when small and shuffles when it genuinely is big. No
+    * window, no collect, no cartesian.
+    */
+  def q92LmQuality(spark: SparkSession, dir: String): DataFrame =
+    lmQuality(Tables.documents(spark, dir))
+
+  /** Core of q92 over any frame with (doc_id, lang, text). */
+  private[graft] def lmQuality(docs: DataFrame): DataFrame = {
+    val docBigrams = docs
+      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = docBigrams.where(col("lang") === "en")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val weights = c2.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        expr(s"(${Scale}L * c2) div c1").as("weight"))
+    docBigrams
+      .join(weights, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("weight")).as("n_hits"),
+        coalesce(sum(col("weight")), lit(0L)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q93 query workload: five fixed multi-term keyword queries over
+    * the corpus vocabulary (SURVEY §1.2's synthetic `documents` table
+    * draws from a SQL-ish word list). */
+  private[graft] val SearchQueries: Seq[(Int, String)] = Seq(
+    1 -> "hash join spark",
+    2 -> "stream window batch",
+    3 -> "query scan filter",
+    4 -> "sort merge table",
+    5 -> "vector data column")
+
+  /** q93: inverted-index keyword search with tf-idf ranking — top-5
+    * documents per query, scored `sum over query terms of
+    * tf(term, doc) * floor(Scale * N / df(term))`. The reciprocal-df
+    * weight is the integer-exact stand-in for `ln(N/df)`: same ordering
+    * on a fixed corpus, but replayable (see object scaladoc).
+    *
+    * Scale shape: the postings list `tf` is built ONLY for the query
+    * vocabulary — `isin(terms)` prunes at the explode, so the shuffle
+    * carries O(matching postings), not the whole corpus index. Document
+    * frequency and N come from aggregates of that same pruned frame (the
+    * 1-row N frame joins by broadcast — no driver collect). Per-query
+    * top-5 uses the BoundedTopK partial aggregate: each map task keeps at
+    * most 5 candidates per query, so the final shuffle is O(queries · k)
+    * regardless of corpus size — the q58 shape, not a global sort.
+    */
+  def q93KeywordSearch(spark: SparkSession, dir: String): DataFrame =
+    keywordSearch(spark, Tables.documents(spark, dir), SearchQueries, k = 5)
+
+  /** Core of q93: rank the top-k documents per keyword query. */
+  private[graft] def keywordSearch(
+      spark: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val vocab = queries.flatMap(_._2.split(" ")).distinct
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val postings = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(col("term").isin(vocab: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weights = dfreq.join(broadcast(nDocs))
+      .select(col("term"), expr(s"(${Scale}L * n_docs) div df").as("weight"))
+    val scored = terms
+      .join(postings, Seq("term"))
+      .join(broadcast(weights), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("weight")).as("score"))
+    // BoundedTopK orders its struct key descending: (score, -doc_id)
+    // descending == score desc, doc_id asc — the deterministic tie-break
+    val key = struct(col("score").as("score"), (-col("doc_id")).as("neg_id"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK(key, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.neg_id")).as("doc_id"),
+        col("col.score").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q92 bigram-LM familiarity + q93 tf-idf keyword search: exact integer
+  * arithmetic on hand-built corpora, model-slice semantics, tie-breaks,
+  * and the plan pins (BoundedTopK, no window, no cartesian).
+  */
+class SearchOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q92 exact scores on a hand-built corpus") {
+    import spark.implicits._
+    // model (en): "a b" x2, "a c" x1, "b a" x1, "c a" x1 -> c1(a)=3, c1(b)=1, c1(c)=1
+    val docs = Seq(
+      (1L, "en", "a b a c a b"), // bigrams: ab,ba,ac,ca,ab
+      (2L, "fr", "a b z z"), // ab hit, bz miss, zz miss
+      (3L, "de", "q") // 1 token -> no bigram rows -> no output row
+    ).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val out = SearchOps.lmQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // weights: ab = 1e6*2/3 = 666666, ba = 1e6*1/1 = 1000000,
+    //          ac = 1e6*1/3 = 333333, ca = 1000000
+    assert(out(1L) == ((5L, 5L, 666666L + 1000000L + 333333L + 1000000L + 666666L)))
+    assert(out(2L) == ((3L, 1L, 666666L)))
+    assert(!out.contains(3L))
+  }
+
+  test("q92 invariants on sf0.001: hits bounded, scores bounded") {
+    val out = SearchOps.q92LmQuality(spark, sf)
+    val bad = out.where(
+      col("n_hits") > col("n_bigrams") ||
+        col("lm_score") > col("n_hits") * SearchOps.Scale ||
+        col("lm_score") < 0)
+    assert(bad.isEmpty, "q92 bounds violated")
+    // the model is trained on en: en docs must average a higher
+    // per-bigram score than the other languages together
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "lang")
+    val j = out.join(docs, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg((sum(col("lm_score")) / sum(col("n_bigrams"))).as("avg"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(j(true) > j(false),
+      s"en familiarity ${j(true)} not above non-en ${j(false)}")
+  }
+
+  test("q93 exact ranking and tie-break on a hand-built corpus") {
+    import spark.implicits._
+    // 4 docs; query terms x (df=2), y (df=1); N=4
+    // wx = 1e6*4/2 = 2000000, wy = 1e6*4/1 = 4000000
+    val docs = Seq(
+      (1L, "x x y"), // q1: 2*wx + 1*wy = 8000000
+      (2L, "x z z"), // q1: 2000000
+      (3L, "z z z"), // no hit
+      (4L, "w w w")
+    ).toDF("doc_id", "text")
+    val got = SearchOps.keywordSearch(spark, docs, Seq(1 -> "x y"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 1L, 1L, 8000000L), (1, 2L, 2L, 2000000L)))
+  }
+
+  test("q93 tie-break: equal scores rank by ascending doc_id") {
+    import spark.implicits._
+    val docs = Seq((9L, "t"), (3L, "t"), (7L, "t")).toDF("doc_id", "text")
+    val got = SearchOps.keywordSearch(spark, docs, Seq(1 -> "t"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // all scores 1e6*3/3 = 1000000; top-2 = doc 3 then doc 7
+    assert(got.toSeq == Seq((1L, 3L), (2L, 7L)))
+  }
+
+  test("q93 plan: BoundedTopK partial aggregate, no window, no cartesian") {
+    val df = SearchOps.q93KeywordSearch(spark, sf)
+    val plan = SparkTestSession.finalPlan(df)
+    val bad = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(bad.isEmpty, s"window/cartesian in q93 plan:\n$plan")
+    val topk = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(
+            _.aggregateFunction.isInstanceOf[graft.functions.BoundedTopK]) => a
+    }
+    assert(topk.nonEmpty, s"no BoundedTopK aggregate in q93 plan:\n$plan")
+  }
+
+  test("q94 pivot equals conditional aggregation on sf0.001") {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val ev = graft.Tables.events(spark, sf)
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+      count(lit(1)).as("n_total")
+    val expect = ev.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+      .collect().map(_.toSeq)
+    val got = RelationalOps.q94Pivot(spark, sf).collect().map(_.toSeq)
+    assert(got.toSeq == expect.toSeq)
+  }
+}
