@@ -115,6 +115,7 @@ object SparkEntry {
     "q94_pivot" -> (RelationalOps.q94Pivot(_, _)),
     "q95_funnel" -> (TimeSeriesOps.q95Funnel(_, _)),
     "q96_cohort_retention" -> (TimeSeriesOps.q96CohortRetention(_, _)),
+    "q97_hll_sketch" -> (SkewOps.q97HllSketch(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1662,5 +1663,41 @@ object SparkEntry {
         |FROM active a JOIN cohort c USING (user_id)
         |WHERE (a.day - c.cohort_day) <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the md5-HLL sketch replayed register-for-register from the hex
+    // digests: bucket = first two hex digits, rho = leading zero bits of
+    // the remaining 120 (4 per '0' hex digit + the first nonzero digit's
+    // nibble count) + 1, capped at 47; every derived scalar recomputed
+    "q97_hll_sketch" ->
+      """WITH h AS (SELECT DISTINCT event_type, md5(event_id::VARCHAR) AS h
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |      strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
+        |    length(regexp_extract(substr(h, 3), '^0*')) AS z,
+        |    substr(h, 3 + length(regexp_extract(substr(h, 3), '^0*')), 1) AS d
+        |  FROM h),
+        |rho AS (SELECT event_type, bucket,
+        |    least(4 * z + CASE WHEN d = '' THEN 0
+        |      WHEN strpos('0123456789abcdef', d) - 1 >= 8 THEN 0
+        |      WHEN strpos('0123456789abcdef', d) - 1 >= 4 THEN 1
+        |      WHEN strpos('0123456789abcdef', d) - 1 >= 2 THEN 2
+        |      ELSE 3 END + 1, 47) AS rho
+        |  FROM b),
+        |reg0 AS (SELECT event_type, bucket, max(rho) AS r
+        |  FROM rho GROUP BY 1, 2),
+        |allb AS (SELECT event_type, unnest(range(256)) AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |regs AS (SELECT a.event_type, a.bucket, coalesce(r.r, 0) AS r
+        |  FROM allb a LEFT JOIN reg0 r
+        |    ON a.event_type = r.event_type AND a.bucket = r.bucket),
+        |agg AS (SELECT event_type,
+        |    sum(1::BIGINT << (47 - r))::BIGINT AS s_scaled,
+        |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)::INT AS n_zero,
+        |    md5(string_agg(r::VARCHAR, ',' ORDER BY bucket)) AS reg_digest
+        |  FROM regs GROUP BY event_type)
+        |SELECT event_type, s_scaled, n_zero, reg_digest,
+        |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 140737488355328.0
+        |    / s_scaled::DOUBLE AS hll_estimate
+        |FROM agg ORDER BY event_type""".stripMargin,
   )
 }

@@ -56,4 +56,48 @@ object SkewOps {
     */
   def saltKey(key: Column, entropy: Column, salts: Int): Column =
     concat_ws("#", key, pmod(hash(entropy), lit(salts)).cast("string"))
+
+  /** q97: the portable HyperLogLog sketch ([[graft.functions.HllSketch]])
+    * over distinct event ids per event type — emitted as the sketch's
+    * derived scalars so every column oracle-replays:
+    *   - `s_scaled`  = Σ_b 2^(47 − register_b), the estimate's
+    *     denominator as an ORDER-INDEPENDENT exact integer;
+    *   - `n_zero`    = empty registers (the linear-counting input — the
+    *     consumer applies the small-range correction, which needs `ln`
+    *     and therefore deliberately stays OUT of the replayed columns);
+    *   - `hll_estimate` = alpha_m · m² · 2^47 / s_scaled, pure IEEE
+    *     division of replayed values — bit-identical in both engines;
+    *   - `reg_digest` = md5 over the comma-joined register array: pins
+    *     the ENTIRE sketch, not just its summary.
+    *
+    * Scale story: one 256-byte state per group, merged by byte-max — the
+    * sketch-once/merge-forever pattern. The same aggregate runs unchanged
+    * in a streaming `groupBy().agg()` (plain TypedImperativeAggregate).
+    */
+  def q97HllSketch(spark: SparkSession, dir: String): DataFrame =
+    hllDistinct(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id").cast("string").as("v")),
+      "event_type", "v")
+      .orderBy(col("event_type"))
+
+  /** Core of q97: sketch `valueCol`'s distincts per `keyCol`. */
+  def hllDistinct(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val cap = graft.functions.HllSketch.RhoCap
+    val m = graft.functions.HllSketch.M
+    // fixed operation order, shared with the oracle SQL: alpha first,
+    // then m^2, then the 2^cap numerator, then ONE division
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    df.groupBy(col(keyCol))
+      .agg(graft.functions.HllSketch(col(valueCol)).as("regs"))
+      .select(col(keyCol),
+        expr(s"aggregate(regs, 0L, (acc, r) -> acc + shiftleft(1L, $cap - r))")
+          .as("s_scaled"),
+        size(expr("filter(regs, r -> r = 0)")).as("n_zero"),
+        md5(expr("concat_ws(',', transform(regs, r -> cast(r AS string)))"))
+          .as("reg_digest"))
+      .withColumn("hll_estimate",
+        alpha * lit((m.toLong * m).toDouble) * lit(math.pow(2.0, cap).toLong.toDouble) /
+          col("s_scaled").cast("double"))
+  }
 }
