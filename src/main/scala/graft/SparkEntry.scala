@@ -116,6 +116,7 @@ object SparkEntry {
     "q95_funnel" -> (TimeSeriesOps.q95Funnel(_, _)),
     "q96_cohort_retention" -> (TimeSeriesOps.q96CohortRetention(_, _)),
     "q97_hll_sketch" -> (SkewOps.q97HllSketch(_, _)),
+    "q98_cms_sketch" -> (SkewOps.q98CmsSketch(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1699,5 +1700,38 @@ object SparkEntry {
         |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 140737488355328.0
         |    / s_scaled::DOUBLE AS hll_estimate
         |FROM agg ORDER BY event_type""".stripMargin,
+    // the Count-Min sketch replayed counter-for-counter: row r's counter
+    // for v = first md5('r:' || v) byte; estimates = min over the 4 rows
+    "q98_cms_sketch" -> {
+      val hexByte = (s: String) =>
+        s"(strpos('0123456789abcdef', substr($s, 1, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substr($s, 2, 1)) - 1"
+      val probes = graft.operators.SkewOps.CmsProbes
+        .map(p => s"('$p')").mkString(", ")
+      s"""WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS v
+         |  FROM documents),
+         |cnt AS (SELECT lang, r, ${hexByte("md5(r::VARCHAR || ':' || v)")} AS c,
+         |    count(*)::BIGINT AS n
+         |  FROM toks, unnest(range(4)) AS t(r) GROUP BY 1, 2, 3),
+         |allrc AS (SELECT lang, r, c
+         |  FROM (SELECT DISTINCT lang FROM documents),
+         |    unnest(range(4)) AS t(r), unnest(range(256)) AS u(c)),
+         |regs AS (SELECT a.lang, a.r, a.c, coalesce(cnt.n, 0)::BIGINT AS n
+         |  FROM allrc a LEFT JOIN cnt ON a.lang = cnt.lang
+         |    AND a.r = cnt.r AND a.c = cnt.c),
+         |digest AS (SELECT lang,
+         |    md5(string_agg(n::VARCHAR, ',' ORDER BY r, c)) AS reg_digest
+         |  FROM regs GROUP BY 1),
+         |probes(token) AS (VALUES $probes),
+         |pcols AS (SELECT token, r,
+         |    ${hexByte("md5(r::VARCHAR || ':' || token)")} AS c
+         |  FROM probes, unnest(range(4)) AS t(r)),
+         |est AS (SELECT regs.lang, p.token, min(regs.n)::BIGINT AS est_count
+         |  FROM pcols p JOIN regs ON regs.r = p.r AND regs.c = p.c
+         |  GROUP BY 1, 2)
+         |SELECT e.lang, e.token, e.est_count, d.reg_digest
+         |FROM est e JOIN digest d USING (lang)
+         |ORDER BY e.lang, e.token""".stripMargin
+    },
   )
 }

@@ -100,4 +100,48 @@ object SkewOps {
         alpha * lit((m.toLong * m).toDouble) * lit(math.pow(2.0, cap).toLong.toDouble) /
           col("s_scaled").cast("double"))
   }
+
+  /** The q98 probe workload: frequent corpus tokens plus one absent
+    * token (its estimate is pure collision mass — the overshoot bound's
+    * witness). */
+  private[graft] val CmsProbes = Seq("table", "data", "spark", "window", "zzzz")
+
+  /** q98: Count-Min frequency sketch ([[graft.functions.CmsSketch]]) of
+    * the token stream per language, probed for a fixed token list —
+    * `est_count` is the sketch's min-over-rows answer (≥ the true count,
+    * one-sided), `reg_digest` pins all 1024 counters. The probe columns
+    * are LITERALS (each probe's four counter positions are md5'd on the
+    * driver, the same arithmetic the executors run per row), so the probe
+    * step is a pure projection over the 5 sketch rows — no second pass
+    * over the corpus, which is the entire point of a frequency sketch.
+    */
+  def q98CmsSketch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("v"))
+    cmsFrequency(toks, "lang", "v", CmsProbes).orderBy(col("lang"), col("token"))
+  }
+
+  /** Core of q98: sketch `valueCol`'s frequencies per `keyCol`, then
+    * answer the probe list from the sketch alone. */
+  def cmsFrequency(
+      df: DataFrame, keyCol: String, valueCol: String,
+      probes: Seq[String]): DataFrame = {
+    import graft.functions.CmsSketch.{Depth, Width, column}
+    val sk = df.groupBy(col(keyCol))
+      .agg(graft.functions.CmsSketch(col(valueCol)).as("regs"))
+      .withColumn("reg_digest",
+        md5(expr("concat_ws(',', transform(regs, x -> cast(x AS string)))")))
+    val probeArr = array(probes.map { p =>
+      val bytes = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      struct(lit(p).as("token") +:
+        (0 until Depth).map(r => lit(column(r, bytes)).as(s"c$r")): _*)
+    }: _*)
+    sk.select(col(keyCol), col("reg_digest"), col("regs"),
+        explode(probeArr).as("probe"))
+      .select(col(keyCol), col("probe.token").as("token"),
+        least((0 until Depth).map(r =>
+          element_at(col("regs"), col(s"probe.c$r") + lit(r * Width) + 1)): _*)
+          .as("est_count"),
+        col("reg_digest"))
+  }
 }

@@ -55,4 +55,34 @@ class StreamHllSpec extends AnyFunSuite {
     val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
     assert(stateRows == 3L, s"expected one state row per group, got $stateRows")
   }
+
+  test("streaming Count-Min over 3 micro-batches == batch sketch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scms_").toString
+    val rows = (1L to 600L).map(id => (id % 3, s"t${id % 89}"))
+    rows.grouped(200).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("g", "v").coalesce(1).write.parquet(s"$base/feed/f$i")
+    }
+    val q = spark.readStream
+      .schema("g LONG, v STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/feed/f*")
+      .groupBy(col("g"))
+      .agg(graft.functions.CmsSketch(col("v")).as("regs"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("scms")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    assert(!q.isActive)
+    val streamed = spark.table("scms")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batch = rows.toDF("g", "v").groupBy(col("g"))
+      .agg(graft.functions.CmsSketch(col("v")).as("regs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch)
+  }
 }
