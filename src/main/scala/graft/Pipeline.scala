@@ -64,7 +64,15 @@ object Pipeline {
         * shingles (q57's metric): docs with `overlap_bp` at or below this
         * survive. 0 = q40's strict any-shared-shingle rule.
         */
-      maxOverlapBp: Int = 0)
+      maxOverlapBp: Int = 0,
+      /** Opt-in LM-familiarity gate (q92's scoring): a documents-shaped
+        * parquet to train the reference bigram model on; docs whose
+        * average per-bigram familiarity falls below `minLmPerBigram`
+        * (1e-6 units) are rejected with the `low_lm_familiarity` tag and
+        * all scores land in `<workDir>/curation_lm`.
+        */
+      lmRefDir: Option[String] = None,
+      minLmPerBigram: Long = 1L)
 
   /** Quantizer shape for the embeddings feed's standing IVF index. The
     * base is trained under these on the FIRST batch (and every fold
@@ -268,7 +276,11 @@ object Pipeline {
             minhashK = g.minhashK, bands = g.bands,
             rowsPerBand = g.rowsPerBand,
             maxFilesPerTrigger = config.docMaxFilesPerTrigger,
-            bandBuckets = g.bandBuckets, setsBuckets = g.setsBuckets)
+            bandBuckets = g.bandBuckets, setsBuckets = g.setsBuckets,
+            lmModel = cur.lmRefDir.map(d => graft.operators.SearchOps
+              .lmWeights(spark.read.parquet(d))),
+            minLmPerBigram = cur.minLmPerBigram,
+            lmDir = s"${config.workDir}/curation_lm")
         case None =>
           StreamNearDup.run(spark, dir, s"${config.workDir}/ckpt_neardup",
             s"${config.workDir}/neardup_flags",

@@ -50,26 +50,41 @@ object SearchOps {
     lmQuality(Tables.documents(spark, dir))
 
   /** Core of q92 over any frame with (doc_id, lang, text). */
-  private[graft] def lmQuality(docs: DataFrame): DataFrame = {
-    val docBigrams = docs
-      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
-      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
-      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = docBigrams.where(col("lang") === "en")
+  private[graft] def lmQuality(docs: DataFrame): DataFrame =
+    lmScore(docs, lmWeights(docs.where(col("lang") === "en")))
+      .orderBy(col("doc_id"))
+
+  /** Consecutive word pairs of a (doc_id, text) frame. */
+  private def docBigrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), words(col("text")).as("w"))
+    .select(col("doc_id"), explode(bigrams).as("bg"))
+    .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Train the bigram model: (w1, w2, weight) with
+    * `weight = floor(Scale * c(w1,w2) / c(w1,*))` — the scaled conditional
+    * transition probability, exact integer. */
+  def lmWeights(ref: DataFrame): DataFrame = {
+    val c2 = docBigrams(ref)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val weights = c2.join(c1, Seq("w1"))
+    c2.join(c1, Seq("w1"))
       .select(col("w1"), col("w2"),
         expr(s"(${Scale}L * c2) div c1").as("weight"))
-    docBigrams
+  }
+
+  /** Score every document's bigrams against a trained weight table:
+    * (doc_id, n_bigrams, n_hits, lm_score). Documents with fewer than two
+    * tokens have no bigrams and produce no row — callers gating on the
+    * score must treat absence as score-less (the streaming gate rejects
+    * them explicitly). */
+  def lmScore(docs: DataFrame, weights: DataFrame): DataFrame =
+    docBigrams(docs)
       .join(weights, Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
         count(col("weight")).as("n_hits"),
         coalesce(sum(col("weight")), lit(0L)).as("lm_score"))
-      .orderBy(col("doc_id"))
-  }
 
   /** The q93 query workload: five fixed multi-term keyword queries over
     * the corpus vocabulary (SURVEY §1.2's synthetic `documents` table

@@ -42,8 +42,17 @@ import org.apache.spark.sql.types.StructType
   * and drop from survivor and reject filters alike — land in
   * `rejectsDir` with per-rule reason tags, decontamination verdicts in
   * `decontamDir`, near-dup
-  * flags in `flagsDir` — the four sinks partition the feed, nothing is
+  * flags in `flagsDir` — the sinks partition the feed, nothing is
   * silently dropped.
+  *
+  * OPTIONAL stage 1.5 — LM-familiarity gate (`lmModel`): q92's bigram
+  * scoring against a STANDING reference model (trained once, static for
+  * the query's life, so batch-local == global like the eval set); a doc
+  * survives iff its average per-bigram familiarity (integer division,
+  * replayable) meets `minLmPerBigram`. All score rows land in the
+  * `lmDir` audit sink; rejects join the rejects sink with the
+  * `low_lm_familiarity` tag. Bigram-less docs are rejected explicitly,
+  * never silently lost.
   *
   * Replay discipline is inherited wholesale: the guard's marker protocol
   * gates its flags step, and the curated append re-READS the committed
@@ -80,9 +89,17 @@ object StreamCurate {
       availableNow: Boolean = true,
       schemaHint: Option[StructType] = None,
       bandBuckets: Int = StreamNearDup.DefaultBandBuckets,
-      setsBuckets: Int = StreamNearDup.DefaultSetsBuckets): StreamingQuery = {
+      setsBuckets: Int = StreamNearDup.DefaultSetsBuckets,
+      lmModel: Option[DataFrame] = None,
+      minLmPerBigram: Long = 0L,
+      lmDir: String = ""): StreamingQuery = {
     StreamNearDup.prepareIndex(spark, indexDir, checkpointDir,
       minhashK, bands, rowsPerBand, bandBuckets, setsBuckets)
+    require(lmModel.isEmpty || lmDir.nonEmpty,
+      "an LM gate needs lmDir for its audit sink")
+    // the reference model is STATIC for the life of the query (like the
+    // eval set), so per-batch scoring is batch-local == global
+    val lmCached = lmModel.map(_.persist())
     val evalCached = evalSet.persist()
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(spark.read.parquet(sourceDir).schema))
@@ -110,11 +127,51 @@ object StreamCurate {
           .withColumn("n_tokens", size(tokens))
           .withColumn("n_distinct", size(array_distinct(tokens)))
           .persist()
-        val quality = stats.filter(!rules.map(_._2).reduce(_ || _))
+        val preQuality = stats.filter(!rules.map(_._2).reduce(_ || _))
+        var lmVerdicts: Option[DataFrame] = None
         try {
-          val rejects = stats.filter(rules.map(_._2).reduce(_ || _))
+          val ruleRejects = stats.filter(rules.map(_._2).reduce(_ || _))
             .withColumn("reason", concat_ws(",",
               rules.map { case (label, b) => when(b, lit(label)) }: _*))
+          // 1.5 (optional): LM-familiarity gate — q92's scoring against
+          // the standing reference model; a doc survives iff its average
+          // per-bigram familiarity (integer division, replayable) meets
+          // the floor. Docs with NO bigrams produce no score row and are
+          // rejected explicitly — the same no-silent-loss discipline as
+          // the null_text rule. All score rows land in the lmDir audit
+          // sink; rejects carry the low_lm_familiarity tag.
+          val (quality, lmRejects) = lmCached match {
+            case None => (preQuality, None)
+            case Some(model) =>
+              val scored = graft.operators.SearchOps
+                .lmScore(preQuality.select(col("doc_id"), col("text")), model)
+                .withColumn("lm_per_bigram",
+                  expr("lm_score div n_bigrams"))
+              val verdicts = preQuality.select(col("doc_id"))
+                .join(scored, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+                  coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+                  coalesce(col("lm_score"), lit(0L)).as("lm_score"),
+                  coalesce(col("lm_per_bigram"), lit(0L)).as("lm_per_bigram"))
+                .persist()
+              lmVerdicts = Some(verdicts)
+              if (!verdicts.isEmpty)
+                CheckpointStream.appendDiffs(verdicts, lmDir, batchId)
+              val passIds = verdicts
+                .filter(col("n_bigrams") > 0 && col("lm_per_bigram") >= minLmPerBigram)
+                .select("doc_id")
+              val failed = preQuality
+                .join(passIds, Seq("doc_id"), "left_anti")
+                .withColumn("reason", lit("low_lm_familiarity"))
+              (preQuality.join(passIds, Seq("doc_id")), Some(failed))
+          }
+          // ONE rejects append per batch (first-write-wins contract):
+          // rule rejects and LM rejects union into the same generation
+          val rejects = lmRejects match {
+            case None => ruleRejects
+            case Some(f) => ruleRejects.unionByName(f)
+          }
           if (!rejects.isEmpty)
             CheckpointStream.appendDiffs(rejects, rejectsDir, batchId)
           // 2. decontamination severity verdicts (all of them — the audit
@@ -153,7 +210,10 @@ object StreamCurate {
                 CheckpointStream.appendDiffs(curated, curatedDir, batchId)
             } finally { clean.unpersist(); () }
           } finally { verdicts.unpersist(); () }
-        } finally { stats.unpersist(); () }
+        } finally {
+          lmVerdicts.foreach(_.unpersist())
+          stats.unpersist(); ()
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("1 second"))).start()

@@ -234,12 +234,20 @@ class PipelineSpec extends AnyFunSuite {
       2L -> "the quick brown fox jumps over the lazy dog every single day",
       3L -> "the quick brown fox jumps over the lazy dog every single day", // near-dup of 2
       4L -> "contains the held out benchmark question about graph theory verbatim", // decontam hit
-      5L -> "a perfectly ordinary clean document with plenty of distinct words here")
+      5L -> "a perfectly ordinary clean document with plenty of distinct words here",
+      // LM reject: passes quality (12 distinct tokens) and shares nothing
+      // with the eval set, but NO bigram appears in the reference model
+      6L -> (1 to 12).map(j => s"zx${j}qq").mkString(" "))
     docs.zipWithIndex.foreach { case ((id, t), i) =>
       Seq((id, t)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$base/docs/c$i")
       val d = new java.io.File(s"$base/docs/c$i")
       (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
     }
+    // reference model corpus = docs 1-5's texts: the familiar docs (incl.
+    // the decontam hit, which must still reach stage 2) score above the
+    // floor; the gibberish doc 6 scores zero
+    docs.take(5).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/lm_ref")
     val guard = Pipeline.GuardConfig(
       minhashK = 32, bands = 8, rowsPerBand = 4, bandBuckets = 8, setsBuckets = 16)
     val cfg = Pipeline.Config(
@@ -249,7 +257,8 @@ class PipelineSpec extends AnyFunSuite {
       workDir = s"$base/work",
       docFeedDir = Some(s"$base/docs/c*"),
       guard = guard,
-      curation = Some(Pipeline.CurationConfig(evalDir = s"$base/eval", minTokens = 5)),
+      curation = Some(Pipeline.CurationConfig(evalDir = s"$base/eval", minTokens = 5,
+        lmRefDir = Some(s"$base/lm_ref"))),
       // batch 2 files per trigger: the dup pair (docs 2, 3) then crosses a
       // batch boundary — the knob flows through AND cross-batch guard
       // semantics hold under backlog batching
@@ -259,8 +268,16 @@ class PipelineSpec extends AnyFunSuite {
     val curated = spark.read.parquet(s"$base/work/curated")
       .select("doc_id").as[Long].collect().toSet
     assert(curated == Set(2L, 5L), s"curated: $curated")
-    assert(spark.read.parquet(s"$base/work/curation_rejects")
-      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    // rejects: 1 by the quality rules, 6 by the LM gate — each tagged
+    val rej = spark.read.parquet(s"$base/work/curation_rejects")
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(rej.keySet == Set(1L, 6L), s"rejects: $rej")
+    assert(rej(6L) == "low_lm_familiarity", rej(6L))
+    // every quality survivor got an LM verdict; only 6 scored zero hits
+    val lm = spark.read.parquet(s"$base/work/curation_lm")
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(lm.keySet == Set(2L, 3L, 4L, 5L, 6L), s"lm sink: $lm")
+    assert(lm(6L) == 0L && lm.removed(6L).values.forall(_ > 0L), s"lm sink: $lm")
     assert(spark.read.parquet(s"$base/work/curation_decontam")
       .filter(col("overlap_bp") > 0).select("doc_id").as[Long].collect().toSet == Set(4L))
     assert(spark.read.parquet(s"$base/work/neardup_flags")

@@ -128,4 +128,63 @@ class StreamCurateSpec extends AnyFunSuite {
     assert(verdicts(1L) == ((100L, "partial")) && verdicts(2L) == ((1666L, "contaminated")),
       s"severity audit diverged: $verdicts")
   }
+
+  test("LM gate: unfamiliar docs rejected with tag, scores audited == batch scoring") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scurate_lm_").toString
+    val all = Tables.documents(spark, sf)
+    val ref = all.filter(col("lang") === "en")
+    val model = graft.operators.SearchOps.lmWeights(ref)
+    // feed: familiar en docs + planted gibberish whose bigrams the en
+    // model has never seen (passes the length/distinct quality rules, so
+    // only the LM stage can catch it)
+    val maxId = all.agg(max(col("doc_id"))).as[Long].head()
+    val gibberish = (1 to 3).map { i =>
+      val text = (0 until 30).map(j => s"zx${(i * 31 + j * 7) % 13}qq").mkString(" ")
+      (maxId + i, text, "en", "synthetic", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feed = ref.unionByName(gibberish)
+    val half = maxId / 2
+    feed.filter(col("doc_id") <= half).coalesce(1).write.parquet(s"$base/feed/chunk=0")
+    feed.filter(col("doc_id") > half).coalesce(1).write.parquet(s"$base/feed/chunk=1")
+    val eval = Seq((maxId + 100L, "never shared anywhere")).toDF("doc_id", "text")
+
+    val q = StreamCurate.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/curated", s"$base/flags", s"$base/decontam", s"$base/rejects",
+      s"$base/index", eval,
+      lmModel = Some(model), minLmPerBigram = 1L, lmDir = s"$base/lm")
+    q.awaitTermination(180000L)
+    assert(!q.isActive)
+
+    // every gibberish doc rejected with the LM tag, no familiar doc is
+    val rejects = spark.read.parquet(s"$base/rejects")
+    val lmRejected = rejects.filter(col("reason") === "low_lm_familiarity")
+      .select("doc_id").as[Long].collect().toSet
+    val gibIds = (1 to 3).map(maxId + _).toSet
+    assert(lmRejected == gibIds, s"LM rejects diverged: $lmRejected vs $gibIds")
+    val curatedIds = spark.read.parquet(s"$base/curated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gibIds.intersect(curatedIds).isEmpty)
+    assert(curatedIds.nonEmpty)
+
+    // the audit sink holds a verdict for EVERY quality survivor (the LM
+    // stage runs after the quality rules), and the streamed scores equal
+    // batch lmScore of the same docs (the model is static, so
+    // micro-batching must not change a single score)
+    val tokens = split(col("text"), " ")
+    val quality = feed
+      .withColumn("n_tokens", size(tokens))
+      .withColumn("n_distinct", size(array_distinct(tokens)))
+      .filter(col("n_tokens") >= 10 &&
+        col("n_distinct") * 100 >= col("n_tokens") * 30)
+    val audited = spark.read.parquet(s"$base/lm")
+      .select("doc_id", "n_bigrams", "n_hits", "lm_score")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(audited.keySet == quality.select("doc_id").as[Long].collect().toSet,
+      "every quality survivor needs an LM verdict row")
+    val batchScores = graft.operators.SearchOps
+      .lmScore(quality.select(col("doc_id"), col("text")), model)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(audited == batchScores, "streamed LM scores diverged from batch scoring")
+  }
 }
