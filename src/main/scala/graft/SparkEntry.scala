@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CurateOps, DedupOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps}
+import graft.operators.{CurateOps, DedupOps, GraphOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -117,6 +117,8 @@ object SparkEntry {
     "q96_cohort_retention" -> (TimeSeriesOps.q96CohortRetention(_, _)),
     "q97_hll_sketch" -> (SkewOps.q97HllSketch(_, _)),
     "q98_cms_sketch" -> (SkewOps.q98CmsSketch(_, _)),
+    "q99_pagerank" -> (GraphOps.q99PageRank(_, _)),
+    "q100_scd2" -> (TimeSeriesOps.q100Scd2(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1733,5 +1735,45 @@ object SparkEntry {
          |FROM est e JOIN digest d USING (lang)
          |ORDER BY e.lang, e.token""".stripMargin
     },
+    // 3 unrolled exact-integer PageRank steps over the bidirectional
+    // customer-supplier purchase graph: each step joins ranks to edges on
+    // src and sums floor(r/deg) into dst — identical arithmetic to the
+    // engine's loop
+    "q99_pagerank" -> {
+      def step(prev: String, next: String) =
+        s"""$next AS (SELECT e.dst AS node,
+           |    150000 + (85 * sum(r.r // d.deg)) // 100 AS r
+           |  FROM edges e JOIN $prev r ON e.src = r.node
+           |    JOIN deg d ON d.src = e.src
+           |  GROUP BY 1)"""
+      s"""WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT node, r::BIGINT AS rank_scaled FROM r3
+         |ORDER BY node""".stripMargin
+    },
+    // SCD2 replay: same two windows over the same (t, event_id) total
+    // order; IS DISTINCT FROM keeps the opening row of every user
+    "q100_scd2" ->
+      """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS t,
+        |    event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |changes AS (SELECT user_id, state, t, event_id FROM e
+        |  WHERE prev IS DISTINCT FROM state)
+        |SELECT user_id,
+        |  (row_number() OVER w)::BIGINT AS version,
+        |  state, t AS valid_from,
+        |  lead(t) OVER w AS valid_to
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |ORDER BY user_id, version""".stripMargin,
   )
 }

@@ -157,6 +157,40 @@ object TimeSeriesOps {
   def q96CohortRetention(spark: SparkSession, dir: String): DataFrame =
     cohortRetention(Tables.events(spark, dir))
 
+  /** q100: type-2 slowly-changing dimension build — each user's event
+    * history compressed to its STATE CHANGES: one row per run of equal
+    * `event_type`, with `valid_from`/`valid_to` micros (null `valid_to` =
+    * current) and a per-user version number. The warehouse-dimension shape
+    * (track attribute history, join facts by validity range) built from
+    * an append-only event log in one pass.
+    *
+    * Two windows per user ordered by (t, event_id) — the deterministic
+    * total order: the first marks rows where the state differs from its
+    * predecessor (`IS DISTINCT FROM`, so the first row always opens a
+    * version), the second numbers the surviving versions and closes each
+    * with its successor's start. Per-user sort state is bounded by that
+    * user's event count (the q33 sessionize envelope), never the table.
+    */
+  def q100Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(spark, dir))
+
+  /** Core of q100 over any frame with (user_id, event_type, ts, event_id). */
+  private[graft] def scd2(events: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("prev", lag(col("state"), 1).over(byTime))
+      .where(!(col("prev") <=> col("state")))
+    changes
+      .withColumn("version", row_number().over(byTime).cast("long"))
+      .withColumn("valid_to", lead(col("t"), 1).over(byTime))
+      .select(col("user_id"), col("version"), col("state"),
+        col("t").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Core of q96 over any frame with (user_id, ts). */
   private[graft] def cohortRetention(events: DataFrame): DataFrame = {
     val dayUs = 86400000000L

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integer PageRank: step-exact parity with a plain-Scala reference on a
+  * hand graph, and shape checks on the purchase graph. Value-level oracle
+  * parity is q99's DuckDB gate.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def referenceRanks(
+      edges: Seq[(String, String)], iterations: Int): Map[String, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> GraphOps.Scale).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = edges.groupBy(_._2).view.mapValues {
+        _.map { case (src, _) => r(src) / deg(src) }.sum
+      }.toMap
+      r = contrib.map { case (n, c) =>
+        n -> (GraphOps.Scale * 15 / 100 + GraphOps.Damping * c / 100)
+      }
+    }
+    r
+  }
+
+  test("ranks match the reference loop exactly on a hand graph") {
+    import spark.implicits._
+    // a ring with a chord: every node has out-edges, degrees differ
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "c" -> "d", "d" -> "a")
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == referenceRanks(edges, 3))
+  }
+
+  test("high-degree hubs outrank leaves on a star graph") {
+    import spark.implicits._
+    // hub connected to 5 leaves, bidirectional (q99's edge shape)
+    val pairs = (1 to 5).map(i => ("hub", s"leaf$i"))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val ranks = GraphOps.pageRank(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert((1 to 5).forall(i => ranks("hub") > ranks(s"leaf$i")), ranks.toString)
+    // leaves are symmetric: identical ranks
+    assert((2 to 5).forall(i => ranks(s"leaf$i") == ranks("leaf1")))
+  }
+
+  test("q99 on sf0.001: all nodes ranked, both sides present, deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    val out = GraphOps.q99PageRank(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.nonEmpty && out.forall(_._2 > 0))
+    assert(out.exists(_._1.startsWith("c")) && out.exists(_._1.startsWith("s")))
+    val again = GraphOps.q99PageRank(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == again.toSeq)
+  }
+}

@@ -142,6 +142,53 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 SCD2: runs coalesce, versions number, validity chains") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: A A B A -> versions A[10,30) B[30,40) A[40,null)
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L),
+      // user 2: single state, two observations -> one open version
+      (2L, "X", 5L, 5L), (2L, "X", 6L, 6L),
+      // same-timestamp tie broken by event_id: B (7) then A (8)
+      (3L, "B", 7L, 7L), (3L, "A", 7L, 8L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("t")).as("ts"), col("event_id"))
+    val got = TimeSeriesOps.scd2(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.get(4))))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "A", 10L, Some(30L)),
+      (1L, 2L, "B", 30L, Some(40L)),
+      (1L, 3L, "A", 40L, None),
+      (2L, 1L, "X", 5L, None),
+      (3L, 1L, "B", 7L, Some(7L)),
+      (3L, 2L, "A", 7L, None)))
+  }
+
+  test("q100 on sf0.001: versions dense, validity contiguous, one open per user") {
+    val out = TimeSeriesOps.q100Scd2(spark, sf).cache()
+    try {
+      val byUser = out.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        max(col("version")).as("maxv"),
+        sum(when(col("valid_to").isNull, 1).otherwise(0)).as("open"))
+        .collect()
+      byUser.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2), s"versions not dense: $r")
+        assert(r.getLong(3) == 1L, s"user needs exactly one open version: $r")
+      }
+      // each version's valid_to == the next version's valid_from
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      val broken = out
+        .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        .where(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+      assert(broken.isEmpty, "validity chain broken")
+    } finally { out.unpersist(); () }
+  }
+
   test("q91 on sf0.001: totals preserved, grid contiguous, no null LOCF") {
     val out = TimeSeriesOps.q91GapFill(spark, sf).cache()
     try {
