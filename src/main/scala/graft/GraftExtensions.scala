@@ -98,6 +98,16 @@ object GraftExtensions {
       arity("count_histogram", 1, args)
       CountHistogram(args.head)
     }),
+    fn("hll_sketch",
+      "hll_sketch(v) - portable md5 HyperLogLog registers (256 x int) of a string", { args =>
+      arity("hll_sketch", 1, args)
+      HllSketch(args.head)
+    }),
+    fn("cms_sketch",
+      "cms_sketch(v) - portable md5 Count-Min counters (4 x 256, row-major) of a string", { args =>
+      arity("cms_sketch", 1, args)
+      CmsSketch(args.head)
+    }),
   )
 
   /** Register every native function on a LIVE session. Idempotent

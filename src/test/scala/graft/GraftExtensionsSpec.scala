@@ -39,6 +39,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(srpSql == srpApi)
   }
 
+  test("hll_sketch and cms_sketch aggregate in SQL == Column API twins") {
+    import spark.implicits._
+    (1 to 500).map(i => s"v${i % 113}").toDF("v").createOrReplaceTempView("ext_sk")
+    val sql = spark.sql(
+      "SELECT hll_sketch(v) AS h, cms_sketch(v) AS c FROM ext_sk").collect().head
+    val api = spark.table("ext_sk")
+      .agg(graft.functions.HllSketch(col("v")).as("h"),
+        graft.functions.CmsSketch(col("v")).as("c")).collect().head
+    assert(sql.getSeq[Int](0) == api.getSeq[Int](0))
+    assert(sql.getSeq[Long](1) == api.getSeq[Long](1))
+  }
+
   test("bounded_top_k aggregates in SQL, including GROUP BY and analyzer wrapping") {
     import spark.implicits._
     (1L to 100L).map(i => (i % 4, i)).toDF("g", "v")
@@ -108,6 +120,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     val added = org.apache.spark.sql.graft.RegistryBridge.registeredNames(ext)
     assert(added == Set("splitmix64", "simhash64", "dot_product", "minhash_signature",
-      "rolling_hash", "winnow", "srp_buckets", "bounded_top_k", "count_histogram"))
+      "rolling_hash", "winnow", "srp_buckets", "bounded_top_k", "count_histogram",
+      "hll_sketch", "cms_sketch"))
   }
 }
