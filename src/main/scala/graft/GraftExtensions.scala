@@ -108,6 +108,11 @@ object GraftExtensions {
       arity("cms_sketch", 1, args)
       CmsSketch(args.head)
     }),
+    fn("bloom_sketch",
+      "bloom_sketch(v) - portable md5 Bloom filter (128 x 16-bit words) of a string", { args =>
+      arity("bloom_sketch", 1, args)
+      BloomSketch(args.head)
+    }),
   )
 
   /** Register every native function on a LIVE session. Idempotent

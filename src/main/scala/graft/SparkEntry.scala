@@ -119,6 +119,7 @@ object SparkEntry {
     "q98_cms_sketch" -> (SkewOps.q98CmsSketch(_, _)),
     "q99_pagerank" -> (GraphOps.q99PageRank(_, _)),
     "q100_scd2" -> (TimeSeriesOps.q100Scd2(_, _)),
+    "q101_bloom_sketch" -> (SkewOps.q101BloomSketch(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1775,5 +1776,42 @@ object SparkEntry {
         |FROM changes
         |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // the Bloom filter replayed word-for-word: probe i of v sets bit
+    // int(first 4 hex digits of md5('i:' || v)) % 2048; 16-bit words
+    "q101_bloom_sketch" -> {
+      val hex4 = (s: String) =>
+        s"((strpos('0123456789abcdef', substr($s, 1, 1)) - 1) * 4096 + " +
+          s"(strpos('0123456789abcdef', substr($s, 2, 1)) - 1) * 256 + " +
+          s"(strpos('0123456789abcdef', substr($s, 3, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substr($s, 4, 1)) - 1) % 2048"
+      val probes = graft.operators.SkewOps.CmsProbes
+        .map(p => s"('$p')").mkString(", ")
+      s"""WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS v
+         |  FROM documents),
+         |bits AS (SELECT DISTINCT lang,
+         |    ${hex4("md5(i::VARCHAR || ':' || v)")} AS pos
+         |  FROM toks, unnest(range(4)) AS t(i)),
+         |setw AS (SELECT lang, pos // 16 AS w,
+         |    sum(1 << (pos % 16))::INT AS word
+         |  FROM bits GROUP BY 1, 2),
+         |allw AS (SELECT lang, w
+         |  FROM (SELECT DISTINCT lang FROM documents), unnest(range(128)) AS t(w)),
+         |words AS (SELECT a.lang, a.w, coalesce(s.word, 0)::INT AS word
+         |  FROM allw a LEFT JOIN setw s ON a.lang = s.lang AND a.w = s.w),
+         |filt AS (SELECT lang,
+         |    sum(bit_count(word))::INT AS bits_set,
+         |    md5(string_agg(word::VARCHAR, ',' ORDER BY w)) AS filter_digest
+         |  FROM words GROUP BY 1),
+         |probes(token) AS (VALUES $probes),
+         |pbits AS (SELECT token, ${hex4("md5(i::VARCHAR || ':' || token)")} AS pos
+         |  FROM probes, unnest(range(4)) AS t(i)),
+         |phit AS (SELECT w.lang, p.token,
+         |    bool_and(((w.word >> (p.pos % 16)) & 1) = 1) AS hit
+         |  FROM pbits p JOIN words w ON w.w = p.pos // 16
+         |  GROUP BY 1, 2)
+         |SELECT h.lang, h.token, h.hit, f.bits_set, f.filter_digest
+         |FROM phit h JOIN filt f USING (lang)
+         |ORDER BY h.lang, h.token""".stripMargin
+    },
   )
 }

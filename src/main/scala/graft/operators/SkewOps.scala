@@ -121,6 +121,54 @@ object SkewOps {
     cmsFrequency(toks, "lang", "v", CmsProbes).orderBy(col("lang"), col("token"))
   }
 
+  /** q101: portable Bloom membership filter
+    * ([[graft.functions.BloomSketch]]) of the token stream per language,
+    * probed for q98's fixed token list — `hit` is the filter's
+    * no-false-negative answer, `bits_set` its fill (the FPR input,
+    * ~(bits_set/2048)^4), `filter_digest` pins all 128 words. Probe bit
+    * positions are driver-computed literals (the q98 pattern): probing is
+    * a projection over 5 filter rows, no second corpus pass. Completes
+    * the sketch family — q97 answers "how many distinct", q98 "how
+    * often", q101 "was this one seen" — all md5-portable, all mergeable
+    * (max / add / OR), all replayed value-exact by the oracle where
+    * Spark's own `bloom_filter_agg` blob is an opaque private-hash box.
+    */
+  def q101BloomSketch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("v"))
+    bloomMembership(toks, "lang", "v", CmsProbes)
+      .orderBy(col("lang"), col("token"))
+  }
+
+  /** Core of q101: build the per-key filter, then answer the probe list
+    * from the filter alone. */
+  def bloomMembership(
+      df: DataFrame, keyCol: String, valueCol: String,
+      probes: Seq[String]): DataFrame = {
+    import graft.functions.BloomSketch.{Probes, WordBits, bitPos}
+    val filt = df.groupBy(col(keyCol))
+      .agg(graft.functions.BloomSketch(col(valueCol)).as("words"))
+      .withColumn("filter_digest",
+        md5(expr("concat_ws(',', transform(words, x -> cast(x AS string)))")))
+      .withColumn("bits_set",
+        expr("aggregate(words, 0, (acc, w) -> acc + bit_count(w))"))
+    val probeArr = array(probes.map { p =>
+      val bytes = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val fields = (0 until Probes).flatMap { i =>
+        val pos = bitPos(i, bytes)
+        Seq(lit(pos / WordBits).as(s"w$i"), lit(pos % WordBits).as(s"b$i"))
+      }
+      struct(lit(p).as("token") +: fields: _*)
+    }: _*)
+    val hit = (0 until Probes)
+      .map(i => expr(s"(shiftright(element_at(words, probe.w$i + 1), probe.b$i) & 1) = 1"))
+      .reduce(_ && _)
+    filt.select(col(keyCol), col("bits_set"), col("filter_digest"),
+        col("words"), explode(probeArr).as("probe"))
+      .select(col(keyCol), col("probe.token").as("token"), hit.as("hit"),
+        col("bits_set"), col("filter_digest"))
+  }
+
   /** Core of q98: sketch `valueCol`'s frequencies per `keyCol`, then
     * answer the probe list from the sketch alone. */
   def cmsFrequency(

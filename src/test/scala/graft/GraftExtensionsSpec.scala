@@ -43,12 +43,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     import spark.implicits._
     (1 to 500).map(i => s"v${i % 113}").toDF("v").createOrReplaceTempView("ext_sk")
     val sql = spark.sql(
-      "SELECT hll_sketch(v) AS h, cms_sketch(v) AS c FROM ext_sk").collect().head
+      "SELECT hll_sketch(v) AS h, cms_sketch(v) AS c, bloom_sketch(v) AS b FROM ext_sk")
+      .collect().head
     val api = spark.table("ext_sk")
       .agg(graft.functions.HllSketch(col("v")).as("h"),
-        graft.functions.CmsSketch(col("v")).as("c")).collect().head
+        graft.functions.CmsSketch(col("v")).as("c"),
+        graft.functions.BloomSketch(col("v")).as("b")).collect().head
     assert(sql.getSeq[Int](0) == api.getSeq[Int](0))
     assert(sql.getSeq[Long](1) == api.getSeq[Long](1))
+    assert(sql.getSeq[Int](2) == api.getSeq[Int](2))
   }
 
   test("bounded_top_k aggregates in SQL, including GROUP BY and analyzer wrapping") {
@@ -121,6 +124,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val added = org.apache.spark.sql.graft.RegistryBridge.registeredNames(ext)
     assert(added == Set("splitmix64", "simhash64", "dot_product", "minhash_signature",
       "rolling_hash", "winnow", "srp_buckets", "bounded_top_k", "count_histogram",
-      "hll_sketch", "cms_sketch"))
+      "hll_sketch", "cms_sketch", "bloom_sketch"))
   }
 }
