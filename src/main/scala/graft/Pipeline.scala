@@ -301,6 +301,12 @@ object Pipeline {
       StreamStats.run(spark, dir, s"${config.workDir}/ckpt_profile",
         s"${config.workDir}/doc_profile",
         maxFilesPerTrigger = config.docMaxFilesPerTrigger))
+    // standing vocabulary-cardinality sketch next to the length profile:
+    // the q97 HLL panel per language, one 256-byte state row each
+    val vocabQuery = config.docFeedDir.map(dir =>
+      StreamStats.runVocab(spark, dir, s"${config.workDir}/ckpt_vocab",
+        s"${config.workDir}/vocab_profile",
+        maxFilesPerTrigger = config.docMaxFilesPerTrigger))
     // streaming image dedup guard over the optional image feed: exact
     // (decoded digest) + near (dHash) flags against the standing
     // signature index — the multimodal mirror of the documents guard
@@ -327,6 +333,7 @@ object Pipeline {
     dlQuery.foreach(_.awaitTermination())
     ndQuery.foreach(_.awaitTermination())
     profQuery.foreach(_.awaitTermination())
+    vocabQuery.foreach(_.awaitTermination())
     imgQuery.foreach(_.awaitTermination())
     embQuery.foreach(_.awaitTermination())
 

@@ -83,6 +83,46 @@ object StreamStats {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** Per-language standing VOCABULARY profile: the portable HLL sketch
+    * (q97) over the token stream — distinct-vocabulary cardinality per
+    * language from ONE 256-byte state row each, where exact streaming
+    * `count(distinct token)` state would grow with every new token
+    * forever. Emits the q97 derivation (`s_scaled`, `n_zero`,
+    * `reg_digest`, `hll_estimate`), so the published snapshot is
+    * mergeable evidence, not just a number. Complete-mode aggregation.
+    */
+  def vocabSketch(docs: DataFrame): DataFrame =
+    graft.operators.SkewOps.hllDistinct(
+      docs.select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("v")),
+      "lang", "v")
+
+  /** Composed-lifecycle runner for the vocabulary sketch: identical
+    * snapshot discipline to [[run]], published under its own dir. */
+  def runVocab(
+      spark: SparkSession,
+      sourceDir: String,
+      checkpointDir: String,
+      outDir: String,
+      maxFilesPerTrigger: Int = 1,
+      availableNow: Boolean = true,
+      schemaHint: Option[StructType] = None): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(schemaHint.getOrElse(spark.read.parquet(sourceDir).schema))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val docs =
+      if (raw.columns.contains("lang")) raw.select(col("lang"), col("text"))
+      else raw.select(lit("all").as("lang"), col("text"))
+    val writer = vocabSketch(docs).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishSnapshot(batch, outDir, batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** The CURRENT profile: newest complete snapshot generation. */
   def readProfile(spark: SparkSession, outDir: String): DataFrame = {
     val root = new Path(outDir)

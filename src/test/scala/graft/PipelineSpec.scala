@@ -216,6 +216,17 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(gotProfile.nonEmpty && gotProfile == wantProfile,
       s"profile snapshot diverged:\ngot  $gotProfile\nwant $wantProfile")
+    // the vocabulary sketch lane published beside it, and its current
+    // snapshot equals the batch sketch of everything fed (bit-for-bit:
+    // the HLL panel is a pure max-merge)
+    val gotVocab = graft.streaming.StreamStats
+      .readProfile(spark, s"$base/work/vocab_profile")
+      .collect().map(_.toString).toSeq
+    val wantVocab = graft.streaming.StreamStats.vocabSketch(
+      texts.toDF("doc_id", "text").select(lit("all").as("lang"), col("text")))
+      .collect().map(_.toString).toSeq
+    assert(gotVocab.nonEmpty && gotVocab == wantVocab,
+      s"vocab snapshot diverged:\ngot  $gotVocab\nwant $wantVocab")
   }
 
   test("curation front door runs in the lifecycle under a non-default LSH geometry") {

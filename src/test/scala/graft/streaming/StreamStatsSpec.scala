@@ -62,4 +62,38 @@ class StreamStatsSpec extends AnyFunSuite {
     assert(stateRows == langs.toLong,
       s"expected $langs state rows (one histogram per language), got $stateRows")
   }
+
+  test("drained streaming vocab sketch == batch q97 derivation over the corpus") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_svocab_").toString
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    docs.grouped(math.max(docs.length / 3, 1)).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toSeq.toDF("doc_id", "lang", "text")
+        .coalesce(1).write.parquet(s"$base/feed/f$i")
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/feed/f*")
+    val q = StreamStats.vocabSketch(stream)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("svocab")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    assert(!q.isActive, "stream did not drain")
+    // the sketch is a pure max-merge: streamed == batch BIT-FOR-BIT,
+    // including the register digest and the IEEE estimate
+    val got = spark.table("svocab").orderBy("lang").collect().map(_.toString).toSeq
+    val want = StreamStats.vocabSketch(
+        docs.toSeq.toDF("doc_id", "lang", "text"))
+      .orderBy("lang").collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      s"vocab sketch diverged:\ngot  ${got.take(2)}\nwant ${want.take(2)}")
+  }
 }
