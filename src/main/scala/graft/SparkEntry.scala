@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CurateOps, DedupOps, GraphOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps}
+import graft.operators.{CurateOps, DedupOps, GraphOps, LayoutOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -120,6 +120,7 @@ object SparkEntry {
     "q99_pagerank" -> (GraphOps.q99PageRank(_, _)),
     "q100_scd2" -> (TimeSeriesOps.q100Scd2(_, _)),
     "q101_bloom_sketch" -> (SkewOps.q101BloomSketch(_, _)),
+    "q102_zorder_index" -> (LayoutOps.q102ZorderIndex(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1812,6 +1813,23 @@ object SparkEntry {
          |SELECT h.lang, h.token, h.hit, f.bits_set, f.filter_digest
          |FROM phit h JOIN filt f USING (lang)
          |ORDER BY h.lang, h.token""".stripMargin
+    },
+    // the Morton interleave replayed bit-for-bit: bit i of x % 2^16 at
+    // position 2i, of y at 2i+1; 64 equal code-range buckets
+    "q102_zorder_index" -> {
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"(((xm >> $i) & 1) << ${2 * i})", s"(((ym >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT l_partkey AS x, l_suppkey AS y,
+         |    l_partkey % 65536 AS xm, l_suppkey % 65536 AS ym
+         |  FROM lineitem),
+         |z AS (SELECT x, y, ($terms)::BIGINT AS z FROM d),
+         |b AS (SELECT min(z) AS z0, max(z) AS z1 FROM z)
+         |SELECT (z.z - b.z0) // ((b.z1 - b.z0 + 64) // 64) AS bucket,
+         |  count(*)::BIGINT AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM z, b GROUP BY 1 ORDER BY 1""".stripMargin
     },
   )
 }
