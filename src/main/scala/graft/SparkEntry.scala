@@ -121,6 +121,7 @@ object SparkEntry {
     "q100_scd2" -> (TimeSeriesOps.q100Scd2(_, _)),
     "q101_bloom_sketch" -> (SkewOps.q101BloomSketch(_, _)),
     "q102_zorder_index" -> (LayoutOps.q102ZorderIndex(_, _)),
+    "q103_hll_intersect" -> (SkewOps.q103HllIntersect(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1830,6 +1831,59 @@ object SparkEntry {
          |  min(x) AS min_x, max(x) AS max_x,
          |  min(y) AS min_y, max(y) AS max_y
          |FROM z, b GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // sketch algebra replayed: per-type registers from the q97 CTE shape
+    // (over user_id), pairwise union = per-bucket greatest, estimates by
+    // the same dyadic arithmetic, inclusion-exclusion intersection, and
+    // the exact overlap joined alongside
+    "q103_hll_intersect" -> {
+      val estOf = (s: String) =>
+        s"0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 140737488355328.0 / ($s)::DOUBLE"
+      s"""WITH h AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h
+         |  FROM events),
+         |b AS (SELECT event_type,
+         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+         |      strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
+         |    length(regexp_extract(substr(h, 3), '^0*')) AS z,
+         |    substr(h, 3 + length(regexp_extract(substr(h, 3), '^0*')), 1) AS d
+         |  FROM h),
+         |rho AS (SELECT event_type, bucket,
+         |    least(4 * z + CASE WHEN d = '' THEN 0
+         |      WHEN strpos('0123456789abcdef', d) - 1 >= 8 THEN 0
+         |      WHEN strpos('0123456789abcdef', d) - 1 >= 4 THEN 1
+         |      WHEN strpos('0123456789abcdef', d) - 1 >= 2 THEN 2
+         |      ELSE 3 END + 1, 47) AS rho
+         |  FROM b),
+         |reg0 AS (SELECT event_type, bucket, max(rho) AS r
+         |  FROM rho GROUP BY 1, 2),
+         |allb AS (SELECT event_type, unnest(range(256)) AS bucket
+         |  FROM (SELECT DISTINCT event_type FROM events)),
+         |regs AS (SELECT a.event_type, a.bucket, coalesce(r.r, 0) AS r
+         |  FROM allb a LEFT JOIN reg0 r
+         |    ON a.event_type = r.event_type AND a.bucket = r.bucket),
+         |pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.bucket, a.r AS ra, b.r AS rb
+         |  FROM regs a JOIN regs b ON a.bucket = b.bucket
+         |    AND a.event_type < b.event_type),
+         |sums AS (SELECT type_a, type_b,
+         |    sum(1::BIGINT << (47 - ra))::BIGINT AS sa,
+         |    sum(1::BIGINT << (47 - rb))::BIGINT AS sb,
+         |    sum(1::BIGINT << (47 - greatest(ra, rb)))::BIGINT AS su
+         |  FROM pair GROUP BY 1, 2),
+         |uv AS (SELECT DISTINCT event_type, user_id FROM events),
+         |exact AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    count(*)::BIGINT AS n_exact
+         |  FROM uv a JOIN uv b ON a.user_id = b.user_id
+         |    AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT s.type_a, s.type_b,
+         |  ${estOf("sa")} AS est_a, ${estOf("sb")} AS est_b,
+         |  ${estOf("su")} AS est_union,
+         |  ${estOf("sa")} + ${estOf("sb")} - ${estOf("su")} AS est_intersect,
+         |  coalesce(e.n_exact, 0) AS n_exact
+         |FROM sums s LEFT JOIN exact e
+         |  ON s.type_a = e.type_a AND s.type_b = e.type_b
+         |ORDER BY s.type_a, s.type_b""".stripMargin
     },
   )
 }

@@ -101,6 +101,55 @@ object SkewOps {
           col("s_scaled").cast("double"))
   }
 
+  /** q103: SKETCH ALGEBRA — the estimated distinct-user overlap between
+    * every pair of event types, computed from the q97 HLL registers
+    * alone: union = elementwise register max (`zip_with(..., greatest)`
+    * — the defining HLL property), intersection by inclusion–exclusion
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)`, with the EXACT overlap
+    * joined alongside so the error is visible in the result. This is
+    * what makes sketches an interchange format and not a summary
+    * statistic: five per-type sketches answer all ten pairwise overlap
+    * questions with no second pass over the data — at 100 TB the
+    * per-segment sketches are tiny standing state and every cross-segment
+    * question is register arithmetic. The pair frame is an explicit
+    * O(types²) broadcast cross of the 5-row sketch table (documented —
+    * the input is already aggregated; nothing row-scale is crossed).
+    */
+  def q103HllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val cap = graft.functions.HllSketch.RhoCap
+    val m = graft.functions.HllSketch.M
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit((m.toLong * m).toDouble) * lit((1L << cap).toDouble)
+    def est(regsName: String) = alphaM2 /
+      expr(s"aggregate($regsName, 0L, (acc, r) -> acc + shiftleft(1L, $cap - r))")
+        .cast("double")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("v"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(graft.functions.HllSketch(col("v")).as("regs"))
+    val pairs = sk.select(col("event_type").as("type_a"), col("regs").as("ra"))
+      .crossJoin(broadcast(
+        sk.select(col("event_type").as("type_b"), col("regs").as("rb"))))
+      .where(col("type_a") < col("type_b"))
+    val users = ev.distinct()
+    val exact = users.select(col("event_type").as("type_a"), col("v"))
+      .join(users.select(col("event_type").as("type_b"), col("v")), Seq("v"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    pairs
+      .withColumn("ru", expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
+      .withColumn("est_a", est("ra"))
+      .withColumn("est_b", est("rb"))
+      .withColumn("est_union", est("ru"))
+      .withColumn("est_intersect", col("est_a") + col("est_b") - col("est_union"))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** The q98 probe workload: frequent corpus tokens plus one absent
     * token (its estimate is pure collision mass — the overshoot bound's
     * witness). */

@@ -75,6 +75,25 @@ class HllSketchSpec extends AnyFunSuite {
     assert(math.abs(linear / n - 1.0) < 0.15, s"linear estimate $linear for $n")
   }
 
+  test("union algebra: register max == sketch of the union; I-E overlap tracks") {
+    import spark.implicits._
+    val a = (1 to 3000).map(i => s"v$i")
+    val b = (2000 to 5000).map(i => s"v$i") // overlap: v2000..v3000 = 1001
+    def sketch(vs: Seq[String]) = vs.toDF("v")
+      .agg(HllSketch(col("v")).as("regs")).head().getSeq[Int](0).toArray
+    val (ra, rb) = (sketch(a), sketch(b))
+    val maxed = ra.zip(rb).map { case (x, y) => math.max(x, y) }
+    assert(maxed.toSeq == sketch((a ++ b).distinct).toSeq,
+      "register max must equal the sketch of the union — the HLL property")
+    def est(regs: Array[Int]): Double = {
+      val s = regs.map(r => 1L << (HllSketch.RhoCap - r)).sum
+      0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 140737488355328.0 / s.toDouble
+    }
+    val ie = est(ra) + est(rb) - est(maxed)
+    assert(math.abs(ie / 1001.0 - 1.0) < 0.5,
+      s"inclusion-exclusion overlap $ie for true 1001")
+  }
+
   test("sum of register weights equals s_scaled and bounds hold") {
     import spark.implicits._
     val df = (1 to 1000).map(i => s"x$i").toDF("v").withColumn("k", lit(1))
