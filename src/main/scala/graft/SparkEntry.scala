@@ -122,6 +122,8 @@ object SparkEntry {
     "q101_bloom_sketch" -> (SkewOps.q101BloomSketch(_, _)),
     "q102_zorder_index" -> (LayoutOps.q102ZorderIndex(_, _)),
     "q103_hll_intersect" -> (SkewOps.q103HllIntersect(_, _)),
+    "q104_cooccurrence" -> (GraphOps.q104CoOccurrence(_, _)),
+    "q105_conversion_profile" -> (TimeSeriesOps.q105ConversionProfile(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1885,5 +1887,47 @@ object SparkEntry {
          |  ON s.type_a = e.type_a AND s.type_b = e.type_b
          |ORDER BY s.type_a, s.type_b""".stripMargin
     },
+    // item-item co-occurrence: distinct (customer, supplier) pairs,
+    // equi-self-join on customer, >=3 shared, scaled integer Jaccard
+    "q104_cooccurrence" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT s, count(*)::BIGINT AS deg FROM cs GROUP BY 1),
+        |co AS (SELECT a.s AS s_a, b.s AS s_b, count(*)::BIGINT AS n_shared
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT co.s_a, co.s_b, co.n_shared,
+        |  da.deg AS deg_a, db.deg AS deg_b,
+        |  (1000000 * co.n_shared) // (da.deg + db.deg - co.n_shared)
+        |    AS jaccard_fp
+        |FROM co JOIN deg da ON co.s_a = da.s
+        |  JOIN deg db ON co.s_b = db.s
+        |ORDER BY co.s_a, co.s_b""".stripMargin,
+    // conversion-time profile: q95's funnel CTEs -> stage-3 latencies in
+    // seconds -> per-signup-day histogram with index-rule percentiles
+    "q105_conversion_profile" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s AS (SELECT user_id, min(t) AS t_signup FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.t) AS t_click FROM e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.t > s.t_signup GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.t) AS t_purchase FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.t > c.t_click GROUP BY 1),
+        |conv AS (SELECT s.t_signup // 86400000000 AS signup_day,
+        |    (p.t_purchase - s.t_signup) // 1000000 AS ttc_s
+        |  FROM s JOIN p USING (user_id)),
+        |hist AS (SELECT signup_day, ttc_s, count(*)::BIGINT AS cnt
+        |  FROM conv GROUP BY 1, 2),
+        |cum AS (SELECT signup_day, ttc_s, cnt,
+        |    sum(cnt) OVER (PARTITION BY signup_day ORDER BY ttc_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY signup_day) AS n
+        |  FROM hist)
+        |SELECT signup_day, max(n)::BIGINT AS n_converted,
+        |  min(ttc_s) AS min_s, max(ttc_s) AS max_s,
+        |  min(CASE WHEN cum >= (n - 1) // 2 + 1 THEN ttc_s END) AS med_s,
+        |  min(CASE WHEN cum >= floor(0.9 * (n - 1)::DOUBLE) + 1 THEN ttc_s END)
+        |    AS p90_s
+        |FROM cum GROUP BY signup_day ORDER BY signup_day""".stripMargin,
   )
 }

@@ -59,6 +59,46 @@ object GraphOps {
     } finally { parted.unpersist(); () }
   }
 
+  /** q104: item–item co-occurrence similarity — the collaborative-
+    * filtering shape ("suppliers bought by the same customers are
+    * related") as bounded integer arithmetic: for every supplier pair
+    * sharing at least `minShared` customers, the co-count and the scaled
+    * Jaccard `floor(1e6 · |A∩B| / |A∪B|)`.
+    *
+    * The scale trap is the self-join on customer: a hot customer with d
+    * suppliers contributes d² pairs, so join volume is Σ_c d_c² — the
+    * q74 span-candidate bound. The cap is structural: each customer's
+    * supplier list is first DISTINCTED and bounded by the catalog, and
+    * the pair aggregate is map-side partial. No cartesian: the pair
+    * generation is an equi-join on the customer key.
+    */
+  def q104CoOccurrence(spark: SparkSession, dir: String): DataFrame =
+    coOccurrence(
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")),
+      minShared = 3)
+      .orderBy(col("s_a"), col("s_b"))
+
+  /** Core of q104 over any (c, s) interaction frame. */
+  private[graft] def coOccurrence(interactions: DataFrame, minShared: Long): DataFrame = {
+    val pairs = interactions.select(col("c"), col("s")).distinct()
+    val degree = pairs.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val co = pairs.select(col("c"), col("s").as("s_a"))
+      .join(pairs.select(col("c"), col("s").as("s_b")), Seq("c"))
+      .where(col("s_a") < col("s_b"))
+      .groupBy(col("s_a"), col("s_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    co.join(degree.select(col("s").as("s_a"), col("deg").as("deg_a")), Seq("s_a"))
+      .join(degree.select(col("s").as("s_b"), col("deg").as("deg_b")), Seq("s_b"))
+      .select(col("s_a"), col("s_b"), col("n_shared"),
+        col("deg_a"), col("deg_b"),
+        expr(s"(${Scale}L * n_shared) div (deg_a + deg_b - n_shared)")
+          .as("jaccard_fp"))
+  }
+
   /** q99: importance propagation over the bidirectional customer↔supplier
     * purchase graph (distinct trading pairs from orders × lineitem), 3
     * exact-integer PageRank iterations. Well-connected suppliers

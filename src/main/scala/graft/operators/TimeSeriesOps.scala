@@ -157,6 +157,39 @@ object TimeSeriesOps {
   def q96CohortRetention(spark: SparkSession, dir: String): DataFrame =
     cohortRetention(Tables.events(spark, dir))
 
+  /** q105: funnel conversion-time profile — q95's stage-3 users bucketed
+    * by signup day, with exact index-rule percentiles of the
+    * signup→purchase latency. Latencies are floored to SECONDS before
+    * histogramming, so the (day, seconds) histogram the percentile
+    * window sorts is bounded by the latency DOMAIN, not the user count —
+    * the q54/q34 round-11 discipline; raw micros would make every value
+    * distinct and degrade the histogram back to a per-group sort.
+    * Percentiles use the lower-index rule (value at floor(q·(n−1))) —
+    * pure integer selection, replayable.
+    */
+  def q105ConversionProfile(spark: SparkSession, dir: String): DataFrame = {
+    val conv = funnel(Tables.events(spark, dir))
+      .where(col("t_purchase").isNotNull)
+      .select(
+        expr("t_signup div 86400000000").as("signup_day"),
+        expr("(t_purchase - t_signup) div 1000000").as("ttc_s"))
+    val hist = conv.groupBy(col("signup_day"), col("ttc_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("signup_day")).orderBy(col("ttc_s"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("signup_day"))))
+    def vAt(index0: Column) = min(when(col("cum") >= index0 + 1, col("ttc_s")))
+    cum.groupBy(col("signup_day"))
+      .agg(
+        max(col("n")).as("n_converted"),
+        min(col("ttc_s")).as("min_s"),
+        max(col("ttc_s")).as("max_s"),
+        vAt(expr("(n - 1) div 2")).as("med_s"),
+        vAt(floor(lit(0.9) * (col("n") - 1).cast("double"))).as("p90_s"))
+      .orderBy(col("signup_day"))
+  }
+
   /** q100: type-2 slowly-changing dimension build — each user's event
     * history compressed to its STATE CHANGES: one row per run of equal
     * `event_type`, with `valid_from`/`valid_to` micros (null `valid_to` =

@@ -49,6 +49,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert((2 to 5).forall(i => ranks(s"leaf$i") == ranks("leaf1")))
   }
 
+  test("q104 co-occurrence: exact Jaccard arithmetic and threshold on a hand corpus") {
+    import spark.implicits._
+    // suppliers A,B share customers 1,2,3 (3 shared); A,C share only 1
+    val inter = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "A") // duplicate interaction: distincted
+    ).toDF("c", "s")
+    val got = GraphOps.coOccurrence(inter, minShared = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    // deg(A)=3, deg(B)=3, shared=3 -> union=3 -> jaccard = 1e6
+    assert(got.toSeq == Seq(("A", "B", 3L, 1000000L)), got.toSeq.toString)
+    // threshold 1 admits the weak pairs too, with floor-div Jaccard
+    val loose = GraphOps.coOccurrence(inter, minShared = 1)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    // A,C: shared 1, deg 3+1 -> union 3 -> 333333
+    assert(loose(("A", "C")) == 333333L && loose(("B", "C")) == 333333L)
+  }
+
+  test("q105 on sf0.001: percentile brackets hold per signup day") {
+    val out = TimeSeriesOps.q105ConversionProfile(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, minS, maxS, med, p90) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n > 0 && minS <= med && med <= p90 && p90 <= maxS, r.toString)
+    }
+  }
+
   test("q99 on sf0.001: all nodes ranked, both sides present, deterministic") {
     val sf = "/root/testdata/sf0.001"
     val out = GraphOps.q99PageRank(spark, sf)
