@@ -81,9 +81,26 @@ object GraphOps {
       minShared = 3)
       .orderBy(col("s_a"), col("s_b"))
 
-  /** Core of q104 over any (c, s) interaction frame. */
-  private[graft] def coOccurrence(interactions: DataFrame, minShared: Long): DataFrame = {
-    val pairs = interactions.select(col("c"), col("s")).distinct()
+  /** Core of q104 over any (c, s) interaction frame.
+    *
+    * `maxCustomerDegree` is the structural scale cap: a customer with d
+    * distinct items contributes d² join pairs, so one promiscuous key
+    * (a crawler account, a test fixture) can dominate Σd² alone —
+    * customers above the cap are dropped ENTIRELY before the self-join,
+    * which is also statistically sound (a customer who buys everything
+    * relates nothing: their pairs are noise, exactly the df-cap argument
+    * of the q74 span candidates). The sf corpora sit far below the
+    * default cap (max degree 102 at sf0.1), so the cap changes nothing
+    * there — it exists for the tail the corpus doesn't have.
+    */
+  private[graft] def coOccurrence(
+      interactions: DataFrame, minShared: Long,
+      maxCustomerDegree: Long = 1024L): DataFrame = {
+    val all = interactions.select(col("c"), col("s")).distinct()
+    val keep = all.groupBy(col("c")).agg(count(lit(1)).as("cdeg"))
+      .where(col("cdeg") <= maxCustomerDegree)
+      .select(col("c"))
+    val pairs = all.join(keep, Seq("c"))
     val degree = pairs.groupBy(col("s")).agg(count(lit(1)).as("deg"))
     val co = pairs.select(col("c"), col("s").as("s_a"))
       .join(pairs.select(col("c"), col("s").as("s_b")), Seq("c"))

@@ -68,6 +68,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(loose(("A", "C")) == 333333L && loose(("B", "C")) == 333333L)
   }
 
+  test("q104 degree cap drops a promiscuous customer entirely") {
+    import spark.implicits._
+    // customer 9 interacts with everything (degree 4 > cap 3): its pairs
+    // must not exist and must not inflate supplier degrees
+    val inter = (Seq((9L, "A"), (9L, "B"), (9L, "C"), (9L, "D")) ++
+      Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B")))
+      .toDF("c", "s")
+    val got = GraphOps.coOccurrence(inter, minShared = 1, maxCustomerDegree = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // only customers 1-3 survive: A,B share 3, degrees 3 and 3
+    assert(got.toSeq == Seq(("A", "B", 3L, 3L, 3L)), got.toSeq.toString)
+  }
+
   test("q105 on sf0.001: percentile brackets hold per signup day") {
     val out = TimeSeriesOps.q105ConversionProfile(spark, "/root/testdata/sf0.001")
       .collect()
