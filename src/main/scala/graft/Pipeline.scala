@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * streaming ANN index feeder (`StreamEmbedIndex`); both standing indexes
   * are maintained (retention GC / delta fold-retrain) in the same
   * post-drain maintenance block as the diff sinks. The documents feed also
-  * maintains the streaming exact length profile (`StreamStats`): a
-  * rename-published snapshot per micro-batch under `<workDir>/doc_profile`.
+  * maintains the streaming exact length profile (`StreamStats`) and the
+  * vocabulary-cardinality HLL panel: rename-published snapshots per
+  * micro-batch under `<workDir>/doc_profile` and `<workDir>/vocab_profile`.
   */
 object Pipeline {
 

@@ -116,7 +116,7 @@ object StreamCurate {
         // null_text rule is load-bearing for the partition contract: on a
         // null `text` BOTH token predicates evaluate to SQL NULL, so
         // without it the row would fail the survivor filter AND the
-        // rejects filter and vanish from all four sinks — exactly the
+        // rejects filter and vanish from every sink — exactly the
         // silent-row-loss class the feed dead-letters eliminate.
         val rules = Seq(
           "null_text" -> col("text").isNull,
