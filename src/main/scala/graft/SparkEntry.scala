@@ -124,6 +124,7 @@ object SparkEntry {
     "q103_hll_intersect" -> (SkewOps.q103HllIntersect(_, _)),
     "q104_cooccurrence" -> (GraphOps.q104CoOccurrence(_, _)),
     "q105_conversion_profile" -> (TimeSeriesOps.q105ConversionProfile(_, _)),
+    "q106_sliding_window" -> (graft.streaming.EventWindows.q106SlidingWindow(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1929,5 +1930,16 @@ object SparkEntry {
         |  min(CASE WHEN cum >= floor(0.9 * (n - 1)::DOUBLE) + 1 THEN ttc_s END)
         |    AS p90_s
         |FROM cum GROUP BY signup_day ORDER BY signup_day""".stripMargin,
+    // sliding windows replayed by explicit expansion: each event lands in
+    // exactly 4 of the 15-minute-aligned 1-hour windows
+    "q106_sliding_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)
+        |    - to_minutes(15 * j)) AS ws_us,
+        |  epoch_us(time_bucket(INTERVAL '15 minutes', ts)
+        |    - to_minutes(15 * j) + INTERVAL '1 hour') AS we_us,
+        |  event_type, count(*) AS n_events,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM events, unnest(range(4)) AS t(j)
+        |GROUP BY 1, 2, 3 ORDER BY ws_us, event_type""".stripMargin,
   )
 }

@@ -54,6 +54,30 @@ object EventWindows {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("ws_us"), col("event_type"))
 
+  /** Sliding event-time windows: `window(ts, size, slide)` — each event
+    * lands in size/slide overlapping windows (4 here), the moving-average
+    * shape tumbling windows can't express. Same DECIMAL-exact sum and
+    * epoch-micros bounds as q29; works unchanged under `readStream` +
+    * watermark (the tumbling lane's streaming story carries over —
+    * sliding windows are the same `TimeWindow` expression with a slide).
+    */
+  def slidingStats(events: DataFrame, windowDur: String, slideDur: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** q106: the oracle-checked batch form of the sliding window — 1-hour
+    * windows sliding by 15 minutes per event type. */
+  def q106SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    slidingStats(normalizeTs(graft.Tables.events(spark, dir)), "1 hour", "15 minutes")
+      .select(unix_micros(col("window_start")).as("ws_us"),
+        unix_micros(col("window_end")).as("we_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("ws_us"), col("event_type"))
+
   /** Per-user session aggregation via Spark's native `session_window`
     * (the STREAMING counterpart of the batch gap-sessionization q33;
     * note the boundary convention differs at exactly-gap spacing:

@@ -45,6 +45,26 @@ class EventWindowsSpec extends AnyFunSuite {
       s"windowed parity mismatch: streamed=${streamed.count()} batch=${batch.count()}")
   }
 
+  test("sliding windows: every event lands in exactly size/slide windows") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val slid = EventWindows.slidingStats(
+      EventWindows.normalizeTs(events), "1 hour", "15 minutes")
+    // 4 overlapping windows per event: total n_events quadruples the rows
+    val total = slid.agg(sum(col("n_events"))).head.getLong(0)
+    assert(total == 4L * events.count(), s"expected 4x coverage, got $total")
+    // every window is exactly 1 hour and starts on a 15-minute boundary
+    val bad = slid.where(
+      unix_micros(col("window_end")) - unix_micros(col("window_start"))
+        =!= 3600000000L ||
+        unix_micros(col("window_start")) % 900000000L =!= 0L)
+    assert(bad.isEmpty, "window geometry broken")
+    // the tumbling q29 is the slide == size special case of the same frame
+    val tumble = EventWindows.slidingStats(
+      EventWindows.normalizeTs(events), "1 hour", "1 hour")
+    val q29 = EventWindows.windowedStats(EventWindows.normalizeTs(events), "1 hour")
+    assert(tumble.exceptAll(q29).isEmpty && q29.exceptAll(tumble).isEmpty)
+  }
+
   test("streamed finalized sessions == batch session_window closed by the watermark") {
     val base = Files.createTempDirectory("graft_sessions_").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001")
