@@ -125,6 +125,7 @@ object SparkEntry {
     "q104_cooccurrence" -> (GraphOps.q104CoOccurrence(_, _)),
     "q105_conversion_profile" -> (TimeSeriesOps.q105ConversionProfile(_, _)),
     "q106_sliding_window" -> (graft.streaming.EventWindows.q106SlidingWindow(_, _)),
+    "q107_backoff_lm" -> (SearchOps.q107BackoffLm(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1941,5 +1942,41 @@ object SparkEntry {
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM events, unnest(range(4)) AS t(j)
         |GROUP BY 1, 2, 3 ORDER BY ws_us, event_type""".stripMargin,
+    // trigram stupid-backoff replayed: per-level scaled conditional
+    // probabilities, coalesce picks the deepest hit, 0.4 = (2x) // 5
+    "q107_backoff_lm" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |trans AS (SELECT doc_id, lang,
+        |    CASE WHEN i >= 3 THEN w[i - 2] END AS w1, w[i - 1] AS w2, w[i] AS w3
+        |  FROM toks, unnest(range(2, len(w) + 1)) AS t(i)),
+        |en AS (SELECT * FROM trans WHERE lang = 'en'),
+        |c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM en
+        |  WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT w1, w2, sum(c3)::BIGINT AS ctx3 FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT w2, w3, count(*)::BIGINT AS c2 FROM en GROUP BY 1, 2),
+        |ctx2 AS (SELECT w2, sum(c2)::BIGINT AS ctx2 FROM c2 GROUP BY 1),
+        |c1 AS (SELECT w3, count(*)::BIGINT AS c1 FROM en GROUP BY 1),
+        |n1 AS (SELECT sum(c1)::BIGINT AS n1 FROM c1),
+        |p3 AS (SELECT c3.w1, c3.w2, c3.w3, (1000000 * c3.c3) // ctx3.ctx3 AS p3
+        |  FROM c3 JOIN ctx3 USING (w1, w2)),
+        |p2 AS (SELECT c2.w2, c2.w3, (1000000 * c2.c2) // ctx2.ctx2 AS p2
+        |  FROM c2 JOIN ctx2 USING (w2)),
+        |p1 AS (SELECT w3, (1000000 * c1) // n1 AS p1 FROM c1, n1),
+        |scored AS (SELECT t.doc_id,
+        |    coalesce(p3.p3, (2 * p2.p2) // 5, (4 * p1.p1) // 25, 0) AS score,
+        |    CASE WHEN p3.p3 IS NOT NULL THEN 3
+        |         WHEN p2.p2 IS NOT NULL THEN 2
+        |         WHEN p1.p1 IS NOT NULL THEN 1 ELSE 0 END AS level
+        |  FROM trans t
+        |  LEFT JOIN p3 ON t.w1 = p3.w1 AND t.w2 = p3.w2 AND t.w3 = p3.w3
+        |  LEFT JOIN p2 ON t.w2 = p2.w2 AND t.w3 = p2.w3
+        |  LEFT JOIN p1 ON t.w3 = p1.w3)
+        |SELECT doc_id, count(*)::BIGINT AS n_trans,
+        |  sum(score)::BIGINT AS lm_score,
+        |  sum(CASE WHEN level = 3 THEN 1 ELSE 0 END)::BIGINT AS n_tri,
+        |  sum(CASE WHEN level = 2 THEN 1 ELSE 0 END)::BIGINT AS n_bi,
+        |  sum(CASE WHEN level = 1 THEN 1 ELSE 0 END)::BIGINT AS n_uni
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

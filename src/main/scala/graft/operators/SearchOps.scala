@@ -72,6 +72,73 @@ object SearchOps {
         expr(s"(${Scale}L * c2) div c1").as("weight"))
   }
 
+  /** q107: trigram LM with STUPID BACKOFF (Brants et al. 2007) — the
+    * production n-gram shape q92's bigram model approximates: a
+    * document's word transitions score by the trigram conditional
+    * probability when the model has seen the trigram context, backing
+    * off to `0.4 × P(bigram)` and then `0.4² × P(unigram)` otherwise.
+    * All integer fixed-point: probabilities are 1e6-scaled floor
+    * divisions and the 0.4 backoff multiplier is `(2 · x) div 5` —
+    * replayable where float backoff chains would drift.
+    *
+    * Scale shape: three count tables (tri/bi/uni — each one partial-agg
+    * groupBy of the en slice), one equi-join per level against the doc
+    * transition stream, `coalesce` picks the deepest hit. No window, no
+    * collect; the uni table is vocabulary-sized, tri is the big one and
+    * joins shuffled exactly like q92's weight table.
+    */
+  def q107BackoffLm(spark: SparkSession, dir: String): DataFrame =
+    backoffLm(Tables.documents(spark, dir))
+
+  /** Core of q107 over any (doc_id, lang, text) frame. */
+  private[graft] def backoffLm(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+    // transitions with two words of context: (w1, w2, w3) at each i ≥ 2
+    val trans = toks
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "filter(transform(sequence(1, size(w)), i -> " +
+          "struct(get(w, i - 3) AS w1, get(w, i - 2) AS w2, w[i - 1] AS w3)), " +
+          "p -> p.w2 IS NOT NULL)")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    val en = trans.where(col("lang") === "en")
+    // counts: c3(w1,w2,w3) / ctx3(w1,w2); c2(w2,w3) / ctx2(w2); c1(w3) / n
+    val c3 = en.where(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val ctx3 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("ctx3"))
+    val c2 = en.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c2"))
+    val ctx2 = c2.groupBy(col("w2")).agg(sum(col("c2")).as("ctx2"))
+    val c1 = en.groupBy(col("w3")).agg(count(lit(1)).as("c1"))
+    val n1 = c1.agg(sum(col("c1")).as("n1"))
+    val w3t = c3.join(ctx3, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        expr(s"(${Scale}L * c3) div ctx3").as("p3"))
+    val w2t = c2.join(ctx2, Seq("w2"))
+      .select(col("w2"), col("w3"), expr(s"(${Scale}L * c2) div ctx2").as("p2"))
+    val w1t = c1.join(broadcast(n1))
+      .select(col("w3"), expr(s"(${Scale}L * c1) div n1").as("p1"))
+    trans
+      .join(w3t, Seq("w1", "w2", "w3"), "left")
+      .join(w2t, Seq("w2", "w3"), "left")
+      .join(w1t, Seq("w3"), "left")
+      .select(col("doc_id"),
+        coalesce(col("p3"),
+          expr("(2 * p2) div 5"),
+          expr("(4 * p1) div 25"),
+          lit(0L)).as("score"),
+        when(col("p3").isNotNull, 3)
+          .when(col("p2").isNotNull, 2)
+          .when(col("p1").isNotNull, 1).otherwise(0).as("level"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trans"),
+        sum(col("score")).as("lm_score"),
+        sum(when(col("level") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("level") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("level") === 1, 1L).otherwise(0L)).as("n_uni"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Score every document's bigrams against a trained weight table:
     * (doc_id, n_bigrams, n_hits, lm_score). Documents with fewer than two
     * tokens have no bigrams and produce no row — callers gating on the

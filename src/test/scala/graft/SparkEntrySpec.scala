@@ -50,6 +50,13 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every registered query has an oracle — the waiver stays retired") {
+    // round 12 retired the rows-only waiver set; a new query without an
+    // oracle would silently reopen it, so the gate is now structural
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracleSql: $noOracle")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows on sf0.001") {
       val df = fn(spark, sf)

@@ -49,6 +49,25 @@ class SearchOpsSpec extends AnyFunSuite {
       s"en familiarity ${j(true)} not above non-en ${j(false)}")
   }
 
+  test("q107 backoff levels and exact scores on a hand-built corpus") {
+    import spark.implicits._
+    // model (en): "a b c a b d"; probe doc exercises all three levels
+    val docs = Seq(
+      (1L, "en", "a b c a b d"),
+      (2L, "fr", "x a b c") // (x,a): unigram hit; (x,a,b): bigram; (a,b,c): trigram
+    ).toDF("doc_id", "lang", "text")
+    val out = SearchOps.backoffLm(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // doc 2: p1(a) = 1e6*1/5 -> (4*200000)//25 = 32000 (level 1)
+    //        p2(a,b) = 1e6*2/2 -> (2*1000000)//5 = 400000 (level 2)
+    //        p3(a,b,c) = 1e6*1/2 = 500000 (level 3)
+    assert(out(2L) == ((3L, 932000L, 1L, 1L, 1L)), out(2L).toString)
+    // the model doc scores itself: all transitions hit (pos-2 bigram + 4 trigrams)
+    val (n1, _, tri1, bi1, uni1) = out(1L)
+    assert(n1 == 5L && tri1 == 4L && bi1 == 1L && uni1 == 0L, out(1L).toString)
+  }
+
   test("q93 exact ranking and tie-break on a hand-built corpus") {
     import spark.implicits._
     // 4 docs; query terms x (df=2), y (df=1); N=4
