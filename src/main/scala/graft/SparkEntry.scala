@@ -126,6 +126,7 @@ object SparkEntry {
     "q105_conversion_profile" -> (TimeSeriesOps.q105ConversionProfile(_, _)),
     "q106_sliding_window" -> (graft.streaming.EventWindows.q106SlidingWindow(_, _)),
     "q107_backoff_lm" -> (SearchOps.q107BackoffLm(_, _)),
+    "q108_bpe_train" -> (TextOps.q108BpeTrain(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1978,5 +1979,41 @@ object SparkEntry {
         |  sum(CASE WHEN level = 2 THEN 1 ELSE 0 END)::BIGINT AS n_bi,
         |  sum(CASE WHEN level = 1 THEN 1 ELSE 0 END)::BIGINT AS n_uni
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    // BPE TRAINING replayed round-for-round: each unrolled step counts
+    // frequency-weighted adjacent pairs over the current word states,
+    // picks the (cnt DESC, l, r) argmax, and rewrites by plain replace()
+    // (left-to-right non-overlapping — identical semantics to the
+    // engine's quoted regexp_replace)
+    "q108_bpe_train" -> {
+      // every step CTE is MATERIALIZED: each references its predecessor
+      // several times (the pair count, the argmax, and three scalar
+      // subqueries in the rewrite), so inlining would expand the chain
+      // ~4^8-fold and re-open the source that many times
+      val steps = (1 to 8).map { k =>
+        s"""p$k AS MATERIALIZED (SELECT t[i] AS l, t[i + 1] AS r, sum(freq)::BIGINT AS cnt
+           |  FROM (SELECT freq, string_split(trim(s), ' ') AS t FROM s${k - 1}),
+           |    unnest(range(1, len(t))) AS u(i)
+           |  GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |s$k AS MATERIALIZED (SELECT freq,
+           |    replace(s, ' ' || (SELECT l FROM b$k) || ' ' || (SELECT r FROM b$k) || ' ',
+           |      ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ') AS s
+           |  FROM s${k - 1})"""
+      }.mkString(",\n        |")
+      val out = (1 to 8)
+        .map(k => s"SELECT $k AS rank, l AS l_tok, r AS r_tok, cnt AS pair_count FROM b$k")
+        .mkString("\n        |UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM
+         |    (SELECT unnest(regexp_extract_all(lower(text),
+         |       '${operators.TextOps.BpeTokenPattern}', 0)) AS word
+         |     FROM documents WHERE lang = 'en')
+         |  GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT freq, ' ' || array_to_string(
+         |    list_transform(range(length(word)), i -> substr(word, i + 1, 1)), ' ')
+         |    || ' ' AS s FROM w0),
+         |$steps
+         |$out
+         |ORDER BY rank""".stripMargin
+    },
   )
 }

@@ -120,6 +120,75 @@ object TextOps {
       .select(col("lang"),
         size(bpeTokens(col("text"))).cast("long").as("n_tokens")))
 
+  /** q108: BPE TRAINING — learning the merges table itself, not just
+    * applying one (q80). The textbook algorithm over the `lang='en'`
+    * word-frequency table: states start as space-joined characters, and
+    * each step counts adjacent symbol pairs (frequency-weighted,
+    * multiplicity included), picks the most frequent pair with the
+    * deterministic (count DESC, left ASC, right ASC) tie-break, and
+    * rewrites every state by left-to-right non-overlapping replacement —
+    * `replace(s, ' l r ', ' lr ')`, the same primitive with identical
+    * semantics in the JVM and the oracle, which replays all `steps`
+    * rounds merge-for-merge as an unrolled CTE chain.
+    *
+    * Scale shape: the state table is the DISTINCT word list (vocabulary-
+    * sized, not corpus-sized — frequencies fold the corpus in once), so
+    * each round is one explode + partial-agg count over the vocabulary
+    * plus ONE bounded argmax collect (a 1-row limit, the IVF-centroid
+    * collect class). The lazy replace chain stacks `steps` projections
+    * over the cached word table rather than materializing per round.
+    */
+  def q108BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark,
+      Tables.documents(spark, dir).where(col("lang") === "en"), steps = 8)
+
+  /** Core of q108: learn `steps` merges from a (text) frame. */
+  private[graft] def bpeTrain(
+      spark: SparkSession, docs: DataFrame, steps: Int): DataFrame = {
+    val words = docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower(text), '$BpeTokenPattern', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("s",
+        concat(lit(" "),
+          concat_ws(" ", expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")),
+          lit(" ")))
+      .persist()
+    try {
+      var states = words.select(col("freq"), col("s"))
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (step <- 1 to steps) {
+        val best = states
+          .select(col("freq"), expr(
+            "filter(transform(sequence(1, size(split(trim(s), ' '))), " +
+              "i -> struct(split(trim(s), ' ')[i - 1] AS l, " +
+              "get(split(trim(s), ' '), i) AS r)), p -> p.r IS NOT NULL)").as("ps"))
+          .select(col("freq"), explode(col("ps")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1)
+          .collect() // bounded: exactly one row per training round
+        require(best.nonEmpty, s"BPE training ran dry at step $step")
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((step, l, r, cnt))
+        // left-to-right non-overlapping replacement: regexp_replace here
+        // and plain replace() in the oracle behave identically, including
+        // the shared-space subtlety (' x y x y ' consumes the middle
+        // space, so immediately-adjacent repeats merge on the NEXT round
+        // — same in both engines, parity holds round for round)
+        states = states.withColumn("s",
+          regexp_replace(col("s"),
+            java.util.regex.Pattern.quote(s" $l $r "),
+            java.util.regex.Matcher.quoteReplacement(s" $l$r ")))
+      }
+      import spark.implicits._
+      learned.toSeq.toDF("rank", "l_tok", "r_tok", "pair_count")
+        .select(col("rank"), col("l_tok"), col("r_tok"), col("pair_count"))
+        .orderBy(col("rank"))
+    } finally { words.unpersist(); () }
+  }
+
   /** q37: within-document repetition — the top-bigram fraction quality
     * signal (a dominant repeated phrase is the classic low-quality /
     * boilerplate marker in training-data filtering). Bigrams here are NOT

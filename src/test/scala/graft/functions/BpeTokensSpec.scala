@@ -98,4 +98,20 @@ class BpeTokensSpec extends AnyFunSuite {
     val want = pre.flatMap(w => BpeFold.encodeWord(w).toSeq)
     assert((0 until got.numElements()).map(i => got.getUTF8String(i).toString) == want)
   }
+
+  test("q108 training learns the textbook merges on the low/lower/lowest corpus") {
+    import spark.implicits._
+    // the canonical BPE example: low x2, lower, lowest
+    val docs = Seq((1L, "en", "low low lower lowest")).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextOps.bpeTrain(spark, docs, steps = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (l,o) and (o,w) both count 4 -> tie-break takes l ASC
+    // round 2: (lo,w)=4 — an earlier merge RESULT as a side (the
+    //          iterative dependency that distinguishes training from
+    //          counting); round 3: (low,e)=2; round 4: ties at 1 ->
+    //          (lowe,r) by the lexicographic rule
+    assert(got.toSeq == Seq(
+      (1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)), got.toSeq.toString)
+  }
 }
