@@ -127,6 +127,7 @@ object SparkEntry {
     "q106_sliding_window" -> (graft.streaming.EventWindows.q106SlidingWindow(_, _)),
     "q107_backoff_lm" -> (SearchOps.q107BackoffLm(_, _)),
     "q108_bpe_train" -> (TextOps.q108BpeTrain(_, _)),
+    "q109_tfidf_cosine" -> (SimilarityOps.q109TfidfCosine(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2015,5 +2016,30 @@ object SparkEntry {
          |$out
          |ORDER BY rank""".stripMargin
     },
+    // TF-IDF cosine replayed: integer idf weights and norms, the cosine
+    // via sqrt — IEEE-correctly-rounded in both engines (unlike ln)
+    "q109_tfidf_cosine" ->
+      """WITH w0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS t
+        |  FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM w0)),
+        |dfc AS (SELECT t, count(*)::BIGINT AS df FROM sh GROUP BY 1
+        |  HAVING count(*) <= 32),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |wt AS (SELECT t, (10000 * n_docs) // df AS wt FROM dfc, n),
+        |posts AS (SELECT sh.doc_id, sh.t, wt.wt FROM sh JOIN wt USING (t)),
+        |norms AS (SELECT doc_id, sum(wt * wt)::BIGINT AS s_self
+        |  FROM posts GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.wt * a.wt)::BIGINT AS s_ab, count(*)::BIGINT AS n_shared
+        |  FROM posts a JOIN posts b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |  p.s_ab::DOUBLE / sqrt(na.s_self::DOUBLE * nb.s_self::DOUBLE)
+        |    AS cos_sim
+        |FROM pairs p JOIN norms na ON p.doc_a = na.doc_id
+        |  JOIN norms nb ON p.doc_b = nb.doc_id
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
   )
 }

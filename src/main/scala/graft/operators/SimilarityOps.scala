@@ -1426,4 +1426,55 @@ object SimilarityOps {
     }
     qc.select(col("vec_id") +: buckets: _*).orderBy(col("vec_id"))
   }
+
+  /** q109: TF-IDF cosine near-dup scoring — the classical vector-space
+    * model complement to Jaccard (q30) and MinHash (q20): document pairs
+    * scored by the cosine of their idf-weighted shingle vectors. Shingles
+    * (3-word, distinct per doc) are the term unit — the corpus's word
+    * vocabulary is 31 stopword-frequency tokens with no idf signal, while
+    * shingles are exactly the rare, df-cappable currency the near-dup
+    * operators already share.
+    *
+    * All inputs to the cosine are EXACT int64: idf weights are
+    * `floor(1e4·N/df)` (reciprocal-df, the q93 discipline), the shared
+    * mass `S_ab = Σ_shared w²` and the norms `S_aa` are integer sums. The
+    * cosine itself is `S_ab / sqrt(S_aa · S_bb)` evaluated in doubles —
+    * REPLAYABLE because sqrt, unlike ln/exp, is in IEEE 754's correctly-
+    * rounded basic set: both engines compute the identical bits.
+    *
+    * Scale: the pair join runs over the df ≤ 32 postings only (rare
+    * shingles), so join volume is the familiar Σdf² bound (q74/q30);
+    * frequent shingles carry ~no idf weight AND would dominate the join —
+    * dropping them is both the statistical and the physical answer.
+    * Int64 headroom: w ≤ 1e4·N, so Σw² stays < 2^63 while N·√len <
+    * ~3·10⁷ — rescale the 1e4 at larger corpora (documented, not hit).
+    */
+  def q109TfidfCosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val sh = docs.select(col("doc_id"),
+      explode(DedupOps.shingles(col("text"), 3)).as("t"))
+    val dfc = sh.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 32)
+    val w = dfc.join(broadcast(nDocs))
+      .select(col("t"), expr("(10000 * n_docs) div df").as("wt"))
+    val posts = sh.join(w, Seq("t"))
+    val norms = posts.groupBy(col("doc_id"))
+      .agg(sum(col("wt") * col("wt")).as("s_self"))
+    val pairs = posts.select(col("t"), col("doc_id").as("doc_a"), col("wt"))
+      .join(posts.select(col("t"), col("doc_id").as("doc_b")), Seq("t"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wt") * col("wt")).as("s_ab"),
+        count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("s_self").as("s_aa")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("s_self").as("s_bb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("s_ab").cast("double") /
+          sqrt(col("s_aa").cast("double") * col("s_bb").cast("double")))
+          .as("cos_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -274,4 +274,27 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("q109 TF-IDF cosine: bounds hold and identical shingle sets score 1.0") {
+    val out = SimilarityOps.q109TfidfCosine(spark, sf).cache()
+    try {
+      assert(out.count() > 0, "no candidate pairs (vacuous)")
+      // cosine of non-negative vectors with shared support: (0, 1]
+      val bad = out.where(col("cos_sim") <= 0.0 || col("cos_sim") > 1.0)
+      assert(bad.isEmpty, "cosine out of (0, 1]")
+      // cross-model agreement: every MinHash-flagged near-dup pair (q20)
+      // must surface here too, scoring near 1 — the two models see the
+      // same planted duplicates through different algebra
+      val mh = DedupOps.minhashNearDup(graft.Tables.documents(spark, sf))
+        .select(col("doc_a"), col("doc_b"))
+      assert(mh.count() > 0, "no MinHash near-dups (vacuous)")
+      val joined = mh.join(out, Seq("doc_a", "doc_b"))
+      assert(joined.count() == mh.count(),
+        "a MinHash near-dup pair is missing from the TF-IDF candidates")
+      // deterministic min on this corpus is ~0.769 (idf weighting skews
+      // below raw Jaccard when the divergent shingles are the rare ones)
+      assert(joined.agg(min(col("cos_sim"))).head.getDouble(0) > 0.7,
+        "MinHash near-dups should score high under TF-IDF cosine")
+    } finally { out.unpersist(); () }
+  }
 }
