@@ -128,6 +128,7 @@ object SparkEntry {
     "q107_backoff_lm" -> (SearchOps.q107BackoffLm(_, _)),
     "q108_bpe_train" -> (TextOps.q108BpeTrain(_, _)),
     "q109_tfidf_cosine" -> (SimilarityOps.q109TfidfCosine(_, _)),
+    "q110_session_paths" -> (SessionOps.q110SessionPaths(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2041,5 +2042,30 @@ object SparkEntry {
         |FROM pairs p JOIN norms na ON p.doc_a = na.doc_id
         |  JOIN norms nb ON p.doc_b = nb.doc_id
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+    // sessionized 3-step paths: q33's gap sessions, the ordered type
+    // sequence per session, consecutive triples, global top-20 ranked
+    // (n DESC, path DESC — BoundedTopK's struct order)
+    "q110_session_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, event_id, event_type, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 86400000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, event_type, ts_us, event_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM g),
+        |seqs AS (SELECT list(event_type ORDER BY ts_us, event_id) AS seq
+        |  FROM s GROUP BY user_id, session_no),
+        |paths AS (SELECT seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2] AS path
+        |  FROM seqs, unnest(range(1, len(seq) - 1)) AS t(i)),
+        |cnt AS (SELECT path, count(*)::BIGINT AS n FROM paths GROUP BY 1),
+        |ranked AS (SELECT path, n,
+        |    row_number() OVER (ORDER BY n DESC, path DESC) AS rank
+        |  FROM cnt)
+        |SELECT rank, path, n FROM ranked WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
   )
 }

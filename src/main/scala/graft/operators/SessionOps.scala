@@ -148,4 +148,50 @@ object SessionOps {
         max(col("ts_us")).as("session_end_us"))
       .orderBy(col("user_id"), col("session_no"))
   }
+
+  /** q110: sessionized path analysis — the most common 3-step event
+    * sequences across all sessions (the "what do users actually DO"
+    * product-analytics query): q33's gap-sessionization assigns the
+    * sessions, each session's ordered event-type sequence yields its
+    * consecutive 3-step paths (NOT distinct — a loop walked twice counts
+    * twice), and the global top-20 comes off the `BoundedTopK` partial
+    * aggregate (O(20) shuffled per map task, no Window, no global sort
+    * of path counts).
+    *
+    * Scale: the per-user window is the q33 envelope (state bounded by a
+    * user's events); path extraction is one `collect_list` per session —
+    * bounded by session length, the operator's natural grain — and the
+    * path-count aggregate is map-side partial over (path) keys.
+    */
+  def q110SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(sort_array(collect_list(
+        struct(col("ts_us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(expr("transform(evs, e -> e.event_type)").as("seq"))
+    val paths = sessions
+      .select(explode(expr(
+        "filter(transform(sequence(1, size(seq)), i -> " +
+          "CASE WHEN i + 2 <= size(seq) THEN " +
+          "concat_ws('>', seq[i - 1], seq[i], seq[i + 1]) END), " +
+          "p -> p IS NOT NULL)")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    paths
+      .agg(graft.functions.BoundedTopK(
+        struct(col("n").as("n"), col("path").as("path")), 20).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.path").as("path"), col("col.n").as("n"))
+      .orderBy(col("rank"))
+  }
 }

@@ -67,4 +67,29 @@ class SessionOpsSpec extends AnyFunSuite {
     assert(joins.isEmpty, qe.sparkPlan.toString)
     assert(qe.executedPlan.toString.contains("Window"), qe.executedPlan.toString)
   }
+
+  test("q110 session paths: invariants on sf0.001, repetition counted") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SessionOps.q110SessionPaths(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 20)
+    // ranks dense from 1; counts non-increasing; ties broken by path DESC
+    assert(out.map(_._1).toSeq == (1L to out.length).toSeq)
+    out.sliding(2).foreach {
+      case Array((_, pa, na), (_, pb, nb)) =>
+        assert(na > nb || (na == nb && pa > pb), s"order broken: $pa/$na vs $pb/$nb")
+      case _ => ()
+    }
+    // every path is a 3-step chain over the 5 real event types
+    val types = Set("click", "view", "purchase", "signup", "error")
+    out.foreach { case (_, p, _) =>
+      val steps = p.split(">")
+      assert(steps.length == 3 && steps.forall(types), p)
+    }
+    // the top-1 count cannot exceed the total triple budget (Σ per
+    // session of max(len − 2, 0)) — repetition counted, never distinct
+    val budget = SessionOps.q33Sessionize(spark, sf)
+      .collect().map(r => math.max(r.getLong(2) - 2, 0L)).sum
+    assert(budget > 0 && out.head._3 <= budget)
+  }
 }
