@@ -129,6 +129,7 @@ object SparkEntry {
     "q108_bpe_train" -> (TextOps.q108BpeTrain(_, _)),
     "q109_tfidf_cosine" -> (SimilarityOps.q109TfidfCosine(_, _)),
     "q110_session_paths" -> (SessionOps.q110SessionPaths(_, _)),
+    "q111_association_rules" -> (SessionOps.q111AssociationRules(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2067,5 +2068,35 @@ object SparkEntry {
         |  FROM cnt)
         |SELECT rank, path, n FROM ranked WHERE rank <= 20
         |ORDER BY rank""".stripMargin,
+    // association rules over session baskets: distinct (session, type),
+    // directed pair counts, 1e6-scaled support/confidence/lift
+    "q111_association_rules" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, event_id, event_type, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 86400000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, event_type, ts_us, event_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM g),
+        |baskets AS (SELECT DISTINCT user_id, session_no, event_type AS t FROM s),
+        |n AS (SELECT count(*)::BIGINT AS n_baskets FROM
+        |  (SELECT DISTINCT user_id, session_no FROM baskets)),
+        |items AS (SELECT t, count(*)::BIGINT AS n_item FROM baskets GROUP BY 1),
+        |pairs AS (SELECT a.t AS a, b.t AS b, count(*)::BIGINT AS n_ab
+        |  FROM baskets a JOIN baskets b
+        |    ON a.user_id = b.user_id AND a.session_no = b.session_no
+        |    AND a.t <> b.t
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_ab,
+        |  (1000000 * p.n_ab) // n.n_baskets AS support_fp,
+        |  (1000000 * p.n_ab) // ia.n_item AS confidence_fp,
+        |  (1000000 * p.n_ab * n.n_baskets) // (ia.n_item * ib.n_item) AS lift_fp
+        |FROM pairs p JOIN items ia ON p.a = ia.t
+        |  JOIN items ib ON p.b = ib.t, n
+        |ORDER BY p.a, p.b""".stripMargin,
   )
 }

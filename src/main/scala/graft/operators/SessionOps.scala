@@ -149,6 +149,53 @@ object SessionOps {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** q111: association rules over session baskets — market-basket
+    * analysis where a "basket" is the set of event types a session
+    * touched: every directed type pair a→b gets its support, confidence
+    * `P(b | a)`, and lift `P(b|a)/P(b)`, all in 1e6-scaled exact integer
+    * arithmetic (replayable; the float forms would drift). Lift > 1e6
+    * reads "sessions doing a are MORE likely than baseline to also do
+    * b" — the classic co-behavior signal.
+    *
+    * Scale: baskets are DISTINCT (session, type) rows, so the pair
+    * self-join on the session key is bounded by (types-per-session)² ≤
+    * |type-alphabet|² per session — the q104 co-occurrence bound with a
+    * structurally tiny degree; everything else is partial-agg counts and
+    * one broadcast of the 1-row basket total.
+    */
+  def q111AssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val baskets = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_no"), col("event_type").as("t"))
+      .distinct()
+    val n = baskets.select(col("user_id"), col("session_no")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val items = baskets.groupBy(col("t")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.select(col("user_id"), col("session_no"), col("t").as("a"))
+      .join(baskets.select(col("user_id"), col("session_no"), col("t").as("b")),
+        Seq("user_id", "session_no"))
+      .where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(items.select(col("t").as("a"), col("n_item").as("n_a")), Seq("a"))
+      .join(items.select(col("t").as("b"), col("n_item").as("n_b")), Seq("b"))
+      .join(broadcast(n))
+      .select(col("a"), col("b"), col("n_ab"),
+        expr("(1000000 * n_ab) div n_baskets").as("support_fp"),
+        expr("(1000000 * n_ab) div n_a").as("confidence_fp"),
+        expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_fp"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** q110: sessionized path analysis — the most common 3-step event
     * sequences across all sessions (the "what do users actually DO"
     * product-analytics query): q33's gap-sessionization assigns the

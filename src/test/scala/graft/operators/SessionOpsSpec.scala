@@ -92,4 +92,22 @@ class SessionOpsSpec extends AnyFunSuite {
       .collect().map(r => math.max(r.getLong(2) - 2, 0L)).sum
     assert(budget > 0 && out.head._3 <= budget)
   }
+
+  test("q111 association rules: identities hold on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SessionOps.q111AssociationRules(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // pair symmetry of the raw co-count: n_ab == n_ba
+    val co = out.map(t => (t._1, t._2) -> t._3).toMap
+    co.foreach { case ((a, b), n) => assert(co((b, a)) == n, s"$a/$b asymmetric") }
+    // lift symmetry (same numerator and denominator both directions)
+    val lift = out.map(t => (t._1, t._2) -> t._6).toMap
+    lift.foreach { case ((a, b), l) => assert(lift((b, a)) == l) }
+    // support <= confidence (n_baskets >= n_a) and confidence <= 1e6
+    out.foreach { case (a, b, _, sup, conf, _) =>
+      assert(sup <= conf && conf <= 1000000L, s"$a->$b sup=$sup conf=$conf")
+    }
+  }
 }
