@@ -1359,10 +1359,16 @@ object SparkEntry {
         |          FROM rare a JOIN rare b
         |            ON a.sel = b.sel AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sdocs AS (SELECT doc_a AS doc_id FROM pairs
+        |          UNION SELECT doc_b FROM pairs),
+        |gk AS (SELECT k.doc_id, k.p, k.h FROM keys k JOIN sdocs USING (doc_id)),
+        |hdf AS (SELECT h, count(*) AS hdf FROM gk GROUP BY h),
+        |gkr AS (SELECT gk.doc_id, gk.p, gk.h FROM gk JOIN hdf USING (h)
+        |        WHERE hdf <= 256),
         |m AS (SELECT pr.doc_a, pr.doc_b, ka.p AS ia, kb.p - ka.p AS diag
         |      FROM pairs pr
-        |      JOIN keys ka ON ka.doc_id = pr.doc_a
-        |      JOIN keys kb ON kb.doc_id = pr.doc_b AND kb.h = ka.h),
+        |      JOIN gkr ka ON ka.doc_id = pr.doc_a
+        |      JOIN gkr kb ON kb.doc_id = pr.doc_b AND kb.h = ka.h),
         |isl AS (SELECT doc_a, doc_b, diag, ia,
         |          ia - row_number() OVER (PARTITION BY doc_a, doc_b, diag
         |                                  ORDER BY ia) AS island
@@ -1896,8 +1902,10 @@ object SparkEntry {
     // item-item co-occurrence: distinct (customer, supplier) pairs,
     // equi-self-join on customer, >=3 shared, scaled integer Jaccard
     "q104_cooccurrence" ->
-      """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      """WITH cs0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |keep AS (SELECT c FROM cs0 GROUP BY c HAVING count(*) <= 1024),
+        |cs AS (SELECT cs0.c, cs0.s FROM cs0 JOIN keep USING (c)),
         |deg AS (SELECT s, count(*)::BIGINT AS deg FROM cs GROUP BY 1),
         |co AS (SELECT a.s AS s_a, b.s AS s_b, count(*)::BIGINT AS n_shared
         |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s

@@ -322,9 +322,17 @@ object RelationalOps {
     * hash-matches DuckDB's `median`/`quantile_cont`, so the oracle row
     * stays green bit-for-bit.
     */
-  def q34ValueStats(spark: SparkSession, dir: String): DataFrame = {
+  def q34ValueStats(spark: SparkSession, dir: String): DataFrame =
+    valueStats(Tables.events(spark, dir))
+
+  /** Core of q34 over any frame with (event_type, value) — split out so
+    * the nullable-corpus spec can prove the NULL-skip semantics on a
+    * frame the parquet tables can't produce (events.value is
+    * non-nullable by construction).
+    */
+  private[graft] def valueStats(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = Tables.events(spark, dir)
+    val hist = events
       // percentile semantics ignore NULLs (as the replaced median/
       // percentile aggregates and the DuckDB quantile_cont oracle do);
       // without this a nullable value column would form a NULL histogram

@@ -118,36 +118,48 @@ object SessionOps {
     */
   val SessionGapUs: Long = 24L * 3600 * 1000000
 
-  /** q33: gap-based sessionization — the classic event-analytics operator
-    * over a CDC stream: a user's events split into sessions wherever the
-    * event-time gap exceeds `SessionGapUs`, then per-session rollups.
-    *
-    * Plan shape: `lag` and the running `sum` share ONE window spec, so
-    * both run off a single shuffle+sort on (user_id; ts, event_id); the
-    * rollup is a second (narrower) shuffle on (user_id, session_no). Per
-    * user windows are session-history-bounded — no global sort, no state
-    * beyond a partition, so the shape holds at 100 TB. (The STREAMING
-    * counterpart of this operator is `EventWindows`' watermarked windows /
-    * Spark's native session_window; this is the batch/backfill form.)
+  /** Shared gap-sessionization frame: per-user session numbers over
+    * event-time order (a gap > `SessionGapUs` opens a new session),
+    * returning `(user_id, session_no, event_type, ts_us, event_id)`.
+    * `lag` and the running `sum` share ONE window spec, so both run off a
+    * single shuffle+sort on (user_id; ts_us, event_id); per-user state is
+    * partition-bounded — no global sort, so the shape holds at 100 TB.
+    * This is the load-bearing session_no logic for q33 (rollups), q110
+    * (paths), and q111 (baskets) — one definition, three consumers, so a
+    * gap-rule change can never skew them apart.
     */
-  def q33Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def sessionized(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
       .withColumn("brk",
         when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1)
           .otherwise(0))
       .withColumn("session_no",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_no"), col("event_type"),
+        col("ts_us"), col("event_id"))
+  }
+
+  /** q33: gap-based sessionization — the classic event-analytics operator
+    * over a CDC stream: a user's events split into sessions wherever the
+    * event-time gap exceeds `SessionGapUs`, then per-session rollups.
+    * The rollup is a second (narrower) shuffle on (user_id, session_no)
+    * over the shared `sessionized` frame. (The STREAMING counterpart of
+    * this operator is `EventWindows`' watermarked windows / Spark's
+    * native session_window; this is the batch/backfill form.)
+    */
+  def q33Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionized(Tables.events(spark, dir))
       .groupBy(col("user_id"), col("session_no"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("ts_us")).as("session_start_us"),
         max(col("ts_us")).as("session_end_us"))
       .orderBy(col("user_id"), col("session_no"))
-  }
 
   /** q111: association rules over session baskets — market-basket
     * analysis where a "basket" is the set of event types a session
@@ -164,17 +176,7 @@ object SessionOps {
     * one broadcast of the 1-row basket total.
     */
   def q111AssociationRules(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val baskets = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
-      .withColumn("brk",
-        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1)
-          .otherwise(0))
-      .withColumn("session_no",
-        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val baskets = sessionized(Tables.events(spark, dir))
       .select(col("user_id"), col("session_no"), col("event_type").as("t"))
       .distinct()
     val n = baskets.select(col("user_id"), col("session_no")).distinct()
@@ -192,6 +194,12 @@ object SessionOps {
       .select(col("a"), col("b"), col("n_ab"),
         expr("(1000000 * n_ab) div n_baskets").as("support_fp"),
         expr("(1000000 * n_ab) div n_a").as("confidence_fp"),
+        // int64 headroom: n_ab ≤ n_baskets, so the numerator is bounded
+        // by 1e6 · n_baskets² — exact up to ~3.0e6 DISTINCT baskets
+        // (sqrt(2^63/1e6)). Baskets are (user, session) pairs, not rows,
+        // so 100 TB of events still sits under the bound for per-segment
+        // runs; past it, drop Scale to 1e3 (headroom ~9.6e7) or widen to
+        // decimal(38) — the q109 rescale discipline.
         expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_fp"))
       .orderBy(col("a"), col("b"))
   }
@@ -211,17 +219,7 @@ object SessionOps {
     * path-count aggregate is map-side partial over (path) keys.
     */
   def q110SessionPaths(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val sessions = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
-      .withColumn("brk",
-        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1)
-          .otherwise(0))
-      .withColumn("session_no",
-        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = sessionized(Tables.events(spark, dir))
       .groupBy(col("user_id"), col("session_no"))
       .agg(sort_array(collect_list(
         struct(col("ts_us"), col("event_id"), col("event_type")))).as("evs"))

@@ -469,10 +469,30 @@ object TextOps {
     // PERSIST the exploded fingerprints: the frame feeds the df count AND
     // both self-join sides — without the cache the expensive half (the
     // per-row md5 winnow fold + explode) executes up to three times
-    // (exchange reuse covers only the two join sides)
+    // (exchange reuse covers only the two join sides). The pin is scoped
+    // to THIS call: the result (pairs-sized, tiny vs the corpus-sized
+    // fingerprint frame) is materialized via localCheckpoint, then the
+    // fingerprints are released in `finally` — the round-12 bench showed
+    // that leaving corpus-sized intermediates cached across a 111-query
+    // run evicts sibling caches and silently turns "warm" reps cold
+    // (q79 benched 21 s against a 3.4 s isolated probe).
     val fp = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(md5WinnowFingerprint(col("text"), k, w)).as("fp"))
       .persist()
+    try {
+      spanCandidatesFrom(fp, dfCap, minShared).localCheckpoint(eager = true)
+    } finally { fp.unpersist(); () }
+  }
+
+  /** The LAZY candidate-pair plan over an (ideally persisted) exploded
+    * `(doc_id, fp)` fingerprint frame — split out so the plan-shape spec
+    * can pin the join topology (equi-join, no cartesian, no window)
+    * without the eager materialization hiding it behind a checkpoint scan.
+    */
+  private[graft] def spanCandidatesFrom(
+      fp: DataFrame,
+      dfCap: Long,
+      minShared: Long): DataFrame = {
     val dfc = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val rare = fp.join(dfc.filter(col("df") <= dfCap), Seq("fp"))
       .select(col("doc_id"), col("fp"))
@@ -515,7 +535,14 @@ object TextOps {
     * never explodes; match volume is bounded by the candidate pairs
     * (already df-capped upstream) times document length; the island
     * window partitions by (pair, diagonal) — thousands of tiny
-    * partitions, never a corpus-wide sort.
+    * partitions, never a corpus-wide sort. Gram digests occurring more
+    * than `gramDfCap` times across the pair-side docs are EXCLUDED from
+    * seeding (mirrored in the oracle): a boilerplate k-gram shared across
+    * thousands of candidate documents would re-open the Σdf² tail the
+    * fingerprint-level `dfCap` closes upstream. The trade is declared:
+    * a span CONTAINING a capped gram splits at that position into two
+    * reported islands (each still ≥ minLen or dropped) — rare-span
+    * recall is preserved, boilerplate-driven blowup is bounded.
     */
   def spanExtents(
       docs: DataFrame,
@@ -523,15 +550,18 @@ object TextOps {
       w: Int = 8,
       dfCap: Long = 32L,
       minShared: Long = 2L,
-      minLen: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      minLen: Int = 20,
+      gramDfCap: Long = 256L): DataFrame = {
+    // candidate pairs arrive MATERIALIZED (localCheckpoint inside
+    // spanCandidates) — no second pin needed for the three reads below
     val pairs = spanCandidates(docs, k, w, dfCap, minShared)
-      .select(col("doc_a"), col("doc_b")).persist()
+      .select(col("doc_a"), col("doc_b"))
     // per-position k-gram digests computed ONCE over the union of pair
     // sides (cluster members appear on both sides — a per-side table
-    // would md5 them twice), persisted so the self-join reads one
-    // materialization (md5 is top-level per exploded row — codegen, no
-    // interpreted HOF lambda)
+    // would md5 them twice), persisted so the df count and both self-join
+    // sides read one materialization (md5 is top-level per exploded row —
+    // codegen, no interpreted HOF lambda); released in `finally` once the
+    // extents are checkpointed
     val sideDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val g = docs.join(sideDocs, Seq("doc_id"), "left_semi")
@@ -540,8 +570,32 @@ object TextOps {
       .select(col("doc_id"), col("p"),
         md5(expr(s"substr(text, p, $k)").cast("binary")).as("h"))
       .persist()
+    try {
+      spanExtentsFrom(docs, pairs, g, k, minLen, gramDfCap)
+        .localCheckpoint(eager = true)
+    } finally { g.unpersist(); () }
+  }
+
+  /** The LAZY extents plan over materialized candidate `pairs` and the
+    * persisted per-position gram table `g` — split out so the plan-shape
+    * spec can pin the topology (hash-first equi-join, per-(pair,diagonal)
+    * window only) without the eager checkpoint hiding it.
+    */
+  private[graft] def spanExtentsFrom(
+      docs: DataFrame,
+      pairs: DataFrame,
+      g: DataFrame,
+      k: Int,
+      minLen: Int,
+      gramDfCap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // gram-digest df cap: one count shuffle over the (already pair-side-
+    // pruned) gram table, then keep only sub-cap digests for seeding
+    val hdf = g.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+    val gk = g.join(hdf.filter(col("hdf") <= gramDfCap), Seq("h"))
+      .select(col("doc_id"), col("p"), col("h"))
     def side(as: String): DataFrame =
-      g.select(col("doc_id").as(s"${as}_doc"), col("p").as(s"${as}_p"),
+      gk.select(col("doc_id").as(s"${as}_doc"), col("p").as(s"${as}_p"),
         col("h").as(s"${as}_h"))
     // hash-FIRST match: self-join the gram table on digest equality
     // (cross-doc only — every position trivially matches itself), then

@@ -215,7 +215,10 @@ object StreamCurate {
           stats.unpersist(); ()
         }
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    val query =
+      (if (availableNow) writer.trigger(Trigger.AvailableNow())
+       else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    QueryCaches.releaseOnTermination(spark, query,
+      lmCached.toSeq :+ evalCached)
   }
 }

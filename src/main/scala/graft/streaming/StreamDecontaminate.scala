@@ -80,7 +80,10 @@ object StreamDecontaminate {
             CheckpointStream.appendDiffs(flagged, sinkDir, batchId)
         } finally { flagged.unpersist(); () }
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    val query =
+      (if (availableNow) writer.trigger(Trigger.AvailableNow())
+       else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+    QueryCaches.releaseOnTermination(spark, query,
+      evalCached +: primed.map(_._1).toSeq)
   }
 }

@@ -106,13 +106,76 @@ class StripBoilerplateSpec extends AnyFunSuite {
   }
 
   test("q74 plan: fingerprint equi-join, no cartesian/BNLJ, no window") {
-    val plan = SparkTestSession.finalPlan(TextOps.q74SpanCandidates(spark, sf))
+    // pin the LAZY candidate plan: the public spanCandidates eagerly
+    // checkpoints (unpersist discipline), which would hide the join
+    // topology behind an ExistingRDD scan and make this pin vacuous
+    val fp = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(TextOps.md5WinnowFingerprint(col("text"), 20, 8)).as("fp"))
+    val plan = SparkTestSession.finalPlan(
+      TextOps.spanCandidatesFrom(fp, dfCap = 32L, minShared = 2L))
     val bad = plan.collect {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(bad.isEmpty, s"unexpected nodes: ${bad.map(_.nodeName)}")
+  }
+
+  test("q79 gram df cap bounds seed volume under planted boilerplate") {
+    import spark.implicits._
+    // 60 docs all share one high-frequency 25-char block (the k-gram
+    // digests inside it have df ≈ 60 across the pair sides) plus a
+    // genuinely copied rare span between docs 1 and 2. With the cap the
+    // boilerplate grams never seed; the rare span still extracts whole.
+    val boiler = "shared navigation header text block"
+    val span = "this rare copied span runs well past twenty characters"
+    def tail(i: Long) = sha(s"t-$i").take(40)
+    val corpus = ((3L to 60L).map(i => (i, s"$boiler ${tail(i)}")) ++ Seq(
+      (1L, s"$boiler ${tail(1)} $span ${tail(101)}"),
+      (2L, s"$boiler ${tail(2)} $span ${tail(102)}")))
+    val docs = corpus.toDF("doc_id", "text")
+    // dfCap high enough that the header fingerprints PAIR everything
+    // (worst case: candidate generation fails to suppress), so the gram
+    // cap is the only thing standing between the seed join and a
+    // 60-doc boilerplate clique re-explosion
+    val rows = TextOps.spanExtents(docs, dfCap = 100L, minShared = 1L,
+      gramDfCap = 16L).collect()
+    val byId = corpus.toMap
+    // the rare span survives the cap, extracted whole
+    assert(rows.exists { r =>
+      r.getLong(0) == 1L && r.getLong(1) == 2L && {
+        val s0 = r.getLong(2).toInt - 1
+        val t = byId(1L)
+        t.substring(s0, math.min(s0 + r.getLong(4).toInt, t.length))
+          .contains(span)
+      }
+    }, s"rare span lost under gram cap: ${rows.take(5).mkString("; ")}")
+    // no full-boilerplate extents: the capped grams (df≈60, all inside
+    // the header) may not seed islands, so no extent can cover the whole
+    // header. (Boundary extents — header suffix + one matching tail hex
+    // char, df≈4 — are genuine shared substrings and correctly survive.)
+    for (r <- rows) {
+      val t = byId(r.getLong(0))
+      val s0 = r.getLong(2).toInt - 1
+      val text = t.substring(s0, math.min(s0 + r.getLong(4).toInt, t.length))
+      assert(!text.contains(boiler),
+        s"boilerplate span seeded through the df cap: '$text'")
+    }
+    // bounded volume, self-calibrating: without the cap every one of the
+    // ~C(60,2)=1711 header-sharing pairs seeds a full-header extent; the
+    // cap must collapse that blowup by well over 5×
+    val uncapped = TextOps.spanExtents(docs, dfCap = 100L, minShared = 1L,
+      gramDfCap = 1000000L).collect()
+    assert(uncapped.exists { r =>
+      val t = byId(r.getLong(0))
+      val s0 = r.getLong(2).toInt - 1
+      t.substring(s0, math.min(s0 + r.getLong(4).toInt, t.length))
+        .contains(boiler)
+    }, "fixture broken: uncapped run should report full-header extents")
+    assert(uncapped.length > 1500, s"fixture broken: ${uncapped.length}")
+    assert(rows.length * 5 < uncapped.length,
+      s"cap did not bound seed volume: ${rows.length} vs ${uncapped.length}")
   }
 
   test("plan shape: frequent set broadcasts, no cartesian/BNLJ, no window") {

@@ -57,6 +57,31 @@ class ValueStatsSpec extends AnyFunSuite {
     assert(math.abs(builtin(0).getDouble(2) - 1.9) < 1e-12)
   }
 
+  test("NULL values are ignored, matching the builtin aggregates") {
+    import spark.implicits._
+    // the parquet corpus can't exercise this (value is non-nullable by
+    // construction) — plant NULLs and prove the histogram skips them the
+    // way median/percentile (and the DuckDB quantile_cont oracle) do
+    val ref = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", Some(5.0)), ("b", None), ("b", None))
+      .toDF("event_type", "value")
+    val got = RelationalOps.valueStats(ref).collect()
+    val builtin = ref.groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"), median(col("value")).as("med_v"),
+        percentile(col("value"), lit(0.9)).as("p90_v"))
+      .orderBy("event_type").collect()
+    assert(got.length == 2)
+    for ((g, b) <- got.zip(builtin)) {
+      assert(g.getString(0) == b.getString(0))
+      // n counts non-NULL values only (2 for "a", 1 for "b")
+      assert(g.getLong(1) == b.getLong(1), s"${g.getString(0)} n=${g.getLong(1)}")
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(2)))
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(5)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(3)))
+    }
+  }
+
   test("plan shape: no Sort/Window over the raw event stream") {
     val nodes = SparkTestSession.finalPlan(RelationalOps.q34ValueStats(spark, sf))
       .collect {
