@@ -130,6 +130,7 @@ object SparkEntry {
     "q109_tfidf_cosine" -> (SimilarityOps.q109TfidfCosine(_, _)),
     "q110_session_paths" -> (SessionOps.q110SessionPaths(_, _)),
     "q111_association_rules" -> (SessionOps.q111AssociationRules(_, _)),
+    "q112_jpeg_progressive" -> (MultimodalOps.q112JpegProgressiveDecode(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1460,6 +1461,19 @@ object SparkEntry {
         |  (64 * list_sum(flatten(list_transform(range(hb), by ->
         |     list_transform(range(wb),
         |       bx -> (asset_id * 7 + 13 * bx + 31 * by) % 256)))))::BIGINT AS sum_gray
+        |FROM d ORDER BY asset_id""".stripMargin,
+    // PROGRESSIVE JPEG (SOF2): the q83 per-block-constant trick over the
+    // Annex G scan script — decode is exact, so the oracle replays the
+    // gray sum as doc_id arithmetic with q112's block formula
+    "q112_jpeg_progressive" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (2 + doc_id % 4)::BIGINT AS wb,
+        |    (2 + (doc_id * 3) % 4)::BIGINT AS hb
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT asset_id, (8 * wb)::BIGINT AS width, (8 * hb)::BIGINT AS height,
+        |  (64 * list_sum(flatten(list_transform(range(hb), by ->
+        |     list_transform(range(wb),
+        |       bx -> (asset_id * 11 + 17 * bx + 23 * by) % 256)))))::BIGINT AS sum_gray
         |FROM d ORDER BY asset_id""".stripMargin,
     // baseline JPEG, 4:2:0 color: per-macroblock (Y,Cb,Cr) formulas pushed
     // through the decoder's integer BT.601 conversion, replayed here with

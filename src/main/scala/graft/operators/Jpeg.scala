@@ -1,11 +1,13 @@
 package graft.operators
 
-/** Dependency-free baseline-sequential JPEG codec (public ITU T.81 layout;
-  * JFIF color model), the same discipline as `MultimodalOps.decodePng`:
+/** Dependency-free JPEG codec — baseline sequential (SOF0) AND
+  * progressive (SOF2, T.81 Annex G) — public ITU T.81 layout, JFIF color
+  * model, the same discipline as `MultimodalOps.decodePng`:
   * bounds-checked marker walk, error-as-value (`None` on anything outside
-  * the supported envelope — progressive SOF2, arithmetic coding, 12-bit
-  * precision, >2× sampling factors), never-throw under corruption
-  * (fuzz-pinned), decompressed-size cap before allocating. Output lands in
+  * the supported envelope — arithmetic coding, 12-bit
+  * precision, >2× sampling factors, hierarchical/lossless), never-throw
+  * under corruption (fuzz-pinned), decompressed-size cap before
+  * allocating. Output lands in
   * the shared `MultimodalOps.BmpImage` shape (BGR row-major top-down) so
   * every downstream image operator (features, resize) works unchanged.
   *
@@ -14,6 +16,11 @@ package graft.operators
   * 1–2) → SOS → entropy-coded MCU walk (DC prediction + AC run-length,
   * 0xFF00 byte unstuffing, RSTn restart handling) → dequant → fixed-point
   * IDCT → chroma upsample (sample replication) → integer YCbCr→RGB.
+  * For SOF2 the same machinery runs scan-by-scan into a per-component
+  * coefficient store (spectral-selection bands, successive-approximation
+  * bit planes, EOB runs, the AC-refinement correction-bit walk), with
+  * dequant + IDCT + assembly deferred to EOI — most web-crawled JPEGs
+  * are progressive, so this is the envelope's load-bearing half.
   *
   * Encoder surface exists for the ORACLE CORPUS and the specs, not as a
   * general image encoder: it emits spec-valid baseline streams whose
@@ -347,19 +354,44 @@ object Jpeg {
     var comps: Array[Comp] = null
     var width = 0
     var height = 0
+    // progressive (SOF2) state: accumulated natural-order coefficient
+    // blocks per component, filled scan by scan, reconstructed at EOI
+    var progressive = false
+    var coefStore: Array[Array[Int]] = null
+    var anyScan = false
 
     def u16(o: Int): Int = {
       if (o + 1 >= b.length) bail()
       ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
     }
 
-    while (p + 4 <= b.length) {
+    // derived frame geometry, set once SOF arrives
+    def hMax = comps.map(_.h).max
+    def vMax = comps.map(_.v).max
+    def mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    def mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // padded (whole-MCU) block-grid width, and the TRUE component block
+    // grid a non-interleaved scan covers (T.81 A.2.2: ceil(comp dim / 8),
+    // NOT the MCU-padded grid)
+    def blocksW(ci: Int) = mcusX * comps(ci).h
+    def compBlocksW(ci: Int) =
+      ((width * comps(ci).h + hMax - 1) / hMax + 7) / 8
+    def compBlocksH(ci: Int) =
+      ((height * comps(ci).v + vMax - 1) / vMax + 7) / 8
+
+    // p+2: EOI is a bare 2-byte marker at the very end of a progressive
+    // stream (framed segments bounds-check their own lengths via u16)
+    while (p + 2 <= b.length) {
       if ((b(p) & 0xFF) != 0xFF) return None
       var marker = b(p + 1) & 0xFF
       while (marker == 0xFF && p + 2 < b.length) { p += 1; marker = b(p + 1) & 0xFF }
       p += 2
       marker match {
-        case 0xD9 => return None // EOI before SOS: no image
+        case 0xD9 => // EOI: progressive frames reconstruct here
+          if (progressive && anyScan)
+            return reconstructProgressive(
+              comps, coefStore, quant, width, height, wantCoeffs)
+          return None // EOI before any scan: no image
         case m if m >= 0xD0 && m <= 0xD7 => () // stray RST: skip
         case 0x01 => () // TEM, standalone
         case 0xDB => // DQT
@@ -404,7 +436,9 @@ object Jpeg {
           if (len != 4 || p + 4 > b.length) return None
           restartInterval = u16(p + 2)
           p += len
-        case 0xC0 => // SOF0 baseline
+        case sof0 if sof0 == 0xC0 || sof0 == 0xC2 => // SOF0 baseline / SOF2 progressive
+          if (comps != null) return None // second frame header
+          progressive = sof0 == 0xC2
           val len = u16(p)
           if (p + len > b.length || len < 8) return None
           val prec = b(p + 2) & 0xFF
@@ -424,28 +458,71 @@ object Jpeg {
             Comp(cid, h, v, tq)
           }
           if (nf == 1 && (comps(0).h != 1 || comps(0).v != 1)) return None
+          if (progressive) {
+            // coefficient store is 4 bytes/sample (vs 1 for a decoded
+            // plane): tighter hostile-dims cap before allocating
+            coefStore = Array.tabulate(nf) { ci =>
+              val n = blocksW(ci).toLong * (mcusY * comps(ci).v) * 64L
+              if (n * 4 > MaxOutBytes) bail()
+              new Array[Int](n.toInt)
+            }
+          }
           p += len
-        case sof if sof == 0xC1 || sof == 0xC2 || sof == 0xC3 ||
+        case sof if sof == 0xC1 || sof == 0xC3 ||
             (sof >= 0xC5 && sof <= 0xC7) || (sof >= 0xC9 && sof <= 0xCF && sof != 0xCC) =>
-          return None // extended/progressive/lossless/arithmetic: unsupported
+          return None // extended/lossless/arithmetic: unsupported
         case 0xDA => // SOS — entropy-coded data follows
           if (comps == null) return None
           val len = u16(p)
           if (p + len > b.length || len < 3) return None
           val ns = b(p + 2) & 0xFF
-          if (ns != comps.length || len != 6 + 2 * ns) return None
+          if (!progressive) {
+            if (ns != comps.length || len != 6 + 2 * ns) return None
+            var i = 0
+            while (i < ns) {
+              val cs = b(p + 3 + 2 * i) & 0xFF
+              val c = comps.find(_.id == cs).getOrElse(bail())
+              c.td = (b(p + 4 + 2 * i) & 0xFF) >> 4
+              c.ta = b(p + 4 + 2 * i) & 0x0F
+              if (c.td > 3 || c.ta > 3) return None
+              i += 1
+            }
+            return decodeScan(
+              b, p + len, comps, width, height, quant, dcTabs, acTabs,
+              restartInterval, wantCoeffs)
+          }
+          // progressive scan: parse header (incl. spectral selection +
+          // successive approximation), decode into the store, resume the
+          // marker walk after the entropy data
+          if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return None
+          val scanCis = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val cs = b(p + 3 + 2 * i) & 0xFF
-            val c = comps.find(_.id == cs).getOrElse(bail())
-            c.td = (b(p + 4 + 2 * i) & 0xFF) >> 4
-            c.ta = b(p + 4 + 2 * i) & 0x0F
-            if (c.td > 3 || c.ta > 3) return None
+            val ci = comps.indexWhere(_.id == cs)
+            if (ci < 0) return None
+            comps(ci).td = (b(p + 4 + 2 * i) & 0xFF) >> 4
+            comps(ci).ta = b(p + 4 + 2 * i) & 0x0F
+            if (comps(ci).td > 3 || comps(ci).ta > 3) return None
+            scanCis(i) = ci
             i += 1
           }
-          return decodeScan(
-            b, p + len, comps, width, height, quant, dcTabs, acTabs,
-            restartInterval, wantCoeffs)
+          val ss = b(p + 3 + 2 * ns) & 0xFF
+          val se = b(p + 4 + 2 * ns) & 0xFF
+          val ah = (b(p + 5 + 2 * ns) & 0xFF) >> 4
+          val al = b(p + 5 + 2 * ns) & 0x0F
+          // envelope: DC scans are (0,0); AC scans are single-component
+          // bands inside 1..63; refinements move exactly one bit
+          if (ss == 0) { if (se != 0) return None }
+          else { if (ns != 1 || se < ss || se > 63) return None }
+          if (al > 13 || (ah != 0 && ah != al + 1)) return None
+          p = decodeProgScan(
+            b, p + len, scanCis, comps, coefStore,
+            Array.tabulate(comps.length)(blocksW),
+            Array.tabulate(comps.length)(compBlocksW),
+            Array.tabulate(comps.length)(compBlocksH),
+            mcusX, mcusY, dcTabs, acTabs, restartInterval, ss, se, ah, al)
+          anyScan = true
         case _ => // APPn / COM / anything segment-framed: skip by length
           val len = u16(p)
           if (len < 2 || p + len > b.length) return None
@@ -540,8 +617,17 @@ object Jpeg {
       }
       mcu += 1
     }
-    // assemble: sample each component at full resolution (nearest /
-    // sample-replication upsample via the h/hMax ratio), convert color
+    Some((assemblePlanes(comps, planes, planeW, width, height, hMax, vMax),
+      coeffsOut.result()))
+  }
+
+  /** Shared by the baseline and progressive paths: sample each component
+    * plane at full resolution (nearest / sample-replication upsample via
+    * the h/hMax ratio), convert color, emit the BGR top-down image.
+    */
+  private def assemblePlanes(
+      comps: Array[Comp], planes: Array[Array[Byte]], planeW: Array[Int],
+      width: Int, height: Int, hMax: Int, vMax: Int): BmpImage = {
     val out = new Array[Byte](width * height * 3)
     if (comps.length == 1) {
       val pw = planeW(0)
@@ -573,7 +659,259 @@ object Jpeg {
         y += 1
       }
     }
-    Some((BmpImage(width, height, 24, out), coeffsOut.result()))
+    BmpImage(width, height, 24, out)
+  }
+
+  // ---------------------------------------------------------------------
+  // Progressive decoding (T.81 Annex G: spectral selection + successive
+  // approximation over the same Huffman/IDCT machinery)
+  // ---------------------------------------------------------------------
+
+  /** Decode ONE progressive scan into the per-component natural-order
+    * coefficient store; returns the offset of the next marker (the
+    * caller's marker walk resumes there — DQT/DHT/DRI may interleave with
+    * scans, and reconstruction waits for EOI). Scan kinds (G.1.1):
+    *   - DC first (Ss=0, Ah=0): baseline DC prediction, coefficient
+    *     enters at `diff << Al` — interleaved over whole MCUs when the
+    *     scan names several components, block raster otherwise;
+    *   - DC refine (Ss=0, Ah=Al+1): one raw bit per block ORs in 1<<Al;
+    *   - AC first (Ss≥1, Ah=0, single component): baseline RLE plus the
+    *     EOBn run codes — an EOB run of n covers n entirely-zero bands;
+    *   - AC refine (Ss≥1, Ah=Al+1): the correction-bit walk — run
+    *     lengths count ZERO-HISTORY positions, already-nonzero
+    *     coefficients consume one correction bit each as the walk passes,
+    *     new coefficients enter as ±1<<Al, and EOB-covered bands still
+    *     read correction bits for their nonzero coefficients.
+    * Restart markers reset DC predictors AND the EOB run (counted in
+    * MCUs when interleaved, in blocks otherwise).
+    */
+  private def decodeProgScan(
+      b: Array[Byte], dataStart: Int, scanCis: Array[Int], comps: Array[Comp],
+      store: Array[Array[Int]], blocksW: Array[Int],
+      compBlocksW: Array[Int], compBlocksH: Array[Int],
+      mcusX: Int, mcusY: Int,
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+      restartInterval: Int, ss: Int, se: Int, ah: Int, al: Int): Int = {
+    // table presence: DC-first needs its DC table, AC scans their AC
+    // table; DC refinement reads raw bits only
+    var si = 0
+    while (si < scanCis.length) {
+      val c = comps(scanCis(si))
+      if (ss == 0 && ah == 0 && dcTabs(c.td) == null) bail()
+      if (ss > 0 && acTabs(c.ta) == null) bail()
+      si += 1
+    }
+    val br = new BitReader(b, dataStart)
+    comps.foreach(_.pred = 0)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    // correction bits for already-nonzero coefficients in [from, se] of
+    // one block — the EOB-covered-band read (G.1.2.3)
+    def refineTail(arr: Array[Int], blk: Int, from: Int): Unit = {
+      var j = from
+      while (j <= se) {
+        val idx = blk + ZigZag(j)
+        if (arr(idx) != 0) {
+          if (br.readBit() == 1 && (arr(idx) & p1) == 0)
+            arr(idx) += (if (arr(idx) > 0) p1 else m1)
+        }
+        j += 1
+      }
+    }
+
+    def decodeBlock(ci: Int, blockRow: Int, blockCol: Int): Unit = {
+      val c = comps(ci)
+      val arr = store(ci)
+      val blk = (blockRow * blocksW(ci) + blockCol) * 64
+      if (ss == 0) {
+        if (ah == 0) { // DC first
+          val t = huffDecode(br, dcTabs(c.td))
+          if (t > 11) bail()
+          val diff = extend(br.readBits(t), t)
+          c.pred += diff
+          arr(blk) = c.pred << al
+        } else { // DC refine
+          if (br.readBit() == 1) arr(blk) |= p1
+        }
+      } else if (ah == 0) { // AC first
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = huffDecode(br, acTabs(c.ta))
+          val r = rs >> 4
+          val s = rs & 0x0F
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1 + (if (r > 0) br.readBits(r) else 0)
+              k = se + 1 // band ends here
+            } else k += 16 // ZRL
+          } else {
+            k += r
+            if (k > se || s > 10) bail()
+            arr(blk + ZigZag(k)) = extend(br.readBits(s), s) << al
+            k += 1
+          }
+        }
+      } else { // AC refine
+        if (eobrun > 0) { eobrun -= 1; refineTail(arr, blk, ss); return }
+        var k = ss
+        while (k <= se) {
+          val rs = huffDecode(br, acTabs(c.ta))
+          var r = rs >> 4
+          val s = rs & 0x0F
+          var newCoef = 0
+          var endOfBand = false
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1 + (if (r > 0) br.readBits(r) else 0)
+              endOfBand = true
+            } // r == 15: ZRL, the walk below advances 16 zero-history slots
+          } else {
+            if (s != 1) bail() // refinement moves one bit: new coefs are ±1
+            newCoef = if (br.readBit() == 1) p1 else m1
+          }
+          if (endOfBand) {
+            refineTail(arr, blk, k)
+            k = se + 1
+          } else {
+            var done = false
+            while (!done && k <= se) {
+              val idx = blk + ZigZag(k)
+              if (arr(idx) != 0) {
+                if (br.readBit() == 1 && (arr(idx) & p1) == 0)
+                  arr(idx) += (if (arr(idx) > 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (s != 0) arr(idx) = newCoef
+                  done = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!done && s != 0) bail() // promised coefficient never landed
+          }
+        }
+      }
+    }
+
+    if (ss == 0 && scanCis.length > 1) {
+      // interleaved DC scan over whole MCUs (incl. the padding blocks —
+      // T.81 interleave covers every h×v block of every MCU)
+      val nMcus = mcusX * mcusY
+      var mcu = 0
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.consumeRestart(); comps.foreach(_.pred = 0); eobrun = 0
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var i = 0
+        while (i < scanCis.length) {
+          val ci = scanCis(i)
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              decodeBlock(ci, my * c.v + by, mx * c.h + bx)
+              bx += 1
+            }
+            by += 1
+          }
+          i += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: the TRUE component block grid (never the
+      // MCU-padded one), row-major
+      val ci = scanCis(0)
+      val bW = compBlocksW(ci)
+      val bH = compBlocksH(ci)
+      var blkNo = 0
+      val total = bW * bH
+      while (blkNo < total) {
+        if (restartInterval > 0 && blkNo > 0 && blkNo % restartInterval == 0) {
+          br.consumeRestart(); comps.foreach(_.pred = 0); eobrun = 0
+        }
+        decodeBlock(ci, blkNo / bW, blkNo % bW)
+        blkNo += 1
+      }
+    }
+    // resume the marker walk at the next real marker: skip residual
+    // padding, stuffed bytes, fill bytes, and stray restarts
+    var q = br.pos
+    while (q + 1 < b.length) {
+      if ((b(q) & 0xFF) == 0xFF) {
+        val m = b(q + 1) & 0xFF
+        if (m == 0x00) q += 2
+        else if (m == 0xFF) q += 1
+        else if (m >= 0xD0 && m <= 0xD7) q += 2
+        else return q
+      } else q += 1
+    }
+    bail()
+  }
+
+  /** EOI of a progressive frame: dequantize + IDCT the accumulated
+    * coefficient store into component planes, then the shared assembly.
+    * Only the true component block grid feeds visible pixels; padded MCU
+    * blocks (written by interleaved DC scans) land in the plane's padding
+    * and are never sampled.
+    */
+  private def reconstructProgressive(
+      comps: Array[Comp], store: Array[Array[Int]],
+      quant: Array[Array[Int]], width: Int, height: Int,
+      wantCoeffs: Boolean): Option[(BmpImage, Vector[Array[Int]])] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val planeH = comps.map(c => mcusY * 8 * c.v)
+    for (ci <- comps.indices) if (quant(comps(ci).tq) == null) bail()
+    val planes = Array.tabulate(comps.length)(ci =>
+      new Array[Byte](planeW(ci) * planeH(ci)))
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    val coeffsOut = Vector.newBuilder[Array[Int]]
+    var ci = 0
+    while (ci < comps.length) {
+      val qt = quant(comps(ci).tq)
+      val bW = planeW(ci) / 8
+      val bH = planeH(ci) / 8
+      var brow = 0
+      while (brow < bH) {
+        var bcol = 0
+        while (bcol < bW) {
+          val blk = (brow * bW + bcol) * 64
+          var i = 0
+          while (i < 64) { coef(i) = store(ci)(blk + i); i += 1 }
+          if (wantCoeffs && ci == 0) coeffsOut += coef.clone()
+          var j = 0
+          while (j < 64) { coef(j) *= qt(j); j += 1 }
+          idctBlock(coef, px)
+          val x0 = bcol * 8
+          val y0 = brow * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((y0 + yy) * planeW(ci) + x0 + xx) = px(yy * 8 + xx).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          bcol += 1
+        }
+        brow += 1
+      }
+      ci += 1
+    }
+    Some((assemblePlanes(comps, planes, planeW, width, height, hMax, vMax),
+      coeffsOut.result()))
   }
 
   // ---------------------------------------------------------------------
@@ -706,6 +1044,298 @@ object Jpeg {
     }
     bw.align()
     out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Progressive encoder (Annex G write path for the corpus/specs)
+  // ---------------------------------------------------------------------
+
+  /** The classic spectral-selection + successive-approximation scan
+    * script (DC bit-split, two AC bands refined one bit at a time) —
+    * every progressive decode arm gets exercised: DC first/refine,
+    * AC first/refine, EOB runs, ZRL, correction bits.
+    */
+  val DefaultProgScans: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 0, 1), (0, 0, 1, 0),
+    (1, 5, 0, 2), (6, 63, 0, 2),
+    (1, 5, 2, 1), (6, 63, 2, 1),
+    (1, 5, 1, 0), (6, 63, 1, 0))
+
+  /** The baseline AC alphabet plus the fourteen EOBn symbols (run<<4,
+    * size 0 for run 1..14) Annex G scans emit for EOB runs — 176 symbols
+    * at 8 bits (Kraft 176/256, reservation rule intact). Baseline streams
+    * keep the 162-symbol table; only progressive scans need EOBn.
+    */
+  private val AcBitsProg: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcValsProg: Array[Int] = AcVals ++ (1 to 14).map(_ << 4)
+
+  /** One progressive scan's entropy encoder (T.81 G.1.2): DC point
+    * transform is an arithmetic shift; AC first codes v/2^Al (toward
+    * zero) with EOB-run accumulation; AC refine emits newly-significant
+    * coefficients as (zero-history-run, ±1) with correction bits for
+    * already-nonzero coefficients buffered and flushed AFTER each symbol
+    * — the flush-before-buffering discipline at every nonzero position
+    * keeps each correction bit inside the decoder walk that passes its
+    * position (the G.7 subtlety; see the refine-parity spec).
+    */
+  private final class ProgScanEncoder(
+      bw: BitWriter, acEnc: HuffEncoder, dcEnc: HuffEncoder,
+      ss: Int, se: Int, ah: Int, al: Int) {
+    private var eobrun = 0
+    private val ebits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val preds = new Array[Int](4)
+
+    private def flushEob(): Unit = if (eobrun > 0) {
+      val rb = 31 - Integer.numberOfLeadingZeros(eobrun)
+      bw.write(acEnc.codeOf(rb << 4), acEnc.lenOf(rb << 4))
+      if (rb > 0) bw.write(eobrun - (1 << rb), rb)
+      ebits.foreach(bit => bw.write(bit, 1))
+      ebits.clear()
+      eobrun = 0
+    }
+
+    /** Before a restart marker: pending EOB run flushes, predictors reset
+      * (the decoder resets both at RSTn).
+      */
+    def restartReset(): Unit = { flushEob(); java.util.Arrays.fill(preds, 0) }
+
+    def block(coefN: Array[Int], compIdx: Int): Unit = {
+      if (ss == 0) {
+        if (ah == 0) { // DC first: arithmetic-shift point transform
+          val v = coefN(0) >> al
+          val diff = v - preds(compIdx)
+          preds(compIdx) = v
+          val t = magnitudeCat(diff)
+          bw.write(dcEnc.codeOf(t), dcEnc.lenOf(t))
+          if (t > 0) bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        } else { // DC refine: the next lower bit
+          bw.write((coefN(0) >> al) & 1, 1)
+        }
+      } else if (ah == 0) { // AC first
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val v0 = coefN(ZigZag(k))
+          val t = if (v0 >= 0) v0 >> al else -((-v0) >> al) // toward zero
+          if (t == 0) r += 1
+          else {
+            flushEob()
+            while (r > 15) {
+              bw.write(acEnc.codeOf(0xF0), acEnc.lenOf(0xF0)); r -= 16
+            }
+            val s = magnitudeCat(t)
+            require(s <= 10, "progressive AC magnitude out of table range")
+            bw.write(acEnc.codeOf((r << 4) | s), acEnc.lenOf((r << 4) | s))
+            bw.write(if (t < 0) t + (1 << s) - 1 else t, s)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 0x7FFF) flushEob() }
+      } else { // AC refine
+        // last newly-significant position (|v|>>Al == 1): the walk's EOB
+        var kEnd = ss - 1
+        var k = ss
+        while (k <= se) {
+          if ((math.abs(coefN(ZigZag(k))) >> al) == 1) kEnd = k
+          k += 1
+        }
+        if (kEnd < ss) {
+          // whole band EOB-covered: its correction bits ride the EOB run
+          eobrun += 1
+          var j = ss
+          while (j <= se) {
+            val a = math.abs(coefN(ZigZag(j))) >> al
+            if (a > 1) ebits += (a & 1)
+            j += 1
+          }
+          if (eobrun == 0x7FFF) flushEob()
+        } else {
+          flushEob()
+          val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var r = 0
+          k = ss
+          while (k <= kEnd) {
+            val v0 = coefN(ZigZag(k))
+            val a = math.abs(v0) >> al
+            if (a == 0) r += 1
+            else {
+              // ZRL check BEFORE buffering: every bit buffered at r ≤ 15
+              // lands inside the decoder walk that passes its position
+              while (r > 15) {
+                bw.write(acEnc.codeOf(0xF0), acEnc.lenOf(0xF0))
+                br.foreach(bit => bw.write(bit, 1)); br.clear()
+                r -= 16
+              }
+              if (a > 1) br += (a & 1) // history: correction bit
+              else { // newly significant: (run, 1) + sign + buffered bits
+                bw.write(acEnc.codeOf((r << 4) | 1), acEnc.lenOf((r << 4) | 1))
+                bw.write(if (v0 > 0) 1 else 0, 1)
+                br.foreach(bit => bw.write(bit, 1)); br.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (kEnd < se) { // tail of this block rides a fresh EOB run
+            eobrun += 1
+            var j = kEnd + 1
+            while (j <= se) {
+              val a = math.abs(coefN(ZigZag(j))) >> al
+              if (a > 1) ebits += (a & 1)
+              j += 1
+            }
+            if (eobrun == 0x7FFF) flushEob()
+          }
+        }
+      }
+    }
+
+    def finish(): Unit = { flushEob(); bw.align() }
+  }
+
+  /** Grayscale PROGRESSIVE JPEG from DIRECT quantized coefficient blocks
+    * (natural order, raster block order; true dims in SOF2, grid covers
+    * ceil(dim/8)) — the Annex G write path over the same canonical
+    * tables as the baseline encoder, so `decodeJpeg(progressive) ==
+    * decodeJpeg(baseline)` on identical blocks is a pure decoder-path
+    * parity statement (the spec's cross-check).
+    */
+  def encodeJpegProgGray(
+      w: Int, h: Int, blocks: Seq[Array[Int]], quantNatural: Array[Int],
+      scans: Seq[(Int, Int, Int, Int)] = DefaultProgScans,
+      restartInterval: Int = 0): Array[Byte] = {
+    val wB = (w + 7) / 8
+    val hB = (h + 7) / 8
+    require(w >= 1 && h >= 1 && blocks.length == wB * hB)
+    require(quantNatural.length == 64 && quantNatural.forall(q => q >= 1 && q <= 255))
+    require(scans.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write(0xFF); out.write(0xD8)
+    writeSegment(out, 0xE0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    writeSegment(out, 0xDB, dqtBody(0, Array.tabulate(64)(k => quantNatural(ZigZag(k)))))
+    writeSegment(out, 0xC2, Array(8, (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF,
+      1, 1, 0x11, 0))
+    writeSegment(out, 0xC4, dhtBody(0, 0, DcBits, DcVals))
+    writeSegment(out, 0xC4, dhtBody(1, 0, AcBitsProg, AcValsProg))
+    if (restartInterval > 0)
+      writeSegment(out, 0xDD, Array((restartInterval >> 8) & 0xFF, restartInterval & 0xFF))
+    val dcEnc = new HuffEncoder(DcBits, DcVals)
+    val acEnc = new HuffEncoder(AcBitsProg, AcValsProg)
+    for ((ss, se, ah, al) <- scans) {
+      require(ss >= 0 && se >= ss && se <= 63 && (ss > 0 || se == 0))
+      writeSegment(out, 0xDA, Array(1, 1, 0x00, ss, se, (ah << 4) | al))
+      val bw = new BitWriter(out)
+      val enc = new ProgScanEncoder(bw, acEnc, dcEnc, ss, se, ah, al)
+      var rst = 0
+      var i = 0
+      while (i < blocks.length) {
+        if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+          enc.restartReset()
+          bw.align()
+          out.write(0xFF); out.write(0xD0 + rst)
+          rst = (rst + 1) % 8
+        }
+        enc.block(blocks(i), 0)
+        i += 1
+      }
+      enc.finish()
+    }
+    out.write(0xFF); out.write(0xD9)
+    out.toByteArray
+  }
+
+  /** Color 4:2:0 per-MACROBLOCK-constant PROGRESSIVE JPEG — the Annex G
+    * counterpart of `encodeJpeg420Mcus` (same DC-only flat macroblocks,
+    * so decode is exact): an interleaved 3-component DC-first scan +
+    * DC refine, then per-component AC band scans that are pure EOB-run
+    * streams over the all-zero bands — the interleaved-DC walk,
+    * subsampled non-interleaved block grids, and many-block EOB runs all
+    * sit on the decode path.
+    */
+  def encodeJpegProg420Mcus(
+      wMcus: Int, hMcus: Int, ycc: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(wMcus > 0 && hMcus > 0)
+    // per-component DC values (all AC zero): Y at 2×2 blocks per MCU
+    val yDc = new Array[Int](4 * wMcus * hMcus) // (2*wMcus) × (2*hMcus) raster
+    val cbDc = new Array[Int](wMcus * hMcus)
+    val crDc = new Array[Int](wMcus * hMcus)
+    var my = 0
+    while (my < hMcus) {
+      var mx = 0
+      while (mx < wMcus) {
+        val (yv, cb, cr) = ycc(mx, my)
+        require(yv >= 0 && yv <= 255 && cb >= 0 && cb <= 255 && cr >= 0 && cr <= 255)
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            yDc((my * 2 + by) * (wMcus * 2) + mx * 2 + bx) = yv - 128
+            bx += 1
+          }
+          by += 1
+        }
+        cbDc(my * wMcus + mx) = cb - 128
+        crDc(my * wMcus + mx) = cr - 128
+        mx += 1
+      }
+      my += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(2048)
+    out.write(0xFF); out.write(0xD8)
+    writeSegment(out, 0xE0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    writeSegment(out, 0xDB, dqtBody(0, quantZigZag(8, 16)))
+    writeSegment(out, 0xDB, dqtBody(1, quantZigZag(8, 17)))
+    val w = wMcus * 16
+    val h = hMcus * 16
+    writeSegment(out, 0xC2, Array(8, (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    writeSegment(out, 0xC4, dhtBody(0, 0, DcBits, DcVals))
+    writeSegment(out, 0xC4, dhtBody(1, 0, AcBitsProg, AcValsProg))
+    val dcEnc = new HuffEncoder(DcBits, DcVals)
+    val acEnc = new HuffEncoder(AcBitsProg, AcValsProg)
+    val blk = new Array[Int](64)
+    def dcBlock(dc: Int): Array[Int] = {
+      java.util.Arrays.fill(blk, 0); blk(0) = dc; blk
+    }
+    // scan 1+2: interleaved DC first (Al=1) then refine (Al=0)
+    for ((ah, al) <- Seq((0, 1), (1, 0))) {
+      writeSegment(out, 0xDA, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, (ah << 4) | al))
+      val bw = new BitWriter(out)
+      val enc = new ProgScanEncoder(bw, acEnc, dcEnc, 0, 0, ah, al)
+      var m = 0
+      while (m < wMcus * hMcus) {
+        val mx = m % wMcus
+        val myy = m / wMcus
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            enc.block(dcBlock(yDc((myy * 2 + by) * (wMcus * 2) + mx * 2 + bx)), 0)
+            bx += 1
+          }
+          by += 1
+        }
+        enc.block(dcBlock(cbDc(m)), 1)
+        enc.block(dcBlock(crDc(m)), 2)
+        m += 1
+      }
+      enc.finish()
+    }
+    // per-component AC band scans (all-zero bands → pure EOB runs),
+    // first pass at Al=1 then the one-bit refinement to Al=0
+    for ((compId, n) <- Seq((1, 4 * wMcus * hMcus), (2, wMcus * hMcus), (3, wMcus * hMcus));
+         (ah, al) <- Seq((0, 1), (1, 0))) {
+      writeSegment(out, 0xDA, Array(1, compId, 0x00, 1, 63, (ah << 4) | al))
+      val bw = new BitWriter(out)
+      val enc = new ProgScanEncoder(bw, acEnc, dcEnc, 1, 63, ah, al)
+      var i = 0
+      while (i < n) { enc.block(dcBlock(0), 0); i += 1 }
+      enc.finish()
+    }
+    out.write(0xFF); out.write(0xD9)
     out.toByteArray
   }
 

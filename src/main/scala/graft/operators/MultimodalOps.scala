@@ -1641,6 +1641,57 @@ object MultimodalOps {
       .orderBy(col("asset_id"))
   }
 
+  /** The PROGRESSIVE JPEG slice: the q83 block-gradient trick re-encoded
+    * as SOF2 Annex G streams — DC successive-approximation scans (first
+    * at Al=1, refine to Al=0) plus two AC spectral bands first+refined,
+    * which over DC-only blocks are pure EOB-run streams spanning many
+    * blocks; even ids add a restart interval of 2 blocks per scan. Decode
+    * stays EXACT (DC quant 8), so the q112 oracle replays the decoded
+    * pixel sum as doc_id arithmetic while the full progressive machinery
+    * (multi-scan marker walk, bit-plane accumulation, EOB runs, restarts,
+    * EOI reconstruction) sits under the hash.
+    */
+  def decodableProgressiveJpegAssets(
+      spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 1)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val wB = (2 + id % 4).toInt
+          val hB = (2 + (id * 3) % 4).toInt
+          val blocks = for (by <- 0 until hB; bx <- 0 until wB) yield {
+            val c = new Array[Int](64)
+            c(0) = ((id * 11 + 17L * bx + 23L * by) % 256).toInt - 128
+            c
+          }
+          DecodableAsset(id, "image", Jpeg.encodeJpegProgGray(
+            wB * 8, hB * 8, blocks,
+            Array.tabulate(64)(i => if (i == 0) 8 else 16),
+            restartInterval = if (id % 2 == 0) 2 else 0))
+        }
+      }
+  }
+
+  /** q112: PROGRESSIVE JPEG decode oracle-visible — q83's discipline for
+    * the Annex G container: dims plus the exact gray pixel sum, every
+    * progressive scan kind on the decode path.
+    */
+  def q112JpegProgressiveDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats =
+      extractFeatures(spark, decodableProgressiveJpegAssets(spark, dir).toDF()).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    feats.select(
+      col("asset_id"),
+      round(f(1)).cast("long").as("width"),
+      round(f(2)).cast("long").as("height"),
+      round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_gray"))
+      .orderBy(col("asset_id"))
+  }
+
   /** q84: color 4:2:0 JPEG decode oracle-visible — dims plus exact
     * per-channel RGB sums; the oracle replays the decoder's fixed-point
     * BT.601 conversion (floor division by 2^16, then clamp) over the

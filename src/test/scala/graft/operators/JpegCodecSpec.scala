@@ -226,7 +226,10 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(Jpeg.decodeJpeg(null).isEmpty)
     assert(Jpeg.decodeJpeg("not a jpeg at all, definitely".getBytes).isEmpty)
     assert(Jpeg.decodeJpeg(MultimodalOps.encodePngConst(4, 4, 1, 2, 3)).isEmpty)
-    // progressive (SOF2) is out of envelope: flip the SOF marker
+    // a BASELINE stream with its SOF marker flipped to SOF2 is a
+    // MALFORMED progressive stream (its single scan claims the full
+    // spectral band 0..63, which Annex G forbids) — rejected, while real
+    // progressive streams decode (ProgressiveJpegSpec)
     val prog = gray.clone(); prog(sofAt + 1) = 0xC2.toByte
     assert(Jpeg.decodeJpeg(prog).isEmpty)
   }
