@@ -131,6 +131,7 @@ object SparkEntry {
     "q110_session_paths" -> (SessionOps.q110SessionPaths(_, _)),
     "q111_association_rules" -> (SessionOps.q111AssociationRules(_, _)),
     "q112_jpeg_progressive" -> (MultimodalOps.q112JpegProgressiveDecode(_, _)),
+    "q113_bm25" -> (SearchOps.q113Bm25(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1655,6 +1656,42 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, doc_id, score FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // BM25 (q113): RSJ rational idf, integer tf saturation and length
+    // normalization replayed with nested floor divisions; same query set
+    // and BoundedTopK tie-break as q93
+    "q113_bm25" ->
+      """WITH q(query_id, term) AS (VALUES
+        |    (1, 'hash'), (1, 'join'), (1, 'spark'),
+        |    (2, 'stream'), (2, 'window'), (2, 'batch'),
+        |    (3, 'query'), (3, 'scan'), (3, 'filter'),
+        |    (4, 'sort'), (4, 'merge'), (4, 'table'),
+        |    (5, 'vector'), (5, 'data'), (5, 'column')),
+        |lens AS (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens
+        |  FROM lens),
+        |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |postings AS (SELECT term, t.doc_id, count(*)::BIGINT AS tf, max(l.dl) AS dl
+        |  FROM toks t JOIN lens l ON t.doc_id = l.doc_id
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+        |wt AS (SELECT term, (1000000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)
+        |    AS idf_fp FROM dfreq, stats),
+        |scored AS (SELECT q.query_id, p.doc_id,
+        |    sum((w.idf_fp *
+        |      (((22 * p.tf * 1000000 // 10) * 1000000) //
+        |       (p.tf * 1000000 +
+        |        (3 * 1000000 + 9 * ((1000000 * p.dl * s.n_docs) // s.total_tokens)) // 10)))
+        |      // 1000000)::BIGINT AS score_fp
+        |  FROM q JOIN postings p USING (term) JOIN wt w USING (term), stats s
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, score_fp,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, score_fp FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // pivot replayed as FILTER aggregates; n_total as the explicit sum of
     // the five pivot columns (the engine's own arithmetic), not count(*)

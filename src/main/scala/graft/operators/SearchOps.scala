@@ -218,4 +218,89 @@ object SearchOps {
         col("col.score").as("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** q113: BM25 retrieval (Robertson–Spärck-Jones) — the standard
+    * production ranking function a decontamination-by-retrieval pipeline
+    * actually runs, beside q93's reciprocal-df scorer: term-frequency
+    * SATURATION (`tf·(k1+1)/(tf+k1·…)` — a 100-fold repeated term scores
+    * barely above a 5-fold one) and LENGTH NORMALIZATION (`b·dl/avgdl` —
+    * a match in a short document outranks the same tf buried in a long
+    * one), with k1=1.2, b=0.75. All EXACT INTEGER fixed-point (the
+    * q92/q107 discipline): the RSJ document-frequency ratio
+    * `(2(N−df)+1)/(2df+1)` replaces the usual `ln` form — same ordering,
+    * zero libm drift — and the saturation term nests floor divisions the
+    * oracle replays verbatim.
+    *
+    * int64 headroom (documented per the q109/q111 discipline): the
+    * saturated-tf numerator is `Scale² · 2.2 · tf` → tf ≤ ~4e6; the
+    * length ratio needs `Scale·dl·N ≤ 2^63` → dl·N ≤ 9.2e12 (1e9 docs of
+    * 1e3 tokens fits); idf·tfs ≤ Scale·2N · 2.2·Scale → N ≤ ~2e6 per
+    * scored segment before contrib overflows — shard or drop Scale to
+    * 1e3 beyond.
+    *
+    * Scale shape: the length/count stats are ONE corpus aggregate (1 row,
+    * broadcast); per-document length rides the token stream via an array
+    * `filter` BEFORE the explode, so the shuffle carries only matching
+    * postings with dl attached — no corpus-wide doc-length join. Top-5
+    * per query via BoundedTopK (O(queries·k) final shuffle).
+    */
+  def q113Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(spark, Tables.documents(spark, dir), SearchQueries, k = 5)
+
+  /** Core of q113: BM25 top-k per keyword query, integer fixed-point. */
+  private[graft] def bm25Search(
+      spark: SparkSession, docs: DataFrame,
+      queries: Seq[(Int, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val vocab = queries.flatMap(_._2.split(" ")).distinct
+    val inList = vocab.map(t => s"'$t'").mkString(", ")
+    // one corpus aggregate: document count and total token mass (avgdl's
+    // exact numerator/denominator — never a rounded average)
+    val stats = docs
+      .select(size(words(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    // vocab-filter INSIDE the token array, then explode: dl attaches to
+    // each surviving occurrence without a second corpus scan or join
+    val matches = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(expr(s"filter(w, t -> t IN ($inList))")).as("term"))
+    val postings = matches
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // RSJ idf as an exact scaled rational: (N - df + ½) / (df + ½)
+    val weights = dfreq.join(broadcast(stats))
+      .select(col("term"),
+        expr(s"(${Scale}L * (2 * (n_docs - df) + 1)) div (2 * df + 1)")
+          .as("idf_fp"))
+    val scored = terms
+      .join(postings, Seq("term"))
+      .join(broadcast(weights), Seq("term"))
+      .join(broadcast(stats))
+      // r_fp = dl/avgdl at Scale; den_fp = tf + k1·(1−b+b·r), all ·Scale;
+      // tfs_fp = saturated tf term at Scale (≤ 2.2·Scale)
+      .withColumn("r_fp", expr(s"(${Scale}L * dl * n_docs) div total_tokens"))
+      .withColumn("den_fp",
+        expr(s"tf * ${Scale}L + (3L * ${Scale}L + 9L * r_fp) div 10"))
+      .withColumn("tfs_fp",
+        expr(s"((22L * tf * ${Scale}L div 10) * ${Scale}L) div den_fp"))
+      .withColumn("contrib", expr(s"(idf_fp * tfs_fp) div ${Scale}L"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_fp"))
+    val key = struct(col("score_fp").as("score_fp"), (-col("doc_id")).as("neg_id"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK(key, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.neg_id")).as("doc_id"),
+        col("col.score_fp").as("score_fp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

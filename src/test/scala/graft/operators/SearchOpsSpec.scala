@@ -108,6 +108,72 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(topk.nonEmpty, s"no BoundedTopK aggregate in q93 plan:\n$plan")
   }
 
+  test("q113 BM25 exact integer score on a hand-built corpus") {
+    import spark.implicits._
+    // 2 docs, term t in both (df=2, N=2): idf_fp = 1e6*(2*0+1)/(2*2+1)
+    //  = 200000. total_tokens = 4+2 = 6.
+    // doc 1: tf=2, dl=4 -> r=1e6*4*2/6=1333333;
+    //   den=2e6+(3e6+9*1333333)/10=2e6+1499999=3499999
+    //   tfs=(22*2*1e6/10)*1e6/3499999=(4400000*1e6)/3499999=1257143
+    //   contrib=200000*1257143/1e6=251428
+    // doc 2: tf=1, dl=2 -> r=666666; den=1e6+(3e6+5999994)/10=1899999
+    //   tfs=(2200000*1e6)/1899999=1157895; contrib=231579
+    val docs = Seq((1L, "t t a b"), (2L, "t c")).toDF("doc_id", "text")
+    val got = SearchOps.bm25Search(spark, docs, Seq(1 -> "t"), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 251428L), (2L, 2L, 231579L)), got.toSeq)
+  }
+
+  test("q113 BM25 vs q93: saturation + length normalization flip a raw-tf ranking") {
+    import spark.implicits._
+    // doc 1: 6 hits buried in 300 tokens; doc 2: 3 hits in 10 tokens.
+    // Raw tf*idf (q93) ranks doc 1 first (6w > 3w); BM25's length
+    // normalization penalizes the long document and its saturation caps
+    // the extra occurrences, ranking doc 2 first — the exact behavior
+    // BM25 exists to add.
+    val filler = (1 to 294).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, ("t " * 6).trim + " " + filler),
+      (2L, "t t t a b c d e f g")).toDF("doc_id", "text")
+    val q93Rank = SearchOps.keywordSearch(spark, docs, Seq(1 -> "t"), k = 2)
+      .collect().map(_.getLong(2)).toSeq
+    val bm25Rank = SearchOps.bm25Search(spark, docs, Seq(1 -> "t"), k = 2)
+      .collect().map(_.getLong(2)).toSeq
+    assert(q93Rank == Seq(1L, 2L), s"q93 fixture broken: $q93Rank")
+    assert(bm25Rank == Seq(2L, 1L), s"BM25 did not normalize: $bm25Rank")
+  }
+
+  test("q113 rankings agree with q93 on equal-length single-hit docs") {
+    import spark.implicits._
+    // same dl, same tf, differing df across terms: both scorers order by
+    // rarity; only the weight SCALE differs
+    val docs = Seq(
+      (1L, "rare a b c"), (2L, "mid a b c"), (3L, "mid a b c"),
+      (4L, "x y z w")).toDF("doc_id", "text")
+    val qs = Seq(1 -> "rare mid")
+    val a = SearchOps.keywordSearch(spark, docs, qs, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val b = SearchOps.bm25Search(spark, docs, qs, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b, s"q93=$a bm25=$b")
+  }
+
+  test("q113 plan: BoundedTopK partial aggregate, no window, one corpus aggregate") {
+    val df = SearchOps.q113Bm25(spark, sf)
+    val plan = SparkTestSession.finalPlan(df)
+    val bad = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(bad.isEmpty, s"window/cartesian in q113 plan:\n$plan")
+    val topk = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(
+            _.aggregateFunction.isInstanceOf[graft.functions.BoundedTopK]) => a
+    }
+    assert(topk.nonEmpty, s"no BoundedTopK aggregate in q113 plan:\n$plan")
+  }
+
   test("q94 pivot equals conditional aggregation on sf0.001") {
     val types = Seq("click", "view", "purchase", "signup", "error")
     val ev = graft.Tables.events(spark, sf)
