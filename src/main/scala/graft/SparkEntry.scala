@@ -132,6 +132,7 @@ object SparkEntry {
     "q111_association_rules" -> (SessionOps.q111AssociationRules(_, _)),
     "q112_jpeg_progressive" -> (MultimodalOps.q112JpegProgressiveDecode(_, _)),
     "q113_bm25" -> (SearchOps.q113Bm25(_, _)),
+    "q114_gif_frames" -> (MultimodalOps.q114GifFrames(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1463,6 +1464,27 @@ object SparkEntry {
         |     list_transform(range(wb),
         |       bx -> (asset_id * 7 + 13 * bx + 31 * by) % 256)))))::BIGINT AS sum_gray
         |FROM d ORDER BY asset_id""".stripMargin,
+    // animated + interlaced GIF (q114): per-frame channel sums replayed as
+    // doc_id arithmetic (GIF is lossless, frames are full-canvas); the
+    // position-weighted green sum makes the 4-pass de-interlace
+    // hash-visible (a plain sum is row-permutation-invariant)
+    "q114_gif_frames" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (8 + doc_id % 16)::BIGINT AS w,
+        |    (8 + (doc_id * 3) % 16)::BIGINT AS h,
+        |    (1 + doc_id % 4)::BIGINT AS nf
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f AS (SELECT asset_id, w, h, nf, unnest(range(nf)) AS fi FROM d),
+        |px AS (SELECT asset_id, w, h, nf, fi, x, y,
+        |    (asset_id * 5 + 3 * x + 7 * y + 11 * fi) % 256 AS g
+        |  FROM f, unnest(range(f.w)) AS t1(x), unnest(range(f.h)) AS t2(y))
+        |SELECT asset_id, fi AS frame_idx, w AS width, h AS height,
+        |  nf AS n_frames, ((asset_id + 7 * fi) % 100)::BIGINT AS delay_cs,
+        |  sum(g)::BIGINT AS sum_r,
+        |  sum((x + 17 * y) * ((7 * g) % 256))::BIGINT AS wsum_g,
+        |  sum((13 * g) % 256)::BIGINT AS sum_b
+        |FROM px GROUP BY asset_id, fi, w, h, nf
+        |ORDER BY asset_id, frame_idx""".stripMargin,
     // PROGRESSIVE JPEG (SOF2): the q83 per-block-constant trick over the
     // Annex G scan script — decode is exact, so the oracle replays the
     // gray sum as doc_id arithmetic with q112's block formula

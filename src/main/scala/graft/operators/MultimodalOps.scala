@@ -1781,6 +1781,98 @@ object MultimodalOps {
       .orderBy(col("asset_id"))
   }
 
+  /** One composited GIF animation frame's oracle surface (q114). */
+  final case class GifFrameRow(
+      asset_id: Long, frame_idx: Long, width: Long, height: Long,
+      n_frames: Long, delay_cs: Long, sum_r: Long, wsum_g: Long, sum_b: Long)
+
+  /** The ANIMATED/INTERLACED GIF slice: `doc_id % 3 == 0` rows as GIF89a
+    * animations of 1–4 full-canvas frames over the arithmetic palette,
+    * frame f's index gradient `g(x,y,f) = (id·5 + 3x + 7y + 11f) mod 256`,
+    * per-frame GCE delays `(id + 7f) mod 100`, and INTERLACED storage on
+    * odd ids (rows written in the spec's 4-pass order, so the decoder's
+    * de-pass is load-bearing). GIF is lossless and frames are full-canvas
+    * (disposal composition reduces to the frame's own content), so q114
+    * replays per-frame channel sums as doc_id arithmetic — with a
+    * POSITION-WEIGHTED green sum `Σ (x + 17y)·G(x,y)`: a plain channel
+    * sum is row-permutation-invariant and would pass even if the
+    * de-interlace were skipped; the weighted sum is not. Sub-rect frames,
+    * transparency, and disposal 2/3 are pinned by hand-built streams in
+    * GifAnimSpec (canvas-state replay in SQL would be a recursive mess).
+    */
+  def decodableGifAnimAssets(
+      spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 0)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        val pal = gifArithmeticPalette
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val nf = (1 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val idx = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                idx(y * w + x) = ((id * 5 + 3L * x + 7L * y + 11L * f) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            Gif.GifFrameData(0, 0, w, h, idx,
+              delayCs = ((id + 7L * f) % 100).toInt,
+              disposal = 1, interlaced = id % 2 == 1)
+          }
+          DecodableAsset(id, "image", Gif.encodeGif89(w, h, pal, 0, frames))
+        }
+      }
+  }
+
+  /** q114: GIF animation frames oracle-visible — q48's per-frame shape
+    * for the GIF container: every composited frame's dims, count, GCE
+    * delay, exact channel sums, and the position-weighted green sum that
+    * makes the interlace de-pass hash-visible.
+    */
+  def q114GifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    decodableGifAnimAssets(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          Gif.decodeGifFrames(a.payload).toSeq.flatMap { frames =>
+            frames.zipWithIndex.map { case (fr, fi) =>
+              val img = fr.image
+              var sumR = 0L
+              var wsumG = 0L
+              var sumB = 0L
+              var y = 0
+              while (y < img.height) {
+                var x = 0
+                while (x < img.width) {
+                  val o = (y * img.width + x) * 3
+                  sumB += img.pixels(o) & 0xFF
+                  wsumG += (x + 17L * y) * (img.pixels(o + 1) & 0xFF)
+                  sumR += img.pixels(o + 2) & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              GifFrameRow(a.asset_id, fi.toLong, img.width.toLong,
+                img.height.toLong, frames.length.toLong, fr.delayCs.toLong,
+                sumR, wsumG, sumB)
+            }
+          }
+        }
+      }(Encoders.product[GifFrameRow])
+      .toDF()
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
   /** G.711 telephony corpus: `doc_id % 3 == 1` rows as REAL mu-law
     * (even ids) / A-law (odd ids) WAV containers — companded bytes are
     * pure arithmetic on (doc_id, sample index), so the q89 oracle replays

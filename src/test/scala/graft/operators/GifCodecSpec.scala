@@ -148,9 +148,18 @@ class GifCodecSpec extends AnyFunSuite {
     bomb(id0 + 5) = 0xFF.toByte; bomb(id0 + 6) = 0x7F.toByte
     bomb(id0 + 7) = 0xFF.toByte; bomb(id0 + 8) = 0x7F.toByte
     assert(Gif.decodeGif(bomb).isEmpty)
-    // interlaced: out of envelope, rejected not mangled
+    // flipping the interlace flag on a sequential stream is a VALID
+    // interlaced GIF whose stored rows are pass-ordered: the decoder must
+    // de-pass them — output rows are exactly the spec's 4-pass
+    // permutation of the original (GifAnimSpec pins true interlace
+    // round-trips; this pins that the flag is honored, not ignored)
     val inter = good.clone(); inter(id0 + 9) = (inter(id0 + 9) | 0x40).toByte
-    assert(Gif.decodeGif(inter).isEmpty)
+    val straight = Gif.decodeGif(good).get
+    val dePass = Gif.decodeGif(inter).get
+    val m = Gif.interlaceRowMap(9)
+    for (sr <- 0 until 9; x <- 0 until 11; c <- 0 until 3)
+      assert(dePass.pixels((m(sr) * 11 + x) * 3 + c) ==
+        straight.pixels((sr * 11 + x) * 3 + c))
     assert(Gif.decodeGif(null).isEmpty)
     assert(Gif.decodeGif("GIF87a but not really a gif".getBytes).isEmpty)
     assert(Gif.decodeGif(MultimodalOps.encodePngConst(4, 4, 1, 2, 3)).isEmpty)
