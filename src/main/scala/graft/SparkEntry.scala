@@ -133,6 +133,7 @@ object SparkEntry {
     "q112_jpeg_progressive" -> (MultimodalOps.q112JpegProgressiveDecode(_, _)),
     "q113_bm25" -> (SearchOps.q113Bm25(_, _)),
     "q114_gif_frames" -> (MultimodalOps.q114GifFrames(_, _)),
+    "q115_ivf_pq" -> (SimilarityOps.q115IvfPq(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1464,6 +1465,15 @@ object SparkEntry {
         |     list_transform(range(wb),
         |       bx -> (asset_id * 7 + 13 * bx + 31 * by) % 256)))))::BIGINT AS sum_gray
         |FROM d ORDER BY asset_id""".stripMargin,
+    // IVF-PQ (q115): the q32/q38 parity-leg treatment — every count is
+    // quantizer/codebook-independent (probes return k rows under any
+    // training; n_agree compares two expression trees computing the SAME
+    // exact-int64 ADC score), so the oracle pins all three to k
+    "q115_ivf_pq" ->
+      """SELECT vec_id AS query_id, 10::BIGINT AS n_pq, 10::BIGINT AS n_adc,
+        |  10::BIGINT AS n_agree
+        |FROM embeddings WHERE vec_id % 50 = 0
+        |ORDER BY query_id""".stripMargin,
     // animated + interlaced GIF (q114): per-frame channel sums replayed as
     // doc_id arithmetic (GIF is lossless, frames are full-canvas); the
     // position-weighted green sum makes the 4-pass de-interlace
