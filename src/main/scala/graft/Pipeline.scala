@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.SimilarityOps
 import graft.sources.{Enrichment, SchemaInit}
-import graft.streaming.{CheckpointStream, StreamCurate, StreamEmbedIndex, StreamImageDedup, StreamNearDup, StreamStats}
+import graft.streaming.{CheckpointStream, StreamCurate, StreamEmbedIndex, StreamImageDedup, StreamNearDup, StreamSessionize, StreamStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -175,7 +175,16 @@ object Pipeline {
         * least this many unfolded delta generations have accumulated.
         * None never folds from the lifecycle.
         */
-      embedFoldMinDeltas: Option[Int] = None)
+      embedFoldMinDeltas: Option[Int] = None,
+      /** Optional EVENTS feed (user_id, event_type, ts, event_id) for the
+        * streaming session-analytics lane: gap-sessionization with q33's
+        * exact boundary rule in `flatMapGroupsWithState`, finalized
+        * sessions (with their ordered event-type sequences — q110/q111's
+        * grain) appended under `<workDir>/sessions`.
+        */
+      eventsFeedDir: Option[String] = None,
+      /** Files per micro-batch on the events feed. */
+      eventsMaxFilesPerTrigger: Int = 1)
 
   /** Offline diff-sink maintenance, run once the stream is drained: fold
     * the per-micro-batch dirs at or below the LAST COMMITTED batch id
@@ -328,6 +337,12 @@ object Pipeline {
           .map(_ => s"${config.workDir}/embed_dup_flags"),
         dupThreshold = config.embed.dupThreshold.getOrElse(0.9),
         dupNprobe = config.embed.dupNprobe))
+    // streaming session analytics over the optional events feed: q33's
+    // gap rule as standing state, finalized sessions appended once each
+    val sessQuery = config.eventsFeedDir.map(dir =>
+      StreamSessionize.run(spark, dir, s"${config.workDir}/ckpt_sessions",
+        s"${config.workDir}/sessions",
+        maxFilesPerTrigger = config.eventsMaxFilesPerTrigger))
     cdcQuery.awaitTermination()
     ideQuery.foreach(_.awaitTermination())
     dlCdcQuery.awaitTermination()
@@ -337,6 +352,7 @@ object Pipeline {
     vocabQuery.foreach(_.awaitTermination())
     imgQuery.foreach(_.awaitTermination())
     embQuery.foreach(_.awaitTermination())
+    sessQuery.foreach(_.awaitTermination())
 
     // diff-sink maintenance: fold the per-batch dirs and apply retention
     // (the storage-side twin of the state store's idle eviction)

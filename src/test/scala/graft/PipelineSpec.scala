@@ -358,6 +358,48 @@ class PipelineSpec extends AnyFunSuite {
       "post-fold probe never surfaces second-batch vectors")
   }
 
+  test("session-analytics lane runs in the lifecycle; finalized sessions land in sessions/") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pipeline_sess_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.filter(col("user_id") % 11 === 0)
+      .coalesce(1).write.parquet(s"$base/feed_cdc/f0")
+    // events feed: two real chunks + a far-future sentinel that advances
+    // the watermark past every session's end + gap so they all finalize
+    val hr = 3600L * 1000000L
+    val t0 = 1700L * 1000000L * 1000000L
+    val chunks = Seq(
+      Seq((1L, "click", t0, 1L), (1L, "view", t0 + hr, 2L),
+        (2L, "signup", t0 + 2 * hr, 3L)),
+      Seq((1L, "purchase", t0 + 30 * hr, 4L), (2L, "click", t0 + 3 * hr, 5L)),
+      Seq((-1L, "click", t0 + 1000 * hr, 6L)))
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("user_id", "event_type", "t", "event_id")
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("t")).as("ts"), col("event_id"))
+        .coalesce(1).write.parquet(s"$base/events/c$i")
+      val d = new java.io.File(s"$base/events/c$i")
+      (d +: d.listFiles.toSeq).foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    Pipeline.run(spark, Pipeline.Config(
+      cdcFeedDir = s"$base/feed_cdc/f*",
+      ideFeedDir = None,
+      reportDir = None,
+      workDir = s"$base/work",
+      eventsFeedDir = Some(s"$base/events/c*")))
+    // user 1: 29 h gap splits two sessions; user 2: one 2-event session;
+    // the sentinel's own session stays open and never reaches the sink
+    val sessions = graft.streaming.StreamSessionize
+      .readSessions(spark, s"$base/work/sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[String](4))).toSet
+    assert(sessions == Set(
+      (1L, t0, t0 + hr, 2L, Seq("click", "view")),
+      (1L, t0 + 30 * hr, t0 + 30 * hr, 1L, Seq("purchase")),
+      (2L, t0 + 2 * hr, t0 + 3 * hr, 2L, Seq("signup", "click"))),
+      s"sessions: $sessions")
+  }
+
   test("diff maintenance folds only committed batches and applies the retention window") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_pipeline_gc_").toString
