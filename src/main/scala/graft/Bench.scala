@@ -67,7 +67,8 @@ object Bench {
     locally {
       val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val tmp = sys.props("java.io.tmpdir")
-      for (root <- Seq("graft_ivf_", "graft_ivf_lsm_", "graft_ivfq_", "graft_embguard_")) {
+      for (root <- Seq("graft_ivf_", "graft_ivf_lsm_", "graft_ivfq_",
+          "graft_ivfpq_", "graft_embguard_")) {
         val p = new org.apache.hadoop.fs.Path(s"$tmp/$root$sfx")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) { fs.delete(p, true); () }

@@ -134,6 +134,11 @@ object SparkEntry {
     "q113_bm25" -> (SearchOps.q113Bm25(_, _)),
     "q114_gif_frames" -> (MultimodalOps.q114GifFrames(_, _)),
     "q115_ivf_pq" -> (SimilarityOps.q115IvfPq(_, _)),
+    "q116_decontam_retrieval" -> (SearchOps.q116DecontaminateRetrieval(_, _)),
+    "q117_triangles" -> (GraphOps.q117Triangles(_, _)),
+    "q118_audio_windows" -> (MultimodalOps.q118AudioWindows(_, _)),
+    "q119_shot_detect" -> (MultimodalOps.q119ShotDetect(_, _)),
+    "q120_ivf_pq_indexed" -> (SimilarityOps.q120IvfPqIndexed(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1465,6 +1470,125 @@ object SparkEntry {
         |     list_transform(range(wb),
         |       bx -> (asset_id * 7 + 13 * bx + 31 * by) % 256)))))::BIGINT AS sum_gray
         |FROM d ORDER BY asset_id""".stripMargin,
+    // persisted IVF-PQ index (q120): q38's storage-parity treatment for
+    // the compressed tier — every count training-deterministic and pinned
+    "q120_ivf_pq_indexed" ->
+      """SELECT vec_id AS query_id, 10::BIGINT AS n_idx, 10::BIGINT AS n_exh,
+        |  10::BIGINT AS n_agree
+        |FROM embeddings WHERE vec_id % 50 = 0
+        |ORDER BY query_id""".stripMargin,
+    // windowed audio features (q118): per-16-sample energy / zero
+    // crossings / peak replayed from the tone formula
+    "q118_audio_windows" ->
+      """WITH d AS (SELECT doc_id AS asset_id, (64 + doc_id % 128)::BIGINT AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (SELECT asset_id, i,
+        |    ((asset_id * 31 + i * 7) % 65536) - 32768 AS s
+        |  FROM d, unnest(range(d.n)) AS t(i)),
+        |w AS (SELECT asset_id, i // 16 AS win_idx, i, s,
+        |    lag(s) OVER (PARTITION BY asset_id, i // 16 ORDER BY i) AS prev
+        |  FROM smp)
+        |SELECT asset_id, win_idx, count(*)::BIGINT AS n_samples,
+        |  sum(s * s)::BIGINT AS energy,
+        |  sum(CASE WHEN prev IS NOT NULL AND ((s >= 0) <> (prev >= 0))
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_zero_cross,
+        |  max(abs(s))::BIGINT AS peak
+        |FROM w GROUP BY 1, 2 ORDER BY asset_id, win_idx""".stripMargin,
+    // shot detection (q119): adjacent-frame channel-sum diffs on the
+    // constant-fill corpus are pure (doc_id, f) arithmetic
+    "q119_shot_detect" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (8 + doc_id % 8)::BIGINT AS w, (6 + (doc_id * 3) % 8)::BIGINT AS h,
+        |    (2 + doc_id % 4)::BIGINT AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT asset_id, w * h AS np, fi,
+        |    (asset_id + 11 * fi) % 256 AS b,
+        |    (asset_id * 7 + 17 * fi) % 256 AS g,
+        |    (asset_id * 13 + 23 * fi) % 256 AS r
+        |  FROM d, unnest(range(d.nf)) AS t(fi))
+        |SELECT c.asset_id, c.fi AS frame_idx, c.np AS n_pixels,
+        |  (abs(c.b - p.b) * c.np)::BIGINT AS diff_b,
+        |  (abs(c.g - p.g) * c.np)::BIGINT AS diff_g,
+        |  (abs(c.r - p.r) * c.np)::BIGINT AS diff_r,
+        |  (CASE WHEN (abs(c.b - p.b) + abs(c.g - p.g) + abs(c.r - p.r)) * c.np
+        |      >= 90 * c.np THEN 1 ELSE 0 END)::INT AS is_shot
+        |FROM f c JOIN f p ON c.asset_id = p.asset_id AND c.fi = p.fi + 1
+        |ORDER BY c.asset_id, frame_idx""".stripMargin,
+    // triangle counting (q117): q104's capped co-occurrence edges, the
+    // forward-orientation wedge join replayed exactly — each triangle
+    // materializes once under the (degree, id) order
+    "q117_triangles" ->
+      """WITH cs0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |keep AS (SELECT c FROM cs0 GROUP BY c HAVING count(*) <= 1024),
+        |cs AS (SELECT cs0.c, cs0.s FROM cs0 JOIN keep USING (c)),
+        |ed AS (SELECT a.s AS s_a, b.s AS s_b
+        |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |deg AS (SELECT s, count(*)::BIGINT AS deg FROM
+        |  (SELECT s_a AS s FROM ed UNION ALL SELECT s_b FROM ed) GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.s_a < e.s_b)
+        |      THEN e.s_a ELSE e.s_b END AS u,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.s_a < e.s_b)
+        |      THEN e.s_b ELSE e.s_a END AS v,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.s_a < e.s_b)
+        |      THEN db.deg ELSE da.deg END AS dv
+        |  FROM ed e JOIN deg da ON e.s_a = da.s JOIN deg db ON e.s_b = db.s),
+        |wdg AS (SELECT e1.u, e1.v, e2.v AS w FROM ori e1 JOIN ori e2
+        |  ON e1.u = e2.u AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+        |tri AS (SELECT wdg.u, wdg.v, wdg.w FROM wdg
+        |  JOIN ori o ON o.u = wdg.v AND o.v = wdg.w),
+        |pn AS (SELECT s, count(*)::BIGINT AS n_tri FROM
+        |  (SELECT u AS s FROM tri UNION ALL SELECT v FROM tri
+        |   UNION ALL SELECT w FROM tri) GROUP BY 1)
+        |SELECT d.s, d.deg, coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
+        |  (CASE WHEN d.deg >= 2
+        |    THEN (1000000 * 2 * coalesce(pn.n_tri, 0)) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END)::BIGINT AS cc_fp
+        |FROM deg d LEFT JOIN pn ON d.s = pn.s
+        |ORDER BY d.s""".stripMargin,
+    // decontamination by retrieval (q116): per eval doc, the rare-terms
+    // BM25 query replayed end to end — df-ranked term selection, q113's
+    // integer scoring chain, top-3 with the flagging threshold
+    "q116_decontam_retrieval" ->
+      """WITH lens AS (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens
+        |  FROM lens),
+        |evt AS (SELECT DISTINCT eval_id, term FROM
+        |  (SELECT doc_id AS eval_id, unnest(string_split(lower(text), ' ')) AS term
+        |   FROM documents WHERE doc_id % 20 = 0)),
+        |tok AS (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |   FROM documents)),
+        |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM evt) GROUP BY 1),
+        |qt AS (SELECT eval_id, term, df FROM
+        |  (SELECT e.eval_id, e.term, d.df,
+        |     row_number() OVER (PARTITION BY e.eval_id ORDER BY d.df, e.term) AS rn
+        |   FROM evt e JOIN dfc d USING (term)) WHERE rn <= 8),
+        |toks2 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |postings AS (SELECT term, t.doc_id, count(*)::BIGINT AS tf, max(l.dl) AS dl
+        |  FROM toks2 t JOIN lens l ON t.doc_id = l.doc_id
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |scored AS (SELECT q.eval_id, p.doc_id,
+        |    sum(((1000000 * (2 * (s.n_docs - q.df) + 1)) // (2 * q.df + 1) *
+        |      (((22 * p.tf * 1000000 // 10) * 1000000) //
+        |       (p.tf * 1000000 +
+        |        (3 * 1000000 + 9 * ((1000000 * p.dl * s.n_docs) // s.total_tokens)) // 10)))
+        |      // 1000000)::BIGINT AS score_fp
+        |  FROM qt q JOIN postings p USING (term), stats s
+        |  WHERE p.doc_id <> q.eval_id
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT eval_id, doc_id, score_fp,
+        |    row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY score_fp DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT eval_id, rank, doc_id, score_fp,
+        |  (score_fp >= 8000000)::INT AS flagged
+        |FROM ranked WHERE rank <= 3 ORDER BY eval_id, rank""".stripMargin,
     // IVF-PQ (q115): the q32/q38 parity-leg treatment — every count is
     // quantizer/codebook-independent (probes return k rows under any
     // training; n_agree compares two expression trees computing the SAME

@@ -2241,6 +2241,103 @@ object MultimodalOps {
       .orderBy(col("asset_id"))
   }
 
+  /** One audio analysis window's oracle surface (q118). */
+  final case class AudioWindowRow(
+      asset_id: Long, win_idx: Long, n_samples: Long, energy: Long,
+      n_zero_cross: Long, peak: Long)
+
+  /** q118: WINDOWED AUDIO FEATURES — the frame-level acoustic statistics
+    * every speech/audio curation pipeline computes before anything
+    * model-based (silence/clipping detection, energy-based segmentation):
+    * per 16-sample window of each decoded tone asset, the exact integer
+    * energy `Σ s²`, zero-crossing count (sign change vs the previous
+    * sample INSIDE the window; `s ≥ 0` counts positive), and peak `|s|`.
+    * 16-bit samples round-trip the decoder's float normalization exactly
+    * (q50's argument), so every statistic is pure (doc_id, i) arithmetic
+    * the oracle replays. Trailing partial windows are emitted (their
+    * n_samples says so) — a real segmenter needs the tail.
+    *
+    * Scale shape: per-row decode + one bounded pass per asset (windows
+    * are O(samples/16) rows out) — narrow mapPartitions, no shuffle
+    * before the final sort.
+    */
+  def q118AudioWindows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    decodableAudioTones(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          decodeWav(a.payload).toSeq.flatMap { wav =>
+            val s = wav.samples.map(f => math.round(f * 32768f).toLong)
+            val nw = (s.length + 15) / 16
+            (0 until nw).map { w =>
+              val from = w * 16
+              val until = math.min(from + 16, s.length)
+              var energy = 0L
+              var zc = 0L
+              var peak = 0L
+              var i = from
+              while (i < until) {
+                energy += s(i) * s(i)
+                if (i > from && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+                peak = math.max(peak, math.abs(s(i)))
+                i += 1
+              }
+              AudioWindowRow(a.asset_id, w.toLong, (until - from).toLong,
+                energy, zc, peak)
+            }
+          }
+        }
+      }(Encoders.product[AudioWindowRow])
+      .toDF()
+      .orderBy(col("asset_id"), col("win_idx"))
+  }
+
+  /** One frame-transition row of the shot detector (q119). */
+  final case class ShotRow(
+      asset_id: Long, frame_idx: Long, n_pixels: Long,
+      diff_b: Long, diff_g: Long, diff_r: Long, is_shot: Int)
+
+  /** q119: SHOT-BOUNDARY DETECTION — the standard first pass of any video
+    * curation pipeline (sample one keyframe per shot, drop static
+    * segments): per adjacent frame pair of each decoded AVI, the exact
+    * integer per-channel absolute difference of frame SUMS, flagged a cut
+    * when the combined per-pixel change reaches the threshold
+    * (`diff_b + diff_g + diff_r ≥ 90 · n_pixels` — an average shift of
+    * 30/channel). On the constant-fill corpus the frame sums are pure
+    * (doc_id, f) arithmetic, so the oracle replays every diff and
+    * verdict; content-dependent correctness (sums, not means — stays
+    * integer) is what the q48 decode gate already pins.
+    */
+  def q119ShotDetect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    decodableVideos(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          decodeAvi(a.payload).toSeq.flatMap { v =>
+            val np = v.width.toLong * v.height
+            val sums = v.frames.map { f =>
+              var b = 0L; var g = 0L; var r = 0L
+              var i = 0
+              while (i < f.length) {
+                b += f(i) & 0xFF; g += f(i + 1) & 0xFF; r += f(i + 2) & 0xFF
+                i += 3
+              }
+              (b, g, r)
+            }
+            (1 until sums.length).map { fi =>
+              val db = math.abs(sums(fi)._1 - sums(fi - 1)._1)
+              val dg = math.abs(sums(fi)._2 - sums(fi - 1)._2)
+              val dr = math.abs(sums(fi)._3 - sums(fi - 1)._3)
+              ShotRow(a.asset_id, fi.toLong, np, db, dg, dr,
+                if (db + dg + dr >= 90L * np) 1 else 0)
+            }
+          }
+        }
+      }(Encoders.product[ShotRow])
+      .toDF()
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
   /** Gradient BMP: pixel (x, y) channel values are affine in the
     * coordinates — `b = (seed + 5x + 11y) % 256`, `g = (seed*7 + …)`,
     * `r = (seed*13 + …)` — the image-side analog of the audio tones:

@@ -219,6 +219,100 @@ object SearchOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q116: DECONTAMINATION BY RETRIEVAL — the way large-scale pipelines
+    * actually audit benchmark leakage when shingle overlap is too blunt
+    * (a paraphrased eval item shares few exact 5-grams but its rare
+    * terms still retrieve it): each eval document's RAREST terms (top
+    * `maxQueryTerms` by corpus df ascending, term ascending — the
+    * deterministic rare-terms query) form a BM25 query against the
+    * training corpus, and the top-k hits with their exact integer scores
+    * are the audit trail; `flagged` applies the score threshold. The
+    * q40/q57/q63 shingle family answers "is this exact text present";
+    * this answers "which training documents LOOK like this eval item" —
+    * complementary verdicts, same error-as-audit discipline.
+    *
+    * Scale shape: the eval set is a benchmark — thousands of documents,
+    * the q40 broadcast assumption — so its vocabulary is driver-bounded:
+    * one collect of the SELECTED query vocab (≤ |eval|·maxQueryTerms
+    * terms) feeds the q113 literal-IN token filter, keeping the postings
+    * shuffle O(matching occurrences) with per-doc length riding along.
+    * Term selection runs as a window over the eval-vocab-sized df frame
+    * (bounded by eval vocabulary, never the corpus). Scoring and
+    * ranking are exactly q113's integer BM25 + BoundedTopK.
+    */
+  def q116DecontaminateRetrieval(spark: SparkSession, dir: String): DataFrame =
+    decontaminateByRetrieval(spark, Tables.documents(spark, dir),
+      Tables.documents(spark, dir).where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), col("text")))
+
+  /** Core of q116. `minScoreFp` is the flagging threshold at Scale. */
+  private[graft] def decontaminateByRetrieval(
+      spark: SparkSession, docs: DataFrame, evalSet: DataFrame,
+      k: Int = 3, maxQueryTerms: Int = 8,
+      minScoreFp: Long = 8000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val stats = docs
+      .select(size(words(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    // distinct (eval_id, term) — the candidate query vocabulary
+    val evalTerms = evalSet
+      .select(col("eval_id"), explode(words(col("text"))).as("term"))
+      .distinct()
+    // corpus df for candidate terms: one token scan joined against the
+    // BROADCAST candidate vocab (dl not needed here)
+    val dfAll = docs
+      .select(explode(words(col("text"))).as("term"), col("doc_id"))
+      .distinct()
+      .join(broadcast(evalTerms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // rare-terms query: per eval doc, top maxQueryTerms by (df asc, term)
+    val wSel = Window.partitionBy(col("eval_id")).orderBy(col("df"), col("term"))
+    val queryTerms = evalTerms.join(broadcast(dfAll), Seq("term"))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= maxQueryTerms)
+      .select(col("eval_id"), col("term"), col("df"))
+    // postings with dl, over the SELECTED vocab only (driver-bounded)
+    val vocab = queryTerms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(vocab.nonEmpty, "eval set selected no query terms")
+    val inList = vocab.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+    val matches = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(expr(s"filter(w, t -> t IN ($inList))")).as("term"))
+    val postings = matches
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val scored = queryTerms
+      .join(postings, Seq("term"))
+      .join(broadcast(stats))
+      // a corpus-resident eval doc trivially retrieves itself — exclude
+      .filter(col("doc_id") =!= col("eval_id"))
+      .withColumn("idf_fp",
+        expr(s"(${Scale}L * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
+      .withColumn("r_fp", expr(s"(${Scale}L * dl * n_docs) div total_tokens"))
+      .withColumn("den_fp",
+        expr(s"tf * ${Scale}L + (3L * ${Scale}L + 9L * r_fp) div 10"))
+      .withColumn("tfs_fp",
+        expr(s"((22L * tf * ${Scale}L div 10) * ${Scale}L) div den_fp"))
+      .withColumn("contrib", expr(s"(idf_fp * tfs_fp) div ${Scale}L"))
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_fp"))
+    val key = struct(col("score_fp").as("score_fp"), (-col("doc_id")).as("neg_id"))
+    scored
+      .groupBy(col("eval_id"))
+      .agg(graft.functions.BoundedTopK(key, k).as("top"))
+      .select(col("eval_id"), posexplode(col("top")))
+      .select(
+        col("eval_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.neg_id")).as("doc_id"),
+        col("col.score_fp").as("score_fp"),
+        (col("col.score_fp") >= minScoreFp).cast("int").as("flagged"))
+      .orderBy(col("eval_id"), col("rank"))
+  }
+
   /** q113: BM25 retrieval (Robertson–Spärck-Jones) — the standard
     * production ranking function a decontamination-by-retrieval pipeline
     * actually runs, beside q93's reciprocal-df scorer: term-frequency

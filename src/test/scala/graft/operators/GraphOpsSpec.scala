@@ -82,6 +82,47 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("A", "B", 3L, 3L, 3L)), got.toSeq.toString)
   }
 
+  test("q117 triangles: exact counts on hand graphs (K4, path, star)") {
+    import spark.implicits._
+    // K4 on 1-4: 4 triangles, each node in C(3,2)=3, cc = 1.0;
+    // a pendant path node 5-6 and a star center 7 with leaves 8,9:
+    // no triangles, cc 0
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (7L, 8L), (7L, 9L)).toDF("s_a", "s_b")
+    val byId = GraphOps.triangleStats(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(1L) == ((3L, 3L, 1000000L)))
+    assert(byId(2L) == ((3L, 3L, 1000000L)))
+    assert(byId(3L) == ((3L, 3L, 1000000L)))
+    // node 4 also touches the pendant edge: deg 4, 3 triangles of C(4,2)=6
+    assert(byId(4L) == ((4L, 3L, 500000L)))
+    assert(byId(5L) == ((2L, 0L, 0L)) && byId(6L) == ((1L, 0L, 0L)))
+    assert(byId(7L) == ((2L, 0L, 0L)) && byId(8L) == ((1L, 0L, 0L)))
+  }
+
+  test("q117 orientation counts each triangle exactly once vs brute force") {
+    import spark.implicits._
+    // deterministic random graph; reference = direct triple enumeration
+    val rnd = new scala.util.Random(117)
+    val pairs = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val edges = pairs.toDF("s_a", "s_b")
+    val eset = pairs.toSet
+    def adj(a: Long, b: Long) = eset.contains((math.min(a, b), math.max(a, b)))
+    val ref = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (a <- 1L to 20L; b <- (a + 1) to 20L; c <- (b + 1) to 20L
+         if adj(a, b) && adj(b, c) && adj(a, c)) {
+      ref(a) += 1; ref(b) += 1; ref(c) += 1
+    }
+    val got = GraphOps.triangleStats(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((s, n) <- got) assert(n == ref(s), s"node $s: engine $n vs brute ${ref(s)}")
+    assert(ref.values.sum / 3 > 0, "fixture has no triangles")
+  }
+
   test("q105 on sf0.001: percentile brackets hold per signup day") {
     val out = TimeSeriesOps.q105ConversionProfile(spark, "/root/testdata/sf0.001")
       .collect()

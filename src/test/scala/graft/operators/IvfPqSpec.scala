@@ -84,6 +84,39 @@ class IvfPqSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF-PQ recall@10 = $recall")
   }
 
+  test("q120: standing-index probe == in-query probe bit-for-bit; legs pin to 10") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqidx_").toString
+    val c = corpus
+    SimilarityOps.buildIvfPqIndex(c, s"$base/idx")
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val fromIndex = SimilarityOps
+      .annTopKIvfPqIndexed(spark, s"$base/idx", q, 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // in-query twin under the identical deterministic training
+    val cents = SimilarityOps.trainIvfCentroids(c, 16, trainSampleMod = 4)
+    val qc = SimilarityOps.quantizeInt8(c, "v")
+    val cb = SimilarityOps.trainPqCodebooks(
+      qc.select(col("vec_id"), col("qv")), m = 8, ksub = 16)
+    val postings = SimilarityOps.pqEncode(
+      qc.select(col("vec_id"), col("qv"))
+        .join(SimilarityOps.q115Assignments(c, cents), Seq("vec_id")), cb)
+      .select(col("vec_id"), col("cid"), col("codes"), col("rs2"))
+    val qq = qc.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv_raw"),
+        col("qv").as("qqv"), col("qs2").as("qs2q"))
+    val live = SimilarityOps.pqProbeLeg(postings, cents, cb, qq, 10, 16, adcLeg = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex.nonEmpty && fromIndex == live,
+      s"storage diverged: idx-only=${(fromIndex -- live).take(3)} " +
+        s"live-only=${(live -- fromIndex).take(3)}")
+    // the registered q120 legs all pin
+    val rows = SimilarityOps.q120IvfPqIndexed(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; i <- 1 to 3)
+      assert(r.getLong(i) == 10, s"q120 divergence at ${r.getLong(0)}: $r")
+  }
+
   test("ADC leg == reconstruction leg bit-for-bit including integer scores") {
     // beyond q115's count pins: the two legs' full (query, rank, vec_id,
     // qdot) row sets must be IDENTICAL — the same exact-int64 sum through

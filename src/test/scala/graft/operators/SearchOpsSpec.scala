@@ -174,6 +174,54 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(topk.nonEmpty, s"no BoundedTopK aggregate in q113 plan:\n$plan")
   }
 
+  test("q116 retrieval decontamination: a paraphrase retrieves, unrelated text doesn't") {
+    import spark.implicits._
+    // doc 100 is the eval item; doc 1 paraphrases it (shares its rare
+    // terms "zyx"/"wvu" but NO 5-gram run — shingle decontamination would
+    // miss it); docs 2-4 are unrelated filler sharing only common terms
+    val docs = Seq(
+      (100L, "the zyx protocol wvu handshake explained simply"),
+      (1L, "explained differently a handshake of wvu under zyx rules"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "common words only here nothing rare at all"),
+      (4L, "more common filler text with plain words")).toDF("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") === 100L)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val out = SearchOps.decontaminateByRetrieval(spark, docs, evalSet,
+      k = 3, maxQueryTerms = 4, minScoreFp = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the paraphrase ranks FIRST; the eval doc itself is excluded
+    assert(out.nonEmpty && out.head == (100L, 1L, 1L),
+      s"paraphrase not retrieved first: ${out.mkString("; ")}")
+    assert(!out.exists(_._3 == 100L), "eval doc retrieved itself")
+    // shingle decontamination (q40, 5-grams) indeed misses the paraphrase
+    val shingleKeep = graft.operators.DedupOps
+      .decontaminate(docs.filter(col("doc_id") === 1L),
+        evalSet.select(col("eval_id").as("doc_id"), col("text")))
+      .collect().head.getBoolean(2)
+    assert(shingleKeep, "fixture broken: shingles should miss the paraphrase")
+  }
+
+  test("q116 term selection is df-asc/term-asc deterministic and capped") {
+    import spark.implicits._
+    // eval doc has 3 rare terms (df=1) and common ones; with
+    // maxQueryTerms=2 only the two alphabetically-first rare terms drive
+    // retrieval: doc 1 shares them, doc 2 shares only the THIRD rare term
+    // and must not be retrievable
+    val docs = Seq(
+      (100L, "aaa bbb ccc common words here"),
+      (1L, "aaa bbb unrelated tail one two"),
+      (2L, "ccc other unrelated tail three"),
+      (3L, "common words here again and again")).toDF("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") === 100L)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val out = SearchOps.decontaminateByRetrieval(spark, docs, evalSet,
+      k = 5, maxQueryTerms = 2, minScoreFp = 0L)
+      .collect().map(_.getLong(2)).toSet
+    assert(out.contains(1L), s"rare-term match missing: $out")
+    assert(!out.contains(2L), s"capped-out term still retrieved: $out")
+  }
+
   test("q94 pivot equals conditional aggregation on sf0.001") {
     val types = Seq("click", "view", "purchase", "signup", "error")
     val ev = graft.Tables.events(spark, sf)
