@@ -1514,7 +1514,8 @@ object SparkEntry {
         |      >= 90 * c.np THEN 1 ELSE 0 END)::INT AS is_shot
         |FROM f c JOIN f p ON c.asset_id = p.asset_id AND c.fi = p.fi + 1
         |ORDER BY c.asset_id, frame_idx""".stripMargin,
-    // triangle counting (q117): q104's capped co-occurrence edges, the
+    // triangle counting (q117): the strong-tie slice (co-count within 80%
+    // of the corpus max) of q104's capped co-occurrence edges, the
     // forward-orientation wedge join replayed exactly — each triangle
     // materializes once under the (degree, id) order
     "q117_triangles" ->
@@ -1522,9 +1523,11 @@ object SparkEntry {
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |keep AS (SELECT c FROM cs0 GROUP BY c HAVING count(*) <= 1024),
         |cs AS (SELECT cs0.c, cs0.s FROM cs0 JOIN keep USING (c)),
-        |ed AS (SELECT a.s AS s_a, b.s AS s_b
+        |co AS (SELECT a.s AS s_a, b.s AS s_b, count(*)::BIGINT AS n
         |  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |mxt AS (SELECT max(n) AS mx FROM co),
+        |ed AS (SELECT s_a, s_b FROM co, mxt WHERE n * 5 >= mx * 4),
         |deg AS (SELECT s, count(*)::BIGINT AS deg FROM
         |  (SELECT s_a AS s FROM ed UNION ALL SELECT s_b FROM ed) GROUP BY 1),
         |ori AS (SELECT
