@@ -139,6 +139,7 @@ object SparkEntry {
     "q118_audio_windows" -> (MultimodalOps.q118AudioWindows(_, _)),
     "q119_shot_detect" -> (MultimodalOps.q119ShotDetect(_, _)),
     "q120_ivf_pq_indexed" -> (SimilarityOps.q120IvfPqIndexed(_, _)),
+    "q121_segment_dedup" -> (DedupOps.q121SegmentDedup(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1470,6 +1471,24 @@ object SparkEntry {
         |     list_transform(range(wb),
         |       bx -> (asset_id * 7 + 13 * bx + 31 * by) % 256)))))::BIGINT AS sum_gray
         |FROM d ORDER BY asset_id""".stripMargin,
+    // segment-level dedup with reassembly (q121): first-occurrence rule
+    // replayed via the packed (doc_id, seg_idx) key (seg_idx < 1e6, so
+    // packed order == the engine's struct order), kept text sha-matched
+    "q121_segment_dedup" ->
+      """WITH wt AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |segs AS (SELECT doc_id, i::BIGINT AS seg_idx,
+        |    array_to_string(w[(i - 1) * 10 + 1 : i * 10], ' ') AS seg
+        |  FROM wt, unnest(range(1, (len(w) + 9) // 10 + 1)) AS t(i)),
+        |own AS (SELECT seg, min(doc_id * 1000000 + seg_idx) AS k
+        |  FROM segs GROUP BY 1),
+        |kept AS (SELECT s.doc_id, s.seg_idx, s.seg,
+        |    CASE WHEN s.doc_id * 1000000 + s.seg_idx = o.k THEN 1 ELSE 0 END AS keep
+        |  FROM segs s JOIN own o USING (seg))
+        |SELECT doc_id, count(*)::BIGINT AS n_segs, sum(keep)::BIGINT AS n_kept,
+        |  sha256(coalesce(array_to_string(
+        |    list(seg ORDER BY seg_idx) FILTER (keep = 1), ' '), '')) AS kept_sha
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // persisted IVF-PQ index (q120): q38's storage-parity treatment for
     // the compressed tier — every count training-deterministic and pinned
     "q120_ivf_pq_indexed" ->

@@ -21,6 +21,57 @@ object DedupOps {
     * canonical (min) id and the copy count. Grouping on the 256-bit hash
     * instead of the text keeps shuffle rows narrow at scale.
     */
+  /** q121: SEGMENT-LEVEL exact dedup with reassembly — document-grain
+    * dedup (q18) misses the dominant real-world duplication mode, a
+    * repeated PASSAGE inside otherwise-distinct documents (Lee et al.'s
+    * core observation); span extraction (q79) FINDS such passages, this
+    * operator REMOVES them: each document splits into consecutive
+    * `segWords`-word segments (trailing partial included), every segment
+    * keeps only its FIRST corpus-wide occurrence (ordered by
+    * (doc_id, seg_idx) — later copies drop, including repeats within one
+    * document), and each document reassembles from its kept segments in
+    * order. Emits per document the segment counts and the sha256 of the
+    * reassembled text, all oracle-replayable.
+    *
+    * Scale shape: one explode to (doc_id, seg_idx, seg), one
+    * group-by-segment `min(struct(doc_id, seg_idx))` (map-side partial —
+    * the q18 exact-dedup shuffle at segment grain), one equi-join back,
+    * one per-document ordered reassembly (sort_array over that
+    * document's own kept segments — bounded by document length). No
+    * window over the corpus, no cartesian.
+    */
+  def q121SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables.documents(spark, dir))
+
+  /** Core of q121 over any (doc_id, text) frame. */
+  private[graft] def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, (size(w) + $segWords - 1) div $segWords), " +
+            s"i -> concat_ws(' ', slice(w, (i - 1) * $segWords + 1, $segWords)))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("seg_idx"),
+        col("col").as("seg"))
+    val owner = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+      .select(col("seg"), col("first.doc_id").as("o_doc"),
+        col("first.seg_idx").as("o_idx"))
+    val kept = segs.join(owner, Seq("seg"))
+      .withColumn("keep",
+        (col("doc_id") === col("o_doc") && col("seg_idx") === col("o_idx"))
+          .cast("int"))
+    kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("keep")).as("n_kept"),
+        sha2(concat_ws(" ",
+          expr("transform(array_sort(collect_list(CASE WHEN keep = 1 " +
+            "THEN struct(seg_idx, seg) END)), s -> s.seg)")), 256)
+          .as("kept_sha"))
+      .orderBy(col("doc_id"))
+  }
+
   def q18ExactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))

@@ -175,10 +175,17 @@ object SessionOps {
     * structurally tiny degree; everything else is partial-agg counts and
     * one broadcast of the 1-row basket total.
     */
-  def q111AssociationRules(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = sessionized(Tables.events(spark, dir))
-      .select(col("user_id"), col("session_no"), col("event_type").as("t"))
-      .distinct()
+  def q111AssociationRules(spark: SparkSession, dir: String): DataFrame =
+    associationRulesFrom(
+      sessionized(Tables.events(spark, dir))
+        .select(col("user_id"), col("session_no"), col("event_type").as("t"))
+        .distinct())
+
+  /** q111's rule derivation over any DISTINCT (user_id, session_no, t)
+    * basket frame — shared with the streaming sessionization lane, whose
+    * finalized sessions carry the same baskets.
+    */
+  private[graft] def associationRulesFrom(baskets: DataFrame): DataFrame = {
     val n = baskets.select(col("user_id"), col("session_no")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val items = baskets.groupBy(col("t")).agg(count(lit(1)).as("n_item"))

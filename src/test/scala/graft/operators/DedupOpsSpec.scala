@@ -158,4 +158,45 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     df.collect() // executes without error; may legitimately be empty
   }
+
+  test("q121 segment dedup: first occurrence wins, reassembly ordered, within-doc repeats drop") {
+    import spark.implicits._
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val block = words("dup", 4) // a 4-word segment at segWords = 4
+    // doc 1 owns `block` at segment 2 and REPEATS it at segment 4;
+    // doc 2 copies it mid-document; doc 3 is untouched organic text
+    val docs = Seq(
+      (1L, s"${words("a", 4)} $block ${words("b", 4)} $block"),
+      (2L, s"${words("c", 4)} $block ${words("d", 3)}"),
+      (3L, words("e", 7))).toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(docs, segWords = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1: 4 segments, the repeated block's SECOND copy drops
+    assert(out(1L)._1 == 4 && out(1L)._2 == 3)
+    assert(out(1L)._3 == sha(s"${words("a", 4)} $block ${words("b", 4)}"))
+    // doc 2: 3 segments, the copied block drops, surrounding text remains
+    // IN ORDER
+    assert(out(2L)._1 == 3 && out(2L)._2 == 2)
+    assert(out(2L)._3 == sha(s"${words("c", 4)} ${words("d", 3)}"))
+    // doc 3: untouched (incl. the trailing partial segment)
+    assert(out(3L)._1 == 2 && out(3L)._2 == 2)
+    assert(out(3L)._3 == sha(words("e", 7)))
+  }
+
+  test("q121: a fully-duplicate document reassembles to the empty text") {
+    import spark.implicits._
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(docs, segWords = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 2)
+    assert(out(2L)._1 == 0 && out(2L)._2 == sha(""), out(2L).toString)
+  }
 }

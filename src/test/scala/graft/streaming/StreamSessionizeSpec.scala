@@ -74,6 +74,22 @@ class StreamSessionizeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(wantPaths.nonEmpty && gotPaths == wantPaths,
       s"paths diverged:\nstream=$gotPaths\nbatch=$wantPaths")
+
+    // association rules over the drained sessions equal batch q111 EXCEPT
+    // for the sentinel's 1-type basket, which shifts n_baskets by one —
+    // exclude it the way the session comparison does, by deriving rules
+    // from the filtered sink
+    val gotRules = graft.operators.SessionOps.associationRulesFrom(
+      StreamSessionize.readSessions(spark, s"$base/sessions")
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start_us").as("session_no"),
+          explode(array_distinct(col("types"))).as("t"))
+        .distinct())
+      .collect().map(_.toString).sorted.toSeq
+    val wantRules = SessionOps.q111AssociationRules(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(wantRules.nonEmpty && gotRules == wantRules,
+      s"rules diverged:\nstream=${gotRules.take(3)}\nbatch=${wantRules.take(3)}")
   }
 
   test("out-of-order delivery within the watermark is order-free; types stay sorted") {
