@@ -1633,6 +1633,15 @@ object SimilarityOps {
     val fin = new org.apache.hadoop.fs.Path(indexDir)
     val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (ifAbsentOnly && fs.exists(fin)) return
+    // sweep COLD tmp dirs from crashed builds (buildIvfIndex's rule: a
+    // young tmp may be a concurrent builder's in-flight write)
+    val sweepBefore = System.currentTimeMillis() - TmpSweepAgeMs
+    val parent = fin.getParent
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).map(s => (s.getPath, s.getModificationTime))
+        .filter { case (p, mt) =>
+          p.getName.startsWith(fin.getName + ".tmp-") && mt < sweepBefore }
+        .foreach { case (p, _) => fs.delete(p, true) }
     val cents = trainIvfCentroids(c, nClusters, trainSampleMod = trainSampleMod)
     val qc = quantizeInt8(c, "v")
     val cb = trainPqCodebooks(qc.select(col("vec_id"), col("qv")), m, ksub)
@@ -1719,15 +1728,17 @@ object SimilarityOps {
     val idxFs = rootPath.getFileSystem(hconf)
     val fp = corpusFingerprint(corpusFs, corpusPath)
     val indexDir = s"$root/ivfpq-$fp"
-    if (!idxFs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+    if (!idxFs.exists(new org.apache.hadoop.fs.Path(indexDir))) {
       graft.BenchPhases.timed("index_build") {
         buildIvfPqIndex(c, indexDir, ifAbsentOnly = true)
       }
+      // recorded with the build (once per index state, not per probe rep)
+      graft.BenchPhases.add("pq_bytes_per_vec", 8.0)
+    }
     if (idxFs.exists(rootPath))
       idxFs.listStatus(rootPath).map(_.getPath)
         .filter(p => p.getName.matches("ivfpq-[0-9a-f]{16}") && p.getName != s"ivfpq-$fp")
         .foreach(p => idxFs.delete(p, true))
-    graft.BenchPhases.add("pq_bytes_per_vec", 8.0)
     val q = queriesOf(c)
     val pruned = annTopKIvfPqIndexed(spark, indexDir, q, 10, nprobe = 12)
     val exhIdx = annTopKIvfPqIndexed(spark, indexDir, q, 10, nprobe = 16)
@@ -1773,7 +1784,6 @@ object SimilarityOps {
     val qc = quantizeInt8(c, "v")
     val m = 8
     val cb = trainPqCodebooks(qc.select(col("vec_id"), col("qv")), m, 16)
-    graft.BenchPhases.add("pq_bytes_per_vec", m.toDouble)
     // PERSIST the encoded postings: all three probe legs read one
     // materialization instead of re-running the encode projection (the
     // expensive half — 128 argmin subexpressions/row); the frame is the
