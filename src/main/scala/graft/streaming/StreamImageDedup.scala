@@ -77,7 +77,11 @@ object StreamImageDedup {
       .persist()
     try {
       val ok = sigs.where(col("decodable"))
-      val standing = readIndex(spark, indexDir)
+      // STRICTLY-EARLIER generations only: a crash between this batch's
+      // index write and the checkpoint commit leaves its own generation
+      // on disk, and a replay reading it would flag every asset as its
+      // own duplicate (self-match) and overwrite the correct flags
+      val standing = readIndexBefore(spark, indexDir, batchId)
       // earlier twins: every standing row, or a lower-id row of this batch
       def earlier(on: String): DataFrame = {
         val fromIndex = ok.as("a")
@@ -115,13 +119,23 @@ object StreamImageDedup {
   }
 
   /** The standing signature index (empty frame before the first commit). */
-  private[streaming] def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+  private[streaming] def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    readIndexBefore(spark, indexDir, Long.MaxValue)
+
+  /** The index restricted to generations strictly before `batchId` — the
+    * replay-safe probe view (a replayed batch must not see its own
+    * crashed write).
+    */
+  private[streaming] def readIndexBefore(
+      spark: SparkSession, indexDir: String, batchId: Long): DataFrame = {
     val p = new Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
     if (hasData)
-      spark.read.parquet(indexDir).select(col("asset_id"), col("dhash"), col("digest"))
+      spark.read.parquet(indexDir)
+        .filter(col("batch_id") < batchId)
+        .select(col("asset_id"), col("dhash"), col("digest"))
     else {
       import spark.implicits._
       Seq.empty[(Long, Long, String)].toDF("asset_id", "dhash", "digest")
