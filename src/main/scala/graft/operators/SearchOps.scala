@@ -276,7 +276,11 @@ object SearchOps {
     val vocab = queryTerms.select(col("term")).distinct()
       .collect().map(_.getString(0)).sorted
     require(vocab.nonEmpty, "eval set selected no query terms")
-    val inList = vocab.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+    // Spark's default parser escapes with backslash (doubled quotes are
+    // the ANSI/DuckDB form — wrong here); corpus terms are plain words,
+    // but a quoting term must break the filter loudly, never silently
+    val inList = vocab.map(t =>
+      "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'").mkString(", ")
     val matches = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
