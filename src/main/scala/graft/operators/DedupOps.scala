@@ -33,41 +33,55 @@ object DedupOps {
     * order. Emits per document the segment counts and the sha256 of the
     * reassembled text, all oracle-replayable.
     *
-    * Scale shape: one explode to (doc_id, seg_idx, seg), one
-    * group-by-segment `min(struct(doc_id, seg_idx))` (map-side partial —
-    * the q18 exact-dedup shuffle at segment grain), one equi-join back,
-    * one per-document ordered reassembly (sort_array over that
-    * document's own kept segments — bounded by document length). No
-    * window over the corpus, no cartesian.
+    * Scale shape (round-14 digest-keying — raw segment text NEVER rides a
+    * shuffle): segments explode to a NARROW (doc_id, seg_idx, md5) frame
+    * — the streaming twin's 16-byte key (`StreamSegmentDedup`), not the
+    * ~60+ B raw 10-word text the round-13 form moved twice; ownership is
+    * one digest-grain `min(struct(doc_id, seg_idx))` group-by plus one
+    * digest equi-join, both 16 B/segment wide; reassembly re-derives the
+    * kept segments' TEXT from the document's own `text` column (a per-row
+    * codegen slice over the kept indexes — a document fits in memory by
+    * definition), so the only text movement is the docs⋈kept-index join
+    * at document grain, which any reassembly needs. No window over the
+    * corpus, no cartesian.
     */
   def q121SegmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedup(Tables.documents(spark, dir))
 
   /** Core of q121 over any (doc_id, text) frame. */
   private[graft] def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    // narrow per-segment digests: (doc_id, seg_idx, h) — text stays home
     val segs = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, (size(w) + $segWords - 1) div $segWords), " +
-            s"i -> concat_ws(' ', slice(w, (i - 1) * $segWords + 1, $segWords)))")))
+            s"i -> md5(cast(concat_ws(' ', slice(w, (i - 1) * $segWords + 1, " +
+            s"$segWords)) AS binary)))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("seg_idx"),
-        col("col").as("seg"))
-    val owner = segs.groupBy(col("seg"))
+        col("col").as("h"))
+    val owner = segs.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-      .select(col("seg"), col("first.doc_id").as("o_doc"),
+      .select(col("h"), col("first.doc_id").as("o_doc"),
         col("first.seg_idx").as("o_idx"))
-    val kept = segs.join(owner, Seq("seg"))
+    val kept = segs.join(owner, Seq("h"))
       .withColumn("keep",
         (col("doc_id") === col("o_doc") && col("seg_idx") === col("o_idx"))
           .cast("int"))
-    kept.groupBy(col("doc_id"))
+    val keptIdx = kept.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_segs"),
         sum(col("keep")).as("n_kept"),
-        sha2(concat_ws(" ",
-          expr("transform(array_sort(collect_list(CASE WHEN keep = 1 " +
-            "THEN struct(seg_idx, seg) END)), s -> s.seg)")), 256)
+        sort_array(collect_list(when(col("keep") === 1, col("seg_idx"))))
+          .as("kept_idx"))
+    // reassemble from the document's OWN text: one doc-grain join of the
+    // narrow kept-index rows, then a per-row slice+concat over kept_idx
+    docs.join(keptIdx, Seq("doc_id"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        sha2(concat_ws(" ", expr(
+          s"transform(kept_idx, i -> concat_ws(' ', " +
+            s"slice(split(lower(text), ' '), " +
+            s"cast((i - 1) * $segWords + 1 AS int), $segWords)))")), 256)
           .as("kept_sha"))
       .orderBy(col("doc_id"))
   }

@@ -19,6 +19,15 @@ object SearchOps {
   /** Fixed-point scale for probability/idf weights: 6 decimal digits. */
   private[graft] val Scale = 1000000L
 
+  /** Escape a string as a Spark SQL literal — Spark's default parser uses
+    * BACKSLASH escapes (doubled quotes are the ANSI/DuckDB form, wrong
+    * here). Shared by every IN-list builder so a term containing ' or \
+    * can never inject into a filter-lambda expression (round-13 ADVICE:
+    * bm25Search interpolated raw).
+    */
+  private[graft] def sqlStringLit(t: String): String =
+    "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   private def words(c: Column): Column = split(lower(c), " ")
 
   /** Consecutive-pair (bigram) structs of the token array column `w`;
@@ -276,11 +285,7 @@ object SearchOps {
     val vocab = queryTerms.select(col("term")).distinct()
       .collect().map(_.getString(0)).sorted
     require(vocab.nonEmpty, "eval set selected no query terms")
-    // Spark's default parser escapes with backslash (doubled quotes are
-    // the ANSI/DuckDB form — wrong here); corpus terms are plain words,
-    // but a quoting term must break the filter loudly, never silently
-    val inList = vocab.map(t =>
-      "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'").mkString(", ")
+    val inList = vocab.map(sqlStringLit).mkString(", ")
     val matches = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
@@ -354,7 +359,7 @@ object SearchOps {
       .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
       .toDF("query_id", "term")
     val vocab = queries.flatMap(_._2.split(" ")).distinct
-    val inList = vocab.map(t => s"'$t'").mkString(", ")
+    val inList = vocab.map(sqlStringLit).mkString(", ")
     // one corpus aggregate: document count and total token mass (avgdl's
     // exact numerator/denominator — never a rounded average)
     val stats = docs

@@ -1546,8 +1546,15 @@ object SimilarityOps {
       .withColumn("qdot", qdot)
       .select(col("query_id"),
         struct(
+          // radicand clamped to >= 1: an all-zero PQ reconstruction has
+          // rs2 = 0, and 0/0 = NaN sorts ABOVE every real score in a
+          // descending sort, pinning that candidate to rank 1 (round-13
+          // ADVICE). With the clamp its qdot is 0 too, so qcos = 0 and it
+          // ranks last; both parity legs share this key, so the
+          // agreement proof is unchanged.
           (col("qdot").cast("double") /
-            sqrt((col("rs2") * col("qs2q")).cast("double"))).as("qcos"),
+            sqrt(greatest(col("rs2") * col("qs2q"), lit(1L)).cast("double")))
+            .as("qcos"),
           (-col("vec_id")).as("nv"),
           col("vec_id"),
           col("qdot")).as("key"))

@@ -11,6 +11,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
   * (the round-12 StreamCurate lmCached finding). The listener matches on
   * the query id and self-removes after firing, so repeated `run()` calls
   * don't accumulate listeners.
+  *
+  * The registration RACES the query (round-13 ADVICE): an AvailableNow
+  * query over a tiny or empty feed can terminate BEFORE `addListener`
+  * runs, in which case QueryTerminatedEvent was dispatched to nobody and
+  * both the frames and the listener would leak for the application
+  * lifetime. After registering, we therefore check `query.isActive` and
+  * release through the same once-guard the listener uses — exactly one
+  * of the two paths fires, whichever observes termination first.
   */
 object QueryCaches {
 
@@ -18,19 +26,26 @@ object QueryCaches {
       spark: SparkSession,
       query: StreamingQuery,
       frames: Seq[DataFrame]): StreamingQuery = {
-    val listener = new StreamingQueryListener {
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val listener: StreamingQueryListener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          frames.foreach(_.unpersist())
-          spark.streams.removeListener(this)
-        }
+        if (e.id == query.id) releaseOnce()
     }
+    def releaseOnce(): Unit =
+      if (released.compareAndSet(false, true)) {
+        frames.foreach(_.unpersist())
+        spark.streams.removeListener(listener)
+      }
     spark.streams.addListener(listener)
+    // close the registration window: if the query already terminated, the
+    // event fired with no listener registered — release here instead (the
+    // CAS makes the two paths mutually exclusive if the event races in)
+    if (!query.isActive) releaseOnce()
     query
   }
 }
