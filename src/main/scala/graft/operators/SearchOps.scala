@@ -258,7 +258,8 @@ object SearchOps {
   private[graft] def decontaminateByRetrieval(
       spark: SparkSession, docs: DataFrame, evalSet: DataFrame,
       k: Int = 3, maxQueryTerms: Int = 8,
-      minScoreFp: Long = 8000000L): DataFrame = {
+      minScoreFp: Long = 8000000L,
+      vocabInlineMax: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val stats = docs
@@ -281,15 +282,34 @@ object SearchOps {
       .withColumn("rn", row_number().over(wSel))
       .filter(col("rn") <= maxQueryTerms)
       .select(col("eval_id"), col("term"), col("df"))
-    // postings with dl, over the SELECTED vocab only (driver-bounded)
-    val vocab = queryTerms.select(col("term")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(vocab.nonEmpty, "eval set selected no query terms")
-    val inList = vocab.map(sqlStringLit).mkString(", ")
-    val matches = docs
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        explode(expr(s"filter(w, t -> t IN ($inList))")).as("term"))
+    // postings with dl, over the SELECTED vocab only. Two regimes
+    // (round-13 ADVICE #5): a benchmark-sized vocab inlines as a literal
+    // IN-list — the token filter runs BEFORE explode, so only matching
+    // occurrences ever materialize — but a 100k-item eval suite ×
+    // maxQueryTerms would make a multi-MB plan string and analyzer pain
+    // long before the join is the problem, so past `vocabInlineMax` the
+    // vocab stays distributed and the token stream joins against the
+    // BROADCAST vocab instead (same occurrence semantics: the filter
+    // keeps exactly the vocab tokens the join keeps). The limit-probe
+    // collects at most vocabInlineMax+1 terms, so the driver never
+    // materializes an oversized vocabulary at all.
+    val vocabDf = queryTerms.select(col("term")).distinct()
+    val probeN = math.min(vocabInlineMax.toLong + 1L, Int.MaxValue.toLong).toInt
+    val probe = vocabDf.limit(probeN).collect().map(_.getString(0))
+    require(probe.nonEmpty, "eval set selected no query terms")
+    val matches =
+      if (probe.length <= vocabInlineMax) {
+        val inList = probe.sorted.map(sqlStringLit).mkString(", ")
+        docs
+          .select(col("doc_id"), words(col("text")).as("w"))
+          .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+            explode(expr(s"filter(w, t -> t IN ($inList))")).as("term"))
+      } else
+        docs
+          .select(col("doc_id"), words(col("text")).as("w"))
+          .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+            explode(col("w")).as("term"))
+          .join(broadcast(vocabDf), Seq("term"))
     val postings = matches
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))

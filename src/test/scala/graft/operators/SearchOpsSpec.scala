@@ -222,6 +222,26 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(!out.contains(2L), s"capped-out term still retrieved: $out")
   }
 
+  test("q116 large-eval broadcast path == inline IN-list path, and never inlines past the threshold") {
+    // a synthetic eval set large enough that vocabInlineMax = 8 forces the
+    // distributed broadcast-join regime; the two regimes must agree
+    // row-for-row, and the join plan must carry no literal IN over the vocab
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val inline = SearchOps.decontaminateByRetrieval(spark, docs, evalSet,
+      vocabInlineMax = Int.MaxValue)
+    val joined = SearchOps.decontaminateByRetrieval(spark, docs, evalSet,
+      vocabInlineMax = 8)
+    val a = inline.collect().map(_.toSeq).toSeq
+    val b = joined.collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b, s"regimes disagree: ${a.length} vs ${b.length} rows")
+    // the vocab stays OUT of the plan string in the join regime
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains(" IN ("), s"literal IN-list leaked into join-regime plan")
+  }
+
   test("q94 pivot equals conditional aggregation on sf0.001") {
     val types = Seq("click", "view", "purchase", "signup", "error")
     val ev = graft.Tables.events(spark, sf)
