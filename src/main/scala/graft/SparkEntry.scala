@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CurateOps, DedupOps, GraphOps, LayoutOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps}
+import graft.operators.{CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -140,6 +140,7 @@ object SparkEntry {
     "q119_shot_detect" -> (MultimodalOps.q119ShotDetect(_, _)),
     "q120_ivf_pq_indexed" -> (SimilarityOps.q120IvfPqIndexed(_, _)),
     "q121_segment_dedup" -> (DedupOps.q121SegmentDedup(_, _)),
+    "q122_html_extract" -> (HtmlOps.q122HtmlExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1489,6 +1490,50 @@ object SparkEntry {
         |  sha256(coalesce(array_to_string(
         |    list(seg ORDER BY seg_idx) FILTER (keep = 1), ' '), '')) AS kept_sha
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // HTML -> text extraction (q122): the oracle REBUILDS the identical
+    // synthetic markup from (doc_id, text) and replays the whole rule
+    // chain — comment/script/style elision (the script carries a decoy
+    // <p> that surfaces as an extra block if elision fails), block-tag
+    // newlines, tag stripping, entity decode (amp last), whitespace
+    // normalization, empty-block drop — in the Java/RE2 common regex
+    // dialect, so every pattern string is shared verbatim with Spark
+    "q122_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style type="text/css"> p { color: #fff; } </style>' ||
+        |    '<script> if (1 < 2 && x > 0) { y = "<p>nope</p>"; } </script>' ||
+        |    '</head><body><!-- comment ' || doc_id ||
+        |    ' --><h1 class="t">Heading ' || doc_id ||
+        |    '</h1><p>' || text ||
+        |    '</p><div id="tail">Tail&nbsp;&amp;&nbsp;&lt;b&gt; &quot;q&quot; ' ||
+        |    '&#39;v&#39; &apos;w&apos; of ' || doc_id ||
+        |    '</div></body></html>' AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(html,
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
+        |    '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|header|footer|pre|title)\b[^>]*>',
+        |    chr(10), 'g'),
+        |    '(?s)<[^>]*>', ' ', 'g') AS t1
+        |  FROM h),
+        |e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(
+        |    replace(replace(t1,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#34;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+        |    '&amp;', '&') AS t2
+        |  FROM s),
+        |b AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(t2, chr(10)),
+        |      x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
+        |      x -> x <> '') AS blocks
+        |  FROM e)
+        |SELECT doc_id, len(blocks)::BIGINT AS n_blocks,
+        |  length(array_to_string(blocks, chr(10)))::BIGINT AS n_chars,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha,
+        |  blocks[1] AS first_block
+        |FROM b ORDER BY doc_id""".stripMargin,
     // persisted IVF-PQ index (q120): q38's storage-parity treatment for
     // the compressed tier — every count training-deterministic and pinned
     "q120_ivf_pq_indexed" ->

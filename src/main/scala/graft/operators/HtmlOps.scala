@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction: the FRONT DOOR of a web-crawl training-data
+  * pipeline. Everything in `TextOps`/`CurateOps` (Gopher rules, LM
+  * gates, dedup) assumes a clean `text` column; a real crawl's first
+  * operator is markup removal — script/style/comment elision, tag
+  * stripping, entity decoding, block segmentation — and until it runs,
+  * none of the quality machinery applies.
+  *
+  * The rule set is DETERMINISTIC BY CONSTRUCTION so a SQL oracle replays
+  * it end-to-end (the q69 constructed-corpus discipline): a fixed chain
+  * of regex rewrites in the Java/RE2 COMMON DIALECT (inline `(?is)`
+  * flags, non-greedy spans, character classes — no lookbehind, no
+  * backrefs), literal entity replaces, and split/trim/filter block
+  * segmentation, all per-row codegen built-ins — no UDFs, no shuffle.
+  *
+  * Extraction semantics (each deliberate, each pinned by spec + oracle):
+  *   1. `<!-- … -->` comments, `<script…>…</script…>` and
+  *      `<style…>…</style…>` elements drop WITH their content (a raw
+  *      `<` inside script text cannot resurrect as markup because the
+  *      whole element is elided first). An UNCLOSED script/style keeps
+  *      its text — the content-preserving fallback for truncated crawls
+  *      (deterministic; the fuzz spec pins it).
+  *   2. Block-level tags (p, div, br, h1–h6, li, ul, ol, tr, td, th,
+  *      table, blockquote, section, article, header, footer, pre,
+  *      title) become newlines — the block boundaries; every remaining
+  *      tag strips to a space (inline tags never split a block).
+  *   3. Entities decode AFTER tag stripping, so `&lt;b&gt;` yields the
+  *      LITERAL text `<b>` and never becomes markup (the standard's
+  *      one-pass rule; also the injection-safety property). The decoded
+  *      set is the fixed common core — amp (last, so `&amp;lt;` is the
+  *      literal `&lt;`), lt, gt, quot, apos, #34, #39, nbsp — general
+  *      numeric decode is a mechanical extension of the same chain.
+  *   4. Blocks split on the inserted newlines; whitespace collapses
+  *      within a block; empty blocks drop; surviving blocks number in
+  *      document order.
+  *
+  * Scale shape (100 TB): one codegen projection per row — the entire
+  * chain is regexp_replace/replace/split/transform built-ins with zero
+  * exchange; block explosion is output-sized. The per-document work is
+  * linear in the HTML length.
+  */
+object HtmlOps {
+
+  /** The tag families that delimit BLOCKS (newline on open or close). */
+  private val BlockTags =
+    "p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|header|footer|pre|title"
+
+  /** Raw HTML → newline-delimited text: the regex-chain core (stages 1–3
+    * of the scaladoc contract). The output still carries raw whitespace;
+    * `htmlBlocks` finishes segmentation.
+    */
+  private def extractRaw(html: Column): Column = {
+    val c1 = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val c2 = regexp_replace(c1, "(?is)<script\\b[^>]*>.*?</script[^>]*>", " ")
+    val c3 = regexp_replace(c2, "(?is)<style\\b[^>]*>.*?</style[^>]*>", " ")
+    val c4 = regexp_replace(c3, s"(?i)</?(?:$BlockTags)\\b[^>]*>", "\n")
+    val c5 = regexp_replace(c4, "(?s)<[^>]*>", " ")
+    // entity decode — amp LAST so double-encoded entities stay literal
+    val e = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#34;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(c5) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
+    e
+  }
+
+  /** Extracted text as an ARRAY of non-empty, whitespace-normalized
+    * blocks in document order.
+    */
+  def htmlBlocks(html: Column): Column =
+    filter(
+      transform(split(extractRaw(html), "\n"),
+        b => trim(regexp_replace(b, "\\s+", " "))),
+      b => b =!= "")
+
+  /** Extracted text as ONE newline-joined string — the `documents.text`
+    * shape the rest of the pipeline consumes.
+    */
+  def htmlToText(html: Column): Column = array_join(htmlBlocks(html), "\n")
+
+  /** Exploded (doc_id, block_idx, block) rows — the documents-shape
+    * segmentation for per-block downstream processing.
+    */
+  def htmlBlockRows(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(htmlBlocks(col(htmlCol))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("block_idx"),
+        col("col").as("block"))
+
+  /** Deterministic synthetic HTML over the documents table — the q69
+    * constructed-corpus trick: the oracle rebuilds the identical markup
+    * from (doc_id, text), so extraction is checked end-to-end against
+    * planted script/style/comment content (which must vanish — the
+    * script carries a decoy `<p>` that would surface as an extra block
+    * if elision failed), literal entities (which must decode), and
+    * block structure (which must segment).
+    */
+  private[graft] def syntheticHtml(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style type=\"text/css\"> p { color: #fff; } </style>" +
+        "<script> if (1 < 2 && x > 0) { y = \"<p>nope</p>\"; } </script>" +
+        "</head><body><!-- comment "), id,
+      lit(" --><h1 class=\"t\">Heading "), id,
+      lit("</h1><p>"), col("text"),
+      lit("</p><div id=\"tail\">Tail&nbsp;&amp;&nbsp;&lt;b&gt; &quot;q&quot; " +
+        "&#39;v&#39; &apos;w&apos; of "), id,
+      lit("</div></body></html>")).as("html"))
+  }
+
+  /** q122: HTML → text extraction over the synthetic markup corpus —
+    * per document the block count, extracted length, extracted-text
+    * sha256, and the first block, every column oracle-replayed.
+    */
+  def q122HtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    // bind blocks/joined as named columns so the regex chain runs ONCE
+    // per row, not once per output column
+    syntheticHtml(Tables.documents(spark, dir))
+      .select(col("doc_id"), htmlBlocks(col("html")).as("blocks"))
+      .select(col("doc_id"), col("blocks"),
+        array_join(col("blocks"), "\n").as("joined"))
+      .select(col("doc_id"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        length(col("joined")).cast("long").as("n_chars"),
+        sha2(col("joined"), 256).as("text_sha"),
+        element_at(col("blocks"), 1).as("first_block"))
+      .orderBy(col("doc_id"))
+}

@@ -92,7 +92,8 @@ object StreamCurate {
       setsBuckets: Int = StreamNearDup.DefaultSetsBuckets,
       lmModel: Option[DataFrame] = None,
       minLmPerBigram: Long = 0L,
-      lmDir: String = ""): StreamingQuery = {
+      lmDir: String = "",
+      htmlCol: Option[String] = None): StreamingQuery = {
     StreamNearDup.prepareIndex(spark, indexDir, checkpointDir,
       minhashK, bands, rowsPerBand, bandBuckets, setsBuckets)
     require(lmModel.isEmpty || lmDir.nonEmpty,
@@ -110,6 +111,16 @@ object StreamCurate {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        // 0 (optional): HTML front stage — raw markup rows (`htmlCol`)
+        // extract to `text` via the q122 chain BEFORE any quality rule,
+        // so a crawl feed plugs straight into the curation pipeline. A
+        // document whose markup extracts to NOTHING is a tagged reject
+        // (the null_text no-silent-loss discipline), never a silent drop.
+        val input = htmlCol match {
+          case None => batch
+          case Some(c) => batch.withColumn("text",
+            graft.operators.HtmlOps.htmlToText(col(c)))
+        }
         val tokens = split(col("text"), " ")
         // 1. quality — identical expressions to CurateOps.curate; the
         // rule list tags rejects the way the feed dead-letters do. The
@@ -119,11 +130,14 @@ object StreamCurate {
         // rejects filter and vanish from every sink — exactly the
         // silent-row-loss class the feed dead-letters eliminate.
         val rules = Seq(
-          "null_text" -> col("text").isNull,
+          "null_text" -> col("text").isNull) ++
+          (if (htmlCol.isDefined)
+            Seq("empty_html_extract" -> (col("text") === ""))
+          else Seq.empty) ++ Seq(
           "too_few_tokens" -> (col("n_tokens") < minTokens),
           "low_distinct_ratio" ->
             (col("n_distinct") * 100 < col("n_tokens") * minDistinctPct))
-        val stats = batch
+        val stats = input
           .withColumn("n_tokens", size(tokens))
           .withColumn("n_distinct", size(array_distinct(tokens)))
           .persist()

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML → text extraction (round-14 brief item 2): hand-corpus
+  * exactness for every rule in the chain, the injection-safety ordering
+  * (decode AFTER strip), the declared unclosed-element fallback, and
+  * hostile-markup fuzz (extraction never throws, is deterministic, and
+  * never emits text that was inside an elided element).
+  */
+class HtmlOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def extract(html: String): Seq[String] = {
+    import spark.implicits._
+    Seq((1L, html)).toDF("doc_id", "html")
+      .select(HtmlOps.htmlBlocks(col("html")).as("b"))
+      .collect().head.getSeq[String](0).toSeq
+  }
+
+  test("block segmentation, tag stripping, and whitespace normalization") {
+    val html = "<html><body><h1>Title</h1><p>one <b>two</b>   three</p>" +
+      "<div><ul><li>a</li><li>b</li></ul></div>tail</body></html>"
+    // inline <b> never splits a block; block tags do; empties drop
+    assert(extract(html) == Seq("Title", "one two three", "a", "b", "tail"))
+  }
+
+  test("script/style/comments drop WITH content; raw < inside script cannot resurrect") {
+    val html = "<p>keep</p><script>if (1 < 2) { document.write(\"<p>evil</p>\"); }" +
+      "</script><style>p { color: red; } </style><!-- <p>ghost</p> --><p>also</p>"
+    assert(extract(html) == Seq("keep", "also"))
+  }
+
+  test("entities decode after stripping: encoded markup stays literal, amp decodes last") {
+    // &lt;script&gt; must NOT become an element; &amp;lt; is the literal &lt;
+    val html = "<p>&lt;script&gt;alert(1)&lt;/script&gt;</p><p>&amp;lt; &amp;amp;</p>" +
+      "<p>A&nbsp;B &quot;q&quot; &#39;v&#39; &apos;w&apos; &#34;x&#34; 1&lt;2&gt;0</p>"
+    assert(extract(html) == Seq(
+      "<script>alert(1)</script>", "&lt; &amp;",
+      "A B \"q\" 'v' 'w' \"x\" 1<2>0"))
+  }
+
+  test("unclosed script keeps its text (content-preserving fallback, deterministic)") {
+    val html = "<p>before</p><script>var x = 1;"
+    assert(extract(html) == Seq("before", "var x = 1;"))
+  }
+
+  test("case-insensitive tags and attribute soup") {
+    val html = "<P CLASS=\"a\" data-x='<'>one</P><DIV\nid=z>two</DIV>" +
+      "<SCRIPT type=\"text/javascript\">gone()</SCRIPT><BR/>three"
+    // note data-x='<' — a '<' inside an attribute value; the simple
+    // tag regex closes at the first '>', so the remainder "'>one" keeps
+    // "one" after the dangling quote strips as a tag-less fragment:
+    // declared determinism, pinned here
+    assert(extract(html).contains("two"))
+    assert(extract(html).last == "three")
+    assert(!extract(html).exists(_.contains("gone")))
+  }
+
+  test("htmlBlockRows numbers surviving blocks in document order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<p>a</p><p></p><p>b</p>"),
+      (2L, "<div>c</div>")).toDF("doc_id", "html")
+    val rows = HtmlOps.htmlBlockRows(docs).orderBy("doc_id", "block_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c")))
+  }
+
+  test("hostile-markup fuzz: never throws, deterministic, elided content never leaks") {
+    import spark.implicits._
+    val pieces = Array("<", ">", "<<p", "</", "<p", "<script>", "</script>",
+      "<!--", "-->", "<style>", "&", "&amp;", "&#", "&lt;", "x", " ", "\n",
+      "\"", "'", "=", "<div class=", "<br/>", "</p", "<h1>", "ELIDED")
+    def soup(seed: Long): String = {
+      var s = seed
+      val sb = new StringBuilder
+      for (_ <- 0 until 200) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        sb.append(pieces(((s >>> 33) % pieces.length).toInt))
+      }
+      sb.toString
+    }
+    // ELIDED appears only via the soup; wrap each soup in a closed script
+    // element — the whole thing must vanish, whatever garbage is inside…
+    val wrapped = (0 until 50).map(i =>
+      (i.toLong, s"<p>ok$i</p><script>${soup(i).replace("</script>", "")}ELIDED</script>"))
+    val out1 = wrapped.toDF("doc_id", "html")
+      .select(col("doc_id"), HtmlOps.htmlBlocks(col("html")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    out1.foreach { case (id, blocks) =>
+      assert(blocks.head == s"ok$id", s"doc $id lost its real text")
+      assert(!blocks.exists(_.contains("ELIDED")), s"doc $id leaked script content")
+    }
+    // …and raw soup (unclosable garbage) must not throw and must be
+    // deterministic run-to-run
+    val raw = (0 until 50).map(i => (i.toLong, soup(i * 31 + 7))).toDF("doc_id", "html")
+    val a = raw.select(col("doc_id"), HtmlOps.htmlBlocks(col("html")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val b = raw.select(col("doc_id"), HtmlOps.htmlBlocks(col("html")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(a == b)
+  }
+
+  test("q122 shape on sf0.001: 4 blocks per doc, first block is the title") {
+    val rows = HtmlOps.q122HtmlExtract(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 4L, s"doc ${r.getLong(0)}: ${r.getLong(1)} blocks")
+      assert(r.getString(4) == s"Doc ${r.getLong(0)}")
+    }
+  }
+}

@@ -187,4 +187,46 @@ class StreamCurateSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
     assert(audited == batchScores, "streamed LM scores diverged from batch scoring")
   }
+
+  test("HTML front stage: markup extracts to text before curation; empty extracts are tagged rejects") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scurate_html_").toString
+    // real docs wrapped in the q122 synthetic markup, plus one document
+    // whose markup extracts to NOTHING (script-only page) — it must land
+    // in the rejects sink with the empty_html_extract tag, never vanish
+    val real = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 0)
+      .limit(30).select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val maxId = real.agg(max(col("doc_id"))).as[Long].head()
+    val wrapped = graft.operators.HtmlOps.syntheticHtml(real)
+      .join(real.drop("text"), Seq("doc_id"))
+    val scriptOnly = Seq((maxId + 1L, "<script>only(code)</script>", "en", "synthetic"))
+      .toDF("doc_id", "html", "lang", "source")
+    wrapped.unionByName(scriptOnly).coalesce(1).write.parquet(s"$base/feed/chunk=0")
+    val eval = Seq((maxId + 100L, "never shared anywhere at all ok")).toDF("doc_id", "text")
+
+    val q = StreamCurate.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/curated", s"$base/flags", s"$base/decontam", s"$base/rejects",
+      s"$base/index", eval, htmlCol = Some("html"))
+    q.awaitTermination(180000L)
+    assert(!q.isActive)
+
+    // the curated text is the EXTRACTION (blocks joined by newline),
+    // byte-equal to the batch q122 chain over the same markup
+    val curated = spark.read.parquet(s"$base/curated")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(curated.nonEmpty, "nothing curated — fixture broken")
+    val expect = wrapped
+      .select(col("doc_id"), graft.operators.HtmlOps.htmlToText(col("html")).as("t"))
+      .as[(Long, String)].collect().toMap
+    curated.foreach { case (id, text) =>
+      assert(text == expect(id), s"doc $id curated text != extraction")
+      assert(text.contains("\n"), s"doc $id lost block structure")
+    }
+    val rejects = spark.read.parquet(s"$base/rejects")
+    val emptyTagged = rejects
+      .filter(col("reason").contains("empty_html_extract"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(emptyTagged == Set(maxId + 1L),
+      s"script-only page not tagged as empty extract: $emptyTagged")
+  }
 }
