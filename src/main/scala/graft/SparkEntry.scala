@@ -141,6 +141,7 @@ object SparkEntry {
     "q120_ivf_pq_indexed" -> (SimilarityOps.q120IvfPqIndexed(_, _)),
     "q121_segment_dedup" -> (DedupOps.q121SegmentDedup(_, _)),
     "q122_html_extract" -> (HtmlOps.q122HtmlExtract(_, _)),
+    "q123_webp_decode" -> (MultimodalOps.q123WebpDecode(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1166,6 +1167,22 @@ object SparkEntry {
         |       FROM p)
         |SELECT query_id, rank::BIGINT AS rank, vec_id, qdot FROM rk WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // real WebP VP8L decode (prefix codes + subtract-green + LZ77 row
+    // copies): dims and exact per-channel sums of the column gradient —
+    // q69's discipline for the lossless-WebP container
+    "q123_webp_decode" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |    (8 + doc_id % 16)::BIGINT AS width,
+        |    (8 + (doc_id * 3) % 16)::BIGINT AS height
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT asset_id, width, height,
+        |  (height * list_sum(list_transform(range(width),
+        |     x -> (asset_id * 3 + 4 * x) % 256)))::BIGINT AS sum_b,
+        |  (height * list_sum(list_transform(range(width),
+        |     x -> (asset_id * 7 + x) % 256)))::BIGINT AS sum_g,
+        |  (height * list_sum(list_transform(range(width),
+        |     x -> (asset_id * 2 + 5 * x) % 256)))::BIGINT AS sum_r
+        |FROM d ORDER BY asset_id""".stripMargin,
     // real PNG decode (deflate + unfilter): dims and exact per-channel
     // pixel sums of the column-gradient fill, pure integer arithmetic
     "q69_png_decode" ->

@@ -990,6 +990,7 @@ object MultimodalOps {
       .orElse(decodePng(payload).map(imageFeatures))
       .orElse(Jpeg.decodeJpeg(payload).map(imageFeatures))
       .orElse(Gif.decodeGif(payload).map(imageFeatures))
+      .orElse(Webp.decodeWebp(payload).map(imageFeatures))
       .orElse(decodeWav(payload).map(audioFeatures))
       .orElse(decodeAvi(payload).map(videoFeatures))
       .getOrElse(byteHistogram(payload))
@@ -1563,6 +1564,64 @@ object MultimodalOps {
       .orderBy(col("asset_id"))
   }
 
+  /** The WebP slice of the decodable corpus: `doc_id % 3 == 1` rows as
+    * REAL VP8L-lossless WebPs whose pixels are a COLUMN gradient
+    * `(r,g,b)(x) = ((id·2 + 5x), (id·7 + x), (id·3 + 4x)) mod 256` — so
+    * row 0 codes as canonical-prefix literals under subtract-green and
+    * every later row (an exact copy of its predecessor) codes as an LZ77
+    * (length = w, distance = w) backward reference: the oracle corpus
+    * exercises the prefix machinery, the transform inverse, AND the copy
+    * loop, while channel sums stay pure `doc_id` arithmetic for the SQL
+    * side (`height ×` the row-0 sums).
+    */
+  def decodableWebpAssets(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 1)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              px(o) = ((id * 2 + 5L * x) % 256).toByte
+              px(o + 1) = ((id * 7 + x) % 256).toByte
+              px(o + 2) = ((id * 3 + 4L * x) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          DecodableAsset(id, "image", Webp.encodeWebpLossless(w, h, px))
+        }
+      }
+  }
+
+  /** q123: WebP VP8L decode oracle-visible — the q69 discipline over the
+    * lossless-WebP slice: dims plus exact per-channel pixel sums of the
+    * column gradient, recomputed by the oracle as integer arithmetic on
+    * doc_id. A broken prefix decode, transform inverse, or LZ77 copy
+    * shifts a sum and fails the hash.
+    */
+  def q123WebpDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(spark, decodableWebpAssets(spark, dir).toDF()).toDF()
+    def f(i: Int) = element_at(col("features"), i).cast("double")
+    feats.select(
+      col("asset_id"),
+      round(f(1)).cast("long").as("width"),
+      round(f(2)).cast("long").as("height"),
+      round(f(3) * 255 * f(1) * f(2)).cast("long").as("sum_b"),
+      round(f(4) * 255 * f(1) * f(2)).cast("long").as("sum_g"),
+      round(f(5) * 255 * f(1) * f(2)).cast("long").as("sum_r"))
+      .orderBy(col("asset_id"))
+  }
+
   /** The JPEG slice of the decodable corpus (grayscale): `doc_id % 3 == 1`
     * rows as REAL baseline-sequential JPEGs whose 8×8 blocks are each
     * CONSTANT at `v(bx,by) = (id·7 + 13·bx + 31·by) mod 256` — a gradient
@@ -1975,6 +2034,7 @@ object MultimodalOps {
       .orElse(decodePng(payload))
       .orElse(Jpeg.decodeJpeg(payload))
       .orElse(Gif.decodeGif(payload))
+      .orElse(Webp.decodeWebp(payload))
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** Canonical digest of DECODED content: sha256 over big-endian dims +
