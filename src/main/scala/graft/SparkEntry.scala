@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps}
+import graft.operators.{CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -142,6 +142,8 @@ object SparkEntry {
     "q121_segment_dedup" -> (DedupOps.q121SegmentDedup(_, _)),
     "q122_html_extract" -> (HtmlOps.q122HtmlExtract(_, _)),
     "q123_webp_decode" -> (MultimodalOps.q123WebpDecode(_, _)),
+    "q124_unigram_train" -> (UnigramOps.q124UnigramTrain(_, _)),
+    "q125_unigram_apply" -> (UnigramOps.q125UnigramApply(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -189,7 +191,91 @@ object SparkEntry {
        |        GROUP BY p.doc_id)""".stripMargin
   }
 
+  /** Shared oracle fragments for the unigram-LM queries (q124/q125):
+    * the seed vocabulary and each hard-EM round's Viterbi DP unrolled
+    * position by position (12 chained CTEs per round — the word-length
+    * cap), each step the identical candidate-extension + argmax-window
+    * rule the Spark DP runs, with the exact floor-log2 scores
+    * `(length(bin(cnt)) - 1)` on both sides.
+    */
+  private def unigramDpCtes(r: Int, vocabCte: String): String = {
+    val score = s"s$r AS MATERIALIZED (SELECT piece, (length(bin(cnt)) - 1) - " +
+      s"(SELECT length(bin(sum(cnt))) - 1 FROM $vocabCte) AS sc FROM $vocabCte)"
+    val d0 = s"d${r}_0 AS MATERIALIZED (SELECT word, 0 AS pos, 0::BIGINT AS score, " +
+      "0::BIGINT AS np, '' AS path FROM uwords WHERE length(word) <= 12)"
+    val steps = (1 to 12).map { p =>
+      val branches = (1 to math.min(4, p)).map { k =>
+        s"SELECT d.word, $p AS pos, d.score + s.sc AS score, d.np + 1 AS np, " +
+          s"d.path || ' ' || substr(d.word, ${p - k + 1}, $k) AS path " +
+          s"FROM d${r}_${p - k} d JOIN s$r s ON s.piece = substr(d.word, ${p - k + 1}, $k) " +
+          s"WHERE length(d.word) >= $p"
+      }.mkString(" UNION ALL ")
+      s"d${r}_$p AS MATERIALIZED (SELECT word, pos, score, np, path FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY word " +
+        "ORDER BY score DESC, np ASC, path ASC) AS rn " +
+        s"FROM ($branches) c) q WHERE rn = 1)"
+    }
+    val segUnion = (1 to 12).map(p => s"SELECT * FROM d${r}_$p").mkString(" UNION ALL ")
+    val seg = s"seg$r AS MATERIALIZED (SELECT word, ltrim(path) AS path, np FROM ($segUnion) u " +
+      "WHERE pos = length(word))"
+    (Seq(score, d0) ++ steps :+ seg).mkString(",\n")
+  }
+
+  /** One EM round's M-step + prune (counts from the round's
+    * segmentation, multi-char pieces below 2 drop, single chars floor
+    * at 1).
+    */
+  private def unigramMStep(r: Int, vocabCte: String): String =
+    s"c$r AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt FROM (" +
+      s"SELECT w.freq, unnest(string_split(g.path, ' ')) AS piece " +
+      s"FROM seg$r g JOIN uwords w USING (word)) q GROUP BY piece),\n" +
+      s"v${r + 1} AS MATERIALIZED (SELECT piece, cnt FROM c$r WHERE length(piece) >= 2 AND cnt >= 2 " +
+      s"UNION ALL SELECT v.piece, greatest(coalesce(c.cnt, 0), 1)::BIGINT AS cnt " +
+      s"FROM (SELECT piece FROM $vocabCte WHERE length(piece) = 1) v " +
+      s"LEFT JOIN c$r c USING (piece))"
+
+  /** Base word-frequency + seed-vocabulary CTEs and the 2-round training
+    * chain — shared verbatim by the q124 and q125 oracles.
+    */
+  private def unigramTrainCtes: String =
+    """uwords AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |  FROM documents WHERE lang = 'en') w GROUP BY word),
+      |p0 AS MATERIALIZED (SELECT substr(word, (i + 1)::INT, (l + 1)::INT) AS piece,
+      |    sum(freq)::BIGINT AS cnt
+      |  FROM uwords, unnest(range(length(word))) t(i), unnest(range(4)) u(l)
+      |  WHERE length(word) <= 12 AND i + l + 1 <= length(word) GROUP BY 1),
+      |v1 AS MATERIALIZED (SELECT piece, cnt FROM p0
+      |  WHERE length(piece) = 1 OR cnt >= 2),""".stripMargin + "\n" +
+      unigramDpCtes(1, "v1") + ",\n" + unigramMStep(1, "v1") + ",\n" +
+      unigramDpCtes(2, "v2") + ",\n" + unigramMStep(2, "v2")
+
   def oracleSql: Map[String, String] = Map(
+    // unigram-LM training (q124): the full seed -> EM x2 chain replayed,
+    // final vocab top-40 by (count desc, piece) with integer log scores
+    "q124_unigram_train" ->
+      (s"WITH $unigramTrainCtes\n" +
+        """SELECT row_number() OVER (ORDER BY cnt DESC, piece ASC)::BIGINT AS rk,
+          |  piece, cnt,
+          |  ((length(bin(cnt)) - 1) -
+          |   (SELECT length(bin(sum(cnt))) - 1 FROM v3))::BIGINT AS score
+          |FROM v3 ORDER BY cnt DESC, piece LIMIT 40""".stripMargin),
+    // unigram-LM apply (q125): Viterbi segmentation of every en document
+    // under the trained vocab — per-doc word/piece counts + ordered
+    // segmentation digest; words past the cap pass through as OOV pieces
+    "q125_unigram_apply" ->
+      (s"WITH $unigramTrainCtes,\n" + unigramDpCtes(3, "v3") + ",\n" +
+        """sega AS MATERIALIZED (SELECT word, path, np FROM seg3
+          |  UNION ALL SELECT word, word AS path, 1::BIGINT AS np
+          |  FROM uwords WHERE length(word) > 12),
+          |docw AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+          |  FROM documents WHERE lang = 'en'),
+          |dw AS (SELECT doc_id, i + 1 AS wpos, ws[(i + 1)::INT] AS word
+          |  FROM docw, unnest(range(len(ws))) t(i))
+          |SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(g.np)::BIGINT AS n_pieces,
+          |  md5(array_to_string(list(g.path ORDER BY d.wpos), ' | ')) AS seg_digest
+          |FROM dw d JOIN sega g USING (word)
+          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
