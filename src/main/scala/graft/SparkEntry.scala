@@ -144,6 +144,7 @@ object SparkEntry {
     "q123_webp_decode" -> (MultimodalOps.q123WebpDecode(_, _)),
     "q124_unigram_train" -> (UnigramOps.q124UnigramTrain(_, _)),
     "q125_unigram_apply" -> (UnigramOps.q125UnigramApply(_, _)),
+    "q126_semantic_dedup" -> (SimilarityOps.q126SemanticDedup(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -582,6 +583,20 @@ object SparkEntry {
     "q27_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // semantic dedup (q126): the training-independent soundness contract
+    // — exact_dup replayed with the identical normalize-then-dot chain
+    // (q71's sequential-IEEE argument), drop_sound pinned TRUE: an
+    // unsound cluster drop (or a lost non-dup) flips it and fails the hash
+    "q126_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |  FROM e),
+        |d AS (SELECT DISTINCT a.vec_id FROM n a JOIN n b ON b.vec_id < a.vec_id
+        |  WHERE list_dot_product(a.nv, b.nv) >= 0.4)
+        |SELECT e.vec_id, (d.vec_id IS NOT NULL) AS exact_dup,
+        |  TRUE AS drop_sound
+        |FROM e LEFT JOIN d USING (vec_id) ORDER BY e.vec_id""".stripMargin,
     // Pair membership only: the cosine's last ulp depends on accumulation
     // order, so the score column is deliberately excluded from comparison.
     "q28_cosine_neardup" ->

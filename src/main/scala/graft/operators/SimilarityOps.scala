@@ -1223,6 +1223,77 @@ object SimilarityOps {
   def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupLsh(corpus(spark, dir), 0.4, tables = Q28Tables)
 
+  /** SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023): cluster the
+    * embedding corpus with the EXISTING IVF coarse quantizer
+    * (`trainIvfCentroids` — deterministic seeds, spherical Lloyd), then
+    * within each cluster drop every vector whose cosine to a LOWER-id
+    * cluster-mate reaches `threshold` — keep-first at paraphrase grain,
+    * the duplication mode document n-grams (q20) and shingle decontam
+    * (q40) cannot see. Pairing is a cid EQUI-JOIN: Σ|cluster|² work,
+    * never a corpus cartesian — the property that makes semantic dedup
+    * runnable at corpus scale (a production run adds q28's LSH bands
+    * WITHIN clusters for the giant-cluster tail; declared, not needed at
+    * these sizes).
+    *
+    * The declared trade: a near-dup pair split across clusters is missed
+    * (bounded by quantizer quality) — so soundness, not completeness, is
+    * the oracle-pinned contract (below).
+    */
+  private[graft] def semanticDedupPairs(nv: DataFrame, threshold: Double): DataFrame =
+    nv.as("a")
+      .join(nv.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .filter(dot(col("a.nv"), col("b.nv")) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+
+  /** Clustered assignment + keep-first verdicts + the exact parity leg.
+    * Returns (vec_id, cid, keep, exact_dup).
+    */
+  def semanticDedup(
+      c: DataFrame, threshold: Double = 0.4, nClusters: Int = 16,
+      trainSampleMod: Int = 1): DataFrame = {
+    val cents = trainIvfCentroids(c, nClusters, trainSampleMod = trainSampleMod)
+    val nv = normalized(c, "v", "nv")
+      .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
+      .persist()
+    try {
+      val dropped = semanticDedupPairs(nv, threshold)
+        .withColumn("dropped", lit(true))
+      // cluster-blind exact truth (the q23-class declared-exact baseline;
+      // the production path is the clustered leg above)
+      val exact = nv.as("a")
+        .join(nv.as("b"), col("b.vec_id") < col("a.vec_id"))
+        .filter(dot(col("a.nv"), col("b.nv")) >= threshold)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("exact_dup", lit(true))
+      val out = nv.select(col("vec_id"), col("cid"))
+        .join(dropped, Seq("vec_id"), "left")
+        .join(exact, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(!col("dropped"), lit(true)).as("keep"),
+          coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
+        .persist()
+      out.count()
+      out
+    } finally { nv.unpersist(); () }
+  }
+
+  /** q126: semantic dedup with the q32 parity-leg oracle treatment. The
+    * registered columns are the TRAINING-INDEPENDENT contract:
+    * `exact_dup` is the corpus-wide lower-id-neighbor truth (the oracle
+    * replays it with the identical normalize-then-dot chain), and
+    * `drop_sound` pins SOUNDNESS — a cluster-based drop must always be a
+    * true near-dup (`keep OR exact_dup`), and a vector with no true
+    * near-dup must always be kept; any unsound drop makes the column
+    * false and fails the hash. Completeness (the cross-cluster misses)
+    * is the declared trade, spec-checked against planted duplicates.
+    */
+  def q126SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(corpus(spark, dir))
+      .select(col("vec_id"), col("exact_dup"),
+        (col("keep") || col("exact_dup")).as("drop_sound"))
+      .orderBy(col("vec_id"))
+
   /** Int8 scalar quantization of an embedding column — the standard
     * index-compression step for billion-vector ANN (FAISS `SQ8`,
     * ScaNN int8): per-vector symmetric scale `s = max|v_i|`, codes
