@@ -145,6 +145,7 @@ object SparkEntry {
     "q124_unigram_train" -> (UnigramOps.q124UnigramTrain(_, _)),
     "q125_unigram_apply" -> (UnigramOps.q125UnigramApply(_, _)),
     "q126_semantic_dedup" -> (SimilarityOps.q126SemanticDedup(_, _)),
+    "q127_ann_graph" -> (SimilarityOps.q127AnnGraph(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -583,6 +584,14 @@ object SparkEntry {
     "q27_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // graph-ANN (q127): the q38/q120 storage-parity treatment — the
+    // standing graph probe, the in-query deterministic twin, and their
+    // rank-sensitive agreement, each pinned to k
+    "q127_ann_graph" ->
+      """SELECT vec_id AS query_id, 10::BIGINT AS n_graph, 10::BIGINT AS n_std,
+        |  10::BIGINT AS n_agree
+        |FROM embeddings WHERE vec_id % 50 = 0
+        |ORDER BY query_id""".stripMargin,
     // semantic dedup (q126): the training-independent soundness contract
     // — exact_dup replayed with the identical normalize-then-dot chain
     // (q71's sequential-IEEE argument), drop_sound pinned TRUE: an

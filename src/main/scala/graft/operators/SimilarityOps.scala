@@ -1223,6 +1223,196 @@ object SimilarityOps {
   def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupLsh(corpus(spark, dir), 0.4, tables = Q28Tables)
 
+  // --------------- Graph-based ANN (HNSW layer-0 shape) ----------------
+
+  /** Deterministic bounded-degree NEIGHBOR GRAPH — the layer-0 of a
+    * graph-ANN index (HNSW/NSG family), built from the IVF candidate
+    * machinery so construction is probe-pruned, never all-pairs: each
+    * vector's candidates are the members of its `nprobe` nearest
+    * clusters (cid equi-join), of which the best `m` by (cosine desc,
+    * id asc) become out-edges; edges are then symmetrized (degree ≤ 2m).
+    * Everything is deterministic given the (deterministically trained)
+    * centroids — the property that lets the standing and in-query builds
+    * agree bit-for-bit, which is what the q127 oracle pins.
+    *
+    * Returns the PERSISTED edge list (src, dst); the caller releases it.
+    */
+  def buildNeighborGraph(
+      c: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int = 4, m: Int = 10): DataFrame = {
+    val inverted = normalized(c, "v", "nv")
+      .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
+      .persist()
+    try {
+      val probes = ivfProbeList(cents,
+        inverted.select(col("vec_id").as("query_id"), col("nv").as("qv")), nprobe)
+      val cand = probes.join(inverted, Seq("cid"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id").as("src"),
+          struct(dot(col("nqv"), col("nv")).as("cos"),
+            (-col("vec_id")).as("nd"), col("vec_id").as("dst")).as("key"))
+      val top = cand.groupBy(col("src"))
+        .agg(graft.functions.BoundedTopK(col("key"), m).as("top"))
+        .select(col("src"), explode(col("top")).as("k"))
+        .select(col("src"), col("k.dst").as("dst"), col("k.cos").as("cos"))
+      // symmetrize, then RE-CAP at 2m: out-degree is m by construction
+      // but IN-degree is not — a popular hub can be the best neighbor of
+      // arbitrarily many nodes, and an uncapped hub breaks the probe's
+      // bounded-visited contract (HNSW prunes during insertion for the
+      // same reason). Keep each node's best 2m incident edges.
+      val sym = top
+        .unionByName(top.select(col("dst").as("src"), col("src").as("dst"),
+          col("cos")))
+        .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+        .select(col("src"),
+          struct(col("cos"), (-col("dst")).as("nd"), col("dst")).as("key"))
+      val edges = sym.groupBy(col("src"))
+        .agg(graft.functions.BoundedTopK(col("key"), 2 * m).as("top"))
+        .select(col("src"), explode(col("top")).as("k"))
+        .select(col("src"), col("k.dst").as("dst"))
+        .persist()
+      edges.count()
+      edges
+    } finally { inverted.unpersist(); () }
+  }
+
+  /** Greedy BEAM probe of a neighbor graph: seed each query at its
+    * entry points, then `iters` rounds of expand-the-best-`ef`-frontier
+    * through the edge list, scoring new nodes exactly; the answer is the
+    * cosine top-k of the VISITED set. The visited set is BOUNDED —
+    * ≤ entries + iters·ef·2m per query, INDEPENDENT of corpus size —
+    * which is the graph index's scale story: IVF probes a corpus
+    * fraction (nprobe/K), a graph probe touches a constant neighborhood.
+    * Fixed iteration count keeps the probe deterministic (no
+    * convergence race), and every tie breaks on vec_id.
+    */
+  def annTopKGraph(
+      cNv: DataFrame, edges: DataFrame, q: DataFrame,
+      entries: DataFrame, k: Int, ef: Int = 48, iters: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nq = normalized(q, "qv", "nqv").select(col("query_id"), col("nqv"))
+    def scoreOf(ids: DataFrame): DataFrame =
+      ids.join(cNv, Seq("vec_id")).join(broadcast(nq), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot(col("nv"), col("nqv")).as("cos"))
+    var visited = scoreOf(entries.select(col("query_id"), col("vec_id")).distinct())
+      .localCheckpoint()
+    val beam = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    for (_ <- 1 to iters) {
+      val frontier = visited.withColumn("rn", row_number().over(beam))
+        .filter(col("rn") <= ef).drop("rn")
+      val expand = frontier.join(edges, frontier("vec_id") === edges("src"))
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+        .join(visited.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+      // localCheckpoint: visited is referenced twice per iteration (the
+      // union and the anti-join), so an uncut lineage doubles per round
+      visited = visited.unionByName(scoreOf(expand)).localCheckpoint()
+    }
+    // corpus-resident queries trivially visit themselves at cos 1.0 —
+    // excluded like every other probe in this file
+    visited.filter(col("query_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(beam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+  }
+
+  /** Entry points: the min-id member of each of the query's
+    * `nprobeEntry` nearest clusters (the coarse quantizer playing the
+    * role of HNSW's upper layers).
+    */
+  private def graphEntries(
+      inverted: DataFrame, cents: Array[Array[Double]],
+      q: DataFrame, nprobeEntry: Int): DataFrame = {
+    val reps = inverted.groupBy(col("cid")).agg(min(col("vec_id")).as("vec_id"))
+    ivfProbeList(cents, q, nprobeEntry)
+      .select(col("query_id"), col("cid"))
+      .join(broadcast(reps), Seq("cid"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  /** Build a PERSISTED graph index: `centroids/` (the coarse quantizer,
+    * `loadIvfCentroids`'s layout) + `edges/` — published with the
+    * crash-atomic tmp+rename, first-publish-wins discipline of
+    * `buildIvfIndex`.
+    */
+  def buildGraphIndex(
+      c: DataFrame, indexDir: String,
+      nClusters: Int = 16, nprobe: Int = 4, m: Int = 10,
+      ifAbsentOnly: Boolean = false): Unit = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val fin = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (ifAbsentOnly && fs.exists(fin)) return
+    val cents = trainIvfCentroids(c, nClusters)
+    val edges = buildNeighborGraph(c, cents, nprobe, m)
+    val tmp = new org.apache.hadoop.fs.Path(
+      indexDir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      edges.write.parquet(s"${tmp.toString}/edges")
+    } finally { edges.unpersist(); () }
+    cents.zipWithIndex.toSeq
+      .map { case (cv, cid) => (cid, cv.toSeq, cents.length, cv.length) }
+      .toDF("cid", "c", "k", "dim")
+      .coalesce(1).write.parquet(s"${tmp.toString}/centroids")
+    if (!fs.rename(tmp, fin)) {
+      if (ifAbsentOnly && fs.exists(fin)) { fs.delete(tmp, true); () }
+      else throw new java.io.IOException(s"graph publish failed: $tmp -> $fin")
+    }
+  }
+
+  /** q127: graph-ANN with the q38/q120 storage-parity treatment — the
+    * STANDING graph probe must agree rank-for-rank with an IN-QUERY
+    * build+probe under the same deterministic construction (normalized
+    * doubles and long edge ids round-trip parquet exactly), so the
+    * registered counts are all pinned to k by the oracle. Recall ≥ 0.9
+    * vs the exact baseline and the clustered-corpus pruning proof live
+    * in GraphAnnSpec (q32's precedent for quantizer-dependent paths).
+    */
+  def q127AnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_graph_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fp = corpusFingerprint(corpusPath.getFileSystem(hconf), corpusPath)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val idxFs = rootPath.getFileSystem(hconf)
+    val indexDir = s"$root/graph-$fp"
+    if (!idxFs.exists(new org.apache.hadoop.fs.Path(indexDir)))
+      graft.BenchPhases.timed("graph_build") {
+        buildGraphIndex(c, indexDir, ifAbsentOnly = true)
+      }
+    idxFs.listStatus(rootPath).map(_.getPath)
+      .filter(p => p.getName.matches("graph-[0-9a-f]{16}") && p.getName != s"graph-$fp")
+      .foreach(p => idxFs.delete(p, true))
+    val q = queriesOf(c)
+    val cNv = normalized(c, "v", "nv").select(col("vec_id"), col("nv")).persist()
+    try {
+      // standing leg
+      val centsStd = loadIvfCentroids(spark, indexDir)
+      val invStd = cNv.select(col("vec_id"),
+        bestCid(col("nv"), centsStd).as("cid"))
+      val edgesStd = spark.read.parquet(s"$indexDir/edges")
+      val std = annTopKGraph(cNv, edgesStd, q,
+        graphEntries(invStd, centsStd, q, nprobeEntry = 12), 10)
+      // in-query twin: identical deterministic construction
+      val centsQ = trainIvfCentroids(c, 16)
+      val invQ = cNv.select(col("vec_id"), bestCid(col("nv"), centsQ).as("cid"))
+      val edgesQ = buildNeighborGraph(c, centsQ)
+      try {
+        val inq = annTopKGraph(cNv, edgesQ, q,
+          graphEntries(invQ, centsQ, q, nprobeEntry = 12), 10)
+        val out = probeAgreement(std, inq, "n_std", "n_graph", "n_agree")
+          .select(col("query_id"), col("n_graph"), col("n_std"), col("n_agree"))
+          .orderBy(col("query_id"))
+        out.localCheckpoint() // materialize before edge caches release
+      } finally { edgesQ.unpersist(); () }
+    } finally { cNv.unpersist(); () }
+  }
+
   /** SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023): cluster the
     * embedding corpus with the EXISTING IVF coarse quantizer
     * (`trainIvfCentroids` — deterministic seeds, spherical Lloyd), then
