@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps}
+import graft.operators.{CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -146,6 +146,8 @@ object SparkEntry {
     "q125_unigram_apply" -> (UnigramOps.q125UnigramApply(_, _)),
     "q126_semantic_dedup" -> (SimilarityOps.q126SemanticDedup(_, _)),
     "q127_ann_graph" -> (SimilarityOps.q127AnnGraph(_, _)),
+    "q128_warc_extract" -> (WarcOps.q128WarcExtract(_, _)),
+    "q129_url_canonicalize" -> (UrlOps.q129UrlCanonicalize(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -192,6 +194,45 @@ object SparkEntry {
        |        FROM pre p LEFT JOIN wtok USING (doc_id)
        |        GROUP BY p.doc_id)""".stripMargin
   }
+
+  /** Shared CTE chain of the HTML-extraction oracles (q122 / q128):
+    * synthetic markup rebuilt from (doc_id, text), then the full
+    * extraction rule chain in the Java/RE2 common dialect, ending in a
+    * CTE `b(doc_id, blocks)`.
+    */
+  private def htmlExtractCtes: String =
+    """WITH h AS (SELECT doc_id,
+      |    '<html><head><title>Doc ' || doc_id ||
+      |    '</title><style type="text/css"> p { color: #fff; } </style>' ||
+      |    '<script> if (1 < 2 && x > 0) { y = "<p>nope</p>"; } </script>' ||
+      |    '</head><body><!-- comment ' || doc_id ||
+      |    ' --><h1 class="t">Heading ' || doc_id ||
+      |    '</h1><p>' || text ||
+      |    '</p><div id="tail">Tail&nbsp;&amp;&nbsp;&lt;b&gt; &quot;q&quot; ' ||
+      |    '&#39;v&#39; &apos;w&apos; of ' || doc_id ||
+      |    '</div></body></html>' AS html
+      |  FROM documents),
+      |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(html,
+      |    '(?s)<!--.*?-->', ' ', 'g'),
+      |    '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
+      |    '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
+      |    '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|header|footer|pre|title)\b[^>]*>',
+      |    chr(10), 'g'),
+      |    '(?s)<[^>]*>', ' ', 'g') AS t1
+      |  FROM h),
+      |e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(
+      |    replace(replace(t1,
+      |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#34;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+      |    '&amp;', '&') AS t2
+      |  FROM s),
+      |b AS (SELECT doc_id,
+      |    list_filter(list_transform(string_split(t2, chr(10)),
+      |      x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
+      |      x -> x <> '') AS blocks
+      |  FROM e)
+      |""".stripMargin
 
   /** Shared oracle fragments for the unigram-LM queries (q124/q125):
     * the seed vocabulary and each hard-EM round's Viterbi DP unrolled
@@ -584,6 +625,49 @@ object SparkEntry {
     "q27_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // URL canonicalization (q129): the messy corpus rebuilt from doc_id
+    // arithmetic and every normalization rule replayed — fragment drop,
+    // scheme/host lowercase, default-port strip, slash/dot-segment
+    // collapse, tracking-param removal, query sort — then the
+    // canonical-key dedup count
+    "q129_url_canonicalize" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'Example.TEST'
+        |          WHEN doc_id % 3 = 1 THEN 'example.test:443'
+        |          ELSE 'EXAMPLE.test' END) ||
+        |    '/p//' || (doc_id % 25) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/./' ELSE '/' END) || '?' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN 'b=' || (doc_id % 2) || '&utm_source=x&a=' || (doc_id % 5)
+        |      ELSE 'a=' || (doc_id % 5) || '&b=' || (doc_id % 2) || '&utm_campaign=y' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '#sec' || doc_id ELSE '' END) AS url
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |n1 AS (SELECT *,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(nofrag, '\?([^#]*)', 1) AS rawq
+        |  FROM n0),
+        |n2 AS (SELECT *,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_replace(regexp_replace(
+        |      CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
+        |      '/{2,}', '/', 'g'), '(/\.)+/', '/', 'g') AS path,
+        |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))), '&') AS params
+        |  FROM n1),
+        |c AS (SELECT doc_id, url,
+        |    scheme || '://' || host || path ||
+        |    (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_url
+        |  FROM n2)
+        |SELECT doc_id, url, canon_url,
+        |  (count(*) OVER (PARTITION BY canon_url))::BIGINT AS n_variants
+        |FROM c ORDER BY doc_id""".stripMargin,
     // graph-ANN (q127): the q38/q120 storage-parity treatment — the
     // standing graph probe, the in-query deterministic twin, and their
     // rank-sensitive agreement, each pinned to k
@@ -1624,43 +1708,24 @@ object SparkEntry {
     // newlines, tag stripping, entity decode (amp last), whitespace
     // normalization, empty-block drop — in the Java/RE2 common regex
     // dialect, so every pattern string is shared verbatim with Spark
-    "q122_html_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |    '<html><head><title>Doc ' || doc_id ||
-        |    '</title><style type="text/css"> p { color: #fff; } </style>' ||
-        |    '<script> if (1 < 2 && x > 0) { y = "<p>nope</p>"; } </script>' ||
-        |    '</head><body><!-- comment ' || doc_id ||
-        |    ' --><h1 class="t">Heading ' || doc_id ||
-        |    '</h1><p>' || text ||
-        |    '</p><div id="tail">Tail&nbsp;&amp;&nbsp;&lt;b&gt; &quot;q&quot; ' ||
-        |    '&#39;v&#39; &apos;w&apos; of ' || doc_id ||
-        |    '</div></body></html>' AS html
-        |  FROM documents),
-        |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(regexp_replace(html,
-        |    '(?s)<!--.*?-->', ' ', 'g'),
-        |    '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
-        |    '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
-        |    '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|header|footer|pre|title)\b[^>]*>',
-        |    chr(10), 'g'),
-        |    '(?s)<[^>]*>', ' ', 'g') AS t1
-        |  FROM h),
-        |e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(
-        |    replace(replace(t1,
-        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#34;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
-        |    '&amp;', '&') AS t2
-        |  FROM s),
-        |b AS (SELECT doc_id,
-        |    list_filter(list_transform(string_split(t2, chr(10)),
-        |      x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
-        |      x -> x <> '') AS blocks
-        |  FROM e)
-        |SELECT doc_id, len(blocks)::BIGINT AS n_blocks,
+    "q122_html_extract" -> (htmlExtractCtes +
+      """SELECT doc_id, len(blocks)::BIGINT AS n_blocks,
         |  length(array_to_string(blocks, chr(10)))::BIGINT AS n_chars,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha,
         |  blocks[1] AS first_block
-        |FROM b ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin),
+    // WARC crawl front door (q128): the Spark side builds multi-record
+    // WARC blobs, walks them octet-exactly, splits HTTP, extracts; the
+    // oracle replays the expected output straight from (doc_id, text) —
+    // the q46 encode->decode-collapse discipline: a container-walk slip
+    // (miscounted Content-Length, lost record, header misparse) changes
+    // rows or hashes
+    "q128_warc_extract" -> (htmlExtractCtes +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
     // persisted IVF-PQ index (q120): q38's storage-parity treatment for
     // the compressed tier — every count training-deterministic and pinned
     "q120_ivf_pq_indexed" ->
