@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
+import graft.operators.{CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -148,6 +148,7 @@ object SparkEntry {
     "q127_ann_graph" -> (SimilarityOps.q127AnnGraph(_, _)),
     "q128_warc_extract" -> (WarcOps.q128WarcExtract(_, _)),
     "q129_url_canonicalize" -> (UrlOps.q129UrlCanonicalize(_, _)),
+    "q130_pii_scrub" -> (PiiOps.q130PiiScrub(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -625,6 +626,42 @@ object SparkEntry {
     "q27_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // PII scrub (q130): the planted corpus rebuilt from doc_id
+    // arithmetic — including the Luhn check-digit computation, so the
+    // valid/invalid card interleave is derived, not asserted — and the
+    // redaction replayed as direct placeholder substitution
+    "q130_pii_scrub" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    repeat(lpad((doc_id % 100000)::VARCHAR, 5, '0'), 3) AS base15
+        |  FROM documents),
+        |s AS (SELECT *, list_sum(list_transform(range(1, 16), j ->
+        |    CASE WHEN j % 2 = 1 THEN
+        |      CASE WHEN 2 * (ascii(substr(base15, j::INT, 1)) - 48) > 9
+        |        THEN 2 * (ascii(substr(base15, j::INT, 1)) - 48) - 9
+        |        ELSE 2 * (ascii(substr(base15, j::INT, 1)) - 48) END
+        |    ELSE ascii(substr(base15, j::INT, 1)) - 48 END)) AS sbase
+        |  FROM b),
+        |c AS (SELECT *, CASE WHEN doc_id % 2 = 0 THEN (10 - sbase % 10) % 10
+        |    ELSE ((10 - sbase % 10) % 10 + 5) % 10 END AS chk FROM s),
+        |r AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_emails,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_phones,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ssns,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ips,
+        |    1::BIGINT AS n_cards_total,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_cards_valid,
+        |    text ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ' contact [EMAIL]' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ' call [PHONE]' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ' ssn [SSN]' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ' ip [IP]' ELSE '' END) ||
+        |    ' card ' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '[CARD]'
+        |     ELSE base15 || chk::VARCHAR END) AS redacted
+        |  FROM c)
+        |SELECT doc_id, n_emails, n_phones, n_ssns, n_ips, n_cards_total,
+        |  n_cards_valid, sha256(redacted) AS redacted_sha
+        |FROM r ORDER BY doc_id""".stripMargin,
     // URL canonicalization (q129): the messy corpus rebuilt from doc_id
     // arithmetic and every normalization rule replayed — fragment drop,
     // scheme/host lowercase, default-port strip, slash/dot-segment
