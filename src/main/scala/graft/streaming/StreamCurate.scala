@@ -93,7 +93,8 @@ object StreamCurate {
       lmModel: Option[DataFrame] = None,
       minLmPerBigram: Long = 0L,
       lmDir: String = "",
-      htmlCol: Option[String] = None): StreamingQuery = {
+      htmlCol: Option[String] = None,
+      piiRedact: Boolean = false): StreamingQuery = {
     StreamNearDup.prepareIndex(spark, indexDir, checkpointDir,
       minhashK, bands, rowsPerBand, bandBuckets, setsBuckets)
     require(lmModel.isEmpty || lmDir.nonEmpty,
@@ -116,11 +117,19 @@ object StreamCurate {
         // so a crawl feed plugs straight into the curation pipeline. A
         // document whose markup extracts to NOTHING is a tagged reject
         // (the null_text no-silent-loss discipline), never a silent drop.
-        val input = htmlCol match {
+        val extracted = htmlCol match {
           case None => batch
           case Some(c) => batch.withColumn("text",
             graft.operators.HtmlOps.htmlToText(col(c)))
         }
+        // 0.5 (optional): PII scrub — detectors + Luhn-gated card
+        // redaction run BEFORE any text lands in a sink, so neither the
+        // curated store nor the reject/audit sinks ever persist raw
+        // identifiers; the per-type counts ride along as audit columns.
+        val input =
+          if (!piiRedact) extracted
+          else graft.operators.PiiOps.piiScrub(extracted)
+            .withColumn("text", col("redacted")).drop("redacted")
         val tokens = split(col("text"), " ")
         // 1. quality — identical expressions to CurateOps.curate; the
         // rule list tags rejects the way the feed dead-letters do. The

@@ -229,4 +229,36 @@ class StreamCurateSpec extends AnyFunSuite {
     assert(emptyTagged == Set(maxId + 1L),
       s"script-only page not tagged as empty extract: $emptyTagged")
   }
+
+  test("PII stage: no raw identifier reaches any sink; audit counts ride along") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scurate_pii_").toString
+    val real = Tables.documents(spark, sf).filter(col("doc_id") % 4 === 1)
+      .limit(20).select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // plant an email + a Luhn-valid card into every doc's text
+    val planted = real.withColumn("text",
+      concat(col("text"), lit(" mail bob@leak.example.com pan 4111111111111111")))
+    planted.coalesce(1).write.parquet(s"$base/feed/chunk=0")
+    val maxId = real.agg(max(col("doc_id"))).as[Long].head()
+    val eval = Seq((maxId + 100L, "never shared anywhere at all ok")).toDF("doc_id", "text")
+
+    val q = StreamCurate.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/curated", s"$base/flags", s"$base/decontam", s"$base/rejects",
+      s"$base/index", eval, piiRedact = true)
+    q.awaitTermination(180000L)
+    assert(!q.isActive)
+
+    val curated = spark.read.parquet(s"$base/curated")
+    assert(curated.count() > 0)
+    val texts = curated.select("text").as[String].collect()
+    texts.foreach { t =>
+      assert(!t.contains("bob@leak.example.com") && !t.contains("4111111111111111"),
+        "raw identifier leaked into the curated store")
+      assert(t.contains("[EMAIL]") && t.contains("[CARD]"), "redaction markers missing")
+    }
+    // audit columns survive into the curated store
+    val counts = curated.select("n_emails", "n_cards_valid")
+      .as[(Long, Long)].collect()
+    counts.foreach { case (e, c) => assert(e == 1L && c == 1L) }
+  }
 }
