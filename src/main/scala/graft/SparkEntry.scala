@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
+import graft.operators.{ClassifyOps, CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -149,6 +149,7 @@ object SparkEntry {
     "q128_warc_extract" -> (WarcOps.q128WarcExtract(_, _)),
     "q129_url_canonicalize" -> (UrlOps.q129UrlCanonicalize(_, _)),
     "q130_pii_scrub" -> (PiiOps.q130PiiScrub(_, _)),
+    "q131_nb_quality" -> (ClassifyOps.q131NbQuality(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -626,6 +627,35 @@ object SparkEntry {
     "q27_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // NB quality classifier (q131): train counts, the integer
+    // log-ratio model, and every held-out score/verdict replayed (the
+    // negative class is the word-reversed twin corpus, rebuilt in SQL)
+    "q131_nb_quality" ->
+      """WITH en AS (SELECT doc_id, lower(text) AS text FROM documents
+        |  WHERE lang = 'en'),
+        |tr AS (SELECT doc_id, text FROM en WHERE doc_id % 4 <> 0),
+        |pos AS (SELECT unnest(string_split(text, ' ')) AS word FROM tr),
+        |neg AS (SELECT reverse(w) AS word FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM tr) q),
+        |cp AS (SELECT word, count(*)::BIGINT AS c_pos FROM pos GROUP BY 1),
+        |cn AS (SELECT word, count(*)::BIGINT AS c_neg FROM neg GROUP BY 1),
+        |model AS (SELECT coalesce(cp.word, cn.word) AS word,
+        |    (length(bin(coalesce(c_pos, 0) + 1)) - 1) -
+        |    (length(bin(coalesce(c_neg, 0) + 1)) - 1) AS contr
+        |  FROM cp FULL OUTER JOIN cn ON cp.word = cn.word),
+        |ho AS (SELECT doc_id, text FROM en WHERE doc_id % 4 = 0),
+        |ev AS (SELECT doc_id, text, TRUE AS is_clean FROM ho
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, array_to_string(
+        |    list_transform(string_split(text, ' '), w -> reverse(w)), ' '),
+        |    FALSE FROM ho),
+        |tok AS (SELECT e.doc_id, e.is_clean,
+        |    unnest(string_split(e.text, ' ')) AS word FROM ev e)
+        |SELECT t.doc_id, t.is_clean, count(*)::BIGINT AS n_tokens,
+        |  sum(coalesce(m.contr, 0))::BIGINT AS score,
+        |  (sum(coalesce(m.contr, 0)) > 0) AS pred
+        |FROM tok t LEFT JOIN model m USING (word)
+        |GROUP BY t.doc_id, t.is_clean ORDER BY t.doc_id""".stripMargin,
     // PII scrub (q130): the planted corpus rebuilt from doc_id
     // arithmetic — including the Luhn check-digit computation, so the
     // valid/invalid card interleave is derived, not asserted — and the
