@@ -69,6 +69,20 @@ class UnigramOpsSpec extends AnyFunSuite {
     assert(seg(long) == ((long, 1L)), "over-cap word must pass through whole")
   }
 
+  test("standing model == fresh in-query train, and the artifact is reused") {
+    val sf = "/root/testdata/sf0.001"
+    val standing = UnigramOps.q124UnigramTrain(spark, sf).collect().map(_.toSeq).toSeq
+    val (_, vocab) = UnigramOps.train(
+      graft.Tables.documents(spark, sf).where(col("lang") === "en"))
+    val fresh = UnigramOps.vocabTopK(vocab).collect().map(_.toSeq).toSeq
+    assert(standing == fresh, "standing vocab artifact diverged from fresh training")
+    val root = new java.io.File(sys.props("java.io.tmpdir") +
+      "/graft_unigram_" + sf.replaceAll("[^A-Za-z0-9]", "_"))
+    val gens = Option(root.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("model-[0-9a-f]{16}")).toSeq
+    assert(gens.size == 1, s"expected one model generation, got $gens")
+  }
+
   test("train and apply agree on sf0.001: piece totals add up and digests are stable") {
     val t1 = UnigramOps.q124UnigramTrain(spark, "/root/testdata/sf0.001").collect()
     val t2 = UnigramOps.q124UnigramTrain(spark, "/root/testdata/sf0.001").collect()
