@@ -68,7 +68,10 @@ object Bench {
       val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val tmp = sys.props("java.io.tmpdir")
       for (root <- Seq("graft_ivf_", "graft_ivf_lsm_", "graft_ivfq_",
-          "graft_ivfpq_", "graft_embguard_")) {
+          "graft_ivfpq_", "graft_embguard_",
+          // round-14 standing artifacts: span pairs/extents, the graph
+          // index, and the unigram tokenizer model — same honesty rule
+          "graft_spans_", "graft_graph_", "graft_unigram_")) {
         val p = new org.apache.hadoop.fs.Path(s"$tmp/$root$sfx")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) { fs.delete(p, true); () }
