@@ -536,8 +536,10 @@ object Webp {
   }
 
   /** Decode a WebP (VP8L lossless) container to the shared `BmpImage`
-    * BGR form. Lossy VP8 and VP8X-wrapped payloads return None (they
-    * dead-letter with their reason, the D15 discipline).
+    * BGR form. The chunk scan skips metadata chunks (VP8X/ICCP/EXIF…)
+    * and decodes the first VP8L found — extended-format files whose
+    * image data IS lossless decode fine; lossy VP8 payloads return
+    * None (they dead-letter with their reason, the D15 discipline).
     */
   def decodeWebp(b: Array[Byte]): Option[BmpImage] =
     try {

@@ -244,6 +244,24 @@ class WebpSpec extends AnyFunSuite {
     assert(Webp.decodeWebp(big).isEmpty)
   }
 
+  test("VP8X extended format: metadata chunks are skipped, the VP8L inside decodes") {
+    val rgb = gradient(6, 4, (x, y) => (x * 11, y * 17, (x + y) * 13))
+    val plain = Webp.encodeWebpLossless(6, 4, rgb)
+    // splice a 10-byte VP8X chunk between 'WEBP' and the VP8L chunk and
+    // fix up the RIFF size
+    val vp8x = "VP8X".getBytes("ISO-8859-1") ++
+      Array[Byte](10, 0, 0, 0) ++ new Array[Byte](10)
+    val out = new Array[Byte](plain.length + vp8x.length)
+    System.arraycopy(plain, 0, out, 0, 12)
+    System.arraycopy(vp8x, 0, out, 12, vp8x.length)
+    System.arraycopy(plain, 12, out, 12 + vp8x.length, plain.length - 12)
+    val riffLen = out.length - 8
+    (0 until 4).foreach(k => out(4 + k) = ((riffLen >> (8 * k)) & 0xff).toByte)
+    val img = Webp.decodeWebp(out).get
+    assert(img.width == 6 && img.height == 4)
+    assert(decodedRgb(img).sameElements(rgb))
+  }
+
   test("lossy VP8 and non-WebP RIFF dead-letter as None; dispatch decodes VP8L") {
     assert(Webp.decodeWebp("RIFF    WAVEfmt ".getBytes("ISO-8859-1")).isEmpty)
     val vp8 = riff(Array[Byte](1, 2, 3)).clone()
