@@ -150,6 +150,7 @@ object SparkEntry {
     "q129_url_canonicalize" -> (UrlOps.q129UrlCanonicalize(_, _)),
     "q130_pii_scrub" -> (PiiOps.q130PiiScrub(_, _)),
     "q131_nb_quality" -> (ClassifyOps.q131NbQuality(_, _)),
+    "q132_main_content" -> (HtmlOps.q132MainContent(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1781,6 +1782,27 @@ object SparkEntry {
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha,
         |  blocks[1] AS first_block
         |FROM b ORDER BY doc_id""".stripMargin),
+    // block-level main-content selection (q132): the q122 chain's blocks
+    // classified by the jusText-style length + stopword-density rule
+    // (integer DIV basis points) — chrome drops, prose survives, the
+    // kept content pinned by its ordered sha
+    "q132_main_content" -> (htmlExtractCtes +
+      """, r AS (SELECT doc_id, i + 1 AS block_idx, blocks[(i + 1)::INT] AS block
+        |  FROM b, unnest(range(len(blocks))) t(i)),
+        |f AS (SELECT doc_id, block_idx, block,
+        |    length(block)::BIGINT AS n_chars,
+        |    (len(list_filter(string_split(lower(block), ' '),
+        |       t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on')))
+        |     * 10000 // len(string_split(lower(block), ' ')))::BIGINT AS stop_bp
+        |  FROM r)
+        |SELECT doc_id, count(*)::BIGINT AS n_blocks,
+        |  sum(CASE WHEN n_chars >= 40 AND stop_bp >= 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_kept,
+        |  sha256(coalesce(array_to_string(
+        |    list(block ORDER BY block_idx)
+        |      FILTER (n_chars >= 40 AND stop_bp >= 0), chr(10)), ''))
+        |    AS main_sha
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // WARC crawl front door (q128): the Spark side builds multi-record
     // WARC blobs, walks them octet-exactly, splits HTTP, extracts; the
     // oracle replays the expected output straight from (doc_id, text) —

@@ -91,6 +91,61 @@ object HtmlOps {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("block_idx"),
         col("col").as("block"))
 
+  /** BLOCK-LEVEL MAIN-CONTENT selection — the jusText/Readability-style
+    * structural boilerplate filter that runs right after extraction:
+    * navigation chrome, headings, and footer fragments are SHORT and
+    * stopword-poor, article prose is long and stopword-rich, so a block
+    * survives iff `length ≥ minChars` AND its stopword fraction (basis
+    * points over whitespace words, integer div) reaches `minStopBp`.
+    * Defaults follow the q75 rule — tuned to this corpus' populated
+    * ranges (whose synthetic prose is stopword-free, so the density
+    * bound defaults to 0 and the length rule binds; production runs
+    * pass jusText's thresholds, and the spec drives the density rule
+    * explicitly).
+    * This is the INTRA-document structural complement of q70's
+    * CROSS-document frequency-based stripping — the two catch disjoint
+    * boilerplate classes (a unique nav bar q70's df threshold can never
+    * see; a corpus-wide license paragraph length heuristics keep).
+    * Per-row codegen, no shuffle.
+    */
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  def mainContentBlocks(
+      blocks: DataFrame,
+      minChars: Int = 40,
+      minStopBp: Long = 0L): DataFrame = {
+    val stoplist = Stopwords.map(s => s"'$s'").mkString(", ")
+    blocks
+      .withColumn("n_chars", length(col("block")).cast("long"))
+      // integer DIV — Column./ is double division, which would leak
+      // floats into an oracle-hashed value
+      .withColumn("stop_bp", expr(
+        "CAST(size(filter(split(lower(block), ' '), " +
+          s"t -> t IN ($stoplist))) * 10000 DIV " +
+          "size(split(lower(block), ' ')) AS BIGINT)"))
+      .withColumn("keep",
+        col("n_chars") >= minChars && col("stop_bp") >= minStopBp)
+  }
+
+  /** q132: main-content selection over the q122 extraction — per
+    * document the block count, surviving-block count, and the sha of
+    * the kept content in block order; the oracle replays the whole
+    * extract→classify chain (on the synthetic corpus the title/heading/
+    * tail chrome drops and exactly the article body survives — pinned
+    * by the hash, derived by the rule).
+    */
+  def q132MainContent(spark: SparkSession, dir: String): DataFrame =
+    mainContentBlocks(
+      htmlBlockRows(syntheticHtml(Tables.documents(spark, dir))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sha2(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN " +
+            "struct(block_idx, block) END)), x -> x.block)"), "\n"), 256)
+          .as("main_sha"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic synthetic HTML over the documents table — the q69
     * constructed-corpus trick: the oracle rebuilds the identical markup
     * from (doc_id, text), so extraction is checked end-to-end against

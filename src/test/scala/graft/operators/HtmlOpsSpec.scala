@@ -105,6 +105,39 @@ class HtmlOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("main-content selection: chrome drops, prose survives, both rules bind") {
+    import spark.implicits._
+    val blocks = Seq(
+      (1L, 1L, "Home"),                                          // short nav
+      (1L, 2L, "About Products Contact Careers Blog Legal More"), // long, stopword-poor
+      (1L, 3L, "the quick brown fox jumps over a lazy dog and then " +
+        "runs off to the river in the morning sun to rest"),      // prose: keep
+      (1L, 4L, "the of a"),                                       // stopword-rich but short
+      (2L, 1L, "copyright 2026 all rights reserved worldwide"))   // footer: no stopwords
+      .toDF("doc_id", "block_idx", "block")
+    val out = HtmlOps.mainContentBlocks(blocks, minStopBp = 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(5)).toMap
+    assert(out((1L, 3L)), "prose must survive")
+    assert(!out((1L, 1L)) && !out((1L, 2L)) && !out((1L, 4L)) && !out((2L, 1L)),
+      s"chrome survived: $out")
+  }
+
+  test("q132 on sf0.001: exactly the article body survives the structural filter") {
+    val rows = HtmlOps.q132MainContent(spark, "/root/testdata/sf0.001").collect()
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 4L)
+      assert(r.getLong(2) == 1L, s"doc ${r.getLong(0)}: ${r.getLong(2)} blocks kept")
+      assert(r.getString(3) == sha(texts(r.getLong(0))),
+        s"doc ${r.getLong(0)}: kept content is not exactly the body")
+    }
+  }
+
   test("q122 shape on sf0.001: 4 blocks per doc, first block is the title") {
     val rows = HtmlOps.q122HtmlExtract(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
