@@ -151,6 +151,7 @@ object SparkEntry {
     "q130_pii_scrub" -> (PiiOps.q130PiiScrub(_, _)),
     "q131_nb_quality" -> (ClassifyOps.q131NbQuality(_, _)),
     "q132_main_content" -> (HtmlOps.q132MainContent(_, _)),
+    "q133_video_neardup" -> (MultimodalOps.q133VideoNearDup(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -628,6 +629,32 @@ object SparkEntry {
     "q27_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // video near-dup (q133): frame means from the planted (doc_id,
+    // frame) arithmetic, the k=3 signature shingles, the df cap, and
+    // the pair counts all replayed
+    "q133_video_neardup" ->
+      """WITH v AS (SELECT doc_id AS vid, doc_id - doc_id % 21 AS grp
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT vid, f,
+        |    CASE WHEN f < 5 THEN (grp + 29*f) % 256
+        |         ELSE (vid*9 + 31*f) % 256 END AS mb,
+        |    CASE WHEN f < 5 THEN (grp*7 + 29*f) % 256
+        |         ELSE (vid*11 + 31*f) % 256 END AS mg,
+        |    CASE WHEN f < 5 THEN (grp*13 + 29*f) % 256
+        |         ELSE (vid*17 + 31*f) % 256 END AS mr
+        |  FROM v, unnest(range(8)) t(f)),
+        |sq AS (SELECT vid, list(mb || ':' || mg || ':' || mr ORDER BY f) AS s
+        |  FROM fr GROUP BY vid),
+        |sh AS (SELECT DISTINCT vid,
+        |    md5(array_to_string(s[(i + 1)::INT : (i + 3)::INT], '|')) AS sh
+        |  FROM sq, unnest(range(6)) t(i)),
+        |dfc AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1) q
+        |  WHERE df <= 32),
+        |r AS (SELECT s.vid, s.sh FROM sh s JOIN dfc USING (sh))
+        |SELECT a.vid AS vid_a, b.vid AS vid_b, count(*)::BIGINT AS n_shared
+        |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY vid_a, vid_b""".stripMargin,
     // NB quality classifier (q131): train counts, the integer
     // log-ratio model, and every held-out score/verdict replayed (the
     // negative class is the word-reversed twin corpus, rebuilt in SQL)

@@ -1324,6 +1324,87 @@ object MultimodalOps {
       asset_id: Long, frame_idx: Long, width: Long, height: Long,
       n_frames: Long, mean_b: Long, mean_g: Long, mean_r: Long)
 
+  /** VIDEO NEAR-DUP corpus with PLANTED shared segments: the
+    * `doc_id % 3 == 2` slice as 8-frame constant-fill AVIs where the
+    * FIRST FIVE frames' fills derive from the video's GROUP
+    * (`doc_id − doc_id % 21` — seven videos per group at stride 3) and
+    * the last three from the video itself — so same-group videos share
+    * a 5-frame segment (re-used intro/stock footage, the content-ID
+    * case) while differing elsewhere, and every frame mean stays pure
+    * (doc_id, frame) arithmetic for the oracle.
+    */
+  def nearDupVideos(spark: SparkSession, dir: String): Dataset[DecodableAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 2)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val grp = id - id % 21
+          DecodableAsset(id, "video", encodeAviConst(
+            (8 + id % 8).toInt, (6 + (id * 3) % 8).toInt,
+            (0 until 8).map { f =>
+              if (f < 5) (
+                ((grp + 29L * f) % 256).toInt,
+                ((grp * 7 + 29L * f) % 256).toInt,
+                ((grp * 13 + 29L * f) % 256).toInt)
+              else (
+                ((id * 9 + 31L * f) % 256).toInt,
+                ((id * 11 + 31L * f) % 256).toInt,
+                ((id * 17 + 31L * f) % 256).toInt)
+            }))
+        }
+      }
+  }
+
+  /** CONTENT-ID-style video near-dup: per-frame signatures (exact
+    * channel means — dimension-independent, so re-scaled copies of the
+    * same content still match) shingle into k-consecutive-frame
+    * digests, and videos sharing ≥ `minShared` sub-cap digests pair —
+    * the q74 winnowing discipline lifted to the video modality:
+    * matching is a digest EQUI-JOIN bounded by Σ_{df ≤ cap} df², never
+    * all-pairs, and the per-video shingling is one bounded in-row pass
+    * (the frame count is already capped by the AVI decoder).
+    */
+  def videoNearDup(
+      assetDf: DataFrame, k: Int = 3, dfCap: Long = 32L,
+      minShared: Long = 2L): DataFrame = {
+    val sigs = videoFrameFeatures(assetDf).toDF()
+      .select(col("asset_id"), col("frame_idx"),
+        concat_ws(":", col("mean_b"), col("mean_g"), col("mean_r")).as("sig"))
+    val sh = sigs.groupBy(col("asset_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(frame_idx, sig))), x -> x.sig)")
+        .as("seq"))
+      .select(col("asset_id"), explode(expr(
+        s"CASE WHEN size(seq) >= $k THEN transform(sequence(1, size(seq) - $k + 1), " +
+          s"i -> md5(cast(concat_ws('|', slice(seq, i, $k)) AS binary))) " +
+          "ELSE CAST(array() AS array<string>) END")).as("sh"))
+      .distinct()
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfc.filter(col("df") <= dfCap), Seq("sh"))
+      .select(col("asset_id"), col("sh"))
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.asset_id") < col("b.asset_id"))
+      .groupBy(col("a.asset_id"), col("b.asset_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("a.asset_id").as("vid_a"), col("b.asset_id").as("vid_b"),
+        col("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** q133: video near-dup over the planted-segment corpus — same-group
+    * videos pair on their shared 5-frame intro (3 shared shingles at
+    * k = 3), everything replayed by the oracle from (doc_id, frame)
+    * arithmetic through the shingle digests and pair counts.
+    */
+  def q133VideoNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoNearDup(nearDupVideos(spark, dir).toDF())
+      .orderBy(col("vid_a"), col("vid_b"))
+
   /** Per-FRAME decode features over a video asset table: each decodable
     * AVI payload explodes into one row per frame with the frame's exact
     * integer channel means (sums divide exactly for constant fills; for
