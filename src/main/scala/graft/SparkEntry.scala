@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
+import graft.operators.{ClassifyOps, CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -152,6 +152,7 @@ object SparkEntry {
     "q131_nb_quality" -> (ClassifyOps.q131NbQuality(_, _)),
     "q132_main_content" -> (HtmlOps.q132MainContent(_, _)),
     "q133_video_neardup" -> (MultimodalOps.q133VideoNearDup(_, _)),
+    "q134_markdown_extract" -> (MarkdownOps.q134MarkdownExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -655,6 +656,57 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // Markdown -> text extraction (q134): the oracle REBUILDS the
+    // identical synthetic markup from (doc_id, text) and replays the
+    // whole rule chain — fence extraction/elision FIRST (the fence
+    // carries decoy links/headings/emphasis that must reach the code
+    // sha byte-exact and never the prose), image drop, backref-free
+    // link unwrap, heading/quote/bullet marker strips, emphasis strips,
+    // blank-line block segmentation — every pattern string shared
+    // verbatim in the Java/RE2 common dialect
+    "q134_markdown_extract" ->
+      """WITH m AS (SELECT doc_id,
+        |    '# Doc ' || doc_id ||
+        |    chr(10) || chr(10) || 'Intro *fast* _path_ with [link ' || doc_id ||
+        |    '](https://example.test/' || doc_id ||
+        |    ') and ![img](https://example.test/i' || doc_id ||
+        |    '.png) plus `inline ' || doc_id ||
+        |    '` code.' || chr(10) || chr(10) || '```scala' || chr(10) ||
+        |    'val x = ' || doc_id ||
+        |    ' // decoy: [not](a-link) *stars* # heading' || chr(10) || '```' ||
+        |    chr(10) || chr(10) || '> quoted ' || doc_id ||
+        |    chr(10) || chr(10) || '- item one ' || doc_id ||
+        |    chr(10) || '- item two' || chr(10) || chr(10) || text AS md
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    regexp_extract_all(md, '(?s)```[^\n]*\n(.*?)```', 1) AS code,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      replace(
+        |      regexp_replace(regexp_replace(
+        |      regexp_replace(md, '(?s)```[^\n]*\n(.*?)```',
+        |        chr(10) || chr(10), 'g'),
+        |      '!\[[^\]]*\]\([^)]*\)', ' ', 'g'),
+        |      '\]\([^)]*\)', ' ', 'g'),
+        |      '[', ''),
+        |      '(?m)^#{1,6} ', '', 'g'),
+        |      '(?m)^> ', '', 'g'),
+        |      '(?m)^[-+*] ', '', 'g') AS p7
+        |  FROM m),
+        |e AS (SELECT doc_id, code,
+        |    replace(replace(replace(p7, '*', ''), '_', ''), '`', '') AS p8
+        |  FROM s),
+        |b AS (SELECT doc_id, code,
+        |    list_filter(list_transform(regexp_split_to_array(p8, '\n{2,}'),
+        |      x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
+        |      x -> x <> '') AS blocks
+        |  FROM e)
+        |SELECT doc_id, len(blocks)::BIGINT AS n_blocks,
+        |  length(array_to_string(blocks, chr(10)))::BIGINT AS n_chars,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha,
+        |  blocks[1] AS first_block,
+        |  len(code)::BIGINT AS n_code,
+        |  sha256(array_to_string(code, chr(10))) AS code_sha
+        |FROM b ORDER BY doc_id""".stripMargin,
     // NB quality classifier (q131): train counts, the integer
     // log-ratio model, and every held-out score/verdict replayed (the
     // negative class is the word-reversed twin corpus, rebuilt in SQL)
