@@ -153,6 +153,7 @@ object SparkEntry {
     "q132_main_content" -> (HtmlOps.q132MainContent(_, _)),
     "q133_video_neardup" -> (MultimodalOps.q133VideoNearDup(_, _)),
     "q134_markdown_extract" -> (MarkdownOps.q134MarkdownExtract(_, _)),
+    "q135_warc_gz_extract" -> (WarcOps.q135WarcGzExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -205,7 +206,7 @@ object SparkEntry {
     * extraction rule chain in the Java/RE2 common dialect, ending in a
     * CTE `b(doc_id, blocks)`.
     */
-  private def htmlExtractCtes: String =
+  private def htmlExtractCtes(htmlSuffix: String = ""): String =
     """WITH h AS (SELECT doc_id,
       |    '<html><head><title>Doc ' || doc_id ||
       |    '</title><style type="text/css"> p { color: #fff; } </style>' ||
@@ -215,13 +216,13 @@ object SparkEntry {
       |    '</h1><p>' || text ||
       |    '</p><div id="tail">Tail&nbsp;&amp;&nbsp;&lt;b&gt; &quot;q&quot; ' ||
       |    '&#39;v&#39; &apos;w&apos; of ' || doc_id ||
-      |    '</div></body></html>' AS html
+      |    '</div></body></html>'@@HTML_SUFFIX@@ AS html
       |  FROM documents),
       |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
       |    regexp_replace(regexp_replace(html,
-      |    '(?s)<!--.*?-->', ' ', 'g'),
       |    '(?is)<script\b[^>]*>.*?</script[^>]*>', ' ', 'g'),
       |    '(?is)<style\b[^>]*>.*?</style[^>]*>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g'),
       |    '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|header|footer|pre|title)\b[^>]*>',
       |    chr(10), 'g'),
       |    '(?s)<[^>]*>', ' ', 'g') AS t1
@@ -237,7 +238,7 @@ object SparkEntry {
       |      x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
       |      x -> x <> '') AS blocks
       |  FROM e)
-      |""".stripMargin
+      |""".stripMargin.replace("@@HTML_SUFFIX@@", htmlSuffix)
 
   /** Shared oracle fragments for the unigram-LM queries (q124/q125):
     * the seed vocabulary and each hard-EM round's Viterbi DP unrolled
@@ -1855,7 +1856,7 @@ object SparkEntry {
     // newlines, tag stripping, entity decode (amp last), whitespace
     // normalization, empty-block drop — in the Java/RE2 common regex
     // dialect, so every pattern string is shared verbatim with Spark
-    "q122_html_extract" -> (htmlExtractCtes +
+    "q122_html_extract" -> (htmlExtractCtes() +
       """SELECT doc_id, len(blocks)::BIGINT AS n_blocks,
         |  length(array_to_string(blocks, chr(10)))::BIGINT AS n_chars,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha,
@@ -1865,7 +1866,7 @@ object SparkEntry {
     // classified by the jusText-style length + stopword-density rule
     // (integer DIV basis points) — chrome drops, prose survives, the
     // kept content pinned by its ordered sha
-    "q132_main_content" -> (htmlExtractCtes +
+    "q132_main_content" -> (htmlExtractCtes() +
       """, r AS (SELECT doc_id, i + 1 AS block_idx, blocks[(i + 1)::INT] AS block
         |  FROM b, unnest(range(len(blocks))) t(i)),
         |f AS (SELECT doc_id, block_idx, block,
@@ -1888,7 +1889,21 @@ object SparkEntry {
     // the q46 encode->decode-collapse discipline: a container-walk slip
     // (miscounted Content-Length, lost record, header misparse) changes
     // rows or hashes
-    "q128_warc_extract" -> (htmlExtractCtes +
+    "q128_warc_extract" -> (htmlExtractCtes() +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
+    // gzip-member WARC front door (q135): the q128 contract over the
+    // production Common Crawl layout — one gzip member per record, with
+    // a planted non-ASCII paragraph so the UTF-8 byte round-trip (octet
+    // counts != char counts) is under the hash; the oracle replays from
+    // (doc_id, text) with the marker block appended — the member
+    // inflate itself collapses out (encode->decode discipline)
+    "q135_warc_gz_extract" -> (htmlExtractCtes(
+      " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
+        "' || doc_id || '</p>'") +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,
         |  len(blocks)::BIGINT AS n_blocks,

@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   * segmentation, all per-row codegen built-ins — no UDFs, no shuffle.
   *
   * Extraction semantics (each deliberate, each pinned by spec + oracle):
-  *   1. `<!-- … -->` comments, `<script…>…</script…>` and
-  *      `<style…>…</style…>` elements drop WITH their content (a raw
-  *      `<` inside script text cannot resurrect as markup because the
-  *      whole element is elided first). An UNCLOSED script/style keeps
-  *      its text — the content-preserving fallback for truncated crawls
-  *      (deterministic; the fuzz spec pins it).
+  *   1. `<script…>…</script…>` and `<style…>…</style…>` elements drop
+  *      WITH their content FIRST (a raw `<` inside script text cannot
+  *      resurrect as markup because the whole element is elided), THEN
+  *      `<!-- … -->` comments — so the legacy script-hiding idiom (a
+  *      bare `<!--` inside a script whose `-->` lies outside) cannot
+  *      swallow the `</script>` tag plus real text. An UNCLOSED
+  *      script/style keeps its text — the content-preserving fallback
+  *      for truncated crawls (deterministic; the fuzz spec pins it).
   *   2. Block-level tags (p, div, br, h1–h6, li, ul, ol, tr, td, th,
   *      table, blockquote, section, article, header, footer, pre,
   *      title) become newlines — the block boundaries; every remaining
@@ -55,9 +57,17 @@ object HtmlOps {
     * `htmlBlocks` finishes segmentation.
     */
   private def extractRaw(html: Column): Column = {
-    val c1 = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    val c2 = regexp_replace(c1, "(?is)<script\\b[^>]*>.*?</script[^>]*>", " ")
-    val c3 = regexp_replace(c2, "(?is)<style\\b[^>]*>.*?</style[^>]*>", " ")
+    // script/style elide BEFORE comments: the legacy script-hiding idiom
+    // (`<script><!-- … //--></script>`) plants a bare `<!--` inside
+    // script text whose `-->` may lie OUTSIDE the element — a
+    // comments-first pass would elide through the `</script>` tag and
+    // swallow real document text. Script-first contains the comment
+    // inside the elided element. (The converse pathology — a comment
+    // holding an unclosed `<script>` open tag — is the rarer page shape;
+    // the ordering choice is pinned by HtmlExtractSpec.)
+    val c1 = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script[^>]*>", " ")
+    val c2 = regexp_replace(c1, "(?is)<style\\b[^>]*>.*?</style[^>]*>", " ")
+    val c3 = regexp_replace(c2, "(?s)<!--.*?-->", " ")
     val c4 = regexp_replace(c3, s"(?i)</?(?:$BlockTags)\\b[^>]*>", "\n")
     val c5 = regexp_replace(c4, "(?s)<[^>]*>", " ")
     // entity decode — amp LAST so double-encoded entities stay literal

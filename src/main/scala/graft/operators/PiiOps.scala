@@ -73,9 +73,13 @@ object PiiOps {
       .withColumn("n_cards_total", cnt(CardRe))
       .withColumn("n_cards_valid", size(col("pii_cards_valid")).cast("long"))
       .withColumn("pii_redact_base", redactBase)
+      // boundary-anchored per-candidate redaction — the SAME \b match
+      // semantics the counts use: a Luhn-valid 16-digit SUBSTRING of a
+      // longer digit run is neither counted nor redacted (a bare
+      // replace() would partially redact it while the count said zero)
       .withColumn("redacted", expr(
         "aggregate(pii_cards_valid, pii_redact_base, " +
-          "(acc, c) -> replace(acc, c, '[CARD]'))"))
+          "(acc, c) -> regexp_replace(acc, concat('\\\\b', c, '\\\\b'), '[CARD]'))"))
       .drop("pii_cards_valid", "pii_redact_base")
   }
 

@@ -36,10 +36,18 @@ object WarcOps {
 
   /** Parse concatenated WARC records; keep `response` records' HTTP
     * payloads split into (status, body). ISO-8859-1 maps bytes 1:1 to
-    * chars, so char offsets ARE byte offsets.
+    * chars, so char offsets ARE byte offsets — but ONLY the walk uses
+    * the Latin-1 view: every extracted string (header values, HTTP
+    * bodies) is re-decoded from the ORIGINAL byte array as UTF-8, so a
+    * multi-byte payload round-trips byte-identical instead of
+    * mojibake-ing when Spark re-encodes the Latin-1 chars (each 0x80–
+    * 0xFF char would otherwise become two UTF-8 bytes and diverge
+    * `text_sha` from the source text).
     */
   private[graft] def parseWarc(bytes: Array[Byte]): Seq[(String, Int, String)] = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def utf8(from: Int, until: Int): String =
+      new String(bytes, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
     var p = 0
     while (p < s.length) {
@@ -60,7 +68,7 @@ object WarcOps {
           val colon = line.indexOf(':')
           if (colon > 0) {
             val name = line.substring(0, colon).trim.toLowerCase
-            val value = line.substring(colon + 1).trim
+            val value = utf8(p + colon + 1, eol).trim
             name match {
               case "warc-target-uri" => uri = value
               case "warc-type" => wtype = value
@@ -73,13 +81,17 @@ object WarcOps {
         }
       }
       if (!ok || clen < 0 || p + clen > s.length) return out.toSeq
+      val p0 = p // payload start (byte == char offset)
       val payload = s.substring(p, (p + clen).toInt)
       p = (p + clen).toInt
       // record separator: \r\n\r\n (tolerate a truncated tail)
       if (s.startsWith("\r\n\r\n", p)) p += 4
       else if (p < s.length) return out.toSeq
       if (wtype == "response" && uri != null) {
-        // HTTP split: status line, headers, blank line, body
+        // HTTP split: status line, headers, blank line, body. The HTTP
+        // header section is ASCII-clean by protocol, so its char
+        // offsets in the Latin-1 view are byte offsets; the BODY is
+        // re-decoded from the raw bytes as UTF-8.
         val eol = payload.indexOf("\r\n")
         val hdrEnd = payload.indexOf("\r\n\r\n")
         if (eol > 0 && hdrEnd >= eol) {
@@ -88,20 +100,114 @@ object WarcOps {
             try statusLine(1).toInt catch { case _: NumberFormatException => -1 }
           else -1
           if (status > 0)
-            out += ((uri, status, payload.substring(hdrEnd + 4)))
+            out += ((uri, status, utf8(p0 + hdrEnd + 4, p0 + clen.toInt)))
         }
       }
     }
     out.toSeq
   }
 
-  /** Distributed record extraction over (group_id, warc binary) rows. */
+  /** Per-member decompressed-size cap — allocation bound BEFORE trusting
+    * any header field (the codec discipline): a gzip bomb member drops,
+    * the walk continues at the next member.
+    */
+  private val MaxMemberBytes = 1L << 26
+
+  private[graft] def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 0x1f.toByte &&
+      bytes(1) == 0x8b.toByte && bytes(2) == 8
+
+  /** Member-at-a-time inflate of a production WARC: real crawl archives
+    * (Common Crawl et al.) are CONCATENATED GZIP MEMBERS, one WARC
+    * record per member (ISO 28500 annex; the member boundary is what
+    * makes records independently seekable). JDK `Inflater` keeps the
+    * zero-dependency discipline (the PNG/WebP precedent); the walk
+    * stays offset-driven — the next member starts exactly where the
+    * previous member's deflate stream + 8-byte CRC32/ISIZE trailer
+    * ends (`Inflater.getRemaining`), never by scanning. Error-as-value
+    * per member: a corrupt member (deflate error, truncation, CRC or
+    * ISIZE mismatch, size bomb) drops and the walk RESYNCS at the next
+    * `1f 8b 08` magic — the intact members around it all survive.
+    */
+  private[graft] def gunzipMembers(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def nextMagic(from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i + 3 <= n && !(bytes(i) == 0x1f.toByte &&
+        bytes(i + 1) == 0x8b.toByte && bytes(i + 2) == 8)) i += 1
+      if (i + 3 <= n) i else n
+    }
+    var p = 0
+    while (p + 10 <= n && bytes(p) == 0x1f.toByte &&
+      bytes(p + 1) == 0x8b.toByte && bytes(p + 2) == 8) {
+      // header: magic(2) cm(1) flg(1) mtime(4) xfl(1) os(1) [+ extras]
+      val flg = bytes(p + 3) & 0xff
+      var q = p + 10
+      if ((flg & 4) != 0 && q + 2 <= n) // FEXTRA
+        q += 2 + ((bytes(q) & 0xff) | ((bytes(q + 1) & 0xff) << 8))
+      if ((flg & 8) != 0) { while (q < n && bytes(q) != 0) q += 1; q += 1 } // FNAME
+      if ((flg & 16) != 0) { while (q < n && bytes(q) != 0) q += 1; q += 1 } // FCOMMENT
+      if ((flg & 2) != 0) q += 2 // FHCRC
+      if (q >= n) return out.toSeq // truncated header: stop
+      val inf = new java.util.zip.Inflater(true)
+      val crc = new java.util.zip.CRC32()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var corrupt = false
+      var total = 0L
+      try {
+        inf.setInput(bytes, q, n - q)
+        while (!corrupt && !inf.finished()) {
+          val w =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => corrupt = true; 0 }
+          if (!corrupt) {
+            if (w > 0) {
+              total += w
+              if (total > MaxMemberBytes) corrupt = true
+              else { bos.write(buf, 0, w); crc.update(buf, 0, w) }
+            } else if (!inf.finished() && inf.needsInput()) corrupt = true // truncated
+          }
+        }
+        if (corrupt) p = nextMagic(q)
+        else {
+          val end = q + (n - q - inf.getRemaining) // first trailer byte
+          def le32(at: Int): Long =
+            (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+              ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+          if (end + 8 > n) { p = n } // truncated trailer: drop member, done
+          else if (le32(end) != crc.getValue ||
+            le32(end + 4) != (total & 0xffffffffL))
+            // resync from the member's own deflate start, not `end` — a
+            // corrupted stream that still "finished" may have consumed
+            // into the NEXT member's bytes
+            p = nextMagic(q)
+          else { out += bos.toByteArray; p = end + 8 }
+        }
+      } finally inf.end()
+    }
+    out.toSeq
+  }
+
+  /** Dispatch on the container form: gzip-member archives inflate then
+    * parse PER MEMBER (a malformed record in one member never takes the
+    * neighbors with it); plaintext archives walk directly — the
+    * pre-round-15 path, byte-for-byte unchanged.
+    */
+  private[graft] def parseWarcAuto(bytes: Array[Byte]): Seq[(String, Int, String)] =
+    if (isGzip(bytes)) gunzipMembers(bytes).flatMap(parseWarc)
+    else parseWarc(bytes)
+
+  /** Distributed record extraction over (group_id, warc binary) rows;
+    * accepts plaintext and gzip-member archives alike.
+    */
   def extractRecords(spark: SparkSession, warcs: DataFrame): Dataset[WarcHttpRecord] = {
     import spark.implicits._
     warcs.select(col("group_id"), col("warc"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (gid, bytes) =>
-        parseWarc(bytes).map { case (uri, st, body) =>
+        parseWarcAuto(bytes).map { case (uri, st, body) =>
           WarcHttpRecord(gid, uri, st, body)
         }
       })
@@ -113,21 +219,66 @@ object WarcOps {
     * order — so the parser must walk REAL multi-record archives with
     * correct octet counting (`octet_length`, not chars).
     */
-  private[graft] def syntheticWarc(docs: DataFrame, groups: Int = 8): DataFrame = {
+  /** One WARC response record per (doc_id, html) row — `Content-Length`
+    * counts OCTETS (`octet_length`, not chars), so a multi-byte body
+    * exercises the byte-driven walk.
+    */
+  private def warcRecordCol: org.apache.spark.sql.Column = {
     val http = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), col("html"))
     val uri = concat(lit("https://example.test/doc/"), col("doc_id").cast("string"))
-    val rec = concat(
+    concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
       lit("\r\nContent-Length: "), octet_length(http).cast("string"),
       lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+  }
+
+  private[graft] def syntheticWarc(docs: DataFrame, groups: Int = 8): DataFrame =
     HtmlOps.syntheticHtml(docs)
       .select((col("doc_id") % groups).as("group_id"),
-        struct(col("doc_id"), rec.as("rec")).as("s"))
+        struct(col("doc_id"), warcRecordCol.as("rec")).as("s"))
       .groupBy(col("group_id"))
       .agg(array_join(
         expr("transform(array_sort(collect_list(s)), x -> x.rec)"), "")
         .cast("binary").as("warc"))
+
+  /** UTF-8 strings → concatenated one-record-per-member gzip archive
+    * (the production Common Crawl layout). Encoder lives in main for
+    * corpus construction — the Jpeg/Gif precedent.
+    */
+  private[graft] def gzipMembers(recs: Seq[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(r.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.finish()
+    }
+    bos.toByteArray
+  }
+
+  /** The non-ASCII paragraph appended to every q135 document — forces
+    * the UTF-8 body round-trip (octet ≠ char counts; a Latin-1 decode
+    * anywhere in the chain diverges `text_sha`).
+    */
+  private[graft] val Utf8Marker =
+    "Naïve café — résumé № "
+
+  /** Gzip-member synthetic corpus: the q128 markup PLUS a planted
+    * non-ASCII paragraph, each record its own gzip member.
+    */
+  private[graft] def syntheticWarcGz(docs: DataFrame, groups: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    HtmlOps.syntheticHtml(docs)
+      .select(col("doc_id"), concat(col("html"),
+        lit("<p>" + Utf8Marker), col("doc_id").cast("string"), lit("</p>")).as("html"))
+      .select((col("doc_id") % groups).as("group_id"),
+        struct(col("doc_id"), warcRecordCol.as("rec")).as("s"))
+      .groupBy(col("group_id"))
+      .agg(expr("transform(array_sort(collect_list(s)), x -> x.rec)").as("recs"))
+      .as[(Long, Seq[String])]
+      .map { case (gid, recs) => (gid, gzipMembers(recs)) }
+      .toDF("group_id", "warc")
   }
 
   /** q128: the full crawl front door — WARC walk → HTTP split → HTML
@@ -136,9 +287,24 @@ object WarcOps {
     * replayed by the oracle directly from (doc_id, text) (the q46
     * encode→decode-collapse discipline).
     */
-  def q128WarcExtract(spark: SparkSession, dir: String): DataFrame = {
-    val recs = extractRecords(spark,
-      syntheticWarc(Tables.documents(spark, dir))).toDF()
+  def q128WarcExtract(spark: SparkSession, dir: String): DataFrame =
+    extractToDocs(extractRecords(spark,
+      syntheticWarc(Tables.documents(spark, dir))).toDF())
+
+  /** q135: the q128 front door over a PRODUCTION-SHAPE archive —
+    * per-record gzip members with a planted non-ASCII paragraph; same
+    * output contract, oracle-replayed from (doc_id, text) with the
+    * UTF-8 marker block appended (so the member inflate AND the UTF-8
+    * byte round-trip are both under the hash).
+    */
+  def q135WarcGzExtract(spark: SparkSession, dir: String): DataFrame =
+    extractToDocs(extractRecords(spark,
+      syntheticWarcGz(Tables.documents(spark, dir))).toDF())
+
+  /** Shared record → (doc_id, url, status, n_blocks, text_sha)
+    * projection of q128/q135.
+    */
+  private def extractToDocs(recs: DataFrame): DataFrame =
     recs
       .select(
         regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
@@ -149,5 +315,4 @@ object WarcOps {
         size(col("blocks")).cast("long").as("n_blocks"),
         sha2(array_join(col("blocks"), "\n"), 256).as("text_sha"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -48,6 +48,26 @@ class HtmlOpsSpec extends AnyFunSuite {
     assert(extract(html) == Seq("before", "var x = 1;"))
   }
 
+  test("elision ORDER pin: script elides before comments, so the legacy " +
+    "script-hiding idiom cannot swallow real text") {
+    // a bare <!-- inside script whose --> lies OUTSIDE the element: a
+    // comments-first pass would elide through </script><p>Real text</p>
+    // and keep the script prefix instead (exactly backwards)
+    val html = "<script>var a; <!-- hide() </script>" +
+      "<p>Real text</p><!-- trailing -->"
+    assert(extract(html) == Seq("Real text"))
+    // the classic full idiom: comment markers wholly inside the element
+    val idiom = "<p>keep</p><script><!--\nlegacy();\n//--></script><p>also</p>"
+    assert(extract(idiom) == Seq("keep", "also"))
+    // the declared converse trade: a comment holding a script open-tag
+    // loses its interior to the script pass (rarer page shape;
+    // deterministic). The orphaned '<!--' survives as literal text —
+    // the block-tag pass newlines '<p>' before the generic strip can
+    // see a '>' for it.
+    val converse = "<!-- <script> -->text</script><p>tail</p>"
+    assert(extract(converse) == Seq("<!--", "tail"))
+  }
+
   test("case-insensitive tags and attribute soup") {
     val html = "<P CLASS=\"a\" data-x='<'>one</P><DIV\nid=z>two</DIV>" +
       "<SCRIPT type=\"text/javascript\">gone()</SCRIPT><BR/>three"

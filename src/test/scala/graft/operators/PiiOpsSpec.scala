@@ -56,6 +56,24 @@ class PiiOpsSpec extends AnyFunSuite {
       "nothing sensitive in this perfectly ordinary sentence")
   }
 
+  test("redaction shares the counts' boundary semantics: an embedded valid " +
+    "16-digit substring neither counts nor redacts") {
+    // 20-digit run whose digits 3..18 are the Luhn-valid 4111111111111111:
+    // \b-anchored counting sees no card — boundary-anchored redaction
+    // must leave it untouched too (no partial [CARD] splice)
+    val embedded = "99411111111111111199"
+    val r = scrub(s"ref $embedded and a real pan 4111111111111111 end")
+    assert(r.getAs[Long]("n_cards_total") == 1)
+    assert(r.getAs[Long]("n_cards_valid") == 1)
+    val red = r.getAs[String]("redacted")
+    assert(red.contains(embedded),
+      s"embedded digit run must survive untouched: $red")
+    assert(red.contains("pan [CARD] end"), s"standalone pan must redact: $red")
+    // repeats of the same valid pan all redact
+    val r2 = scrub("a 4111111111111111 b 4111111111111111 c")
+    assert(r2.getAs[String]("redacted") == "a [CARD] b [CARD] c")
+  }
+
   test("q130 on sf0.001: planted counts follow the doc_id arithmetic; shas stable") {
     val rows = PiiOps.q130PiiScrub(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

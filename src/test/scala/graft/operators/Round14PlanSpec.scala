@@ -59,6 +59,51 @@ class Round14PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q126: the production clustered leg is a cid EQUI-join (no cartesian); " +
+    "the registered query carries EXACTLY ONE declared-exact BNLJ") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // production path: semanticDedupPairs pairs ONLY within a cluster —
+    // an equi-join on cid, Σ|cluster|² work, never a corpus cartesian
+    val nv = Seq(
+      (1L, Seq(1.0, 0.0), 0), (2L, Seq(0.9, 0.1), 0),
+      (3L, Seq(0.0, 1.0), 1), (4L, Seq(0.1, 0.9), 1))
+      .toDF("vec_id", "nv", "cid")
+    noCartesian(SimilarityOps.semanticDedupPairs(nv, 0.9))
+    // DOCUMENTED EXEMPTION (round-15 ADVICE): q126's registered output
+    // contract includes corpus-wide `exact_dup` — the q23-class DECLARED
+    // exact baseline the oracle replays with the identical
+    // normalize-then-dot chain and that `drop_sound` is measured
+    // against. That single parity leg is inherently all-pairs
+    // (BroadcastNestedLoopJoin); the pin here is that it stays the ONLY
+    // one — the clustered production leg must never contribute a second.
+    // semanticDedup persists its verdict frame, so the BNLJ lives in
+    // the CACHED plan — traverse into InMemoryRelations to find it
+    def deep(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nodes = p.collect { case x => x }
+      nodes ++ nodes.flatMap {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          deep(s.relation.cachedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case x => x
+          })
+        // materialized AQE stages are leaves to collect(); expand them
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deep(s.plan)
+        case _ => Nil
+      }
+    }
+    val q126 = SimilarityOps.q126SemanticDedup(spark, sf)
+    val bnlj = deep(plan(q126)).collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bnlj.size == 1,
+      s"q126 expects exactly the declared exact-parity BNLJ, got ${bnlj.size}:\n${plan(q126)}")
+  }
+
   test("q128/q129/q131 plan no cartesian; q129's only hash exchange is the canonical-key window") {
     noCartesian(WarcOps.q128WarcExtract(spark, sf))
     noCartesian(ClassifyOps.q131NbQuality(spark, sf))

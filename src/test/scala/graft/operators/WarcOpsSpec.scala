@@ -22,8 +22,9 @@ class WarcOpsSpec extends AnyFunSuite {
       status: String = "200 OK"): String = {
     val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n$body"
     val payload = if (wtype == "response") http else body
+    val octets = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
-      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+      s"Content-Length: $octets\r\n\r\n$payload\r\n\r\n"
   }
 
   test("multi-record walk is offset-exact: a body containing WARC/1.0 does not resync") {
@@ -66,6 +67,124 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(WarcOps.parseWarc(iso(lying)).map(_._1) == Seq("https://a/1"))
     assert(WarcOps.parseWarc(iso("complete garbage")).isEmpty)
     assert(WarcOps.parseWarc(Array.empty[Byte]).isEmpty)
+  }
+
+  test("non-ASCII payloads round-trip byte-identical (UTF-8 re-decode, not Latin-1 mojibake)") {
+    // Content-Length counts OCTETS; the 2-byte é/3-byte — force
+    // octet != char counts through the whole walk
+    val body = "naïve café — résumé № é中文 end"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+    val octets = http.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a/u\r\n" +
+      s"Content-Length: $octets\r\n\r\n$http\r\n\r\n"
+    val recs = WarcOps.parseWarc(
+      (rec + record("https://a/2", "after")).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    assert(recs.map(_._1) == Seq("https://a/u", "https://a/2"))
+    assert(recs.head._3 == body, "UTF-8 body must round-trip byte-identical")
+  }
+
+  private def gz(recs: String*): Array[Byte] = WarcOps.gzipMembers(recs)
+
+  test("gzip members: member-at-a-time inflate equals the plaintext walk") {
+    val r1 = record("https://g/1", "first")
+    val r2 = record("https://g/2", "naïve café №2")
+    val plain = WarcOps.parseWarc(
+      (r1 + r2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val gzipped = WarcOps.parseWarcAuto(gz(r1, r2))
+    assert(gzipped == plain)
+    assert(gzipped.map(_._3) == Seq("first", "naïve café №2"))
+    // plaintext dispatch unchanged
+    assert(WarcOps.parseWarcAuto(iso(r1)) == WarcOps.parseWarc(iso(r1)))
+  }
+
+  test("gzip hostility: corrupt/truncated/lying members drop, neighbors survive") {
+    val members = Seq(
+      record("https://g/1", "one"), record("https://g/2", "two"),
+      record("https://g/3", "three"))
+    val whole = gz(members: _*)
+    // locate member boundaries by re-gzipping prefixes
+    val b01 = gz(members.head).length
+    val b02 = gz(members.take(2): _*).length
+    // bit-flip inside member 2's deflate data: members 1 and 3 survive
+    val flipped = whole.clone()
+    flipped(b01 + 14) = (flipped(b01 + 14) ^ 0x55).toByte
+    val survivors = WarcOps.parseWarcAuto(flipped).map(_._1)
+    assert(survivors.contains("https://g/1") && survivors.contains("https://g/3"))
+    assert(!survivors.contains("https://g/2"))
+    // truncation anywhere never throws; full blob yields all three
+    for (cut <- Seq(0, 5, b01 - 1, b01, b01 + 9, b02 + 3, whole.length)) {
+      val got = WarcOps.parseWarcAuto(whole.take(cut))
+      assert(got.length <= 3)
+      if (cut == whole.length) assert(got.length == 3)
+    }
+    // CRC lie (flip a trailer byte): that member drops, the rest survive
+    val crcLie = whole.clone()
+    crcLie(b01 - 6) = (crcLie(b01 - 6) ^ 0x7f).toByte
+    val afterCrc = WarcOps.parseWarcAuto(crcLie).map(_._1)
+    assert(!afterCrc.contains("https://g/1"))
+    assert(afterCrc.contains("https://g/2") && afterCrc.contains("https://g/3"))
+  }
+
+  test("gzip bomb: a member inflating past the cap drops; the next member survives") {
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      val zeros = new Array[Byte](1 << 20)
+      (0 to 70).foreach(_ => g.write(zeros)) // ~71 MiB > 64 MiB cap
+      g.finish()
+      bos.toByteArray
+    }
+    val after = record("https://g/ok", "fine")
+    val blob = bomb ++ gz(after)
+    val got = WarcOps.parseWarcAuto(blob).map(_._1)
+    assert(got == Seq("https://g/ok"))
+  }
+
+  test("gzip header flags (FNAME/FCOMMENT/FEXTRA/FHCRC) step over correctly") {
+    val rec = record("https://g/f", "flagged")
+    val deflated = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      val in = rec.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      (in, bos.toByteArray)
+    }
+    val (in, comp) = deflated
+    val crc = new java.util.zip.CRC32(); crc.update(in)
+    val bos = new java.io.ByteArrayOutputStream()
+    // magic, deflate, FLG = FEXTRA|FNAME|FCOMMENT (4|8|16 = 0x1c)
+    bos.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0x1c, 0, 0, 0, 0, 0, 3))
+    bos.write(Array[Byte](4, 0)) // XLEN=4
+    bos.write(Array[Byte](1, 2, 3, 4)) // extra field
+    bos.write("file.warc".getBytes); bos.write(0) // FNAME
+    bos.write("a comment".getBytes); bos.write(0) // FCOMMENT
+    bos.write(comp)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    bos.write(le32(crc.getValue)); bos.write(le32(in.length.toLong))
+    val got = WarcOps.parseWarcAuto(bos.toByteArray ++ gz(record("https://g/2", "x")))
+    assert(got.map(_._1) == Seq("https://g/f", "https://g/2"))
+  }
+
+  test("q135 end-to-end: gzip archive extraction matches q128 plus the UTF-8 marker block") {
+    val out = WarcOps.q135WarcGzExtract(spark, "/root/testdata/sf0.001")
+      .collect()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(out.length == docs.count(), "every doc must survive member inflate")
+    // the marker paragraph adds exactly one block vs q128
+    val q128 = WarcOps.q128WarcExtract(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("n_blocks")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(3) == q128(r.getLong(0)) + 1,
+        s"doc ${r.getLong(0)}: expected the one extra UTF-8 marker block")
+    }
   }
 
   test("q128 end-to-end on sf0.001: every document extracted through the container") {
