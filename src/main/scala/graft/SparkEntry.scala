@@ -216,7 +216,9 @@ object SparkEntry {
       |    '</h1><p>' || text ||
       |    '</p><div id="tail">Tail&nbsp;&amp;&nbsp;&lt;b&gt; &quot;q&quot; ' ||
       |    '&#39;v&#39; &apos;w&apos; of ' || doc_id ||
-      |    '</div></body></html>'@@HTML_SUFFIX@@ AS html
+      |    '</div><div>Plus&#233;e &#8212; &#x1F600; &#60;i&#62; ' ||
+      |    '&#x3C;u&#x3E; bad &#xD800; &#0; &#1114112; &amp;#65; fin</div>' ||
+      |    '</body></html>'@@HTML_SUFFIX@@ AS html
       |  FROM documents),
       |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
       |    regexp_replace(regexp_replace(html,
@@ -227,18 +229,47 @@ object SparkEntry {
       |    chr(10), 'g'),
       |    '(?s)<[^>]*>', ' ', 'g') AS t1
       |  FROM h),
-      |e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(
-      |    replace(replace(t1,
+      |e0 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(
+      |    replace(t1,
       |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-      |    '&#34;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
-      |    '&amp;', '&') AS t2
+      |    '&#34;', '"'), '&#39;', chr(39)), '&apos;', chr(39)) AS t15
       |  FROM s),
+      |e AS (SELECT doc_id, replace(list_reduce(list_prepend(t15,
+      |    list_distinct(regexp_extract_all(t15,
+      |      '&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};'))),
+      |    (acc, e) -> replace(acc, e,
+      |      CASE WHEN @@CP@@ >= 1 AND @@CP@@ <= 1114111
+      |          AND NOT (@@CP@@ >= 55296 AND @@CP@@ <= 57343)
+      |        THEN decode(from_hex(
+      |          CASE WHEN @@CP@@ <= 127 THEN lpad(to_hex(@@CP@@), 2, '0')
+      |          WHEN @@CP@@ <= 2047 THEN
+      |            lpad(to_hex((@@CP@@ >> 6) + 192), 2, '0') ||
+      |            lpad(to_hex((@@CP@@ & 63) + 128), 2, '0')
+      |          WHEN @@CP@@ <= 65535 THEN
+      |            lpad(to_hex((@@CP@@ >> 12) + 224), 2, '0') ||
+      |            lpad(to_hex(((@@CP@@ >> 6) & 63) + 128), 2, '0') ||
+      |            lpad(to_hex((@@CP@@ & 63) + 128), 2, '0')
+      |          ELSE
+      |            lpad(to_hex((@@CP@@ >> 18) + 240), 2, '0') ||
+      |            lpad(to_hex(((@@CP@@ >> 12) & 63) + 128), 2, '0') ||
+      |            lpad(to_hex(((@@CP@@ >> 6) & 63) + 128), 2, '0') ||
+      |            lpad(to_hex((@@CP@@ & 63) + 128), 2, '0') END))
+      |        ELSE e END)),
+      |    '&amp;', '&') AS t2
+      |  FROM e0),
       |b AS (SELECT doc_id,
       |    list_filter(list_transform(string_split(t2, chr(10)),
       |      x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
       |      x -> x <> '') AS blocks
       |  FROM e)
-      |""".stripMargin.replace("@@HTML_SUFFIX@@", htmlSuffix)
+      |""".stripMargin
+      .replace("@@CP@@",
+        "(CASE WHEN lower(substr(e, 3, 1)) = 'x' THEN " +
+          "list_sum(list_transform(range(length(e) - 4), i -> " +
+          "(strpos('0123456789abcdef', substr(lower(e), (4 + i)::INT, 1)) - 1)::BIGINT " +
+          "* (1::BIGINT << (4 * (length(e) - 5 - i))::INT)))::BIGINT " +
+          "ELSE substr(e, 3, (length(e) - 3)::INT)::BIGINT END)")
+      .replace("@@HTML_SUFFIX@@", htmlSuffix)
 
   /** Shared oracle fragments for the unigram-LM queries (q124/q125):
     * the seed vocabulary and each hard-EM round's Viterbi DP unrolled
@@ -711,8 +742,15 @@ object SparkEntry {
     // NB quality classifier (q131): train counts, the integer
     // log-ratio model, and every held-out score/verdict replayed (the
     // negative class is the word-reversed twin corpus, rebuilt in SQL)
-    "q131_nb_quality" ->
-      """WITH en AS (SELECT doc_id, lower(text) AS text FROM documents
+    "q131_nb_quality" -> {
+      // hashing-trick bucket: int(first 4 hex of md5(word)) % 1024 —
+      // the q101 portable md5-fold discipline
+      val hb = (w: String) =>
+        s"((strpos('0123456789abcdef', substr(md5($w), 1, 1)) - 1) * 4096 + " +
+          s"(strpos('0123456789abcdef', substr(md5($w), 2, 1)) - 1) * 256 + " +
+          s"(strpos('0123456789abcdef', substr(md5($w), 3, 1)) - 1) * 16 + " +
+          s"strpos('0123456789abcdef', substr(md5($w), 4, 1)) - 1) % 1024"
+      s"""WITH en AS (SELECT doc_id, lower(text) AS text FROM documents
         |  WHERE lang = 'en'),
         |tr AS (SELECT doc_id, text FROM en WHERE doc_id % 4 <> 0),
         |pos AS (SELECT unnest(string_split(text, ' ')) AS word FROM tr),
@@ -724,6 +762,14 @@ object SparkEntry {
         |    (length(bin(coalesce(c_pos, 0) + 1)) - 1) -
         |    (length(bin(coalesce(c_neg, 0) + 1)) - 1) AS contr
         |  FROM cp FULL OUTER JOIN cn ON cp.word = cn.word),
+        |hcp AS (SELECT ${hb("word")} AS bucket, count(*)::BIGINT AS c_pos
+        |  FROM pos GROUP BY 1),
+        |hcn AS (SELECT ${hb("word")} AS bucket, count(*)::BIGINT AS c_neg
+        |  FROM neg GROUP BY 1),
+        |hmodel AS (SELECT coalesce(hcp.bucket, hcn.bucket) AS bucket,
+        |    (length(bin(coalesce(c_pos, 0) + 1)) - 1) -
+        |    (length(bin(coalesce(c_neg, 0) + 1)) - 1) AS hcontr
+        |  FROM hcp FULL OUTER JOIN hcn ON hcp.bucket = hcn.bucket),
         |ho AS (SELECT doc_id, text FROM en WHERE doc_id % 4 = 0),
         |ev AS (SELECT doc_id, text, TRUE AS is_clean FROM ho
         |  UNION ALL
@@ -734,9 +780,13 @@ object SparkEntry {
         |    unnest(string_split(e.text, ' ')) AS word FROM ev e)
         |SELECT t.doc_id, t.is_clean, count(*)::BIGINT AS n_tokens,
         |  sum(coalesce(m.contr, 0))::BIGINT AS score,
-        |  (sum(coalesce(m.contr, 0)) > 0) AS pred
+        |  (sum(coalesce(m.contr, 0)) > 0) AS pred,
+        |  sum(coalesce(hm.hcontr, 0))::BIGINT AS hscore,
+        |  (sum(coalesce(hm.hcontr, 0)) > 0) AS hpred
         |FROM tok t LEFT JOIN model m USING (word)
-        |GROUP BY t.doc_id, t.is_clean ORDER BY t.doc_id""".stripMargin,
+        |  LEFT JOIN hmodel hm ON hm.bucket = ${hb("t.word")}
+        |GROUP BY t.doc_id, t.is_clean ORDER BY t.doc_id""".stripMargin
+    },
     // PII scrub (q130): the planted corpus rebuilt from doc_id
     // arithmetic — including the Luhn check-digit computation, so the
     // valid/invalid card interleave is derived, not asserted — and the

@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   *   3. Entities decode AFTER tag stripping, so `&lt;b&gt;` yields the
   *      LITERAL text `<b>` and never becomes markup (the standard's
   *      one-pass rule; also the injection-safety property). The decoded
-  *      set is the fixed common core — amp (last, so `&amp;lt;` is the
-  *      literal `&lt;`), lt, gt, quot, apos, #34, #39, nbsp — general
-  *      numeric decode is a mechanical extension of the same chain.
+  *      set: the named core (lt, gt, quot, apos, nbsp), then GENERAL
+  *      numeric references `&#NNNN;`/`&#xHH;` (full Unicode range,
+  *      UTF-8-exact; invalid codepoints — 0, >U+10FFFF, surrogates —
+  *      stay literal), then amp LAST so double-encoded entities stay
+  *      literal (`&amp;lt;` is the literal `&lt;`, `&amp;#65;` the
+  *      literal `&#65;`).
   *   4. Blocks split on the inserted newlines; whitespace collapses
   *      within a block; empty blocks drop; surviving blocks number in
   *      document order.
@@ -70,12 +73,58 @@ object HtmlOps {
     val c3 = regexp_replace(c2, "(?s)<!--.*?-->", " ")
     val c4 = regexp_replace(c3, s"(?i)</?(?:$BlockTags)\\b[^>]*>", "\n")
     val c5 = regexp_replace(c4, "(?s)<[^>]*>", " ")
-    // entity decode — amp LAST so double-encoded entities stay literal
-    val e = Seq(
+    // entity decode — named, then GENERAL numeric references, then amp
+    // LAST so double-encoded entities stay literal (`&amp;#65;` is the
+    // literal `&#65;`, exactly like `&amp;lt;`)
+    val named = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#34;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      "&#34;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
       .foldLeft(c5) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
-    e
+    replace(decodeNumericEntities(named), lit("&amp;"), lit("&"))
+  }
+
+  /** The two numeric-character-reference shapes of the HTML spec's safe
+    * core: decimal `&#NNNN;` and hex `&#xHH;`.
+    */
+  private[graft] val NumEntityRe = "&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};"
+
+  /** General numeric-character-reference decode — a fold of exact
+    * replaces over the DISTINCT references present in the row (replace
+    * is all-occurrences, so distinct suffices): parse the codepoint
+    * (decimal, or a hex via base-16 `conv`), build its UTF-8 byte
+    * sequence with shift/mask arithmetic, and `unhex → decode` it into
+    * the character. An INVALID reference — codepoint 0, beyond
+    * U+10FFFF, or a UTF-16 surrogate — stays literal text (never a
+    * replacement by garbage; pinned by spec). All built-ins, no UDF;
+    * the DuckDB oracle replays the identical fold with `list_reduce`.
+    */
+  private def decodeNumericEntities(s: Column): Column = {
+    def hx(b: Column) = lpad(hex(b), 2, "0")
+    aggregate(
+      array_distinct(regexp_extract_all(s, lit(NumEntityRe), lit(0))),
+      s,
+      (acc, e) => {
+        val isHex = lower(e.substr(lit(3), lit(1))) === "x"
+        val cp = when(isHex,
+          conv(e.substr(lit(4), length(e) - 4), 16, 10).cast("long"))
+          .otherwise(e.substr(lit(3), length(e) - 3).cast("long"))
+        val enc = when(cp <= 0x7f, hx(cp))
+          .when(cp <= 0x7ff, concat(
+            hx(shiftright(cp, 6) + 192),
+            hx(cp.bitwiseAND(63) + 128)))
+          .when(cp <= 0xffff, concat(
+            hx(shiftright(cp, 12) + 224),
+            hx(shiftright(cp, 6).bitwiseAND(63) + 128),
+            hx(cp.bitwiseAND(63) + 128)))
+          .otherwise(concat(
+            hx(shiftright(cp, 18) + 240),
+            hx(shiftright(cp, 12).bitwiseAND(63) + 128),
+            hx(shiftright(cp, 6).bitwiseAND(63) + 128),
+            hx(cp.bitwiseAND(63) + 128)))
+        val valid = cp >= 1 && cp <= 0x10ffff &&
+          !(cp >= 0xd800 && cp <= 0xdfff)
+        replace(acc, e, when(valid, decode(unhex(enc), "UTF-8")).otherwise(e))
+      })
   }
 
   /** Extracted text as an ARRAY of non-empty, whitespace-normalized
@@ -175,7 +224,9 @@ object HtmlOps {
       lit("</h1><p>"), col("text"),
       lit("</p><div id=\"tail\">Tail&nbsp;&amp;&nbsp;&lt;b&gt; &quot;q&quot; " +
         "&#39;v&#39; &apos;w&apos; of "), id,
-      lit("</div></body></html>")).as("html"))
+      lit("</div><div>Plus&#233;e &#8212; &#x1F600; &#60;i&#62; " +
+        "&#x3C;u&#x3E; bad &#xD800; &#0; &#1114112; &amp;#65; fin</div>" +
+        "</body></html>")).as("html"))
   }
 
   /** q122: HTML → text extraction over the synthetic markup corpus —

@@ -40,5 +40,23 @@ class ClassifyOpsSpec extends AnyFunSuite {
     }
     // both classes present in the eval set
     assert(rows.count(_.getBoolean(1)) > 0 && rows.count(!_.getBoolean(1)) > 0)
+    // the 1024-bucket hashing-trick model (the 100 TB path) tracks the
+    // exact model closely: collisions merge counts, so allow a small
+    // bias, but the bulk of verdicts must agree with truth
+    val hAcc = rows.count(r => r.getBoolean(6) == r.getBoolean(1)).toDouble / rows.length
+    assert(hAcc >= 0.9, s"hashed-model accuracy $hAcc")
+  }
+
+  test("the hashed model is bucket-bounded and collision-merging is deterministic") {
+    import spark.implicits._
+    val pos = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val neg = Seq((2L, "ahpla ateb ammag atled")).toDF("doc_id", "text")
+    val m1 = ClassifyOps.nbTrainHashed(pos, neg, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = ClassifyOps.nbTrainHashed(pos, neg, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == m2, "bucketing must be deterministic")
+    assert(m1.size <= 16, "model must be bounded by nBuckets")
+    assert(m1.keys.forall(b => b >= 0 && b < 16))
   }
 }

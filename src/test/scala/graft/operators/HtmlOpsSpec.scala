@@ -142,7 +142,16 @@ class HtmlOpsSpec extends AnyFunSuite {
       s"chrome survived: $out")
   }
 
-  test("q132 on sf0.001: exactly the article body survives the structural filter") {
+  /** The constant fifth block of the synthetic corpus after entity
+    * decode: valid numeric references decode (é, em-dash, emoji,
+    * numeric-encoded markup as LITERAL text), invalid ones (surrogate,
+    * zero, beyond U+10FFFF) stay literal, and `&amp;#65;` is the
+    * literal `&#65;` (amp-last).
+    */
+  private val EntityBlock =
+    "Plusée — 😀 <i> <u> bad &#xD800; &#0; &#1114112; &#65; fin"
+
+  test("q132 on sf0.001: the article body and the entity block survive the structural filter") {
     val rows = HtmlOps.q132MainContent(spark, "/root/testdata/sf0.001").collect()
     val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -151,19 +160,27 @@ class HtmlOpsSpec extends AnyFunSuite {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getLong(1) == 4L)
-      assert(r.getLong(2) == 1L, s"doc ${r.getLong(0)}: ${r.getLong(2)} blocks kept")
-      assert(r.getString(3) == sha(texts(r.getLong(0))),
-        s"doc ${r.getLong(0)}: kept content is not exactly the body")
+      assert(r.getLong(1) == 5L)
+      assert(r.getLong(2) == 2L, s"doc ${r.getLong(0)}: ${r.getLong(2)} blocks kept")
+      assert(r.getString(3) == sha(texts(r.getLong(0)) + "\n" + EntityBlock),
+        s"doc ${r.getLong(0)}: kept content is not body + entity block")
     }
   }
 
-  test("q122 shape on sf0.001: 4 blocks per doc, first block is the title") {
+  test("q122 shape on sf0.001: 5 blocks per doc, first is the title, last the decoded entity block") {
     val rows = HtmlOps.q122HtmlExtract(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getLong(1) == 4L, s"doc ${r.getLong(0)}: ${r.getLong(1)} blocks")
+      assert(r.getLong(1) == 5L, s"doc ${r.getLong(0)}: ${r.getLong(1)} blocks")
       assert(r.getString(4) == s"Doc ${r.getLong(0)}")
     }
+    // pin the decoded entity block exactly once via the full chain
+    import spark.implicits._
+    val blocks = Seq((1L, "<div>Plus&#233;e &#8212; &#x1F600; &#60;i&#62; " +
+      "&#x3C;u&#x3E; bad &#xD800; &#0; &#1114112; &amp;#65; fin</div>"))
+      .toDF("doc_id", "html")
+      .select(HtmlOps.htmlBlocks(col("html")).as("b"))
+      .collect().head.getSeq[String](0)
+    assert(blocks == Seq(EntityBlock), s"got: ${blocks.mkString("|")}")
   }
 }
