@@ -241,13 +241,16 @@ object SearchOps {
     * complementary verdicts, same error-as-audit discipline.
     *
     * Scale shape: the eval set is a benchmark — thousands of documents,
-    * the q40 broadcast assumption — so its vocabulary is driver-bounded:
-    * one collect of the SELECTED query vocab (≤ |eval|·maxQueryTerms
-    * terms) feeds the q113 literal-IN token filter, keeping the postings
-    * shuffle O(matching occurrences) with per-doc length riding along.
-    * Term selection runs as a window over the eval-vocab-sized df frame
-    * (bounded by eval vocabulary, never the corpus). Scoring and
-    * ranking are exactly q113's integer BM25 + BoundedTopK.
+    * the q40 broadcast assumption — so its vocabulary bounds everything:
+    * ONE corpus token scan (IN-list-filtered before explode under
+    * `vocabInlineMax`, broadcast-vocab-joined above it) groups to
+    * (candidate term, doc_id, tf, dl), and that single exchange subtree
+    * serves BOTH the df frame (count per term over the grouped frame)
+    * and the selected-term postings — ReuseExchange runs the scan and
+    * the full-token shuffle exactly once. Term selection runs as a
+    * window over the eval-vocab-sized df frame (bounded by eval
+    * vocabulary, never the corpus). Scoring and ranking are exactly
+    * q113's integer BM25 + BoundedTopK.
     */
   def q116DecontaminateRetrieval(spark: SparkSession, dir: String): DataFrame =
     decontaminateByRetrieval(spark, Tables.documents(spark, dir),
@@ -269,33 +272,23 @@ object SearchOps {
     val evalTerms = evalSet
       .select(col("eval_id"), explode(words(col("text"))).as("term"))
       .distinct()
-    // corpus df for candidate terms: one token scan joined against the
-    // BROADCAST candidate vocab (dl not needed here)
-    val dfAll = docs
-      .select(explode(words(col("text"))).as("term"), col("doc_id"))
-      .distinct()
-      .join(broadcast(evalTerms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // rare-terms query: per eval doc, top maxQueryTerms by (df asc, term)
-    val wSel = Window.partitionBy(col("eval_id")).orderBy(col("df"), col("term"))
-    val queryTerms = evalTerms.join(broadcast(dfAll), Seq("term"))
-      .withColumn("rn", row_number().over(wSel))
-      .filter(col("rn") <= maxQueryTerms)
-      .select(col("eval_id"), col("term"), col("df"))
-    // postings with dl, over the SELECTED vocab only. Two regimes
-    // (round-13 ADVICE #5): a benchmark-sized vocab inlines as a literal
-    // IN-list — the token filter runs BEFORE explode, so only matching
-    // occurrences ever materialize — but a 100k-item eval suite ×
-    // maxQueryTerms would make a multi-MB plan string and analyzer pain
-    // long before the join is the problem, so past `vocabInlineMax` the
-    // vocab stays distributed and the token stream joins against the
-    // BROADCAST vocab instead (same occurrence semantics: the filter
-    // keeps exactly the vocab tokens the join keeps). The limit-probe
-    // collects at most vocabInlineMax+1 terms, so the driver never
-    // materializes an oversized vocabulary at all.
-    val vocabDf = queryTerms.select(col("term")).distinct()
+    // ONE corpus token scan feeds BOTH the df frame and the postings
+    // (round-15 rework — q116 was the most expensive bench line because
+    // df and postings each paid a full scan + full-token-stream
+    // shuffle): tokens restrict to the CANDIDATE vocab, group once to
+    // (term, doc_id, tf, dl), and the identical exchange subtree is
+    // consumed by the df aggregate and the selected-term filter —
+    // Spark's ReuseExchange runs the scan + shuffle ONCE. Two vocab
+    // regimes (round-13 ADVICE #5) keyed off the candidate vocab: a
+    // benchmark-sized vocab inlines as a literal IN-list so the token
+    // filter runs BEFORE explode and only matching occurrences ever
+    // materialize; past `vocabInlineMax` the vocab stays distributed
+    // and the token stream joins the BROADCAST vocab (same occurrence
+    // semantics). The limit-probe collects at most vocabInlineMax+1
+    // terms, so the driver never materializes an oversized vocabulary.
+    val candVocab = evalTerms.select(col("term")).distinct()
     val probeN = math.min(vocabInlineMax.toLong + 1L, Int.MaxValue.toLong).toInt
-    val probe = vocabDf.limit(probeN).collect().map(_.getString(0))
+    val probe = candVocab.limit(probeN).collect().map(_.getString(0))
     require(probe.nonEmpty, "eval set selected no query terms")
     val matches =
       if (probe.length <= vocabInlineMax) {
@@ -309,10 +302,22 @@ object SearchOps {
           .select(col("doc_id"), words(col("text")).as("w"))
           .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
             explode(col("w")).as("term"))
-          .join(broadcast(vocabDf), Seq("term"))
-    val postings = matches
+          .join(broadcast(candVocab), Seq("term"))
+    // per (candidate term, doc) stats — df is a count over this frame
+    // (grouped by (term, doc_id), so count(1) per term IS distinct-doc
+    // df), postings a broadcast-filter of it to the selected terms
+    val candPostings = matches
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfAll = candPostings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // rare-terms query: per eval doc, top maxQueryTerms by (df asc, term)
+    val wSel = Window.partitionBy(col("eval_id")).orderBy(col("df"), col("term"))
+    val queryTerms = evalTerms.join(broadcast(dfAll), Seq("term"))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= maxQueryTerms)
+      .select(col("eval_id"), col("term"), col("df"))
+    val postings = candPostings
+      .join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"))
     val scored = queryTerms
       .join(postings, Seq("term"))
       .join(broadcast(stats))
