@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
+import graft.operators.{ClassifyOps, CurateOps, PdfOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -154,6 +154,7 @@ object SparkEntry {
     "q133_video_neardup" -> (MultimodalOps.q133VideoNearDup(_, _)),
     "q134_markdown_extract" -> (MarkdownOps.q134MarkdownExtract(_, _)),
     "q135_warc_gz_extract" -> (WarcOps.q135WarcGzExtract(_, _)),
+    "q136_pdf_extract" -> (PdfOps.q136PdfExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1959,6 +1960,25 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // PDF text extraction (q136): the Spark side builds a real two-page
+    // PDF per document (xref table, Flate + plain content streams,
+    // escape classes), walks it, inflates, extracts BT/ET text; the
+    // oracle replays the EXPECTED assembled text straight from
+    // (doc_id, text) with the same word-split arithmetic — the
+    // encode->decode collapse: any xref/Length/inflate/escape slip
+    // changes status or the sha
+    "q136_pdf_extract" ->
+      """WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id, (len(ws) + 1) // 2 AS na, ws FROM p),
+        |t AS (SELECT doc_id,
+        |    'Doc ' || doc_id || chr(10) ||
+        |    array_to_string(list_slice(ws, 1, na::INT), ' ') || chr(10) ||
+        |    array_to_string(list_slice(ws, (na + 1)::INT, len(ws)), ' ') ||
+        |    chr(10) || 'Tail (' || doc_id || ') \ AB end' AS text
+        |  FROM q)
+        |SELECT doc_id, 'ok' AS status, 2::BIGINT AS n_pages,
+        |  2::BIGINT AS n_streams, sha256(text) AS text_sha
+        |FROM t ORDER BY doc_id""".stripMargin,
     // persisted IVF-PQ index (q120): q38's storage-parity treatment for
     // the compressed tier — every count training-deterministic and pinned
     "q120_ivf_pq_indexed" ->

@@ -1,0 +1,433 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PDF text extraction — after HTML, the second-biggest text source a
+  * real crawl pipeline mines. Dependency-free subset of ISO 32000
+  * (PDF 1.4 class): classic cross-reference TABLE walk (`startxref` →
+  * `xref` → object offsets), object/dictionary parse, content streams
+  * either plain or `/FlateDecode` (zlib via JDK `Inflater` — the
+  * PNG/WebP/WARC precedent), and `BT … ET` text blocks with the
+  * `Tj`/`TJ`/`'` show operators and `Td`/`TD`/`T*` line moves, emitted
+  * in document order (page order from `/Kids`, operator order within a
+  * page).
+  *
+  * The codec discipline throughout (`Jpeg`/`Webp`/`WarcOps`):
+  * error-as-value — an encrypted file, a broken xref, an unsupported
+  * filter, a lying `/Length`, or a corrupt deflate stream yields a
+  * typed dead-letter `status` (never a throw), and a bad CONTENT
+  * stream drops only its own page's text while the rest of the
+  * document survives; allocation-bounded — stream output is capped
+  * BEFORE trusting any header field.
+  *
+  * String semantics: PDF `(…)` literals are byte strings with the
+  * `\( \) \\ \n \r \t \ddd` escapes and balanced-paren nesting; the
+  * unescaped bytes decode as UTF-8 (our corpus is ASCII + escapes).
+  * Line assembly: every show operator appends its string; a line move
+  * (`Td`/`TD`/`T*`/`'`) inserts one newline iff text was already shown
+  * in the block (leading positioning moves don't open with a blank
+  * line); pages join with a newline — deterministic, so the q136
+  * oracle replays the EXPECTED text straight from (doc_id, text) (the
+  * q46 encode→decode collapse; the parse itself cancels out).
+  *
+  * Scale shape (100 TB): a per-row byte walker via `mapPartitions`,
+  * zero exchange before the output sort; per-document work linear in
+  * file size, bounded decompression.
+  */
+object PdfOps {
+
+  /** Per-stream inflate cap — a compression-bomb content stream drops
+    * as `bad-stream` instead of allocating.
+    */
+  private val MaxStreamBytes = 1 << 24
+
+  final case class PdfText(
+      doc_id: Long, status: String, n_pages: Int, n_streams: Int, text: String)
+
+  // ---------------------------------------------------------------- parse
+
+  /** Resolve ASCII `bytes` once; all offsets are byte offsets. */
+  private final class Cursor(val b: Array[Byte]) {
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def utf8(from: Int, until: Int): String =
+      new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Parse one object's dictionary span `<< … >>` starting at or after
+    * `from` (must precede any `stream` keyword); returns (dictString,
+    * endOffset) or None.
+    */
+  private def dictAt(c: Cursor, from: Int): Option[(String, Int)] = {
+    val open = c.s.indexOf("<<", from)
+    if (open < 0) return None
+    var depth = 0
+    var i = open
+    while (i < c.s.length - 1) {
+      if (c.s.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (c.s.startsWith(">>", i)) {
+        depth -= 1; i += 2
+        if (depth == 0) return Some((c.s.substring(open, i), i))
+      } else i += 1
+    }
+    None
+  }
+
+  private val RefRe = """/(\w+)\s+(\d+)\s+0\s+R""".r
+  private val IntRe = """/(\w+)\s+(\d+)(?![\d.])""".r
+  private val NameRe = """/(\w+)\s*/(\w+)""".r
+
+  private def dictRef(d: String, key: String): Option[Int] =
+    RefRe.findAllMatchIn(d).find(_.group(1) == key).map(_.group(2).toInt)
+  private def dictInt(d: String, key: String): Option[Long] =
+    IntRe.findAllMatchIn(d).filter(_.group(1) == key)
+      .map(_.group(2).toLong).toSeq.headOption
+  private def dictName(d: String, key: String): Option[String] =
+    NameRe.findAllMatchIn(d).find(_.group(1) == key).map(_.group(2))
+  private def dictKids(d: String): Seq[Int] = {
+    val k = d.indexOf("/Kids")
+    if (k < 0) return Nil
+    val open = d.indexOf('[', k)
+    val close = d.indexOf(']', open)
+    if (open < 0 || close < 0) return Nil
+    """(\d+)\s+0\s+R""".r.findAllMatchIn(d.substring(open, close))
+      .map(_.group(1).toInt).toSeq
+  }
+
+  /** Offsets of objects from the classic xref table; None on any
+    * structural lie.
+    */
+  private def xrefOffsets(c: Cursor): Option[(Map[Int, Int], String)] = {
+    val sx = c.s.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val tail = c.s.substring(sx + 9).trim.takeWhile(_.isDigit)
+    if (tail.isEmpty) return None
+    val xo = tail.toLong
+    if (xo < 0 || xo >= c.s.length) return None
+    var p = xo.toInt
+    if (!c.s.startsWith("xref", p)) return None
+    p += 4
+    while (p < c.s.length && (c.s(p) == '\r' || c.s(p) == '\n')) p += 1
+    val out = scala.collection.mutable.Map.empty[Int, Int]
+    var done = false
+    while (!done) {
+      val eol = c.s.indexOf('\n', p)
+      if (eol < 0) return None
+      val header = c.s.substring(p, eol).trim
+      if (header == "trailer" || header.startsWith("trailer")) {
+        p = p + header.indexOf("trailer") + 7
+        done = true
+      } else {
+        val parts = header.split("\\s+")
+        if (parts.length != 2 || !parts.forall(_.forall(_.isDigit))) return None
+        val (start, n) = (parts(0).toInt, parts(1).toInt)
+        if (n < 0 || n > 100000) return None
+        p = eol + 1
+        var i = 0
+        while (i < n) {
+          if (p + 18 > c.s.length) return None
+          val off = c.s.substring(p, p + 10)
+          val typ = c.s(p + 17)
+          if (!off.forall(_.isDigit)) return None
+          if (typ == 'n') out(start + i) = off.toInt
+          p += 20
+          i += 1
+        }
+      }
+    }
+    dictAt(c, p).map { case (trailer, _) => (out.toMap, trailer) }
+  }
+
+  /** Unescape one PDF string literal body (no outer parens). */
+  private[graft] def unescapePdfString(raw: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val ch = raw(i)
+      if (ch == '\\' && i + 1 < raw.length) {
+        raw(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case '(' => sb.append('('); i += 2
+          case ')' => sb.append(')'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case d if d >= '0' && d <= '7' =>
+            var j = i + 1
+            var v = 0
+            while (j < raw.length && j <= i + 3 && raw(j) >= '0' && raw(j) <= '7') {
+              v = v * 8 + (raw(j) - '0'); j += 1
+            }
+            sb.append((v & 0xff).toChar); i = j
+          case other => sb.append(other); i += 2 // unknown escape: literal
+        }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Extract shown text from one decoded content stream per the line
+    * assembly rule in the scaladoc.
+    */
+  private[graft] def contentText(content: String): String = {
+    val sb = new StringBuilder
+    var shown = false // text shown since last newline in this block
+    var i = 0
+    def newline(): Unit = if (shown) { sb.append('\n'); shown = false }
+    def show(s: String): Unit = { sb.append(s); shown = s.nonEmpty || shown }
+    while (i < content.length) {
+      val bt = content.indexOf("BT", i)
+      if (bt < 0) { i = content.length }
+      else {
+        var p = bt + 2
+        var inBlock = true
+        shown = false
+        while (inBlock && p < content.length) {
+          content(p) match {
+            case '(' =>
+              // balanced-paren string literal with escapes
+              var depth = 1
+              var q = p + 1
+              val raw = new StringBuilder
+              while (depth > 0 && q < content.length) {
+                val ch = content(q)
+                if (ch == '\\' && q + 1 < content.length) {
+                  raw.append(ch).append(content(q + 1)); q += 2
+                } else {
+                  if (ch == '(') depth += 1
+                  else if (ch == ')') depth -= 1
+                  if (depth > 0) raw.append(ch)
+                  q += 1
+                }
+              }
+              // the operator after the string (or after the ] of a TJ
+              // array) decides; a bare string inside [ ] shows directly
+              show(unescapePdfString(raw.toString))
+              p = q
+            case 'E' if content.startsWith("ET", p) =>
+              inBlock = false; p += 2
+            case 'T' if content.startsWith("T*", p) =>
+              newline(); p += 2
+            case 'T' if content.startsWith("Td", p) ||
+              content.startsWith("TD", p) =>
+              newline(); p += 2
+            case '\'' => newline(); p += 1
+            case _ => p += 1
+          }
+        }
+        i = p
+      }
+    }
+    sb.toString
+  }
+
+  /** Inflate a zlib stream with the output cap; None on corruption or
+    * bomb.
+    */
+  private def inflateZlib(b: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, len)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      while (!inf.finished()) {
+        val w =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (w > 0) {
+          total += w
+          if (total > MaxStreamBytes) return None
+          bos.write(buf, 0, w)
+        } else if (!inf.finished() && inf.needsInput()) return None
+      }
+      Some(bos.toByteArray)
+    } finally inf.end()
+  }
+
+  /** Full-document text extraction; the error-as-value contract. */
+  private[graft] def extractPdf(docId: Long, bytes: Array[Byte]): PdfText = {
+    val c = new Cursor(bytes)
+    if (!c.s.startsWith("%PDF-"))
+      return PdfText(docId, "not-pdf", 0, 0, "")
+    xrefOffsets(c) match {
+      case None => PdfText(docId, "bad-xref", 0, 0, "")
+      case Some((offsets, trailer)) =>
+        if (trailer.contains("/Encrypt"))
+          return PdfText(docId, "encrypted", 0, 0, "")
+        def objDict(num: Int): Option[(String, Int)] =
+          offsets.get(num).filter(o => o >= 0 && o < c.s.length)
+            .flatMap(o => dictAt(c, o))
+        val rootDict = dictRef(trailer, "Root").flatMap(objDict)
+        val pagesDict = rootDict.flatMap { case (d, _) =>
+          dictRef(d, "Pages").flatMap(objDict)
+        }
+        pagesDict match {
+          case None => PdfText(docId, "bad-structure", 0, 0, "")
+          case Some((pd, _)) =>
+            val kids = dictKids(pd)
+            if (kids.isEmpty) return PdfText(docId, "bad-structure", 0, 0, "")
+            var nStreams = 0
+            var bad = false
+            val pageTexts = kids.flatMap { pg =>
+              objDict(pg) match {
+                case None => bad = true; None
+                case Some((pgd, _)) =>
+                  dictRef(pgd, "Contents").flatMap(cn =>
+                    offsets.get(cn).flatMap { co =>
+                      dictAt(c, co).flatMap { case (sd, dictEnd) =>
+                        // stream payload: `stream` EOL + /Length bytes
+                        val kw = c.s.indexOf("stream", dictEnd)
+                        val lenOpt = dictInt(sd, "Length").orElse(
+                          // indirect length: N 0 R → integer object
+                          dictRef(sd, "Length").flatMap(ln =>
+                            offsets.get(ln).flatMap { lo =>
+                              val m = """\d+\s+0\s+obj\s+(\d+)""".r
+                                .findFirstMatchIn(c.s.substring(lo,
+                                  math.min(lo + 64, c.s.length)))
+                              m.map(_.group(1).toLong)
+                            }))
+                        lenOpt match {
+                          case Some(len) if kw >= 0 =>
+                            var ds = kw + 6
+                            if (ds < c.s.length && c.s(ds) == '\r') ds += 1
+                            if (ds < c.s.length && c.s(ds) == '\n') ds += 1
+                            val de = ds + len
+                            // a lying Length misses the endstream keyword
+                            val okSpan = len >= 0 && len <= Int.MaxValue &&
+                              de <= c.s.length &&
+                              c.s.indexOf("endstream", de.toInt).toLong == {
+                                var q = de
+                                while (q < c.s.length &&
+                                  (c.s(q.toInt) == '\r' || c.s(q.toInt) == '\n')) q += 1
+                                q
+                              }
+                            if (!okSpan) { bad = true; None }
+                            else {
+                              nStreams += 1
+                              val flate = dictName(sd, "Filter").contains("FlateDecode")
+                              val data: Option[String] =
+                                if (!flate) Some(c.utf8(ds, de.toInt))
+                                else inflateZlib(c.b, ds, (de - ds).toInt)
+                                  .map(new String(_,
+                                    java.nio.charset.StandardCharsets.UTF_8))
+                              if (data.isEmpty) bad = true
+                              data.map(contentText)
+                            }
+                          case _ => bad = true; None
+                        }
+                      }
+                    })
+              }
+            }
+            val status = if (bad) "bad-stream" else "ok"
+            PdfText(docId, status, kids.length, nStreams,
+              pageTexts.mkString("\n"))
+        }
+    }
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /** PDF string-literal escape (corpus construction). */
+  private[graft] def escapePdfString(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** Deterministic two-page PDF: page 1 carries the title + body split
+    * across `Tj` and a kerned `TJ` array inside a FLATE stream; page 2
+    * is a PLAIN stream whose fixed line exercises every escape class
+    * (parens, backslash, octal). Encoder lives in main for corpus
+    * construction — the Jpeg/Gif/WARC precedent.
+    */
+  private[graft] def buildPdf(
+      docId: Long, bodyA: String, bodyB1: String, bodyB2: String): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val content1 =
+      s"BT /F1 12 Tf 72 720 Td (Doc $docId) Tj T* (${escapePdfString(bodyA)}) Tj " +
+        s"T* [(${escapePdfString(bodyB1)}) -250 (${escapePdfString(bodyB2)})] TJ ET"
+    val content2 =
+      s"BT /F1 12 Tf 72 720 Td (Tail \\($docId\\) \\\\ \\101\\102 end) Tj ET"
+    val deflated1 = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(content1.getBytes(utf8)); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = bos.write(s.getBytes(utf8))
+    w("%PDF-1.4\n")
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += bos.size()
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(2)(w("<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\n"))
+    obj(3)(w("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"))
+    obj(4) {
+      w(s"<< /Length ${deflated1.length} /Filter /FlateDecode >>\nstream\n")
+      bos.write(deflated1)
+      w("\nendstream\n")
+    }
+    obj(5)(w("<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\n"))
+    obj(6) {
+      val c2 = content2.getBytes(utf8)
+      w(s"<< /Length ${c2.length} >>\nstream\n")
+      bos.write(c2)
+      w("\nendstream\n")
+    }
+    val xrefOff = bos.size()
+    w(s"xref\n0 ${offsets.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer << /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------ q136
+
+  /** The deterministic body split shared by corpus and oracle: first
+    * half of the words (ceil) via `Tj`, the rest via a `TJ` array cut
+    * after 3 characters.
+    */
+  private[graft] def corpusParts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("na", expr("CAST((size(ws) + 1) DIV 2 AS INT)"))
+      .select(col("doc_id"),
+        array_join(slice(col("ws"), lit(1), col("na")), " ").as("bodyA"),
+        array_join(
+          slice(col("ws"), col("na") + 1,
+            greatest(size(col("ws")) - col("na"), lit(0))), " ").as("bodyB"))
+      .select(col("doc_id"), col("bodyA"),
+        substring(col("bodyB"), 1, 3).as("bodyB1"),
+        expr("substr(bodyB, 4)").as("bodyB2"))
+
+  /** q136: PDF text extraction end-to-end — build a real two-page PDF
+    * per document (Flate + plain streams, xref table, escape classes),
+    * run the REAL xref walk + inflate + BT/ET extraction, and emit
+    * per-doc status/page/stream counts and the extracted-text sha,
+    * all oracle-replayed from (doc_id, text).
+    */
+  def q136PdfExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = corpusParts(Tables.documents(spark, dir))
+    val out = parts
+      .select(col("doc_id"), col("bodyA"), col("bodyB1"), col("bodyB2"))
+      .as[(Long, String, String, String)]
+      .mapPartitions(_.map { case (id, a, b1, b2) =>
+        extractPdf(id, buildPdf(id, a, b1, b2))
+      })
+      .toDF()
+    out.select(col("doc_id"), col("status"),
+      col("n_pages").cast("long").as("n_pages"),
+      col("n_streams").cast("long").as("n_streams"),
+      sha2(col("text"), 256).as("text_sha"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF text extraction: encode→decode round trip, escape classes,
+  * dead-letter reasons (encrypted, bad xref, lying Length, corrupt
+  * deflate), partial survival (a bad stream drops only its page), and
+  * truncation fuzz (never a throw).
+  */
+class PdfOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def build(id: Long, a: String, b1: String, b2: String) =
+    PdfOps.buildPdf(id, a, b1, b2)
+
+  test("round trip: xref walk + flate + plain streams reassemble the exact text") {
+    val out = PdfOps.extractPdf(7L, build(7L, "alpha beta", "gam", "ma delta"))
+    assert(out.status == "ok")
+    assert(out.n_pages == 2 && out.n_streams == 2)
+    assert(out.text == "Doc 7\nalpha beta\ngamma delta\nTail (7) \\ AB end")
+  }
+
+  test("string escapes: parens, backslash, octal, nesting") {
+    assert(PdfOps.unescapePdfString("a\\(b\\)c") == "a(b)c")
+    assert(PdfOps.unescapePdfString("x\\\\y") == "x\\y")
+    assert(PdfOps.unescapePdfString("\\101\\102\\60") == "AB0")
+    assert(PdfOps.unescapePdfString("tab\\there\\nnl") == "tab\there\nnl")
+    // balanced parens nest WITHOUT escapes in a PDF string literal
+    assert(PdfOps.contentText("BT (a (nested) b) Tj ET") == "a (nested) b")
+    // a body with specials survives the escape→unescape loop
+    val tricky = "p(q)r\\s"
+    val rt = PdfOps.extractPdf(1L, build(1L, tricky, "", ""))
+    assert(rt.status == "ok" && rt.text.contains(tricky))
+  }
+
+  test("line assembly: moves newline only after shown text; empty shows are neutral") {
+    assert(PdfOps.contentText("BT 72 720 Td (a) Tj T* (b) Tj ET") == "a\nb")
+    assert(PdfOps.contentText("BT 1 2 Td 3 4 TD (a) Tj ET") == "a",
+      "leading moves must not open blank lines")
+    assert(PdfOps.contentText("BT (a) Tj T* () Tj ET") == "a\n")
+    assert(PdfOps.contentText("no text block here") == "")
+  }
+
+  test("dead letters: encrypted, not-pdf, bad xref, lying Length, corrupt deflate") {
+    val good = build(3L, "one two", "thr", "ee")
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // encrypted: plant /Encrypt in the trailer dict
+    val enc = s.replace("/Size 7", "/Size 7 /Encrypt 9 0 R")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfOps.extractPdf(3L, enc).status == "encrypted")
+    assert(PdfOps.extractPdf(3L, "hello".getBytes).status == "not-pdf")
+    // bad startxref offset
+    val badx = s.replaceAll("startxref\n\\d+", "startxref\n99999999")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfOps.extractPdf(3L, badx).status == "bad-xref")
+    // lying /Length on the flate stream (same byte width, so xref
+    // offsets stay honest): that page drops, page 2 lives
+    val lenM = "/Length (\\d+) /Filter".r.findFirstMatchIn(s).get
+    val lieLen = "4".reverse.padTo(lenM.group(1).length, '0').reverse.mkString
+    val lie = s.replaceFirst("/Length \\d+ /Filter", s"/Length $lieLen /Filter")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lied = PdfOps.extractPdf(3L, lie)
+    assert(lied.status == "bad-stream")
+    assert(lied.text.contains("Tail (3)"), "page 2 must survive page 1's lie")
+    // corrupt deflate byte: same partial-survival contract
+    val streamAt = s.indexOf("stream\n", s.indexOf("FlateDecode")) + 7
+    val flip = good.clone()
+    flip(streamAt + 5) = (flip(streamAt + 5) ^ 0x5a).toByte
+    val flipped = PdfOps.extractPdf(3L, flip)
+    assert(flipped.status == "bad-stream")
+    assert(flipped.text.contains("Tail (3)"))
+  }
+
+  test("truncation fuzz: every prefix parses to a typed status, never a throw") {
+    val good = build(11L, "aa bb cc dd", "ee ", "ff")
+    val statuses = Set("ok", "not-pdf", "bad-xref", "bad-structure", "bad-stream", "encrypted")
+    for (cut <- 0 to good.length by 7) {
+      val r = PdfOps.extractPdf(11L, good.take(cut))
+      assert(statuses.contains(r.status), s"cut=$cut gave ${r.status}")
+      if (cut < good.length) assert(r.status != "ok" || r.text.nonEmpty)
+    }
+    assert(PdfOps.extractPdf(11L, good).status == "ok")
+    assert(PdfOps.extractPdf(11L, Array.empty[Byte]).status == "not-pdf")
+  }
+
+  test("q136 on sf0.001: every document round-trips ok with the derived text sha") {
+    import org.apache.spark.sql.functions._
+    val rows = PdfOps.q136PdfExtract(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sha(x: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      assert(r.getString(1) == "ok")
+      assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+      val ws = texts(r.getLong(0)).split(" ")
+      val na = (ws.length + 1) / 2
+      val expect = s"Doc ${r.getLong(0)}\n" + ws.take(na).mkString(" ") + "\n" +
+        ws.drop(na).mkString(" ") + s"\nTail (${r.getLong(0)}) \\ AB end"
+      assert(r.getString(4) == sha(expect), s"doc ${r.getLong(0)} sha mismatch")
+    }
+  }
+}
