@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, PdfOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -155,6 +155,7 @@ object SparkEntry {
     "q134_markdown_extract" -> (MarkdownOps.q134MarkdownExtract(_, _)),
     "q135_warc_gz_extract" -> (WarcOps.q135WarcGzExtract(_, _)),
     "q136_pdf_extract" -> (PdfOps.q136PdfExtract(_, _)),
+    "q137_mp4_extract" -> (Mp4Ops.q137Mp4Extract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1979,6 +1980,27 @@ object SparkEntry {
         |SELECT doc_id, 'ok' AS status, 2::BIGINT AS n_pages,
         |  2::BIGINT AS n_streams, sha256(text) AS text_sha
         |FROM t ORDER BY doc_id""".stripMargin,
+    // MP4 / ISO-BMFF container walk (q137): the Spark side builds a
+    // real two-chunk MP4 per document and resolves stsc/stsz/stco to
+    // every sample's bytes; the oracle replays counts, duration, and
+    // the payload sha from the pure (doc_id, sample, byte) geometry —
+    // the container walk collapses out entirely
+    "q137_mp4_extract" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 9)::INT AS n FROM documents),
+        |sz AS (SELECT doc_id, n, i,
+        |    (16 + (doc_id * 7 + i * 13) % 48)::BIGINT AS size
+        |  FROM d, unnest(range(n)) t(i)),
+        |sh AS (SELECT doc_id, i, size, array_to_string(
+        |    list_transform(range(size),
+        |      j -> upper(lpad(to_hex((doc_id + 31 * i + j) % 256), 2, '0'))),
+        |    '') AS hx
+        |  FROM sz)
+        |SELECT doc_id, 'ok' AS status, 1::BIGINT AS n_tracks,
+        |  'vide' AS handler, max(i + 1)::BIGINT AS n_samples,
+        |  2::BIGINT AS n_chunks, sum(size)::BIGINT AS sum_sizes,
+        |  (max(i + 1) * 100)::BIGINT AS duration,
+        |  sha256(array_to_string(list(hx ORDER BY i), '')) AS payload_sha
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // persisted IVF-PQ index (q120): q38's storage-parity treatment for
     // the compressed tier — every count training-deterministic and pinned
     "q120_ivf_pq_indexed" ->
