@@ -156,6 +156,7 @@ object SparkEntry {
     "q135_warc_gz_extract" -> (WarcOps.q135WarcGzExtract(_, _)),
     "q136_pdf_extract" -> (PdfOps.q136PdfExtract(_, _)),
     "q137_mp4_extract" -> (Mp4Ops.q137Mp4Extract(_, _)),
+    "q138_vp8_decode" -> (MultimodalOps.q138Vp8Decode(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2001,6 +2002,24 @@ object SparkEntry {
         |  (max(i + 1) * 100)::BIGINT AS duration,
         |  sha256(array_to_string(list(hx ORDER BY i), '')) AS payload_sha
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // lossy WebP / VP8 key-frame decode (q138): the DC-exact corpus —
+    // per-MB residue 2*raw_i chains through left-to-right DC
+    // prediction, so every channel sum is a replayed prefix-sum; the
+    // whole bool-coder/token/WHT/DCT/prediction pipeline collapses out
+    "q138_vp8_decode" ->
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 6)::INT AS k FROM documents),
+        |m AS (SELECT doc_id, k, i,
+        |    CASE WHEN (doc_id + i) % 4 = 0 THEN 0
+        |         ELSE ((doc_id + 13 * i) % 15) - 7 END AS r
+        |  FROM d, unnest(range(k)) t(i)),
+        |v AS (SELECT doc_id, k, i,
+        |    128 + 2 * sum(r) OVER (PARTITION BY doc_id ORDER BY i) AS v
+        |  FROM m)
+        |SELECT doc_id, (16 * max(k))::BIGINT AS width, 16::BIGINT AS height,
+        |  (sum(v) * 256)::BIGINT AS sum_b,
+        |  (sum(v) * 256)::BIGINT AS sum_g,
+        |  (sum(v) * 256)::BIGINT AS sum_r
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // persisted IVF-PQ index (q120): q38's storage-parity treatment for
     // the compressed tier — every count training-deterministic and pinned
     "q120_ivf_pq_indexed" ->

@@ -2606,4 +2606,46 @@ object MultimodalOps {
       .select(col("asset_id"), col("pos").as("frame_idx"), col("frame_bytes"))
       .orderBy(col("asset_id"), col("frame_idx"))
   }
+
+  /** q138: LOSSY WebP (VP8 key frame) decode end-to-end — the q83/q123
+    * DC-exact trick in VP8 form. Per document a horizontal macroblock
+    * strip (`k = 2 + id % 6` MBs) is encoded as a real VP8 key frame:
+    * every MB `DC_PRED` carrying only a Y2 DC coefficient
+    * `16·raw_i` with `raw_i = ((id + 13i) mod 15) − 7` (both signs,
+    * token categories through CAT6), `(id + i) mod 4 == 0` MBs
+    * skip-flagged. At quantizer index 0 the `dequant → iWHT → DC-only
+    * iDCT` chain is exact: each MB's residue is `2·raw_i` and DC
+    * prediction chains left-to-right, so MB i reconstructs to the
+    * PREFIX SUM `128 + 2·Σ_{j≤i, ¬skip} raw_j` — which the oracle
+    * replays as a window sum. Neutral chroma makes BGR exactly
+    * grayscale through the shared JFIF converter. Any bool-coder,
+    * mode, token, WHT/DCT, prediction, or container slip changes the
+    * channel sums.
+    */
+  def q138Vp8Decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val k = (2 + id % 6).toInt
+        val raw = Array.tabulate(k)(i => (((id + 13L * i) % 15) - 7).toInt)
+        val skip = Array.tabulate(k)(i => (id + i) % 4 == 0)
+        val webp = Vp8.webpFromVp8(
+          Vp8.encodeVp8Strip(raw.map(_ * 16), skip))
+        val img = Webp.decodeWebp(webp).get
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var i = 0
+        while (i < img.width * img.height) {
+          sb += img.pixels(i * 3) & 0xff
+          sg += img.pixels(i * 3 + 1) & 0xff
+          sr += img.pixels(i * 3 + 2) & 0xff
+          i += 1
+        }
+        (id, img.width.toLong, img.height.toLong, sb, sg, sr)
+      })
+      .toDF("doc_id", "width", "height", "sum_b", "sum_g", "sum_r")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -535,11 +535,15 @@ object Webp {
     Some((w, h, px))
   }
 
-  /** Decode a WebP (VP8L lossless) container to the shared `BmpImage`
-    * BGR form. The chunk scan skips metadata chunks (VP8X/ICCP/EXIF…)
-    * and decodes the first VP8L found — extended-format files whose
-    * image data IS lossless decode fine; lossy VP8 payloads return
-    * None (they dead-letter with their reason, the D15 discipline).
+  /** Decode a WebP container to the shared `BmpImage` BGR form. The
+    * chunk scan skips metadata chunks (VP8X/ICCP/EXIF…) and decodes the
+    * first image chunk found: `VP8L` through the lossless path here,
+    * `VP8 ` (lossy key frame) through `Vp8.decodeVp8` with 4:2:0
+    * chroma upsampled by sample replication and the SAME integer JFIF
+    * YCbCr→RGB the JPEG decoder uses (one converter contract across
+    * codecs — neutral chroma is exactly grayscale). Shapes outside
+    * `Vp8`'s declared support boundary still dead-letter with None
+    * (the D15 discipline).
     */
   def decodeWebp(b: Array[Byte]): Option[BmpImage] =
     try {
@@ -564,6 +568,26 @@ object Webp {
               i += 1
             }
             BmpImage(w, h, 24, bgr)
+          }
+        if (b(o) == 'V' && b(o + 1) == 'P' && b(o + 2) == '8' && b(o + 3) == ' ')
+          return Vp8.decodeVp8(b, o + 8, size).map { f =>
+            val bgr = new Array[Byte](f.width * f.height * 3)
+            val uvW = (f.width + 1) / 2
+            var y = 0
+            while (y < f.height) {
+              var x = 0
+              while (x < f.width) {
+                val yy = f.y(y * f.width + x)
+                val cb = f.u((y / 2) * uvW + x / 2)
+                val cr = f.v((y / 2) * uvW + x / 2)
+                val (r, g, bb2) = Jpeg.yccToRgb(yy, cb, cr)
+                val i = (y * f.width + x) * 3
+                bgr(i) = bb2.toByte; bgr(i + 1) = g.toByte; bgr(i + 2) = r.toByte
+                x += 1
+              }
+              y += 1
+            }
+            BmpImage(f.width, f.height, 24, bgr)
           }
         o += 8 + size + (size & 1)
       }

@@ -262,11 +262,18 @@ class WebpSpec extends AnyFunSuite {
     assert(decodedRgb(img).sameElements(rgb))
   }
 
-  test("lossy VP8 and non-WebP RIFF dead-letter as None; dispatch decodes VP8L") {
+  test("lossy VP8 decodes (round-15 flip); malformed VP8 and non-WebP RIFF still dead-letter") {
     assert(Webp.decodeWebp("RIFF    WAVEfmt ".getBytes("ISO-8859-1")).isEmpty)
     val vp8 = riff(Array[Byte](1, 2, 3)).clone()
-    vp8(15) = ' ' // VP8L -> "VP8 " (lossy) chunk: unsupported -> None
+    vp8(15) = ' ' // VP8L -> "VP8 " chunk with garbage payload: malformed -> None
     assert(Webp.decodeWebp(vp8).isEmpty)
+    // a REAL lossy key frame now decodes through the container -- the
+    // round-14 "lossy dead-letters" gap is closed
+    val lossy = Vp8.webpFromVp8(Vp8.encodeVp8Strip(Array(32, -32), Array(false, false)))
+    val limg = Webp.decodeWebp(lossy)
+    assert(limg.isDefined && limg.get.width == 32 && limg.get.height == 16,
+      "lossy VP8 key frame must decode")
+    assert(MultimodalOps.decodeImage(lossy).isDefined)
     // the feature dispatch now images a webp payload instead of falling
     // back to the byte histogram (the round-13 dead-letter gap closed)
     val rgb = gradient(8, 8, (x, y) => (x * 30 % 256, y * 30 % 256, 128))
