@@ -45,6 +45,15 @@ import org.apache.spark.sql.types.StructType
   * flags in `flagsDir` — the sinks partition the feed, nothing is
   * silently dropped.
   *
+  * OPTIONAL stage −0.5 — WARC ingest (`warcCol`): the feed rows are
+  * whole crawl archives (plaintext or production gzip-member WARCs);
+  * each micro-batch explodes them through the real container walk
+  * (`WarcOps.extractRecords`) into HTTP records, dead-letters non-200
+  * and unattributable records to `warcRejectsDir` with reason tags,
+  * and feeds the 200s to the HTML stage — the full crawl front door
+  * (archive → record → markup → text → PII → quality → decontam →
+  * near-dup) as one streaming lane.
+  *
   * OPTIONAL stage 1.5 — LM-familiarity gate (`lmModel`): q92's bigram
   * scoring against a STANDING reference model (trained once, static for
   * the query's life, so batch-local == global like the eval set); a doc
@@ -94,11 +103,15 @@ object StreamCurate {
       minLmPerBigram: Long = 0L,
       lmDir: String = "",
       htmlCol: Option[String] = None,
-      piiRedact: Boolean = false): StreamingQuery = {
+      piiRedact: Boolean = false,
+      warcCol: Option[String] = None,
+      warcRejectsDir: String = ""): StreamingQuery = {
     StreamNearDup.prepareIndex(spark, indexDir, checkpointDir,
       minhashK, bands, rowsPerBand, bandBuckets, setsBuckets)
     require(lmModel.isEmpty || lmDir.nonEmpty,
       "an LM gate needs lmDir for its audit sink")
+    require(warcCol.isEmpty || (htmlCol.isDefined && warcRejectsDir.nonEmpty),
+      "a WARC feed needs the HTML stage and a record dead-letter sink")
     // the reference model is STATIC for the life of the query (like the
     // eval set), so per-batch scoring is batch-local == global
     val lmCached = lmModel.map(_.persist())
@@ -112,14 +125,45 @@ object StreamCurate {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        // -0.5 (optional): WARC ingest — the feed rows are whole crawl
+        // archives (`group_id`, `warcCol` binary; plaintext or
+        // production gzip-member form), exploded into HTTP records by
+        // the REAL container walk. Per-RECORD dead-letters: non-200
+        // responses and unattributable URIs land in `warcRejectsDir`
+        // with reason tags (a corrupt gzip member or malformed record
+        // drops at the parser per its intact-prefix/resync contract —
+        // the archive's surviving records all flow on). Attributed 200s
+        // feed the HTML stage as (`doc_id`, `url`, html).
+        val fromWarc = warcCol match {
+          case None => batch
+          case Some(c) =>
+            val idStr = regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            val recs = graft.operators.WarcOps.extractRecords(sp,
+              batch.select(col("group_id"), col(c).as("warc"))).toDF()
+              // unattributable URIs extract to '' — NULL, not an ANSI
+              // cast error
+              .withColumn("doc_id", when(idStr =!= "", idStr.cast("long")))
+            val bad = recs
+              .filter(col("status") =!= 200 || col("doc_id").isNull)
+              .select(col("group_id"), col("target_uri").as("url"),
+                col("status").cast("long").as("status"),
+                concat_ws(",",
+                  when(col("status") =!= 200, lit("http_status")),
+                  when(col("doc_id").isNull, lit("bad_uri"))).as("reason"))
+            if (!bad.isEmpty)
+              CheckpointStream.appendDiffs(bad, warcRejectsDir, batchId)
+            recs.filter(col("status") === 200 && col("doc_id").isNotNull)
+              .select(col("doc_id"), col("target_uri").as("url"),
+                col("body").as(htmlCol.get))
+        }
         // 0 (optional): HTML front stage — raw markup rows (`htmlCol`)
         // extract to `text` via the q122 chain BEFORE any quality rule,
         // so a crawl feed plugs straight into the curation pipeline. A
         // document whose markup extracts to NOTHING is a tagged reject
         // (the null_text no-silent-loss discipline), never a silent drop.
         val extracted = htmlCol match {
-          case None => batch
-          case Some(c) => batch.withColumn("text",
+          case None => fromWarc
+          case Some(c) => fromWarc.withColumn("text",
             graft.operators.HtmlOps.htmlToText(col(c)))
         }
         // 0.5 (optional): PII scrub — detectors + Luhn-gated card

@@ -230,6 +230,76 @@ class StreamCurateSpec extends AnyFunSuite {
       s"script-only page not tagged as empty extract: $emptyTagged")
   }
 
+  test("WARC lane: gzip archives stream end-to-end; drained equals the batch " +
+    "q135 extraction; bad records dead-letter with reasons") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scurate_warc_").toString
+    // batch 1: the production-shape gzip-member corpus over real docs
+    val docs = Tables.documents(spark, sf)
+    val archives = graft.operators.WarcOps.syntheticWarcGz(docs)
+    archives.coalesce(1).write.parquet(s"$base/feed/chunk=0")
+    val maxId = docs.agg(max(col("doc_id"))).as[Long].head()
+    // batch 2: a hand-built archive — a good record, a 404, a bad-URI
+    // record, and a CORRUPT gzip member in the middle (must drop while
+    // its neighbors survive)
+    def rec(uri: String, body: String, status: String = "200 OK"): String = {
+      val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n$body"
+      val octets = http.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $octets\r\n\r\n$http\r\n\r\n"
+    }
+    val goodId = maxId + 7L
+    val goodHtml = "<p>twelve distinct plain words make this page pass " +
+      "every quality gate fine</p>"
+    val corrupt = {
+      val m = graft.operators.WarcOps.gzipMembers(
+        Seq(rec("https://example.test/doc/999999999", "<p>never seen</p>")))
+      m(14) = (m(14) ^ 0x55).toByte
+      m
+    }
+    val custom =
+      graft.operators.WarcOps.gzipMembers(Seq(
+        rec(s"https://example.test/doc/$goodId", goodHtml))) ++
+      corrupt ++
+      graft.operators.WarcOps.gzipMembers(Seq(
+        rec(s"https://example.test/doc/${maxId + 8}", "<p>gone</p>", "404 Not Found"),
+        rec("https://example.test/unattributable", "<p>no id in this uri</p>")))
+    Seq((99L, custom)).toDF("group_id", "warc")
+      .coalesce(1).write.parquet(s"$base/feed/chunk=1")
+    val eval = Seq((maxId + 100L, "never shared anywhere at all ok")).toDF("doc_id", "text")
+
+    val q = StreamCurate.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/curated", s"$base/flags", s"$base/decontam", s"$base/rejects",
+      s"$base/index", eval, htmlCol = Some("html"),
+      warcCol = Some("warc"), warcRejectsDir = s"$base/warc_rejects")
+    q.awaitTermination(240000L)
+    assert(!q.isActive)
+
+    // drained == batch: every curated doc's extracted text hashes to the
+    // q135 oracle-pinned text_sha (archive + member-inflate + extraction
+    // all collapse)
+    def sha(x: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectSha = graft.operators.WarcOps.q135WarcGzExtract(spark, sf)
+      .select("doc_id", "text_sha").as[(Long, String)].collect().toMap
+    val curated = spark.read.parquet(s"$base/curated")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(curated.size > 100, s"only ${curated.size} docs curated")
+    curated.foreach { case (id, text) =>
+      if (id <= maxId)
+        assert(sha(text) == expectSha(id), s"doc $id diverged from batch q135")
+    }
+    assert(curated.contains(goodId), "good custom record must curate")
+    assert(curated(goodId) == "twelve distinct plain words make this page " +
+      "pass every quality gate fine")
+    assert(!curated.keySet.contains(999999999L), "corrupt member leaked")
+    // per-record dead-letters carry their reasons
+    val wr = spark.read.parquet(s"$base/warc_rejects")
+      .select("url", "reason").as[(String, String)].collect().toMap
+    assert(wr(s"https://example.test/doc/${maxId + 8}") == "http_status")
+    assert(wr("https://example.test/unattributable") == "bad_uri")
+  }
+
   test("PII stage: no raw identifier reaches any sink; audit counts ride along") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_scurate_pii_").toString
