@@ -157,6 +157,7 @@ object SparkEntry {
     "q136_pdf_extract" -> (PdfOps.q136PdfExtract(_, _)),
     "q137_mp4_extract" -> (Mp4Ops.q137Mp4Extract(_, _)),
     "q138_vp8_decode" -> (MultimodalOps.q138Vp8Decode(_, _)),
+    "q139_warc_http_extract" -> (WarcOps.q139WarcHttpExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1959,6 +1960,19 @@ object SparkEntry {
         "' || doc_id || '</p>'") +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
+    // mixed HTTP codings (q139): identity / chunked / gzip-in-chunked
+    // bodies through the same front door; the decoded text collapses to
+    // the q128 expectation and the applied coding chain is derived from
+    // the corpus arithmetic — an un-framing or inflate slip changes
+    // `enc`, rows, or the sha
+    "q139_warc_http_extract" -> (htmlExtractCtes() +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  CASE doc_id % 3 WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
+        |    ELSE 'chunked,gzip' END AS enc,
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),

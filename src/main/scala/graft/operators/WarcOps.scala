@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
 object WarcOps {
 
   final case class WarcHttpRecord(
-      group_id: Long, target_uri: String, status: Int, body: String)
+      group_id: Long, target_uri: String, status: Int, body: String,
+      enc: String)
 
   /** Parse concatenated WARC records; keep `response` records' HTTP
     * payloads split into (status, body). ISO-8859-1 maps bytes 1:1 to
@@ -44,11 +45,11 @@ object WarcOps {
     * 0xFF char would otherwise become two UTF-8 bytes and diverge
     * `text_sha` from the source text).
     */
-  private[graft] def parseWarc(bytes: Array[Byte]): Seq[(String, Int, String)] = {
+  private[graft] def parseWarc(bytes: Array[Byte]): Seq[(String, Int, String, String)] = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     def utf8(from: Int, until: Int): String =
       new String(bytes, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, String)]
     var p = 0
     while (p < s.length) {
       if (!s.startsWith("WARC/1.0\r\n", p)) return out.toSeq
@@ -91,7 +92,13 @@ object WarcOps {
         // HTTP split: status line, headers, blank line, body. The HTTP
         // header section is ASCII-clean by protocol, so its char
         // offsets in the Latin-1 view are byte offsets; the BODY is
-        // re-decoded from the raw bytes as UTF-8.
+        // decoded per its HTTP codings (`Transfer-Encoding: chunked`
+        // un-framed first, then `Content-Encoding: gzip` inflated —
+        // real crawl responses routinely carry both) and finally
+        // re-decoded from the raw bytes as UTF-8. A record whose coded
+        // body is malformed drops (error-as-value at record grain); the
+        // WARC walk continues — record boundaries come from
+        // Content-Length, never from the body.
         val eol = payload.indexOf("\r\n")
         val hdrEnd = payload.indexOf("\r\n\r\n")
         if (eol > 0 && hdrEnd >= eol) {
@@ -99,8 +106,45 @@ object WarcOps {
           val status = if (statusLine.length >= 2)
             try statusLine(1).toInt catch { case _: NumberFormatException => -1 }
           else -1
-          if (status > 0)
-            out += ((uri, status, utf8(p0 + hdrEnd + 4, p0 + clen.toInt)))
+          var chunked = false
+          var gzipped = false
+          // an empty header section means hdrEnd == eol
+          payload.substring(math.min(eol + 2, hdrEnd), hdrEnd).split("\r\n").foreach { h =>
+            val c = h.indexOf(':')
+            if (c > 0) {
+              val n = h.substring(0, c).trim.toLowerCase
+              val v = h.substring(c + 1).trim.toLowerCase
+              if (n == "transfer-encoding" && v.contains("chunked")) chunked = true
+              if (n == "content-encoding" && v.contains("gzip")) gzipped = true
+            }
+          }
+          if (status > 0) {
+            val bodyOff = p0 + hdrEnd + 4
+            val bodyEnd = p0 + clen.toInt
+            val decoded: Option[(String, String)] =
+              if (!chunked && !gzipped)
+                Some(("identity", utf8(bodyOff, bodyEnd)))
+              else {
+                val deChunked: Option[Array[Byte]] =
+                  if (chunked) dechunk(bytes, bodyOff, bodyEnd)
+                  else Some(java.util.Arrays.copyOfRange(bytes, bodyOff, bodyEnd))
+                val plain = deChunked.flatMap { d =>
+                  if (!gzipped) Some(d)
+                  else {
+                    val members = gunzipMembers(d)
+                    if (members.isEmpty) None
+                    else Some(members.reduce(_ ++ _))
+                  }
+                }
+                val enc = (if (chunked) Seq("chunked") else Nil) ++
+                  (if (gzipped) Seq("gzip") else Nil)
+                plain.map(b => (enc.mkString(","),
+                  new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+              }
+            decoded.foreach { case (enc, body) =>
+              out += ((uri, status, body, enc))
+            }
+          }
         }
       }
     }
@@ -112,6 +156,67 @@ object WarcOps {
     * the walk continues at the next member.
     */
   private val MaxMemberBytes = 1L << 26
+
+  /** Un-frame an HTTP/1.1 chunked body (RFC 9112 §7.1): hex size line
+    * (chunk extensions after `;` ignored), that many octets, CRLF;
+    * terminated by the zero chunk (trailer section ignored). None on
+    * any framing lie — short chunk, missing CRLF, bad hex, no
+    * terminator, or total past the allocation cap.
+    */
+  private[graft] def dechunk(b: Array[Byte], off: Int, end: Int): Option[Array[Byte]] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var p = off
+    var total = 0L
+    while (true) {
+      // size line up to CRLF
+      var eol = p
+      while (eol + 1 < end && !(b(eol) == '\r' && b(eol + 1) == '\n')) eol += 1
+      if (eol + 1 >= end) return None
+      var line = new String(b, p, eol - p, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val semi = line.indexOf(';')
+      if (semi >= 0) line = line.substring(0, semi)
+      line = line.trim
+      if (line.isEmpty || !line.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+        return None
+      if (line.length > 7) return None // > 0xFFFFFFF: a lie or a bomb
+      val size = java.lang.Integer.parseInt(line, 16)
+      p = eol + 2
+      if (size == 0) return Some(bos.toByteArray) // trailers ignored
+      total += size
+      if (total > MaxMemberBytes) return None
+      if (p + size + 2 > end) return None
+      bos.write(b, p, size)
+      p += size
+      if (b(p) != '\r' || b(p + 1) != '\n') return None
+      p += 2
+    }
+    None // unreachable
+  }
+
+  /** Chunk-frame a body (corpus construction): split into `chunkSize`
+    * pieces, the second chunk carrying an extension token so the
+    * parser's extension skip sits on the oracle path.
+    */
+  private[graft] def encodeChunked(body: Array[Byte], chunkSize: Int = 100): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(t: String): Unit =
+      bos.write(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    var p = 0
+    var i = 0
+    while (p < body.length) {
+      val n = math.min(chunkSize, body.length - p)
+      ascii(Integer.toHexString(n))
+      if (i == 1) ascii(";x=1") // chunk extension
+      ascii("\r\n")
+      bos.write(body, p, n)
+      ascii("\r\n")
+      p += n
+      i += 1
+    }
+    ascii("0\r\n\r\n")
+    bos.toByteArray
+  }
 
   private[graft] def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 3 && bytes(0) == 0x1f.toByte &&
@@ -195,20 +300,21 @@ object WarcOps {
     * neighbors with it); plaintext archives walk directly — the
     * pre-round-15 path, byte-for-byte unchanged.
     */
-  private[graft] def parseWarcAuto(bytes: Array[Byte]): Seq[(String, Int, String)] =
+  private[graft] def parseWarcAuto(bytes: Array[Byte]): Seq[(String, Int, String, String)] =
     if (isGzip(bytes)) gunzipMembers(bytes).flatMap(parseWarc)
     else parseWarc(bytes)
 
   /** Distributed record extraction over (group_id, warc binary) rows;
-    * accepts plaintext and gzip-member archives alike.
+    * accepts plaintext and gzip-member archives alike; `enc` reports
+    * the HTTP codings actually decoded per record.
     */
   def extractRecords(spark: SparkSession, warcs: DataFrame): Dataset[WarcHttpRecord] = {
     import spark.implicits._
     warcs.select(col("group_id"), col("warc"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (gid, bytes) =>
-        parseWarcAuto(bytes).map { case (uri, st, body) =>
-          WarcHttpRecord(gid, uri, st, body)
+        parseWarcAuto(bytes).map { case (uri, st, body, enc) =>
+          WarcHttpRecord(gid, uri, st, body, enc)
         }
       })
   }
@@ -290,6 +396,79 @@ object WarcOps {
   def q128WarcExtract(spark: SparkSession, dir: String): DataFrame =
     extractToDocs(extractRecords(spark,
       syntheticWarc(Tables.documents(spark, dir))).toDF())
+
+  /** One gzip member from raw bytes (HTTP `Content-Encoding: gzip`
+    * corpus construction).
+    */
+  private[graft] def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b)
+    gz.finish()
+    bos.toByteArray
+  }
+
+  /** Mixed HTTP-coding corpus: per document the q122 markup delivered
+    * identity (`id % 3 == 0`), chunked (`== 1`), or gzip-then-chunked
+    * (`== 2` — Content-Encoding applied first, Transfer-Encoding
+    * framing the compressed bytes, the real-web layering), assembled
+    * at the BYTE level so Content-Length counts the coded octets.
+    */
+  private[graft] def syntheticWarcHttp(docs: DataFrame, groups: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    HtmlOps.syntheticHtml(docs)
+      .select(col("doc_id"), col("html"))
+      .as[(Long, String)]
+      .map { case (id, html) =>
+        // resolve charsets inside the task (a captured Charset is not
+        // serializable)
+        val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+        val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (encHdrs, body) = (id % 3) match {
+          case 0 => ("", raw)
+          case 1 => ("Transfer-Encoding: chunked\r\n", encodeChunked(raw))
+          case _ => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+            encodeChunked(gzipBytes(raw), 77))
+        }
+        val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          encHdrs + "\r\n").getBytes(iso)
+        val http = head ++ body
+        val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: https://example.test/doc/$id\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+          http ++ "\r\n\r\n".getBytes(iso)
+        (id % groups, id, rec)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (gid, it) =>
+        val recs = it.toSeq.sortBy(_._2).map(_._3)
+        (gid, recs.reduce(_ ++ _))
+      }
+      .toDF("group_id", "warc")
+  }
+
+  /** q139: the front door over MIXED HTTP codings — identity, chunked,
+    * and gzip-inside-chunked bodies walked, un-framed, inflated, and
+    * extracted; per document the applied coding chain rides along so
+    * the oracle pins that every path was exercised (derived from the
+    * same doc_id arithmetic the corpus used).
+    */
+  def q139WarcHttpExtract(spark: SparkSession, dir: String): DataFrame = {
+    val recs = extractRecords(spark,
+      syntheticWarcHttp(Tables.documents(spark, dir))).toDF()
+    recs
+      .select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("target_uri").as("url"),
+        col("status").cast("long").as("status"),
+        col("enc"),
+        HtmlOps.htmlBlocks(col("body")).as("blocks"))
+      .select(col("doc_id"), col("url"), col("status"), col("enc"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        sha2(array_join(col("blocks"), "\n"), 256).as("text_sha"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q135: the q128 front door over a PRODUCTION-SHAPE archive —
     * per-record gzip members with a planted non-ASCII paragraph; same

@@ -172,6 +172,84 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq("https://g/f", "https://g/2"))
   }
 
+  test("HTTP codings: chunked un-frames (extensions skipped), gzip inflates, " +
+    "both stack; multi-byte chars split across chunks survive") {
+    def http(hdrs: String, body: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$hdrs\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val httpB = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://c/1\r\n" +
+        s"Content-Length: ${httpB.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        httpB ++ "\r\n\r\n".getBytes
+    }
+    // chunk size 3 splits the 2-byte é and the 3-byte — mid-character
+    val text = "naïve café — résumé fin"
+    val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val chunked = WarcOps.parseWarc(http(
+      "Transfer-Encoding: chunked\r\n", WarcOps.encodeChunked(raw, 3)))
+    assert(chunked.map(r => (r._3, r._4)) == Seq((text, "chunked")))
+    val gzipped = WarcOps.parseWarc(http(
+      "Content-Encoding: gzip\r\n", WarcOps.gzipBytes(raw)))
+    assert(gzipped.map(r => (r._3, r._4)) == Seq((text, "gzip")))
+    val stacked = WarcOps.parseWarc(http(
+      "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+      WarcOps.encodeChunked(WarcOps.gzipBytes(raw), 5)))
+    assert(stacked.map(r => (r._3, r._4)) == Seq((text, "chunked,gzip")))
+    // identity records report identity
+    assert(WarcOps.parseWarc(http("", raw)).map(_._4) == Seq("identity"))
+  }
+
+  test("HTTP coding lies: bad chunk framing / corrupt gzip drop THE RECORD; " +
+    "the walk continues (boundaries come from Content-Length)") {
+    def rec(uri: String, hdrs: String, body: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\n$hdrs\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val httpB = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${httpB.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        httpB ++ "\r\n\r\n".getBytes
+    }
+    val good = "fine".getBytes
+    // lying chunk size (overruns), bad hex, truncated framing, bad gzip
+    val cases = Seq(
+      "ff\r\nshort\r\n0\r\n\r\n".getBytes,
+      "zz\r\nbody\r\n0\r\n\r\n".getBytes,
+      "4\r\nbo".getBytes,
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 1, 2, 3))
+    for ((bad, i) <- cases.zipWithIndex) {
+      val hdr = if (i == 3) "Content-Encoding: gzip\r\n"
+      else "Transfer-Encoding: chunked\r\n"
+      val blob = rec("https://c/bad", hdr, bad) ++ rec("https://c/ok", "", good)
+      val out = WarcOps.parseWarc(blob)
+      assert(out.map(_._1) == Seq("https://c/ok"), s"case $i: ${out.map(_._1)}")
+    }
+    // dechunk unit: extension + trailer tolerated, zero-length body ok
+    val framed = "3;ext=1\r\nabc\r\n0\r\nTrailer: x\r\n\r\n".getBytes
+    assert(WarcOps.dechunk(framed, 0, framed.length).map(new String(_)) ==
+      Some("abc"))
+    val empty = "0\r\n\r\n".getBytes
+    assert(WarcOps.dechunk(empty, 0, empty.length).map(_.length) == Some(0))
+  }
+
+  test("q139 on sf0.001: all three coding paths extract to the q122 text") {
+    val rows = WarcOps.q139WarcHttpExtract(spark, "/root/testdata/sf0.001").collect()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(rows.length == docs.count())
+    val direct = HtmlOps.q122HtmlExtract(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text_sha")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expectEnc = (id % 3) match {
+        case 0 => "identity"; case 1 => "chunked"; case _ => "chunked,gzip"
+      }
+      assert(r.getString(3) == expectEnc, s"doc $id enc ${r.getString(3)}")
+      assert(r.getString(5) == direct(id), s"doc $id text diverged through codings")
+    }
+  }
+
   test("q135 end-to-end: gzip archive extraction matches q128 plus the UTF-8 marker block") {
     val out = WarcOps.q135WarcGzExtract(spark, "/root/testdata/sf0.001")
       .collect()
