@@ -158,6 +158,7 @@ object SparkEntry {
     "q137_mp4_extract" -> (Mp4Ops.q137Mp4Extract(_, _)),
     "q138_vp8_decode" -> (MultimodalOps.q138Vp8Decode(_, _)),
     "q139_warc_http_extract" -> (WarcOps.q139WarcHttpExtract(_, _)),
+    "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1991,6 +1992,22 @@ object SparkEntry {
         |    array_to_string(list_slice(ws, 1, na::INT), ' ') || chr(10) ||
         |    array_to_string(list_slice(ws, (na + 1)::INT, len(ws)), ' ') ||
         |    chr(10) || 'Tail (' || doc_id || ') \ AB end' AS text
+        |  FROM q)
+        |SELECT doc_id, 'ok' AS status, 2::BIGINT AS n_pages,
+        |  2::BIGINT AS n_streams, sha256(text) AS text_sha
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // PDF 1.5 xref/object streams (q140): the q136 contract over the
+    // modern-writer layout — /Type /XRef binary rows + /Type /ObjStm
+    // packed dicts; the resolution machinery collapses out, only the
+    // page-2 marker differs
+    "q140_pdf_xref_stream" ->
+      """WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id, (len(ws) + 1) // 2 AS na, ws FROM p),
+        |t AS (SELECT doc_id,
+        |    'Doc ' || doc_id || chr(10) ||
+        |    array_to_string(list_slice(ws, 1, na::INT), ' ') || chr(10) ||
+        |    array_to_string(list_slice(ws, (na + 1)::INT, len(ws)), ' ') ||
+        |    chr(10) || 'XRef (' || doc_id || ') \ AB end' AS text
         |  FROM q)
         |SELECT doc_id, 'ok' AS status, 2::BIGINT AS n_pages,
         |  2::BIGINT AS n_streams, sha256(text) AS text_sha

@@ -55,28 +55,39 @@ object PdfOps {
       new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** Parse one object's dictionary span `<< … >>` starting at or after
-    * `from` (must precede any `stream` keyword); returns (dictString,
-    * endOffset) or None.
+  /** Balanced `<< … >>` span at or after `from` in an arbitrary
+    * string; returns (dictString, endOffset) or None.
     */
-  private def dictAt(c: Cursor, from: Int): Option[(String, Int)] = {
-    val open = c.s.indexOf("<<", from)
+  private def dictFromString(s: String, from: Int): Option[(String, Int)] = {
+    val open = s.indexOf("<<", from)
     if (open < 0) return None
     var depth = 0
     var i = open
-    while (i < c.s.length - 1) {
-      if (c.s.startsWith("<<", i)) { depth += 1; i += 2 }
-      else if (c.s.startsWith(">>", i)) {
+    while (i < s.length - 1) {
+      if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (s.startsWith(">>", i)) {
         depth -= 1; i += 2
-        if (depth == 0) return Some((c.s.substring(open, i), i))
+        if (depth == 0) return Some((s.substring(open, i), i))
       } else i += 1
     }
     None
   }
 
+  /** Parse one object's dictionary span `<< … >>` starting at or after
+    * `from` (must precede any `stream` keyword); returns (dictString,
+    * endOffset) or None.
+    */
+  private def dictAt(c: Cursor, from: Int): Option[(String, Int)] =
+    dictFromString(c.s, from)
+
   private val RefRe = """/(\w+)\s+(\d+)\s+0\s+R""".r
   private val IntRe = """/(\w+)\s+(\d+)(?![\d.])""".r
   private val NameRe = """/(\w+)\s*/(\w+)""".r
+  private val ArrRe = """/(\w+)\s*\[([^\]]*)\]""".r
+
+  private def dictIntArray(d: String, key: String): Option[Seq[Long]] =
+    ArrRe.findAllMatchIn(d).find(_.group(1) == key).map(m =>
+      """-?\d+""".r.findAllIn(m.group(2)).map(_.toLong).toSeq)
 
   private def dictRef(d: String, key: String): Option[Int] =
     RefRe.findAllMatchIn(d).find(_.group(1) == key).map(_.group(2).toInt)
@@ -95,10 +106,31 @@ object PdfOps {
       .map(_.group(1).toInt).toSeq
   }
 
-  /** Offsets of objects from the classic xref table; None on any
-    * structural lie.
+  /** Direct-/Length Flate-or-plain stream payload of the object whose
+    * dict ends at `dictEnd`; None on any lie.
     */
-  private def xrefOffsets(c: Cursor): Option[(Map[Int, Int], String)] = {
+  private def streamPayload(c: Cursor, d: String, dictEnd: Int): Option[Array[Byte]] = {
+    val kw = c.s.indexOf("stream", dictEnd)
+    val len = dictInt(d, "Length").getOrElse(-1L)
+    if (kw < 0 || len < 0 || len > MaxStreamBytes) return None
+    var ds = kw + 6
+    if (ds < c.s.length && c.s(ds) == '\r') ds += 1
+    if (ds < c.s.length && c.s(ds) == '\n') ds += 1
+    if (ds + len > c.s.length) return None
+    if (dictName(d, "Filter").contains("FlateDecode"))
+      inflateZlib(c.b, ds, len.toInt)
+    else Some(java.util.Arrays.copyOfRange(c.b, ds, (ds + len).toInt))
+  }
+
+  /** Object locations + trailer from EITHER xref form: the classic
+    * table (PDF 1.0–1.4) or the PDF 1.5 CROSS-REFERENCE STREAM
+    * (`/Type /XRef`, `/W`-width binary rows, default `/Index`,
+    * Flate-compressed). Returns (direct offsets, compressed locations
+    * `obj → (objstm, idx)`, trailer dict — for xref streams the
+    * stream's own dict IS the trailer). None on any structural lie.
+    */
+  private def xrefOffsets(
+      c: Cursor): Option[(Map[Int, Int], Map[Int, (Int, Int)], String)] = {
     val sx = c.s.lastIndexOf("startxref")
     if (sx < 0) return None
     val tail = c.s.substring(sx + 9).trim.takeWhile(_.isDigit)
@@ -106,7 +138,50 @@ object PdfOps {
     val xo = tail.toLong
     if (xo < 0 || xo >= c.s.length) return None
     var p = xo.toInt
-    if (!c.s.startsWith("xref", p)) return None
+    if (!c.s.startsWith("xref", p)) {
+      // PDF 1.5 cross-reference STREAM: an object at the offset
+      return dictAt(c, p).flatMap { case (d, dictEnd) =>
+        if (!dictName(d, "Type").contains("XRef")) None
+        else {
+          val w = dictIntArray(d, "W").getOrElse(return None)
+          val size = dictInt(d, "Size").getOrElse(return None)
+          if (w.length != 3 || w.exists(x => x < 0 || x > 4)) return None
+          val index = dictIntArray(d, "Index")
+            .getOrElse(Seq(0L, size))
+          if (index.length % 2 != 0) return None
+          streamPayload(c, d, dictEnd).flatMap { data =>
+            val rowLen = w.sum.toInt
+            val direct = scala.collection.mutable.Map.empty[Int, Int]
+            val compressed = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+            var q = 0
+            def field(width: Int): Long = {
+              var v = 0L
+              var k = 0
+              while (k < width) { v = (v << 8) | (data(q) & 0xffL); q += 1; k += 1 }
+              v
+            }
+            index.grouped(2).foreach { case Seq(start, count) =>
+              if (count < 0 || count > 100000) return None
+              var i = 0
+              while (i < count) {
+                if (q + rowLen > data.length) return None
+                val t = if (w(0) == 0) 1L else field(w(0).toInt)
+                val f2 = field(w(1).toInt)
+                val f3 = field(w(2).toInt)
+                val objNum = (start + i).toInt
+                t match {
+                  case 1L => direct(objNum) = f2.toInt
+                  case 2L => compressed(objNum) = (f2.toInt, f3.toInt)
+                  case _ => () // type 0: free
+                }
+                i += 1
+              }
+            }
+            Some((direct.toMap, compressed.toMap, d))
+          }
+        }
+      }
+    }
     p += 4
     while (p < c.s.length && (c.s(p) == '\r' || c.s(p) == '\n')) p += 1
     val out = scala.collection.mutable.Map.empty[Int, Int]
@@ -136,7 +211,9 @@ object PdfOps {
         }
       }
     }
-    dictAt(c, p).map { case (trailer, _) => (out.toMap, trailer) }
+    dictAt(c, p).map { case (trailer, _) =>
+      (out.toMap, Map.empty[Int, (Int, Int)], trailer)
+    }
   }
 
   /** Unescape one PDF string literal body (no outer parens). */
@@ -253,12 +330,45 @@ object PdfOps {
       return PdfText(docId, "not-pdf", 0, 0, "")
     xrefOffsets(c) match {
       case None => PdfText(docId, "bad-xref", 0, 0, "")
-      case Some((offsets, trailer)) =>
+      case Some((offsets, compressed, trailer)) =>
         if (trailer.contains("/Encrypt"))
           return PdfText(docId, "encrypted", 0, 0, "")
+        // object streams (/Type /ObjStm): inflated once, header pairs
+        // "objnum offset" locate each packed object body after /First
+        val objStmCache = scala.collection.mutable.Map.empty[Int, Option[(String, Map[Int, Int], Int)]]
+        def objStm(num: Int): Option[(String, Map[Int, Int], Int)] =
+          objStmCache.getOrElseUpdate(num, {
+            offsets.get(num).flatMap(o => dictAt(c, o)).flatMap { case (d, de) =>
+              if (!dictName(d, "Type").contains("ObjStm")) None
+              else for {
+                n <- dictInt(d, "N")
+                first <- dictInt(d, "First")
+                data <- streamPayload(c, d, de)
+              } yield {
+                val text = new String(data,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                val nums = """\d+""".r.findAllIn(
+                  text.substring(0, math.min(first.toInt, text.length)))
+                  .map(_.toInt).toSeq
+                val pairs = nums.grouped(2).collect {
+                  case Seq(on, off) => on -> off
+                }.toMap
+                (text, pairs, first.toInt)
+              }
+            }
+          })
         def objDict(num: Int): Option[(String, Int)] =
           offsets.get(num).filter(o => o >= 0 && o < c.s.length)
             .flatMap(o => dictAt(c, o))
+            .orElse(compressed.get(num).flatMap { case (stmNum, _) =>
+              objStm(stmNum).flatMap { case (text, pairs, first) =>
+                pairs.get(num).flatMap { rel =>
+                  val start = first + rel
+                  if (start < 0 || start >= text.length) None
+                  else dictFromString(text, start).map { case (d, _) => (d, -1) }
+                }
+              }
+            })
         val rootDict = dictRef(trailer, "Root").flatMap(objDict)
         val pagesDict = rootDict.flatMap { case (d, _) =>
           dictRef(d, "Pages").flatMap(objDict)
@@ -389,6 +499,87 @@ object PdfOps {
     bos.toByteArray
   }
 
+  /** The PDF 1.5 twin of `buildPdf`: the SAME logical document, but the
+    * catalog/pages/page dictionaries pack into a Flate OBJECT STREAM
+    * and the cross-reference is a `/Type /XRef` STREAM (`/W [1 3 2]`
+    * binary rows: type-1 direct offsets for the content streams, the
+    * objstm, and the xref stream itself; type-2 rows for the packed
+    * dicts) — the layout every modern PDF writer emits. Page 2's line
+    * says `XRef` instead of `Tail` so the two corpora stay
+    * distinguishable under their hashes.
+    */
+  private[graft] def buildPdf15(
+      docId: Long, bodyA: String, bodyB1: String, bodyB2: String): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+    val content1 =
+      s"BT /F1 12 Tf 72 720 Td (Doc $docId) Tj T* (${escapePdfString(bodyA)}) Tj " +
+        s"T* [(${escapePdfString(bodyB1)}) -250 (${escapePdfString(bodyB2)})] TJ ET"
+    val content2 =
+      s"BT /F1 12 Tf 72 720 Td (XRef \\($docId\\) \\\\ \\101\\102 end) Tj ET"
+    val deflated1 = deflate(content1.getBytes(utf8))
+    // object stream: catalog, pages, both page dicts
+    val objBodies = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      5 -> "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+    var rel = 0
+    val headerPairs = objBodies.map { case (n, b) =>
+      val s = s"$n $rel"; rel += b.length + 1; s
+    }.mkString(" ")
+    val first = headerPairs.length + 1
+    val stmRaw = (headerPairs + " " + objBodies.map(_._2).mkString(" "))
+      .getBytes(utf8)
+    val objStmData = deflate(stmRaw)
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(utf8))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    w("%PDF-1.5\n")
+    offsets(4) = bos.size()
+    w(s"4 0 obj\n<< /Length ${deflated1.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(deflated1); w("\nendstream\nendobj\n")
+    val c2 = content2.getBytes(utf8)
+    offsets(6) = bos.size()
+    w(s"6 0 obj\n<< /Length ${c2.length} >>\nstream\n")
+    bos.write(c2); w("\nendstream\nendobj\n")
+    offsets(7) = bos.size()
+    w(s"7 0 obj\n<< /Type /ObjStm /N ${objBodies.length} /First $first " +
+      s"/Filter /FlateDecode /Length ${objStmData.length} >>\nstream\n")
+    bos.write(objStmData); w("\nendstream\nendobj\n")
+    val xrefOff = bos.size()
+    offsets(8) = xrefOff
+    // xref rows for objects 0..8, W = [1 3 2]
+    val rows = new java.io.ByteArrayOutputStream()
+    def row(t: Int, f2: Int, f3: Int): Unit = {
+      rows.write(t)
+      rows.write((f2 >> 16) & 0xff); rows.write((f2 >> 8) & 0xff); rows.write(f2 & 0xff)
+      rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+    }
+    row(0, 0, 65535)
+    row(2, 7, 0); row(2, 7, 1); row(2, 7, 2) // objs 1..3 in objstm 7
+    row(1, offsets(4), 0)
+    row(2, 7, 3) // obj 5
+    row(1, offsets(6), 0)
+    row(1, offsets(7), 0)
+    row(1, offsets(8), 0)
+    val xrefData = deflate(rows.toByteArray)
+    w(s"8 0 obj\n<< /Type /XRef /Size 9 /W [1 3 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode /Length ${xrefData.length} >>\nstream\n")
+    bos.write(xrefData); w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    bos.toByteArray
+  }
+
   // ------------------------------------------------------------------ q136
 
   /** The deterministic body split shared by corpus and oracle: first
@@ -414,14 +605,27 @@ object PdfOps {
     * per-doc status/page/stream counts and the extracted-text sha,
     * all oracle-replayed from (doc_id, text).
     */
-  def q136PdfExtract(spark: SparkSession, dir: String): DataFrame = {
+  def q136PdfExtract(spark: SparkSession, dir: String): DataFrame =
+    pdfExtractQuery(spark, dir, buildPdf)
+
+  /** q140: the identical contract over the PDF 1.5 corpus — xref
+    * STREAM + object STREAM resolution end-to-end (the modern-writer
+    * layout); the oracle replays the same word-split arithmetic with
+    * the `XRef` page-2 line.
+    */
+  def q140PdfXrefStream(spark: SparkSession, dir: String): DataFrame =
+    pdfExtractQuery(spark, dir, buildPdf15)
+
+  private def pdfExtractQuery(
+      spark: SparkSession, dir: String,
+      build: (Long, String, String, String) => Array[Byte]): DataFrame = {
     import spark.implicits._
     val parts = corpusParts(Tables.documents(spark, dir))
     val out = parts
       .select(col("doc_id"), col("bodyA"), col("bodyB1"), col("bodyB2"))
       .as[(Long, String, String, String)]
       .mapPartitions(_.map { case (id, a, b1, b2) =>
-        extractPdf(id, buildPdf(id, a, b1, b2))
+        extractPdf(id, build(id, a, b1, b2))
       })
       .toDF()
     out.select(col("doc_id"), col("status"),

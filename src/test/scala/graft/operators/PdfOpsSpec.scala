@@ -85,6 +85,38 @@ class PdfOpsSpec extends AnyFunSuite {
     assert(PdfOps.extractPdf(11L, Array.empty[Byte]).status == "not-pdf")
   }
 
+  test("PDF 1.5: xref STREAM + object STREAM resolve the identical document") {
+    val v15 = PdfOps.extractPdf(9L, PdfOps.buildPdf15(9L, "one two three", "fou", "r five"))
+    assert(v15.status == "ok", s"1.5 walk: ${v15.status}")
+    assert(v15.n_pages == 2 && v15.n_streams == 2)
+    assert(v15.text == "Doc 9\none two three\nfour five\nXRef (9) \\ AB end")
+    // the 1.4 twin differs ONLY in the page-2 marker
+    val v14 = PdfOps.extractPdf(9L, PdfOps.buildPdf(9L, "one two three", "fou", "r five"))
+    assert(v15.text.replace("XRef", "Tail") == v14.text)
+  }
+
+  test("PDF 1.5 hostility: truncation fuzz never throws; a corrupt objstm is bad-structure") {
+    val good = PdfOps.buildPdf15(21L, "aa bb cc", "dd", " ee")
+    val statuses = Set("ok", "not-pdf", "bad-xref", "bad-structure", "bad-stream", "encrypted")
+    for (cut <- 0 to good.length by 7) {
+      val r = PdfOps.extractPdf(21L, good.take(cut))
+      assert(statuses.contains(r.status), s"cut=$cut gave ${r.status}")
+    }
+    // flip a byte inside the object stream's deflate data: the packed
+    // catalog/pages dicts become unreachable
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val stmAt = s.indexOf("stream\n", s.indexOf("/ObjStm")) + 7
+    val flip = good.clone()
+    flip(stmAt + 4) = (flip(stmAt + 4) ^ 0x3c).toByte
+    val r = PdfOps.extractPdf(21L, flip)
+    assert(r.status == "bad-structure" || r.status == "bad-xref", r.status)
+    // flip inside the XREF stream's deflate data: bad-xref
+    val xAt = s.indexOf("stream\n", s.indexOf("/XRef")) + 7
+    val flip2 = good.clone()
+    flip2(xAt + 4) = (flip2(xAt + 4) ^ 0x3c).toByte
+    assert(PdfOps.extractPdf(21L, flip2).status == "bad-xref")
+  }
+
   test("q136 on sf0.001: every document round-trips ok with the derived text sha") {
     import org.apache.spark.sql.functions._
     val rows = PdfOps.q136PdfExtract(spark, "/root/testdata/sf0.001").collect()
