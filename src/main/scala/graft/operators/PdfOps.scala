@@ -149,7 +149,38 @@ object PdfOps {
           val index = dictIntArray(d, "Index")
             .getOrElse(Seq(0L, size))
           if (index.length % 2 != 0) return None
-          streamPayload(c, d, dictEnd).flatMap { data =>
+          streamPayload(c, d, dictEnd).flatMap { raw =>
+            // real writers almost always PNG-predictor-filter xref
+            // streams (/DecodeParms /Predictor >= 10): each row is
+            // prefixed with a PNG filter-type byte; Up (2) adds the
+            // previous row, None (0) passes through — the two filters
+            // xref writers use. Other row filters dead-letter.
+            val pred = """/Predictor\s+(\d+)""".r
+              .findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(1)
+            val data: Array[Byte] =
+              if (pred < 10) raw
+              else {
+                val cols = dictInt(d, "Columns").getOrElse(w.sum).toInt
+                if (cols <= 0 || raw.length % (cols + 1) != 0) return None
+                val nRows = raw.length / (cols + 1)
+                val out = new Array[Byte](nRows * cols)
+                var r = 0
+                while (r < nRows) {
+                  val ft = raw(r * (cols + 1)) & 0xff
+                  var x = 0
+                  while (x < cols) {
+                    val v = raw(r * (cols + 1) + 1 + x) & 0xff
+                    out(r * cols + x) = (ft match {
+                      case 0 => v
+                      case 2 => v + (if (r > 0) out((r - 1) * cols + x) & 0xff else 0)
+                      case _ => return None
+                    }).toByte
+                    x += 1
+                  }
+                  r += 1
+                }
+                out
+              }
             val rowLen = w.sum.toInt
             val direct = scala.collection.mutable.Map.empty[Int, Int]
             val compressed = scala.collection.mutable.Map.empty[Int, (Int, Int)]
@@ -572,8 +603,26 @@ object PdfOps {
     row(1, offsets(6), 0)
     row(1, offsets(7), 0)
     row(1, offsets(8), 0)
-    val xrefData = deflate(rows.toByteArray)
+    // PNG Up-filter the rows (Predictor 12) — the layout real writers
+    // emit; each 6-byte row is prefixed with filter type 2 and stored
+    // as the delta against the previous row
+    val plainRows = rows.toByteArray
+    val cols = 6
+    val filtered = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r * cols < plainRows.length) {
+      filtered.write(2)
+      var x = 0
+      while (x < cols) {
+        val prev = if (r > 0) plainRows((r - 1) * cols + x) & 0xff else 0
+        filtered.write(((plainRows(r * cols + x) & 0xff) - prev) & 0xff)
+        x += 1
+      }
+      r += 1
+    }
+    val xrefData = deflate(filtered.toByteArray)
     w(s"8 0 obj\n<< /Type /XRef /Size 9 /W [1 3 2] /Root 1 0 R " +
+      s"/DecodeParms << /Predictor 12 /Columns 6 >> " +
       s"/Filter /FlateDecode /Length ${xrefData.length} >>\nstream\n")
     bos.write(xrefData); w("\nendstream\nendobj\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
