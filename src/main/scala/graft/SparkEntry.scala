@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -159,6 +159,7 @@ object SparkEntry {
     "q138_vp8_decode" -> (MultimodalOps.q138Vp8Decode(_, _)),
     "q139_warc_http_extract" -> (WarcOps.q139WarcHttpExtract(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
+    "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2012,6 +2013,30 @@ object SparkEntry {
         |SELECT doc_id, 'ok' AS status, 2::BIGINT AS n_pages,
         |  2::BIGINT AS n_streams, sha256(text) AS text_sha
         |FROM t ORDER BY doc_id""".stripMargin,
+    // robots.txt gate (q141): per-URL verdict + winning rule replayed
+    // from the planted per-host rule arithmetic — group selection (the
+    // foreign deny-all decoy must not apply), prefix/override/wildcard/
+    // anchor matching, and the longest-match tie-break all collapse
+    // into hash-visible columns
+    "q141_robots_gate" ->
+      """WITH u AS (SELECT doc_id, doc_id % 8 AS h, doc_id % 6 AS m,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '/p/' || (doc_id % 8) || '/page'
+        |      WHEN 1 THEN '/p/' || (doc_id % 8) || '/ok/deep'
+        |      WHEN 2 THEN '/free/' || (doc_id % 25)
+        |      WHEN 3 THEN '/q/' || (doc_id % 9) || '/x'
+        |      WHEN 4 THEN '/r/only'
+        |      ELSE '/r/only/sub' END AS path
+        |  FROM documents)
+        |SELECT doc_id, 'h' || h || '.example.test' AS host, path,
+        |  (m = 1 OR m = 2 OR m = 4) AS allowed,
+        |  CASE m WHEN 0 THEN '/p/' || h
+        |         WHEN 1 THEN '/p/' || h || '/ok'
+        |         WHEN 2 THEN ''
+        |         WHEN 3 THEN '/q/*/x'
+        |         WHEN 4 THEN '/r/only$'
+        |         ELSE '/r/' END AS rule
+        |FROM u ORDER BY doc_id""".stripMargin,
     // MP4 / ISO-BMFF container walk (q137): the Spark side builds a
     // real two-chunk MP4 per document and resolves stsc/stsz/stco to
     // every sample's bytes; the oracle replays counts, duration, and
