@@ -160,6 +160,7 @@ object SparkEntry {
     "q139_warc_http_extract" -> (WarcOps.q139WarcHttpExtract(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
+    "q142_warc_charset" -> (WarcOps.q142WarcCharset(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1970,6 +1971,23 @@ object SparkEntry {
     // the q128 expectation and the applied coding chain is derived from
     // the corpus arithmetic — an un-framing or inflate slip changes
     // `enc`, rows, or the sha
+    // charset-labeled bodies (q142): Latin-1 / Windows-1252 / UTF-8 /
+    // unlabeled deliveries of the same logical text must all decode to
+    // the same Unicode; the reported charset and extracted text are
+    // pinned from the doc_id arithmetic
+    "q142_warc_charset" -> (htmlExtractCtes(
+      " ||\n    '<p>' || CASE doc_id % 4\n" +
+        "      WHEN 0 THEN 'UTF naïve — fin'\n" +
+        "      WHEN 1 THEN 'Latin café è ø fin'\n" +
+        "      WHEN 2 THEN 'CP équipe € fin'\n" +
+        "      ELSE 'Plain naïve fin' END || ' ' || doc_id || '</p>'") +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  CASE doc_id % 4 WHEN 1 THEN 'iso-8859-1'
+        |    WHEN 2 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
     "q139_warc_http_extract" -> (htmlExtractCtes() +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,

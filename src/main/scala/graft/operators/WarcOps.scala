@@ -33,7 +33,7 @@ object WarcOps {
 
   final case class WarcHttpRecord(
       group_id: Long, target_uri: String, status: Int, body: String,
-      enc: String)
+      enc: String, charset: String)
 
   /** Parse concatenated WARC records; keep `response` records' HTTP
     * payloads split into (status, body). ISO-8859-1 maps bytes 1:1 to
@@ -45,11 +45,11 @@ object WarcOps {
     * 0xFF char would otherwise become two UTF-8 bytes and diverge
     * `text_sha` from the source text).
     */
-  private[graft] def parseWarc(bytes: Array[Byte]): Seq[(String, Int, String, String)] = {
+  private[graft] def parseWarc(bytes: Array[Byte]): Seq[(String, Int, String, String, String)] = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     def utf8(from: Int, until: Int): String =
       new String(bytes, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, String, String)]
     var p = 0
     while (p < s.length) {
       if (!s.startsWith("WARC/1.0\r\n", p)) return out.toSeq
@@ -108,6 +108,7 @@ object WarcOps {
           else -1
           var chunked = false
           var gzipped = false
+          var charset = "utf-8"
           // an empty header section means hdrEnd == eol
           payload.substring(math.min(eol + 2, hdrEnd), hdrEnd).split("\r\n").foreach { h =>
             val c = h.indexOf(':')
@@ -116,14 +117,30 @@ object WarcOps {
               val v = h.substring(c + 1).trim.toLowerCase
               if (n == "transfer-encoding" && v.contains("chunked")) chunked = true
               if (n == "content-encoding" && v.contains("gzip")) gzipped = true
+              if (n == "content-type")
+                "charset=\"?([a-z0-9_\\-]+)".r.findFirstMatchIn(v)
+                  .foreach(m => charset = m.group(1))
             }
+          }
+          // declared charset support: the three encodings that cover
+          // the overwhelming majority of labeled web text; anything
+          // else decodes as UTF-8, the web default (deterministic —
+          // Java decoding substitutes replacement chars, never throws)
+          val cs = charset match {
+            case "iso-8859-1" | "latin-1" | "latin1" =>
+              java.nio.charset.StandardCharsets.ISO_8859_1
+            case "windows-1252" | "cp1252" =>
+              java.nio.charset.Charset.forName("windows-1252")
+            case "us-ascii" => java.nio.charset.StandardCharsets.US_ASCII
+            case _ => java.nio.charset.StandardCharsets.UTF_8
           }
           if (status > 0) {
             val bodyOff = p0 + hdrEnd + 4
             val bodyEnd = p0 + clen.toInt
             val decoded: Option[(String, String)] =
               if (!chunked && !gzipped)
-                Some(("identity", utf8(bodyOff, bodyEnd)))
+                Some(("identity",
+                  new String(bytes, bodyOff, bodyEnd - bodyOff, cs)))
               else {
                 val deChunked: Option[Array[Byte]] =
                   if (chunked) dechunk(bytes, bodyOff, bodyEnd)
@@ -138,11 +155,10 @@ object WarcOps {
                 }
                 val enc = (if (chunked) Seq("chunked") else Nil) ++
                   (if (gzipped) Seq("gzip") else Nil)
-                plain.map(b => (enc.mkString(","),
-                  new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+                plain.map(b => (enc.mkString(","), new String(b, cs)))
               }
             decoded.foreach { case (enc, body) =>
-              out += ((uri, status, body, enc))
+              out += ((uri, status, body, enc, charset))
             }
           }
         }
@@ -300,7 +316,7 @@ object WarcOps {
     * neighbors with it); plaintext archives walk directly — the
     * pre-round-15 path, byte-for-byte unchanged.
     */
-  private[graft] def parseWarcAuto(bytes: Array[Byte]): Seq[(String, Int, String, String)] =
+  private[graft] def parseWarcAuto(bytes: Array[Byte]): Seq[(String, Int, String, String, String)] =
     if (isGzip(bytes)) gunzipMembers(bytes).flatMap(parseWarc)
     else parseWarc(bytes)
 
@@ -313,8 +329,8 @@ object WarcOps {
     warcs.select(col("group_id"), col("warc"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (gid, bytes) =>
-        parseWarcAuto(bytes).map { case (uri, st, body, enc) =>
-          WarcHttpRecord(gid, uri, st, body, enc)
+        parseWarcAuto(bytes).map { case (uri, st, body, enc, cs) =>
+          WarcHttpRecord(gid, uri, st, body, enc, cs)
         }
       })
   }
@@ -446,6 +462,68 @@ object WarcOps {
         (gid, recs.reduce(_ ++ _))
       }
       .toDF("group_id", "warc")
+  }
+
+  /** Mixed-CHARSET corpus: per document the q122 markup plus a planted
+    * accented paragraph, delivered as `charset=utf-8` (id % 4 == 0),
+    * `ISO-8859-1` (== 1, single-byte accents), `Windows-1252` (== 2,
+    * incl. the € only cp1252 has), or UNLABELED (== 3, the UTF-8
+    * default) — byte-assembled, so Content-Length counts the coded
+    * octets of each charset.
+    */
+  private[graft] def syntheticWarcCharset(docs: DataFrame, groups: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    HtmlOps.syntheticHtml(docs)
+      .select(col("doc_id"), col("html"))
+      .as[(Long, String)]
+      .map { case (id, html) =>
+        val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+        val (label, csName, marker) = (id % 4) match {
+          case 0 => ("; charset=UTF-8", "utf-8", "UTF naïve — fin")
+          case 1 => ("; charset=ISO-8859-1", "ISO-8859-1", "Latin café è ø fin")
+          case 2 => ("; charset=Windows-1252", "windows-1252", "CP équipe € fin")
+          case _ => ("", "utf-8", "Plain naïve fin")
+        }
+        val full = html + "<p>" + marker + " " + id + "</p>"
+        val body = full.getBytes(java.nio.charset.Charset.forName(csName))
+        val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html" + label +
+          "\r\n\r\n").getBytes(iso)
+        val http = head ++ body
+        val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: https://example.test/doc/$id\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+          http ++ "\r\n\r\n".getBytes(iso)
+        (id % groups, id, rec)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (gid, it) =>
+        val recs = it.toSeq.sortBy(_._2).map(_._3)
+        (gid, recs.reduce(_ ++ _))
+      }
+      .toDF("group_id", "warc")
+  }
+
+  /** q142: charset-labeled bodies through the front door — Latin-1 and
+    * Windows-1252 single-byte accents (and the cp1252-only €) must
+    * decode to the SAME Unicode text a UTF-8 delivery yields; the
+    * reported charset and the extracted text are both oracle-pinned
+    * from the doc_id arithmetic.
+    */
+  def q142WarcCharset(spark: SparkSession, dir: String): DataFrame = {
+    val recs = extractRecords(spark,
+      syntheticWarcCharset(Tables.documents(spark, dir))).toDF()
+    recs
+      .select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("target_uri").as("url"),
+        col("status").cast("long").as("status"),
+        col("charset"),
+        HtmlOps.htmlBlocks(col("body")).as("blocks"))
+      .select(col("doc_id"), col("url"), col("status"), col("charset"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        sha2(array_join(col("blocks"), "\n"), 256).as("text_sha"))
+      .orderBy(col("doc_id"))
   }
 
   /** q139: the front door over MIXED HTTP codings — identity, chunked,

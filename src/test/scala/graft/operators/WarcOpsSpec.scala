@@ -233,6 +233,34 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(WarcOps.dechunk(empty, 0, empty.length).map(_.length) == Some(0))
   }
 
+  test("charset-labeled bodies decode to identical Unicode; unknown labels default to UTF-8") {
+    def recCt(ct: String, body: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val httpB = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://cs/1\r\n" +
+        s"Content-Length: ${httpB.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        httpB ++ "\r\n\r\n".getBytes
+    }
+    val text = "café è ø end"
+    val latin = WarcOps.parseWarc(recCt("text/html; charset=ISO-8859-1",
+      text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    assert(latin.map(r => (r._3, r._5)) == Seq((text, "iso-8859-1")))
+    val cpText = "équipe € end"
+    val cp = WarcOps.parseWarc(recCt("text/html; charset=Windows-1252",
+      cpText.getBytes(java.nio.charset.Charset.forName("windows-1252"))))
+    assert(cp.map(r => (r._3, r._5)) == Seq((cpText, "windows-1252")))
+    // quoted charset parameter form
+    val q = WarcOps.parseWarc(recCt("text/html; charset=\"iso-8859-1\"",
+      text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    assert(q.map(_._3) == Seq(text))
+    // unknown label: UTF-8 default (deterministic replacement, no throw)
+    val unk = WarcOps.parseWarc(recCt("text/html; charset=klingon-8",
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    assert(unk.map(r => (r._3, r._5)) == Seq((text, "klingon-8")))
+  }
+
   test("q139 on sf0.001: all three coding paths extract to the q122 text") {
     val rows = WarcOps.q139WarcHttpExtract(spark, "/root/testdata/sf0.001").collect()
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
