@@ -86,7 +86,10 @@ object Mp4Ops {
     for {
       (szS, szE) <- find(stbl, "stsz")
       (scS, scE) <- find(stbl, "stsc")
-      (coS, coE) <- find(stbl, "stco")
+      // chunk offsets come as 32-bit `stco` or the 64-bit `co64`
+      // large-file form — both resolve identically
+      (coS, coE, wide) <- find(stbl, "stco").map { case (a, b) => (a, b, false) }
+        .orElse(find(stbl, "co64").map { case (a, b) => (a, b, true) })
       sizes <- {
         if (szE - szS < 12) None
         else {
@@ -113,8 +116,10 @@ object Mp4Ops {
         if (coE - coS < 8) None
         else {
           val n = be32(b, coS + 4)
-          if (n < 0 || coS + 8 + 4L * n > coE) None
-          else Some((0 until n.toInt).map(i => be32(b, coS + 8 + 4 * i)))
+          val ew = if (wide) 8 else 4
+          if (n < 0 || coS + 8 + ew.toLong * n > coE) None
+          else Some((0 until n.toInt).map(i =>
+            if (wide) be64(b, coS + 8 + 8 * i) else be32(b, coS + 8 + 4 * i)))
         }
       }
       resolved <- {
@@ -179,7 +184,8 @@ object Mp4Ops {
             .map { case (s, e) => boxes(b, s, e) }
             .getOrElse(Nil)
           (handler, duration, trackSamples(b, stbl),
-            find(stbl, "stco").map { case (s, _) => be32(b, s + 4).toInt }.getOrElse(0))
+            find(stbl, "stco").orElse(find(stbl, "co64"))
+              .map { case (s, _) => be32(b, s + 4).toInt }.getOrElse(0))
         }.toSeq
         parsed.collectFirst { case (h, d, Some(samples), nChunks) => (h, d, samples, nChunks) } match {
           case None => dead("bad-sample-table")
@@ -228,9 +234,14 @@ object Mp4Ops {
   private[graft] def sampleBytes(id: Long, i: Int): Array[Byte] =
     Array.tabulate(sampleSize(id, i))(j => ((id + 31L * i + j) % 256).toByte)
 
-  /** A real two-chunk single-track MP4 from the arithmetic geometry. */
+  /** A real two-chunk single-track MP4 from the arithmetic geometry;
+    * odd ids write their chunk offsets as 64-bit `co64` (the
+    * large-file form), even ids as 32-bit `stco` — both walk to the
+    * same samples, so the q137 hash is offset-form-independent.
+    */
   private[graft] def buildMp4(id: Long): Array[Byte] =
-    buildMp4From((0 until sampleCount(id)).map(sampleBytes(id, _)))
+    buildMp4From((0 until sampleCount(id)).map(sampleBytes(id, _)),
+      wideOffsets = id % 2 == 1)
 
   /** Ordered sample payloads of a container (the opaque-sample feed for
     * the signature/dedup machinery).
@@ -267,7 +278,8 @@ object Mp4Ops {
   }
 
   /** Build the container from explicit sample payloads. */
-  private[graft] def buildMp4From(samples: Seq[Array[Byte]]): Array[Byte] = {
+  private[graft] def buildMp4From(
+      samples: Seq[Array[Byte]], wideOffsets: Boolean = false): Array[Byte] = {
     val n = samples.length
     val nA = (n + 1) / 2
     val sizes = samples.map(_.length)
@@ -310,9 +322,12 @@ object Mp4Ops {
                   v.u32(0); v.u32(0); v.u32(n.toLong)
                   sizes.foreach(sz => v.u32(sz.toLong))
                 }
-                s.box("stco") { v =>
-                  if (n - nA > 0) { v.u32(0); v.u32(2); v.u32(c1); v.u32(c2) }
-                  else { v.u32(0); v.u32(1); v.u32(c1) }
+                s.box(if (wideOffsets) "co64" else "stco") { v =>
+                  def off(x: Long): Unit =
+                    if (wideOffsets) { v.u32(x >> 32); v.u32(x & 0xffffffffL) }
+                    else v.u32(x)
+                  if (n - nA > 0) { v.u32(0); v.u32(2); off(c1); off(c2) }
+                  else { v.u32(0); v.u32(1); off(c1) }
                 }
               }
             }

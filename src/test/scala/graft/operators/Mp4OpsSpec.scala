@@ -24,6 +24,14 @@ class Mp4OpsSpec extends AnyFunSuite {
     assert(out.payload.toSeq == expect, "payload must re-assemble exactly")
     assert(out.sum_sizes == expect.length.toLong)
     assert(out.duration == Mp4Ops.sampleCount(id) * 100L)
+    // odd ids write co64 (64-bit offsets): same samples, same walk
+    val odd = 43L
+    val wide = Mp4Ops.extractMp4(odd, Mp4Ops.buildMp4(odd))
+    assert(new String(Mp4Ops.buildMp4(odd),
+      java.nio.charset.StandardCharsets.ISO_8859_1).contains("co64"))
+    assert(wide.status == "ok")
+    assert(wide.payload.toSeq == (0 until Mp4Ops.sampleCount(odd))
+      .flatMap(i => Mp4Ops.sampleBytes(odd, i).toSeq))
   }
 
   test("unknown boxes skip by size; trailing junk is ignored") {
