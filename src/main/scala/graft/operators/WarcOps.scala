@@ -36,14 +36,15 @@ object WarcOps {
       enc: String, charset: String)
 
   /** Parse concatenated WARC records; keep `response` records' HTTP
-    * payloads split into (status, body). ISO-8859-1 maps bytes 1:1 to
-    * chars, so char offsets ARE byte offsets — but ONLY the walk uses
-    * the Latin-1 view: every extracted string (header values, HTTP
-    * bodies) is re-decoded from the ORIGINAL byte array as UTF-8, so a
-    * multi-byte payload round-trips byte-identical instead of
-    * mojibake-ing when Spark re-encodes the Latin-1 chars (each 0x80–
-    * 0xFF char would otherwise become two UTF-8 bytes and diverge
-    * `text_sha` from the source text).
+    * payloads split into (status, body, codings, charset). ISO-8859-1
+    * maps bytes 1:1 to chars, so char offsets ARE byte offsets — but
+    * ONLY the walk uses the Latin-1 view: every extracted string is
+    * decoded from the ORIGINAL byte array — header values as UTF-8,
+    * bodies per their HTTP layer (chunked un-framing, gzip content
+    * inflate, then the Content-Type charset: Latin-1 / Windows-1252 /
+    * US-ASCII exactly, the UTF-8 web default otherwise) — so payloads
+    * round-trip to the SAME Unicode regardless of delivery form
+    * instead of mojibake-ing through a blind Latin-1 or UTF-8 read.
     */
   private[graft] def parseWarc(bytes: Array[Byte]): Seq[(String, Int, String, String, String)] = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
