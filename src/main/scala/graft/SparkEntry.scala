@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,7 @@ object SparkEntry {
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
     "q142_warc_charset" -> (WarcOps.q142WarcCharset(_, _)),
+    "q143_docx_extract" -> (ZipOps.q143DocxExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1988,6 +1989,35 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // DOCX extraction (q143): the Spark side builds a real three-entry
+    // ZIP per document (stored + deflated members, CRC-verified),
+    // walks EOCD -> central directory -> local headers, and applies
+    // the WordprocessingML text rules (w:t runs, w:tab/w:br, w:delText
+    // skipped, entities decoded); the oracle replays the assembled
+    // text from pure (doc_id, text) word arithmetic — the container,
+    // deflate, XML, and entity layers all collapse out
+    "q143_docx_extract" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\r\n]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, i, ws[i + 1] AS w
+        |  FROM d, unnest(range(len(ws))) AS u(i)),
+        |p AS (SELECT doc_id, i // 8 AS pid, string_agg(w, ' ' ORDER BY i) AS ptext
+        |  FROM w GROUP BY doc_id, i // 8),
+        |body AS (SELECT doc_id, string_agg(ptext, chr(10) ORDER BY pid) AS btext,
+        |    count(*) AS np
+        |  FROM p GROUP BY doc_id),
+        |f AS (SELECT d.doc_id,
+        |    CASE WHEN b.btext IS NULL THEN '' ELSE b.btext || chr(10) END ||
+        |    'Amp & lt < gt > quot " apos '' tab' || chr(9) || 'break' ||
+        |    chr(10) || 'fin ' || d.doc_id AS ftext,
+        |    coalesce(b.np, 0) + 1 AS np
+        |  FROM d LEFT JOIN body b USING (doc_id))
+        |SELECT doc_id, 'ok' AS status, 3::BIGINT AS n_entries,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'deflate' ELSE 'stored' END AS method,
+        |  np::BIGINT AS n_paragraphs, length(ftext)::BIGINT AS n_chars,
+        |  sha256(ftext) AS text_sha
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q139_warc_http_extract" -> (htmlExtractCtes() +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,
