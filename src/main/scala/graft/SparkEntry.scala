@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -162,6 +162,7 @@ object SparkEntry {
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
     "q142_warc_charset" -> (WarcOps.q142WarcCharset(_, _)),
     "q143_docx_extract" -> (ZipOps.q143DocxExtract(_, _)),
+    "q144_epub_extract" -> (EpubOps.q144EpubExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2018,6 +2019,35 @@ object SparkEntry {
         |  np::BIGINT AS n_paragraphs, length(ftext)::BIGINT AS n_chars,
         |  sha256(ftext) AS text_sha
         |FROM f ORDER BY doc_id""".stripMargin,
+    // EPUB extraction (q144): the Spark side builds a real OCF
+    // container (stored mimetype first, container.xml -> OPF -> spine
+    // REVERSED vs the manifest) and pushes spine-ordered chapter
+    // markup through the q122 chain; the oracle replays blocks
+    // (title, heading, modular word slice per chapter, reversed) from
+    // pure (doc_id, text) arithmetic — any mimetype/spine/manifest/
+    // escape slip changes counts or the sha
+    "q144_epub_extract" ->
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::INT AS nch,
+        |    list_filter(string_split_regex(text, '[ \t\r\n]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, nch, i, ws[i + 1] AS w
+        |  FROM d, unnest(range(len(ws))) AS u(i)),
+        |pj AS (SELECT doc_id, i % nch AS c, string_agg(w, ' ' ORDER BY i) AS ptext
+        |  FROM w GROUP BY doc_id, i % nch),
+        |cc AS (SELECT d.doc_id, d.nch, c.c FROM d, unnest(range(d.nch)) AS c(c)),
+        |ch AS (SELECT cc.doc_id, cc.nch, cc.c, pj.ptext
+        |  FROM cc LEFT JOIN pj ON pj.doc_id = cc.doc_id AND pj.c = cc.c),
+        |bl AS (SELECT doc_id, nch, c,
+        |    list_concat(['T' || c || ' doc ' || doc_id, 'Ch ' || c || ' of ' || doc_id],
+        |      CASE WHEN coalesce(ptext, '') = '' THEN []::VARCHAR[] ELSE [ptext] END) AS bs
+        |  FROM ch),
+        |agg AS (SELECT doc_id, any_value(nch) AS nch,
+        |    flatten(list(bs ORDER BY c DESC)) AS blocks
+        |  FROM bl GROUP BY doc_id)
+        |SELECT doc_id, 'ok' AS status, (3 + nch)::BIGINT AS n_entries,
+        |  nch::BIGINT AS n_chapters, len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q139_warc_http_extract" -> (htmlExtractCtes() +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,
