@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -163,6 +163,7 @@ object SparkEntry {
     "q142_warc_charset" -> (WarcOps.q142WarcCharset(_, _)),
     "q143_docx_extract" -> (ZipOps.q143DocxExtract(_, _)),
     "q144_epub_extract" -> (EpubOps.q144EpubExtract(_, _)),
+    "q145_sitemap_parse" -> (SitemapOps.q145SitemapParse(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2048,6 +2049,29 @@ object SparkEntry {
         |  nch::BIGINT AS n_chapters, len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // sitemap parsing (q145): the Spark side builds each host's real
+    // sitemap tree (index root, gzip-alternating children, escaped
+    // amps, W3C dates, omitted-priority branch) and parses it back;
+    // the oracle replays every frontier column from doc_id arithmetic
+    "q145_sitemap_parse" ->
+      """WITH u AS (SELECT doc_id, doc_id % 8 AS h,
+        |    (doc_id // 8) % (2 + (doc_id % 8) % 2) AS k,
+        |    1 + doc_id % 12 AS mm, 1 + doc_id % 28 AS dd
+        |  FROM documents),
+        |r AS (SELECT doc_id, h, k,
+        |    '2026-' || lpad(mm::VARCHAR, 2, '0') || '-' ||
+        |      lpad(dd::VARCHAR, 2, '0') AS lastmod
+        |  FROM u)
+        |SELECT 'h' || h || '.example.test' AS host,
+        |  'https://h' || h || '.example.test/doc/' || doc_id || '&ref=sm' AS loc,
+        |  lastmod,
+        |  (CAST(lastmod AS DATE) - DATE '1970-01-01')::BIGINT AS lastmod_day,
+        |  (CASE WHEN doc_id % 5 = 0 THEN 5 ELSE doc_id % 10 END)::BIGINT
+        |    AS priority_tenths,
+        |  'sitemap_' || k ||
+        |    CASE WHEN (h + k) % 2 = 0 THEN '.xml.gz' ELSE '.xml' END AS sitemap,
+        |  (h + k) % 2 = 0 AS gz
+        |FROM r ORDER BY host, loc""".stripMargin,
     "q139_warc_http_extract" -> (htmlExtractCtes() +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,
