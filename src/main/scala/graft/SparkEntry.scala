@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -164,6 +164,7 @@ object SparkEntry {
     "q143_docx_extract" -> (ZipOps.q143DocxExtract(_, _)),
     "q144_epub_extract" -> (EpubOps.q144EpubExtract(_, _)),
     "q145_sitemap_parse" -> (SitemapOps.q145SitemapParse(_, _)),
+    "q146_cdx_index" -> (CdxOps.q146CdxIndex(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2072,6 +2073,41 @@ object SparkEntry {
         |    CASE WHEN (h + k) % 2 = 0 THEN '.xml.gz' ELSE '.xml' END AS sitemap,
         |  (h + k) % 2 = 0 AS gz
         |FROM r ORDER BY host, loc""".stripMargin,
+    // CDX index generation (q146): the oracle REBUILDS every WARC
+    // record's octets (markup + HTTP envelope + dated WARC headers)
+    // and replays urlkey (SURT), the collapsed 14-digit timestamp,
+    // the body digest, and the offset/length prefix sums — a one-byte
+    // walk slip anywhere in any header fails the compare
+    "q146_cdx_index" -> (htmlExtractCtes() +
+      """, crlf AS (SELECT chr(13) || chr(10) AS c),
+        |rec AS (SELECT h.doc_id, h.doc_id % 8 AS gid, h.html,
+        |    'https://example.test/doc/' || h.doc_id AS url,
+        |    '2026-' || lpad(((h.doc_id % 12) + 1)::VARCHAR, 2, '0') || '-' ||
+        |      lpad(((h.doc_id % 28) + 1)::VARCHAR, 2, '0') || 'T' ||
+        |      lpad((h.doc_id % 24)::VARCHAR, 2, '0') || ':00:00Z' AS wdate,
+        |    'HTTP/1.1 200 OK' || c || 'Content-Type: text/html' || c || c ||
+        |      h.html AS http
+        |  FROM h, crlf),
+        |rec2 AS (SELECT doc_id, gid, url, html,
+        |    'WARC/1.0' || c || 'WARC-Type: response' || c ||
+        |      'WARC-Target-URI: ' || url || c || 'WARC-Date: ' || wdate || c ||
+        |      'Content-Length: ' || strlen(http) || c || c ||
+        |      http || c || c AS rectext
+        |  FROM rec, crlf),
+        |o AS (SELECT doc_id, gid, url, html,
+        |    strlen(rectext) AS len,
+        |    coalesce(sum(strlen(rectext)) OVER (PARTITION BY gid
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS ofs
+        |  FROM rec2)
+        |SELECT 'test,example)/doc/' || doc_id AS urlkey,
+        |  '2026' || lpad(((doc_id % 12) + 1)::VARCHAR, 2, '0') ||
+        |    lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') ||
+        |    lpad((doc_id % 24)::VARCHAR, 2, '0') || '0000' AS ts,
+        |  url, 'text/html' AS mime, 200::BIGINT AS status,
+        |  sha256(html) AS digest, ofs::BIGINT AS "offset",
+        |  len::BIGINT AS "length", 'crawl_' || gid || '.warc' AS filename
+        |FROM o ORDER BY filename, "offset"""".stripMargin),
     "q139_warc_http_extract" -> (htmlExtractCtes() +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDX generation: SURT semantics, byte-exact extents, digest/seek
+  * round trip (the index actually ADDRESSES the archive), non-response
+  * skips, and framing-lie/truncation behavior.
+  */
+class CdxOpsSpec extends AnyFunSuite {
+
+  private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def record(uri: String, date: String, body: String,
+      warcType: String = "response",
+      httpHead: String = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"): String = {
+    val http = httpHead + body
+    s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\nContent-Length: ${http.getBytes(utf8).length}\r\n\r\n" +
+      http + "\r\n\r\n"
+  }
+
+  test("SURT: label reversal, default-port elision, casing, bare host") {
+    assert(CdxOps.surt("https://Example.test/doc/5") == "test,example)/doc/5")
+    assert(CdxOps.surt("http://a.b.c.example.com/x?q=1") == "com,example,c,b,a)/x?q=1")
+    assert(CdxOps.surt("https://host.test:443/p") == "test,host)/p")
+    assert(CdxOps.surt("http://host.test:80/p") == "test,host)/p")
+    assert(CdxOps.surt("http://host.test:8080/p") == "test,host:8080)/p")
+    assert(CdxOps.surt("https://host.test") == "test,host)/")
+    assert(CdxOps.surt("https://host.test?q=2") == "test,host)/?q=2")
+  }
+
+  test("extents are byte-exact and the index ADDRESSES the archive: seek+slice re-digests") {
+    val r1 = record("https://a.test/1", "2026-03-05T07:00:00Z", "body one")
+    val r2 = record("https://a.test/2", "2026-03-05T08:30:15Z", "the second body")
+    val archive = (r1 + r2).getBytes(utf8)
+    val rows = CdxOps.cdxRecords("f.warc", archive)
+    assert(rows.length == 2)
+    assert(rows(0).offset == 0 && rows(0).length == r1.getBytes(utf8).length)
+    assert(rows(1).offset == r1.getBytes(utf8).length)
+    assert(rows(1).ts == "20260305083015")
+    // the whole point of CDX: seek to (offset, length) and recover the record
+    rows.foreach { r =>
+      val slice = java.util.Arrays.copyOfRange(
+        archive, r.offset.toInt, (r.offset + r.length).toInt)
+      val again = CdxOps.cdxRecords(r.filename, slice)
+      assert(again.length == 1 && again.head.digest == r.digest &&
+        again.head.urlkey == r.urlkey)
+    }
+  }
+
+  test("non-response records are skipped but still advance the walk") {
+    val req = record("https://a.test/1", "2026-01-01T00:00:00Z", "q", warcType = "request")
+    val resp = record("https://a.test/2", "2026-01-01T00:00:00Z", "r")
+    val rows = CdxOps.cdxRecords("f.warc", (req + resp).getBytes(utf8))
+    assert(rows.map(_.url) == Seq("https://a.test/2"))
+    assert(rows.head.offset == req.getBytes(utf8).length)
+  }
+
+  test("bad date / missing URI / non-HTTP payload drop the record, not the walk") {
+    val bad = record("https://a.test/1", "not-a-date", "x")
+    val noHttp = record("https://a.test/2", "2026-01-01T00:00:00Z", "", httpHead = "JUNK\r\n\r\n")
+    val good = record("https://a.test/3", "2026-01-01T00:00:00Z", "y")
+    val rows = CdxOps.cdxRecords("f.warc", (bad + noHttp + good).getBytes(utf8))
+    assert(rows.map(_.url) == Seq("https://a.test/3"))
+  }
+
+  test("framing lies and truncation end the walk with the intact prefix kept") {
+    val good = record("https://a.test/1", "2026-01-01T00:00:00Z", "keep")
+    val lying = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 99999\r\n\r\nshort"
+    val rows = CdxOps.cdxRecords("f.warc", (good + lying).getBytes(utf8))
+    assert(rows.map(_.url) == Seq("https://a.test/1"))
+    val archive = (good + good).getBytes(utf8)
+    for (cut <- 0 to archive.length by 11) {
+      CdxOps.cdxRecords("f.warc", archive.take(cut)) // never throws
+    }
+  }
+}
