@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -165,6 +165,9 @@ object SparkEntry {
     "q144_epub_extract" -> (EpubOps.q144EpubExtract(_, _)),
     "q145_sitemap_parse" -> (SitemapOps.q145SitemapParse(_, _)),
     "q146_cdx_index" -> (CdxOps.q146CdxIndex(_, _)),
+    "q147_tar_extract" -> (TarOps.q147TarExtract(_, _)),
+    "q148_wet_roundtrip" -> (WetOps.q148WetRoundtrip(_, _)),
+    "q149_feed_parse" -> (FeedOps.q149FeedParse(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -1970,6 +1973,18 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // WET round trip (q148): the q135 corpus through extraction, then
+    // RE-EXPORTED as gzip-member conversion records and walked back;
+    // strlen pins the writer's octet-counted Content-Length externally,
+    // so a char-counted length or lost member boundary can't cancel
+    // between the writer and the parser
+    "q148_wet_roundtrip" -> (htmlExtractCtes(
+      " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
+        "' || doc_id || '</p>'") +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  strlen(array_to_string(blocks, chr(10)))::BIGINT AS n_octets,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
     // mixed HTTP codings (q139): identity / chunked / gzip-in-chunked
     // bodies through the same front door; the decoded text collapses to
     // the q128 expectation and the applied coding chain is derived from
@@ -2021,6 +2036,38 @@ object SparkEntry {
         |  np::BIGINT AS n_paragraphs, length(ftext)::BIGINT AS n_chars,
         |  sha256(ftext) AS text_sha
         |FROM f ORDER BY doc_id""".stripMargin,
+    // TAR extraction (q147): the Spark side builds a real ustar archive
+    // per document (101-byte deep dir forcing the prefix split, binary
+    // decoy, modular word-slice .txt parts, multi-byte marker; even ids
+    // plain tar, odd a two-member tar.gz) and walks it back; the oracle
+    // replays member names, file octet totals, and the text sha from
+    // pure (doc_id, text) word arithmetic — any checksum/octal/prefix/
+    // padding/gzip-member slip changes a column
+    "q147_tar_extract" ->
+      """WITH d AS (SELECT doc_id, (1 + doc_id % 3)::INT AS k,
+        |    list_filter(string_split_regex(text, '[ \t\r\n]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, k, i, ws[i + 1] AS w
+        |  FROM d, unnest(range(len(ws))) AS u(i)),
+        |pj AS (SELECT doc_id, i % k AS j, string_agg(w, ' ' ORDER BY i) AS ptext
+        |  FROM w GROUP BY doc_id, i % k),
+        |jj AS (SELECT d.doc_id, d.k, j.j FROM d, unnest(range(d.k)) AS j(j)),
+        |parts AS (SELECT jj.doc_id, jj.k, jj.j, coalesce(pj.ptext, '') AS ptext
+        |  FROM jj LEFT JOIN pj ON pj.doc_id = jj.doc_id AND pj.j = jj.j),
+        |ld AS (SELECT 'deep/' || repeat('x', 96) AS dir),
+        |agg AS (SELECT doc_id, any_value(k) AS k,
+        |    string_agg(ptext, chr(10) ORDER BY j) AS ptxt,
+        |    string_agg(dir || '/part_' || j || '.txt', chr(10) ORDER BY j) AS pnames,
+        |    sum(strlen(ptext)) AS pbytes
+        |  FROM parts, ld GROUP BY doc_id)
+        |SELECT a.doc_id, 'ok' AS status,
+        |  CASE WHEN a.doc_id % 2 = 0 THEN 'tar' ELSE 'tgz' END AS container,
+        |  (a.k + 3)::BIGINT AS n_members, (a.k + 2)::BIGINT AS n_files,
+        |  (a.pbytes + strlen('Tar № ' || a.doc_id) + 64)::BIGINT AS n_bytes,
+        |  sha256(dir || chr(10) || 'meta/decoy.bin' || chr(10) || a.pnames ||
+        |    chr(10) || 'marker.txt') AS names_sha,
+        |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
+        |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
     // EPUB extraction (q144): the Spark side builds a real OCF
     // container (stored mimetype first, container.xml -> OPF -> spine
     // REVERSED vs the manifest) and pushes spine-ordered chapter
@@ -2073,6 +2120,23 @@ object SparkEntry {
         |    CASE WHEN (h + k) % 2 = 0 THEN '.xml.gz' ELSE '.xml' END AS sitemap,
         |  (h + k) % 2 = 0 AS gz
         |FROM r ORDER BY host, loc""".stripMargin,
+    // feed parsing (q149): each host's real RSS 2.0 (even) or Atom
+    // (odd) feed — CDATA vs escaped titles, attribute vs element links,
+    // RFC 822 vs ISO dates, feed-level decoys — parsed back to one
+    // frontier schema; every column replayed from doc_id arithmetic
+    "q149_feed_parse" ->
+      """WITH u AS (SELECT doc_id, doc_id % 8 AS h,
+        |    (1 + doc_id % 12)::INT AS mm, (1 + doc_id % 28)::INT AS dd,
+        |    doc_id % 24 AS hh
+        |  FROM documents)
+        |SELECT doc_id AS item_id, 'h' || h || '.example.test' AS host,
+        |  CASE WHEN h % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+        |  'https://h' || h || '.example.test/item/' || doc_id ||
+        |    '?id=' || doc_id || '&ref=feed' AS url,
+        |  'Item <' || doc_id || '> & raw' AS title,
+        |  (make_date(2026, mm, dd) - DATE '1970-01-01')::BIGINT AS pub_day,
+        |  hh::BIGINT AS pub_hour
+        |FROM u ORDER BY item_id""".stripMargin,
     // CDX index generation (q146): the oracle REBUILDS every WARC
     // record's octets (markup + HTTP envelope + dated WARC headers)
     // and replays urlkey (SURT), the collapsed 14-digit timestamp,
