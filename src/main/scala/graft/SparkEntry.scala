@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -168,6 +168,7 @@ object SparkEntry {
     "q147_tar_extract" -> (TarOps.q147TarExtract(_, _)),
     "q148_wet_roundtrip" -> (WetOps.q148WetRoundtrip(_, _)),
     "q149_feed_parse" -> (FeedOps.q149FeedParse(_, _)),
+    "q150_meta_extract" -> (MetaOps.q150MetaExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2120,6 +2121,28 @@ object SparkEntry {
         |    CASE WHEN (h + k) % 2 = 0 THEN '.xml.gz' ELSE '.xml' END AS sitemap,
         |  (h + k) % 2 = 0 AS gz
         |FROM r ORDER BY host, loc""".stripMargin,
+    // metadata + outlink extraction (q150): head fields entity-decoded
+    // through the shared chain, anchors filtered to absolute http(s)
+    // and pushed through the q129 canonicalizer; every column replayed
+    // from (doc_id, lang) arithmetic with both canonical outlinks
+    // under the sha
+    "q150_meta_extract" ->
+      """WITH c AS (SELECT doc_id, lang,
+        |    'https://example.test/doc/' || (doc_id % 50) || '/?x=' ||
+        |      (doc_id % 7) || '&y=' || (doc_id % 3) AS canonical,
+        |    'https://h' || (doc_id % 8) || '.example.test/p/' ||
+        |      ((doc_id + 1) % 25) || '?a=' || (doc_id % 5) || '&b=' ||
+        |      (doc_id % 2) AS l1,
+        |    'https://h' || ((doc_id + 3) % 8) || '.example.test/item/' ||
+        |      ((doc_id * 3) % 100) AS l2
+        |  FROM documents)
+        |SELECT doc_id, lang AS lang_attr,
+        |  'Title & ' || doc_id AS title,
+        |  'Desc "of" ' || doc_id AS description,
+        |  'OG — ' || doc_id AS og_title,
+        |  canonical, 2::BIGINT AS n_links,
+        |  sha256(l1 || chr(10) || l2) AS links_sha
+        |FROM c ORDER BY doc_id""".stripMargin,
     // feed parsing (q149): each host's real RSS 2.0 (even) or Atom
     // (odd) feed — CDATA vs escaped titles, attribute vs element links,
     // RFC 822 vs ISO dates, feed-level decoys — parsed back to one

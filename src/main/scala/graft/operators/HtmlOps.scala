@@ -73,13 +73,20 @@ object HtmlOps {
     val c3 = regexp_replace(c2, "(?s)<!--.*?-->", " ")
     val c4 = regexp_replace(c3, s"(?i)</?(?:$BlockTags)\\b[^>]*>", "\n")
     val c5 = regexp_replace(c4, "(?s)<[^>]*>", " ")
-    // entity decode — named, then GENERAL numeric references, then amp
-    // LAST so double-encoded entities stay literal (`&amp;#65;` is the
-    // literal `&#65;`, exactly like `&amp;lt;`)
+    decodeEntities(c5)
+  }
+
+  /** Entity decode — named, then GENERAL numeric references, then amp
+    * LAST so double-encoded entities stay literal (`&amp;#65;` is the
+    * literal `&#65;`, exactly like `&amp;lt;`). Shared by the text
+    * chain and the metadata extractor (q150) — titles and attribute
+    * values escape the same way body text does.
+    */
+  def decodeEntities(s: Column): Column = {
     val named = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#34;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
-      .foldLeft(c5) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
+      .foldLeft(s) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
     replace(decodeNumericEntities(named), lit("&amp;"), lit("&"))
   }
 
