@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -169,6 +169,9 @@ object SparkEntry {
     "q148_wet_roundtrip" -> (WetOps.q148WetRoundtrip(_, _)),
     "q149_feed_parse" -> (FeedOps.q149FeedParse(_, _)),
     "q150_meta_extract" -> (MetaOps.q150MetaExtract(_, _)),
+    "q151_jsonld_extract" -> (MetaOps.q151JsonldExtract(_, _)),
+    "q152_tfrecord_roundtrip" -> (TfRecordOps.q152TfrecordRoundtrip(_, _)),
+    "q153_mp3_scan" -> (Mp3Ops.q153Mp3Scan(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2069,6 +2072,47 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // MP3 scan (q153): a tagged CBR stream per document — syncsafe
+    // ID3v2 skip with TIT2/TPE1 reads, frame walk by COMPUTED length
+    // over payloads with planted sync bytes, ID3v1 clean end; every
+    // column replayed from doc_id arithmetic
+    "q153_mp3_scan" ->
+      """SELECT doc_id, 'ok' AS status, 'Track ' || doc_id AS title,
+        |  'Artist ' || (doc_id % 20) AS artist, 'cbr' AS mode,
+        |  (CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192
+        |    ELSE 256 END)::BIGINT AS bitrate_kbps,
+        |  (CASE doc_id % 2 WHEN 0 THEN 44100 ELSE 48000 END)::BIGINT
+        |    AS sample_rate,
+        |  (8 + doc_id % 12)::BIGINT AS n_frames,
+        |  ((8 + doc_id % 12) * 1152 * 1000 //
+        |    (CASE doc_id % 2 WHEN 0 THEN 44100 ELSE 48000 END))::BIGINT
+        |    AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // TFRecord round trip (q152): each document's shard written with
+    // masked-CRC32C framing and walked back with both CRCs verified;
+    // record count, payload octets, and the text sha replayed from
+    // pure (doc_id, text) word arithmetic (the q147 shape, period 3
+    // offset 2, TFR marker)
+    "q152_tfrecord_roundtrip" ->
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::INT AS k,
+        |    list_filter(string_split_regex(text, '[ \t\r\n]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, k, i, ws[i + 1] AS w
+        |  FROM d, unnest(range(len(ws))) AS u(i)),
+        |pj AS (SELECT doc_id, i % k AS j, string_agg(w, ' ' ORDER BY i) AS ptext
+        |  FROM w GROUP BY doc_id, i % k),
+        |jj AS (SELECT d.doc_id, d.k, j.j FROM d, unnest(range(d.k)) AS j(j)),
+        |parts AS (SELECT jj.doc_id, jj.k, jj.j, coalesce(pj.ptext, '') AS ptext
+        |  FROM jj LEFT JOIN pj ON pj.doc_id = jj.doc_id AND pj.j = jj.j),
+        |agg AS (SELECT doc_id, any_value(k) AS k,
+        |    string_agg(ptext, chr(10) ORDER BY j) AS ptxt,
+        |    sum(strlen(ptext)) AS pbytes
+        |  FROM parts GROUP BY doc_id)
+        |SELECT doc_id, 'ok' AS status, (k + 1)::BIGINT AS n_records,
+        |  0::BIGINT AS n_corrupt,
+        |  (pbytes + strlen('TFR № ' || doc_id))::BIGINT AS n_bytes,
+        |  sha256(ptxt || chr(10) || 'TFR № ' || doc_id) AS text_sha
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // EPUB extraction (q144): the Spark side builds a real OCF
     // container (stored mimetype first, container.xml -> OPF -> spine
     // REVERSED vs the manifest) and pushes spine-ordered chapter
@@ -2143,6 +2187,18 @@ object SparkEntry {
         |  canonical, 2::BIGINT AS n_links,
         |  sha256(l1 || chr(10) || l2) AS links_sha
         |FROM c ORDER BY doc_id""".stripMargin,
+    // JSON-LD extraction (q151): typed ld+json blocks past a decoy and
+    // a plain script, nested schema.org fields via native JSON paths;
+    // the escaped-quote headline, epoch day, author, and word count
+    // all replayed from doc_id arithmetic
+    "q151_jsonld_extract" ->
+      """SELECT doc_id, 2::BIGINT AS n_ld,
+        |  'Story "' || doc_id || '"' AS headline,
+        |  (make_date(2026, (doc_id % 12 + 1)::INT, (doc_id % 28 + 1)::INT) -
+        |    DATE '1970-01-01')::BIGINT AS pub_day,
+        |  'Author ' || (doc_id % 20) AS author_name,
+        |  (doc_id % 1000)::BIGINT AS word_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // feed parsing (q149): each host's real RSS 2.0 (even) or Atom
     // (odd) feed — CDATA vs escaped titles, attribute vs element links,
     // RFC 822 vs ISO dates, feed-level decoys — parsed back to one

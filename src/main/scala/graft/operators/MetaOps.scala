@@ -118,4 +118,57 @@ object MetaOps {
     syntheticMetaHtml(Tables.documents(spark, dir))
       .select(col("doc_id") +: metaColumns(col("html")): _*)
       .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------- JSON-LD
+
+  /** JSON-LD page per document: an Article block whose every field is
+    * doc_id arithmetic (headline carries a JSON-escaped quote pair),
+    * a BreadcrumbList decoy block that must be passed over, and a
+    * plain `<script>` that must not match the typed selector. Script
+    * content is RAW — entities never decode inside script elements.
+    */
+  private[graft] def syntheticJsonLd(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    val mm = lpad(s(id % 12 + 1), 2, "0")
+    val dd = lpad(s(id % 28 + 1), 2, "0")
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><script>var x = {\"@type\": \"Article\"};</script>" +
+        "<script type=\"application/ld+json\">" +
+        "{\"@context\":\"https://schema.org\",\"@type\":\"BreadcrumbList\"," +
+        "\"name\":\"decoy "), s(id), lit("\"}</script>"),
+      lit("<script type=\"application/ld+json\">{\"@context\":" +
+        "\"https://schema.org\",\"@type\":\"Article\",\"headline\":" +
+        "\"Story \\\""), s(id),
+      lit("\\\"\",\"datePublished\":\"2026-"), mm, lit("-"), dd,
+      lit("\",\"author\":{\"@type\":\"Person\",\"name\":\"Author "), s(id % 20),
+      lit("\"},\"wordCount\":"), s(id % 1000),
+      lit("}</script></head><body><p>Body "), s(id),
+      lit("</p></body></html>")).as("html"))
+  }
+
+  /** q151: schema.org structured-data extraction — typed `ld+json`
+    * blocks located by one regex pass, then Spark's native JSON path
+    * machinery (`get_json_object`, codegen, no UDF) selects the
+    * Article block past the decoy and pulls nested fields; the date
+    * lands as an epoch day. Every column oracle-replayed from doc_id
+    * arithmetic.
+    */
+  def q151JsonldExtract(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = regexp_extract_all(col("html"),
+      lit("(?is)<script type=\"application/ld\\+json\">(.*?)</script>"), lit(1))
+    val article = filter(blocks,
+      j => get_json_object(j, "$['@type']") === "Article")(0)
+    syntheticJsonLd(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        size(blocks).cast("long").as("n_ld"),
+        article.as("j"))
+      .select(col("doc_id"), col("n_ld"),
+        get_json_object(col("j"), "$.headline").as("headline"),
+        datediff(to_date(get_json_object(col("j"), "$.datePublished")),
+          to_date(lit("1970-01-01"))).cast("long").as("pub_day"),
+        get_json_object(col("j"), "$.author.name").as("author_name"),
+        get_json_object(col("j"), "$.wordCount").cast("long").as("word_count"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -64,6 +64,31 @@ class MetaOpsSpec extends AnyFunSuite {
     meta(hostile) // must not throw
   }
 
+  test("json-ld: Article selected past the decoy, fields decode (escaped quotes, nested, date)") {
+    import spark.implicits._
+    val docs = Seq((7L, "t", "fr"), (33L, "t", "en"))
+      .toDF("doc_id", "text", "lang")
+    val blocks = org.apache.spark.sql.functions.filter(
+      regexp_extract_all(col("html"),
+        lit("(?is)<script type=\"application/ld\\+json\">(.*?)</script>"), lit(1)),
+      j => get_json_object(j, "$['@type']") === "Article")
+    val rows = MetaOps.syntheticJsonLd(docs)
+      .select(col("doc_id"),
+        size(blocks).as("n_articles"),
+        get_json_object(blocks(0), "$.headline").as("h"),
+        get_json_object(blocks(0), "$.author.name").as("a"),
+        get_json_object(blocks(0), "$.datePublished").as("d"),
+        get_json_object(blocks(0), "$.wordCount").as("w"))
+      .orderBy(col("doc_id")).collect()
+    val r7 = rows(0)
+    assert(r7.getAs[Int]("n_articles") == 1) // the BreadcrumbList decoy is out
+    assert(r7.getAs[String]("h") == "Story \"7\"")
+    assert(r7.getAs[String]("a") == "Author 7")
+    assert(r7.getAs[String]("d") == "2026-08-08")
+    assert(r7.getAs[String]("w") == "7")
+    assert(rows(1).getAs[String]("a") == "Author 13") // 33 % 20
+  }
+
   test("synthetic corpus round trip matches the oracle arithmetic") {
     import spark.implicits._
     val docs = Seq((7L, "t", "fr"), (12L, "t", "zh"))
