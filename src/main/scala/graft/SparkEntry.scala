@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -172,6 +172,9 @@ object SparkEntry {
     "q151_jsonld_extract" -> (MetaOps.q151JsonldExtract(_, _)),
     "q152_tfrecord_roundtrip" -> (TfRecordOps.q152TfrecordRoundtrip(_, _)),
     "q153_mp3_scan" -> (Mp3Ops.q153Mp3Scan(_, _)),
+    "q154_frontier_schedule" -> (FrontierOps.q154FrontierSchedule(_, _)),
+    "q155_subtitle_extract" -> (SubtitleOps.q155SubtitleExtract(_, _)),
+    "q156_data_uri_extract" -> (MetaOps.q156DataUriExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2072,6 +2075,80 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // data-URI extraction (q156): inline base64 resources out of
+    // markup in one regex pass, unbase64-decoded; the oracle pins BOTH
+    // directions — payload sha from the raw strings AND base64-text
+    // sha via DuckDB's own encoder — so a symmetric encode/decode bug
+    // cannot cancel
+    "q156_data_uri_extract" ->
+      """WITH p AS (SELECT doc_id,
+        |    'PNGDATA:' || doc_id || ':' || repeat('x', (doc_id % 50)::INT) AS p1,
+        |    'inline text ' || doc_id AS p2
+        |  FROM documents)
+        |SELECT doc_id, 2::BIGINT AS n_uris,
+        |  'image/png,text/plain' AS mimes,
+        |  (strlen(p1) + strlen(p2))::BIGINT AS n_bytes,
+        |  sha256(p1 || chr(10) || p2) AS payload_sha,
+        |  sha256(to_base64(p1::BLOB) || chr(10) || to_base64(p2::BLOB))
+        |    AS b64_sha
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // subtitle extraction (q155): SRT (even ids) / WebVTT (odd) built
+    // from 3-word cues on a 2500 ms grid, parsed back with styling
+    // stripped and header/NOTE decoys dropped; counts, timing sums,
+    // and the text sha replayed from (doc_id, text) word arithmetic
+    "q155_subtitle_extract" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\r\n]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, i, ws[i + 1] AS w
+        |  FROM d, unnest(range(len(ws))) AS u(i)),
+        |cj AS (SELECT doc_id, i // 3 AS c, string_agg(w, ' ' ORDER BY i) AS ctext
+        |  FROM w GROUP BY doc_id, i // 3),
+        |agg AS (SELECT doc_id, string_agg(ctext, chr(10) ORDER BY c) AS body,
+        |    count(*) AS nc FROM cj GROUP BY doc_id),
+        |f AS (SELECT d.doc_id,
+        |    CASE WHEN a.body IS NULL THEN 'Sub № ' || d.doc_id
+        |      ELSE a.body || chr(10) || 'Sub № ' || d.doc_id END AS ftext,
+        |    coalesce(a.nc, 0) + 1 AS nc
+        |  FROM d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+        |  nc::BIGINT AS n_cues,
+        |  ((doc_id % 7) * 100)::BIGINT AS first_start_ms,
+        |  (nc * 2000)::BIGINT AS total_ms,
+        |  sha256(ftext) AS text_sha
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // frontier scheduling (q154): the composition query — the REAL
+    // robots evaluator over planted last-digit rules, sitemap recency
+    // vs the host's feed high-water mark, per-host ranking and
+    // politeness waves of 50; the oracle replays the whole schedule
+    // with its own window
+    "q154_frontier_schedule" ->
+      """WITH u AS (SELECT doc_id, doc_id % 8 AS h,
+        |    (make_date(2026, (doc_id % 12 + 1)::INT, (doc_id % 28 + 1)::INT) -
+        |      DATE '1970-01-01') AS lastmod_day,
+        |    CASE WHEN doc_id % 5 = 0 THEN 5 ELSE doc_id % 10 END
+        |      AS priority_tenths
+        |  FROM documents),
+        |g AS (SELECT doc_id, h, lastmod_day, priority_tenths,
+        |    NOT (doc_id % 10 = 3 OR (h % 2 = 1 AND doc_id % 10 = 7)) AS allowed,
+        |    CASE WHEN doc_id % 10 = 3 THEN '/doc/*3$'
+        |      WHEN h % 2 = 1 AND doc_id % 10 = 7 THEN '/doc/*7$'
+        |      ELSE '/doc/' END AS rule,
+        |    max(lastmod_day) OVER (PARTITION BY h) - lastmod_day AS fresh_lag
+        |  FROM u),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY h, allowed
+        |    ORDER BY priority_tenths DESC, lastmod_day DESC, doc_id) AS rn
+        |  FROM g)
+        |SELECT doc_id, 'h' || h || '.example.test' AS host,
+        |  '/doc/' || doc_id AS path, allowed, rule,
+        |  lastmod_day::BIGINT AS lastmod_day,
+        |  priority_tenths::BIGINT AS priority_tenths,
+        |  fresh_lag::BIGINT AS fresh_lag,
+        |  (CASE WHEN allowed THEN rn ELSE -1 END)::BIGINT AS crawl_rank,
+        |  (CASE WHEN allowed THEN (rn - 1) // 50 + 1 ELSE -1 END)::BIGINT
+        |    AS fetch_wave
+        |FROM r ORDER BY doc_id""".stripMargin,
     // MP3 scan (q153): a tagged CBR stream per document — syncsafe
     // ID3v2 skip with TIT2/TPE1 reads, frame walk by COMPUTED length
     // over payloads with planted sync bytes, ID3v1 clean end; every

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier scheduling — the composition query over the discovery
+  * trio: sitemap recency (q145's lastmod/priority arithmetic), feed
+  * freshness (q149's publication dates, folded to a per-host high-water
+  * mark), and the REAL robots evaluator (q141's `parseRobots`/`decide`,
+  * not a reimplementation) — producing the politeness-bucketed fetch
+  * order a production crawler runs from. Single operators prove
+  * pieces; a scheduler proves the pieces COMPOSE on one URL/host
+  * normal form.
+  *
+  * Shape: the per-host rule set and the per-host freshness mark are
+  * both TINY dimensions (|hosts| rows) and broadcast — the frontier
+  * never shuffles for them; the only exchange is the per-host ranking
+  * window, which any scheduler needs (rank is per-host by definition).
+  * Politeness: allowed URLs rank by (priority DESC, lastmod DESC,
+  * doc_id) within host and bucket into fetch WAVES of 50 — the crawl
+  * rate limiter's unit; disallowed rows carry the winning robots
+  * pattern and rank -1 (they stay visible for audit, the dead-letter
+  * discipline).
+  *
+  * The oracle replays the whole schedule — robots verdicts (the
+  * planted last-digit rules), freshness lag, ranks, and waves — from
+  * doc_id arithmetic with its own window, so a verdict slip, a
+  * tie-break slip, or a wave-boundary slip changes rows.
+  *
+  * Scale shape (100 TB): two broadcast joins + one per-host window;
+  * frontier-linear, no corpus shuffle before the window.
+  */
+object FrontierOps {
+
+  /** Scheduler rule file per host: last-digit-3 paths are off-limits
+    * everywhere; odd hosts also block last-digit-7 — both via the
+    * RFC 9309 `*`/`$` metacharacters the real evaluator implements —
+    * plus a foreign-agent deny-all decoy that must never leak.
+    */
+  private[graft] def schedulerRobots(h: Long): String =
+    "User-agent: OtherBot\nDisallow: /\n\n" +
+      "User-agent: GraftBot\nDisallow: /doc/*3$\n" +
+      (if (h % 2 == 1) "Disallow: /doc/*7$\n" else "") +
+      "Allow: /doc/\n"
+
+  /** q154: the fetch schedule end to end — frontier URLs gated by the
+    * real robots evaluator, scored by sitemap recency against the
+    * host's feed high-water mark, ranked and politeness-bucketed per
+    * host; every column oracle-replayed.
+    */
+  def q154FrontierSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    // frontier: q145's lastmod/priority arithmetic on the /doc/ space
+    val lastmod = datediff(
+      to_date(concat_ws("-", lit(2026),
+        lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))),
+      to_date(lit("1970-01-01"))).cast("long")
+    val urls = docs.select(
+      col("doc_id"), (col("doc_id") % 8).as("h"),
+      concat(lit("/doc/"), col("doc_id").cast("string")).as("path"),
+      lastmod.as("lastmod_day"),
+      when(col("doc_id") % 5 === 0, lit(5L))
+        .otherwise(col("doc_id") % 10).as("priority_tenths"))
+    // robots: the REAL q141 evaluator over the planted rule files
+    val hostRules = docs.select((col("doc_id") % 8).as("h")).distinct().as[Long]
+      .map(h => (h, RobotsOps.parseRobots(schedulerRobots(h), "GraftBot")
+        .map(r => (r.allow, r.pattern))))
+      .toDF("h", "rules")
+    // freshness: the q149 publication dates folded per host
+    val hostFresh = docs
+      .select((col("doc_id") % 8).as("h"), lastmod.as("pub_day"))
+      .groupBy(col("h")).agg(max(col("pub_day")).as("host_max_pub"))
+    val gated = urls
+      .join(broadcast(hostRules), Seq("h"))
+      .join(broadcast(hostFresh), Seq("h"))
+      .as[(Long, Long, String, Long, Long, Seq[(Boolean, String)], Long)]
+      .map { case (h, id, path, lm, prio, rules, hi) =>
+        val (allowed, rule) = RobotsOps.decide(
+          rules.map { case (a, p) => RobotsOps.RobotsRule(a, p) }, path)
+        (id, s"h$h.example.test", path, allowed, rule, lm, prio, hi - lm)
+      }
+      .toDF("doc_id", "host", "path", "allowed", "rule", "lastmod_day",
+        "priority_tenths", "fresh_lag")
+    val rn = row_number().over(
+      Window.partitionBy(col("host"), col("allowed"))
+        .orderBy(col("priority_tenths").desc, col("lastmod_day").desc,
+          col("doc_id")))
+    gated
+      .withColumn("rn", rn)
+      .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+        col("rule"), col("lastmod_day"), col("priority_tenths"),
+        col("fresh_lag"),
+        when(col("allowed"), col("rn")).otherwise(lit(-1))
+          .cast("long").as("crawl_rank"),
+        when(col("allowed"), (col("rn") - 1) / 50 + 1).otherwise(lit(-1))
+          .cast("long").as("fetch_wave"))
+      .orderBy(col("doc_id"))
+  }
+}

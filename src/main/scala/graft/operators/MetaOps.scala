@@ -171,4 +171,54 @@ object MetaOps {
         get_json_object(col("j"), "$.wordCount").cast("long").as("word_count"))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------------------ data URIs
+
+  /** Inline-resource page per document: a base64 PNG-role payload and a
+    * text/plain payload as data URIs (payload strings pure doc_id
+    * arithmetic, padded across all three base64 remainder classes by
+    * `id % 50`), plus an ordinary http `src` that must not match.
+    * Spark's `base64` is a MIME encoder (CRLF wrap every 76 chars);
+    * data URIs carry UNWRAPPED base64, so the corpus strips the wrap
+    * — which also makes the text byte-equal to DuckDB's encoder.
+    */
+  private[graft] def syntheticDataUri(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    def b64(c: Column) =
+      regexp_replace(base64(c.cast("binary")), "[\\r\\n]", "")
+    val p1 = concat(lit("PNGDATA:"), s(id), lit(":"),
+      expr("repeat('x', cast(doc_id % 50 as int))"))
+    val p2 = concat(lit("inline text "), s(id))
+    docs.select(col("doc_id"),
+      concat(
+        lit("<html><body><img src=\"data:image/png;base64,"), b64(p1),
+        lit("\"><img src=\"https://example.test/static/"), s(id),
+        lit(".png\"><object data=\"data:text/plain;base64,"), b64(p2),
+        lit("\"></object><p>Body "), s(id), lit("</p></body></html>")).as("html"),
+      p1.as("p1"), p2.as("p2"))
+  }
+
+  /** q156: inline-resource extraction — every `data:` URI's mime and
+    * base64 payload by one regex pass, decoded with `unbase64`; the
+    * oracle pins BOTH directions (payload sha from the raw strings,
+    * base64-text sha via DuckDB's own encoder) so a symmetric
+    * encode/decode bug cannot cancel. Pure codegen, no UDFs.
+    */
+  def q156DataUriExtract(spark: SparkSession, dir: String): DataFrame = {
+    val uris = regexp_extract_all(col("html"),
+      lit("data:([a-z]+/[a-z0-9.+-]+);base64,([A-Za-z0-9+/=]+)"), lit(0))
+    val mimes = transform(uris, u => regexp_extract(u, "^data:([^;]+);", 1))
+    val b64s = transform(uris, u => regexp_extract(u, ";base64,(.*)$", 1))
+    val payloads = transform(b64s, b => unbase64(b).cast("string"))
+    syntheticDataUri(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        size(uris).cast("long").as("n_uris"),
+        array_join(mimes, ",").as("mimes"),
+        aggregate(payloads, lit(0L),
+          (acc, p) => acc + octet_length(p)).as("n_bytes"),
+        sha2(array_join(payloads, "\n"), 256).as("payload_sha"),
+        sha2(array_join(b64s, "\n"), 256).as("b64_sha"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -89,6 +89,23 @@ class MetaOpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("a") == "Author 13") // 33 % 20
   }
 
+  test("data uris: mimes and payloads extract, http src never matches") {
+    import spark.implicits._
+    val docs = Seq((7L, "t", "fr")).toDF("doc_id", "text", "lang")
+    val uris = regexp_extract_all(col("html"),
+      lit("data:([a-z]+/[a-z0-9.+-]+);base64,([A-Za-z0-9+/=]+)"), lit(0))
+    val r = MetaOps.syntheticDataUri(docs)
+      .select(size(uris).as("n"),
+        transform(uris, u => unbase64(regexp_extract(u, ";base64,(.*)$", 1))
+          .cast("string")).as("p"),
+        col("p1"), col("p2"))
+      .collect().head
+    assert(r.getAs[Int]("n") == 2) // the plain http src is out
+    assert(r.getSeq[String](1) ==
+      Seq(r.getAs[String]("p1"), r.getAs[String]("p2")))
+    assert(r.getAs[String]("p1") == "PNGDATA:7:" + "x" * 7)
+  }
+
   test("synthetic corpus round trip matches the oracle arithmetic") {
     import spark.implicits._
     val docs = Seq((7L, "t", "fr"), (12L, "t", "zh"))
