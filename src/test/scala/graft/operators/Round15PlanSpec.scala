@@ -95,4 +95,57 @@ class Round15PlanSpec extends AnyFunSuite {
     assert(docScans.size <= 4,
       s"q116 reads documents ${docScans.size}x — the single-scan rework regressed:\n${plan(df)}")
   }
+
+  // ------------------------------------------------- session-2 newcomers
+
+  test("q147/q152/q153/q155 are per-row walkers; q150/q151/q156 pure projections: " +
+    "only the final sort exchanges") {
+    for (df <- Seq(
+      TarOps.q147TarExtract(spark, sf),
+      TfRecordOps.q152TfrecordRoundtrip(spark, sf),
+      Mp3Ops.q153Mp3Scan(spark, sf),
+      SubtitleOps.q155SubtitleExtract(spark, sf),
+      MetaOps.q150MetaExtract(spark, sf),
+      MetaOps.q151JsonldExtract(spark, sf),
+      MetaOps.q156DataUriExtract(spark, sf))) {
+      df.collect()
+      val nonSort = deep(plan(df))
+        .collect { case s: ShuffleExchangeExec => s }
+        .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
+      assert(nonSort.isEmpty,
+        s"per-row operator plans a non-sort exchange:\n${plan(df)}")
+      noCartesian(df)
+    }
+  }
+
+  test("q148/q149: the only hash exchanges are the output-sized archive/feed group-bys") {
+    for ((df, maxHash) <- Seq(
+      (WetOps.q148WetRoundtrip(spark, sf), 2), // q135 corpus build + WET grouping
+      (FeedOps.q149FeedParse(spark, sf), 1))) { // host-feed grouping
+      df.collect()
+      noCartesian(df)
+      val hashEx = deep(plan(df))
+        .collect { case s: ShuffleExchangeExec => s }
+        .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
+      assert(hashEx.size <= maxHash,
+        s"expected <= $maxHash grouping exchanges, got ${hashEx.size}:\n${plan(df)}")
+    }
+  }
+
+  test("q154: dimensions broadcast — no shuffle joins reach the frontier") {
+    val df = FrontierOps.q154FrontierSchedule(spark, sf)
+    df.collect()
+    noCartesian(df)
+    val nodes = deep(plan(df))
+    val shuffleJoins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffleJoins.isEmpty,
+      s"rule/freshness dimensions must broadcast:\n${plan(df)}")
+    val bhj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 2, s"expected two broadcast dimension joins:\n${plan(df)}")
+  }
 }
