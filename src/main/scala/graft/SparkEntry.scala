@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -175,6 +175,8 @@ object SparkEntry {
     "q154_frontier_schedule" -> (FrontierOps.q154FrontierSchedule(_, _)),
     "q155_subtitle_extract" -> (SubtitleOps.q155SubtitleExtract(_, _)),
     "q156_data_uri_extract" -> (MetaOps.q156DataUriExtract(_, _)),
+    "q157_script_detect" -> (ScriptOps.q157ScriptDetect(_, _)),
+    "q158_snapshot_diff" -> (SnapshotDiffOps.q158SnapshotDiff(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2075,6 +2077,51 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // script detection (q157): real \p{Is...} Unicode-script counts
+    // over planted multi-script runs; the oracle replays the Latin
+    // count from its own ASCII regexp, the rest from arithmetic, and
+    // re-derives the argmax + integer Latin share
+    "q157_script_detect" ->
+      """WITH c AS (SELECT doc_id,
+        |    strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_latin,
+        |    ((doc_id % 5) * 120)::BIGINT AS n_han,
+        |    (doc_id % 20)::BIGINT AS n_cyrillic,
+        |    (doc_id % 10)::BIGINT AS n_arabic
+        |  FROM documents)
+        |SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic,
+        |  CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_han
+        |      AND n_arabic >= n_latin THEN 'arabic'
+        |    WHEN n_cyrillic >= n_han AND n_cyrillic >= n_latin THEN 'cyrillic'
+        |    WHEN n_han >= n_latin THEN 'han'
+        |    ELSE 'latin' END AS dominant,
+        |  (n_latin * 100 // greatest(n_latin + n_han + n_cyrillic + n_arabic,
+        |    1))::BIGINT AS latin_pct
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // snapshot diff (q158): two crawl snapshots from period-disjoint
+    // arithmetic (gone %7=3, changed %5=0, new %13=0), full-outer
+    // joined on url and classified by digest; rows and both digests
+    // replayed
+    "q158_snapshot_diff" ->
+      """WITH a AS (SELECT '/doc/' || doc_id AS url,
+        |    sha256('v0:/doc/' || doc_id) AS a_digest
+        |  FROM documents),
+        |b AS (SELECT '/doc/' || doc_id AS url,
+        |    sha256('v' || (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) ||
+        |      ':/doc/' || doc_id) AS b_digest
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT '/new/' || doc_id AS url,
+        |    sha256('v1:/new/' || doc_id) AS b_digest
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(a.url, b.url) AS url,
+        |  CASE WHEN a.url IS NULL THEN 'new'
+        |    WHEN b.url IS NULL THEN 'gone'
+        |    WHEN a.a_digest = b.b_digest THEN 'same'
+        |    ELSE 'changed' END AS status,
+        |  coalesce(a.a_digest, '') AS a_digest,
+        |  coalesce(b.b_digest, '') AS b_digest
+        |FROM a FULL OUTER JOIN b ON a.url = b.url
+        |ORDER BY url""".stripMargin,
     // data-URI extraction (q156): inline base64 resources out of
     // markup in one regex pass, unbase64-decoded; the oracle pins BOTH
     // directions — payload sha from the raw strings AND base64-text
