@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -177,6 +177,7 @@ object SparkEntry {
     "q156_data_uri_extract" -> (MetaOps.q156DataUriExtract(_, _)),
     "q157_script_detect" -> (ScriptOps.q157ScriptDetect(_, _)),
     "q158_snapshot_diff" -> (SnapshotDiffOps.q158SnapshotDiff(_, _)),
+    "q159_eml_extract" -> (EmailOps.q159EmlExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2077,6 +2078,24 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // email extraction (q159): one multipart message per document —
+    // folded headers, RFC 2047 encoded-word subjects (odd ids),
+    // quoted-printable text part with soft breaks and a planted
+    // boundary LOOKALIKE line, base64 html alternative ignored; the
+    // oracle replays subject/sender/day/parts and the decoded body sha
+    // (incl. the lookalike tail) from (doc_id, text) arithmetic
+    "q159_eml_extract" ->
+      """SELECT doc_id, 'ok' AS status,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Re: msg ' || doc_id
+        |    ELSE 'Re: № ' || doc_id END AS subject,
+        |  'Sender ' || (doc_id % 20) AS from_name,
+        |  (make_date(2026, (doc_id % 12 + 1)::INT, (doc_id % 28 + 1)::INT) -
+        |    DATE '1970-01-01')::BIGINT AS sent_day,
+        |  2::BIGINT AS n_parts,
+        |  sha256(text || ' café № ' || doc_id || chr(13) || chr(10) ||
+        |    '--b' || doc_id || ' look' || chr(13) || chr(10) ||
+        |    'end ' || doc_id) AS text_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // script detection (q157): real \p{Is...} Unicode-script counts
     // over planted multi-script runs; the oracle replays the Latin
     // count from its own ASCII regexp, the rest from arithmetic, and
