@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -178,6 +178,7 @@ object SparkEntry {
     "q157_script_detect" -> (ScriptOps.q157ScriptDetect(_, _)),
     "q158_snapshot_diff" -> (SnapshotDiffOps.q158SnapshotDiff(_, _)),
     "q159_eml_extract" -> (EmailOps.q159EmlExtract(_, _)),
+    "q160_unidiff_apply" -> (UnidiffOps.q160UnidiffApply(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2078,6 +2079,37 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // unified diff render+parse+apply (q160): the engine's Myers deltas
+    // rendered as diff -u (context 3, deltas closer than 2x context
+    // merged), parsed back, and APPLIED with verified context; the
+    // oracle replays added/removed, the merged hunk count (the gap
+    // rule as arithmetic), and the sha of the reconstructed new file
+    "q160_unidiff_apply" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\r\n]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, i, ws[i + 1] AS w
+        |  FROM d, unnest(range(len(ws))) AS u(i)),
+        |l AS (SELECT doc_id, i // 8 AS ln, string_agg(w, ' ' ORDER BY i) AS line
+        |  FROM w GROUP BY doc_id, i // 8),
+        |n AS (SELECT d.doc_id, coalesce(c.nl, 0) AS nl
+        |  FROM d LEFT JOIN (SELECT doc_id, count(*) AS nl FROM l GROUP BY doc_id) c
+        |  USING (doc_id)),
+        |edited AS (SELECT l.doc_id, l.ln,
+        |    CASE WHEN l.ln = n.doc_id % n.nl THEN 'EDITED ' || l.doc_id
+        |      ELSE l.line END AS line
+        |  FROM l JOIN n USING (doc_id) WHERE n.nl > 0),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS body
+        |  FROM edited GROUP BY doc_id)
+        |SELECT n.doc_id, 'ok' AS status,
+        |  (CASE WHEN n.nl = 0 THEN 1
+        |    WHEN n.nl - (n.doc_id % n.nl) - 1 <= 6 THEN 1 ELSE 2 END)::BIGINT
+        |    AS n_hunks,
+        |  (CASE WHEN n.nl = 0 THEN 1 ELSE 2 END)::BIGINT AS n_added,
+        |  (CASE WHEN n.nl = 0 THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+        |  sha256(CASE WHEN n.nl = 0 THEN 'ADDED ' || n.doc_id
+        |    ELSE a.body || chr(10) || 'ADDED ' || n.doc_id END) AS new_sha
+        |FROM n LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // email extraction (q159): one multipart message per document —
     // folded headers, RFC 2047 encoded-word subjects (odd ids),
     // quoted-printable text part with soft breaks and a planted
