@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -179,6 +179,7 @@ object SparkEntry {
     "q158_snapshot_diff" -> (SnapshotDiffOps.q158SnapshotDiff(_, _)),
     "q159_eml_extract" -> (EmailOps.q159EmlExtract(_, _)),
     "q160_unidiff_apply" -> (UnidiffOps.q160UnidiffApply(_, _)),
+    "q161_flac_scan" -> (FlacOps.q161FlacScan(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2079,6 +2080,24 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // FLAC scan (q161): STREAMINFO's 64-bit packed region (20-bit rate,
+    // 3-bit channels, 5-bit depth, 36-bit exact samples) read off
+    // big-endian block headers; the VORBIS_COMMENT little-endian
+    // island with case-insensitive keys and octet-counted lengths;
+    // every column replayed from doc_id arithmetic
+    "q161_flac_scan" ->
+      """SELECT doc_id, 'ok' AS status,
+        |  (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |    ELSE 96000 END)::BIGINT AS sample_rate,
+        |  (1 + doc_id % 2)::BIGINT AS channels,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 24 ELSE 16 END)::BIGINT AS bits,
+        |  (100000 + doc_id * 37)::BIGINT AS total_samples,
+        |  ((100000 + doc_id * 37) * 1000 // (CASE doc_id % 3 WHEN 0 THEN 44100
+        |    WHEN 1 THEN 48000 ELSE 96000 END))::BIGINT AS duration_ms,
+        |  'Track № ' || doc_id AS title,
+        |  'Artist ' || (doc_id % 20) AS artist,
+        |  3::BIGINT AS n_blocks
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // unified diff render+parse+apply (q160): the engine's Myers deltas
     // rendered as diff -u (context 3, deltas closer than 2x context
     // merged), parsed back, and APPLIED with verified context; the
