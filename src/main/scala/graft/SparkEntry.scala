@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -180,6 +180,7 @@ object SparkEntry {
     "q159_eml_extract" -> (EmailOps.q159EmlExtract(_, _)),
     "q160_unidiff_apply" -> (UnidiffOps.q160UnidiffApply(_, _)),
     "q161_flac_scan" -> (FlacOps.q161FlacScan(_, _)),
+    "q162_tiff_scan" -> (TiffOps.q162TiffScan(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2080,6 +2081,30 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // TIFF scan (q162): BOTH byte orders under one hash (II even, MM
+    // odd), multi-page IFD chains (%3=0 gets a second page), inline
+    // left-justified SHORT values, strip sums as grid arithmetic, the
+    // ASCII DateTime tag at offset
+    "q162_tiff_scan" ->
+      """WITH g AS (SELECT doc_id, (8 + doc_id % 5)::INT AS w,
+        |    (4 + doc_id % 3)::INT AS h
+        |  FROM documents),
+        |s1 AS (SELECT g.doc_id, sum((x.x + y.y + g.doc_id) % 251) AS s
+        |  FROM g, unnest(range(g.w)) AS x(x), unnest(range(g.h)) AS y(y)
+        |  GROUP BY g.doc_id),
+        |s2 AS (SELECT doc_id, sum((x.x + y.y + doc_id) % 251) AS s
+        |  FROM documents, unnest(range(4)) AS x(x), unnest(range(4)) AS y(y)
+        |  WHERE doc_id % 3 = 0 GROUP BY doc_id)
+        |SELECT g.doc_id, 'ok' AS status,
+        |  CASE WHEN g.doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+        |  (CASE WHEN g.doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_pages,
+        |  g.w::BIGINT AS width, g.h::BIGINT AS height, 8::BIGINT AS bits,
+        |  (s1.s + coalesce(s2.s, 0))::BIGINT AS pixel_sum,
+        |  '2026:' || lpad((g.doc_id % 12 + 1)::VARCHAR, 2, '0') || ':' ||
+        |    lpad((g.doc_id % 28 + 1)::VARCHAR, 2, '0') || ' ' ||
+        |    lpad((g.doc_id % 24)::VARCHAR, 2, '0') || ':00:00' AS datetime
+        |FROM g JOIN s1 USING (doc_id) LEFT JOIN s2 USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
     // FLAC scan (q161): STREAMINFO's 64-bit packed region (20-bit rate,
     // 3-bit channels, 5-bit depth, 36-bit exact samples) read off
     // big-endian block headers; the VORBIS_COMMENT little-endian
