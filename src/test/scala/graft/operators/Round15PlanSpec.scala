@@ -132,6 +132,33 @@ class Round15PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q157/q159/q160/q161/q162 are per-row chains: only the final sort exchanges") {
+    for (df <- Seq(
+      ScriptOps.q157ScriptDetect(spark, sf),
+      EmailOps.q159EmlExtract(spark, sf),
+      UnidiffOps.q160UnidiffApply(spark, sf),
+      FlacOps.q161FlacScan(spark, sf),
+      TiffOps.q162TiffScan(spark, sf))) {
+      df.collect()
+      val nonSort = deep(plan(df))
+        .collect { case s: ShuffleExchangeExec => s }
+        .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
+      assert(nonSort.isEmpty,
+        s"per-row operator plans a non-sort exchange:\n${plan(df)}")
+      noCartesian(df)
+    }
+  }
+
+  test("q158: exactly one join — the full-outer snapshot key join, never cartesian") {
+    val df = SnapshotDiffOps.q158SnapshotDiff(spark, sf)
+    df.collect()
+    noCartesian(df)
+    val joins = deep(plan(df)).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"expected the one snapshot join:\n${plan(df)}")
+  }
+
   test("q154: dimensions broadcast — no shuffle joins reach the frontier") {
     val df = FrontierOps.q154FrontierSchedule(spark, sf)
     df.collect()
