@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -181,6 +181,7 @@ object SparkEntry {
     "q160_unidiff_apply" -> (UnidiffOps.q160UnidiffApply(_, _)),
     "q161_flac_scan" -> (FlacOps.q161FlacScan(_, _)),
     "q162_tiff_scan" -> (TiffOps.q162TiffScan(_, _)),
+    "q163_notebook_extract" -> (NotebookOps.q163NotebookExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2081,6 +2082,29 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // notebook extraction (q163): parse_json + VARIANT probes (the
+    // Spark 4 semi-structured path) over nbformat cells — the
+    // string-or-array source wart planted with identical text so the
+    // hash only survives if both forms decode; outputs never leak
+    "q163_notebook_extract" ->
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 4)::INT AS k FROM documents),
+        |c AS (SELECT d.doc_id, j.j FROM d, unnest(range(d.k)) AS j(j)),
+        |t AS (SELECT doc_id, j,
+        |    CASE WHEN j % 2 = 0 THEN 'import x_' || doc_id || chr(10) ||
+        |      'print(' || doc_id || '+' || j || ')' || chr(10) END AS code,
+        |    CASE WHEN j % 2 = 1 THEN '# Head ' || doc_id || chr(10) ||
+        |      'cell ' || j || chr(10) END AS md
+        |  FROM c),
+        |agg AS (SELECT doc_id,
+        |    string_agg(code, '' ORDER BY j) FILTER (WHERE code IS NOT NULL)
+        |      AS codes,
+        |    string_agg(md, '' ORDER BY j) FILTER (WHERE md IS NOT NULL) AS mds,
+        |    count(code) AS ncode, count(md) AS nmd, count(*) AS nc
+        |  FROM t GROUP BY doc_id)
+        |SELECT doc_id, 'python' AS language, nc::BIGINT AS n_cells,
+        |  ncode::BIGINT AS n_code, nmd::BIGINT AS n_markdown,
+        |  sha256(codes) AS code_sha, sha256(mds) AS md_sha
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // TIFF scan (q162): BOTH byte orders under one hash (II even, MM
     // odd), multi-page IFD chains (%3=0 gets a second page), inline
     // left-justified SHORT values, strip sums as grid arithmetic, the
