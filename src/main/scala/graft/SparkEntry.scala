@@ -182,6 +182,7 @@ object SparkEntry {
     "q161_flac_scan" -> (FlacOps.q161FlacScan(_, _)),
     "q162_tiff_scan" -> (TiffOps.q162TiffScan(_, _)),
     "q163_notebook_extract" -> (NotebookOps.q163NotebookExtract(_, _)),
+    "q164_mbox_extract" -> (EmailOps.q164MboxExtract(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2082,6 +2083,18 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // mbox container (q164): 8 mbox files of singlepart messages whose
+    // bodies carry From-leading lines — the writer must mboxrd-quote
+    // and the reader unquote, and an unquoted split would lose body
+    // tails; sender, subject, line count, body sha all replayed
+    "q164_mbox_extract" ->
+      """SELECT doc_id,
+        |  's' || (doc_id % 20) || '@example.test' AS from_env,
+        |  'msg ' || doc_id AS subject,
+        |  (strlen(text) - strlen(replace(text, chr(10), '')) + 2)::BIGINT
+        |    AS n_lines,
+        |  sha256(text || chr(10) || 'From here on ' || doc_id) AS body_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // notebook extraction (q163): parse_json + VARIANT probes (the
     // Spark 4 semi-structured path) over nbformat cells — the
     // string-or-array source wart planted with identical text so the

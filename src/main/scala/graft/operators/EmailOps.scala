@@ -199,6 +199,104 @@ object EmailOps {
 
   // ----------------------------------------------------------------- q159
 
+  // ------------------------------------------------------------------ mbox
+
+  /** mboxrd quoting: one `>` prepended to any `^>*From ` line, so the
+    * transformation round-trips ALL content (mboxo's quote-only-`From `
+    * corrupts pre-quoted lines — the known wart mboxrd fixes).
+    */
+  private[graft] def mboxQuote(body: String): String =
+    body.split("\n", -1).map { l =>
+      if (l.matches("^>*From .*")) ">" + l else l
+    }.mkString("\n")
+
+  private[graft] def mboxUnquote(body: String): String =
+    body.split("\n", -1).map { l =>
+      if (l.matches("^>+From .*")) l.substring(1) else l
+    }.mkString("\n")
+
+  private[graft] def mboxBody(id: Long, text: String): String =
+    text + "\nFrom here on " + id
+
+  /** One mbox file per group: singlepart 7bit messages whose bodies
+    * CONTAIN `From `-leading lines (the quoting exercise), `\n` line
+    * endings, a blank line closing each message.
+    */
+  private[graft] def buildMbox(msgs: Seq[(Long, String)]): String =
+    msgs.map { case (id, text) =>
+      "From s" + (id % 20) + "@example.test Thu Jan  1 00:00:00 2026\n" +
+        "X-Doc-Id: " + id + "\n" +
+        "Subject: msg " + id + "\n\n" +
+        mboxQuote(mboxBody(id, text)) + "\n\n"
+    }.mkString
+
+  final case class MboxMsg(
+      doc_id: Long, from_env: String, subject: String, n_lines: Int,
+      body: String)
+
+  /** Split on UNQUOTED `From ` envelope lines, unquote bodies, drop
+    * the message-closing blank line; a message without the planted id
+    * header drops alone.
+    */
+  private[graft] def parseMbox(raw: String): Seq[MboxMsg] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[MboxMsg]
+    val lines = raw.split("\n", -1)
+    var i = 0
+    while (i < lines.length) {
+      if (lines(i).startsWith("From ")) {
+        val fromEnv = lines(i).substring(5).takeWhile(_ != ' ')
+        i += 1
+        var docId = -1L
+        var subject = ""
+        while (i < lines.length && lines(i).nonEmpty) {
+          val c = lines(i).indexOf(':')
+          if (c > 0) {
+            val k = lines(i).substring(0, c).toLowerCase
+            val v = lines(i).substring(c + 1).trim
+            if (k == "x-doc-id") docId = v.toLongOption.getOrElse(-1L)
+            else if (k == "subject") subject = v
+          }
+          i += 1
+        }
+        if (i < lines.length) i += 1 // the blank line after headers
+        val body = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (i < lines.length && !lines(i).startsWith("From ")) {
+          body += lines(i)
+          i += 1
+        }
+        // writer closes each message with a blank line (+ the final
+        // split artifact at EOF)
+        while (body.nonEmpty && body.last.isEmpty) body.remove(body.length - 1)
+        val text = mboxUnquote(body.mkString("\n"))
+        if (docId >= 0)
+          out += MboxMsg(docId, fromEnv, subject, body.length, text)
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** q164: the mbox container end to end — group documents into 8 mbox
+    * files (messages in doc order), bodies carrying `From `-leading
+    * lines the writer must quote and the reader must unquote (mboxrd);
+    * sender, subject, line count, and the body sha replayed by the
+    * oracle from (doc_id, text) arithmetic.
+    */
+  def q164MboxExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select((col("doc_id") % 8).as("gid"),
+        struct(col("doc_id"), col("text")).as("s"))
+      .groupBy(col("gid"))
+      .agg(array_sort(collect_list(col("s"))).as("msgs"))
+      .as[(Long, Seq[(Long, String)])]
+      .mapPartitions(_.flatMap { case (_, msgs) => parseMbox(buildMbox(msgs)) })
+      .toDF()
+      .select(col("doc_id"), col("from_env"), col("subject"),
+        col("n_lines").cast("long").as("n_lines"),
+        sha2(col("body"), 256).as("body_sha"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q159: EML end to end — build each document's multipart message,
     * parse it back (unfold, encoded words, boundary walk, QP decode);
     * subject, sender, epoch day, part count, and the body sha replayed

@@ -72,6 +72,29 @@ class EmailOpsSpec extends AnyFunSuite {
       "boundary=\"z\"\r\n\r\n").status == "no-parts")
   }
 
+  test("mbox: quoting round-trips, splits only on unquoted From lines") {
+    val msgs = Seq(
+      (5L, "first body\nFrom here a trap\n>From pre-quoted"),
+      (6L, "second"))
+    val parsed = EmailOps.parseMbox(EmailOps.buildMbox(msgs))
+    assert(parsed.map(_.doc_id) == Seq(5L, 6L))
+    assert(parsed.head.body == EmailOps.mboxBody(5L, msgs.head._2))
+    assert(parsed.head.from_env == "s5@example.test")
+    assert(parsed.head.subject == "msg 5")
+    assert(parsed(1).body == EmailOps.mboxBody(6L, "second"))
+    // mboxrd: one '>' added and removed, pre-quoted lines preserved
+    assert(EmailOps.mboxUnquote(EmailOps.mboxQuote(">From x\nFrom y\n>>From z"))
+      == ">From x\nFrom y\n>>From z")
+    assert(EmailOps.mboxQuote("From y") == ">From y")
+  }
+
+  test("mbox: a message without the id header drops alone") {
+    val good = EmailOps.buildMbox(Seq((1L, "kept")))
+    val anon = "From anon@x Thu Jan  1 00:00:00 2026\nSubject: no id\n\nlost\n\n"
+    val parsed = EmailOps.parseMbox(good + anon + EmailOps.buildMbox(Seq((2L, "also"))))
+    assert(parsed.map(_.doc_id) == Seq(1L, 2L))
+  }
+
   test("hostile inputs never throw") {
     for (junk <- Seq("", "\r\n\r\n", "Content-Type: multipart/alternative; " +
         "boundary=\"b\"\r\n\r\n--b\r\nbroken", "=?UTF-8?B??=" * 50))
