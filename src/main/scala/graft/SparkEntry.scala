@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -183,6 +183,7 @@ object SparkEntry {
     "q162_tiff_scan" -> (TiffOps.q162TiffScan(_, _)),
     "q163_notebook_extract" -> (NotebookOps.q163NotebookExtract(_, _)),
     "q164_mbox_extract" -> (EmailOps.q164MboxExtract(_, _)),
+    "q165_code_quality" -> (CodeOps.q165CodeQuality(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2083,6 +2084,27 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // code-quality signals (q165): language routing by shebang/comment
+    // dialect, per-dialect comment counts with the shebang excluded by
+    // SUBTRACTION (RE2 has no lookahead - the rule lives in the common
+    // dialect), integer comment share, SPDX gate, max line length
+    "q165_code_quality" ->
+      """WITH c AS (SELECT doc_id, (6 + doc_id % 8) AS k,
+        |    (doc_id % 4 = 0) AS lic, (doc_id % 6 = 0) AS sh
+        |  FROM documents),
+        |s AS (SELECT doc_id, k, lic, sh,
+        |    (k + 2) // 3 + CASE WHEN lic THEN 2 ELSE 0 END AS ncom,
+        |    k + 1 + CASE WHEN sh THEN 1 ELSE 0 END +
+        |      CASE WHEN lic THEN 2 ELSE 0 END AS nl
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'scala'
+        |    ELSE 'sql' END AS lang,
+        |  nl::BIGINT AS n_lines, ncom::BIGINT AS n_comment,
+        |  (ncom * 100 // nl)::BIGINT AS comment_pct,
+        |  (90 + doc_id % 40)::BIGINT AS max_line_len,
+        |  lic AS has_license, sh AS has_shebang
+        |FROM s ORDER BY doc_id""".stripMargin,
     // mbox container (q164): 8 mbox files of singlepart messages whose
     // bodies carry From-leading lines — the writer must mboxrd-quote
     // and the reader unquote, and an unquoted split would lose body
