@@ -184,6 +184,7 @@ object SparkEntry {
     "q163_notebook_extract" -> (NotebookOps.q163NotebookExtract(_, _)),
     "q164_mbox_extract" -> (EmailOps.q164MboxExtract(_, _)),
     "q165_code_quality" -> (CodeOps.q165CodeQuality(_, _)),
+    "q166_warc_revisit" -> (WetOps.q166WarcRevisit(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2084,6 +2085,16 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // revisit accounting (q166): unchanged pages arrive as body-less
+    // revisit records whose digest lives in a HEADER while responses
+    // compute it from the HTTP body — one oracle digest formula both
+    // acquisition paths must collapse to
+    "q166_warc_revisit" -> (htmlExtractCtes() +
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'revisit' ELSE 'response' END AS kind,
+        |  sha256(html) AS digest,
+        |  (doc_id % 4 <> 0) AS refreshed
+        |FROM h ORDER BY doc_id""".stripMargin),
     // code-quality signals (q165): language routing by shebang/comment
     // dialect, per-dialect comment counts with the shebang excluded by
     // SUBTRACTION (RE2 has no lookahead - the rule lives in the common

@@ -67,23 +67,25 @@ object WetOps {
 
   // ----------------------------------------------------------------- walk
 
-  /** Generic conversion-record walk: offset-driven over the Latin-1
-    * view, header values and payload re-decoded UTF-8 from the raw
-    * bytes; a malformed record ends the walk with prior records kept.
+  /** Generic WARC record walk: offset-driven over the Latin-1 view,
+    * every header value and the payload re-decoded UTF-8 from the raw
+    * bytes; yields (lower-cased headers, payload text, payload octet
+    * count); a malformed record ends the walk with prior records kept.
+    * The shared base under the WET reader (conversion records) and the
+    * revisit accounting (q166).
     */
-  private[graft] def parseWet(bytes: Array[Byte]): Seq[WetRecord] = {
+  private[graft] def walkRecords(
+      bytes: Array[Byte]): Seq[(Map[String, String], String, Long)] = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     def utf8(from: Int, until: Int): String =
       new String(bytes, from, until - from, Utf8)
-    val refersRe = "<urn:graft:doc:(\\d+)>".r
-    val out = scala.collection.mutable.ArrayBuffer.empty[WetRecord]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Map[String, String], String, Long)]
     var p = 0
     while (p < s.length) {
       if (!s.startsWith("WARC/1.0\r\n", p)) return out.toSeq
       p += 10
-      var uri: String = null
-      var wtype: String = null
-      var refers = -1L
+      var headers = Map.empty[String, String]
       var clen = -1L
       var ok = true
       var done = false
@@ -97,16 +99,9 @@ object WetOps {
           if (colon > 0) {
             val name = line.substring(0, colon).trim.toLowerCase
             val value = utf8(p + colon + 1, eol).trim
-            name match {
-              case "warc-target-uri" => uri = value
-              case "warc-type" => wtype = value
-              case "warc-refers-to" =>
-                refers = refersRe.findFirstMatchIn(value)
-                  .map(_.group(1).toLong).getOrElse(-1L)
-              case "content-length" =>
-                clen = try value.toLong catch { case _: NumberFormatException => -1L }
-              case _ => ()
-            }
+            if (!headers.contains(name)) headers += (name -> value)
+            if (name == "content-length")
+              clen = try value.toLong catch { case _: NumberFormatException => -1L }
           }
           p = eol + 2
         }
@@ -116,17 +111,88 @@ object WetOps {
       p = (p + clen).toInt
       if (s.startsWith("\r\n\r\n", p)) p += 4
       else if (p < s.length) return out.toSeq
-      if (wtype == "conversion" && uri != null && refers >= 0)
-        out += WetRecord(refers, uri, clen, text)
+      out += ((headers, text, clen))
     }
     out.toSeq
   }
+
+  private val RefersRe = "<urn:graft:doc:(\\d+)>".r
+
+  /** Conversion records only — the WET reader. */
+  private[graft] def parseWet(bytes: Array[Byte]): Seq[WetRecord] =
+    walkRecords(bytes).flatMap { case (h, text, clen) =>
+      val refers = h.get("warc-refers-to")
+        .flatMap(v => RefersRe.findFirstMatchIn(v))
+        .map(_.group(1).toLong).getOrElse(-1L)
+      (h.get("warc-type"), h.get("warc-target-uri")) match {
+        case (Some("conversion"), Some(uri)) if refers >= 0 =>
+          Some(WetRecord(refers, uri, clen, text))
+        case _ => None
+      }
+    }
 
   private[graft] def parseWetAuto(bytes: Array[Byte]): Seq[WetRecord] =
     if (WarcOps.isGzip(bytes)) WarcOps.gunzipMembers(bytes).flatMap(parseWet)
     else parseWet(bytes)
 
   // ----------------------------------------------------------------- q148
+
+  // ---------------------------------------------------------------- q166
+
+  private[graft] final case class RevisitRow(
+      uri: String, kind: String, digest_hdr: String, payload: String)
+
+  /** q166: revisit-record accounting — Common Crawl stores an
+    * UNCHANGED page as a body-less `revisit` record whose
+    * `WARC-Payload-Digest` points at the content, so dedup accounting
+    * must read the digest from two different places depending on the
+    * record kind: the HEADER for revisits, a COMPUTATION over the HTTP
+    * body for responses. The corpus plants both kinds (`id % 4 == 0`
+    * revisits) and the oracle replays ONE digest formula for all rows
+    * — the two acquisition paths must collapse to it.
+    */
+  def q166WarcRevisit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val uri = concat(lit("https://example.test/doc/"), col("doc_id").cast("string"))
+    val http = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), col("html"))
+    val responseRec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: "), octet_length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+    val revisitRec = concat(
+      lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Refers-To: <urn:graft:doc:"), col("doc_id").cast("string"),
+      lit(">\r\nWARC-Payload-Digest: sha256:"), sha2(col("html"), 256),
+      lit("\r\nContent-Length: 0\r\n\r\n\r\n\r\n"))
+    HtmlOps.syntheticHtml(graft.Tables.documents(spark, dir))
+      .select((col("doc_id") % 8).as("gid"),
+        struct(col("doc_id"),
+          when(col("doc_id") % 4 === 0, revisitRec).otherwise(responseRec)
+            .as("rec")).as("s"))
+      .groupBy(col("gid"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(s)), x -> x.rec)"), "")
+        .cast("binary").as("warc"))
+      .select(col("warc")).as[Array[Byte]]
+      .mapPartitions(_.flatMap(bytes => walkRecords(bytes).map {
+        case (h, payload, _) => RevisitRow(
+          h.getOrElse("warc-target-uri", ""),
+          h.getOrElse("warc-type", ""),
+          h.getOrElse("warc-payload-digest", "").stripPrefix("sha256:"),
+          payload)
+      }))
+      .toDF()
+      .select(
+        regexp_extract(col("uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("kind"),
+        when(col("kind") === "revisit", col("digest_hdr"))
+          .otherwise(sha2(
+            regexp_replace(col("payload"), "(?s)^.*?\r\n\r\n", ""), 256))
+          .as("digest"),
+        (col("kind") =!= "revisit").as("refreshed"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q148: WARC → text → WET → re-parse, end to end — the q135 corpus
     * through the real extraction chain, re-exported as gzip-member

@@ -159,6 +159,30 @@ class Round15PlanSpec extends AnyFunSuite {
     assert(joins.size == 1, s"expected the one snapshot join:\n${plan(df)}")
   }
 
+  test("q163/q165 are per-row; q164/q166 group only into their containers") {
+    for (df <- Seq(
+      NotebookOps.q163NotebookExtract(spark, sf),
+      CodeOps.q165CodeQuality(spark, sf))) {
+      df.collect()
+      val nonSort = deep(plan(df))
+        .collect { case s: ShuffleExchangeExec => s }
+        .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
+      assert(nonSort.isEmpty, s"per-row operator shuffles:\n${plan(df)}")
+      noCartesian(df)
+    }
+    for (df <- Seq(
+      graft.operators.EmailOps.q164MboxExtract(spark, sf),
+      WetOps.q166WarcRevisit(spark, sf))) {
+      df.collect()
+      noCartesian(df)
+      val hashEx = deep(plan(df))
+        .collect { case s: ShuffleExchangeExec => s }
+        .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
+      assert(hashEx.size <= 1,
+        s"expected only the container group-by:\n${plan(df)}")
+    }
+  }
+
   test("q154: dimensions broadcast — no shuffle joins reach the frontier") {
     val df = FrontierOps.q154FrontierSchedule(spark, sf)
     df.collect()

@@ -68,6 +68,19 @@ class WetOpsSpec extends AnyFunSuite {
     assert(out.map(_.doc_id) == Seq(1L))
   }
 
+  test("generic walk surfaces headers for any record type") {
+    val rec = ("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: u\r\n" +
+      "WARC-Payload-Digest: sha256:abc123\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+      .getBytes(utf8)
+    val out = WetOps.walkRecords(rec ++ WetOps.wetRecord(3L, "v", "text"))
+    assert(out.length == 2)
+    assert(out.head._1("warc-type") == "revisit")
+    assert(out.head._1("warc-payload-digest") == "sha256:abc123")
+    assert(out.head._2 == "")
+    assert(out(1)._1("warc-type") == "conversion")
+    assert(out(1)._2 == "text")
+  }
+
   test("truncation fuzz: every byte prefix never throws") {
     val full = WetOps.buildWet(Seq(
       (1L, "u1", "some text body"), (2L, "u2", "naïve № two")))
