@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -185,6 +185,7 @@ object SparkEntry {
     "q164_mbox_extract" -> (EmailOps.q164MboxExtract(_, _)),
     "q165_code_quality" -> (CodeOps.q165CodeQuality(_, _)),
     "q166_warc_revisit" -> (WetOps.q166WarcRevisit(_, _)),
+    "q167_sentence_split" -> (SentenceOps.q167SentenceSplit(_, _)),
   )
 
   /** Shared oracle fragment for the BPE queries (q80–q82): the engine's
@@ -2085,6 +2086,34 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // sentence segmentation (q167): the insert-then-split shape (RE2
+    // has no lookbehind) with sentinel-protected abbreviations and
+    // decimals; both engines run the IDENTICAL chain on the same
+    // composed text — the planted block makes every rule bind per row
+    "q167_sentence_split" ->
+      """WITH c AS (SELECT doc_id, text || ' ' ||
+        |    'Dr. Smith met Prof. Jones at ' || (doc_id % 10) ||
+        |    '.5 km. They left early. Did they return? Yes! End ' ||
+        |    doc_id || '.' AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, replace(replace(replace(replace(replace(t,
+        |    'Dr.', 'Dr' || chr(1)), 'Prof.', 'Prof' || chr(1)),
+        |    'e.g.', 'e.g' || chr(1)), 'i.e.', 'i.e' || chr(1)),
+        |    'vs.', 'vs' || chr(1)) AS t
+        |  FROM c),
+        |n AS (SELECT doc_id, regexp_replace(t, '([0-9])\.([0-9])',
+        |    '\1' || chr(1) || '\2', 'g') AS t FROM p),
+        |b AS (SELECT doc_id, regexp_replace(t, '([.!?]) +([A-Z])',
+        |    '\1' || chr(10) || '\2', 'g') AS t FROM n),
+        |s AS (SELECT doc_id, list_filter(list_transform(
+        |    string_split(t, chr(10)), x -> trim(replace(x, chr(1), '.'))),
+        |    x -> x <> '') AS ss
+        |  FROM b)
+        |SELECT doc_id, len(ss)::BIGINT AS n_sentences,
+        |  (list_sum(list_transform(ss, x -> length(x))) // len(ss))::BIGINT
+        |    AS avg_len,
+        |  sha256(array_to_string(ss, chr(10))) AS text_sha
+        |FROM s ORDER BY doc_id""".stripMargin,
     // revisit accounting (q166): unchanged pages arrive as body-less
     // revisit records whose digest lives in a HEADER while responses
     // compute it from the HTTP body — one oracle digest formula both
