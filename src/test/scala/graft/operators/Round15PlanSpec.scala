@@ -132,13 +132,14 @@ class Round15PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q157/q159/q160/q161/q162 are per-row chains: only the final sort exchanges") {
+  test("q157/q159/q160/q161/q162/q167 are per-row chains: only the final sort exchanges") {
     for (df <- Seq(
       ScriptOps.q157ScriptDetect(spark, sf),
       EmailOps.q159EmlExtract(spark, sf),
       UnidiffOps.q160UnidiffApply(spark, sf),
       FlacOps.q161FlacScan(spark, sf),
-      TiffOps.q162TiffScan(spark, sf))) {
+      TiffOps.q162TiffScan(spark, sf),
+      SentenceOps.q167SentenceSplit(spark, sf))) {
       df.collect()
       val nonSort = deep(plan(df))
         .collect { case s: ShuffleExchangeExec => s }
