@@ -111,7 +111,9 @@ object EmailOps {
 
   /** Unfolded `name -> value` headers (first occurrence wins). */
   private[graft] def parseHeaders(block: String): Map[String, String] = {
-    val unfolded = block.replaceAll("\r?\n[ \t]+", " ")
+    // RFC 5322 §2.2.3 unfolding removes ONLY the CRLF and keeps the
+    // leading WSP run (tab- or multi-space folds stay intact).
+    val unfolded = block.replaceAll("\r?\n(?=[ \t])", "")
     unfolded.split("\r?\n").foldLeft(Map.empty[String, String]) { (m, line) =>
       val c = line.indexOf(':')
       if (c <= 0) m

@@ -67,7 +67,8 @@ object SubtitleOps {
     val cues = cuesOf(id, text)
     val vtt = id % 2 == 1
     val sep = if (vtt) '.' else ','
-    val body = cues.zipWithIndex.map { case (c, i) =>
+    val body = cues.zipWithIndex.map { case (cRaw, i) =>
+      val c = escapeCue(cRaw)
       val styled =
         if (i == cues.length - 1)
           (if (vtt) "<c.loud>" + c + "</c>" else "<i>" + c + "</i>")
@@ -88,6 +89,17 @@ object SubtitleOps {
   private def stripTags(s: String): String =
     s.replaceAll("</?[ibuc](?:\\.[\\w.]+)?>", "")
 
+  /** Writer-side escaping makes the round trip self-protecting (the
+    * q159 QP discipline): a corpus word that LOOKS like a styling tag
+    * (`<i>`, `</c>`) survives `stripTags` because the writer
+    * entity-escaped it; the parser unescapes after stripping. `&`
+    * first so the mapping stays bijective.
+    */
+  private[graft] def escapeCue(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;")
+  private[graft] def unescapeCue(s: String): String =
+    s.replace("&lt;", "<").replace("&amp;", "&")
+
   /** Blank-line cue split; header/NOTE blocks and unparseable cues
     * drop alone.
     */
@@ -104,7 +116,9 @@ object SubtitleOps {
           Timing.findFirstMatchIn(lines(tIdx)).foreach { m =>
             val start = parseTs(m.group(1), m.group(2), m.group(3), m.group(4))
             val end = parseTs(m.group(5), m.group(6), m.group(7), m.group(8))
-            val text = lines.drop(tIdx + 1).map(stripTags).mkString("\n").trim
+            val text =
+              lines.drop(tIdx + 1).map(l => unescapeCue(stripTags(l)))
+                .mkString("\n").trim
             if (end >= start && text.nonEmpty) out += Cue(start, end, text)
           }
         }

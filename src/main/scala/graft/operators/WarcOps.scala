@@ -108,7 +108,7 @@ object WarcOps {
             try statusLine(1).toInt catch { case _: NumberFormatException => -1 }
           else -1
           var chunked = false
-          var gzipped = false
+          var contentCoding = ""
           var charset = "utf-8"
           // an empty header section means hdrEnd == eol
           payload.substring(math.min(eol + 2, hdrEnd), hdrEnd).split("\r\n").foreach { h =>
@@ -117,12 +117,24 @@ object WarcOps {
               val n = h.substring(0, c).trim.toLowerCase
               val v = h.substring(c + 1).trim.toLowerCase
               if (n == "transfer-encoding" && v.contains("chunked")) chunked = true
-              if (n == "content-encoding" && v.contains("gzip")) gzipped = true
+              if (n == "content-encoding") contentCoding = v
               if (n == "content-type")
                 "charset=\"?([a-z0-9_\\-]+)".r.findFirstMatchIn(v)
                   .foreach(m => charset = m.group(1))
             }
           }
+          // RFC 9110 §8.4 content codings, comma-separated in the order
+          // applied. Declared support: identity (no-op), gzip/x-gzip,
+          // deflate (zlib per spec, raw-deflate fallback for the
+          // historically common server mislabel). Any OTHER coding (br,
+          // zstd, compress, …) must NOT fall through to the identity
+          // path — decoding compressed octets as text mojibakes silently
+          // into the curation chain. Such records survive as TYPED
+          // errors: enc = "unsupported:<coding>", empty body.
+          val codings = contentCoding.split(",").map(_.trim)
+            .filter(c => c.nonEmpty && c != "identity").toSeq
+          val unsupportedCoding = codings.find(c =>
+            c != "gzip" && c != "x-gzip" && c != "deflate")
           // declared charset support: the three encodings that cover
           // the overwhelming majority of labeled web text; anything
           // else decodes as UTF-8, the web default (deterministic —
@@ -139,23 +151,27 @@ object WarcOps {
             val bodyOff = p0 + hdrEnd + 4
             val bodyEnd = p0 + clen.toInt
             val decoded: Option[(String, String)] =
-              if (!chunked && !gzipped)
+              if (unsupportedCoding.isDefined)
+                Some(("unsupported:" + unsupportedCoding.get, ""))
+              else if (!chunked && codings.isEmpty)
                 Some(("identity",
                   new String(bytes, bodyOff, bodyEnd - bodyOff, cs)))
               else {
                 val deChunked: Option[Array[Byte]] =
                   if (chunked) dechunk(bytes, bodyOff, bodyEnd)
                   else Some(java.util.Arrays.copyOfRange(bytes, bodyOff, bodyEnd))
-                val plain = deChunked.flatMap { d =>
-                  if (!gzipped) Some(d)
-                  else {
-                    val members = gunzipMembers(d)
-                    if (members.isEmpty) None
-                    else Some(members.reduce(_ ++ _))
+                // codings list the order APPLIED → decode in reverse
+                val plain = codings.reverse.foldLeft(deChunked) { (acc, c) =>
+                  acc.flatMap { d =>
+                    if (c == "deflate") inflateDeflate(d)
+                    else {
+                      val members = gunzipMembers(d)
+                      if (members.isEmpty) None
+                      else Some(members.reduce(_ ++ _))
+                    }
                   }
                 }
-                val enc = (if (chunked) Seq("chunked") else Nil) ++
-                  (if (gzipped) Seq("gzip") else Nil)
+                val enc = (if (chunked) Seq("chunked") else Nil) ++ codings
                 plain.map(b => (enc.mkString(","), new String(b, cs)))
               }
             decoded.foreach { case (enc, body) =>
@@ -232,6 +248,46 @@ object WarcOps {
       i += 1
     }
     ascii("0\r\n\r\n")
+    bos.toByteArray
+  }
+
+  /** `Content-Encoding: deflate` body inflate — RFC 9110 says zlib
+    * (RFC 1950) but a long tail of servers ship RAW deflate under the
+    * same label, so a failed zlib parse retries raw (the order matters:
+    * a zlib stream never inflates as raw past its 2-byte header, while
+    * raw bytes can accidentally parse as a zlib header). Same
+    * allocation-cap + error-as-value discipline as the gzip walk.
+    */
+  private[graft] def inflateDeflate(d: Array[Byte]): Option[Array[Byte]] = {
+    def run(raw: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(d)
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 16)
+        var total = 0L
+        while (!inf.finished()) {
+          val w =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (w > 0) {
+            total += w
+            if (total > MaxMemberBytes) return None
+            bos.write(buf, 0, w)
+          } else if (!inf.finished() && inf.needsInput()) return None // truncated
+        }
+        Some(bos.toByteArray)
+      } finally inf.end()
+    }
+    run(raw = false).orElse(run(raw = true))
+  }
+
+  /** zlib-deflate raw bytes (corpus construction for the deflate leg). */
+  private[graft] def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ds = new java.util.zip.DeflaterOutputStream(bos)
+    ds.write(b)
+    ds.finish()
     bos.toByteArray
   }
 
@@ -426,10 +482,13 @@ object WarcOps {
   }
 
   /** Mixed HTTP-coding corpus: per document the q122 markup delivered
-    * identity (`id % 3 == 0`), chunked (`== 1`), or gzip-then-chunked
+    * identity (`id % 5 == 0`), chunked (`== 1`), gzip-then-chunked
     * (`== 2` — Content-Encoding applied first, Transfer-Encoding
-    * framing the compressed bytes, the real-web layering), assembled
-    * at the BYTE level so Content-Length counts the coded octets.
+    * framing the compressed bytes, the real-web layering), zlib
+    * deflate (`== 3`), or brotli-labeled (`== 4` — an UNSUPPORTED
+    * coding, must surface as a typed `unsupported:br` record, never as
+    * mojibake text), assembled at the BYTE level so Content-Length
+    * counts the coded octets.
     */
   private[graft] def syntheticWarcHttp(docs: DataFrame, groups: Int = 8): DataFrame = {
     val spark = docs.sparkSession
@@ -442,11 +501,16 @@ object WarcOps {
         // serializable)
         val iso = java.nio.charset.StandardCharsets.ISO_8859_1
         val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val (encHdrs, body) = (id % 3) match {
+        val (encHdrs, body) = (id % 5) match {
           case 0 => ("", raw)
           case 1 => ("Transfer-Encoding: chunked\r\n", encodeChunked(raw))
-          case _ => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+          case 2 => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
             encodeChunked(gzipBytes(raw), 77))
+          case 3 => ("Content-Encoding: deflate\r\n", deflateBytes(raw))
+          // brotli payload stands in as the raw bytes — the parser must
+          // refuse to decode it at the CODING LABEL, before ever
+          // looking at the body
+          case _ => ("Content-Encoding: br\r\n", raw)
         }
         val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           encHdrs + "\r\n").getBytes(iso)
@@ -528,10 +592,13 @@ object WarcOps {
   }
 
   /** q139: the front door over MIXED HTTP codings — identity, chunked,
-    * and gzip-inside-chunked bodies walked, un-framed, inflated, and
-    * extracted; per document the applied coding chain rides along so
-    * the oracle pins that every path was exercised (derived from the
-    * same doc_id arithmetic the corpus used).
+    * gzip-inside-chunked, and zlib-deflate bodies walked, un-framed,
+    * inflated, and extracted, PLUS a brotli-labeled leg that surfaces
+    * as a typed `unsupported:br` record with an empty body (the
+    * unknown-coding guard on the oracle path); per document the
+    * applied coding chain rides along so the oracle pins that every
+    * path was exercised (derived from the same doc_id arithmetic the
+    * corpus used).
     */
   def q139WarcHttpExtract(spark: SparkSession, dir: String): DataFrame = {
     val recs = extractRecords(spark,

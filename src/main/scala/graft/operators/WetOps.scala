@@ -109,9 +109,12 @@ object WetOps {
       if (!ok || clen < 0 || p + clen > s.length) return out.toSeq
       val text = utf8(p, (p + clen).toInt)
       p = (p + clen).toInt
+      // Keep the fully-parsed record FIRST: a malformed inter-record
+      // separator ends the walk with prior records (including this one)
+      // kept — garbage after a well-formed record never discards it.
+      out += ((headers, text, clen))
       if (s.startsWith("\r\n\r\n", p)) p += 4
       else if (p < s.length) return out.toSeq
-      out += ((headers, text, clen))
     }
     out.toSeq
   }

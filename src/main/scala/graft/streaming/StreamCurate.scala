@@ -143,16 +143,23 @@ object StreamCurate {
               // unattributable URIs extract to '' — NULL, not an ANSI
               // cast error
               .withColumn("doc_id", when(idStr =!= "", idStr.cast("long")))
+            val unsupported = col("enc").startsWith("unsupported:")
             val bad = recs
-              .filter(col("status") =!= 200 || col("doc_id").isNull)
+              .filter(col("status") =!= 200 || col("doc_id").isNull ||
+                unsupported)
               .select(col("group_id"), col("target_uri").as("url"),
                 col("status").cast("long").as("status"),
                 concat_ws(",",
                   when(col("status") =!= 200, lit("http_status")),
-                  when(col("doc_id").isNull, lit("bad_uri"))).as("reason"))
+                  when(col("doc_id").isNull, lit("bad_uri")),
+                  // a coding the decoder can't open (br/zstd/…): the
+                  // record dead-letters TYPED instead of its compressed
+                  // octets mojibake-ing into the text stage
+                  when(unsupported, col("enc"))).as("reason"))
             if (!bad.isEmpty)
               CheckpointStream.appendDiffs(bad, warcRejectsDir, batchId)
-            recs.filter(col("status") === 200 && col("doc_id").isNotNull)
+            recs.filter(col("status") === 200 && col("doc_id").isNotNull &&
+                !unsupported)
               .select(col("doc_id"), col("target_uri").as("url"),
                 col("body").as(htmlCol.get))
         }

@@ -74,13 +74,17 @@ object StreamTfExport {
             val rows = it.toVector.sortBy(_._1)
             if (rows.isEmpty) Iterator.empty
             else {
-              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val tc = org.apache.spark.TaskContext.get()
+              val pid = tc.partitionId()
               val bytes = TfRecordOps.buildShard(rows.map { case (id, t) =>
                 (id.toString + "\t" + t)
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8)
               })
               val out = new Path(f"$outDir/batch$batchId%06d_part$pid%04d.tfrecord")
-              val tmp = new Path(s"$outDir/.tmp-${out.getName}")
+              // tmp is task-ATTEMPT-unique: a speculative or retried attempt
+              // writes and renames its own file; the deterministic final name
+              // keeps the publish idempotent.
+              val tmp = new Path(s"$outDir/.tmp-${out.getName}-${tc.taskAttemptId()}")
               val fs = out.getFileSystem(conf.value)
               val os = fs.create(tmp, true)
               os.write(bytes)

@@ -49,6 +49,13 @@ class EmailOpsSpec extends AnyFunSuite {
     assert(h("subject") == "one")
   }
 
+  test("RFC 5322 unfolding keeps the WSP run (tab / multi-space folds)") {
+    val h = EmailOps.parseHeaders(
+      "Subject: a\r\n\tb\r\nX-K: c\r\n   d")
+    assert(h("subject") == "a\tb")
+    assert(h("x-k") == "c   d")
+  }
+
   test("boundary lookalike inside a part never splits it") {
     val out = roundTrip(3L, "short")
     // the planted lookalike tail survived INSIDE the text part

@@ -27,6 +27,17 @@ class SubtitleOpsSpec extends AnyFunSuite {
     assert(!info.text.contains("<c"))
   }
 
+  test("tag-lookalike corpus words survive the round trip (writer escapes)") {
+    // A document containing literal <i>, </c>, & tokens: the writer
+    // entity-escapes them so stripTags can't eat them on re-parse.
+    val hostile = "<i> keep </c> me &amp; raw <c.loud> too"
+    val info = SubtitleOps.extract(2L, SubtitleOps.buildSubtitle(2L, hostile))
+    val words = hostile.split(" ").toSeq
+    val expected = (words.grouped(3).map(_.mkString(" ")).toSeq :+ "Sub № 2")
+      .mkString("\n")
+    assert(info.text == expected)
+  }
+
   test("timing arithmetic: hours/minutes/seconds/millis compose") {
     val raw = "1\n01:02:03,456 --> 01:02:05,456\nhello\n"
     val (_, cues) = SubtitleOps.parseSubtitle(raw)

@@ -261,21 +261,92 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(unk.map(r => (r._3, r._5)) == Seq((text, "klingon-8")))
   }
 
-  test("q139 on sf0.001: all three coding paths extract to the q122 text") {
+  test("q139 on sf0.001: decodable coding paths extract to the q122 text; " +
+    "the br leg surfaces typed with an empty body") {
     val rows = WarcOps.q139WarcHttpExtract(spark, "/root/testdata/sf0.001").collect()
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     assert(rows.length == docs.count())
     val direct = HtmlOps.q122HtmlExtract(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text_sha")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val emptySha = org.apache.commons.codec.digest.DigestUtils.sha256Hex("")
     rows.foreach { r =>
       val id = r.getLong(0)
-      val expectEnc = (id % 3) match {
-        case 0 => "identity"; case 1 => "chunked"; case _ => "chunked,gzip"
+      val expectEnc = (id % 5) match {
+        case 0 => "identity"; case 1 => "chunked"; case 2 => "chunked,gzip"
+        case 3 => "deflate"; case _ => "unsupported:br"
       }
       assert(r.getString(3) == expectEnc, s"doc $id enc ${r.getString(3)}")
-      assert(r.getString(5) == direct(id), s"doc $id text diverged through codings")
+      if (id % 5 == 4) {
+        assert(r.getLong(4) == 0L, s"doc $id: br body must stay empty")
+        assert(r.getString(5) == emptySha)
+      } else
+        assert(r.getString(5) == direct(id), s"doc $id text diverged through codings")
     }
+  }
+
+  test("deflate coding: zlib inflates; RAW deflate under the same label inflates " +
+    "via the fallback; corrupt deflate drops the record") {
+    def rec(hdrs: String, body: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\n$hdrs\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val httpB = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://c/1\r\n" +
+        s"Content-Length: ${httpB.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        httpB ++ "\r\n\r\n".getBytes
+    }
+    val text = "deflate naïve — body"
+    val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val zlib = WarcOps.parseWarc(rec("Content-Encoding: deflate\r\n",
+      WarcOps.deflateBytes(raw)))
+    assert(zlib.map(r => (r._3, r._4)) == Seq((text, "deflate")))
+    // raw deflate (no zlib wrapper) mislabeled as deflate
+    val d = new java.util.zip.Deflater(-1, true)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    val n = d.deflate(buf); d.end()
+    val rawDef = WarcOps.parseWarc(rec("Content-Encoding: deflate\r\n",
+      java.util.Arrays.copyOf(buf, n)))
+    assert(rawDef.map(r => (r._3, r._4)) == Seq((text, "deflate")))
+    // deflate inside chunked frames
+    val stacked = WarcOps.parseWarc(rec(
+      "Content-Encoding: deflate\r\nTransfer-Encoding: chunked\r\n",
+      WarcOps.encodeChunked(WarcOps.deflateBytes(raw), 5)))
+    assert(stacked.map(r => (r._3, r._4)) == Seq((text, "chunked,deflate")))
+    // corrupt deflate bytes: record drops, walk survives
+    val corrupt = WarcOps.parseWarc(
+      rec("Content-Encoding: deflate\r\n", Array[Byte](1, 2, 3, 4)) ++
+        rec("", "ok".getBytes))
+    assert(corrupt.map(_._3) == Seq("ok"))
+  }
+
+  test("unrecognized content codings (br/zstd/stacks) surface TYPED, " +
+    "never the compressed octets as text") {
+    def rec(hdrs: String, body: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\n$hdrs\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val httpB = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://c/u\r\n" +
+        s"Content-Length: ${httpB.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        httpB ++ "\r\n\r\n".getBytes
+    }
+    val junk = Array[Byte](0x0b, 0x01, 0x00, 0x62)
+    for (coding <- Seq("br", "zstd", "compress", "gzip, br", "br, gzip")) {
+      val out = WarcOps.parseWarc(rec(s"Content-Encoding: $coding\r\n", junk))
+      assert(out.length == 1, coding)
+      assert(out.head._4.startsWith("unsupported:"), s"$coding -> ${out.head._4}")
+      assert(out.head._3 == "", s"$coding body must be empty")
+    }
+    // identity tokens are transparent; x-gzip aliases gzip
+    val text = "alias body"
+    val viaAlias = WarcOps.parseWarc(rec("Content-Encoding: x-gzip\r\n",
+      WarcOps.gzipBytes(text.getBytes("UTF-8"))))
+    assert(viaAlias.map(_._3) == Seq(text))
+    val viaIdentity = WarcOps.parseWarc(
+      rec("Content-Encoding: identity\r\n", text.getBytes("UTF-8")))
+    assert(viaIdentity.map(r => (r._3, r._4)) == Seq((text, "identity")))
   }
 
   test("q135 end-to-end: gzip archive extraction matches q128 plus the UTF-8 marker block") {

@@ -68,6 +68,16 @@ class WetOpsSpec extends AnyFunSuite {
     assert(out.map(_.doc_id) == Seq(1L))
   }
 
+  test("garbage after a well-formed record keeps THAT record (tail separator lie)") {
+    val good = WetOps.wetRecord(1L, "a", "first")
+    val alsoGood = WetOps.wetRecord(2L, "b", "second")
+    // the second record is complete; the bytes after its payload are
+    // junk, not \r\n\r\n — the walk ends but BOTH parsed records survive
+    val out = WetOps.parseWet(good ++ alsoGood.dropRight(4) ++ "XXXX".getBytes(utf8))
+    assert(out.map(_.doc_id) == Seq(1L, 2L))
+    assert(out.map(_.text) == Seq("first", "second"))
+  }
+
   test("generic walk surfaces headers for any record type") {
     val rec = ("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: u\r\n" +
       "WARC-Payload-Digest: sha256:abc123\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
