@@ -158,6 +158,8 @@ object SparkEntry {
     "q137_mp4_extract" -> (Mp4Ops.q137Mp4Extract(_, _)),
     "q138_vp8_decode" -> (MultimodalOps.q138Vp8Decode(_, _)),
     "q139_warc_http_extract" -> (WarcOps.q139WarcHttpExtract(_, _)),
+    "q168_vp8_bpred" -> (MultimodalOps.q168Vp8Bpred(_, _)),
+    "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
     "q142_warc_charset" -> (WarcOps.q142WarcCharset(_, _)),
@@ -2003,11 +2005,14 @@ object SparkEntry {
         |  strlen(array_to_string(blocks, chr(10)))::BIGINT AS n_octets,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
-    // mixed HTTP codings (q139): identity / chunked / gzip-in-chunked
-    // bodies through the same front door; the decoded text collapses to
-    // the q128 expectation and the applied coding chain is derived from
-    // the corpus arithmetic — an un-framing or inflate slip changes
-    // `enc`, rows, or the sha
+    // mixed HTTP codings (q139): identity / chunked / gzip-in-chunked /
+    // zlib-deflate bodies through the same front door, PLUS a
+    // brotli-labeled leg that must surface as a typed
+    // `unsupported:br` record with an EMPTY body (never the compressed
+    // octets decoded as text); the decoded text collapses to the q128
+    // expectation and the applied coding chain is derived from the
+    // corpus arithmetic — an un-framing or inflate slip changes `enc`,
+    // rows, or the sha
     // charset-labeled bodies (q142): Latin-1 / Windows-1252 / UTF-8 /
     // unlabeled deliveries of the same logical text must all decode to
     // the same Unicode; the reported charset and extracted text are
@@ -2572,18 +2577,24 @@ object SparkEntry {
     "q139_warc_http_extract" -> (htmlExtractCtes() +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,
-        |  CASE doc_id % 3 WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
-        |    ELSE 'chunked,gzip' END AS enc,
-        |  len(blocks)::BIGINT AS n_blocks,
-        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |  CASE doc_id % 5 WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
+        |    WHEN 2 THEN 'chunked,gzip' WHEN 3 THEN 'deflate'
+        |    ELSE 'unsupported:br' END AS enc,
+        |  (CASE WHEN doc_id % 5 = 4 THEN 0 ELSE len(blocks) END)::BIGINT
+        |    AS n_blocks,
+        |  CASE WHEN doc_id % 5 = 4 THEN sha256('')
+        |    ELSE sha256(array_to_string(blocks, chr(10))) END AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
     // PDF text extraction (q136): the Spark side builds a real two-page
     // PDF per document (xref table, Flate + plain content streams,
-    // escape classes), walks it, inflates, extracts BT/ET text; the
-    // oracle replays the EXPECTED assembled text straight from
-    // (doc_id, text) with the same word-split arithmetic — the
-    // encode->decode collapse: any xref/Length/inflate/escape slip
-    // changes status or the sha
+    // escape classes, and a /F2 font whose /Differences AGL names and
+    // /ToUnicode bfrange/bfchar decode a planted non-ASCII line — the
+    // bfchar shown as a HEX string), walks it, inflates, extracts
+    // BT/ET text; the oracle replays the EXPECTED assembled text
+    // straight from (doc_id, text) with the same word-split
+    // arithmetic — the encode->decode collapse: any
+    // xref/Length/inflate/escape/font-table slip changes status or
+    // the sha
     "q136_pdf_extract" ->
       """WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |q AS (SELECT doc_id, (len(ws) + 1) // 2 AS na, ws FROM p),
@@ -2591,7 +2602,8 @@ object SparkEntry {
         |    'Doc ' || doc_id || chr(10) ||
         |    array_to_string(list_slice(ws, 1, na::INT), ' ') || chr(10) ||
         |    array_to_string(list_slice(ws, (na + 1)::INT, len(ws)), ' ') ||
-        |    chr(10) || 'Tail (' || doc_id || ') \ AB end' AS text
+        |    chr(10) || 'Tail (' || doc_id || ') \ AB end' ||
+        |    chr(10) || 'éè€Ł ΔΕΖΗ ❤' AS text
         |  FROM q)
         |SELECT doc_id, 'ok' AS status, 2::BIGINT AS n_pages,
         |  2::BIGINT AS n_streams, sha256(text) AS text_sha
@@ -2675,6 +2687,53 @@ object SparkEntry {
         |  (sum(v) * 256)::BIGINT AS sum_g,
         |  (sum(v) * 256)::BIGINT AS sum_r
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // VP8 B_PRED decode (q168): the q138 strip with all-TM 4×4
+    // macroblocks carrying one DC residual in subblock (3,3) — rows
+    // 12-15 accumulate the m_i prefix sums, everything else stays v0;
+    // any sub-mode tree/context/prediction/type-3-token slip shifts
+    // the closed-form sums
+    "q168_vp8_bpred" ->
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 6)::INT AS k,
+        |    128 + 2 * ((doc_id % 15) - 7) AS v0 FROM documents),
+        |m AS (SELECT doc_id, k, v0, i,
+        |    ((doc_id + 7 * i) % 9) - 4 AS m
+        |  FROM d, unnest(range(k)) t(i) WHERE i >= 1),
+        |s AS (SELECT doc_id, k, v0, i,
+        |    sum(m) OVER (PARTITION BY doc_id ORDER BY i) AS sc
+        |  FROM m),
+        |g AS (SELECT doc_id, k, v0, i, sc,
+        |    coalesce(lag(sc) OVER (PARTITION BY doc_id ORDER BY i), 0) AS sp
+        |  FROM s)
+        |SELECT doc_id, (16 * k)::BIGINT AS width, 16::BIGINT AS height,
+        |  (256 * v0 * k + sum(48 * sp + 16 * sc))::BIGINT AS sum_b,
+        |  (256 * v0 * k + sum(48 * sp + 16 * sc))::BIGINT AS sum_g,
+        |  (256 * v0 * k + sum(48 * sp + 16 * sc))::BIGINT AS sum_r
+        |FROM g GROUP BY doc_id, k, v0 ORDER BY doc_id""".stripMargin,
+    // VP8 loop filter (q169): the q138 DC strip at filter level
+    // 1 + id%63 — the §15.3 mb-edge filter's mask and tap deltas are
+    // closed-form on flat MBs; the index-weighted row-0 sum is
+    // filter-sensitive (a plain sum cancels: the filter conserves p+q)
+    "q169_vp8_loop_filter" ->
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 6)::INT AS k,
+        |    (1 + doc_id % 63)::INT AS L FROM documents),
+        |m AS (SELECT doc_id, k, L, i,
+        |    ((doc_id + 13 * i) % 15) - 7 AS r
+        |  FROM d, unnest(range(k)) t(i)),
+        |v AS (SELECT doc_id, k, L, i,
+        |    128 + 2 * sum(r) OVER (PARTITION BY doc_id ORDER BY i) AS v
+        |  FROM m),
+        |e AS (SELECT doc_id, k, L, i, v,
+        |    v - lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS t
+        |  FROM v),
+        |f AS (SELECT doc_id, k, L, i, v,
+        |    CASE WHEN t IS NULL OR 2 * abs(t) + abs(t) // 2 > 3 * L + 4 THEN 0
+        |      ELSE floor((54 * t + 63) / 128.0) + floor((36 * t + 63) / 128.0)
+        |        + floor((18 * t + 63) / 128.0) END AS F
+        |  FROM e)
+        |SELECT doc_id, (16 * k)::BIGINT AS width, 16::BIGINT AS height,
+        |  L::BIGINT AS flevel,
+        |  (sum((i + 1) * 16 * v) - sum(F))::BIGINT AS wsum
+        |FROM f GROUP BY doc_id, k, L ORDER BY doc_id""".stripMargin,
     // persisted IVF-PQ index (q120): q38's storage-parity treatment for
     // the compressed tier — every count training-deterministic and pinned
     "q120_ivf_pq_indexed" ->

@@ -2648,4 +2648,87 @@ object MultimodalOps {
       .toDF("doc_id", "width", "height", "sum_b", "sum_g", "sum_r")
       .orderBy(col("doc_id"))
   }
+
+  /** q168: VP8 `B_PRED` (4×4 intra) decode end-to-end — the q138 strip
+    * extended with B_PRED macroblocks. MB 0 is the q138 `DC_PRED`
+    * flat-value MB (`v0 = 128 + 2·((id mod 15) − 7)`); every MB `i ≥ 1`
+    * is `B_PRED` with all sixteen sub-modes `B_TM_PRED` and ONE DC
+    * residual in subblock (3,3): token `2·m_i`, `m_i = ((id + 7i) mod
+    * 9) − 4`, which dequantizes+iDCTs to exactly `m_i` at quantizer 0.
+    * TM propagates row-wise, so rows 0–11 stay `v0`, and rows 12–15 of
+    * MB i carry the PREFIX SUM `v0 + S_{i−1}` (columns 0–11) and
+    * `v0 + S_i` (columns 12–15), `S_i = Σ_{j≤i} m_j` — giving the
+    * closed-form image sum `256·v0·k + Σ_{i≥1}(48·S_{i−1} + 16·S_i)`
+    * the oracle replays. Exercises: the B_PRED keyframe sub-mode trees
+    * with [above][left] contexts (RFC 6386 §11.4 probabilities), the
+    * type-3 token path (no Y2), and TM sub-block prediction chaining
+    * across reconstructed neighbors.
+    */
+  def q168Vp8Bpred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val k = (2 + id % 6).toInt
+        val mbs: Array[Vp8.StripMb] = Array.tabulate(k) { i =>
+          if (i == 0) Vp8.DcMb((((id % 15) - 7) * 16).toInt)
+          else Vp8.BPredTmMb(((((id + 7L * i) % 9) - 4) * 2).toInt)
+        }
+        val webp = Vp8.webpFromVp8(Vp8.encodeStrip(mbs))
+        val img = Webp.decodeWebp(webp).get
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var i = 0
+        while (i < img.width * img.height) {
+          sb += img.pixels(i * 3) & 0xff
+          sg += img.pixels(i * 3 + 1) & 0xff
+          sr += img.pixels(i * 3 + 2) & 0xff
+          i += 1
+        }
+        (id, img.width.toLong, img.height.toLong, sb, sg, sr)
+      })
+      .toDF("doc_id", "width", "height", "sum_b", "sum_g", "sum_r")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q169: the VP8 LOOP FILTER on the oracle path — the q138 DC strip
+    * (no skips) encoded at a per-document filter level `L = 1 + id mod
+    * 63`. Flat MBs meet at vertical MB edges with step `t_i = v_i −
+    * v_{i−1} = 2·raw_i`; the §15.3 normal filter fires iff `2|t| +
+    * |t|/2 ≤ 3L + 4` (sharpness 0 ⇒ interior limit L, both sides flat
+    * ⇒ no high-edge-variance) and then moves each boundary column by
+    * the closed-form deltas `aⱼ = (54t+63)>>7, (36t+63)>>7,
+    * (18t+63)>>7`. A whole-image sum is filter-BLIND (the filter
+    * conserves p+q), so the probe weights each MB's row-0 sum by its
+    * index: `wsum = Σ_i (i+1)·rowsum0_i = Σ(i+1)·16·v_i − Σ_{i≥1}
+    * F(t_i)` with `F = a₁+a₂+a₃` — any filter slip (mask, limits,
+    * taps, rounding, application order) shifts it. Interior edges and
+    * chroma stay provably unchanged on flat content.
+    */
+  def q169Vp8LoopFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val k = (2 + id % 6).toInt
+        val level = (1 + id % 63).toInt
+        val mbs: Array[Vp8.StripMb] = Array.tabulate(k) { i =>
+          Vp8.DcMb(((((id + 13L * i) % 15) - 7) * 16).toInt)
+        }
+        val webp = Vp8.webpFromVp8(Vp8.encodeStrip(mbs, level))
+        val img = Webp.decodeWebp(webp).get
+        var wsum = 0L
+        var x = 0
+        while (x < img.width) {
+          wsum += (x / 16 + 1).toLong * (img.pixels(x * 3) & 0xff)
+          x += 1
+        }
+        (id, img.width.toLong, img.height.toLong, level.toLong, wsum)
+      })
+      .toDF("doc_id", "width", "height", "flevel", "wsum")
+      .orderBy(col("doc_id"))
+  }
 }

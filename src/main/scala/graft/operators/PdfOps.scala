@@ -275,13 +275,146 @@ object PdfOps {
     sb.toString
   }
 
-  /** Extract shown text from one decoded content stream per the line
-    * assembly rule in the scaladoc.
+  // ---------------------------------------------------------------- fonts
+
+  /** Adobe-Glyph-List subset for `/Differences` glyph names, plus the
+    * `uniXXXX` convention. A name outside this subset dead-letters the
+    * DOCUMENT with `unsupported-glyph` (declared boundary: silently
+    * guessing a glyph's Unicode would corrupt the text pipeline).
     */
-  private[graft] def contentText(content: String): String = {
+  private val Agl: Map[String, String] = Map(
+    "space" -> " ", "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+    "ccedilla" -> "ç", "adieresis" -> "ä", "odieresis" -> "ö",
+    "udieresis" -> "ü", "ntilde" -> "ñ", "Euro" -> "€", "emdash" -> "—",
+    "endash" -> "–", "bullet" -> "•", "quotedblleft" -> "“",
+    "quotedblright" -> "”", "quoteright" -> "’", "oslash" -> "ø",
+    "aring" -> "å", "eth" -> "ð", "thorn" -> "þ", "germandbls" -> "ß",
+    "Lslash" -> "Ł", "lslash" -> "ł", "OE" -> "Œ", "oe" -> "œ")
+
+  private def glyphToUnicode(name: String): Option[String] =
+    Agl.get(name).orElse {
+      if (name.startsWith("uni") && name.length == 7 &&
+        name.drop(3).forall(c => (c >= '0' && c <= '9') ||
+          (c >= 'A' && c <= 'F')))
+        Some(Integer.parseInt(name.substring(3), 16).toChar.toString)
+      else None
+    }
+
+  /** `/Differences [ code /name … ]` → byte-code → Unicode (RFC: ISO
+    * 32000 §9.6.6.3 — an integer sets the next code, each name consumes
+    * one). Left = typed dead-letter reason.
+    */
+  private[graft] def parseDifferences(enc: String): Either[String, Map[Int, String]] = {
+    val k = enc.indexOf("/Differences")
+    if (k < 0) return Right(Map.empty)
+    val open = enc.indexOf('[', k)
+    val close = if (open < 0) -1 else enc.indexOf(']', open)
+    if (open < 0 || close < 0) return Left("unsupported-encoding")
+    val out = Map.newBuilder[Int, String]
+    var code = -1
+    for (m <- """(\d+)|/([A-Za-z0-9.]+)""".r
+        .findAllMatchIn(enc.substring(open + 1, close))) {
+      if (m.group(1) != null) code = m.group(1).toInt
+      else {
+        if (code < 0 || code > 255) return Left("unsupported-encoding")
+        glyphToUnicode(m.group(2)) match {
+          case Some(s) => out += code -> s; code += 1
+          case None => return Left("unsupported-glyph")
+        }
+      }
+    }
+    Right(out.result())
+  }
+
+  /** `/ToUnicode` CMap walk: `bfchar` pairs and contiguous `bfrange`
+    * triples over SINGLE-BYTE codes (the simple-font shape). Declared
+    * dead-letters (`unsupported-cmap`): multi-byte source codes (CID
+    * fonts — a 2-byte codespace or wide `bf` source), the bfrange
+    * array-destination form, and malformed hex.
+    */
+  private[graft] def parseToUnicode(cmap: String): Either[String, Map[Int, String]] = {
+    val hexTok = """<([0-9A-Fa-f]+)>""".r
+    // codespace: any range endpoint wider than one byte is a CID font
+    var p = cmap.indexOf("begincodespacerange")
+    while (p >= 0) {
+      val e = cmap.indexOf("endcodespacerange", p)
+      if (e < 0) return Left("unsupported-cmap")
+      if (hexTok.findAllMatchIn(cmap.substring(p, e)).exists(_.group(1).length > 2))
+        return Left("unsupported-cmap")
+      p = cmap.indexOf("begincodespacerange", e)
+    }
+    val out = Map.newBuilder[Int, String]
+    def dstString(hx: String): Option[String] =
+      if (hx.length % 4 != 0 || hx.isEmpty) None
+      else Some(hx.grouped(4)
+        .map(u => Integer.parseInt(u, 16).toChar).mkString)
+    // bfchar sections
+    p = cmap.indexOf("beginbfchar")
+    while (p >= 0) {
+      val e = cmap.indexOf("endbfchar", p)
+      if (e < 0) return Left("unsupported-cmap")
+      val toks = hexTok.findAllMatchIn(cmap.substring(p, e)).map(_.group(1)).toSeq
+      if (toks.length % 2 != 0) return Left("unsupported-cmap")
+      for (Seq(src, dst) <- toks.grouped(2)) {
+        if (src.length != 2) return Left("unsupported-cmap")
+        dstString(dst) match {
+          case Some(s) => out += Integer.parseInt(src, 16) -> s
+          case None => return Left("unsupported-cmap")
+        }
+      }
+      p = cmap.indexOf("beginbfchar", e)
+    }
+    // bfrange sections (contiguous form only)
+    p = cmap.indexOf("beginbfrange")
+    while (p >= 0) {
+      val e = cmap.indexOf("endbfrange", p)
+      if (e < 0) return Left("unsupported-cmap")
+      val body = cmap.substring(p + "beginbfrange".length, e)
+      if (body.contains("[")) return Left("unsupported-cmap") // array dst
+      val toks = hexTok.findAllMatchIn(body).map(_.group(1)).toSeq
+      if (toks.length % 3 != 0) return Left("unsupported-cmap")
+      for (Seq(lo, hi, dst) <- toks.grouped(3)) {
+        if (lo.length != 2 || hi.length != 2 || dst.length != 4)
+          return Left("unsupported-cmap")
+        val l = Integer.parseInt(lo, 16); val h = Integer.parseInt(hi, 16)
+        val base = Integer.parseInt(dst, 16)
+        if (h < l || h - l > 255) return Left("unsupported-cmap")
+        var cdd = l
+        while (cdd <= h) { out += cdd -> (base + cdd - l).toChar.toString; cdd += 1 }
+      }
+      p = cmap.indexOf("beginbfrange", e)
+    }
+    Right(out.result())
+  }
+
+  /** Decode a shown string's BYTES (Latin-1 chars carry them 1:1)
+    * through the current font: mapped codes via `/ToUnicode` /
+    * `/Differences` (unmapped codes pass through as Latin-1); a font
+    * with no mapping at all keeps the pre-font behavior — the raw
+    * bytes re-decode as UTF-8.
+    */
+  private def decodeShown(raw: String, font: Option[Map[Int, String]]): String =
+    font match {
+      case Some(m) => raw.iterator.map(ch => m.getOrElse(ch.toInt, ch.toString)).mkString
+      case None =>
+        new String(raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+          java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  /** Extract shown text from one decoded content stream per the line
+    * assembly rule in the scaladoc. `content` is the stream's BYTES in
+    * the Latin-1 view (offsets = bytes); `fonts` maps resource names
+    * (`F1`) to byte→Unicode tables — the current font follows the
+    * `/Fx … Tf` selections.
+    */
+  private[graft] def contentText(
+      content: String,
+      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
     val sb = new StringBuilder
     var shown = false // text shown since last newline in this block
     var i = 0
+    var lastName = "" // most recent name token (the Tf operand)
+    var curFont: Option[Map[Int, String]] = None
     def newline(): Unit = if (shown) { sb.append('\n'); shown = false }
     def show(s: String): Unit = { sb.append(s); shown = s.nonEmpty || shown }
     while (i < content.length) {
@@ -311,8 +444,31 @@ object PdfOps {
               }
               // the operator after the string (or after the ] of a TJ
               // array) decides; a bare string inside [ ] shows directly
-              show(unescapePdfString(raw.toString))
+              show(decodeShown(unescapePdfString(raw.toString), curFont))
               p = q
+            case '<' if !content.startsWith("<<", p) =>
+              // hex string literal (odd final digit pads 0 per spec)
+              val close = content.indexOf('>', p)
+              if (close < 0) { p = content.length }
+              else {
+                val hx0 = content.substring(p + 1, close)
+                  .filterNot(c => c == ' ' || c == '\r' || c == '\n' || c == '\t')
+                val hx = if (hx0.length % 2 == 1) hx0 + "0" else hx0
+                if (hx.forall(c => (c >= '0' && c <= '9') ||
+                  (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+                  show(decodeShown(hx.grouped(2)
+                    .map(b => Integer.parseInt(b, 16).toChar).mkString, curFont))
+                p = close + 1
+              }
+            case '<' => p += 2 // inline dict: step over '<<'
+            case '/' =>
+              var q = p + 1
+              while (q < content.length && (content(q).isLetterOrDigit ||
+                content(q) == '.')) q += 1
+              lastName = content.substring(p + 1, q)
+              p = q
+            case 'T' if content.startsWith("Tf", p) =>
+              curFont = fonts.get(lastName); p += 2
             case 'E' if content.startsWith("ET", p) =>
               inBlock = false; p += 2
             case 'T' if content.startsWith("T*", p) =>
@@ -411,10 +567,63 @@ object PdfOps {
             if (kids.isEmpty) return PdfText(docId, "bad-structure", 0, 0, "")
             var nStreams = 0
             var bad = false
+            var fontError: Option[String] = None
+            // page /Resources → /Font → per-name byte→Unicode tables
+            // (each dict inline or indirect; typed dead-letters bubble)
+            def inlineDictOf(d: String, key: String): Option[String] = {
+              val k = d.indexOf("/" + key)
+              if (k < 0) None
+              else {
+                val open = d.indexOf("<<", k)
+                if (open < 0 || d.substring(k + key.length + 1, open).trim.nonEmpty)
+                  None
+                else dictFromString(d, open).map(_._1)
+              }
+            }
+            def subDict(d: String, key: String): Option[String] =
+              dictRef(d, key).flatMap(n => objDict(n).map(_._1))
+                .orElse(inlineDictOf(d, key))
+            def fontTable(num: Int): Either[String, Map[Int, String]] =
+              objDict(num) match {
+                case None => Left("bad-structure")
+                case Some((fd, _)) =>
+                  val diffs = subDict(fd, "Encoding") match {
+                    case None => Right(Map.empty[Int, String])
+                    case Some(e) => parseDifferences(e)
+                  }
+                  val toUni = dictRef(fd, "ToUnicode") match {
+                    case None => Right(Map.empty[Int, String])
+                    case Some(tn) =>
+                      offsets.get(tn).flatMap(o => dictAt(c, o))
+                        .flatMap { case (d, de) => streamPayload(c, d, de) } match {
+                        case None => Left("bad-stream")
+                        case Some(bytes) => parseToUnicode(new String(bytes,
+                          java.nio.charset.StandardCharsets.ISO_8859_1))
+                      }
+                  }
+                  // ToUnicode wins over /Differences per ISO 32000 §9.10.2
+                  for { dm <- diffs; um <- toUni } yield dm ++ um
+              }
+            def pageFonts(pgd: String): Map[String, Map[Int, String]] =
+              subDict(pgd, "Resources").flatMap(rd => subDict(rd, "Font")) match {
+                case None => Map.empty
+                case Some(fdict) =>
+                  """/(\w+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fdict)
+                    .filterNot(_.group(1) == "Font")
+                    .flatMap { m =>
+                      fontTable(m.group(2).toInt) match {
+                        case Right(t) => Some(m.group(1) -> t)
+                        case Left(reason) =>
+                          if (fontError.isEmpty) fontError = Some(reason)
+                          None
+                      }
+                    }.toMap
+              }
             val pageTexts = kids.flatMap { pg =>
               objDict(pg) match {
                 case None => bad = true; None
                 case Some((pgd, _)) =>
+                  val fonts = pageFonts(pgd)
                   dictRef(pgd, "Contents").flatMap(cn =>
                     offsets.get(cn).flatMap { co =>
                       dictAt(c, co).flatMap { case (sd, dictEnd) =>
@@ -448,13 +657,16 @@ object PdfOps {
                             else {
                               nStreams += 1
                               val flate = dictName(sd, "Filter").contains("FlateDecode")
+                              // Latin-1 view: string literals keep their
+                              // BYTES for the font decode; fonts without
+                              // a table re-decode them as UTF-8
                               val data: Option[String] =
-                                if (!flate) Some(c.utf8(ds, de.toInt))
+                                if (!flate) Some(c.s.substring(ds, de.toInt))
                                 else inflateZlib(c.b, ds, (de - ds).toInt)
                                   .map(new String(_,
-                                    java.nio.charset.StandardCharsets.UTF_8))
+                                    java.nio.charset.StandardCharsets.ISO_8859_1))
                               if (data.isEmpty) bad = true
-                              data.map(contentText)
+                              data.map(contentText(_, fonts))
                             }
                           case _ => bad = true; None
                         }
@@ -462,9 +674,13 @@ object PdfOps {
                     })
               }
             }
-            val status = if (bad) "bad-stream" else "ok"
-            PdfText(docId, status, kids.length, nStreams,
-              pageTexts.mkString("\n"))
+            fontError match {
+              case Some(reason) => PdfText(docId, reason, 0, 0, "")
+              case None =>
+                val status = if (bad) "bad-stream" else "ok"
+                PdfText(docId, status, kids.length, nStreams,
+                  pageTexts.mkString("\n"))
+            }
         }
     }
   }
@@ -475,11 +691,22 @@ object PdfOps {
   private[graft] def escapePdfString(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
+  /** The constant decoded form of the q136 font line: `/Differences`
+    * AGL names (é è € Ł), a `/ToUnicode` bfrange (Δ Ε Ζ Η), and a
+    * bfchar shown as a HEX string (❤) — the oracle replays it
+    * verbatim.
+    */
+  private[graft] val FontLine = "éè€Ł ΔΕΖΗ ❤"
+
   /** Deterministic two-page PDF: page 1 carries the title + body split
     * across `Tj` and a kerned `TJ` array inside a FLATE stream; page 2
     * is a PLAIN stream whose fixed line exercises every escape class
-    * (parens, backslash, octal). Encoder lives in main for corpus
-    * construction — the Jpeg/Gif/WARC precedent.
+    * (parens, backslash, octal) and then switches to font `/F2` —
+    * carrying `/Encoding /Differences` (AGL glyph names) and a
+    * `/ToUnicode` CMap (bfrange + bfchar, the bfchar shown as a hex
+    * string) — for a planted non-ASCII line the byte codes only
+    * decode correctly THROUGH the font tables. Encoder lives in main
+    * for corpus construction — the Jpeg/Gif/WARC precedent.
     */
   private[graft] def buildPdf(
       docId: Long, bodyA: String, bodyB1: String, bodyB2: String): Array[Byte] = {
@@ -488,7 +715,22 @@ object PdfOps {
       s"BT /F1 12 Tf 72 720 Td (Doc $docId) Tj T* (${escapePdfString(bodyA)}) Tj " +
         s"T* [(${escapePdfString(bodyB1)}) -250 (${escapePdfString(bodyB2)})] TJ ET"
     val content2 =
-      s"BT /F1 12 Tf 72 720 Td (Tail \\($docId\\) \\\\ \\101\\102 end) Tj ET"
+      s"BT /F1 12 Tf 72 720 Td (Tail \\($docId\\) \\\\ \\101\\102 end) Tj " +
+        "T* /F2 12 Tf (\\310\\311\\312\\313 \\322\\323\\324\\325 ) Tj <DC> Tj ET"
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<D2> <D5> <0394>
+        |endbfrange
+        |1 beginbfchar
+        |<DC> <2764>
+        |endbfchar
+        |endcmap
+        |""".stripMargin
     val deflated1 = {
       val d = new java.util.zip.Deflater()
       d.setInput(content1.getBytes(utf8)); d.finish()
@@ -514,11 +756,22 @@ object PdfOps {
       bos.write(deflated1)
       w("\nendstream\n")
     }
-    obj(5)(w("<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\n"))
+    obj(5)(w("<< /Type /Page /Parent 2 0 R /Contents 6 0 R " +
+      "/Resources << /Font << /F2 7 0 R >> >> >>\n"))
     obj(6) {
       val c2 = content2.getBytes(utf8)
       w(s"<< /Length ${c2.length} >>\nstream\n")
       bos.write(c2)
+      w("\nendstream\n")
+    }
+    obj(7)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding 8 0 R /ToUnicode 9 0 R >>\n"))
+    obj(8)(w("<< /Type /Encoding " +
+      "/Differences [200 /eacute /egrave /Euro /Lslash] >>\n"))
+    obj(9) {
+      val cm = cmap.getBytes(utf8)
+      w(s"<< /Length ${cm.length} >>\nstream\n")
+      bos.write(cm)
       w("\nendstream\n")
     }
     val xrefOff = bos.size()

@@ -19,7 +19,8 @@ class PdfOpsSpec extends AnyFunSuite {
     val out = PdfOps.extractPdf(7L, build(7L, "alpha beta", "gam", "ma delta"))
     assert(out.status == "ok")
     assert(out.n_pages == 2 && out.n_streams == 2)
-    assert(out.text == "Doc 7\nalpha beta\ngamma delta\nTail (7) \\ AB end")
+    assert(out.text ==
+      "Doc 7\nalpha beta\ngamma delta\nTail (7) \\ AB end\n" + PdfOps.FontLine)
   }
 
   test("string escapes: parens, backslash, octal, nesting") {
@@ -47,7 +48,7 @@ class PdfOpsSpec extends AnyFunSuite {
     val good = build(3L, "one two", "thr", "ee")
     val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
     // encrypted: plant /Encrypt in the trailer dict
-    val enc = s.replace("/Size 7", "/Size 7 /Encrypt 9 0 R")
+    val enc = s.replace("trailer << /Size", "trailer << /Encrypt 99 0 R /Size")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(PdfOps.extractPdf(3L, enc).status == "encrypted")
     assert(PdfOps.extractPdf(3L, "hello".getBytes).status == "not-pdf")
@@ -90,9 +91,9 @@ class PdfOpsSpec extends AnyFunSuite {
     assert(v15.status == "ok", s"1.5 walk: ${v15.status}")
     assert(v15.n_pages == 2 && v15.n_streams == 2)
     assert(v15.text == "Doc 9\none two three\nfour five\nXRef (9) \\ AB end")
-    // the 1.4 twin differs ONLY in the page-2 marker
+    // the 1.4 twin differs in the page-2 marker and carries the font line
     val v14 = PdfOps.extractPdf(9L, PdfOps.buildPdf(9L, "one two three", "fou", "r five"))
-    assert(v15.text.replace("XRef", "Tail") == v14.text)
+    assert(v15.text.replace("XRef", "Tail") + "\n" + PdfOps.FontLine == v14.text)
   }
 
   test("PDF 1.5 hostility: truncation fuzz never throws; a corrupt objstm is bad-structure") {
@@ -117,6 +118,59 @@ class PdfOpsSpec extends AnyFunSuite {
     assert(PdfOps.extractPdf(21L, flip2).status == "bad-xref")
   }
 
+  test("font tables: ToUnicode wins over Differences; unmapped codes pass " +
+    "through; CMap and Differences units") {
+    assert(PdfOps.parseDifferences("<< /Differences [200 /eacute /Euro] >>")
+      == Right(Map(200 -> "é", 201 -> "€")))
+    assert(PdfOps.parseDifferences("<< /Differences [65 /uni0141] >>")
+      == Right(Map(65 -> "Ł")))
+    assert(PdfOps.parseDifferences("<< /Differences [65 /notaglyphname] >>")
+      == Left("unsupported-glyph"))
+    assert(PdfOps.parseToUnicode(
+      "1 beginbfchar <41> <0042> endbfchar") == Right(Map(0x41 -> "B")))
+    assert(PdfOps.parseToUnicode(
+      "1 beginbfrange <41> <43> <0394> endbfrange")
+      == Right(Map(0x41 -> "Δ", 0x42 -> "Ε", 0x43 -> "Ζ")))
+    // surrogate-free multi-unit destinations concatenate
+    assert(PdfOps.parseToUnicode(
+      "1 beginbfchar <41> <00660066> endbfchar") == Right(Map(0x41 -> "ff")))
+    // CID shapes dead-letter typed
+    assert(PdfOps.parseToUnicode(
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange").isLeft)
+    assert(PdfOps.parseToUnicode(
+      "1 beginbfchar <4142> <0042> endbfchar") == Left("unsupported-cmap"))
+    assert(PdfOps.parseToUnicode(
+      "1 beginbfrange <41> <43> [<0041> <0042> <0043>] endbfrange")
+      == Left("unsupported-cmap"))
+  }
+
+  test("unsupported font shapes dead-letter the DOCUMENT typed, never garbage") {
+    val good = build(5L, "one two", "thr", "ee")
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // swap the CMap's 1-byte codespace for a CID 2-byte one (same length)
+    val cid = s.replace("<00> <FF>", "<0000FF> ") // same byte length
+    val r = PdfOps.extractPdf(5L, cid.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(r.status == "unsupported-cmap", r.status)
+    assert(r.text.isEmpty)
+    // unknown glyph name in /Differences (same byte length)
+    val glyph = s.replace("/eacute", "/eacutX")
+    val g = PdfOps.extractPdf(5L, glyph.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(g.status == "unsupported-glyph", g.status)
+  }
+
+  test("hex strings decode through the current font; '<<' never misreads") {
+    assert(PdfOps.contentText("BT <4142> Tj ET") == "AB")
+    assert(PdfOps.contentText("BT <414> Tj ET") == "A@") // odd digit pads 0
+    assert(PdfOps.contentText("BT (x) Tj <41 42> Tj ET") == "xAB")
+    assert(PdfOps.contentText(
+      "BT /F9 1 Tf <41> Tj ET", Map("F9" -> Map(0x41 -> "Ω"))) == "Ω")
+    // unmapped code under a mapped font passes through as Latin-1
+    assert(PdfOps.contentText(
+      "BT /F9 1 Tf <4142> Tj ET", Map("F9" -> Map(0x41 -> "Ω"))) == "ΩB")
+  }
+
   test("q136 on sf0.001: every document round-trips ok with the derived text sha") {
     import org.apache.spark.sql.functions._
     val rows = PdfOps.q136PdfExtract(spark, "/root/testdata/sf0.001").collect()
@@ -131,7 +185,8 @@ class PdfOpsSpec extends AnyFunSuite {
       val ws = texts(r.getLong(0)).split(" ")
       val na = (ws.length + 1) / 2
       val expect = s"Doc ${r.getLong(0)}\n" + ws.take(na).mkString(" ") + "\n" +
-        ws.drop(na).mkString(" ") + s"\nTail (${r.getLong(0)}) \\ AB end"
+        ws.drop(na).mkString(" ") + s"\nTail (${r.getLong(0)}) \\ AB end\n" +
+        PdfOps.FontLine
       assert(r.getString(4) == sha(expect), s"doc ${r.getLong(0)} sha mismatch")
     }
   }

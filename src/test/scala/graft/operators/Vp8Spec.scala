@@ -89,6 +89,61 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("B_PRED strip: TM sub-modes propagate rows, the (3,3) residual " +
+    "accumulates exactly (q168's closed form)") {
+    val v0 = 128 + 2 * 3
+    val ms = Array(2, -4, 0, 4, -1) // subblock-(3,3) residuals of MBs 1..5
+    val mbs: Array[Vp8.StripMb] =
+      Vp8.DcMb(3 * 16) +: ms.map(m => Vp8.BPredTmMb(2 * m): Vp8.StripMb)
+    val payload = Vp8.encodeStrip(mbs)
+    val frame = Vp8.decodeVp8(payload, 0, payload.length).get
+    assert(frame.width == 96 && frame.height == 16)
+    var s = 0
+    for (i <- mbs.indices) {
+      val sPrev = s
+      if (i >= 1) s += ms(i - 1)
+      for (yy <- 0 until 16; xx <- 0 until 16) {
+        val expect =
+          if (i == 0 || yy < 12) v0
+          else if (xx < 12) v0 + sPrev
+          else v0 + s
+        assert(frame.y(yy * 96 + i * 16 + xx) == expect, s"mb $i ($xx,$yy)")
+      }
+    }
+    assert(frame.u.forall(_ == 128) && frame.v.forall(_ == 128))
+  }
+
+  test("loop-filtered strip: mb-edge taps move boundary columns by the " +
+    "closed-form deltas; a step past the mask is preserved (q169's math)") {
+    // raw steps: small (filters), zero (no-op), large at low level
+    for (level <- Seq(5, 20, 63)) {
+      val raw = Array(0, 4, 0, -7, 7)
+      val mbs: Array[Vp8.StripMb] = raw.map(r => Vp8.DcMb(r * 16): Vp8.StripMb)
+      val payload = Vp8.encodeStrip(mbs, level)
+      val frame = Vp8.decodeVp8(payload, 0, payload.length).get
+      val vs = raw.scanLeft(128)((acc, r) => acc + 2 * r).tail
+      for (i <- 1 until raw.length) {
+        val t = vs(i) - vs(i - 1)
+        val masked = 2 * math.abs(t) + math.abs(t) / 2 <= 3 * level + 4
+        def d(m: Int) = if (masked) (m * t + 63) >> 7 else 0
+        val (a1, a2, a3) = (d(54), d(36), d(18))
+        for (yy <- 0 until 16) {
+          val base = yy * 80
+          assert(frame.y(base + i * 16) == vs(i) - a1, s"L$level mb$i q0 row$yy")
+          assert(frame.y(base + i * 16 + 1) == vs(i) - a2)
+          assert(frame.y(base + i * 16 + 2) == vs(i) - a3)
+          assert(frame.y(base + i * 16 - 1) == vs(i - 1) + a1)
+          assert(frame.y(base + i * 16 - 2) == vs(i - 1) + a2)
+          assert(frame.y(base + i * 16 - 3) == vs(i - 1) + a3)
+          // interior columns untouched
+          assert(frame.y(base + i * 16 + 7) == vs(i))
+        }
+      }
+      // chroma flat -> never filtered
+      assert(frame.u.forall(_ == 128) && frame.v.forall(_ == 128))
+    }
+  }
+
   test("token categories through CAT6 and both signs survive the round trip") {
     // |raw*16| hits literal(0), CAT3 (16..18? -> 16), CAT4 (32,48),
     // CAT5 (64), CAT6 (80..112) bases — the whole extra-bit ladder
