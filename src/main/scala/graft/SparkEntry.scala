@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -159,6 +159,7 @@ object SparkEntry {
     "q138_vp8_decode" -> (MultimodalOps.q138Vp8Decode(_, _)),
     "q139_warc_http_extract" -> (WarcOps.q139WarcHttpExtract(_, _)),
     "q168_vp8_bpred" -> (MultimodalOps.q168Vp8Bpred(_, _)),
+    "q170_langid" -> (LangIdOps.q170LangId(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2687,6 +2688,23 @@ object SparkEntry {
         |  (sum(v) * 256)::BIGINT AS sum_g,
         |  (sum(v) * 256)::BIGINT AS sum_r
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // language identification (q170): char-trigram hashed-NB over a
+    // constructed six-language corpus (four Latin-script languages
+    // plus Cyrillic and Greek, so scripts alone can't answer); trained
+    // on the doc_id%4!=1 split, predicted over ALL docs — the gate is
+    // exact agreement with the planted labels, held-out quarter
+    // included
+    "q170_langid" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'de' WHEN 1 THEN 'el'
+        |    WHEN 2 THEN 'en' WHEN 3 THEN 'es' WHEN 4 THEN 'fr'
+        |    ELSE 'ru' END AS true_lang,
+        |  CASE doc_id % 6 WHEN 0 THEN 'de' WHEN 1 THEN 'el'
+        |    WHEN 2 THEN 'en' WHEN 3 THEN 'es' WHEN 4 THEN 'fr'
+        |    ELSE 'ru' END AS pred_lang,
+        |  (doc_id % 4 != 1) AS is_train,
+        |  30::BIGINT AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // VP8 B_PRED decode (q168): the q138 strip with all-TM 4×4
     // macroblocks carrying one DC residual in subblock (3,3) — rows
     // 12-15 accumulate the m_i prefix sums, everything else stays v0;

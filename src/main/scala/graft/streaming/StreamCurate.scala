@@ -63,6 +63,14 @@ import org.apache.spark.sql.types.StructType
   * `low_lm_familiarity` tag. Bigram-less docs are rejected explicitly,
   * never silently lost.
   *
+  * OPTIONAL stage 1.75 — language-ID gate (`langModel` + `langAllow`):
+  * the q170 hashed-NB char-trigram classifier against a STANDING model
+  * (trained once, static for the query's life — the LM-gate
+  * discipline); a doc survives iff its predicted language is on the
+  * allow-list. Verdicts land in the `langDir` audit sink; rejects join
+  * the rejects sink tagged `lang_<pred>` (no-verdict docs reject as
+  * `lang_unknown`), so a multilingual crawl feed partitions auditably.
+  *
   * Replay discipline is inherited wholesale: the guard's marker protocol
   * gates its flags step, and the curated append re-READS the committed
   * flags for its own batch rather than recomputing them, so a replayed
@@ -100,6 +108,9 @@ object StreamCurate {
       bandBuckets: Int = StreamNearDup.DefaultBandBuckets,
       setsBuckets: Int = StreamNearDup.DefaultSetsBuckets,
       lmModel: Option[DataFrame] = None,
+      langModel: Option[DataFrame] = None,
+      langAllow: Seq[String] = Seq.empty,
+      langDir: String = "",
       minLmPerBigram: Long = 0L,
       lmDir: String = "",
       htmlCol: Option[String] = None,
@@ -110,11 +121,14 @@ object StreamCurate {
       minhashK, bands, rowsPerBand, bandBuckets, setsBuckets)
     require(lmModel.isEmpty || lmDir.nonEmpty,
       "an LM gate needs lmDir for its audit sink")
+    require(langModel.isEmpty || (langAllow.nonEmpty && langDir.nonEmpty),
+      "a language gate needs an allow-list and langDir for its audit sink")
     require(warcCol.isEmpty || (htmlCol.isDefined && warcRejectsDir.nonEmpty),
       "a WARC feed needs the HTML stage and a record dead-letter sink")
     // the reference model is STATIC for the life of the query (like the
     // eval set), so per-batch scoring is batch-local == global
     val lmCached = lmModel.map(_.persist())
+    val langCached = langModel.map(_.persist())
     val evalCached = evalSet.persist()
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(spark.read.parquet(sourceDir).schema))
@@ -203,6 +217,7 @@ object StreamCurate {
           .persist()
         val preQuality = stats.filter(!rules.map(_._2).reduce(_ || _))
         var lmVerdicts: Option[DataFrame] = None
+        var langVerdicts: Option[DataFrame] = None
         try {
           val ruleRejects = stats.filter(rules.map(_._2).reduce(_ || _))
             .withColumn("reason", concat_ws(",",
@@ -240,23 +255,49 @@ object StreamCurate {
                 .withColumn("reason", lit("low_lm_familiarity"))
               (preQuality.join(passIds, Seq("doc_id")), Some(failed))
           }
-          // ONE rejects append per batch (first-write-wins contract):
-          // rule rejects and LM rejects union into the same generation
-          val rejects = lmRejects match {
-            case None => ruleRejects
-            case Some(f) => ruleRejects.unionByName(f)
+          // 1.75 (optional): language-ID gate — the q170 hashed-NB
+          // trigram classifier against a STANDING model (trained once,
+          // static for the query's life, the LM-gate discipline); a doc
+          // survives iff its predicted language is in `langAllow`.
+          // Verdicts land in the langDir audit sink; rejects join the
+          // rejects sink tagged `lang_<pred>` (a doc yielding no verdict
+          // rejects as lang_unknown — never a silent loss).
+          val (gated, langRejects) = langCached match {
+            case None => (quality, None)
+            case Some(model) =>
+              val verdicts = graft.operators.LangIdOps
+                .predict(quality.select(col("doc_id"), col("text")), model)
+                .persist()
+              langVerdicts = Some(verdicts)
+              if (!verdicts.isEmpty)
+                CheckpointStream.appendDiffs(verdicts, langDir, batchId)
+              val withPred = quality.join(verdicts, Seq("doc_id"), "left")
+              val pass = withPred
+                .filter(col("pred_lang").isInCollection(langAllow))
+                .drop("pred_lang")
+              val rej = withPred
+                .filter(!coalesce(col("pred_lang").isInCollection(langAllow),
+                  lit(false)))
+                .withColumn("reason",
+                  concat(lit("lang_"), coalesce(col("pred_lang"), lit("unknown"))))
+                .drop("pred_lang")
+              (pass, Some(rej))
           }
+          // ONE rejects append per batch (first-write-wins contract):
+          // rule, LM, and language rejects union into the same generation
+          val rejects = (Seq(ruleRejects) ++ lmRejects ++ langRejects)
+            .reduce(_ unionByName _)
           if (!rejects.isEmpty)
             CheckpointStream.appendDiffs(rejects, rejectsDir, batchId)
           // 2. decontamination severity verdicts (all of them — the audit
           // trail carries the overlap fraction and band, q57's scoring),
           // survivors = within the configured tolerance
-          val verdicts = DedupOps.contaminationScore(quality, evalCached, shingleN)
+          val verdicts = DedupOps.contaminationScore(gated, evalCached, shingleN)
             .persist()
           try {
             if (!verdicts.isEmpty)
               CheckpointStream.appendDiffs(verdicts, decontamDir, batchId)
-            val clean = quality
+            val clean = gated
               .join(verdicts.filter(col("overlap_bp") <= maxOverlapBp)
                 .select("doc_id"), Seq("doc_id"))
               .persist()
@@ -286,6 +327,7 @@ object StreamCurate {
           } finally { verdicts.unpersist(); () }
         } finally {
           lmVerdicts.foreach(_.unpersist())
+          langVerdicts.foreach(_.unpersist())
           stats.unpersist(); ()
         }
       }
@@ -293,6 +335,6 @@ object StreamCurate {
       (if (availableNow) writer.trigger(Trigger.AvailableNow())
        else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
     QueryCaches.releaseOnTermination(spark, query,
-      lmCached.toSeq :+ evalCached)
+      lmCached.toSeq ++ langCached.toSeq :+ evalCached)
   }
 }

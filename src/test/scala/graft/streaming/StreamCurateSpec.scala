@@ -188,6 +188,70 @@ class StreamCurateSpec extends AnyFunSuite {
     assert(audited == batchScores, "streamed LM scores diverged from batch scoring")
   }
 
+  test("language gate: off-list langs rejected with lang_<pred> tag; " +
+    "drained verdicts == batch predict; allowed langs flow on") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scurate_lang_").toString
+    // q170's constructed six-language corpus; model trained on all of it
+    val corpus = graft.operators.LangIdOps
+      .syntheticLangText(Tables.documents(spark, sf))
+      .withColumn("lang", col("true_lang"))
+      .withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val model = graft.operators.LangIdOps
+      .trainModel(corpus.select(col("doc_id"), col("true_lang"), col("text")))
+      .persist()
+    val feed = corpus.drop("true_lang")
+    val maxId = feed.agg(max(col("doc_id"))).as[Long].head()
+    val half = maxId / 2
+    feed.filter(col("doc_id") <= half).coalesce(1).write.parquet(s"$base/feed/chunk=0")
+    feed.filter(col("doc_id") > half).coalesce(1).write.parquet(s"$base/feed/chunk=1")
+    val eval = Seq((maxId + 100L, "never shared anywhere")).toDF("doc_id", "text")
+
+    val q = StreamCurate.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/curated", s"$base/flags", s"$base/decontam", s"$base/rejects",
+      s"$base/index", eval,
+      langModel = Some(model), langAllow = Seq("en", "fr"),
+      langDir = s"$base/lang")
+    q.awaitTermination(180000L)
+    assert(!q.isActive)
+
+    // every non-en/fr doc is rejected with its predicted-language tag
+    val truth = corpus.select(col("doc_id"), col("true_lang"))
+      .as[(Long, String)].collect().toMap
+    val rejects = spark.read.parquet(s"$base/rejects")
+      .filter(col("reason").startsWith("lang_"))
+      .select(col("doc_id"), col("reason")).as[(Long, String)].collect()
+    assert(rejects.nonEmpty)
+    rejects.foreach { case (id, reason) =>
+      assert(reason == "lang_" + truth(id), s"doc $id tagged $reason")
+      assert(!Set("en", "fr").contains(truth(id)))
+    }
+    val curatedIds = spark.read.parquet(s"$base/curated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(curatedIds.nonEmpty)
+    curatedIds.foreach(id => assert(Set("en", "fr").contains(truth(id))))
+    // nothing lost: every corpus doc is either curated, a lang reject,
+    // another stage's reject, or a near-dup flag
+    val allRejects = spark.read.parquet(s"$base/rejects")
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = spark.read.parquet(s"$base/flags")
+      .select("doc_id").as[Long].collect().toSet
+    assert(truth.keySet.subsetOf(curatedIds ++ allRejects ++ flagged))
+
+    // drained audit verdicts == batch predict under the same model
+    val audited = spark.read.parquet(s"$base/lang")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    val batchPred = graft.operators.LangIdOps
+      .predict(corpus.select(col("doc_id"), col("text")), model)
+      .as[(Long, String)].collect().toMap
+    // the audit sink covers quality SURVIVORS (the gate runs after
+    // quality); each of its verdicts equals the batch prediction
+    assert(audited.nonEmpty)
+    audited.foreach { case (id, p) => assert(batchPred(id) == p, s"doc $id") }
+    model.unpersist()
+  }
+
   test("HTML front stage: markup extracts to text before curation; empty extracts are tagged rejects") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_scurate_html_").toString
