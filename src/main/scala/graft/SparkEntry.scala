@@ -160,6 +160,7 @@ object SparkEntry {
     "q139_warc_http_extract" -> (WarcOps.q139WarcHttpExtract(_, _)),
     "q168_vp8_bpred" -> (MultimodalOps.q168Vp8Bpred(_, _)),
     "q170_langid" -> (LangIdOps.q170LangId(_, _)),
+    "q171_mp4_neardup" -> (Mp4Ops.q171Mp4NearDup(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2688,6 +2689,39 @@ object SparkEntry {
         |  (sum(v) * 256)::BIGINT AS sum_g,
         |  (sum(v) * 256)::BIGINT AS sum_r
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // MP4 container near-dup (q171): real containers walk to their
+    // samples (stsc/stsz/stco + co64 on odd ids), each opaque sample
+    // signatures as a 16-bin byte histogram (decoder-free), and the
+    // q133 digest equi-join pairs same-group containers on their
+    // planted shared 5-sample run — same Σdf² bound
+    "q171_mp4_neardup" ->
+      """WITH v AS (SELECT doc_id AS vid, doc_id - doc_id % 21 AS grp,
+        |    (6 + doc_id % 5)::INT AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (SELECT vid, i,
+        |    CASE WHEN i < 5 THEN (grp*5 + 29*i) % 256
+        |      ELSE (vid*7 + 31*i) % 256 END AS c,
+        |    CASE WHEN i < 5 THEN (grp*9 + 47*i) % 256
+        |      ELSE (vid*11 + 53*i) % 256 END AS d,
+        |    CASE WHEN i < 5 THEN 24 + (grp + i) % 16
+        |      ELSE 24 + (vid + i) % 16 END AS l
+        |  FROM v, unnest(range(n)) t(i)),
+        |sg AS (SELECT vid, i, array_to_string(
+        |    list_transform(range(16), b ->
+        |      (CASE WHEN b = c // 16 THEN (l + 1) // 2 ELSE 0 END) +
+        |      (CASE WHEN b = d // 16 THEN l // 2 ELSE 0 END)), ':') AS sig
+        |  FROM smp),
+        |sq AS (SELECT vid, list(sig ORDER BY i) AS s FROM sg GROUP BY vid),
+        |sh AS (SELECT DISTINCT vid,
+        |    md5(array_to_string(s[(i + 1)::INT : (i + 3)::INT], '|')) AS sh
+        |  FROM sq, unnest(range(len(s) - 2)) t(i)),
+        |dfc AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1) q
+        |  WHERE df <= 32),
+        |r AS (SELECT s.vid, s.sh FROM sh s JOIN dfc USING (sh))
+        |SELECT a.vid AS vid_a, b.vid AS vid_b, count(*)::BIGINT AS n_shared
+        |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY vid_a, vid_b""".stripMargin,
     // language identification (q170): char-trigram hashed-NB over a
     // constructed six-language corpus (four Latin-script languages
     // plus Cyrillic and Greek, so scripts alone can't answer); trained

@@ -382,4 +382,74 @@ object Mp4Ops {
         sha2(hex(col("payload")), 256).as("payload_sha"))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------------------------ q171
+
+  /** MP4 near-dup corpus with PLANTED shared sample runs — the q133
+    * content-ID scheme lifted to the container modality: the
+    * `doc_id % 3 == 1` slice as real MP4s whose FIRST FIVE samples'
+    * bytes derive from the video's GROUP (`doc_id − doc_id % 21`) and
+    * the rest from the video itself (constant-fill samples, so each
+    * byte histogram is single-bin and pure arithmetic for the oracle);
+    * odd ids use `co64` wide offsets — a re-muxed container must dedup
+    * identically.
+    */
+  private[graft] def nearDupMp4s(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 1)
+      .repartition(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val grp = id - id % 21
+        val n = (6 + id % 5).toInt
+        // two-tone fills (alternating c/d bytes): the histogram carries
+        // a (bin(c), bin(d), length) triple per sample, so accidental
+        // cross-group runs of equal signatures — easy for single-tone
+        // fills in a 16-bin space — don't arise
+        val samples = (0 until n).map { i =>
+          val (c, d, l) =
+            if (i < 5) (((grp * 5 + 29L * i) % 256).toInt,
+              ((grp * 9 + 47L * i) % 256).toInt,
+              (24 + (grp + i) % 16).toInt)
+            else (((id * 7 + 31L * i) % 256).toInt,
+              ((id * 11 + 53L * i) % 256).toInt,
+              (24 + (id + i) % 16).toInt)
+          Array.tabulate[Byte](l)(j => if (j % 2 == 0) c.toByte else d.toByte)
+        }
+        (id, buildMp4From(samples, wideOffsets = id % 2 == 1))
+      })
+      .toDF("asset_id", "mp4")
+  }
+
+  /** Opaque-sample signatures: walk the REAL container (stsc/stsz/stco
+    * via `sampleSlices`), then the decoder-free fallback signature —
+    * a 16-bin byte histogram per sample (raw counts, ':'-joined).
+    * Undecodable containers contribute no rows (the q133 discipline).
+    */
+  private[graft] def mp4SampleSigs(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        sampleSlices(b).toSeq.flatten.zipWithIndex.map { case (s, i) =>
+          val hist = new Array[Long](16)
+          s.foreach(x => hist((x & 0xff) / 16) += 1)
+          (id, i.toLong, hist.mkString(":"))
+        }
+      })
+      .toDF("asset_id", "frame_idx", "sig")
+  }
+
+  /** q171: real video CONTAINERS through the near-dup machinery —
+    * MP4s walk to their samples, samples signature as byte histograms
+    * (no codec needed), and the q133 digest equi-join (same Σdf²
+    * bound) pairs same-group containers on their shared 5-sample run;
+    * every histogram, shingle digest, and pair count replayed by the
+    * oracle from the (doc_id, sample) arithmetic.
+    */
+  def q171Mp4NearDup(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.signatureNearDup(mp4SampleSigs(nearDupMp4s(spark, dir)))
+      .orderBy(col("vid_a"), col("vid_b"))
 }

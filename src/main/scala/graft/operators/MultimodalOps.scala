@@ -1370,10 +1370,22 @@ object MultimodalOps {
     */
   def videoNearDup(
       assetDf: DataFrame, k: Int = 3, dfCap: Long = 32L,
-      minShared: Long = 2L): DataFrame = {
-    val sigs = videoFrameFeatures(assetDf).toDF()
+      minShared: Long = 2L): DataFrame =
+    signatureNearDup(videoFrameFeatures(assetDf).toDF()
       .select(col("asset_id"), col("frame_idx"),
-        concat_ws(":", col("mean_b"), col("mean_g"), col("mean_r")).as("sig"))
+        concat_ws(":", col("mean_b"), col("mean_g"), col("mean_r")).as("sig")),
+      k, dfCap, minShared)
+
+  /** The digest equi-join core of the video/container near-dup family:
+    * per-asset ordered signature sequences shingle into k-consecutive
+    * digests, document frequencies cap the join (Σ_{df ≤ cap} df²,
+    * never all-pairs), assets sharing ≥ `minShared` digests pair.
+    * Shared by q133 (AVI frame means) and q171 (MP4 opaque-sample byte
+    * histograms) — any per-item signature plugs in.
+    */
+  def signatureNearDup(
+      sigs: DataFrame, k: Int = 3, dfCap: Long = 32L,
+      minShared: Long = 2L): DataFrame = {
     val sh = sigs.groupBy(col("asset_id"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(frame_idx, sig))), x -> x.sig)")

@@ -96,6 +96,29 @@ class Mp4OpsSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 2L && pairs((2L, 3L)) == 2L)
   }
 
+  test("q171 on sf0.001: same-group containers pair on the planted 5-sample " +
+    "run; stco/co64 forms dedup identically") {
+    import spark.implicits._
+    val pairs = Mp4Ops.q171Mp4NearDup(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, n) =>
+      assert(a - a % 21 == b - b % 21, s"cross-group pair ($a,$b)")
+      assert(n >= 2L)
+      assert(a % 3 == 1 && b % 3 == 1)
+    }
+    // every group with >= 2 members pairs completely on the shared run
+    // (3 shingles at k=3 over samples 0-4) — and groups MIX stco (even
+    // id) and co64 (odd id) members, so the pairing proves offset-form
+    // independence
+    val byGroup = pairs.groupBy(t => t._1 - t._1 % 21)
+    assert(byGroup.values.exists(_.exists(t => t._1 % 2 != t._2 % 2)),
+      "at least one pair must mix stco and co64 members")
+    byGroup.foreach { case (_, ps) =>
+      assert(ps.forall(_._3 == 3L), s"shared-run pairs must carry 3 shingles: $ps")
+    }
+  }
+
   test("q137 on sf0.001: every document walks ok with the arithmetic geometry") {
     val rows = Mp4Ops.q137Mp4Extract(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
