@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import graft.operators.{FeedOps, FrontierOps, SitemapOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** The streaming frontier: config files (robots/sitemaps/feeds) parsed
+  * by the real q141/q145/q149 parsers into standing dimensions, a
+  * rank-banded discovery feed drained across micro-batches, and the
+  * drained schedule compared row-for-row against batch q154 — the
+  * per-host state must carry crawl ranks and fetch waves over batch
+  * boundaries exactly.
+  */
+class StreamFrontierSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("drained schedule == batch q154; per-host ranks survive batch " +
+    "boundaries; unknown URLs dead-letter") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sfrontier_").toString
+
+    // ---- config dir: per-host robots + sitemap tree + feed, written
+    // as FILES and parsed back by the lane's real parsers
+    val docIds = Tables.documents(spark, sf).select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    Files.createDirectories(Paths.get(s"$base/config"))
+    for (h <- 0L until 8L) {
+      val ids = docIds.filter(_ % 8 == h)
+      Files.write(Paths.get(s"$base/config/robots_h$h.txt"),
+        FrontierOps.schedulerRobots(h).getBytes("UTF-8"))
+      SitemapOps.buildHostSitemaps(h, ids).foreach { case (name, bytes) =>
+        Files.write(Paths.get(s"$base/config/sitemap_h${h}_$name"), bytes)
+      }
+      Files.write(Paths.get(s"$base/config/feed_h$h.xml"),
+        FeedOps.buildFeed(s"h$h.example.test", h, ids).getBytes("UTF-8"))
+    }
+
+    // ---- feed: three chunks banded by the BATCH schedule's per-host
+    // rank (the lane's online contract: per-host arrival order must
+    // match rank order), plus one unknown URL for the dead-letter path
+    val batchRows = FrontierOps.q154FrontierSchedule(spark, sf).collect()
+    val rankOf = batchRows.map(r => r.getLong(0) -> r.getLong(8)).toMap
+    def chunkOf(id: Long): Int = {
+      val r = rankOf(id)
+      if (r < 0) (id % 3).toInt // disallowed: any order
+      else if (r <= 20) 0
+      else if (r <= 40) 1
+      else 2
+    }
+    val bogus = docIds.max + 999
+    for (c <- 0 to 2) {
+      val ids = docIds.filter(chunkOf(_) == c) ++
+        (if (c == 1) Seq(bogus) else Nil)
+      ids.toDF("doc_id").coalesce(1)
+        .write.parquet(s"$base/feed/chunk=$c")
+    }
+
+    val q = StreamFrontier.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/schedule", s"$base/state", s"$base/rejects", s"$base/config")
+    q.awaitTermination(180000L)
+    assert(!q.isActive)
+
+    // ---- drained == batch, every column
+    val cols = Seq("doc_id", "host", "path", "allowed", "rule",
+      "lastmod_day", "priority_tenths", "fresh_lag", "crawl_rank",
+      "fetch_wave")
+    val drained = spark.read.parquet(s"$base/schedule")
+      .select(cols.map(col): _*).orderBy("doc_id").collect().map(_.toSeq)
+    val batch = FrontierOps.q154FrontierSchedule(spark, sf)
+      .select(cols.map(col): _*).orderBy("doc_id").collect().map(_.toSeq)
+    assert(drained.length == batch.length,
+      s"${drained.length} vs ${batch.length}")
+    drained.zip(batch).foreach { case (d, b) => assert(d == b, s"$d != $b") }
+    // cross-batch continuity actually exercised: chunk 1+ carried ranks
+    assert(batchRows.exists(r => r.getLong(8) > 20),
+      "the corpus must produce ranks past the first band")
+
+    // ---- the bogus URL dead-lettered typed
+    val rejects = spark.read.parquet(s"$base/rejects")
+      .select("doc_id", "reason").as[(Long, String)].collect()
+    assert(rejects.toSeq == Seq((bogus, "unknown_url")))
+
+    // ---- state generations exist per batch (replay anchor)
+    assert(Files.exists(Paths.get(s"$base/state/batch_id=2")))
+  }
+}
