@@ -161,6 +161,7 @@ object SparkEntry {
     "q168_vp8_bpred" -> (MultimodalOps.q168Vp8Bpred(_, _)),
     "q170_langid" -> (LangIdOps.q170LangId(_, _)),
     "q171_mp4_neardup" -> (Mp4Ops.q171Mp4NearDup(_, _)),
+    "q172_cdx_fetch" -> (CdxOps.q172CdxFetch(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -1988,6 +1989,19 @@ object SparkEntry {
     // (doc_id, text) with the marker block appended — the member
     // inflate itself collapses out (encode->decode discipline)
     "q135_warc_gz_extract" -> (htmlExtractCtes(
+      " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
+        "' || doc_id || '</p>'") +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
+    // CDX selective access (q172): index the q135 gzip-member archives
+    // (compressed member extents), then reconstruct EVERY document by
+    // range-reading its record through fetchRecordGz — no full-archive
+    // walk on the extraction path. Contract == q135: a one-byte extent
+    // slip fails the member inflate and changes rows.
+    "q172_cdx_fetch" -> (htmlExtractCtes(
       " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
         "' || doc_id || '</p>'") +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,

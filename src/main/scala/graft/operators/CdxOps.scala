@@ -178,4 +178,64 @@ object CdxOps {
         col("digest"), col("offset"), col("length"), col("filename"))
       .orderBy(col("filename"), col("offset"))
   }
+
+  // ------------------------------------------------- selective access (q172)
+
+  /** CDX rows for a PRODUCTION gzip-member archive: one record per
+    * member, `offset`/`length` the member's COMPRESSED extent — the
+    * numbers a replayer range-reads, which is the actual 100 TB access
+    * pattern (fetch one record out of a petabyte corpus without
+    * walking any archive). A member whose inflated payload isn't a
+    * single well-formed response record indexes nothing (the walk's
+    * error-as-value grain).
+    */
+  private[graft] def cdxRecordsGz(
+      filename: String, bytes: Array[Byte]): Seq[CdxRow] =
+    WarcOps.gunzipMemberExtents(bytes).flatMap { case (off, len, rec) =>
+      cdxRecords(filename, rec).headOption
+        .map(_.copy(offset = off, length = len))
+    }
+
+  /** Range-read ONE record by its CDX extent: slice `[offset,
+    * offset+length)`, inflate the single member, parse the single
+    * response record. None on any lie — extent out of range, slice
+    * not exactly one member, or a malformed record — never garbage.
+    */
+  private[graft] def fetchRecordGz(
+      archive: Array[Byte], offset: Long, length: Long
+  ): Option[(String, Int, String, String, String)] = {
+    if (offset < 0 || length <= 0 || offset + length > archive.length)
+      return None
+    val slice = java.util.Arrays.copyOfRange(
+      archive, offset.toInt, (offset + length).toInt)
+    val members = WarcOps.gunzipMembers(slice)
+    if (members.length != 1) None
+    else WarcOps.parseWarc(members.head) match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+  }
+
+  /** q172: CDX-driven SELECTIVE record access end to end — index the
+    * q135 production-shape gzip-member archives (compressed member
+    * extents), then reconstruct every document by RANGE-READING its
+    * record through `fetchRecordGz` — no full-archive walk on the
+    * extraction path — and extract via the q128 chain. The output
+    * contract (and oracle) is exactly q135's: if any extent is off by
+    * a byte, the member inflate fails or desyncs and rows change.
+    */
+  def q172CdxFetch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = WarcOps.syntheticWarcGz(Tables.documents(spark, dir))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (gid, warc) =>
+        cdxRecordsGz(s"crawl_$gid.warc", warc).flatMap { row =>
+          fetchRecordGz(warc, row.offset, row.length)
+            .map { case (uri, st, body, enc, cs) =>
+              WarcOps.WarcHttpRecord(gid, uri, st, body, enc, cs)
+            }
+        }
+      })
+    WarcOps.extractToDocs(recs.toDF())
+  }
 }

@@ -307,9 +307,19 @@ object WarcOps {
     * ISIZE mismatch, size bomb) drops and the walk RESYNCS at the next
     * `1f 8b 08` magic — the intact members around it all survive.
     */
-  private[graft] def gunzipMembers(bytes: Array[Byte]): Seq[Array[Byte]] = {
+  private[graft] def gunzipMembers(bytes: Array[Byte]): Seq[Array[Byte]] =
+    gunzipMemberExtents(bytes).map(_._3)
+
+  /** Member-at-a-time inflate that also reports each member's BYTE
+    * EXTENT `(offset, compressedLength)` in the archive — the numbers
+    * a CDX index records so a replayer can range-read one member
+    * without walking the file (the production selective-access
+    * pattern).
+    */
+  private[graft] def gunzipMemberExtents(
+      bytes: Array[Byte]): Seq[(Long, Long, Array[Byte])] = {
     val n = bytes.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
     def nextMagic(from: Int): Int = {
       var i = math.max(from, 0)
       while (i + 3 <= n && !(bytes(i) == 0x1f.toByte &&
@@ -361,7 +371,10 @@ object WarcOps {
             // corrupted stream that still "finished" may have consumed
             // into the NEXT member's bytes
             p = nextMagic(q)
-          else { out += bos.toByteArray; p = end + 8 }
+          else {
+            out += ((p.toLong, (end + 8 - p).toLong, bos.toByteArray))
+            p = end + 8
+          }
         }
       } finally inf.end()
     }
@@ -406,8 +419,13 @@ object WarcOps {
     val http = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), col("html"))
     val uri = concat(lit("https://example.test/doc/"), col("doc_id").cast("string"))
+    // WARC-Date from the q146 arithmetic: extraction ignores it, but the
+    // CDX indexers (q146's gz sibling, q172) need a capture timestamp
+    val date = format_string("2026-%02d-%02dT%02d:00:00Z",
+      col("doc_id") % 12 + 1, col("doc_id") % 28 + 1, col("doc_id") % 24)
     concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
       lit("\r\nContent-Length: "), octet_length(http).cast("string"),
       lit("\r\n\r\n"), http, lit("\r\n\r\n"))
   }
@@ -629,7 +647,7 @@ object WarcOps {
   /** Shared record → (doc_id, url, status, n_blocks, text_sha)
     * projection of q128/q135.
     */
-  private def extractToDocs(recs: DataFrame): DataFrame =
+  private[graft] def extractToDocs(recs: DataFrame): DataFrame =
     recs
       .select(
         regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),

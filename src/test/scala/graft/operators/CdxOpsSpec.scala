@@ -48,6 +48,47 @@ class CdxOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip-member extents: range reads recover every record exactly; " +
+    "lying extents dead-letter, never garbage") {
+    val recs = Seq(
+      record("https://a.test/1", "2026-03-05T07:00:00Z", "body one"),
+      record("https://a.test/2", "2026-03-05T08:30:15Z", "naïve café body"),
+      record("https://a.test/3", "2026-03-05T09:00:00Z", "third"))
+    val archive = WarcOps.gzipMembers(recs)
+    val rows = CdxOps.cdxRecordsGz("f.warc.gz", archive)
+    assert(rows.length == 3)
+    // extents tile the archive exactly (one member per record)
+    assert(rows.head.offset == 0)
+    assert(rows.map(r => r.offset + r.length).max == archive.length)
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.offset + a.length == b.offset, "members must tile")
+    }
+    // selective access == the full walk, record for record
+    val full = WarcOps.parseWarcAuto(archive)
+    rows.zip(full).foreach { case (row, expect) =>
+      val got = CdxOps.fetchRecordGz(archive, row.offset, row.length)
+      assert(got.contains(expect), s"range read diverged at ${row.offset}")
+    }
+    // lies: shifted offset, short length, out of range — all None
+    assert(CdxOps.fetchRecordGz(archive, rows(1).offset + 1, rows(1).length).isEmpty)
+    assert(CdxOps.fetchRecordGz(archive, rows(1).offset, rows(1).length - 3).isEmpty)
+    assert(CdxOps.fetchRecordGz(archive, archive.length - 2L, 10L).isEmpty)
+    // a slice spanning TWO members is not a record address
+    assert(CdxOps.fetchRecordGz(archive, rows(0).offset,
+      rows(0).length + rows(1).length).isEmpty)
+  }
+
+  test("q172 on sf0.001: every document reconstructs through range reads " +
+    "only, matching the full-walk q135 output") {
+    val spark = graft.SparkTestSession.spark
+    val viaFetch = CdxOps.q172CdxFetch(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq)
+    val viaWalk = WarcOps.q135WarcGzExtract(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq)
+    assert(viaFetch.nonEmpty && viaFetch.length == viaWalk.length)
+    viaFetch.zip(viaWalk).foreach { case (f, w) => assert(f == w) }
+  }
+
   test("non-response records are skipped but still advance the walk") {
     val req = record("https://a.test/1", "2026-01-01T00:00:00Z", "q", warcType = "request")
     val resp = record("https://a.test/2", "2026-01-01T00:00:00Z", "r")
