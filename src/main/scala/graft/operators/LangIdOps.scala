@@ -95,7 +95,10 @@ object LangIdOps {
 
   /** Train the 6×`NBuckets` smoothed log-prob model on `train` rows
     * (`true_lang`, `text`): one model-sized group-by, then per-lang
-    * totals join; every bucket present for every language (Laplace).
+    * totals join; every bucket present for every language (Laplace —
+    * the `langs × buckets` cross is the one DOCUMENTED non-equi join,
+    * bounded at 6×`NBuckets` rows regardless of corpus size and
+    * plan-pinned in Round16PlanSpec).
     */
   private[graft] def trainModel(train: DataFrame): DataFrame = {
     val spark = train.sparkSession

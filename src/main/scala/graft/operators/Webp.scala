@@ -541,9 +541,12 @@ object Webp {
     * `VP8 ` (lossy key frame) through `Vp8.decodeVp8` with 4:2:0
     * chroma upsampled by sample replication and the SAME integer JFIF
     * YCbCr→RGB the JPEG decoder uses (one converter contract across
-    * codecs — neutral chroma is exactly grayscale). Shapes outside
-    * `Vp8`'s declared support boundary still dead-letter with None
-    * (the D15 discipline).
+    * codecs — neutral chroma is exactly grayscale). As of round 16 the
+    * lossy path carries the full key-frame feature set (real RFC 6386
+    * tables, segmentation, B_PRED, loop filter, multiple token
+    * partitions — conformance-proven against the reference codec's own
+    * fixtures); interframes and malformed streams still dead-letter
+    * with None (the D15 discipline).
     */
   def decodeWebp(b: Array[Byte]): Option[BmpImage] =
     try {

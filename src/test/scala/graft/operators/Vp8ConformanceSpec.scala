@@ -10,8 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * tables and algorithms against an independent implementation — the
   * opposite of self-consistency. The set spans: flat / gradient /
   * noise / block / sharp-edge content, qualities 40–90, segmentation
-  * on and off, loop-filter levels 4–45, B_PRED-heavy frames, odd
-  * (non-multiple-of-16) dimensions, and a multi-MB-row frame.
+  * on and off, loop-filter levels 4–55, B_PRED-heavy frames, odd
+  * (non-multiple-of-16) dimensions, multi-MB-row frames, and a
+  * FOUR-token-partition stream (fix9, via the advanced encoder API at
+  * method 0 — the token-buffer methods always emit one partition).
   */
 class Vp8ConformanceSpec extends AnyFunSuite {
 

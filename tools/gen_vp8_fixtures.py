@@ -211,8 +211,115 @@ def gen_fixtures():
     open(os.path.join(OUT, "manifest.txt"), "w").write("\n".join(manifest) + "\n")
 
 
+def gen_multipart():
+    """fix9: a MULTI-TOKEN-PARTITION stream via the advanced encoder API
+    (config.partitions=2 -> 4 partitions; honored only at method=0 —
+    the token-buffer methods always emit one partition). The ctypes
+    WebPPicture layout is sufficient for encode but not for
+    WebPPictureFree, so this helper never frees (one-shot process).
+    """
+    lib = ctypes.CDLL(LIB)
+    ABI = 0x020f
+
+    class WebPConfig(ctypes.Structure):
+        _fields_ = [
+            ("lossless", ctypes.c_int), ("quality", ctypes.c_float),
+            ("method", ctypes.c_int), ("image_hint", ctypes.c_int),
+            ("target_size", ctypes.c_int), ("target_PSNR", ctypes.c_float),
+            ("segments", ctypes.c_int), ("sns_strength", ctypes.c_int),
+            ("filter_strength", ctypes.c_int), ("filter_sharpness", ctypes.c_int),
+            ("filter_type", ctypes.c_int), ("autofilter", ctypes.c_int),
+            ("alpha_compression", ctypes.c_int), ("alpha_filtering", ctypes.c_int),
+            ("alpha_quality", ctypes.c_int), ("pass_", ctypes.c_int),
+            ("show_compressed", ctypes.c_int), ("preprocessing", ctypes.c_int),
+            ("partitions", ctypes.c_int), ("partition_limit", ctypes.c_int),
+            ("emulate_jpeg_size", ctypes.c_int), ("thread_level", ctypes.c_int),
+            ("low_memory", ctypes.c_int), ("near_lossless", ctypes.c_int),
+            ("exact", ctypes.c_int), ("use_delta_palette", ctypes.c_int),
+            ("use_sharp_yuv", ctypes.c_int), ("qmin", ctypes.c_int),
+            ("qmax", ctypes.c_int)]
+
+    WriterFunc = ctypes.CFUNCTYPE(
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.c_void_p)
+
+    class WebPPicture(ctypes.Structure):
+        _fields_ = [
+            ("use_argb", ctypes.c_int), ("colorspace", ctypes.c_int),
+            ("width", ctypes.c_int), ("height", ctypes.c_int),
+            ("y", ctypes.c_void_p), ("u", ctypes.c_void_p), ("v", ctypes.c_void_p),
+            ("y_stride", ctypes.c_int), ("uv_stride", ctypes.c_int),
+            ("a", ctypes.c_void_p), ("a_stride", ctypes.c_int),
+            ("pad1", ctypes.c_uint32 * 2),
+            ("argb", ctypes.c_void_p), ("argb_stride", ctypes.c_int),
+            ("pad2", ctypes.c_uint32 * 3),
+            ("writer", WriterFunc), ("custom_ptr", ctypes.c_void_p),
+            ("extra_info_type", ctypes.c_int), ("extra_info", ctypes.c_void_p),
+            ("stats", ctypes.c_void_p), ("error_code", ctypes.c_int),
+            ("progress_hook", ctypes.c_void_p), ("user_data", ctypes.c_void_p),
+            ("pad3", ctypes.c_uint32 * 3),
+            ("pad4", ctypes.c_void_p), ("pad5", ctypes.c_void_p),
+            ("pad6", ctypes.c_uint32 * 8)]
+
+    cfg = WebPConfig()
+    assert lib.WebPConfigInitInternal(
+        ctypes.byref(cfg), 0, ctypes.c_float(60.0), ABI)
+    cfg.partitions = 2
+    cfg.method = 0
+    cfg.filter_strength = 35
+    pic = WebPPicture()
+    assert lib.WebPPictureInitInternal(ctypes.byref(pic), ABI)
+    w, h = 96, 80
+    pic.width, pic.height = w, h
+    pic.use_argb = 0
+
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (s * 1103515245 + 12345) & 0x7fffffff
+            yield (s >> 16) & 0xff
+
+    g = lcg(42)
+    rgb = bytes(((x * 3) // 2 + (y * 2)) % 256
+                if (x // 16 + y // 16) % 2 == 0 else next(g)
+                for y in range(h) for x in range(w) for _ in range(3))
+    assert lib.WebPPictureImportRGB(ctypes.byref(pic), rgb, w * 3)
+    out = bytearray()
+    cb = WriterFunc(lambda d, s, _: (out.extend(ctypes.string_at(d, s)), 1)[1])
+    pic.writer = cb
+    assert lib.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic))
+    webp = bytes(out)
+    dw, dh = ctypes.c_int(), ctypes.c_int()
+    pu, pv = ctypes.POINTER(ctypes.c_uint8)(), ctypes.POINTER(ctypes.c_uint8)()
+    st, uvst = ctypes.c_int(), ctypes.c_int()
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    py = lib.WebPDecodeYUV(webp, ctypes.c_size_t(len(webp)),
+                           ctypes.byref(dw), ctypes.byref(dh),
+                           ctypes.byref(pu), ctypes.byref(pv),
+                           ctypes.byref(st), ctypes.byref(uvst))
+    assert py and dw.value == w and dh.value == h
+    uw, uh = (w + 1) // 2, (h + 1) // 2
+    ybuf = bytearray()
+    for r in range(h):
+        ybuf += bytes(py[r * st.value + c] for c in range(w))
+    for r in range(uh):
+        ybuf += bytes(pu[r * uvst.value + c] for c in range(uw))
+    for r in range(uh):
+        ybuf += bytes(pv[r * uvst.value + c] for c in range(uw))
+    name = "fix9_multipart96x80_q60"
+    open(os.path.join(OUT, name + ".webp"), "wb").write(webp)
+    open(os.path.join(OUT, name + ".yuv"), "wb").write(bytes(ybuf))
+    man = open(os.path.join(OUT, "manifest.txt")).read().rstrip("\n")
+    if "fix9" not in man:
+        open(os.path.join(OUT, "manifest.txt"), "w").write(
+            man + f"\n{name},{w},{h}\n")
+    print(f"{name}: {len(webp)} bytes webp")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "tables":
         emit_tables()
+    elif len(sys.argv) > 1 and sys.argv[1] == "multipart":
+        gen_multipart()
     else:
         gen_fixtures()
