@@ -162,6 +162,7 @@ object SparkEntry {
     "q170_langid" -> (LangIdOps.q170LangId(_, _)),
     "q171_mp4_neardup" -> (Mp4Ops.q171Mp4NearDup(_, _)),
     "q172_cdx_fetch" -> (CdxOps.q172CdxFetch(_, _)),
+    "q173_warc_meta_charset" -> (WarcOps.q173WarcMetaCharset(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -1993,6 +1994,23 @@ object SparkEntry {
         "' || doc_id || '</p>'") +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
+    // HTML5 charset sniffing (q173): header-unlabeled bodies whose
+    // encoding only the meta prescan or the UTF-8 BOM reveals — the
+    // real-crawl norm; the BOM must also be STRIPPED or the first
+    // block's sha shifts by a U+FEFF
+    "q173_warc_meta_charset" -> (htmlExtractCtes(
+      " ||\n    '<p>' || CASE doc_id % 4\n" +
+        "      WHEN 0 THEN 'Meta € équipe fin'\n" +
+        "      WHEN 1 THEN 'Equiv café è fin'\n" +
+        "      WHEN 2 THEN 'BOM naïve — fin'\n" +
+        "      ELSE 'Default plain fin' END || ' ' || doc_id || '</p>'") +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  CASE doc_id % 4 WHEN 0 THEN 'windows-1252'
+        |    WHEN 1 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),

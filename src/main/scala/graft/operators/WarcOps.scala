@@ -109,7 +109,7 @@ object WarcOps {
           else -1
           var chunked = false
           var contentCoding = ""
-          var charset = "utf-8"
+          var charset = "" // header label; empty → BOM/meta sniff
           // an empty header section means hdrEnd == eol
           payload.substring(math.min(eol + 2, hdrEnd), hdrEnd).split("\r\n").foreach { h =>
             val c = h.indexOf(':')
@@ -135,27 +135,29 @@ object WarcOps {
             .filter(c => c.nonEmpty && c != "identity").toSeq
           val unsupportedCoding = codings.find(c =>
             c != "gzip" && c != "x-gzip" && c != "deflate")
-          // declared charset support: the three encodings that cover
-          // the overwhelming majority of labeled web text; anything
-          // else decodes as UTF-8, the web default (deterministic —
-          // Java decoding substitutes replacement chars, never throws)
-          val cs = charset match {
-            case "iso-8859-1" | "latin-1" | "latin1" =>
-              java.nio.charset.StandardCharsets.ISO_8859_1
-            case "windows-1252" | "cp1252" =>
-              java.nio.charset.Charset.forName("windows-1252")
-            case "us-ascii" => java.nio.charset.StandardCharsets.US_ASCII
-            case _ => java.nio.charset.StandardCharsets.UTF_8
-          }
           if (status > 0) {
             val bodyOff = p0 + hdrEnd + 4
             val bodyEnd = p0 + clen.toInt
-            val decoded: Option[(String, String)] =
+            // decode the (de-coded) body bytes per the charset
+            // precedence of the WHATWG Encoding sniff: a UTF-8 BOM
+            // wins (and is stripped), then the HTTP header label, then
+            // an HTML meta prescan, then the UTF-8 web default.
+            // Returns (text, effective label).
+            def decodeBody(d: Array[Byte]): (String, String) =
+              if (d.length >= 3 && d(0) == 0xef.toByte &&
+                d(1) == 0xbb.toByte && d(2) == 0xbf.toByte)
+                (new String(d, 3, d.length - 3,
+                  java.nio.charset.StandardCharsets.UTF_8), "utf-8")
+              else {
+                val label =
+                  if (charset.nonEmpty) charset
+                  else sniffMetaCharset(d).getOrElse("utf-8")
+                (new String(d, charsetOf(label)), label)
+              }
+            val decoded: Option[(String, String, String)] =
               if (unsupportedCoding.isDefined)
-                Some(("unsupported:" + unsupportedCoding.get, ""))
-              else if (!chunked && codings.isEmpty)
-                Some(("identity",
-                  new String(bytes, bodyOff, bodyEnd - bodyOff, cs)))
+                Some(("unsupported:" + unsupportedCoding.get, "",
+                  if (charset.isEmpty) "utf-8" else charset))
               else {
                 val deChunked: Option[Array[Byte]] =
                   if (chunked) dechunk(bytes, bodyOff, bodyEnd)
@@ -171,11 +173,16 @@ object WarcOps {
                     }
                   }
                 }
-                val enc = (if (chunked) Seq("chunked") else Nil) ++ codings
-                plain.map(b => (enc.mkString(","), new String(b, cs)))
+                val enc =
+                  if (!chunked && codings.isEmpty) Seq("identity")
+                  else (if (chunked) Seq("chunked") else Nil) ++ codings
+                plain.map { b =>
+                  val (text, label) = decodeBody(b)
+                  (enc.mkString(","), text, label)
+                }
               }
-            decoded.foreach { case (enc, body) =>
-              out += ((uri, status, body, enc, charset))
+            decoded.foreach { case (enc, body, label) =>
+              out += ((uri, status, body, enc, label))
             }
           }
         }
@@ -189,6 +196,37 @@ object WarcOps {
     * the walk continues at the next member.
     */
   private val MaxMemberBytes = 1L << 26
+
+  /** Declared charset support: the three encodings that cover the
+    * overwhelming majority of labeled web text; anything else decodes
+    * as UTF-8, the web default (deterministic — Java decoding
+    * substitutes replacement chars, never throws).
+    */
+  private def charsetOf(label: String): java.nio.charset.Charset =
+    label match {
+      case "iso-8859-1" | "latin-1" | "latin1" =>
+        java.nio.charset.StandardCharsets.ISO_8859_1
+      case "windows-1252" | "cp1252" =>
+        java.nio.charset.Charset.forName("windows-1252")
+      case "us-ascii" => java.nio.charset.StandardCharsets.US_ASCII
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
+
+  private val MetaCharsetRe =
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([a-zA-Z0-9_\\-]+)".r
+
+  /** HTML5-style meta PRESCAN over the first 1024 bytes (the spec's
+    * window; the scan runs on the ASCII-superset Latin-1 view, which
+    * every supported charset is): `<meta charset=X>` and the
+    * `http-equiv` `content="…charset=X"` form both match. Returns the
+    * lowercased label — real crawl pages routinely declare their
+    * encoding HERE and not in the HTTP header.
+    */
+  private[graft] def sniffMetaCharset(d: Array[Byte]): Option[String] = {
+    val window = new String(d, 0, math.min(1024, d.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    MetaCharsetRe.findFirstMatchIn(window).map(_.group(1).toLowerCase)
+  }
 
   /** Un-frame an HTTP/1.1 chunked body (RFC 9112 §7.1): hex size line
     * (chunk extensions after `;` ignored), that many octets, CRLF;
@@ -585,6 +623,77 @@ object WarcOps {
         (gid, recs.reduce(_ ++ _))
       }
       .toDF("group_id", "warc")
+  }
+
+  /** Meta-declared charset corpus: the HTTP header carries NO charset
+    * parameter (the real-crawl norm); per document the body declares
+    * its encoding in the HTML5 ways — `<meta charset>` (id % 4 == 0,
+    * Windows-1252 bytes incl. the €), the `http-equiv` form (== 1,
+    * Latin-1 bytes), a UTF-8 BOM with no meta at all (== 2), or
+    * nothing (== 3, the UTF-8 default) — byte-assembled so
+    * Content-Length counts the coded octets.
+    */
+  private[graft] def syntheticWarcMeta(docs: DataFrame, groups: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    HtmlOps.syntheticHtml(docs)
+      .select(col("doc_id"), col("html"))
+      .as[(Long, String)]
+      .map { case (id, html) =>
+        val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+        val (metaTag, csName, marker, bom) = (id % 4) match {
+          case 0 => ("<meta charset=\"Windows-1252\">", "windows-1252",
+            "Meta € équipe fin", false)
+          case 1 => ("<meta http-equiv=\"Content-Type\" " +
+            "content=\"text/html; charset=ISO-8859-1\">", "ISO-8859-1",
+            "Equiv café è fin", false)
+          case 2 => ("", "utf-8", "BOM naïve — fin", true)
+          case _ => ("", "utf-8", "Default plain fin", false)
+        }
+        val full = html.replaceFirst("<head>", "<head>" + java.util.regex.Matcher
+          .quoteReplacement(metaTag)) +
+          "<p>" + marker + " " + id + "</p>"
+        val encoded = full.getBytes(java.nio.charset.Charset.forName(csName))
+        val body = if (bom)
+          Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ encoded
+        else encoded
+        val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".getBytes(iso)
+        val http = head ++ body
+        val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: https://example.test/doc/$id\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+          http ++ "\r\n\r\n".getBytes(iso)
+        (id % groups, id, rec)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (gid, it) =>
+        val recs = it.toSeq.sortBy(_._2).map(_._3)
+        (gid, recs.reduce(_ ++ _))
+      }
+      .toDF("group_id", "warc")
+  }
+
+  /** q173: HTML5 charset SNIFFING on the oracle path — header-unlabeled
+    * bodies whose encoding only the `<meta charset>` / `http-equiv`
+    * prescan or the UTF-8 BOM reveals must decode to the same Unicode
+    * a labeled delivery would (and the BOM must be STRIPPED, or the
+    * first block's sha shifts by a U+FEFF); the effective label and
+    * the extracted text are both pinned from the doc_id arithmetic.
+    */
+  def q173WarcMetaCharset(spark: SparkSession, dir: String): DataFrame = {
+    val recs = extractRecords(spark,
+      syntheticWarcMeta(Tables.documents(spark, dir))).toDF()
+    recs
+      .select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("target_uri").as("url"),
+        col("status").cast("long").as("status"),
+        col("charset"),
+        HtmlOps.htmlBlocks(col("body")).as("blocks"))
+      .select(col("doc_id"), col("url"), col("status"), col("charset"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        sha2(array_join(col("blocks"), "\n"), 256).as("text_sha"))
+      .orderBy(col("doc_id"))
   }
 
   /** q142: charset-labeled bodies through the front door — Latin-1 and

@@ -349,6 +349,57 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(viaIdentity.map(r => (r._3, r._4)) == Seq((text, "identity")))
   }
 
+  test("charset sniffing: BOM wins and strips; meta prescan fills the header " +
+    "gap; labels beyond the window are ignored") {
+    def rec(body: Array[Byte], ct: String = "text/html"): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val httpB = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://c/s\r\n" +
+        s"Content-Length: ${httpB.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        httpB ++ "\r\n\r\n".getBytes
+    }
+    // meta charset form
+    val cp = "<meta charset='windows-1252'><p>€ café</p>"
+      .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val m1 = WarcOps.parseWarc(rec(cp))
+    assert(m1.map(r => (r._5, r._3.contains("€ café"))) ==
+      Seq(("windows-1252", true)))
+    // http-equiv form
+    val eq = ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=ISO-8859-1\"><p>è fin</p>")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(WarcOps.parseWarc(rec(eq)).map(_._5) == Seq("iso-8859-1"))
+    // BOM wins over the header label AND strips
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "naïve".getBytes("UTF-8")
+    val b1 = WarcOps.parseWarc(rec(bom, "text/html; charset=ISO-8859-1"))
+    assert(b1.map(r => (r._5, r._3)) == Seq(("utf-8", "naïve")))
+    // header label still beats the meta prescan
+    val both = ("<meta charset='utf-8'><p>x</p>")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(WarcOps.parseWarc(rec(both, "text/html; charset=windows-1252"))
+      .map(_._5) == Seq("windows-1252"))
+    // a meta past the 1024-byte prescan window is ignored
+    val far = ("<p>" + "x" * 1200 + "</p><meta charset='windows-1252'>")
+      .getBytes("UTF-8")
+    assert(WarcOps.parseWarc(rec(far)).map(_._5) == Seq("utf-8"))
+  }
+
+  test("q173 on sf0.001: sniffed charsets decode to the labeled-delivery text") {
+    val rows = WarcOps.q173WarcMetaCharset(spark, "/root/testdata/sf0.001").collect()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expect = (id % 4) match {
+        case 0 => "windows-1252"; case 1 => "iso-8859-1"; case _ => "utf-8"
+      }
+      assert(r.getString(3) == expect, s"doc $id charset ${r.getString(3)}")
+    }
+  }
+
   test("q135 end-to-end: gzip archive extraction matches q128 plus the UTF-8 marker block") {
     val out = WarcOps.q135WarcGzExtract(spark, "/root/testdata/sf0.001")
       .collect()
