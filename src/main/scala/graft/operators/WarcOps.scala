@@ -110,6 +110,7 @@ object WarcOps {
           var chunked = false
           var contentCoding = ""
           var charset = "" // header label; empty → BOM/meta sniff
+          var isHtml = false // the meta PRESCAN is an HTML-only rule
           // an empty header section means hdrEnd == eol
           payload.substring(math.min(eol + 2, hdrEnd), hdrEnd).split("\r\n").foreach { h =>
             val c = h.indexOf(':')
@@ -118,9 +119,11 @@ object WarcOps {
               val v = h.substring(c + 1).trim.toLowerCase
               if (n == "transfer-encoding" && v.contains("chunked")) chunked = true
               if (n == "content-encoding") contentCoding = v
-              if (n == "content-type")
+              if (n == "content-type") {
+                if (v.contains("html")) isHtml = true
                 "charset=\"?([a-z0-9_\\-]+)".r.findFirstMatchIn(v)
                   .foreach(m => charset = m.group(1))
+              }
             }
           }
           // RFC 9110 §8.4 content codings, comma-separated in the order
@@ -151,7 +154,8 @@ object WarcOps {
               else {
                 val label =
                   if (charset.nonEmpty) charset
-                  else sniffMetaCharset(d).getOrElse("utf-8")
+                  else if (isHtml) sniffMetaCharset(d).getOrElse("utf-8")
+                  else "utf-8"
                 (new String(d, charsetOf(label)), label)
               }
             val decoded: Option[(String, String, String)] =

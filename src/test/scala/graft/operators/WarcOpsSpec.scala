@@ -385,6 +385,10 @@ class WarcOpsSpec extends AnyFunSuite {
     val far = ("<p>" + "x" * 1200 + "</p><meta charset='windows-1252'>")
       .getBytes("UTF-8")
     assert(WarcOps.parseWarc(rec(far)).map(_._5) == Seq("utf-8"))
+    // the prescan is HTML-only: a non-HTML body containing the byte
+    // pattern never triggers it
+    val plain = "<meta charset='windows-1252'> but text/plain".getBytes("UTF-8")
+    assert(WarcOps.parseWarc(rec(plain, "text/plain")).map(_._5) == Seq("utf-8"))
   }
 
   test("q173 on sf0.001: sniffed charsets decode to the labeled-delivery text") {
