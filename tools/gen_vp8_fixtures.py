@@ -211,11 +211,13 @@ def gen_fixtures():
     open(os.path.join(OUT, "manifest.txt"), "w").write("\n".join(manifest) + "\n")
 
 
-def gen_multipart():
-    """fix9: a MULTI-TOKEN-PARTITION stream via the advanced encoder API
-    (config.partitions=2 -> 4 partitions; honored only at method=0 —
-    the token-buffer methods always emit one partition). The ctypes
-    WebPPicture layout is sufficient for encode but not for
+def gen_advanced():
+    """Advanced-API fixtures for the features WebPEncodeRGB can't reach:
+    fix9  — 4 token partitions (config.partitions=2; honored only at
+            method=0 — the token-buffer methods always emit one),
+    fix10 — filter sharpness 4 (the interior-limit shift/cap branch),
+    fix11 — the SIMPLE loop filter (config.filter_type=0).
+    The ctypes WebPPicture layout is sufficient for encode but not for
     WebPPictureFree, so this helper never frees (one-shot process).
     """
     lib = ctypes.CDLL(LIB)
@@ -261,65 +263,79 @@ def gen_multipart():
             ("pad4", ctypes.c_void_p), ("pad5", ctypes.c_void_p),
             ("pad6", ctypes.c_uint32 * 8)]
 
-    cfg = WebPConfig()
-    assert lib.WebPConfigInitInternal(
-        ctypes.byref(cfg), 0, ctypes.c_float(60.0), ABI)
-    cfg.partitions = 2
-    cfg.method = 0
-    cfg.filter_strength = 35
-    pic = WebPPicture()
-    assert lib.WebPPictureInitInternal(ctypes.byref(pic), ABI)
-    w, h = 96, 80
-    pic.width, pic.height = w, h
-    pic.use_argb = 0
-
     def lcg(seed):
         s = seed
         while True:
             s = (s * 1103515245 + 12345) & 0x7fffffff
             yield (s >> 16) & 0xff
 
-    g = lcg(42)
-    rgb = bytes(((x * 3) // 2 + (y * 2)) % 256
-                if (x // 16 + y // 16) % 2 == 0 else next(g)
-                for y in range(h) for x in range(w) for _ in range(3))
-    assert lib.WebPPictureImportRGB(ctypes.byref(pic), rgb, w * 3)
-    out = bytearray()
-    cb = WriterFunc(lambda d, s, _: (out.extend(ctypes.string_at(d, s)), 1)[1])
-    pic.writer = cb
-    assert lib.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic))
-    webp = bytes(out)
-    dw, dh = ctypes.c_int(), ctypes.c_int()
-    pu, pv = ctypes.POINTER(ctypes.c_uint8)(), ctypes.POINTER(ctypes.c_uint8)()
-    st, uvst = ctypes.c_int(), ctypes.c_int()
-    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
-    py = lib.WebPDecodeYUV(webp, ctypes.c_size_t(len(webp)),
-                           ctypes.byref(dw), ctypes.byref(dh),
-                           ctypes.byref(pu), ctypes.byref(pv),
-                           ctypes.byref(st), ctypes.byref(uvst))
-    assert py and dw.value == w and dh.value == h
-    uw, uh = (w + 1) // 2, (h + 1) // 2
-    ybuf = bytearray()
-    for r in range(h):
-        ybuf += bytes(py[r * st.value + c] for c in range(w))
-    for r in range(uh):
-        ybuf += bytes(pu[r * uvst.value + c] for c in range(uw))
-    for r in range(uh):
-        ybuf += bytes(pv[r * uvst.value + c] for c in range(uw))
-    name = "fix9_multipart96x80_q60"
-    open(os.path.join(OUT, name + ".webp"), "wb").write(webp)
-    open(os.path.join(OUT, name + ".yuv"), "wb").write(bytes(ybuf))
-    man = open(os.path.join(OUT, "manifest.txt")).read().rstrip("\n")
-    if "fix9" not in man:
-        open(os.path.join(OUT, "manifest.txt"), "w").write(
-            man + f"\n{name},{w},{h}\n")
-    print(f"{name}: {len(webp)} bytes webp")
+    def one(name, w, h, seed, tune):
+        cfg = WebPConfig()
+        assert lib.WebPConfigInitInternal(
+            ctypes.byref(cfg), 0, ctypes.c_float(60.0), ABI)
+        tune(cfg)
+        pic = WebPPicture()
+        assert lib.WebPPictureInitInternal(ctypes.byref(pic), ABI)
+        pic.width, pic.height = w, h
+        pic.use_argb = 0
+        g = lcg(seed)
+        rgb = bytes(((x * 3) // 2 + (y * 2)) % 256
+                    if (x // 16 + y // 16) % 2 == 0 else next(g)
+                    for y in range(h) for x in range(w) for _ in range(3))
+        assert lib.WebPPictureImportRGB(ctypes.byref(pic), rgb, w * 3)
+        out = bytearray()
+        cb = WriterFunc(lambda d, s, _: (out.extend(ctypes.string_at(d, s)), 1)[1])
+        pic.writer = cb
+        assert lib.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic))
+        webp = bytes(out)
+        dw, dh = ctypes.c_int(), ctypes.c_int()
+        pu, pv = ctypes.POINTER(ctypes.c_uint8)(), ctypes.POINTER(ctypes.c_uint8)()
+        st, uvst = ctypes.c_int(), ctypes.c_int()
+        lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+        py = lib.WebPDecodeYUV(webp, ctypes.c_size_t(len(webp)),
+                               ctypes.byref(dw), ctypes.byref(dh),
+                               ctypes.byref(pu), ctypes.byref(pv),
+                               ctypes.byref(st), ctypes.byref(uvst))
+        assert py and dw.value == w and dh.value == h
+        uw, uh = (w + 1) // 2, (h + 1) // 2
+        ybuf = bytearray()
+        for r in range(h):
+            ybuf += bytes(py[r * st.value + c] for c in range(w))
+        for r in range(uh):
+            ybuf += bytes(pu[r * uvst.value + c] for c in range(uw))
+        for r in range(uh):
+            ybuf += bytes(pv[r * uvst.value + c] for c in range(uw))
+        open(os.path.join(OUT, name + ".webp"), "wb").write(webp)
+        open(os.path.join(OUT, name + ".yuv"), "wb").write(bytes(ybuf))
+        man = open(os.path.join(OUT, "manifest.txt")).read().rstrip("\n")
+        if name.split("_")[0] not in man:
+            open(os.path.join(OUT, "manifest.txt"), "w").write(
+                man + f"\n{name},{w},{h}\n")
+        print(f"{name}: {len(webp)} bytes webp")
+
+    def t9(cfg):
+        cfg.partitions = 2
+        cfg.method = 0
+        cfg.filter_strength = 35
+
+    def t10(cfg):
+        cfg.filter_strength = 40
+        cfg.filter_sharpness = 4
+        cfg.autofilter = 0
+
+    def t11(cfg):
+        cfg.filter_type = 0  # SIMPLE loop filter
+        cfg.filter_strength = 30
+
+    one("fix9_multipart96x80_q60", 96, 80, 42, t9)
+    one("fix10_sharp64x48_q60", 64, 48, 77, t10)
+    one("fix11_simple64x48_q60", 64, 48, 99, t11)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "tables":
         emit_tables()
-    elif len(sys.argv) > 1 and sys.argv[1] == "multipart":
-        gen_multipart()
+    elif len(sys.argv) > 1 and sys.argv[1] == "advanced":
+        gen_advanced()
     else:
         gen_fixtures()
