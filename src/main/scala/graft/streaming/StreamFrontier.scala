@@ -176,7 +176,7 @@ object StreamFrontier {
           // state AFTER this batch: previous counters + batch allowed counts
           val batchCounts = scheduled.filter(col("allowed"))
             .groupBy(col("h")).agg(count(lit(1)).as("c"))
-            .as[(Long, Long)].collect().toMap
+            .as[(Long, Long)].collect().toMap // |hosts| rows — bounded
           val merged = (prevCounts.keySet ++ batchCounts.keySet).toSeq
             .map(h => (h, prevCounts.getOrElse(h, 0L) + batchCounts.getOrElse(h, 0L)))
           CheckpointStream.appendDiffs(
