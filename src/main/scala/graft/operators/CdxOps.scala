@@ -192,8 +192,14 @@ object CdxOps {
   private[graft] def cdxRecordsGz(
       filename: String, bytes: Array[Byte]): Seq[CdxRow] =
     WarcOps.gunzipMemberExtents(bytes).flatMap { case (off, len, rec) =>
-      cdxRecords(filename, rec).headOption
-        .map(_.copy(offset = off, length = len))
+      // index ONLY single-record members: a multi-record member's
+      // extent is not a record address, and fetchRecordGz would
+      // rightly refuse it — the index and the fetch must agree on
+      // what an extent means
+      cdxRecords(filename, rec) match {
+        case Seq(one) => Some(one.copy(offset = off, length = len))
+        case _ => None
+      }
     }
 
   /** Range-read ONE record by its CDX extent: slice `[offset,

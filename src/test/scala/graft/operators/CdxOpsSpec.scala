@@ -76,6 +76,11 @@ class CdxOpsSpec extends AnyFunSuite {
     // a slice spanning TWO members is not a record address
     assert(CdxOps.fetchRecordGz(archive, rows(0).offset,
       rows(0).length + rows(1).length).isEmpty)
+    // a MULTI-record member is not addressable either: the index skips
+    // it (index and fetch must agree on what an extent means)
+    val multi = WarcOps.gzipMembers(Seq(recs(0) + recs(1), recs(2)))
+    val rows2 = CdxOps.cdxRecordsGz("m.warc.gz", multi)
+    assert(rows2.length == 1 && rows2.head.url == "https://a.test/3")
   }
 
   test("q172 on sf0.001: every document reconstructs through range reads " +

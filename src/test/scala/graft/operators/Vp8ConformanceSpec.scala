@@ -29,7 +29,22 @@ class Vp8ConformanceSpec extends AnyFunSuite {
       .map { l => val p = l.split(","); (p(0), p(1).toInt, p(2).toInt) }
 
   test("manifest covers the feature matrix") {
-    assert(manifest.size >= 8)
+    assert(manifest.size >= 11)
+  }
+
+  test("hostile fixtures: truncations and byte flips of REAL streams " +
+    "never throw — decode or dead-letter only") {
+    val webp = resource("fix9_multipart96x80_q60.webp")
+    val len = (webp(16) & 0xff) | ((webp(17) & 0xff) << 8) |
+      ((webp(18) & 0xff) << 16) | ((webp(19) & 0xff) << 24)
+    for (cut <- 0 to len by 37)
+      Vp8.decodeVp8(webp, 20, cut) // must not throw
+    val rnd = new scala.util.Random(16)
+    for (_ <- 0 until 300) {
+      val m = webp.clone()
+      m(20 + rnd.nextInt(len)) = rnd.nextInt(256).toByte
+      Vp8.decodeVp8(m, 20, len) // must not throw
+    }
   }
 
   for ((name, w, h) <- manifest) {
