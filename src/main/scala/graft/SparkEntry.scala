@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -163,6 +163,7 @@ object SparkEntry {
     "q171_mp4_neardup" -> (Mp4Ops.q171Mp4NearDup(_, _)),
     "q172_cdx_fetch" -> (CdxOps.q172CdxFetch(_, _)),
     "q173_warc_meta_charset" -> (WarcOps.q173WarcMetaCharset(_, _)),
+    "q174_ogg_extract" -> (OggOps.q174OggExtract(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -1997,6 +1998,24 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // Ogg container walk (q174): real Vorbis/Opus streams with a packet
+    // crossing a page boundary; pages verified under Ogg's
+    // NON-reflected CRC, packets assembled through the lacing layer,
+    // ident + comment headers parsed — every column from (doc_id, text)
+    // arithmetic
+    "q174_ogg_extract" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS kind,
+        |  (4096 + doc_id % 9000)::BIGINT AS serial,
+        |  (5 + doc_id % 3)::BIGINT AS n_pages,
+        |  (5 + doc_id % 3)::BIGINT AS n_packets,
+        |  (1 + doc_id % 2)::BIGINT AS channels,
+        |  (8000 + (doc_id % 8) * 4000)::BIGINT AS sample_rate,
+        |  ((100 + doc_id % 1000) * 256)::BIGINT AS total_samples,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+        |    || ' № ' || doc_id AS title,
+        |  'graft-ogg 1.0' AS vendor
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // HTML5 charset sniffing (q173): header-unlabeled bodies whose
     // encoding only the meta prescan or the UTF-8 BOM reveals — the
     // real-crawl norm; the BOM must also be STRIPPED or the first

@@ -1,0 +1,359 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ogg container walk (RFC 3533) with Vorbis-I and Opus identification
+  * headers — the audio container the web actually serves podcasts and
+  * samples in, completing the audio family (WAV/G.711, MP3, FLAC).
+  *
+  * The page layer carries THE classic Ogg traps, all on the oracle
+  * path:
+  *   - the page CRC32 is the NON-reflected polynomial 0x04C11DB7 with
+  *     init 0 and no final xor (zlib's reflected CRC silently
+  *     validates nothing), computed with the CRC field ZEROED;
+  *   - packets are assembled from LACING values: 255 means "continues
+  *     in the next segment", so a packet of length k·255 needs a
+  *     terminating 0 lacing, and a packet may CROSS pages (the next
+  *     page sets the continuation flag);
+  *   - granule positions are codec-specific sample clocks (Opus always
+  *     counts at 48 kHz regardless of the input rate).
+  *
+  * Error-as-value at PAGE grain: a CRC-mismatched or structurally
+  * lying page drops and the walk RESYNCS at the next `OggS` capture —
+  * the intact pages around it survive (the gzip-member discipline).
+  * Streams whose first packet is neither `\x01vorbis` nor `OpusHead`
+  * report kind `unknown` with zeroed audio fields (typed, never a
+  * guess).
+  *
+  * Scale shape (100 TB): a per-row byte walker via `mapPartitions`,
+  * zero exchange before the output sort — the image/audio-operator
+  * norm.
+  */
+object OggOps {
+
+  // ------------------------------------------------------------- CRC
+
+  /** The Ogg CRC table: polynomial 0x04C11DB7, FORWARD (non-reflected). */
+  private val CrcTable: Array[Int] = Array.tabulate(256) { i =>
+    var r = i << 24
+    var k = 0
+    while (k < 8) {
+      r = (r << 1) ^ (if ((r & 0x80000000) != 0) 0x04c11db7 else 0)
+      k += 1
+    }
+    r
+  }
+
+  private[graft] def oggCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0
+    var i = off
+    while (i < off + len) {
+      crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  // ------------------------------------------------------------- parse
+
+  private def le32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+  private def le64(b: Array[Byte], p: Int): Long =
+    le32(b, p) | (le32(b, p + 4) << 32)
+
+  private[graft] final case class OggPage(
+      headerType: Int, granule: Long, serial: Long, seq: Long,
+      segments: Seq[Int], payload: Array[Byte], crcOk: Boolean)
+
+  /** Walk pages; a malformed or CRC-lying page drops and the walk
+    * resyncs at the next `OggS`.
+    */
+  private[graft] def walkPages(b: Array[Byte]): Seq[OggPage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[OggPage]
+    def nextCapture(from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i + 4 <= b.length && !(b(i) == 'O' && b(i + 1) == 'g' &&
+        b(i + 2) == 'g' && b(i + 3) == 'S')) i += 1
+      if (i + 4 <= b.length) i else b.length
+    }
+    var p = nextCapture(0)
+    while (p + 27 <= b.length) {
+      val version = b(p + 4) & 0xff
+      val nSegs = b(p + 26) & 0xff
+      val headerEnd = p + 27 + nSegs
+      if (version != 0 || headerEnd > b.length) { p = nextCapture(p + 4) }
+      else {
+        val segs = (0 until nSegs).map(k => b(p + 27 + k) & 0xff)
+        val bodyLen = segs.sum
+        val end = headerEnd + bodyLen
+        if (end > b.length) { p = nextCapture(p + 4) }
+        else {
+          // CRC over the whole page with the CRC field zeroed
+          val page = java.util.Arrays.copyOfRange(b, p, end)
+          val stored = le32(b, p + 22).toInt
+          page(22) = 0; page(23) = 0; page(24) = 0; page(25) = 0
+          val ok = oggCrc(page, 0, page.length) == stored
+          if (!ok) { p = nextCapture(p + 4) }
+          else {
+            out += OggPage(
+              b(p + 5) & 0xff, le64(b, p + 6), le32(b, p + 14),
+              le32(b, p + 18), segs,
+              java.util.Arrays.copyOfRange(b, headerEnd, end), crcOk = true)
+            p = nextCapture(end)
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Assemble packets from the lacing layer across pages (255 =
+    * continues; a fresh page with the continuation flag extends the
+    * open packet).
+    */
+  private[graft] def assemblePackets(pages: Seq[OggPage]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val open = new java.io.ByteArrayOutputStream()
+    var openActive = false
+    for (pg <- pages) {
+      var off = 0
+      if (openActive && (pg.headerType & 0x01) == 0) {
+        // the continuation we were promised never came: drop the
+        // half-packet, never emit a truncated one silently
+        open.reset(); openActive = false
+      }
+      for (s <- pg.segments) {
+        open.write(pg.payload, off, s)
+        off += s
+        openActive = true
+        if (s < 255) { out += open.toByteArray; open.reset(); openActive = false }
+      }
+    }
+    out.toSeq
+  }
+
+  private[graft] final case class OggInfo(
+      doc_id: Long, kind: String, serial: Long, n_pages: Int,
+      n_packets: Int, channels: Int, sample_rate: Long,
+      total_samples: Long, title: String, vendor: String)
+
+  /** Vorbis-comment block shared by Vorbis (after `\x03vorbis`) and
+    * Opus (after `OpusTags`): vendor + LE-length-counted UTF-8
+    * comments; returns (vendor, TITLE) — octet-counted, so multi-byte
+    * titles pin the byte discipline.
+    */
+  private def parseComments(d: Array[Byte], start: Int): (String, String) = {
+    var p = start
+    if (p + 4 > d.length) return ("", "")
+    val vlen = le32(d, p).toInt; p += 4
+    if (vlen < 0 || p + vlen + 4 > d.length) return ("", "")
+    val vendor = new String(d, p, vlen, java.nio.charset.StandardCharsets.UTF_8)
+    p += vlen
+    val n = le32(d, p).toInt; p += 4
+    var title = ""
+    var i = 0
+    while (i < n && p + 4 <= d.length) {
+      val clen = le32(d, p).toInt; p += 4
+      if (clen < 0 || p + clen > d.length) return (vendor, title)
+      val c = new String(d, p, clen, java.nio.charset.StandardCharsets.UTF_8)
+      p += clen
+      val eq = c.indexOf('=')
+      if (eq > 0 && c.substring(0, eq).equalsIgnoreCase("TITLE"))
+        title = c.substring(eq + 1)
+      i += 1
+    }
+    (vendor, title)
+  }
+
+  /** Full container → typed info (error-as-value; no throw on garbage). */
+  private[graft] def extractOgg(docId: Long, b: Array[Byte]): OggInfo = {
+    val pages = walkPages(b)
+    if (pages.isEmpty)
+      return OggInfo(docId, "not-ogg", -1, 0, 0, 0, 0, 0, "", "")
+    val packets = assemblePackets(pages)
+    val serial = pages.head.serial
+    val granule = pages.last.granule
+    def starts(d: Array[Byte], s: String) =
+      d.length >= s.length && s.indices.forall(k => d(k) == s.charAt(k).toByte)
+    val first = packets.headOption.getOrElse(Array.empty[Byte])
+    if (first.length >= 30 && (first(0) & 0xff) == 1 && starts(
+      java.util.Arrays.copyOfRange(first, 1, 7), "vorbis")) {
+      val channels = first(11) & 0xff
+      val rate = le32(first, 12)
+      val (vendor, title) = packets.lift(1) match {
+        case Some(c) if c.length >= 7 && (c(0) & 0xff) == 3 =>
+          parseComments(c, 7)
+        case _ => ("", "")
+      }
+      OggInfo(docId, "vorbis", serial, pages.length, packets.length,
+        channels, rate, granule, title, vendor)
+    } else if (starts(first, "OpusHead") && first.length >= 19) {
+      val channels = first(9) & 0xff
+      val rate = le32(first, 12) // input rate; the granule clock is 48 kHz
+      val (vendor, title) = packets.lift(1) match {
+        case Some(c) if starts(c, "OpusTags") => parseComments(c, 8)
+        case _ => ("", "")
+      }
+      OggInfo(docId, "opus", serial, pages.length, packets.length,
+        channels, rate, granule, title, vendor)
+    } else
+      OggInfo(docId, "unknown", serial, pages.length, packets.length,
+        0, 0, granule, "", "")
+  }
+
+  // ------------------------------------------------------------- encode
+
+  private def putLe32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+  }
+
+  /** One page from (possibly partial) packet chunks. `lacings` are the
+    * raw lacing values for this page; `body` their concatenation.
+    */
+  private def writePage(
+      out: java.io.ByteArrayOutputStream, headerType: Int, granule: Long,
+      serial: Long, seq: Long, lacings: Seq[Int], body: Array[Byte]): Unit = {
+    val page = new java.io.ByteArrayOutputStream()
+    page.write('O'); page.write('g'); page.write('g'); page.write('S')
+    page.write(0) // version
+    page.write(headerType)
+    putLe32(page, granule & 0xffffffffL); putLe32(page, granule >>> 32)
+    putLe32(page, serial)
+    putLe32(page, seq)
+    putLe32(page, 0) // CRC placeholder
+    page.write(lacings.length)
+    lacings.foreach(page.write)
+    page.write(body, 0, body.length)
+    val bytes = page.toByteArray
+    val crc = oggCrc(bytes, 0, bytes.length)
+    bytes(22) = (crc & 0xff).toByte
+    bytes(23) = ((crc >> 8) & 0xff).toByte
+    bytes(24) = ((crc >> 16) & 0xff).toByte
+    bytes(25) = ((crc >> 24) & 0xff).toByte
+    out.write(bytes)
+  }
+
+  private def lacingsOf(packetLens: Seq[Int]): Seq[Int] =
+    packetLens.flatMap { n =>
+      val full = n / 255
+      Seq.fill(full)(255) :+ (n % 255)
+    }
+
+  /** Build a deterministic Ogg (Vorbis on even ids, Opus on odd):
+    * page 0 = BOS ident header; page 1 = comment header + a setup
+    * packet whose tail CROSSES into page 2 (the continuation flag on
+    * the oracle path); then an audio page per chunk and EOS with the
+    * final granule.
+    */
+  private[graft] def buildOgg(id: Long, titleWords: String): Array[Byte] = {
+    val vorbis = id % 2 == 0
+    val serial = 0x1000 + (id % 9000)
+    val channels = (1 + id % 2).toInt
+    val rate = 8000L + (id % 8) * 4000L
+    val granuleFinal = (100 + id % 1000) * 256L
+    val title = s"$titleWords № $id"
+    val vendor = "graft-ogg 1.0"
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+    val ident: Array[Byte] =
+      if (vorbis) {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(1); o.write("vorbis".getBytes(utf8))
+        putLe32(o, 0) // version
+        o.write(channels)
+        putLe32(o, rate)
+        putLe32(o, 0); putLe32(o, 0); putLe32(o, 0) // bitrates
+        o.write(0xb8) // blocksizes
+        o.write(1) // framing
+        o.toByteArray
+      } else {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write("OpusHead".getBytes(utf8))
+        o.write(1) // version
+        o.write(channels)
+        o.write(0x38); o.write(1) // pre-skip 312
+        putLe32(o, rate)
+        o.write(0); o.write(0) // output gain
+        o.write(0) // mapping family
+        o.toByteArray
+      }
+    val comment: Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      if (vorbis) { o.write(3); o.write("vorbis".getBytes(utf8)) }
+      else o.write("OpusTags".getBytes(utf8))
+      val v = vendor.getBytes(utf8)
+      putLe32(o, v.length); o.write(v)
+      val c1 = s"TITLE=$title".getBytes(utf8)
+      val c2 = s"TRACKNUMBER=${id % 30 + 1}".getBytes(utf8)
+      putLe32(o, 2)
+      putLe32(o, c1.length); o.write(c1)
+      putLe32(o, c2.length); o.write(c2)
+      if (vorbis) o.write(1) // framing bit
+      o.toByteArray
+    }
+    // setup packet: 300 + id%200 bytes; split so its tail continues on
+    // the next page (the continuation-flag path)
+    val setupLen = (300 + id % 200).toInt
+    val setup = Array.tabulate[Byte](setupLen)(j => ((id * 13 + j) % 256).toByte)
+    val audioLens = (0 until (2 + (id % 3)).toInt)
+      .map(k => (20 + (id + 37L * k) % 60).toInt)
+    val audios = audioLens.zipWithIndex.map { case (n, k) =>
+      Array.tabulate[Byte](n)(j => ((id * 7 + k * 31 + j) % 256).toByte)
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    // page 0: BOS, ident alone (granule 0)
+    writePage(out, 0x02, 0L, serial, 0L, lacingsOf(Seq(ident.length)), ident)
+    // page 1: comment + the setup HEAD (lacing ends with 255 → open)
+    val setupHead = setup.take(255)
+    val setupTail = setup.drop(255)
+    writePage(out, 0x00, 0L, serial, 1L,
+      lacingsOf(Seq(comment.length)) ++ Seq(255),
+      comment ++ setupHead)
+    // page 2: continuation of the setup packet
+    writePage(out, 0x01, 0L, serial, 2L,
+      lacingsOf(Seq(setupTail.length)), setupTail)
+    // audio pages, one packet each; last is EOS with the final granule
+    audios.zipWithIndex.foreach { case (a, k) =>
+      val last = k == audios.length - 1
+      writePage(out, if (last) 0x04 else 0x00,
+        if (last) granuleFinal else (k + 1) * 1000L,
+        serial, 3L + k, lacingsOf(Seq(a.length)), a)
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------ q174
+
+  /** q174: the Ogg family end to end — build a real Vorbis (even ids)
+    * or Opus (odd ids) stream per document with a packet CROSSING a
+    * page boundary, walk pages (non-reflected CRC verified per page),
+    * assemble packets through the lacing layer, parse the codec ident
+    * and comment headers; kind, serial, page/packet counts, channels,
+    * rate, final granule, and the multi-byte TITLE are all replayed by
+    * the oracle from (doc_id, text) arithmetic.
+    */
+  def q174OggExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val words = text.split(" ").take(3).mkString(" ")
+        extractOgg(id, buildOgg(id, words))
+      })
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("serial"),
+        col("n_pages").cast("long").as("n_pages"),
+        col("n_packets").cast("long").as("n_packets"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate"), col("total_samples"),
+        col("title"), col("vendor"))
+      .orderBy(col("doc_id"))
+  }
+}
