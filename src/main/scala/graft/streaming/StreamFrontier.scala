@@ -122,7 +122,11 @@ object StreamFrontier {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._
-        val known = batch.select(col("doc_id"))
+        // a URL discovered twice in one batch schedules once; ACROSS
+        // batches a rediscovery re-ranks by design (a recrawl) — the
+        // lane assumes an upstream-deduped discovery feed, which is
+        // what the outlink/CDX emitters produce
+        val known = batch.select(col("doc_id")).distinct()
           .join(broadcast(attrs), Seq("doc_id"), "left")
         val unknown = known.filter(col("h").isNull)
           .select(col("doc_id"), lit("unknown_url").as("reason"))

@@ -54,8 +54,12 @@ class StreamFrontierSpec extends AnyFunSuite {
     }
     val bogus = docIds.max + 999
     for (c <- 0 to 2) {
-      val ids = docIds.filter(chunkOf(_) == c) ++
-        (if (c == 1) Seq(bogus) else Nil)
+      // chunk 2 repeats its first id: an in-batch duplicate discovery
+      // must schedule ONCE (else the drained row count diverges)
+      val base0 = docIds.filter(chunkOf(_) == c)
+      val ids = base0 ++
+        (if (c == 1) Seq(bogus) else Nil) ++
+        (if (c == 2) base0.take(1) else Nil)
       ids.toDF("doc_id").coalesce(1)
         .write.parquet(s"$base/feed/chunk=$c")
     }
