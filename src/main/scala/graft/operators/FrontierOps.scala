@@ -43,7 +43,10 @@ object FrontierOps {
     "User-agent: OtherBot\nDisallow: /\n\n" +
       "User-agent: GraftBot\nDisallow: /doc/*3$\n" +
       (if (h % 2 == 1) "Disallow: /doc/*7$\n" else "") +
-      "Allow: /doc/\n"
+      "Allow: /doc/\n\n" +
+      // the GLOBAL discovery record (ignored by the rule parser; the
+      // frontier lane resolves the host's sitemap tree through it)
+      s"Sitemap: https://h$h.example.test/sitemap.xml\n"
 
   /** q154: the fetch schedule end to end — frontier URLs gated by the
     * real robots evaluator, scored by sitemap recency against the

@@ -78,6 +78,23 @@ object RobotsOps {
     chosen.flatMap(_.rules).toSeq
   }
 
+  /** `Sitemap:` directives (RFC 9309 §2.2.4 "other records" / the
+    * sitemaps.org convention): GLOBAL lines, independent of any
+    * user-agent group — this is how a crawler DISCOVERS a host's
+    * sitemap tree rather than guessing `/sitemap.xml`.
+    */
+  def sitemapUrls(text: String): Seq[String] =
+    text.split("\n").toSeq.flatMap { raw =>
+      val h = raw.indexOf('#')
+      val line = (if (h >= 0) raw.substring(0, h) else raw).trim
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim
+          .equalsIgnoreCase("sitemap")) {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+
   /** Pattern match per RFC 9309: start-anchored, `*` wildcard, `$` end
     * anchor; literal octets elsewhere.
     */

@@ -60,11 +60,13 @@ object StreamFrontier {
     val files = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
     def hostOf(name: String, prefix: String): Option[Long] =
       s"${prefix}_h(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toLong)
-    val rules = files.filter(_.getName.startsWith("robots_h")).map { f =>
+    val robotsTexts = files.filter(_.getName.startsWith("robots_h")).map { f =>
       val h = hostOf(f.getName, "robots").get
-      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      h -> RobotsOps.parseRobots(text, "GraftBot").map(r => (r.allow, r.pattern))
+      h -> new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     }.toMap
+    val rules = robotsTexts.map { case (h, text) =>
+      h -> RobotsOps.parseRobots(text, "GraftBot").map(r => (r.allow, r.pattern))
+    }
     val sitemapHosts = files.filter(_.getName.startsWith("sitemap_h"))
       .groupBy(f => hostOf(f.getName, "sitemap").get)
     val urlAttrs = sitemapHosts.toSeq.flatMap { case (h, fs) =>
@@ -73,7 +75,14 @@ object StreamFrontier {
         val name = f.getName.replaceFirst("sitemap_h\\d+_", "")
         name -> java.nio.file.Files.readAllBytes(f.toPath)
       }.toMap
-      SitemapOps.parseSitemapHost(s"h$h.example.test", blobs).flatMap { u =>
+      // the host's ROOT sitemap is DISCOVERED through its robots
+      // `Sitemap:` directive (the real chain), falling back to the
+      // conventional /sitemap.xml when the robots file doesn't say
+      val root = robotsTexts.get(h)
+        .flatMap(t => RobotsOps.sitemapUrls(t).headOption)
+        .map(u => u.substring(u.lastIndexOf('/') + 1))
+        .getOrElse("sitemap.xml")
+      SitemapOps.parseSitemapHost(s"h$h.example.test", blobs, root).flatMap { u =>
         val m = "example\\.test(/doc/\\d+)".r.findFirstMatchIn(u.loc)
         val id = "/doc/(\\d+)".r.findFirstMatchIn(u.loc).map(_.group(1).toLong)
         (m, id) match {

@@ -49,6 +49,20 @@ class RobotsOpsSpec extends AnyFunSuite {
       "rules before any User-agent line have no group")
   }
 
+  test("Sitemap: directives are global, case-insensitive, comment-stripped; " +
+    "rule parsing ignores them") {
+    val txt = "User-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://a.test/sm_root.xml\n" +
+      "sitemap: https://a.test/other.xml # trailing comment\n" +
+      "Sitemap:\n" // empty value drops
+    assert(RobotsOps.sitemapUrls(txt) ==
+      Seq("https://a.test/sm_root.xml", "https://a.test/other.xml"))
+    // the rule parser is unaffected by the global records
+    assert(RobotsOps.parseRobots(txt, "AnyBot") ==
+      Seq(RobotsOps.RobotsRule(false, "/x")))
+    assert(RobotsOps.sitemapUrls("no directives here") == Nil)
+  }
+
   test("matching: start anchor, * wildcard, $ end anchor") {
     import RobotsOps.{matches => m}
     assert(m("/p", "/p/x") && m("/p", "/p"))
