@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -164,6 +164,7 @@ object SparkEntry {
     "q172_cdx_fetch" -> (CdxOps.q172CdxFetch(_, _)),
     "q173_warc_meta_charset" -> (WarcOps.q173WarcMetaCharset(_, _)),
     "q174_ogg_extract" -> (OggOps.q174OggExtract(_, _)),
+    "q175_csv_roundtrip" -> (TabularOps.q175CsvRoundTrip(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -1998,6 +1999,18 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // CSV round trip (q175): RFC 4180 quoting through the NATIVE
+    // from_csv (escape='"' — the doubling convention; Spark's default
+    // backslash escape would corrupt exactly the planted cells);
+    // embedded comma, doubled quotes, and a real newline in the middle
+    // cell, replayed by the oracle from (doc_id, text)
+    "q175_csv_roundtrip" ->
+      """SELECT doc_id, 'Doc ' || doc_id AS a,
+        |  sha256(text || chr(10) || '"q" one,two of ' || doc_id) AS b_sha,
+        |  (length(text) + length(chr(10) || '"q" one,two of ' || doc_id))::BIGINT
+        |    AS b_len,
+        |  doc_id AS c
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Ogg container walk (q174): real Vorbis/Opus streams with a packet
     // crossing a page boundary; pages verified under Ogg's
     // NON-reflected CRC, packets assembled through the lacing layer,
