@@ -165,6 +165,7 @@ object SparkEntry {
     "q173_warc_meta_charset" -> (WarcOps.q173WarcMetaCharset(_, _)),
     "q174_ogg_extract" -> (OggOps.q174OggExtract(_, _)),
     "q175_csv_roundtrip" -> (TabularOps.q175CsvRoundTrip(_, _)),
+    "q176_webdataset_export" -> (TarOps.q176WebdatasetExport(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -1999,6 +2000,23 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // WebDataset export (q176): the tar-shard training format -
+    // adjacent <key>.txt/<key>.cls entries per sample, real ustar
+    // shards re-parsed through the q147 walker and reassembled by the
+    // adjacency rule; shard name, window-counted sample count, text
+    // sha, and the q170 label all from doc_id arithmetic
+    "q176_webdataset_export" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS sid,
+        |    text || ' Wds № ' || doc_id AS txt,
+        |    CASE doc_id % 6 WHEN 0 THEN 'de' WHEN 1 THEN 'el'
+        |      WHEN 2 THEN 'en' WHEN 3 THEN 'es' WHEN 4 THEN 'fr'
+        |      ELSE 'ru' END AS cls
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'shard-' || lpad(sid::VARCHAR, 6, '0') || '.tar' AS shard,
+        |  count(*) OVER (PARTITION BY sid) AS shard_samples,
+        |  sha256(txt) AS text_sha, cls
+        |FROM d ORDER BY doc_id""".stripMargin,
     // CSV round trip (q175): RFC 4180 quoting through the NATIVE
     // from_csv (escape='"' — the doubling convention; Spark's default
     // backslash escape would corrupt exactly the planted cells);

@@ -290,4 +290,74 @@ object TarOps {
         sha2(col("text"), 256).as("text_sha"))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------------------------ q176
+
+  /** WebDataset sample assembly over a parsed tar: files of one sample
+    * share the dot-basename KEY and are ADJACENT in the archive (the
+    * format's one structural rule); a key seen again later is a NEW
+    * sample occurrence, never merged backwards. Returns samples in
+    * archive order as (key, ext → bytes).
+    */
+  private[graft] def webdatasetSamples(
+      members: Seq[TarMember]): Seq[(String, Map[String, Array[Byte]])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, scala.collection.mutable.LinkedHashMap[String, Array[Byte]])]
+    for (m <- members if m.typeflag == '0') {
+      val base = m.name.substring(m.name.lastIndexOf('/') + 1)
+      val dot = base.indexOf('.')
+      val (key, ext) =
+        if (dot < 0) (base, "") else (base.substring(0, dot), base.substring(dot + 1))
+      if (out.nonEmpty && out.last._1 == key) out.last._2 += ext -> m.data
+      else out += ((key, scala.collection.mutable.LinkedHashMap(ext -> m.data)))
+    }
+    out.toSeq.map { case (k, m) => (k, m.toMap) }
+  }
+
+  /** q176: WebDataset export end to end — the OTHER standard
+    * training-shard format beside TFRecord (q152): documents shard by
+    * `doc_id % 8`, each contributing ADJACENT `<id>.txt` (the text +
+    * a multi-byte marker) and `<id>.cls` (the q170 language label)
+    * entries to a real ustar archive; the shards then RE-PARSE through
+    * the q147 walker and reassemble through the adjacency rule. The
+    * oracle replays per document the shard name, its sample count
+    * (a window count), the text sha, and the label — a header, octal
+    * size, adjacency, or checksum slip changes rows.
+    */
+  def q176WebdatasetExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langs = LangIdOps.LangNames
+    Tables.documents(spark, dir)
+      .select((col("doc_id") % 8).as("shard_id"),
+        struct(col("doc_id"), col("text")).as("s"))
+      .groupBy(col("shard_id"))
+      .agg(expr("array_sort(collect_list(s))").as("docs"))
+      .as[(Long, Seq[(Long, String)])]
+      .flatMap { case (sid, docs) =>
+        val entries = docs.flatMap { case (id, text) =>
+          val txt = (text + " Wds № " + id)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val cls = langs((id % 6).toInt)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Seq((f"$id%012d.txt", '0', txt), (f"$id%012d.cls", '0', cls))
+        }
+        val shardName = f"shard-$sid%06d.tar"
+        val tar = buildTar(entries)
+        // re-parse + sample assembly: the export is only done if the
+        // standard reader gets every sample back
+        val (status, members) = parseTar(tar)
+        if (status != "ok") Seq.empty
+        else webdatasetSamples(members).map { case (key, parts) =>
+          (key.toLong, shardName,
+            new String(parts("txt"), java.nio.charset.StandardCharsets.UTF_8),
+            new String(parts("cls"), java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      .toDF("doc_id", "shard", "text", "cls")
+      .select(col("doc_id"), col("shard"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))).as("shard_samples"),
+        sha2(col("text"), 256).as("text_sha"), col("cls"))
+      .orderBy(col("doc_id"))
+  }
 }
