@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -166,6 +166,7 @@ object SparkEntry {
     "q174_ogg_extract" -> (OggOps.q174OggExtract(_, _)),
     "q175_csv_roundtrip" -> (TabularOps.q175CsvRoundTrip(_, _)),
     "q176_webdataset_export" -> (TarOps.q176WebdatasetExport(_, _)),
+    "q177_svg_extract" -> (SvgOps.q177SvgExtract(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2000,6 +2001,24 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // SVG extraction (q177): dimensions (attribute and viewBox forms),
+    // element census, title + text runs with entity folding; comment/
+    // script/style decoys elided first - the q122 discipline on the
+    // SVG namespace
+    "q177_svg_extract" ->
+      """WITH d AS (SELECT doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+        |      AS w4
+        |  FROM documents)
+        |SELECT doc_id, (100 + doc_id % 300)::BIGINT AS width,
+        |  (80 + doc_id % 200)::BIGINT AS height,
+        |  (1 + doc_id % 4)::BIGINT AS n_paths,
+        |  (doc_id % 3)::BIGINT AS n_rects,
+        |  (1 + doc_id % 2)::BIGINT AS n_circles,
+        |  2::BIGINT AS n_texts,
+        |  'Fig № ' || doc_id AS title,
+        |  sha256(w4 || chr(10) || 'Label &' || doc_id || ' <end>') AS text_sha
+        |FROM d ORDER BY doc_id""".stripMargin,
     // WebDataset export (q176): the tar-shard training format -
     // adjacent <key>.txt/<key>.cls entries per sample, real ustar
     // shards re-parsed through the q147 walker and reassembled by the
