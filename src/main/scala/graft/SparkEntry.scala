@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -167,6 +167,7 @@ object SparkEntry {
     "q175_csv_roundtrip" -> (TabularOps.q175CsvRoundTrip(_, _)),
     "q176_webdataset_export" -> (TarOps.q176WebdatasetExport(_, _)),
     "q177_svg_extract" -> (SvgOps.q177SvgExtract(_, _)),
+    "q178_corpus_report" -> (ReportOps.q178CorpusReport(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2001,6 +2002,23 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // corpus report (q178): per-language + grand-total rows from ONE
+    // rollup pass (the q55 grouping-sets machinery); q170's label
+    // arithmetic partitions, token/char stats from the raw documents
+    "q178_corpus_report" ->
+      """WITH d AS (SELECT
+        |    CASE doc_id % 6 WHEN 0 THEN 'de' WHEN 1 THEN 'el'
+        |      WHEN 2 THEN 'en' WHEN 3 THEN 'es' WHEN 4 THEN 'fr'
+        |      ELSE 'ru' END AS lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    strlen(text)::BIGINT AS n_chars
+        |  FROM documents)
+        |SELECT coalesce(lang, 'total') AS lang,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(n_tokens)::BIGINT AS sum_tokens,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  (sum(n_tokens) // count(*))::BIGINT AS tokens_per_doc
+        |FROM d GROUP BY ROLLUP (lang) ORDER BY lang""".stripMargin,
     // SVG extraction (q177): dimensions (attribute and viewBox forms),
     // element census, title + text runs with entity folding; comment/
     // script/style decoys elided first - the q122 discipline on the

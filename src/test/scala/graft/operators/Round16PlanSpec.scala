@@ -91,6 +91,37 @@ class Round16PlanSpec extends AnyFunSuite {
     noCartesian(df)
   }
 
+  test("q174/q175/q177 are per-row chains: at most the corpus repartition " +
+    "exchanges before the final sort") {
+    for (df <- Seq(
+      OggOps.q174OggExtract(spark, sf),
+      TabularOps.q175CsvRoundTrip(spark, sf),
+      SvgOps.q177SvgExtract(spark, sf))) {
+      df.collect()
+      noCartesian(df)
+      val nonSort = deep(plan(df))
+        .collect { case s: ShuffleExchangeExec => s }
+        .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
+      assert(nonSort.size <= 1,
+        s"per-row chain plans ${nonSort.size} non-sort exchanges:\n${plan(df)}")
+    }
+  }
+
+  test("q176/q178 aggregate exactly once: the shard/rollup group-by is the " +
+    "only hash exchange") {
+    for (df <- Seq(
+      TarOps.q176WebdatasetExport(spark, sf),
+      ReportOps.q178CorpusReport(spark, sf))) {
+      df.collect()
+      noCartesian(df)
+      val hashEx = deep(plan(df))
+        .collect { case s: ShuffleExchangeExec => s }
+        .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
+      assert(hashEx.size <= 2, // group-by (+ q176's shard window)
+        s"expected one output-sized aggregation:\n${plan(df)}")
+    }
+  }
+
   test("q172: range-read reconstruction adds no exchange beyond q135's " +
     "corpus-construction group-by") {
     val df = CdxOps.q172CdxFetch(spark, sf)
