@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps, RedirectOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -168,6 +168,7 @@ object SparkEntry {
     "q176_webdataset_export" -> (TarOps.q176WebdatasetExport(_, _)),
     "q177_svg_extract" -> (SvgOps.q177SvgExtract(_, _)),
     "q178_corpus_report" -> (ReportOps.q178CorpusReport(_, _)),
+    "q179_redirect_resolve" -> (RedirectOps.q179RedirectResolve(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2002,6 +2003,20 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // redirect resolution (q179): WARC-borne 301/302 chains collapse
+    // to their block-base 200s in MaxHops bounded equi-joins;
+    // self-loops surface typed (is_loop, final '') - the URL-alias
+    // collapse every URL-keyed dedup needs first
+    "q179_redirect_resolve" ->
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  CASE WHEN doc_id % 50 = 49 THEN ''
+        |    ELSE 'https://example.test/doc/' || (doc_id - doc_id % 5)
+        |    END AS final_url,
+        |  (CASE WHEN doc_id % 50 = 49 THEN -1
+        |    ELSE doc_id % 5 END)::BIGINT AS n_hops,
+        |  (doc_id % 50 = 49) AS is_loop,
+        |  false AS unresolved
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // corpus report (q178): per-language + grand-total rows from ONE
     // rollup pass (the q55 grouping-sets machinery); q170's label
     // arithmetic partitions, token/char stats from the raw documents
