@@ -122,6 +122,21 @@ class Round16PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q179: bounded-hop resolution is equi-joins only — never cartesian, " +
+    "never an unbounded iteration") {
+    val df = RedirectOps.q179RedirectResolve(spark, sf)
+    df.collect()
+    noCartesian(df)
+    // exactly MaxHops join rounds reach the plan — the cap is structural
+    val joins = deep(plan(df)).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.size <= RedirectOps.MaxHops,
+      s"more joins than the declared hop cap:\n${plan(df)}")
+  }
+
   test("q172: range-read reconstruction adds no exchange beyond q135's " +
     "corpus-construction group-by") {
     val df = CdxOps.q172CdxFetch(spark, sf)
