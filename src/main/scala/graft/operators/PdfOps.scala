@@ -409,7 +409,18 @@ object PdfOps {
     */
   private[graft] def contentText(
       content: String,
-      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
+      fonts: Map[String, Map[Int, String]] = Map.empty): String =
+    contentTextChecked(content, fonts)._1
+
+  /** `contentText` plus the error-as-value bit: `_2` is true when a
+    * shown string was structurally bad (a hex literal carrying non-hex
+    * characters) — the caller folds it into the document's
+    * `bad-stream` status instead of silently showing nothing.
+    */
+  private[graft] def contentTextChecked(
+      content: String,
+      fonts: Map[String, Map[Int, String]] = Map.empty): (String, Boolean) = {
+    var badShown = false
     val sb = new StringBuilder
     var shown = false // text shown since last newline in this block
     var i = 0
@@ -458,6 +469,7 @@ object PdfOps {
                   (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
                   show(decodeShown(hx.grouped(2)
                     .map(b => Integer.parseInt(b, 16).toChar).mkString, curFont))
+                else badShown = true // non-hex in a hex literal: bad stream
                 p = close + 1
               }
             case '<' => p += 2 // inline dict: step over '<<'
@@ -483,7 +495,7 @@ object PdfOps {
         i = p
       }
     }
-    sb.toString
+    (sb.toString, badShown)
   }
 
   /** Inflate a zlib stream with the output cap; None on corruption or
@@ -666,7 +678,11 @@ object PdfOps {
                                   .map(new String(_,
                                     java.nio.charset.StandardCharsets.ISO_8859_1))
                               if (data.isEmpty) bad = true
-                              data.map(contentText(_, fonts))
+                              data.map { s =>
+                                val (t, badHex) = contentTextChecked(s, fonts)
+                                if (badHex) bad = true
+                                t
+                              }
                             }
                           case _ => bad = true; None
                         }

@@ -96,6 +96,15 @@ object RedirectOps {
     * final target, hop count, and flags (`is_loop` when the walk
     * revisits a url; `unresolved` when the cap is hit without a
     * non-redirect).
+    *
+    * CONTRACT: cycle detection only sees the first `MaxHops` steps — a
+    * loop whose first revisit lies beyond the cap reports
+    * `unresolved=true`, not `is_loop=true` (the walk stopped before it
+    * could observe the revisit). That is the deliberate bounded-hop
+    * semantics (real resolvers cap at 4–10 hops and treat past-cap
+    * chains as failures regardless of shape); callers reusing
+    * `resolve` on edge data with longer cycles should raise `MaxHops`
+    * rather than read `unresolved` as "acyclic".
     */
   private[graft] def resolve(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{FeedOps, RobotsOps, SitemapOps}
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,25 +13,35 @@ import org.apache.spark.sql.types.StructType
   * politeness-bucketed, robots-gated, freshness-scored fetch schedule,
   * with PER-HOST STATE carrying the crawl ranks across batches.
   *
-  * The crawler CONFIG is a standing dimension (the lmModel/evalSet
-  * discipline — robots and sitemaps refresh on config cadence, not per
-  * URL) loaded ONCE from `configDir` and parsed by the REAL parsers,
-  * never reimplementations:
-  *   - `robots_h<h>.txt`      → `RobotsOps.parseRobots` (q141)
-  *   - `sitemap_h<h>_<name>`  → `SitemapOps.parseSitemapHost` (q145;
-  *     the blob map per host, index + gzip children included) — the
-  *     per-URL lastmod/priority attributes
-  *   - `feed_h<h>.xml`        → `FeedOps.parseFeed` (q149) — folded to
-  *     the per-host publication high-water mark
+  * The crawler CONFIG splits by grain:
+  *   - HOST-grain (robots rule sets via `RobotsOps.parseRobots` (q141),
+  *     feed high-water marks via `FeedOps.parseFeed` (q149)): |hosts|
+  *     rows of bounded size each — parsed once and BROADCAST, the
+  *     lmModel/evalSet discipline.
+  *   - CORPUS-grain (the per-URL sitemap attributes via
+  *     `SitemapOps.parseSitemapHost` (q145)): at web scale this is a
+  *     URL-dimension TABLE, not driver state — `buildUrlAttrsDim`
+  *     parses each host's sitemap tree ON EXECUTORS (per-host groups)
+  *     and publishes a parquet dimension once (first-write-wins); each
+  *     batch equi-joins it by doc_id with no broadcast hint, so AQE
+  *     broadcasts a small dim and shuffles a large one.
   *
-  * Per micro-batch: discovered doc_ids join the sitemap attributes
-  * (broadcast here; bucketed-by-host at crawl scale), the robots
-  * evaluator gates each path, allowed URLs rank per host by
+  * Per micro-batch: discovered doc_ids join the sitemap dimension, the
+  * robots evaluator gates each path, allowed URLs rank per host by
   * (priority DESC, lastmod DESC, doc_id) OFFSET by the host's running
-  * counter from `stateDir`, and bucket into fetch waves; disallowed
-  * rows keep rank −1 with the winning pattern (audit, never silent).
-  * URLs the sitemaps don't know dead-letter to `rejectsDir` tagged
-  * `unknown_url`.
+  * counter, and bucket into fetch waves; disallowed rows keep rank −1
+  * with the winning pattern (audit, never silent). URLs the sitemaps
+  * don't know dead-letter to `rejectsDir` tagged `unknown_url`.
+  *
+  * PER-HOST STATE IS DISTRIBUTED end to end: the predecessor
+  * generation is read back as a DataFrame, the batch's allowed counts
+  * are a host-keyed group-by, and the new generation is their
+  * union+sum — written via `appendDiffs`, with NO `collect()` anywhere
+  * on the state path (at 10⁷–10⁸ web hosts the counters never fit a
+  * driver heap). Generation discovery is ONE `listStatus` of
+  * `stateDir` (never an O(batchId) existence probe), and superseded
+  * generations are GC'd after each commit — only the latest generation
+  * and its predecessor (the torn-batch replay anchor) remain on disk.
   *
   * ONLINE SEMANTICS, stated precisely: ranks are assigned in ARRIVAL
   * order batch-over-batch (the StreamCurate greedy-online form) — the
@@ -40,66 +50,115 @@ import org.apache.spark.sql.types.StructType
   * to pin that contract).
   *
   * Replay: per-host counters are KEYED BY BATCH in `stateDir`
-  * (`batch_id=B` holds the counters AFTER batch B); a replayed batch
-  * re-reads its predecessor's generation and recomputes identical
-  * rows, and the schedule append is first-write-wins (`appendDiffs`).
+  * (`batch_id=B` holds the counters AFTER batch B) and every sink
+  * write is first-write-wins (`appendDiffs`): a replayed batch whose
+  * outputs committed skips them; a torn batch recomputes from its
+  * intact predecessor generation. Batch 0's state depends on no prior
+  * generation, so even a full from-scratch replay (fresh checkpoint)
+  * reconverges to identical sinks.
   */
 object StreamFrontier {
 
-  /** Parsed standing config: per-host robots rules, per-URL sitemap
-    * attributes, per-host feed high-water mark.
+  /** Parsed HOST-grain standing config: per-host robots rules and the
+    * per-host feed publication high-water mark. Deliberately excludes
+    * the per-URL sitemap attributes — that dimension is corpus-sized
+    * and lives in parquet (`buildUrlAttrsDim`), never on the driver.
     */
   final case class FrontierConfig(
       rules: Map[Long, Seq[(Boolean, String)]],
-      urlAttrs: Seq[(Long, Long, String, Long, Long)], // (doc_id, h, path, lastmod, prio)
       hostMaxPub: Map[Long, Long])
 
-  /** Load + parse `configDir` with the real q141/q145/q149 parsers. */
+  /** Load + parse the host-grain config with the real q141/q149
+    * parsers.
+    */
   def loadConfig(configDir: String): FrontierConfig = {
     val dir = new java.io.File(configDir)
     val files = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
     def hostOf(name: String, prefix: String): Option[Long] =
       s"${prefix}_h(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toLong)
-    val robotsTexts = files.filter(_.getName.startsWith("robots_h")).map { f =>
+    val rules = files.filter(_.getName.startsWith("robots_h")).map { f =>
       val h = hostOf(f.getName, "robots").get
-      h -> new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-    }.toMap
-    val rules = robotsTexts.map { case (h, text) =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       h -> RobotsOps.parseRobots(text, "GraftBot").map(r => (r.allow, r.pattern))
-    }
-    val sitemapHosts = files.filter(_.getName.startsWith("sitemap_h"))
-      .groupBy(f => hostOf(f.getName, "sitemap").get)
-    val urlAttrs = sitemapHosts.toSeq.flatMap { case (h, fs) =>
-      val blobs = fs.map { f =>
-        // blob name = everything after `sitemap_h<h>_`
-        val name = f.getName.replaceFirst("sitemap_h\\d+_", "")
-        name -> java.nio.file.Files.readAllBytes(f.toPath)
-      }.toMap
-      // the host's ROOT sitemap is DISCOVERED through its robots
-      // `Sitemap:` directive (the real chain), falling back to the
-      // conventional /sitemap.xml when the robots file doesn't say
-      val root = robotsTexts.get(h)
-        .flatMap(t => RobotsOps.sitemapUrls(t).headOption)
-        .map(u => u.substring(u.lastIndexOf('/') + 1))
-        .getOrElse("sitemap.xml")
-      SitemapOps.parseSitemapHost(s"h$h.example.test", blobs, root).flatMap { u =>
-        val m = "example\\.test(/doc/\\d+)".r.findFirstMatchIn(u.loc)
-        val id = "/doc/(\\d+)".r.findFirstMatchIn(u.loc).map(_.group(1).toLong)
-        (m, id) match {
-          case (Some(pm), Some(docId)) =>
-            Some((docId, h, pm.group(1), u.lastmod_day, u.priority_tenths))
-          case _ => None
-        }
-      }
-    }
+    }.toMap
     val hostMaxPub = files.filter(_.getName.startsWith("feed_h")).map { f =>
       val h = hostOf(f.getName, "feed").get
       val xml = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val items = FeedOps.parseFeed(s"h$h.example.test", xml)
       h -> items.map(_.pub_day).foldLeft(-1L)(math.max)
     }.toMap
-    FrontierConfig(rules, urlAttrs, hostMaxPub)
+    FrontierConfig(rules, hostMaxPub)
   }
+
+  /** Publish the CORPUS-grain URL dimension: every host's sitemap tree
+    * parsed ON EXECUTORS (the config files group by host; each group's
+    * root resolves through its robots `Sitemap:` directive, falling
+    * back to the conventional `/sitemap.xml`) into a parquet table
+    * `(doc_id, h, path, lastmod_day, priority_tenths)`. First-write-
+    * wins on `_SUCCESS`; a torn earlier attempt is overwritten whole.
+    */
+  def buildUrlAttrsDim(
+      spark: SparkSession, configDir: String, dimDir: String): Unit = {
+    val dim = new Path(dimDir)
+    val fs = dim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dim, "_SUCCESS"))) return
+    import spark.implicits._
+    val robotsRe = "robots_h(\\d+)\\.txt".r
+    val sitemapRe = "sitemap_h(\\d+)_(.+)".r
+    spark.read.format("binaryFile").load(configDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        // blob name "" marks the host's robots file; sitemap blobs
+        // keep their tree-internal names (the index resolves by them)
+        p.substring(p.lastIndexOf('/') + 1) match {
+          case robotsRe(h) => Some((h.toLong, "", bytes))
+          case sitemapRe(h, blob) => Some((h.toLong, blob, bytes))
+          case _ => None
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (h, it) =>
+        val items = it.toSeq
+        val robots = items.collectFirst {
+          case (_, "", b) => new String(b, "UTF-8")
+        }
+        val blobs = items.collect {
+          case (_, n, b) if n.nonEmpty => n -> b
+        }.toMap
+        val root = robots.flatMap(t => RobotsOps.sitemapUrls(t).headOption)
+          .map(u => u.substring(u.lastIndexOf('/') + 1))
+          .getOrElse("sitemap.xml")
+        SitemapOps.parseSitemapHost(s"h$h.example.test", blobs, root)
+          .flatMap { u =>
+            val pm = "example\\.test(/doc/\\d+)".r.findFirstMatchIn(u.loc)
+            val id = "/doc/(\\d+)".r.findFirstMatchIn(u.loc)
+              .map(_.group(1).toLong)
+            (pm, id) match {
+              case (Some(m), Some(docId)) =>
+                Some((docId, h, m.group(1), u.lastmod_day, u.priority_tenths))
+              case _ => None
+            }
+          }
+          .iterator
+      }
+      .toDF("doc_id", "h", "path", "lastmod_day", "priority_tenths")
+      .write.mode("overwrite").parquet(dimDir)
+  }
+
+  /** Committed state generations under `stateDir`: ONE directory
+    * listing plus a `_SUCCESS` probe per retained generation (≤2 after
+    * GC) — never a probe per historical batch id.
+    */
+  private def stateGens(fs: FileSystem, stateDir: Path): Seq[Long] =
+    if (!fs.exists(stateDir)) Nil
+    else fs.listStatus(stateDir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("batch_id=") &&
+          fs.exists(new Path(st.getPath, "_SUCCESS")))
+        n.stripPrefix("batch_id=").toLongOption
+      else None
+    }
 
   /** Start the lane: `sourceDir` rows carry discovered `doc_id`s. */
   def run(
@@ -118,9 +177,11 @@ object StreamFrontier {
     val sc = spark.sparkContext
     val rulesB = sc.broadcast(cfg.rules)
     val freshB = sc.broadcast(cfg.hostMaxPub)
-    import spark.implicits._
-    val attrs = cfg.urlAttrs
-      .toDF("doc_id", "h", "path", "lastmod_day", "priority_tenths")
+    // the corpus-grain URL dimension: parsed distributed, published
+    // once, joined per batch (stateGens filters on the batch_id=
+    // prefix, so the dim never reads as a state generation)
+    val dimDir = s"$stateDir/urlattrs_dim"
+    buildUrlAttrsDim(spark, configDir, dimDir)
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(spark.read.parquet(sourceDir).schema))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -136,7 +197,7 @@ object StreamFrontier {
         // lane assumes an upstream-deduped discovery feed, which is
         // what the outlink/CDX emitters produce
         val known = batch.select(col("doc_id")).distinct()
-          .join(broadcast(attrs), Seq("doc_id"), "left")
+          .join(sp.read.parquet(dimDir), Seq("doc_id"), "left")
         val unknown = known.filter(col("h").isNull)
           .select(col("doc_id"), lit("unknown_url").as("reason"))
         if (!unknown.isEmpty)
@@ -155,24 +216,24 @@ object StreamFrontier {
           }
           .toDF("doc_id", "h", "host", "path", "allowed", "rule",
             "lastmod_day", "priority_tenths", "fresh_lag")
-        // per-host running offsets from the PREDECESSOR state generation
-        val fs = new Path(stateDir)
-          .getFileSystem(sp.sparkContext.hadoopConfiguration)
-        val prevGens = (0L until batchId)
-          .filter(b => fs.exists(new Path(s"$stateDir/batch_id=$b", "_SUCCESS")))
-        val prevCounts: Map[Long, Long] =
-          if (prevGens.isEmpty) Map.empty
-          else sp.read.parquet(s"$stateDir/batch_id=${prevGens.max}")
-            .as[(Long, Long)].collect().toMap // |hosts| rows — bounded
-        val offsets =
-          if (prevCounts.isEmpty) Seq((-1L, 0L)) else prevCounts.toSeq
-        val offsetsDf = offsets.toDF("h", "host_offset")
+        // per-host running offsets: the PREDECESSOR state generation,
+        // read back distributed (one listing, never per-id probes)
+        val statePath = new Path(stateDir)
+        val fs = statePath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val prevGen = stateGens(fs, statePath).filter(_ < batchId)
+          .sorted.lastOption
+        val prevState = prevGen
+          .map(g => sp.read.parquet(s"$stateDir/batch_id=$g"))
+          .getOrElse(sp.emptyDataset[(Long, Long)].toDF("h", "n"))
         val rn = row_number().over(
           Window.partitionBy(col("h"), col("allowed"))
             .orderBy(col("priority_tenths").desc, col("lastmod_day").desc,
               col("doc_id")))
+        // no broadcast hint on the offsets join: at spec scale AQE
+        // broadcasts it; at web-host cardinality it shuffles by h —
+        // the same key the ranking window already exchanged on
         val scheduled = gated
-          .join(broadcast(offsetsDf), Seq("h"), "left")
+          .join(prevState.toDF("h", "host_offset"), Seq("h"), "left")
           .withColumn("rn", rn + coalesce(col("host_offset"), lit(0L)))
           .drop("host_offset")
           .select(col("doc_id"), col("h"), col("host"), col("path"),
@@ -186,14 +247,20 @@ object StreamFrontier {
         try {
           if (!scheduled.isEmpty)
             CheckpointStream.appendDiffs(scheduled.drop("h"), scheduleDir, batchId)
-          // state AFTER this batch: previous counters + batch allowed counts
+          // state AFTER this batch: previous counters ∪ batch allowed
+          // counts, one host-keyed group-by — fully distributed, the
+          // driver never materializes a counter
           val batchCounts = scheduled.filter(col("allowed"))
-            .groupBy(col("h")).agg(count(lit(1)).as("c"))
-            .as[(Long, Long)].collect().toMap // |hosts| rows — bounded
-          val merged = (prevCounts.keySet ++ batchCounts.keySet).toSeq
-            .map(h => (h, prevCounts.getOrElse(h, 0L) + batchCounts.getOrElse(h, 0L)))
-          CheckpointStream.appendDiffs(
-            merged.toDF("h", "n"), stateDir, batchId)
+            .groupBy(col("h")).agg(count(lit(1)).as("n"))
+          val newState = prevState.unionByName(batchCounts)
+            .groupBy(col("h")).agg(sum(col("n")).cast("long").as("n"))
+          CheckpointStream.appendDiffs(newState, stateDir, batchId)
+          // GC superseded generations: keep this one and its
+          // predecessor (the torn-batch replay anchor); storage is two
+          // generations regardless of stream lifetime
+          stateGens(fs, statePath).filter(_ <= batchId - 2).foreach { g =>
+            fs.delete(new Path(s"$stateDir/batch_id=$g"), true); ()
+          }
         } finally { scheduled.unpersist(); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())

@@ -169,6 +169,11 @@ class PdfOpsSpec extends AnyFunSuite {
     // unmapped code under a mapped font passes through as Latin-1
     assert(PdfOps.contentText(
       "BT /F9 1 Tf <4142> Tj ET", Map("F9" -> Map(0x41 -> "Ω"))) == "ΩB")
+    // non-hex characters inside a hex literal: nothing shows AND the
+    // bad-stream bit raises (error-as-value, never a silent drop)
+    val (badText, badBit) = PdfOps.contentTextChecked("BT <41GZ> Tj ET")
+    assert(badText == "" && badBit)
+    assert(!PdfOps.contentTextChecked("BT <4142> Tj ET")._2)
   }
 
   test("q136 on sf0.001: every document round-trips ok with the derived text sha") {

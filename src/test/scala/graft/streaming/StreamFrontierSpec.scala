@@ -89,7 +89,32 @@ class StreamFrontierSpec extends AnyFunSuite {
       .select("doc_id", "reason").as[(Long, String)].collect()
     assert(rejects.toSeq == Seq((bogus, "unknown_url")))
 
-    // ---- state generations exist per batch (replay anchor)
+    // ---- state: latest generation + its predecessor retained, older
+    // generations GC'd, and the corpus-grain URL dimension published
+    // as parquet (never a driver Seq)
     assert(Files.exists(Paths.get(s"$base/state/batch_id=2")))
+    assert(Files.exists(Paths.get(s"$base/state/batch_id=1")))
+    assert(!Files.exists(Paths.get(s"$base/state/batch_id=0")),
+      "superseded state generations must be deleted")
+    assert(Files.exists(Paths.get(s"$base/state/urlattrs_dim/_SUCCESS")))
+    val dimRows = spark.read.parquet(s"$base/state/urlattrs_dim").count()
+    assert(dimRows == docIds.size, s"dim rows $dimRows != ${docIds.size}")
+
+    // ---- replay: a fresh checkpoint over the same feed/sinks must
+    // reconverge — first-write-wins skips committed batches, batch 0's
+    // state rebuilds from nothing (its GC'd generation is recomputed
+    // identically), and the drained schedule stays byte-identical
+    val q2 = StreamFrontier.run(spark, s"$base/feed/chunk=*", s"$base/ckpt2",
+      s"$base/schedule", s"$base/state", s"$base/rejects", s"$base/config")
+    q2.awaitTermination(180000L)
+    assert(!q2.isActive)
+    val replayed = spark.read.parquet(s"$base/schedule")
+      .select(cols.map(col): _*).orderBy("doc_id").collect().map(_.toSeq)
+    assert(replayed.length == batch.length, "replay must not duplicate")
+    replayed.zip(batch).foreach { case (d, b) => assert(d == b, s"$d != $b") }
+    val rejects2 = spark.read.parquet(s"$base/rejects")
+      .select("doc_id", "reason").as[(Long, String)].collect()
+    assert(rejects2.toSeq == Seq((bogus, "unknown_url")),
+      "replay must not duplicate dead-letters")
   }
 }
