@@ -169,6 +169,7 @@ object SparkEntry {
     "q177_svg_extract" -> (SvgOps.q177SvgExtract(_, _)),
     "q178_corpus_report" -> (ReportOps.q178CorpusReport(_, _)),
     "q179_redirect_resolve" -> (RedirectOps.q179RedirectResolve(_, _)),
+    "q180_langid_und" -> (LangIdOps.q180LangIdUnd(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2872,6 +2873,25 @@ object SparkEntry {
         |    ELSE 'ru' END AS pred_lang,
         |  (doc_id % 4 != 1) AS is_train,
         |  30::BIGINT AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // language identification with abstention (q180): twelve trained
+    // languages on the doc_id % 14 axis plus two planted OUT-OF-MODEL
+    // languages (fi/eo) that must land the calibrated 'und' verdict
+    // (top-two margin per trigram under 1.0 nats abstains; measured
+    // gap: in-model >= 1.81, out-of-model <= 0.19)
+    "q180_langid_und" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 14 WHEN 0 THEN 'de' WHEN 1 THEN 'el'
+        |    WHEN 2 THEN 'en' WHEN 3 THEN 'es' WHEN 4 THEN 'fr'
+        |    WHEN 5 THEN 'it' WHEN 6 THEN 'nl' WHEN 7 THEN 'pl'
+        |    WHEN 8 THEN 'pt' WHEN 9 THEN 'ru' WHEN 10 THEN 'sv'
+        |    WHEN 11 THEN 'tr' ELSE 'und' END AS true_lang,
+        |  CASE doc_id % 14 WHEN 0 THEN 'de' WHEN 1 THEN 'el'
+        |    WHEN 2 THEN 'en' WHEN 3 THEN 'es' WHEN 4 THEN 'fr'
+        |    WHEN 5 THEN 'it' WHEN 6 THEN 'nl' WHEN 7 THEN 'pl'
+        |    WHEN 8 THEN 'pt' WHEN 9 THEN 'ru' WHEN 10 THEN 'sv'
+        |    WHEN 11 THEN 'tr' ELSE 'und' END AS pred_lang,
+        |  (doc_id % 14 < 12 AND doc_id % 4 != 1) AS is_train
         |FROM documents ORDER BY doc_id""".stripMargin,
     // VP8 B_PRED decode (q168): the q138 strip with all-TM 4×4
     // macroblocks carrying one DC residual in subblock (3,3) — rows

@@ -222,21 +222,70 @@ object CdxOps {
     }
   }
 
-  /** q172: CDX-driven SELECTIVE record access end to end — index the
-    * q135 production-shape gzip-member archives (compressed member
-    * extents), then reconstruct every document by RANGE-READING its
-    * record through `fetchRecordGz` — no full-archive walk on the
-    * extraction path — and extract via the q128 chain. The output
-    * contract (and oracle) is exactly q135's: if any extent is off by
-    * a byte, the member inflate fails or desyncs and rows change.
+  /** The STANDING CDX artifact for a corpus state: `cdx-<fp>` parquet
+    * keyed by the documents corpus fingerprint (the `graph-<fp>`
+    * discipline, `SimilarityOps.corpusFingerprint`) — built once per
+    * corpus state from one archive walk, range-read from forever
+    * after; stale fingerprints GC on the next build check. Returns the
+    * index dir.
+    */
+  private[graft] def standingCdxIndex(
+      spark: SparkSession, dir: String,
+      archives: DataFrame): String = {
+    import spark.implicits._
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_cdx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fp = SimilarityOps.corpusFingerprint(
+      corpusPath.getFileSystem(hconf), corpusPath)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val idxFs = rootPath.getFileSystem(hconf)
+    val indexDir = s"$root/cdx-$fp"
+    if (!idxFs.exists(new org.apache.hadoop.fs.Path(indexDir, "_SUCCESS")))
+      graft.BenchPhases.timed("cdx_build") {
+        archives.as[(Long, Array[Byte])]
+          .flatMap { case (gid, warc) =>
+            cdxRecordsGz(s"crawl_$gid.warc", warc).map(r =>
+              (gid, r.urlkey, r.ts, r.url, r.mime, r.status, r.digest,
+                r.offset, r.length, r.filename))
+          }
+          .toDF("group_id", "urlkey", "ts", "url", "mime", "status",
+            "digest", "offset", "length", "filename")
+          .write.mode("overwrite").parquet(indexDir)
+      }
+    idxFs.listStatus(rootPath).map(_.getPath)
+      .filter(p => p.getName.matches("cdx-[0-9a-f]{16}") &&
+        p.getName != s"cdx-$fp")
+      .foreach(p => idxFs.delete(p, true))
+    indexDir
+  }
+
+  /** q172: CDX-driven SELECTIVE record access end to end — the q135
+    * production-shape gzip-member archives are indexed ONCE into the
+    * standing `cdx-<fp>` artifact (compressed member extents), then
+    * every document reconstructs by RANGE-READING its record through
+    * `fetchRecordGz` against the extents READ BACK from the artifact —
+    * no archive walk on the extraction path, which is the actual
+    * 100 TB pattern (index once, fetch many). The output contract (and
+    * oracle) is exactly q135's: if any persisted extent is off by a
+    * byte, the member inflate fails or desyncs and rows change.
     */
   def q172CdxFetch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val recs = WarcOps.syntheticWarcGz(Tables.documents(spark, dir))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (gid, warc) =>
-        cdxRecordsGz(s"crawl_$gid.warc", warc).flatMap { row =>
-          fetchRecordGz(warc, row.offset, row.length)
+    val archives = WarcOps.syntheticWarcGz(Tables.documents(spark, dir))
+    val indexDir = standingCdxIndex(spark, dir, archives)
+    // per-archive extent lists from the ARTIFACT (offset-sorted for a
+    // deterministic fetch order), equi-joined to the archive bytes
+    val extents = spark.read.parquet(indexDir)
+      .groupBy(col("group_id"))
+      .agg(expr("array_sort(collect_list(struct(offset, length)))").as("exts"))
+    val recs = archives.join(extents, Seq("group_id"))
+      .select(col("group_id"), col("warc"), col("exts"))
+      .as[(Long, Array[Byte], Seq[(Long, Long)])]
+      .mapPartitions(_.flatMap { case (gid, warc, exts) =>
+        exts.flatMap { case (off, len) =>
+          fetchRecordGz(warc, off, len)
             .map { case (uri, st, body, enc, cs) =>
               WarcOps.WarcHttpRecord(gid, uri, st, body, enc, cs)
             }

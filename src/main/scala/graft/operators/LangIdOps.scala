@@ -68,21 +68,82 @@ object LangIdOps {
 
   private[graft] val LangNames: Seq[String] = Langs.map(_._1)
 
-  /** Constructed corpus: per doc 30 words from its language's table,
-    * chosen by `(doc_id·7 + j·13) mod 24` — the oracle's arithmetic.
+  /** Six more trained languages (q180 breadth): two Romance, two
+    * Germanic, one Slavic, one Turkic — every new Latin-script table
+    * must separate from the q170 four AND from each other by trigram
+    * statistics alone.
     */
-  private[graft] def syntheticLangText(docs: DataFrame): DataFrame = {
+  private[graft] val LangsMore: Seq[(String, Seq[String])] = Seq(
+    "it" -> Seq("però", "città", "perché", "gli", "che", "non", "anche",
+      "più", "essere", "tempo", "persone", "domanda", "risposta",
+      "governo", "storia", "esempio", "situazione", "problema",
+      "famiglia", "lavoro", "sempre", "lingua", "italiano", "ragazzo"),
+    "nl" -> Seq("het", "een", "niet", "ook", "maar", "voor", "zijn",
+      "worden", "mensen", "tijd", "vraag", "antwoord", "regering",
+      "geschiedenis", "voorbeeld", "situatie", "probleem", "familie",
+      "werk", "altijd", "taal", "nederlands", "jongen", "schrijven"),
+    "pl" -> Seq("jest", "nie", "się", "język", "polski", "bardzo",
+      "duży", "czas", "człowiek", "ponieważ", "myśl", "wiedza",
+      "pytanie", "odpowiedź", "rząd", "przykład", "sytuacja",
+      "kłopot", "rodzina", "praca", "zawsze", "dzisiaj", "jutro",
+      "książka"),
+    "pt" -> Seq("não", "são", "uma", "mas", "também", "depois",
+      "coração", "criança", "amanhã", "pergunta", "resposta",
+      "governo", "história", "exemplo", "situação", "problema",
+      "família", "trabalho", "sempre", "língua", "português",
+      "menino", "ação", "coisa"),
+    "sv" -> Seq("och", "är", "inte", "också", "men", "för", "vara",
+      "människor", "tid", "fråga", "svar", "regering", "exempel",
+      "läge", "bekymmer", "familj", "arbete", "alltid", "språk",
+      "svenska", "pojke", "skriva", "förstå", "idag"),
+    "tr" -> Seq("ve", "bir", "değil", "için", "çok", "büyük", "zaman",
+      "insan", "çünkü", "düşünce", "bilgi", "soru", "cevap",
+      "hükümet", "tarih", "örnek", "durum", "sorun", "aile",
+      "çalışma", "daima", "bugün", "yarın", "kitap"))
+
+  /** The q180 trained dozen, alphabetical (the oracle's `doc_id % 14`
+    * axis runs over these twelve then the two foreign tables).
+    */
+  private[graft] val Langs12: Seq[(String, Seq[String])] =
+    (Langs ++ LangsMore).sortBy(_._1)
+
+  /** OUT-OF-MODEL languages (never trained): documents built from
+    * these must land the calibrated `und` verdict — a gate that always
+    * answers mislabels everything outside its training set.
+    */
+  private[graft] val LangsForeign: Seq[(String, Seq[String])] = Seq(
+    "fi" -> Seq("ja", "on", "ei", "myös", "mutta", "olla", "ihminen",
+      "aika", "kysymys", "vastaus", "hallitus", "esimerkki", "tilanne",
+      "ongelma", "perhe", "työ", "aina", "kieli", "suomi", "poika",
+      "kirjoittaa", "ymmärtää", "tänään", "huomenna"),
+    "eo" -> Seq("kaj", "estas", "ne", "ankaŭ", "sed", "por", "esti",
+      "homoj", "tempo", "demando", "respondo", "registaro", "historio",
+      "ekzemplo", "situacio", "problemo", "familio", "laboro", "ĉiam",
+      "lingvo", "esperanto", "knabo", "skribi", "kompreni"))
+
+  /** Constructed corpus over an arbitrary table list: per doc 30 words
+    * from table `doc_id mod |tables|`, chosen by
+    * `(doc_id·7 + j·13) mod 24` — the oracle's arithmetic. `_2` is the
+    * TABLE's language (the planted truth before any und-folding).
+    */
+  private[graft] def syntheticTextOf(
+      docs: DataFrame, langTables: Seq[(String, Seq[String])]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tables = Langs.map(_._2)
-    val langNames = LangNames
+    val tables = langTables.map(_._2)
+    val names = langTables.map(_._1)
+    val nl = langTables.length
     docs.select(col("doc_id")).as[Long].map { id =>
-      val li = (id % 6).toInt
+      val li = (id % nl).toInt
       val t = tables(li)
       val ws = (0 until 30).map(j => t(((id * 7 + j * 13) % 24).toInt))
-      (id, langNames(li), ws.mkString(" "))
+      (id, names(li), ws.mkString(" "))
     }.toDF("doc_id", "true_lang", "text")
   }
+
+  /** The q170 six-language corpus (fixed axis `doc_id % 6`). */
+  private[graft] def syntheticLangText(docs: DataFrame): DataFrame =
+    syntheticTextOf(docs, Langs)
 
   /** Padded char trigrams of each whitespace word in column `textCol`
     * (the `_word_` padding makes word boundaries part of the signal).
@@ -100,7 +161,8 @@ object LangIdOps {
     * bounded at 6×`NBuckets` rows regardless of corpus size and
     * plan-pinned in Round16PlanSpec).
     */
-  private[graft] def trainModel(train: DataFrame): DataFrame = {
+  private[graft] def trainModel(
+      train: DataFrame, langNames: Seq[String] = LangNames): DataFrame = {
     val spark = train.sparkSession
     val counts = train
       .select(col("true_lang").as("lang"), explode(gramsOf("text")).as("g"))
@@ -109,7 +171,7 @@ object LangIdOps {
     val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
     val buckets = counts.select(col("bucket")).distinct()
     val langs = spark.createDataFrame(
-      spark.sparkContext.parallelize(LangNames.map(org.apache.spark.sql.Row(_)), 1),
+      spark.sparkContext.parallelize(langNames.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("lang",
           org.apache.spark.sql.types.StringType))))
@@ -137,6 +199,44 @@ object LangIdOps {
       .groupBy(col("doc_id"))
       .agg(expr("max_by(lang, struct(score, lang))").as("pred_lang"))
 
+  /** `predict` with CALIBRATED ABSTENTION: a verdict row for EVERY
+    * input doc (never a silent loss), `und` when the top-two score
+    * margin per trigram falls under `tauPerGram` nats OR the doc
+    * yielded no scorable bucket at all. The margin normalizes by the
+    * doc's gram count so the threshold is length-free; ties inside the
+    * top-two sort break to the lexicographically larger lang (the
+    * `max_by` convention).
+    */
+  private[graft] def predictAbstain(
+      docs: DataFrame, model: DataFrame, tauPerGram: Double): DataFrame = {
+    val db = docs
+      .select(col("doc_id"), explode(gramsOf("text")).as("g"))
+      .select(col("doc_id"), ClassifyOps.bucketOf(col("g"), NBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("dc"))
+    val grams = db.groupBy(col("doc_id")).agg(sum(col("dc")).as("n_grams"))
+    val verdicts = db
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("dc") * col("logp")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(expr("array_sort(collect_list(struct(score, lang)))").as("sl"))
+      .join(grams, Seq("doc_id"))
+      .select(col("doc_id"),
+        element_at(col("sl"), -1).getField("lang").as("top_lang"),
+        ((element_at(col("sl"), -1).getField("score") -
+          element_at(col("sl"), -2).getField("score")) / col("n_grams"))
+          .as("margin"))
+      .select(col("doc_id"),
+        when(col("margin") >= tauPerGram, col("top_lang"))
+          .otherwise(lit("und")).as("pred_lang"),
+        col("margin"))
+    docs.select(col("doc_id")).distinct()
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("margin"), lit(0.0)).as("margin"))
+  }
+
   /** q170: language identification end to end — train the hashed NB
     * model on the `doc_id % 4 != 1` split of the constructed
     * six-language corpus, predict EVERY document (held-out quarter
@@ -148,11 +248,53 @@ object LangIdOps {
   def q170LangId(spark: SparkSession, dir: String): DataFrame = {
     val corpus = syntheticLangText(Tables.documents(spark, dir))
     val model = trainModel(corpus.filter(col("doc_id") % 4 =!= 1))
+    // LEFT join + typed `und`: a doc whose buckets were all unseen in
+    // training surfaces with an explicit unknown verdict instead of
+    // silently vanishing from the output (the no-silent-loss
+    // discipline; on this corpus every doc scores, so the oracle is
+    // unchanged)
     corpus
-      .join(predict(corpus, model), Seq("doc_id"))
-      .select(col("doc_id"), col("true_lang"), col("pred_lang"),
+      .join(predict(corpus, model), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("true_lang"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
         (col("doc_id") % 4 =!= 1).as("is_train"),
         lit(30L).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q180 abstention threshold: nats of top-two margin per trigram
+    * a verdict must clear. Measured on the constructed corpora the
+    * in-model margins sit far above 1.0 and the out-of-model (fi/eo)
+    * margins far below — the calibration spec pins both sides of the
+    * gap.
+    */
+  private[graft] val TauPerGram = 1.0
+
+  /** q180: language identification with BREADTH + ABSTENTION — twelve
+    * trained languages (the q170 six plus it/nl/pl/pt/sv/tr: seven
+    * Latin-script languages that only trigram statistics separate) and
+    * two PLANTED OUT-OF-MODEL languages (fi/eo) whose documents must
+    * land the calibrated `und` verdict; trained docs keep the
+    * `doc_id % 4 != 1` held-out discipline. The oracle replays every
+    * verdict from the `doc_id % 14` axis — a misfire on either side of
+    * the abstention threshold changes rows.
+    */
+  def q180LangIdUnd(spark: SparkSession, dir: String): DataFrame = {
+    val all = Langs12 ++ LangsForeign
+    val trained = Langs12.map(_._1).toSet
+    val corpus = syntheticTextOf(Tables.documents(spark, dir), all)
+    val model = trainModel(
+      corpus.filter(col("true_lang").isInCollection(trained) &&
+        col("doc_id") % 4 =!= 1),
+      Langs12.map(_._1))
+    val truth = when(col("true_lang").isInCollection(trained),
+      col("true_lang")).otherwise(lit("und"))
+    corpus
+      .join(predictAbstain(corpus, model, TauPerGram), Seq("doc_id"), "left")
+      .select(col("doc_id"), truth.as("true_lang"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        (col("true_lang").isInCollection(trained) &&
+          col("doc_id") % 4 =!= 1).as("is_train"))
       .orderBy(col("doc_id"))
   }
 }

@@ -94,6 +94,29 @@ class CdxOpsSpec extends AnyFunSuite {
     viaFetch.zip(viaWalk).foreach { case (f, w) => assert(f == w) }
   }
 
+  test("the CDX index is a STANDING fingerprint-keyed artifact: built " +
+    "once, served from disk on re-run, stale generations GC'd") {
+    val spark = graft.SparkTestSession.spark
+    val dir = "/root/testdata/sf0.001"
+    val root = new java.io.File(sys.props("java.io.tmpdir") +
+      "/graft_cdx_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    // a planted stale generation must be deleted by the next build check
+    val stale = new java.io.File(root, "cdx-" + "0" * 16)
+    stale.mkdirs()
+    CdxOps.q172CdxFetch(spark, dir).count()
+    val gens = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("cdx-")).map(_.getName).toSeq
+    assert(gens.length == 1, s"exactly one live generation: $gens")
+    assert(!stale.exists(), "stale generation must be GC'd")
+    val live = new java.io.File(root, gens.head)
+    val mtime = live.lastModified()
+    val success = new java.io.File(live, "_SUCCESS")
+    assert(success.exists())
+    // re-run: the artifact is reused, not rebuilt (mtime unchanged)
+    CdxOps.q172CdxFetch(spark, dir).count()
+    assert(live.lastModified() == mtime, "re-run must not rebuild the index")
+  }
+
   test("non-response records are skipped but still advance the walk") {
     val req = record("https://a.test/1", "2026-01-01T00:00:00Z", "q", warcType = "request")
     val resp = record("https://a.test/2", "2026-01-01T00:00:00Z", "r")

@@ -137,15 +137,22 @@ class Round16PlanSpec extends AnyFunSuite {
       s"more joins than the declared hop cap:\n${plan(df)}")
   }
 
-  test("q172: range-read reconstruction adds no exchange beyond q135's " +
-    "corpus-construction group-by") {
+  test("q172: range-read reconstruction exchanges only at archive " +
+    "grain — the corpus-construction group-by plus the standing-index " +
+    "extent rollup, joined per archive") {
     val df = CdxOps.q172CdxFetch(spark, sf)
     df.collect()
     noCartesian(df)
+    // two hash exchanges, both keyed group_id (one archive row each):
+    // the synthetic-archive build and the cdx-<fp> artifact's
+    // per-archive extent collect_list; the join between them is
+    // archive-grain too, never record-grain
     val hashEx = deep(plan(df))
       .collect { case s: ShuffleExchangeExec => s }
       .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
-    assert(hashEx.size == 1,
-      s"q172 expects exactly the synthetic-archive group-by exchange:\n${plan(df)}")
+    assert(hashEx.size <= 2,
+      s"q172 expects only the two archive-grain exchanges:\n${plan(df)}")
+    assert(hashEx.forall(_.outputPartitioning.toString.contains("group_id")),
+      s"q172 exchanges must be archive-grain (group_id):\n${plan(df)}")
   }
 }
