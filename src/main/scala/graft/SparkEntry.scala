@@ -170,6 +170,8 @@ object SparkEntry {
     "q178_corpus_report" -> (ReportOps.q178CorpusReport(_, _)),
     "q179_redirect_resolve" -> (RedirectOps.q179RedirectResolve(_, _)),
     "q180_langid_und" -> (LangIdOps.q180LangIdUnd(_, _)),
+    "q181_pdf_cid" -> (PdfOps.q181PdfCidExtract(_, _)),
+    "q182_frontier_timing" -> (FrontierOps.q182FrontierTiming(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2874,6 +2876,60 @@ object SparkEntry {
         |  (doc_id % 4 != 1) AS is_train,
         |  30::BIGINT AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // timed frontier politeness (q182): the q154 schedule by TIME —
+    // each host's k-th allowed URL fetches at (k-1) x its robots
+    // group's Crawl-delay (planted 1 + h % 3; the foreign group's 99 s
+    // is a decoy), waves become 60-second time bands; a delay-parse,
+    // group-selection, or band slip changes rows
+    "q182_frontier_timing" ->
+      """WITH u AS (SELECT doc_id, doc_id % 8 AS h,
+        |    (make_date(2026, (doc_id % 12 + 1)::INT, (doc_id % 28 + 1)::INT) -
+        |      DATE '1970-01-01') AS lastmod_day,
+        |    CASE WHEN doc_id % 5 = 0 THEN 5 ELSE doc_id % 10 END
+        |      AS priority_tenths
+        |  FROM documents),
+        |g AS (SELECT doc_id, h, lastmod_day, priority_tenths,
+        |    NOT (doc_id % 10 = 3 OR (h % 2 = 1 AND doc_id % 10 = 7)) AS allowed,
+        |    CASE WHEN doc_id % 10 = 3 THEN '/doc/*3$'
+        |      WHEN h % 2 = 1 AND doc_id % 10 = 7 THEN '/doc/*7$'
+        |      ELSE '/doc/' END AS rule,
+        |    max(lastmod_day) OVER (PARTITION BY h) - lastmod_day AS fresh_lag
+        |  FROM u),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY h, allowed
+        |    ORDER BY priority_tenths DESC, lastmod_day DESC, doc_id) AS rn
+        |  FROM g)
+        |SELECT doc_id, 'h' || h || '.example.test' AS host,
+        |  '/doc/' || doc_id AS path, allowed, rule,
+        |  lastmod_day::BIGINT AS lastmod_day,
+        |  priority_tenths::BIGINT AS priority_tenths,
+        |  fresh_lag::BIGINT AS fresh_lag,
+        |  (CASE WHEN allowed THEN rn ELSE -1 END)::BIGINT AS crawl_rank,
+        |  (1 + h % 3)::BIGINT AS crawl_delay,
+        |  (CASE WHEN allowed THEN (rn - 1) * (1 + h % 3) ELSE -1 END)::BIGINT
+        |    AS fetch_at_s,
+        |  (CASE WHEN allowed THEN (rn - 1) * (1 + h % 3) // 60 + 1
+        |    ELSE -1 END)::BIGINT AS time_wave
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // PDF CID fonts (q181): the q136 corpus plus an Identity-H Type0
+    // font per document whose 2-byte /ToUnicode CMap (2-byte
+    // codespace, contiguous + ARRAY-form bfrange, wide bfchars)
+    // decodes a planted CJK line shown as one hex string — the
+    // professional-writer layout for CJK text; the oracle appends the
+    // constant decoded line under the same sha
+    "q181_pdf_cid" ->
+      """WITH p AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT doc_id, (len(ws) + 1) // 2 AS na, ws FROM p),
+        |t AS (SELECT doc_id,
+        |    'Doc ' || doc_id || chr(10) ||
+        |    array_to_string(list_slice(ws, 1, na::INT), ' ') || chr(10) ||
+        |    array_to_string(list_slice(ws, (na + 1)::INT, len(ws)), ' ') ||
+        |    chr(10) || 'Tail (' || doc_id || ') \ AB end' ||
+        |    chr(10) || 'éè€Ł ΔΕΖΗ ❤' ||
+        |    chr(10) || '一丁丂七 日本語 あ' AS text
+        |  FROM q)
+        |SELECT doc_id, 'ok' AS status, 2::BIGINT AS n_pages,
+        |  2::BIGINT AS n_streams, sha256(text) AS text_sha
+        |FROM t ORDER BY doc_id""".stripMargin,
     // language identification with abstention (q180): twelve trained
     // languages on the doc_id % 14 axis plus two planted OUT-OF-MODEL
     // languages (fi/eo) that must land the calibrated 'und' verdict

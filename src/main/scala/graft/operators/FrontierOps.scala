@@ -40,20 +40,24 @@ object FrontierOps {
     * plus a foreign-agent deny-all decoy that must never leak.
     */
   private[graft] def schedulerRobots(h: Long): String =
-    "User-agent: OtherBot\nDisallow: /\n\n" +
+    "User-agent: OtherBot\nDisallow: /\nCrawl-delay: 99\n\n" +
       "User-agent: GraftBot\nDisallow: /doc/*3$\n" +
       (if (h % 2 == 1) "Disallow: /doc/*7$\n" else "") +
-      "Allow: /doc/\n\n" +
+      "Allow: /doc/\n" +
+      // the host's politeness record: 1–3 s between fetches (the
+      // OtherBot group's 99 s is a decoy that must never leak)
+      s"Crawl-delay: ${1 + h % 3}\n\n" +
       // the GLOBAL discovery record (ignored by the rule parser; the
       // frontier lane resolves the host's sitemap tree through it)
       s"Sitemap: https://h$h.example.test/sitemap.xml\n"
 
-  /** q154: the fetch schedule end to end — frontier URLs gated by the
-    * real robots evaluator, scored by sitemap recency against the
-    * host's feed high-water mark, ranked and politeness-bucketed per
-    * host; every column oracle-replayed.
+  /** The gated + per-host-ranked frame shared by q154 and q182:
+    * frontier URLs gated by the real robots evaluator (verdict +
+    * winning rule + the group's Crawl-delay), scored by sitemap
+    * recency against the host's feed high-water mark, ranked per
+    * (host, allowed).
     */
-  def q154FrontierSchedule(spark: SparkSession, dir: String): DataFrame = {
+  private def gatedRanked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     // frontier: q145's lastmod/priority arithmetic on the /doc/ space
@@ -68,11 +72,15 @@ object FrontierOps {
       lastmod.as("lastmod_day"),
       when(col("doc_id") % 5 === 0, lit(5L))
         .otherwise(col("doc_id") % 10).as("priority_tenths"))
-    // robots: the REAL q141 evaluator over the planted rule files
+    // robots: the REAL q141 evaluator over the planted rule files,
+    // including the GraftBot group's Crawl-delay (default 1 s)
     val hostRules = docs.select((col("doc_id") % 8).as("h")).distinct().as[Long]
-      .map(h => (h, RobotsOps.parseRobots(schedulerRobots(h), "GraftBot")
-        .map(r => (r.allow, r.pattern))))
-      .toDF("h", "rules")
+      .map { h =>
+        val txt = schedulerRobots(h)
+        (h, RobotsOps.parseRobots(txt, "GraftBot").map(r => (r.allow, r.pattern)),
+          RobotsOps.crawlDelay(txt, "GraftBot").getOrElse(1L))
+      }
+      .toDF("h", "rules", "crawl_delay")
     // freshness: the q149 publication dates folded per host
     val hostFresh = docs
       .select((col("doc_id") % 8).as("h"), lastmod.as("pub_day"))
@@ -80,20 +88,28 @@ object FrontierOps {
     val gated = urls
       .join(broadcast(hostRules), Seq("h"))
       .join(broadcast(hostFresh), Seq("h"))
-      .as[(Long, Long, String, Long, Long, Seq[(Boolean, String)], Long)]
-      .map { case (h, id, path, lm, prio, rules, hi) =>
+      .as[(Long, Long, String, Long, Long, Seq[(Boolean, String)], Long, Long)]
+      .map { case (h, id, path, lm, prio, rules, delay, hi) =>
         val (allowed, rule) = RobotsOps.decide(
           rules.map { case (a, p) => RobotsOps.RobotsRule(a, p) }, path)
-        (id, s"h$h.example.test", path, allowed, rule, lm, prio, hi - lm)
+        (id, s"h$h.example.test", path, allowed, rule, lm, prio, hi - lm, delay)
       }
       .toDF("doc_id", "host", "path", "allowed", "rule", "lastmod_day",
-        "priority_tenths", "fresh_lag")
+        "priority_tenths", "fresh_lag", "crawl_delay")
     val rn = row_number().over(
       Window.partitionBy(col("host"), col("allowed"))
         .orderBy(col("priority_tenths").desc, col("lastmod_day").desc,
           col("doc_id")))
-    gated
-      .withColumn("rn", rn)
+    gated.withColumn("rn", rn)
+  }
+
+  /** q154: the fetch schedule end to end — frontier URLs gated by the
+    * real robots evaluator, scored by sitemap recency against the
+    * host's feed high-water mark, ranked and politeness-bucketed per
+    * host; every column oracle-replayed.
+    */
+  def q154FrontierSchedule(spark: SparkSession, dir: String): DataFrame =
+    gatedRanked(spark, dir)
       .select(col("doc_id"), col("host"), col("path"), col("allowed"),
         col("rule"), col("lastmod_day"), col("priority_tenths"),
         col("fresh_lag"),
@@ -102,5 +118,31 @@ object FrontierOps {
         when(col("allowed"), (col("rn") - 1) / 50 + 1).otherwise(lit(-1))
           .cast("long").as("fetch_wave"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Seconds per time wave in the q182 timed schedule. */
+  private[graft] val WaveSeconds = 60L
+
+  /** q182: TIMED politeness — the q154 schedule rescheduled by TIME:
+    * each host's k-th allowed URL fetches at `(k−1) × Crawl-delay`
+    * seconds (the per-host politeness record parsed from its robots
+    * group — never the foreign group's decoy), and fetch waves become
+    * 60-second TIME bands, so a 1-s host ships ~60 URLs per wave while
+    * a 3-s host ships ~20 — rank bands alone cannot express that
+    * interleaving. Every column oracle-replayed from the planted
+    * `1 + h % 3` delays.
+    */
+  def q182FrontierTiming(spark: SparkSession, dir: String): DataFrame =
+    gatedRanked(spark, dir)
+      .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+        col("rule"), col("lastmod_day"), col("priority_tenths"),
+        col("fresh_lag"),
+        when(col("allowed"), col("rn")).otherwise(lit(-1))
+          .cast("long").as("crawl_rank"),
+        col("crawl_delay").cast("long").as("crawl_delay"),
+        when(col("allowed"), (col("rn") - 1) * col("crawl_delay"))
+          .otherwise(lit(-1)).cast("long").as("fetch_at_s"),
+        when(col("allowed"),
+          (col("rn") - 1) * col("crawl_delay") / WaveSeconds + 1)
+          .otherwise(lit(-1)).cast("long").as("time_wave"))
+      .orderBy(col("doc_id"))
 }

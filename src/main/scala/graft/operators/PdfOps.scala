@@ -326,23 +326,46 @@ object PdfOps {
     Right(out.result())
   }
 
-  /** `/ToUnicode` CMap walk: `bfchar` pairs and contiguous `bfrange`
-    * triples over SINGLE-BYTE codes (the simple-font shape). Declared
-    * dead-letters (`unsupported-cmap`): multi-byte source codes (CID
-    * fonts — a 2-byte codespace or wide `bf` source), the bfrange
-    * array-destination form, and malformed hex.
+  /** A font's decode table plus its CODE WIDTH in bytes: 1 for simple
+    * fonts (`/Differences`, single-byte CMaps), 2 for CID-keyed Type0
+    * fonts (Identity-H class — shown strings consume two bytes per
+    * code, and the ToUnicode CMap is the whole decode; no
+    * `/CIDToGIDMap` is needed because text extraction never touches
+    * glyphs).
     */
-  private[graft] def parseToUnicode(cmap: String): Either[String, Map[Int, String]] = {
+  private[graft] final case class FontMap(width: Int, m: Map[Int, String])
+
+  /** `/ToUnicode` CMap walk: `bfchar` pairs and `bfrange` entries in
+    * BOTH the contiguous (`<lo> <hi> <dstBase>`) and the ARRAY
+    * (`<lo> <hi> [<dst> …]`) forms, over single-byte OR 2-byte
+    * codespaces (the CID shape — every source token must carry the
+    * codespace's width). Declared dead-letters (`unsupported-cmap`):
+    * mixed-width or >2-byte codespaces, width-inconsistent source
+    * codes, an array whose length disagrees with its range, a range
+    * wider than 4096 codes, and malformed hex.
+    */
+  private[graft] def parseToUnicode(cmap: String): Either[String, FontMap] = {
     val hexTok = """<([0-9A-Fa-f]+)>""".r
-    // codespace: any range endpoint wider than one byte is a CID font
+    // codespace: all endpoints one byte → width 1, all two bytes →
+    // width 2 (the CID shape); anything mixed or wider dead-letters
+    var width = 0
     var p = cmap.indexOf("begincodespacerange")
     while (p >= 0) {
       val e = cmap.indexOf("endcodespacerange", p)
       if (e < 0) return Left("unsupported-cmap")
-      if (hexTok.findAllMatchIn(cmap.substring(p, e)).exists(_.group(1).length > 2))
-        return Left("unsupported-cmap")
+      for (m <- hexTok.findAllMatchIn(cmap.substring(p, e))) {
+        val w = m.group(1).length match {
+          case 2 => 1
+          case 4 => 2
+          case _ => return Left("unsupported-cmap")
+        }
+        if (width == 0) width = w
+        else if (width != w) return Left("unsupported-cmap")
+      }
       p = cmap.indexOf("begincodespacerange", e)
     }
+    if (width == 0) width = 1 // no codespacerange: the simple-font default
+    val srcLen = 2 * width
     val out = Map.newBuilder[Int, String]
     def dstString(hx: String): Option[String] =
       if (hx.length % 4 != 0 || hx.isEmpty) None
@@ -356,7 +379,7 @@ object PdfOps {
       val toks = hexTok.findAllMatchIn(cmap.substring(p, e)).map(_.group(1)).toSeq
       if (toks.length % 2 != 0) return Left("unsupported-cmap")
       for (Seq(src, dst) <- toks.grouped(2)) {
-        if (src.length != 2) return Left("unsupported-cmap")
+        if (src.length != srcLen) return Left("unsupported-cmap")
         dstString(dst) match {
           case Some(s) => out += Integer.parseInt(src, 16) -> s
           case None => return Left("unsupported-cmap")
@@ -364,41 +387,75 @@ object PdfOps {
       }
       p = cmap.indexOf("beginbfchar", e)
     }
-    // bfrange sections (contiguous form only)
+    // bfrange sections: array-form entries resolve first, then the
+    // remaining tokens parse as contiguous triples
+    val arrEntry =
+      ("""<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]""").r
     p = cmap.indexOf("beginbfrange")
     while (p >= 0) {
       val e = cmap.indexOf("endbfrange", p)
       if (e < 0) return Left("unsupported-cmap")
-      val body = cmap.substring(p + "beginbfrange".length, e)
-      if (body.contains("[")) return Left("unsupported-cmap") // array dst
+      var body = cmap.substring(p + "beginbfrange".length, e)
+      for (m <- arrEntry.findAllMatchIn(body)) {
+        val (lo, hi) = (m.group(1), m.group(2))
+        if (lo.length != srcLen || hi.length != srcLen)
+          return Left("unsupported-cmap")
+        val l = Integer.parseInt(lo, 16); val h = Integer.parseInt(hi, 16)
+        val dsts = hexTok.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
+        if (h < l || dsts.length != h - l + 1) return Left("unsupported-cmap")
+        for ((dst, i) <- dsts.zipWithIndex) dstString(dst) match {
+          case Some(s) => out += (l + i) -> s
+          case None => return Left("unsupported-cmap")
+        }
+      }
+      body = arrEntry.replaceAllIn(body, " ")
+      if (body.contains("[") || body.contains("]"))
+        return Left("unsupported-cmap") // a torn array form
       val toks = hexTok.findAllMatchIn(body).map(_.group(1)).toSeq
       if (toks.length % 3 != 0) return Left("unsupported-cmap")
       for (Seq(lo, hi, dst) <- toks.grouped(3)) {
-        if (lo.length != 2 || hi.length != 2 || dst.length != 4)
+        if (lo.length != srcLen || hi.length != srcLen || dst.length != 4)
           return Left("unsupported-cmap")
         val l = Integer.parseInt(lo, 16); val h = Integer.parseInt(hi, 16)
         val base = Integer.parseInt(dst, 16)
-        if (h < l || h - l > 255) return Left("unsupported-cmap")
+        if (h < l || h - l > 4095) return Left("unsupported-cmap")
         var cdd = l
         while (cdd <= h) { out += cdd -> (base + cdd - l).toChar.toString; cdd += 1 }
       }
       p = cmap.indexOf("beginbfrange", e)
     }
-    Right(out.result())
+    Right(FontMap(width, out.result()))
   }
 
   /** Decode a shown string's BYTES (Latin-1 chars carry them 1:1)
-    * through the current font: mapped codes via `/ToUnicode` /
-    * `/Differences` (unmapped codes pass through as Latin-1); a font
-    * with no mapping at all keeps the pre-font behavior — the raw
-    * bytes re-decode as UTF-8.
+    * through the current font. Width 1: mapped codes via `/ToUnicode`
+    * / `/Differences`, unmapped codes pass through as Latin-1. Width 2
+    * (CID): bytes pair big-endian into codes; an unmapped code falls
+    * back to the Identity reading (code == code point — the best an
+    * extractor can do for Identity-H without a ToUnicode entry), and
+    * an ODD byte count raises the bad bit (`_2`) — a torn CID string
+    * is a bad stream, never a silent half-code. A font with no mapping
+    * at all keeps the pre-font behavior — the raw bytes re-decode as
+    * UTF-8.
     */
-  private def decodeShown(raw: String, font: Option[Map[Int, String]]): String =
+  private def decodeShown(
+      raw: String, font: Option[FontMap]): (String, Boolean) =
     font match {
-      case Some(m) => raw.iterator.map(ch => m.getOrElse(ch.toInt, ch.toString)).mkString
+      case Some(FontMap(1, m)) =>
+        (raw.iterator.map(ch => m.getOrElse(ch.toInt, ch.toString)).mkString,
+          false)
+      case Some(FontMap(_, m)) =>
+        val sb = new StringBuilder
+        var i = 0
+        while (i + 1 < raw.length) {
+          val code = (raw(i).toInt << 8) | raw(i + 1).toInt
+          sb.append(m.getOrElse(code, code.toChar.toString))
+          i += 2
+        }
+        (sb.toString, i < raw.length)
       case None =>
-        new String(raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
-          java.nio.charset.StandardCharsets.UTF_8)
+        (new String(raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+          java.nio.charset.StandardCharsets.UTF_8), false)
     }
 
   /** Extract shown text from one decoded content stream per the line
@@ -409,25 +466,29 @@ object PdfOps {
     */
   private[graft] def contentText(
       content: String,
-      fonts: Map[String, Map[Int, String]] = Map.empty): String =
+      fonts: Map[String, FontMap] = Map.empty): String =
     contentTextChecked(content, fonts)._1
 
   /** `contentText` plus the error-as-value bit: `_2` is true when a
     * shown string was structurally bad (a hex literal carrying non-hex
-    * characters) — the caller folds it into the document's
-    * `bad-stream` status instead of silently showing nothing.
+    * characters, or a CID string with an odd byte count) — the caller
+    * folds it into the document's `bad-stream` status instead of
+    * silently showing nothing.
     */
   private[graft] def contentTextChecked(
       content: String,
-      fonts: Map[String, Map[Int, String]] = Map.empty): (String, Boolean) = {
+      fonts: Map[String, FontMap] = Map.empty): (String, Boolean) = {
     var badShown = false
     val sb = new StringBuilder
     var shown = false // text shown since last newline in this block
     var i = 0
     var lastName = "" // most recent name token (the Tf operand)
-    var curFont: Option[Map[Int, String]] = None
+    var curFont: Option[FontMap] = None
     def newline(): Unit = if (shown) { sb.append('\n'); shown = false }
-    def show(s: String): Unit = { sb.append(s); shown = s.nonEmpty || shown }
+    def show(ds: (String, Boolean)): Unit = {
+      if (ds._2) badShown = true
+      sb.append(ds._1); shown = ds._1.nonEmpty || shown
+    }
     while (i < content.length) {
       val bt = content.indexOf("BT", i)
       if (bt < 0) { i = content.length }
@@ -595,7 +656,7 @@ object PdfOps {
             def subDict(d: String, key: String): Option[String] =
               dictRef(d, key).flatMap(n => objDict(n).map(_._1))
                 .orElse(inlineDictOf(d, key))
-            def fontTable(num: Int): Either[String, Map[Int, String]] =
+            def fontTable(num: Int): Either[String, FontMap] =
               objDict(num) match {
                 case None => Left("bad-structure")
                 case Some((fd, _)) =>
@@ -604,7 +665,7 @@ object PdfOps {
                     case Some(e) => parseDifferences(e)
                   }
                   val toUni = dictRef(fd, "ToUnicode") match {
-                    case None => Right(Map.empty[Int, String])
+                    case None => Right(FontMap(1, Map.empty[Int, String]))
                     case Some(tn) =>
                       offsets.get(tn).flatMap(o => dictAt(c, o))
                         .flatMap { case (d, de) => streamPayload(c, d, de) } match {
@@ -613,10 +674,19 @@ object PdfOps {
                           java.nio.charset.StandardCharsets.ISO_8859_1))
                       }
                   }
-                  // ToUnicode wins over /Differences per ISO 32000 §9.10.2
-                  for { dm <- diffs; um <- toUni } yield dm ++ um
+                  // ToUnicode wins over /Differences per ISO 32000
+                  // §9.10.2; /Differences on a CID (2-byte) font is a
+                  // shape that cannot be reconciled — typed dead-letter
+                  (diffs, toUni) match {
+                    case (Left(r), _) => Left(r)
+                    case (_, Left(r)) => Left(r)
+                    case (Right(dm), Right(um)) =>
+                      if (um.width == 1) Right(FontMap(1, dm ++ um.m))
+                      else if (dm.isEmpty) Right(um)
+                      else Left("unsupported-cmap")
+                  }
               }
-            def pageFonts(pgd: String): Map[String, Map[Int, String]] =
+            def pageFonts(pgd: String): Map[String, FontMap] =
               subDict(pgd, "Resources").flatMap(rd => subDict(rd, "Font")) match {
                 case None => Map.empty
                 case Some(fdict) =>
@@ -725,14 +795,40 @@ object PdfOps {
     * for corpus construction — the Jpeg/Gif/WARC precedent.
     */
   private[graft] def buildPdf(
-      docId: Long, bodyA: String, bodyB1: String, bodyB2: String): Array[Byte] = {
+      docId: Long, bodyA: String, bodyB1: String, bodyB2: String): Array[Byte] =
+    buildPdfFull(docId, bodyA, bodyB1, bodyB2, cid = false)
+
+  /** The constant decoded form of the q181 CID line: a contiguous
+    * 2-byte bfrange (一丁丂七), an ARRAY-form bfrange (日本語), and
+    * wide bfchars (the space + あ) — all shown through one Identity-H
+    * Type0 font as a single hex string.
+    */
+  private[graft] val CidLine = "一丁丂七 日本語 あ"
+
+  /** `buildPdf` plus a CID-keyed Type0 font on page 2: `/Encoding
+    * /Identity-H`, a `/DescendantFonts` CIDFontType2 (present for
+    * shape; extraction never reads it), and a 2-byte `/ToUnicode` CMap
+    * carrying a 2-byte codespacerange, a contiguous bfrange, an
+    * ARRAY-form bfrange, and wide bfchars — the professional-writer
+    * layout for CJK text.
+    */
+  private[graft] def buildPdfCid(
+      docId: Long, bodyA: String, bodyB1: String, bodyB2: String): Array[Byte] =
+    buildPdfFull(docId, bodyA, bodyB1, bodyB2, cid = true)
+
+  private def buildPdfFull(
+      docId: Long, bodyA: String, bodyB1: String, bodyB2: String,
+      cid: Boolean): Array[Byte] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val content1 =
       s"BT /F1 12 Tf 72 720 Td (Doc $docId) Tj T* (${escapePdfString(bodyA)}) Tj " +
         s"T* [(${escapePdfString(bodyB1)}) -250 (${escapePdfString(bodyB2)})] TJ ET"
     val content2 =
       s"BT /F1 12 Tf 72 720 Td (Tail \\($docId\\) \\\\ \\101\\102 end) Tj " +
-        "T* /F2 12 Tf (\\310\\311\\312\\313 \\322\\323\\324\\325 ) Tj <DC> Tj ET"
+        "T* /F2 12 Tf (\\310\\311\\312\\313 \\322\\323\\324\\325 ) Tj <DC> Tj" +
+        (if (cid)
+          " T* /F3 12 Tf <0100010101020103 0020 020002010202 0020 0300> Tj"
+        else "") + " ET"
     val cmap =
       """/CIDInit /ProcSet findresource begin
         |begincmap
@@ -773,7 +869,8 @@ object PdfOps {
       w("\nendstream\n")
     }
     obj(5)(w("<< /Type /Page /Parent 2 0 R /Contents 6 0 R " +
-      "/Resources << /Font << /F2 7 0 R >> >> >>\n"))
+      "/Resources << /Font << /F2 7 0 R" +
+      (if (cid) " /F3 10 0 R" else "") + " >> >> >>\n"))
     obj(6) {
       val c2 = content2.getBytes(utf8)
       w(s"<< /Length ${c2.length} >>\nstream\n")
@@ -789,6 +886,35 @@ object PdfOps {
       w(s"<< /Length ${cm.length} >>\nstream\n")
       bos.write(cm)
       w("\nendstream\n")
+    }
+    if (cid) {
+      val cidCmap =
+        """/CIDInit /ProcSet findresource begin
+          |begincmap
+          |1 begincodespacerange
+          |<0000> <FFFF>
+          |endcodespacerange
+          |2 beginbfrange
+          |<0100> <0103> <4E00>
+          |<0200> <0202> [<65E5> <672C> <8A9E>]
+          |endbfrange
+          |2 beginbfchar
+          |<0020> <0020>
+          |<0300> <3042>
+          |endbfchar
+          |endcmap
+          |""".stripMargin
+      obj(10)(w("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCJK " +
+        "/Encoding /Identity-H /DescendantFonts [12 0 R] " +
+        "/ToUnicode 11 0 R >>\n"))
+      obj(11) {
+        val cm = cidCmap.getBytes(utf8)
+        w(s"<< /Length ${cm.length} >>\nstream\n")
+        bos.write(cm)
+        w("\nendstream\n")
+      }
+      obj(12)(w("<< /Type /Font /Subtype /CIDFontType2 " +
+        "/BaseFont /GraftCJK >>\n"))
     }
     val xrefOff = bos.size()
     w(s"xref\n0 ${offsets.length + 1}\n")
@@ -933,6 +1059,17 @@ object PdfOps {
     */
   def q140PdfXrefStream(spark: SparkSession, dir: String): DataFrame =
     pdfExtractQuery(spark, dir, buildPdf15)
+
+  /** q181: the q136 contract over the CID corpus — every document
+    * additionally carries an Identity-H Type0 font whose 2-byte
+    * `/ToUnicode` CMap (2-byte codespace, contiguous + ARRAY-form
+    * bfrange, wide bfchars) decodes a planted CJK line shown as one
+    * hex string; the line lands under the oracle's text sha, so any
+    * width, pairing, array-form, or Identity-fallback slip changes
+    * every hash.
+    */
+  def q181PdfCidExtract(spark: SparkSession, dir: String): DataFrame =
+    pdfExtractQuery(spark, dir, buildPdfCid)
 
   private def pdfExtractQuery(
       spark: SparkSession, dir: String,

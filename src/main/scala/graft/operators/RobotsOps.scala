@@ -38,11 +38,18 @@ object RobotsOps {
 
   final case class RobotsRule(allow: Boolean, pattern: String)
 
-  /** Parse a robots.txt body into the rules applicable to `agent`. */
-  def parseRobots(text: String, agent: String): Seq[RobotsRule] = {
-    final case class Group(
-        agents: scala.collection.mutable.ArrayBuffer[String],
-        rules: scala.collection.mutable.ArrayBuffer[RobotsRule])
+  private final case class Group(
+      agents: scala.collection.mutable.ArrayBuffer[String],
+      rules: scala.collection.mutable.ArrayBuffer[RobotsRule],
+      var delay: Option[Long])
+
+  /** The group walk shared by `parseRobots` and `crawlDelay`:
+    * consecutive `User-agent` lines share one group; `Crawl-delay`
+    * (the de-facto politeness record most crawlers honor) binds to its
+    * group like a rule; a non-integral or negative value is ignored
+    * (lenient, like the rule parsers).
+    */
+  private def chosenGroups(text: String, agent: String): Seq[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var current: Group = null
     var lastWasAgent = false
@@ -60,7 +67,7 @@ object RobotsOps {
             if (!lastWasAgent || current == null) {
               current = Group(
                 scala.collection.mutable.ArrayBuffer.empty,
-                scala.collection.mutable.ArrayBuffer.empty)
+                scala.collection.mutable.ArrayBuffer.empty, None)
               groups += current
             }
             current.agents += value.toLowerCase
@@ -69,14 +76,28 @@ object RobotsOps {
             lastWasAgent = false
             if (current != null && value.nonEmpty)
               current.rules += RobotsRule(key == "allow", value)
-          case _ => lastWasAgent = false // crawl-delay, sitemap, …
+          case "crawl-delay" =>
+            lastWasAgent = false
+            if (current != null && current.delay.isEmpty)
+              current.delay = value.toLongOption.filter(_ >= 0)
+          case _ => lastWasAgent = false // sitemap, host, …
         }
       }
     }
     val mine = groups.filter(_.agents.contains(agent.toLowerCase))
-    val chosen = if (mine.nonEmpty) mine else groups.filter(_.agents.contains("*"))
-    chosen.flatMap(_.rules).toSeq
+    (if (mine.nonEmpty) mine else groups.filter(_.agents.contains("*"))).toSeq
   }
+
+  /** Parse a robots.txt body into the rules applicable to `agent`. */
+  def parseRobots(text: String, agent: String): Seq[RobotsRule] =
+    chosenGroups(text, agent).flatMap(_.rules)
+
+  /** The `Crawl-delay` (whole seconds) applicable to `agent`, from the
+    * same group selection as `parseRobots` — the first delay among the
+    * chosen groups wins; None when the host states none.
+    */
+  def crawlDelay(text: String, agent: String): Option[Long] =
+    chosenGroups(text, agent).flatMap(_.delay).headOption
 
   /** `Sitemap:` directives (RFC 9309 §2.2.4 "other records" / the
     * sitemaps.org convention): GLOBAL lines, independent of any

@@ -66,7 +66,8 @@ object StreamFrontier {
     */
   final case class FrontierConfig(
       rules: Map[Long, Seq[(Boolean, String)]],
-      hostMaxPub: Map[Long, Long])
+      hostMaxPub: Map[Long, Long],
+      delays: Map[Long, Long])
 
   /** Load + parse the host-grain config with the real q141/q149
     * parsers.
@@ -76,18 +77,24 @@ object StreamFrontier {
     val files = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
     def hostOf(name: String, prefix: String): Option[Long] =
       s"${prefix}_h(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toLong)
-    val rules = files.filter(_.getName.startsWith("robots_h")).map { f =>
+    val robotsTexts = files.filter(_.getName.startsWith("robots_h")).map { f =>
       val h = hostOf(f.getName, "robots").get
-      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      h -> RobotsOps.parseRobots(text, "GraftBot").map(r => (r.allow, r.pattern))
+      h -> new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     }.toMap
+    val rules = robotsTexts.map { case (h, text) =>
+      h -> RobotsOps.parseRobots(text, "GraftBot").map(r => (r.allow, r.pattern))
+    }
+    // the politeness record, group-selected like the rules (1 s default)
+    val delays = robotsTexts.map { case (h, text) =>
+      h -> RobotsOps.crawlDelay(text, "GraftBot").getOrElse(1L)
+    }
     val hostMaxPub = files.filter(_.getName.startsWith("feed_h")).map { f =>
       val h = hostOf(f.getName, "feed").get
       val xml = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val items = FeedOps.parseFeed(s"h$h.example.test", xml)
       h -> items.map(_.pub_day).foldLeft(-1L)(math.max)
     }.toMap
-    FrontierConfig(rules, hostMaxPub)
+    FrontierConfig(rules, hostMaxPub, delays)
   }
 
   /** Publish the CORPUS-grain URL dimension: every host's sitemap tree
@@ -177,6 +184,7 @@ object StreamFrontier {
     val sc = spark.sparkContext
     val rulesB = sc.broadcast(cfg.rules)
     val freshB = sc.broadcast(cfg.hostMaxPub)
+    val delaysB = sc.broadcast(cfg.delays)
     // the corpus-grain URL dimension: parsed distributed, published
     // once, joined per batch (stateGens filters on the batch_id=
     // prefix, so the dim never reads as a state generation)
@@ -212,10 +220,12 @@ object StreamFrontier {
               .map { case (a, p) => RobotsOps.RobotsRule(a, p) }
             val (allowed, rule) = RobotsOps.decide(rules, path)
             val hi = freshB.value.getOrElse(h, -1L)
-            (id, h, s"h$h.example.test", path, allowed, rule, lm, prio, hi - lm)
+            val delay = delaysB.value.getOrElse(h, 1L)
+            (id, h, s"h$h.example.test", path, allowed, rule, lm, prio,
+              hi - lm, delay)
           }
           .toDF("doc_id", "h", "host", "path", "allowed", "rule",
-            "lastmod_day", "priority_tenths", "fresh_lag")
+            "lastmod_day", "priority_tenths", "fresh_lag", "crawl_delay")
         // per-host running offsets: the PREDECESSOR state generation,
         // read back distributed (one listing, never per-id probes)
         val statePath = new Path(stateDir)
@@ -242,7 +252,16 @@ object StreamFrontier {
             when(col("allowed"), col("rn")).otherwise(lit(-1))
               .cast("long").as("crawl_rank"),
             when(col("allowed"), (col("rn") - 1) / waveSize + 1)
-              .otherwise(lit(-1)).cast("long").as("fetch_wave"))
+              .otherwise(lit(-1)).cast("long").as("fetch_wave"),
+            col("crawl_delay").cast("long").as("crawl_delay"),
+            // TIMED politeness (the q182 contract): the offset rank
+            // carries fetch times across batches, so a host's k-th URL
+            // EVER scheduled fetches at (k-1) x its Crawl-delay
+            when(col("allowed"), (col("rn") - 1) * col("crawl_delay"))
+              .otherwise(lit(-1)).cast("long").as("fetch_at_s"),
+            when(col("allowed"), (col("rn") - 1) * col("crawl_delay") /
+              graft.operators.FrontierOps.WaveSeconds + 1)
+              .otherwise(lit(-1)).cast("long").as("time_wave"))
           .persist()
         try {
           if (!scheduled.isEmpty)

@@ -127,21 +127,54 @@ class PdfOpsSpec extends AnyFunSuite {
     assert(PdfOps.parseDifferences("<< /Differences [65 /notaglyphname] >>")
       == Left("unsupported-glyph"))
     assert(PdfOps.parseToUnicode(
-      "1 beginbfchar <41> <0042> endbfchar") == Right(Map(0x41 -> "B")))
+      "1 beginbfchar <41> <0042> endbfchar")
+      == Right(PdfOps.FontMap(1, Map(0x41 -> "B"))))
     assert(PdfOps.parseToUnicode(
       "1 beginbfrange <41> <43> <0394> endbfrange")
-      == Right(Map(0x41 -> "Δ", 0x42 -> "Ε", 0x43 -> "Ζ")))
+      == Right(PdfOps.FontMap(1, Map(0x41 -> "Δ", 0x42 -> "Ε", 0x43 -> "Ζ"))))
     // surrogate-free multi-unit destinations concatenate
     assert(PdfOps.parseToUnicode(
-      "1 beginbfchar <41> <00660066> endbfchar") == Right(Map(0x41 -> "ff")))
-    // CID shapes dead-letter typed
+      "1 beginbfchar <41> <00660066> endbfchar")
+      == Right(PdfOps.FontMap(1, Map(0x41 -> "ff"))))
+    // the single-byte ARRAY form maps element-wise
     assert(PdfOps.parseToUnicode(
-      "1 begincodespacerange <0000> <FFFF> endcodespacerange").isLeft)
+      "1 beginbfrange <41> <43> [<0061> <0062> <0063>] endbfrange")
+      == Right(PdfOps.FontMap(1, Map(0x41 -> "a", 0x42 -> "b", 0x43 -> "c"))))
+  }
+
+  test("CID CMaps: 2-byte codespace sets the width; wide bfchar, " +
+    "contiguous + array bfrange; malformed shapes stay typed") {
+    val cs = "1 begincodespacerange <0000> <FFFF> endcodespacerange "
+    assert(PdfOps.parseToUnicode(
+      cs + "1 beginbfchar <0300> <3042> endbfchar")
+      == Right(PdfOps.FontMap(2, Map(0x300 -> "あ"))))
+    assert(PdfOps.parseToUnicode(
+      cs + "2 beginbfrange <0100> <0101> <4E00> " +
+        "<0200> <0201> [<65E5> <672C>] endbfrange")
+      == Right(PdfOps.FontMap(2, Map(0x100 -> "一", 0x101 -> "丁",
+        0x200 -> "日", 0x201 -> "本"))))
+    // width-inconsistent source codes dead-letter
+    assert(PdfOps.parseToUnicode(
+      cs + "1 beginbfchar <41> <0042> endbfchar") == Left("unsupported-cmap"))
     assert(PdfOps.parseToUnicode(
       "1 beginbfchar <4142> <0042> endbfchar") == Left("unsupported-cmap"))
+    // mixed-width and >2-byte codespaces dead-letter
     assert(PdfOps.parseToUnicode(
-      "1 beginbfrange <41> <43> [<0041> <0042> <0043>] endbfrange")
-      == Left("unsupported-cmap"))
+      "1 begincodespacerange <00> <FFFF> endcodespacerange").isLeft)
+    assert(PdfOps.parseToUnicode(
+      "1 begincodespacerange <000000> <FFFFFF> endcodespacerange").isLeft)
+    // an array whose length disagrees with its range dead-letters
+    assert(PdfOps.parseToUnicode(
+      cs + "1 beginbfrange <0100> <0102> [<0041> <0042>] endbfrange").isLeft)
+    // a torn array form dead-letters
+    assert(PdfOps.parseToUnicode(
+      cs + "1 beginbfrange <0100> <0101> [<0041> endbfrange").isLeft)
+    // decode: pairs big-endian, Identity fallback on unmapped codes,
+    // odd byte count raises the bad bit
+    val f = Map("F9" -> PdfOps.FontMap(2, Map(0x300 -> "あ")))
+    assert(PdfOps.contentText("BT /F9 1 Tf <03000041> Tj ET", f) == "あA")
+    val (t, bad) = PdfOps.contentTextChecked("BT /F9 1 Tf <030041> Tj ET", f)
+    assert(t == "あ" && bad, "torn CID string must raise the bad bit")
   }
 
   test("unsupported font shapes dead-letter the DOCUMENT typed, never garbage") {
@@ -165,15 +198,45 @@ class PdfOpsSpec extends AnyFunSuite {
     assert(PdfOps.contentText("BT <414> Tj ET") == "A@") // odd digit pads 0
     assert(PdfOps.contentText("BT (x) Tj <41 42> Tj ET") == "xAB")
     assert(PdfOps.contentText(
-      "BT /F9 1 Tf <41> Tj ET", Map("F9" -> Map(0x41 -> "Ω"))) == "Ω")
+      "BT /F9 1 Tf <41> Tj ET", Map("F9" -> PdfOps.FontMap(1, Map(0x41 -> "Ω")))) == "Ω")
     // unmapped code under a mapped font passes through as Latin-1
     assert(PdfOps.contentText(
-      "BT /F9 1 Tf <4142> Tj ET", Map("F9" -> Map(0x41 -> "Ω"))) == "ΩB")
+      "BT /F9 1 Tf <4142> Tj ET", Map("F9" -> PdfOps.FontMap(1, Map(0x41 -> "Ω")))) == "ΩB")
     // non-hex characters inside a hex literal: nothing shows AND the
     // bad-stream bit raises (error-as-value, never a silent drop)
     val (badText, badBit) = PdfOps.contentTextChecked("BT <41GZ> Tj ET")
     assert(badText == "" && badBit)
     assert(!PdfOps.contentTextChecked("BT <4142> Tj ET")._2)
+  }
+
+  test("CID round trip: the Identity-H Type0 font's 2-byte CMap " +
+    "decodes the planted CJK line; the 1.4 twin is a strict prefix") {
+    val cid = PdfOps.extractPdf(7L,
+      PdfOps.buildPdfCid(7L, "alpha beta", "gam", "ma delta"))
+    assert(cid.status == "ok", cid.status)
+    assert(cid.n_pages == 2 && cid.n_streams == 2)
+    val plain = PdfOps.extractPdf(7L,
+      PdfOps.buildPdf(7L, "alpha beta", "gam", "ma delta"))
+    assert(cid.text == plain.text + "\n" + PdfOps.CidLine)
+  }
+
+  test("q181 on sf0.001: the CID corpus round-trips ok with the CJK " +
+    "line under every sha") {
+    val rows = PdfOps.q181PdfCidExtract(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sha(x: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      assert(r.getString(1) == "ok")
+      val ws = texts(r.getLong(0)).split(" ")
+      val na = (ws.length + 1) / 2
+      val expect = s"Doc ${r.getLong(0)}\n" + ws.take(na).mkString(" ") + "\n" +
+        ws.drop(na).mkString(" ") + s"\nTail (${r.getLong(0)}) \\ AB end\n" +
+        PdfOps.FontLine + "\n" + PdfOps.CidLine
+      assert(r.getString(4) == sha(expect), s"doc ${r.getLong(0)} sha mismatch")
+    }
   }
 
   test("q136 on sf0.001: every document round-trips ok with the derived text sha") {

@@ -69,7 +69,8 @@ class StreamFrontierSpec extends AnyFunSuite {
     q.awaitTermination(180000L)
     assert(!q.isActive)
 
-    // ---- drained == batch, every column
+    // ---- drained == batch, every column (rank bands vs q154, timed
+    // politeness vs q182 — both contracts on one drained schedule)
     val cols = Seq("doc_id", "host", "path", "allowed", "rule",
       "lastmod_day", "priority_tenths", "fresh_lag", "crawl_rank",
       "fetch_wave")
@@ -80,9 +81,37 @@ class StreamFrontierSpec extends AnyFunSuite {
     assert(drained.length == batch.length,
       s"${drained.length} vs ${batch.length}")
     drained.zip(batch).foreach { case (d, b) => assert(d == b, s"$d != $b") }
+    val colsT = Seq("doc_id", "host", "path", "allowed", "rule",
+      "lastmod_day", "priority_tenths", "fresh_lag", "crawl_rank",
+      "crawl_delay", "fetch_at_s", "time_wave")
+    val drainedT = spark.read.parquet(s"$base/schedule")
+      .select(colsT.map(col): _*).orderBy("doc_id").collect().map(_.toSeq)
+    val batchT = FrontierOps.q182FrontierTiming(spark, sf)
+      .select(colsT.map(col): _*).orderBy("doc_id").collect().map(_.toSeq)
+    drainedT.zip(batchT).foreach { case (d, b) => assert(d == b, s"$d != $b") }
     // cross-batch continuity actually exercised: chunk 1+ carried ranks
     assert(batchRows.exists(r => r.getLong(8) > 20),
       "the corpus must produce ranks past the first band")
+    // timed interleaving: hosts with different Crawl-delays fill the
+    // first 60-second band (fetch_at 0..59) at different depths — a
+    // 1-s host ranks up to 60 deep while a 3-s host stops at 20 (or
+    // its corpus runs out)
+    val byHost = spark.read.parquet(s"$base/schedule")
+      .filter(col("allowed"))
+      .select("host", "crawl_delay", "crawl_rank", "time_wave")
+      .as[(String, Long, Long, Long)].collect().groupBy(_._1)
+    val firstBandDepths = byHost.map { case (_, rows) =>
+      val d = rows.head._2
+      val total = rows.length.toLong
+      val expect = math.min(total, 59L / d + 1)
+      val got = rows.filter(_._4 == 1L).map(_._3).max
+      (d, got, expect)
+    }.toSeq
+    firstBandDepths.foreach { case (d, got, expect) =>
+      assert(got == expect, s"delay $d: band-1 depth $got != $expect")
+    }
+    assert(firstBandDepths.map(_._1).distinct.size >= 2,
+      "the corpus must exercise at least two distinct delays")
 
     // ---- the bogus URL dead-lettered typed
     val rejects = spark.read.parquet(s"$base/rejects")
