@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps, RedirectOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps, RedirectOps, AudioDedupOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -172,6 +172,7 @@ object SparkEntry {
     "q180_langid_und" -> (LangIdOps.q180LangIdUnd(_, _)),
     "q181_pdf_cid" -> (PdfOps.q181PdfCidExtract(_, _)),
     "q182_frontier_timing" -> (FrontierOps.q182FrontierTiming(_, _)),
+    "q183_audio_neardup" -> (AudioDedupOps.q183AudioNearDup(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2876,6 +2877,39 @@ object SparkEntry {
         |  (doc_id % 4 != 1) AS is_train,
         |  30::BIGINT AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // audio container near-dup (q183): Ogg packets and MP3 frame
+    // payloads carry IDENTICAL two-tone blobs (the q171 arithmetic at
+    // the 92/116/140-byte lengths the 48kHz MPEG-1 frame cells hold),
+    // so same-group assets pair ACROSS the container split on their
+    // shared 5-payload run — the q133 digest equi-join, same Σdf² bound
+    "q183_audio_neardup" ->
+      """WITH v AS (SELECT doc_id AS vid, doc_id - doc_id % 21 AS grp,
+        |    (6 + doc_id % 5)::INT AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |smp AS (SELECT vid, i,
+        |    CASE WHEN i < 5 THEN (grp*5 + 29*i) % 256
+        |      ELSE (vid*7 + 31*i) % 256 END AS c,
+        |    CASE WHEN i < 5 THEN (grp*9 + 47*i) % 256
+        |      ELSE (vid*11 + 53*i) % 256 END AS d,
+        |    CASE WHEN i < 5 THEN 92 + 24 * ((grp + i) % 3)
+        |      ELSE 92 + 24 * ((vid + i) % 3) END AS l
+        |  FROM v, unnest(range(n)) t(i)),
+        |sg AS (SELECT vid, i, array_to_string(
+        |    list_transform(range(16), b ->
+        |      (CASE WHEN b = c // 16 THEN (l + 1) // 2 ELSE 0 END) +
+        |      (CASE WHEN b = d // 16 THEN l // 2 ELSE 0 END)), ':') AS sig
+        |  FROM smp),
+        |sq AS (SELECT vid, list(sig ORDER BY i) AS s FROM sg GROUP BY vid),
+        |sh AS (SELECT DISTINCT vid,
+        |    md5(array_to_string(s[(i + 1)::INT : (i + 3)::INT], '|')) AS sh
+        |  FROM sq, unnest(range(len(s) - 2)) t(i)),
+        |dfc AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1) q
+        |  WHERE df <= 32),
+        |r AS (SELECT s.vid, s.sh FROM sh s JOIN dfc USING (sh))
+        |SELECT a.vid AS vid_a, b.vid AS vid_b, count(*)::BIGINT AS n_shared
+        |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY vid_a, vid_b""".stripMargin,
     // timed frontier politeness (q182): the q154 schedule by TIME —
     // each host's k-th allowed URL fetches at (k-1) x its robots
     // group's Crawl-delay (planted 1 + h % 3; the foreign group's 99 s

@@ -100,6 +100,59 @@ object Mp3Ops {
     bos.toByteArray
   }
 
+  /** Build a VBR stream whose frame PAYLOADS are the given blobs:
+    * MPEG-1 Layer III at 48 kHz quantizes frame length to
+    * `3 × bitrate_kbps`, so the 32/40/48 kbps cells carry exactly
+    * 92/116/140 payload bytes after the 4-byte header — the three
+    * lengths the q183 cross-container payloads use. An ID3v1 `TAG`
+    * closes the stream (the q153 clean end).
+    */
+  private[graft] def buildMp3Frames(payloads: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    payloads.foreach { p =>
+      require(p.length == 92 || p.length == 116 || p.length == 140,
+        s"q183 frames carry 92/116/140-byte payloads, got ${p.length}")
+      val brIdx = 1 + (p.length - 92) / 24 // 32 / 40 / 48 kbps
+      bos.write(0xff)
+      bos.write(0xfb) // MPEG1, Layer III, no CRC
+      bos.write((brIdx << 4) | (1 << 2)) // 48 kHz, no pad
+      bos.write(0x00)
+      bos.write(p, 0, p.length)
+    }
+    bos.write("TAG".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    bos.write(new Array[Byte](125))
+    bos.toByteArray
+  }
+
+  /** The frame PAYLOAD layer of a stream: the q153 computed-length
+    * walk (ID3v2 skip, sync check, header arithmetic), emitting each
+    * frame's bytes past its 4-byte header; the walk ends at the ID3v1
+    * tag or the first non-sync byte — a torn trailing frame emits
+    * nothing (the container walkers' intact-prefix discipline).
+    */
+  private[graft] def framePayloads(b: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = readId3v2(b)._3
+    var go = true
+    while (go && p + 4 <= b.length) {
+      if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xe0) == 0xe0) {
+        val brIdx = (b(p + 2) & 0xf0) >> 4
+        val srIdx = (b(p + 2) & 0x0c) >> 2
+        val pad = (b(p + 2) & 0x02) >> 1
+        if (Bitrates(brIdx) < 0 || SampleRates(srIdx) < 0) go = false
+        else {
+          val flen = 144 * Bitrates(brIdx) * 1000 / SampleRates(srIdx) + pad
+          if (p + flen > b.length) go = false
+          else {
+            out += java.util.Arrays.copyOfRange(b, p + 4, p + flen)
+            p += flen
+          }
+        }
+      } else go = false
+    }
+    out.toSeq
+  }
+
   // ----------------------------------------------------------------- walk
 
   /** ID3v2 text frames + past-the-tag offset; (title, artist, offset). */

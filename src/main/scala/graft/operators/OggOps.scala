@@ -243,6 +243,31 @@ object OggOps {
       Seq.fill(full)(255) :+ (n % 255)
     }
 
+  /** Build a raw Ogg stream carrying arbitrary packets (two per page,
+    * BOS on the first page, EOS on the last) — the q183 audio-payload
+    * container: near-dup reads PACKETS, so the codec layer is opaque.
+    */
+  private[graft] def buildOggRaw(
+      serial: Long, packets: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val groups = packets.grouped(2).toSeq
+    for ((g, i) <- groups.zipWithIndex) {
+      val body = new java.io.ByteArrayOutputStream()
+      g.foreach(p => body.write(p, 0, p.length))
+      val bos = if (i == 0) 0x02 else 0x00
+      val eos = if (i == groups.length - 1) 0x04 else 0x00
+      writePage(out, bos | eos, (i + 1) * 256L, serial, i.toLong,
+        lacingsOf(g.map(_.length)), body.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  /** The packet layer of a stream: the page walk + lacing assembly the
+    * q174 extraction runs, without the codec-header parse.
+    */
+  private[graft] def packetsOf(b: Array[Byte]): Seq[Array[Byte]] =
+    assemblePackets(walkPages(b))
+
   /** Build a deterministic Ogg (Vorbis on even ids, Opus on odd):
     * page 0 = BOS ident header; page 1 = comment header + a setup
     * packet whose tail CROSSES into page 2 (the continuation flag on

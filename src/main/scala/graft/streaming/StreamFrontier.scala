@@ -49,6 +49,14 @@ import org.apache.spark.sql.types.StructType
   * arrive in its batch rank order (the spec feeds rank-banded chunks
   * to pin that contract).
   *
+  * RECRAWL SEMANTICS: a cross-batch rediscovery whose effective
+  * (lastmod, priority) match what the schedule already holds is a
+  * NO-OP; one whose attributes changed (the feed may carry
+  * lastmod_day / priority_tenths overrides beside doc_id — a sitemap
+  * refresh) re-admits as a NEW fetch task at the host's next offset
+  * rank. The seen-set is a second generation-keyed distributed state
+  * beside the counters.
+  *
   * Replay: per-host counters are KEYED BY BATCH in `stateDir`
   * (`batch_id=B` holds the counters AFTER batch B) and every sink
   * write is first-write-wins (`appendDiffs`): a replayed batch whose
@@ -200,18 +208,57 @@ object StreamFrontier {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._
-        // a URL discovered twice in one batch schedules once; ACROSS
-        // batches a rediscovery re-ranks by design (a recrawl) — the
-        // lane assumes an upstream-deduped discovery feed, which is
-        // what the outlink/CDX emitters produce
-        val known = batch.select(col("doc_id")).distinct()
+        // a URL discovered twice in one batch schedules once. ACROSS
+        // batches, RECRAWL SEMANTICS apply: a rediscovery whose
+        // effective (lastmod, priority) equal what the schedule
+        // already holds is a NO-OP; one whose attributes changed (a
+        // sitemap refresh — the feed may carry lastmod_day /
+        // priority_tenths overrides next to doc_id) re-admits and
+        // re-ranks. The seen-set rides `seenDir` generations with the
+        // counter state's exact discipline (distributed, listed once,
+        // GC'd to latest+predecessor).
+        val hasLm = batch.columns.contains("lastmod_day")
+        val hasPrio = batch.columns.contains("priority_tenths")
+        val discovered = batch.select(col("doc_id"),
+          (if (hasLm) col("lastmod_day") else lit(null)).cast("long")
+            .as("lm_override"),
+          (if (hasPrio) col("priority_tenths") else lit(null)).cast("long")
+            .as("prio_override"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("lm_override")).as("lm_override"),
+            max(col("prio_override")).as("prio_override"))
+        val known = discovered
           .join(sp.read.parquet(dimDir), Seq("doc_id"), "left")
         val unknown = known.filter(col("h").isNull)
           .select(col("doc_id"), lit("unknown_url").as("reason"))
         if (!unknown.isEmpty)
           CheckpointStream.appendDiffs(unknown, rejectsDir, batchId)
+        val statePath = new Path(stateDir)
+        val fs = statePath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val seenPath = new Path(s"$stateDir/seen")
+        val prevSeenGen = stateGens(fs, seenPath).filter(_ < batchId)
+          .sorted.lastOption
+        val prevSeen = prevSeenGen
+          .map(g => sp.read.parquet(s"$stateDir/seen/batch_id=$g"))
+          .getOrElse(sp.emptyDataset[(Long, Long, Long)]
+            .toDF("doc_id", "lastmod_day", "priority_tenths"))
+        val candidates = known.filter(col("h").isNotNull)
+          .select(col("doc_id"), col("h"), col("path"),
+            coalesce(col("lm_override"), col("lastmod_day")).cast("long")
+              .as("lastmod_day"),
+            coalesce(col("prio_override"), col("priority_tenths")).cast("long")
+              .as("priority_tenths"))
+        val admitted = candidates
+          .join(prevSeen
+            .withColumnRenamed("lastmod_day", "seen_lm")
+            .withColumnRenamed("priority_tenths", "seen_prio"),
+            Seq("doc_id"), "left")
+          .filter(col("seen_lm").isNull ||
+            col("seen_lm") =!= col("lastmod_day") ||
+            col("seen_prio") =!= col("priority_tenths"))
+          .drop("seen_lm", "seen_prio")
         // robots verdicts via the real evaluator (broadcast rule sets)
-        val gated = known.filter(col("h").isNotNull)
+        val gated = admitted
           .select(col("doc_id"), col("h"), col("path"),
             col("lastmod_day"), col("priority_tenths"))
           .as[(Long, Long, String, Long, Long)]
@@ -228,8 +275,6 @@ object StreamFrontier {
             "lastmod_day", "priority_tenths", "fresh_lag", "crawl_delay")
         // per-host running offsets: the PREDECESSOR state generation,
         // read back distributed (one listing, never per-id probes)
-        val statePath = new Path(stateDir)
-        val fs = statePath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         val prevGen = stateGens(fs, statePath).filter(_ < batchId)
           .sorted.lastOption
         val prevState = prevGen
@@ -274,11 +319,22 @@ object StreamFrontier {
           val newState = prevState.unionByName(batchCounts)
             .groupBy(col("h")).agg(sum(col("n")).cast("long").as("n"))
           CheckpointStream.appendDiffs(newState, stateDir, batchId)
-          // GC superseded generations: keep this one and its
-          // predecessor (the torn-batch replay anchor); storage is two
-          // generations regardless of stream lifetime
+          // seen-set AFTER this batch: admitted rows override their
+          // doc_id's previous attributes, everything else carries
+          val admittedKeys = scheduled
+            .select(col("doc_id"), col("lastmod_day"), col("priority_tenths"))
+          val newSeen = admittedKeys.unionByName(
+            prevSeen.join(admittedKeys.select(col("doc_id")),
+              Seq("doc_id"), "left_anti"))
+          CheckpointStream.appendDiffs(newSeen, s"$stateDir/seen", batchId)
+          // GC superseded generations of BOTH states: keep each latest
+          // and its predecessor (the torn-batch replay anchor);
+          // storage is two generations regardless of stream lifetime
           stateGens(fs, statePath).filter(_ <= batchId - 2).foreach { g =>
             fs.delete(new Path(s"$stateDir/batch_id=$g"), true); ()
+          }
+          stateGens(fs, seenPath).filter(_ <= batchId - 2).foreach { g =>
+            fs.delete(new Path(s"$stateDir/seen/batch_id=$g"), true); ()
           }
         } finally { scheduled.unpersist(); () }
       }

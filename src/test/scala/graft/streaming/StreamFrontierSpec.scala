@@ -145,5 +145,34 @@ class StreamFrontierSpec extends AnyFunSuite {
       .select("doc_id", "reason").as[(Long, String)].collect()
     assert(rejects2.toSeq == Seq((bogus, "unknown_url")),
       "replay must not duplicate dead-letters")
+
+    // ---- recrawl semantics: an UNCHANGED rediscovery is a no-op, a
+    // lastmod-BUMPED one re-admits and ranks at the host's next offset
+    val allowedRows = batchRows.filter(_.getBoolean(3))
+    val unchanged = allowedRows.head
+    val bumped = allowedRows.last
+    val hostAllowed = allowedRows.count(_.getString(1) == bumped.getString(1))
+    Seq(
+      (unchanged.getLong(0), unchanged.getLong(5), unchanged.getLong(6)),
+      (bumped.getLong(0), bumped.getLong(5) + 7L, bumped.getLong(6)))
+      .toDF("doc_id", "lastmod_day", "priority_tenths")
+      .coalesce(1).write.parquet(s"$base/feed/chunk=3")
+    val before = spark.read.parquet(s"$base/schedule").count()
+    val hint = spark.read.parquet(s"$base/feed/chunk=3").schema
+    val q3 = StreamFrontier.run(spark, s"$base/feed/chunk=*", s"$base/ckpt3",
+      s"$base/schedule", s"$base/state", s"$base/rejects", s"$base/config",
+      schemaHint = Some(hint))
+    q3.awaitTermination(180000L)
+    val after = spark.read.parquet(s"$base/schedule")
+    assert(after.count() == before + 1,
+      "exactly the bumped rediscovery must reschedule")
+    assert(after.filter(col("doc_id") === unchanged.getLong(0)).count() == 1,
+      "an unchanged rediscovery must be a no-op")
+    val re = after.filter(col("doc_id") === bumped.getLong(0))
+      .orderBy(col("crawl_rank").desc)
+      .select("lastmod_day", "crawl_rank").as[(Long, Long)].collect()
+    assert(re.length == 2, "the recrawl is a new fetch task, not a rewrite")
+    assert(re.head == (bumped.getLong(5) + 7L, hostAllowed + 1L),
+      s"${re.head} != (${bumped.getLong(5) + 7L}, ${hostAllowed + 1L})")
   }
 }
