@@ -173,6 +173,7 @@ object SparkEntry {
     "q181_pdf_cid" -> (PdfOps.q181PdfCidExtract(_, _)),
     "q182_frontier_timing" -> (FrontierOps.q182FrontierTiming(_, _)),
     "q183_audio_neardup" -> (AudioDedupOps.q183AudioNearDup(_, _)),
+    "q184_coding_report" -> (WarcOps.q184CodingReport(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2146,13 +2147,13 @@ object SparkEntry {
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
     // mixed HTTP codings (q139): identity / chunked / gzip-in-chunked /
-    // zlib-deflate bodies through the same front door, PLUS a
-    // brotli-labeled leg that must surface as a typed
-    // `unsupported:br` record with an EMPTY body (never the compressed
-    // octets decoded as text); the decoded text collapses to the q128
-    // expectation and the applied coding chain is derived from the
-    // corpus arithmetic — an un-framing or inflate slip changes `enc`,
-    // rows, or the sha
+    // zlib-deflate / REAL brotli (RFC 7932, the full Brotli decoder)
+    // bodies through the same front door, PLUS a zstd-labeled leg that
+    // must surface as a typed `unsupported:zstd` record with an EMPTY
+    // body (never the compressed octets decoded as text); the decoded
+    // text collapses to the q128 expectation and the applied coding
+    // chain is derived from the corpus arithmetic — an un-framing or
+    // inflate slip changes `enc`, rows, or the sha
     // charset-labeled bodies (q142): Latin-1 / Windows-1252 / UTF-8 /
     // unlabeled deliveries of the same logical text must all decode to
     // the same Unicode; the reported charset and extracted text are
@@ -2717,12 +2718,15 @@ object SparkEntry {
     "q139_warc_http_extract" -> (htmlExtractCtes() +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,
-        |  CASE doc_id % 5 WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
-        |    WHEN 2 THEN 'chunked,gzip' WHEN 3 THEN 'deflate'
-        |    ELSE 'unsupported:br' END AS enc,
-        |  (CASE WHEN doc_id % 5 = 4 THEN 0 ELSE len(blocks) END)::BIGINT
+        |  CASE WHEN doc_id % 10 = 9 THEN 'unsupported:zstd'
+        |    WHEN doc_id % 10 = 4 THEN 'br'
+        |    WHEN doc_id % 5 = 0 THEN 'identity'
+        |    WHEN doc_id % 5 = 1 THEN 'chunked'
+        |    WHEN doc_id % 5 = 2 THEN 'chunked,gzip'
+        |    ELSE 'deflate' END AS enc,
+        |  (CASE WHEN doc_id % 10 = 9 THEN 0 ELSE len(blocks) END)::BIGINT
         |    AS n_blocks,
-        |  CASE WHEN doc_id % 5 = 4 THEN sha256('')
+        |  CASE WHEN doc_id % 10 = 9 THEN sha256('')
         |    ELSE sha256(array_to_string(blocks, chr(10))) END AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
     // PDF text extraction (q136): the Spark side builds a real two-page
@@ -2877,6 +2881,23 @@ object SparkEntry {
         |  (doc_id % 4 != 1) AS is_train,
         |  30::BIGINT AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // coding loss accounting (q184): per-content-coding record counts
+    // and TYPED losses over the q139 corpus — the dropped-document
+    // share of each coding measured, not invisible (one output-sized
+    // rollup)
+    "q184_coding_report" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 9 THEN 'unsupported:zstd'
+        |      WHEN doc_id % 10 = 4 THEN 'br'
+        |      WHEN doc_id % 5 = 0 THEN 'identity'
+        |      WHEN doc_id % 5 = 1 THEN 'chunked'
+        |      WHEN doc_id % 5 = 2 THEN 'chunked,gzip'
+        |      ELSE 'deflate' END AS enc
+        |  FROM documents)
+        |SELECT enc, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN enc LIKE 'unsupported:%' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_lost
+        |FROM d GROUP BY enc ORDER BY enc""".stripMargin,
     // audio container near-dup (q183): Ogg packets and MP3 frame
     // payloads carry IDENTICAL two-tone blobs (the q171 arithmetic at
     // the 92/116/140-byte lengths the 48kHz MPEG-1 frame cells hold),

@@ -129,15 +129,16 @@ object WarcOps {
           // RFC 9110 §8.4 content codings, comma-separated in the order
           // applied. Declared support: identity (no-op), gzip/x-gzip,
           // deflate (zlib per spec, raw-deflate fallback for the
-          // historically common server mislabel). Any OTHER coding (br,
-          // zstd, compress, …) must NOT fall through to the identity
-          // path — decoding compressed octets as text mojibakes silently
-          // into the curation chain. Such records survive as TYPED
-          // errors: enc = "unsupported:<coding>", empty body.
+          // historically common server mislabel), and br (RFC 7932 via
+          // the full `Brotli` decoder). Any OTHER coding (zstd,
+          // compress, …) must NOT fall through to the identity path —
+          // decoding compressed octets as text mojibakes silently into
+          // the curation chain. Such records survive as TYPED errors:
+          // enc = "unsupported:<coding>", empty body.
           val codings = contentCoding.split(",").map(_.trim)
             .filter(c => c.nonEmpty && c != "identity").toSeq
           val unsupportedCoding = codings.find(c =>
-            c != "gzip" && c != "x-gzip" && c != "deflate")
+            c != "gzip" && c != "x-gzip" && c != "deflate" && c != "br")
           if (status > 0) {
             val bodyOff = p0 + hdrEnd + 4
             val bodyEnd = p0 + clen.toInt
@@ -170,6 +171,8 @@ object WarcOps {
                 val plain = codings.reverse.foldLeft(deChunked) { (acc, c) =>
                   acc.flatMap { d =>
                     if (c == "deflate") inflateDeflate(d)
+                    else if (c == "br")
+                      Brotli.decode(d, MaxMemberBytes.toInt).toOption
                     else {
                       val members = gunzipMembers(d)
                       if (members.isEmpty) None
@@ -545,10 +548,11 @@ object WarcOps {
     * identity (`id % 5 == 0`), chunked (`== 1`), gzip-then-chunked
     * (`== 2` — Content-Encoding applied first, Transfer-Encoding
     * framing the compressed bytes, the real-web layering), zlib
-    * deflate (`== 3`), or brotli-labeled (`== 4` — an UNSUPPORTED
-    * coding, must surface as a typed `unsupported:br` record, never as
-    * mojibake text), assembled at the BYTE level so Content-Length
-    * counts the coded octets.
+    * deflate (`== 3`), REAL brotli (`id % 10 == 4` — RFC 7932 streams
+    * the `Brotli` decoder must inflate), or zstd-labeled
+    * (`id % 10 == 9` — an UNSUPPORTED coding, must surface as a typed
+    * `unsupported:zstd` record, never as mojibake text), assembled at
+    * the BYTE level so Content-Length counts the coded octets.
     */
   private[graft] def syntheticWarcHttp(docs: DataFrame, groups: Int = 8): DataFrame = {
     val spark = docs.sparkSession
@@ -567,10 +571,14 @@ object WarcOps {
           case 2 => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
             encodeChunked(gzipBytes(raw), 77))
           case 3 => ("Content-Encoding: deflate\r\n", deflateBytes(raw))
-          // brotli payload stands in as the raw bytes — the parser must
-          // refuse to decode it at the CODING LABEL, before ever
-          // looking at the body
-          case _ => ("Content-Encoding: br\r\n", raw)
+          // half the former dead-letter leg is now REAL brotli; the
+          // other half keeps the unknown-coding guard honest (zstd
+          // bytes stand in as raw — the parser must refuse at the
+          // CODING LABEL, before ever looking at the body)
+          case _ =>
+            if (id % 10 == 4)
+              ("Content-Encoding: br\r\n", Brotli.encodeUncompressed(raw))
+            else ("Content-Encoding: zstd\r\n", raw)
         }
         val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           encHdrs + "\r\n").getBytes(iso)
@@ -723,13 +731,13 @@ object WarcOps {
   }
 
   /** q139: the front door over MIXED HTTP codings — identity, chunked,
-    * gzip-inside-chunked, and zlib-deflate bodies walked, un-framed,
-    * inflated, and extracted, PLUS a brotli-labeled leg that surfaces
-    * as a typed `unsupported:br` record with an empty body (the
-    * unknown-coding guard on the oracle path); per document the
-    * applied coding chain rides along so the oracle pins that every
-    * path was exercised (derived from the same doc_id arithmetic the
-    * corpus used).
+    * gzip-inside-chunked, zlib-deflate, and REAL brotli (RFC 7932)
+    * bodies walked, un-framed, inflated, and extracted, PLUS a
+    * zstd-labeled leg that surfaces as a typed `unsupported:zstd`
+    * record with an empty body (the unknown-coding guard on the oracle
+    * path); per document the applied coding chain rides along so the
+    * oracle pins that every path was exercised (derived from the same
+    * doc_id arithmetic the corpus used).
     */
   def q139WarcHttpExtract(spark: SparkSession, dir: String): DataFrame = {
     val recs = extractRecords(spark,
@@ -746,6 +754,22 @@ object WarcOps {
         sha2(array_join(col("blocks"), "\n"), 256).as("text_sha"))
       .orderBy(col("doc_id"))
   }
+
+  /** q184: per-coding LOSS ACCOUNTING over the q139 corpus — the
+    * dropped-document share of each content coding measured, not
+    * invisible: one enc-keyed rollup of record counts and typed losses
+    * (`unsupported:*` records with their mandated empty bodies). At
+    * 100 TB this is the dashboard row that tells you what fraction of
+    * the crawl a missing codec costs; output-sized group-by.
+    */
+  def q184CodingReport(spark: SparkSession, dir: String): DataFrame =
+    extractRecords(spark, syntheticWarcHttp(Tables.documents(spark, dir)))
+      .toDF()
+      .groupBy(col("enc"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("enc").startsWith("unsupported:"), 1L).otherwise(0L))
+          .as("n_lost"))
+      .orderBy(col("enc"))
 
   /** q135: the q128 front door over a PRODUCTION-SHAPE archive —
     * per-record gzip members with a planted non-ASCII paragraph; same

@@ -261,8 +261,8 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(unk.map(r => (r._3, r._5)) == Seq((text, "klingon-8")))
   }
 
-  test("q139 on sf0.001: decodable coding paths extract to the q122 text; " +
-    "the br leg surfaces typed with an empty body") {
+  test("q139 on sf0.001: decodable coding paths (REAL brotli included) " +
+    "extract to the q122 text; the zstd leg surfaces typed and empty") {
     val rows = WarcOps.q139WarcHttpExtract(spark, "/root/testdata/sf0.001").collect()
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     assert(rows.length == docs.count())
@@ -272,13 +272,16 @@ class WarcOpsSpec extends AnyFunSuite {
     val emptySha = org.apache.commons.codec.digest.DigestUtils.sha256Hex("")
     rows.foreach { r =>
       val id = r.getLong(0)
-      val expectEnc = (id % 5) match {
-        case 0 => "identity"; case 1 => "chunked"; case 2 => "chunked,gzip"
-        case 3 => "deflate"; case _ => "unsupported:br"
-      }
+      val expectEnc =
+        if (id % 10 == 9) "unsupported:zstd"
+        else if (id % 10 == 4) "br"
+        else (id % 5) match {
+          case 0 => "identity"; case 1 => "chunked"
+          case 2 => "chunked,gzip"; case _ => "deflate"
+        }
       assert(r.getString(3) == expectEnc, s"doc $id enc ${r.getString(3)}")
-      if (id % 5 == 4) {
-        assert(r.getLong(4) == 0L, s"doc $id: br body must stay empty")
+      if (id % 10 == 9) {
+        assert(r.getLong(4) == 0L, s"doc $id: zstd body must stay empty")
         assert(r.getString(5) == emptySha)
       } else
         assert(r.getString(5) == direct(id), s"doc $id text diverged through codings")
@@ -321,8 +324,8 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(corrupt.map(_._3) == Seq("ok"))
   }
 
-  test("unrecognized content codings (br/zstd/stacks) surface TYPED, " +
-    "never the compressed octets as text") {
+  test("unrecognized content codings (zstd/compress/stacks) surface TYPED, " +
+    "never the compressed octets as text; brotli decodes for real") {
     def rec(hdrs: String, body: Array[Byte]): Array[Byte] = {
       val head = s"HTTP/1.1 200 OK\r\n$hdrs\r\n"
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -333,12 +336,30 @@ class WarcOpsSpec extends AnyFunSuite {
         httpB ++ "\r\n\r\n".getBytes
     }
     val junk = Array[Byte](0x0b, 0x01, 0x00, 0x62)
-    for (coding <- Seq("br", "zstd", "compress", "gzip, br", "br, gzip")) {
+    for (coding <- Seq("zstd", "compress", "gzip, zstd", "zstd, gzip")) {
       val out = WarcOps.parseWarc(rec(s"Content-Encoding: $coding\r\n", junk))
       assert(out.length == 1, coding)
       assert(out.head._4.startsWith("unsupported:"), s"$coding -> ${out.head._4}")
       assert(out.head._3 == "", s"$coding body must be empty")
     }
+    // br is now a DECODED coding: a real stream extracts, a corrupt one
+    // drops the record (the corrupt-deflate discipline), and br stacks
+    // with gzip in either application order
+    val brText = "brotli naïve — body"
+    val brRaw = brText.getBytes("UTF-8")
+    val viaBr = WarcOps.parseWarc(rec("Content-Encoding: br\r\n",
+      graft.operators.Brotli.encodeUncompressed(brRaw)))
+    assert(viaBr.map(r => (r._3, r._4)) == Seq((brText, "br")))
+    val corruptBr = WarcOps.parseWarc(
+      rec("Content-Encoding: br\r\n", junk) ++ rec("", "ok".getBytes))
+    assert(corruptBr.map(_._3) == Seq("ok"), "corrupt br must drop typed")
+    val gzThenBr = WarcOps.parseWarc(rec("Content-Encoding: gzip, br\r\n",
+      graft.operators.Brotli.encodeUncompressed(
+        WarcOps.gzipBytes(brRaw))))
+    assert(gzThenBr.map(r => (r._3, r._4)) == Seq((brText, "gzip,br")))
+    val brThenGz = WarcOps.parseWarc(rec("Content-Encoding: br, gzip\r\n",
+      WarcOps.gzipBytes(graft.operators.Brotli.encodeUncompressed(brRaw))))
+    assert(brThenGz.map(r => (r._3, r._4)) == Seq((brText, "br,gzip")))
     // identity tokens are transparent; x-gzip aliases gzip
     val text = "alias body"
     val viaAlias = WarcOps.parseWarc(rec("Content-Encoding: x-gzip\r\n",
