@@ -13,18 +13,19 @@ import org.apache.spark.sql.types.StructType
   * politeness-bucketed, robots-gated, freshness-scored fetch schedule,
   * with PER-HOST STATE carrying the crawl ranks across batches.
   *
-  * The crawler CONFIG splits by grain:
-  *   - HOST-grain (robots rule sets via `RobotsOps.parseRobots` (q141),
-  *     feed high-water marks via `FeedOps.parseFeed` (q149)): |hosts|
-  *     rows of bounded size each — parsed once and BROADCAST, the
-  *     lmModel/evalSet discipline.
-  *   - CORPUS-grain (the per-URL sitemap attributes via
-  *     `SitemapOps.parseSitemapHost` (q145)): at web scale this is a
-  *     URL-dimension TABLE, not driver state — `buildUrlAttrsDim`
-  *     parses each host's sitemap tree ON EXECUTORS (per-host groups)
-  *     and publishes a parquet dimension once (first-write-wins); each
-  *     batch equi-joins it by doc_id with no broadcast hint, so AQE
-  *     broadcasts a small dim and shuffles a large one.
+  * The crawler CONFIG is parquet DIMENSIONS at both grains — the lane
+  * holds no config in driver memory or broadcasts (at web scale
+  * |hosts| is 10⁷–10⁸ and even the rule-set Map is gigabytes):
+  *   - HOST-grain (`buildHostMetaDim`): per host the robots rule set
+  *     via `RobotsOps.parseRobots` (q141), its Crawl-delay, and the
+  *     feed high-water mark via `FeedOps.parseFeed` (q149) — parsed on
+  *     executors, equi-joined by h (the key the ranking window
+  *     exchanges on anyway).
+  *   - CORPUS-grain (`buildUrlAttrsDim`): the per-URL sitemap
+  *     attributes via `SitemapOps.parseSitemapHost` (q145) — each
+  *     host's tree parsed on executors, equi-joined by doc_id.
+  *   Both publish once (first-write-wins) with no broadcast hint, so
+  *   AQE broadcasts a small dim and shuffles a large one.
   *
   * Per micro-batch: discovered doc_ids join the sitemap dimension, the
   * robots evaluator gates each path, allowed URLs rank per host by
@@ -67,42 +68,51 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamFrontier {
 
-  /** Parsed HOST-grain standing config: per-host robots rules and the
-    * per-host feed publication high-water mark. Deliberately excludes
-    * the per-URL sitemap attributes — that dimension is corpus-sized
-    * and lives in parquet (`buildUrlAttrsDim`), never on the driver.
+  /** Publish the HOST-grain dimension: per host the parsed robots rule
+    * set (the real q141 parser), its `Crawl-delay` (group-selected
+    * like the rules), and the feed publication high-water mark (the
+    * real q149 parser) — parsed ON EXECUTORS and written once as
+    * parquet `(h, rules, crawl_delay, host_max_pub)`. Even the
+    * host-grain config never lives in driver memory or a broadcast: at
+    * web scale |hosts| is 10⁷–10⁸ and a rule-set Map is gigabytes.
     */
-  final case class FrontierConfig(
-      rules: Map[Long, Seq[(Boolean, String)]],
-      hostMaxPub: Map[Long, Long],
-      delays: Map[Long, Long])
-
-  /** Load + parse the host-grain config with the real q141/q149
-    * parsers.
-    */
-  def loadConfig(configDir: String): FrontierConfig = {
-    val dir = new java.io.File(configDir)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-    def hostOf(name: String, prefix: String): Option[Long] =
-      s"${prefix}_h(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toLong)
-    val robotsTexts = files.filter(_.getName.startsWith("robots_h")).map { f =>
-      val h = hostOf(f.getName, "robots").get
-      h -> new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-    }.toMap
-    val rules = robotsTexts.map { case (h, text) =>
-      h -> RobotsOps.parseRobots(text, "GraftBot").map(r => (r.allow, r.pattern))
-    }
-    // the politeness record, group-selected like the rules (1 s default)
-    val delays = robotsTexts.map { case (h, text) =>
-      h -> RobotsOps.crawlDelay(text, "GraftBot").getOrElse(1L)
-    }
-    val hostMaxPub = files.filter(_.getName.startsWith("feed_h")).map { f =>
-      val h = hostOf(f.getName, "feed").get
-      val xml = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val items = FeedOps.parseFeed(s"h$h.example.test", xml)
-      h -> items.map(_.pub_day).foldLeft(-1L)(math.max)
-    }.toMap
-    FrontierConfig(rules, hostMaxPub, delays)
+  def buildHostMetaDim(
+      spark: SparkSession, configDir: String, dimDir: String): Unit = {
+    val dim = new Path(dimDir)
+    val fs = dim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dim, "_SUCCESS"))) return
+    import spark.implicits._
+    val robotsRe = "robots_h(\\d+)\\.txt".r
+    val feedRe = "feed_h(\\d+)\\.xml".r
+    spark.read.format("binaryFile").load(configDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        p.substring(p.lastIndexOf('/') + 1) match {
+          case robotsRe(h) => Some((h.toLong, "robots", bytes))
+          case feedRe(h) => Some((h.toLong, "feed", bytes))
+          case _ => None
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (h, it) =>
+        val items = it.toSeq
+        val robots = items.collectFirst {
+          case (_, "robots", b) => new String(b, "UTF-8")
+        }
+        val feed = items.collectFirst {
+          case (_, "feed", b) => new String(b, "UTF-8")
+        }
+        val rules = robots.toSeq.flatMap(t =>
+          RobotsOps.parseRobots(t, "GraftBot").map(r => (r.allow, r.pattern)))
+        val delay = robots.flatMap(t => RobotsOps.crawlDelay(t, "GraftBot"))
+          .getOrElse(1L)
+        val maxPub = feed.map(x => FeedOps.parseFeed(s"h$h.example.test", x)
+          .map(_.pub_day).foldLeft(-1L)(math.max)).getOrElse(-1L)
+        (h, rules, delay, maxPub)
+      }
+      .toDF("h", "rules", "crawl_delay", "host_max_pub")
+      .write.mode("overwrite").parquet(dimDir)
   }
 
   /** Publish the CORPUS-grain URL dimension: every host's sitemap tree
@@ -188,16 +198,14 @@ object StreamFrontier {
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
       schemaHint: Option[StructType] = None): StreamingQuery = {
-    val cfg = loadConfig(configDir)
-    val sc = spark.sparkContext
-    val rulesB = sc.broadcast(cfg.rules)
-    val freshB = sc.broadcast(cfg.hostMaxPub)
-    val delaysB = sc.broadcast(cfg.delays)
-    // the corpus-grain URL dimension: parsed distributed, published
-    // once, joined per batch (stateGens filters on the batch_id=
-    // prefix, so the dim never reads as a state generation)
+    // BOTH config grains are parquet dimensions parsed on executors —
+    // the lane holds NO config in driver memory or broadcasts
+    // (stateGens filters on the batch_id= prefix, so neither dim reads
+    // as a state generation)
     val dimDir = s"$stateDir/urlattrs_dim"
     buildUrlAttrsDim(spark, configDir, dimDir)
+    val hostDimDir = s"$stateDir/hostmeta_dim"
+    buildHostMetaDim(spark, configDir, hostDimDir)
     val raw = spark.readStream
       .schema(schemaHint.getOrElse(spark.read.parquet(sourceDir).schema))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -257,17 +265,24 @@ object StreamFrontier {
             col("seen_lm") =!= col("lastmod_day") ||
             col("seen_prio") =!= col("priority_tenths"))
           .drop("seen_lm", "seen_prio")
-        // robots verdicts via the real evaluator (broadcast rule sets)
+        // robots verdicts via the real evaluator — the rule sets ride
+        // the host-dim JOIN (h-keyed, the same key the ranking window
+        // exchanges on), never a broadcast Map; a host absent from the
+        // config keeps the defaults (no rules → allowed, 1 s delay,
+        // no freshness mark)
         val gated = admitted
+          .join(sp.read.parquet(hostDimDir), Seq("h"), "left")
           .select(col("doc_id"), col("h"), col("path"),
-            col("lastmod_day"), col("priority_tenths"))
-          .as[(Long, Long, String, Long, Long)]
-          .map { case (id, h, path, lm, prio) =>
-            val rules = rulesB.value.getOrElse(h, Nil)
+            col("lastmod_day"), col("priority_tenths"), col("rules"),
+            col("crawl_delay"), col("host_max_pub"))
+          .as[(Long, Long, String, Long, Long,
+            Option[Seq[(Boolean, String)]], Option[Long], Option[Long])]
+          .map { case (id, h, path, lm, prio, rulesOpt, delayOpt, hiOpt) =>
+            val rules = rulesOpt.getOrElse(Nil)
               .map { case (a, p) => RobotsOps.RobotsRule(a, p) }
             val (allowed, rule) = RobotsOps.decide(rules, path)
-            val hi = freshB.value.getOrElse(h, -1L)
-            val delay = delaysB.value.getOrElse(h, 1L)
+            val hi = hiOpt.getOrElse(-1L)
+            val delay = delayOpt.getOrElse(1L)
             (id, h, s"h$h.example.test", path, allowed, rule, lm, prio,
               hi - lm, delay)
           }

@@ -128,6 +128,12 @@ class StreamFrontierSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$base/state/urlattrs_dim/_SUCCESS")))
     val dimRows = spark.read.parquet(s"$base/state/urlattrs_dim").count()
     assert(dimRows == docIds.size, s"dim rows $dimRows != ${docIds.size}")
+    assert(Files.exists(Paths.get(s"$base/state/hostmeta_dim/_SUCCESS")))
+    val hostRows = spark.read.parquet(s"$base/state/hostmeta_dim")
+      .select("h", "crawl_delay").as[(Long, Long)].collect().toMap
+    assert(hostRows.size == 8 &&
+      (0L until 8L).forall(h => hostRows(h) == 1 + h % 3),
+      s"host dim must carry each host's parsed Crawl-delay: $hostRows")
 
     // ---- replay: a fresh checkpoint over the same feed/sinks must
     // reconverge — first-write-wins skips committed batches, batch 0's
