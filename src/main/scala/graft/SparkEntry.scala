@@ -2147,13 +2147,13 @@ object SparkEntry {
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
     // mixed HTTP codings (q139): identity / chunked / gzip-in-chunked /
-    // zlib-deflate / REAL brotli (RFC 7932, the full Brotli decoder)
-    // bodies through the same front door, PLUS a zstd-labeled leg that
-    // must surface as a typed `unsupported:zstd` record with an EMPTY
-    // body (never the compressed octets decoded as text); the decoded
-    // text collapses to the q128 expectation and the applied coding
-    // chain is derived from the corpus arithmetic — an un-framing or
-    // inflate slip changes `enc`, rows, or the sha
+    // zlib-deflate / REAL brotli (RFC 7932) / REAL zstd (RFC 8878)
+    // bodies through the same front door, PLUS a compress-labeled leg
+    // that must surface as a typed `unsupported:compress` record with
+    // an EMPTY body (never the compressed octets decoded as text); the
+    // decoded text collapses to the q128 expectation and the applied
+    // coding chain is derived from the corpus arithmetic — an
+    // un-framing or inflate slip changes `enc`, rows, or the sha
     // charset-labeled bodies (q142): Latin-1 / Windows-1252 / UTF-8 /
     // unlabeled deliveries of the same logical text must all decode to
     // the same Unicode; the reported charset and extracted text are
@@ -2718,15 +2718,16 @@ object SparkEntry {
     "q139_warc_http_extract" -> (htmlExtractCtes() +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
         |  200::BIGINT AS status,
-        |  CASE WHEN doc_id % 10 = 9 THEN 'unsupported:zstd'
+        |  CASE WHEN doc_id % 20 = 19 THEN 'unsupported:compress'
+        |    WHEN doc_id % 20 = 9 THEN 'zstd'
         |    WHEN doc_id % 10 = 4 THEN 'br'
         |    WHEN doc_id % 5 = 0 THEN 'identity'
         |    WHEN doc_id % 5 = 1 THEN 'chunked'
         |    WHEN doc_id % 5 = 2 THEN 'chunked,gzip'
         |    ELSE 'deflate' END AS enc,
-        |  (CASE WHEN doc_id % 10 = 9 THEN 0 ELSE len(blocks) END)::BIGINT
+        |  (CASE WHEN doc_id % 20 = 19 THEN 0 ELSE len(blocks) END)::BIGINT
         |    AS n_blocks,
-        |  CASE WHEN doc_id % 10 = 9 THEN sha256('')
+        |  CASE WHEN doc_id % 20 = 19 THEN sha256('')
         |    ELSE sha256(array_to_string(blocks, chr(10))) END AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
     // PDF text extraction (q136): the Spark side builds a real two-page
@@ -2887,7 +2888,8 @@ object SparkEntry {
     // rollup)
     "q184_coding_report" ->
       """WITH d AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 10 = 9 THEN 'unsupported:zstd'
+        |    CASE WHEN doc_id % 20 = 19 THEN 'unsupported:compress'
+        |      WHEN doc_id % 20 = 9 THEN 'zstd'
         |      WHEN doc_id % 10 = 4 THEN 'br'
         |      WHEN doc_id % 5 = 0 THEN 'identity'
         |      WHEN doc_id % 5 = 1 THEN 'chunked'

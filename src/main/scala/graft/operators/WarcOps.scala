@@ -129,16 +129,18 @@ object WarcOps {
           // RFC 9110 §8.4 content codings, comma-separated in the order
           // applied. Declared support: identity (no-op), gzip/x-gzip,
           // deflate (zlib per spec, raw-deflate fallback for the
-          // historically common server mislabel), and br (RFC 7932 via
-          // the full `Brotli` decoder). Any OTHER coding (zstd,
-          // compress, …) must NOT fall through to the identity path —
-          // decoding compressed octets as text mojibakes silently into
-          // the curation chain. Such records survive as TYPED errors:
+          // historically common server mislabel), br (RFC 7932 via the
+          // full `Brotli` decoder), and zstd (RFC 8878 via the full
+          // `Zstd` decoder). Any OTHER coding (compress, …) must NOT
+          // fall through to the identity path — decoding compressed
+          // octets as text mojibakes silently into the curation chain.
+          // Such records survive as TYPED errors:
           // enc = "unsupported:<coding>", empty body.
           val codings = contentCoding.split(",").map(_.trim)
             .filter(c => c.nonEmpty && c != "identity").toSeq
           val unsupportedCoding = codings.find(c =>
-            c != "gzip" && c != "x-gzip" && c != "deflate" && c != "br")
+            c != "gzip" && c != "x-gzip" && c != "deflate" && c != "br" &&
+              c != "zstd")
           if (status > 0) {
             val bodyOff = p0 + hdrEnd + 4
             val bodyEnd = p0 + clen.toInt
@@ -173,6 +175,8 @@ object WarcOps {
                     if (c == "deflate") inflateDeflate(d)
                     else if (c == "br")
                       Brotli.decode(d, MaxMemberBytes.toInt).toOption
+                    else if (c == "zstd")
+                      Zstd.decode(d, MaxMemberBytes.toInt).toOption
                     else {
                       val members = gunzipMembers(d)
                       if (members.isEmpty) None
@@ -549,10 +553,12 @@ object WarcOps {
     * (`== 2` — Content-Encoding applied first, Transfer-Encoding
     * framing the compressed bytes, the real-web layering), zlib
     * deflate (`== 3`), REAL brotli (`id % 10 == 4` — RFC 7932 streams
-    * the `Brotli` decoder must inflate), or zstd-labeled
-    * (`id % 10 == 9` — an UNSUPPORTED coding, must surface as a typed
-    * `unsupported:zstd` record, never as mojibake text), assembled at
-    * the BYTE level so Content-Length counts the coded octets.
+    * the `Brotli` decoder must inflate), REAL zstd (`id % 20 == 9` —
+    * RFC 8878 streams the `Zstd` decoder must inflate), or
+    * compress-labeled (`id % 20 == 19` — an UNSUPPORTED coding, must
+    * surface as a typed `unsupported:compress` record, never as
+    * mojibake text), assembled at the BYTE level so Content-Length
+    * counts the coded octets.
     */
   private[graft] def syntheticWarcHttp(docs: DataFrame, groups: Int = 8): DataFrame = {
     val spark = docs.sparkSession
@@ -571,14 +577,17 @@ object WarcOps {
           case 2 => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
             encodeChunked(gzipBytes(raw), 77))
           case 3 => ("Content-Encoding: deflate\r\n", deflateBytes(raw))
-          // half the former dead-letter leg is now REAL brotli; the
-          // other half keeps the unknown-coding guard honest (zstd
-          // bytes stand in as raw — the parser must refuse at the
-          // CODING LABEL, before ever looking at the body)
+          // the former dead-letter leg now splits three ways: REAL
+          // brotli, REAL zstd, and a compress-labeled quarter that
+          // keeps the unknown-coding guard honest (the parser must
+          // refuse at the CODING LABEL, before ever looking at the
+          // body)
           case _ =>
             if (id % 10 == 4)
               ("Content-Encoding: br\r\n", Brotli.encodeUncompressed(raw))
-            else ("Content-Encoding: zstd\r\n", raw)
+            else if (id % 20 == 9)
+              ("Content-Encoding: zstd\r\n", Zstd.encodeRaw(raw))
+            else ("Content-Encoding: compress\r\n", raw)
         }
         val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           encHdrs + "\r\n").getBytes(iso)
@@ -731,13 +740,14 @@ object WarcOps {
   }
 
   /** q139: the front door over MIXED HTTP codings — identity, chunked,
-    * gzip-inside-chunked, zlib-deflate, and REAL brotli (RFC 7932)
-    * bodies walked, un-framed, inflated, and extracted, PLUS a
-    * zstd-labeled leg that surfaces as a typed `unsupported:zstd`
-    * record with an empty body (the unknown-coding guard on the oracle
-    * path); per document the applied coding chain rides along so the
-    * oracle pins that every path was exercised (derived from the same
-    * doc_id arithmetic the corpus used).
+    * gzip-inside-chunked, zlib-deflate, REAL brotli (RFC 7932), and
+    * REAL zstd (RFC 8878) bodies walked, un-framed, inflated, and
+    * extracted, PLUS a compress-labeled leg that surfaces as a typed
+    * `unsupported:compress` record with an empty body (the
+    * unknown-coding guard on the oracle path); per document the
+    * applied coding chain rides along so the oracle pins that every
+    * path was exercised (derived from the same doc_id arithmetic the
+    * corpus used).
     */
   def q139WarcHttpExtract(spark: SparkSession, dir: String): DataFrame = {
     val recs = extractRecords(spark,

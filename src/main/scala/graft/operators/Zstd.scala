@@ -1,0 +1,818 @@
+package graft.operators
+
+/** Zstandard (RFC 8878) decoder — with `Brotli` this completes the
+  * modern HTTP content-coding set (`zstd` is the fourth registered
+  * coding after gzip/deflate/br). Dependency-free implementation of
+  * the complete frame format:
+  *
+  *   - frames (magic, header descriptor, window descriptor, optional
+  *     dictionary id / frame content size, content checksum) plus
+  *     skippable frames;
+  *   - raw / RLE / compressed blocks with cross-block entropy state
+  *     (treeless literals, repeat FSE modes, the repeated-offset
+  *     history);
+  *   - literals: raw / RLE / Huffman-compressed in 1 or 4 streams,
+  *     the tree description in both the direct (4-bit nibbles) and
+  *     FSE-compressed-weights forms, the implied last weight;
+  *   - sequences: FSE normalized-count headers (zero-run repeat flags,
+  *     the shrinking-threshold read), predefined / RLE / FSE / repeat
+  *     modes per category, the interleaved 3-state backward bitstream
+  *     with its asymmetric orders (extras OF→ML→LL, updates LL→ML→OF),
+  *     the 3-slot repeated-offset logic with the litLength-0 quirk;
+  *   - XXH64 content checksum verification.
+  *
+  * The predefined FSE distributions and the LL/ML code tables are the
+  * RFC's published constants (verified bit-exactly by the conformance
+  * fixtures: `ZstdSpec` decodes foreign libzstd streams at levels
+  * 1/3/9/19 over nine input kinds byte-exactly — reference
+  * conformance, not self-consistency).
+  *
+  * Error-as-value: `decode` returns Left(reason) on any malformed,
+  * truncated, checksum-failing, or bomb-exceeding stream — never a
+  * throw, never partial garbage. Scale shape: called per record
+  * inside `mapPartitions` walkers; allocation bounded by `maxOut`
+  * BEFORE trusting any header field.
+  */
+object Zstd {
+
+  // ------------------------------------------------------------ constants
+
+  /** Literal-length codes (RFC §3.1.1.3.2.1.1). */
+  private val LlBase = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
+    14, 15, 16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536)
+  private val LlBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  /** Match-length codes (RFC §3.1.1.3.2.1.1). */
+  private val MlBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33,
+    34, 35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539)
+  private val MlBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3,
+    4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  /** Predefined FSE distributions (RFC §3.1.1.3.2.2). */
+  private val LlDefault = Array(4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1,
+    1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1)
+  private val MlDefault = Array(1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1)
+  private val OfDefault = Array(1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1)
+  private val LlDefaultLog = 6
+  private val MlDefaultLog = 6
+  private val OfDefaultLog = 5
+
+  private final case class Bail(reason: String)
+      extends RuntimeException(null, null, false, false)
+
+  // ----------------------------------------------------------- bit readers
+
+  /** FORWARD LSB-first reader (FSE table descriptions). */
+  private final class FwdBits(b: Array[Byte], var bytePos: Int, val end: Int) {
+    private var bitPos = 0
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (bytePos >= end) throw Bail("truncated")
+        v |= ((b(bytePos) >> bitPos) & 1) << i
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        i += 1
+      }
+      v
+    }
+    def alignByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+  }
+
+  /** BACKWARD reader (Huffman + sequence bitstreams): the stream is
+    * read from the end; the last byte's highest set bit is the
+    * padding marker. `read` may drive `pos` negative (the FSE flush
+    * convention — missing bits are zeros); `pos` must end at exactly 0
+    * for a well-formed stream.
+    */
+  private final class BackBits(b: Array[Byte], off: Int, len: Int) {
+    if (len <= 0) throw Bail("empty-bitstream")
+    private val last = b(off + len - 1) & 0xff
+    if (last == 0) throw Bail("bitstream-marker")
+    var pos: Long = 8L * (len - 1) + (31 - Integer.numberOfLeadingZeros(last))
+    def read(n: Int): Int = {
+      pos -= n
+      if (n == 0) return 0
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bit = pos + i
+        if (bit >= 0) {
+          val by = b(off + (bit >> 3).toInt) & 0xff
+          v |= ((by >> (bit & 7).toInt) & 1) << i
+        }
+        i += 1
+      }
+      v
+    }
+    def exhausted: Boolean = pos <= 0
+  }
+
+  // ------------------------------------------------------------------ FSE
+
+  /** A built FSE decode table: per state (symbol, nbBits, baseline). */
+  private final class FseTable(
+      val accLog: Int, val symbol: Array[Int], val nbBits: Array[Int],
+      val base: Array[Int])
+
+  /** Build the decode table from normalized counts (RFC §4.1.1). */
+  private def fseBuild(counts: Array[Int], accLog: Int): FseTable = {
+    val size = 1 << accLog
+    val sym = new Array[Int](size)
+    var high = size - 1
+    // "less than 1" symbols get one top cell each
+    for (s <- counts.indices if counts(s) == -1) {
+      sym(high) = s; high -= 1
+    }
+    val step = (size >> 1) + (size >> 3) + 3
+    val mask = size - 1
+    var p = 0
+    for (s <- counts.indices if counts(s) > 0) {
+      var k = 0
+      while (k < counts(s)) {
+        sym(p) = s
+        p = (p + step) & mask
+        while (p > high) p = (p + step) & mask
+        k += 1
+      }
+    }
+    if (p != 0) throw Bail("fse-spread")
+    val nb = new Array[Int](size)
+    val bs = new Array[Int](size)
+    val nextState = counts.map(c => if (c == -1) 1 else c)
+    var u = 0
+    while (u < size) {
+      val s = sym(u)
+      val x = nextState(s)
+      nextState(s) = x + 1
+      val b = accLog - (31 - Integer.numberOfLeadingZeros(x))
+      nb(u) = b
+      bs(u) = (x << b) - size
+      u += 1
+    }
+    new FseTable(accLog, sym, nb, bs)
+  }
+
+  /** One-symbol RLE "table": state 0 always emits `s` with 0 bits. */
+  private def fseRle(s: Int): FseTable =
+    new FseTable(0, Array(s), Array(0), Array(0))
+
+  /** Read an FSE table description (RFC §4.1.1) from the FORWARD
+    * stream: normalized counts with the shrinking threshold and
+    * zero-run repeat flags; ends byte-aligned.
+    */
+  private def fseReadCounts(
+      fw: FwdBits, maxSymbol: Int, maxLog: Int): (Array[Int], Int) = {
+    val accLog = fw.readBits(4) + 5
+    if (accLog > maxLog) throw Bail("fse-acclog")
+    val counts = new Array[Int](maxSymbol + 1)
+    var remaining = (1 << accLog) + 1
+    var threshold = 1 << accLog
+    var nbBits = accLog + 1
+    var charnum = 0
+    var previous0 = false
+    while (remaining > 1 && charnum <= maxSymbol) {
+      if (previous0) {
+        // zero-run: 2-bit groups, value 3 = continue
+        var go = true
+        while (go) {
+          val rep = fw.readBits(2)
+          charnum += rep
+          if (rep < 3) go = false
+          if (charnum > maxSymbol + 1) throw Bail("fse-zero-run")
+        }
+        previous0 = false
+      } else {
+        val max = (2 * threshold - 1) - remaining
+        val low = fw.readBits(nbBits - 1)
+        var count =
+          if ((low & (threshold - 1)) < max) low
+          else {
+            val v = low | (fw.readBits(1) << (nbBits - 1))
+            if (v >= threshold) v - max else v
+          }
+        count -= 1 // -1 encodes "less than 1"
+        remaining -= (if (count < 0) -count else count)
+        if (charnum > maxSymbol) throw Bail("fse-symbol-overflow")
+        counts(charnum) = count
+        charnum += 1
+        previous0 = count == 0
+        while (remaining > 1 && remaining < threshold) {
+          nbBits -= 1; threshold >>= 1
+        }
+      }
+    }
+    if (remaining != 1) throw Bail("fse-counts")
+    fw.alignByte()
+    (counts, accLog)
+  }
+
+  private def fseInit(bb: BackBits, t: FseTable): Int = bb.read(t.accLog)
+  private def fseSymbol(t: FseTable, state: Int): Int = t.symbol(state)
+  private def fseUpdate(bb: BackBits, t: FseTable, state: Int): Int =
+    t.base(state) + bb.read(t.nbBits(state))
+
+  // -------------------------------------------------------------- huffman
+
+  /** A Huffman decode table: index by the next `log` backward bits. */
+  private final class HufTable(
+      val log: Int, val symbol: Array[Byte], val nbBits: Array[Byte])
+
+  /** Weights → the single-symbol decode table (RFC §4.2.1): the last
+    * weight is implied so the total reaches a power of two.
+    */
+  private def hufFromWeights(weights0: Array[Int], nSym: Int): HufTable = {
+    var total = 0L
+    for (i <- 0 until nSym) {
+      val w = weights0(i)
+      if (w > 11) throw Bail("huf-weight")
+      if (w > 0) total += 1L << (w - 1)
+    }
+    if (total == 0) throw Bail("huf-empty")
+    // the table log is one past the highest bit of the explicit total;
+    // the gap to 2^tlog is the implied LAST weight (must be a power of
+    // two or the description is corrupt)
+    val tlog = 64 - java.lang.Long.numberOfLeadingZeros(total)
+    val target = 1L << tlog
+    val rest = target - total
+    // rest must itself be a power of two — the implied last weight
+    if (rest <= 0 || (rest & (rest - 1)) != 0) throw Bail("huf-total")
+    val lastW = (64 - java.lang.Long.numberOfLeadingZeros(rest)).toInt
+    val weights = java.util.Arrays.copyOf(weights0, nSym + 1)
+    weights(nSym) = lastW
+    if (tlog > 11) throw Bail("huf-tablelog")
+    val size = 1 << tlog
+    val sym = new Array[Byte](size)
+    val nb = new Array[Byte](size)
+    // rank start positions: weight 1 first (longest codes at the low
+    // end of the table), symbols in natural order within a weight
+    val rankCount = new Array[Int](13)
+    weights.foreach(w => if (w > 0) rankCount(w) += 1)
+    val rankStart = new Array[Int](14)
+    var acc = 0
+    for (w <- 1 to 12) {
+      rankStart(w) = acc
+      acc += rankCount(w) << (w - 1)
+    }
+    if (acc != size) throw Bail("huf-fill")
+    for (s <- weights.indices) {
+      val w = weights(s)
+      if (w > 0) {
+        val len = 1 << (w - 1)
+        var k = rankStart(w)
+        val until = k + len
+        while (k < until) {
+          sym(k) = s.toByte
+          nb(k) = (tlog + 1 - w).toByte
+          k += 1
+        }
+        rankStart(w) = until
+      }
+    }
+    new HufTable(tlog.toInt, sym, nb)
+  }
+
+  /** Read a Huffman tree description (RFC §4.2.1.1/2): direct nibble
+    * weights (first byte ≥ 128) or FSE-compressed weights. Returns
+    * (table, bytes consumed).
+    */
+  private def hufReadTable(b: Array[Byte], off: Int, end: Int): (HufTable, Int) = {
+    if (off >= end) throw Bail("truncated")
+    val h = b(off) & 0xff
+    if (h >= 128) {
+      val nSym = h - 127
+      val nBytes = (nSym + 1) / 2
+      if (off + 1 + nBytes > end) throw Bail("truncated")
+      val w = new Array[Int](nSym)
+      for (i <- 0 until nSym) {
+        val by = b(off + 1 + i / 2) & 0xff
+        w(i) = if (i % 2 == 0) by >> 4 else by & 15
+      }
+      (hufFromWeights(w, nSym), 1 + nBytes)
+    } else {
+      // FSE-compressed weights: h = compressed size
+      if (off + 1 + h > end) throw Bail("truncated")
+      val fw = new FwdBits(b, off + 1, off + 1 + h)
+      val (counts, accLog) = fseReadCounts(fw, 12, 6)
+      val table = fseBuild(counts, accLog)
+      val bitsOff = fw.bytePos
+      val bitsLen = off + 1 + h - bitsOff
+      val bb = new BackBits(b, bitsOff, bitsLen)
+      var s1 = fseInit(bb, table)
+      var s2 = fseInit(bb, table)
+      val w = new Array[Int](256)
+      var n = 0
+      var parity = 0
+      var go = true
+      while (go) {
+        if (n >= 255) throw Bail("huf-weights-overflow")
+        val st = if (parity == 0) s1 else s2
+        w(n) = fseSymbol(table, st)
+        n += 1
+        val next = fseUpdate(bb, table, st)
+        if (bb.pos < 0) {
+          // the update over-read: flush the OTHER state and stop
+          if (n >= 255) throw Bail("huf-weights-overflow")
+          w(n) = fseSymbol(table, if (parity == 0) s2 else s1)
+          n += 1
+          go = false
+        } else {
+          if (parity == 0) s1 = next else s2 = next
+          parity ^= 1
+        }
+      }
+      (hufFromWeights(w, n), 1 + h)
+    }
+  }
+
+  /** Decode `count` symbols from one backward Huffman stream: each
+    * step PEEKS the next `log` bits (zero-padded past the start — the
+    * tail convention) and consumes the decoded symbol's bit length;
+    * a well-formed stream lands on exactly zero bits.
+    */
+  private def hufDecodeStream(
+      t: HufTable, b: Array[Byte], off: Int, len: Int,
+      out: Array[Byte], outOff: Int, count: Int): Unit = {
+    val bb = new BackBits(b, off, len)
+    var i = 0
+    while (i < count) {
+      val p = bb.pos
+      if (p < 0) throw Bail("huf-stream-overrun")
+      var idx = 0
+      var k = 0
+      while (k < t.log) {
+        val bit = p - t.log + k
+        if (bit >= 0) {
+          val by = b(off + (bit >> 3).toInt) & 0xff
+          idx |= ((by >> (bit & 7).toInt) & 1) << k
+        }
+        k += 1
+      }
+      out(outOff + i) = t.symbol(idx)
+      bb.pos = p - t.nbBits(idx)
+      i += 1
+    }
+    if (bb.pos != 0) throw Bail("huf-stream-imbalance")
+  }
+
+  // ---------------------------------------------------------------- xxh64
+
+  private def xxh64(b: Array[Byte], len: Int): Long = {
+    val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    def le64(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    def le32(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 4) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    def round(acc: Long, in: Long): Long = {
+      val a = acc + in * P2
+      java.lang.Long.rotateLeft(a, 31) * P1
+    }
+    var p = 0
+    var h =
+      if (len >= 32) {
+        var v1 = P1 + P2; var v2 = P2; var v3 = 0L; var v4 = -P1
+        while (p + 32 <= len) {
+          v1 = round(v1, le64(p)); v2 = round(v2, le64(p + 8))
+          v3 = round(v3, le64(p + 16)); v4 = round(v4, le64(p + 24))
+          p += 32
+        }
+        var x = java.lang.Long.rotateLeft(v1, 1) +
+          java.lang.Long.rotateLeft(v2, 7) +
+          java.lang.Long.rotateLeft(v3, 12) +
+          java.lang.Long.rotateLeft(v4, 18)
+        def merge(acc: Long, v: Long): Long =
+          (acc ^ round(0L, v)) * P1 + P4
+        x = merge(x, v1); x = merge(x, v2); x = merge(x, v3); x = merge(x, v4)
+        x
+      } else P5
+    h += len.toLong
+    while (p + 8 <= len) {
+      h = java.lang.Long.rotateLeft(h ^ round(0L, le64(p)), 27) * P1 + P4
+      p += 8
+    }
+    if (p + 4 <= len) {
+      h = java.lang.Long.rotateLeft(h ^ (le32(p) * P1), 23) * P2 + P3
+      p += 4
+    }
+    while (p < len) {
+      h = java.lang.Long.rotateLeft(h ^ ((b(p) & 0xffL) * P5), 11) * P1
+      p += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  // --------------------------------------------------------------- decode
+
+  /** Decode a complete zstd input (one or more frames, skippable
+    * frames included); Left(reason) on anything malformed, a checksum
+    * mismatch, or past `maxOut` (bomb cap).
+    */
+  def decode(input: Array[Byte], maxOut: Int = 1 << 26): Either[String, Array[Byte]] =
+    try Right(decodeOrThrow(input, maxOut))
+    catch {
+      case x: Bail => Left(x.reason)
+      case _: ArrayIndexOutOfBoundsException => Left("malformed")
+      case _: NegativeArraySizeException => Left("malformed")
+    }
+
+  private def le32(b: Array[Byte], o: Int): Long = {
+    if (o + 4 > b.length) throw Bail("truncated")
+    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  }
+
+  private def decodeOrThrow(input: Array[Byte], maxOut: Int): Array[Byte] = {
+    var outArr = new Array[Byte](1 << 16)
+    var pos = 0
+    def ensure(extra: Long): Unit = {
+      if (extra < 0 || pos + extra > maxOut) throw Bail("output-cap")
+      while (pos + extra > outArr.length)
+        outArr = java.util.Arrays.copyOf(outArr, outArr.length * 2)
+    }
+    var ip = 0
+    while (ip < input.length) {
+      val magic = le32(input, ip)
+      if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) {
+        // skippable frame
+        val sz = le32(input, ip + 4)
+        ip += 8 + sz.toInt
+        if (sz > input.length || ip > input.length) throw Bail("truncated")
+      } else if (magic == 0xFD2FB528L) {
+        ip = decodeFrame(input, ip + 4, outArr, maxOut,
+          (a, np) => { outArr = a; pos = np }, () => (outArr, pos), ensure)
+      } else throw Bail("bad-magic")
+    }
+    java.util.Arrays.copyOf(outArr, pos)
+  }
+
+  private def decodeFrame(
+      b: Array[Byte], start: Int, out0: Array[Byte], maxOut: Int,
+      set: (Array[Byte], Int) => Unit, get: () => (Array[Byte], Int),
+      ensure: Long => Unit): Int = {
+    var ip = start
+    def u8(): Int = {
+      if (ip >= b.length) throw Bail("truncated")
+      val v = b(ip) & 0xff; ip += 1; v
+    }
+    val fhd = u8()
+    if ((fhd & 0x08) != 0) throw Bail("reserved-fhd")
+    val singleSegment = (fhd & 0x20) != 0
+    val checksum = (fhd & 0x04) != 0
+    val dictFlag = fhd & 0x03
+    val fcsCode = fhd >> 6
+    var window = 0L
+    if (!singleSegment) {
+      val wd = u8()
+      val base = 1L << (10 + (wd >> 3))
+      window = base + (base >> 3) * (wd & 7)
+    }
+    val dictBytes = dictFlag match {
+      case 0 => 0
+      case 1 => 1
+      case 2 => 2
+      case _ => 4
+    }
+    var dictId = 0L
+    var i = 0
+    while (i < dictBytes) { dictId |= u8().toLong << (8 * i); i += 1 }
+    if (dictId != 0) throw Bail("dictionary-unsupported")
+    var contentSize = -1L
+    val fcsBytes = fcsCode match {
+      case 0 => if (singleSegment) 1 else 0
+      case 1 => 2
+      case 2 => 4
+      case _ => 8
+    }
+    if (fcsBytes > 0) {
+      contentSize = 0L
+      var k = 0
+      while (k < fcsBytes) { contentSize |= u8().toLong << (8 * k); k += 1 }
+      if (fcsBytes == 2) contentSize += 256
+    }
+    if (singleSegment) window = contentSize
+    val frameStartPos = get()._2
+
+    // cross-block entropy state
+    var hufPrev: HufTable = null
+    var llPrev: FseTable = null
+    var mlPrev: FseTable = null
+    var ofPrev: FseTable = null
+    val reps = Array(1L, 4L, 8L)
+
+    var last = false
+    while (!last) {
+      if (ip + 3 > b.length) throw Bail("truncated")
+      val hdr = (b(ip) & 0xff) | ((b(ip + 1) & 0xff) << 8) |
+        ((b(ip + 2) & 0xff) << 16)
+      ip += 3
+      last = (hdr & 1) == 1
+      val btype = (hdr >> 1) & 3
+      val bsize = hdr >> 3
+      btype match {
+        case 0 => // raw
+          if (ip + bsize > b.length) throw Bail("truncated")
+          ensure(bsize)
+          val (oa, op) = get()
+          System.arraycopy(b, ip, oa, op, bsize)
+          set(oa, op + bsize)
+          ip += bsize
+        case 1 => // RLE
+          val v = u8()
+          ensure(bsize)
+          val (oa, op) = get()
+          java.util.Arrays.fill(oa, op, op + bsize, v.toByte)
+          set(oa, op + bsize)
+        case 2 =>
+          if (ip + bsize > b.length) throw Bail("truncated")
+          val blockEnd = ip + bsize
+
+          // ---- literals section
+          val lh0 = b(ip) & 0xff
+          val ltype = lh0 & 3
+          val sf = (lh0 >> 2) & 3
+          var regen = 0
+          var cmpSize = 0
+          var nStreams = 4
+          if (ltype <= 1) {
+            sf match {
+              case 0 | 2 => regen = lh0 >> 3; ip += 1
+              case 1 =>
+                regen = (lh0 >> 4) | ((b(ip + 1) & 0xff) << 4); ip += 2
+              case _ =>
+                regen = (lh0 >> 4) | ((b(ip + 1) & 0xff) << 4) |
+                  ((b(ip + 2) & 0xff) << 12)
+                ip += 3
+            }
+          } else {
+            sf match {
+              case 0 =>
+                nStreams = 1
+                val v = lh0 | ((b(ip + 1) & 0xff) << 8) |
+                  ((b(ip + 2) & 0xff) << 16)
+                regen = (v >> 4) & 0x3FF; cmpSize = (v >> 14) & 0x3FF
+                ip += 3
+              case 1 =>
+                val v = lh0 | ((b(ip + 1) & 0xff) << 8) |
+                  ((b(ip + 2) & 0xff) << 16)
+                regen = (v >> 4) & 0x3FF; cmpSize = (v >> 14) & 0x3FF
+                ip += 3
+              case 2 =>
+                val v = lh0.toLong | ((b(ip + 1) & 0xffL) << 8) |
+                  ((b(ip + 2) & 0xffL) << 16) | ((b(ip + 3) & 0xffL) << 24)
+                regen = ((v >> 4) & 0x3FFF).toInt
+                cmpSize = ((v >> 18) & 0x3FFF).toInt
+                ip += 4
+              case _ =>
+                val v = lh0.toLong | ((b(ip + 1) & 0xffL) << 8) |
+                  ((b(ip + 2) & 0xffL) << 16) | ((b(ip + 3) & 0xffL) << 24) |
+                  ((b(ip + 4) & 0xffL) << 32)
+                regen = ((v >> 4) & 0x3FFFF).toInt
+                cmpSize = ((v >> 22) & 0x3FFFF).toInt
+                ip += 5
+            }
+          }
+          if (regen > (1 << 20) + (1 << 18)) throw Bail("literals-size")
+          val literals = new Array[Byte](regen)
+          ltype match {
+            case 0 => // raw
+              if (ip + regen > blockEnd) throw Bail("truncated")
+              System.arraycopy(b, ip, literals, 0, regen)
+              ip += regen
+            case 1 => // RLE
+              val v = u8()
+              java.util.Arrays.fill(literals, v.toByte)
+            case t => // compressed (2) / treeless (3)
+              val litEnd = ip + cmpSize
+              if (litEnd > blockEnd) throw Bail("truncated")
+              var table = hufPrev
+              if (t == 2) {
+                val (ht, used) = hufReadTable(b, ip, litEnd)
+                table = ht
+                hufPrev = ht
+                ip += used
+              }
+              if (table == null) throw Bail("treeless-without-table")
+              if (nStreams == 1) {
+                hufDecodeStream(table, b, ip, litEnd - ip, literals, 0, regen)
+              } else {
+                if (litEnd - ip < 6) throw Bail("truncated")
+                val s1 = ((b(ip) & 0xff) | ((b(ip + 1) & 0xff) << 8))
+                val s2 = ((b(ip + 2) & 0xff) | ((b(ip + 3) & 0xff) << 8))
+                val s3 = ((b(ip + 4) & 0xff) | ((b(ip + 5) & 0xff) << 8))
+                val dataOff = ip + 6
+                val total = litEnd - dataOff
+                val s4 = total - s1 - s2 - s3
+                if (s4 <= 0) throw Bail("jump-table")
+                val per = (regen + 3) / 4
+                val lastN = regen - 3 * per
+                if (lastN < 0) throw Bail("stream-split")
+                hufDecodeStream(table, b, dataOff, s1, literals, 0, per)
+                hufDecodeStream(table, b, dataOff + s1, s2, literals, per, per)
+                hufDecodeStream(table, b, dataOff + s1 + s2, s3,
+                  literals, 2 * per, per)
+                hufDecodeStream(table, b, dataOff + s1 + s2 + s3, s4,
+                  literals, 3 * per, lastN)
+              }
+              ip = litEnd
+          }
+
+          // ---- sequences section
+          if (ip >= blockEnd) throw Bail("truncated")
+          val b0 = b(ip) & 0xff
+          ip += 1
+          var nbSeq = 0
+          if (b0 < 128) nbSeq = b0
+          else if (b0 < 255) {
+            nbSeq = ((b0 - 128) << 8) | (b(ip) & 0xff); ip += 1
+          } else {
+            nbSeq = ((b(ip) & 0xff) | ((b(ip + 1) & 0xff) << 8)) + 0x7F00
+            ip += 2
+          }
+          if (nbSeq == 0) {
+            // literals only
+            ensure(regen)
+            val (oa, op) = get()
+            System.arraycopy(literals, 0, oa, op, regen)
+            set(oa, op + regen)
+            if (ip != blockEnd) throw Bail("block-trailer")
+          } else {
+            val modes = b(ip) & 0xff
+            ip += 1
+            if ((modes & 3) != 0) throw Bail("reserved-modes")
+            def readTable(
+                mode: Int, maxSym: Int, maxLog: Int,
+                default: Array[Int], defaultLog: Int,
+                prev: FseTable): FseTable = mode match {
+              case 0 => fseBuild(default, defaultLog)
+              case 1 =>
+                val s = u8()
+                if (s > maxSym) throw Bail("rle-symbol")
+                fseRle(s)
+              case 2 =>
+                val fw = new FwdBits(b, ip, blockEnd)
+                val (counts, log) = fseReadCounts(fw, maxSym, maxLog)
+                ip = fw.bytePos
+                fseBuild(counts, log)
+              case _ =>
+                if (prev == null) throw Bail("repeat-without-table")
+                prev
+            }
+            val llT = readTable((modes >> 6) & 3, 35, 9, LlDefault,
+              LlDefaultLog, llPrev)
+            val ofT = readTable((modes >> 4) & 3, 31, 8, OfDefault,
+              OfDefaultLog, ofPrev)
+            val mlT = readTable((modes >> 2) & 3, 52, 9, MlDefault,
+              MlDefaultLog, mlPrev)
+            llPrev = llT; ofPrev = ofT; mlPrev = mlT
+            val bb = new BackBits(b, ip, blockEnd - ip)
+            var llS = fseInit(bb, llT)
+            var ofS = fseInit(bb, ofT)
+            var mlS = fseInit(bb, mlT)
+            var litPos = 0
+            var s = 0
+            while (s < nbSeq) {
+              val ofCode = fseSymbol(ofT, ofS)
+              if (ofCode > 31) throw Bail("offset-code")
+              val mlCode = fseSymbol(mlT, mlS)
+              val llCode = fseSymbol(llT, llS)
+              if (mlCode > 52 || llCode > 35) throw Bail("seq-code")
+              // extras read OF → ML → LL
+              val ofValue = (1L << ofCode) + (
+                if (ofCode > 0) bb.read(ofCode).toLong & 0xffffffffL else 0L)
+              val ml = MlBase(mlCode) + bb.read(MlBits(mlCode))
+              val ll = LlBase(llCode) + bb.read(LlBits(llCode))
+              if (bb.pos < 0) throw Bail("seq-bitstream")
+              // repeated-offset logic with the litLength-0 quirk
+              var offset = 0L
+              if (ofValue > 3) {
+                offset = ofValue - 3
+                reps(2) = reps(1); reps(1) = reps(0); reps(0) = offset
+              } else {
+                val idx = ofValue.toInt + (if (ll == 0) 1 else 0)
+                idx match {
+                  case 1 => offset = reps(0)
+                  case 2 =>
+                    offset = reps(1); reps(1) = reps(0); reps(0) = offset
+                  case 3 =>
+                    offset = reps(2); reps(2) = reps(1); reps(1) = reps(0)
+                    reps(0) = offset
+                  case _ =>
+                    offset = reps(0) - 1
+                    if (offset <= 0) throw Bail("rep-offset-zero")
+                    reps(2) = reps(1); reps(1) = reps(0); reps(0) = offset
+                }
+              }
+              // execute: literals then the match
+              if (litPos + ll > regen) throw Bail("literals-overrun")
+              ensure(ll.toLong + ml.toLong)
+              var (oa, op) = get()
+              System.arraycopy(literals, litPos, oa, op, ll)
+              litPos += ll
+              op += ll
+              val (oaF, opF) = (oa, op)
+              // matches may only reference THIS frame's output (no
+              // dictionary support — dictionary frames bail typed)
+              if (offset <= 0 || offset > opF - frameStartPos)
+                throw Bail("offset-too-far")
+              var k = 0
+              val src = opF - offset.toInt
+              while (k < ml) {
+                oa(opF + k) = oa(src + k)
+                k += 1
+              }
+              set(oa, opF + ml)
+              // state updates LL → ML → OF (all but the last sequence)
+              if (s < nbSeq - 1) {
+                llS = fseUpdate(bb, llT, llS)
+                mlS = fseUpdate(bb, mlT, mlS)
+                ofS = fseUpdate(bb, ofT, ofS)
+                if (bb.pos < 0) throw Bail("seq-bitstream")
+              }
+              s += 1
+            }
+            if (bb.pos != 0) throw Bail("seq-trailer")
+            // trailing literals
+            val rest = regen - litPos
+            if (rest < 0) throw Bail("literals-overrun")
+            ensure(rest)
+            val (oa, op) = get()
+            System.arraycopy(literals, litPos, oa, op, rest)
+            set(oa, op + rest)
+            if (ip + (blockEnd - ip) != blockEnd) throw Bail("internal")
+            ip = blockEnd
+          }
+        case _ => throw Bail("reserved-block")
+      }
+    }
+    val (oa, op) = get()
+    if (contentSize >= 0 && op - frameStartPos != contentSize)
+      throw Bail("content-size-mismatch")
+    if (checksum) {
+      if (ip + 4 > b.length) throw Bail("truncated")
+      val want = le32(b, ip)
+      ip += 4
+      // checksum covers THIS frame's content
+      val frameBytes = java.util.Arrays.copyOfRange(oa, frameStartPos, op)
+      val got = xxh64(frameBytes, frameBytes.length) & 0xffffffffL
+      if (got != want) throw Bail("checksum-mismatch")
+    }
+    ip
+  }
+
+  // --------------------------------------------------------------- encode
+
+  /** Minimal conforming ENCODER: raw blocks in a single-segment frame
+    * (the zstd analogue of deflate's stored blocks) — enough to plant
+    * real `zstd` bodies in synthetic corpora; libzstd accepts its
+    * output (verified once at fixture-generation time) and our own
+    * decoder round-trips it (spec-pinned).
+    */
+  def encodeRaw(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0x28); bos.write(0xB5); bos.write(0x2F); bos.write(0xFD)
+    val n = data.length
+    val fcsCode = if (n <= 255) 0 else if (n <= 65535 + 256) 1 else 2
+    bos.write((fcsCode << 6) | 0x20) // single-segment, no checksum
+    fcsCode match {
+      case 0 => bos.write(n)
+      case 1 =>
+        val v = n - 256
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      case _ =>
+        bos.write(n & 0xff); bos.write((n >> 8) & 0xff)
+        bos.write((n >> 16) & 0xff); bos.write((n >> 24) & 0xff)
+    }
+    var off = 0
+    if (n == 0) { bos.write(1); bos.write(0); bos.write(0) } // last raw, 0
+    else while (off < n) {
+      val chunk = math.min(1 << 16, n - off)
+      val lastBit = if (off + chunk == n) 1 else 0
+      val hdr = lastBit | (chunk << 3) // type raw = 0
+      bos.write(hdr & 0xff); bos.write((hdr >> 8) & 0xff)
+      bos.write((hdr >> 16) & 0xff)
+      bos.write(data, off, chunk)
+      off += chunk
+    }
+    bos.toByteArray
+  }
+}

@@ -261,8 +261,8 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(unk.map(r => (r._3, r._5)) == Seq((text, "klingon-8")))
   }
 
-  test("q139 on sf0.001: decodable coding paths (REAL brotli included) " +
-    "extract to the q122 text; the zstd leg surfaces typed and empty") {
+  test("q139 on sf0.001: decodable coding paths (REAL brotli and zstd " +
+    "included) extract to the q122 text; the compress leg stays typed") {
     val rows = WarcOps.q139WarcHttpExtract(spark, "/root/testdata/sf0.001").collect()
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     assert(rows.length == docs.count())
@@ -273,15 +273,16 @@ class WarcOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val id = r.getLong(0)
       val expectEnc =
-        if (id % 10 == 9) "unsupported:zstd"
+        if (id % 20 == 19) "unsupported:compress"
+        else if (id % 20 == 9) "zstd"
         else if (id % 10 == 4) "br"
         else (id % 5) match {
           case 0 => "identity"; case 1 => "chunked"
           case 2 => "chunked,gzip"; case _ => "deflate"
         }
       assert(r.getString(3) == expectEnc, s"doc $id enc ${r.getString(3)}")
-      if (id % 10 == 9) {
-        assert(r.getLong(4) == 0L, s"doc $id: zstd body must stay empty")
+      if (id % 20 == 19) {
+        assert(r.getLong(4) == 0L, s"doc $id: compress body must stay empty")
         assert(r.getString(5) == emptySha)
       } else
         assert(r.getString(5) == direct(id), s"doc $id text diverged through codings")
@@ -324,8 +325,8 @@ class WarcOpsSpec extends AnyFunSuite {
     assert(corrupt.map(_._3) == Seq("ok"))
   }
 
-  test("unrecognized content codings (zstd/compress/stacks) surface TYPED, " +
-    "never the compressed octets as text; brotli decodes for real") {
+  test("unrecognized content codings (compress/stacks) surface TYPED, " +
+    "never the compressed octets as text; brotli and zstd decode for real") {
     def rec(hdrs: String, body: Array[Byte]): Array[Byte] = {
       val head = s"HTTP/1.1 200 OK\r\n$hdrs\r\n"
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -336,7 +337,7 @@ class WarcOpsSpec extends AnyFunSuite {
         httpB ++ "\r\n\r\n".getBytes
     }
     val junk = Array[Byte](0x0b, 0x01, 0x00, 0x62)
-    for (coding <- Seq("zstd", "compress", "gzip, zstd", "zstd, gzip")) {
+    for (coding <- Seq("compress", "x-compress", "gzip, compress", "compress, gzip")) {
       val out = WarcOps.parseWarc(rec(s"Content-Encoding: $coding\r\n", junk))
       assert(out.length == 1, coding)
       assert(out.head._4.startsWith("unsupported:"), s"$coding -> ${out.head._4}")
@@ -360,6 +361,16 @@ class WarcOpsSpec extends AnyFunSuite {
     val brThenGz = WarcOps.parseWarc(rec("Content-Encoding: br, gzip\r\n",
       WarcOps.gzipBytes(graft.operators.Brotli.encodeUncompressed(brRaw))))
     assert(brThenGz.map(r => (r._3, r._4)) == Seq((brText, "br,gzip")))
+    // zstd decodes for real, corrupt zstd drops, and it stacks too
+    val viaZstd = WarcOps.parseWarc(rec("Content-Encoding: zstd\r\n",
+      graft.operators.Zstd.encodeRaw(brRaw)))
+    assert(viaZstd.map(r => (r._3, r._4)) == Seq((brText, "zstd")))
+    val corruptZstd = WarcOps.parseWarc(
+      rec("Content-Encoding: zstd\r\n", junk) ++ rec("", "ok".getBytes))
+    assert(corruptZstd.map(_._3) == Seq("ok"), "corrupt zstd must drop typed")
+    val gzThenZstd = WarcOps.parseWarc(rec("Content-Encoding: gzip, zstd\r\n",
+      graft.operators.Zstd.encodeRaw(WarcOps.gzipBytes(brRaw))))
+    assert(gzThenZstd.map(r => (r._3, r._4)) == Seq((brText, "gzip,zstd")))
     // identity tokens are transparent; x-gzip aliases gzip
     val text = "alias body"
     val viaAlias = WarcOps.parseWarc(rec("Content-Encoding: x-gzip\r\n",
