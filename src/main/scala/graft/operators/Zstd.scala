@@ -114,7 +114,6 @@ object Zstd {
       }
       v
     }
-    def exhausted: Boolean = pos <= 0
   }
 
   // ------------------------------------------------------------------ FSE
@@ -725,22 +724,21 @@ object Zstd {
               // execute: literals then the match
               if (litPos + ll > regen) throw Bail("literals-overrun")
               ensure(ll.toLong + ml.toLong)
-              var (oa, op) = get()
-              System.arraycopy(literals, litPos, oa, op, ll)
+              val (oa, op0) = get()
+              System.arraycopy(literals, litPos, oa, op0, ll)
               litPos += ll
-              op += ll
-              val (oaF, opF) = (oa, op)
+              val op = op0 + ll
               // matches may only reference THIS frame's output (no
               // dictionary support — dictionary frames bail typed)
-              if (offset <= 0 || offset > opF - frameStartPos)
+              if (offset <= 0 || offset > op - frameStartPos)
                 throw Bail("offset-too-far")
               var k = 0
-              val src = opF - offset.toInt
+              val src = op - offset.toInt
               while (k < ml) {
-                oa(opF + k) = oa(src + k)
+                oa(op + k) = oa(src + k)
                 k += 1
               }
-              set(oa, opF + ml)
+              set(oa, op + ml)
               // state updates LL → ML → OF (all but the last sequence)
               if (s < nbSeq - 1) {
                 llS = fseUpdate(bb, llT, llS)

@@ -66,6 +66,17 @@ class BrotliSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata meta-blocks skip cleanly (hand-assembled §9.2 form)") {
+    // WBITS=16 ('0'), metadata block (ISLAST=0, MNIBBLES code 3,
+    // reserved 0, MSKIPBYTES=1, length 3, byte-aligned 3 skip bytes),
+    // then ISLAST+ISLASTEMPTY
+    val stream = Array[Byte](0xAC.toByte, 0x01,
+      0xAA.toByte, 0xBB.toByte, 0xCC.toByte, 0x03)
+    assert(Brotli.decode(stream, 64).toOption.exists(_.isEmpty))
+    // truncated inside the skipped bytes: typed
+    assert(Brotli.decode(stream.take(4), 64).isLeft)
+  }
+
   test("truncation fuzz: every prefix of every fixture is a typed " +
     "error or a clean decode, never a throw") {
     for (nm <- Seq("text_q5_w18", "words_q11_w22", "runs_q1_w22")) {

@@ -59,6 +59,19 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("concatenated frames decode in order; a skippable frame between " +
+    "them is skipped") {
+    val a = "first frame body ".getBytes("UTF-8")
+    val c = "second frame body".getBytes("UTF-8")
+    val skip = Array[Byte](0x50, 0x2A, 0x4D, 0x18, // 0x184D2A50 LE
+      4, 0, 0, 0, 1, 2, 3, 4) // 4-byte payload
+    val cat = Zstd.encodeRaw(a) ++ skip ++ Zstd.encodeRaw(c)
+    assert(Zstd.decode(cat, 256) == Right(a ++ c) ||
+      Zstd.decode(cat, 256).toOption.exists(_.sameElements(a ++ c)))
+    // a truncated skippable frame is typed
+    assert(Zstd.decode((Zstd.encodeRaw(a) ++ skip.take(10)), 256).isLeft)
+  }
+
   test("a flipped checksum is a typed checksum-mismatch") {
     val (raw, zst) = fixture("text_l3_ck")
     val bad = zst.clone()
