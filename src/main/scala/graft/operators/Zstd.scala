@@ -452,10 +452,11 @@ object Zstd {
     while (ip < input.length) {
       val magic = le32(input, ip)
       if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) {
-        // skippable frame
+        // skippable frame: bound the declared size BEFORE advancing —
+        // a 4 GB lie must not wrap the cursor
         val sz = le32(input, ip + 4)
+        if (sz > input.length.toLong - ip - 8) throw Bail("truncated")
         ip += 8 + sz.toInt
-        if (sz > input.length || ip > input.length) throw Bail("truncated")
       } else if (magic == 0xFD2FB528L) {
         ip = decodeFrame(input, ip + 4, outArr, maxOut,
           (a, np) => { outArr = a; pos = np }, () => (outArr, pos), ensure)

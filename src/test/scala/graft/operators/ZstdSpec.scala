@@ -70,6 +70,11 @@ class ZstdSpec extends AnyFunSuite {
       Zstd.decode(cat, 256).toOption.exists(_.sameElements(a ++ c)))
     // a truncated skippable frame is typed
     assert(Zstd.decode((Zstd.encodeRaw(a) ++ skip.take(10)), 256).isLeft)
+    // a skippable frame declaring a 4 GB payload must type out, not
+    // wrap the cursor
+    val lie = Array[Byte](0x50, 0x2A, 0x4D, 0x18,
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    assert(Zstd.decode(Zstd.encodeRaw(a) ++ lie, 256) == Left("truncated"))
   }
 
   test("a flipped checksum is a typed checksum-mismatch") {
