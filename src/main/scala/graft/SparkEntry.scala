@@ -174,6 +174,7 @@ object SparkEntry {
     "q182_frontier_timing" -> (FrontierOps.q182FrontierTiming(_, _)),
     "q183_audio_neardup" -> (AudioDedupOps.q183AudioNearDup(_, _)),
     "q184_coding_report" -> (WarcOps.q184CodingReport(_, _)),
+    "q185_warc_zst_extract" -> (WarcOps.q185WarcZstExtract(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2001,6 +2002,19 @@ object SparkEntry {
     // (doc_id, text) with the marker block appended — the member
     // inflate itself collapses out (encode->decode discipline)
     "q135_warc_gz_extract" -> (htmlExtractCtes(
+      " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
+        "' || doc_id || '</p>'") +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
+    // .warc.zst archive (q185): the q135 contract over one-zstd-frame-
+    // per-record archives (the ecosystem's next production shape) —
+    // frame boundaries from the non-decompressing header+block walk,
+    // payloads through the full RFC 8878 decoder; identical oracle, so
+    // a boundary or inflate slip changes rows
+    "q185_warc_zst_extract" -> (htmlExtractCtes(
       " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
         "' || doc_id || '</p>'") +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,

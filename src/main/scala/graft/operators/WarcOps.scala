@@ -437,7 +437,49 @@ object WarcOps {
     */
   private[graft] def parseWarcAuto(bytes: Array[Byte]): Seq[(String, Int, String, String, String)] =
     if (isGzip(bytes)) gunzipMembers(bytes).flatMap(parseWarc)
+    else if (isZstd(bytes)) zstdMembers(bytes).flatMap(parseWarc)
     else parseWarc(bytes)
+
+  private def isZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 0x28.toByte && b(1) == 0xB5.toByte &&
+      b(2) == 0x2F.toByte && b(3) == 0xFD.toByte
+
+  /** Frame-at-a-time walk of a `.warc.zst` archive (one zstd frame per
+    * record — the format the web-archive ecosystem is migrating to),
+    * with each frame's BYTE EXTENT `(offset, compressedLength)` — the
+    * CDX numbers a replayer range-reads. Boundaries come from
+    * `Zstd.frameLength` (a header+block walk that never decompresses);
+    * a corrupt frame drops and the walk RESYNCS at the next frame
+    * magic — the intact frames around it all survive (the gzip-member
+    * discipline).
+    */
+  private[graft] def zstdMemberExtents(
+      bytes: Array[Byte]): Seq[(Long, Long, Array[Byte])] = {
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+    def nextMagic(from: Int): Int = {
+      var i = math.max(from, 0)
+      while (i + 4 <= n && !(bytes(i) == 0x28.toByte &&
+        bytes(i + 1) == 0xB5.toByte && bytes(i + 2) == 0x2F.toByte &&
+        bytes(i + 3) == 0xFD.toByte)) i += 1
+      if (i + 4 <= n) i else n
+    }
+    var p = 0
+    while (p + 4 <= n) {
+      val advanced = Zstd.frameLength(bytes, p).flatMap { len =>
+        val slice = java.util.Arrays.copyOfRange(bytes, p, p + len)
+        Zstd.decode(slice, MaxMemberBytes.toInt).toOption.map { d =>
+          out += ((p.toLong, len.toLong, d))
+          p + len
+        }
+      }
+      p = advanced.getOrElse(nextMagic(p + 1))
+    }
+    out.toSeq
+  }
+
+  private[graft] def zstdMembers(bytes: Array[Byte]): Seq[Array[Byte]] =
+    zstdMemberExtents(bytes).map(_._3)
 
   /** Distributed record extraction over (group_id, warc binary) rows;
     * accepts plaintext and gzip-member archives alike; `enc` reports
@@ -524,6 +566,28 @@ object WarcOps {
       .agg(expr("transform(array_sort(collect_list(s)), x -> x.rec)").as("recs"))
       .as[(Long, Seq[String])]
       .map { case (gid, recs) => (gid, gzipMembers(recs)) }
+      .toDF("group_id", "warc")
+  }
+
+  /** The `.warc.zst` twin of `syntheticWarcGz`: the SAME records, one
+    * zstd frame per record (built by the conforming `Zstd.encodeRaw`).
+    */
+  private[graft] def syntheticWarcZst(docs: DataFrame, groups: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    HtmlOps.syntheticHtml(docs)
+      .select(col("doc_id"), concat(col("html"),
+        lit("<p>" + Utf8Marker), col("doc_id").cast("string"), lit("</p>")).as("html"))
+      .select((col("doc_id") % groups).as("group_id"),
+        struct(col("doc_id"), warcRecordCol.as("rec")).as("s"))
+      .groupBy(col("group_id"))
+      .agg(expr("transform(array_sort(collect_list(s)), x -> x.rec)").as("recs"))
+      .as[(Long, Seq[String])]
+      .map { case (gid, recs) =>
+        (gid, recs.map(r => Zstd.encodeRaw(
+          r.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          .foldLeft(Array.empty[Byte])(_ ++ _))
+      }
       .toDF("group_id", "warc")
   }
 
@@ -780,6 +844,16 @@ object WarcOps {
         sum(when(col("enc").startsWith("unsupported:"), 1L).otherwise(0L))
           .as("n_lost"))
       .orderBy(col("enc"))
+
+  /** q185: the q135 contract over a `.warc.zst` archive — one zstd
+    * frame per record (the ecosystem's next production shape), walked
+    * by `Zstd.frameLength` extents and inflated by the full RFC 8878
+    * decoder; the output contract (and oracle) is exactly q135's, so
+    * any frame-boundary or inflate slip changes rows.
+    */
+  def q185WarcZstExtract(spark: SparkSession, dir: String): DataFrame =
+    extractToDocs(extractRecords(spark,
+      syntheticWarcZst(Tables.documents(spark, dir))).toDF())
 
   /** q135: the q128 front door over a PRODUCTION-SHAPE archive —
     * per-record gzip members with a planted non-ASCII paragraph; same

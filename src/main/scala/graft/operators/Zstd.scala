@@ -434,6 +434,62 @@ object Zstd {
       case _: NegativeArraySizeException => Left("malformed")
     }
 
+  /** COMPRESSED length of the frame starting at `off` — a header+block
+    * walk that never decompresses (the .warc.zst member-extent
+    * discipline: find record boundaries in a concatenated-frame
+    * archive without inflating anything). None on any malformed or
+    * truncated header.
+    */
+  def frameLength(b: Array[Byte], off: Int): Option[Int] =
+    try {
+      if (off + 4 > b.length) return None
+      val magic = le32(b, off)
+      if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) {
+        val sz = le32(b, off + 4)
+        if (sz > b.length.toLong - off - 8) None else Some(8 + sz.toInt)
+      } else if (magic != 0xFD2FB528L) None
+      else {
+        var ip = off + 4
+        def u8(): Int = {
+          if (ip >= b.length) throw Bail("truncated")
+          val v = b(ip) & 0xff; ip += 1; v
+        }
+        val fhd = u8()
+        val singleSegment = (fhd & 0x20) != 0
+        if (!singleSegment) u8() // window descriptor
+        val dictBytes = (fhd & 3) match {
+          case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+        }
+        ip += dictBytes
+        ip += ((fhd >> 6) match {
+          case 0 => if (singleSegment) 1 else 0
+          case 1 => 2
+          case 2 => 4
+          case _ => 8
+        })
+        var last = false
+        while (!last) {
+          if (ip + 3 > b.length) throw Bail("truncated")
+          val hdr = (b(ip) & 0xff) | ((b(ip + 1) & 0xff) << 8) |
+            ((b(ip + 2) & 0xff) << 16)
+          ip += 3
+          last = (hdr & 1) == 1
+          val bsize = hdr >> 3
+          ((hdr >> 1) & 3) match {
+            case 0 | 2 => ip += bsize // raw / compressed: bsize on wire
+            case 1 => ip += 1 // RLE: one byte regardless of bsize
+            case _ => throw Bail("reserved-block")
+          }
+          if (ip > b.length) throw Bail("truncated")
+        }
+        if ((fhd & 0x04) != 0) ip += 4 // content checksum
+        if (ip > b.length) None else Some(ip - off)
+      }
+    } catch {
+      case _: Bail => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
   private def le32(b: Array[Byte], o: Int): Long = {
     if (o + 4 > b.length) throw Bail("truncated")
     ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |

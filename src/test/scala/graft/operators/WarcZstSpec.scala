@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `.warc.zst` archives: frame extents address records without
+  * decompressing anything, single records range-read by extent, a
+  * corrupt frame drops with the walk resyncing, and the full q185
+  * output equals the gzip twin q135's row for row.
+  */
+class WarcZstSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rec(uri: String, body: String): String = {
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+  }
+
+  test("extents address every frame byte-exactly; ONE record range-reads " +
+    "by its extent without touching the rest") {
+    val recs = (0 until 5).map(i => rec(s"https://z.test/$i", s"<p>body $i</p>"))
+    val archive = recs.map(r => Zstd.encodeRaw(r.getBytes("UTF-8")))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val exts = WarcOps.zstdMemberExtents(archive)
+    assert(exts.length == 5)
+    assert(exts.map(e => e._1 + e._2).max == archive.length)
+    // range-read record 3 from its extent alone
+    val (off, len, _) = exts(3)
+    val slice = java.util.Arrays.copyOfRange(
+      archive, off.toInt, (off + len).toInt)
+    val one = Zstd.decode(slice, 1 << 20).toOption.map(WarcOps.parseWarc)
+    assert(one.exists(_.map(_._3) == Seq("<p>body 3</p>")))
+  }
+
+  test("a corrupt frame drops; the walk resyncs and the neighbors survive") {
+    val recs = (0 until 4).map(i => rec(s"https://z.test/$i", s"<p>b$i</p>"))
+    val frames = recs.map(r => Zstd.encodeRaw(r.getBytes("UTF-8")))
+    val bad = frames(1).clone()
+    bad(6) = (bad(6) ^ 0x77).toByte // inside the frame body
+    val archive = frames(0) ++ bad ++ frames(2) ++ frames(3)
+    val got = WarcOps.zstdMembers(archive).flatMap(WarcOps.parseWarc).map(_._3)
+    assert(got.contains("<p>b0</p>") && got.contains("<p>b2</p>") &&
+      got.contains("<p>b3</p>"))
+    assert(!got.contains("<p>b1</p>"))
+  }
+
+  test("q185 on sf0.001 equals the gzip twin q135 row for row") {
+    val viaZst = WarcOps.q185WarcZstExtract(spark, sf).collect().map(_.toSeq)
+    val viaGz = WarcOps.q135WarcGzExtract(spark, sf).collect().map(_.toSeq)
+    assert(viaZst.nonEmpty && viaZst.length == viaGz.length)
+    viaZst.zip(viaGz).foreach { case (z, g) => assert(z == g) }
+  }
+
+  test("truncation fuzz: every archive prefix yields the intact frame " +
+    "prefix, never a throw") {
+    val recs = (0 until 3).map(i => rec(s"https://z.test/$i", s"<p>t$i</p>"))
+    val archive = recs.map(r => Zstd.encodeRaw(r.getBytes("UTF-8")))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    for (cut <- 0 to archive.length by 7) {
+      val n = WarcOps.zstdMembers(archive.take(cut)).length
+      assert(n <= 3)
+    }
+    assert(WarcOps.zstdMembers(archive).length == 3)
+  }
+}
