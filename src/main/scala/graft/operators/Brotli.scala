@@ -484,8 +484,12 @@ object Brotli {
           i += 1
         }
         br.align()
+        // §9.2: MSKIPLEN is the metadata length MINUS ONE when
+        // MSKIPBYTES > 0 (zero metadata bytes when MSKIPBYTES == 0),
+        // so skip skipLen+1 bytes — matching libbrotlidec.
+        val actualSkip = if (skipBytes > 0) skipLen + 1 else 0
         var k = 0
-        while (k < skipLen) { br.readByte(); k += 1 }
+        while (k < actualSkip) { br.readByte(); k += 1 }
       } else {
         var mlen = br.readBits(4 * mnibbles) + 1
         if (mnibbles > 4 && (mlen - 1) >> (4 * (mnibbles - 1)) == 0)
@@ -523,6 +527,10 @@ object Brotli {
             val implicitD0 = cmd < 128
             val insert = InsOff(insCode) + br.readBits(InsBits(insCode))
             val copy = CopyOff(copyCode) + br.readBits(CopyBits(copyCode))
+            // an INSERT count past the remaining MLEN is malformed
+            // (reference brotli errors EXUBERANT block length); never
+            // emit partial garbage past the declared block length
+            if (insert > mlen) throw Bail("insert-past-mlen")
             var j = 0
             while (j < insert) {
               lBlocks.switchIfNeeded(br)

@@ -68,11 +68,18 @@ class BrotliSpec extends AnyFunSuite {
 
   test("metadata meta-blocks skip cleanly (hand-assembled §9.2 form)") {
     // WBITS=16 ('0'), metadata block (ISLAST=0, MNIBBLES code 3,
-    // reserved 0, MSKIPBYTES=1, length 3, byte-aligned 3 skip bytes),
-    // then ISLAST+ISLASTEMPTY
+    // reserved 0, MSKIPBYTES=1, MSKIPLEN=3 → skip MSKIPLEN+1 = 4
+    // byte-aligned metadata bytes), then ISLAST+ISLASTEMPTY.
+    // Pinned against libbrotlidec: BrotliDecoderDecompress accepts
+    // exactly this 4-skip-byte form (rc=1, empty output) and REJECTS
+    // the 3-skip-byte reading of the same header (rc=0).
     val stream = Array[Byte](0xAC.toByte, 0x01,
-      0xAA.toByte, 0xBB.toByte, 0xCC.toByte, 0x03)
+      0xAA.toByte, 0xBB.toByte, 0xCC.toByte, 0xDD.toByte, 0x03)
     assert(Brotli.decode(stream, 64).toOption.exists(_.isEmpty))
+    // the MSKIPLEN-without-+1 mis-reading desyncs → typed error
+    val wrong = Array[Byte](0xAC.toByte, 0x01,
+      0xAA.toByte, 0xBB.toByte, 0xCC.toByte, 0x03)
+    assert(Brotli.decode(wrong, 64).isLeft)
     // truncated inside the skipped bytes: typed
     assert(Brotli.decode(stream.take(4), 64).isLeft)
   }
