@@ -420,6 +420,73 @@ object Zstd {
     h
   }
 
+  // ----------------------------------------------------------- dictionary
+
+  /** A parsed zstd dictionary (RFC 8878 §5). Two forms:
+    *
+    *   - STRUCTURED (magic 0xEC30A437): id, entropy tables (Huffman
+    *     literals table, then FSE tables in OF→ML→LL order) that seed
+    *     the frame's repeat-mode state, the three repeated-offset
+    *     seeds, and the content (the window prefix matches may copy
+    *     from);
+    *   - RAW CONTENT (no magic): the whole blob is content; id 0, no
+    *     entropy, default rep offsets — RFC 8878 §5 ¶2's prefix form.
+    */
+  final class Dictionary private[Zstd] (
+      val id: Long,
+      private[Zstd] val content: Array[Byte],
+      private[Zstd] val huf: HufTable,
+      private[Zstd] val ll: FseTable,
+      private[Zstd] val ml: FseTable,
+      private[Zstd] val of: FseTable,
+      private[Zstd] val reps: Array[Long]) {
+    def contentLength: Int = content.length
+  }
+
+  val DictMagic = 0xEC30A437L
+
+  /** Parse a dictionary blob; a blob without the dictionary magic is a
+    * raw-content dictionary (id 0). Left(reason) on a malformed
+    * structured dictionary.
+    */
+  def parseDictionary(b: Array[Byte]): Either[String, Dictionary] =
+    try Right(parseDictOrThrow(b))
+    catch {
+      case x: Bail => Left(x.reason)
+      case _: ArrayIndexOutOfBoundsException => Left("dict-malformed")
+    }
+
+  private def parseDictOrThrow(b: Array[Byte]): Dictionary = {
+    if (b.length < 8 || le32(b, 0) != DictMagic)
+      return new Dictionary(0L, b.clone(), null, null, null, null,
+        Array(1L, 4L, 8L))
+    val id = le32(b, 4)
+    var ip = 8
+    val (huf, hufUsed) = hufReadTable(b, ip, b.length)
+    ip += hufUsed
+    // FSE table descriptions in OF → ML → LL order (§5), each ending
+    // byte-aligned; built eagerly so a bad description is a parse
+    // error, not a first-use decode error
+    def readFse(maxSym: Int, maxLog: Int): FseTable = {
+      val fw = new FwdBits(b, ip, b.length)
+      val (counts, log) = fseReadCounts(fw, maxSym, maxLog)
+      ip = fw.bytePos
+      fseBuild(counts, log)
+    }
+    val of = readFse(31, 8)
+    val ml = readFse(52, 9)
+    val ll = readFse(35, 9)
+    if (ip + 12 > b.length) throw Bail("dict-truncated")
+    val reps = Array(le32(b, ip), le32(b, ip + 4), le32(b, ip + 8))
+    ip += 12
+    val content = java.util.Arrays.copyOfRange(b, ip, b.length)
+    // §5: each repeated offset must point inside the content
+    reps.foreach { r =>
+      if (r <= 0 || r > content.length) throw Bail("dict-rep-offset")
+    }
+    new Dictionary(id, content, huf, ll, ml, of, reps)
+  }
+
   // --------------------------------------------------------------- decode
 
   /** Decode a complete zstd input (one or more frames, skippable
@@ -427,7 +494,17 @@ object Zstd {
     * mismatch, or past `maxOut` (bomb cap).
     */
   def decode(input: Array[Byte], maxOut: Int = 1 << 26): Either[String, Array[Byte]] =
-    try Right(decodeOrThrow(input, maxOut))
+    decode(input, maxOut, null)
+
+  /** Dictionary-aware decode: frames declaring a Dictionary_ID require
+    * `dict` with a matching id; a supplied dictionary also serves
+    * id-less frames as a content prefix (libzstd's
+    * `ZSTD_decompress_usingDict` semantics).
+    */
+  def decode(
+      input: Array[Byte], maxOut: Int,
+      dict: Dictionary): Either[String, Array[Byte]] =
+    try Right(decodeOrThrow(input, maxOut, dict))
     catch {
       case x: Bail => Left(x.reason)
       case _: ArrayIndexOutOfBoundsException => Left("malformed")
@@ -496,7 +573,8 @@ object Zstd {
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
   }
 
-  private def decodeOrThrow(input: Array[Byte], maxOut: Int): Array[Byte] = {
+  private def decodeOrThrow(
+      input: Array[Byte], maxOut: Int, dict: Dictionary): Array[Byte] = {
     var outArr = new Array[Byte](1 << 16)
     var pos = 0
     def ensure(extra: Long): Unit = {
@@ -515,7 +593,8 @@ object Zstd {
         ip += 8 + sz.toInt
       } else if (magic == 0xFD2FB528L) {
         ip = decodeFrame(input, ip + 4, outArr, maxOut,
-          (a, np) => { outArr = a; pos = np }, () => (outArr, pos), ensure)
+          (a, np) => { outArr = a; pos = np }, () => (outArr, pos), ensure,
+          dict)
       } else throw Bail("bad-magic")
     }
     java.util.Arrays.copyOf(outArr, pos)
@@ -524,7 +603,7 @@ object Zstd {
   private def decodeFrame(
       b: Array[Byte], start: Int, out0: Array[Byte], maxOut: Int,
       set: (Array[Byte], Int) => Unit, get: () => (Array[Byte], Int),
-      ensure: Long => Unit): Int = {
+      ensure: Long => Unit, dict: Dictionary): Int = {
     var ip = start
     def u8(): Int = {
       if (ip >= b.length) throw Bail("truncated")
@@ -551,7 +630,10 @@ object Zstd {
     var dictId = 0L
     var i = 0
     while (i < dictBytes) { dictId |= u8().toLong << (8 * i); i += 1 }
-    if (dictId != 0) throw Bail("dictionary-unsupported")
+    if (dictId != 0) {
+      if (dict == null) throw Bail("dictionary-missing")
+      if (dict.id != 0 && dict.id != dictId) throw Bail("dictionary-mismatch")
+    }
     var contentSize = -1L
     val fcsBytes = fcsCode match {
       case 0 => if (singleSegment) 1 else 0
@@ -568,12 +650,19 @@ object Zstd {
     if (singleSegment) window = contentSize
     val frameStartPos = get()._2
 
-    // cross-block entropy state
-    var hufPrev: HufTable = null
-    var llPrev: FseTable = null
-    var mlPrev: FseTable = null
-    var ofPrev: FseTable = null
-    val reps = Array(1L, 4L, 8L)
+    // cross-block entropy state — seeded by the dictionary when one is
+    // supplied (§5: dictionary tables serve the frame's FIRST use of
+    // treeless literals / repeat FSE modes; rep offsets start from the
+    // dictionary's seeds)
+    var hufPrev: HufTable = if (dict != null) dict.huf else null
+    var llPrev: FseTable = if (dict != null) dict.ll else null
+    var mlPrev: FseTable = if (dict != null) dict.ml else null
+    var ofPrev: FseTable = if (dict != null) dict.of else null
+    val reps =
+      if (dict != null) java.util.Arrays.copyOf(dict.reps, 3)
+      else Array(1L, 4L, 8L)
+    val dictContent: Array[Byte] = if (dict != null) dict.content else null
+    val dictLen = if (dictContent != null) dictContent.length else 0
 
     var last = false
     while (!last) {
@@ -785,15 +874,31 @@ object Zstd {
               System.arraycopy(literals, litPos, oa, op0, ll)
               litPos += ll
               val op = op0 + ll
-              // matches may only reference THIS frame's output (no
-              // dictionary support — dictionary frames bail typed)
-              if (offset <= 0 || offset > op - frameStartPos)
+              // matches reference THIS frame's output, extended
+              // backward by the dictionary content when one is
+              // supplied (the virtual window prefix, §5)
+              val cur = op - frameStartPos
+              if (offset <= 0 || offset > cur.toLong + dictLen)
                 throw Bail("offset-too-far")
               var k = 0
-              val src = op - offset.toInt
-              while (k < ml) {
-                oa(op + k) = oa(src + k)
-                k += 1
+              if (offset <= cur) {
+                // fast path: entirely inside the frame's own output
+                val src = op - offset.toInt
+                while (k < ml) {
+                  oa(op + k) = oa(src + k)
+                  k += 1
+                }
+              } else {
+                // starts in the dictionary content (may cross into
+                // the frame's output as it copies)
+                val off = offset.toInt
+                while (k < ml) {
+                  val rel = cur + k - off
+                  oa(op + k) =
+                    if (rel >= 0) oa(frameStartPos + rel)
+                    else dictContent(dictLen + rel)
+                  k += 1
+                }
               }
               set(oa, op + ml)
               // state updates LL → ML → OF (all but the last sequence)
@@ -868,6 +973,107 @@ object Zstd {
       bos.write(data, off, chunk)
       off += chunk
     }
+    bos.toByteArray
+  }
+
+  /** Conforming dictionary-REFERENCING encoder: one frame whose content
+    * is `dictContent ++ suffix`, produced as a single compressed block
+    * holding one sequence — a match of the WHOLE dictionary content
+    * (offset = |dict|, reaching entirely into the window prefix) —
+    * followed by `suffix` as raw trailing literals. All three FSE
+    * tables use RLE mode, so the backward bitstream carries only the
+    * offset/match-length extra bits. This is how the synthetic
+    * `.warc.zst` corpora make every record frame genuinely DEPEND on
+    * the shared dictionary (drop the dict and the frame is
+    * undecodable), exercising the §5 prefix path end to end; libzstd
+    * accepts its output (verified once via ctypes at build time:
+    * `ZSTD_decompress_usingDict` round-trips it byte-exactly).
+    *
+    * `dictId` 0 omits the Dictionary_ID field (the raw-content-dict
+    * shape); non-zero writes the 4-byte field.
+    */
+  def encodeWithDictPrefix(
+      suffix: Array[Byte], dictContent: Array[Byte],
+      dictId: Long): Array[Byte] = {
+    val dictLen = dictContent.length
+    require(dictLen >= 3 && dictLen <= 65539, "dict prefix must be 3..65539")
+    require(suffix.length <= (1 << 17) - 1, "suffix too large for one block")
+    val contentSize = dictLen.toLong + suffix.length
+
+    // the one sequence: ll=0 (code 0, no extras), match = whole dict
+    val ml = dictLen
+    var mlCode = MlBase.length - 1
+    while (MlBase(mlCode) > ml) mlCode -= 1
+    val mlExtra = ml - MlBase(mlCode)
+    val offset = dictLen.toLong
+    val ofValue = offset + 3
+    val ofCode = 63 - java.lang.Long.numberOfLeadingZeros(ofValue).toInt
+    val ofExtra = (ofValue - (1L << ofCode)).toInt
+
+    // backward bitstream: fields in READ order (LL/OF/ML inits are
+    // 0-bit for RLE tables, then extras OF→ML→LL); the first-read
+    // field sits just below the padding marker
+    val totalBits = ofCode + MlBits(mlCode)
+    val nBytes = (totalBits + 1 + 7) / 8
+    val bits = new Array[Byte](nBytes)
+    var top = totalBits
+    def put(v: Int, n: Int): Unit = {
+      top -= n
+      var i = 0
+      while (i < n) {
+        if (((v >> i) & 1) != 0)
+          bits((top + i) >> 3) = (bits((top + i) >> 3) | (1 << ((top + i) & 7))).toByte
+        i += 1
+      }
+    }
+    put(ofExtra, ofCode)
+    put(mlExtra, MlBits(mlCode))
+    bits(totalBits >> 3) = (bits(totalBits >> 3) | (1 << (totalBits & 7))).toByte
+
+    // block content: literals header (raw, size_format 3 = 20-bit
+    // regen), literals, nbSeq=1, modes all RLE, the 3 RLE symbols,
+    // then the bitstream
+    val blk = new java.io.ByteArrayOutputStream()
+    val regen = suffix.length
+    blk.write(((3 << 2) | ((regen & 0xF) << 4)) & 0xff)
+    blk.write((regen >> 4) & 0xff)
+    blk.write((regen >> 12) & 0xff)
+    blk.write(suffix)
+    blk.write(1) // one sequence
+    blk.write((1 << 6) | (1 << 4) | (1 << 2)) // LL/OF/ML all RLE mode
+    blk.write(0) // LL RLE symbol: code 0 → literal length 0
+    blk.write(ofCode) // OF RLE symbol
+    blk.write(mlCode) // ML RLE symbol
+    blk.write(bits)
+    val blkBytes = blk.toByteArray
+
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0x28); bos.write(0xB5); bos.write(0x2F); bos.write(0xFD)
+    val fcsCode =
+      if (contentSize <= 255) 0
+      else if (contentSize <= 65535L + 256) 1
+      else 2
+    val dictFlag = if (dictId == 0) 0 else 3
+    bos.write((fcsCode << 6) | 0x20 | dictFlag) // single-segment
+    if (dictFlag == 3) {
+      bos.write((dictId & 0xff).toInt); bos.write(((dictId >> 8) & 0xff).toInt)
+      bos.write(((dictId >> 16) & 0xff).toInt)
+      bos.write(((dictId >> 24) & 0xff).toInt)
+    }
+    fcsCode match {
+      case 0 => bos.write(contentSize.toInt)
+      case 1 =>
+        val v = (contentSize - 256).toInt
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      case _ =>
+        val v = contentSize
+        bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+        bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    val hdr = 1 | (2 << 1) | (blkBytes.length << 3) // last, compressed
+    bos.write(hdr & 0xff); bos.write((hdr >> 8) & 0xff)
+    bos.write((hdr >> 16) & 0xff)
+    bos.write(blkBytes)
     bos.toByteArray
   }
 }

@@ -77,6 +77,136 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.decode(Zstd.encodeRaw(a) ++ lie, 256) == Left("truncated"))
   }
 
+  // ------------------------------------------------------ dictionaries
+
+  private def resource(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    assert(in != null, s"missing resource $path")
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  test("12 foreign libzstd DICTIONARY streams decode byte-exactly " +
+    "(ZDICT-trained structured dict: entropy preload + content prefix " +
+    "+ rep-offset seeds; levels 1/3/19)") {
+    val dictBytes = resource("/zstd/fixture_dict.bin")
+    val dict = Zstd.parseDictionary(dictBytes) match {
+      case Right(d) => d
+      case Left(r) => fail(s"dict parse: $r")
+    }
+    assert(dict.id != 0L, "trained dict must carry a non-zero id")
+    assert(dict.contentLength > 0)
+    var checked = 0
+    for (kind <- Seq("one", "four", "mix", "novel"); lv <- Seq(1, 3, 19)) {
+      val (raw, zst) = fixture(s"dict_${kind}_l$lv")
+      Zstd.decode(zst, raw.length + 64, dict) match {
+        case Right(got) =>
+          assert(java.util.Arrays.equals(got, raw), s"dict_${kind}_l$lv")
+          checked += 1
+        case Left(r) => fail(s"dict_${kind}_l$lv: $r")
+      }
+    }
+    assert(checked == 12)
+  }
+
+  test("raw-content dictionary streams decode byte-exactly (no magic: " +
+    "the blob is the window prefix, id 0)") {
+    val rawDict = resource("/zstd/fixture_dict_raw.bin")
+    val dict = Zstd.parseDictionary(rawDict).toOption.get
+    assert(dict.id == 0L)
+    assert(dict.contentLength == rawDict.length)
+    for (lv <- Seq(3, 19)) {
+      val (raw, zst) = fixture(s"dictraw_body_l$lv")
+      Zstd.decode(zst, raw.length + 64, dict) match {
+        case Right(got) =>
+          assert(java.util.Arrays.equals(got, raw), s"dictraw_body_l$lv")
+        case Left(r) => fail(s"dictraw_body_l$lv: $r")
+      }
+    }
+  }
+
+  test("dictionary discipline is typed: missing dict, mismatched id, " +
+    "truncated dict blob") {
+    val dictBytes = resource("/zstd/fixture_dict.bin")
+    val dict = Zstd.parseDictionary(dictBytes).toOption.get
+    val (raw, zst) = fixture("dict_one_l3")
+    // frame declares a dictionary id → without the dict it's typed
+    assert(Zstd.decode(zst, raw.length + 64) == Left("dictionary-missing"))
+    // a WRONG structured dictionary is a typed mismatch (id differs)
+    val wrongId = dictBytes.clone()
+    wrongId(4) = (wrongId(4) ^ 0x5A).toByte // flip low id byte
+    Zstd.parseDictionary(wrongId) match {
+      case Right(w) =>
+        assert(Zstd.decode(zst, raw.length + 64, w) ==
+          Left("dictionary-mismatch"))
+      case Left(_) => // id byte flip may corrupt nothing else; fine
+    }
+    // truncating the dict inside its entropy tables is a typed parse
+    // error, not a throw
+    for (cut <- Seq(8, 12, 40, dictBytes.length / 2)) {
+      Zstd.parseDictionary(dictBytes.take(cut)) match {
+        case Left(reason) => assert(reason.nonEmpty)
+        case Right(d) => assert(d.id == 0L || d.contentLength >= 0)
+      }
+    }
+    // the RIGHT dict still decodes after all that
+    assert(Zstd.decode(zst, raw.length + 64, dict).toOption
+      .exists(java.util.Arrays.equals(_, raw)))
+  }
+
+  test("own dict-referencing encoder round-trips: the frame DEPENDS on " +
+    "the dictionary content (undecodable without it)") {
+    val prefix = ("WARC/1.1\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://www.example.com/doc/").getBytes("UTF-8")
+    for (suffixLen <- Seq(0, 1, 300, 5000, 70000)) {
+      val suffix = Array.tabulate[Byte](suffixLen)(i => ((i * 17 + 3) & 0xff).toByte)
+      // raw-content shape (no id field)
+      val d0 = Zstd.parseDictionary(prefix).toOption.get
+      val enc0 = Zstd.encodeWithDictPrefix(suffix, prefix, 0L)
+      assert(Zstd.decode(enc0, prefix.length + suffixLen + 64, d0).toOption
+        .exists(java.util.Arrays.equals(_, prefix ++ suffix)), s"n=$suffixLen")
+      // declared-id shape
+      val enc1 = Zstd.encodeWithDictPrefix(suffix, prefix, 0xCAFEL)
+      assert(Zstd.decode(enc1, prefix.length + suffixLen + 64, d0).toOption
+        .exists(java.util.Arrays.equals(_, prefix ++ suffix)), s"n=$suffixLen id")
+      // without the dictionary: typed, never garbage
+      assert(Zstd.decode(enc0, 1 << 20).isLeft, s"n=$suffixLen nodict")
+      assert(Zstd.decode(enc1, 1 << 20) == Left("dictionary-missing"))
+    }
+  }
+
+  test("dictionary corruption fuzz: single-byte flips in dict or stream " +
+    "are typed errors or decodes, never throws") {
+    val dictBytes = resource("/zstd/fixture_dict.bin")
+    val (raw, zst) = fixture("dict_mix_l3")
+    for (i <- 0 until dictBytes.length by math.max(1, dictBytes.length / 61)) {
+      val bad = dictBytes.clone()
+      bad(i) = (bad(i) ^ 0x40).toByte
+      Zstd.parseDictionary(bad) match {
+        case Right(d) =>
+          Zstd.decode(zst, raw.length + 64, d) match {
+            case Right(got) => assert(got.length <= raw.length + 64)
+            case Left(reason) => assert(reason.nonEmpty)
+          }
+        case Left(reason) => assert(reason.nonEmpty)
+      }
+    }
+    val dict = Zstd.parseDictionary(dictBytes).toOption.get
+    for (i <- 0 until zst.length by math.max(1, zst.length / 61)) {
+      val bad = zst.clone()
+      bad(i) = (bad(i) ^ 0x10).toByte
+      Zstd.decode(bad, raw.length + 64, dict) match {
+        case Right(got) => assert(got.length <= raw.length + 64)
+        case Left(reason) => assert(reason.nonEmpty)
+      }
+    }
+  }
+
   test("a flipped checksum is a typed checksum-mismatch") {
     val (raw, zst) = fixture("text_l3_ck")
     val bad = zst.clone()
