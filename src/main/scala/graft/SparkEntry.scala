@@ -175,6 +175,7 @@ object SparkEntry {
     "q183_audio_neardup" -> (AudioDedupOps.q183AudioNearDup(_, _)),
     "q184_coding_report" -> (WarcOps.q184CodingReport(_, _)),
     "q185_warc_zst_extract" -> (WarcOps.q185WarcZstExtract(_, _)),
+    "q186_warc_zst_dict" -> (WarcOps.q186WarcZstDictExtract(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2015,6 +2016,21 @@ object SparkEntry {
     // payloads through the full RFC 8878 decoder; identical oracle, so
     // a boundary or inflate slip changes rows
     "q185_warc_zst_extract" -> (htmlExtractCtes(
+      " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
+        "' || doc_id || '</p>'") +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
+    // dict-bearing .warc.zst (q186): the q185 contract over the
+    // webrecorder production shape — shared RFC 8878 §5 dictionary in
+    // a leading skippable frame, record frames that genuinely depend
+    // on it (each opens with a match into the dict content and
+    // declares the Dictionary_ID); identical oracle, so a slip in
+    // dictionary discovery / prefix resolution / id handshake changes
+    // rows
+    "q186_warc_zst_dict" -> (htmlExtractCtes(
       " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
         "' || doc_id || '</p>'") +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,

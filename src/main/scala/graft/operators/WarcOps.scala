@@ -440,9 +440,23 @@ object WarcOps {
     else if (isZstd(bytes)) zstdMembers(bytes).flatMap(parseWarc)
     else parseWarc(bytes)
 
+  /** A zstd archive opens with a data-frame magic OR a skippable-frame
+    * magic (0x184D2A5X — the dict-bearing `.warc.zst` shape leads with
+    * its dictionary frame).
+    */
   private def isZstd(b: Array[Byte]): Boolean =
-    b.length >= 4 && b(0) == 0x28.toByte && b(1) == 0xB5.toByte &&
-      b(2) == 0x2F.toByte && b(3) == 0xFD.toByte
+    b.length >= 4 && ((b(0) == 0x28.toByte && b(1) == 0xB5.toByte &&
+      b(2) == 0x2F.toByte && b(3) == 0xFD.toByte) ||
+      ((b(0) & 0xF0) == 0x50 && b(1) == 0x2A.toByte &&
+        b(2) == 0x4D.toByte && b(3) == 0x18.toByte))
+
+  /** The web-archive ecosystem's dictionary convention for
+    * `.warc.zst` (webrecorder / IIPC): a LEADING skippable frame with
+    * this specific magic carries a shared zstd dictionary — raw, or
+    * itself zstd-compressed — that every record frame after it was
+    * compressed against.
+    */
+  private val WarcZstDictMagic = 0x184D2A5DL
 
   /** Frame-at-a-time walk of a `.warc.zst` archive (one zstd frame per
     * record — the format the web-archive ecosystem is migrating to),
@@ -451,7 +465,12 @@ object WarcOps {
     * `Zstd.frameLength` (a header+block walk that never decompresses);
     * a corrupt frame drops and the walk RESYNCS at the next frame
     * magic — the intact frames around it all survive (the gzip-member
-    * discipline).
+    * discipline). A leading `0x184D2A5D` skippable frame is the
+    * webrecorder shared-dictionary convention: its content (inflated
+    * first if itself a zstd frame) is parsed as an RFC 8878 §5
+    * dictionary and supplied to every record-frame decode; a malformed
+    * dictionary blob degrades to a plain skipped frame (the frames
+    * that needed it dead-letter typed, never as garbage).
     */
   private[graft] def zstdMemberExtents(
       bytes: Array[Byte]): Seq[(Long, Long, Array[Byte])] = {
@@ -464,11 +483,28 @@ object WarcOps {
         bytes(i + 3) == 0xFD.toByte)) i += 1
       if (i + 4 <= n) i else n
     }
+    def le32(at: Int): Long =
+      (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+        ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+    var dict: Zstd.Dictionary = null
     var p = 0
+    // leading dictionary frame (must be FIRST — the convention's shape)
+    if (n >= 8 && le32(0) == WarcZstDictMagic) {
+      val sz = le32(4)
+      if (sz <= n.toLong - 8) {
+        val blob = java.util.Arrays.copyOfRange(bytes, 8, 8 + sz.toInt)
+        val content =
+          if (isZstd(blob))
+            Zstd.decode(blob, MaxMemberBytes.toInt).getOrElse(blob)
+          else blob
+        dict = Zstd.parseDictionary(content).getOrElse(null)
+        p = 8 + sz.toInt
+      }
+    }
     while (p + 4 <= n) {
       val advanced = Zstd.frameLength(bytes, p).flatMap { len =>
         val slice = java.util.Arrays.copyOfRange(bytes, p, p + len)
-        Zstd.decode(slice, MaxMemberBytes.toInt).toOption.map { d =>
+        Zstd.decode(slice, MaxMemberBytes.toInt, dict).toOption.map { d =>
           out += ((p.toLong, len.toLong, d))
           p + len
         }
@@ -590,6 +626,78 @@ object WarcOps {
       }
       .toDF("group_id", "warc")
   }
+
+  /** The byte prefix every synthetic WARC response record opens with —
+    * the shared material the `.warc.zst` dictionary is built from
+    * (exactly what ZDICT training converges on for a single-site
+    * crawl: the invariant record/header preamble).
+    */
+  private[graft] val WarcRecPrefix: Array[Byte] =
+    ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.test/doc/")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private[graft] val WarcZstDictId = 0x47524654L // arbitrary non-zero id
+
+  /** The dict-bearing `.warc.zst` twin of `syntheticWarcZst`
+    * (webrecorder convention): a leading `0x184D2A5D` skippable frame
+    * carries a structured RFC 8878 §5 dictionary (itself
+    * zstd-compressed, as the ecosystem writes it) whose content is the
+    * shared record prefix; every record frame declares the
+    * Dictionary_ID and opens with a match reaching wholly into the
+    * dictionary content — drop the dictionary and every frame is
+    * undecodable, so the walker's dict plumbing is load-bearing, not
+    * decorative.
+    */
+  private[graft] def syntheticWarcZstDict(docs: DataFrame, groups: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    HtmlOps.syntheticHtml(docs)
+      .select(col("doc_id"), concat(col("html"),
+        lit("<p>" + Utf8Marker), col("doc_id").cast("string"), lit("</p>")).as("html"))
+      .select((col("doc_id") % groups).as("group_id"),
+        struct(col("doc_id"), warcRecordCol.as("rec")).as("s"))
+      .groupBy(col("group_id"))
+      .agg(expr("transform(array_sort(collect_list(s)), x -> x.rec)").as("recs"))
+      .as[(Long, Seq[String])]
+      .map { case (gid, recs) =>
+        val prefix = WarcRecPrefix
+        val dictBlob = Zstd.encodeStructuredDict(WarcZstDictId, prefix)
+        val packed = Zstd.encodeRaw(dictBlob)
+        val head = new java.io.ByteArrayOutputStream()
+        // skippable frame: magic 0x184D2A5D, LE size, compressed dict
+        head.write(0x5D); head.write(0x2A); head.write(0x4D); head.write(0x18)
+        val sz = packed.length
+        head.write(sz & 0xff); head.write((sz >> 8) & 0xff)
+        head.write((sz >> 16) & 0xff); head.write((sz >> 24) & 0xff)
+        head.write(packed)
+        val frames = recs.map { r =>
+          val bytes = r.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // every record opens with the prefix (corpus invariant); an
+          // oversized tail would overflow the one-block encoder, so it
+          // degrades to a dict-less raw frame (still a valid member)
+          if (bytes.length >= prefix.length && bytes.length - prefix.length < 100000 &&
+            java.util.Arrays.equals(
+              java.util.Arrays.copyOf(bytes, prefix.length), prefix))
+            Zstd.encodeWithDictPrefix(
+              java.util.Arrays.copyOfRange(bytes, prefix.length, bytes.length),
+              prefix, WarcZstDictId)
+          else Zstd.encodeRaw(bytes)
+        }
+        (gid, frames.foldLeft(head.toByteArray)(_ ++ _))
+      }
+      .toDF("group_id", "warc")
+  }
+
+  /** q186: the q185 contract over a DICT-BEARING `.warc.zst` archive —
+    * the production webrecorder shape (shared dictionary in a leading
+    * skippable frame; record frames that reference it). Identical
+    * oracle to q135/q185: any slip in dictionary discovery, §5 prefix
+    * resolution, or the Dictionary_ID handshake changes rows.
+    */
+  def q186WarcZstDictExtract(spark: SparkSession, dir: String): DataFrame =
+    extractToDocs(extractRecords(spark,
+      syntheticWarcZstDict(Tables.documents(spark, dir))).toDF())
 
   /** q128: the full crawl front door — WARC walk → HTTP split → HTML
     * extraction — over multi-record synthetic archives; per document

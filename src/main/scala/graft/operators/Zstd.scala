@@ -976,6 +976,38 @@ object Zstd {
     bos.toByteArray
   }
 
+  /** Build a minimal STRUCTURED dictionary blob (RFC 8878 §5): magic,
+    * id, entropy preamble, rep-offset seeds, content. The preamble is
+    * the smallest valid one — a 2-symbol Huffman table and three
+    * single-symbol full FSE tables — because the synthetic corpora
+    * never emit treeless-literals or repeat-mode blocks; what the
+    * frames USE is the content (as the window prefix) and the id (the
+    * Dictionary_ID handshake). libzstd loads the blob and decodes
+    * frames against it (verified once via ctypes at build time:
+    * `ZSTD_decompress_usingDict` round-trips `encodeWithDictPrefix`
+    * output byte-exactly under this dictionary).
+    */
+  def encodeStructuredDict(id: Long, content: Array[Byte]): Array[Byte] = {
+    require(content.length >= 8, "dict content must cover the rep seeds")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32w(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    le32w(DictMagic)
+    le32w(id)
+    // Huffman: direct-weights header, 1 explicit symbol of weight 1
+    // (the implied last weight completes the power of two)
+    bos.write(0x80); bos.write(0x10)
+    // three FSE descriptions (OF → ML → LL order), each "symbol 0 owns
+    // the whole 2^5 table": accLog nibble 0, then count 32 encoded as
+    // low=31 + extra bit → bytes 0xF0 0x03 (fseReadCounts-exact)
+    for (_ <- 0 until 3) { bos.write(0xF0); bos.write(0x03) }
+    le32w(1L); le32w(4L); le32w(8L) // rep-offset seeds
+    bos.write(content)
+    bos.toByteArray
+  }
+
   /** Conforming dictionary-REFERENCING encoder: one frame whose content
     * is `dictContent ++ suffix`, produced as a single compressed block
     * holding one sequence — a match of the WHOLE dictionary content

@@ -54,6 +54,70 @@ class WarcZstSpec extends AnyFunSuite {
     viaZst.zip(viaGz).foreach { case (z, g) => assert(z == g) }
   }
 
+  // ------------------------------------------- dictionary convention
+
+  private def dictArchive(recs: Seq[String]): Array[Byte] = {
+    val prefix = WarcOps.WarcRecPrefix
+    val blob = Zstd.encodeStructuredDict(WarcOps.WarcZstDictId, prefix)
+    val packed = Zstd.encodeRaw(blob)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0x5D); bos.write(0x2A); bos.write(0x4D); bos.write(0x18)
+    val sz = packed.length
+    bos.write(sz & 0xff); bos.write((sz >> 8) & 0xff)
+    bos.write((sz >> 16) & 0xff); bos.write((sz >> 24) & 0xff)
+    bos.write(packed)
+    recs.foreach { r =>
+      val b = r.getBytes("UTF-8")
+      bos.write(Zstd.encodeWithDictPrefix(
+        java.util.Arrays.copyOfRange(b, prefix.length, b.length),
+        prefix, WarcOps.WarcZstDictId))
+    }
+    bos.toByteArray
+  }
+
+  test("dict-bearing archive: the leading skippable frame's dictionary " +
+    "decodes every record frame; WITHOUT it the frames dead-letter " +
+    "typed (drop), never as garbage") {
+    val recs = (0 until 5).map(i =>
+      rec(s"https://example.test/doc/$i", s"<p>dict body $i</p>"))
+    val archive = dictArchive(recs)
+    val got = WarcOps.zstdMembers(archive).flatMap(WarcOps.parseWarc).map(_._3)
+    assert(got == (0 until 5).map(i => s"<p>dict body $i</p>"))
+    // strip the dictionary frame: every record frame declares the id
+    // and must drop — zero members, zero garbage
+    val skipLen = 8 + ((archive(4) & 0xff) | ((archive(5) & 0xff) << 8) |
+      ((archive(6) & 0xff) << 16) | ((archive(7) & 0xff) << 24))
+    val stripped = java.util.Arrays.copyOfRange(archive, skipLen, archive.length)
+    assert(WarcOps.zstdMembers(stripped).isEmpty)
+    // a MALFORMED dictionary blob (unparseable FSE preamble) degrades
+    // the same way: dict-less walk, id-declaring frames typed out
+    val packedLen = skipLen - 8
+    val blobLen = Zstd.encodeStructuredDict(
+      WarcOps.WarcZstDictId, WarcOps.WarcRecPrefix).length
+    val blobStart = 8 + (packedLen - blobLen) // inner raw frame's payload
+    val badDict = archive.clone()
+    badDict(blobStart + 10) = 0xFF.toByte // FSE accLog 20 > max: parse bails
+    assert(WarcOps.zstdMembers(badDict).isEmpty)
+  }
+
+  test("dict-bearing archive extents still address records for range " +
+    "reads (offsets past the dictionary frame)") {
+    val recs = (0 until 4).map(i =>
+      rec(s"https://example.test/doc/$i", s"<p>x$i</p>"))
+    val archive = dictArchive(recs)
+    val exts = WarcOps.zstdMemberExtents(archive)
+    assert(exts.length == 4)
+    assert(exts.head._1 > 8, "first record extent starts after the dict frame")
+    assert(exts.map(e => e._1 + e._2).max == archive.length)
+  }
+
+  test("q186 on sf0.001 equals the gzip twin q135 row for row") {
+    val viaDict = WarcOps.q186WarcZstDictExtract(spark, sf).collect().map(_.toSeq)
+    val viaGz = WarcOps.q135WarcGzExtract(spark, sf).collect().map(_.toSeq)
+    assert(viaDict.nonEmpty && viaDict.length == viaGz.length)
+    viaDict.zip(viaGz).foreach { case (z, g) => assert(z == g) }
+  }
+
   test("truncation fuzz: every archive prefix yields the intact frame " +
     "prefix, never a throw") {
     val recs = (0 until 3).map(i => rec(s"https://z.test/$i", s"<p>t$i</p>"))

@@ -180,6 +180,29 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeStructuredDict builds a parseable §5 blob: magic, id, " +
+    "entropy preamble, rep seeds, content — and its id gates frames") {
+    val content = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.test/doc/").getBytes("UTF-8")
+    val blob = Zstd.encodeStructuredDict(0x47524654L, content)
+    val d = Zstd.parseDictionary(blob) match {
+      case Right(x) => x
+      case Left(r) => fail(s"structured dict parse: $r")
+    }
+    assert(d.id == 0x47524654L)
+    assert(d.contentLength == content.length)
+    val tail = "Content-Length: 99\r\n\r\nbody".getBytes("UTF-8")
+    val enc = Zstd.encodeWithDictPrefix(tail, content, 0x47524654L)
+    assert(Zstd.decode(enc, 1 << 20, d).toOption
+      .exists(java.util.Arrays.equals(_, content ++ tail)))
+    // a different structured dict id is a typed mismatch
+    val other = Zstd.parseDictionary(
+      Zstd.encodeStructuredDict(0x1L, content)).toOption.get
+    assert(Zstd.decode(enc, 1 << 20, other) == Left("dictionary-mismatch"))
+    // and no dict at all is typed missing
+    assert(Zstd.decode(enc, 1 << 20) == Left("dictionary-missing"))
+  }
+
   test("dictionary corruption fuzz: single-byte flips in dict or stream " +
     "are typed errors or decodes, never throws") {
     val dictBytes = resource("/zstd/fixture_dict.bin")
