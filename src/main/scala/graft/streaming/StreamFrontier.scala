@@ -34,15 +34,17 @@ import org.apache.spark.sql.types.StructType
   * with the winning pattern (audit, never silent). URLs the sitemaps
   * don't know dead-letter to `rejectsDir` tagged `unknown_url`.
   *
-  * PER-HOST STATE IS DISTRIBUTED end to end: the predecessor
-  * generation is read back as a DataFrame, the batch's allowed counts
-  * are a host-keyed group-by, and the new generation is their
-  * union+sum — written via `appendDiffs`, with NO `collect()` anywhere
-  * on the state path (at 10⁷–10⁸ web hosts the counters never fit a
-  * driver heap). Generation discovery is ONE `listStatus` of
-  * `stateDir` (never an O(batchId) existence probe), and superseded
-  * generations are GC'd after each commit — only the latest generation
-  * and its predecessor (the torn-batch replay anchor) remain on disk.
+  * PER-HOST STATE IS DISTRIBUTED end to end AND DELTA-WRITTEN: each
+  * batch appends only its OWN allowed counts / admitted keys —
+  * O(batch) bytes per trigger, never a rewrite of the full counter or
+  * seen-set state (at 10⁸ hosts / 10⁹ seen URLs a whole-state rewrite
+  * per trigger is the scale-killer). Every `compactEvery` batches the
+  * deltas fold into a FULL generation (the only O(corpus) write,
+  * amortized 1/K); reconstruction reads the latest full plus the ≤K
+  * deltas after it. NO `collect()` anywhere on the state path,
+  * generation discovery is ONE `listStatus` per family, and GC keeps
+  * the latest full + its predecessor (the torn-batch replay anchor)
+  * plus the deltas newer than that predecessor.
   *
   * ONLINE SEMANTICS, stated precisely: ranks are assigned in ARRIVAL
   * order batch-over-batch (the StreamCurate greedy-online form) — the
@@ -58,11 +60,12 @@ import org.apache.spark.sql.types.StructType
   * rank. The seen-set is a second generation-keyed distributed state
   * beside the counters.
   *
-  * Replay: per-host counters are KEYED BY BATCH in `stateDir`
-  * (`batch_id=B` holds the counters AFTER batch B) and every sink
-  * write is first-write-wins (`appendDiffs`): a replayed batch whose
-  * outputs committed skips them; a torn batch recomputes from its
-  * intact predecessor generation. Batch 0's state depends on no prior
+  * Replay: state generations are KEYED BY BATCH (`deltas/batch_id=B`
+  * holds batch B's delta; `batch_id=B` a compaction AFTER batch B) and
+  * every write is first-write-wins (`appendDiffs`): a replayed batch
+  * whose outputs committed skips them; a torn batch recomputes its
+  * inputs from the intact full+delta chain (`_SUCCESS`-gated, so a
+  * torn write is invisible). Batch 0's state depends on no prior
   * generation, so even a full from-scratch replay (fresh checkpoint)
   * reconverges to identical sinks.
   */
@@ -172,8 +175,8 @@ object StreamFrontier {
   }
 
   /** Committed state generations under `stateDir`: ONE directory
-    * listing plus a `_SUCCESS` probe per retained generation (≤2 after
-    * GC) — never a probe per historical batch id.
+    * listing plus a `_SUCCESS` probe per retained generation (bounded
+    * after GC) — never a probe per historical batch id.
     */
   private def stateGens(fs: FileSystem, stateDir: Path): Seq[Long] =
     if (!fs.exists(stateDir)) Nil
@@ -184,6 +187,76 @@ object StreamFrontier {
         n.stripPrefix("batch_id=").toLongOption
       else None
     }
+
+  /** Reconstruct the per-host COUNTER state after batch `upTo`: the
+    * latest FULL generation ≤ upTo (a compaction) plus every DELTA
+    * generation after it, summed by host. Per-batch writes are
+    * O(batch), not O(|hosts|) — the delta discipline that survives a
+    * long-running stream at web-host cardinality.
+    */
+  private def readCounters(
+      sp: SparkSession, fs: FileSystem, stateDir: String,
+      upTo: Long): DataFrame = {
+    import sp.implicits._
+    val base = stateGens(fs, new Path(stateDir)).filter(_ <= upTo)
+      .sorted.lastOption
+    val deltas = stateGens(fs, new Path(s"$stateDir/deltas"))
+      .filter(g => g <= upTo && base.forall(g > _)).sorted
+    val parts =
+      base.map(g => sp.read.parquet(s"$stateDir/batch_id=$g")).toSeq ++
+        deltas.map(g => sp.read.parquet(s"$stateDir/deltas/batch_id=$g"))
+    if (parts.isEmpty) sp.emptyDataset[(Long, Long)].toDF("h", "n")
+    else parts.reduce(_.unionByName(_))
+      .groupBy(col("h")).agg(sum(col("n")).cast("long").as("n"))
+  }
+
+  /** Reconstruct the SEEN-SET after batch `upTo`: latest full ≤ upTo
+    * plus the deltas after it, latest generation winning per doc_id
+    * (a delta row overrides the attributes an earlier generation
+    * recorded — the recrawl re-admission discipline).
+    */
+  private def readSeen(
+      sp: SparkSession, fs: FileSystem, stateDir: String,
+      upTo: Long): DataFrame = {
+    import sp.implicits._
+    val root = s"$stateDir/seen"
+    val base = stateGens(fs, new Path(root)).filter(_ <= upTo)
+      .sorted.lastOption
+    val deltas = stateGens(fs, new Path(s"$root/deltas"))
+      .filter(g => g <= upTo && base.forall(g > _)).sorted
+    val parts =
+      base.map(g => sp.read.parquet(s"$root/batch_id=$g")
+        .withColumn("gen", lit(g))).toSeq ++
+        deltas.map(g => sp.read.parquet(s"$root/deltas/batch_id=$g")
+          .withColumn("gen", lit(g)))
+    if (parts.isEmpty)
+      sp.emptyDataset[(Long, Long, Long)]
+        .toDF("doc_id", "lastmod_day", "priority_tenths")
+    else parts.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("lastmod_day"), col("priority_tenths")),
+        col("gen")).as("s"))
+      .select(col("doc_id"), col("s.lastmod_day").as("lastmod_day"),
+        col("s.priority_tenths").as("priority_tenths"))
+  }
+
+  /** GC one state family after a commit: keep the latest full and its
+    * predecessor (the torn-batch replay anchor), and every delta newer
+    * than that predecessor. Storage is ≤ 2 fulls + O(compactEvery)
+    * deltas regardless of stream lifetime.
+    */
+  private def gcState(fs: FileSystem, fullDir: String): Unit = {
+    val fulls = stateGens(fs, new Path(fullDir)).sorted
+    fulls.dropRight(2).foreach { g =>
+      fs.delete(new Path(s"$fullDir/batch_id=$g"), true); ()
+    }
+    fulls.dropRight(1).lastOption.foreach { anchor =>
+      stateGens(fs, new Path(s"$fullDir/deltas")).filter(_ <= anchor)
+        .foreach { g =>
+          fs.delete(new Path(s"$fullDir/deltas/batch_id=$g"), true); ()
+        }
+    }
+  }
 
   /** Start the lane: `sourceDir` rows carry discovered `doc_id`s. */
   def run(
@@ -197,7 +270,8 @@ object StreamFrontier {
       waveSize: Int = 50,
       maxFilesPerTrigger: Int = 1,
       availableNow: Boolean = true,
-      schemaHint: Option[StructType] = None): StreamingQuery = {
+      schemaHint: Option[StructType] = None,
+      compactEvery: Int = 8): StreamingQuery = {
     // BOTH config grains are parquet dimensions parsed on executors —
     // the lane holds NO config in driver memory or broadcasts
     // (stateGens filters on the batch_id= prefix, so neither dim reads
@@ -243,13 +317,7 @@ object StreamFrontier {
           CheckpointStream.appendDiffs(unknown, rejectsDir, batchId)
         val statePath = new Path(stateDir)
         val fs = statePath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        val seenPath = new Path(s"$stateDir/seen")
-        val prevSeenGen = stateGens(fs, seenPath).filter(_ < batchId)
-          .sorted.lastOption
-        val prevSeen = prevSeenGen
-          .map(g => sp.read.parquet(s"$stateDir/seen/batch_id=$g"))
-          .getOrElse(sp.emptyDataset[(Long, Long, Long)]
-            .toDF("doc_id", "lastmod_day", "priority_tenths"))
+        val prevSeen = readSeen(sp, fs, stateDir, batchId - 1)
         val candidates = known.filter(col("h").isNotNull)
           .select(col("doc_id"), col("h"), col("path"),
             coalesce(col("lm_override"), col("lastmod_day")).cast("long")
@@ -288,13 +356,10 @@ object StreamFrontier {
           }
           .toDF("doc_id", "h", "host", "path", "allowed", "rule",
             "lastmod_day", "priority_tenths", "fresh_lag", "crawl_delay")
-        // per-host running offsets: the PREDECESSOR state generation,
-        // read back distributed (one listing, never per-id probes)
-        val prevGen = stateGens(fs, statePath).filter(_ < batchId)
-          .sorted.lastOption
-        val prevState = prevGen
-          .map(g => sp.read.parquet(s"$stateDir/batch_id=$g"))
-          .getOrElse(sp.emptyDataset[(Long, Long)].toDF("h", "n"))
+        // per-host running offsets: the state reconstructed from the
+        // latest full generation + deltas, read back distributed (one
+        // listing per family, never per-id probes)
+        val prevState = readCounters(sp, fs, stateDir, batchId - 1)
         val rn = row_number().over(
           Window.partitionBy(col("h"), col("allowed"))
             .orderBy(col("priority_tenths").desc, col("lastmod_day").desc,
@@ -326,31 +391,31 @@ object StreamFrontier {
         try {
           if (!scheduled.isEmpty)
             CheckpointStream.appendDiffs(scheduled.drop("h"), scheduleDir, batchId)
-          // state AFTER this batch: previous counters ∪ batch allowed
-          // counts, one host-keyed group-by — fully distributed, the
-          // driver never materializes a counter
+          // state DELTA for this batch: the batch's own allowed counts
+          // and admitted keys — O(batch) rows written per trigger, not
+          // O(|hosts| + |seen URLs|); fully distributed, the driver
+          // never materializes a counter
           val batchCounts = scheduled.filter(col("allowed"))
-            .groupBy(col("h")).agg(count(lit(1)).as("n"))
-          val newState = prevState.unionByName(batchCounts)
-            .groupBy(col("h")).agg(sum(col("n")).cast("long").as("n"))
-          CheckpointStream.appendDiffs(newState, stateDir, batchId)
-          // seen-set AFTER this batch: admitted rows override their
-          // doc_id's previous attributes, everything else carries
+            .groupBy(col("h")).agg(count(lit(1)).cast("long").as("n"))
+          CheckpointStream.appendDiffs(batchCounts, s"$stateDir/deltas", batchId)
           val admittedKeys = scheduled
             .select(col("doc_id"), col("lastmod_day"), col("priority_tenths"))
-          val newSeen = admittedKeys.unionByName(
-            prevSeen.join(admittedKeys.select(col("doc_id")),
-              Seq("doc_id"), "left_anti"))
-          CheckpointStream.appendDiffs(newSeen, s"$stateDir/seen", batchId)
-          // GC superseded generations of BOTH states: keep each latest
-          // and its predecessor (the torn-batch replay anchor);
-          // storage is two generations regardless of stream lifetime
-          stateGens(fs, statePath).filter(_ <= batchId - 2).foreach { g =>
-            fs.delete(new Path(s"$stateDir/batch_id=$g"), true); ()
+          CheckpointStream.appendDiffs(
+            admittedKeys, s"$stateDir/seen/deltas", batchId)
+          // COMPACTION every `compactEvery` batches: fold the deltas
+          // into a full generation so reconstruction stays O(K) reads —
+          // the only O(corpus) state write, amortized 1/K per batch
+          if ((batchId + 1) % compactEvery == 0) {
+            CheckpointStream.appendDiffs(
+              readCounters(sp, fs, stateDir, batchId), stateDir, batchId)
+            CheckpointStream.appendDiffs(
+              readSeen(sp, fs, stateDir, batchId), s"$stateDir/seen", batchId)
           }
-          stateGens(fs, seenPath).filter(_ <= batchId - 2).foreach { g =>
-            fs.delete(new Path(s"$stateDir/seen/batch_id=$g"), true); ()
-          }
+          // GC superseded generations of BOTH state families: keep each
+          // latest full + its predecessor (the torn-batch replay
+          // anchor) and the deltas newer than that predecessor
+          gcState(fs, stateDir)
+          gcState(fs, s"$stateDir/seen")
         } finally { scheduled.unpersist(); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())

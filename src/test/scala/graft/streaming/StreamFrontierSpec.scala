@@ -65,7 +65,8 @@ class StreamFrontierSpec extends AnyFunSuite {
     }
 
     val q = StreamFrontier.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
-      s"$base/schedule", s"$base/state", s"$base/rejects", s"$base/config")
+      s"$base/schedule", s"$base/state", s"$base/rejects", s"$base/config",
+      compactEvery = 2)
     q.awaitTermination(180000L)
     assert(!q.isActive)
 
@@ -118,13 +119,34 @@ class StreamFrontierSpec extends AnyFunSuite {
       .select("doc_id", "reason").as[(Long, String)].collect()
     assert(rejects.toSeq == Seq((bogus, "unknown_url")))
 
-    // ---- state: latest generation + its predecessor retained, older
-    // generations GC'd, and the corpus-grain URL dimension published
+    // ---- state: PER-BATCH WRITES ARE DELTAS (O(batch), not
+    // O(corpus)); compaction folds them into a full generation every
+    // `compactEvery` batches; the corpus-grain URL dimension published
     // as parquet (never a driver Seq)
-    assert(Files.exists(Paths.get(s"$base/state/batch_id=2")))
-    assert(Files.exists(Paths.get(s"$base/state/batch_id=1")))
-    assert(!Files.exists(Paths.get(s"$base/state/batch_id=0")),
-      "superseded state generations must be deleted")
+    assert(Files.exists(Paths.get(s"$base/state/batch_id=1")),
+      "compaction must write a full generation at batch 1 (K=2)")
+    assert(!Files.exists(Paths.get(s"$base/state/batch_id=0")) &&
+      !Files.exists(Paths.get(s"$base/state/batch_id=2")),
+      "non-compaction batches must write NO full generation")
+    for (b <- 0 to 2) {
+      assert(Files.exists(Paths.get(s"$base/state/deltas/batch_id=$b")))
+      assert(Files.exists(Paths.get(s"$base/state/seen/deltas/batch_id=$b")))
+    }
+    // per-batch state bytes scale with the BATCH: batch 2's seen delta
+    // holds exactly chunk 2's distinct doc_ids (the in-batch duplicate
+    // dedups), not the cumulative seen-set; its counter delta holds at
+    // most the 8 hosts, not a counter per corpus host ever seen
+    val chunk2Ids = docIds.count(chunkOf(_) == 2)
+    val seenDelta2 = spark.read
+      .parquet(s"$base/state/seen/deltas/batch_id=2").count()
+    assert(seenDelta2 == chunk2Ids, s"$seenDelta2 != $chunk2Ids")
+    val cumulativeSeen = spark.read.parquet(s"$base/state/seen/batch_id=1")
+      .count()
+    assert(cumulativeSeen == docIds.count(c => chunkOf(c) <= 1),
+      "the batch-1 compaction carries chunks 0+1")
+    val counterDelta2 = spark.read
+      .parquet(s"$base/state/deltas/batch_id=2").count()
+    assert(counterDelta2 <= 8, s"counter delta must be host-sized: $counterDelta2")
     assert(Files.exists(Paths.get(s"$base/state/urlattrs_dim/_SUCCESS")))
     val dimRows = spark.read.parquet(s"$base/state/urlattrs_dim").count()
     assert(dimRows == docIds.size, s"dim rows $dimRows != ${docIds.size}")
@@ -140,7 +162,8 @@ class StreamFrontierSpec extends AnyFunSuite {
     // state rebuilds from nothing (its GC'd generation is recomputed
     // identically), and the drained schedule stays byte-identical
     val q2 = StreamFrontier.run(spark, s"$base/feed/chunk=*", s"$base/ckpt2",
-      s"$base/schedule", s"$base/state", s"$base/rejects", s"$base/config")
+      s"$base/schedule", s"$base/state", s"$base/rejects", s"$base/config",
+      compactEvery = 2)
     q2.awaitTermination(180000L)
     assert(!q2.isActive)
     val replayed = spark.read.parquet(s"$base/schedule")
@@ -167,8 +190,17 @@ class StreamFrontierSpec extends AnyFunSuite {
     val hint = spark.read.parquet(s"$base/feed/chunk=3").schema
     val q3 = StreamFrontier.run(spark, s"$base/feed/chunk=*", s"$base/ckpt3",
       s"$base/schedule", s"$base/state", s"$base/rejects", s"$base/config",
-      schemaHint = Some(hint))
+      schemaHint = Some(hint), compactEvery = 2)
     q3.awaitTermination(180000L)
+    // batch 3 compacts again: fulls {1,3} retained (latest + replay
+    // anchor), deltas ≤ the anchor GC'd, deltas {2,3} retained
+    assert(Files.exists(Paths.get(s"$base/state/batch_id=3")) &&
+      Files.exists(Paths.get(s"$base/state/batch_id=1")))
+    assert(!Files.exists(Paths.get(s"$base/state/deltas/batch_id=0")) &&
+      !Files.exists(Paths.get(s"$base/state/deltas/batch_id=1")),
+      "deltas at or before the predecessor full must be GC'd")
+    assert(Files.exists(Paths.get(s"$base/state/deltas/batch_id=2")) &&
+      Files.exists(Paths.get(s"$base/state/deltas/batch_id=3")))
     val after = spark.read.parquet(s"$base/schedule")
     assert(after.count() == before + 1,
       "exactly the bumped rediscovery must reschedule")
