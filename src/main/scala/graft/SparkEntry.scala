@@ -176,6 +176,7 @@ object SparkEntry {
     "q184_coding_report" -> (WarcOps.q184CodingReport(_, _)),
     "q185_warc_zst_extract" -> (WarcOps.q185WarcZstExtract(_, _)),
     "q186_warc_zst_dict" -> (WarcOps.q186WarcZstDictExtract(_, _)),
+    "q187_pcm_neardup" -> (AudioDedupOps.q187PcmNearDup(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2951,6 +2952,40 @@ object SparkEntry {
         |    list_transform(range(16), b ->
         |      (CASE WHEN b = c // 16 THEN (l + 1) // 2 ELSE 0 END) +
         |      (CASE WHEN b = d // 16 THEN l // 2 ELSE 0 END)), ':') AS sig
+        |  FROM smp),
+        |sq AS (SELECT vid, list(sig ORDER BY i) AS s FROM sg GROUP BY vid),
+        |sh AS (SELECT DISTINCT vid,
+        |    md5(array_to_string(s[(i + 1)::INT : (i + 3)::INT], '|')) AS sh
+        |  FROM sq, unnest(range(len(s) - 2)) t(i)),
+        |dfc AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1) q
+        |  WHERE df <= 32),
+        |r AS (SELECT s.vid, s.sh FROM sh s JOIN dfc USING (sh))
+        |SELECT a.vid AS vid_a, b.vid AS vid_b, count(*)::BIGINT AS n_shared
+        |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY vid_a, vid_b""".stripMargin,
+    // cross-codec audio near-dup at the SAMPLE grain (q187): FLAC
+    // (real RFC 9639 decode — predictors, Rice residuals, CRCs) and
+    // WAV of the same recording converge on identical PCM; uniform
+    // 128-sample windows histogram by high nibble and pair through the
+    // shared shingle/df machinery — the oracle replays every window
+    // from the (doc_id, window) step arithmetic (duty k from c to d)
+    "q187_pcm_neardup" ->
+      """WITH v AS (SELECT doc_id AS vid, doc_id - doc_id % 21 AS grp,
+        |    (6 + doc_id % 5)::INT AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (SELECT vid, i,
+        |    CASE WHEN i < 5 THEN (grp*5 + 29*i) % 256
+        |      ELSE (vid*7 + 31*i) % 256 END AS c,
+        |    CASE WHEN i < 5 THEN (grp*9 + 47*i) % 256
+        |      ELSE (vid*11 + 53*i) % 256 END AS d,
+        |    CASE WHEN i < 5 THEN 32 + (grp*13 + 7*i) % 64
+        |      ELSE 32 + (vid*13 + 7*i) % 64 END AS k
+        |  FROM v, unnest(range(n)) t(i)),
+        |sg AS (SELECT vid, i, array_to_string(
+        |    list_transform(range(16), b ->
+        |      (CASE WHEN b = c // 16 THEN k ELSE 0 END) +
+        |      (CASE WHEN b = d // 16 THEN 128 - k ELSE 0 END)), ':') AS sig
         |  FROM smp),
         |sq AS (SELECT vid, list(sig ORDER BY i) AS s FROM sg GROUP BY vid),
         |sh AS (SELECT DISTINCT vid,

@@ -33,6 +33,34 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(Mp3Ops.framePayloads(torn).length == 2)
   }
 
+  test("a re-ENCODE is invisible at the sample grain: FLAC and WAV of " +
+    "the same PCM decode to identical samples and identical window sigs") {
+    val pcm = AudioDedupOps.pcmOf(22L) // an even q187 id: grp 21, 6 windows
+    val viaFlac = FlacOps.decodePcm(
+      FlacOps.encodeFlac(pcm, 1, 44100, 16, 4096)).toOption.get.samples
+    assert(java.util.Arrays.equals(viaFlac, pcm),
+      "FLAC round-trip must be lossless")
+    val viaWav = MultimodalOps.decodeWav(AudioDedupOps.wav16(pcm, 44100))
+      .get.samples.map(f => math.round(f * 32768f))
+    assert(java.util.Arrays.equals(viaWav, pcm),
+      "WAV round-trip must be lossless")
+  }
+
+  test("q187 on sf0.001: pairs CROSS the codec split (FLAC vs WAV) and " +
+    "every pair shares a group — the q183 contract upgraded to samples") {
+    val rows = AudioDedupOps.q187PcmNearDup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var crossCodec = 0
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a - a % 21 == b - b % 21, s"pair ($a,$b) crosses groups")
+      assert(r.getLong(2) >= 2L)
+      if (a % 2 != b % 2) crossCodec += 1
+    }
+    assert(crossCodec > 0,
+      "the corpus must produce FLAC-vs-WAV pairs (codec-blind dedup)")
+  }
+
   test("q183 on sf0.001: pairs CROSS the container split and every " +
     "pair shares a group") {
     val rows = AudioDedupOps.q183AudioNearDup(spark, sf).collect()
