@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps, RedirectOps, AudioDedupOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps, RedirectOps, AudioDedupOps, XlsxOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -177,6 +177,7 @@ object SparkEntry {
     "q185_warc_zst_extract" -> (WarcOps.q185WarcZstExtract(_, _)),
     "q186_warc_zst_dict" -> (WarcOps.q186WarcZstDictExtract(_, _)),
     "q187_pcm_neardup" -> (AudioDedupOps.q187PcmNearDup(_, _)),
+    "q188_xlsx_extract" -> (XlsxOps.q188XlsxExtract(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2964,6 +2965,36 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // XLSX extraction (q188): the spreadsheet front door — sheets
+    // resolved through the rels part (rIds planted out of order),
+    // shared strings joined by index (incl. a rich-text entry), date
+    // serials rendered ISO via the styles table's numFmtId, booleans
+    // TRUE/FALSE, column gaps skipped; counts and the
+    // tab/newline-joined text sha replayed from doc_id arithmetic
+    "q188_xlsx_extract" ->
+      """WITH d AS (SELECT doc_id, (3 + doc_id % 5)::INT AS n FROM documents),
+        |r AS (SELECT doc_id, n, i AS j FROM d, unnest(range(n)) t(i)),
+        |rw AS (SELECT doc_id, n, j,
+        |    'Item ' || doc_id || '-' || j || chr(9) ||
+        |    ((doc_id*31 + j*7) % 1000) ||
+        |    (CASE WHEN j % 3 <> 0 THEN chr(9) || 'inline &' || j
+        |      ELSE '' END) ||
+        |    chr(9) ||
+        |    (DATE '1899-12-30' + (40000 + (doc_id + j) % 2000)::INT)::VARCHAR ||
+        |    chr(9) ||
+        |    (CASE WHEN (doc_id + j) % 2 = 0 THEN 'FALSE' ELSE 'TRUE' END) ||
+        |    chr(9) || 'Common ' || (doc_id % 7) AS s
+        |  FROM r),
+        |agg AS (SELECT doc_id, any_value(n) AS n,
+        |    string_agg(s, chr(10) ORDER BY j) || chr(10) ||
+        |      'Doc' || chr(9) || doc_id AS text,
+        |    sum(CASE WHEN j % 3 <> 0 THEN 6 ELSE 5 END) AS datacells
+        |  FROM rw GROUP BY doc_id)
+        |SELECT doc_id, 'ok' AS status, 8::BIGINT AS n_entries,
+        |  2::BIGINT AS n_sheets, (n + 1)::BIGINT AS n_rows,
+        |  (datacells + 2)::BIGINT AS n_cells, (n + 2)::BIGINT AS n_shared,
+        |  sha256(text) AS text_sha
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // cross-codec audio near-dup at the SAMPLE grain (q187): FLAC
     // (real RFC 9639 decode — predictors, Rice residuals, CRCs) and
     // WAV of the same recording converge on identical PCM; uniform
