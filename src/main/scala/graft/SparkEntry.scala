@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps, RedirectOps, AudioDedupOps, XlsxOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps, RedirectOps, AudioDedupOps, XlsxOps, WatOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -178,6 +178,7 @@ object SparkEntry {
     "q186_warc_zst_dict" -> (WarcOps.q186WarcZstDictExtract(_, _)),
     "q187_pcm_neardup" -> (AudioDedupOps.q187PcmNearDup(_, _)),
     "q188_xlsx_extract" -> (XlsxOps.q188XlsxExtract(_, _)),
+    "q189_wat_roundtrip" -> (WatOps.q189WatRoundtrip(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2965,6 +2966,29 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // WAT round-trip (q189): metadata -> envelope-JSON metadata
+    // records (one gzip member each, the production .wat.gz layout) ->
+    // offset-driven walk -> from_json re-extraction; the q150 fields
+    // and the canonical-outlink sha replayed from doc_id arithmetic so
+    // a symmetric writer/reader bug cannot cancel (the q148 external
+    // pin)
+    "q189_wat_roundtrip" ->
+      """WITH c AS (SELECT doc_id,
+        |    'https://example.test/doc/' || (doc_id % 50) || '/?x=' ||
+        |      (doc_id % 7) || '&y=' || (doc_id % 3) AS canonical,
+        |    'https://h' || (doc_id % 8) || '.example.test/p/' ||
+        |      ((doc_id + 1) % 25) || '?a=' || (doc_id % 5) || '&b=' ||
+        |      (doc_id % 2) AS l1,
+        |    'https://h' || ((doc_id + 3) % 8) || '.example.test/item/' ||
+        |      ((doc_id * 3) % 100) AS l2
+        |  FROM documents)
+        |SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  'Title & ' || doc_id AS title,
+        |  'Desc "of" ' || doc_id AS description,
+        |  'OG — ' || doc_id AS og_title,
+        |  canonical, 2::BIGINT AS n_links,
+        |  sha256(l1 || chr(10) || l2) AS links_sha
+        |FROM c ORDER BY doc_id""".stripMargin,
     // XLSX extraction (q188): the spreadsheet front door — sheets
     // resolved through the rels part (rIds planted out of order),
     // shared strings joined by index (incl. a rich-text entry), date
