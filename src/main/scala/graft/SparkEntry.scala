@@ -179,6 +179,7 @@ object SparkEntry {
     "q187_pcm_neardup" -> (AudioDedupOps.q187PcmNearDup(_, _)),
     "q188_xlsx_extract" -> (XlsxOps.q188XlsxExtract(_, _)),
     "q189_wat_roundtrip" -> (WatOps.q189WatRoundtrip(_, _)),
+    "q190_png_legacy" -> (MultimodalOps.q190PngLegacyDecode(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2966,6 +2967,36 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // legacy PNG decode (q190): Adam7-interlaced truecolor/gray and
+    // 8/4-bit palette forms (the old-web-corpus shapes) decoded to
+    // exact per-channel pixel sums; the oracle recomputes every sum as
+    // pure (doc_id, x, y) integer arithmetic — a pass-placement or
+    // bit-unpacking slip shifts it
+    "q190_png_legacy" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 4)::INT AS form,
+        |    (8 + doc_id % 9)::INT AS w, (5 + doc_id % 7)::INT AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, form, w, h, x, y
+        |  FROM d, unnest(range(w)) tx(x), unnest(range(h)) ty(y)),
+        |v AS (SELECT doc_id, form, w, h,
+        |    CASE WHEN form = 0 THEN (doc_id + 3*x + 7*y) % 256
+        |      WHEN form = 1 THEN (doc_id + 11*x + 13*y) % 256
+        |      ELSE (doc_id*3 + 5*((x + y + doc_id) % 16)) % 256 END AS r,
+        |    CASE WHEN form = 0 THEN (2*doc_id + 5*x + y) % 256
+        |      WHEN form = 1 THEN (doc_id + 11*x + 13*y) % 256
+        |      ELSE (doc_id*7 + ((x + y + doc_id) % 16)) % 256 END AS g,
+        |    CASE WHEN form = 0 THEN (x*y + doc_id) % 256
+        |      WHEN form = 1 THEN (doc_id + 11*x + 13*y) % 256
+        |      ELSE (2*((x + y + doc_id) % 16) + doc_id) % 256 END AS b
+        |  FROM px)
+        |SELECT doc_id,
+        |  CASE any_value(form) WHEN 0 THEN 'rgb_adam7'
+        |    WHEN 1 THEN 'gray_adam7' WHEN 2 THEN 'palette8'
+        |    ELSE 'palette4_adam7' END AS form,
+        |  any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // WAT round-trip (q189): metadata -> envelope-JSON metadata
     // records (one gzip member each, the production .wat.gz layout) ->
     // offset-driven walk -> from_json re-extraction; the q150 fields

@@ -312,6 +312,115 @@ object MultimodalOps {
     out
   }
 
+  /** Extended PNG writer for the legacy web-corpus forms: truecolor
+    * (2) / grayscale (0) / PALETTE (3, depths 1/2/4/8), sequential or
+    * ADAM7-interlaced — each pass filtered independently with the
+    * rotating per-row filter (all five predictors exercised inside
+    * every pass). `samples` is per-pixel row-major: 3 RGB bytes (type
+    * 2), 1 gray byte (0), or 1 palette INDEX byte (3 — bit packing by
+    * `depth` happens here); `plte` is the RGB palette for type 3.
+    */
+  private[graft] def encodePngExt(
+      width: Int, height: Int, colorType: Int, depth: Int,
+      interlace: Boolean, samples: Array[Byte],
+      plte: Array[Byte] = null): Array[Byte] = {
+    val perPx = if (colorType == 2) 3 else 1
+    require(samples.length == width * height * perPx)
+    require(colorType != 3 || (plte != null && plte.length % 3 == 0))
+    val bitsPP = if (colorType == 2) 3 * depth else depth
+    val bppBytes = math.max(1, bitsPP / 8)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlace) Array((0, 0, 1, 1)) else Adam7
+    val rawOut = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wP = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val hP = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (wP > 0 && hP > 0) {
+        val rowBytes = ((wP.toLong * bitsPP + 7) / 8).toInt
+        val rows = new Array[Byte](rowBytes * hP)
+        var y = 0
+        while (y < hP) {
+          var x = 0
+          while (x < wP) {
+            val src = ((y0 + y * dy) * width + (x0 + x * dx)) * perPx
+            if (colorType == 2) {
+              rows(y * rowBytes + x * 3) = samples(src)
+              rows(y * rowBytes + x * 3 + 1) = samples(src + 1)
+              rows(y * rowBytes + x * 3 + 2) = samples(src + 2)
+            } else if (depth == 8) {
+              rows(y * rowBytes + x) = samples(src)
+            } else {
+              val bit = x * depth
+              val sh = 8 - depth - (bit & 7)
+              val at = y * rowBytes + (bit >> 3)
+              rows(at) = (rows(at) |
+                (((samples(src) & ((1 << depth) - 1)) << sh))).toByte
+            }
+            x += 1
+          }
+          y += 1
+        }
+        // filter each row (rotating filter — every predictor exercised)
+        var fy = 0
+        while (fy < hP) {
+          val ft = fy % 5
+          rawOut.write(ft)
+          val line = new Array[Byte](rowBytes)
+          var i2 = 0
+          while (i2 < rowBytes) {
+            val cur = rows(fy * rowBytes + i2) & 0xFF
+            val left = if (i2 >= bppBytes) rows(fy * rowBytes + i2 - bppBytes) & 0xFF else 0
+            val up = if (fy > 0) rows((fy - 1) * rowBytes + i2) & 0xFF else 0
+            val ul = if (fy > 0 && i2 >= bppBytes)
+              rows((fy - 1) * rowBytes + i2 - bppBytes) & 0xFF else 0
+            line(i2) = (ft match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - up
+              case 3 => cur - ((left + up) / 2)
+              case _ => cur - paeth(left, up, ul)
+            }).toByte
+            i2 += 1
+          }
+          rawOut.write(line)
+          fy += 1
+        }
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    val zOut = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(rawOut.toByteArray); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val hd = new Array[Byte](8)
+      putBe32(hd, 0, data.length)
+      var i = 0
+      while (i < 4) { hd(4 + i) = typ(i).toByte; i += 1 }
+      out.write(hd)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(hd, 4, 4); crc.update(data)
+      val tl = new Array[Byte](4)
+      putBe32(tl, 0, crc.getValue.toInt)
+      out.write(tl)
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = depth.toByte
+    ihdr(9) = colorType.toByte
+    ihdr(12) = if (interlace) 1 else 0
+    chunk("IHDR", ihdr)
+    if (colorType == 3) chunk("PLTE", plte)
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Constant-color PNG (RGB order — note `encodeBmpConst` takes BGR). */
   def encodePngConst(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
     val px = new Array[Byte](width * height * 3)
@@ -329,67 +438,98 @@ object MultimodalOps {
     */
   private val PngMaxRaw = 64L << 20
 
+  /** Adam7 pass geometry (PNG spec §8.2): per pass the starting
+    * column/row and the column/row steps.
+    */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** REAL PNG codec (public spec, no dependencies beyond JDK zlib):
-    * signature + chunk walk (length/type/data/crc frames, bounds-checked),
-    * IHDR first; supports the 8-bit truecolor non-interlaced form —
-    * anything else (palette, alpha, 16-bit, Adam7) is `None`, the same
-    * error-as-value discipline as `decodeBmp`. IDAT chunks concatenate
-    * into one zlib stream (`Inflater`); scanlines unfilter through the
-    * five standard predictors; output converts RGB→BGR into the shared
-    * `BmpImage` shape so every downstream image operator (features,
-    * resize) works unchanged. CRCs are not verified — a bit-flipped
+    * signature + chunk walk (length/type/data/crc frames,
+    * bounds-checked), IHDR first; supports 8-bit truecolor (2), 8-bit
+    * grayscale (0), and PALETTE (3, bit depths 1/2/4/8 — the legacy
+    * web-corpus forms), each NON-INTERLACED or ADAM7 (interlace 1,
+    * seven sub-images with their own scanline filtering, sparse passes
+    * skipped when a dimension rounds to zero). Anything else (alpha,
+    * 16-bit, sub-8-bit gray) is `None` — the `decodeBmp` error-as-value
+    * discipline. IDAT chunks concatenate into one zlib stream
+    * (`Inflater`); scanlines unfilter through the five standard
+    * predictors with the spec's byte-distance (`max(1, bits/8)` — for
+    * sub-byte palettes "left" is the previous BYTE); output converts
+    * to BGR in the shared `BmpImage` shape so every downstream image
+    * operator works unchanged. CRCs are not verified — a bit-flipped
     * chunk body must degrade, never throw (corruption fuzz pins this).
     */
   def decodePng(b: Array[Byte]): Option[BmpImage] = {
     if (b == null || b.length < 8 + 25 + 12) return None
     var i = 0
     while (i < 8) { if ((b(i) & 0xFF) != PngSig(i)) return None; i += 1 }
-    // chunk walk: collect IHDR + IDAT, stop at IEND or truncation
+    // chunk walk: collect IHDR + PLTE + IDAT, stop at IEND/truncation
     var p = 8
-    var w = 0; var h = 0; var ok = false; var gray = false
+    var w = 0; var h = 0; var ok = false
+    var colorType = 0; var depth = 8; var interlace = 0
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var first = true
     while (p + 8 <= b.length) {
       val len = be32(b, p)
-      if (len < 0 || p + 12L + len > b.length) return if (ok && idat.size > 0) inflatePng(w, h, idat.toByteArray, gray) else None
+      if (len < 0 || p + 12L + len > b.length)
+        return if (ok && idat.size > 0)
+          inflatePng(w, h, colorType, depth, interlace, plte, idat.toByteArray)
+        else None
       val typ = new String(b, p + 4, 4, StandardCharsets.US_ASCII)
       if (first) {
         if (typ != "IHDR" || len != 13) return None
         w = be32(b, p + 8); h = be32(b, p + 12)
-        val bitDepth = b(p + 16) & 0xFF
-        val colorType = b(p + 17) & 0xFF
-        val interlace = b(p + 20) & 0xFF
-        // 8-bit truecolor (2) or 8-bit grayscale (0), non-interlaced
-        if (w <= 0 || h <= 0 || bitDepth != 8 ||
-          (colorType != 2 && colorType != 0) || interlace != 0)
-          return None
-        gray = colorType == 0
+        depth = b(p + 16) & 0xFF
+        colorType = b(p + 17) & 0xFF
+        interlace = b(p + 20) & 0xFF
+        val depthOk = colorType match {
+          case 0 | 2 => depth == 8
+          case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+          case _ => false
+        }
+        if (w <= 0 || h <= 0 || !depthOk || interlace > 1) return None
         // hostile dims: the filtered-scanline buffer must stay bounded
-        if ((3L * w + 1L) * h > PngMaxRaw || 3L * w * h > Int.MaxValue) return None
+        // (interlaced streams carry ≤ h extra filter bytes over the
+        // sequential form — 4L*w covers every supported layout)
+        if ((4L * w + 2L) * h > PngMaxRaw || 3L * w * h > Int.MaxValue)
+          return None
         ok = true
         first = false
       } else typ match {
         case "IDAT" => idat.write(b, p + 8, len)
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
         case "IEND" => p = b.length // stop
         case _ => () // ancillary chunk — skipped
       }
       p += 12 + len
     }
     if (!ok || idat.size == 0) return None
-    inflatePng(w, h, idat.toByteArray, gray)
+    inflatePng(w, h, colorType, depth, interlace, plte, idat.toByteArray)
   }
 
-  /** Inflate + unfilter the IDAT stream of an 8-bit truecolor or (when
-    * `gray`) 8-bit grayscale PNG. Filter reconstruction is bytes-per-pixel
-    * aware (`left`/`upper-left` look back `bpp` bytes per the spec);
-    * grayscale replicates the reconstructed sample into all three BGR
-    * channels of the shared `BmpImage` shape.
-    */
+  /** Inflate, unfilter (per pass), extract samples, and place pixels. */
   private def inflatePng(
-      w: Int, h: Int, z: Array[Byte], gray: Boolean = false): Option[BmpImage] = {
-    val bpp = if (gray) 1 else 3
-    val stride = w * bpp
-    val raw = new Array[Byte]((stride + 1) * h)
+      w: Int, h: Int, colorType: Int, depth: Int, interlace: Int,
+      plte: Array[Byte], z: Array[Byte]): Option[BmpImage] = {
+    if (colorType == 3 && plte == null) return None
+    val bitsPP = if (colorType == 2) 3 * depth else depth
+    val bppBytes = math.max(1, bitsPP / 8)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    // total filtered size across non-empty passes
+    var rawLen = 0L
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wP = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hP = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (wP > 0 && hP > 0) rawLen += hP.toLong * (1L + (wP.toLong * bitsPP + 7) / 8)
+    }
+    if (rawLen > PngMaxRaw || rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(z)
@@ -404,45 +544,71 @@ object MultimodalOps {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // reconstruct into a raw-sample buffer first (stride bytes per row),
-    // then map samples into the BGR output — keeping the filter math
-    // byte-order-agnostic for both color types
-    val recon = new Array[Byte](stride * h)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (stride + 1)) & 0xFF
-      if (ft > 4) return None
-      var i = 0
-      while (i < stride) {
-        val x = raw(y * (stride + 1) + 1 + i) & 0xFF
-        val left = if (i >= bpp) recon(y * stride + i - bpp) & 0xFF else 0
-        val up = if (y > 0) recon((y - 1) * stride + i) & 0xFF else 0
-        val ul = if (y > 0 && i >= bpp) recon((y - 1) * stride + i - bpp) & 0xFF else 0
-        val v = ft match {
-          case 0 => x
-          case 1 => x + left
-          case 2 => x + up
-          case 3 => x + ((left + up) / 2)
-          case _ => x + paeth(left, up, ul)
-        }
-        recon(y * stride + i) = v.toByte
-        i += 1
-      }
-      y += 1
-    }
     val bgr = new Array[Byte](w * h * 3)
-    var j = 0
-    while (j < w * h) {
-      if (gray) {
-        val g = recon(j)
-        bgr(j * 3) = g; bgr(j * 3 + 1) = g; bgr(j * 3 + 2) = g
-      } else {
-        // RGB sample order -> BGR output order
-        bgr(j * 3) = recon(j * 3 + 2)
-        bgr(j * 3 + 1) = recon(j * 3 + 1)
-        bgr(j * 3 + 2) = recon(j * 3)
+    var off = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val wP = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hP = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (wP > 0 && hP > 0) {
+        val rowBytes = ((wP.toLong * bitsPP + 7) / 8).toInt
+        val recon = new Array[Byte](rowBytes * hP)
+        var y = 0
+        while (y < hP) {
+          val ft = raw(off + y * (rowBytes + 1)) & 0xFF
+          if (ft > 4) return None
+          var i2 = 0
+          while (i2 < rowBytes) {
+            val x = raw(off + y * (rowBytes + 1) + 1 + i2) & 0xFF
+            val left = if (i2 >= bppBytes) recon(y * rowBytes + i2 - bppBytes) & 0xFF else 0
+            val up = if (y > 0) recon((y - 1) * rowBytes + i2) & 0xFF else 0
+            val ul = if (y > 0 && i2 >= bppBytes)
+              recon((y - 1) * rowBytes + i2 - bppBytes) & 0xFF else 0
+            val v = ft match {
+              case 0 => x
+              case 1 => x + left
+              case 2 => x + up
+              case 3 => x + ((left + up) / 2)
+              case _ => x + paeth(left, up, ul)
+            }
+            recon(y * rowBytes + i2) = v.toByte
+            i2 += 1
+          }
+          y += 1
+        }
+        off += (rowBytes + 1) * hP
+        // sample extraction + placement
+        y = 0
+        while (y < hP) {
+          var x = 0
+          while (x < wP) {
+            val outPx = ((y0 + y * dy) * w + (x0 + x * dx)) * 3
+            colorType match {
+              case 2 =>
+                val s = y * rowBytes + x * 3
+                bgr(outPx) = recon(s + 2)
+                bgr(outPx + 1) = recon(s + 1)
+                bgr(outPx + 2) = recon(s)
+              case 0 =>
+                val g = recon(y * rowBytes + x)
+                bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
+              case _ =>
+                // palette index, MSB-first within the byte
+                val bit = x * depth
+                val by = recon(y * rowBytes + (bit >> 3)) & 0xFF
+                val idx = (by >> (8 - depth - (bit & 7))) & ((1 << depth) - 1)
+                if (idx * 3 + 2 >= plte.length) return None
+                bgr(outPx) = plte(idx * 3 + 2)
+                bgr(outPx + 1) = plte(idx * 3 + 1)
+                bgr(outPx + 2) = plte(idx * 3)
+            }
+            x += 1
+          }
+          y += 1
+        }
       }
-      j += 1
+      pi += 1
     }
     Some(BmpImage(w, h, 24, bgr))
   }
@@ -2286,6 +2452,72 @@ object MultimodalOps {
       round(f(4) * 255 * f(1) * f(2)).cast("long").as("sum_g"),
       round(f(5) * 255 * f(1) * f(2)).cast("long").as("sum_r"))
       .orderBy(col("asset_id"))
+  }
+
+  /** q190: the q69 contract over the LEGACY PNG forms — per document
+    * an Adam7-interlaced truecolor (`id % 4 == 0`), Adam7 gray (== 1),
+    * sequential 8-bit palette (== 2), or Adam7 4-bit palette (== 3)
+    * image with gradient content (a silent pass-placement or
+    * bit-unpacking slip shifts every sum), decoded by the extended
+    * `decodePng` into exact per-channel pixel sums the oracle
+    * recomputes as pure (doc_id, x, y) integer arithmetic. Scale
+    * shape: per-row encode+decode walk, zero shuffle before the sort.
+    */
+  def q190PngLegacyDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (5 + id % 7).toInt
+        val form = (id % 4).toInt
+        val png = form match {
+          case 0 =>
+            val rgb = new Array[Byte](w * h * 3)
+            for (y <- 0 until h; x <- 0 until w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((id + 3 * x + 7 * y) % 256).toByte
+              rgb(p + 1) = ((2 * id + 5 * x + y) % 256).toByte
+              rgb(p + 2) = ((x.toLong * y + id) % 256).toByte
+            }
+            encodePngExt(w, h, 2, 8, interlace = true, rgb)
+          case 1 =>
+            val g = new Array[Byte](w * h)
+            for (y <- 0 until h; x <- 0 until w)
+              g(y * w + x) = ((id + 11 * x + 13 * y) % 256).toByte
+            encodePngExt(w, h, 0, 8, interlace = true, g)
+          case f =>
+            val plte = new Array[Byte](16 * 3)
+            for (j <- 0 until 16) {
+              plte(j * 3) = ((id * 3 + 5 * j) % 256).toByte
+              plte(j * 3 + 1) = ((id * 7 + j) % 256).toByte
+              plte(j * 3 + 2) = ((2 * j + id) % 256).toByte
+            }
+            val idx = new Array[Byte](w * h)
+            for (y <- 0 until h; x <- 0 until w)
+              idx(y * w + x) = ((x + y + id) % 16).toByte
+            if (f == 2) encodePngExt(w, h, 3, 8, interlace = false, idx, plte)
+            else encodePngExt(w, h, 3, 4, interlace = true, idx, plte)
+        }
+        val img = decodePng(png).getOrElse(BmpImage(0, 0, 0, Array.empty))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          sb += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sr += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        val label = form match {
+          case 0 => "rgb_adam7"
+          case 1 => "gray_adam7"
+          case 2 => "palette8"
+          case _ => "palette4_adam7"
+        }
+        (id, label, img.width.toLong, img.height.toLong, sr, sg, sb)
+      })
+      .toDF("doc_id", "form", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
   }
 
   /** q46: the resize kernel, oracle-checked end-to-end over the decodable

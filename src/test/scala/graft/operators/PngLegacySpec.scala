@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Legacy PNG forms (Adam7 interlace + palettes): foreign libpng
+  * fixtures decode byte-exactly, own encoder round-trips every
+  * supported form, and malformed streams stay typed.
+  */
+class PngLegacySpec extends AnyFunSuite {
+
+  private def resource(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    assert(in != null, s"missing resource $path")
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  private def checkFixture(name: String): Unit = {
+    val png = resource(s"/png/fixture_$name.png")
+    val raw = resource(s"/png/fixture_$name.raw")
+    val w = ((raw(0) & 0xff) << 8) | (raw(1) & 0xff)
+    val h = ((raw(2) & 0xff) << 8) | (raw(3) & 0xff)
+    val img = MultimodalOps.decodePng(png).getOrElse(fail(s"$name: None"))
+    assert(img.width == w && img.height == h, s"$name dims")
+    var i = 0
+    while (i < w * h) {
+      // .raw is RGB; BmpImage is BGR
+      assert((img.pixels(i * 3 + 2) & 0xff) == (raw(4 + i * 3) & 0xff) &&
+        (img.pixels(i * 3 + 1) & 0xff) == (raw(4 + i * 3 + 1) & 0xff) &&
+        (img.pixels(i * 3) & 0xff) == (raw(4 + i * 3 + 2) & 0xff),
+        s"$name pixel $i")
+      i += 1
+    }
+  }
+
+  test("11 foreign libpng fixtures decode byte-exactly: Adam7 truecolor " +
+    "(ragged + empty-pass dims), Adam7 gray, palette 8/4/2/1-bit, " +
+    "Adam7 palette 8/4/1-bit") {
+    for (name <- Seq("rgb_adam7_13x7", "rgb_adam7_3x3", "rgb_adam7_32x24",
+      "gray_adam7_17x9", "pal8_19x11", "pal4_19x11", "pal2_19x11",
+      "pal1_19x11", "pal8_adam7_13x7", "pal4_adam7_13x7", "pal1_adam7_9x5"))
+      checkFixture(name)
+  }
+
+  test("own encoder round-trips every legacy form (both interlace modes, " +
+    "all palette depths, ragged dims)") {
+    for (w <- Seq(1, 3, 13, 16); h <- Seq(1, 7, 9); il <- Seq(false, true)) {
+      val rgb = Array.tabulate[Byte](w * h * 3)(i => ((i * 31 + 7) & 0xff).toByte)
+      val viaRgb = MultimodalOps.decodePng(
+        MultimodalOps.encodePngExt(w, h, 2, 8, il, rgb)).get
+      var i = 0
+      while (i < w * h) {
+        assert((viaRgb.pixels(i * 3 + 2) & 0xff) == (rgb(i * 3) & 0xff) &&
+          (viaRgb.pixels(i * 3) & 0xff) == (rgb(i * 3 + 2) & 0xff),
+          s"rgb $w x $h il=$il px $i")
+        i += 1
+      }
+      for (depth <- Seq(1, 2, 4, 8)) {
+        val nc = 1 << depth
+        val plte = Array.tabulate[Byte](nc * 3)(i => ((i * 41 + 3) & 0xff).toByte)
+        val idx = Array.tabulate[Byte](w * h)(i => (i % nc).toByte)
+        val img = MultimodalOps.decodePng(
+          MultimodalOps.encodePngExt(w, h, 3, depth, il, idx, plte)).get
+        i = 0
+        while (i < w * h) {
+          val j = (idx(i) & 0xff) * 3
+          assert((img.pixels(i * 3 + 2) & 0xff) == (plte(j) & 0xff) &&
+            (img.pixels(i * 3 + 1) & 0xff) == (plte(j + 1) & 0xff) &&
+            (img.pixels(i * 3) & 0xff) == (plte(j + 2) & 0xff),
+            s"pal$depth $w x $h il=$il px $i")
+          i += 1
+        }
+      }
+    }
+  }
+
+  test("malformed legacy streams are typed None, never throws: missing " +
+    "PLTE, lying index, corruption fuzz over an interlaced fixture") {
+    val good = resource("/png/fixture_pal4_adam7_13x7.png")
+    // strip PLTE: type 3 without a palette is None
+    val noPlte = {
+      val s = good.indexOfSlice("PLTE".getBytes("US-ASCII"))
+      assert(s > 0)
+      val len = ((good(s - 4) & 0xff) << 24) | ((good(s - 3) & 0xff) << 16) |
+        ((good(s - 2) & 0xff) << 8) | (good(s - 1) & 0xff)
+      good.take(s - 4) ++ good.drop(s + 8 + len)
+    }
+    assert(MultimodalOps.decodePng(noPlte).isEmpty)
+    for (i <- 8 until good.length by 3) {
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x40).toByte
+      MultimodalOps.decodePng(bad) match {
+        case Some(img) => assert(img.width > 0 && img.pixels.length > 0)
+        case None => ()
+      }
+    }
+    for (cut <- 8 until good.length by 11)
+      MultimodalOps.decodePng(good.take(cut)) // must not throw
+  }
+}

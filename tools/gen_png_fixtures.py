@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Generate FOREIGN PNG conformance fixtures with libpng (full API via
+ctypes): Adam7-interlaced truecolor/gray/palette and sub-byte palette
+forms, each with its exact expected RGB raster — bit-exact verification
+that MultimodalOps.decodePng reads the public spec correctly (the
+brotli/zstd fixture discipline applied to the legacy PNG forms).
+
+Outputs: src/test/resources/png/fixture_<name>.{png,raw}
+  .raw = width(2 BE) height(2 BE) then RGB row-major top-down.
+"""
+import ctypes, os
+from ctypes import (c_void_p, c_char_p, c_int, c_uint, c_size_t, c_ubyte,
+                    POINTER, CFUNCTYPE, byref)
+
+L = ctypes.CDLL("/usr/lib/x86_64-linux-gnu/libpng16.so.16")
+L.png_get_libpng_ver.restype = c_char_p
+L.png_create_write_struct.restype = c_void_p
+L.png_create_write_struct.argtypes = [c_char_p, c_void_p, c_void_p, c_void_p]
+L.png_create_info_struct.restype = c_void_p
+L.png_create_info_struct.argtypes = [c_void_p]
+L.png_set_write_fn.argtypes = [c_void_p, c_void_p, c_void_p, c_void_p]
+L.png_set_IHDR.argtypes = [c_void_p, c_void_p, c_uint, c_uint, c_int,
+                           c_int, c_int, c_int, c_int]
+L.png_set_PLTE.argtypes = [c_void_p, c_void_p, c_void_p, c_int]
+L.png_set_rows.argtypes = [c_void_p, c_void_p, POINTER(c_void_p)]
+L.png_write_png.argtypes = [c_void_p, c_void_p, c_int, c_void_p]
+L.png_destroy_write_struct.argtypes = [POINTER(c_void_p), POINTER(c_void_p)]
+
+WRITE_CB = CFUNCTYPE(None, c_void_p, POINTER(c_ubyte), c_size_t)
+FLUSH_CB = CFUNCTYPE(None, c_void_p)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TRES = os.path.join(ROOT, "src/test/resources/png")
+os.makedirs(TRES, exist_ok=True)
+
+PNG_COLOR_GRAY, PNG_COLOR_RGB, PNG_COLOR_PALETTE = 0, 2, 3
+PNG_INTERLACE_NONE, PNG_INTERLACE_ADAM7 = 0, 1
+
+
+def write_png(w, h, color, depth, interlace, rows_bytes, palette=None):
+    """rows_bytes: list of h packed scanline byte strings."""
+    out = bytearray()
+
+    def wcb(_p, data, n):
+        out.extend(bytes(data[:n]))
+
+    wcb_c = WRITE_CB(wcb)
+    fcb_c = FLUSH_CB(lambda _p: None)
+    png = L.png_create_write_struct(L.png_get_libpng_ver(None), None, None, None)
+    info = L.png_create_info_struct(png)
+    L.png_set_write_fn(png, None, wcb_c, fcb_c)
+    L.png_set_IHDR(png, info, w, h, depth, color, interlace, 0, 0)
+    if palette is not None:
+        pal = (c_ubyte * len(palette))(*palette)
+        L.png_set_PLTE(png, info, pal, len(palette) // 3)
+    row_ptrs = (c_void_p * h)()
+    row_bufs = []
+    for i, rb in enumerate(rows_bytes):
+        buf = (c_ubyte * len(rb))(*rb)
+        row_bufs.append(buf)
+        row_ptrs[i] = ctypes.cast(buf, c_void_p)
+    L.png_set_rows(png, info, row_ptrs)
+    L.png_write_png(png, info, 0, None)
+    pp, ip = c_void_p(png), c_void_p(info)
+    L.png_destroy_write_struct(byref(pp), byref(ip))
+    return bytes(out)
+
+
+def save(name, w, h, png_bytes, rgb):
+    with open(os.path.join(TRES, f"fixture_{name}.png"), "wb") as f:
+        f.write(png_bytes)
+    with open(os.path.join(TRES, f"fixture_{name}.raw"), "wb") as f:
+        f.write(bytes([w >> 8, w & 255, h >> 8, h & 255]) + bytes(rgb))
+    print(f"{name}: {w}x{h} png={len(png_bytes)}B")
+
+
+def gen_rgb(name, w, h, interlace):
+    rgb = []
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (3 * x + 7 * y) % 256, (5 * x + y + 11) % 256, (x * y + 2) % 256
+            row += bytes((r, g, b))
+            rgb += [r, g, b]
+        rows.append(bytes(row))
+    save(name, w, h, write_png(w, h, PNG_COLOR_RGB, 8, interlace, rows), rgb)
+
+
+def gen_gray(name, w, h, interlace):
+    rgb = []
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            g = (11 * x + 13 * y + 5) % 256
+            row.append(g)
+            rgb += [g, g, g]
+        rows.append(bytes(row))
+    save(name, w, h, write_png(w, h, PNG_COLOR_GRAY, 8, interlace, rows), rgb)
+
+
+def gen_palette(name, w, h, depth, interlace):
+    ncolors = 1 << depth
+    palette = []
+    for j in range(ncolors):
+        palette += [(37 * j + 5) % 256, (11 * j + 90) % 256, (53 * j) % 256]
+    rgb = []
+    rows = []
+    for y in range(h):
+        row = bytearray((w * depth + 7) // 8)
+        for x in range(w):
+            idx = (x + 2 * y) % ncolors
+            bit = x * depth
+            row[bit >> 3] |= (idx << (8 - depth - (bit & 7))) & 0xFF
+            rgb += palette[idx * 3:idx * 3 + 3]
+        rows.append(bytes(row))
+    save(name, w, h,
+         write_png(w, h, PNG_COLOR_PALETTE, depth, interlace, rows, palette),
+         rgb)
+
+
+if __name__ == "__main__":
+    # odd dims so Adam7 passes have ragged widths; 3x3 leaves passes empty
+    gen_rgb("rgb_adam7_13x7", 13, 7, PNG_INTERLACE_ADAM7)
+    gen_rgb("rgb_adam7_3x3", 3, 3, PNG_INTERLACE_ADAM7)
+    gen_rgb("rgb_adam7_32x24", 32, 24, PNG_INTERLACE_ADAM7)
+    gen_gray("gray_adam7_17x9", 17, 9, PNG_INTERLACE_ADAM7)
+    gen_palette("pal8_19x11", 19, 11, 8, PNG_INTERLACE_NONE)
+    gen_palette("pal4_19x11", 19, 11, 4, PNG_INTERLACE_NONE)
+    gen_palette("pal2_19x11", 19, 11, 2, PNG_INTERLACE_NONE)
+    gen_palette("pal1_19x11", 19, 11, 1, PNG_INTERLACE_NONE)
+    gen_palette("pal8_adam7_13x7", 13, 7, 8, PNG_INTERLACE_ADAM7)
+    gen_palette("pal4_adam7_13x7", 13, 7, 4, PNG_INTERLACE_ADAM7)
+    gen_palette("pal1_adam7_9x5", 9, 5, 1, PNG_INTERLACE_ADAM7)
