@@ -29,6 +29,15 @@ object BenchPhases {
     finally add(phase, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Record that a standing artifact was REUSED rather than built this
+    * sample — the self-describing twin of a timed build phase (round-17
+    * verdict: q38's index_build whiplashed 1.77↔11.17 s across chains
+    * because a sample that found the artifact warm recorded NOTHING,
+    * indistinguishable from a cheap build). Counted as `<phase>_reused`
+    * so the phases map stays all-numeric.
+    */
+  def reused(phase: String): Unit = add(phase + "_reused", 1.0)
+
   /** Return and clear everything recorded since the last drain. */
   def drain(): Map[String, Double] = {
     import scala.jdk.CollectionConverters._

@@ -242,6 +242,8 @@ object CdxOps {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val idxFs = rootPath.getFileSystem(hconf)
     val indexDir = s"$root/cdx-$fp"
+    if (idxFs.exists(new org.apache.hadoop.fs.Path(indexDir, "_SUCCESS")))
+      graft.BenchPhases.reused("cdx_build")
     if (!idxFs.exists(new org.apache.hadoop.fs.Path(indexDir, "_SUCCESS")))
       graft.BenchPhases.timed("cdx_build") {
         archives.as[(Long, Array[Byte])]

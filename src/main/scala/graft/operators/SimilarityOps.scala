@@ -1023,6 +1023,7 @@ object SimilarityOps {
       graft.BenchPhases.timed("index_build") {
         buildIvfIndex(c, indexDir, ifAbsentOnly = true)
       }
+    else graft.BenchPhases.reused("index_build")
     // sweep SUPERSEDED GENERATIONS only — the exact `ivf-<16 hex>` shape.
     // A looser prefix match would also catch a concurrent same-fingerprint
     // builder's in-flight `ivf-<fp>.tmp-<uuid>` dir and kill its write
@@ -1100,6 +1101,7 @@ object SimilarityOps {
     if (idxFs.exists(finPath) &&
         !idxFs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/folded")))
       idxFs.delete(finPath, true)
+    if (idxFs.exists(finPath)) graft.BenchPhases.reused("index_build")
     if (!idxFs.exists(finPath)) graft.BenchPhases.timed("index_build") {
       val tmp = indexDir + ".lsm-" + java.util.UUID.randomUUID().toString.take(8)
       buildIvfIndex(c.filter(col("vec_id") % 3 === 0), s"$tmp/unfolded",
@@ -1398,6 +1400,7 @@ object SimilarityOps {
       graft.BenchPhases.timed("graph_build") {
         buildGraphIndex(c, indexDir, ifAbsentOnly = true)
       }
+    else graft.BenchPhases.reused("graph_build")
     // the in-query twin's own artifact generation (see the note above):
     // the identical deterministic construction, built and published
     // INDEPENDENTLY of the standing index, once per corpus state
@@ -1406,6 +1409,7 @@ object SimilarityOps {
       graft.BenchPhases.timed("graph_twin_build") {
         buildGraphIndex(c, twinDir, ifAbsentOnly = true)
       }
+    else graft.BenchPhases.reused("graph_twin_build")
     idxFs.listStatus(rootPath).map(_.getPath)
       .filter(p => (p.getName.matches("graph-[0-9a-f]{16}") && p.getName != s"graph-$fp") ||
         (p.getName.matches("twin-[0-9a-f]{16}") && p.getName != s"twin-$fp"))
@@ -1667,6 +1671,7 @@ object SimilarityOps {
       graft.BenchPhases.timed("index_build") {
         buildIvfIndex(c, indexDir, ifAbsentOnly = true, quantize = true)
       }
+    else graft.BenchPhases.reused("index_build")
     if (idxFs.exists(rootPath))
       idxFs.listStatus(rootPath).map(_.getPath)
         .filter(p => p.getName.matches("ivfq-[0-9a-f]{16}") && p.getName != s"ivfq-$fp")
@@ -2029,7 +2034,7 @@ object SimilarityOps {
       }
       // recorded with the build (once per index state, not per probe rep)
       graft.BenchPhases.add("pq_bytes_per_vec", 8.0)
-    }
+    } else graft.BenchPhases.reused("index_build")
     if (idxFs.exists(rootPath))
       idxFs.listStatus(rootPath).map(_.getPath)
         .filter(p => p.getName.matches("ivfpq-[0-9a-f]{16}") && p.getName != s"ivfpq-$fp")

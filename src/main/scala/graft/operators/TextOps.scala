@@ -542,6 +542,7 @@ object TextOps {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(hconf)
     val fin = new org.apache.hadoop.fs.Path(s"$root/$family-$fp")
+    if (fs.exists(fin)) graft.BenchPhases.reused(s"span_${family}_build")
     if (!fs.exists(fin)) graft.BenchPhases.timed(s"span_${family}_build") {
       // sweep COLD tmp dirs from crashed builds (a young tmp may be a
       // concurrent builder's in-flight write — leave it)

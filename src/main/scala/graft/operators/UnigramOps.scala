@@ -175,6 +175,7 @@ object UnigramOps {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(hconf)
     val fin = new org.apache.hadoop.fs.Path(s"$root/model-$fp")
+    if (fs.exists(fin)) graft.BenchPhases.reused("unigram_train")
     if (!fs.exists(fin)) graft.BenchPhases.timed("unigram_train") {
       val (words, vocab) = train(
         Tables.documents(spark, dir).where(col("lang") === "en"))

@@ -257,6 +257,7 @@ object StreamEmbedIndex {
     // threshold rides in the cache key: cached flags are threshold-
     // specific, and a silent key collision would replay stale flags
     val stateDir = s"$root/guard-t25-$fp"
+    if (fs.exists(new Path(stateDir))) graft.BenchPhases.reused("index_build")
     if (!fs.exists(new Path(stateDir))) graft.BenchPhases.timed("index_build") {
       val tmp = new Path(
         stateDir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
