@@ -180,6 +180,7 @@ object SparkEntry {
     "q188_xlsx_extract" -> (XlsxOps.q188XlsxExtract(_, _)),
     "q189_wat_roundtrip" -> (WatOps.q189WatRoundtrip(_, _)),
     "q190_png_legacy" -> (MultimodalOps.q190PngLegacyDecode(_, _)),
+    "q191_tiff_compressed" -> (TiffOps.q191TiffCompressed(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2967,6 +2968,31 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // compressed TIFF strips (q191): PackBits and early-change LZW
+    // beside the uncompressed control, identical pixel grid — a
+    // decompressor slip shifts pixel_sum against the grid replay
+    "q191_tiff_compressed" ->
+      """WITH g AS (SELECT doc_id, (8 + doc_id % 5)::INT AS w,
+        |    (4 + doc_id % 3)::INT AS h
+        |  FROM documents),
+        |s1 AS (SELECT g.doc_id, sum((x.x + y.y + g.doc_id) % 251) AS s
+        |  FROM g, unnest(range(g.w)) AS x(x), unnest(range(g.h)) AS y(y)
+        |  GROUP BY g.doc_id),
+        |s2 AS (SELECT doc_id, sum((x.x + y.y + doc_id) % 251) AS s
+        |  FROM documents, unnest(range(4)) AS x(x), unnest(range(4)) AS y(y)
+        |  WHERE doc_id % 3 = 0 GROUP BY doc_id)
+        |SELECT g.doc_id, 'ok' AS status,
+        |  CASE WHEN g.doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+        |  CASE g.doc_id % 3 WHEN 0 THEN 'packbits' WHEN 1 THEN 'lzw'
+        |    ELSE 'none' END AS compression,
+        |  (CASE WHEN g.doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_pages,
+        |  g.w::BIGINT AS width, g.h::BIGINT AS height,
+        |  (s1.s + coalesce(s2.s, 0))::BIGINT AS pixel_sum,
+        |  '2026:' || lpad((g.doc_id % 12 + 1)::VARCHAR, 2, '0') || ':' ||
+        |    lpad((g.doc_id % 28 + 1)::VARCHAR, 2, '0') || ' ' ||
+        |    lpad((g.doc_id % 24)::VARCHAR, 2, '0') || ':00:00' AS datetime
+        |FROM g JOIN s1 USING (doc_id) LEFT JOIN s2 USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
     // legacy PNG decode (q190): Adam7-interlaced truecolor/gray and
     // 8/4-bit palette forms (the old-web-corpus shapes) decoded to
     // exact per-channel pixel sums; the oracle recomputes every sum as

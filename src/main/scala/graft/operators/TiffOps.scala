@@ -38,7 +38,208 @@ object TiffOps {
 
   final case class TiffInfo(
       doc_id: Long, status: String, endian: String, n_pages: Int,
-      width: Int, height: Int, bits: Int, pixel_sum: Long, datetime: String)
+      width: Int, height: Int, bits: Int, pixel_sum: Long, datetime: String,
+      compression: String)
+
+  // --------------------------------------------------- strip compression
+
+  /** PackBits (TIFF §9, the Apple RLE): n ≥ 0 copies n+1 literals,
+    * −127 ≤ n ≤ −1 repeats the next byte 1−n times, −128 is a no-op.
+    * Returns exactly `expected` bytes or None (truncated/overrun input
+    * must never yield a short or padded strip).
+    */
+  private[graft] def packbitsDecode(
+      b: Array[Byte], off: Int, len: Int, expected: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](expected)
+    var p = off
+    val end = off + len
+    var o = 0
+    while (p < end && o < expected) {
+      val n = b(p)
+      p += 1
+      if (n >= 0) {
+        if (p + n + 1 > end || o + n + 1 > expected) return None
+        var i = 0
+        while (i <= n) { out(o) = b(p); p += 1; o += 1; i += 1 }
+      } else if (n != -128) {
+        if (p >= end || o + (1 - n) > expected) return None
+        val v = b(p)
+        p += 1
+        var i = 0
+        while (i < 1 - n) { out(o) = v; o += 1; i += 1 }
+      }
+    }
+    if (o == expected) Some(out) else None
+  }
+
+  /** PackBits encoder (corpus construction): literal runs broken at
+    * repeats of ≥ 3, both run kinds capped at 128.
+    */
+  private[graft] def packbitsEncode(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      // measure the repeat run at i
+      var r = i + 1
+      while (r < data.length && data(r) == data(i) && r - i < 128) r += 1
+      if (r - i >= 3) {
+        bos.write(1 - (r - i)) // -(n-1)
+        bos.write(data(i))
+        i = r
+      } else {
+        // literal run until a ≥3 repeat starts (or 128 cap)
+        val start = i
+        var j = i
+        var go = true
+        while (go && j < data.length && j - start < 128) {
+          var k = j + 1
+          while (k < data.length && data(k) == data(j)) k += 1
+          if (k - j >= 3) go = false else j = math.min(k, start + 128)
+        }
+        if (j == start) j = start + 1 // lone byte before a repeat run
+        bos.write(j - start - 1)
+        bos.write(data, start, j - start)
+        i = j
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** TIFF LZW decoder (TIFF §13): MSB-first codes, 9→12-bit widths
+    * with the EARLY CHANGE (the width grows when the next free entry
+    * reaches 2^w − 1 — one code earlier than GIF), Clear=256, EOI=257.
+    * Foreign-conformant: libtiff-encoded strips decode byte-exactly
+    * (TiffCompressionSpec fixtures). Returns exactly `expected` bytes
+    * or None.
+    */
+  private[graft] def lzwDecode(
+      b: Array[Byte], off: Int, len: Int, expected: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](expected)
+    var o = 0
+    val totalBits = len.toLong * 8
+    var bitPos = 0L
+    def read(width: Int): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val bit = bitPos + i
+        v = (v << 1) | ((b(off + (bit >> 3).toInt) >> (7 - (bit & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var prev = -1
+    def firstByte(code0: Int): Byte = {
+      var c = code0
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    def emit(code0: Int, extra: Int): Boolean = {
+      // write string(code) [+ firstByte(prev) when extra >= 0] to out
+      var depth = 0
+      var c = code0
+      while (c >= 258) {
+        if (depth >= stack.length || c >= next) return false
+        stack(depth) = suffix(c); depth += 1; c = prefix(c)
+      }
+      if (c >= 256) return false
+      stack(depth) = c.toByte; depth += 1
+      val n = depth + (if (extra >= 0) 1 else 0)
+      if (o + n > expected) return false
+      var i = depth - 1
+      while (i >= 0) { out(o) = stack(i); o += 1; i -= 1 }
+      if (extra >= 0) { out(o) = firstByte(extra); o += 1 }
+      true
+    }
+    var done = false
+    while (!done) {
+      val code = read(width)
+      if (code < 0) return None
+      if (code == 257) done = true
+      else if (code == 256) { next = 258; width = 9; prev = -1 }
+      else if (prev == -1) {
+        if (code >= 256) return None
+        if (o >= expected) return None
+        out(o) = code.toByte; o += 1
+        prev = code
+      } else {
+        if (code < next) { if (!emit(code, -1)) return None }
+        else if (code == next) { if (!emit(prev, prev)) return None }
+        else return None
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = firstByte(code)
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (o == expected) Some(out) else None
+  }
+
+  /** TIFF LZW encoder (corpus construction): the §13 string-table
+    * algorithm with the early-change width discipline mirrored to the
+    * decoder's read timeline (the decoder's free-entry counter lags
+    * the encoder's by one at each read); clears when the table fills.
+    */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var nBits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      var i = width - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((code >> i) & 1)
+        nBits += 1
+        if (nBits == 8) { bos.write(cur); cur = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    put(256) // clear
+    var omega = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (omega < 0) omega = k
+      else {
+        val key = (omega.toLong << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) omega = hit.intValue()
+        else {
+          put(omega)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          // the decoder adds its matching entry one code LATER, so its
+          // counter at the next read is `next - 1`; it bumps at
+          // 2^w − 1 → the encoder bumps when next == 2^w
+          if (next == (1 << width) && width < 12) width += 1
+          if (next == 4094) { // table nearly full: clear and reset
+            put(256)
+            dict.clear()
+            next = 258
+            width = 9
+          }
+          omega = k
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) put(omega)
+    put(257) // EOI
+    if (nBits > 0) { bos.write(cur << (8 - nBits)) }
+    bos.toByteArray
+  }
 
   // --------------------------------------------------------------- encode
 
@@ -66,39 +267,47 @@ object TiffOps {
   }
 
   /** A real 1–2 page gray-8 TIFF per document; `II` for even ids, `MM`
-    * for odd; page 2 (on `id % 3 == 0`) is a fixed 4×4.
+    * for odd; page 2 (on `id % 3 == 0`) is a fixed 4×4. `comp` selects
+    * the strip compression: 1 none, 5 LZW, 32773 PackBits.
     */
-  private[graft] def buildTiff(id: Long): Array[Byte] = {
+  private[graft] def buildTiff(id: Long, comp: Int = 1): Array[Byte] = {
     val le = id % 2 == 0
     val w = new W(le)
     val pages: Seq[(Int, Int)] =
       (widthOf(id), heightOf(id)) +: (if (id % 3 == 0) Seq((4, 4)) else Nil)
     val dt = f"2026:${id % 12 + 1}%02d:${id % 28 + 1}%02d ${id % 24}%02d:00:00"
     val dtBytes = dt.getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte
+    val strips = pages.map { case (pw, ph) =>
+      val raw = new Array[Byte](pw * ph)
+      for (y <- 0 until ph; x <- 0 until pw) raw(y * pw + x) = pixel(id, x, y).toByte
+      comp match {
+        case 5 => lzwEncode(raw)
+        case 32773 => packbitsEncode(raw)
+        case _ => raw
+      }
+    }
     // layout: header(8) | per page: strip, dt copy, IFD
     w.bos.write(if (le) 'I' else 'M'); w.bos.write(if (le) 'I' else 'M')
     w.u16(42)
     // compute offsets: strips and dt first, IFDs after
     var off = 8L
-    val stripOffs = pages.map { case (pw, ph) => val o = off; off += pw * ph; o }
+    val stripOffs = strips.map { s => val o = off; off += s.length; o }
     val dtOff = off
     off += dtBytes.length
     val ifdSize = 2 + 8 * 12 + 4
     val ifdOffs = pages.indices.map(i => off + i * ifdSize)
     w.u32(ifdOffs.head)
-    pages.zipWithIndex.foreach { case ((pw, ph), _) =>
-      for (y <- 0 until ph; x <- 0 until pw) w.bos.write(pixel(id, x, y))
-    }
+    strips.foreach(s => w.bos.write(s))
     w.bos.write(dtBytes)
     pages.zipWithIndex.foreach { case ((pw, ph), i) =>
       w.u16(8) // entry count
       w.entryShort(256, pw)
       w.entryShort(257, ph)
       w.entryShort(258, 8)
-      w.entryShort(259, 1) // no compression
+      w.entryShort(259, comp)
       w.entryLong(273, stripOffs(i))
       w.entryShort(277, 1)
-      w.entryLong(279, (pw * ph).toLong)
+      w.entryLong(279, strips(i).length.toLong)
       w.entryAscii(306, dtBytes.length, dtOff)
       w.u32(if (i + 1 < pages.length) ifdOffs(i + 1) else 0L)
     }
@@ -108,7 +317,7 @@ object TiffOps {
   // ----------------------------------------------------------------- walk
 
   private[graft] def parseTiff(docId: Long, b: Array[Byte]): TiffInfo = {
-    def dead(status: String) = TiffInfo(docId, status, "", 0, 0, 0, 0, 0L, "")
+    def dead(status: String) = TiffInfo(docId, status, "", 0, 0, 0, 0, 0L, "", "")
     if (b.length < 8) return dead("not-tiff")
     val le =
       if (b(0) == 'I' && b(1) == 'I') true
@@ -135,6 +344,7 @@ object TiffOps {
     var w0 = 0; var h0 = 0; var bits0 = 0
     var sum = 0L
     var dt = ""
+    var compLabel = ""
     while (ifd != 0) {
       if (!seen.add(ifd) || pages >= MaxPages)
         return dead("ifd-cycle")
@@ -169,19 +379,42 @@ object TiffOps {
         }
         i += 1
       }
-      if (comp != 1) return dead("unsupported-compression")
-      if (width <= 0 || height <= 0 || stripOff < 0 || stripLen != width.toLong * height)
+      if (comp != 1 && comp != 5 && comp != 32773)
+        return dead("unsupported-compression")
+      if (width <= 0 || height <= 0 || stripOff < 0 || stripLen < 0 ||
+        (comp == 1 && stripLen != width.toLong * height))
         return dead("bad-ifd")
       if (stripOff + stripLen > b.length) return dead("truncated")
-      var p = stripOff.toInt
-      val end = (stripOff + stripLen).toInt
-      while (p < end) { sum += (b(p) & 0xff); p += 1 }
-      if (pages == 0) { w0 = width; h0 = height; bits0 = bits }
+      val expected = width * height
+      if (expected > (1 << 26)) return dead("bad-ifd") // strip bomb cap
+      val decoded: Array[Byte] = comp match {
+        case 1 =>
+          java.util.Arrays.copyOfRange(b, stripOff.toInt,
+            (stripOff + stripLen).toInt)
+        case 5 =>
+          lzwDecode(b, stripOff.toInt, stripLen.toInt, expected) match {
+            case Some(d) => d
+            case None => return dead("bad-strip")
+          }
+        case _ =>
+          packbitsDecode(b, stripOff.toInt, stripLen.toInt, expected) match {
+            case Some(d) => d
+            case None => return dead("bad-strip")
+          }
+      }
+      var p = 0
+      while (p < decoded.length) { sum += (decoded(p) & 0xff); p += 1 }
+      if (pages == 0) {
+        w0 = width; h0 = height; bits0 = bits
+        compLabel = comp match {
+          case 1 => "none"; case 5 => "lzw"; case _ => "packbits"
+        }
+      }
       pages += 1
       ifd = u32(base + 12 * n)
     }
     if (pages == 0) return dead("no-pages")
-    TiffInfo(docId, "ok", endian, pages, w0, h0, bits0, sum, dt)
+    TiffInfo(docId, "ok", endian, pages, w0, h0, bits0, sum, dt, compLabel)
   }
 
   // ----------------------------------------------------------------- q162
@@ -201,6 +434,104 @@ object TiffOps {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("bits").cast("long").as("bits"),
+        col("pixel_sum"), col("datetime"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** First-page gray-8 raster (width, height, bytes) — the decoded
+    * surface the image operators (dhash, near-dup) consume, and what
+    * the foreign-fixture spec compares byte-exactly against libtiff's
+    * input. None under exactly the conditions `parseTiff` dead-letters.
+    */
+  private[graft] def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 8) return None
+    val le =
+      if (b(0) == 'I' && b(1) == 'I') true
+      else if (b(0) == 'M' && b(1) == 'M') false
+      else return None
+    def u16(off: Int): Int =
+      if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    def u32(off: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 4) {
+        val sh = if (le) 8 * i else 8 * (3 - i)
+        v |= (b(off + i) & 0xffL) << sh
+        i += 1
+      }
+      v
+    }
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 0 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    val base = ifd.toInt + 2
+    if (base + 12 * n + 4 > b.length) return None
+    var width = 0; var height = 0; var comp = 1
+    var stripOff = -1L; var stripLen = -1L
+    var i = 0
+    while (i < n) {
+      val e = base + 12 * i
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      def shortVal: Int = u16(e + 8)
+      def longVal: Long = u32(e + 8)
+      tag match {
+        case 256 => width = if (typ == 3) shortVal else longVal.toInt
+        case 257 => height = if (typ == 3) shortVal else longVal.toInt
+        case 259 => comp = shortVal
+        case 273 => stripOff = if (typ == 3) shortVal.toLong else longVal
+        case 279 => stripLen = if (typ == 3) shortVal.toLong else longVal
+        case _ => ()
+      }
+      i += 1
+    }
+    if (width <= 0 || height <= 0 || stripOff < 0 || stripLen < 0 ||
+      stripOff + stripLen > b.length) return None
+    val expected = width * height
+    if (expected > (1 << 26)) return None
+    comp match {
+      case 1 =>
+        if (stripLen != expected.toLong) None
+        else Some((width, height, java.util.Arrays.copyOfRange(
+          b, stripOff.toInt, (stripOff + stripLen).toInt)))
+      case 5 =>
+        lzwDecode(b, stripOff.toInt, stripLen.toInt, expected)
+          .map((width, height, _))
+      case 32773 =>
+        packbitsDecode(b, stripOff.toInt, stripLen.toInt, expected)
+          .map((width, height, _))
+      case _ => None
+    }
+  }
+
+  /** q191: the q162 walk over COMPRESSED strips — PackBits
+    * (`id % 3 == 0`, the scanned-fax staple) and LZW (== 1, with the
+    * early-change width discipline) beside the uncompressed control
+    * (== 2); identical pixel arithmetic, so any decompressor slip
+    * shifts `pixel_sum` against the oracle's grid replay. LZW and
+    * PackBits decoders are foreign-conformant (libtiff-encoded strips
+    * decode byte-exactly — TiffCompressionSpec).
+    */
+  def q191TiffCompressed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val comp = (id % 3) match {
+          case 0 => 32773
+          case 1 => 5
+          case _ => 1
+        }
+        parseTiff(id, buildTiff(id, comp))
+      })
+      .toDF()
+      .select(col("doc_id"), col("status"), col("endian"),
+        col("compression"),
+        col("n_pages").cast("long").as("n_pages"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
         col("pixel_sum"), col("datetime"))
       .orderBy(col("doc_id"))
   }

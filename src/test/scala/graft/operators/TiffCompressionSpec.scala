@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TIFF strip compression: foreign libtiff fixtures decode byte-exactly
+  * (LZW across all early-change width bumps, PackBits over run/literal
+  * mixes), own encoders round-trip, and malformed strips stay typed.
+  */
+class TiffCompressionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def resource(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    assert(in != null, s"missing resource $path")
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  test("6 foreign libtiff fixtures decode byte-exactly: LZW random " +
+    "(crosses the 9/10/11-bit early-change bumps), LZW runs, PackBits " +
+    "runs/random/mixed") {
+    for (name <- Seq("lzw_rand_96", "lzw_rand_160", "lzw_runs_64",
+      "packbits_runs_64", "packbits_rand_32", "packbits_mixed_51")) {
+      val tif = resource(s"/tiff/fixture_$name.tif")
+      val raw = resource(s"/tiff/fixture_$name.raw")
+      val w = ((raw(0) & 0xff) << 8) | (raw(1) & 0xff)
+      val h = ((raw(2) & 0xff) << 8) | (raw(3) & 0xff)
+      val (gw, gh, bytes) = TiffOps.decodeGray(tif)
+        .getOrElse(fail(s"$name: None"))
+      assert(gw == w && gh == h, s"$name dims")
+      assert(java.util.Arrays.equals(bytes, raw.drop(4)), s"$name bytes")
+    }
+  }
+
+  test("own encoders round-trip through own decoders: LZW across width " +
+    "bumps and a table clear, PackBits over every run shape") {
+    // > 4094 distinct sequences forces the encoder's mid-stream Clear
+    val big = Array.tabulate[Byte](64 * 1024)(i =>
+      ((i * 2654435761L >> 7) & 0xff).toByte)
+    for (data <- Seq(
+      big,
+      Array.tabulate[Byte](5000)(i => (i / 37 % 7).toByte), // long runs
+      Array.fill[Byte](300)(42), // one run
+      Array.tabulate[Byte](129)(i => i.toByte), // literal > 128 cap
+      Array[Byte](1), Array[Byte](1, 1), Array[Byte](1, 2, 2, 2, 3))) {
+      val lz = TiffOps.lzwEncode(data)
+      assert(TiffOps.lzwDecode(lz, 0, lz.length, data.length)
+        .exists(java.util.Arrays.equals(_, data)), s"lzw n=${data.length}")
+      val pb = TiffOps.packbitsEncode(data)
+      assert(TiffOps.packbitsDecode(pb, 0, pb.length, data.length)
+        .exists(java.util.Arrays.equals(_, data)), s"packbits n=${data.length}")
+    }
+  }
+
+  test("malformed strips are typed: truncation and bit flips never " +
+    "throw or yield short rasters") {
+    val data = Array.tabulate[Byte](500)(i => (i * 13 % 251).toByte)
+    val lz = TiffOps.lzwEncode(data)
+    for (cut <- 0 until lz.length by 3)
+      TiffOps.lzwDecode(lz, 0, cut, data.length).foreach(d =>
+        assert(d.length == data.length))
+    for (i <- 0 until lz.length by 2) {
+      val bad = lz.clone()
+      bad(i) = (bad(i) ^ 0x10).toByte
+      TiffOps.lzwDecode(bad, 0, bad.length, data.length).foreach(d =>
+        assert(d.length == data.length))
+    }
+    val pb = TiffOps.packbitsEncode(data)
+    for (cut <- 0 until pb.length by 3)
+      TiffOps.packbitsDecode(pb, 0, cut, data.length).foreach(d =>
+        assert(d.length == data.length))
+  }
+
+  test("q191 on sf0.001: every compression leg ok, sums equal the q162 " +
+    "control row for row") {
+    val rows = TiffOps.q191TiffCompressed(spark, sf)
+      .select("doc_id", "status", "compression", "pixel_sum")
+      .collect()
+    assert(rows.nonEmpty)
+    val control = TiffOps.q162TiffScan(spark, sf)
+      .select("doc_id", "pixel_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "ok", s"doc $id")
+      val want = (id % 3) match {
+        case 0 => "packbits"; case 1 => "lzw"; case _ => "none"
+      }
+      assert(r.getString(2) == want)
+      assert(r.getLong(3) == control(id), s"doc $id sum")
+    }
+  }
+}

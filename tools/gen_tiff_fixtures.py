@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Generate FOREIGN TIFF compression fixtures with libtiff via ctypes:
+LZW (with strips long enough to cross the 9->10->11-bit early-change
+width bumps) and PackBits gray-8 strips, each with the exact expected
+raster — bit-exact verification that TiffOps' strip decompressors read
+the public spec the way the reference implementation writes it.
+
+Outputs: src/test/resources/tiff/fixture_<name>.{tif,raw}
+  .raw = width(2 BE) height(2 BE) then gray bytes row-major.
+"""
+import ctypes, os
+
+T = ctypes.CDLL("/usr/lib/x86_64-linux-gnu/libtiff.so.6")
+T.TIFFOpen.restype = ctypes.c_void_p
+T.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+T.TIFFWriteEncodedStrip.restype = ctypes.c_long
+T.TIFFWriteEncodedStrip.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                    ctypes.c_void_p, ctypes.c_long]
+T.TIFFClose.argtypes = [ctypes.c_void_p]
+
+TAG_WIDTH, TAG_LENGTH, TAG_BPS, TAG_COMP = 256, 257, 258, 259
+TAG_PHOTO, TAG_SPP, TAG_ROWSPERSTRIP, TAG_PLANAR = 262, 277, 278, 284
+COMP_LZW, COMP_PACKBITS = 5, 32773
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TRES = os.path.join(ROOT, "src/test/resources/tiff")
+os.makedirs(TRES, exist_ok=True)
+
+
+def set_u32(tif, tag, v):
+    T.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag), ctypes.c_uint32(v))
+
+
+def gen(name, w, h, comp, pix):
+    data = bytes(pix(x, y) for y in range(h) for x in range(w))
+    path = os.path.join(TRES, f"fixture_{name}.tif")
+    tif = T.TIFFOpen(path.encode(), b"w")
+    assert tif, name
+    set_u32(tif, TAG_WIDTH, w)
+    set_u32(tif, TAG_LENGTH, h)
+    set_u32(tif, TAG_BPS, 8)
+    set_u32(tif, TAG_SPP, 1)
+    set_u32(tif, TAG_COMP, comp)
+    set_u32(tif, TAG_PHOTO, 1)  # min-is-black
+    set_u32(tif, TAG_PLANAR, 1)
+    set_u32(tif, TAG_ROWSPERSTRIP, h)  # ONE strip
+    n = T.TIFFWriteEncodedStrip(tif, 0, data, len(data))
+    assert n == len(data), (name, n)
+    T.TIFFClose(tif)
+    with open(os.path.join(TRES, f"fixture_{name}.raw"), "wb") as f:
+        f.write(bytes([w >> 8, w & 255, h >> 8, h & 255]) + data)
+    print(f"{name}: {w}x{h} comp={comp} tif={os.path.getsize(path)}B")
+
+
+if __name__ == "__main__":
+    # pseudo-random content grows the LZW table ~1 entry/1.5 bytes:
+    # 96x96 = 9216 bytes crosses the 511 and 1023 width bumps; 160x160
+    # crosses 2047 as well
+    gen("lzw_rand_96", 96, 96, COMP_LZW,
+        lambda x, y: (x * 31 + y * 17 + ((x * y) >> 2)) % 251)
+    gen("lzw_rand_160", 160, 160, COMP_LZW,
+        lambda x, y: (x * 131 + y * 197 + ((x * x + y) >> 1)) % 256)
+    gen("lzw_runs_64", 64, 48, COMP_LZW,
+        lambda x, y: (x // 9 + y // 7) % 5)  # repetitive: deep table strings
+    gen("packbits_runs_64", 64, 48, COMP_PACKBITS,
+        lambda x, y: (x // 9 + y // 7) % 5)
+    gen("packbits_rand_32", 32, 24, COMP_PACKBITS,
+        lambda x, y: (x * 37 + y * 11) % 256)
+    gen("packbits_mixed_51", 51, 13, COMP_PACKBITS,  # odd width, mixed runs
+        lambda x, y: 7 if (x // 5) % 2 == 0 else (x + y) % 256)
