@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   * left-justified in byte order) + a next-IFD offset chaining
   * multi-page files (the corpus gives `id % 3 == 0` documents a
   * second page). Baseline tags read: ImageWidth(256),
-  * ImageLength(257), BitsPerSample(258), Compression(259, must be 1),
-  * StripOffsets(273), StripByteCounts(279), DateTime(306, ASCII at
-  * offset). Pixel data: one gray-8 strip per page, summed — the
-  * deterministic payload check the oracle replays as grid arithmetic.
+  * ImageLength(257), BitsPerSample(258), Compression(259 — none/LZW/
+  * PackBits, the baseline strip codecs, foreign-conformant against
+  * libtiff), StripOffsets(273), StripByteCounts(279), DateTime(306,
+  * ASCII at offset), Predictor(317 — horizontal differencing undone
+  * after decompression, the real-world LZW pairing). Pixel data: one
+  * gray-8 strip per page, decompressed and summed — the deterministic
+  * payload check the oracle replays as grid arithmetic.
   *
   * Error-as-value: bad magic / a truncated IFD or strip / an IFD
   * cycle (page cap) / unsupported compression dead-letter the file
@@ -103,6 +106,40 @@ object TiffOps {
       }
     }
     bos.toByteArray
+  }
+
+  /** Predictor 2 (TIFF §14, horizontal differencing) UNDO for gray-8
+    * rows: each byte is a delta from its left neighbor; applied after
+    * decompression, per row. The pairing real LZW TIFF writers default
+    * to (differencing turns gradients into near-constant residue).
+    */
+  private def undoPredictor2(d: Array[Byte], width: Int): Unit = {
+    var row = 0
+    while (row * width < d.length) {
+      var i = 1
+      while (i < width && row * width + i < d.length) {
+        d(row * width + i) =
+          ((d(row * width + i) + d(row * width + i - 1)) & 0xff).toByte
+        i += 1
+      }
+      row += 1
+    }
+  }
+
+  /** Predictor 2 APPLY (corpus construction): left-delta each row. */
+  private[graft] def applyPredictor2(data: Array[Byte], width: Int): Array[Byte] = {
+    val out = data.clone()
+    var row = 0
+    while (row * width < out.length) {
+      var i = math.min(width, out.length - row * width) - 1
+      while (i >= 1) {
+        out(row * width + i) =
+          ((data(row * width + i) - data(row * width + i - 1)) & 0xff).toByte
+        i -= 1
+      }
+      row += 1
+    }
+    out
   }
 
   /** TIFF LZW decoder (TIFF §13): MSB-first codes, 9→12-bit widths
@@ -270,7 +307,8 @@ object TiffOps {
     * for odd; page 2 (on `id % 3 == 0`) is a fixed 4×4. `comp` selects
     * the strip compression: 1 none, 5 LZW, 32773 PackBits.
     */
-  private[graft] def buildTiff(id: Long, comp: Int = 1): Array[Byte] = {
+  private[graft] def buildTiff(
+      id: Long, comp: Int = 1, predictor: Int = 1): Array[Byte] = {
     val le = id % 2 == 0
     val w = new W(le)
     val pages: Seq[(Int, Int)] =
@@ -278,8 +316,9 @@ object TiffOps {
     val dt = f"2026:${id % 12 + 1}%02d:${id % 28 + 1}%02d ${id % 24}%02d:00:00"
     val dtBytes = dt.getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte
     val strips = pages.map { case (pw, ph) =>
-      val raw = new Array[Byte](pw * ph)
-      for (y <- 0 until ph; x <- 0 until pw) raw(y * pw + x) = pixel(id, x, y).toByte
+      val raw0 = new Array[Byte](pw * ph)
+      for (y <- 0 until ph; x <- 0 until pw) raw0(y * pw + x) = pixel(id, x, y).toByte
+      val raw = if (predictor == 2) applyPredictor2(raw0, pw) else raw0
       comp match {
         case 5 => lzwEncode(raw)
         case 32773 => packbitsEncode(raw)
@@ -294,13 +333,13 @@ object TiffOps {
     val stripOffs = strips.map { s => val o = off; off += s.length; o }
     val dtOff = off
     off += dtBytes.length
-    val ifdSize = 2 + 8 * 12 + 4
+    val ifdSize = 2 + 9 * 12 + 4
     val ifdOffs = pages.indices.map(i => off + i * ifdSize)
     w.u32(ifdOffs.head)
     strips.foreach(s => w.bos.write(s))
     w.bos.write(dtBytes)
     pages.zipWithIndex.foreach { case ((pw, ph), i) =>
-      w.u16(8) // entry count
+      w.u16(9) // entry count
       w.entryShort(256, pw)
       w.entryShort(257, ph)
       w.entryShort(258, 8)
@@ -309,6 +348,7 @@ object TiffOps {
       w.entryShort(277, 1)
       w.entryLong(279, strips(i).length.toLong)
       w.entryAscii(306, dtBytes.length, dtOff)
+      w.entryShort(317, predictor)
       w.u32(if (i + 1 < pages.length) ifdOffs(i + 1) else 0L)
     }
     w.bos.toByteArray
@@ -353,6 +393,7 @@ object TiffOps {
       val base = ifd.toInt + 2
       if (base + 12 * n + 4 > b.length) return dead("truncated")
       var width = 0; var height = 0; var bits = 0; var comp = 1
+      var pred = 1
       var stripOff = -1L; var stripLen = -1L
       var i = 0
       while (i < n) {
@@ -370,6 +411,7 @@ object TiffOps {
           case 259 => comp = shortVal
           case 273 => stripOff = if (typ == 3) shortVal.toLong else longVal
           case 279 => stripLen = if (typ == 3) shortVal.toLong else longVal
+          case 317 => pred = shortVal
           case 306 if typ == 2 =>
             val o = longVal
             if (cnt > 0 && o >= 0 && o + cnt <= b.length)
@@ -381,6 +423,7 @@ object TiffOps {
       }
       if (comp != 1 && comp != 5 && comp != 32773)
         return dead("unsupported-compression")
+      if (pred != 1 && pred != 2) return dead("unsupported-predictor")
       if (width <= 0 || height <= 0 || stripOff < 0 || stripLen < 0 ||
         (comp == 1 && stripLen != width.toLong * height))
         return dead("bad-ifd")
@@ -402,6 +445,7 @@ object TiffOps {
             case None => return dead("bad-strip")
           }
       }
+      if (pred == 2) undoPredictor2(decoded, width)
       var p = 0
       while (p < decoded.length) { sum += (decoded(p) & 0xff); p += 1 }
       if (pages == 0) {
@@ -469,6 +513,7 @@ object TiffOps {
     val base = ifd.toInt + 2
     if (base + 12 * n + 4 > b.length) return None
     var width = 0; var height = 0; var comp = 1
+    var pred = 1
     var stripOff = -1L; var stripLen = -1L
     var i = 0
     while (i < n) {
@@ -483,6 +528,7 @@ object TiffOps {
         case 259 => comp = shortVal
         case 273 => stripOff = if (typ == 3) shortVal.toLong else longVal
         case 279 => stripLen = if (typ == 3) shortVal.toLong else longVal
+        case 317 => pred = shortVal
         case _ => ()
       }
       i += 1
@@ -491,18 +537,19 @@ object TiffOps {
       stripOff + stripLen > b.length) return None
     val expected = width * height
     if (expected > (1 << 26)) return None
-    comp match {
+    if (pred != 1 && pred != 2) return None
+    val decoded = comp match {
       case 1 =>
         if (stripLen != expected.toLong) None
-        else Some((width, height, java.util.Arrays.copyOfRange(
-          b, stripOff.toInt, (stripOff + stripLen).toInt)))
-      case 5 =>
-        lzwDecode(b, stripOff.toInt, stripLen.toInt, expected)
-          .map((width, height, _))
-      case 32773 =>
-        packbitsDecode(b, stripOff.toInt, stripLen.toInt, expected)
-          .map((width, height, _))
+        else Some(java.util.Arrays.copyOfRange(
+          b, stripOff.toInt, (stripOff + stripLen).toInt))
+      case 5 => lzwDecode(b, stripOff.toInt, stripLen.toInt, expected)
+      case 32773 => packbitsDecode(b, stripOff.toInt, stripLen.toInt, expected)
       case _ => None
+    }
+    decoded.map { d =>
+      if (pred == 2) undoPredictor2(d, width)
+      (width, height, d)
     }
   }
 
@@ -519,12 +566,13 @@ object TiffOps {
     Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        val comp = (id % 3) match {
-          case 0 => 32773
-          case 1 => 5
-          case _ => 1
+        val (comp, pred) = (id % 3) match {
+          case 0 => (32773, 1)
+          case 1 => (5, 2) // LZW + horizontal differencing, the
+                           // real-world writer default
+          case _ => (1, 1)
         }
-        parseTiff(id, buildTiff(id, comp))
+        parseTiff(id, buildTiff(id, comp, pred))
       })
       .toDF()
       .select(col("doc_id"), col("status"), col("endian"),

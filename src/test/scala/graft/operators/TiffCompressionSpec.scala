@@ -24,11 +24,12 @@ class TiffCompressionSpec extends AnyFunSuite {
     } finally in.close()
   }
 
-  test("6 foreign libtiff fixtures decode byte-exactly: LZW random " +
+  test("8 foreign libtiff fixtures decode byte-exactly: LZW random " +
     "(crosses the 9/10/11-bit early-change bumps), LZW runs, PackBits " +
-    "runs/random/mixed") {
+    "runs/random/mixed, LZW + predictor 2 (the writer-default pairing)") {
     for (name <- Seq("lzw_rand_96", "lzw_rand_160", "lzw_runs_64",
-      "packbits_runs_64", "packbits_rand_32", "packbits_mixed_51")) {
+      "packbits_runs_64", "packbits_rand_32", "packbits_mixed_51",
+      "lzw_pred2_77x33", "lzw_pred2_grad")) {
       val tif = resource(s"/tiff/fixture_$name.tif")
       val raw = resource(s"/tiff/fixture_$name.raw")
       val w = ((raw(0) & 0xff) << 8) | (raw(1) & 0xff)
@@ -77,6 +78,21 @@ class TiffCompressionSpec extends AnyFunSuite {
     for (cut <- 0 until pb.length by 3)
       TiffOps.packbitsDecode(pb, 0, cut, data.length).foreach(d =>
         assert(d.length == data.length))
+  }
+
+  test("predictor 2 round-trips exactly through buildTiff/decodeGray: " +
+    "the decoded raster equals the pixel grid, both endians") {
+    for (id <- Seq(2L, 7L)) { // even = II, odd = MM
+      val tif = TiffOps.buildTiff(id, comp = 5, predictor = 2)
+      val (w, h, bytes) = TiffOps.decodeGray(tif).getOrElse(fail(s"id=$id"))
+      assert(w == 8 + (id % 5).toInt && h == 4 + (id % 3).toInt)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((bytes(y * w + x) & 0xff) == ((x + y + id) % 251).toInt,
+          s"id=$id px ($x,$y)")
+    }
+    // an unsupported predictor value is a typed dead-letter
+    assert(TiffOps.parseTiff(3L, TiffOps.buildTiff(3L, 5, 3)).status ==
+      "unsupported-predictor")
   }
 
   test("q191 on sf0.001: every compression leg ok, sums equal the q162 " +

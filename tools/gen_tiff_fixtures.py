@@ -68,3 +68,30 @@ if __name__ == "__main__":
         lambda x, y: (x * 37 + y * 11) % 256)
     gen("packbits_mixed_51", 51, 13, COMP_PACKBITS,  # odd width, mixed runs
         lambda x, y: 7 if (x // 5) % 2 == 0 else (x + y) % 256)
+    gen_pred("lzw_pred2_77x33", 77, 33,
+             lambda x, y: (x * 3 + y * 5 + (x * y) // 7) % 256)
+    gen_pred("lzw_pred2_grad", 120, 80, lambda x, y: (x + 2 * y) % 256)
+
+
+def gen_pred(name, w, h, pix):
+    """LZW + predictor 2 (horizontal differencing) — the real-world
+    writer default pairing."""
+    data = bytes(pix(x, y) for y in range(h) for x in range(w))
+    path = os.path.join(TRES, f"fixture_{name}.tif")
+    tif = T.TIFFOpen(path.encode(), b"w")
+    assert tif, name
+    set_u32(tif, TAG_WIDTH, w)
+    set_u32(tif, TAG_LENGTH, h)
+    set_u32(tif, TAG_BPS, 8)
+    set_u32(tif, TAG_SPP, 1)
+    set_u32(tif, TAG_COMP, COMP_LZW)
+    set_u32(tif, TAG_PHOTO, 1)
+    set_u32(tif, TAG_PLANAR, 1)
+    set_u32(tif, TAG_ROWSPERSTRIP, h)
+    set_u32(tif, 317, 2)  # TIFFTAG_PREDICTOR = horizontal differencing
+    n = T.TIFFWriteEncodedStrip(tif, 0, data, len(data))
+    assert n == len(data), (name, n)
+    T.TIFFClose(tif)
+    with open(os.path.join(TRES, f"fixture_{name}.raw"), "wb") as f:
+        f.write(bytes([w >> 8, w & 255, h >> 8, h & 255]) + data)
+    print(f"{name}: {w}x{h} lzw+pred2 tif={os.path.getsize(path)}B")
