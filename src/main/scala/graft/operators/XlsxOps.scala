@@ -159,7 +159,10 @@ object XlsxOps {
   private val SiRe = """(?s)<si>(.*?)</si>""".r
   private val TRe = """(?s)<t(?:\s[^>]*)?>(.*?)</t>""".r
   private val XfRe = """<xf\b[^>]*?numFmtId="(\d+)"[^>]*/?>""".r
-  private val RowRe = """(?s)<row\b[^>]*?(?:\br="(\d+)")?[^>]*>(.*?)</row>""".r
+  // attrs captured whole and r= pulled out by attr(): an optional
+  // inline group after a lazy prefix never captures (the greedy tail
+  // eats it without backtracking once the shortest match succeeds)
+  private val RowRe = """(?s)<row\b([^>]*)>(.*?)</row>""".r
   private val CellRe = """(?s)<c\b([^>]*?)(?:/>|>(.*?)</c>)""".r
   private val VRe = """(?s)<v(?:\s[^>]*)?>(.*?)</v>""".r
   private def attr(attrs: String, name: String): Option[String] = {
@@ -232,8 +235,8 @@ object XlsxOps {
           val rows = RowRe.findAllMatchIn(xml).toSeq
             .zipWithIndex
             .map { case (m, i) =>
-              (Option(m.group(1)).map(_.toLong).getOrElse(i.toLong + 1),
-                m.group(2))
+              (attr(m.group(1), "r").flatMap(_.toLongOption)
+                .getOrElse(i.toLong + 1), m.group(2))
             }
             .sortBy(_._1)
           for ((_, body) <- rows) {

@@ -59,6 +59,34 @@ class XlsxSpec extends AnyFunSuite {
     val _ = (bad, at)
   }
 
+  test("rows planted OUT of document order sort by their r attribute " +
+    "(the spec does not require storage order)") {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def inline(ref: String, t: String) =
+      s"""<c r="$ref" t="inlineStr"><is><t>$t</t></is></c>"""
+    val sheet =
+      "<?xml version=\"1.0\"?><worksheet><sheetData>" +
+        s"""<row r="3">${inline("A3", "third")}</row>""" +
+        s"""<row r="1">${inline("A1", "first")}</row>""" +
+        s"""<row r="2">${inline("A2", "second")}</row>""" +
+        "</sheetData></worksheet>"
+    val workbook =
+      "<?xml version=\"1.0\"?><workbook xmlns:r=\"x\"><sheets>" +
+        "<sheet name=\"S\" sheetId=\"1\" r:id=\"rId1\"/></sheets></workbook>"
+    val rels =
+      "<?xml version=\"1.0\"?><Relationships>" +
+        "<Relationship Id=\"rId1\" Type=\"t\" Target=\"worksheets/sheet1.xml\"/>" +
+        "</Relationships>"
+    val pkg = ZipOps.buildZip(Seq(
+      ("[Content_Types].xml", "<Types/>".getBytes(utf8), false),
+      ("xl/workbook.xml", workbook.getBytes(utf8), false),
+      ("xl/_rels/workbook.xml.rels", rels.getBytes(utf8), false),
+      ("xl/worksheets/sheet1.xml", sheet.getBytes(utf8), true)))
+    val info = XlsxOps.extractXlsx(1L, pkg)
+    assert(info.status == "ok")
+    assert(info.text == "first\nsecond\nthird", info.text)
+  }
+
   test("q188 on sf0.001: every doc extracts ok with arithmetic-exact counts") {
     val rows = XlsxOps.q188XlsxExtract(spark, sf).collect()
     assert(rows.nonEmpty)
