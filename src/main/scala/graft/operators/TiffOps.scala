@@ -308,45 +308,83 @@ object TiffOps {
     * the strip compression: 1 none, 5 LZW, 32773 PackBits.
     */
   private[graft] def buildTiff(
-      id: Long, comp: Int = 1, predictor: Int = 1): Array[Byte] = {
+      id: Long, comp: Int = 1, predictor: Int = 1,
+      rowsPerStrip: Int = 0): Array[Byte] = {
     val le = id % 2 == 0
     val w = new W(le)
     val pages: Seq[(Int, Int)] =
       (widthOf(id), heightOf(id)) +: (if (id % 3 == 0) Seq((4, 4)) else Nil)
     val dt = f"2026:${id % 12 + 1}%02d:${id % 28 + 1}%02d ${id % 24}%02d:00:00"
     val dtBytes = dt.getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte
-    val strips = pages.map { case (pw, ph) =>
-      val raw0 = new Array[Byte](pw * ph)
-      for (y <- 0 until ph; x <- 0 until pw) raw0(y * pw + x) = pixel(id, x, y).toByte
-      val raw = if (predictor == 2) applyPredictor2(raw0, pw) else raw0
-      comp match {
-        case 5 => lzwEncode(raw)
-        case 32773 => packbitsEncode(raw)
-        case _ => raw
+    // per page: the strip list (RowsPerStrip bands, each compressed
+    // independently — the codec restarts per strip, the real layout)
+    val pageStrips: Seq[Seq[Array[Byte]]] = pages.map { case (pw, ph) =>
+      val rps = if (rowsPerStrip <= 0) ph else math.min(rowsPerStrip, ph)
+      (0 until ph by rps).map { y0 =>
+        val rows = math.min(rps, ph - y0)
+        val raw0 = new Array[Byte](pw * rows)
+        for (y <- 0 until rows; x <- 0 until pw)
+          raw0(y * pw + x) = pixel(id, x, y0 + y).toByte
+        val raw = if (predictor == 2) applyPredictor2(raw0, pw) else raw0
+        comp match {
+          case 5 => lzwEncode(raw)
+          case 32773 => packbitsEncode(raw)
+          case _ => raw
+        }
       }
     }
-    // layout: header(8) | per page: strip, dt copy, IFD
+    // layout: header(8) | strips | strip arrays (multi-strip pages) |
+    // dt | IFDs
     w.bos.write(if (le) 'I' else 'M'); w.bos.write(if (le) 'I' else 'M')
     w.u16(42)
-    // compute offsets: strips and dt first, IFDs after
     var off = 8L
-    val stripOffs = strips.map { s => val o = off; off += s.length; o }
+    val stripOffs: Seq[Seq[Long]] = pageStrips.map(_.map { s =>
+      val o = off; off += s.length; o
+    })
+    // offset/length arrays for pages with >1 strip (LONG elements)
+    val arrayOffs: Seq[Option[(Long, Long)]] = pageStrips.map { ss =>
+      if (ss.length <= 1) None
+      else {
+        val ao = off; off += 4L * ss.length
+        val lo = off; off += 4L * ss.length
+        Some((ao, lo))
+      }
+    }
     val dtOff = off
     off += dtBytes.length
-    val ifdSize = 2 + 9 * 12 + 4
+    val ifdSize = 2 + 10 * 12 + 4
     val ifdOffs = pages.indices.map(i => off + i * ifdSize)
     w.u32(ifdOffs.head)
-    strips.foreach(s => w.bos.write(s))
+    pageStrips.foreach(_.foreach(s => w.bos.write(s)))
+    pageStrips.zip(stripOffs).zip(arrayOffs).foreach {
+      case ((ss, offs), arr) if arr.isDefined =>
+        offs.foreach(w.u32)
+        ss.foreach(s => w.u32(s.length.toLong))
+      case _ => ()
+    }
     w.bos.write(dtBytes)
     pages.zipWithIndex.foreach { case ((pw, ph), i) =>
-      w.u16(9) // entry count
+      val ss = pageStrips(i)
+      val rps = if (rowsPerStrip <= 0) ph else math.min(rowsPerStrip, ph)
+      w.u16(10) // entry count
       w.entryShort(256, pw)
       w.entryShort(257, ph)
       w.entryShort(258, 8)
       w.entryShort(259, comp)
-      w.entryLong(273, stripOffs(i))
+      arrayOffs(i) match {
+        case None =>
+          w.u16(273); w.u16(4); w.u32(1L); w.u32(stripOffs(i).head)
+        case Some((ao, _)) =>
+          w.u16(273); w.u16(4); w.u32(ss.length.toLong); w.u32(ao)
+      }
       w.entryShort(277, 1)
-      w.entryLong(279, strips(i).length.toLong)
+      w.entryShort(278, rps)
+      arrayOffs(i) match {
+        case None =>
+          w.u16(279); w.u16(4); w.u32(1L); w.u32(ss.head.length.toLong)
+        case Some((_, lo)) =>
+          w.u16(279); w.u16(4); w.u32(ss.length.toLong); w.u32(lo)
+      }
       w.entryAscii(306, dtBytes.length, dtOff)
       w.entryShort(317, predictor)
       w.u32(if (i + 1 < pages.length) ifdOffs(i + 1) else 0L)
@@ -355,6 +393,94 @@ object TiffOps {
   }
 
   // ----------------------------------------------------------------- walk
+
+  private val MaxStrips = 1 << 16
+
+  /** Decode ALL strips of one IFD into the page raster — the
+    * real-world layout: RowsPerStrip(278) splits the image into
+    * ceil(h/rps) strips whose offsets/byte-counts are ARRAYS (inline
+    * when they fit the 4-byte value field, at offset otherwise; SHORT
+    * or LONG element type), and each strip restarts its codec (LZW
+    * table, PackBits stream) independently. Left(reason) on any lie:
+    * counts that disagree, a strip that decodes short, offsets past
+    * EOF.
+    */
+  private def stripRaster(
+      b: Array[Byte], le: Boolean, width: Int, height: Int, comp: Int,
+      pred: Int, rps0: Long,
+      offsTyp: Int, offsCnt: Long, offsAt: Int,
+      lensTyp: Int, lensCnt: Long, lensAt: Int): Either[String, Array[Byte]] = {
+    def u16(off: Int): Int =
+      if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    def u32(off: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 4) {
+        val sh = if (le) 8 * i else 8 * (3 - i)
+        v |= (b(off + i) & 0xffL) << sh
+        i += 1
+      }
+      v
+    }
+    def values(typ: Int, cnt: Long, at: Int): Either[String, Array[Long]] = {
+      if (cnt <= 0 || cnt > MaxStrips) return Left("bad-strip-count")
+      val size = typ match {
+        case 3 => 2; case 4 => 4; case _ => return Left("bad-strip-type")
+      }
+      val start =
+        if (cnt * size <= 4) at
+        else {
+          val o = u32(at)
+          if (o < 0 || o + cnt * size > b.length) return Left("truncated")
+          o.toInt
+        }
+      if (start + cnt * size > b.length) return Left("truncated")
+      Right(Array.tabulate(cnt.toInt)(i =>
+        if (typ == 3) u16(start + size * i).toLong else u32(start + size * i)))
+    }
+    val offs = values(offsTyp, offsCnt, offsAt) match {
+      case Left(r) => return Left(r)
+      case Right(v) => v
+    }
+    val lens = values(lensTyp, lensCnt, lensAt) match {
+      case Left(r) => return Left(r)
+      case Right(v) => v
+    }
+    if (offs.length != lens.length) return Left("bad-ifd")
+    val rps = if (rps0 <= 0 || rps0 > height) height.toLong else rps0
+    val nStrips = ((height + rps - 1) / rps).toInt
+    if (offs.length != nStrips) return Left("bad-ifd")
+    val out = new Array[Byte](width * height)
+    var s = 0
+    var o = 0
+    while (s < nStrips) {
+      val rows = math.min(rps, height - s * rps).toInt
+      val expected = rows * width
+      val off = offs(s)
+      val len = lens(s)
+      if (off < 0 || len < 0 || off + len > b.length) return Left("truncated")
+      comp match {
+        case 1 =>
+          if (len != expected.toLong) return Left("bad-ifd")
+          System.arraycopy(b, off.toInt, out, o, expected)
+        case 5 =>
+          lzwDecode(b, off.toInt, len.toInt, expected) match {
+            case Some(d) => System.arraycopy(d, 0, out, o, expected)
+            case None => return Left("bad-strip")
+          }
+        case _ =>
+          packbitsDecode(b, off.toInt, len.toInt, expected) match {
+            case Some(d) => System.arraycopy(d, 0, out, o, expected)
+            case None => return Left("bad-strip")
+          }
+      }
+      o += expected
+      s += 1
+    }
+    if (pred == 2) undoPredictor2(out, width)
+    Right(out)
+  }
 
   private[graft] def parseTiff(docId: Long, b: Array[Byte]): TiffInfo = {
     def dead(status: String) = TiffInfo(docId, status, "", 0, 0, 0, 0, 0L, "", "")
@@ -394,7 +520,9 @@ object TiffOps {
       if (base + 12 * n + 4 > b.length) return dead("truncated")
       var width = 0; var height = 0; var bits = 0; var comp = 1
       var pred = 1
-      var stripOff = -1L; var stripLen = -1L
+      var rps = -1L
+      var offsTyp = -1; var offsCnt = 0L; var offsAt = -1
+      var lensTyp = -1; var lensCnt = 0L; var lensAt = -1
       var i = 0
       while (i < n) {
         val e = base + 12 * i
@@ -409,8 +537,9 @@ object TiffOps {
           case 257 => height = if (typ == 3) shortVal else longVal.toInt
           case 258 => bits = shortVal
           case 259 => comp = shortVal
-          case 273 => stripOff = if (typ == 3) shortVal.toLong else longVal
-          case 279 => stripLen = if (typ == 3) shortVal.toLong else longVal
+          case 273 => offsTyp = typ; offsCnt = cnt; offsAt = e + 8
+          case 278 => rps = if (typ == 3) shortVal.toLong else longVal
+          case 279 => lensTyp = typ; lensCnt = cnt; lensAt = e + 8
           case 317 => pred = shortVal
           case 306 if typ == 2 =>
             val o = longVal
@@ -424,28 +553,14 @@ object TiffOps {
       if (comp != 1 && comp != 5 && comp != 32773)
         return dead("unsupported-compression")
       if (pred != 1 && pred != 2) return dead("unsupported-predictor")
-      if (width <= 0 || height <= 0 || stripOff < 0 || stripLen < 0 ||
-        (comp == 1 && stripLen != width.toLong * height))
+      if (width <= 0 || height <= 0 || offsAt < 0 || lensAt < 0)
         return dead("bad-ifd")
-      if (stripOff + stripLen > b.length) return dead("truncated")
-      val expected = width * height
-      if (expected > (1 << 26)) return dead("bad-ifd") // strip bomb cap
-      val decoded: Array[Byte] = comp match {
-        case 1 =>
-          java.util.Arrays.copyOfRange(b, stripOff.toInt,
-            (stripOff + stripLen).toInt)
-        case 5 =>
-          lzwDecode(b, stripOff.toInt, stripLen.toInt, expected) match {
-            case Some(d) => d
-            case None => return dead("bad-strip")
-          }
-        case _ =>
-          packbitsDecode(b, stripOff.toInt, stripLen.toInt, expected) match {
-            case Some(d) => d
-            case None => return dead("bad-strip")
-          }
+      if (width.toLong * height > (1 << 26)) return dead("bad-ifd") // bomb cap
+      val decoded = stripRaster(b, le, width, height, comp, pred, rps,
+        offsTyp, offsCnt, offsAt, lensTyp, lensCnt, lensAt) match {
+        case Left(r) => return dead(r)
+        case Right(d) => d
       }
-      if (pred == 2) undoPredictor2(decoded, width)
       var p = 0
       while (p < decoded.length) { sum += (decoded(p) & 0xff); p += 1 }
       if (pages == 0) {
@@ -514,43 +629,36 @@ object TiffOps {
     if (base + 12 * n + 4 > b.length) return None
     var width = 0; var height = 0; var comp = 1
     var pred = 1
-    var stripOff = -1L; var stripLen = -1L
+    var rps = -1L
+    var offsTyp = -1; var offsCnt = 0L; var offsAt = -1
+    var lensTyp = -1; var lensCnt = 0L; var lensAt = -1
     var i = 0
     while (i < n) {
       val e = base + 12 * i
       val tag = u16(e)
       val typ = u16(e + 2)
+      val cnt = u32(e + 4)
       def shortVal: Int = u16(e + 8)
       def longVal: Long = u32(e + 8)
       tag match {
         case 256 => width = if (typ == 3) shortVal else longVal.toInt
         case 257 => height = if (typ == 3) shortVal else longVal.toInt
         case 259 => comp = shortVal
-        case 273 => stripOff = if (typ == 3) shortVal.toLong else longVal
-        case 279 => stripLen = if (typ == 3) shortVal.toLong else longVal
+        case 273 => offsTyp = typ; offsCnt = cnt; offsAt = e + 8
+        case 278 => rps = if (typ == 3) shortVal.toLong else longVal
+        case 279 => lensTyp = typ; lensCnt = cnt; lensAt = e + 8
         case 317 => pred = shortVal
         case _ => ()
       }
       i += 1
     }
-    if (width <= 0 || height <= 0 || stripOff < 0 || stripLen < 0 ||
-      stripOff + stripLen > b.length) return None
-    val expected = width * height
-    if (expected > (1 << 26)) return None
+    if (width <= 0 || height <= 0 || offsAt < 0 || lensAt < 0) return None
+    if (width.toLong * height > (1 << 26)) return None
     if (pred != 1 && pred != 2) return None
-    val decoded = comp match {
-      case 1 =>
-        if (stripLen != expected.toLong) None
-        else Some(java.util.Arrays.copyOfRange(
-          b, stripOff.toInt, (stripOff + stripLen).toInt))
-      case 5 => lzwDecode(b, stripOff.toInt, stripLen.toInt, expected)
-      case 32773 => packbitsDecode(b, stripOff.toInt, stripLen.toInt, expected)
-      case _ => None
-    }
-    decoded.map { d =>
-      if (pred == 2) undoPredictor2(d, width)
-      (width, height, d)
-    }
+    if (comp != 1 && comp != 5 && comp != 32773) return None
+    stripRaster(b, le, width, height, comp, pred, rps,
+      offsTyp, offsCnt, offsAt, lensTyp, lensCnt, lensAt)
+      .toOption.map((width, height, _))
   }
 
   /** q191: the q162 walk over COMPRESSED strips — PackBits
@@ -566,13 +674,15 @@ object TiffOps {
     Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        val (comp, pred) = (id % 3) match {
-          case 0 => (32773, 1)
-          case 1 => (5, 2) // LZW + horizontal differencing, the
-                           // real-world writer default
-          case _ => (1, 1)
+        // packbits leg is MULTI-STRIP (RowsPerStrip 3 → offset/length
+        // ARRAYS, per-strip codec restarts — the real scanned-doc
+        // layout); lzw leg pairs with predictor 2 (the writer default)
+        val (comp, pred, rps) = (id % 3) match {
+          case 0 => (32773, 1, 3)
+          case 1 => (5, 2, 0)
+          case _ => (1, 1, 0)
         }
-        parseTiff(id, buildTiff(id, comp, pred))
+        parseTiff(id, buildTiff(id, comp, pred, rps))
       })
       .toDF()
       .select(col("doc_id"), col("status"), col("endian"),

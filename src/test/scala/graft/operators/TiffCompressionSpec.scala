@@ -24,12 +24,14 @@ class TiffCompressionSpec extends AnyFunSuite {
     } finally in.close()
   }
 
-  test("8 foreign libtiff fixtures decode byte-exactly: LZW random " +
+  test("10 foreign libtiff fixtures decode byte-exactly: LZW random " +
     "(crosses the 9/10/11-bit early-change bumps), LZW runs, PackBits " +
-    "runs/random/mixed, LZW + predictor 2 (the writer-default pairing)") {
+    "runs/random/mixed, LZW + predictor 2 (the writer-default pairing), " +
+    "MULTI-STRIP files (offset/length arrays, ragged last band)") {
     for (name <- Seq("lzw_rand_96", "lzw_rand_160", "lzw_runs_64",
       "packbits_runs_64", "packbits_rand_32", "packbits_mixed_51",
-      "lzw_pred2_77x33", "lzw_pred2_grad")) {
+      "lzw_pred2_77x33", "lzw_pred2_grad",
+      "lzw_multistrip_40x29", "packbits_multistrip_33x10")) {
       val tif = resource(s"/tiff/fixture_$name.tif")
       val raw = resource(s"/tiff/fixture_$name.raw")
       val w = ((raw(0) & 0xff) << 8) | (raw(1) & 0xff)
@@ -93,6 +95,34 @@ class TiffCompressionSpec extends AnyFunSuite {
     // an unsupported predictor value is a typed dead-letter
     assert(TiffOps.parseTiff(3L, TiffOps.buildTiff(3L, 5, 3)).status ==
       "unsupported-predictor")
+  }
+
+  test("multi-strip layout: RowsPerStrip bands with offset/length " +
+    "ARRAYS and per-strip codec restarts decode to the same raster as " +
+    "the single-strip form, every codec, both endians") {
+    for (id <- Seq(4L, 9L); comp <- Seq(1, 5, 32773); rps <- Seq(1, 2, 3)) {
+      val single = TiffOps.decodeGray(TiffOps.buildTiff(id, comp)).get
+      val multi = TiffOps.decodeGray(
+        TiffOps.buildTiff(id, comp, 1, rps)).getOrElse(
+        fail(s"id=$id comp=$comp rps=$rps"))
+      assert(multi._1 == single._1 && multi._2 == single._2)
+      assert(java.util.Arrays.equals(multi._3, single._3),
+        s"id=$id comp=$comp rps=$rps")
+      // parseTiff agrees (multi-page sums included)
+      assert(TiffOps.parseTiff(id, TiffOps.buildTiff(id, comp, 1, rps)) ==
+        TiffOps.parseTiff(id, TiffOps.buildTiff(id, comp)))
+    }
+    // a strip-count lie is typed: shrink the declared RowsPerStrip so
+    // ceil(h/rps) disagrees with the offset array's length
+    val good = TiffOps.buildTiff(4L, 1, 1, 2) // II; w=12, h=5 → 3 strips
+    assert(TiffOps.parseTiff(4L, good).status == "ok")
+    // locate the 278 entry (II: tag bytes 0x16 0x01, type SHORT 0x03 0x00)
+    val pat = Array[Byte](0x16, 0x01, 0x03, 0x00)
+    val at = good.indexOfSlice(pat)
+    assert(at > 0, "RowsPerStrip entry must exist")
+    val lying = good.clone()
+    lying(at + 8) = 1 // rps 2 → 1: now needs 5 strips, arrays hold 3
+    assert(TiffOps.parseTiff(4L, lying).status == "bad-ifd")
   }
 
   test("q191 on sf0.001: every compression leg ok, sums equal the q162 " +
