@@ -71,7 +71,9 @@ object Bench {
           "graft_ivfpq_", "graft_embguard_",
           // round-14 standing artifacts: span pairs/extents, the graph
           // index, and the unigram tokenizer model — same honesty rule
-          "graft_spans_", "graft_graph_", "graft_unigram_")) {
+          "graft_spans_", "graft_graph_", "graft_unigram_",
+          // round-17/18 standing artifacts: the CDX indexes (gz + zst)
+          "graft_cdx_", "graft_cdxz_")) {
         val p = new org.apache.hadoop.fs.Path(s"$tmp/$root$sfx")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) { fs.delete(p, true); () }

@@ -181,6 +181,7 @@ object SparkEntry {
     "q189_wat_roundtrip" -> (WatOps.q189WatRoundtrip(_, _)),
     "q190_png_legacy" -> (MultimodalOps.q190PngLegacyDecode(_, _)),
     "q191_tiff_compressed" -> (TiffOps.q191TiffCompressed(_, _)),
+    "q192_cdx_zst_fetch" -> (CdxOps.q192CdxZstFetch(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2968,6 +2969,20 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // CDX selective access over .warc.zst (q192): the q186 dict-bearing
+    // archives indexed once (frame extents in a standing cdx-<fp>
+    // artifact), then each record range-read by extent after one
+    // dictionary read per archive - the replayer's actual access
+    // pattern; identical oracle to q135/q185/q186, so an extent off by
+    // a byte changes rows
+    "q192_cdx_zst_fetch" -> (htmlExtractCtes(
+      " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
+        "' || doc_id || '</p>'") +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
     // compressed TIFF strips (q191): PackBits and early-change LZW
     // beside the uncompressed control, identical pixel grid — a
     // decompressor slip shifts pixel_sum against the grid replay

@@ -231,10 +231,12 @@ object CdxOps {
     */
   private[graft] def standingCdxIndex(
       spark: SparkSession, dir: String,
-      archives: DataFrame): String = {
+      archives: DataFrame,
+      rootPrefix: String = "/graft_cdx_",
+      indexer: (String, Array[Byte]) => Seq[CdxRow] = cdxRecordsGz): String = {
     import spark.implicits._
     val root = sys.props("java.io.tmpdir") +
-      "/graft_cdx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      rootPrefix + dir.replaceAll("[^A-Za-z0-9]", "_")
     val hconf = spark.sparkContext.hadoopConfiguration
     val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fp = SimilarityOps.corpusFingerprint(
@@ -248,7 +250,7 @@ object CdxOps {
       graft.BenchPhases.timed("cdx_build") {
         archives.as[(Long, Array[Byte])]
           .flatMap { case (gid, warc) =>
-            cdxRecordsGz(s"crawl_$gid.warc", warc).map(r =>
+            indexer(s"crawl_$gid.warc", warc).map(r =>
               (gid, r.urlkey, r.ts, r.url, r.mime, r.status, r.digest,
                 r.offset, r.length, r.filename))
           }
@@ -288,6 +290,76 @@ object CdxOps {
       .mapPartitions(_.flatMap { case (gid, warc, exts) =>
         exts.flatMap { case (off, len) =>
           fetchRecordGz(warc, off, len)
+            .map { case (uri, st, body, enc, cs) =>
+              WarcOps.WarcHttpRecord(gid, uri, st, body, enc, cs)
+            }
+        }
+      })
+    WarcOps.extractToDocs(recs.toDF())
+  }
+
+  // ----------------------------------------- selective access, zst (q192)
+
+  /** CDX rows for a `.warc.zst` archive: one row per record FRAME with
+    * its compressed extent (the dictionary skippable frame indexes
+    * nothing — it is not a record); the q185 extent walk supplies the
+    * boundaries and the dict-aware decode the payloads.
+    */
+  private[graft] def cdxRecordsZst(
+      filename: String, bytes: Array[Byte]): Seq[CdxRow] =
+    WarcOps.zstdMemberExtents(bytes).flatMap { case (off, len, rec) =>
+      cdxRecords(filename, rec) match {
+        case Seq(one) => Some(one.copy(offset = off, length = len))
+        case _ => None
+      }
+    }
+
+  /** Range-read ONE record by its CDX extent from a `.warc.zst`
+    * archive: slice `[offset, offset+length)`, decode the single frame
+    * against the archive's shared dictionary (read ONCE per archive by
+    * the caller), parse the single response record. None on any lie.
+    */
+  private[graft] def fetchRecordZst(
+      archive: Array[Byte], dict: graft.operators.Zstd.Dictionary,
+      offset: Long, length: Long
+  ): Option[(String, Int, String, String, String)] = {
+    if (offset < 0 || length <= 0 || offset + length > archive.length)
+      return None
+    val slice = java.util.Arrays.copyOfRange(
+      archive, offset.toInt, (offset + length).toInt)
+    Zstd.decode(slice, 1 << 26, dict).toOption.flatMap { rec =>
+      WarcOps.parseWarc(rec) match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    }
+  }
+
+  /** q192: CDX-driven selective access over the PRODUCTION `.warc.zst`
+    * shape — the dict-bearing q186 archives index ONCE into a standing
+    * `cdx-<fp>` artifact (compressed FRAME extents), then every
+    * document reconstructs by reading the shared dictionary once per
+    * archive and RANGE-READING its record frame against the persisted
+    * extents — the replayer's actual access pattern (dict frame + one
+    * range read per record, no archive walk). Output contract (and
+    * oracle) exactly q135/q185/q186's: an extent off by a byte fails
+    * the frame decode and changes rows.
+    */
+  def q192CdxZstFetch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val archives = WarcOps.syntheticWarcZstDict(Tables.documents(spark, dir))
+    val indexDir = standingCdxIndex(spark, dir, archives,
+      "/graft_cdxz_", cdxRecordsZst)
+    val extents = spark.read.parquet(indexDir)
+      .groupBy(col("group_id"))
+      .agg(expr("array_sort(collect_list(struct(offset, length)))").as("exts"))
+    val recs = archives.join(extents, Seq("group_id"))
+      .select(col("group_id"), col("warc"), col("exts"))
+      .as[(Long, Array[Byte], Seq[(Long, Long)])]
+      .mapPartitions(_.flatMap { case (gid, warc, exts) =>
+        val (dict, _) = WarcOps.warcZstDict(warc) // once per archive
+        exts.flatMap { case (off, len) =>
+          fetchRecordZst(warc, dict, off, len)
             .map { case (uri, st, body, enc, cs) =>
               WarcOps.WarcHttpRecord(gid, uri, st, body, enc, cs)
             }

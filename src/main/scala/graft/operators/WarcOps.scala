@@ -458,6 +458,28 @@ object WarcOps {
     */
   private val WarcZstDictMagic = 0x184D2A5DL
 
+  /** Extract the convention's shared dictionary from an archive's
+    * LEADING `0x184D2A5D` skippable frame (content raw or itself a
+    * zstd frame): returns (dictionary-or-null, first byte after the
+    * dict frame). A malformed blob degrades to (null, frame end) — the
+    * frames that needed it dead-letter typed downstream. This is the
+    * bounded read a CDX replayer does ONCE per archive before
+    * range-reading records (q192).
+    */
+  private[graft] def warcZstDict(bytes: Array[Byte]): (Zstd.Dictionary, Int) = {
+    def le32(at: Int): Long =
+      (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+        ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+    if (bytes.length < 8 || le32(0) != WarcZstDictMagic) return (null, 0)
+    val sz = le32(4)
+    if (sz > bytes.length.toLong - 8) return (null, 0)
+    val blob = java.util.Arrays.copyOfRange(bytes, 8, 8 + sz.toInt)
+    val content =
+      if (isZstd(blob)) Zstd.decode(blob, MaxMemberBytes.toInt).getOrElse(blob)
+      else blob
+    (Zstd.parseDictionary(content).getOrElse(null), 8 + sz.toInt)
+  }
+
   /** Frame-at-a-time walk of a `.warc.zst` archive (one zstd frame per
     * record — the format the web-archive ecosystem is migrating to),
     * with each frame's BYTE EXTENT `(offset, compressedLength)` — the
@@ -483,24 +505,8 @@ object WarcOps {
         bytes(i + 3) == 0xFD.toByte)) i += 1
       if (i + 4 <= n) i else n
     }
-    def le32(at: Int): Long =
-      (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
-        ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
-    var dict: Zstd.Dictionary = null
-    var p = 0
-    // leading dictionary frame (must be FIRST — the convention's shape)
-    if (n >= 8 && le32(0) == WarcZstDictMagic) {
-      val sz = le32(4)
-      if (sz <= n.toLong - 8) {
-        val blob = java.util.Arrays.copyOfRange(bytes, 8, 8 + sz.toInt)
-        val content =
-          if (isZstd(blob))
-            Zstd.decode(blob, MaxMemberBytes.toInt).getOrElse(blob)
-          else blob
-        dict = Zstd.parseDictionary(content).getOrElse(null)
-        p = 8 + sz.toInt
-      }
-    }
+    val (dict, dictEnd) = warcZstDict(bytes)
+    var p = dictEnd
     while (p + 4 <= n) {
       val advanced = Zstd.frameLength(bytes, p).flatMap { len =>
         val slice = java.util.Arrays.copyOfRange(bytes, p, p + len)

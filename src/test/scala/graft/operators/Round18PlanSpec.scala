@@ -82,6 +82,16 @@ class Round18PlanSpec extends AnyFunSuite {
       s"q189 expects only the archive group-by:\n${plan(df)}")
   }
 
+  test("q192: CDX fetch over .warc.zst is index-read + ONE extent join " +
+    "— the archive group-by, the output-sized extent rollup, their " +
+    "equi-join; never cartesian") {
+    val df = CdxOps.q192CdxZstFetch(spark, sf)
+    df.collect()
+    noCartesian(df)
+    assert(hashExchanges(df) <= 3,
+      s"archive build + extent rollup + join at most:\n${plan(df)}")
+  }
+
   test("q190: legacy PNG decode is a per-row codec walk — no exchange " +
     "before the output sort") {
     val df = MultimodalOps.q190PngLegacyDecode(spark, sf)

@@ -118,6 +118,42 @@ class WarcZstSpec extends AnyFunSuite {
     viaDict.zip(viaGz).foreach { case (z, g) => assert(z == g) }
   }
 
+  test("q192 CDX fetch: extents persisted by the index range-read every " +
+    "record through the shared dictionary; a lying extent is None") {
+    // CDX rows need a capture timestamp: records carry WARC-Date
+    val recs = (0 until 4).map { i =>
+      val body = s"<p>cdx $i</p>"
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://example.test/doc/$i\r\n" +
+        s"WARC-Date: 2026-01-0${i + 1}T00:00:00Z\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+    }
+    val archive = dictArchive(recs)
+    val rows = CdxOps.cdxRecordsZst("a.warc", archive)
+    assert(rows.length == 4)
+    val (dict, dictEnd) = WarcOps.warcZstDict(archive)
+    assert(dict != null && dictEnd > 8)
+    assert(rows.forall(_.offset >= dictEnd),
+      "record extents start after the dictionary frame")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val got = CdxOps.fetchRecordZst(archive, dict, r.offset, r.length)
+      assert(got.exists(_._3 == s"<p>cdx $i</p>"), s"extent $i")
+    }
+    // lies: shifted offset, short length, no dictionary
+    val r0 = rows.head
+    assert(CdxOps.fetchRecordZst(archive, dict, r0.offset + 1, r0.length).isEmpty)
+    assert(CdxOps.fetchRecordZst(archive, dict, r0.offset, r0.length - 1).isEmpty)
+    assert(CdxOps.fetchRecordZst(archive, null, r0.offset, r0.length).isEmpty)
+  }
+
+  test("q192 on sf0.001 equals the gzip twin q135 row for row") {
+    val viaCdx = CdxOps.q192CdxZstFetch(spark, sf).collect().map(_.toSeq)
+    val viaGz = WarcOps.q135WarcGzExtract(spark, sf).collect().map(_.toSeq)
+    assert(viaCdx.nonEmpty && viaCdx.length == viaGz.length)
+    viaCdx.zip(viaGz).foreach { case (z, g) => assert(z == g) }
+  }
+
   test("truncation fuzz: every archive prefix yields the intact frame " +
     "prefix, never a throw") {
     val recs = (0 until 3).map(i => rec(s"https://z.test/$i", s"<p>t$i</p>"))
