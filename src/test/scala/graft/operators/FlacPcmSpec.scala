@@ -70,6 +70,15 @@ class FlacPcmSpec extends AnyFunSuite {
       roundTrip(ext, 2, blockSize = 32, stereo = st)
   }
 
+  test("multi-channel (4 and 8, independent assignment) round-trips") {
+    for (ch <- Seq(4, 8)) {
+      val n = 240
+      val inter = Array.tabulate[Int](n * ch)(i =>
+        ((i * 2654435761L >> 5) % 20000L - 10000L).toInt)
+      roundTrip(inter, ch, blockSize = 64)
+    }
+  }
+
   test("8- and 24-bit depths round-trip") {
     roundTrip(tone(300, i => (i % 256) - 128), 1, bits = 8, blockSize = 100)
     roundTrip(tone(300, i => ((i * 999983) % (1 << 24)) - (1 << 23)), 1,
