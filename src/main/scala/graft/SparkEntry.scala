@@ -182,6 +182,7 @@ object SparkEntry {
     "q190_png_legacy" -> (MultimodalOps.q190PngLegacyDecode(_, _)),
     "q191_tiff_compressed" -> (TiffOps.q191TiffCompressed(_, _)),
     "q192_cdx_zst_fetch" -> (CdxOps.q192CdxZstFetch(_, _)),
+    "q193_png_depth" -> (MultimodalOps.q193PngDepthDecode(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2969,6 +2970,38 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // PNG depth forms (q193): 1-bit gray (levels scale 255), Adam7
+    // 4-bit gray (scale 17), 16-bit gray and Adam7 16-bit truecolor
+    // (high-byte reduction, the strip-16 convention); sums recomputed
+    // as pure (doc_id, x, y) arithmetic
+    "q193_png_depth" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 4)::INT AS form,
+        |    (8 + doc_id % 9)::INT AS w, (5 + doc_id % 7)::INT AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, form, w, h, x, y
+        |  FROM d, unnest(range(w)) tx(x), unnest(range(h)) ty(y)),
+        |v AS (SELECT doc_id, form, w, h,
+        |    CASE WHEN form = 0 THEN 255 * ((x + y + doc_id) % 2)
+        |      WHEN form = 1 THEN 17 * ((x + 2*y + doc_id) % 16)
+        |      WHEN form = 2 THEN ((doc_id*131 + 29*x + 57*y) % 65536) // 256
+        |      ELSE ((doc_id*7 + 13*x + 31*y) % 65536) // 256 END AS r,
+        |    CASE WHEN form = 0 THEN 255 * ((x + y + doc_id) % 2)
+        |      WHEN form = 1 THEN 17 * ((x + 2*y + doc_id) % 16)
+        |      WHEN form = 2 THEN ((doc_id*131 + 29*x + 57*y) % 65536) // 256
+        |      ELSE ((doc_id*3 + 5*x + 11*y) % 65536) // 256 END AS g,
+        |    CASE WHEN form = 0 THEN 255 * ((x + y + doc_id) % 2)
+        |      WHEN form = 1 THEN 17 * ((x + 2*y + doc_id) % 16)
+        |      WHEN form = 2 THEN ((doc_id*131 + 29*x + 57*y) % 65536) // 256
+        |      ELSE ((x*y + doc_id) % 65536) // 256 END AS b
+        |  FROM px)
+        |SELECT doc_id,
+        |  CASE any_value(form) WHEN 0 THEN 'gray1'
+        |    WHEN 1 THEN 'gray4_adam7' WHEN 2 THEN 'gray16'
+        |    ELSE 'rgb16_adam7' END AS form,
+        |  any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // CDX selective access over .warc.zst (q192): the q186 dict-bearing
     // archives indexed once (frame extents in a standing cdx-<fp>
     // artifact), then each record range-read by extent after one

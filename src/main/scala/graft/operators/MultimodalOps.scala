@@ -324,7 +324,9 @@ object MultimodalOps {
       width: Int, height: Int, colorType: Int, depth: Int,
       interlace: Boolean, samples: Array[Byte],
       plte: Array[Byte] = null): Array[Byte] = {
-    val perPx = if (colorType == 2) 3 else 1
+    // caller sample layout: 16-bit depths pass BIG-ENDIAN byte pairs;
+    // sub-byte gray passes one LEVEL byte per pixel (packed here)
+    val perPx = (if (colorType == 2) 3 else 1) * (if (depth == 16) 2 else 1)
     require(samples.length == width * height * perPx)
     require(colorType != 3 || (plte != null && plte.length % 3 == 0))
     val bitsPP = if (colorType == 2) 3 * depth else depth
@@ -343,10 +345,12 @@ object MultimodalOps {
           var x = 0
           while (x < wP) {
             val src = ((y0 + y * dy) * width + (x0 + x * dx)) * perPx
-            if (colorType == 2) {
-              rows(y * rowBytes + x * 3) = samples(src)
-              rows(y * rowBytes + x * 3 + 1) = samples(src + 1)
-              rows(y * rowBytes + x * 3 + 2) = samples(src + 2)
+            if (perPx >= 2) { // 8-bit truecolor or any 16-bit form
+              var k = 0
+              while (k < perPx) {
+                rows(y * rowBytes + x * perPx + k) = samples(src + k)
+                k += 1
+              }
             } else if (depth == 8) {
               rows(y * rowBytes + x) = samples(src)
             } else {
@@ -486,15 +490,17 @@ object MultimodalOps {
         colorType = b(p + 17) & 0xFF
         interlace = b(p + 20) & 0xFF
         val depthOk = colorType match {
-          case 0 | 2 => depth == 8
-          case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+          case 0 => Seq(1, 2, 4, 8, 16).contains(depth)
+          case 2 => depth == 8 || depth == 16
+          case 3 => Seq(1, 2, 4, 8).contains(depth)
           case _ => false
         }
         if (w <= 0 || h <= 0 || !depthOk || interlace > 1) return None
         // hostile dims: the filtered-scanline buffer must stay bounded
         // (interlaced streams carry ≤ h extra filter bytes over the
-        // sequential form — 4L*w covers every supported layout)
-        if ((4L * w + 2L) * h > PngMaxRaw || 3L * w * h > Int.MaxValue)
+        // sequential form — 7L*w covers every supported layout incl.
+        // 16-bit truecolor's 6 bytes/px)
+        if ((7L * w + 2L) * h > PngMaxRaw || 3L * w * h > Int.MaxValue)
           return None
         ok = true
         first = false
@@ -519,6 +525,10 @@ object MultimodalOps {
     if (colorType == 3 && plte == null) return None
     val bitsPP = if (colorType == 2) 3 * depth else depth
     val bppBytes = math.max(1, bitsPP / 8)
+    // sub-byte gray levels scale onto 0..255 exactly (255/(2^d-1) is
+    // an integer for d in 1/2/4); 16-bit reduces to the HIGH byte (the
+    // libpng strip-16 convention)
+    val grayScale = if (depth < 8) 255 / ((1 << depth) - 1) else 1
     val passes: Array[(Int, Int, Int, Int)] =
       if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
     // total filtered size across non-empty passes
@@ -585,11 +595,25 @@ object MultimodalOps {
           while (x < wP) {
             val outPx = ((y0 + y * dy) * w + (x0 + x * dx)) * 3
             colorType match {
+              case 2 if depth == 16 =>
+                val s = y * rowBytes + x * 6 // high bytes of R,G,B
+                bgr(outPx) = recon(s + 4)
+                bgr(outPx + 1) = recon(s + 2)
+                bgr(outPx + 2) = recon(s)
               case 2 =>
                 val s = y * rowBytes + x * 3
                 bgr(outPx) = recon(s + 2)
                 bgr(outPx + 1) = recon(s + 1)
                 bgr(outPx + 2) = recon(s)
+              case 0 if depth == 16 =>
+                val g = recon(y * rowBytes + x * 2) // high byte
+                bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
+              case 0 if depth < 8 =>
+                val bit = x * depth
+                val by = recon(y * rowBytes + (bit >> 3)) & 0xFF
+                val lvl = (by >> (8 - depth - (bit & 7))) & ((1 << depth) - 1)
+                val g = (lvl * grayScale).toByte
+                bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
               case 0 =>
                 val g = recon(y * rowBytes + x)
                 bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
@@ -2513,6 +2537,77 @@ object MultimodalOps {
           case 1 => "gray_adam7"
           case 2 => "palette8"
           case _ => "palette4_adam7"
+        }
+        (id, label, img.width.toLong, img.height.toLong, sr, sg, sb)
+      })
+      .toDF("doc_id", "form", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q193: the q190 contract over the DEPTH forms — 1-bit gray
+    * (`id % 4 == 0`, the fax-like form; levels scale by 255), Adam7
+    * 4-bit gray (== 1, scale 17), 16-bit gray (== 2, high-byte
+    * reduction — the libpng strip-16 convention), and Adam7 16-bit
+    * truecolor (== 3); gradient content, exact per-channel sums
+    * recomputed by the oracle as (doc_id, x, y) integer arithmetic.
+    */
+  def q193PngDepthDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (5 + id % 7).toInt
+        val form = (id % 4).toInt
+        val png = form match {
+          case 0 =>
+            val lvl = new Array[Byte](w * h)
+            for (y <- 0 until h; x <- 0 until w)
+              lvl(y * w + x) = ((x + y + id) % 2).toByte
+            encodePngExt(w, h, 0, 1, interlace = false, lvl)
+          case 1 =>
+            val lvl = new Array[Byte](w * h)
+            for (y <- 0 until h; x <- 0 until w)
+              lvl(y * w + x) = ((x + 2 * y + id) % 16).toByte
+            encodePngExt(w, h, 0, 4, interlace = true, lvl)
+          case 2 =>
+            val g16 = new Array[Byte](w * h * 2)
+            for (y <- 0 until h; x <- 0 until w) {
+              val v = ((id * 131 + 29 * x + 57 * y) % 65536).toInt
+              g16((y * w + x) * 2) = (v >> 8).toByte
+              g16((y * w + x) * 2 + 1) = (v & 0xff).toByte
+            }
+            encodePngExt(w, h, 0, 16, interlace = false, g16)
+          case _ =>
+            val c16 = new Array[Byte](w * h * 6)
+            for (y <- 0 until h; x <- 0 until w) {
+              val vals = Array(
+                ((id * 7 + 13 * x + 31 * y) % 65536).toInt,
+                ((id * 3 + 5 * x + 11 * y) % 65536).toInt,
+                ((x.toLong * y + id) % 65536).toInt)
+              var c = 0
+              while (c < 3) {
+                c16((y * w + x) * 6 + 2 * c) = (vals(c) >> 8).toByte
+                c16((y * w + x) * 6 + 2 * c + 1) = (vals(c) & 0xff).toByte
+                c += 1
+              }
+            }
+            encodePngExt(w, h, 2, 16, interlace = true, c16)
+        }
+        val img = decodePng(png).getOrElse(BmpImage(0, 0, 0, Array.empty))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          sb += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sr += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        val label = form match {
+          case 0 => "gray1"
+          case 1 => "gray4_adam7"
+          case 2 => "gray16"
+          case _ => "rgb16_adam7"
         }
         (id, label, img.width.toLong, img.height.toLong, sr, sg, sb)
       })

@@ -47,6 +47,51 @@ class PngLegacySpec extends AnyFunSuite {
       checkFixture(name)
   }
 
+  test("7 more foreign libpng fixtures: sub-8-bit grayscale (1/2/4-bit, " +
+    "levels scaled 255/(2^d-1)) and 16-bit gray/truecolor (high-byte " +
+    "reduction), sequential and Adam7") {
+    for (name <- Seq("gray1_21x9", "gray2_21x9", "gray4_21x9",
+      "gray4_adam7_13x7", "gray16_19x11", "rgb16_19x11", "rgb16_adam7_13x7"))
+      checkFixture(name)
+  }
+
+  test("own encoder round-trips the depth forms: sub-byte gray levels " +
+    "and 16-bit big-endian pairs, both interlace modes") {
+    for (il <- Seq(false, true); (w, h) <- Seq((13, 7), (16, 4))) {
+      for (depth <- Seq(1, 2, 4)) {
+        val maxv = (1 << depth) - 1
+        val scale = 255 / maxv
+        val lvls = Array.tabulate[Byte](w * h)(i => (i % (maxv + 1)).toByte)
+        val img = MultimodalOps.decodePng(
+          MultimodalOps.encodePngExt(w, h, 0, depth, il, lvls)).get
+        for (i <- 0 until w * h)
+          assert((img.pixels(i * 3) & 0xff) == (lvls(i) & 0xff) * scale,
+            s"gray$depth il=$il px $i")
+      }
+      // 16-bit gray: decoded value is the high byte
+      val g16 = Array.tabulate[Byte](w * h * 2)(i =>
+        ((i * 89 + 7) % 256).toByte)
+      val gImg = MultimodalOps.decodePng(
+        MultimodalOps.encodePngExt(w, h, 0, 16, il, g16)).get
+      for (i <- 0 until w * h)
+        assert((gImg.pixels(i * 3) & 0xff) == (g16(i * 2) & 0xff),
+          s"gray16 il=$il px $i")
+      // 16-bit truecolor
+      val c16 = Array.tabulate[Byte](w * h * 6)(i =>
+        ((i * 53 + 11) % 256).toByte)
+      val cImg = MultimodalOps.decodePng(
+        MultimodalOps.encodePngExt(w, h, 2, 16, il, c16)).get
+      for (i <- 0 until w * h) {
+        assert((cImg.pixels(i * 3 + 2) & 0xff) == (c16(i * 6) & 0xff),
+          s"rgb16 R il=$il px $i")
+        assert((cImg.pixels(i * 3 + 1) & 0xff) == (c16(i * 6 + 2) & 0xff),
+          s"rgb16 G il=$il px $i")
+        assert((cImg.pixels(i * 3) & 0xff) == (c16(i * 6 + 4) & 0xff),
+          s"rgb16 B il=$il px $i")
+      }
+    }
+  }
+
   test("own encoder round-trips every legacy form (both interlace modes, " +
     "all palette depths, ragged dims)") {
     for (w <- Seq(1, 3, 13, 16); h <- Seq(1, 7, 9); il <- Seq(false, true)) {

@@ -109,4 +109,13 @@ class Round18PlanSpec extends AnyFunSuite {
     assert(hashExchanges(df) == 0,
       s"per-row walker must not exchange:\n${plan(df)}")
   }
+
+  test("q193: PNG depth-form decode is a per-row codec walk — no " +
+    "exchange before the output sort") {
+    val df = MultimodalOps.q193PngDepthDecode(spark, sf)
+    df.collect()
+    noCartesian(df)
+    assert(hashExchanges(df) == 0,
+      s"per-row walker must not exchange:\n${plan(df)}")
+  }
 }

@@ -120,6 +120,48 @@ def gen_palette(name, w, h, depth, interlace):
          rgb)
 
 
+def gen_gray_lowbit(name, w, h, depth, interlace):
+    """Sub-8-bit grayscale: levels scale onto 0..255 by 255/(2^d-1)."""
+    maxv = (1 << depth) - 1
+    scale = 255 // maxv
+    rgb = []
+    rows = []
+    for y in range(h):
+        row = bytearray((w * depth + 7) // 8)
+        for x in range(w):
+            lvl = (x + 2 * y) % (maxv + 1)
+            bit = x * depth
+            row[bit >> 3] |= (lvl << (8 - depth - (bit & 7))) & 0xFF
+            g = lvl * scale
+            rgb += [g, g, g]
+        rows.append(bytes(row))
+    save(name, w, h,
+         write_png(w, h, PNG_COLOR_GRAY, depth, interlace, rows), rgb)
+
+
+def gen_16bit(name, w, h, color, interlace):
+    """16-bit samples (big-endian); expected output is the HIGH byte
+    (the libpng strip-16 reduction)."""
+    rgb = []
+    rows = []
+    nchan = 3 if color == PNG_COLOR_RGB else 1
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            if nchan == 3:
+                vals = [(7 * x + 13 * y + 5) * 257 % 65536,
+                        (11 * x + 3 * y + 99) * 251 % 65536,
+                        (x * y + 31) * 241 % 65536]
+            else:
+                vals = [(29 * x + 57 * y + 11) * 509 % 65536]
+            for v in vals:
+                row += bytes(((v >> 8) & 255, v & 255))
+            hi = [(v >> 8) & 255 for v in vals]
+            rgb += hi * (3 // len(hi))
+        rows.append(bytes(row))
+    save(name, w, h, write_png(w, h, color, 16, interlace, rows), rgb)
+
+
 if __name__ == "__main__":
     # odd dims so Adam7 passes have ragged widths; 3x3 leaves passes empty
     gen_rgb("rgb_adam7_13x7", 13, 7, PNG_INTERLACE_ADAM7)
@@ -133,3 +175,11 @@ if __name__ == "__main__":
     gen_palette("pal8_adam7_13x7", 13, 7, 8, PNG_INTERLACE_ADAM7)
     gen_palette("pal4_adam7_13x7", 13, 7, 4, PNG_INTERLACE_ADAM7)
     gen_palette("pal1_adam7_9x5", 9, 5, 1, PNG_INTERLACE_ADAM7)
+    # round-18 extension: sub-8-bit gray + 16-bit forms
+    gen_gray_lowbit("gray1_21x9", 21, 9, 1, PNG_INTERLACE_NONE)
+    gen_gray_lowbit("gray2_21x9", 21, 9, 2, PNG_INTERLACE_NONE)
+    gen_gray_lowbit("gray4_21x9", 21, 9, 4, PNG_INTERLACE_NONE)
+    gen_gray_lowbit("gray4_adam7_13x7", 13, 7, 4, PNG_INTERLACE_ADAM7)
+    gen_16bit("gray16_19x11", 19, 11, PNG_COLOR_GRAY, PNG_INTERLACE_NONE)
+    gen_16bit("rgb16_19x11", 19, 11, PNG_COLOR_RGB, PNG_INTERLACE_NONE)
+    gen_16bit("rgb16_adam7_13x7", 13, 7, PNG_COLOR_RGB, PNG_INTERLACE_ADAM7)
