@@ -671,9 +671,10 @@ object MultimodalOps {
       val sz = le32(b, o + 4)
       if (sz < 0 || o + 8 + sz.toLong > b.length) return None
       if (id == "fmt " && sz >= 16) {
-        // integer PCM (1), A-law (6), mu-law (7) — G.711 is 8-bit only
+        // integer PCM (1), IEEE float (3), A-law (6), mu-law (7) —
+        // G.711 is 8-bit only, float is 32-bit only
         val tag = le16(b, o + 8)
-        if (tag != 1 && tag != 6 && tag != 7) return None
+        if (tag != 1 && tag != 3 && tag != 6 && tag != 7) return None
         fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22), tag))
       } else if (id == "data") data = Some((o + 8, sz))
       o += 8 + sz + (sz & 1) // chunks are word-aligned
@@ -682,15 +683,28 @@ object MultimodalOps {
       (ch, rate, bits, tag) <- fmt
       (doff, dlen) <- data
       if ch > 0 && rate > 0 &&
-        (if (tag == 1) bits == 8 || bits == 16 else bits == 8)
+        (tag match {
+          case 1 => bits == 8 || bits == 16
+          case 3 => bits == 32
+          case _ => bits == 8
+        })
     } yield {
-      val n = if (tag == 1 && bits == 16) dlen / 2 else dlen
+      val n = tag match {
+        case 1 if bits == 16 => dlen / 2
+        case 3 => dlen / 4
+        case _ => dlen
+      }
       val out = new Array[Float](n)
       var i = 0
       while (i < n) {
         out(i) = tag match {
           case 1 if bits == 16 => le16(b, doff + 2 * i).toShort / 32768f
           case 1 => ((b(doff + i) & 0xFF) - 128) / 128f
+          // IEEE float samples are already normalized; clamp the
+          // out-of-range values sloppy writers emit
+          case 3 =>
+            val f = java.lang.Float.intBitsToFloat(le32(b, doff + 4 * i))
+            if (f.isNaN) 0f else math.max(-1f, math.min(1f, f))
           // G.711 expansion lands on the 16-bit grid: exact dyadic floats
           case 6 => alawExpand(b(doff + i) & 0xFF) / 32768f
           case _ => mulawExpand(b(doff + i) & 0xFF) / 32768f

@@ -77,6 +77,46 @@ class G711Spec extends AnyFunSuite {
     }
   }
 
+  test("WAV tag 3 arm (IEEE float32): samples read exactly, NaN zeroed, " +
+    "out-of-range clamped; wrong bit depth refused; fuzz-safe") {
+    // hand-build a float32 WAV: canonical header with tag 3 / 32 bits
+    def floatWav(samples: Array[Float], rate: Int = 8000): Array[Byte] = {
+      val dataLen = samples.length * 4
+      val out = new Array[Byte](44 + dataLen)
+      val hdr = MultimodalOps.encodeWavSilence(rate, 1, 0)
+      System.arraycopy(hdr, 0, out, 0, 44)
+      // patch: RIFF size, format tag 3, byte rate, block align, bits, data size
+      def le16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+      def le32(o: Int, v: Int): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+      le32(4, 36 + dataLen)
+      le16(20, 3) // IEEE float
+      le32(28, rate * 4)
+      le16(32, 4)
+      le16(34, 32)
+      le32(40, dataLen)
+      samples.zipWithIndex.foreach { case (f, i) =>
+        le32(44 + 4 * i, java.lang.Float.floatToIntBits(f))
+      }
+      out
+    }
+    val s = Array(0f, 0.5f, -0.25f, 1f, -1f, 2.5f, -3f, Float.NaN, 0.125f)
+    val got = MultimodalOps.decodeWav(floatWav(s)).getOrElse(fail("None"))
+    assert(got.bitsPerSample == 32 && got.channels == 1 &&
+      got.sampleRate == 8000)
+    val want = Array(0f, 0.5f, -0.25f, 1f, -1f, 1f, -1f, 0f, 0.125f)
+    assert(got.samples.sameElements(want), got.samples.mkString(","))
+    // a float WAV claiming 16 bits is refused (tag 3 is 32-bit only)
+    val bad = floatWav(s)
+    bad(34) = 16
+    assert(MultimodalOps.decodeWav(bad).isEmpty)
+    // truncation never throws
+    val full = floatWav(s)
+    (0 until full.length by 3).foreach(n => MultimodalOps.decodeWav(full.take(n)))
+  }
+
   test("q89 rows replay driver-side") {
     val rows = MultimodalOps.q89G711Decode(spark, sf).collect()
     assert(rows.nonEmpty)
