@@ -3109,7 +3109,9 @@ object SparkEntry {
         |    (CASE WHEN j % 3 <> 0 THEN chr(9) || 'inline &' || j
         |      ELSE '' END) ||
         |    chr(9) ||
-        |    (DATE '1899-12-30' + (40000 + (doc_id + j) % 2000)::INT)::VARCHAR ||
+        |    ((CASE WHEN doc_id % 5 = 0 THEN DATE '1904-01-01'
+        |      ELSE DATE '1899-12-30' END) +
+        |      (40000 + (doc_id + j) % 2000)::INT)::VARCHAR ||
         |    chr(9) ||
         |    (CASE WHEN (doc_id + j) % 2 = 0 THEN 'FALSE' ELSE 'TRUE' END) ||
         |    chr(9) || 'Common ' || (doc_id % 7) AS s

@@ -114,6 +114,8 @@ object XlsxOps {
       "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
         "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" " +
         "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\">" +
+        // every fifth workbook is Mac-origin: the 1904 date system
+        (if (id % 5 == 0) "<workbookPr date1904=\"1\"/>" else "") +
         "<sheets><sheet name=\"Data\" sheetId=\"1\" r:id=\"rId2\"/>" +
         "<sheet name=\"Meta\" sheetId=\"2\" r:id=\"rId1\"/></sheets></workbook>"
     // rIds deliberately out of numeric order: the walk must resolve
@@ -181,12 +183,17 @@ object XlsxOps {
     v - 1
   }
 
-  /** Excel date serial → ISO (days since 1899-12-30, the spec's 1900
-    * epoch with its Lotus leap-bug offset already folded in for
-    * post-1901 dates).
+  /** Excel date serial → ISO. The 1900 system counts from 1899-12-30
+    * (the Lotus leap-bug offset folded in for post-1901 dates); the
+    * 1904 system (Mac-origin workbooks, `workbookPr date1904`) counts
+    * from 1904-01-01 with no bug.
     */
-  private def serialToIso(serial: Long): String =
-    java.time.LocalDate.of(1899, 12, 30).plusDays(serial).toString
+  private def serialToIso(serial: Long, date1904: Boolean): String =
+    (if (date1904) java.time.LocalDate.of(1904, 1, 1)
+     else java.time.LocalDate.of(1899, 12, 30)).plusDays(serial).toString
+
+  private val Date1904Re =
+    "<workbookPr\\b[^>]*\\bdate1904=\"(1|true)\"".r
 
   private[graft] def extractXlsx(docId: Long, b: Array[Byte]): XlsxInfo = {
     def dead(status: String) = XlsxInfo(docId, status, 0, 0, 0, 0, 0, "")
@@ -218,6 +225,7 @@ object XlsxOps {
         case (m, i) if DateFmtIds.contains(m.group(1).toInt) => i
       }.toSet
     }.getOrElse(Set.empty)
+    val date1904 = Date1904Re.findFirstIn(workbook).isDefined
     val sheets = SheetRe.findAllMatchIn(workbook)
       .map(m => (m.group(1), m.group(2))).toSeq
     if (sheets.isEmpty) return dead("no-sheets")
@@ -265,7 +273,8 @@ object XlsxOps {
                   VRe.findFirstMatchIn(cellBody).map { v =>
                     val raw = v.group(1).trim
                     if (dateStyles.contains(style))
-                      raw.toLongOption.map(serialToIso).getOrElse(raw)
+                      raw.toLongOption.map(serialToIso(_, date1904))
+                        .getOrElse(raw)
                     else raw
                   }
               }

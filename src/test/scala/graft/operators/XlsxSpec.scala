@@ -23,12 +23,20 @@ class XlsxSpec extends AnyFunSuite {
     assert(info.n_shared == n + 2)
     val lines = info.text.split('\n')
     assert(lines.length == n + 1)
+    // id 10 is a Mac-origin workbook (10 % 5 == 0): the 1904 date system
+    def d1904(serial: Long) =
+      java.time.LocalDate.of(1904, 1, 1).plusDays(serial).toString
     // row 0: gap at C (j % 3 == 0) → 5 cells
-    assert(lines(0) == "Item 10-0\t310\t2009-07-16\tFALSE\tCommon 3",
+    assert(lines(0) == s"Item 10-0\t310\t${d1904(40010)}\tFALSE\tCommon 3",
       lines(0))
     // row 1: all 6 columns, rich-text Common concatenated, boolean flips
-    assert(lines(1) == "Item 10-1\t317\tinline &1\t2009-07-17\tTRUE\tCommon 3",
+    assert(lines(1) ==
+      s"Item 10-1\t317\tinline &1\t${d1904(40011)}\tTRUE\tCommon 3",
       lines(1))
+    // a 1900-system sibling (id 11) keeps the Lotus-offset epoch
+    val info11 = XlsxOps.extractXlsx(11L, XlsxOps.buildXlsx(11L))
+    assert(info11.text.contains(
+      java.time.LocalDate.of(1899, 12, 30).plusDays(40011).toString))
     // the Meta sheet rides LAST (workbook order, resolved through rels
     // despite rId1 pointing at sheet2)
     assert(lines.last == "Doc\t10", lines.last)
