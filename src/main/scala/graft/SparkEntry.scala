@@ -2970,12 +2970,13 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
-    // PNG depth forms (q193): 1-bit gray (levels scale 255), Adam7
-    // 4-bit gray (scale 17), 16-bit gray and Adam7 16-bit truecolor
-    // (high-byte reduction, the strip-16 convention); sums recomputed
+    // PNG depth + alpha forms (q193): 1-bit gray (levels scale 255),
+    // Adam7 4-bit gray (scale 17), 16-bit gray and Adam7 16-bit
+    // truecolor (high-byte reduction, the strip-16 convention), RGBA
+    // (color kept / alpha dropped), Adam7 gray+alpha; sums recomputed
     // as pure (doc_id, x, y) arithmetic
     "q193_png_depth" ->
-      """WITH d AS (SELECT doc_id, (doc_id % 4)::INT AS form,
+      """WITH d AS (SELECT doc_id, (doc_id % 6)::INT AS form,
         |    (8 + doc_id % 9)::INT AS w, (5 + doc_id % 7)::INT AS h
         |  FROM documents),
         |px AS (SELECT doc_id, form, w, h, x, y
@@ -2984,20 +2985,27 @@ object SparkEntry {
         |    CASE WHEN form = 0 THEN 255 * ((x + y + doc_id) % 2)
         |      WHEN form = 1 THEN 17 * ((x + 2*y + doc_id) % 16)
         |      WHEN form = 2 THEN ((doc_id*131 + 29*x + 57*y) % 65536) // 256
-        |      ELSE ((doc_id*7 + 13*x + 31*y) % 65536) // 256 END AS r,
+        |      WHEN form = 3 THEN ((doc_id*7 + 13*x + 31*y) % 65536) // 256
+        |      WHEN form = 4 THEN (doc_id + 3*x + 7*y) % 256
+        |      ELSE (doc_id + 11*x + 13*y) % 256 END AS r,
         |    CASE WHEN form = 0 THEN 255 * ((x + y + doc_id) % 2)
         |      WHEN form = 1 THEN 17 * ((x + 2*y + doc_id) % 16)
         |      WHEN form = 2 THEN ((doc_id*131 + 29*x + 57*y) % 65536) // 256
-        |      ELSE ((doc_id*3 + 5*x + 11*y) % 65536) // 256 END AS g,
+        |      WHEN form = 3 THEN ((doc_id*3 + 5*x + 11*y) % 65536) // 256
+        |      WHEN form = 4 THEN (2*doc_id + 5*x + y) % 256
+        |      ELSE (doc_id + 11*x + 13*y) % 256 END AS g,
         |    CASE WHEN form = 0 THEN 255 * ((x + y + doc_id) % 2)
         |      WHEN form = 1 THEN 17 * ((x + 2*y + doc_id) % 16)
         |      WHEN form = 2 THEN ((doc_id*131 + 29*x + 57*y) % 65536) // 256
-        |      ELSE ((x*y + doc_id) % 65536) // 256 END AS b
+        |      WHEN form = 3 THEN ((x*y + doc_id) % 65536) // 256
+        |      WHEN form = 4 THEN (x*y + doc_id) % 256
+        |      ELSE (doc_id + 11*x + 13*y) % 256 END AS b
         |  FROM px)
         |SELECT doc_id,
         |  CASE any_value(form) WHEN 0 THEN 'gray1'
         |    WHEN 1 THEN 'gray4_adam7' WHEN 2 THEN 'gray16'
-        |    ELSE 'rgb16_adam7' END AS form,
+        |    WHEN 3 THEN 'rgb16_adam7' WHEN 4 THEN 'rgba8'
+        |    ELSE 'graya8_adam7' END AS form,
         |  any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
         |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
         |  sum(b)::BIGINT AS sum_b

@@ -326,10 +326,13 @@ object MultimodalOps {
       plte: Array[Byte] = null): Array[Byte] = {
     // caller sample layout: 16-bit depths pass BIG-ENDIAN byte pairs;
     // sub-byte gray passes one LEVEL byte per pixel (packed here)
-    val perPx = (if (colorType == 2) 3 else 1) * (if (depth == 16) 2 else 1)
+    val chans = colorType match {
+      case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
+    }
+    val perPx = chans * (if (depth == 16) 2 else 1)
     require(samples.length == width * height * perPx)
     require(colorType != 3 || (plte != null && plte.length % 3 == 0))
-    val bitsPP = if (colorType == 2) 3 * depth else depth
+    val bitsPP = chans * depth
     val bppBytes = math.max(1, bitsPP / 8)
     val passes: Array[(Int, Int, Int, Int)] =
       if (!interlace) Array((0, 0, 1, 1)) else Adam7
@@ -493,6 +496,7 @@ object MultimodalOps {
           case 0 => Seq(1, 2, 4, 8, 16).contains(depth)
           case 2 => depth == 8 || depth == 16
           case 3 => Seq(1, 2, 4, 8).contains(depth)
+          case 4 | 6 => depth == 8 // alpha forms: the modern-web norm
           case _ => false
         }
         if (w <= 0 || h <= 0 || !depthOk || interlace > 1) return None
@@ -523,7 +527,12 @@ object MultimodalOps {
       w: Int, h: Int, colorType: Int, depth: Int, interlace: Int,
       plte: Array[Byte], z: Array[Byte]): Option[BmpImage] = {
     if (colorType == 3 && plte == null) return None
-    val bitsPP = if (colorType == 2) 3 * depth else depth
+    val bitsPP = colorType match {
+      case 2 => 3 * depth
+      case 4 => 2 * depth // gray + alpha
+      case 6 => 4 * depth // truecolor + alpha
+      case _ => depth
+    }
     val bppBytes = math.max(1, bitsPP / 8)
     // sub-byte gray levels scale onto 0..255 exactly (255/(2^d-1) is
     // an integer for d in 1/2/4); 16-bit reduces to the HIGH byte (the
@@ -616,6 +625,16 @@ object MultimodalOps {
                 bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
               case 0 =>
                 val g = recon(y * rowBytes + x)
+                bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
+              case 6 => // RGBA: color kept, alpha dropped (the
+                // dedup/feature convention — compositing would invent
+                // a background)
+                val s = y * rowBytes + x * 4
+                bgr(outPx) = recon(s + 2)
+                bgr(outPx + 1) = recon(s + 1)
+                bgr(outPx + 2) = recon(s)
+              case 4 => // gray + alpha
+                val g = recon(y * rowBytes + x * 2)
                 bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
               case _ =>
                 // palette index, MSB-first within the byte
@@ -2558,12 +2577,14 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  /** q193: the q190 contract over the DEPTH forms — 1-bit gray
-    * (`id % 4 == 0`, the fax-like form; levels scale by 255), Adam7
-    * 4-bit gray (== 1, scale 17), 16-bit gray (== 2, high-byte
-    * reduction — the libpng strip-16 convention), and Adam7 16-bit
-    * truecolor (== 3); gradient content, exact per-channel sums
-    * recomputed by the oracle as (doc_id, x, y) integer arithmetic.
+  /** q193: the q190 contract over the DEPTH and ALPHA forms — 1-bit
+    * gray (`id % 6 == 0`, the fax-like form; levels scale by 255),
+    * Adam7 4-bit gray (== 1, scale 17), 16-bit gray (== 2, high-byte
+    * reduction — the libpng strip-16 convention), Adam7 16-bit
+    * truecolor (== 3), RGBA (== 4, color kept / alpha dropped — the
+    * modern-web norm), and Adam7 gray+alpha (== 5); gradient content,
+    * exact per-channel sums recomputed by the oracle as (doc_id, x, y)
+    * integer arithmetic.
     */
   def q193PngDepthDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2572,7 +2593,7 @@ object MultimodalOps {
       .mapPartitions(_.map { id =>
         val w = (8 + id % 9).toInt
         val h = (5 + id % 7).toInt
-        val form = (id % 4).toInt
+        val form = (id % 6).toInt
         val png = form match {
           case 0 =>
             val lvl = new Array[Byte](w * h)
@@ -2592,7 +2613,7 @@ object MultimodalOps {
               g16((y * w + x) * 2 + 1) = (v & 0xff).toByte
             }
             encodePngExt(w, h, 0, 16, interlace = false, g16)
-          case _ =>
+          case 3 =>
             val c16 = new Array[Byte](w * h * 6)
             for (y <- 0 until h; x <- 0 until w) {
               val vals = Array(
@@ -2607,6 +2628,23 @@ object MultimodalOps {
               }
             }
             encodePngExt(w, h, 2, 16, interlace = true, c16)
+          case 4 =>
+            val rgba = new Array[Byte](w * h * 4)
+            for (y <- 0 until h; x <- 0 until w) {
+              val p = (y * w + x) * 4
+              rgba(p) = ((id + 3 * x + 7 * y) % 256).toByte
+              rgba(p + 1) = ((2 * id + 5 * x + y) % 256).toByte
+              rgba(p + 2) = ((x.toLong * y + id) % 256).toByte
+              rgba(p + 3) = ((x + y) % 256).toByte // dropped by decode
+            }
+            encodePngExt(w, h, 6, 8, interlace = false, rgba)
+          case _ =>
+            val ga = new Array[Byte](w * h * 2)
+            for (y <- 0 until h; x <- 0 until w) {
+              ga((y * w + x) * 2) = ((id + 11 * x + 13 * y) % 256).toByte
+              ga((y * w + x) * 2 + 1) = ((x * 5 + y) % 256).toByte
+            }
+            encodePngExt(w, h, 4, 8, interlace = true, ga)
         }
         val img = decodePng(png).getOrElse(BmpImage(0, 0, 0, Array.empty))
         var sr = 0L; var sg = 0L; var sb = 0L
@@ -2621,7 +2659,9 @@ object MultimodalOps {
           case 0 => "gray1"
           case 1 => "gray4_adam7"
           case 2 => "gray16"
-          case _ => "rgb16_adam7"
+          case 3 => "rgb16_adam7"
+          case 4 => "rgba8"
+          case _ => "graya8_adam7"
         }
         (id, label, img.width.toLong, img.height.toLong, sr, sg, sb)
       })

@@ -47,12 +47,33 @@ class PngLegacySpec extends AnyFunSuite {
       checkFixture(name)
   }
 
-  test("7 more foreign libpng fixtures: sub-8-bit grayscale (1/2/4-bit, " +
-    "levels scaled 255/(2^d-1)) and 16-bit gray/truecolor (high-byte " +
-    "reduction), sequential and Adam7") {
+  test("10 more foreign libpng fixtures: sub-8-bit grayscale (1/2/4-bit, " +
+    "levels scaled 255/(2^d-1)), 16-bit gray/truecolor (high-byte " +
+    "reduction), and the ALPHA forms (RGBA / gray+alpha, color kept, " +
+    "alpha dropped), sequential and Adam7") {
     for (name <- Seq("gray1_21x9", "gray2_21x9", "gray4_21x9",
-      "gray4_adam7_13x7", "gray16_19x11", "rgb16_19x11", "rgb16_adam7_13x7"))
+      "gray4_adam7_13x7", "gray16_19x11", "rgb16_19x11", "rgb16_adam7_13x7",
+      "rgba8_19x11", "rgba8_adam7_13x7", "graya8_17x9"))
       checkFixture(name)
+  }
+
+  test("own encoder round-trips the alpha forms (RGBA / gray+alpha, " +
+    "both interlace modes)") {
+    for (il <- Seq(false, true); (w, h) <- Seq((13, 7), (8, 8))) {
+      val rgba = Array.tabulate[Byte](w * h * 4)(i => ((i * 29 + 3) % 256).toByte)
+      val img = MultimodalOps.decodePng(
+        MultimodalOps.encodePngExt(w, h, 6, 8, il, rgba)).get
+      for (i <- 0 until w * h) {
+        assert((img.pixels(i * 3 + 2) & 0xff) == (rgba(i * 4) & 0xff), s"R $i")
+        assert((img.pixels(i * 3 + 1) & 0xff) == (rgba(i * 4 + 1) & 0xff), s"G $i")
+        assert((img.pixels(i * 3) & 0xff) == (rgba(i * 4 + 2) & 0xff), s"B $i")
+      }
+      val ga = Array.tabulate[Byte](w * h * 2)(i => ((i * 71 + 9) % 256).toByte)
+      val gImg = MultimodalOps.decodePng(
+        MultimodalOps.encodePngExt(w, h, 4, 8, il, ga)).get
+      for (i <- 0 until w * h)
+        assert((gImg.pixels(i * 3) & 0xff) == (ga(i * 2) & 0xff), s"GA $i")
+    }
   }
 
   test("own encoder round-trips the depth forms: sub-byte gray levels " +

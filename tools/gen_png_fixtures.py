@@ -162,6 +162,28 @@ def gen_16bit(name, w, h, color, interlace):
     save(name, w, h, write_png(w, h, color, 16, interlace, rows), rgb)
 
 
+def gen_alpha(name, w, h, interlace, gray):
+    """RGBA (color 6) / gray+alpha (color 4): expected RGB drops alpha."""
+    PNG_COLOR_GA, PNG_COLOR_RGBA = 4, 6
+    rgb = []
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            a = (3 * x + y + 7) % 256
+            if gray:
+                g = (11 * x + 5 * y + 23) % 256
+                row += bytes((g, a))
+                rgb += [g, g, g]
+            else:
+                r, gg, b = (x * 5 + y) % 256, (x + y * 9 + 4) % 256, (x * x + y) % 256
+                row += bytes((r, gg, b, a))
+                rgb += [r, gg, b]
+        rows.append(bytes(row))
+    save(name, w, h, write_png(
+        w, h, PNG_COLOR_GA if gray else PNG_COLOR_RGBA, 8, interlace, rows), rgb)
+
+
 if __name__ == "__main__":
     # odd dims so Adam7 passes have ragged widths; 3x3 leaves passes empty
     gen_rgb("rgb_adam7_13x7", 13, 7, PNG_INTERLACE_ADAM7)
@@ -183,3 +205,7 @@ if __name__ == "__main__":
     gen_16bit("gray16_19x11", 19, 11, PNG_COLOR_GRAY, PNG_INTERLACE_NONE)
     gen_16bit("rgb16_19x11", 19, 11, PNG_COLOR_RGB, PNG_INTERLACE_NONE)
     gen_16bit("rgb16_adam7_13x7", 13, 7, PNG_COLOR_RGB, PNG_INTERLACE_ADAM7)
+    # alpha forms (the modern-web norm): color kept, alpha dropped
+    gen_alpha("rgba8_19x11", 19, 11, PNG_INTERLACE_NONE, gray=False)
+    gen_alpha("rgba8_adam7_13x7", 13, 7, PNG_INTERLACE_ADAM7, gray=False)
+    gen_alpha("graya8_17x9", 17, 9, PNG_INTERLACE_NONE, gray=True)
