@@ -183,6 +183,7 @@ object SparkEntry {
     "q191_tiff_compressed" -> (TiffOps.q191TiffCompressed(_, _)),
     "q192_cdx_zst_fetch" -> (CdxOps.q192CdxZstFetch(_, _)),
     "q193_png_depth" -> (MultimodalOps.q193PngDepthDecode(_, _)),
+    "q194_span_corruption" -> (PackOps.q194SpanCorruption(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2970,6 +2971,41 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.sh = b.sh AND a.vid < b.vid
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY vid_a, vid_b""".stripMargin,
+    // span corruption (q194): the T5/UL2 denoising-objective data prep
+    // - deterministic 2-token spans at every 7th position from 3 cut
+    // into sentinel-marked input/target pairs; both strings rebuilt by
+    // the oracle from string_split + list arithmetic, so a span
+    // boundary, sentinel ordinal, or truncated-last-span slip shifts a
+    // sha
+    "q194_span_corruption" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id, ws, len(ws)::INT AS n,
+        |    ((len(ws) + 3) // 7)::INT AS nspans FROM t),
+        |inp AS (SELECT doc_id, array_to_string(
+        |    list_filter(
+        |      list_transform(range(n), p ->
+        |        CASE WHEN p % 7 = 3
+        |          THEN '<extra_id_' || ((p - 3) // 7) || '>'
+        |          WHEN p % 7 = 4 THEN NULL
+        |          ELSE ws[(p + 1)::INT] END),
+        |      x -> x IS NOT NULL), ' ') AS input_txt
+        |  FROM d),
+        |tgt AS (SELECT doc_id,
+        |    CASE WHEN nspans > 0 THEN
+        |      array_to_string(list_transform(range(nspans), i ->
+        |        '<extra_id_' || i || '> ' ||
+        |        CASE WHEN i * 7 + 5 <= n
+        |          THEN ws[(i*7 + 4)::INT] || ' ' || ws[(i*7 + 5)::INT]
+        |          ELSE ws[(i*7 + 4)::INT] END), ' ') ||
+        |      ' <extra_id_' || nspans || '>'
+        |    ELSE '' END AS target_txt
+        |  FROM d)
+        |SELECT d.doc_id, n::BIGINT AS n_tokens, nspans::BIGINT AS n_spans,
+        |  ((n + 3) // 7 + (n + 2) // 7)::BIGINT AS n_masked,
+        |  sha256(input_txt) AS input_sha, sha256(target_txt) AS target_sha
+        |FROM d JOIN inp USING (doc_id) JOIN tgt USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // PNG depth + alpha forms (q193): 1-bit gray (levels scale 255),
     // Adam7 4-bit gray (scale 17), 16-bit gray and Adam7 16-bit
     // truecolor (high-byte reduction, the strip-16 convention), RGBA

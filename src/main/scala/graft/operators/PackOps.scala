@@ -202,4 +202,60 @@ object PackOps {
     epochPack(Tables.documents(spark, dir), "lang", "doc_id",
       Map("en" -> 1.5, "zh" -> 0.5), 1.0, 256L)
       .orderBy(col("mix_key"), col("doc_id"), col("rep"), col("chunk_id"))
+
+  // ------------------------------------------------ q194: span corruption
+
+  /** q194: T5/UL2-style SPAN CORRUPTION — the denoising-objective data
+    * prep a pretraining pipeline runs after curation: deterministic
+    * 2-token spans (every 7th position starting at 3 — fixed rate,
+    * non-overlapping by construction, ~29% mask ratio) are cut from
+    * each document and replaced by ordinal sentinels; the INPUT keeps
+    * the unmasked text with one `<extra_id_i>` per span, the TARGET is
+    * the sentinel-delimited masked spans closed by a final sentinel —
+    * exactly the seq2seq pair format. Pure codegen column algebra
+    * (`transform`/`filter`/`sequence` over token positions — no UDF,
+    * no shuffle before the output sort), so the whole objective
+    * construction is oracle-replayable: DuckDB rebuilds both strings
+    * from `string_split` + list arithmetic and the shas must match.
+    *
+    * Scale shape (100 TB): one narrow projection per row; masking
+    * arithmetic is position-local, so the operator composes with the
+    * packing/mix operators (q39/q42/q47) unchanged.
+    */
+  def q194SpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // positions p with p % 7 == 3 start a span; p % 7 == 4 is its tail
+    val inputToks = filter(
+      transform(sequence(lit(0), n - 1), p =>
+        when(p % 7 === 3,
+          // Column./ is DOUBLE division: floor back to the ordinal
+          concat(lit("<extra_id_"),
+            floor((p - 3) / 7).cast("int").cast("string"), lit(">")))
+          .when(p % 7 === 4, lit(null))
+          .otherwise(element_at(toks, p + 1))),
+      x => x.isNotNull)
+    val nSpans = floor((n + 3) / 7).cast("int") // count of p<n, p%7==3
+    val spans = transform(sequence(lit(0), nSpans - 1), i => {
+      val s = i * 7 + 3
+      concat(
+        lit("<extra_id_"), i.cast("string"), lit("> "),
+        when(s + 2 <= n,
+          concat(element_at(toks, s + 1), lit(" "), element_at(toks, s + 2)))
+          .otherwise(element_at(toks, s + 1)))
+    })
+    val target = concat(array_join(spans, " "),
+      lit(" <extra_id_"), nSpans.cast("string"), lit(">"))
+    // masked positions are p%7 ∈ {3,4}, p < n: (n+3)/7 starts + (n+2)/7 tails
+    val masked = floor((n + 3) / 7) + floor((n + 2) / 7)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        nSpans.cast("long").as("n_spans"),
+        masked.cast("long").as("n_masked"),
+        sha2(array_join(inputToks, " "), 256).as("input_sha"),
+        when(nSpans > 0, sha2(target, 256)).otherwise(sha2(lit(""), 256))
+          .as("target_sha"))
+      .orderBy(col("doc_id"))
+  }
 }
