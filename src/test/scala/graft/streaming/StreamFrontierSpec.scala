@@ -19,6 +19,58 @@ class StreamFrontierSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("long stream: state stays bounded across repeated compaction " +
+    "cycles (8 batches, K=3) — fulls at {2,5}, GC to latest+anchor, " +
+    "delta count bounded by K, per-batch deltas batch-sized") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sfrontier_long_").toString
+    val docIds = Tables.documents(spark, sf).select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    Files.createDirectories(Paths.get(s"$base/config"))
+    for (h <- 0L until 8L) {
+      val ids = docIds.filter(_ % 8 == h)
+      Files.write(Paths.get(s"$base/config/robots_h$h.txt"),
+        FrontierOps.schedulerRobots(h).getBytes("UTF-8"))
+      SitemapOps.buildHostSitemaps(h, ids).foreach { case (name, bytes) =>
+        Files.write(Paths.get(s"$base/config/sitemap_h${h}_$name"), bytes)
+      }
+    }
+    // 8 chunks of ~1/8th of the corpus each (by id band), in id order so
+    // per-host arrival order matches rank order within each host band
+    val bands = docIds.grouped(math.max(1, docIds.size / 8 + 1)).toSeq
+    bands.zipWithIndex.foreach { case (ids, c) =>
+      ids.toDF("doc_id").coalesce(1).write.parquet(s"$base/feed/chunk=$c")
+    }
+    val nBatches = bands.length
+    val q = StreamFrontier.run(spark, s"$base/feed/chunk=*", s"$base/ckpt",
+      s"$base/schedule", s"$base/state", s"$base/rejects", s"$base/config",
+      compactEvery = 3)
+    q.awaitTermination(300000L)
+    assert(!q.isActive)
+    // fulls only at compaction batches (b+1)%3==0, GC'd to latest+anchor
+    val fulls = (0 until nBatches)
+      .filter(b => Files.exists(Paths.get(s"$base/state/batch_id=$b")))
+    val expectFulls = (0 until nBatches).filter(b => (b + 1) % 3 == 0)
+    assert(fulls == expectFulls.takeRight(2).sorted,
+      s"fulls $fulls != latest+anchor of $expectFulls")
+    // deltas: only those newer than the anchor survive — bounded by ~2K,
+    // never the whole stream's worth
+    val deltas = (0 until nBatches)
+      .filter(b => Files.exists(Paths.get(s"$base/state/deltas/batch_id=$b")))
+    val anchor = expectFulls.takeRight(2).head
+    assert(deltas.forall(_ > anchor), s"deltas $deltas ≤ anchor $anchor")
+    assert(deltas.size <= 2 * 3, s"delta count ${deltas.size} unbounded")
+    // each surviving seen-delta holds ONE batch's rows, not a cumulative set
+    deltas.foreach { b =>
+      val rows = spark.read.parquet(s"$base/state/seen/deltas/batch_id=$b")
+        .count()
+      assert(rows <= bands(b).size.toLong,
+        s"batch $b delta $rows rows > its chunk ${bands(b).size}")
+    }
+    // the drained schedule covers every doc exactly once
+    assert(spark.read.parquet(s"$base/schedule").count() == docIds.size.toLong)
+  }
+
   test("drained schedule == batch q154; per-host ranks survive batch " +
     "boundaries; unknown URLs dead-letter") {
     import spark.implicits._
