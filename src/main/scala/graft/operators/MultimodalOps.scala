@@ -454,13 +454,16 @@ object MultimodalOps {
 
   /** REAL PNG codec (public spec, no dependencies beyond JDK zlib):
     * signature + chunk walk (length/type/data/crc frames,
-    * bounds-checked), IHDR first; supports 8-bit truecolor (2), 8-bit
-    * grayscale (0), and PALETTE (3, bit depths 1/2/4/8 — the legacy
-    * web-corpus forms), each NON-INTERLACED or ADAM7 (interlace 1,
-    * seven sub-images with their own scanline filtering, sparse passes
-    * skipped when a dimension rounds to zero). Anything else (alpha,
-    * 16-bit, sub-8-bit gray) is `None` — the `decodeBmp` error-as-value
-    * discipline. IDAT chunks concatenate into one zlib stream
+    * bounds-checked), IHDR first; supports grayscale (0) at depths
+    * 1/2/4/8/16, truecolor (2) at depths 8/16, PALETTE (3, bit depths
+    * 1/2/4/8), and the 8-bit alpha forms gray+alpha (4) and RGBA (6)
+    * with the alpha channel dropped; 16-bit samples reduce to the
+    * high byte (libpng strip-16 convention). Each form decodes
+    * NON-INTERLACED or ADAM7 (interlace 1, seven sub-images with
+    * their own scanline filtering, sparse passes skipped when a
+    * dimension rounds to zero). Anything else (16-bit alpha forms,
+    * nonstandard depth/color combinations) is `None` — the
+    * `decodeBmp` error-as-value discipline. IDAT chunks concatenate into one zlib stream
     * (`Inflater`); scanlines unfilter through the five standard
     * predictors with the spec's byte-distance (`max(1, bits/8)` — for
     * sub-byte palettes "left" is the previous BYTE); output converts

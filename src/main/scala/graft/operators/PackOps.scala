@@ -236,7 +236,14 @@ object PackOps {
           .otherwise(element_at(toks, p + 1))),
       x => x.isNotNull)
     val nSpans = floor((n + 3) / 7).cast("int") // count of p<n, p%7==3
-    val spans = transform(sequence(lit(0), nSpans - 1), i => {
+    // guard the sequence ITSELF: sequence(0, -1) yields the descending
+    // [0,-1], whose element_at(toks, -3)-style probes are only masked by
+    // the outer when() under default semantics — under ansi.enabled they
+    // throw before the mask applies
+    val spanIdx =
+      when(nSpans > 0, sequence(lit(0), nSpans - 1))
+        .otherwise(array().cast("array<int>"))
+    val spans = transform(spanIdx, i => {
       val s = i * 7 + 3
       concat(
         lit("<extra_id_"), i.cast("string"), lit("> "),

@@ -160,7 +160,10 @@ object XlsxOps {
     """<Relationship\b[^>]*?Id="([^"]*)"[^>]*?Target="([^"]*)"""".r
   private val SiRe = """(?s)<si>(.*?)</si>""".r
   private val TRe = """(?s)<t(?:\s[^>]*)?>(.*?)</t>""".r
-  private val XfRe = """<xf\b[^>]*?numFmtId="(\d+)"[^>]*/?>""".r
+  // match EVERY <xf> element (numFmtId may be absent — defaults to 0);
+  // matching only numFmtId-bearing ones would shift all later style
+  // indices when a real-world styles.xml omits the attribute
+  private val XfRe = """<xf\b([^>]*?)/?>""".r
   // attrs captured whole and r= pulled out by attr(): an optional
   // inline group after a lazy prefix never captures (the greedy tail
   // eats it without backtracking once the shortest match succeeds)
@@ -168,7 +171,9 @@ object XlsxOps {
   private val CellRe = """(?s)<c\b([^>]*?)(?:/>|>(.*?)</c>)""".r
   private val VRe = """(?s)<v(?:\s[^>]*)?>(.*?)</v>""".r
   private def attr(attrs: String, name: String): Option[String] = {
-    val m = (name + "=\"([^\"]*)\"").r.findFirstMatchIn(attrs)
+    // (^|\s) boundary: without it an attribute NAME ending in the
+    // searched name (e.g. customFmtId vs FmtId) would mis-capture
+    val m = ("(?:^|\\s)" + name + "=\"([^\"]*)\"").r.findFirstMatchIn(attrs)
     m.map(_.group(1))
   }
 
@@ -222,7 +227,9 @@ object XlsxOps {
       val end = st.indexOf("</cellXfs>")
       if (xfs < 0 || end < 0) Set.empty[Int]
       else XfRe.findAllMatchIn(st.substring(xfs, end)).zipWithIndex.collect {
-        case (m, i) if DateFmtIds.contains(m.group(1).toInt) => i
+        case (m, i) if DateFmtIds.contains(
+          attr(m.group(1), "numFmtId").flatMap(_.toIntOption).getOrElse(0)) =>
+          i
       }.toSet
     }.getOrElse(Set.empty)
     val date1904 = Date1904Re.findFirstIn(workbook).isDefined

@@ -132,6 +132,57 @@ class FlacPcmSpec extends AnyFunSuite {
       FlacOps.decodePcm(lying).isLeft)
   }
 
+  test("hand-pinned FULL byte layout: a FIXED-order-1 subframe with " +
+    "Rice-coded residuals, every bit derived from RFC 9639 by hand — " +
+    "pins unary polarity (q zeros then a 1) and the zigzag fold " +
+    "independently of the repo's own encoder") {
+    // PCM (mono, 8-bit): 10 12 11 14 10 13 12 15
+    // FIXED order 1 → warmup s0=10; residuals e_i = s_i − s_{i−1}:
+    //   e = 2, −1, 3, −4, 3, −1, 3
+    // zigzag (RFC 9639 §9.2.7.1: n≥0 → 2n, n<0 → −2n−1):
+    //   u = 4, 1, 6, 7, 6, 1, 6
+    // Rice k=2, u = q·4 + r, quotient UNARY = q ZERO bits then a 1:
+    //   u=4 → q1 r00 → 01|00      u=1 → q0 r01 → 1|01
+    //   u=6 → q1 r10 → 01|10      u=7 → q1 r11 → 01|11
+    // Frame header (§9.1): sync 11111111111110, reserved 0, fixed-
+    // blocksize strategy 0 → FF F8; bsCode 6 (8-bit field follows),
+    // srCode 9 (44.1 kHz table) → 69; mono 0000, bdCode 001 (8 bps),
+    // reserved 0 → 02; coded frame number 0 → 00; blocksize−1=7 → 07;
+    // CRC-8 (poly 0x07, init 0) of those six bytes = 8F.
+    // Subframe: pad 0, type 001001 (FIXED order 1), wasted 0 → 12;
+    // warmup 8-bit signed 10 → 0A.
+    // Residual section: method 00 (4-bit params), partition order
+    // 0000, param 0010 (k=2), then the Rice bits above:
+    //   00 0000 0010 | 0100 101 0110 0111 0110 101 0110 + 0000 pad
+    //   = 00 92 B3 B5 60
+    // CRC-16 (poly 0x8005, init 0) over the 14 frame bytes = CF 80.
+    val streamInfo = Array[Int](
+      0x00, 0x08, 0x00, 0x08, // min/max blocksize 8
+      0, 0, 0, 0, 0, 0, // min/max framesize unknown
+      // rate 44100 | channels−1=0 | bits−1=7 | total samples 8
+      0x0A, 0xC4, 0x40, 0x70, 0x00, 0x00, 0x00, 0x08,
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) // md5 unset
+    val frame = Array[Int](
+      0xFF, 0xF8, 0x69, 0x02, 0x00, 0x07, 0x8F, // header + CRC-8
+      0x12, 0x0A, // subframe header + warmup
+      0x00, 0x92, 0xB3, 0xB5, 0x60, // residual partition
+      0xCF, 0x80) // CRC-16
+    val file = ("fLaC".getBytes("US-ASCII").map(_.toInt) ++
+      Array(0x80, 0x00, 0x00, 34) ++ streamInfo ++ frame).map(_.toByte)
+    FlacOps.decodePcm(file) match {
+      case Right(pcm) =>
+        assert(pcm.sample_rate == 44100 && pcm.channels == 1 && pcm.bits == 8)
+        assert(pcm.samples.toSeq == Seq(10, 12, 11, 14, 10, 13, 12, 15))
+      case Left(r) => fail(s"hand-built RFC frame rejected: $r")
+    }
+    // a decoder with MIRRORED unary polarity (ones then a terminating
+    // zero) or an unfolded residual would decode different samples or
+    // fail the CRC — flip one residual bit and the CRC-16 must catch it
+    val flipped = file.clone()
+    flipped(file.length - 5) = (flipped(file.length - 5) ^ 0x10).toByte
+    assert(FlacOps.decodePcm(flipped) == Left("crc16-mismatch"))
+  }
+
   test("bomb cap: a stream declaring 2^35 samples is refused before " +
     "allocation") {
     val enc = FlacOps.encodeFlac(Array.fill(16)(1), 1, 44100, 16, 16)
