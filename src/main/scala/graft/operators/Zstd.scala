@@ -1108,4 +1108,547 @@ object Zstd {
     bos.write(blkBytes)
     bos.toByteArray
   }
+
+  // ------------------------------------------- general LZ77 compression
+  //
+  // The write side of the engine: a REAL zstd compressor (hash-chain
+  // LZ77 match finder -> sequences through the predefined FSE tables,
+  // literals through a fresh canonical Huffman table per block), so
+  // the engine ships .warc.zst / WET / WAT shards at a real
+  // compression ratio instead of stored bytes. Verified two ways:
+  // our own RFC 8878 decoder round-trips every output (spec), and
+  // foreign libzstd decodes it byte-exact via the ctypes harness
+  // (tools/verify_zstd_encoder.py — the libpng/libtiff fixture
+  // discipline pointed at the ENCODER's output).
+  //
+  // Container notes (RFC 8878): frames are single-segment (window =
+  // content size) like every other frame this repo writes; blocks cap
+  // at 128 KiB; sequences use Predefined_Mode for all three tables
+  // (no table descriptions on the wire; the default distributions
+  // cover every code), with match offsets allowed to reach across
+  // block boundaries and — when a dictionary is supplied — into the
+  // §5 content prefix. Repeat-offset codes are never EMITTED
+  // (ofValue = offset + 3 always); the decoder's rep state updates
+  // are unaffected.
+
+  private lazy val LlDecT = fseBuild(LlDefault, LlDefaultLog)
+  private lazy val MlDecT = fseBuild(MlDefault, MlDefaultLog)
+  private lazy val OfDecT = fseBuild(OfDefault, OfDefaultLog)
+
+  /** FSE ENCODE transitions derived from the DECODE table, so the two
+    * are inverse BY CONSTRUCTION (no separately-transcribed encoder
+    * tables to mismatch): for symbol `s`, `next(s)(v)` is the unique
+    * decode state `u` with `symbol(u) = s` whose baseline range covers
+    * the successor state `v` (FSE tables partition the state space per
+    * symbol); the transition's wire bits are `v - base(u)` in
+    * `nbBits(u)` bits.
+    */
+  private final class FseEnc(val t: FseTable, nSym: Int) {
+    val size: Int = 1 << t.accLog
+    val next: Array[Array[Int]] = Array.ofDim[Int](nSym, size)
+    val first: Array[Int] = Array.fill(nSym)(-1)
+    locally {
+      var u = 0
+      while (u < size) {
+        val s = t.symbol(u)
+        if (first(s) < 0) first(s) = u
+        var v = t.base(u)
+        val end = v + (1 << t.nbBits(u))
+        while (v < end) { next(s)(v) = u; v += 1 }
+        u += 1
+      }
+    }
+  }
+
+  private lazy val LlEnc = new FseEnc(LlDecT, 36)
+  private lazy val MlEnc = new FseEnc(MlDecT, 53)
+  private lazy val OfEnc = new FseEnc(OfDecT, 29)
+
+  /** Pack (value, width) fields so a `BackBits` reader consumes them
+    * in list order: fields are laid from the top of the stream
+    * downward (LSB-first within a field, matching `BackBits.read`),
+    * with the padding marker bit immediately above the first field.
+    */
+  private def packBackward(
+      fields: scala.collection.Seq[(Long, Int)]): Array[Byte] = {
+    var total = 0
+    fields.foreach(total += _._2)
+    val out = new Array[Byte]((total + 8) / 8)
+    out(total >> 3) = (out(total >> 3) | (1 << (total & 7))).toByte
+    var top = total
+    fields.foreach { case (v, n) =>
+      top -= n
+      var i = 0
+      while (i < n) {
+        if (((v >> i) & 1L) != 0)
+          out((top + i) >> 3) =
+            (out((top + i) >> 3) | (1 << ((top + i) & 7))).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  private def llCodeOf(ll: Int): Int =
+    if (ll < 16) ll
+    else { var c = 35; while (LlBase(c) > ll) c -= 1; c }
+
+  private def mlCodeOf(ml: Int): Int =
+    if (ml <= 34) ml - 3
+    else { var c = 52; while (MlBase(c) > ml) c -= 1; c }
+
+  /** The SEQUENCES section of one compressed block (predefined FSE
+    * mode): nbSeq header, mode byte 0, then the backward bitstream —
+    * three state inits, and per sequence the OF/ML/LL extra bits plus
+    * (between sequences) the LL/ML/OF state-transition bits, all in
+    * exactly the decoder's read order.
+    */
+  private def writeSeqSection(
+      lls: Array[Int], mls: Array[Int], offs: Array[Long],
+      n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (n < 128) out.write(n)
+    else if (n < 0x7F00) { out.write((n >> 8) | 0x80); out.write(n & 0xff) }
+    else {
+      out.write(255)
+      out.write((n - 0x7F00) & 0xff); out.write(((n - 0x7F00) >> 8) & 0xff)
+    }
+    out.write(0) // LL/OF/ML all Predefined_Mode
+    val llC = new Array[Int](n); val mlC = new Array[Int](n)
+    val ofC = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      llC(k) = llCodeOf(lls(k))
+      mlC(k) = mlCodeOf(mls(k))
+      val ofValue = offs(k) + 3
+      ofC(k) = 63 - java.lang.Long.numberOfLeadingZeros(ofValue).toInt
+      if (ofC(k) > 28) throw Bail("encode-offset-range")
+      k += 1
+    }
+    // back-chain each table's decode-state sequence: the last
+    // sequence's state is free; earlier states are forced by "the next
+    // state must be reachable from mine"
+    def chain(enc: FseEnc, codes: Array[Int]): Array[Int] = {
+      val st = new Array[Int](n)
+      st(n - 1) = enc.first(codes(n - 1))
+      var i = n - 2
+      while (i >= 0) { st(i) = enc.next(codes(i))(st(i + 1)); i -= 1 }
+      st
+    }
+    val llSt = chain(LlEnc, llC)
+    val mlSt = chain(MlEnc, mlC)
+    val ofSt = chain(OfEnc, ofC)
+    val fields = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    fields += ((llSt(0).toLong, LlDefaultLog))
+    fields += ((ofSt(0).toLong, OfDefaultLog))
+    fields += ((mlSt(0).toLong, MlDefaultLog))
+    k = 0
+    while (k < n) {
+      fields += ((offs(k) + 3 - (1L << ofC(k)), ofC(k)))
+      fields += (((mls(k) - MlBase(mlC(k))).toLong, MlBits(mlC(k))))
+      fields += (((lls(k) - LlBase(llC(k))).toLong, LlBits(llC(k))))
+      if (k < n - 1) {
+        def upd(enc: FseEnc, st: Array[Int]): (Long, Int) = {
+          val cur = st(k)
+          ((st(k + 1) - enc.t.base(cur)).toLong, enc.t.nbBits(cur))
+        }
+        fields += upd(LlEnc, llSt)
+        fields += upd(MlEnc, mlSt)
+        fields += upd(OfEnc, ofSt)
+      }
+      k += 1
+    }
+    out.write(packBackward(fields))
+    out.toByteArray
+  }
+
+  /** Depth-limited canonical Huffman lengths (≤ 11 bits, the zstd
+    * table-log cap): plain Huffman first, then the classic
+    * count-per-length rebalance (each step moves one max-depth code
+    * under a shorter code's sibling, shrinking the Kraft excess by
+    * exactly one 2⁻¹¹ unit), lengths reassigned shortest-to-most-
+    * frequent. Returns null when fewer than 2 symbols are present.
+    */
+  private def huffmanLens(freq: Array[Int]): Array[Int] = {
+    val present = (0 until 256).filter(freq(_) > 0).toArray
+    val m = present.length
+    if (m < 2) return null
+    // two-queue Huffman over leaves sorted by (freq, symbol)
+    val leaves = present.sortBy(s => (freq(s), s))
+    val weight = new Array[Long](2 * m - 1)
+    val parent = new Array[Int](2 * m - 1)
+    var i = 0
+    while (i < m) { weight(i) = freq(leaves(i)).toLong; i += 1 }
+    var leafHead = 0
+    var nodeHead = m
+    var nodeTail = m
+    var made = 0
+    while (made < m - 1) {
+      def takeMin(): Int =
+        if (leafHead < m &&
+          (nodeHead >= nodeTail || weight(leafHead) <= weight(nodeHead))) {
+          leafHead += 1; leafHead - 1
+        } else { nodeHead += 1; nodeHead - 1 }
+      val a = takeMin(); val b = takeMin()
+      weight(nodeTail) = weight(a) + weight(b)
+      parent(a) = nodeTail; parent(b) = nodeTail
+      nodeTail += 1; made += 1
+    }
+    val lens = new Array[Int](256)
+    i = 0
+    while (i < m) {
+      var d = 0
+      var u = i
+      while (u != 2 * m - 2) { u = parent(u); d += 1 }
+      lens(leaves(i)) = d
+      i += 1
+    }
+    // depth-limit to 11 preserving Kraft completeness (integer units
+    // of 2^-11: the sum must land on exactly 2048)
+    val blCount = new Array[Int](13)
+    present.foreach(s => blCount(math.min(lens(s), 11)) += 1)
+    var kraft = 0L
+    for (l <- 1 to 11) kraft += blCount(l).toLong << (11 - l)
+    while (kraft > 2048) {
+      var l = 10
+      while (l > 0 && blCount(l) == 0) l -= 1
+      blCount(l) -= 1
+      blCount(l + 1) += 2
+      blCount(11) -= 1
+      kraft -= 1
+    }
+    // reassign: most frequent symbols take the shortest lengths
+    val byFreq = present.sortBy(s => (-freq(s).toLong, s))
+    var idx = 0
+    for (l <- 1 to 11; _ <- 0 until blCount(l)) {
+      lens(byFreq(idx)) = l
+      idx += 1
+    }
+    lens
+  }
+
+  /** Huffman-compress `lits(0 until len)` into a complete LITERALS
+    * section (header + direct-nibble weights + 1 or 4 backward
+    * streams), canonical codes mirroring `hufFromWeights`' table
+    * layout exactly. Returns null when Huffman cannot beat raw
+    * literals (or the alphabet's top symbol exceeds the 128-weight
+    * direct-header form — binary-heavy blocks then ship raw literals
+    * and still compress through matches).
+    */
+  private def hufCompressLiterals(lits: Array[Byte], len: Int): Array[Byte] = {
+    val freq = new Array[Int](256)
+    var i = 0
+    while (i < len) { freq(lits(i) & 0xff) += 1; i += 1 }
+    var maxPresent = 255
+    while (maxPresent >= 0 && freq(maxPresent) == 0) maxPresent -= 1
+    if (maxPresent > 128) return null
+    val lens = huffmanLens(freq)
+    if (lens == null) return null
+    var tlog = 0
+    for (s <- 0 to maxPresent if freq(s) > 0) tlog = math.max(tlog, lens(s))
+    // canonical codes in hufFromWeights' layout: weight w = tlog+1-len,
+    // longest codes (weight 1) at the low end, natural symbol order
+    // within a weight; a symbol's code is the shared high-bit prefix of
+    // its table range
+    val w = new Array[Int](maxPresent + 1)
+    for (s <- 0 to maxPresent if freq(s) > 0) w(s) = tlog + 1 - lens(s)
+    val rankCount = new Array[Int](13)
+    for (s <- 0 to maxPresent if w(s) > 0) rankCount(w(s)) += 1
+    val rankNext = new Array[Int](13)
+    var acc = 0
+    for (wt <- 1 to 12) { rankNext(wt) = acc; acc += rankCount(wt) << (wt - 1) }
+    val code = new Array[Int](maxPresent + 1)
+    val nbb = new Array[Int](maxPresent + 1)
+    for (s <- 0 to maxPresent if w(s) > 0) {
+      val start = rankNext(w(s))
+      rankNext(w(s)) += 1 << (w(s) - 1)
+      code(s) = start >> (w(s) - 1)
+      nbb(s) = tlog + 1 - w(s)
+    }
+    // weights description: direct nibbles for symbols 0..maxPresent-1,
+    // the last present symbol's weight implied by the power-of-two gap
+    val nExplicit = maxPresent
+    val desc = new Array[Byte](1 + (nExplicit + 1) / 2)
+    desc(0) = (127 + nExplicit).toByte
+    i = 0
+    while (i < nExplicit) {
+      val nib = w(i)
+      val at = 1 + i / 2
+      desc(at) = (if (i % 2 == 0) (desc(at) | (nib << 4))
+                  else (desc(at) | nib)).toByte
+      i += 1
+    }
+    def streamBytes(from: Int, until: Int): Array[Byte] = {
+      val fields = new scala.collection.mutable.ArrayBuffer[(Long, Int)](until - from)
+      var j = from
+      while (j < until) {
+        val s = lits(j) & 0xff
+        fields += ((code(s).toLong, nbb(s)))
+        j += 1
+      }
+      packBackward(fields)
+    }
+    val fourStream = len >= 256
+    val streams: Array[Array[Byte]] =
+      if (!fourStream) Array(streamBytes(0, len))
+      else {
+        val per = (len + 3) / 4
+        Array(streamBytes(0, per), streamBytes(per, 2 * per),
+          streamBytes(2 * per, 3 * per), streamBytes(3 * per, len))
+      }
+    // Compressed_Size counts EVERYTHING after the literals header:
+    // tree description + jump table + streams (RFC §3.1.1.3.1.1)
+    val cmpSize = desc.length + streams.map(_.length).sum +
+      (if (fourStream) 6 else 0)
+    val regen = len
+    // header: type 2, the smallest size-format that fits both fields
+    val hdr = new java.io.ByteArrayOutputStream()
+    if (!fourStream && regen < 1024 && cmpSize < 1024) {
+      val v = 2L | (0L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 14)
+      hdr.write((v & 0xff).toInt); hdr.write(((v >> 8) & 0xff).toInt)
+      hdr.write(((v >> 16) & 0xff).toInt)
+    } else if (fourStream && regen < 1024 && cmpSize < 1024) {
+      val v = 2L | (1L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 14)
+      hdr.write((v & 0xff).toInt); hdr.write(((v >> 8) & 0xff).toInt)
+      hdr.write(((v >> 16) & 0xff).toInt)
+    } else if (fourStream && regen < 16384 && cmpSize < 16384) {
+      val v = 2L | (2L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 18)
+      hdr.write((v & 0xff).toInt); hdr.write(((v >> 8) & 0xff).toInt)
+      hdr.write(((v >> 16) & 0xff).toInt); hdr.write(((v >> 24) & 0xff).toInt)
+    } else if (fourStream && regen < 262144 && cmpSize < 262144) {
+      val v = 2L | (3L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 22)
+      hdr.write((v & 0xff).toInt); hdr.write(((v >> 8) & 0xff).toInt)
+      hdr.write(((v >> 16) & 0xff).toInt); hdr.write(((v >> 24) & 0xff).toInt)
+      hdr.write(((v >> 32) & 0xff).toInt)
+    } else return null
+    val total = hdr.size() + cmpSize
+    val rawCost = len + (if (len <= 31) 1 else if (len <= 4095) 2 else 3)
+    if (total >= rawCost) return null
+    val out = new java.io.ByteArrayOutputStream(total)
+    hdr.writeTo(out)
+    out.write(desc)
+    if (fourStream) {
+      for (k <- 0 until 3) {
+        out.write(streams(k).length & 0xff)
+        out.write((streams(k).length >> 8) & 0xff)
+      }
+    }
+    streams.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Raw (or RLE when uniform) LITERALS section. */
+  private def rawLiteralsSection(lits: Array[Byte], len: Int): Array[Byte] = {
+    var rle = len >= 2
+    var i = 1
+    while (rle && i < len) { rle = lits(i) == lits(0); i += 1 }
+    val ltype = if (rle) 1 else 0
+    val out = new java.io.ByteArrayOutputStream()
+    if (len <= 31) out.write((len << 3) | ltype)
+    else if (len <= 4095) {
+      out.write(((len & 0xF) << 4) | (1 << 2) | ltype)
+      out.write(len >> 4)
+    } else {
+      out.write(((len & 0xF) << 4) | (3 << 2) | ltype)
+      out.write((len >> 4) & 0xff)
+      out.write((len >> 12) & 0xff)
+    }
+    if (rle) out.write(lits(0) & 0xff)
+    else out.write(lits, 0, len)
+    out.toByteArray
+  }
+
+  private def literalsSection(lits: Array[Byte], len: Int): Array[Byte] = {
+    if (len == 0) return Array(0.toByte) // raw, size 0
+    var uniform = true
+    var i = 1
+    while (uniform && i < len) { uniform = lits(i) == lits(0); i += 1 }
+    if (uniform) return rawLiteralsSection(lits, len)
+    val huf = hufCompressLiterals(lits, len)
+    if (huf != null) huf else rawLiteralsSection(lits, len)
+  }
+
+  private val EncMaxInput = 1 << 26 // 64 MiB: executor-thread cap
+  private val EncBlock = 1 << 17 // 128 KiB: Block_Maximum_Size
+  private val EncMaxDist = 1 << 27 // keeps every offset code ≤ 27
+  private val EncChainDepth = 64
+  private val EncMinMatch = 4
+
+  /** General zstd COMPRESSION (RFC 8878): hash-chain LZ77 over the
+    * whole frame (windows span block boundaries; a supplied `dict`
+    * extends the window backward as the §5 content prefix), greedy
+    * parse with one-position lazy evaluation, literals through a
+    * per-block canonical Huffman table, sequences through the
+    * predefined FSE tables. Every block is emitted at the cheaper of
+    * compressed/raw (RLE when uniform), so output never exceeds input
+    * by more than the frame+block framing. Single-segment frame;
+    * `dictId != 0` writes the Dictionary_ID field (decoders must then
+    * be handed the dictionary).
+    *
+    * Verification: round-tripped by this file's own decoder across the
+    * spec matrix AND decoded byte-exact by foreign libzstd via ctypes
+    * (`tools/verify_zstd_encoder.py`, run recorded in its header).
+    */
+  def encode(
+      data: Array[Byte], dict: Array[Byte] = Array.emptyByteArray,
+      dictId: Long = 0L): Array[Byte] = {
+    require(data.length <= EncMaxInput, "encode input exceeds 64 MiB cap")
+    require(dict.length <= EncMaxInput, "dict exceeds 64 MiB cap")
+    val base = dict.length
+    val buf =
+      if (base == 0) data
+      else {
+        val b = new Array[Byte](base + data.length)
+        System.arraycopy(dict, 0, b, 0, base)
+        System.arraycopy(data, 0, b, base, data.length)
+        b
+      }
+    val n = buf.length
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    // frame header: magic, single-segment descriptor, optional dict id,
+    // FCS over the DATA only (the dict is window prefix, not content)
+    bos.write(0x28); bos.write(0xB5); bos.write(0x2F); bos.write(0xFD)
+    val contentSize = data.length.toLong
+    val fcsCode =
+      if (contentSize <= 255) 0
+      else if (contentSize <= 65535L + 256) 1
+      else 2
+    val dictFlag = if (dictId == 0) 0 else 3
+    bos.write((fcsCode << 6) | 0x20 | dictFlag)
+    if (dictFlag == 3) {
+      bos.write((dictId & 0xff).toInt); bos.write(((dictId >> 8) & 0xff).toInt)
+      bos.write(((dictId >> 16) & 0xff).toInt)
+      bos.write(((dictId >> 24) & 0xff).toInt)
+    }
+    fcsCode match {
+      case 0 => bos.write(contentSize.toInt)
+      case 1 =>
+        val v = (contentSize - 256).toInt
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      case _ =>
+        bos.write((contentSize & 0xff).toInt)
+        bos.write(((contentSize >> 8) & 0xff).toInt)
+        bos.write(((contentSize >> 16) & 0xff).toInt)
+        bos.write(((contentSize >> 24) & 0xff).toInt)
+    }
+    if (data.length == 0) {
+      bos.write(1); bos.write(0); bos.write(0) // last raw block, size 0
+      return bos.toByteArray
+    }
+    // hash chains over the whole buffer (dict prefix preloaded so
+    // matches reach into it); table sized to the input
+    var hashLog = 10
+    while (hashLog < 17 && (1 << hashLog) < n) hashLog += 1
+    val head = Array.fill(1 << hashLog)(-1)
+    val chain = new Array[Int](n)
+    def hash4(p: Int): Int = {
+      val v = (buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8) |
+        ((buf(p + 2) & 0xff) << 16) | ((buf(p + 3) & 0xff) << 24)
+      (v * 0x9E3779B1) >>> (32 - hashLog)
+    }
+    def insert(p: Int): Unit =
+      if (p + 4 <= n) { val h = hash4(p); chain(p) = head(h); head(h) = p }
+    var p0 = 0
+    while (p0 < base) { insert(p0); p0 += 1 }
+    // (bestLen << 32) | offset, 0 when none
+    def findMatch(p: Int, limit: Int): Long = {
+      if (p + EncMinMatch > limit) return 0L
+      var cand = head(hash4(p))
+      var depth = EncChainDepth
+      var bestLen = EncMinMatch - 1
+      var bestOff = 0
+      val maxLen = limit - p
+      while (cand >= 0 && depth > 0 && p - cand <= EncMaxDist &&
+        bestLen < maxLen) {
+        // quick reject: the byte that would extend the current best
+        if (cand + bestLen < n && buf(cand + bestLen) == buf(p + bestLen)) {
+          var l = 0
+          while (l < maxLen && buf(cand + l) == buf(p + l)) l += 1
+          if (l > bestLen) { bestLen = l; bestOff = p - cand }
+        }
+        cand = chain(cand)
+        depth -= 1
+      }
+      if (bestOff == 0) 0L else (bestLen.toLong << 32) | bestOff.toLong
+    }
+    var segStart = base
+    while (segStart < n) {
+      val segEnd = math.min(segStart + EncBlock, n)
+      val segLen = segEnd - segStart
+      val lastBlock = segEnd == n
+      // parse this block's content (matching against the whole window)
+      val lls = new scala.collection.mutable.ArrayBuffer[Int]()
+      val mls = new scala.collection.mutable.ArrayBuffer[Int]()
+      val offs = new scala.collection.mutable.ArrayBuffer[Long]()
+      val lits = new Array[Byte](segLen)
+      var litLen = 0
+      var anchor = segStart
+      var p = segStart
+      while (p < segEnd) {
+        var m = findMatch(p, segEnd)
+        if (m == 0L) { insert(p); p += 1 }
+        else {
+          // lazy-1: a strictly longer match one byte later wins
+          if (p + 1 < segEnd) {
+            val m2 = findMatch(p + 1, segEnd)
+            if ((m2 >>> 32) > (m >>> 32)) { insert(p); p += 1; m = 0L }
+          }
+          if (m != 0L) {
+            val len = (m >>> 32).toInt
+            val off = m & 0xFFFFFFFFL
+            val ll = p - anchor
+            System.arraycopy(buf, anchor, lits, litLen, ll)
+            litLen += ll
+            lls += ll; mls += len; offs += off
+            val stop = p + len
+            while (p < stop) { insert(p); p += 1 }
+            anchor = p
+          }
+        }
+      }
+      val tail = segEnd - anchor
+      System.arraycopy(buf, anchor, lits, litLen, tail)
+      litLen += tail
+      // assemble the cheapest valid block
+      val nSeq = lls.length
+      val blkBytes: Array[Byte] =
+        if (nSeq == 0) {
+          val ls = literalsSection(lits, litLen)
+          val b = new Array[Byte](ls.length + 1)
+          System.arraycopy(ls, 0, b, 0, ls.length)
+          b(ls.length) = 0 // nbSeq = 0
+          b
+        } else {
+          val ls = literalsSection(lits, litLen)
+          val ss = writeSeqSection(lls.toArray, mls.toArray, offs.toArray, nSeq)
+          val b = new Array[Byte](ls.length + ss.length)
+          System.arraycopy(ls, 0, b, 0, ls.length)
+          System.arraycopy(ss, 0, b, ls.length, ss.length)
+          b
+        }
+      val lastBit = if (lastBlock) 1 else 0
+      var uniform = true
+      var i = segStart + 1
+      while (uniform && i < segEnd) { uniform = buf(i) == buf(segStart); i += 1 }
+      if (uniform && segLen >= 4) {
+        // RLE block: regenerated size on the wire, one content byte
+        val hdr = lastBit | (1 << 1) | (segLen << 3)
+        bos.write(hdr & 0xff); bos.write((hdr >> 8) & 0xff)
+        bos.write((hdr >> 16) & 0xff)
+        bos.write(buf(segStart) & 0xff)
+      } else if (blkBytes.length < segLen) {
+        val hdr = lastBit | (2 << 1) | (blkBytes.length << 3)
+        bos.write(hdr & 0xff); bos.write((hdr >> 8) & 0xff)
+        bos.write((hdr >> 16) & 0xff)
+        bos.write(blkBytes)
+      } else {
+        val hdr = lastBit | (segLen << 3) // raw
+        bos.write(hdr & 0xff); bos.write((hdr >> 8) & 0xff)
+        bos.write((hdr >> 16) & 0xff)
+        bos.write(buf, segStart, segLen)
+      }
+      segStart = segEnd
+    }
+    bos.toByteArray
+  }
 }
