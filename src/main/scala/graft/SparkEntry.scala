@@ -184,6 +184,7 @@ object SparkEntry {
     "q192_cdx_zst_fetch" -> (CdxOps.q192CdxZstFetch(_, _)),
     "q193_png_depth" -> (MultimodalOps.q193PngDepthDecode(_, _)),
     "q194_span_corruption" -> (PackOps.q194SpanCorruption(_, _)),
+    "q195_warc_zst_write" -> (WarcOps.q195WarcZstWrite(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2045,6 +2046,21 @@ object SparkEntry {
         |  200::BIGINT AS status,
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
+    // write-side .warc.zst (q195): the q186 contract, but the archives
+    // were WRITTEN by the general LZ77 compressor (hash-chain matches,
+    // Huffman literals, predefined-FSE sequences, dict-seeded) — the
+    // extraction oracle catches any encoder slip, and ratio_lt_60 pins
+    // that every archive genuinely compressed (a regression to stored
+    // bytes flips the flag on every row)
+    "q195_warc_zst_write" -> (htmlExtractCtes(
+      " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
+        "' || doc_id || '</p>'") +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha,
+        |  true AS ratio_lt_60
         |FROM b ORDER BY doc_id""".stripMargin),
     // redirect resolution (q179): WARC-borne 301/302 chains collapse
     // to their block-base 200s in MaxHops bounded equi-joins;

@@ -705,6 +705,85 @@ object WarcOps {
     extractToDocs(extractRecords(spark,
       syntheticWarcZstDict(Tables.documents(spark, dir))).toDF())
 
+  /** The WRITE-side `.warc.zst` production shape: webrecorder layout
+    * (leading skippable dictionary frame, one frame per record) with
+    * every record frame GENUINELY COMPRESSED by the general LZ77
+    * encoder (`Zstd.encode` — hash-chain matches through the
+    * predefined-FSE/Huffman writer), dict-seeded so shared record
+    * prefixes cost one match into the §5 content prefix. Emits the
+    * per-group byte accounting alongside the archive so the ratio is
+    * part of the tested contract, not a side effect.
+    */
+  private[graft] def syntheticWarcZstCompressed(
+      docs: DataFrame, groups: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    HtmlOps.syntheticHtml(docs)
+      .select(col("doc_id"), concat(col("html"),
+        lit("<p>" + Utf8Marker), col("doc_id").cast("string"), lit("</p>")).as("html"))
+      .select((col("doc_id") % groups).as("group_id"),
+        struct(col("doc_id"), warcRecordCol.as("rec")).as("s"))
+      .groupBy(col("group_id"))
+      .agg(expr("transform(array_sort(collect_list(s)), x -> x.rec)").as("recs"))
+      .as[(Long, Seq[String])]
+      .map { case (gid, recs) =>
+        // SAMPLED dictionary (the production convention for small
+        // records — ZDICT trains on a record sample; we take the
+        // leading records up to 8 KiB verbatim): record skeletons AND
+        // the corpus vocabulary become cross-record matches into the
+        // §5 prefix, which is where the ratio on sub-KB records lives
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val sample = new java.io.ByteArrayOutputStream()
+        sample.write(WarcRecPrefix)
+        recs.iterator.takeWhile(_ => sample.size < 8192)
+          .foreach(r => sample.write(r.getBytes(utf8)))
+        val dictContent = sample.toByteArray
+        val dictBlob = Zstd.encodeStructuredDict(WarcZstDictId, dictContent)
+        val packed = Zstd.encode(dictBlob) // the dict frame compresses too
+        val head = new java.io.ByteArrayOutputStream()
+        head.write(0x5D); head.write(0x2A); head.write(0x4D); head.write(0x18)
+        val sz = packed.length
+        head.write(sz & 0xff); head.write((sz >> 8) & 0xff)
+        head.write((sz >> 16) & 0xff); head.write((sz >> 24) & 0xff)
+        head.write(packed)
+        var rawLen = 0L
+        val frames = recs.map { r =>
+          val bytes = r.getBytes(utf8)
+          rawLen += bytes.length
+          Zstd.encode(bytes, dictContent, WarcZstDictId)
+        }
+        val warc = frames.foldLeft(head.toByteArray)(_ ++ _)
+        (gid, warc, rawLen, warc.length.toLong)
+      }
+      .toDF("group_id", "warc", "raw_len", "comp_len")
+  }
+
+  /** q195: write → read `.warc.zst` with REAL compression — the q186
+    * contract (same extraction oracle: any slip in the encoder's
+    * sequences, Huffman literals, or dict referencing changes rows)
+    * PLUS a per-doc `ratio_lt_60` flag pinning that the archive each
+    * document travelled through genuinely compressed (oracle expects
+    * uniformly true; an encoder regression to stored bytes fails every
+    * row). The 8-row accounting side joins back by broadcast.
+    *
+    * Scale shape (100 TB): the encoder is per-record executor work —
+    * byte-linear, allocation bounded by the 64 MiB input cap; the
+    * archive group-by is the corpus-construction shuffle shared with
+    * q135/q185/q186.
+    */
+  def q195WarcZstWrite(spark: SparkSession, dir: String): DataFrame = {
+    val arch = syntheticWarcZstCompressed(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flags = arch.select(col("group_id"),
+      (col("comp_len").cast("double") <
+        col("raw_len").cast("double") * 0.6).as("ratio_lt_60"))
+    val docs = extractToDocs(extractRecords(spark, arch).toDF())
+    docs.join(broadcast(flags), docs("doc_id") % 8 === flags("group_id"))
+      .select(docs("doc_id"), col("url"), col("status"), col("n_blocks"),
+        col("text_sha"), col("ratio_lt_60"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q128: the full crawl front door — WARC walk → HTTP split → HTML
     * extraction — over multi-record synthetic archives; per document
     * the URI, HTTP status, block count, and extracted-text sha, all
