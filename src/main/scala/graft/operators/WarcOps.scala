@@ -843,7 +843,10 @@ object WarcOps {
             if (id % 10 == 4)
               ("Content-Encoding: br\r\n", Brotli.encodeUncompressed(raw))
             else if (id % 20 == 9)
-              ("Content-Encoding: zstd\r\n", Zstd.encodeRaw(raw))
+              // REAL compressed zstd since round 19 (the general LZ77
+              // encoder) — the decoder must inflate genuine
+              // sequences/Huffman, not just unwrap raw blocks
+              ("Content-Encoding: zstd\r\n", Zstd.encode(raw))
             else ("Content-Encoding: compress\r\n", raw)
         }
         val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
