@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps, RedirectOps, AudioDedupOps, XlsxOps, WatOps}
+import graft.operators.{ClassifyOps, CurateOps, Mp4Ops, PdfOps, RobotsOps, DedupOps, GraphOps, HtmlOps, LayoutOps, MarkdownOps, MessageOps, MultimodalOps, PackOps, PiiOps, RelationalOps, SampleOps, SearchOps, SessionOps, SimilarityOps, SkewOps, TextOps, TimeSeriesOps, UnigramOps, UrlOps, WarcOps, ZipOps, EpubOps, SitemapOps, CdxOps, TarOps, WetOps, FeedOps, MetaOps, TfRecordOps, Mp3Ops, FrontierOps, SubtitleOps, ScriptOps, SnapshotDiffOps, EmailOps, UnidiffOps, FlacOps, TiffOps, NotebookOps, CodeOps, SentenceOps, LangIdOps, OggOps, TabularOps, SvgOps, ReportOps, RedirectOps, AudioDedupOps, XlsxOps, WatOps, DumpOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -185,6 +185,7 @@ object SparkEntry {
     "q193_png_depth" -> (MultimodalOps.q193PngDepthDecode(_, _)),
     "q194_span_corruption" -> (PackOps.q194SpanCorruption(_, _)),
     "q195_warc_zst_write" -> (WarcOps.q195WarcZstWrite(_, _)),
+    "q196_dump_multistream" -> (DumpOps.q196DumpMultistream(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2062,6 +2063,20 @@ object SparkEntry {
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha,
         |  true AS ratio_lt_60
         |FROM b ORDER BY doc_id""".stripMargin),
+    // multistream .xml.bz2 dump (q196): the Wikipedia-dump staple —
+    // shards written by the repo's own conforming bzip2 encoder (one
+    // stream per 10-page batch, streams concatenated), walked by the
+    // libbz2-fixture-proven decoder stream-at-a-time; title/text
+    // recovered through the XML entity round-trip. The oracle replays
+    // the stream ordinal with the same row_number arithmetic and the
+    // text sha from documents directly.
+    "q196_dump_multistream" ->
+      """SELECT doc_id, 'Doc ' || doc_id AS title,
+        |  ((row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |     - 1) // 10)::BIGINT AS stream_idx,
+        |  'ok' AS status,
+        |  sha256(text) AS text_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // redirect resolution (q179): WARC-borne 301/302 chains collapse
     // to their block-base 200s in MaxHops bounded equi-joins;
     // self-loops surface typed (is_loop, final '') - the URL-alias
@@ -2279,7 +2294,9 @@ object SparkEntry {
         |    sum(strlen(ptext)) AS pbytes
         |  FROM parts, ld GROUP BY doc_id)
         |SELECT a.doc_id, 'ok' AS status,
-        |  CASE WHEN a.doc_id % 2 = 0 THEN 'tar' ELSE 'tgz' END AS container,
+        |  CASE WHEN a.doc_id % 2 = 0 THEN 'tar'
+        |       WHEN a.doc_id % 4 = 3 THEN 'tar.bz2'
+        |       ELSE 'tgz' END AS container,
         |  (a.k + 3)::BIGINT AS n_members, (a.k + 2)::BIGINT AS n_files,
         |  (a.pbytes + strlen('Tar № ' || a.doc_id) + 64)::BIGINT AS n_bytes,
         |  sha256(dir || chr(10) || 'meta/decoy.bin' || chr(10) || a.pnames ||

@@ -89,6 +89,19 @@ object Bzip2 {
     * any CRC mismatch, or past `maxOut`.
     */
   def decode(b: Array[Byte], maxOut: Int = 1 << 26): Either[String, Array[Byte]] =
+    decodeStreams(b, maxOut).map { parts =>
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach(out.write)
+      out.toByteArray
+    }
+
+  /** Per-STREAM decode of a (possibly concatenated) `.bz2` input — the
+    * Wikipedia *multistream* dump walk, where each stream is an
+    * independently-seekable article batch and the boundaries carry
+    * meaning.
+    */
+  def decodeStreams(
+      b: Array[Byte], maxOut: Int = 1 << 26): Either[String, Seq[Array[Byte]]] =
     try Right(decodeOrThrow(b, maxOut))
     catch {
       case x: Bail => Left(x.reason)
@@ -96,11 +109,12 @@ object Bzip2 {
       case _: NegativeArraySizeException => Left("malformed")
     }
 
-  private def decodeOrThrow(b: Array[Byte], maxOut: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
+  private def decodeOrThrow(b: Array[Byte], maxOut: Int): Seq[Array[Byte]] = {
+    val parts = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val in = new BitIn(b)
-    var streams = 0
+    var total = 0L
     while (in.moreBytes) {
+      val out = new java.io.ByteArrayOutputStream()
       if (in.read(8) != 'B' || in.read(8) != 'Z' || in.read(8) != 'h')
         throw Bail("stream-magic")
       val level = in.read(8).toInt - '0'
@@ -115,15 +129,16 @@ object Bzip2 {
           if (streamCrc != combined) throw Bail("stream-crc")
           go = false
         } else if (magic == BlockMagic) {
-          val crc = decodeBlock(in, blockMax, out, maxOut)
+          val crc = decodeBlock(in, blockMax, out, maxOut, total)
           combined = ((combined << 1) | (combined >>> 31)) ^ crc
         } else throw Bail("block-magic")
       }
       in.alignByte()
-      streams += 1
+      total += out.size()
+      parts += out.toByteArray
     }
-    if (streams == 0) throw Bail("empty-input")
-    out.toByteArray
+    if (parts.isEmpty) throw Bail("empty-input")
+    parts.toSeq
   }
 
   /** One block: entropy stage → BWT inverse → RLE1; returns the
@@ -131,7 +146,7 @@ object Bzip2 {
     */
   private def decodeBlock(
       in: BitIn, blockMax: Int, out: java.io.ByteArrayOutputStream,
-      maxOut: Int): Int = {
+      maxOut: Int, emittedBefore: Long): Int = {
     val wantCrc = in.read(32).toInt
     if (in.readBit() == 1) throw Bail("randomized-deprecated")
     val origPtr = in.read(24).toInt
@@ -303,7 +318,8 @@ object Bzip2 {
     var runCount = 0
     var decodedInBlock = 0L
     def emit(byte: Int, times: Int): Unit = {
-      if (out.size().toLong + times > maxOut) throw Bail("output-cap")
+      if (emittedBefore + out.size().toLong + times > maxOut)
+        throw Bail("output-cap")
       var t = 0
       while (t < times) {
         out.write(byte)

@@ -143,6 +143,10 @@ object TarOps {
     * through the WARC member machinery, members concatenated back into
     * one tar stream; plaintext passes through.
     */
+  private[graft] def isBzip2(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
+      b(3) >= '1' && b(3) <= '9'
+
   private[graft] def parseTarAuto(bytes: Array[Byte]): (String, String, Seq[TarMember]) =
     if (WarcOps.isGzip(bytes)) {
       val members = WarcOps.gunzipMembers(bytes)
@@ -152,6 +156,15 @@ object TarOps {
         members.foreach(bos.write)
         val (st, ms) = parseTar(bos.toByteArray)
         ("tgz", st, ms)
+      }
+    } else if (isBzip2(bytes)) {
+      // the Gutenberg/dump-mirror shape: whole tar in (possibly
+      // multistream) bzip2 — streams concatenate back into one stream
+      Bzip2.decode(bytes) match {
+        case Left(_) => ("tar.bz2", "bad-bzip2", Nil)
+        case Right(tar) =>
+          val (st, ms) = parseTar(tar)
+          ("tar.bz2", st, ms)
       }
     } else {
       val (st, ms) = parseTar(bytes)
@@ -246,6 +259,7 @@ object TarOps {
         } ++ Seq(("marker.txt", '0', markerText(id).getBytes(utf8)))
     val tar = buildTar(members)
     if (id % 2 == 0) tar
+    else if (id % 4 == 3) Bzip2.encode(tar) // .tar.bz2 (round 19)
     else {
       val mid = tar.length / 2
       WarcOps.gzipBytes(java.util.Arrays.copyOfRange(tar, 0, mid)) ++
