@@ -186,6 +186,10 @@ object SparkEntry {
     "q194_span_corruption" -> (PackOps.q194SpanCorruption(_, _)),
     "q195_warc_zst_write" -> (WarcOps.q195WarcZstWrite(_, _)),
     "q196_dump_multistream" -> (DumpOps.q196DumpMultistream(_, _)),
+    "q197_lz4_shard" -> (DumpOps.q197Lz4Shard(_, _)),
+    "q198_fim_objective" -> (PackOps.q198FimObjective(_, _)),
+    "q199_png_trns" -> (MultimodalOps.q199PngTrns(_, _)),
+    "q200_tiff_tiled" -> (TiffOps.q200TiffTiled(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2077,6 +2081,99 @@ object SparkEntry {
         |  'ok' AS status,
         |  sha256(text) AS text_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // .jsonl.lz4 dataset shards (q197): one LZ4 frame per shard of
+    // JSON lines, written by the repo's frame encoder and walked by
+    // the liblz4-fixture-proven decoder; JSON escaping round-trips
+    // Spark-side so the oracle replays ordinals and shas directly
+    "q197_lz4_shard" ->
+      """SELECT doc_id,
+        |  (row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |     - 1)::BIGINT AS line_idx,
+        |  'ok' AS status,
+        |  sha256(text) AS text_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // FIM objective prep (q198): deterministic quarter-mark
+    // prefix/middle/suffix splits emitted in both PSM and SPM sentinel
+    // orders; DuckDB rebuilds both strings from list_slice arithmetic
+    "q198_fim_objective" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id, ws, len(ws)::INT AS n,
+        |    (len(ws) // 4)::INT AS p1,
+        |    ((len(ws) * 3) // 4)::INT AS p2 FROM t),
+        |s AS (SELECT doc_id, n, p1, p2,
+        |    array_to_string(list_slice(ws, 1, p1), ' ') AS pre,
+        |    array_to_string(list_slice(ws, p1 + 1, p2), ' ') AS mid,
+        |    array_to_string(list_slice(ws, p2 + 1, n), ' ') AS suf
+        |  FROM d)
+        |SELECT doc_id, n::BIGINT AS n_tokens, p1::BIGINT AS n_prefix,
+        |  (p2 - p1)::BIGINT AS n_middle, (n - p2)::BIGINT AS n_suffix,
+        |  sha256('<fim_prefix> ' || pre || ' <fim_suffix> ' || suf ||
+        |    ' <fim_middle> ' || mid) AS psm_sha,
+        |  sha256('<fim_suffix> ' || suf || ' <fim_prefix> ' || pre ||
+        |    ' <fim_middle> ' || mid) AS spm_sha
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // PNG tRNS transparency (q199): palette alpha table, gray level
+    // key, RGB color key, sequential + Adam7 — alpha surfaced per
+    // pixel (not composited); every channel and alpha sum is
+    // (doc_id, x, y) integer arithmetic
+    "q199_png_trns" ->
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 9)::INT AS w,
+        |    (5 + doc_id % 7)::INT AS h, (doc_id % 4)::INT AS form
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.form, d.w, d.h, xx.x, yy.y,
+        |    CASE WHEN d.form = 0 THEN (xx.x + yy.y + d.doc_id) % 16
+        |         WHEN d.form = 3 THEN (xx.x * 2 + yy.y + d.doc_id) % 16
+        |         ELSE 0 END AS idx,
+        |    (xx.x * 3 + yy.y * 5 + d.doc_id) % 256 AS glvl
+        |  FROM d, unnest(range(d.w)) AS xx(x), unnest(range(d.h)) AS yy(y)),
+        |v AS (SELECT doc_id, form, w, h,
+        |    CASE WHEN form IN (0, 3) THEN idx * 16
+        |         WHEN form = 1 THEN glvl
+        |         ELSE (doc_id + x) % 256 END AS r,
+        |    CASE WHEN form IN (0, 3) THEN 255 - idx * 16
+        |         WHEN form = 1 THEN glvl
+        |         ELSE (doc_id * 2 + y) % 256 END AS g,
+        |    CASE WHEN form IN (0, 3) THEN (idx * idx) % 256
+        |         WHEN form = 1 THEN glvl
+        |         ELSE (doc_id * 3 + x + y) % 256 END AS b,
+        |    CASE WHEN form IN (0, 3) THEN
+        |           CASE WHEN idx < 8 THEN idx * 17 ELSE 255 END
+        |         WHEN form = 1 THEN
+        |           CASE WHEN glvl = doc_id % 256 THEN 0 ELSE 255 END
+        |         ELSE CASE WHEN x = 0 AND y = 0 THEN 0 ELSE 255 END
+        |    END AS a
+        |  FROM px)
+        |SELECT doc_id,
+        |  CASE form WHEN 0 THEN 'plte4_trns' WHEN 1 THEN 'gray8_key'
+        |    WHEN 2 THEN 'rgb8_key' ELSE 'plte8_trns_adam7' END AS form,
+        |  any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b, sum(a)::BIGINT AS alpha_sum,
+        |  sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)::BIGINT AS n_transparent
+        |FROM v GROUP BY doc_id, form ORDER BY doc_id""".stripMargin,
+    // tiled + multi-sample TIFF (q200): RGB rasters with per-component
+    // predictor 2 and 16x16-tile layouts with padded edges; pixel_sum
+    // spans every sample so placement/differencing slips shift it
+    "q200_tiff_tiled" ->
+      """WITH d AS (SELECT doc_id, (20 + doc_id % 13)::INT AS w,
+        |    (10 + doc_id % 9)::INT AS h, (doc_id % 4)::INT AS form
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.form, d.w, d.h, xx.x, yy.y
+        |  FROM d, unnest(range(d.w)) AS xx(x), unnest(range(d.h)) AS yy(y)),
+        |v AS (SELECT doc_id, form, w, h,
+        |    CASE WHEN form = 1 THEN (x + 2 * y + doc_id) % 251
+        |         ELSE ((x + 2 * y + doc_id) % 251) +
+        |              ((x + 2 * y + doc_id + 11) % 251) +
+        |              ((x + 2 * y + doc_id + 22) % 251) END AS s
+        |  FROM px)
+        |SELECT doc_id, 'ok' AS status,
+        |  CASE WHEN form = 0 THEN 'strips' ELSE 'tiled' END AS layout,
+        |  CASE WHEN form = 2 THEN 'packbits' ELSE 'lzw' END AS compression,
+        |  CASE WHEN form = 1 THEN 1 ELSE 3 END::BIGINT AS spp,
+        |  any_value(w)::BIGINT AS width, any_value(h)::BIGINT AS height,
+        |  sum(s)::BIGINT AS pixel_sum
+        |FROM v GROUP BY doc_id, form ORDER BY doc_id""".stripMargin,
     // redirect resolution (q179): WARC-borne 301/302 chains collapse
     // to their block-base 200s in MaxHops bounded equi-joins;
     // self-loops surface typed (is_loop, final '') - the URL-alias

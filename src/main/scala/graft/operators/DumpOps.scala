@@ -108,4 +108,50 @@ object DumpOps {
         sha2(col("text"), 256).as("text_sha"))
       .orderBy(col("doc_id"))
   }
+
+  /** q197: `.jsonl.lz4` dataset shards — the other shard codec a
+    * training pipeline meets (beside gzip WET, zstd WARC, TFRecord,
+    * WebDataset): one LZ4 frame per shard of JSON lines, written by
+    * the repo's own frame encoder (independent 64 KiB blocks, content
+    * checksum) and walked back by the liblz4-fixture-proven decoder;
+    * JSON string escaping round-trips through Spark's own
+    * `to_json`/`get_json_object`, so the oracle replays doc_id, the
+    * line ordinal, and the text sha from `documents` directly.
+    *
+    * Scale shape (100 TB): per-shard executor work around the one
+    * corpus-construction group-by; decode is byte-linear with the
+    * 64 MiB input cap.
+    */
+  def q197Lz4Shard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shards = Tables.documents(spark, dir)
+      .select((col("doc_id") % 8).as("group_id"),
+        struct(col("doc_id"),
+          to_json(struct(col("doc_id"), col("text"))).as("line")).as("s"))
+      .groupBy(col("group_id"))
+      .agg(expr("transform(array_sort(collect_list(s)), x -> x.line)")
+        .as("lines"))
+      .as[(Long, Seq[String])]
+      .map { case (gid, lines) =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        (gid, Lz4.encode((lines.mkString("\n") + "\n").getBytes(utf8)))
+      }
+      .toDF("group_id", "shard")
+    shards.as[(Long, Array[Byte])]
+      .flatMap { case (gid, shard) =>
+        Lz4.decode(shard) match {
+          case Left(r) => Seq((gid, -1L, "bad-lz4:" + r, ""))
+          case Right(b) =>
+            new String(b, java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").toSeq.filter(_.nonEmpty).zipWithIndex
+              .map { case (l, i) => (gid, i.toLong, "ok", l) }
+        }
+      }
+      .toDF("group_id", "line_idx", "status", "line")
+      .select(
+        get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
+        col("line_idx"), col("status"),
+        sha2(get_json_object(col("line"), "$.text"), 256).as("text_sha"))
+      .orderBy(col("doc_id"))
+  }
 }

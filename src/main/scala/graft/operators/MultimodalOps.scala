@@ -323,7 +323,7 @@ object MultimodalOps {
   private[graft] def encodePngExt(
       width: Int, height: Int, colorType: Int, depth: Int,
       interlace: Boolean, samples: Array[Byte],
-      plte: Array[Byte] = null): Array[Byte] = {
+      plte: Array[Byte] = null, trns: Array[Byte] = null): Array[Byte] = {
     // caller sample layout: 16-bit depths pass BIG-ENDIAN byte pairs;
     // sub-byte gray passes one LEVEL byte per pixel (packed here)
     val chans = colorType match {
@@ -423,6 +423,8 @@ object MultimodalOps {
     ihdr(12) = if (interlace) 1 else 0
     chunk("IHDR", ihdr)
     if (colorType == 3) chunk("PLTE", plte)
+    // transparency: palette alpha table / gray key / RGB key (§11.3.2)
+    if (trns != null) chunk("tRNS", trns)
     chunk("IDAT", zOut.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -471,22 +473,34 @@ object MultimodalOps {
     * operator works unchanged. CRCs are not verified — a bit-flipped
     * chunk body must degrade, never throw (corruption fuzz pins this).
     */
-  def decodePng(b: Array[Byte]): Option[BmpImage] = {
+  def decodePng(b: Array[Byte]): Option[BmpImage] =
+    decodePngWithAlpha(b).map(_._1)
+
+  /** `decodePng` plus the TRANSPARENCY plane: alpha per pixel
+    * (0..255, `null` when the stream carries no transparency at all)
+    * from the alpha CHANNELS (color types 4/6) or the `tRNS` chunk —
+    * palette alpha table, gray level key, or RGB color key (PNG spec
+    * §11.3.2). Color stays un-composited (the q193 convention);
+    * transparency is surfaced as data, not baked into pixels.
+    */
+  def decodePngWithAlpha(b: Array[Byte]): Option[(BmpImage, Array[Byte])] = {
     if (b == null || b.length < 8 + 25 + 12) return None
     var i = 0
     while (i < 8) { if ((b(i) & 0xFF) != PngSig(i)) return None; i += 1 }
-    // chunk walk: collect IHDR + PLTE + IDAT, stop at IEND/truncation
+    // chunk walk: collect IHDR + PLTE + tRNS + IDAT, stop at IEND
     var p = 8
     var w = 0; var h = 0; var ok = false
     var colorType = 0; var depth = 8; var interlace = 0
     var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var first = true
     while (p + 8 <= b.length) {
       val len = be32(b, p)
       if (len < 0 || p + 12L + len > b.length)
         return if (ok && idat.size > 0)
-          inflatePng(w, h, colorType, depth, interlace, plte, idat.toByteArray)
+          inflatePng(w, h, colorType, depth, interlace, plte, trns,
+            idat.toByteArray)
         else None
       val typ = new String(b, p + 4, 4, StandardCharsets.US_ASCII)
       if (first) {
@@ -516,20 +530,42 @@ object MultimodalOps {
         case "PLTE" =>
           if (len % 3 != 0 || len > 768) return None
           plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
+        case "tRNS" =>
+          // shape per color type: alpha table (3, ≤ palette size),
+          // 2-byte gray key (0), 6-byte RGB key (2); alpha-channel
+          // forms must not carry one (spec) — degrade, don't throw
+          val shapeOk = colorType match {
+            case 3 => len <= 256
+            case 0 => len == 2
+            case 2 => len == 6
+            case _ => false
+          }
+          if (shapeOk)
+            trns = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
         case "IEND" => p = b.length // stop
         case _ => () // ancillary chunk — skipped
       }
       p += 12 + len
     }
     if (!ok || idat.size == 0) return None
-    inflatePng(w, h, colorType, depth, interlace, plte, idat.toByteArray)
+    inflatePng(w, h, colorType, depth, interlace, plte, trns, idat.toByteArray)
   }
 
-  /** Inflate, unfilter (per pass), extract samples, and place pixels. */
+  /** Inflate, unfilter (per pass), extract samples, and place pixels;
+    * the second result is the alpha plane (null when the stream has no
+    * transparency source).
+    */
   private def inflatePng(
       w: Int, h: Int, colorType: Int, depth: Int, interlace: Int,
-      plte: Array[Byte], z: Array[Byte]): Option[BmpImage] = {
+      plte: Array[Byte], trns: Array[Byte],
+      z: Array[Byte]): Option[(BmpImage, Array[Byte])] = {
     if (colorType == 3 && plte == null) return None
+    val alpha: Array[Byte] =
+      if (trns != null || colorType == 4 || colorType == 6) {
+        val a = new Array[Byte](w * h)
+        java.util.Arrays.fill(a, 0xFF.toByte)
+        a
+      } else null
     val bitsPP = colorType match {
       case 2 => 3 * depth
       case 4 => 2 * depth // gray + alpha
@@ -605,40 +641,64 @@ object MultimodalOps {
         while (y < hP) {
           var x = 0
           while (x < wP) {
-            val outPx = ((y0 + y * dy) * w + (x0 + x * dx)) * 3
+            val outIdx = (y0 + y * dy) * w + (x0 + x * dx)
+            val outPx = outIdx * 3
             colorType match {
               case 2 if depth == 16 =>
                 val s = y * rowBytes + x * 6 // high bytes of R,G,B
                 bgr(outPx) = recon(s + 4)
                 bgr(outPx + 1) = recon(s + 2)
                 bgr(outPx + 2) = recon(s)
+                // RGB color key: all three 16-bit samples must match
+                if (trns != null &&
+                  recon(s) == trns(0) && recon(s + 1) == trns(1) &&
+                  recon(s + 2) == trns(2) && recon(s + 3) == trns(3) &&
+                  recon(s + 4) == trns(4) && recon(s + 5) == trns(5))
+                  alpha(outIdx) = 0
               case 2 =>
                 val s = y * rowBytes + x * 3
                 bgr(outPx) = recon(s + 2)
                 bgr(outPx + 1) = recon(s + 1)
                 bgr(outPx + 2) = recon(s)
+                // 8-bit samples compare to the keys' LOW bytes (the
+                // 16-bit fields must hold ≤ 255 at this depth)
+                if (trns != null &&
+                  recon(s) == trns(1) && recon(s + 1) == trns(3) &&
+                  recon(s + 2) == trns(5))
+                  alpha(outIdx) = 0
               case 0 if depth == 16 =>
-                val g = recon(y * rowBytes + x * 2) // high byte
+                val s = y * rowBytes + x * 2
+                val g = recon(s) // high byte
                 bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
+                if (trns != null && recon(s) == trns(0) &&
+                  recon(s + 1) == trns(1))
+                  alpha(outIdx) = 0
               case 0 if depth < 8 =>
                 val bit = x * depth
                 val by = recon(y * rowBytes + (bit >> 3)) & 0xFF
                 val lvl = (by >> (8 - depth - (bit & 7))) & ((1 << depth) - 1)
                 val g = (lvl * grayScale).toByte
                 bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
+                // the key is the RAW level, pre-scaling
+                if (trns != null &&
+                  lvl == (((trns(0) & 0xFF) << 8) | (trns(1) & 0xFF)))
+                  alpha(outIdx) = 0
               case 0 =>
                 val g = recon(y * rowBytes + x)
                 bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
-              case 6 => // RGBA: color kept, alpha dropped (the
-                // dedup/feature convention — compositing would invent
-                // a background)
+                if (trns != null && trns(0) == 0 && g == trns(1))
+                  alpha(outIdx) = 0
+              case 6 => // RGBA: color kept, alpha SURFACED not baked
+                // (compositing would invent a background)
                 val s = y * rowBytes + x * 4
                 bgr(outPx) = recon(s + 2)
                 bgr(outPx + 1) = recon(s + 1)
                 bgr(outPx + 2) = recon(s)
+                alpha(outIdx) = recon(s + 3)
               case 4 => // gray + alpha
                 val g = recon(y * rowBytes + x * 2)
                 bgr(outPx) = g; bgr(outPx + 1) = g; bgr(outPx + 2) = g
+                alpha(outIdx) = recon(y * rowBytes + x * 2 + 1)
               case _ =>
                 // palette index, MSB-first within the byte
                 val bit = x * depth
@@ -648,6 +708,9 @@ object MultimodalOps {
                 bgr(outPx) = plte(idx * 3 + 2)
                 bgr(outPx + 1) = plte(idx * 3 + 1)
                 bgr(outPx + 2) = plte(idx * 3)
+                // alpha table: entries beyond it are opaque (spec)
+                if (trns != null && idx < trns.length)
+                  alpha(outIdx) = trns(idx)
             }
             x += 1
           }
@@ -656,7 +719,7 @@ object MultimodalOps {
       }
       pi += 1
     }
-    Some(BmpImage(w, h, 24, bgr))
+    Some((BmpImage(w, h, 24, bgr), alpha))
   }
 
   /** General 16-bit PCM WAV writer — `encodeWavSilence`'s layout with
@@ -2669,6 +2732,97 @@ object MultimodalOps {
         (id, label, img.width.toLong, img.height.toLong, sr, sg, sb)
       })
       .toDF("doc_id", "form", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q199: PNG tRNS TRANSPARENCY — the last non-exotic PNG form after
+    * q190/q193 (palette alpha table, gray level key, RGB color key,
+    * sequential and Adam7): the decoder must surface per-pixel alpha
+    * from the chunk, not just skip it, so the output pins `alpha_sum`
+    * and `n_transparent` alongside the q193 color sums. Forms by
+    * `id % 4`: 4-bit palette + 8-entry alpha table (0), gray8 + level
+    * key (1), truecolor8 + RGB key hitting exactly pixel (0,0) (2),
+    * 8-bit palette ADAM7 + alpha table (3). Color stays un-composited
+    * (alpha surfaced as data); every sum is (doc_id, x, y) integer
+    * arithmetic the oracle replays.
+    */
+  def q199PngTrns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (5 + id % 7).toInt
+        val form = (id % 4).toInt
+        val plte = new Array[Byte](48)
+        for (j <- 0 until 16) {
+          plte(j * 3) = (j * 16).toByte
+          plte(j * 3 + 1) = (255 - j * 16).toByte
+          plte(j * 3 + 2) = ((j * j) % 256).toByte
+        }
+        val alphaTab = Array.tabulate[Byte](8)(j => (j * 17).toByte)
+        val png = form match {
+          case 0 =>
+            val idxs = new Array[Byte](w * h)
+            for (y <- 0 until h; x <- 0 until w)
+              idxs(y * w + x) = ((x + y + id) % 16).toByte
+            encodePngExt(w, h, 3, 4, interlace = false, idxs, plte, alphaTab)
+          case 1 =>
+            val g = new Array[Byte](w * h)
+            for (y <- 0 until h; x <- 0 until w)
+              g(y * w + x) = ((x * 3 + y * 5 + id) % 256).toByte
+            val key = (id % 256).toInt
+            encodePngExt(w, h, 0, 8, interlace = false, g,
+              trns = Array[Byte](0, key.toByte))
+          case 2 =>
+            val rgb = new Array[Byte](w * h * 3)
+            for (y <- 0 until h; x <- 0 until w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((id + x) % 256).toByte
+              rgb(p + 1) = ((id * 2 + y) % 256).toByte
+              rgb(p + 2) = ((id * 3 + x + y) % 256).toByte
+            }
+            val key = Array[Byte](0, (id % 256).toByte,
+              0, ((id * 2) % 256).toByte, 0, ((id * 3) % 256).toByte)
+            encodePngExt(w, h, 2, 8, interlace = false, rgb, trns = key)
+          case _ =>
+            val idxs = new Array[Byte](w * h)
+            for (y <- 0 until h; x <- 0 until w)
+              idxs(y * w + x) = ((x * 2 + y + id) % 16).toByte
+            encodePngExt(w, h, 3, 8, interlace = true, idxs, plte, alphaTab)
+        }
+        val (img, alpha) = decodePngWithAlpha(png)
+          .getOrElse((BmpImage(0, 0, 0, Array.empty), null))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          sb += img.pixels(i) & 0xff
+          sg += img.pixels(i + 1) & 0xff
+          sr += img.pixels(i + 2) & 0xff
+          i += 3
+        }
+        var aSum = 0L
+        var nTrans = 0L
+        if (alpha != null) {
+          var k = 0
+          while (k < alpha.length) {
+            val a = alpha(k) & 0xff
+            aSum += a
+            if (a == 0) nTrans += 1
+            k += 1
+          }
+        }
+        val label = form match {
+          case 0 => "plte4_trns"
+          case 1 => "gray8_key"
+          case 2 => "rgb8_key"
+          case _ => "plte8_trns_adam7"
+        }
+        (id, label, img.width.toLong, img.height.toLong, sr, sg, sb,
+          aSum, nTrans)
+      })
+      .toDF("doc_id", "form", "width", "height", "sum_r", "sum_g", "sum_b",
+        "alpha_sum", "n_transparent")
       .orderBy(col("doc_id"))
   }
 

@@ -265,4 +265,46 @@ object PackOps {
           .as("target_sha"))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------- q198: FIM objective
+
+  /** q198: FILL-IN-THE-MIDDLE objective prep (the q194 sibling for
+    * code-model pipelines): each document splits deterministically at
+    * the 1/4 and 3/4 token marks into (prefix, middle, suffix) and is
+    * emitted in BOTH standard sentinel orders — PSM
+    * (`<fim_prefix> P <fim_suffix> S <fim_middle> M`, the
+    * infilling-at-train-time form) and SPM
+    * (`<fim_suffix> S <fim_prefix> P <fim_middle> M`, the
+    * cache-friendly variant). Pure codegen column algebra
+    * (`split`/`slice`/`concat` — no UDF, ZERO shuffle before the
+    * output sort), and the whole construction is oracle-replayable:
+    * DuckDB rebuilds both orderings from `list_slice` arithmetic and
+    * the shas must match. `Column./` is DOUBLE division, so the split
+    * marks go through `floor` (the q194 lesson).
+    *
+    * Scale shape (100 TB): one narrow projection per row; composes
+    * with packing (q82) and mixes (q42/q47) unchanged.
+    */
+  def q198FimObjective(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val p1 = floor(n / 4).cast("int") // prefix token count
+    val p2 = floor((n * 3) / 4).cast("int") // prefix+middle token count
+    val prefix = array_join(slice(toks, lit(1), p1), " ")
+    val middle = array_join(slice(toks, p1 + 1, p2 - p1), " ")
+    val suffix = array_join(slice(toks, p2 + 1, n - p2), " ")
+    val psm = concat(lit("<fim_prefix> "), prefix, lit(" <fim_suffix> "),
+      suffix, lit(" <fim_middle> "), middle)
+    val spm = concat(lit("<fim_suffix> "), suffix, lit(" <fim_prefix> "),
+      prefix, lit(" <fim_middle> "), middle)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        p1.cast("long").as("n_prefix"),
+        (p2 - p1).cast("long").as("n_middle"),
+        (n - p2).cast("long").as("n_suffix"),
+        sha2(psm, 256).as("psm_sha"),
+        sha2(spm, 256).as("spm_sha"))
+      .orderBy(col("doc_id"))
+  }
 }

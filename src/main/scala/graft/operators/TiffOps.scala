@@ -42,7 +42,7 @@ object TiffOps {
   final case class TiffInfo(
       doc_id: Long, status: String, endian: String, n_pages: Int,
       width: Int, height: Int, bits: Int, pixel_sum: Long, datetime: String,
-      compression: String)
+      compression: String, spp: Int = 1, layout: String = "strips")
 
   // --------------------------------------------------- strip compression
 
@@ -108,33 +108,38 @@ object TiffOps {
     bos.toByteArray
   }
 
-  /** Predictor 2 (TIFF §14, horizontal differencing) UNDO for gray-8
-    * rows: each byte is a delta from its left neighbor; applied after
-    * decompression, per row. The pairing real LZW TIFF writers default
-    * to (differencing turns gradients into near-constant residue).
+  /** Predictor 2 (TIFF §14, horizontal differencing) UNDO: each
+    * SAMPLE is a delta from the same component one pixel left
+    * (`d(i) += d(i - spp)` within a row of `width * spp` bytes — for
+    * RGB the channels difference independently); applied after
+    * decompression, per row. The pairing real LZW TIFF writers
+    * default to.
     */
-  private def undoPredictor2(d: Array[Byte], width: Int): Unit = {
+  private def undoPredictor2(d: Array[Byte], width: Int, spp: Int = 1): Unit = {
+    val rowBytes = width * spp
     var row = 0
-    while (row * width < d.length) {
-      var i = 1
-      while (i < width && row * width + i < d.length) {
-        d(row * width + i) =
-          ((d(row * width + i) + d(row * width + i - 1)) & 0xff).toByte
+    while (row * rowBytes < d.length) {
+      var i = spp
+      while (i < rowBytes && row * rowBytes + i < d.length) {
+        d(row * rowBytes + i) =
+          ((d(row * rowBytes + i) + d(row * rowBytes + i - spp)) & 0xff).toByte
         i += 1
       }
       row += 1
     }
   }
 
-  /** Predictor 2 APPLY (corpus construction): left-delta each row. */
-  private[graft] def applyPredictor2(data: Array[Byte], width: Int): Array[Byte] = {
+  /** Predictor 2 APPLY (corpus construction): per-sample left-delta. */
+  private[graft] def applyPredictor2(
+      data: Array[Byte], width: Int, spp: Int = 1): Array[Byte] = {
     val out = data.clone()
+    val rowBytes = width * spp
     var row = 0
-    while (row * width < out.length) {
-      var i = math.min(width, out.length - row * width) - 1
-      while (i >= 1) {
-        out(row * width + i) =
-          ((data(row * width + i) - data(row * width + i - 1)) & 0xff).toByte
+    while (row * rowBytes < out.length) {
+      var i = math.min(rowBytes, out.length - row * rowBytes) - 1
+      while (i >= spp) {
+        out(row * rowBytes + i) =
+          ((data(row * rowBytes + i) - data(row * rowBytes + i - spp)) & 0xff).toByte
         i -= 1
       }
       row += 1
@@ -392,6 +397,108 @@ object TiffOps {
     w.bos.toByteArray
   }
 
+  private[graft] def pixelC(id: Long, x: Int, y: Int, c: Int): Int =
+    ((x + 2 * y + id + 11 * c) % 251).toInt
+
+  /** Single-page writer for the round-19 geometries: multi-sample
+    * (RGB, `spp` 3) rasters with per-COMPONENT predictor 2, and TILED
+    * layouts (TileWidth/TileLength multiples of 16, edge tiles padded,
+    * codec + predictor restarting per tile — TIFF §15, the scanned-
+    * document geometry libtiff writes).
+    */
+  private[graft] def buildTiffExt(
+      id: Long, comp: Int, predictor: Int, spp: Int, tiled: Boolean,
+      rowsPerStrip: Int = 0): Array[Byte] = {
+    val le = id % 2 == 0
+    val pw = 20 + (id % 13).toInt // 20..32: 2 tiles across at tw=16
+    val ph = 10 + (id % 9).toInt // 10..18: 1..2 tiles down at tl=16
+    val tw0 = 16; val tl0 = 16
+    val w = new W(le)
+    def compress(raw: Array[Byte], rowW: Int): Array[Byte] = {
+      val d = if (predictor == 2) applyPredictor2(raw, rowW, spp) else raw
+      comp match {
+        case 5 => lzwEncode(d)
+        case 32773 => packbitsEncode(d)
+        case _ => d
+      }
+    }
+    val blobs: Seq[Array[Byte]] =
+      if (tiled) {
+        val across = (pw + tw0 - 1) / tw0
+        val down = (ph + tl0 - 1) / tl0
+        (0 until down).flatMap(ty => (0 until across).map { tx =>
+          val tile = new Array[Byte](tw0 * tl0 * spp)
+          for (y <- 0 until tl0; x <- 0 until tw0; c <- 0 until spp) {
+            val gx = tx * tw0 + x; val gy = ty * tl0 + y
+            tile((y * tw0 + x) * spp + c) =
+              if (gx < pw && gy < ph) pixelC(id, gx, gy, c).toByte
+              else 0 // edge padding (writer's duty, §15)
+          }
+          compress(tile, tw0)
+        })
+      } else {
+        val rps = if (rowsPerStrip <= 0) ph else math.min(rowsPerStrip, ph)
+        (0 until ph by rps).map { y0 =>
+          val rows = math.min(rps, ph - y0)
+          val raw = new Array[Byte](pw * rows * spp)
+          for (y <- 0 until rows; x <- 0 until pw; c <- 0 until spp)
+            raw((y * pw + x) * spp + c) = pixelC(id, x, y0 + y, c).toByte
+          compress(raw, pw)
+        }
+      }
+    w.bos.write(if (le) 'I' else 'M'); w.bos.write(if (le) 'I' else 'M')
+    w.u16(42)
+    var off = 8L
+    val blobOffs = blobs.map { s => val o = off; off += s.length; o }
+    // offset/length arrays (LONG) when >1 blob
+    val multi = blobs.length > 1
+    val arrOff = if (multi) { val o = off; off += 4L * blobs.length; o } else 0L
+    val lenOff = if (multi) { val o = off; off += 4L * blobs.length; o } else 0L
+    // BitsPerSample array (cnt = spp) lives at offset when spp = 3
+    val bitsOff = if (spp == 3) { val o = off; off += 2L * spp; o } else 0L
+    // 256,257,258,259,262,277,317 + tiled(322,323,324,325) | strips(278,273,279)
+    val entries = if (tiled) 11 else 10
+    w.u32(off) // first IFD right after arrays
+    blobs.foreach(w.bos.write)
+    if (multi) {
+      blobOffs.foreach(w.u32)
+      blobs.foreach(s => w.u32(s.length.toLong))
+    }
+    if (spp == 3) { w.u16(8); w.u16(8); w.u16(8) }
+    w.u16(entries)
+    w.entryShort(256, pw)
+    w.entryShort(257, ph)
+    if (spp == 3) { w.u16(258); w.u16(3); w.u32(3L); w.u32(bitsOff) }
+    else w.entryShort(258, 8)
+    w.entryShort(259, comp)
+    w.entryShort(262, if (spp == 3) 2 else 1) // photometric
+    w.entryShort(277, spp)
+    if (tiled) {
+      w.entryShort(322, tw0)
+      w.entryShort(323, tl0)
+      if (multi) {
+        w.u16(324); w.u16(4); w.u32(blobs.length.toLong); w.u32(arrOff)
+        w.u16(325); w.u16(4); w.u32(blobs.length.toLong); w.u32(lenOff)
+      } else {
+        w.u16(324); w.u16(4); w.u32(1L); w.u32(blobOffs.head)
+        w.u16(325); w.u16(4); w.u32(1L); w.u32(blobs.head.length.toLong)
+      }
+    } else {
+      val rps = if (rowsPerStrip <= 0) ph else math.min(rowsPerStrip, ph)
+      w.entryShort(278, rps)
+      if (multi) {
+        w.u16(273); w.u16(4); w.u32(blobs.length.toLong); w.u32(arrOff)
+        w.u16(279); w.u16(4); w.u32(blobs.length.toLong); w.u32(lenOff)
+      } else {
+        w.u16(273); w.u16(4); w.u32(1L); w.u32(blobOffs.head)
+        w.u16(279); w.u16(4); w.u32(1L); w.u32(blobs.head.length.toLong)
+      }
+    }
+    w.entryShort(317, predictor)
+    w.u32(0L)
+    w.bos.toByteArray
+  }
+
   // ----------------------------------------------------------------- walk
 
   private val MaxStrips = 1 << 16
@@ -407,7 +514,7 @@ object TiffOps {
     */
   private def stripRaster(
       b: Array[Byte], le: Boolean, width: Int, height: Int, comp: Int,
-      pred: Int, rps0: Long,
+      pred: Int, spp: Int, rps0: Long,
       offsTyp: Int, offsCnt: Long, offsAt: Int,
       lensTyp: Int, lensCnt: Long, lensAt: Int): Either[String, Array[Byte]] = {
     def u16(off: Int): Int =
@@ -451,12 +558,12 @@ object TiffOps {
     val rps = if (rps0 <= 0 || rps0 > height) height.toLong else rps0
     val nStrips = ((height + rps - 1) / rps).toInt
     if (offs.length != nStrips) return Left("bad-ifd")
-    val out = new Array[Byte](width * height)
+    val out = new Array[Byte](width * height * spp)
     var s = 0
     var o = 0
     while (s < nStrips) {
       val rows = math.min(rps, height - s * rps).toInt
-      val expected = rows * width
+      val expected = rows * width * spp
       val off = offs(s)
       val len = lens(s)
       if (off < 0 || len < 0 || off + len > b.length) return Left("truncated")
@@ -478,7 +585,104 @@ object TiffOps {
       o += expected
       s += 1
     }
-    if (pred == 2) undoPredictor2(out, width)
+    if (pred == 2) undoPredictor2(out, width, spp)
+    Right(out)
+  }
+
+  /** Decode a TILED IFD (TileWidth/TileLength/TileOffsets/
+    * TileByteCounts, TIFF §15) into the page raster: ceil(w/tw) ×
+    * ceil(h/tl) tiles in row-major order, each a FULL tw×tl raster
+    * (edge tiles padded by the writer) compressed independently —
+    * codec AND predictor restart per tile; only the valid region
+    * lands in the output.
+    */
+  private def tileRaster(
+      b: Array[Byte], le: Boolean, width: Int, height: Int, comp: Int,
+      pred: Int, spp: Int, tw: Int, tl: Int,
+      offsTyp: Int, offsCnt: Long, offsAt: Int,
+      lensTyp: Int, lensCnt: Long, lensAt: Int): Either[String, Array[Byte]] = {
+    def u16(off: Int): Int =
+      if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    def u32(off: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 4) {
+        val sh = if (le) 8 * i else 8 * (3 - i)
+        v |= (b(off + i) & 0xffL) << sh
+        i += 1
+      }
+      v
+    }
+    def values(typ: Int, cnt: Long, at: Int): Either[String, Array[Long]] = {
+      if (cnt <= 0 || cnt > MaxStrips) return Left("bad-tile-count")
+      val size = typ match {
+        case 3 => 2; case 4 => 4; case _ => return Left("bad-tile-type")
+      }
+      val start =
+        if (cnt * size <= 4) at
+        else {
+          val o = u32(at)
+          if (o < 0 || o + cnt * size > b.length) return Left("truncated")
+          o.toInt
+        }
+      if (start + cnt * size > b.length) return Left("truncated")
+      Right(Array.tabulate(cnt.toInt)(i =>
+        if (typ == 3) u16(start + size * i).toLong else u32(start + size * i)))
+    }
+    // §15: tile dims must be positive multiples of 16
+    if (tw <= 0 || tl <= 0 || tw % 16 != 0 || tl % 16 != 0)
+      return Left("bad-tile-dims")
+    val across = (width + tw - 1) / tw
+    val down = (height + tl - 1) / tl
+    val nTiles = across.toLong * down
+    if (nTiles > MaxStrips) return Left("bad-tile-count")
+    if (tw.toLong * tl * spp > (1 << 24)) return Left("bad-tile-dims")
+    val offs = values(offsTyp, offsCnt, offsAt) match {
+      case Left(r) => return Left(r)
+      case Right(v) => v
+    }
+    val lens = values(lensTyp, lensCnt, lensAt) match {
+      case Left(r) => return Left(r)
+      case Right(v) => v
+    }
+    if (offs.length != lens.length || offs.length != nTiles.toInt)
+      return Left("bad-ifd")
+    val out = new Array[Byte](width * height * spp)
+    val tileBytes = tw * tl * spp
+    var t = 0
+    while (t < nTiles) {
+      val off = offs(t)
+      val len = lens(t)
+      if (off < 0 || len < 0 || off + len > b.length) return Left("truncated")
+      val tile: Array[Byte] = comp match {
+        case 1 =>
+          if (len != tileBytes.toLong) return Left("bad-ifd")
+          java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + tileBytes)
+        case 5 =>
+          lzwDecode(b, off.toInt, len.toInt, tileBytes) match {
+            case Some(d) => d
+            case None => return Left("bad-tile")
+          }
+        case _ =>
+          packbitsDecode(b, off.toInt, len.toInt, tileBytes) match {
+            case Some(d) => d
+            case None => return Left("bad-tile")
+          }
+      }
+      if (pred == 2) undoPredictor2(tile, tw, spp)
+      val tx = t % across
+      val ty = t / across
+      val copyW = math.min(tw, width - tx * tw) * spp
+      val copyH = math.min(tl, height - ty * tl)
+      var y = 0
+      while (y < copyH) {
+        System.arraycopy(tile, y * tw * spp, out,
+          ((ty * tl + y) * width + tx * tw) * spp, copyW)
+        y += 1
+      }
+      t += 1
+    }
     Right(out)
   }
 
@@ -508,6 +712,8 @@ object TiffOps {
     val seen = scala.collection.mutable.Set.empty[Long]
     var pages = 0
     var w0 = 0; var h0 = 0; var bits0 = 0
+    var spp0 = 1
+    var layout0 = "strips"
     var sum = 0L
     var dt = ""
     var compLabel = ""
@@ -520,9 +726,13 @@ object TiffOps {
       if (base + 12 * n + 4 > b.length) return dead("truncated")
       var width = 0; var height = 0; var bits = 0; var comp = 1
       var pred = 1
+      var spp = 1
       var rps = -1L
+      var tw = -1; var tl = -1
       var offsTyp = -1; var offsCnt = 0L; var offsAt = -1
       var lensTyp = -1; var lensCnt = 0L; var lensAt = -1
+      var tOffsTyp = -1; var tOffsCnt = 0L; var tOffsAt = -1
+      var tLensTyp = -1; var tLensCnt = 0L; var tLensAt = -1
       var i = 0
       while (i < n) {
         val e = base + 12 * i
@@ -535,12 +745,28 @@ object TiffOps {
         tag match {
           case 256 => width = if (typ == 3) shortVal else longVal.toInt
           case 257 => height = if (typ == 3) shortVal else longVal.toInt
-          case 258 => bits = shortVal
+          case 258 =>
+            // count = SamplesPerPixel; >2 SHORTs live at offset — read
+            // the first (all components are 8 here or the IFD is
+            // rejected downstream by the pixel math anyway)
+            bits =
+              if (cnt * 2 <= 4) shortVal
+              else {
+                val o = longVal
+                if (o < 0 || o + 2 > b.length) return dead("truncated")
+                u16(o.toInt)
+              }
           case 259 => comp = shortVal
+          case 262 => () // photometric: gray/RGB both walk the same
           case 273 => offsTyp = typ; offsCnt = cnt; offsAt = e + 8
+          case 277 => spp = shortVal
           case 278 => rps = if (typ == 3) shortVal.toLong else longVal
           case 279 => lensTyp = typ; lensCnt = cnt; lensAt = e + 8
           case 317 => pred = shortVal
+          case 322 => tw = if (typ == 3) shortVal else longVal.toInt
+          case 323 => tl = if (typ == 3) shortVal else longVal.toInt
+          case 324 => tOffsTyp = typ; tOffsCnt = cnt; tOffsAt = e + 8
+          case 325 => tLensTyp = typ; tLensCnt = cnt; tLensAt = e + 8
           case 306 if typ == 2 =>
             val o = longVal
             if (cnt > 0 && o >= 0 && o + cnt <= b.length)
@@ -553,11 +779,19 @@ object TiffOps {
       if (comp != 1 && comp != 5 && comp != 32773)
         return dead("unsupported-compression")
       if (pred != 1 && pred != 2) return dead("unsupported-predictor")
-      if (width <= 0 || height <= 0 || offsAt < 0 || lensAt < 0)
-        return dead("bad-ifd")
-      if (width.toLong * height > (1 << 26)) return dead("bad-ifd") // bomb cap
-      val decoded = stripRaster(b, le, width, height, comp, pred, rps,
-        offsTyp, offsCnt, offsAt, lensTyp, lensCnt, lensAt) match {
+      if (spp != 1 && spp != 3) return dead("unsupported-spp")
+      val tiled = tOffsAt >= 0 || tLensAt >= 0 || tw > 0 || tl > 0
+      if (width <= 0 || height <= 0) return dead("bad-ifd")
+      if (tiled) {
+        if (tOffsAt < 0 || tLensAt < 0) return dead("bad-ifd")
+      } else if (offsAt < 0 || lensAt < 0) return dead("bad-ifd")
+      if (width.toLong * height * spp > (1 << 26)) return dead("bad-ifd")
+      val decoded = (if (tiled)
+        tileRaster(b, le, width, height, comp, pred, spp, tw, tl,
+          tOffsTyp, tOffsCnt, tOffsAt, tLensTyp, tLensCnt, tLensAt)
+      else
+        stripRaster(b, le, width, height, comp, pred, spp, rps,
+          offsTyp, offsCnt, offsAt, lensTyp, lensCnt, lensAt)) match {
         case Left(r) => return dead(r)
         case Right(d) => d
       }
@@ -565,6 +799,8 @@ object TiffOps {
       while (p < decoded.length) { sum += (decoded(p) & 0xff); p += 1 }
       if (pages == 0) {
         w0 = width; h0 = height; bits0 = bits
+        spp0 = spp
+        layout0 = if (tiled) "tiled" else "strips"
         compLabel = comp match {
           case 1 => "none"; case 5 => "lzw"; case _ => "packbits"
         }
@@ -573,7 +809,8 @@ object TiffOps {
       ifd = u32(base + 12 * n)
     }
     if (pages == 0) return dead("no-pages")
-    TiffInfo(docId, "ok", endian, pages, w0, h0, bits0, sum, dt, compLabel)
+    TiffInfo(docId, "ok", endian, pages, w0, h0, bits0, sum, dt, compLabel,
+      spp0, layout0)
   }
 
   // ----------------------------------------------------------------- q162
@@ -602,7 +839,15 @@ object TiffOps {
     * the foreign-fixture spec compares byte-exactly against libtiff's
     * input. None under exactly the conditions `parseTiff` dead-letters.
     */
-  private[graft] def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  private[graft] def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeRaster(b).collect { case (w, h, 1, d) => (w, h, d) }
+
+  /** First-page raster with its sample count — the general surface
+    * (gray or RGB, strips or tiles) the foreign-fixture spec compares
+    * byte-exactly against libtiff's input.
+    */
+  private[graft] def decodeRaster(
+      b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b.length < 8) return None
     val le =
       if (b(0) == 'I' && b(1) == 'I') true
@@ -629,9 +874,13 @@ object TiffOps {
     if (base + 12 * n + 4 > b.length) return None
     var width = 0; var height = 0; var comp = 1
     var pred = 1
+    var spp = 1
     var rps = -1L
+    var tw = -1; var tl = -1
     var offsTyp = -1; var offsCnt = 0L; var offsAt = -1
     var lensTyp = -1; var lensCnt = 0L; var lensAt = -1
+    var tOffsTyp = -1; var tOffsCnt = 0L; var tOffsAt = -1
+    var tLensTyp = -1; var tLensCnt = 0L; var tLensAt = -1
     var i = 0
     while (i < n) {
       val e = base + 12 * i
@@ -645,20 +894,33 @@ object TiffOps {
         case 257 => height = if (typ == 3) shortVal else longVal.toInt
         case 259 => comp = shortVal
         case 273 => offsTyp = typ; offsCnt = cnt; offsAt = e + 8
+        case 277 => spp = shortVal
         case 278 => rps = if (typ == 3) shortVal.toLong else longVal
         case 279 => lensTyp = typ; lensCnt = cnt; lensAt = e + 8
         case 317 => pred = shortVal
+        case 322 => tw = if (typ == 3) shortVal else longVal.toInt
+        case 323 => tl = if (typ == 3) shortVal else longVal.toInt
+        case 324 => tOffsTyp = typ; tOffsCnt = cnt; tOffsAt = e + 8
+        case 325 => tLensTyp = typ; tLensCnt = cnt; tLensAt = e + 8
         case _ => ()
       }
       i += 1
     }
-    if (width <= 0 || height <= 0 || offsAt < 0 || lensAt < 0) return None
-    if (width.toLong * height > (1 << 26)) return None
+    val tiled = tOffsAt >= 0 || tLensAt >= 0 || tw > 0 || tl > 0
+    if (width <= 0 || height <= 0) return None
+    if (tiled) { if (tOffsAt < 0 || tLensAt < 0) return None }
+    else if (offsAt < 0 || lensAt < 0) return None
+    if (spp != 1 && spp != 3) return None
+    if (width.toLong * height * spp > (1 << 26)) return None
     if (pred != 1 && pred != 2) return None
     if (comp != 1 && comp != 5 && comp != 32773) return None
-    stripRaster(b, le, width, height, comp, pred, rps,
-      offsTyp, offsCnt, offsAt, lensTyp, lensCnt, lensAt)
-      .toOption.map((width, height, _))
+    (if (tiled)
+      tileRaster(b, le, width, height, comp, pred, spp, tw, tl,
+        tOffsTyp, tOffsCnt, tOffsAt, tLensTyp, tLensCnt, tLensAt)
+    else
+      stripRaster(b, le, width, height, comp, pred, spp, rps,
+        offsTyp, offsCnt, offsAt, lensTyp, lensCnt, lensAt))
+      .toOption.map((width, height, spp, _))
   }
 
   /** q191: the q162 walk over COMPRESSED strips — PackBits
@@ -691,6 +953,40 @@ object TiffOps {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("pixel_sum"), col("datetime"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q200: the OTHER HALF of real scanned-document TIFF — multi-sample
+    * (RGB) rasters with per-COMPONENT predictor 2, and TILED layouts
+    * (16×16 tiles, padded edges, codec+predictor restarting per tile):
+    * RGB LZW+pred2 strips (`id % 4 == 0`), tiled gray LZW+pred2 (1),
+    * tiled RGB PackBits (2), tiled RGB LZW+pred2 (3). `pixel_sum`
+    * covers every sample, so a per-component differencing slip, a tile
+    * placement slip, or padded-edge leakage all shift it against the
+    * oracle's (doc_id, x, y, c) grid replay. Decoders are
+    * foreign-conformant (libtiff-written tiled/RGB fixtures decode
+    * byte-exactly — TiffCompressionSpec).
+    */
+  def q200TiffTiled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (comp, pred, spp, tiled, rps) = (id % 4) match {
+          case 0 => (5, 2, 3, false, 3)
+          case 1 => (5, 2, 1, true, 0)
+          case 2 => (32773, 1, 3, true, 0)
+          case _ => (5, 2, 3, true, 0)
+        }
+        parseTiff(id, buildTiffExt(id, comp, pred, spp, tiled, rps))
+      })
+      .toDF()
+      .select(col("doc_id"), col("status"), col("layout"),
+        col("compression"),
+        col("spp").cast("long").as("spp"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("pixel_sum"))
       .orderBy(col("doc_id"))
   }
 }

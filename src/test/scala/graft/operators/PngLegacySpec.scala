@@ -57,6 +57,66 @@ class PngLegacySpec extends AnyFunSuite {
       checkFixture(name)
   }
 
+  private def checkTrnsFixture(name: String): Unit = {
+    val png = resource(s"/png/fixture_$name.png")
+    val raw = resource(s"/png/fixture_$name.raw")
+    val w = ((raw(0) & 0xff) << 8) | (raw(1) & 0xff)
+    val h = ((raw(2) & 0xff) << 8) | (raw(3) & 0xff)
+    val (img, alpha) = MultimodalOps.decodePngWithAlpha(png)
+      .getOrElse(fail(s"$name: None"))
+    assert(img.width == w && img.height == h, s"$name dims")
+    assert(alpha != null, s"$name: tRNS must surface an alpha plane")
+    var i = 0
+    while (i < w * h) {
+      assert((img.pixels(i * 3 + 2) & 0xff) == (raw(4 + i * 3) & 0xff) &&
+        (img.pixels(i * 3 + 1) & 0xff) == (raw(4 + i * 3 + 1) & 0xff) &&
+        (img.pixels(i * 3) & 0xff) == (raw(4 + i * 3 + 2) & 0xff),
+        s"$name pixel $i")
+      assert((alpha(i) & 0xff) == (raw(4 + w * h * 3 + i) & 0xff),
+        s"$name alpha $i")
+      i += 1
+    }
+  }
+
+  test("4 foreign libpng tRNS fixtures decode byte-exactly INCLUDING " +
+    "the alpha plane: palette alpha table (4-bit sequential, 8-bit " +
+    "Adam7 with a 100-entry table), gray level key, RGB color key") {
+    for (name <- Seq("pal4_trns_19x11", "pal8_trns_adam7_13x7",
+      "gray8_trns_17x9", "rgb8_trns_13x7"))
+      checkTrnsFixture(name)
+  }
+
+  test("tRNS edges: alpha-channel forms surface their channel (not " +
+    "tRNS); streams without any transparency return a null plane; a " +
+    "malformed tRNS shape degrades to opaque, never throws") {
+    // no transparency source → null plane
+    val plain = MultimodalOps.encodePngExt(9, 5, 0, 8, interlace = false,
+      Array.tabulate[Byte](45)(i => (i * 5).toByte))
+    assert(MultimodalOps.decodePngWithAlpha(plain).exists(_._2 == null))
+    // RGBA: plane comes from the channel
+    val rgba = new Array[Byte](6 * 4 * 4)
+    for (i <- 0 until 24) {
+      rgba(i * 4) = (i * 7).toByte; rgba(i * 4 + 1) = (i * 3).toByte
+      rgba(i * 4 + 2) = i.toByte; rgba(i * 4 + 3) = (255 - i * 10).toByte
+    }
+    val (img6, a6) = MultimodalOps.decodePngWithAlpha(
+      MultimodalOps.encodePngExt(6, 4, 6, 8, interlace = false, rgba)).get
+    assert(img6.width == 6 && a6 != null)
+    for (i <- 0 until 24)
+      assert((a6(i) & 0xff) == ((255 - i * 10) & 0xff), s"rgba alpha $i")
+    // gray key round-trip through our own writer
+    val g = Array.tabulate[Byte](45)(i => (i % 16).toByte)
+    val (_, ag) = MultimodalOps.decodePngWithAlpha(
+      MultimodalOps.encodePngExt(9, 5, 0, 8, interlace = false, g,
+        trns = Array[Byte](0, 7))).get
+    for (i <- 0 until 45)
+      assert((ag(i) & 0xff) == (if (g(i) == 7) 0 else 255), s"gray key $i")
+    // wrong-shaped tRNS (3 bytes on gray) is ignored — opaque result
+    val bad = MultimodalOps.encodePngExt(9, 5, 0, 8, interlace = false, g,
+      trns = Array[Byte](0, 7, 9))
+    assert(MultimodalOps.decodePngWithAlpha(bad).exists(_._2 == null))
+  }
+
   test("own encoder round-trips the alpha forms (RGBA / gray+alpha, " +
     "both interlace modes)") {
     for (il <- Seq(false, true); (w, h) <- Seq((13, 7), (8, 8))) {

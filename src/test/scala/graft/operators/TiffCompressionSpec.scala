@@ -43,6 +43,48 @@ class TiffCompressionSpec extends AnyFunSuite {
     }
   }
 
+  test("7 more foreign libtiff fixtures: RGB (SamplesPerPixel 3) with " +
+    "per-COMPONENT predictor 2 (single- and multi-strip), RGB " +
+    "PackBits, and TILED layouts (16x16, padded edges, per-tile codec " +
+    "+ predictor restarts) — gray and RGB, LZW and PackBits") {
+    for (name <- Seq("rgb_lzw_pred2_37x21", "rgb_lzw_pred2_strips_40x18",
+      "rgb_packbits_29x13", "tiled_gray_lzw_40x29",
+      "tiled_gray_lzw_pred2_33x17", "tiled_rgb_lzw_pred2_37x21",
+      "tiled_rgb_packbits_48x32")) {
+      val tif = resource(s"/tiff/fixture_$name.tif")
+      val raw = resource(s"/tiff/fixture_$name.raw")
+      val w = ((raw(0) & 0xff) << 8) | (raw(1) & 0xff)
+      val h = ((raw(2) & 0xff) << 8) | (raw(3) & 0xff)
+      val (gw, gh, spp, bytes) = TiffOps.decodeRaster(tif)
+        .getOrElse(fail(s"$name: None"))
+      assert(gw == w && gh == h, s"$name dims")
+      assert((raw.length - 4) == w * h * spp, s"$name spp")
+      assert(java.util.Arrays.equals(bytes, raw.drop(4)), s"$name bytes")
+    }
+  }
+
+  test("own tiled/RGB writer round-trips through parseTiff: every q200 " +
+    "form, both endians, sums equal the (x, y, c) grid") {
+    for (id <- 0L until 8L) {
+      val (comp, pred, spp, tiled, rps) = (id % 4) match {
+        case 0 => (5, 2, 3, false, 3)
+        case 1 => (5, 2, 1, true, 0)
+        case 2 => (32773, 1, 3, true, 0)
+        case _ => (5, 2, 3, true, 0)
+      }
+      val info = TiffOps.parseTiff(id,
+        TiffOps.buildTiffExt(id, comp, pred, spp, tiled, rps))
+      assert(info.status == "ok", s"id=$id: ${info.status}")
+      assert(info.spp == spp && info.layout == (if (tiled) "tiled" else "strips"))
+      val pw = 20 + (id % 13).toInt
+      val ph = 10 + (id % 9).toInt
+      var want = 0L
+      for (y <- 0 until ph; x <- 0 until pw; c <- 0 until spp)
+        want += TiffOps.pixelC(id, x, y, c)
+      assert(info.pixel_sum == want, s"id=$id sum")
+    }
+  }
+
   test("own encoders round-trip through own decoders: LZW across width " +
     "bumps and a table clear, PackBits over every run shape") {
     // > 4094 distinct sequences forces the encoder's mid-stream Clear

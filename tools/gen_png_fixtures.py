@@ -23,6 +23,7 @@ L.png_set_IHDR.argtypes = [c_void_p, c_void_p, c_uint, c_uint, c_int,
                            c_int, c_int, c_int, c_int]
 L.png_set_PLTE.argtypes = [c_void_p, c_void_p, c_void_p, c_int]
 L.png_set_rows.argtypes = [c_void_p, c_void_p, POINTER(c_void_p)]
+L.png_set_tRNS.argtypes = [c_void_p, c_void_p, c_void_p, c_int, c_void_p]
 L.png_write_png.argtypes = [c_void_p, c_void_p, c_int, c_void_p]
 L.png_destroy_write_struct.argtypes = [POINTER(c_void_p), POINTER(c_void_p)]
 
@@ -37,7 +38,14 @@ PNG_COLOR_GRAY, PNG_COLOR_RGB, PNG_COLOR_PALETTE = 0, 2, 3
 PNG_INTERLACE_NONE, PNG_INTERLACE_ADAM7 = 0, 1
 
 
-def write_png(w, h, color, depth, interlace, rows_bytes, palette=None):
+class Color16(ctypes.Structure):
+    _fields_ = [("index", c_ubyte), ("red", ctypes.c_uint16),
+                ("green", ctypes.c_uint16), ("blue", ctypes.c_uint16),
+                ("gray", ctypes.c_uint16)]
+
+
+def write_png(w, h, color, depth, interlace, rows_bytes, palette=None,
+              trns_alpha=None, trns_color=None):
     """rows_bytes: list of h packed scanline byte strings."""
     out = bytearray()
 
@@ -53,6 +61,13 @@ def write_png(w, h, color, depth, interlace, rows_bytes, palette=None):
     if palette is not None:
         pal = (c_ubyte * len(palette))(*palette)
         L.png_set_PLTE(png, info, pal, len(palette) // 3)
+    if trns_alpha is not None:
+        ta = (c_ubyte * len(trns_alpha))(*trns_alpha)
+        L.png_set_tRNS(png, info, ctypes.cast(ta, c_void_p),
+                       len(trns_alpha), None)
+    if trns_color is not None:
+        L.png_set_tRNS(png, info, None, 0,
+                       ctypes.cast(byref(trns_color), c_void_p))
     row_ptrs = (c_void_p * h)()
     row_bufs = []
     for i, rb in enumerate(rows_bytes):
@@ -184,6 +199,69 @@ def gen_alpha(name, w, h, interlace, gray):
         w, h, PNG_COLOR_GA if gray else PNG_COLOR_RGBA, 8, interlace, rows), rgb)
 
 
+def save_a(name, w, h, png_bytes, rgb, alpha):
+    """tRNS fixtures: .raw = dims + RGB rows + the ALPHA plane."""
+    with open(os.path.join(TRES, f"fixture_{name}.png"), "wb") as f:
+        f.write(png_bytes)
+    with open(os.path.join(TRES, f"fixture_{name}.raw"), "wb") as f:
+        f.write(bytes([w >> 8, w & 255, h >> 8, h & 255]) +
+                bytes(rgb) + bytes(alpha))
+    print(f"{name}: {w}x{h} png={len(png_bytes)}B (+alpha)")
+
+
+def gen_palette_trns(name, w, h, depth, interlace, ntrans):
+    ncolors = 1 << depth
+    palette = []
+    for j in range(ncolors):
+        palette += [(37 * j + 5) % 256, (11 * j + 90) % 256, (53 * j) % 256]
+    trans = [(29 * j) % 256 for j in range(ntrans)]
+    rgb, alpha, rows = [], [], []
+    for y in range(h):
+        row = bytearray((w * depth + 7) // 8)
+        for x in range(w):
+            idx = (x + 2 * y) % ncolors
+            bit = x * depth
+            row[bit >> 3] |= (idx << (8 - depth - (bit & 7))) & 0xFF
+            rgb += palette[idx * 3:idx * 3 + 3]
+            alpha.append(trans[idx] if idx < ntrans else 255)
+        rows.append(bytes(row))
+    save_a(name, w, h,
+           write_png(w, h, PNG_COLOR_PALETTE, depth, interlace, rows,
+                     palette, trns_alpha=trans), rgb, alpha)
+
+
+def gen_gray_trns(name, w, h, key):
+    rgb, alpha, rows = [], [], []
+    for y in range(h):
+        row = bytearray(w)
+        for x in range(w):
+            g = (x * 3 + y * 5) % 256
+            row[x] = g
+            rgb += [g, g, g]
+            alpha.append(0 if g == key else 255)
+        rows.append(bytes(row))
+    c16 = Color16(gray=key)
+    save_a(name, w, h,
+           write_png(w, h, PNG_COLOR_GRAY, 8, PNG_INTERLACE_NONE, rows,
+                     trns_color=c16), rgb, alpha)
+
+
+def gen_rgb_trns(name, w, h, kr, kg, kb):
+    rgb, alpha, rows = [], [], []
+    for y in range(h):
+        row = bytearray(w * 3)
+        for x in range(w):
+            r, g, b = (x * 7) % 256, (y * 11) % 256, (x + y) % 256
+            row[x * 3:x * 3 + 3] = bytes([r, g, b])
+            rgb += [r, g, b]
+            alpha.append(0 if (r, g, b) == (kr, kg, kb) else 255)
+        rows.append(bytes(row))
+    c16 = Color16(red=kr, green=kg, blue=kb)
+    save_a(name, w, h,
+           write_png(w, h, PNG_COLOR_RGB, 8, PNG_INTERLACE_NONE, rows,
+                     trns_color=c16), rgb, alpha)
+
+
 if __name__ == "__main__":
     # odd dims so Adam7 passes have ragged widths; 3x3 leaves passes empty
     gen_rgb("rgb_adam7_13x7", 13, 7, PNG_INTERLACE_ADAM7)
@@ -209,3 +287,10 @@ if __name__ == "__main__":
     gen_alpha("rgba8_19x11", 19, 11, PNG_INTERLACE_NONE, gray=False)
     gen_alpha("rgba8_adam7_13x7", 13, 7, PNG_INTERLACE_ADAM7, gray=False)
     gen_alpha("graya8_17x9", 17, 9, PNG_INTERLACE_NONE, gray=True)
+    # round-19 extension: tRNS transparency (palette table, gray key,
+    # RGB key) — .raw carries the expected ALPHA plane after the RGB
+    gen_palette_trns("pal4_trns_19x11", 19, 11, 4, PNG_INTERLACE_NONE, 8)
+    gen_palette_trns("pal8_trns_adam7_13x7", 13, 7, 8,
+                     PNG_INTERLACE_ADAM7, 100)
+    gen_gray_trns("gray8_trns_17x9", 17, 9, key=33)
+    gen_rgb_trns("rgb8_trns_13x7", 13, 7, kr=14, kg=22, kb=3)
