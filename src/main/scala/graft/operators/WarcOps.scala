@@ -626,9 +626,14 @@ object WarcOps {
       .agg(expr("transform(array_sort(collect_list(s)), x -> x.rec)").as("recs"))
       .as[(Long, Seq[String])]
       .map { case (gid, recs) =>
-        (gid, recs.map(r => Zstd.encodeRaw(
-          r.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          .foldLeft(Array.empty[Byte])(_ ++ _))
+        // genuinely COMPRESSED frames since round 19 (alternating with
+        // raw-block frames so both block forms sit in one archive):
+        // the non-decompressing boundary walk must step over real
+        // compressed blocks, and extraction must inflate them
+        (gid, recs.zipWithIndex.map { case (r, i) =>
+          val bytes = r.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (i % 2 == 0) Zstd.encode(bytes) else Zstd.encodeRaw(bytes)
+        }.foldLeft(Array.empty[Byte])(_ ++ _))
       }
       .toDF("group_id", "warc")
   }

@@ -111,6 +111,44 @@ class WarcZstSpec extends AnyFunSuite {
     assert(exts.map(e => e._1 + e._2).max == archive.length)
   }
 
+  test("q195 write-side corpus on sf0.001: every archive compresses " +
+    "below 0.5, records stay dict-DEPENDENT (stripping the dictionary " +
+    "frame dead-letters all of them), and extents tile the archive") {
+    import spark.implicits._
+    val arch = WarcOps.syntheticWarcZstCompressed(
+      graft.Tables.documents(spark, sf))
+      .as[(Long, Array[Byte], Long, Long)].collect()
+    assert(arch.length == 8)
+    for ((gid, warc, rawLen, compLen) <- arch) {
+      assert(compLen == warc.length)
+      assert(compLen.toDouble / rawLen < 0.5,
+        s"gid=$gid ratio ${compLen.toDouble / rawLen}")
+      // every record decodes through the dict walk
+      val members = WarcOps.zstdMembers(warc)
+      assert(members.nonEmpty, s"gid=$gid")
+      // dict-dependence: drop the leading skippable frame and every
+      // id-declaring record frame must dead-letter (type, not garbage)
+      val skipLen = 8 + ((warc(4) & 0xff) | ((warc(5) & 0xff) << 8) |
+        ((warc(6) & 0xff) << 16) | ((warc(7) & 0xff) << 24))
+      val stripped = java.util.Arrays.copyOfRange(warc, skipLen, warc.length)
+      assert(WarcOps.zstdMembers(stripped).isEmpty, s"gid=$gid")
+      // the non-decompressing boundary walk still tiles the archive
+      val exts = WarcOps.zstdMemberExtents(warc)
+      assert(exts.length == members.length)
+      assert(exts.map(e => e._1 + e._2).max == warc.length)
+    }
+  }
+
+  test("q195 on sf0.001 equals the gzip twin q135 row for row " +
+    "(ratio flag uniformly true)") {
+    val viaZst = WarcOps.q195WarcZstWrite(spark, sf).collect()
+    val viaGz = WarcOps.q135WarcGzExtract(spark, sf).collect().map(_.toSeq)
+    assert(viaZst.nonEmpty && viaZst.length == viaGz.length)
+    viaZst.zip(viaGz).foreach { case (z, g) =>
+      assert(z.toSeq.init == g && z.getBoolean(z.length - 1))
+    }
+  }
+
   test("q186 on sf0.001 equals the gzip twin q135 row for row") {
     val viaDict = WarcOps.q186WarcZstDictExtract(spark, sf).collect().map(_.toSeq)
     val viaGz = WarcOps.q135WarcGzExtract(spark, sf).collect().map(_.toSeq)
