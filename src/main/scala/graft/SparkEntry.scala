@@ -190,6 +190,7 @@ object SparkEntry {
     "q198_fim_objective" -> (PackOps.q198FimObjective(_, _)),
     "q199_png_trns" -> (MultimodalOps.q199PngTrns(_, _)),
     "q200_tiff_tiled" -> (TiffOps.q200TiffTiled(_, _)),
+    "q201_tar_xz" -> (TarOps.q201TarXz(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2394,6 +2395,33 @@ object SparkEntry {
         |  CASE WHEN a.doc_id % 2 = 0 THEN 'tar'
         |       WHEN a.doc_id % 4 = 3 THEN 'tar.bz2'
         |       ELSE 'tgz' END AS container,
+        |  (a.k + 3)::BIGINT AS n_members, (a.k + 2)::BIGINT AS n_files,
+        |  (a.pbytes + strlen('Tar № ' || a.doc_id) + 64)::BIGINT AS n_bytes,
+        |  sha256(dir || chr(10) || 'meta/decoy.bin' || chr(10) || a.pnames ||
+        |    chr(10) || 'marker.txt') AS names_sha,
+        |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
+        |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // .tar.xz ingestion (q201): the q147 member layout in a conformant
+    // xz stream (stored LZMA2 chunks; LZMA core foreign-proven
+    // decode-side), walked back through the container door
+    "q201_tar_xz" ->
+      """WITH d AS (SELECT doc_id, (1 + doc_id % 3)::INT AS k,
+        |    list_filter(string_split_regex(text, '[ \t\r\n]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, k, i, ws[i + 1] AS w
+        |  FROM d, unnest(range(len(ws))) AS u(i)),
+        |pj AS (SELECT doc_id, i % k AS j, string_agg(w, ' ' ORDER BY i) AS ptext
+        |  FROM w GROUP BY doc_id, i % k),
+        |jj AS (SELECT d.doc_id, d.k, j.j FROM d, unnest(range(d.k)) AS j(j)),
+        |parts AS (SELECT jj.doc_id, jj.k, jj.j, coalesce(pj.ptext, '') AS ptext
+        |  FROM jj LEFT JOIN pj ON pj.doc_id = jj.doc_id AND pj.j = jj.j),
+        |ld AS (SELECT 'deep/' || repeat('x', 96) AS dir),
+        |agg AS (SELECT doc_id, any_value(k) AS k,
+        |    string_agg(ptext, chr(10) ORDER BY j) AS ptxt,
+        |    string_agg(dir || '/part_' || j || '.txt', chr(10) ORDER BY j) AS pnames,
+        |    sum(strlen(ptext)) AS pbytes
+        |  FROM parts, ld GROUP BY doc_id)
+        |SELECT a.doc_id, 'ok' AS status, 'tar.xz' AS container,
         |  (a.k + 3)::BIGINT AS n_members, (a.k + 2)::BIGINT AS n_files,
         |  (a.pbytes + strlen('Tar № ' || a.doc_id) + 64)::BIGINT AS n_bytes,
         |  sha256(dir || chr(10) || 'meta/decoy.bin' || chr(10) || a.pnames ||

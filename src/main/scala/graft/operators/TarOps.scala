@@ -147,6 +147,10 @@ object TarOps {
     b.length >= 4 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
       b(3) >= '1' && b(3) <= '9'
 
+  private[graft] def isXz(b: Array[Byte]): Boolean =
+    b.length >= 6 && (b(0) & 0xff) == 0xFD && b(1) == '7' && b(2) == 'z' &&
+      b(3) == 'X' && b(4) == 'Z' && b(5) == 0
+
   private[graft] def parseTarAuto(bytes: Array[Byte]): (String, String, Seq[TarMember]) =
     if (WarcOps.isGzip(bytes)) {
       val members = WarcOps.gunzipMembers(bytes)
@@ -156,6 +160,14 @@ object TarOps {
         members.foreach(bos.write)
         val (st, ms) = parseTar(bos.toByteArray)
         ("tgz", st, ms)
+      }
+    } else if (isXz(bytes)) {
+      // kernel/source-mirror shape: whole tar in an xz stream
+      Xz.decode(bytes) match {
+        case Left(_) => ("tar.xz", "bad-xz", Nil)
+        case Right(tar) =>
+          val (st, ms) = parseTar(tar)
+          ("tar.xz", st, ms)
       }
     } else if (isBzip2(bytes)) {
       // the Gutenberg/dump-mirror shape: whole tar in (possibly
@@ -248,16 +260,19 @@ object TarOps {
     * marker; even ids plain tar, odd ids a two-member tar.gz (the
     * legal multistream `.tgz` concatenation).
     */
-  private[graft] def buildArchive(id: Long, text: String): Array[Byte] = {
+  private[graft] def archiveMembers(
+      id: Long, text: String): Seq[(String, Char, Array[Byte])] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val k = 1 + (id % 3).toInt
     val decoy = Array.tabulate[Byte](64)(i => ((id + i) & 0xff).toByte)
-    val members =
-      Seq((DeepDir, '5', Array.empty[Byte]), ("meta/decoy.bin", '0', decoy)) ++
-        partsOf(text, k).zipWithIndex.map { case (p, j) =>
-          (s"$DeepDir/part_$j.txt", '0', p.getBytes(utf8))
-        } ++ Seq(("marker.txt", '0', markerText(id).getBytes(utf8)))
-    val tar = buildTar(members)
+    Seq((DeepDir, '5', Array.empty[Byte]), ("meta/decoy.bin", '0', decoy)) ++
+      partsOf(text, k).zipWithIndex.map { case (p, j) =>
+        (s"$DeepDir/part_$j.txt", '0', p.getBytes(utf8))
+      } ++ Seq(("marker.txt", '0', markerText(id).getBytes(utf8)))
+  }
+
+  private[graft] def buildArchive(id: Long, text: String): Array[Byte] = {
+    val tar = buildTar(archiveMembers(id, text))
     if (id % 2 == 0) tar
     else if (id % 4 == 3) Bzip2.encode(tar) // .tar.bz2 (round 19)
     else {
@@ -280,6 +295,34 @@ object TarOps {
       files.map(_.data.length.toLong).sum,
       ms.map(_.name).mkString("\n"),
       txt.map(m => new String(m.data, utf8)).mkString("\n"))
+  }
+
+  /** q201: `.tar.xz` ingestion — the source-mirror / kernel-tarball
+    * shape: the q147 member layout wrapped in a conformant xz stream
+    * (stored LZMA2 chunks — xz is an archival INPUT; the LZMA core is
+    * foreign-fixture-proven decode-side in XzSpec) and walked back
+    * through the container door. Same per-doc arithmetic as q147 with
+    * the container pinned `tar.xz` on every row.
+    *
+    * Scale shape (100 TB): per-row build + walk, no exchange before
+    * the output sort (the q147 contract).
+    */
+  def q201TarXz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        extractArchive(id, Xz.encodeStored(buildTar(archiveMembers(id, t))))
+      })
+      .toDF()
+      .select(col("doc_id"), col("status"), col("container"),
+        col("n_members").cast("long").as("n_members"),
+        col("n_files").cast("long").as("n_files"),
+        col("n_bytes"),
+        sha2(col("names"), 256).as("names_sha"),
+        sha2(col("text"), 256).as("text_sha"))
+      .orderBy(col("doc_id"))
   }
 
   /** q147: the dataset-archive front door end-to-end — build a real

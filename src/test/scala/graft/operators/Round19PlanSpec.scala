@@ -106,4 +106,13 @@ class Round19PlanSpec extends AnyFunSuite {
     assert(hashExchanges(df) == 0,
       s"per-row codec walk must not exchange:\n${plan(df)}")
   }
+
+  test("q201: the .tar.xz walk is per-row — no exchange before the " +
+    "output sort (the q147 contract)") {
+    val df = TarOps.q201TarXz(spark, sf)
+    df.collect()
+    noCartesian(df)
+    assert(hashExchanges(df) == 0,
+      s"per-row container walk must not exchange:\n${plan(df)}")
+  }
 }
