@@ -191,6 +191,7 @@ object SparkEntry {
     "q199_png_trns" -> (MultimodalOps.q199PngTrns(_, _)),
     "q200_tiff_tiled" -> (TiffOps.q200TiffTiled(_, _)),
     "q201_tar_xz" -> (TarOps.q201TarXz(_, _)),
+    "q202_chat_sft" -> (PackOps.q202ChatSft(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2428,6 +2429,34 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // SFT chat-template + loss-mask construction (q202): two-round
+    // conversations cut at the 1/3, 2/3, 5/6 token marks, rendered
+    // through a fixed template; the loss mask covers assistant CONTENT
+    // tokens only, emitted as exact rendered-token offsets the oracle
+    // replays — template arithmetic is where SFT labels silently rot
+    "q202_chat_sft" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id, ws, len(ws)::INT AS n,
+        |    (len(ws) // 3)::INT AS c1,
+        |    ((len(ws) * 2) // 3)::INT AS c2,
+        |    ((len(ws) * 5) // 6)::INT AS c3 FROM t),
+        |s AS (SELECT doc_id, n, c1, c2, c3,
+        |    array_to_string(list_slice(ws, 1, c1), ' ') AS u1,
+        |    array_to_string(list_slice(ws, c1 + 1, c2), ' ') AS a1,
+        |    array_to_string(list_slice(ws, c2 + 1, c3), ' ') AS u2,
+        |    array_to_string(list_slice(ws, c3 + 1, n), ' ') AS a2
+        |  FROM d)
+        |SELECT doc_id, n::BIGINT AS n_tokens,
+        |  (n + 6)::BIGINT AS n_rendered,
+        |  (c1 + 2)::BIGINT AS mask1_start,
+        |  (c2 - c1)::BIGINT AS mask1_len,
+        |  (c3 + 5)::BIGINT AS mask2_start,
+        |  (n - c3)::BIGINT AS mask2_len,
+        |  sha256('<|user|> ' || u1 || ' <|assistant|> ' || a1 ||
+        |    ' <|end|> ' || '<|user|> ' || u2 || ' <|assistant|> ' ||
+        |    a2 || ' <|end|>') AS rendered_sha
+        |FROM s ORDER BY doc_id""".stripMargin,
     // sentence segmentation (q167): the insert-then-split shape (RE2
     // has no lookbehind) with sentinel-protected abbreviations and
     // decimals; both engines run the IDENTICAL chain on the same

@@ -307,4 +307,56 @@ object PackOps {
         sha2(spm, 256).as("spm_sha"))
       .orderBy(col("doc_id"))
   }
+
+  // --------------------------------------------- q202: SFT chat masking
+
+  /** q202: SFT CHAT-TEMPLATE RENDERING + LOSS-MASK construction — the
+    * instruction-tuning data prep beside pretraining objectives
+    * (q194/q198): each document becomes a deterministic two-round
+    * conversation (turns cut at the 1/3, 2/3, and 5/6 token marks),
+    * rendered through a fixed template
+    * (`<|user|> U <|assistant|> A <|end|>` per round), with the LOSS
+    * MASK over assistant CONTENT tokens only — the spans a trainer
+    * feeds as labels while user/template tokens are -100. Emitted as
+    * exact rendered-token offsets (`mask1_start/len`, `mask2_start/
+    * len` — start counts the tag token) so the oracle replays every
+    * boundary: template arithmetic is where real SFT pipelines
+    * silently corrupt labels (an off-by-one on a tag token trains on
+    * the prompt). Pure codegen column algebra, zero shuffle before
+    * the output sort.
+    *
+    * Scale shape (100 TB): one narrow projection per row; composes
+    * with packing (q82) and mixes unchanged.
+    */
+  def q202ChatSft(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val c1 = floor(n / 3).cast("int") // user turn 1 length
+    val c2 = floor((n * 2) / 3).cast("int") // + assistant turn 1
+    val c3 = floor((n * 5) / 6).cast("int") // + user turn 2
+    val u1 = array_join(slice(toks, lit(1), c1), " ")
+    val a1 = array_join(slice(toks, c1 + 1, c2 - c1), " ")
+    val u2 = array_join(slice(toks, c2 + 1, c3 - c2), " ")
+    val a2 = array_join(slice(toks, c3 + 1, n - c3), " ")
+    val rendered = concat(
+      lit("<|user|> "), u1, lit(" <|assistant|> "), a1, lit(" <|end|> "),
+      lit("<|user|> "), u2, lit(" <|assistant|> "), a2, lit(" <|end|>"))
+    // rendered TOKEN layout: <|user|> u1 <|assistant|> a1 <|end|>
+    //                        <|user|> u2 <|assistant|> a2 <|end|>
+    // assistant-content mask spans (tags are never labels):
+    val m1s = lit(1) + c1 + 1 // tokens before a1: user tag + u1 + asst tag
+    val m1l = c2 - c1
+    val m2s = m1s + m1l + lit(2) + (c3 - c2) + 1 // + end, user tag, u2, asst
+    val m2l = n - c3
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        (n + lit(6)).cast("long").as("n_rendered"),
+        m1s.cast("long").as("mask1_start"),
+        m1l.cast("long").as("mask1_len"),
+        m2s.cast("long").as("mask2_start"),
+        m2l.cast("long").as("mask2_len"),
+        sha2(rendered, 256).as("rendered_sha"))
+      .orderBy(col("doc_id"))
+  }
 }
