@@ -1201,10 +1201,11 @@ object Zstd {
     * mode): nbSeq header, mode byte 0, then the backward bitstream —
     * three state inits, and per sequence the OF/ML/LL extra bits plus
     * (between sequences) the LL/ML/OF state-transition bits, all in
-    * exactly the decoder's read order.
+    * exactly the decoder's read order. `ofVals` are WIRE values:
+    * repeated-offset codes 1–3 or `offset + 3`.
     */
   private def writeSeqSection(
-      lls: Array[Int], mls: Array[Int], offs: Array[Long],
+      lls: Array[Int], mls: Array[Int], ofVals: Array[Long],
       n: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (n < 128) out.write(n)
@@ -1220,8 +1221,7 @@ object Zstd {
     while (k < n) {
       llC(k) = llCodeOf(lls(k))
       mlC(k) = mlCodeOf(mls(k))
-      val ofValue = offs(k) + 3
-      ofC(k) = 63 - java.lang.Long.numberOfLeadingZeros(ofValue).toInt
+      ofC(k) = 63 - java.lang.Long.numberOfLeadingZeros(ofVals(k)).toInt
       if (ofC(k) > 28) throw Bail("encode-offset-range")
       k += 1
     }
@@ -1244,7 +1244,7 @@ object Zstd {
     fields += ((mlSt(0).toLong, MlDefaultLog))
     k = 0
     while (k < n) {
-      fields += ((offs(k) + 3 - (1L << ofC(k)), ofC(k)))
+      fields += ((ofVals(k) - (1L << ofC(k)), ofC(k)))
       fields += (((mls(k) - MlBase(mlC(k))).toLong, MlBits(mlC(k))))
       fields += (((lls(k) - LlBase(llC(k))).toLong, LlBits(llC(k))))
       if (k < n - 1) {
@@ -1571,6 +1571,18 @@ object Zstd {
       }
       if (bestOff == 0) 0L else (bestLen.toLong << 32) | bestOff.toLong
     }
+    // repeated-offset state mirrors the decoder's exactly (RFC
+    // §3.1.1.5 initial values; updates below match decode's quirk
+    // table including the literals_length-0 shift)
+    val reps = Array(1L, 4L, 8L)
+    def matchLenAt(p: Int, dist: Long, limit: Int): Int = {
+      val cand = p - dist.toInt
+      if (cand < 0 || dist <= 0 || dist > p.toLong) return 0
+      var l = 0
+      val maxLen = limit - p
+      while (l < maxLen && buf(cand + l) == buf(p + l)) l += 1
+      l
+    }
     var segStart = base
     while (segStart < n) {
       val segEnd = math.min(segStart + EncBlock, n)
@@ -1579,14 +1591,48 @@ object Zstd {
       // parse this block's content (matching against the whole window)
       val lls = new scala.collection.mutable.ArrayBuffer[Int]()
       val mls = new scala.collection.mutable.ArrayBuffer[Int]()
-      val offs = new scala.collection.mutable.ArrayBuffer[Long]()
+      val ofVals = new scala.collection.mutable.ArrayBuffer[Long]()
       val lits = new Array[Byte](segLen)
       var litLen = 0
       var anchor = segStart
       var p = segStart
       while (p < segEnd) {
         var m = findMatch(p, segEnd)
-        if (m == 0L) { insert(p); p += 1 }
+        // repeated offsets: cheaper on the wire (0–1 extra bits), so a
+        // rep match within 1 byte of the best chain match wins; which
+        // reps are addressable depends on the pending literal run
+        val ll0 = p - anchor
+        var repLen = 0
+        var repVal = 0L
+        var ri = if (ll0 == 0) 1 else 0
+        val riEnd = if (ll0 == 0) 3 else 3
+        var slot = 1L
+        while (ri < riEnd) {
+          val l = matchLenAt(p, reps(ri), segEnd)
+          if (l > repLen) { repLen = l; repVal = slot }
+          ri += 1
+          slot += 1
+        }
+        if (repLen >= EncMinMatch && repLen + 1 >= (m >>> 32).toInt) {
+          // emit the rep match (no lazy step: reps stay cheap)
+          System.arraycopy(buf, anchor, lits, litLen, ll0)
+          litLen += ll0
+          lls += ll0; mls += repLen; ofVals += repVal
+          // decoder-mirrored rep update
+          val idx = repVal.toInt + (if (ll0 == 0) 1 else 0)
+          idx match {
+            case 1 => ()
+            case 2 =>
+              val d = reps(1); reps(1) = reps(0); reps(0) = d
+            case _ =>
+              val d = reps(2); reps(2) = reps(1); reps(1) = reps(0)
+              reps(0) = d
+          }
+          val stop = p + repLen
+          while (p < stop) { insert(p); p += 1 }
+          anchor = p
+          m = 0L
+        } else if (m == 0L) { insert(p); p += 1 }
         else {
           // lazy-1: a strictly longer match one byte later wins
           if (p + 1 < segEnd) {
@@ -1599,7 +1645,8 @@ object Zstd {
             val ll = p - anchor
             System.arraycopy(buf, anchor, lits, litLen, ll)
             litLen += ll
-            lls += ll; mls += len; offs += off
+            lls += ll; mls += len; ofVals += (off + 3)
+            reps(2) = reps(1); reps(1) = reps(0); reps(0) = off
             val stop = p + len
             while (p < stop) { insert(p); p += 1 }
             anchor = p
@@ -1620,7 +1667,7 @@ object Zstd {
           b
         } else {
           val ls = literalsSection(lits, litLen)
-          val ss = writeSeqSection(lls.toArray, mls.toArray, offs.toArray, nSeq)
+          val ss = writeSeqSection(lls.toArray, mls.toArray, ofVals.toArray, nSeq)
           val b = new Array[Byte](ls.length + ss.length)
           System.arraycopy(ls, 0, b, 0, ls.length)
           System.arraycopy(ss, 0, b, ls.length, ss.length)
