@@ -192,6 +192,7 @@ object SparkEntry {
     "q200_tiff_tiled" -> (TiffOps.q200TiffTiled(_, _)),
     "q201_tar_xz" -> (TarOps.q201TarXz(_, _)),
     "q202_chat_sft" -> (PackOps.q202ChatSft(_, _)),
+    "q203_pack_mask" -> (PackOps.q203PackMask(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -2429,6 +2430,34 @@ object SparkEntry {
         |    chr(10) || 'marker.txt') AS names_sha,
         |  sha256(a.ptxt || chr(10) || 'Tar № ' || a.doc_id) AS text_sha
         |FROM agg a, ld ORDER BY a.doc_id""".stripMargin,
+    // packing with document-boundary attention masks (q203): per
+    // context window the ordered (doc, start, len) segment list under
+    // a sha, plus mask_pairs (block-diagonal) vs dense_pairs (the
+    // cross-document leakage an unmasked window trains on)
+    "q203_pack_mask" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS tok FROM documents),
+        |o AS (SELECT doc_id, tok,
+        |    coalesce(sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS off
+        |  FROM t),
+        |s AS (SELECT doc_id, tok, off,
+        |    unnest(range(off // 256, (off + tok - 1) // 256 + 1)) AS chunk_id
+        |  FROM o WHERE tok > 0),
+        |g AS (SELECT chunk_id, doc_id,
+        |    greatest(off - chunk_id * 256, 0) AS seg_start,
+        |    least((chunk_id + 1) * 256, off + tok) -
+        |      greatest(chunk_id * 256, off) AS seg_len
+        |  FROM s)
+        |SELECT chunk_id, count(*)::BIGINT AS n_segments,
+        |  sum(seg_len)::BIGINT AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  sum(seg_len * seg_len)::BIGINT AS mask_pairs,
+        |  (sum(seg_len) * sum(seg_len))::BIGINT AS dense_pairs,
+        |  sha256(string_agg(doc_id || ':' || seg_start || ':' || seg_len,
+        |    '|' ORDER BY seg_start, doc_id, seg_len)) AS boundaries_sha
+        |FROM g GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
     // SFT chat-template + loss-mask construction (q202): two-round
     // conversations cut at the 1/3, 2/3, 5/6 token marks, rendered
     // through a fixed template; the loss mask covers assistant CONTENT

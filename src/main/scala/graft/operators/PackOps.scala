@@ -308,6 +308,57 @@ object PackOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------- q203: packed attention masks
+
+  /** q203: PACKING WITH DOCUMENT-BOUNDARY ATTENTION MASKS — the
+    * packing detail real pipelines get wrong: after concat-and-chunk
+    * (q39), every context window needs its per-document SEGMENT
+    * boundaries so attention can be block-diagonal (without the mask,
+    * tokens attend across unrelated documents — silent contamination
+    * of every sample in the batch). Per chunk: the ordered
+    * (doc, start, len) segment list under a sha, plus `mask_pairs`
+    * (Σ len² — the allowed attention pairs) against `dense_pairs`
+    * ((Σ len)² — what an unmasked window trains on), so the leakage a
+    * missing mask causes is a measured column, not a belief.
+    *
+    * Plan shape: the q39 prefix-sum range shuffle plus exactly one
+    * chunk_id group-by; the boundary list per chunk is bounded by
+    * capacity (≤ 256 segments), so collect_list stays O(capacity).
+    * Scale: identical budget to q39 at 100 TB — the pack shuffle
+    * dominates; the rollup is output-sized.
+    */
+  def q203PackMask(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 256L
+    val withTok = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    val segs = exclusivePrefixSum(withTok, "doc_id", "tok", "off")
+      .filter(col("tok") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"off div ${cap}L"),
+          expr(s"(off + tok - 1) div ${cap}L"))))
+      .select(col("chunk_id"), col("doc_id"),
+        greatest(col("off") - col("chunk_id") * cap, lit(0L)).as("seg_start"),
+        (least((col("chunk_id") + 1) * cap, col("off") + col("tok")) -
+          greatest(col("chunk_id") * cap, col("off"))).as("seg_len"))
+    segs.groupBy(col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("seg_len")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("seg_len") * col("seg_len")).as("mask_pairs"),
+        sha2(array_join(expr(
+          "transform(array_sort(collect_list(struct(seg_start, doc_id, seg_len))), " +
+            "x -> concat(x.doc_id, ':', x.seg_start, ':', x.seg_len))"), "|"),
+          256).as("boundaries_sha"))
+      .withColumn("dense_pairs", col("n_tokens") * col("n_tokens"))
+      .select(col("chunk_id"), col("n_segments"), col("n_tokens"),
+        col("first_doc"), col("last_doc"), col("mask_pairs"),
+        col("dense_pairs"), col("boundaries_sha"))
+      .orderBy(col("chunk_id"))
+  }
+
   // --------------------------------------------- q202: SFT chat masking
 
   /** q202: SFT CHAT-TEMPLATE RENDERING + LOSS-MASK construction — the

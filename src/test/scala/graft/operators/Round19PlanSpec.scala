@@ -115,4 +115,23 @@ class Round19PlanSpec extends AnyFunSuite {
     assert(hashExchanges(df) == 0,
       s"per-row container walk must not exchange:\n${plan(df)}")
   }
+
+  test("q203: packed attention masks cost q39's prefix-sum machinery " +
+    "plus ONE chunk rollup — the O(partitions) offsets aggregate and " +
+    "the chunk_id group-by, nothing else, never cartesian") {
+    val df = PackOps.q203PackMask(spark, sf)
+    df.collect()
+    noCartesian(df)
+    assert(hashExchanges(df) <= 2,
+      s"q203 expects the offsets aggregate + chunk rollup:\n${plan(df)}")
+    // the mask arithmetic invariant: block-diagonal pairs never exceed
+    // the dense window, and equality only for single-segment chunks
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSeg, maskP, denseP) = (r.getLong(1), r.getLong(5), r.getLong(6))
+      assert(maskP <= denseP)
+      assert((nSeg == 1) == (maskP == denseP), s"chunk ${r.getLong(0)}")
+    }
+  }
 }
