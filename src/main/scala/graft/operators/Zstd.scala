@@ -1604,10 +1604,12 @@ object Zstd {
         val ll0 = p - anchor
         var repLen = 0
         var repVal = 0L
+        // with a pending literal run, wire values 1..3 address
+        // rep0..rep2; at ll == 0 the decoder shifts the index, so 1..2
+        // address rep1..rep2 and rep0 is unreachable
         var ri = if (ll0 == 0) 1 else 0
-        val riEnd = if (ll0 == 0) 3 else 3
         var slot = 1L
-        while (ri < riEnd) {
+        while (ri < 3) {
           val l = matchLenAt(p, reps(ri), segEnd)
           if (l > repLen) { repLen = l; repVal = slot }
           ri += 1
