@@ -755,7 +755,9 @@ object WarcOps {
         val frames = recs.map { r =>
           val bytes = r.getBytes(utf8)
           rawLen += bytes.length
-          Zstd.encode(bytes, dictContent, WarcZstDictId)
+          // content checksums on: a flipped byte in transit fails the
+          // frame instead of shipping corrupt training text
+          Zstd.encode(bytes, dictContent, WarcZstDictId, checksum = true)
         }
         val warc = frames.foldLeft(head.toByteArray)(_ ++ _)
         (gid, warc, rawLen, warc.length.toLong)

@@ -1491,7 +1491,7 @@ object Zstd {
     */
   def encode(
       data: Array[Byte], dict: Array[Byte] = Array.emptyByteArray,
-      dictId: Long = 0L): Array[Byte] = {
+      dictId: Long = 0L, checksum: Boolean = false): Array[Byte] = {
     require(data.length <= EncMaxInput, "encode input exceeds 64 MiB cap")
     require(dict.length <= EncMaxInput, "dict exceeds 64 MiB cap")
     val base = dict.length
@@ -1514,7 +1514,8 @@ object Zstd {
       else if (contentSize <= 65535L + 256) 1
       else 2
     val dictFlag = if (dictId == 0) 0 else 3
-    bos.write((fcsCode << 6) | 0x20 | dictFlag)
+    val ckFlag = if (checksum) 0x04 else 0
+    bos.write((fcsCode << 6) | 0x20 | ckFlag | dictFlag)
     if (dictFlag == 3) {
       bos.write((dictId & 0xff).toInt); bos.write(((dictId >> 8) & 0xff).toInt)
       bos.write(((dictId >> 16) & 0xff).toInt)
@@ -1531,8 +1532,14 @@ object Zstd {
         bos.write(((contentSize >> 16) & 0xff).toInt)
         bos.write(((contentSize >> 24) & 0xff).toInt)
     }
+    def writeChecksum(): Unit = if (checksum) {
+      val h = xxh64(data, data.length) & 0xFFFFFFFFL
+      bos.write((h & 0xff).toInt); bos.write(((h >> 8) & 0xff).toInt)
+      bos.write(((h >> 16) & 0xff).toInt); bos.write(((h >> 24) & 0xff).toInt)
+    }
     if (data.length == 0) {
       bos.write(1); bos.write(0); bos.write(0) // last raw block, size 0
+      writeChecksum()
       return bos.toByteArray
     }
     // hash chains over the whole buffer (dict prefix preloaded so
@@ -1698,6 +1705,7 @@ object Zstd {
       }
       segStart = segEnd
     }
+    writeChecksum()
     bos.toByteArray
   }
 }

@@ -114,6 +114,29 @@ class ZstdEncodeSpec extends AnyFunSuite {
     assert(Zstd.encode(runs).length < 1000)
   }
 
+  test("content checksum flag: checksummed frames round-trip; a " +
+    "payload flip fails the CHECKSUM gate, not just garbles") {
+    val data = htmlish(5)
+    val enc = Zstd.encode(data, checksum = true)
+    assert(Zstd.decode(enc).exists(java.util.Arrays.equals(_, data)))
+    assert(Zstd.decode(Zstd.encode(Array.emptyByteArray, checksum = true))
+      .exists(_.isEmpty))
+    // flip one literal byte in the last block: either a structural
+    // typed error or, if the stream still parses, checksum-mismatch —
+    // never silent wrong output
+    var caught = 0
+    for (i <- enc.length - 60 until enc.length - 4) {
+      val bad = enc.clone()
+      bad(i) = (bad(i) ^ 0x01).toByte
+      Zstd.decode(bad) match {
+        case Left("checksum-mismatch") => caught += 1
+        case Left(_) => ()
+        case Right(out) => assert(java.util.Arrays.equals(out, data))
+      }
+    }
+    assert(caught > 0, "no flip ever reached the checksum gate")
+  }
+
   test("output never exceeds input by more than the framing " +
     "(incompressible inputs degrade to raw blocks)") {
     for (n <- Seq(1, 100, 5000, 131072, 200000)) {
@@ -160,6 +183,9 @@ class ZstdEncodeSpec extends AnyFunSuite {
       put(s"$name.bin", data)
       put(s"$name.zst", Zstd.encode(data))
     }
+    // checksummed frame: libzstd must verify the xxh64-low32 field too
+    put("checksummed.bin", htmlish(25))
+    put("checksummed.zst", Zstd.encode(htmlish(25), checksum = true))
     val dictContent = htmlish(2)
     val data = "<html><head><title>Document 0</title>tail".getBytes
     put("dict.bin", Zstd.encodeStructuredDict(0x47524654L, dictContent))
