@@ -1189,6 +1189,150 @@ object Zstd {
     out
   }
 
+  /** FORWARD LSB-first writer — the `FwdBits` reader's inverse (FSE
+    * table descriptions).
+    */
+  private final class FwdBitWriter {
+    private val bos = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { bos.write(cur); cur = 0; nBits = 0 }
+        i += 1
+      }
+    }
+    def alignByte(): Unit = if (nBits != 0) { bos.write(cur); cur = 0; nBits = 0 }
+    def toBytes: Array[Byte] = { alignByte(); bos.toByteArray }
+  }
+
+  /** Serialize normalized counts in `fseReadCounts`' exact format
+    * (RFC §4.1.1): the shrinking threshold, the +1 bias, low/full-width
+    * forms, and 2-bit zero-run groups after a zero count.
+    */
+  private def fseWriteCounts(counts: Array[Int], accLog: Int): Array[Byte] = {
+    val fw = new FwdBitWriter
+    fw.write(accLog - 5, 4)
+    var remaining = (1 << accLog) + 1
+    var threshold = 1 << accLog
+    var nbBits = accLog + 1
+    var s = 0
+    while (remaining > 1 && s < counts.length) {
+      val c = counts(s)
+      val max = (2 * threshold - 1) - remaining
+      var v = c + 1 // -1 encodes as 0
+      if (v >= threshold) v += max // lift past the [threshold, threshold+max) gap
+      if (v < max) fw.write(v, nbBits - 1) else fw.write(v, nbBits)
+      remaining -= math.abs(c)
+      while (remaining > 1 && remaining < threshold) {
+        nbBits -= 1; threshold >>= 1
+      }
+      s += 1
+      if (c == 0 && remaining > 1) {
+        // zero-run groups over the following zeros
+        var z = 0
+        while (s + z < counts.length && counts(s + z) == 0) z += 1
+        var left = z
+        while (left >= 3) { fw.write(3, 2); left -= 3 }
+        fw.write(left, 2)
+        s += z
+      }
+    }
+    fw.toBytes
+  }
+
+  /** FSE-compress Huffman WEIGHTS (RFC §4.2.1.2) — the form the
+    * direct-nibble header can't express past 128 symbols: counts
+    * description, then the backward bitstream that `hufReadTable`'s
+    * two interleaved states replay, terminated by the deliberate
+    * final over-read. Returns null when the shape can't terminate
+    * (fewer than 2 explicit weights, or one weight owning the whole
+    * table) or when it wouldn't fit the one-byte size header.
+    */
+  private def fseCompressWeights(w: Array[Int], m: Int): Array[Byte] = {
+    if (m < 2) return null
+    var maxW = 0
+    var i = 0
+    while (i < m) { maxW = math.max(maxW, w(i)); i += 1 }
+    val freq = new Array[Int](maxW + 1)
+    i = 0
+    while (i < m) { freq(w(i)) += 1; i += 1 }
+    // normalize to 2^6 with every present symbol >= 1
+    val accLog = 6
+    val size = 1 << accLog
+    val counts = new Array[Int](maxW + 1)
+    var total = 0
+    i = 0
+    while (i <= maxW) {
+      if (freq(i) > 0) {
+        counts(i) = math.max(1, (freq(i).toLong * size / m).toInt)
+        total += counts(i)
+      }
+      i += 1
+    }
+    // settle the sum on the most frequent symbol
+    var big = 0
+    i = 0
+    while (i <= maxW) { if (counts(i) > counts(big)) big = i; i += 1 }
+    counts(big) += size - total
+    if (counts(big) <= 0 || counts(big) >= size) return null
+    val table = fseBuild(counts, accLog)
+    val enc = new FseEnc(table, maxW + 1)
+    // chains: emissions alternate s1/s2; the last weight arrives via
+    // the discarded-update branch from chain P; chain Q's final update
+    // is the over-read and needs nbBits > 0
+    val pLast = (m - 1) & 1
+    def chainSyms(parity: Int): Array[Int] = {
+      val cap = if (parity == pLast) m - 1 else m - 2
+      (parity to cap by 2).map(w(_)).toArray
+    }
+    def backChain(syms: Array[Int], lastNeedsBits: Boolean): Array[Int] = {
+      val st = new Array[Int](syms.length)
+      val lastSym = syms(syms.length - 1)
+      var pick = -1
+      var u = 0
+      while (u < size && pick < 0) {
+        if (table.symbol(u) == lastSym &&
+          (!lastNeedsBits || table.nbBits(u) > 0)) pick = u
+        u += 1
+      }
+      if (pick < 0) return null
+      st(syms.length - 1) = pick
+      var k = syms.length - 2
+      while (k >= 0) { st(k) = enc.next(syms(k))(st(k + 1)); k -= 1 }
+      st
+    }
+    val stA = backChain(chainSyms(0), lastNeedsBits = pLast == 1)
+    val stB = backChain(chainSyms(1), lastNeedsBits = pLast == 0)
+    if (stA == null || stB == null) return null
+    val fields = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    fields += ((stA(0).toLong, accLog)) // s1 init
+    fields += ((stB(0).toLong, accLog)) // s2 init
+    val idx = Array(0, 0)
+    var k = 0
+    while (k <= m - 3) {
+      val chain = k & 1
+      val st = if (chain == 0) stA else stB
+      val cur = st(idx(chain))
+      val next = st(idx(chain) + 1)
+      fields += (((next - table.base(cur)).toLong, table.nbBits(cur)))
+      idx(chain) += 1
+      k += 1
+    }
+    val stream = packBackward(fields)
+    val head = fseWriteCounts(counts, accLog)
+    val total2 = head.length + stream.length
+    if (total2 >= 128) return null
+    val out = new Array[Byte](1 + total2)
+    out(0) = total2.toByte
+    System.arraycopy(head, 0, out, 1, head.length)
+    System.arraycopy(stream, 0, out, 1 + head.length, stream.length)
+    out
+  }
+
   private def llCodeOf(ll: Int): Int =
     if (ll < 16) ll
     else { var c = 35; while (LlBase(c) > ll) c -= 1; c }
@@ -1341,7 +1485,6 @@ object Zstd {
     while (i < len) { freq(lits(i) & 0xff) += 1; i += 1 }
     var maxPresent = 255
     while (maxPresent >= 0 && freq(maxPresent) == 0) maxPresent -= 1
-    if (maxPresent > 128) return null
     val lens = huffmanLens(freq)
     if (lens == null) return null
     var tlog = 0
@@ -1365,19 +1508,28 @@ object Zstd {
       code(s) = start >> (w(s) - 1)
       nbb(s) = tlog + 1 - w(s)
     }
-    // weights description: direct nibbles for symbols 0..maxPresent-1,
-    // the last present symbol's weight implied by the power-of-two gap
+    // weights description: direct nibbles for ≤ 128 explicit symbols
+    // (the last present symbol's weight implied by the power-of-two
+    // gap), FSE-compressed weights beyond that (RFC §4.2.1.2)
     val nExplicit = maxPresent
-    val desc = new Array[Byte](1 + (nExplicit + 1) / 2)
-    desc(0) = (127 + nExplicit).toByte
-    i = 0
-    while (i < nExplicit) {
-      val nib = w(i)
-      val at = 1 + i / 2
-      desc(at) = (if (i % 2 == 0) (desc(at) | (nib << 4))
-                  else (desc(at) | nib)).toByte
-      i += 1
-    }
+    val desc: Array[Byte] =
+      if (nExplicit <= 128) {
+        val d = new Array[Byte](1 + (nExplicit + 1) / 2)
+        d(0) = (127 + nExplicit).toByte
+        i = 0
+        while (i < nExplicit) {
+          val nib = w(i)
+          val at = 1 + i / 2
+          d(at) = (if (i % 2 == 0) (d(at) | (nib << 4))
+                   else (d(at) | nib)).toByte
+          i += 1
+        }
+        d
+      } else {
+        val f = fseCompressWeights(w, nExplicit)
+        if (f == null) return null
+        f
+      }
     def streamBytes(from: Int, until: Int): Array[Byte] = {
       val fields = new scala.collection.mutable.ArrayBuffer[(Long, Int)](until - from)
       var j = from

@@ -76,13 +76,54 @@ class ZstdEncodeSpec extends AnyFunSuite {
     rt(mix.toByteArray)
   }
 
-  test("round-trips: >128-distinct-literal blocks (Huffman skipped, " +
-    "matches still compress) and long single-match runs") {
+  test("round-trips: >128-distinct-literal blocks (FSE-compressed " +
+    "Huffman weights — the form direct nibbles can't express) and " +
+    "long single-match runs") {
     val all256 = Array.tabulate[Byte](256)(_.toByte)
     rt(all256 ++ all256 ++ all256 ++ all256) // matches over full alphabet
     val longRun = ("abcdefgh".getBytes ++
       Array.fill[Byte](70000)('x'.toByte)) ++ "abcdefgh".getBytes
     rt(longRun)
+    rt(skewedWide(4000, 1))
+    rt(skewedWide(50000, 2)) // 4-stream with FSE weights
+    // structural pin: the literals section must be COMPRESSED (type 2)
+    // with an FSE weights header (first tree byte < 128) — not a raw
+    // fallback that would make this test vacuous
+    val enc = Zstd.encode(skewedWide(50000, 2))
+    // frame header: magic(4) + fhd(1) + 2-byte FCS (50000 takes the
+    // fcsCode-1 form); then the 3-byte block header
+    val bh = (enc(7) & 0xff) | ((enc(8) & 0xff) << 8) |
+      ((enc(9) & 0xff) << 16)
+    assert(((bh >> 1) & 3) == 2, "block must be compressed")
+    val lh = enc(10) & 0xff
+    assert((lh & 3) == 2, "literals must be Huffman-compressed")
+    val sf = (lh >> 2) & 3
+    val descAt = 10 + (sf match { case 0 | 1 => 3; case 2 => 4; case _ => 5 })
+    assert((enc(descAt) & 0xff) < 128,
+      "weights must take the FSE-compressed form")
+    // full 256-symbol alphabet, skewed — weight alphabet exercises
+    // zero runs between present weights
+    rt(Array.tabulate[Byte](30000)(i =>
+      if (i % 3 != 0) 7 else ((i * 2654435761L >> 5) & 0xff).toByte))
+  }
+
+  /** Skewed >128-symbol stream: Huffman must win AND the weights must
+    * take the FSE-compressed path.
+    */
+  private def skewedWide(n: Int, seed: Long): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var x = seed
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val r = ((x >>> 33) % 100).toInt
+      out(i) =
+        if (r < 60) 'e'.toByte // heavy head
+        else if (r < 80) ('a' + (x >>> 40) % 16).toByte
+        else (130 + ((x >>> 45) % 90)).toByte // wide tail past 128
+      i += 1
+    }
+    out
   }
 
   test("dictionary-seeded frames: matches reach into the §5 content " +
@@ -186,6 +227,9 @@ class ZstdEncodeSpec extends AnyFunSuite {
     // checksummed frame: libzstd must verify the xxh64-low32 field too
     put("checksummed.bin", htmlish(25))
     put("checksummed.zst", Zstd.encode(htmlish(25), checksum = true))
+    // >128-symbol skewed literals: FSE-compressed Huffman weights
+    put("fseweights.bin", skewedWide(40000, 9))
+    put("fseweights.zst", Zstd.encode(skewedWide(40000, 9)))
     val dictContent = htmlish(2)
     val data = "<html><head><title>Document 0</title>tail".getBytes
     put("dict.bin", Zstd.encodeStructuredDict(0x47524654L, dictContent))
