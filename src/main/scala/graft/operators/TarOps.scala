@@ -37,8 +37,8 @@ import org.apache.spark.sql.functions._
   * directory whose 101-byte path FORCES the prefix split on every
   * row, a binary decoy that must never leak into text, modular word
   * slices as `.txt` members, and a multi-byte marker — plain tar for
-  * even ids, two-member tar.gz for odd, so the hash is
-  * container-independent. The oracle replays member names, file
+  * even ids, two-member tar.gz for id % 4 == 1, `.tar.bz2` for
+  * id % 4 == 3, so the hash is container-independent. The oracle replays member names, file
   * octet counts, and the text sha from pure (doc_id, text) word
   * arithmetic without ever seeing a tar byte: any checksum slip,
   * octal mis-parse, prefix mis-join, padding slip, or gzip-member
@@ -257,8 +257,9 @@ object TarOps {
 
   /** One archive per document: deep dir (prefix split), binary decoy
     * (must never leak into text), k modular `.txt` parts, multi-byte
-    * marker; even ids plain tar, odd ids a two-member tar.gz (the
-    * legal multistream `.tgz` concatenation).
+    * marker; even ids plain tar, id % 4 == 1 a two-member tar.gz (the
+    * legal multistream `.tgz` concatenation), id % 4 == 3 a
+    * `.tar.bz2`.
     */
   private[graft] def archiveMembers(
       id: Long, text: String): Seq[(String, Char, Array[Byte])] = {

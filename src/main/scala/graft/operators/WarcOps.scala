@@ -650,6 +650,12 @@ object WarcOps {
 
   private[graft] val WarcZstDictId = 0x47524654L // arbitrary non-zero id
 
+  /** Archive groups per corpus (doc_id % WarcGroups → group_id); the
+    * q195 ratio-flag join keys on the same constant so changing the
+    * fan-out can't silently desynchronize corpus and accounting.
+    */
+  private[graft] val WarcGroups = 8
+
   /** The dict-bearing `.warc.zst` twin of `syntheticWarcZst`
     * (webrecorder convention): a leading `0x184D2A5D` skippable frame
     * carries a structured RFC 8878 §5 dictionary (itself
@@ -720,7 +726,7 @@ object WarcOps {
     * part of the tested contract, not a side effect.
     */
   private[graft] def syntheticWarcZstCompressed(
-      docs: DataFrame, groups: Int = 8): DataFrame = {
+      docs: DataFrame, groups: Int = WarcGroups): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     HtmlOps.syntheticHtml(docs)
@@ -785,7 +791,8 @@ object WarcOps {
       (col("comp_len").cast("double") <
         col("raw_len").cast("double") * 0.6).as("ratio_lt_60"))
     val docs = extractToDocs(extractRecords(spark, arch).toDF())
-    docs.join(broadcast(flags), docs("doc_id") % 8 === flags("group_id"))
+    docs.join(broadcast(flags),
+        docs("doc_id") % WarcGroups === flags("group_id"))
       .select(docs("doc_id"), col("url"), col("status"), col("n_blocks"),
         col("text_sha"), col("ratio_lt_60"))
       .orderBy(col("doc_id"))

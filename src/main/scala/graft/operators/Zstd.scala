@@ -1635,7 +1635,12 @@ object Zstd {
     * compressed/raw (RLE when uniform), so output never exceeds input
     * by more than the frame+block framing. Single-segment frame;
     * `dictId != 0` writes the Dictionary_ID field (decoders must then
-    * be handed the dictionary).
+    * be handed the dictionary). A non-empty `dict` with `dictId == 0`
+    * is RAW-PREFIX mode (RFC 8878 §5 content-only prefix): no
+    * Dictionary_ID field is written, so the frame is decodable only
+    * by a decoder handed the same prefix out-of-band — deliberate,
+    * not an omission; standard `zstd -d` without `-D` refuses such
+    * frames.
     *
     * Verification: round-tripped by this file's own decoder across the
     * spec matrix AND decoded byte-exact by foreign libzstd via ctypes
