@@ -725,8 +725,13 @@ object WarcOps {
     * per-group byte accounting alongside the archive so the ratio is
     * part of the tested contract, not a side effect.
     */
+  /** `storedGroup >= 0` plants that one archive group as RAW-BLOCK
+    * frames (stored, 1x bytes) — the negative control for the q195
+    * ratio flag; production callers leave it -1 (all compressed).
+    */
   private[graft] def syntheticWarcZstCompressed(
-      docs: DataFrame, groups: Int = WarcGroups): DataFrame = {
+      docs: DataFrame, groups: Int = WarcGroups,
+      storedGroup: Int = -1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     HtmlOps.syntheticHtml(docs)
@@ -738,17 +743,22 @@ object WarcOps {
       .agg(expr("transform(array_sort(collect_list(s)), x -> x.rec)").as("recs"))
       .as[(Long, Seq[String])]
       .map { case (gid, recs) =>
-        // SAMPLED dictionary (the production convention for small
-        // records — ZDICT trains on a record sample; we take the
-        // leading records up to 8 KiB verbatim): record skeletons AND
-        // the corpus vocabulary become cross-record matches into the
-        // §5 prefix, which is where the ratio on sub-KB records lives
+        // TRAINED dictionary (round 20, was the round-19 sampled
+        // prefix): COVER-style segment selection over the group's
+        // records, parameter-searched by actual compressed size with
+        // the sampled prefix kept as a candidate floor — record
+        // skeletons AND the corpus vocabulary become cross-record
+        // matches into the §5 prefix, which is where the ratio on
+        // sub-KB records lives (ZstdDict.trainForCorpus; trained-vs-
+        // sampled ratio pinned in ZstdDictTrainSpec and below in
+        // WarcZstSpec's corpus assertions)
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        val sample = new java.io.ByteArrayOutputStream()
-        sample.write(WarcRecPrefix)
-        recs.iterator.takeWhile(_ => sample.size < 8192)
-          .foreach(r => sample.write(r.getBytes(utf8)))
-        val dictContent = sample.toByteArray
+        val sampleBytes = recs.map(_.getBytes(utf8))
+        val trained = ZstdDict.trainForCorpus(sampleBytes, 8192)
+        // the structured blob needs >=8 content bytes (rep seeds);
+        // degenerate groups fall back to the invariant preamble
+        val dictContent =
+          if (trained.length >= 8) trained else WarcRecPrefix ++ trained
         val dictBlob = Zstd.encodeStructuredDict(WarcZstDictId, dictContent)
         val packed = Zstd.encode(dictBlob) // the dict frame compresses too
         val head = new java.io.ByteArrayOutputStream()
@@ -758,12 +768,12 @@ object WarcOps {
         head.write((sz >> 16) & 0xff); head.write((sz >> 24) & 0xff)
         head.write(packed)
         var rawLen = 0L
-        val frames = recs.map { r =>
-          val bytes = r.getBytes(utf8)
+        val frames = sampleBytes.map { bytes =>
           rawLen += bytes.length
           // content checksums on: a flipped byte in transit fails the
           // frame instead of shipping corrupt training text
-          Zstd.encode(bytes, dictContent, WarcZstDictId, checksum = true)
+          if (gid == storedGroup) Zstd.encodeRaw(bytes)
+          else Zstd.encode(bytes, dictContent, WarcZstDictId, checksum = true)
         }
         val warc = frames.foldLeft(head.toByteArray)(_ ++ _)
         (gid, warc, rawLen, warc.length.toLong)
@@ -787,6 +797,17 @@ object WarcOps {
   def q195WarcZstWrite(spark: SparkSession, dir: String): DataFrame = {
     val arch = syntheticWarcZstCompressed(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    warcZstRatioJoin(spark, arch)
+  }
+
+  /** The q195 extraction + ratio-flag join, factored so the negative
+    * control (WarcZstSpec's planted STORED group, which must come
+    * back `ratio_lt_60 = false`) drives the SAME join the production
+    * query uses — the oracle's uniformly-true expectation is checked
+    * against a path that demonstrably CAN say false.
+    */
+  private[graft] def warcZstRatioJoin(
+      spark: SparkSession, arch: DataFrame): DataFrame = {
     val flags = arch.select(col("group_id"),
       (col("comp_len").cast("double") <
         col("raw_len").cast("double") * 0.6).as("ratio_lt_60"))

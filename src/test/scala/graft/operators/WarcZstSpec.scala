@@ -192,6 +192,51 @@ class WarcZstSpec extends AnyFunSuite {
     viaCdx.zip(viaGz).foreach { case (z, g) => assert(z == g) }
   }
 
+  test("NEGATIVE control: a planted STORED (raw-block) archive group " +
+    "comes back ratio_lt_60 = false through the SAME join q195 uses") {
+    val arch = WarcOps.syntheticWarcZstCompressed(
+      graft.Tables.documents(spark, sf), storedGroup = 3)
+    val rows = WarcOps.warcZstRatioJoin(spark, arch).collect()
+    assert(rows.nonEmpty)
+    val (stored, compressed) = rows.partition(_.getLong(0) % 8 == 3)
+    assert(stored.nonEmpty, "group 3 must have documents")
+    stored.foreach(r => assert(!r.getBoolean(r.length - 1),
+      s"doc ${r.getLong(0)}: stored group must flag false"))
+    compressed.foreach(r => assert(r.getBoolean(r.length - 1),
+      s"doc ${r.getLong(0)}: compressed groups must flag true"))
+    // and the stored group's text still extracts identically (the
+    // flag reports the CONTAINER, not the content)
+    val normal = WarcOps.q195WarcZstWrite(spark, sf).collect()
+    assert(rows.map(_.toSeq.init).toSeq == normal.map(_.toSeq.init).toSeq)
+  }
+
+  test("TRAINED dict beats the round-19 sampled prefix on the actual " +
+    "q195 corpus, group by group totals (both numbers pinned)") {
+    import spark.implicits._
+    val arch = WarcOps.syntheticWarcZstCompressed(
+      graft.Tables.documents(spark, sf))
+      .as[(Long, Array[Byte], Long, Long)].collect()
+    var tSampled = 0L; var tTrained = 0L; var raw = 0L
+    for ((_, warc, _, _) <- arch) {
+      val recs = WarcOps.zstdMembers(warc)
+      raw += recs.map(_.length.toLong).sum
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(WarcOps.WarcRecPrefix)
+      recs.iterator.takeWhile(_ => bos.size < 8192).foreach(bos.write(_))
+      val sampled = bos.toByteArray
+      val trained = ZstdDict.trainForCorpus(recs, 8192)
+      tSampled += recs.map(r =>
+        Zstd.encode(r, sampled, WarcOps.WarcZstDictId).length.toLong).sum
+      tTrained += recs.map(r =>
+        Zstd.encode(r, trained, WarcOps.WarcZstDictId).length.toLong).sum
+    }
+    info(f"q195 corpus raw=$raw sampled=$tSampled " +
+      f"(${tSampled.toDouble / raw}%.4f) trained=$tTrained " +
+      f"(${tTrained.toDouble / raw}%.4f)")
+    assert(tTrained < tSampled,
+      s"trained ($tTrained) must beat the sampled prefix ($tSampled)")
+  }
+
   test("truncation fuzz: every archive prefix yields the intact frame " +
     "prefix, never a throw") {
     val recs = (0 until 3).map(i => rec(s"https://z.test/$i", s"<p>t$i</p>"))
