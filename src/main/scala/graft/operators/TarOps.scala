@@ -303,7 +303,11 @@ object TarOps {
     * (stored LZMA2 chunks — xz is an archival INPUT; the LZMA core is
     * foreign-fixture-proven decode-side in XzSpec) and walked back
     * through the container door. Same per-doc arithmetic as q147 with
-    * the container pinned `tar.xz` on every row.
+    * the container pinned `tar.xz` on every row. Round 20: a third of
+    * the corpus travels through each filter-chain shape — plain
+    * LZMA2, BCJ x86 (id % 3 == 1, the compiled-binary-mirror case),
+    * delta dist 4 (id % 3 == 2) — so the oracle replays only if the
+    * reader reverses every filter byte-exactly.
     *
     * Scale shape (100 TB): per-row build + walk, no exchange before
     * the output sort (the q147 contract).
@@ -314,7 +318,10 @@ object TarOps {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        extractArchive(id, Xz.encodeStored(buildTar(archiveMembers(id, t))))
+        val tar = buildTar(archiveMembers(id, t))
+        val xz = Xz.encodeStored(tar,
+          bcj = id % 3 == 1, deltaDist = if (id % 3 == 2) 4 else 0)
+        extractArchive(id, xz)
       })
       .toDF()
       .select(col("doc_id"), col("status"), col("container"),

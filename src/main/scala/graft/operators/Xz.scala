@@ -469,14 +469,36 @@ object Xz {
           var uncompSize = -1L
           if ((flags & 0x40) != 0) { val (v, np) = varint(b, p); compSize = v; p = np }
           if ((flags & 0x80) != 0) { val (v, np) = varint(b, p); uncompSize = v; p = np }
+          // filter chain, encode order (LZMA2 must be LAST; delta and
+          // BCJ x86 are the supported pre-filters — round 20; anything
+          // else stays a typed error)
           var f = 0
+          val preFilters = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Byte])]
           while (f < nFilters) {
             val (fid, np) = varint(b, p)
             val (propLen, np2) = varint(b, np)
-            if (fid != 0x21) throw Bail("unsupported-filter")
-            if (propLen != 1) throw Bail("filter-props")
-            // LZMA2 dict-size property: size hint only — the window
-            // here is the whole decoded block
+            if (np2 + propLen > b.length) throw Bail("truncated")
+            val last = f == nFilters - 1
+            fid match {
+              case 0x21 =>
+                if (!last) throw Bail("lzma2-not-last")
+                if (propLen != 1) throw Bail("filter-props")
+                // LZMA2 dict-size property: size hint only — the
+                // window here is the whole decoded block
+              case 0x03 => // delta: dist-1 in one prop byte
+                if (last) throw Bail("delta-as-last-filter")
+                if (propLen != 1) throw Bail("filter-props")
+                preFilters += ((fid,
+                  Array(b(np2.toInt))))
+              case 0x04 => // BCJ x86: no props, or 4-byte start offset
+                if (last) throw Bail("bcj-as-last-filter")
+                if (propLen != 0 && propLen != 4) throw Bail("filter-props")
+                preFilters += ((fid,
+                  java.util.Arrays.copyOfRange(b, np2.toInt,
+                    (np2 + propLen).toInt)))
+              case _ => throw Bail("unsupported-filter")
+            }
             p = np2 + propLen.toInt
             f += 1
           }
@@ -486,8 +508,20 @@ object Xz {
             p += 1
           }
           ip = blockStart + hdrSize
-          val (data, next) = lzma2(b, ip, b.length,
+          val (lzOut, next) = lzma2(b, ip, b.length,
             maxOut - outAll.size())
+          // decode-side filter application is REVERSE encode order;
+          // both transforms are 1:1 in-place over the block output
+          var data = lzOut
+          preFilters.reverseIterator.foreach {
+            case (0x03, props) =>
+              data = deltaDecode(data, (props(0) & 0xff) + 1)
+            case (0x04, props) =>
+              val startOff =
+                if (props.length == 4) le32(props, 0) else 0L
+              data = bcjX86(data, startOff, encoding = false)
+            case _ => throw Bail("unsupported-filter")
+          }
           if (uncompSize >= 0 && data.length.toLong != uncompSize)
             throw Bail("uncompressed-size-mismatch")
           val rawCompressed = next - ip
@@ -578,6 +612,109 @@ object Xz {
 
   // --------------------------------------------------------------- encode
 
+  /** Delta filter (xz filter id 0x03), decode direction: each byte
+    * adds the DECODED byte `dist` positions back (history before the
+    * block start is zero). In place, 1:1.
+    */
+  private[graft] def deltaDecode(data: Array[Byte], dist: Int): Array[Byte] = {
+    var i = dist
+    while (i < data.length) {
+      data(i) = (data(i) + data(i - dist)).toByte
+      i += 1
+    }
+    data
+  }
+
+  /** Delta filter, encode direction: each byte minus the RAW byte
+    * `dist` back — iterate backward so the subtrahend is still raw.
+    */
+  private[graft] def deltaEncode(data: Array[Byte], dist: Int): Array[Byte] = {
+    var i = data.length - 1
+    while (i >= dist) {
+      data(i) = (data(i) - data(i - dist)).toByte
+      i -= 1
+    }
+    data
+  }
+
+  /** BCJ x86 filter (xz filter id 0x04): converts the 32-bit relative
+    * displacement of near CALL/JMP opcodes (0xE8/0xE9) to absolute
+    * (encode) or back (decode) so repeated call targets become
+    * repeated bytes for the compressor. This is the branch-converter
+    * published with the LZMA SDK (Bra86 `x86_Convert`, public domain)
+    * and specified by xz-file-format §5.3.2: a displacement is only
+    * converted when its most-significant byte is 0x00 or 0xFF (the
+    * "allowed status"), with a 3-bit sliding `mask` of recently seen
+    * E8/E9 positions deciding whether a candidate inside the previous
+    * instruction's displacement window is re-checked against the
+    * masked byte or skipped, and a post-conversion fixup XORs the
+    * below-MSB bits when the converted displacement's masked byte
+    * still looks like a boundary byte. One call per block (`ip0` is
+    * the filter's start-offset property, default 0); state never
+    * crosses blocks because each xz block filters independently.
+    * In place, 1:1. Foreign-pinned byte-exact against liblzma
+    * fixtures in XzSpec (decode) and per-test via
+    * `tools/verify_xz_encoder.py` (encode).
+    */
+  private[graft] def bcjX86(
+      data: Array[Byte], ip0: Long, encoding: Boolean): Array[Byte] = {
+    def msb(b: Int): Boolean = b == 0 || b == 0xff
+    val size = data.length
+    if (size < 5) return data
+    val lim = size - 4
+    val ip = (ip0 + 5) & 0xFFFFFFFFL
+    var pos = 0
+    var mask = 0
+    var done = false
+    while (!done) {
+      var pp = pos
+      while (pp < lim && (data(pp) & 0xFE) != 0xE8) pp += 1
+      val gap = pp - pos
+      pos = pp
+      if (pp >= lim) done = true
+      else {
+        var continueScan = false
+        if (gap > 2) mask = 0
+        else {
+          mask >>= gap
+          if (mask != 0 && (mask > 4 || mask == 3 ||
+              msb(data(pos + (mask >> 1) + 1) & 0xff))) {
+            mask = (mask >> 1) | 4
+            pos += 1
+            continueScan = true
+          }
+        }
+        if (!continueScan) {
+          if (msb(data(pos + 4) & 0xff)) {
+            var v = ((data(pos + 4) & 0xffL) << 24) |
+              ((data(pos + 3) & 0xffL) << 16) |
+              ((data(pos + 2) & 0xffL) << 8) |
+              (data(pos + 1) & 0xffL)
+            val cur = (ip + pos) & 0xFFFFFFFFL
+            pos += 5
+            v = (if (encoding) v + cur else v - cur) & 0xFFFFFFFFL
+            if (mask != 0) {
+              val sh = (mask & 6) << 2
+              if (msb(((v >> sh) & 0xff).toInt)) {
+                v ^= (0x100L << sh) - 1
+                v = (if (encoding) v + cur else v - cur) & 0xFFFFFFFFL
+              }
+              mask = 0
+            }
+            data(pos - 4) = (v & 0xff).toByte
+            data(pos - 3) = ((v >> 8) & 0xff).toByte
+            data(pos - 2) = ((v >> 16) & 0xff).toByte
+            data(pos - 1) = (if (((v >> 24) & 1) != 0) 0xff else 0x00).toByte
+          } else {
+            mask = (mask >> 1) | 4
+            pos += 1
+          }
+        }
+      }
+    }
+    data
+  }
+
   /** Conformant `.xz` WRITER using uncompressed LZMA2 chunks (the
     * stored-block form — xz is an archival INPUT shape here, so the
     * writer exists for corpus construction; the LZMA core is
@@ -587,8 +724,19 @@ object Xz {
     * output byte-exact (`tools/verify_xz_encoder.py`, run per-test by
     * XzSpec).
     */
-  def encodeStored(data: Array[Byte]): Array[Byte] = {
+  def encodeStored(data: Array[Byte]): Array[Byte] =
+    encodeStored(data, bcj = false, deltaDist = 0)
+
+  /** Stored writer with optional pre-filters (round 20): `deltaDist`
+    * > 0 prepends a delta filter, `bcj` an x86 BCJ filter, applied in
+    * encode order delta → x86 → LZMA2 — so the stream exercises the
+    * reader's filter chain with real (liblzma-accepted) headers. The
+    * payload still travels in uncompressed LZMA2 chunks.
+    */
+  def encodeStored(
+      data: Array[Byte], bcj: Boolean, deltaDist: Int): Array[Byte] = {
     require(data.length <= (1 << 26), "encode input exceeds 64 MiB cap")
+    require(deltaDist >= 0 && deltaDist <= 256, "delta dist 1..256")
     val bos = new java.io.ByteArrayOutputStream(data.length + 256)
     def w32(v: Long): Unit = {
       bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
@@ -609,30 +757,49 @@ object Xz {
       bos.write('Y'); bos.write('Z')
       return bos.toByteArray
     }
-    // block header (12 bytes): size 2, flags 0 (1 filter, no sizes),
-    // filter 0x21, prop len 1, dict-size prop 16 (~1 MiB hint), pad,
-    // CRC32
-    val bh = Array[Byte](2, 0, 0x21, 1, 16, 0, 0, 0)
-    bos.write(bh, 0, 8)
-    w32(crc32(bh, 0, 8).toLong & 0xFFFFFFFFL)
+    // what travels in the LZMA2 chunks is the FILTERED byte stream
+    // (encode order delta -> x86); the check and index still describe
+    // the ORIGINAL data, which is what a decoder re-produces
+    val filtered = {
+      var d = data
+      if (deltaDist > 0) d = deltaEncode(d.clone(), deltaDist)
+      if (bcj) d = bcjX86(if (d eq data) d.clone() else d, 0L,
+        encoding = true)
+      d
+    }
+    // block header: size byte, flags (nFilters-1), filter list
+    // ([delta][x86] then LZMA2 with its dict-size prop), zero padding
+    // to a 4-byte boundary, CRC32
+    val fl = new java.io.ByteArrayOutputStream()
+    if (deltaDist > 0) { fl.write(0x03); fl.write(1); fl.write(deltaDist - 1) }
+    if (bcj) { fl.write(0x04); fl.write(0) }
+    fl.write(0x21); fl.write(1); fl.write(16)
+    val nFilters = 1 + (if (deltaDist > 0) 1 else 0) + (if (bcj) 1 else 0)
+    val hdrSize = ((2 + fl.size + 4 + 3) / 4) * 4
+    val bh = new Array[Byte](hdrSize - 4)
+    bh(0) = (hdrSize / 4 - 1).toByte
+    bh(1) = (nFilters - 1).toByte
+    System.arraycopy(fl.toByteArray, 0, bh, 2, fl.size)
+    bos.write(bh, 0, bh.length)
+    w32(crc32(bh, 0, bh.length).toLong & 0xFFFFFFFFL)
     // LZMA2 uncompressed chunks (first resets the dict)
     var off = 0
     var lzma2Len = 0L
     var first = true
-    while (off < data.length) {
-      val n = math.min(1 << 16, data.length - off)
+    while (off < filtered.length) {
+      val n = math.min(1 << 16, filtered.length - off)
       bos.write(if (first) 1 else 2)
       bos.write((n - 1) >> 8); bos.write((n - 1) & 0xff)
-      bos.write(data, off, n)
+      bos.write(filtered, off, n)
       lzma2Len += 3L + n
       off += n
       first = false
     }
     bos.write(0) // LZMA2 end
     lzma2Len += 1
-    val unpadded = 12L + lzma2Len + 8 // header + data + CRC64 check
+    val unpadded = hdrSize + lzma2Len + 8 // header + data + CRC64 check
     var padding = 0
-    while (((12 + lzma2Len + padding) & 3) != 0) { bos.write(0); padding += 1 }
+    while (((hdrSize + lzma2Len + padding) & 3) != 0) { bos.write(0); padding += 1 }
     val c64 = crc64(data, 0, data.length)
     w32(c64 & 0xFFFFFFFFL); w32((c64 >>> 32) & 0xFFFFFFFFL)
     // index: indicator, count 1, (unpadded, uncompressed), pad, CRC32

@@ -77,3 +77,59 @@ mb = bigtext  # ~206 KB -> 4 blocks
 p = subprocess.run(["xz", "-6", "--block-size=65536", "-c", "-T", "1"],
                    input=mb, stdout=subprocess.PIPE, check=True)
 put("multiblock", mb, p.stdout)
+
+# ---- round 20: filtered streams (delta + BCJ x86 pre-filters) ------
+# Generated with the stdlib lzma module (same liblzma underneath) so
+# filter-chain properties are exercised exactly as xz writes them.
+import lzma
+
+
+def xzf(data: bytes, filters) -> bytes:
+    return lzma.compress(data, format=lzma.FORMAT_XZ, filters=filters)
+
+
+def x86ish(n: int) -> bytes:
+    # synthetic machine-code-ish stream: spaced CALL/JMP (E8/E9) with
+    # small forward/backward displacements whose MSBytes are 00/FF —
+    # the exact population the BCJ transform rewrites — plus filler
+    # that includes adjacent E8 runs to exercise the mask path
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += b"\x55\x48\x89\xe5"          # prologue filler
+        disp = (i * 641) % 0x7FFF
+        out += b"\xe8" + disp.to_bytes(4, "little")       # call +disp
+        out += b"\x90\x90"
+        back = (0x100000000 - ((i * 257) % 0x6000)) & 0xFFFFFFFF
+        out += b"\xe9" + back.to_bytes(4, "little")       # jmp -disp
+        if i % 5 == 0:
+            out += b"\xe8\xe8\xe8"          # adjacent-opcode mask food
+        if i % 7 == 0:
+            out += b"\xe8\x01\x02\x03\x04"  # MSB not 00/FF: untouched
+        i += 1
+    return bytes(out[:n])
+
+
+def sawtooth(n: int, period: int) -> bytes:
+    return bytes((i * 7) % period for i in range(n))
+
+
+L2 = {"id": lzma.FILTER_LZMA2, "preset": 6}
+put("bcj_x86", x86ish(40000),
+    xzf(x86ish(40000), [{"id": lzma.FILTER_X86}, L2]))
+put("bcj_x86_small", x86ish(256),
+    xzf(x86ish(256), [{"id": lzma.FILTER_X86}, L2]))
+put("delta1", sawtooth(30000, 251),
+    xzf(sawtooth(30000, 251), [{"id": lzma.FILTER_DELTA, "dist": 1}, L2]))
+put("delta4", sawtooth(30000, 251),
+    xzf(sawtooth(30000, 251), [{"id": lzma.FILTER_DELTA, "dist": 4}, L2]))
+put("delta256", sawtooth(30000, 256),
+    xzf(sawtooth(30000, 256), [{"id": lzma.FILTER_DELTA, "dist": 256}, L2]))
+put("delta_x86_chain", x86ish(20000),
+    xzf(x86ish(20000), [{"id": lzma.FILTER_DELTA, "dist": 2},
+                        {"id": lzma.FILTER_X86}, L2]))
+# multi-block + filter chain: per-block independent BCJ state
+p = subprocess.run(["xz", "--x86", "--lzma2=preset=6",
+                    "--block-size=16384", "-c", "-T", "1"],
+                   input=x86ish(50000), stdout=subprocess.PIPE, check=True)
+put("bcj_multiblock", x86ish(50000), p.stdout)
