@@ -193,6 +193,7 @@ object SparkEntry {
     "q201_tar_xz" -> (TarOps.q201TarXz(_, _)),
     "q202_chat_sft" -> (PackOps.q202ChatSft(_, _)),
     "q203_pack_mask" -> (PackOps.q203PackMask(_, _)),
+    "q204_seekable_fetch" -> (WarcOps.q204SeekableFetch(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -3269,6 +3270,19 @@ object SparkEntry {
     // pattern; identical oracle to q135/q185/q186, so an extent off by
     // a byte changes rows
     "q192_cdx_zst_fetch" -> (htmlExtractCtes(
+      " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
+        "' || doc_id || '</p>'") +
+      """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |  200::BIGINT AS status,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  sha256(array_to_string(blocks, chr(10))) AS text_sha
+        |FROM b ORDER BY doc_id""".stripMargin),
+    // seek-table selective access (q204): q195's shards carry an
+    // EMBEDDED zstd-seekable-format index; each record range-reads by
+    // its table extent (size + XXH64-low32 verified) after one table
+    // and one dictionary read per archive — identical oracle to
+    // q135/q192, so a wrong extent, size, or checksum changes rows
+    "q204_seekable_fetch" -> (htmlExtractCtes(
       " ||\n    '<p>" + operators.WarcOps.Utf8Marker +
         "' || doc_id || '</p>'") +
       """SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,

@@ -508,11 +508,20 @@ object WarcOps {
     val (dict, dictEnd) = warcZstDict(bytes)
     var p = dictEnd
     while (p + 4 <= n) {
+      val isSkippable = ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+        ((bytes(p + 2) & 0xff) << 16) |
+        ((bytes(p + 3) & 0xffL) << 24)) & 0xFFFFFFF0L match {
+        case 0x184D2A50L => true
+        case _ => false
+      }
       val advanced = Zstd.frameLength(bytes, p).flatMap { len =>
-        val slice = java.util.Arrays.copyOfRange(bytes, p, p + len)
-        Zstd.decode(slice, MaxMemberBytes.toInt, dict).toOption.map { d =>
-          out += ((p.toLong, len.toLong, d))
-          p + len
+        if (isSkippable) Some(p + len) // seek table / metadata: no member
+        else {
+          val slice = java.util.Arrays.copyOfRange(bytes, p, p + len)
+          Zstd.decode(slice, MaxMemberBytes.toInt, dict).toOption.map { d =>
+            out += ((p.toLong, len.toLong, d))
+            p + len
+          }
         }
       }
       p = advanced.getOrElse(nextMagic(p + 1))
@@ -775,7 +784,20 @@ object WarcOps {
           if (gid == storedGroup) Zstd.encodeRaw(bytes)
           else Zstd.encode(bytes, dictContent, WarcZstDictId, checksum = true)
         }
-        val warc = frames.foldLeft(head.toByteArray)(_ ++ _)
+        // EMBEDDED seek table (round 20, public zstd seekable format):
+        // one entry per frame — the dict skippable frame (decompressed
+        // size 0) then every record frame with its decompressed size
+        // and XXH64-low32 — so a replayer range-reads records without
+        // ever walking frame headers (q204)
+        val headBytes = head.toByteArray
+        val entries = (headBytes.length.toLong, 0L,
+          Some(Zstd.xxh64Low32(Array.emptyByteArray))) +:
+          frames.zip(sampleBytes).map { case (fr, rec) =>
+            (fr.length.toLong, rec.length.toLong,
+              Some(Zstd.xxh64Low32(rec)))
+          }
+        val warc = frames.foldLeft(headBytes)(_ ++ _) ++
+          Zstd.seekTable(entries)
         (gid, warc, rawLen, warc.length.toLong)
       }
       .toDF("group_id", "warc", "raw_len", "comp_len")
@@ -817,6 +839,65 @@ object WarcOps {
       .select(docs("doc_id"), col("url"), col("status"), col("n_blocks"),
         col("text_sha"), col("ratio_lt_60"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q204: selective access served from the EMBEDDED seek table (the
+    * public zstd seekable format) instead of q192's standing
+    * scan-built extent index — the replayer's cheapest path over
+    * q195-written shards: per archive, read the trailing seek table
+    * ONCE, the shared dictionary ONCE, then RANGE-READ each record
+    * frame by its table extent, verifying decompressed size and
+    * XXH64-low32 per record (a lying or bit-flipped extent
+    * dead-letters that record, never garbage). An archive whose table
+    * is missing or structurally invalid falls back to the header-walk
+    * extents — pinned by WarcZstSpec, so the fallback can't hide a
+    * regression in the table writer. Output contract (and oracle)
+    * exactly q135/q192's.
+    *
+    * Scale shape (100 TB): one partition-local pass per archive, no
+    * extra exchange vs q192 MINUS its standing-index write/read and
+    * group-by — the seek table rides in the shard tail, so selective
+    * access needs zero side artifacts.
+    */
+  def q204SeekableFetch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val archives = syntheticWarcZstCompressed(Tables.documents(spark, dir))
+    val recs = archives.select(col("group_id"), col("warc"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (gid, warc) =>
+        val (dict, _) = warcZstDict(warc) // once per archive
+        val viaTable = Zstd.readSeekTable(warc) match {
+          case Some(entries) =>
+            entries.iterator.filter(_.decompSize > 0).flatMap { e =>
+              fetchRecordSeek(warc, dict, e)
+            }.toSeq
+          case None => // no/invalid table: the q185 header walk
+            zstdMemberExtents(warc).map(_._3)
+        }
+        viaTable.flatMap(rec => parseWarc(rec) match {
+          case Seq((uri, st, body, enc, cs)) =>
+            Some(WarcHttpRecord(gid, uri, st, body, enc, cs))
+          case _ => None
+        })
+      })
+    extractToDocs(recs.toDF())
+  }
+
+  /** Range-read ONE record frame by its seek-table entry: slice,
+    * dict-aware decode, then verify BOTH the promised decompressed
+    * size and the XXH64-low32 checksum. None on any lie.
+    */
+  private[graft] def fetchRecordSeek(
+      archive: Array[Byte], dict: Zstd.Dictionary,
+      e: Zstd.SeekEntry): Option[Array[Byte]] = {
+    if (e.offset < 0 || e.compSize <= 0 ||
+      e.offset + e.compSize > archive.length) return None
+    val slice = java.util.Arrays.copyOfRange(
+      archive, e.offset.toInt, (e.offset + e.compSize).toInt)
+    Zstd.decode(slice, MaxMemberBytes.toInt, dict).toOption.filter { d =>
+      d.length.toLong == e.decompSize &&
+        e.checksum.forall(_ == Zstd.xxh64Low32(d))
+    }
   }
 
   /** q128: the full crawl front door — WARC walk → HTTP split → HTML

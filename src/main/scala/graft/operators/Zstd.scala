@@ -976,6 +976,99 @@ object Zstd {
     bos.toByteArray
   }
 
+  // ------------------------------------------------- seekable format
+  // The public zstd seekable format (facebook/zstd
+  // contrib/seekable_format/zstd_seekable_compression_format.md): a
+  // concatenation of frames followed by one skippable frame (magic
+  // low-nibble 0xE) holding a SEEK TABLE — per-frame compressed +
+  // decompressed sizes, optional XXH64-low32 checksums — and a 9-byte
+  // footer: Number_Of_Frames, Seek_Table_Descriptor (bit 7 =
+  // Checksum_Flag, bits 6-2 reserved zero), magic 0x8F92EAB1.
+
+  val SeekableMagic = 0x8F92EAB1L
+  val SeekTableFrameMagic = 0x184D2A5EL
+
+  /** One seek-table row: byte extent + decompressed size + optional
+    * XXH64-low32 of the decompressed payload.
+    */
+  final case class SeekEntry(
+      offset: Long, compSize: Long, decompSize: Long, checksum: Option[Long])
+
+  private[graft] def xxh64Low32(b: Array[Byte]): Long =
+    xxh64(b, b.length) & 0xFFFFFFFFL
+
+  /** Serialize the seek-table skippable frame for `entries`
+    * (compressedSize, decompressedSize, optional checksum — all
+    * entries must agree on checksum presence).
+    */
+  def seekTable(entries: Seq[(Long, Long, Option[Long])]): Array[Byte] = {
+    val withCk = entries.nonEmpty && entries.head._3.isDefined
+    require(entries.forall(_._3.isDefined == withCk),
+      "checksum presence must be uniform")
+    val entrySize = if (withCk) 12 else 8
+    val bos = new java.io.ByteArrayOutputStream(
+      8 + entries.length * entrySize + 9)
+    def le32w(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    le32w(SeekTableFrameMagic)
+    le32w(entries.length.toLong * entrySize + 9)
+    entries.foreach { case (c, d, ck) =>
+      require(c >= 0 && c <= 0xFFFFFFFFL && d >= 0 && d <= 0xFFFFFFFFL)
+      le32w(c); le32w(d); ck.foreach(le32w)
+    }
+    le32w(entries.length.toLong)
+    bos.write(if (withCk) 0x80 else 0x00)
+    le32w(SeekableMagic)
+    bos.toByteArray
+  }
+
+  /** Parse an EMBEDDED seek table from the tail of `b`. Returns the
+    * per-frame entries with offsets reconstructed by running sum, or
+    * None when no structurally valid table is present (wrong magics,
+    * reserved descriptor bits, size lies, or extents that don't tile
+    * `[0, tableStart)`) — callers fall back to the scan walk, so a
+    * lying table can never misaddress a record silently.
+    */
+  def readSeekTable(b: Array[Byte]): Option[Seq[SeekEntry]] = {
+    val n = b.length
+    if (n < 17) return None
+    try {
+      if (le32(b, n - 4) != SeekableMagic) return None
+      val descriptor = b(n - 5) & 0xff
+      if ((descriptor & 0x7C) != 0) return None // reserved bits
+      val withCk = (descriptor & 0x80) != 0
+      val entrySize = if (withCk) 12 else 8
+      val nbFrames = le32(b, n - 9)
+      if (nbFrames < 0 || nbFrames > (n - 17) / entrySize) return None
+      val tableLen = 8 + nbFrames * entrySize + 9
+      val tableStart = n - tableLen
+      if (tableStart < 0) return None
+      if (le32(b, tableStart.toInt) != SeekTableFrameMagic) return None
+      if (le32(b, tableStart.toInt + 4) != nbFrames * entrySize + 9)
+        return None
+      var off = 0L
+      var p = tableStart.toInt + 8
+      val out = Vector.newBuilder[SeekEntry]
+      var i = 0L
+      while (i < nbFrames) {
+        val c = le32(b, p)
+        val d = le32(b, p + 4)
+        val ck = if (withCk) Some(le32(b, p + 8)) else None
+        out += SeekEntry(off, c, d, ck)
+        off += c
+        p += entrySize
+        i += 1
+      }
+      if (off != tableStart) None // extents must tile the payload
+      else Some(out.result())
+    } catch {
+      case _: Bail => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
   /** Build a minimal STRUCTURED dictionary blob (RFC 8878 §5): magic,
     * id, entropy preamble, rep-offset seeds, content. The preamble is
     * the smallest valid one — a 2-symbol Huffman table and three

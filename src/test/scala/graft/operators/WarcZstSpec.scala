@@ -133,9 +133,23 @@ class WarcZstSpec extends AnyFunSuite {
       val stripped = java.util.Arrays.copyOfRange(warc, skipLen, warc.length)
       assert(WarcOps.zstdMembers(stripped).isEmpty, s"gid=$gid")
       // the non-decompressing boundary walk still tiles the archive
+      // up to the trailing EMBEDDED seek table (round 20)
       val exts = WarcOps.zstdMemberExtents(warc)
       assert(exts.length == members.length)
-      assert(exts.map(e => e._1 + e._2).max == warc.length)
+      val table = Zstd.readSeekTable(warc)
+      assert(table.isDefined, s"gid=$gid: embedded seek table must parse")
+      val entries = table.get
+      assert(entries.length == members.length + 1) // dict frame + records
+      val tableStart = entries.map(_.compSize).sum
+      assert(exts.map(e => e._1 + e._2).max == tableStart)
+      // table extents agree with the walked extents, record for record
+      val recEntries = entries.filter(_.decompSize > 0)
+      assert(recEntries.map(e => (e.offset, e.compSize)) ==
+        exts.map(e => (e._1, e._2)))
+      recEntries.zip(members).foreach { case (e, m) =>
+        assert(e.decompSize == m.length.toLong)
+        assert(e.checksum.contains(Zstd.xxh64Low32(m)))
+      }
     }
   }
 
@@ -235,6 +249,71 @@ class WarcZstSpec extends AnyFunSuite {
       f"(${tTrained.toDouble / raw}%.4f)")
     assert(tTrained < tSampled,
       s"trained ($tTrained) must beat the sampled prefix ($tSampled)")
+  }
+
+  test("seek table round-trips: checksummed and plain forms, empty " +
+    "table, and every structural lie parses to None") {
+    val entries = Seq((100L, 0L, Option(0x1234L)), (250L, 4000L, Option(7L)),
+      (13L, 90000L, Option(0xFFFFFFFFL)))
+    val blob = Zstd.seekTable(entries)
+    val payload = new Array[Byte](363) // 100 + 250 + 13
+    val full = payload ++ blob
+    val got = Zstd.readSeekTable(full).get
+    assert(got.map(e => (e.compSize, e.decompSize, e.checksum)) ==
+      entries.map(t => (t._1, t._2, t._3)))
+    assert(got.map(_.offset) == Seq(0L, 100L, 350L))
+    // plain (no checksum) form
+    val plain = payload ++ Zstd.seekTable(entries.map(t => (t._1, t._2, None)))
+    assert(Zstd.readSeekTable(plain).get.forall(_.checksum.isEmpty))
+    // empty table over an empty payload
+    assert(Zstd.readSeekTable(Zstd.seekTable(Nil)).get.isEmpty)
+    // lies: wrong magic, reserved descriptor bits, size lies, bad sum
+    def corrupt(at: Int, v: Byte): Array[Byte] = {
+      val c = full.clone(); c(c.length + at) = v; c
+    }
+    assert(Zstd.readSeekTable(corrupt(-1, 0x00)).isEmpty) // magic
+    assert(Zstd.readSeekTable(corrupt(-5, 0x44)).isEmpty) // reserved bits
+    assert(Zstd.readSeekTable(corrupt(-9, 99)).isEmpty) // frame count
+    // entry size lie breaks the extent sum -> None
+    val lie = full.clone()
+    lie(payload.length + 8) = (lie(payload.length + 8) ^ 1).toByte
+    assert(Zstd.readSeekTable(lie).isEmpty)
+    // truncated table
+    assert(Zstd.readSeekTable(full.take(full.length - 5)).isEmpty)
+  }
+
+  test("q204 on sf0.001 equals the gzip twin q135 row for row " +
+    "(selective access answered by the EMBEDDED index)") {
+    val viaSeek = WarcOps.q204SeekableFetch(spark, sf).collect().map(_.toSeq)
+    val viaGz = WarcOps.q135WarcGzExtract(spark, sf).collect().map(_.toSeq)
+    assert(viaSeek.nonEmpty && viaSeek.length == viaGz.length)
+    viaSeek.zip(viaGz).foreach { case (z, g) => assert(z == g) }
+  }
+
+  test("q204 resilience: a stripped or lying table falls back to the " +
+    "header walk; a flipped checksum dead-letters ONE record") {
+    import spark.implicits._
+    val arch = WarcOps.syntheticWarcZstCompressed(
+      graft.Tables.documents(spark, sf))
+      .as[(Long, Array[Byte], Long, Long)].collect()
+    val warc = arch.head._2
+    val entries = Zstd.readSeekTable(warc).get
+    val tableStart = entries.map(_.compSize).sum
+    // stripped: no table -> walk path yields the same records
+    val stripped = java.util.Arrays.copyOf(warc, tableStart.toInt)
+    assert(Zstd.readSeekTable(stripped).isEmpty)
+    assert(WarcOps.zstdMembers(stripped).map(_.toSeq) ==
+      WarcOps.zstdMembers(warc).map(_.toSeq))
+    // flipped checksum: the table still parses; that record refuses
+    val (dict, _) = WarcOps.warcZstDict(warc)
+    val rec1 = entries.filter(_.decompSize > 0).head
+    assert(WarcOps.fetchRecordSeek(warc, dict, rec1).isDefined)
+    assert(WarcOps.fetchRecordSeek(warc, dict,
+      rec1.copy(checksum = rec1.checksum.map(_ ^ 1))).isEmpty)
+    assert(WarcOps.fetchRecordSeek(warc, dict,
+      rec1.copy(decompSize = rec1.decompSize + 1)).isEmpty)
+    assert(WarcOps.fetchRecordSeek(warc, dict,
+      rec1.copy(offset = rec1.offset + 1)).isEmpty)
   }
 
   test("truncation fuzz: every archive prefix yields the intact frame " +
