@@ -101,27 +101,28 @@ object Bench {
     //                      approximates whole-machine contention
     // Cross-chain comparisons should divide per-query times by the
     // chains' calibration ratio before calling anything a regression.
-    val calib = {
-      def one(): Double = {
-        val n = 1 << 22
-        val a = new Array[Long](n)
-        var x = 0x9E3779B97F4A7C15L // fixed seed: the workload never varies
-        var i = 0
-        while (i < n) {
-          x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
-          x ^= x >>> 27; x *= 0x94D049BB133111EBL; x ^= x >>> 31
-          a(i) = x; i += 1
-        }
-        val t0 = System.nanoTime()
-        java.util.Arrays.sort(a)
-        var h = 0L
-        i = 0
-        while (i < n) { h ^= a(i) * 0xFF51AFD7ED558CCDL; i += 1 }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (h == 42L) System.err.println("") // keep the fold live (no DCE)
-        dt
+    def stProbe(): Double = {
+      val n = 1 << 22
+      val a = new Array[Long](n)
+      var x = 0x9E3779B97F4A7C15L // fixed seed: the workload never varies
+      var i = 0
+      while (i < n) {
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+        x ^= x >>> 27; x *= 0x94D049BB133111EBL; x ^= x >>> 31
+        a(i) = x; i += 1
       }
-      one(); (0 until 3).map(_ => one()).min // one JIT-warm pass untimed
+      val t0 = System.nanoTime()
+      java.util.Arrays.sort(a)
+      var h = 0L
+      i = 0
+      while (i < n) { h ^= a(i) * 0xFF51AFD7ED558CCDL; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) System.err.println("") // keep the fold live (no DCE)
+      dt
+    }
+    val calib = {
+      stProbe() // one JIT-warm pass untimed
+      (0 until 3).map(_ => stProbe()).min
     }
     val calibMt = (0 until 3).map { _ =>
       val t0 = System.nanoTime()
@@ -157,6 +158,19 @@ object Bench {
     // sample paid them — so a reader can split q49's cold into build vs
     // probe instead of guessing (round-10 watch item)
     val phases = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
+    // PROBE TIMELINE (round-20 verdict item 5): the chain-start
+    // calibration can't see MID-CHAIN host contention (the r19 judge
+    // had to A/B-run q28/q172 by hand to rule their apparent 2-4x
+    // regressions host noise). Re-run the single-thread probe every
+    // PROBE_EVERY successful samples and ship (position, preceding
+    // query, rep, seconds) — a per-query blip is now adjudicable from
+    // BENCH.json alone: if probes near the slow sample rose with it,
+    // it's the host; if they held flat, the regression is real.
+    val ProbeEvery = 16
+    val probeTimeline =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Double)]
+    var samplesDone = 0
+    probeTimeline += ((0, "<start>", -1, stProbe()))
     for (rep <- 0 until reps; (name, fn) <- queries if !dead(name)) {
       // rep-1 cold honesty: drop every persisted frame a SIBLING query
       // left behind, so each query's first sample is its standalone cost
@@ -180,7 +194,11 @@ object Bench {
         dead += name
         failures ::= s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}"
       }
+      samplesDone += 1
+      if (samplesDone % ProbeEvery == 0)
+        probeTimeline += ((samplesDone, name, rep, stProbe()))
     }
+    probeTimeline += ((samplesDone, "<end>", reps - 1, stProbe()))
     // a query whose every rep failed has no samples: it appears in "errors"
     // only (and fails the run), never in the minima
     val results = samples.toSeq.collect {
@@ -202,8 +220,11 @@ object Bench {
       "\"" + q + "\":" + m.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    val ptJson = probeTimeline.map { case (at, after, rep, s) =>
+      s"""{"at":$at,"after":"${esc(after)}","rep":$rep,"s":$s}"""
+    }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"samples":$ss,"phases":$phJson,"calibration_s":$calib,"calibration_mt_s":$calibMt,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"samples":$ss,"phases":$phJson,"calibration_s":$calib,"calibration_mt_s":$calibMt,"probe_timeline":$ptJson,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
     println(line)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), line + "\n")
