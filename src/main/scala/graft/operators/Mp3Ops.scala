@@ -11,6 +11,30 @@ import org.apache.spark.sql.functions._
   * needs to dedup/filter/sample audio it will never play. Samples stay
   * opaque payloads; no MDCT decode is claimed (the Mp4Ops boundary).
   *
+  * LAYER III SAMPLE DECODE: PERMANENTLY WAIVED (round 20, the D4
+  * form). Why it cannot meet this repo's verification standard in
+  * this container: (1) no mp3 implementation exists here — no
+  * libmpg123/libmad/lame/ffmpeg, no Python audio module — so there is
+  * NOTHING FOREIGN to pin a decoder against, and every other lossy
+  * decoder in this repo (JPEG, VP8, PNG, TIFF, FLAC, G.711) earned
+  * its place through foreign fixtures or hand-pinned spec vectors
+  * cross-checked against a second implementation; (2) a correct
+  * Layer III decoder REQUIRES thousands of published constants — 34
+  * Huffman code tables (~2 000 entries), scalefactor-band boundary
+  * tables per sample rate, the 512-coefficient synthesis window D[],
+  * aliasing-butterfly coefficients — which cannot be reproduced from
+  * memory with zero egress at the fidelity a decoder needs (one wrong
+  * window coefficient yields plausible-but-wrong PCM that no test
+  * here could catch); (3) the degenerate-stream fallback (silence /
+  * single tone) only exercises the zero path or depends on exactly
+  * the unverifiable window table, so it would pin structure, not
+  * correctness — a self-referential test, not verification. The scan
+  * boundary above (tags, framing, timing — everything a curation
+  * pipeline consumes) is therefore this operator's permanent,
+  * deliberate surface; revisit only in an environment with an mp3
+  * reference implementation to fixture against (same resolution form
+  * as SURVEY §2.3 D4). See IMPLEMENTATION.md "MP3 decode waiver".
+  *
   * The walk (public MPEG-1 audio framing + the informal ID3 specs):
   *   - an ID3v2.3 tag (`ID3`, version, flags, SYNCSAFE 28-bit size —
   *     7 bits per byte so the size can never alias a frame sync) is
