@@ -306,8 +306,10 @@ object TarOps {
     * the container pinned `tar.xz` on every row. Round 20: a third of
     * the corpus travels through each filter-chain shape — plain
     * LZMA2, BCJ x86 (id % 3 == 1, the compiled-binary-mirror case),
-    * delta dist 4 (id % 3 == 2) — so the oracle replays only if the
-    * reader reverses every filter byte-exactly.
+    * delta dist 4 (id % 3 == 2) — and even ids are REALLY compressed
+    * by the LZMA encoder (odd ids keep the stored-chunk writer), so
+    * the oracle replays only if the reader reverses every filter AND
+    * the full LZMA core byte-exactly.
     *
     * Scale shape (100 TB): per-row build + walk, no exchange before
     * the output sort (the q147 contract).
@@ -319,8 +321,11 @@ object TarOps {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         val tar = buildTar(archiveMembers(id, t))
-        val xz = Xz.encodeStored(tar,
-          bcj = id % 3 == 1, deltaDist = if (id % 3 == 2) 4 else 0)
+        val bcj = id % 3 == 1
+        val dd = if (id % 3 == 2) 4 else 0
+        val xz =
+          if (id % 2 == 0) Xz.encode(tar, bcj = bcj, deltaDist = dd)
+          else Xz.encodeStored(tar, bcj = bcj, deltaDist = dd)
         extractArchive(id, xz)
       })
       .toDF()

@@ -715,6 +715,338 @@ object Xz {
     data
   }
 
+  // ------------------------------------------------------ LZMA encode
+  // Round-20 stretch item: the write path grows a REAL LZMA encoder —
+  // the decoder's probability model inverted. Every context (isMatch/
+  // isRep/length/posSlot/specPos/align/literal incl. matched-literal
+  // mode) reuses `LzmaState`, so the encoder cannot drift from the
+  // decoder's model: they share the arrays and the update rule.
+  // Foreign-verified per-test by liblzma (`tools/verify_xz_encoder
+  // .py`) and round-tripped by this file's own decoder.
+
+  /** Range ENCODER — the arithmetic-coding inverse of `RangeDec`:
+    * 32-bit range, 33-bit low with carry propagation through a
+    * cache/cacheSize pair (the LZMA-SDK construction), normalizing on
+    * the same `top byte zero` condition the decoder uses.
+    */
+  private final class RangeEnc(bos: java.io.ByteArrayOutputStream) {
+    private var low = 0L // 33 bits live: bit 32 is the pending carry
+    private var range = -1 // 0xFFFFFFFF
+    private var cache = 0
+    private var cacheSize = 1L
+    private def shiftLow(): Unit = {
+      if ((low & 0xFFFFFFFFL) < 0xFF000000L || (low >>> 32) != 0) {
+        // carry resolved: flush the cached byte + any 0xFF run,
+        // propagating the carry bit into each
+        val carry = (low >>> 32).toInt
+        var temp = cache
+        var n = cacheSize
+        while (n != 0) {
+          bos.write((temp + carry) & 0xff)
+          temp = 0xFF
+          n -= 1
+        }
+        cacheSize = 0
+        cache = ((low >>> 24) & 0xff).toInt
+      }
+      // else: byte is 0xFF with carry still unknown — extend the run
+      cacheSize += 1
+      low = (low << 8) & 0xFFFFFFFFL
+    }
+    def encodeBit(probs: Array[Short], idx: Int, bit: Int): Unit = {
+      val p = probs(idx) & 0xffff
+      val bound = ((range >>> 11).toLong * p).toInt
+      if (bit == 0) {
+        range = bound
+        probs(idx) = (p + ((2048 - p) >>> 5)).toShort
+      } else {
+        low += bound.toLong & 0xFFFFFFFFL
+        range -= bound
+        probs(idx) = (p - (p >>> 5)).toShort
+      }
+      // SINGLE conditional shift — the decoder normalizes once per
+      // bit, and encoder/decoder must hold identical range values
+      if ((range & 0xFF000000) == 0) { range <<= 8; shiftLow() }
+    }
+    def encodeDirect(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        range = range >>> 1
+        if (((v >>> i) & 1) == 1) low += range.toLong & 0xFFFFFFFFL
+        if ((range & 0xFF000000) == 0) { range <<= 8; shiftLow() }
+        i -= 1
+      }
+    }
+    def flush(): Unit = { var i = 0; while (i < 5) { shiftLow(); i += 1 } }
+  }
+
+  private def bittreeEnc(
+      rc: RangeEnc, probs: Array[Short], bits: Int, sym: Int): Unit = {
+    var m = 1
+    var i = bits - 1
+    while (i >= 0) {
+      val bit = (sym >>> i) & 1
+      rc.encodeBit(probs, m, bit)
+      m = (m << 1) | bit
+      i -= 1
+    }
+  }
+
+  private def bittreeRevEnc(
+      rc: RangeEnc, probs: Array[Short], off: Int, bits: Int,
+      sym: Int): Unit = {
+    var m = 1
+    var i = 0
+    while (i < bits) {
+      val bit = (sym >>> i) & 1
+      rc.encodeBit(probs, off + m, bit)
+      m = (m << 1) | bit
+      i += 1
+    }
+  }
+
+  private def encodeLen(
+      rc: RangeEnc, choice: Array[Short], low: Array[Array[Short]],
+      mid: Array[Array[Short]], high: Array[Short], posState: Int,
+      len: Int): Unit =
+    if (len <= 9) {
+      rc.encodeBit(choice, 0, 0)
+      bittreeEnc(rc, low(posState), 3, len - 2)
+    } else if (len <= 17) {
+      rc.encodeBit(choice, 0, 1)
+      rc.encodeBit(choice, 1, 0)
+      bittreeEnc(rc, mid(posState), 3, len - 10)
+    } else {
+      rc.encodeBit(choice, 0, 1)
+      rc.encodeBit(choice, 1, 1)
+      bittreeEnc(rc, high, 8, len - 18)
+    }
+
+  /** Encode one LZMA chunk: `data[from, until)` with the match window
+    * reaching back to `data[0]` (LZMA2 dict continuity — the chunk
+    * carries a state reset, never a dict reset). Greedy hash-chain
+    * parse with rep0 reuse: literals, normal matches, and rep0
+    * matches (the decoder's short-rep and rep0-long paths).
+    */
+  private def encodeLzmaChunk(
+      data: Array[Byte], from: Int, until: Int, st: LzmaState,
+      head: Array[Int], prev: Array[Int],
+      bos: java.io.ByteArrayOutputStream): Unit = {
+    val rc = new RangeEnc(bos)
+    val pbMask = (1 << st.pb) - 1
+    val lpMask = (1 << st.lp) - 1
+    val MaxLen = 273
+    val Depth = 48
+    val hashShift = 32 - (31 - java.lang.Integer
+      .numberOfLeadingZeros(head.length)) // table length is a power of 2
+    def hash4(p: Int): Int =
+      (((data(p) & 0xff) | ((data(p + 1) & 0xff) << 8) |
+        ((data(p + 2) & 0xff) << 16) | ((data(p + 3) & 0xff) << 24)) *
+        0x9E3779B1) >>> hashShift
+    def matchLen(a: Int, b0: Int, cap: Int): Int = {
+      var l = 0
+      while (l < cap && data(a + l) == data(b0 + l)) l += 1
+      l
+    }
+    var pos = from
+    while (pos < until) {
+      val dictPos = pos // dictStart is 0 for the whole stream
+      val posState = dictPos & pbMask
+      val capLen = math.min(MaxLen, until - pos)
+      // candidate: rep0 match (cheap to encode, no distance bits)
+      var repLen = 0
+      if (st.reps(0) < pos && capLen >= 2) {
+        val src = pos - st.reps(0) - 1
+        if (src >= 0) repLen = matchLen(src, pos, capLen)
+      }
+      // candidate: best hash-chain match
+      var bestLen = 0
+      var bestDist = 0
+      if (capLen >= 4) {
+        var cand = head(hash4(pos))
+        var d = 0
+        while (cand >= 0 && d < Depth) {
+          val l = matchLen(cand, pos, capLen)
+          if (l > bestLen ||
+            (l == bestLen && pos - cand - 1 < bestDist)) {
+            bestLen = l; bestDist = pos - cand - 1
+          }
+          cand = prev(cand)
+          d += 1
+        }
+      }
+      // selection: prefer rep0 when close in length (it costs no
+      // distance bits); require new matches to clear a dist-scaled bar
+      val useRep = (repLen >= 2 && (repLen + 1 >= bestLen || repLen >= MaxLen)) ||
+        (repLen == 1 && bestLen < 2) // short rep beats a literal
+      val useNew = !useRep && bestLen >= 4 ||
+        (!useRep && bestLen == 3 && bestDist < (1 << 15)) ||
+        (!useRep && bestLen == 2 && bestDist < 512)
+      if (useRep) {
+        rc.encodeBit(st.isMatch, (st.state << 4) | posState, 1)
+        rc.encodeBit(st.isRep, st.state, 1)
+        rc.encodeBit(st.isRepG0, st.state, 0)
+        if (repLen == 1) {
+          // short rep
+          rc.encodeBit(st.isRep0Long, (st.state << 4) | posState, 0)
+          st.state = if (st.state < 7) 9 else 11
+        } else {
+          rc.encodeBit(st.isRep0Long, (st.state << 4) | posState, 1)
+          encodeLen(rc, st.repChoice, st.repLow, st.repMid, st.repHigh,
+            posState, repLen)
+          st.state = if (st.state < 7) 8 else 11
+        }
+        var k = pos
+        val stop = pos + math.max(repLen, 1)
+        while (k < stop) {
+          if (k + 4 <= data.length) {
+            val h = hash4(k); prev(k) = head(h); head(h) = k
+          }
+          k += 1
+        }
+        pos = stop
+      } else if (useNew) {
+        rc.encodeBit(st.isMatch, (st.state << 4) | posState, 1)
+        rc.encodeBit(st.isRep, st.state, 0)
+        encodeLen(rc, st.lenChoice, st.lenLow, st.lenMid, st.lenHigh,
+          posState, bestLen)
+        val dval = bestDist
+        val slot =
+          if (dval < 4) dval
+          else {
+            val nb = 32 - java.lang.Integer.numberOfLeadingZeros(dval)
+            ((nb - 1) << 1) | ((dval >>> (nb - 2)) & 1)
+          }
+        bittreeEnc(rc, st.posSlot(math.min(bestLen - 2, 3)), 6, slot)
+        if (slot >= 4) {
+          val direct = (slot >> 1) - 1
+          val base = (2 | (slot & 1)) << direct
+          val rem = dval - base
+          if (slot < 14)
+            bittreeRevEnc(rc, st.specPos, base - slot - 1, direct, rem)
+          else {
+            rc.encodeDirect(rem >>> 4, direct - 4)
+            bittreeRevEnc(rc, st.align, 0, 4, rem & 15)
+          }
+        }
+        st.reps(3) = st.reps(2); st.reps(2) = st.reps(1)
+        st.reps(1) = st.reps(0); st.reps(0) = dval
+        st.state = if (st.state < 7) 7 else 10
+        var k = pos
+        while (k < pos + bestLen) {
+          if (k + 4 <= data.length) {
+            val h = hash4(k); prev(k) = head(h); head(h) = k
+          }
+          k += 1
+        }
+        pos += bestLen
+      } else {
+        // literal
+        rc.encodeBit(st.isMatch, (st.state << 4) | posState, 0)
+        val prevB = if (pos > 0) data(pos - 1) & 0xff else 0
+        val litState =
+          (((dictPos & lpMask) << st.lc) + (prevB >>> (8 - st.lc))) * 0x300
+        val c = data(pos) & 0xff
+        var sym = 1
+        if (st.state >= 7) {
+          var matchByte = data(pos - st.reps(0) - 1) & 0xff
+          var matched = true
+          var i = 7
+          while (i >= 0) {
+            val bit = (c >>> i) & 1
+            if (matched) {
+              matchByte <<= 1
+              val matchBit = matchByte & 0x100
+              rc.encodeBit(st.lit, litState + 0x100 + matchBit + sym, bit)
+              if (matchBit != (bit << 8)) matched = false
+            } else rc.encodeBit(st.lit, litState + sym, bit)
+            sym = (sym << 1) | bit
+            i -= 1
+          }
+        } else {
+          var i = 7
+          while (i >= 0) {
+            val bit = (c >>> i) & 1
+            rc.encodeBit(st.lit, litState + sym, bit)
+            sym = (sym << 1) | bit
+            i -= 1
+          }
+        }
+        st.state = if (st.state < 4) 0 else if (st.state < 10) st.state - 3
+          else st.state - 6
+        if (pos + 4 <= data.length) {
+          val h = hash4(pos); prev(pos) = head(h); head(h) = pos
+        }
+        pos += 1
+      }
+    }
+    rc.flush()
+  }
+
+  /** LZMA2-compress `data`: compressed chunks of ≤ 48 KiB unpacked
+    * each (fresh probability state per chunk — reset 3 first, reset 2
+    * after — with the DICTIONARY continuous so matches reach across
+    * chunk boundaries); any chunk that fails to shrink ships as an
+    * uncompressed chunk instead. Returns the LZMA2 byte stream
+    * INCLUDING the terminator.
+    */
+  private[graft] def lzma2Compress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val ChunkMax = 48 * 1024
+    // hash table sized to the input (floor 256, cap 64 Ki): a 4 KiB
+    // tar must not pay a 256 KiB table fill per row
+    val hashBits = math.max(8, math.min(16,
+      32 - java.lang.Integer.numberOfLeadingZeros(math.max(1, data.length))))
+    val head = new Array[Int](1 << hashBits)
+    java.util.Arrays.fill(head, -1)
+    val prev = new Array[Int](math.max(1, data.length))
+    var off = 0
+    var first = true
+    while (off < data.length) {
+      val n = math.min(ChunkMax, data.length - off)
+      val st = new LzmaState(3, 0, 2)
+      val body = new java.io.ByteArrayOutputStream(n / 2 + 32)
+      // snapshot the chain heads: a discarded chunk must not leave
+      // phantom insertions (prev[] entries are position-keyed, safe)
+      val headSnap = head.clone()
+      encodeLzmaChunk(data, off, off + n, st, head, prev, body)
+      val packed = body.toByteArray
+      if (packed.length < n) {
+        val ctl = 0x80 | ((if (first) 3 else 2) << 5) | ((n - 1) >> 16)
+        out.write(ctl)
+        out.write(((n - 1) >> 8) & 0xff); out.write((n - 1) & 0xff)
+        out.write((packed.length - 1) >> 8); out.write((packed.length - 1) & 0xff)
+        out.write(93) // props byte: (2*5 + 0)*9 + 3 = pb 2, lp 0, lc 3
+        out.write(packed, 0, packed.length)
+      } else {
+        // incompressible segment: stored chunk (dict retained); the
+        // next compressed chunk's reset>=2 satisfies the spec's
+        // state-reset-after-uncompressed rule. Chain heads roll back
+        // so the stored bytes re-insert cleanly below.
+        System.arraycopy(headSnap, 0, head, 0, head.length)
+        var k = off
+        while (k < off + n) {
+          if (k + 4 <= data.length) {
+            val h = (((data(k) & 0xff) | ((data(k + 1) & 0xff) << 8) |
+              ((data(k + 2) & 0xff) << 16) | ((data(k + 3) & 0xff) << 24)) *
+              0x9E3779B1) >>> (32 - hashBits)
+            prev(k) = head(h); head(h) = k
+          }
+          k += 1
+        }
+        // ctl 1 on the stream's first chunk (the spec's initial dict
+        // reset), 2 after (dict retained)
+        out.write(if (first) 1 else 2)
+        out.write((n - 1) >> 8); out.write((n - 1) & 0xff)
+        out.write(data, off, n)
+      }
+      off += n
+      first = false
+    }
+    out.write(0) // LZMA2 terminator
+    out.toByteArray
+  }
+
   /** Conformant `.xz` WRITER using uncompressed LZMA2 chunks (the
     * stored-block form — xz is an archival INPUT shape here, so the
     * writer exists for corpus construction; the LZMA core is
@@ -727,14 +1059,30 @@ object Xz {
   def encodeStored(data: Array[Byte]): Array[Byte] =
     encodeStored(data, bcj = false, deltaDist = 0)
 
+  /** COMPRESSING `.xz` writer (round 20 stretch): the real LZMA
+    * encoder behind the same container/filter framing as
+    * `encodeStored`. Foreign-verified by liblzma per-test
+    * (`tools/verify_xz_encoder.py`) and round-tripped by this file's
+    * own decoder across the spec matrix.
+    */
+  def encode(
+      data: Array[Byte], bcj: Boolean = false,
+      deltaDist: Int = 0): Array[Byte] =
+    encodeXz(data, bcj, deltaDist, compress = true)
+
   /** Stored writer with optional pre-filters (round 20): `deltaDist`
     * > 0 prepends a delta filter, `bcj` an x86 BCJ filter, applied in
     * encode order delta → x86 → LZMA2 — so the stream exercises the
     * reader's filter chain with real (liblzma-accepted) headers. The
-    * payload still travels in uncompressed LZMA2 chunks.
+    * payload travels in uncompressed LZMA2 chunks.
     */
   def encodeStored(
-      data: Array[Byte], bcj: Boolean, deltaDist: Int): Array[Byte] = {
+      data: Array[Byte], bcj: Boolean, deltaDist: Int): Array[Byte] =
+    encodeXz(data, bcj, deltaDist, compress = false)
+
+  private def encodeXz(
+      data: Array[Byte], bcj: Boolean, deltaDist: Int,
+      compress: Boolean): Array[Byte] = {
     require(data.length <= (1 << 26), "encode input exceeds 64 MiB cap")
     require(deltaDist >= 0 && deltaDist <= 256, "delta dist 1..256")
     val bos = new java.io.ByteArrayOutputStream(data.length + 256)
@@ -782,21 +1130,28 @@ object Xz {
     System.arraycopy(fl.toByteArray, 0, bh, 2, fl.size)
     bos.write(bh, 0, bh.length)
     w32(crc32(bh, 0, bh.length).toLong & 0xFFFFFFFFL)
-    // LZMA2 uncompressed chunks (first resets the dict)
-    var off = 0
+    // LZMA2 payload: real compression or uncompressed chunks (the
+    // first chunk resets the dict either way)
     var lzma2Len = 0L
-    var first = true
-    while (off < filtered.length) {
-      val n = math.min(1 << 16, filtered.length - off)
-      bos.write(if (first) 1 else 2)
-      bos.write((n - 1) >> 8); bos.write((n - 1) & 0xff)
-      bos.write(filtered, off, n)
-      lzma2Len += 3L + n
-      off += n
-      first = false
+    if (compress) {
+      val payload = lzma2Compress(filtered)
+      bos.write(payload, 0, payload.length)
+      lzma2Len = payload.length.toLong
+    } else {
+      var off = 0
+      var first = true
+      while (off < filtered.length) {
+        val n = math.min(1 << 16, filtered.length - off)
+        bos.write(if (first) 1 else 2)
+        bos.write((n - 1) >> 8); bos.write((n - 1) & 0xff)
+        bos.write(filtered, off, n)
+        lzma2Len += 3L + n
+        off += n
+        first = false
+      }
+      bos.write(0) // LZMA2 end
+      lzma2Len += 1
     }
-    bos.write(0) // LZMA2 end
-    lzma2Len += 1
     val unpadded = hdrSize + lzma2Len + 8 // header + data + CRC64 check
     var padding = 0
     while (((hdrSize + lzma2Len + padding) & 3) != 0) { bos.write(0); padding += 1 }

@@ -166,6 +166,59 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
+  test("LZMA encoder round-trips through our own decoder: literals, " +
+    "matched-literal mode, rep0/short-rep, cross-chunk matches, " +
+    "stored-chunk fallback — and genuinely compresses") {
+    val text = ("the quick brown fox jumps over the lazy dog. " * 3000)
+      .getBytes
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      ("empty", Array.emptyByteArray),
+      ("one", Array[Byte](42)),
+      ("tiny", "abc".getBytes),
+      ("text", text), // 135 KB: matches cross the 48 KiB chunk seam
+      ("zeros", new Array[Byte](150000)), // rep0 runs, max match len
+      ("binary", det(120000, 7)), // stored-chunk fallback path
+      ("mixed", det(20000, 5) ++ ("hello world " * 5000).getBytes ++
+        det(20000, 6)),
+      ("alternating", Array.tabulate[Byte](60000)(i =>
+        if ((i / 7) % 2 == 0) 'a'.toByte else det(1, i.toLong)(0))))
+    for ((name, d) <- cases) {
+      val enc = Xz.encode(d)
+      Xz.decode(enc) match {
+        case Right(got) =>
+          assert(java.util.Arrays.equals(got, d), s"$name mismatch")
+        case Left(r) => fail(s"$name: $r")
+      }
+      // never expands beyond chunk framing + container (~3 B / 48 KiB
+      // chunk + ~90 B container)
+      assert(enc.length <= d.length + d.length / 1000 + 200, name)
+    }
+    assert(Xz.encode(text).length < text.length / 20,
+      "repetitive text must compress below 0.05")
+    // compression composes with the pre-filters
+    for ((bcj, dd) <- Seq((true, 0), (false, 4), (true, 2))) {
+      val c = det(9000, 13)
+      Xz.decode(Xz.encode(c, bcj = bcj, deltaDist = dd)) match {
+        case Right(got) =>
+          assert(java.util.Arrays.equals(got, c), s"bcj=$bcj dd=$dd")
+        case Left(r) => fail(s"bcj=$bcj dd=$dd: $r")
+      }
+    }
+  }
+
+  test("LZMA-compressed stream fuzz: bit flips are typed errors, " +
+    "never throws or oversized output") {
+    val good = Xz.encode(("lorem ipsum dolor sit amet " * 400).getBytes)
+    for (i <- 6 until good.length by 3) {
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x35).toByte
+      Xz.decode(bad) match {
+        case Left(reason) => assert(reason.nonEmpty, s"flip $i")
+        case Right(out) => assert(out.length <= 60000)
+      }
+    }
+  }
+
   test("FOREIGN verification: liblzma (via ctypes) decodes our " +
     "stored-chunk streams byte-exact") {
     val py = Seq("/usr/bin/python3", "/root/.pyenv/versions/3.11.7/bin/python3")
@@ -193,6 +246,23 @@ class XzSpec extends AnyFunSuite {
     putF("bcjtar", det(8000, 9), bcj = true, dd = 0)
     putF("delta", det(8000, 10), bcj = false, dd = 4)
     putF("deltabcj", det(8000, 11), bcj = true, dd = 2)
+    // LZMA-COMPRESSED writer shapes: liblzma must decode the real
+    // encoder's output byte-exact (round-20 stretch)
+    def putC(name: String, b: Array[Byte], bcj: Boolean, dd: Int): Unit = {
+      java.nio.file.Files.write(dir.resolve(name + ".bin"), b)
+      java.nio.file.Files.write(dir.resolve(name + ".xz"),
+        Xz.encode(b, bcj = bcj, deltaDist = dd))
+      ()
+    }
+    putC("lzma_text",
+      ("the quick brown fox jumps over the lazy dog. " * 3000).getBytes,
+      bcj = false, dd = 0)
+    putC("lzma_zeros", new Array[Byte](150000), bcj = false, dd = 0)
+    putC("lzma_binary", det(120000, 12), bcj = false, dd = 0) // stored fallback
+    putC("lzma_mixed", det(20000, 5) ++ ("hello world " * 5000).getBytes ++
+      det(20000, 6), bcj = false, dd = 0)
+    putC("lzma_bcj", det(9000, 13), bcj = true, dd = 0)
+    putC("lzma_delta", det(9000, 14), bcj = false, dd = 4)
     val proc = new ProcessBuilder(py.get, "tools/verify_xz_encoder.py",
       dir.toString).redirectErrorStream(true).start()
     val out = new String(proc.getInputStream.readAllBytes())
