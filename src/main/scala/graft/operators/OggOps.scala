@@ -30,6 +30,18 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB): a per-row byte walker via `mapPartitions`,
   * zero exchange before the output sort — the image/audio-operator
   * norm.
+  *
+  * VORBIS SAMPLE DECODE: EXPLICITLY DEFERRED (round 20). Same
+  * boundary as the MP3 waiver (`Mp3Ops`): no vorbis implementation
+  * exists in this container to fixture against, and a Vorbis-I
+  * decoder additionally requires the setup-header codebook VQ
+  * machinery, floor-1 curve synthesis, residue decode, and the same
+  * class of published window/MDCT constants — hand-pinned "known
+  * spectrum" vectors would be derived from the same memory as the
+  * decoder (self-referential, not verification). The container walk,
+  * identification/comment headers, granule clocks, and packet
+  * assembly above are the verified surface (q174, q183); revisit
+  * only with a vorbis reference implementation available.
   */
 object OggOps {
 
