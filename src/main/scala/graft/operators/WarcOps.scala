@@ -768,7 +768,19 @@ object WarcOps {
         // degenerate groups fall back to the invariant preamble
         val dictContent =
           if (trained.length >= 8) trained else WarcRecPrefix ++ trained
-        val dictBlob = Zstd.encodeStructuredDict(WarcZstDictId, dictContent)
+        // trained literals Huffman table in the dict (round 20): the
+        // per-frame tree description moves into the blob, and record
+        // frames reference it via TREELESS literals blocks — the
+        // histogram sample is the dict content plus leading records
+        val hist = {
+          val h = new java.io.ByteArrayOutputStream()
+          h.write(dictContent)
+          sampleBytes.iterator.takeWhile(_ => h.size < 65536)
+            .foreach(h.write(_))
+          h.toByteArray
+        }
+        val (dictBlob, dictHuf) =
+          Zstd.encodeStructuredDictTrained(WarcZstDictId, dictContent, hist)
         val packed = Zstd.encode(dictBlob) // the dict frame compresses too
         val head = new java.io.ByteArrayOutputStream()
         head.write(0x5D); head.write(0x2A); head.write(0x4D); head.write(0x18)
@@ -782,7 +794,8 @@ object WarcOps {
           // content checksums on: a flipped byte in transit fails the
           // frame instead of shipping corrupt training text
           if (gid == storedGroup) Zstd.encodeRaw(bytes)
-          else Zstd.encode(bytes, dictContent, WarcZstDictId, checksum = true)
+          else Zstd.encode(bytes, dictContent, WarcZstDictId,
+            checksum = true, dictHuf = dictHuf)
         }
         // EMBEDDED seek table (round 20, public zstd seekable format):
         // one entry per frame — the dict skippable frame (decompressed

@@ -1101,6 +1101,42 @@ object Zstd {
     bos.toByteArray
   }
 
+  /** Structured dictionary carrying a TRAINED Huffman literals table
+    * (round 20): like `encodeStructuredDict` but the entropy preamble's
+    * Huffman table is built from `histogramSample`'s byte histogram —
+    * the SAME serialized form a block-level tree description uses, so
+    * both this file's decoder and libzstd load it as the frame's
+    * initial previous-table and TREELESS literals blocks (type 3)
+    * reference it directly. On sub-KB records that moves the dominant
+    * per-frame cost (the tree description) into the dictionary, paid
+    * once per archive. Returns the blob plus the encode-side table to
+    * hand to `encode(..., dictHuf = _)`; falls back to the minimal
+    * preamble (null table) when the sample can't yield a table.
+    */
+  def encodeStructuredDictTrained(
+      id: Long, content: Array[Byte],
+      histogramSample: Array[Byte]): (Array[Byte], HufEnc) = {
+    require(content.length >= 8, "dict content must cover the rep seeds")
+    val freq = new Array[Int](256)
+    histogramSample.foreach(b => freq(b & 0xff) += 1)
+    val huf = buildHufEnc(freq)
+    if (huf == null) return (encodeStructuredDict(id, content), null)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32w(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    le32w(DictMagic)
+    le32w(id)
+    bos.write(huf.desc) // the trained literals table
+    // three FSE descriptions (OF → ML → LL order), single-symbol
+    // stubs — sequences keep using the predefined tables
+    for (_ <- 0 until 3) { bos.write(0xF0); bos.write(0x03) }
+    le32w(1L); le32w(4L); le32w(8L) // rep-offset seeds
+    bos.write(content)
+    (bos.toByteArray, huf)
+  }
+
   /** Conforming dictionary-REFERENCING encoder: one frame whose content
     * is `dictContent ++ suffix`, produced as a single compressed block
     * holding one sequence — a match of the WHOLE dictionary content
@@ -1572,10 +1608,36 @@ object Zstd {
     * direct-header form — binary-heavy blocks then ship raw literals
     * and still compress through matches).
     */
-  private def hufCompressLiterals(lits: Array[Byte], len: Int): Array[Byte] = {
-    val freq = new Array[Int](256)
-    var i = 0
-    while (i < len) { freq(lits(i) & 0xff) += 1; i += 1 }
+  /** Encode-side Huffman table: canonical codes + the serialized tree
+    * description. Built per-block by the encoder, or ONCE per corpus
+    * and shipped inside a structured dictionary
+    * (`encodeStructuredDictTrained`) so frames can reference it via
+    * TREELESS literals blocks — the tree-description bytes (the
+    * dominant per-frame cost on sub-KB records) then live in the dict
+    * instead of every frame.
+    */
+  final class HufEnc private[Zstd] (
+      private[Zstd] val code: Array[Int],
+      private[Zstd] val nbb: Array[Int],
+      private[Zstd] val maxPresent: Int,
+      private[Zstd] val desc: Array[Byte]) {
+    /** Can this table encode every literal in `lits(0 until len)`? */
+    private[Zstd] def covers(lits: Array[Byte], len: Int): Boolean = {
+      var i = 0
+      while (i < len) {
+        val s = lits(i) & 0xff
+        if (s > maxPresent || nbb(s) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Canonical-code construction from a byte histogram (null when a
+    * table is impossible or pointless — <2 symbols, or an FSE weights
+    * description that fails to shrink).
+    */
+  private def buildHufEnc(freq: Array[Int]): HufEnc = {
     var maxPresent = 255
     while (maxPresent >= 0 && freq(maxPresent) == 0) maxPresent -= 1
     val lens = huffmanLens(freq)
@@ -1609,7 +1671,7 @@ object Zstd {
       if (nExplicit <= 128) {
         val d = new Array[Byte](1 + (nExplicit + 1) / 2)
         d(0) = (127 + nExplicit).toByte
-        i = 0
+        var i = 0
         while (i < nExplicit) {
           val nib = w(i)
           val at = 1 + i / 2
@@ -1623,6 +1685,24 @@ object Zstd {
         if (f == null) return null
         f
       }
+    new HufEnc(code, nbb, maxPresent, desc)
+  }
+
+  /** Huffman LITERALS section with `table`: `treeless` (type 3) skips
+    * the tree description — the decoder reuses its previous table
+    * (the dictionary's, at frame start). Null when the form can't
+    * beat raw literals, can't represent the block (header size forms,
+    * uncovered symbols), or isn't allowed.
+    */
+  private def hufLiteralsWith(
+      lits: Array[Byte], len: Int, table: HufEnc,
+      treeless: Boolean): Array[Byte] = {
+    if (table == null) return null
+    if (treeless && !table.covers(lits, len)) return null
+    val code = table.code
+    val nbb = table.nbb
+    val desc: Array[Byte] =
+      if (treeless) Array.emptyByteArray else table.desc
     def streamBytes(from: Int, until: Int): Array[Byte] = {
       val fields = new scala.collection.mutable.ArrayBuffer[(Long, Int)](until - from)
       var j = from
@@ -1646,22 +1726,24 @@ object Zstd {
     val cmpSize = desc.length + streams.map(_.length).sum +
       (if (fourStream) 6 else 0)
     val regen = len
-    // header: type 2, the smallest size-format that fits both fields
+    // header: type 2 (fresh tree) or 3 (treeless), the smallest
+    // size-format that fits both fields
+    val tpe = if (treeless) 3L else 2L
     val hdr = new java.io.ByteArrayOutputStream()
     if (!fourStream && regen < 1024 && cmpSize < 1024) {
-      val v = 2L | (0L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 14)
+      val v = tpe | (0L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 14)
       hdr.write((v & 0xff).toInt); hdr.write(((v >> 8) & 0xff).toInt)
       hdr.write(((v >> 16) & 0xff).toInt)
     } else if (fourStream && regen < 1024 && cmpSize < 1024) {
-      val v = 2L | (1L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 14)
+      val v = tpe | (1L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 14)
       hdr.write((v & 0xff).toInt); hdr.write(((v >> 8) & 0xff).toInt)
       hdr.write(((v >> 16) & 0xff).toInt)
     } else if (fourStream && regen < 16384 && cmpSize < 16384) {
-      val v = 2L | (2L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 18)
+      val v = tpe | (2L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 18)
       hdr.write((v & 0xff).toInt); hdr.write(((v >> 8) & 0xff).toInt)
       hdr.write(((v >> 16) & 0xff).toInt); hdr.write(((v >> 24) & 0xff).toInt)
     } else if (fourStream && regen < 262144 && cmpSize < 262144) {
-      val v = 2L | (3L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 22)
+      val v = tpe | (3L << 2) | (regen.toLong << 4) | (cmpSize.toLong << 22)
       hdr.write((v & 0xff).toInt); hdr.write(((v >> 8) & 0xff).toInt)
       hdr.write(((v >> 16) & 0xff).toInt); hdr.write(((v >> 24) & 0xff).toInt)
       hdr.write(((v >> 32) & 0xff).toInt)
@@ -1703,14 +1785,35 @@ object Zstd {
     out.toByteArray
   }
 
-  private def literalsSection(lits: Array[Byte], len: Int): Array[Byte] = {
-    if (len == 0) return Array(0.toByte) // raw, size 0
+  /** Cheapest valid LITERALS section among raw/RLE, a fresh per-block
+    * Huffman table, and TREELESS (reusing `prev` — the dictionary's
+    * table at frame start, or the last fresh table this frame).
+    * Returns the section plus the fresh table IF the fresh form won
+    * (the caller updates its prev-table state only when the block
+    * actually ships compressed — a block that loses to raw never
+    * changes the decoder's table state).
+    */
+  private def literalsSection(
+      lits: Array[Byte], len: Int, prev: HufEnc): (Array[Byte], HufEnc) = {
+    if (len == 0) return (Array(0.toByte), null) // raw, size 0
     var uniform = true
     var i = 1
     while (uniform && i < len) { uniform = lits(i) == lits(0); i += 1 }
-    if (uniform) return rawLiteralsSection(lits, len)
-    val huf = hufCompressLiterals(lits, len)
-    if (huf != null) huf else rawLiteralsSection(lits, len)
+    if (uniform) return (rawLiteralsSection(lits, len), null)
+    val freq = new Array[Int](256)
+    i = 0
+    while (i < len) { freq(lits(i) & 0xff) += 1; i += 1 }
+    val freshT = buildHufEnc(freq)
+    val fresh = hufLiteralsWith(lits, len, freshT, treeless = false)
+    val tree = hufLiteralsWith(lits, len, prev, treeless = true)
+    val raw = rawLiteralsSection(lits, len)
+    var best = raw
+    var won: HufEnc = null
+    if (tree != null && tree.length < best.length) { best = tree; won = null }
+    if (fresh != null && fresh.length < best.length) {
+      best = fresh; won = freshT
+    }
+    (best, won)
   }
 
   private val EncMaxInput = 1 << 26 // 64 MiB: executor-thread cap
@@ -1741,7 +1844,8 @@ object Zstd {
     */
   def encode(
       data: Array[Byte], dict: Array[Byte] = Array.emptyByteArray,
-      dictId: Long = 0L, checksum: Boolean = false): Array[Byte] = {
+      dictId: Long = 0L, checksum: Boolean = false,
+      dictHuf: HufEnc = null): Array[Byte] = {
     require(data.length <= EncMaxInput, "encode input exceeds 64 MiB cap")
     require(dict.length <= EncMaxInput, "dict exceeds 64 MiB cap")
     val base = dict.length
@@ -1792,6 +1896,11 @@ object Zstd {
       writeChecksum()
       return bos.toByteArray
     }
+    // previous-table state for TREELESS literals: starts at the
+    // dictionary's trained table (when the caller shipped one in a
+    // structured dict), advances to each fresh per-block table that
+    // actually ships — mirroring the decoder's hufPrev exactly
+    var hufPrev: HufEnc = dictHuf
     // hash chains over the whole buffer (dict prefix preloaded so
     // matches reach into it); table sized to the input
     var hashLog = 10
@@ -1917,15 +2026,14 @@ object Zstd {
       litLen += tail
       // assemble the cheapest valid block
       val nSeq = lls.length
+      val (ls, freshT) = literalsSection(lits, litLen, hufPrev)
       val blkBytes: Array[Byte] =
         if (nSeq == 0) {
-          val ls = literalsSection(lits, litLen)
           val b = new Array[Byte](ls.length + 1)
           System.arraycopy(ls, 0, b, 0, ls.length)
           b(ls.length) = 0 // nbSeq = 0
           b
         } else {
-          val ls = literalsSection(lits, litLen)
           val ss = writeSeqSection(lls.toArray, mls.toArray, ofVals.toArray, nSeq)
           val b = new Array[Byte](ls.length + ss.length)
           System.arraycopy(ls, 0, b, 0, ls.length)
@@ -1947,6 +2055,9 @@ object Zstd {
         bos.write(hdr & 0xff); bos.write((hdr >> 8) & 0xff)
         bos.write((hdr >> 16) & 0xff)
         bos.write(blkBytes)
+        // the decoder's previous-table state advances only when a
+        // fresh-tree literals section actually ships
+        if (freshT != null) hufPrev = freshT
       } else {
         val hdr = lastBit | (segLen << 3) // raw
         bos.write(hdr & 0xff); bos.write((hdr >> 8) & 0xff)

@@ -95,6 +95,66 @@ class ZstdDictTrainSpec extends AnyFunSuite {
     assert(hay.containsSlice(seg), "selections must be corpus substrings")
   }
 
+  test("TREELESS literals via the dict-carried Huffman table: frames " +
+    "shrink, round-trip through our decoder, and uncovered symbols " +
+    "fall back to a fresh per-block tree") {
+    val recs = records(64)
+    val raw = recs.map(_.length.toLong).sum
+    val dict = ZstdDict.trainForCorpus(recs, 8192)
+    val hist = dict ++ recs.take(40).reduce(_ ++ _)
+    val (blob, huf) =
+      Zstd.encodeStructuredDictTrained(0x47524654L, dict, hist)
+    assert(huf != null, "histogram sample must yield a table")
+    val without = totalWith(recs, dict)
+    val withT = recs.map(r => Zstd.encode(r, dict, 0x47524654L,
+      checksum = false, dictHuf = huf).length.toLong).sum
+    info(f"without table ${without.toDouble / raw}%.4f, treeless " +
+      f"${withT.toDouble / raw}%.4f")
+    assert(withT < without,
+      s"dict-table frames ($withT) must beat per-frame trees ($without)")
+    val pd = Zstd.parseDictionary(blob).fold(r => fail(r), identity)
+    recs.foreach { r =>
+      val enc = Zstd.encode(r, dict, 0x47524654L, checksum = true,
+        dictHuf = huf)
+      Zstd.decode(enc, 1 << 26, pd) match {
+        case Right(got) => assert(java.util.Arrays.equals(got, r))
+        case Left(reason) => fail(s"treeless decode: $reason")
+      }
+    }
+    // a record full of symbols the histogram never saw: the covers()
+    // gate must route it through a fresh tree (or raw) and still
+    // round-trip — the treeless path can never corrupt
+    val exotic = Array.tabulate[Byte](3000)(i => (200 + (i * 7) % 55).toByte)
+    val encEx = Zstd.encode(exotic, dict, 0x47524654L, checksum = false,
+      dictHuf = huf)
+    Zstd.decode(encEx, 1 << 26, pd) match {
+      case Right(got) => assert(java.util.Arrays.equals(got, exotic))
+      case Left(reason) => fail(s"exotic decode: $reason")
+    }
+  }
+
+  test("FOREIGN: libzstd decodes TREELESS frames under the " +
+    "trained-table dict byte-exact") {
+    val py = pythonBin()
+    assume(py.nonEmpty, "python3 not present")
+    val recs = records(48)
+    val dict = ZstdDict.trainForCorpus(recs, 8192)
+    val hist = dict ++ recs.take(30).reduce(_ ++ _)
+    val (blob, huf) =
+      Zstd.encodeStructuredDictTrained(0x47524654L, dict, hist)
+    assume(huf != null)
+    val dir = java.nio.file.Files.createTempDirectory("graft_treeless")
+    java.nio.file.Files.write(dir.resolve("dict.bin"), blob)
+    java.nio.file.Files.write(dir.resolve("dictcase.bin"), recs.head)
+    java.nio.file.Files.write(dir.resolve("dictcase.zst"),
+      Zstd.encode(recs.head, dict, 0x47524654L, checksum = true,
+        dictHuf = huf))
+    val proc = new ProcessBuilder(py, "tools/verify_zstd_encoder.py",
+      dir.toString).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0 && out.contains("ALL OK"), s"foreign:\n$out")
+  }
+
   test("FOREIGN: libzstd decodes frames under the trained dict " +
     "byte-exact (structured blob via ZSTD_decompress_usingDict)") {
     val py = pythonBin()
