@@ -1119,6 +1119,13 @@ object Zstd {
     require(content.length >= 8, "dict content must cover the rep seeds")
     val freq = new Array[Int](256)
     histogramSample.foreach(b => freq(b & 0xff) += 1)
+    // +1 smoothing: libzstd's COMPRESSOR (ZSTD_loadCEntropy) rejects a
+    // dict Huffman table that doesn't cover all 256 symbols
+    // (dictionary_corrupted) even though its decompressor accepts it;
+    // full coverage also spares the treeless covers() fallback on
+    // records with rare bytes. Costs ≤1 weight step on seen symbols.
+    var s = 0
+    while (s < 256) { freq(s) += 1; s += 1 }
     val huf = buildHufEnc(freq)
     if (huf == null) return (encodeStructuredDict(id, content), null)
     val bos = new java.io.ByteArrayOutputStream()
@@ -1129,9 +1136,13 @@ object Zstd {
     le32w(DictMagic)
     le32w(id)
     bos.write(huf.desc) // the trained literals table
-    // three FSE descriptions (OF → ML → LL order), single-symbol
-    // stubs — sequences keep using the predefined tables
-    for (_ <- 0 until 3) { bos.write(0xF0); bos.write(0x03) }
+    // three FSE descriptions (OF → ML → LL order) carrying the RFC
+    // PREDEFINED distributions — exactly the tables our sequences
+    // use, so a third-party compressor seeded by this dict starts
+    // from sane sequence statistics instead of degenerate stubs
+    bos.write(fseWriteCounts(OfDefault, OfDefaultLog))
+    bos.write(fseWriteCounts(MlDefault, MlDefaultLog))
+    bos.write(fseWriteCounts(LlDefault, LlDefaultLog))
     le32w(1L); le32w(4L); le32w(8L) // rep-offset seeds
     bos.write(content)
     (bos.toByteArray, huf)
