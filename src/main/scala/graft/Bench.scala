@@ -120,6 +120,19 @@ object Bench {
       if (h == 42L) System.err.println("") // keep the fold live (no DCE)
       dt
     }
+    // MEMORY-BANDWIDTH probe (round-20 lesson): q153 inflated 4.6x on
+    // untouched code while the CPU sort probe stayed flat — the
+    // interference was memory-side, which a cache-resident sort can't
+    // see. Stream-copy 64 MiB (far past LLC) so bandwidth contention
+    // shows up in the timeline alongside the CPU number.
+    val bwSrc = new Array[Long](1 << 23)
+    val bwDst = new Array[Long](1 << 23)
+    def bwProbe(): Double = {
+      val t0 = System.nanoTime()
+      System.arraycopy(bwSrc, 0, bwDst, 0, bwSrc.length)
+      bwDst(0) += 1 // keep the copy live
+      (System.nanoTime() - t0) / 1e9
+    }
     val calib = {
       stProbe() // one JIT-warm pass untimed
       (0 until 3).map(_ => stProbe()).min
@@ -167,10 +180,10 @@ object Bench {
     // BENCH.json alone: if probes near the slow sample rose with it,
     // it's the host; if they held flat, the regression is real.
     val ProbeEvery = 16
-    val probeTimeline =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Double)]
+    val probeTimeline = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Int, Double, Double)]
     var samplesDone = 0
-    probeTimeline += ((0, "<start>", -1, stProbe()))
+    probeTimeline += ((0, "<start>", -1, stProbe(), bwProbe()))
     for (rep <- 0 until reps; (name, fn) <- queries if !dead(name)) {
       // rep-1 cold honesty: drop every persisted frame a SIBLING query
       // left behind, so each query's first sample is its standalone cost
@@ -196,9 +209,9 @@ object Bench {
       }
       samplesDone += 1
       if (samplesDone % ProbeEvery == 0)
-        probeTimeline += ((samplesDone, name, rep, stProbe()))
+        probeTimeline += ((samplesDone, name, rep, stProbe(), bwProbe()))
     }
-    probeTimeline += ((samplesDone, "<end>", reps - 1, stProbe()))
+    probeTimeline += ((samplesDone, "<end>", reps - 1, stProbe(), bwProbe()))
     // a query whose every rep failed has no samples: it appears in "errors"
     // only (and fails the run), never in the minima
     val results = samples.toSeq.collect {
@@ -220,8 +233,8 @@ object Bench {
       "\"" + q + "\":" + m.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val ptJson = probeTimeline.map { case (at, after, rep, s) =>
-      s"""{"at":$at,"after":"${esc(after)}","rep":$rep,"s":$s}"""
+    val ptJson = probeTimeline.map { case (at, after, rep, s, bw) =>
+      s"""{"at":$at,"after":"${esc(after)}","rep":$rep,"s":$s,"membw_s":$bw}"""
     }.mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"samples":$ss,"phases":$phJson,"calibration_s":$calib,"calibration_mt_s":$calibMt,"probe_timeline":$ptJson,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
