@@ -194,6 +194,7 @@ object SparkEntry {
     "q202_chat_sft" -> (PackOps.q202ChatSft(_, _)),
     "q203_pack_mask" -> (PackOps.q203PackMask(_, _)),
     "q204_seekable_fetch" -> (WarcOps.q204SeekableFetch(_, _)),
+    "q205_importance_sample" -> (CurateOps.q205ImportanceSample(_, _)),
     "q169_vp8_loop_filter" -> (MultimodalOps.q169Vp8LoopFilter(_, _)),
     "q140_pdf_xref_stream" -> (PdfOps.q140PdfXrefStream(_, _)),
     "q141_robots_gate" -> (RobotsOps.q141RobotsGate(_, _)),
@@ -3290,6 +3291,43 @@ object SparkEntry {
         |  len(blocks)::BIGINT AS n_blocks,
         |  sha256(array_to_string(blocks, chr(10))) AS text_sha
         |FROM b ORDER BY doc_id""".stripMargin),
+    // DSIR-shaped importance scoring (q205): word bigrams hashed by
+    // md5 nibbles into 4096 buckets, add-one-smoothed target/raw
+    // likelihood ratio as an EXACT scaled integer (the q109 integer-
+    // IDF discipline), above-mean selection by integer cross-product
+    "q205_importance_sample" ->
+      """WITH w0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |bi AS (SELECT doc_id, w[i + 1] || ' ' || w[i + 2] AS f
+        |  FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM w0)),
+        |fb AS (SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) AS b
+        |  FROM bi),
+        |dc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM fb GROUP BY 1, 2),
+        |bc AS (SELECT b, sum(c)::BIGINT AS cr,
+        |    sum(CASE WHEN doc_id % 10 = 0 THEN c ELSE 0 END)::BIGINT AS ct
+        |  FROM dc GROUP BY 1),
+        |tot AS (SELECT sum(cr)::BIGINT AS r_tot, sum(ct)::BIGINT AS t_tot
+        |  FROM bc),
+        |wt AS (SELECT bc.b,
+        |    (((bc.ct + 1)::HUGEINT * (tot.r_tot + 4096)::HUGEINT * 10000)
+        |     // ((bc.cr + 1)::HUGEINT * (tot.t_tot + 4096)::HUGEINT))::BIGINT
+        |      AS s
+        |  FROM bc CROSS JOIN tot),
+        |scored AS (SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_features,
+        |    sum(dc.c * wt.s)::BIGINT AS imp_score
+        |  FROM dc JOIN wt ON dc.b = wt.b GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS n_docs,
+        |    sum(imp_score)::HUGEINT AS s_sum FROM scored)
+        |SELECT d.doc_id, coalesce(s.n_features, 0)::BIGINT AS n_features,
+        |  coalesce(s.imp_score, 0)::BIGINT AS imp_score,
+        |  (coalesce(s.imp_score, 0)::HUGEINT * a.n_docs >= a.s_sum)
+        |    AS selected
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |CROSS JOIN agg a
+        |ORDER BY d.doc_id""".stripMargin,
     // compressed TIFF strips (q191): PackBits and early-change LZW
     // beside the uncompressed control, identical pixel grid — a
     // decompressor slip shifts pixel_sum against the grid replay

@@ -142,4 +142,86 @@ object CurateOps {
       .agg(graft.functions.CountHistogram(col("kept_tokens")).as("hist"))
     TextOps.profileFromHistogram(hist).orderBy(col("lang"))
   }
+
+  /** q205: hashed-n-gram IMPORTANCE SCORING for data selection — the
+    * DSIR shape (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): word bigrams hash into 4096 buckets
+    * (portable md5 nibbles, the q65–q67 discipline), a TARGET sample
+    * (here the deterministic doc_id % 10 == 0 slice standing in for
+    * the curated domain) and the RAW corpus each yield a smoothed
+    * bucket distribution, and every document scores
+    * `Σ_b c_doc(b) · S(b)` where `S(b)` is the add-one-smoothed
+    * target/raw likelihood ratio. Per this repo's portable-oracle
+    * discipline (q109's integer IDF), `S` is the ratio scaled to 1e4
+    * and FLOOR-DIVIDED as exact integers rather than a float
+    * log-ratio — the ranking the weights induce is what downstream
+    * selection consumes, and exact integers are what a DuckDB oracle
+    * can replay bit-for-bit. `selected` flags above-corpus-mean
+    * documents by integer cross-product (score · n_docs ≥ Σ scores),
+    * the distributed-exact selection rule (a global top-k rank would
+    * funnel every score through one reducer; a fixed mean threshold
+    * is one aggregate + a broadcast).
+    *
+    * Scale shape (100 TB): two feature-count shuffles (doc×bucket,
+    * then bucket), a 4096-row weight table BROADCAST back, one
+    * per-doc score aggregation, 1-row totals cross-joined broadcast —
+    * no window, no global sort before the output ORDER. Products run
+    * in DECIMAL(38,0) (HUGEINT on the oracle side) so corpus-scale
+    * counts cannot wrap.
+    */
+  def q205ImportanceSample(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_q205")
+    // the per-(doc, bucket) counts feed BOTH the weight fit and the
+    // scoring pass; materialize once instead of letting CTE inlining
+    // recompute the feature extraction twice
+    spark.sql(
+      """SELECT doc_id,
+        |  CAST(conv(substring(md5(f), 1, 3), 16, 10) AS BIGINT) AS b,
+        |  COUNT(*) AS c
+        |FROM (
+        |  SELECT doc_id, explode(CASE WHEN size(w) >= 2 THEN
+        |    transform(sequence(0, size(w) - 2),
+        |      i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))
+        |    ELSE CAST(array() AS array<string>) END) AS f
+        |  FROM (SELECT doc_id, split(lower(text), ' ') AS w
+        |        FROM documents_q205))
+        |GROUP BY doc_id, b""".stripMargin)
+      .persist()
+      .createOrReplaceTempView("dc_q205")
+    // per-doc scores also feed two consumers (the mean aggregate and
+    // the final projection) — materialize them too
+    val scored = spark.sql(
+      """WITH bc AS (SELECT b, SUM(c) AS cr,
+        |    SUM(CASE WHEN doc_id % 10 = 0 THEN c ELSE CAST(0 AS BIGINT) END)
+        |      AS ct
+        |  FROM dc_q205 GROUP BY b),
+        |tot AS (SELECT SUM(cr) AS r_tot, SUM(ct) AS t_tot FROM bc),
+        |wt AS (
+        |  SELECT bc.b,
+        |    CAST((CAST(bc.ct + 1 AS DECIMAL(38, 0))
+        |            * CAST(tot.r_tot + 4096 AS DECIMAL(38, 0)) * 10000)
+        |         div (CAST(bc.cr + 1 AS DECIMAL(38, 0))
+        |            * CAST(tot.t_tot + 4096 AS DECIMAL(38, 0)))
+        |      AS BIGINT) AS s
+        |  FROM bc CROSS JOIN tot)
+        |SELECT dc.doc_id, SUM(dc.c) AS n_features,
+        |  SUM(dc.c * wt.s) AS imp_score
+        |FROM dc_q205 dc JOIN wt ON dc.b = wt.b GROUP BY dc.doc_id"""
+        .stripMargin)
+      .persist()
+    // the final pass reuses the `scored` OBJECT on both consumers so
+    // cache reuse is by construction, not by plan matching
+    val agg = broadcast(scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("imp_score")).cast("decimal(38,0)").as("s_sum")))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(agg)
+      .select(col("doc_id"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("imp_score"), lit(0L)).as("imp_score"),
+        (coalesce(col("imp_score"), lit(0L)).cast("decimal(38,0)") *
+          col("n_docs") >= col("s_sum")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -100,4 +100,66 @@ class CurateOpsSpec extends AnyFunSuite {
       .agg(sum(col("n"))).head.getLong(0)
     assert(rows.map(_.getLong(4)).sum < rawKept)
   }
+
+  test("q205 importance scoring: weights recompute by hand, the target " +
+    "slice outscores the rest on average, selection is the exact " +
+    "above-mean rule, and every document appears") {
+    val out = CurateOps.q205ImportanceSample(spark, sf).collect()
+    val nAll = Tables.documents(spark, sf).count()
+    assert(out.length == nAll, "every document must appear (left join)")
+    val scored = out.filter(_.getLong(1) > 0)
+    assert(scored.nonEmpty)
+    // exact above-mean rule: selected <=> score * n_docs >= sum(scores)
+    val nDocs = scored.length.toLong
+    val sSum = scored.map(r => BigInt(r.getLong(2))).sum
+    out.foreach { r =>
+      val expect = BigInt(r.getLong(2)) * nDocs >= sSum
+      assert(r.getBoolean(3) == expect, s"doc ${r.getLong(0)}")
+    }
+    assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)),
+      "the mean rule must split the corpus")
+    // the importance machinery's point: documents drawn from the target
+    // slice (doc_id % 10 == 0) carry a HIGHER mean per-feature score
+    // than the rest — their features define the target distribution
+    def meanPerFeature(rs: Array[org.apache.spark.sql.Row]): Double = {
+      val s = rs.map(r => BigInt(r.getLong(2))).sum
+      val f = rs.map(_.getLong(1)).sum
+      (BigDecimal(s) / BigDecimal(f)).toDouble
+    }
+    val (tgt, rest) = scored.partition(_.getLong(0) % 10 == 0)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    assert(meanPerFeature(tgt) > meanPerFeature(rest),
+      "target-slice docs must outscore the raw rest per feature")
+    // hand-recompute ONE document's score from first principles
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def buckets(text: String): Seq[Int] = {
+      val w = text.toLowerCase.split(" ", -1)
+      (0 until math.max(0, w.length - 1)).map { i =>
+        val f = w(i) + " " + w(i + 1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(f.getBytes("UTF-8"))
+        ((md(0) & 0xff) << 4) | ((md(1) & 0xff) >> 4)
+      }
+    }
+    val cntR = scala.collection.mutable.Map.empty[Int, Long]
+    val cntT = scala.collection.mutable.Map.empty[Int, Long]
+    docs.foreach { case (id, t) =>
+      buckets(t).foreach { b =>
+        cntR(b) = cntR.getOrElse(b, 0L) + 1
+        if (id % 10 == 0) cntT(b) = cntT.getOrElse(b, 0L) + 1
+      }
+    }
+    val rTot = cntR.values.sum
+    val tTot = cntT.values.sum
+    val one = docs.keys.min
+    val expectScore = buckets(docs(one)).map { b =>
+      (BigInt(cntT.getOrElse(b, 0L) + 1) * BigInt(rTot + 4096) * 10000) /
+        (BigInt(cntR(b) + 1) * BigInt(tTot + 4096))
+    }.sum
+    val got = out.find(_.getLong(0) == one).get.getLong(2)
+    assert(BigInt(got) == expectScore,
+      s"doc $one: got $got expected $expectScore")
+  }
 }

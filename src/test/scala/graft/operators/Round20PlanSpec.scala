@@ -74,6 +74,62 @@ class Round20PlanSpec extends AnyFunSuite {
       s"q201 must not shuffle before its sort:\n${plan(df)}")
   }
 
+  test("q205 importance scoring: no cartesian beyond the 1-row totals " +
+    "broadcasts, the 4096-row weight table broadcasts, no window, " +
+    "bounded hash exchanges") {
+    val df = CurateOps.q205ImportanceSample(spark, sf)
+    df.collect()
+    val nodes = deep(plan(df))
+    val cart = nodes.collect {
+      case j: CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    // the tot/agg 1-row cross joins legitimately plan as BNLJ over a
+    // broadcast single row; anything joining real row streams may not
+    def hasBroadcast(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case b: org.apache.spark.sql.execution.exchange
+          .BroadcastExchangeExec => b
+        case b: org.apache.spark.sql.execution.adaptive
+          .BroadcastQueryStageExec => b
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+          if r.child.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.BroadcastExchangeExec] => r
+      }.isDefined
+    assert(cart.forall(j => j.children.exists(hasBroadcast)),
+      s"non-broadcast cartesian:\n${plan(df)}")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"q205 must not window:\n${plan(df)}")
+    // the feature counts (dc) and per-doc scores are PERSISTED — each
+    // cached subtree's exchanges execute once at materialization no
+    // matter how many consumers scan it, so the executed-work pin is
+    // the TOP-LEVEL plan (cached scans excluded): the documents-to-
+    // scores left join + the output sort, nothing else
+    def deepNoCache(p: SparkPlan): Seq[SparkPlan] = {
+      val nodes = p.collect { case x => x }
+      nodes ++ nodes.flatMap {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deepNoCache(s.plan)
+        case _ => Nil
+      }
+    }
+    val topHash = deepNoCache(plan(df))
+      .collect { case s: ShuffleExchangeExec => s }
+      .count(_.outputPartitioning.toString.toLowerCase.contains("hash"))
+    assert(topHash <= 3,
+      s"q205's final pass expects only the doc_id join exchanges:\n${plan(df)}")
+    // and both standing intermediates are genuinely cached (one
+    // materialization serving the weight fit, the mean, and the join)
+    val cachedScans = deep(plan(df)).collect {
+      case c: org.apache.spark.sql.execution.columnar
+        .InMemoryTableScanExec => c
+    }
+    assert(cachedScans.nonEmpty,
+      s"q205 must reuse its materialized intermediates:\n${plan(df)}")
+  }
+
   test("q195 with dictionary training: plan shape UNCHANGED from the " +
     "round-19 pin (training rides inside the group-by's map)") {
     val df = WarcOps.q195WarcZstWrite(spark, sf)
