@@ -53,6 +53,19 @@ object Bench {
       // tiny per-generation frames whose 32-partition shuffles are pure
       // scheduling overhead otherwise
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // AQE coalescing's 1 MiB floor assumes partition BYTES track
+      // partition COST; this engine's rows are CPU-dense (a 150 KiB
+      // compressed archive row costs multi-ms of decode+parse+regex), so
+      // the default floor was measured collapsing the post-shuffle half
+      // of whole pipelines to ONE task (r21 profile: q172's 6.2 s
+      // archive-parse stage, tasks=1). A 16 KiB floor keeps the
+      // coalescer merging genuinely tiny partitions (the iterative
+      // dedupGroups frames) while letting CPU-dense stages spread.
+      // Scale-safe: above ~cpus·16 KiB of shuffle bytes the target size
+      // is total/parallelism and the floor never binds. Parameterized
+      // for cluster runs (prod would size it to bytes-per-core-second).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // INDEX-CACHE HONESTY (round-11 verdict fix): the standing-index

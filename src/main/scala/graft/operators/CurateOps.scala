@@ -205,7 +205,8 @@ object CurateOps {
         |      AS BIGINT) AS s
         |  FROM bc CROSS JOIN tot)
         |SELECT dc.doc_id, SUM(dc.c) AS n_features,
-        |  SUM(dc.c * wt.s) AS imp_score
+        |  CAST(SUM(CAST(dc.c AS DECIMAL(38, 0)) * wt.s) AS BIGINT)
+        |    AS imp_score
         |FROM dc_q205 dc JOIN wt ON dc.b = wt.b GROUP BY dc.doc_id"""
         .stripMargin)
       .persist()

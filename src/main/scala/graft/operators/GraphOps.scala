@@ -40,8 +40,11 @@ object GraphOps {
     // whose degree-join would cost one more full O(edges) shuffle at
     // build time (measured ~2 s of q99's cost before this shape).
     val parted = edges.repartition(col("src")).persist()
+    // degrees persist too (r21): the contrib join reads them EVERY
+    // iteration — unpinned, each iteration re-aggregated the whole
+    // cached edge list (iterations × one O(edges) scan + hash agg)
+    val deg = parted.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     try {
-      val deg = parted.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       var ranks = deg.select(col("src").as("node"), lit(Scale).as("r"))
       for (_ <- 1 to iterations) {
         val contrib = ranks.join(deg, col("node") === deg("src"))
@@ -56,7 +59,7 @@ object GraphOps {
       // materialize before releasing the shared edge frame: callers get a
       // plain result, not a plan over an unpersisted dependency
       ranks.localCheckpoint(eager = true)
-    } finally { parted.unpersist(); () }
+    } finally { parted.unpersist(); deg.unpersist(); () }
   }
 
   /** q104: item–item co-occurrence similarity — the collaborative-
@@ -128,17 +131,28 @@ object GraphOps {
     * signal a one-pass degree count misses.
     */
   def q99PageRank(spark: SparkSession, dir: String): DataFrame = {
+    // NARROW keys through the iterations (r21, guide §2.3): nodes ride
+    // as collision-free longs (customer → 2k, supplier → 2k+1) through
+    // the distinct, the edge shuffles, and every per-iteration join —
+    // the "c<id>"/"s<id>" strings the contract outputs are rebuilt only
+    // on the O(nodes) result, so the output (and its order) is
+    // byte-identical while the hot joins hash/compare 8-byte keys
+    // instead of strings.
     val pairs = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .select(
-        concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("s"), col("l_suppkey")).as("s"))
+        (col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("s"))
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
     pageRank(edges, iterations = 3)
-      .select(col("node"), col("r").as("rank_scaled"))
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+          .as("node"),
+        col("r").as("rank_scaled"))
       .orderBy(col("node"))
   }
 

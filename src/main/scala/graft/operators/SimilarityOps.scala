@@ -1531,7 +1531,18 @@ object SimilarityOps {
     * Adds `qscale` (double), `qv` (array<int> codes), `qs2` (long Σq²)
     * to `df`. All-zero vectors quantize to all-zero codes (scale 0 guard).
     */
-  def quantizeInt8(df: DataFrame, vCol: String): DataFrame = {
+  def quantizeInt8(df: DataFrame, vCol: String): DataFrame =
+    // native one-pass kernel (r21: the three higher-order projections ran
+    // interpreted per element); bit-identical to `quantizeInt8Builtins`,
+    // parity-pinned in QuantizedVecSpec
+    df.withColumn("__q8", graft.functions.QuantizeInt8(col(vCol)))
+      .withColumn("qscale", col("__q8").getField("qscale"))
+      .withColumn("qv", col("__q8").getField("qv"))
+      .withColumn("qs2", col("__q8").getField("qs2"))
+      .drop("__q8")
+
+  /** Pure-builtin reference form (slow path; parity-test oracle). */
+  private[graft] def quantizeInt8Builtins(df: DataFrame, vCol: String): DataFrame = {
     val scale = array_max(transform(col(vCol), x => abs(x)))
     df.withColumn("qscale", scale)
       .withColumn("qv",
@@ -1548,6 +1559,10 @@ object SimilarityOps {
     * exact (|q| ≤ 127 ⇒ per-term ≤ 16129, 64 dims ⇒ |qdot| ≤ ~1.04e6).
     */
   def quantizedDot(a: Column, b: Column): Column =
+    graft.functions.QuantizedDot(a, b)
+
+  /** Pure-builtin reference form (slow path; parity-test oracle). */
+  private[graft] def quantizedDotBuiltins(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
 
@@ -1770,6 +1785,22 @@ object SimilarityOps {
   private[graft] def pqEncode(
       qc: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame = {
     val m = cb.length
+    val cs2: Array[Seq[Long]] = cb.map(_.map(cv => cv.map(x => x * x).sum).toSeq)
+    // native argmin kernel (r21: the m·ksub interpreted aggregates per
+    // row were the measured encode hot spot); first-minimum tie-break ==
+    // array_position(ds, array_min(ds)), parity-pinned in QuantizedVecSpec
+    qc.withColumn("codes", graft.functions.PqCodes(col("qv"), cb))
+      .withColumn("rs2", (0 until m).map(j =>
+        element_at(typedlit(cs2(j)), element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _))
+  }
+
+  /** Pure-builtin reference form of the code assignment (slow path;
+    * parity-test oracle for the native kernel).
+    */
+  private[graft] def pqEncodeBuiltins(
+      qc: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame = {
+    val m = cb.length
     val dsub = cb(0)(0).length
     def codeCol(j: Int): Column = {
       val sv = slice(col("qv"), j * dsub + 1, dsub)
@@ -1832,8 +1863,9 @@ object SimilarityOps {
         val recon = concat(cb.indices.map(j =>
           element_at(typedlit(cb(j).map(_.toSeq).toSeq),
             element_at(col("codes"), j + 1) + 1)): _*)
-        aggregate(zip_with(col("qqv"), recon,
-          (x, c) => x.cast("long") * c), lit(0L), (a, v) => a + v)
+        // native int×long dot (r21) — same fold as the builtin
+        // aggregate(zip_with(...)) form, parity-pinned
+        graft.functions.QuantizedDot(col("qqv"), recon)
       }
     val scored = cand
       .withColumn("qdot", qdot)

@@ -160,9 +160,9 @@ object WatOps {
     // exactly Content-Length octets before requiring the separator — a
     // char-counted length (the em-dash makes octets ≠ chars) drops the
     // record and changes rows
-    wats
+    WarcOps.widenRecords(wats
       .mapPartitions(_.flatMap(parseWatAuto))
-      .toDF("doc_id", "url", "n_octets", "json")
+      .toDF("doc_id", "url", "n_octets", "json"), "url")
       .select(col("doc_id"), col("url"),
         from_json(col("json"), EnvelopeSchema).as("env"))
       .select(col("doc_id"), col("url"),

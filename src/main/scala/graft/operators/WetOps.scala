@@ -205,8 +205,8 @@ object WetOps {
     */
   def q148WetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val recs = WarcOps.extractRecords(spark,
-      WarcOps.syntheticWarcGz(Tables.documents(spark, dir))).toDF()
+    val recs = WarcOps.widenRecords(WarcOps.extractRecords(spark,
+      WarcOps.syntheticWarcGz(Tables.documents(spark, dir))).toDF())
     val perDoc = recs.select(
       regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
       col("target_uri").as("uri"),

@@ -859,13 +859,20 @@ object Xz {
         val src = pos - st.reps(0) - 1
         if (src >= 0) repLen = matchLen(src, pos, capLen)
       }
-      // candidate: best hash-chain match
+      // candidate: best hash-chain match. Distances are capped at the
+      // 1 MiB dict size the stream header DECLARES (prop byte 16 in
+      // encodeXz): without the cap an input past 1 MiB could emit a
+      // farther match that conformant decoders (liblzma) reject as
+      // LZMA_DATA_ERROR while our prop-as-hint decoder round-trips it
+      // (r20 ADVICE). Chains walk most-recent-first, so the first
+      // over-distance candidate ends the walk; rep distances inherit
+      // the cap because every rep was once a capped new match.
       var bestLen = 0
       var bestDist = 0
       if (capLen >= 4) {
         var cand = head(hash4(pos))
         var d = 0
-        while (cand >= 0 && d < Depth) {
+        while (cand >= 0 && d < Depth && pos - cand <= (1 << 20)) {
           val l = matchLen(cand, pos, capLen)
           if (l > bestLen ||
             (l == bestLen && pos - cand - 1 < bestDist)) {

@@ -75,7 +75,12 @@ class SparkEntrySpec extends AnyFunSuite {
       SparkEntry.queries("q55_rollup")(spark, sf)).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
         if e.outputPartitioning
-          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+          // the r21 input-widening repartition (Tables.widen) is
+          // deliberate, not an aggregate exchange
+          !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+            .contains(e.shuffleOrigin) => e
     }.size
     assert(hashExchanges == 1,
       s"expected exactly one aggregate exchange, saw $hashExchanges:\n${qe.executedPlan}")

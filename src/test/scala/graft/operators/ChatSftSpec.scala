@@ -65,7 +65,10 @@ class ChatSftSpec extends AnyFunSuite {
     val df = PackOps.q202ChatSft(spark, "/root/testdata/sf0.001")
     df.collect()
     val exch = graft.SparkTestSession.finalPlan(df).collect {
-      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s
     }.count(_.outputPartitioning.toString.toLowerCase.contains("hash"))
     assert(exch == 0)
   }

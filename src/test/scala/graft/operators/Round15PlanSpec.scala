@@ -51,7 +51,13 @@ class Round15PlanSpec extends AnyFunSuite {
       Mp4Ops.q137Mp4Extract(spark, sf),
       MultimodalOps.q138Vp8Decode(spark, sf))) {
       df.collect() // materialize AQE stages
-      val ex = deep(plan(df)).collect { case s: ShuffleExchangeExec => s }
+      val ex = deep(plan(df)).collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       val nonSort = ex.filterNot(
         _.outputPartitioning.toString.toLowerCase.contains("range"))
       // q138 repartitions its corpus by doc_id before the per-row
@@ -68,7 +74,13 @@ class Round15PlanSpec extends AnyFunSuite {
     df.collect()
     noCartesian(df)
     val hashEx = deep(plan(df))
-      .collect { case s: ShuffleExchangeExec => s }
+      .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
     assert(hashEx.size == 1,
       s"q135 expects exactly the synthetic-archive group-by exchange:\n${plan(df)}")
@@ -110,7 +122,13 @@ class Round15PlanSpec extends AnyFunSuite {
       MetaOps.q156DataUriExtract(spark, sf))) {
       df.collect()
       val nonSort = deep(plan(df))
-        .collect { case s: ShuffleExchangeExec => s }
+        .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
         .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
       assert(nonSort.isEmpty,
         s"per-row operator plans a non-sort exchange:\n${plan(df)}")
@@ -125,7 +143,13 @@ class Round15PlanSpec extends AnyFunSuite {
       df.collect()
       noCartesian(df)
       val hashEx = deep(plan(df))
-        .collect { case s: ShuffleExchangeExec => s }
+        .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
         .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
       assert(hashEx.size <= maxHash,
         s"expected <= $maxHash grouping exchanges, got ${hashEx.size}:\n${plan(df)}")
@@ -142,7 +166,13 @@ class Round15PlanSpec extends AnyFunSuite {
       SentenceOps.q167SentenceSplit(spark, sf))) {
       df.collect()
       val nonSort = deep(plan(df))
-        .collect { case s: ShuffleExchangeExec => s }
+        .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
         .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
       assert(nonSort.isEmpty,
         s"per-row operator plans a non-sort exchange:\n${plan(df)}")
@@ -166,7 +196,13 @@ class Round15PlanSpec extends AnyFunSuite {
       CodeOps.q165CodeQuality(spark, sf))) {
       df.collect()
       val nonSort = deep(plan(df))
-        .collect { case s: ShuffleExchangeExec => s }
+        .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
         .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
       assert(nonSort.isEmpty, s"per-row operator shuffles:\n${plan(df)}")
       noCartesian(df)
@@ -177,7 +213,13 @@ class Round15PlanSpec extends AnyFunSuite {
       df.collect()
       noCartesian(df)
       val hashEx = deep(plan(df))
-        .collect { case s: ShuffleExchangeExec => s }
+        .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
         .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
       assert(hashEx.size <= 1,
         s"expected only the container group-by:\n${plan(df)}")

@@ -52,7 +52,13 @@ class Round16PlanSpec extends AnyFunSuite {
       df.collect()
       noCartesian(df)
       val nonSort = deep(plan(df))
-        .collect { case s: ShuffleExchangeExec => s }
+        .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
         .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
       assert(nonSort.size <= 1,
         s"per-row walker plans ${nonSort.size} non-sort exchanges:\n${plan(df)}")
@@ -100,7 +106,13 @@ class Round16PlanSpec extends AnyFunSuite {
       df.collect()
       noCartesian(df)
       val nonSort = deep(plan(df))
-        .collect { case s: ShuffleExchangeExec => s }
+        .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
         .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
       assert(nonSort.size <= 1,
         s"per-row chain plans ${nonSort.size} non-sort exchanges:\n${plan(df)}")
@@ -115,7 +127,13 @@ class Round16PlanSpec extends AnyFunSuite {
       df.collect()
       noCartesian(df)
       val hashEx = deep(plan(df))
-        .collect { case s: ShuffleExchangeExec => s }
+        .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
         .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
       assert(hashEx.size <= 2, // group-by (+ q176's shard window)
         s"expected one output-sized aggregation:\n${plan(df)}")
@@ -148,7 +166,13 @@ class Round16PlanSpec extends AnyFunSuite {
     // per-archive extent collect_list; the join between them is
     // archive-grain too, never record-grain
     val hashEx = deep(plan(df))
-      .collect { case s: ShuffleExchangeExec => s }
+      .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
     assert(hashEx.size <= 2,
       s"q172 expects only the two archive-grain exchanges:\n${plan(df)}")

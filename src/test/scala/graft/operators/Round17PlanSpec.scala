@@ -66,7 +66,13 @@ class Round17PlanSpec extends AnyFunSuite {
     df.collect()
     noCartesian(df)
     val nonSort = deep(plan(df))
-      .collect { case s: ShuffleExchangeExec => s }
+      .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       .filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
     assert(nonSort.size <= 1,
       s"per-row walker plans ${nonSort.size} non-sort exchanges:\n${plan(df)}")
@@ -81,7 +87,13 @@ class Round17PlanSpec extends AnyFunSuite {
     assert(nodes.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
       s"rules + freshness dims must broadcast:\n${plan(df)}")
     val hashEx = nodes
-      .collect { case s: ShuffleExchangeExec => s }
+      .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
     // the per-host ranking window plus the two |hosts|-sized dimension
     // builds (rules distinct + freshness group-by) — never a
@@ -102,7 +114,13 @@ class Round17PlanSpec extends AnyFunSuite {
     df.collect()
     noCartesian(df)
     val hashEx = deep(plan(df))
-      .collect { case s: ShuffleExchangeExec => s }
+      .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
     assert(hashEx.size <= 2, // archive group-by + the enc rollup
       s"expected the corpus group-by + one rollup:\n${plan(df)}")
@@ -114,7 +132,13 @@ class Round17PlanSpec extends AnyFunSuite {
     df.collect()
     noCartesian(df)
     val hashEx = deep(plan(df))
-      .collect { case s: ShuffleExchangeExec => s }
+      .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       .filter(_.outputPartitioning.toString.toLowerCase.contains("hash"))
     assert(hashEx.size <= 1,
       s"q139 expects only the corpus-construction group-by:\n${plan(df)}")

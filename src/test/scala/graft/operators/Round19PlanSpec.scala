@@ -46,7 +46,13 @@ class Round19PlanSpec extends AnyFunSuite {
 
   private def hashExchanges(df: DataFrame): Int =
     deep(plan(df))
-      .collect { case s: ShuffleExchangeExec => s }
+      .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       .count(_.outputPartitioning.toString.toLowerCase.contains("hash"))
 
   test("q195: write-side .warc.zst costs the archive group-by + a " +

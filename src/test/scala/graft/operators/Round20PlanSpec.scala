@@ -47,7 +47,13 @@ class Round20PlanSpec extends AnyFunSuite {
 
   private def hashExchanges(df: DataFrame): Int =
     deep(plan(df))
-      .collect { case s: ShuffleExchangeExec => s }
+      .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       .count(_.outputPartitioning.toString.toLowerCase.contains("hash"))
 
   test("q204: embedded-index selective access costs exactly the one " +
@@ -116,7 +122,13 @@ class Round20PlanSpec extends AnyFunSuite {
       }
     }
     val topHash = deepNoCache(plan(df))
-      .collect { case s: ShuffleExchangeExec => s }
+      .collect { case s: ShuffleExchangeExec
+        // input-widening repartitions (Tables.widen / WarcOps.widenRecords,
+        // r21 guide-2.5 unsplittable-input repair) are deliberate and
+        // scale-conditional; the pin guards exchanges the OPERATOR induces
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s }
       .count(_.outputPartitioning.toString.toLowerCase.contains("hash"))
     assert(topHash <= 3,
       s"q205's final pass expects only the doc_id join exchanges:\n${plan(df)}")

@@ -118,13 +118,25 @@ class SampleOpsSpec extends AnyFunSuite {
   }
 
   test("plans: sampling is a pure scan+filter, mixing adds only the epoch range sort") {
-    val p41 = SampleOps.q41StratifiedSample(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!p41.contains("hashpartitioning") && !p41.contains("Join"), p41)
+    // count exchange NODES, excluding the r21 input-widening repartition
+    // (Tables.widen, REPARTITION_BY_COL origin, a no-op at scale): the
+    // pin is that the SAMPLERS add no hash exchange of their own
+    def requiredHash(df: org.apache.spark.sql.DataFrame): Int =
+      graft.SparkTestSession.finalPlan(df).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+              org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+            .contains(s.shuffleOrigin) &&
+            s.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => s
+      }.size
+    val df41 = SampleOps.q41StratifiedSample(spark, sf)
+    val p41 = df41.queryExecution.executedPlan.toString
+    assert(requiredHash(df41) == 0 && !p41.contains("Join"), p41)
     assert(p41.contains("rangepartitioning"), p41) // only the ORDER BY
-    val p42 = SampleOps.q42WeightedMix(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!p42.contains("hashpartitioning") && !p42.contains("Join"), p42)
+    val df42 = SampleOps.q42WeightedMix(spark, sf)
+    val p42 = df42.queryExecution.executedPlan.toString
+    assert(requiredHash(df42) == 0 && !p42.contains("Join"), p42)
     assert(p42.contains("rangepartitioning") && p42.contains("Generate"), p42)
   }
 

@@ -74,7 +74,10 @@ class SpanCorruptionSpec extends AnyFunSuite {
     assert(bp > 2400 && bp < 3000, s"mask rate $bp bp should be ~2857")
     val plan = graft.SparkTestSession.finalPlan(df)
     val ex = plan.collect {
-      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if !Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+          .contains(s.shuffleOrigin) => s
     }.filterNot(_.outputPartitioning.toString.toLowerCase.contains("range"))
     assert(ex.isEmpty, s"span corruption must not shuffle:\n$plan")
   }

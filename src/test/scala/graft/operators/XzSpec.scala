@@ -263,6 +263,17 @@ class XzSpec extends AnyFunSuite {
       det(20000, 6), bcj = false, dd = 0)
     putC("lzma_bcj", det(9000, 13), bcj = true, dd = 0)
     putC("lzma_delta", det(9000, 14), bcj = false, dd = 4)
+    // >1 MiB long-range repeat (r20 ADVICE): a 64 KiB block recurs
+    // ~1.3 MiB later, so the only hash-chain candidates sit PAST the
+    // 1 MiB dict size the header declares — an uncapped match search
+    // emits distances liblzma rejects as LZMA_DATA_ERROR while our
+    // prop-as-hint decoder round-trips them. Foreign decode is the gate.
+    putC("lzma_far", {
+      def lines(seed: Int, n: Int) =
+        (0 until n).map(i => s"line $seed-$i of the corpus\n").mkString.getBytes
+      val a = lines(1, 2600) // ~64 KiB
+      a ++ lines(2, 52000) ++ a // ~1.3 MiB between the copies
+    }, bcj = false, dd = 0)
     val proc = new ProcessBuilder(py.get, "tools/verify_xz_encoder.py",
       dir.toString).redirectErrorStream(true).start()
     val out = new String(proc.getInputStream.readAllBytes())
