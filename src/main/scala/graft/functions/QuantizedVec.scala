@@ -80,6 +80,32 @@ object QuantFold {
     InternalRow(scale, new GenericArrayData(codes), s2)
   }
 
+  /** The `normalized` row kernel: divide by the L2 norm computed with
+    * DotFold's accumulation order (bit-identical to
+    * `sqrt(aggregate(zip_with(v, v, _*_), 0d, _+_))`). Null elements
+    * are rejected loudly (no caller produces them).
+    */
+  def normalize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      require(!v.isNullAt(i), "normalize_vec: null vector element")
+      val x = v.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    // ANSI sessions make the builtin division THROW on a zero norm —
+    // mirror the loudness instead of silently minting NaNs
+    require(acc != 0.0 || n == 0,
+      "normalize_vec: zero-norm vector (division by zero)")
+    val norm = math.sqrt(acc)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** The PQ-encode argmin kernel over a flat codebook: for subspace j,
     * the code of the candidate sub-centroid minimizing exact integer L2
     * distance to the query's sub-vector, FIRST minimum on ties (the
@@ -111,6 +137,36 @@ object QuantFold {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Native L2 normalization: `transform(v, x -> x / sqrt(dot(v, v)))`
+  * in one pass — the interpreted per-element division lambda ran on
+  * every IVF assignment/probe row. Norm uses DotFold's accumulation
+  * order and Math.sqrt (Spark's Sqrt), division is IEEE double — all
+  * bit-identical to the builtin chain (parity-pinned). A zero vector
+  * divides to NaN exactly like the builtin (double division by zero is
+  * not null in Spark).
+  */
+case class NormalizeVec(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"normalize_vec requires array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "normalize_vec"
+  override def nullSafeEval(input: Any): Any =
+    QuantFold.normalize(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QuantFold.normalize($c);")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeVec =
+    copy(child = newChild)
+}
+
+object NormalizeVec {
+  def apply(v: Column): Column =
+    ColumnBridge.column(NormalizeVec(ColumnBridge.expression(v)))
 }
 
 /** Native exact integer dot product over int/long array columns —

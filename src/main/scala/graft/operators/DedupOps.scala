@@ -105,6 +105,14 @@ object DedupOps {
     * lambda-recompute hazard, O(words²) per row.
     */
   def shingles(text: Column, n: Int = 3): Column =
+    // native kernel (r21): the per-shingle interpreted lambda chain ran
+    // at seconds of executor time per task across the whole dedup/
+    // decontamination family; output bit-identical to the builtin form
+    // below (parity-pinned in TextGramsSpec)
+    graft.functions.WordShingles(split(lower(text), " "), n)
+
+  /** Pure-builtin reference form (slow path; parity-test oracle). */
+  private[graft] def shinglesBuiltins(text: Column, n: Int = 3): Column =
     element_at(
       transform(array(split(lower(text), " ")), words =>
         when(size(words) >= n,

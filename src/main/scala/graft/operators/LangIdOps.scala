@@ -148,11 +148,20 @@ object LangIdOps {
   /** Padded char trigrams of each whitespace word in column `textCol`
     * (the `_word_` padding makes word boundaries part of the signal).
     */
-  private def gramsOf(textCol: String) = expr(
+  private[graft] def gramsOf(textCol: String) = expr(
     s"flatten(transform(transform(split(lower($textCol), ' '), " +
       "w -> concat('_', w, '_')), " +
       "p -> transform(sequence(1, greatest(length(p) - 2, 1)), " +
       "i -> substring(p, i, 3))))")
+
+  /** gramsOf ∘ bucketOf, fused into the native kernel (r21): the nested
+    * interpreted transforms plus a per-gram md5 projection were the
+    * measured cost of q170/q180; bucket stream bit-identical to
+    * `explode(gramsOf) → ClassifyOps.bucketOf` (parity-pinned in
+    * TextGramsSpec).
+    */
+  private def gramBucketsOf(textCol: String): org.apache.spark.sql.Column =
+    graft.functions.CharTrigramBuckets(split(lower(col(textCol)), " "), NBuckets)
 
   /** Train the 6×`NBuckets` smoothed log-prob model on `train` rows
     * (`true_lang`, `text`): one model-sized group-by, then per-lang
@@ -165,8 +174,8 @@ object LangIdOps {
       train: DataFrame, langNames: Seq[String] = LangNames): DataFrame = {
     val spark = train.sparkSession
     val counts = train
-      .select(col("true_lang").as("lang"), explode(gramsOf("text")).as("g"))
-      .select(col("lang"), ClassifyOps.bucketOf(col("g"), NBuckets).as("bucket"))
+      .select(col("true_lang").as("lang"),
+        explode(gramBucketsOf("text")).as("bucket"))
       .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
     val buckets = counts.select(col("bucket")).distinct()
@@ -190,8 +199,7 @@ object LangIdOps {
     */
   private[graft] def predict(docs: DataFrame, model: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(gramsOf("text")).as("g"))
-      .select(col("doc_id"), ClassifyOps.bucketOf(col("g"), NBuckets).as("bucket"))
+      .select(col("doc_id"), explode(gramBucketsOf("text")).as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("dc"))
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
@@ -210,8 +218,7 @@ object LangIdOps {
   private[graft] def predictAbstain(
       docs: DataFrame, model: DataFrame, tauPerGram: Double): DataFrame = {
     val db = docs
-      .select(col("doc_id"), explode(gramsOf("text")).as("g"))
-      .select(col("doc_id"), ClassifyOps.bucketOf(col("g"), NBuckets).as("bucket"))
+      .select(col("doc_id"), explode(gramBucketsOf("text")).as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("dc"))
     val grams = db.groupBy(col("doc_id")).agg(sum(col("dc")).as("n_grams"))
     val verdicts = db

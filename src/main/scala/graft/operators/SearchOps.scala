@@ -37,6 +37,12 @@ object SearchOps {
     * (sequence(0,-1) = [0,-1], not []) so the naive `sequence(0, n-2)`
     * corrupts 1-token rows. */
   private def bigrams: Column =
+    // native kernel (r21); bit-identical to `bigramsBuiltins`,
+    // parity-pinned in TextGramsSpec
+    graft.functions.WordBigramPairs(col("w"))
+
+  /** Pure-builtin reference form (slow path; parity-test oracle). */
+  private[graft] def bigramsBuiltins: Column =
     expr("filter(transform(sequence(1, size(w)), i -> struct(w[i-1] AS w1, get(w, i) AS w2)), p -> p.w2 IS NOT NULL)")
 
   /** q92: bigram language-model familiarity score — the quality gate a
@@ -103,11 +109,11 @@ object SearchOps {
   private[graft] def backoffLm(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"), words(col("text")).as("w"))
     // transitions with two words of context: (w1, w2, w3) at each i ≥ 2
+    // native transition kernel (r21); bit-identical to the builtin
+    // filter/transform/sequence form (parity-pinned in TextGramsSpec)
     val trans = toks
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "filter(transform(sequence(1, size(w)), i -> " +
-          "struct(get(w, i - 3) AS w1, get(w, i - 2) AS w2, w[i - 1] AS w3)), " +
-          "p -> p.w2 IS NOT NULL)")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.WordTransitions(col("w"))).as("t"))
       .select(col("doc_id"), col("lang"),
         col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
     val en = trans.where(col("lang") === "en")

@@ -301,8 +301,18 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Normalized-vector projection shared by the IVF train/assign paths. */
+  /** Normalized-vector projection shared by the IVF train/assign paths.
+    * Native one-pass kernel (r21) — bit-identical to the builtin
+    * sqrt(dot) + per-element division chain (parity-pinned in
+    * QuantizedVecSpec).
+    */
   private def normalized(c: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val cols = c.columns.filterNot(_ == vecCol).map(col).toSeq
+    c.select(cols :+ graft.functions.NormalizeVec(col(vecCol)).as(outCol): _*)
+  }
+
+  /** Pure-builtin reference form (slow path; parity-test oracle). */
+  private[graft] def normalizedBuiltins(c: DataFrame, vecCol: String, outCol: String): DataFrame = {
     val cols = c.columns.filterNot(_ == vecCol).map(col).toSeq
     c.withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
       .select(cols :+ transform(col(vecCol), x => x / col("__norm")).as(outCol): _*)

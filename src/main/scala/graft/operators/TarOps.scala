@@ -316,7 +316,12 @@ object TarOps {
     */
   def q201TarXz(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // the per-row build and walk are split by a persisted shard frame
+    // (r20 verdict item 5) so BENCH.json attributes writer-side cost
+    // (tar + filter-chain + LZMA encode — the deliberate r20 per-row
+    // work increase) separately from the reader walk; no exchange is
+    // added, so the zero-exchange-before-sort pin holds
+    val shards = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
@@ -326,8 +331,12 @@ object TarOps {
         val xz =
           if (id % 2 == 0) Xz.encode(tar, bcj = bcj, deltaDist = dd)
           else Xz.encodeStored(tar, bcj = bcj, deltaDist = dd)
-        extractArchive(id, xz)
+        (id, xz)
       })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.BenchPhases.timed("corpus_build") { shards.count(); () }
+    shards
+      .map { case (id, xz) => extractArchive(id, xz) }
       .toDF()
       .select(col("doc_id"), col("status"), col("container"),
         col("n_members").cast("long").as("n_members"),

@@ -832,6 +832,12 @@ object WarcOps {
   def q195WarcZstWrite(spark: SparkSession, dir: String): DataFrame = {
     val arch = syntheticWarcZstCompressed(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus_build phase (r20 verdict item 5): the archives were already
+    // persisted; materializing them under a named phase splits
+    // writer-side construction (dict training + record encode) from the
+    // read path in BENCH.json, so a writer-cost change never reads as
+    // an extraction regression. Total timed work is unchanged.
+    graft.BenchPhases.timed("corpus_build") { arch.count(); () }
     warcZstRatioJoin(spark, arch)
   }
 
@@ -875,6 +881,13 @@ object WarcOps {
   def q204SeekableFetch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val archives = syntheticWarcZstCompressed(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus_build phase (r20 verdict item 5): q204's bench cost was
+    // dominated by rebuilding the shards inside the timed run; the
+    // phase split makes the writer/reader attribution readable from
+    // BENCH.json alone. Adds no exchange (the plan pin holds: the one
+    // corpus-construction group-by, no join).
+    graft.BenchPhases.timed("corpus_build") { archives.count(); () }
     val recs = archives.select(col("group_id"), col("warc"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (gid, warc) =>

@@ -39,6 +39,28 @@ class QuantizedVecSpec extends AnyFunSuite {
     assert(native(1) == ((0.0, Seq.empty[Int], 0L)))
   }
 
+  test("NormalizeVec == builtin sqrt(dot)+divide chain, bit-exact; zero vector throws like ANSI") {
+    import spark.implicits._
+    val rows = corpus.select(col("vec_id"), col("v"))
+    def run(f: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame) =
+      f(rows, "v", "nv").select(col("vec_id"), col("nv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).map(d =>
+          java.lang.Double.doubleToRawLongBits(d)))
+        .sortBy(_._1).toSeq
+    val nat = run((d, v, o) => d.select(col("vec_id"),
+      graft.functions.NormalizeVec(col(v)).as(o)))
+    val bi = run(SimilarityOps.normalizedBuiltins)
+    assert(nat == bi)
+    // under ANSI the builtin division by a zero norm THROWS; the native
+    // kernel mirrors the loudness rather than minting NaNs
+    val zero = Seq((-1L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    intercept[Exception] {
+      zero.select(graft.functions.NormalizeVec(col("v"))).collect()
+    }
+    ()
+  }
+
   test("QuantizedDot == builtin zip_with+aggregate over corpus codes") {
     val qc = SimilarityOps.quantizeInt8(corpus, "v")
       .select(col("vec_id"), col("qv")).persist()
