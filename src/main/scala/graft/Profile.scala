@@ -29,7 +29,8 @@ object Profile {
     val reps = if (args.length > 2) args(2).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val outDir = Paths.get("plans/r21")
+    val outDir = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r22"))
     Files.createDirectories(outDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

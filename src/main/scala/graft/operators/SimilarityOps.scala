@@ -355,13 +355,32 @@ object SimilarityOps {
     val train =
       if (trainSampleMod <= 1) c
       else c.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod.toLong)) === 0)
+    // the training frame feeds 1 + lloydIters DRIVER COLLECTS (seeds +
+    // one assignment aggregate per Lloyd pass); unpinned, each collect
+    // re-ran the scan + normalize pipeline from parquet (r22 profile:
+    // 3 full corpus passes per training, ×2 trainings in q32/q38).
+    // Persist it for the duration of the training loop only — at 100 TB
+    // `trainSampleMod` bounds the pinned footprint to the O(100·K)
+    // training sample, exactly the quantity the collects re-derive.
     val nv = normalized(train, "v", "nv")
+      .select(col("vec_id"), col("nv")).persist()
+    try trainIvfCentroidsOnNv(nv, k, lloydIters)
+    finally { nv.unpersist(); () }
+  }
+
+  /** Core Lloyd loop over an already-normalized (vec_id, nv) frame —
+    * callers that hold a persisted normalized corpus (q32) train directly
+    * on it so the seed/Lloyd collects hit the cache instead of re-running
+    * the normalize pipeline per pass.
+    */
+  private[graft] def trainIvfCentroidsOnNv(
+      nv: DataFrame, k: Int, lloydIters: Int = 2): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = nv.orderBy(col("vec_id")).limit(k)
       .select(col("nv")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(cents.nonEmpty,
-      s"IVF training set is empty (corpus empty, or trainSampleMod=$trainSampleMod " +
-        "sampled zero rows) — no centroids can be seeded")
+      "IVF training set is empty (corpus empty, or trainSampleMod sampled " +
+        "zero rows) — no centroids can be seeded")
     val dim = cents.head.length
     // spherical k-means renormalizes each centroid: raw means have norm<1
     // and UNEQUAL norms across clusters, which would bias the argmax-dot
@@ -812,12 +831,28 @@ object SimilarityOps {
       indexDir: String,
       q: DataFrame,
       k: Int,
+      nprobe: Int = 12): DataFrame =
+    annTopKIvfIndexedWith(spark, indexDir, loadIvfCentroids(spark, indexDir),
+      q, k, nprobe)
+
+  /** `annTopKIvfIndexed` with PRELOADED centroids — queries that probe the
+    * same index several times (q38's pruned + exhaustive legs, q49's two
+    * per-state legs) load the centroid matrix ONCE instead of paying one
+    * driver collect per probe (r22, guide §5: minimize driver round-trips).
+    */
+  private[graft] def annTopKIvfIndexedWith(
+      spark: SparkSession,
+      indexDir: String,
+      cents: Array[Array[Double]],
+      q: DataFrame,
+      k: Int,
       nprobe: Int = 12): DataFrame = {
-    val cents = loadIvfCentroids(spark, indexDir)
-    val probedCids = ivfProbeList(cents, q, nprobe)
-      .select(col("cid")).distinct().collect().map(_.getInt(0))
-    val base = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+    // cid pruning needs one bounded driver collect of the probed cluster
+    // ids; with nprobe >= K every cluster is probed by construction, so
+    // the exhaustive legs skip the collect AND the filter (same rows —
+    // the probe equi-join keys on cid anyway)
+    val prune = cidPruner(cents, q, nprobe)
+    val base = prune(spark.read.parquet(s"$indexDir/postings"))
     // a streaming-fed index additionally holds unfolded DELTA generations
     // (see appendIvfDelta); they are cid-pruned exactly like the base.
     // A delta-less index (every batch-built q38 cache) skips this read
@@ -828,12 +863,27 @@ object SimilarityOps {
     val postings =
       if (deltas.isEmpty) base
       else base.unionByName(
-        spark.read.option("basePath", s"$indexDir/deltas")
-          .parquet(deltas.map(_._2): _*)
-          .filter(col("cid").isin(probedCids.map(Int.box): _*))
+        prune(spark.read.option("basePath", s"$indexDir/deltas")
+          .parquet(deltas.map(_._2): _*))
           .select(col("vec_id"), col("nv"), col("cid")))
     probeIvf(postings, cents, q, k, nprobe)
   }
+
+  /** The cid partition-pruning filter shared by every persisted-index
+    * probe: collect the probed cluster ids (bounded by K) and push them
+    * into the postings scan as an `isin` partition filter. Identity when
+    * `nprobe >= K` — every cluster is probed, so the filter would keep
+    * every row while still costing a driver job to compute.
+    */
+  private def cidPruner(
+      cents: Array[Array[Double]], q: DataFrame,
+      nprobe: Int): DataFrame => DataFrame =
+    if (nprobe >= cents.length) identity
+    else {
+      val probedCids = ivfProbeList(cents, q, nprobe)
+        .select(col("cid")).distinct().collect().map(_.getInt(0))
+      df => df.filter(col("cid").isin(probedCids.map(Int.box): _*))
+    }
 
   /** All `(query_id, vec_id, cos)` pairs with cosine ≥ `threshold` between
     * `q` and an inverted file, restricted to each query's `nprobe` probed
@@ -948,16 +998,27 @@ object SimilarityOps {
     // exhaustive — training-independent — probes), so the sample changes
     // which clusters exist, never what the gate checks. The smallest spec
     // corpus (sf0.001, ~120 vectors) still samples ≈30 ≥ 16 seeds.
-    val cents = trainIvfCentroids(c, 16, trainSampleMod = 4)
-    val centsAlt = trainIvfCentroids(c, 11, trainSampleMod = 4)
-    val pruned = annTopKIvfFixed(c, cents, q, 10, nprobe = 12)
-    val exh = annTopKIvfFixed(c, cents, q, 10, nprobe = 16)
-    val exhAlt = annTopKIvfFixed(c, centsAlt, q, 10, nprobe = 11)
-    val counts = pruned.groupBy(col("query_id")).agg(count(lit(1)).as("n_ivf"))
-    probeAgreement(exh, exhAlt, "n_exh", "n_exh_alt", "n_agree")
-      .join(counts, Seq("query_id"))
-      .select(col("query_id"), col("n_ivf"), col("n_exh"), col("n_agree"))
-      .orderBy(col("query_id"))
+    // ONE normalized corpus pass pinned for the whole query (r22): both
+    // quantizer trainings (2 × 3 driver collects) and all three probe
+    // legs previously re-ran the scan + normalize pipeline per
+    // reference. The training sample filter commutes with the normalize
+    // projection (row-local), so training on the filtered cached frame
+    // is bit-identical to normalizing the filtered corpus.
+    val nvAll = normalized(c, "v", "nv").select(col("vec_id"), col("nv")).persist()
+    try {
+      val train = nvAll.filter(pmod(xxhash64(col("vec_id")), lit(4L)) === 0)
+      val cents = trainIvfCentroidsOnNv(train, 16)
+      val centsAlt = trainIvfCentroidsOnNv(train, 11)
+      val pruned = annTopKIvfFixedNv(nvAll, cents, q, 10, nprobe = 12)
+      val exh = annTopKIvfFixedNv(nvAll, cents, q, 10, nprobe = 16)
+      val exhAlt = annTopKIvfFixedNv(nvAll, centsAlt, q, 10, nprobe = 11)
+      val counts = pruned.groupBy(col("query_id")).agg(count(lit(1)).as("n_ivf"))
+      probeAgreement(exh, exhAlt, "n_exh", "n_exh_alt", "n_agree")
+        .join(counts, Seq("query_id"))
+        .select(col("query_id"), col("n_ivf"), col("n_exh"), col("n_agree"))
+        .localCheckpoint() // materialize (query-count-sized) before release
+        .orderBy(col("query_id"))
+    } finally { nvAll.unpersist(); () }
   }
 
   /** Content fingerprint of a corpus file/directory: every data file's
@@ -1043,9 +1104,13 @@ object SimilarityOps {
         .filter(p => p.getName.matches("ivf-[0-9a-f]{16}") && p.getName != s"ivf-$fp")
         .foreach(p => idxFs.delete(p, true))
     val q = queriesOf(c)
-    val k = loadIvfCentroids(spark, indexDir).length
-    val pruned = annTopKIvfIndexed(spark, indexDir, q, 10)
-    val exhIdx = annTopKIvfIndexed(spark, indexDir, q, 10, nprobe = k)
+    // ONE centroid load shared by both standing-index legs; the
+    // exhaustive leg (nprobe = K) needs no cid-pruning collect at all
+    // (r22 driver-job fusion — was 2 loads + 2 cid collects per rep)
+    val cents = loadIvfCentroids(spark, indexDir)
+    val pruned = annTopKIvfIndexedWith(spark, indexDir, cents, q, 10)
+    val exhIdx = annTopKIvfIndexedWith(spark, indexDir, cents, q, 10,
+      nprobe = cents.length)
     val exhAlt = annTopKIvfFixed(c, trainIvfCentroids(c, 11), q, 10, nprobe = 11)
     val counts = pruned.groupBy(col("query_id")).agg(count(lit(1)).as("n_idx"))
     probeAgreement(exhIdx, exhAlt, "n_exh", "n_exh_alt", "n_agree")
@@ -1063,8 +1128,19 @@ object SimilarityOps {
     */
   def annTopKIvfFixed(
       c: DataFrame, cents: Array[Array[Double]], q: DataFrame, k: Int,
-      nprobe: Int = 12): DataFrame = {
-    val inverted = normalized(c, "v", "nv")
+      nprobe: Int = 12): DataFrame =
+    annTopKIvfFixedNv(
+      normalized(c, "v", "nv").select(col("vec_id"), col("nv")),
+      cents, q, k, nprobe)
+
+  /** `annTopKIvfFixed` over an ALREADY-NORMALIZED (vec_id, nv) frame —
+    * callers holding a persisted normalized corpus (q32) probe it
+    * directly so the probe legs share one normalize pass.
+    */
+  private[graft] def annTopKIvfFixedNv(
+      nv: DataFrame, cents: Array[Array[Double]], q: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val inverted = nv
       .select(col("vec_id"), col("nv"), bestCid(col("nv"), cents).as("cid"))
     probeIvf(inverted, cents, q, k, nprobe)
   }
@@ -1155,8 +1231,11 @@ object SimilarityOps {
     // what each must match exactly is the monolithic probe sharing its
     // centroids)
     def legs(stateDir: String, suffix: String): DataFrame = {
-      val lsm = annTopKIvfIndexed(spark, stateDir, q, 10)
-      val ref = annTopKIvfFixed(c, loadIvfCentroids(spark, stateDir), q, 10)
+      // one centroid load per state, shared by the standing and
+      // monolithic legs (r22 driver-job fusion — was two loads)
+      val cents = loadIvfCentroids(spark, stateDir)
+      val lsm = annTopKIvfIndexedWith(spark, stateDir, cents, q, 10)
+      val ref = annTopKIvfFixed(c, cents, q, 10)
       val lsmN = lsm.groupBy(col("query_id")).agg(count(lit(1)).as(s"n_lsm$suffix"))
       val refN = ref.groupBy(col("query_id")).agg(count(lit(1)).as(s"n_ref$suffix"))
       // rank-sensitive agreement: a row must match on (rank, vec_id), so an
@@ -1300,24 +1379,49 @@ object SimilarityOps {
     */
   def annTopKGraph(
       cNv: DataFrame, edges: DataFrame, q: DataFrame,
-      entries: DataFrame, k: Int, ef: Int = 48, iters: Int = 6): DataFrame = {
+      entries: DataFrame, k: Int, ef: Int = 48, iters: Int = 6): DataFrame =
+    annTopKGraphLegs(cNv, Seq(("", edges, entries)), q, k, ef, iters)
+      .drop("leg")
+
+  /** Beam-probe SEVERAL graph indexes over the same corpus + query set in
+    * ONE iteration loop: each leg's (edges, entries) rides a `leg` tag
+    * through the frontier/expand/score machinery, so every operation —
+    * the beam window, the edge expansion, the visited anti-join, the
+    * final ranking — is keyed by (leg, query_id) and each leg's result is
+    * bit-identical to a standalone `annTopKGraph` run (the legs never
+    * interact; GraphAnnSpec pins the equality). The point is driver-side:
+    * q127 probes two legs × 6 hops, and the per-hop eager checkpoint is a
+    * full Spark job — fusing the legs halves the job count (r22,
+    * guide §5: minimize driver round-trips) where running them
+    * sequentially left the cluster idle per sub-second job.
+    */
+  private[graft] def annTopKGraphLegs(
+      cNv: DataFrame, legs: Seq[(String, DataFrame, DataFrame)],
+      q: DataFrame, k: Int, ef: Int = 48, iters: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nq = normalized(q, "qv", "nqv").select(col("query_id"), col("nqv"))
+    val edges = legs.map { case (t, e, _) =>
+      e.select(lit(t).as("leg"), col("src"), col("dst")) }
+      .reduce(_ unionByName _)
+    val entries = legs.map { case (t, _, en) =>
+      en.select(lit(t).as("leg"), col("query_id"), col("vec_id")) }
+      .reduce(_ unionByName _)
     def scoreOf(ids: DataFrame): DataFrame =
       ids.join(cNv, Seq("vec_id")).join(broadcast(nq), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"),
+        .select(col("leg"), col("query_id"), col("vec_id"),
           dot(col("nv"), col("nqv")).as("cos"))
-    var visited = scoreOf(entries.select(col("query_id"), col("vec_id")).distinct())
-      .localCheckpoint()
-    val beam = Window.partitionBy(col("query_id"))
+    var visited = scoreOf(entries.distinct()).localCheckpoint()
+    val beam = Window.partitionBy(col("leg"), col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     for (_ <- 1 to iters) {
       val frontier = visited.withColumn("rn", row_number().over(beam))
         .filter(col("rn") <= ef).drop("rn")
-      val expand = frontier.join(edges, frontier("vec_id") === edges("src"))
-        .select(col("query_id"), col("dst").as("vec_id")).distinct()
-        .join(visited.select(col("query_id"), col("vec_id")),
-          Seq("query_id", "vec_id"), "left_anti")
+      val expand = frontier.join(edges,
+          frontier("leg") === edges("leg") && frontier("vec_id") === edges("src"))
+        .select(frontier("leg"), col("query_id"), col("dst").as("vec_id"))
+        .distinct()
+        .join(visited.select(col("leg"), col("query_id"), col("vec_id")),
+          Seq("leg", "query_id", "vec_id"), "left_anti")
       // localCheckpoint: visited is referenced twice per iteration (the
       // union and the anti-join), so an uncut lineage doubles per round
       visited = visited.unionByName(scoreOf(expand)).localCheckpoint()
@@ -1327,7 +1431,8 @@ object SimilarityOps {
     visited.filter(col("query_id") =!= col("vec_id"))
       .withColumn("rank", row_number().over(beam))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+      .select(col("leg"), col("query_id"),
+        col("rank").cast("long").as("rank"), col("vec_id"))
   }
 
   /** Entry points: the min-id member of each of the query's
@@ -1432,8 +1537,6 @@ object SimilarityOps {
       val invStd = cNv.select(col("vec_id"),
         bestCid(col("nv"), centsStd).as("cid"))
       val edgesStd = spark.read.parquet(s"$indexDir/edges")
-      val std = annTopKGraph(cNv, edgesStd, q,
-        graphEntries(invStd, centsStd, q, nprobeEntry = 12), 10)
       // twin leg: the same deterministic construction, served from its
       // OWN fingerprint-keyed artifact generation — durable warm
       // residency (disk, not executor memory), aging in lockstep with
@@ -1441,8 +1544,17 @@ object SimilarityOps {
       val centsQ = loadIvfCentroids(spark, twinDir)
       val edgesQ = spark.read.parquet(s"$twinDir/edges")
       val invQ = cNv.select(col("vec_id"), bestCid(col("nv"), centsQ).as("cid"))
-      val inq = annTopKGraph(cNv, edgesQ, q,
-        graphEntries(invQ, centsQ, q, nprobeEntry = 12), 10)
+      // BOTH legs ride one fused beam loop (annTopKGraphLegs): 6 hop
+      // jobs total instead of 12 sequential sub-second jobs (r22) —
+      // per-leg results bit-identical to standalone runs (spec-pinned).
+      // Checkpoint the fused ranking once: probeAgreement reads each
+      // leg three times (two counts + the semi-join).
+      val fused = annTopKGraphLegs(cNv,
+        Seq(("s", edgesStd, graphEntries(invStd, centsStd, q, nprobeEntry = 12)),
+          ("t", edgesQ, graphEntries(invQ, centsQ, q, nprobeEntry = 12))),
+        q, 10).localCheckpoint()
+      val std = fused.filter(col("leg") === "s").drop("leg")
+      val inq = fused.filter(col("leg") === "t").drop("leg")
       val out = probeAgreement(std, inq, "n_std", "n_graph", "n_agree")
         .select(col("query_id"), col("n_graph"), col("n_std"), col("n_agree"))
         .orderBy(col("query_id"))
@@ -1644,10 +1756,8 @@ object SimilarityOps {
       s"$indexDir stores float postings — probe with annTopKIvfIndexed, " +
         "or build with quantize = true")
     val cents = loadIvfCentroids(spark, indexDir)
-    val probedCids = ivfProbeList(cents, q, nprobe)
-      .select(col("cid")).distinct().collect().map(_.getInt(0))
-    val base = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+    val prune = cidPruner(cents, q, nprobe) // identity when nprobe >= K
+    val base = prune(spark.read.parquet(s"$indexDir/postings"))
       .select(col("vec_id"), col("qv"), col("qs2"), col("cid"))
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1655,9 +1765,8 @@ object SimilarityOps {
     val postings =
       if (deltas.isEmpty) base
       else base.unionByName(
-        spark.read.option("basePath", s"$indexDir/deltas")
-          .parquet(deltas.map(_._2): _*)
-          .filter(col("cid").isin(probedCids.map(Int.box): _*))
+        prune(spark.read.option("basePath", s"$indexDir/deltas")
+          .parquet(deltas.map(_._2): _*))
           .select(col("vec_id"), col("qv"), col("qs2"), col("cid")))
     // per-query probe rows (query_id, cid) joined to the query's own int8
     // codes — both frames are O(queries·nprobe), broadcast like q62's
@@ -2030,13 +2139,21 @@ object SimilarityOps {
     */
   def annTopKIvfPqIndexed(
       spark: SparkSession, indexDir: String, q: DataFrame, k: Int,
-      nprobe: Int = 12): DataFrame = {
-    val cents = loadIvfCentroids(spark, indexDir)
-    val cb = loadPqCodebooks(spark, indexDir)
-    val probedCids = ivfProbeList(cents, q, nprobe)
-      .select(col("cid")).distinct().collect().map(_.getInt(0))
-    val postings = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+      nprobe: Int = 12): DataFrame =
+    annTopKIvfPqIndexedWith(spark, indexDir,
+      loadIvfCentroids(spark, indexDir), loadPqCodebooks(spark, indexDir),
+      q, k, nprobe)
+
+  /** `annTopKIvfPqIndexed` with PRELOADED centroids/codebooks — q120's
+    * pruned + exhaustive legs share one load of each instead of paying
+    * two driver collects per leg (r22, guide §5).
+    */
+  private[graft] def annTopKIvfPqIndexedWith(
+      spark: SparkSession, indexDir: String,
+      cents: Array[Array[Double]], cb: Array[Array[Array[Long]]],
+      q: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val postings = cidPruner(cents, q, nprobe)(
+      spark.read.parquet(s"$indexDir/postings"))
       .select(col("vec_id"), col("cid"), col("codes"), col("rs2"))
     val qq = quantizeInt8(q.withColumnRenamed("qv", "v"), "v")
       .select(col("query_id"), col("v").as("qv_raw"),
@@ -2082,27 +2199,42 @@ object SimilarityOps {
         .filter(p => p.getName.matches("ivfpq-[0-9a-f]{16}") && p.getName != s"ivfpq-$fp")
         .foreach(p => idxFs.delete(p, true))
     val q = queriesOf(c)
-    val pruned = annTopKIvfPqIndexed(spark, indexDir, q, 10, nprobe = 12)
-    val exhIdx = annTopKIvfPqIndexed(spark, indexDir, q, 10, nprobe = 16)
+    // ONE load of the standing index's centroids + codebooks shared by
+    // the pruned and exhaustive legs (r22 driver-job fusion — was two
+    // loads of each per rep); the exhaustive leg's nprobe = K skips the
+    // cid-pruning collect inside annTopKIvfPqIndexedWith
+    val centsIdx = loadIvfCentroids(spark, indexDir)
+    val cbIdx = loadPqCodebooks(spark, indexDir)
+    val pruned = annTopKIvfPqIndexedWith(spark, indexDir, centsIdx, cbIdx,
+      q, 10, nprobe = 12)
+    val exhIdx = annTopKIvfPqIndexedWith(spark, indexDir, centsIdx, cbIdx,
+      q, 10, nprobe = 16)
     // in-query twin under the same deterministic training
     val cents = trainIvfCentroids(c, 16, trainSampleMod = 4)
-    val qc = quantizeInt8(c, "v")
-    val cb = trainPqCodebooks(qc.select(col("vec_id"), col("qv")), 8, 16)
-    val postings = pqEncode(
-      normalized(qc, "v", "nv")
-        .withColumn("cid", bestCid(col("nv"), cents)), cb)
-      .select(col("vec_id"), col("cid"), col("codes"), col("rs2"))
-    val qq = qc.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv_raw"),
-        col("qv").as("qqv"), col("qs2").as("qs2q"))
-    val exhLive = pqProbeLeg(postings, cents, cb, qq, 10, nprobe = 16,
-      adcLeg = true)
-      .select(col("query_id"), col("rank"), col("vec_id"))
-    val counts = pruned.groupBy(col("query_id")).agg(count(lit(1)).as("n_idx"))
-    probeAgreement(exhIdx, exhLive, "n_exh", "n_live", "n_agree")
-      .join(counts, Seq("query_id"))
-      .select(col("query_id"), col("n_idx"), col("n_exh"), col("n_agree"))
-      .orderBy(col("query_id"))
+    // the quantized corpus feeds the codebook-training collect, the
+    // posting encode, and the query slice — pinned for the life of this
+    // query so each rep quantizes the corpus ONCE, not three times
+    // (r22; released in the finally after the result materializes)
+    val qc = quantizeInt8(c, "v").persist()
+    try {
+      val cb = trainPqCodebooks(qc.select(col("vec_id"), col("qv")), 8, 16)
+      val postings = pqEncode(
+        normalized(qc, "v", "nv")
+          .withColumn("cid", bestCid(col("nv"), cents)), cb)
+        .select(col("vec_id"), col("cid"), col("codes"), col("rs2"))
+      val qq = qc.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv_raw"),
+          col("qv").as("qqv"), col("qs2").as("qs2q"))
+      val exhLive = pqProbeLeg(postings, cents, cb, qq, 10, nprobe = 16,
+        adcLeg = true)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+      val counts = pruned.groupBy(col("query_id")).agg(count(lit(1)).as("n_idx"))
+      val out = probeAgreement(exhIdx, exhLive, "n_exh", "n_live", "n_agree")
+        .join(counts, Seq("query_id"))
+        .select(col("query_id"), col("n_idx"), col("n_exh"), col("n_agree"))
+      // materialize (query-count-sized) before the finally releases qc
+      out.localCheckpoint().orderBy(col("query_id"))
+    } finally { qc.unpersist(); () }
   }
 
   /** q115: IVF-PQ made correctness-visible (the q32/q38 parity-leg
@@ -2123,31 +2255,41 @@ object SimilarityOps {
   def q115IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val cents = trainIvfCentroids(c, 16, trainSampleMod = 4)
-    val qc = quantizeInt8(c, "v")
-    val m = 8
-    val cb = trainPqCodebooks(qc.select(col("vec_id"), col("qv")), m, 16)
-    // PERSIST the encoded postings: all three probe legs read one
-    // materialization instead of re-running the encode projection (the
-    // expensive half — 128 argmin subexpressions/row); the frame is the
-    // in-memory PQ index itself, m+1 longs per vector — a legitimate
-    // plan-keyed standing slot (the q21 fingerprint pattern), not a
-    // corpus-sized leak
-    val postings = pqEncode(
-      normalized(qc, "v", "nv")
-        .withColumn("cid", bestCid(col("nv"), cents)), cb)
-      .select(col("vec_id"), col("cid"), col("codes"), col("rs2"))
-      .persist()
-    val qq = qc.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv_raw"),
-        col("qv").as("qqv"), col("qs2").as("qs2q"))
-    val pruned = pqProbeLeg(postings, cents, cb, qq, 10, nprobe = 12, adcLeg = true)
-    val exhAdc = pqProbeLeg(postings, cents, cb, qq, 10, nprobe = 16, adcLeg = true)
-    val exhRec = pqProbeLeg(postings, cents, cb, qq, 10, nprobe = 16, adcLeg = false)
-    val counts = pruned.groupBy(col("query_id")).agg(count(lit(1)).as("n_pq"))
-    probeAgreement(exhAdc, exhRec, "n_adc", "n_rec", "n_agree")
-      .join(counts, Seq("query_id"))
-      .select(col("query_id"), col("n_pq"), col("n_adc"), col("n_agree"))
-      .orderBy(col("query_id"))
+    // the quantized corpus feeds the codebook-training collect, the
+    // posting encode, and the query slice — pinned so each rep pays the
+    // scan + quantize ONCE (r22; was re-run per reference)
+    val qc = quantizeInt8(c, "v").persist()
+    try {
+      val m = 8
+      val cb = trainPqCodebooks(qc.select(col("vec_id"), col("qv")), m, 16)
+      // PERSIST the encoded postings: all three probe legs read one
+      // materialization instead of re-running the encode projection (the
+      // expensive half — 128 argmin subexpressions/row); the frame is the
+      // in-memory PQ index itself, m+1 longs per vector. Released in the
+      // finally once the (query-count-sized) result has materialized —
+      // each bench rep pays its own standalone cost (r22: the lingering
+      // persist doubled as a cross-rep warm cache, which belongs to the
+      // fingerprint-keyed index queries, not this in-query path).
+      val postings = pqEncode(
+        normalized(qc, "v", "nv")
+          .withColumn("cid", bestCid(col("nv"), cents)), cb)
+        .select(col("vec_id"), col("cid"), col("codes"), col("rs2"))
+        .persist()
+      try {
+        val qq = qc.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv_raw"),
+            col("qv").as("qqv"), col("qs2").as("qs2q"))
+        val pruned = pqProbeLeg(postings, cents, cb, qq, 10, nprobe = 12, adcLeg = true)
+        val exhAdc = pqProbeLeg(postings, cents, cb, qq, 10, nprobe = 16, adcLeg = true)
+        val exhRec = pqProbeLeg(postings, cents, cb, qq, 10, nprobe = 16, adcLeg = false)
+        val counts = pruned.groupBy(col("query_id")).agg(count(lit(1)).as("n_pq"))
+        probeAgreement(exhAdc, exhRec, "n_adc", "n_rec", "n_agree")
+          .join(counts, Seq("query_id"))
+          .select(col("query_id"), col("n_pq"), col("n_adc"), col("n_agree"))
+          .localCheckpoint()
+          .orderBy(col("query_id"))
+      } finally { postings.unpersist(); () }
+    } finally { qc.unpersist(); () }
   }
 
   /** Deterministic integer hyperplane component for the PORTABLE SRP twin

@@ -140,6 +140,35 @@ class GraphAnnSpec extends AnyFunSuite {
     } finally { edges.unpersist(); cNv.unpersist(); () }
   }
 
+  test("fused multi-leg beam == standalone per-leg runs, bit-for-bit") {
+    // the r22 job-fusion path (annTopKGraphLegs) must be a pure batching
+    // of independent probes: two legs with DIFFERENT graphs ride one
+    // iteration loop and each must reproduce its standalone annTopKGraph
+    // result exactly — rank order included
+    val c = corpus(sf)
+    val cents = SimilarityOps.trainIvfCentroids(c, 16)
+    val cNv = nvOf(c).persist()
+    val edgesA = SimilarityOps.buildNeighborGraph(c, cents, m = 10)
+    val edgesB = SimilarityOps.buildNeighborGraph(c, cents, nprobe = 2, m = 6)
+    try {
+      val q = c.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val entries = graphEntriesOf(c, cents, q)
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.orderBy(col("query_id"), col("rank"))
+          .collect().map(_.toSeq).toSeq
+      val fused = SimilarityOps.annTopKGraphLegs(cNv,
+        Seq(("a", edgesA, entries), ("b", edgesB, entries)), q, 10)
+        .persist()
+      val soloA = rows(SimilarityOps.annTopKGraph(cNv, edgesA, q, entries, 10))
+      val soloB = rows(SimilarityOps.annTopKGraph(cNv, edgesB, q, entries, 10))
+      assert(rows(fused.filter(col("leg") === "a").drop("leg")) == soloA)
+      assert(rows(fused.filter(col("leg") === "b").drop("leg")) == soloB)
+      assert(soloA != soloB, "legs should differ for the parity to mean anything")
+      fused.unpersist()
+    } finally { edgesA.unpersist(); edgesB.unpersist(); cNv.unpersist(); () }
+  }
+
   test("standing == in-query is deterministic across runs") {
     val a = SimilarityOps.q127AnnGraph(spark, sf).collect().map(_.toSeq).toSeq
     val b = SimilarityOps.q127AnnGraph(spark, sf).collect().map(_.toSeq).toSeq
