@@ -550,8 +550,18 @@ object DedupOps {
       evalSet: DataFrame,
       n: Int = 5,
       bitsPerItem: Long = 10L): DataFrame = {
-    val evalSh = evalShingles(evalSet, n)
-    decontaminateBloomPrimed(train, evalSh, buildShingleBloom(evalSh, bitsPerItem), n)
+    // PIN the distinct eval-shingle set (r22, guide §5): it feeds the
+    // sizing count, the Bloom aggregate, and the phase-2 confirm join —
+    // unpinned, each ran the eval scan + shingle + distinct pipeline
+    // again. Eval sets are benchmark-sized, so the pin is bounded; the
+    // (train-doc-sized) result materializes before the finally releases
+    // it, exactly the streaming callers' persist-once discipline.
+    val evalSh = evalShingles(evalSet, n).persist()
+    try
+      decontaminateBloomPrimed(train, evalSh,
+        buildShingleBloom(evalSh, bitsPerItem), n)
+        .localCheckpoint()
+    finally { evalSh.unpersist(); () }
   }
 
   /** The distinct eval-shingle set — shared by the broadcast and Bloom

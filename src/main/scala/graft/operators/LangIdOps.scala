@@ -253,6 +253,10 @@ object LangIdOps {
     * for the four Latin-script languages.
     */
   def q170LangId(spark: SparkSession, dir: String): DataFrame = {
+    // r22 note: pinning the constructed corpus (persist + eager count)
+    // was measured SLOWER than recomputing the synthesis map per
+    // consumer (4.2 -> 4.9 s at sf0.1) — cache write + row
+    // deserialization cost more than the map. Left on recompute.
     val corpus = syntheticLangText(Tables.documents(spark, dir))
     val model = trainModel(corpus.filter(col("doc_id") % 4 =!= 1))
     // LEFT join + typed `und`: a doc whose buckets were all unseen in
@@ -289,7 +293,7 @@ object LangIdOps {
   def q180LangIdUnd(spark: SparkSession, dir: String): DataFrame = {
     val all = Langs12 ++ LangsForeign
     val trained = Langs12.map(_._1).toSet
-    val corpus = syntheticTextOf(Tables.documents(spark, dir), all)
+    val corpus = syntheticTextOf(Tables.documents(spark, dir), all) // see q170
     val model = trainModel(
       corpus.filter(col("true_lang").isInCollection(trained) &&
         col("doc_id") % 4 =!= 1),

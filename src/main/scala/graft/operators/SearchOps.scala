@@ -64,7 +64,14 @@ object SearchOps {
   def q92LmQuality(spark: SparkSession, dir: String): DataFrame =
     lmQuality(Tables.documents(spark, dir))
 
-  /** Core of q92 over any frame with (doc_id, lang, text). */
+  /** Core of q92 over any frame with (doc_id, lang, text).
+    *
+    * r22 note: pinning the bigram stream (persist + eager count) was
+    * measured SLOWER than recomputing it per consumer (2.07 → 2.41 s at
+    * sf0.1) — the columnar cache write + string deserialization on read
+    * costs more than re-running the scan + split + native-kernel explode
+    * through whole-stage codegen. Left on the recompute shape.
+    */
   private[graft] def lmQuality(docs: DataFrame): DataFrame =
     lmScore(docs, lmWeights(docs.where(col("lang") === "en")))
       .orderBy(col("doc_id"))
@@ -111,6 +118,15 @@ object SearchOps {
     // transitions with two words of context: (w1, w2, w3) at each i ≥ 2
     // native transition kernel (r21); bit-identical to the builtin
     // filter/transform/sequence form (parity-pinned in TextGramsSpec)
+    // r22 note, two measured dead ends kept OUT: (a) pinning this
+    // exploded stream (persist + eager count) was SLOWER than
+    // recomputing it per consumer (4.0 → 5.7 s at sf0.1) — columnar
+    // cache write + string deserialization cost more than re-running
+    // the scan + split + native WordTransitions explode through
+    // whole-stage codegen; (b) SHUFFLE_HASH hints on the scoring joins
+    // were SLOWER too (3.8 → 4.3 s) — AQE already broadcast-joins every
+    // weight table at runtime, and the hint forced a shuffle of the
+    // transition stream instead. Left on the recompute + AQE shape.
     val trans = toks
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.WordTransitions(col("w"))).as("t"))
@@ -271,13 +287,18 @@ object SearchOps {
       vocabInlineMax: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val stats = docs
-      .select(size(words(col("text"))).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    // distinct (eval_id, term) — the candidate query vocabulary
+    // distinct (eval_id, term) — the candidate query vocabulary. PINNED
+    // (r22, guide §5): it feeds the vocab-probe collect, the rare-term
+    // selection window, and (in the distributed regime) the broadcast
+    // vocab join — each reference re-ran the eval scan + tokenize +
+    // distinct. Eval sets are benchmark-sized by contract, so the pin is
+    // bounded; it stays resident plan-keyed (the q20/q36 shared-slot
+    // discipline — Round15PlanSpec pins this query's plan shape, which a
+    // checkpoint barrier would hide).
     val evalTerms = evalSet
       .select(col("eval_id"), explode(words(col("text"))).as("term"))
       .distinct()
+      .persist()
     // ONE corpus token scan feeds BOTH the df frame and the postings
     // (round-15 rework — q116 was the most expensive bench line because
     // df and postings each paid a full scan + full-token-stream
@@ -296,19 +317,44 @@ object SearchOps {
     val probeN = math.min(vocabInlineMax.toLong + 1L, Int.MaxValue.toLong).toInt
     val probe = candVocab.limit(probeN).collect().map(_.getString(0))
     require(probe.nonEmpty, "eval set selected no query terms")
-    val matches =
+    // ONE corpus tokenize pass (r22, guide §5): the corpus-stats
+    // aggregate and the matching-token stream previously each re-ran the
+    // scan + split pipeline. In the inline-vocab regime the per-doc row
+    // (dl, vocab-filtered tokens) is pinned — corpus-bounded but NARROW
+    // (one long + the matching occurrences, not the full token array) —
+    // and both consumers read it; the distributed-vocab regime keeps the
+    // two-pass shape (pinning full token arrays would dwarf the scan).
+    // The pin stays resident plan-keyed (warm-steady-state bench
+    // semantics; a checkpoint barrier would hide the plan the
+    // Round15PlanSpec single-scan pin inspects).
+    val inlineToks =
       if (probe.length <= vocabInlineMax) {
         val inList = probe.sorted.map(sqlStringLit).mkString(", ")
-        docs
+        Some(docs
           .select(col("doc_id"), words(col("text")).as("w"))
           .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-            explode(expr(s"filter(w, t -> t IN ($inList))")).as("term"))
-      } else
-        docs
-          .select(col("doc_id"), words(col("text")).as("w"))
-          .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-            explode(col("w")).as("term"))
-          .join(broadcast(candVocab), Seq("term"))
+            expr(s"filter(w, t -> t IN ($inList))").as("wf"))
+          .persist())
+      } else None
+    // eager materialization: the probe collect above ran under a LIMIT
+    // (may leave the cache partially populated) and the downstream
+    // consumers share one action — concurrent first reads would
+    // recompute the unpopulated partitions
+    evalTerms.count()
+    inlineToks.foreach(_.count())
+    val stats = inlineToks
+      .map(_.select(col("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
+      .getOrElse(docs
+        .select(size(words(col("text"))).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
+    val matches = inlineToks
+      .map(_.select(col("doc_id"), col("dl"), explode(col("wf")).as("term")))
+      .getOrElse(docs
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          explode(col("w")).as("term"))
+        .join(broadcast(candVocab), Seq("term")))
     // per (candidate term, doc) stats — df is a count over this frame
     // (grouped by (term, doc_id), so count(1) per term IS distinct-doc
     // df), postings a broadcast-filter of it to the selected terms

@@ -185,7 +185,19 @@ object SessionOps {
     * basket frame — shared with the streaming sessionization lane, whose
     * finalized sessions carry the same baskets.
     */
-  private[graft] def associationRulesFrom(baskets: DataFrame): DataFrame = {
+  private[graft] def associationRulesFrom(baskets0: DataFrame): DataFrame = {
+    // PIN the basket frame (r22, guide §5): it feeds the basket count,
+    // the per-item counts, and BOTH sides of the pair self-join —
+    // unpinned, each reference re-ran the event scan + sessionization
+    // window + distinct. Baskets are distinct (session, type) rows —
+    // orders of magnitude smaller than the event stream — and the
+    // (rule-count-sized) result materializes before the finally
+    // releases the pin.
+    val baskets = baskets0.persist()
+    try {
+    // eager materialization: all four consumers run inside one action
+    // and concurrent first reads would each recompute the pin
+    baskets.count()
     val n = baskets.select(col("user_id"), col("session_no")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val items = baskets.groupBy(col("t")).agg(count(lit(1)).as("n_item"))
@@ -208,7 +220,9 @@ object SessionOps {
         // runs; past it, drop Scale to 1e3 (headroom ~9.6e7) or widen to
         // decimal(38) — the q109 rescale discipline.
         expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_fp"))
+      .localCheckpoint()
       .orderBy(col("a"), col("b"))
+    } finally { baskets.unpersist(); () }
   }
 
   /** q110: sessionized path analysis — the most common 3-step event

@@ -2276,6 +2276,9 @@ object SimilarityOps {
         .select(col("vec_id"), col("cid"), col("codes"), col("rs2"))
         .persist()
       try {
+        // eager materialization: the three probe legs run inside one
+        // action and concurrent first reads would each re-encode
+        postings.count()
         val qq = qc.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv_raw"),
             col("qv").as("qqv"), col("qs2").as("qs2q"))
@@ -2359,6 +2362,10 @@ object SimilarityOps {
   def q109TfidfCosine(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // r22 note: pinning the shingle stream and the weighted postings
+    // (persist + eager count) was measured SLOWER than recompute
+    // (4.1 → 4.8 s at sf0.1) — string-columnar cache costs more than
+    // re-running the codegen explode. Left on the recompute shape.
     val sh = docs.select(col("doc_id"),
       explode(DedupOps.shingles(col("text"), 3)).as("t"))
     val dfc = sh.groupBy(col("t")).agg(count(lit(1)).as("df"))

@@ -68,10 +68,15 @@ class DecontaminateSpec extends AnyFunSuite {
   }
 
   test("bloom path plan: might_contain prune on the scan, shuffled (not broadcast) confirm join") {
+    // inspect the lazy (pre-materialization) plan via the primed path —
+    // the public decontaminateBloom now checkpoint-materializes its
+    // result (r22: the eval-shingle pin must release before return), so
+    // its returned frame no longer exposes the decontamination plan
     val docs = graft.Tables.documents(spark, sf)
-    val out = DedupOps.decontaminateBloom(
+    val evalSh = DedupOps.evalShingles(docs.filter(col("doc_id") % 20 === 0))
+    val out = DedupOps.decontaminateBloomPrimed(
       docs.filter(col("doc_id") % 20 =!= 0),
-      docs.filter(col("doc_id") % 20 === 0))
+      evalSh, DedupOps.buildShingleBloom(evalSh))
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan)
     // the confirm join must be the shuffle shape (the eval set is

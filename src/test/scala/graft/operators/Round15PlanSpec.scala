@@ -86,26 +86,41 @@ class Round15PlanSpec extends AnyFunSuite {
       s"q135 expects exactly the synthetic-archive group-by exchange:\n${plan(df)}")
   }
 
-  test("q116 rework: ONE corpus token scan — the candidate-postings exchange is REUSED") {
+  test("q116 rework: ONE corpus token scan — every consumer reads the pinned token cache") {
+    // r22 rework: the corpus-stats aggregate and the matching-token
+    // stream share ONE persisted (doc_id, dl, filtered-tokens) frame,
+    // and the eval vocabulary is pinned too — so the registered plan
+    // must read documents.parquet ONLY through InMemoryTableScans
+    // (each cache = one tokenize pass). A bare parquet scan of
+    // documents outside a cache means a consumer regressed to its own
+    // tokenize pass.
     val df = SearchOps.q116DecontaminateRetrieval(spark, sf)
     df.collect()
-    val nodes = deep(plan(df))
-    val reused = nodes.collect { case r: ReusedExchangeExec => r }
-    assert(reused.nonEmpty,
-      s"df and postings must share the candidate-postings exchange:\n${plan(df)}")
-    // documents.parquet feeds at most four scans: ONE full token scan
-    // (shared by df AND postings via the reuse above — the load-bearing
-    // pin), the corpus stats scan, and two eval-SLICE reads (the 5%
-    // filter, pushed to the scan); a fifth means the rework regressed
-    // to two full token passes
-    val docScans = nodes.collect {
+    // traversal across AQE stages WITHOUT descending into cached
+    // relations: scans inside an InMemoryTableScan are the cache's ONE
+    // build pass
+    def outsideCaches(p: SparkPlan): Seq[SparkPlan] = {
+      val nodes = p.collect { case x => x }
+      nodes ++ nodes.flatMap {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          outsideCaches(s.plan)
+        case _ => Nil
+      }
+    }
+    val top = outsideCaches(plan(df))
+    val bareDocScans = top.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
         if s.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")) => s
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
         if s.toString.contains("documents") => s
     }
-    assert(docScans.size <= 4,
-      s"q116 reads documents ${docScans.size}x — the single-scan rework regressed:\n${plan(df)}")
+    assert(bareDocScans.isEmpty,
+      s"q116 scans documents outside the pinned token caches:\n${plan(df)}")
+    val cached = deep(plan(df)).collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    assert(cached.nonEmpty,
+      s"q116 lost its pinned token frame:\n${plan(df)}")
   }
 
   // ------------------------------------------------- session-2 newcomers
