@@ -37,10 +37,48 @@ import java.nio.file.{Files, Paths}
   *     doesn't depend on scraping sbt's `[info]`-prefixed log lines.
   */
 object Bench {
+
+  /** Assemble the ONE-LINE metric JSON the driver parses. Factored out of
+    * `main` so the bench contract — the line parses as JSON and carries
+    * `metric`/`value`/`queries` — is spec-testable without a Spark run
+    * (BenchJsonSpec; r21 verdict item 8: r21 was the first round the
+    * driver ever parsed, so the print format is now load-bearing).
+    * String assembly is byte-identical to the r21 inline form.
+    */
+  private[graft] def metricLine(
+      results: Seq[(String, Double, Seq[Double])],
+      phases: Seq[(String, Map[String, Double])],
+      calib: Double, calibMt: Double,
+      probeTimeline: Seq[(Int, String, Int, Double, Double)],
+      reps: Int, sfDir: String, failuresInOrder: Seq[String]): String = {
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // samples append in execution order, so head == the cold (rep-1) run
+    val colds = results.map { case (k, _, s) => "\"" + k + "\":" + s.head }
+      .mkString("{", ",", "}")
+    val ss = results.map { case (k, _, s) => "\"" + k + "\":" + s.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val coldTotal = results.map(_._3.head).sum
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val errs = failuresInOrder.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+    val phJson = phases.map { case (q, m) =>
+      "\"" + q + "\":" + m.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val ptJson = probeTimeline.map { case (at, after, rep, s, bw) =>
+      s"""{"at":$at,"after":"${esc(after)}","rep":$rep,"s":$s,"membw_s":$bw}"""
+    }.mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"samples":$ss,"phases":$phJson,"calibration_s":$calib,"calibration_mt_s":$calibMt,"probe_timeline":$ptJson,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    BenchPhases.enable() // turn on phase-attribution bookkeeping (see BenchPhases.enabled)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -229,28 +267,8 @@ object Bench {
     // only (and fails the run), never in the minima
     val results = samples.toSeq.collect {
       case (name, ss) if ss.nonEmpty => (name, ss.min, ss.toSeq) }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // samples append in execution order, so head == the cold (rep-1) run
-    val colds = results.map { case (k, _, s) => "\"" + k + "\":" + s.head }
-      .mkString("{", ",", "}")
-    val ss = results.map { case (k, _, s) => "\"" + k + "\":" + s.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val coldTotal = results.map(_._3.head).sum
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    val errs = failures.reverse.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
-    val phJson = phases.map { case (q, m) =>
-      "\"" + q + "\":" + m.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
-    val ptJson = probeTimeline.map { case (at, after, rep, s, bw) =>
-      s"""{"at":$at,"after":"${esc(after)}","rep":$rep,"s":$s,"membw_s":$bw}"""
-    }.mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"samples":$ss,"phases":$phJson,"calibration_s":$calib,"calibration_mt_s":$calibMt,"probe_timeline":$ptJson,"reps":$reps,"sf":"$sfDir","errors":$errs}"""
+    val line = metricLine(results, phases.toSeq, calib, calibMt,
+      probeTimeline.toSeq, reps, sfDir, failures.reverse)
     println(line)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), line + "\n")

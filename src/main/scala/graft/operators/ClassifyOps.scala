@@ -103,7 +103,8 @@ object ClassifyOps {
     */
   def q131NbQuality(spark: SparkSession, dir: String): DataFrame = {
     val nBuckets = 1024
-    val docs = Tables.documents(spark, dir).where(col("lang") === "en")
+    // narrow scan (r22): measured widen tax (see Tables widen-policy note)
+    val docs = Tables.documentsNarrow(spark, dir).where(col("lang") === "en")
     val train = docs.where(col("doc_id") % 4 =!= 0)
     val trainNeg =
       train.select(col("doc_id"), reversedText(col("text")).as("text"))

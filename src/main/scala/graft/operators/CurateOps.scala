@@ -170,7 +170,8 @@ object CurateOps {
     * counts cannot wrap.
     */
   def q205ImportanceSample(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir).createOrReplaceTempView("documents_q205")
+    // narrow scan (r22): measured widen tax (see Tables widen-policy note)
+    Tables.documentsNarrow(spark, dir).createOrReplaceTempView("documents_q205")
     // the per-(doc, bucket) counts feed BOTH the weight fit and the
     // scoring pass; materialize once instead of letting CTE inlining
     // recompute the feature extraction twice

@@ -87,7 +87,9 @@ object DedupOps {
   }
 
   def q18ExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // narrow scan (r22): the groupBy supplies the fan-out; the widen
+    // exchange measured as a pure tax (see the Tables widen-policy note)
+    Tables.documentsNarrow(spark, dir)
       .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id_kept"), count(lit(1)).as("n_copies"))
@@ -431,7 +433,7 @@ object DedupOps {
     * feeds the output AND both join sides.
     */
   def q21Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(spark, dir)
+    val fp = Tables.documentsNarrow(spark, dir) // narrow: the next line widens
       .repartition(col("doc_id")) // spread the md5 CPU off a single file
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0) // zero shingles: no features, no claim
@@ -626,7 +628,9 @@ object DedupOps {
     * regime (non-broadcastable eval set).
     */
   def q63DecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // narrow scan (r22): the widen exchange measured as a pure tax on
+    // this pipeline (see Tables.documentsNarrow)
+    val docs = Tables.documentsNarrow(spark, dir)
     decontaminateBloom(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))

@@ -109,7 +109,11 @@ object GraphOps {
     // collect_list + combinations-lambda rewrite emits half the pairs
     // (d(d−1)/2 vs d²) but MEASURED 1.4× SLOWER at sf0.1 (5.6 s vs
     // 3.9 s) — nested array lambdas run interpreted per row while the
-    // join + filter + partial aggregate stay inside whole-stage codegen
+    // join + filter + partial aggregate stay inside whole-stage codegen.
+    // r22 A/B: forcing SHUFFLE_HASH here measured SLOWER too (3.5 →
+    // 3.9 s isolated) — the planner/AQE strategy mix (broadcast where
+    // the side fits, sort-merge above) beats a forced per-partition
+    // hash build on this shape; left on the planner's choice.
     val co = pairs.select(col("c"), col("s").as("s_a"))
       .join(pairs.select(col("c"), col("s").as("s_b")), Seq("c"))
       .where(col("s_a") < col("s_b"))
@@ -218,6 +222,9 @@ object GraphOps {
     // executes once per side (measured 41.8 s vs 13.9 s at sf0.1);
     // released in `finally` after the node-sized result materializes
     // (the span-dedup cache discipline)
+    // r22 A/B: SHUFFLE_HASH hints on the wedge and closing joins
+    // measured SLOWER (3.3 → 3.8 s isolated) — same finding as q104;
+    // the planner's strategy mix stands.
     val oriented = withDeg.select(
       when(col("da") < col("db") ||
           (col("da") === col("db") && col("s_a") < col("s_b")),

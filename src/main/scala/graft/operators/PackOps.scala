@@ -142,7 +142,8 @@ object PackOps {
 
   /** q39: pack the documents table into 256-token context windows. */
   def q39PackChunks(spark: SparkSession, dir: String): DataFrame =
-    packChunks(Tables.documents(spark, dir), 256L)
+    // narrow scan (r22): measured widen tax (see Tables widen-policy note)
+    packChunks(Tables.documentsNarrow(spark, dir), 256L)
       .orderBy(col("doc_id"), col("chunk_id"))
 
   /** q82: q39's concat-and-chunk packing budgeted by REAL BPE subword
@@ -329,7 +330,8 @@ object PackOps {
     */
   def q203PackMask(spark: SparkSession, dir: String): DataFrame = {
     val cap = 256L
-    val withTok = Tables.documents(spark, dir).select(
+    // narrow scan (r22): measured widen tax (see Tables widen-policy note)
+    val withTok = Tables.documentsNarrow(spark, dir).select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("tok"))
     val segs = exclusivePrefixSum(withTok, "doc_id", "tok", "off")

@@ -51,7 +51,11 @@ object RelationalOps {
     * Spark engine owes its users anyway.
     */
   def q55Rollup(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
+    // widened scan (r22): the rollup's Expand multiplies every scan row
+    // 3×, so per-row work is heavy enough that the input widen measured
+    // a win here (1.2 → 1.9 s without it) — the one relational query
+    // that keeps the r21 repair (see the Tables widen-policy note)
+    Tables.lineitemWide(spark, dir)
       .filter(col("l_quantity") > 0)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(

@@ -62,7 +62,9 @@ object SearchOps {
     * window, no collect, no cartesian.
     */
   def q92LmQuality(spark: SparkSession, dir: String): DataFrame =
-    lmQuality(Tables.documents(spark, dir))
+    // narrow scan (r22): the widen exchange measured as a pure tax on
+    // this pipeline (see Tables.documentsNarrow)
+    lmQuality(Tables.documentsNarrow(spark, dir))
 
   /** Core of q92 over any frame with (doc_id, lang, text).
     *
@@ -110,7 +112,9 @@ object SearchOps {
     * joins shuffled exactly like q92's weight table.
     */
   def q107BackoffLm(spark: SparkSession, dir: String): DataFrame =
-    backoffLm(Tables.documents(spark, dir))
+    // narrow scan (r22): the widen exchange measured as a pure tax on
+    // this pipeline (see Tables.documentsNarrow)
+    backoffLm(Tables.documentsNarrow(spark, dir))
 
   /** Core of q107 over any (doc_id, lang, text) frame. */
   private[graft] def backoffLm(docs: DataFrame): DataFrame = {

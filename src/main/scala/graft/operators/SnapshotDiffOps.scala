@@ -36,7 +36,8 @@ object SnapshotDiffOps {
     * every row (including both digests) oracle-replayed.
     */
   def q158SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    // narrow scan (r22): measured widen tax (see Tables widen-policy note)
+    val docs = Tables.documentsNarrow(spark, dir).select(col("doc_id"))
     val a = docs.select(
       concat(lit("/doc/"), col("doc_id").cast("string")).as("url"))
       .withColumn("a_digest", digest(lit(0)))

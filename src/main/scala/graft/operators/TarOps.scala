@@ -321,7 +321,7 @@ object TarOps {
     // (tar + filter-chain + LZMA encode — the deliberate r20 per-row
     // work increase) separately from the reader walk; no exchange is
     // added, so the zero-exchange-before-sort pin holds
-    val shards = Tables.documents(spark, dir)
+    val shards0 = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
@@ -333,8 +333,17 @@ object TarOps {
           else Xz.encodeStored(tar, bcj = bcj, deltaDist = dd)
         (id, xz)
       })
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.BenchPhases.timed("corpus_build") { shards.count(); () }
+    // the shard frame is consumed exactly ONCE downstream, so the
+    // persist + count exist only for the bench's corpus_build phase
+    // attribution — gated on the harness (r22, verdict item 10): a
+    // production run never spills the whole corpus for bookkeeping
+    val shards =
+      if (graft.BenchPhases.enabled) {
+        val pinned = shards0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.BenchPhases.timed("corpus_build") { pinned.count(); () }
+        pinned
+      } else shards0
     shards
       .map { case (id, xz) => extractArchive(id, xz) }
       .toDF()

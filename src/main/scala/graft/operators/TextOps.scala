@@ -349,7 +349,8 @@ object TextOps {
     * task; this never sorts the row stream at all (plan-asserted).
     */
   def q54LengthProfile(spark: SparkSession, dir: String): DataFrame =
-    tokenLengthProfile(Tables.documents(spark, dir)
+    // narrow scan (r22): measured widen tax (see Tables widen-policy note)
+    tokenLengthProfile(Tables.documentsNarrow(spark, dir)
       .select(col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens")))
 
@@ -1024,7 +1025,8 @@ object TextOps {
 
   /** q64: OOV rate against a learned 16-token vocabulary. */
   def q64VocabCoverage(spark: SparkSession, dir: String): DataFrame =
-    vocabCoverage(Tables.documents(spark, dir), 16)
+    // narrow scan (r22): measured widen tax (see Tables widen-policy note)
+    vocabCoverage(Tables.documentsNarrow(spark, dir), 16)
       .orderBy(col("doc_id"))
 
   /** ENGINE-PORTABLE winnowing fingerprint (Schleimer/Wilkerson/Aiken):

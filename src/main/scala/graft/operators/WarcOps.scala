@@ -880,14 +880,22 @@ object WarcOps {
     */
   def q204SeekableFetch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val archives = syntheticWarcZstCompressed(Tables.documents(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val archives0 = syntheticWarcZstCompressed(Tables.documents(spark, dir))
     // corpus_build phase (r20 verdict item 5): q204's bench cost was
     // dominated by rebuilding the shards inside the timed run; the
     // phase split makes the writer/reader attribution readable from
     // BENCH.json alone. Adds no exchange (the plan pin holds: the one
-    // corpus-construction group-by, no join).
-    graft.BenchPhases.timed("corpus_build") { archives.count(); () }
+    // corpus-construction group-by, no join). The archives are consumed
+    // exactly ONCE downstream, so the persist + count exist only for
+    // that attribution — gated on the harness (r22, verdict item 10):
+    // a production run never spills the corpus for bookkeeping.
+    val archives =
+      if (graft.BenchPhases.enabled) {
+        val pinned = archives0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.BenchPhases.timed("corpus_build") { pinned.count(); () }
+        pinned
+      } else archives0
     val recs = archives.select(col("group_id"), col("warc"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (gid, warc) =>

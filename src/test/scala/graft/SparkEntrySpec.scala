@@ -64,6 +64,50 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("widen policy pins: narrow operators plan ZERO input repartitions, widened ones keep exactly theirs") {
+    // closes the r21 plan-pin loophole: every exchange pin excludes
+    // REPARTITION_BY_COL/NUM-origin exchanges (the deliberate input
+    // widening), so a gratuitous repartition() could slip past every
+    // guard. This companion pin bounds the widen-origin count per query:
+    //  - the measured-tax operators that opted OUT of the widen (r22)
+    //    must plan NO repartition at all — the verdict's done-criterion
+    //    for the widen-tax recovery;
+    //  - q55 (the one relational query that keeps the widen) plans
+    //    exactly one;
+    //  - q116 (documents stays widened) keeps at least one.
+    def repartitions(df: org.apache.spark.sql.DataFrame): Int = {
+      def deep(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val nodes = p.collect { case x => x }
+        nodes ++ nodes.flatMap {
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => deep(s.plan)
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            deep(s.relation.cachedPlan match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+              case x => x
+            })
+          case _ => Nil
+        }
+      }
+      df.collect() // materialize AQE stages
+      deep(SparkTestSession.finalPlan(df)).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if Seq(org.apache.spark.sql.execution.exchange.REPARTITION_BY_COL,
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
+            .contains(e.shuffleOrigin) => e
+      }.size
+    }
+    spark.catalog.clearCache()
+    for (q <- Seq("q107_backoff_lm", "q92_lm_quality", "q54_length_profile",
+        "q18_exact_dedup", "q111_association_rules", "q1_agg", "q9_multi_join"))
+      assert(repartitions(SparkEntry.queries(q)(spark, sf)) == 0,
+        s"$q opted out of the widen but still plans a repartition exchange")
+    assert(repartitions(SparkEntry.queries("q55_rollup")(spark, sf)) == 1,
+      "q55 keeps exactly its one lineitem widen")
+    assert(repartitions(SparkEntry.queries("q116_decontam_retrieval")(spark, sf)) >= 1,
+      "q116's documents widen disappeared")
+    spark.catalog.clearCache()
+  }
+
   test("q55 rollup computes all granularities via one Expand + one aggregate exchange") {
     val qe = SparkEntry.queries("q55_rollup")(spark, sf).queryExecution
     assert(qe.executedPlan.toString.contains("Expand"),
