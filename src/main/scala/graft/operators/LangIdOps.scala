@@ -220,7 +220,19 @@ object LangIdOps {
     val db = docs
       .select(col("doc_id"), explode(gramBucketsOf("text")).as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("dc"))
-    val grams = db.groupBy(col("doc_id")).agg(sum(col("dc")).as("n_grams"))
+    // the per-doc gram COUNT needs no second trigram pass (r22): a word
+    // of length L yields exactly greatest(L, 1) padded trigrams (the
+    // `_word_` padding adds 2 chars, the window subtracts 2;
+    // sequence(1, greatest(len-2, 1)) floors at one), so
+    // Σ dc == Σ_words greatest(length(w), 1) — a cheap per-row fold
+    // over ~30 words instead of re-running the explode + per-gram md5 +
+    // (doc, bucket) aggregate that previously computed `grams` (the
+    // measured cost of the langid family; one of q180's three
+    // gram-explode passes eliminated)
+    val grams = docs.select(col("doc_id"),
+      expr("aggregate(split(lower(text), ' '), 0L, " +
+        "(acc, w) -> acc + cast(greatest(length(w), 1) AS bigint))")
+        .as("n_grams"))
     val verdicts = db
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
